@@ -1,0 +1,44 @@
+"""Plan inspection helpers: assert that the physical plan is the one we
+want at 100 TB (filters pushed to the parquet scan, dims broadcast, codegen
+spans wide), not just the first one that passed.
+
+Used by tests and by ``bench.py --explain``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def simple_plan(df: DataFrame) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def has_pushed_filter(df: DataFrame, fragment: str) -> bool:
+    """True if `fragment` appears in a PushedFilters list of the scan."""
+    plan = formatted_plan(df)
+    return "PushedFilters" in plan and fragment in plan
+
+
+def scan_read_schema(df: DataFrame) -> list[str]:
+    """Column names appearing in ReadSchema lines (pruning check)."""
+    cols: list[str] = []
+    for line in formatted_plan(df).splitlines():
+        if "ReadSchema" in line:
+            inner = line.split("struct<", 1)[-1].rstrip(">")
+            cols += [f.split(":")[0].strip() for f in inner.split(",") if ":" in f]
+    return cols
+
+
+def uses_broadcast_join(df: DataFrame) -> bool:
+    return "BroadcastHashJoin" in formatted_plan(df) or "BroadcastNestedLoopJoin" in formatted_plan(df)
+
+
+def count_shuffles(df: DataFrame) -> int:
+    return formatted_plan(df).count("Exchange")

@@ -1,0 +1,101 @@
+"""Query registry: the single source of truth for the engine's query surface.
+
+Every operator from SURVEY.md §2 registers here as a named callable
+``(spark, sf_dir) -> DataFrame`` plus -- where ANSI-SQL-expressible -- a
+DuckDB oracle string over the pre-registered fixture views. The driver's
+``__spark_entry__.py`` simply re-exports this registry.
+
+Cross-engine hash-stability rules (SURVEY.md §7 risk register):
+- alias every computed column identically in Spark and oracle SQL;
+- aggregate floats through DECIMAL (exact, accumulation-order-independent)
+  and cast to DOUBLE at the end, on BOTH sides;
+- cast oracle aggregates to BIGINT/DOUBLE explicitly (DuckDB sum(int) is
+  HUGEINT, Spark is LONG);
+- pin session timezone UTC; prefer TIMESTAMP over DATE outputs;
+- every window/top-k has a unique-key tiebreaker.
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class QueryEntry:
+    name: str
+    fn: QueryFn
+    oracle: str | None = None  # None => driver records rows-only check
+    tags: tuple[str, ...] = field(default_factory=tuple)
+    doc: str = ""
+
+
+_REGISTRY: dict[str, QueryEntry] = {}
+
+# Modules whose import registers queries (one per SURVEY.md §2 category group).
+_QUERY_MODULES = [
+    "change_data_capture_service_spark.operators.cdc",
+    "change_data_capture_service_spark.operators.scan",
+    "change_data_capture_service_spark.operators.joins",
+    "change_data_capture_service_spark.operators.aggregates",
+    "change_data_capture_service_spark.operators.windows",
+    "change_data_capture_service_spark.operators.sort",
+    "change_data_capture_service_spark.operators.setops",
+    "change_data_capture_service_spark.functions.scalar",
+    "change_data_capture_service_spark.operators.udfs",
+    "change_data_capture_service_spark.streaming.windows",
+    "change_data_capture_service_spark.operators.dedup",
+    "change_data_capture_service_spark.operators.similarity",
+    "change_data_capture_service_spark.operators.text",
+    "change_data_capture_service_spark.operators.multimodal",
+]
+
+_loaded = False
+
+
+def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
+    """Decorator: register a query implementation (and optional oracle)."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query registration: {name}")
+        _REGISTRY[name] = QueryEntry(name=name, fn=fn, oracle=oracle, tags=tags, doc=fn.__doc__ or "")
+        return fn
+
+    return deco
+
+
+def load_all() -> None:
+    global _loaded
+    if _loaded:
+        return
+    for mod in _QUERY_MODULES:
+        try:
+            importlib.import_module(mod)
+        except ModuleNotFoundError as e:
+            # Module not built yet (incremental rounds) -- only tolerate our own.
+            if "change_data_capture_service_spark" not in str(e):
+                raise
+    _loaded = True
+
+
+def entries() -> dict[str, QueryEntry]:
+    load_all()
+    return dict(_REGISTRY)
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: e.fn for name, e in entries().items()}
+
+
+def oracles() -> dict[str, str]:
+    return {name: e.oracle for name, e in entries().items() if e.oracle is not None}
+
+
+def get(name: str) -> QueryEntry:
+    return entries()[name]
