@@ -1,0 +1,216 @@
+"""Aggregation operators (SURVEY.md §2.2 X5). The reference has no
+aggregations (SURVEY.md §2.1); this is the Kibana-style analytic surface.
+
+Hash-stability: every float aggregate accumulates in DECIMAL (exact and
+accumulation-order-independent, so Spark's parallel partial aggregation and
+DuckDB's produce bit-identical results) and casts to DOUBLE at the end --
+mirrored in each oracle. Averages are computed as decimal-sum / count in
+both engines for the same reason.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table, register_views
+from ..registry import register
+
+
+def dec(col: str) -> Column:
+    return F.col(col).cast("decimal(18,2)")
+
+
+@register(
+    "agg_sum_avg_minmax_count",
+    tags=("agg", "headline"),
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                    * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+           min(l_quantity) AS min_qty,
+           max(l_extendedprice) AS max_price,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_sum_avg_minmax_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: the canonical wide-agg benchmark.
+    Filter pushes to the scan; groupBy gets map-side partial aggregation on
+    a 4-ish-group key -- the shuffle moves only |groups|×|aggs| bytes per
+    partition no matter how big lineitem is."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    disc_price = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    charge = disc_price * (F.lit(1) + dec("l_tax"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+        F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+        F.sum(disc_price).cast("double").alias("sum_disc_price"),
+        F.sum(charge).cast("double").alias("sum_charge"),
+        (F.sum(dec("l_quantity")).cast("double") / F.count("*")).alias("avg_qty"),
+        (F.sum(dec("l_extendedprice")).cast("double") / F.count("*")).alias("avg_price"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@register(
+    "agg_count_distinct",
+    tags=("agg",),
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact multi-column distinct counts (Spark expands to two-phase
+    aggregate; at 100 TB prefer approx_count_distinct -- next query --
+    when ±2% error is acceptable)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@register("agg_approx_count_distinct", tags=("agg", "approx"))  # rows-only: HLL sketches differ per engine
+def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct estimate: constant memory per group vs the
+    exact expand-and-shuffle -- the 100 TB default. No oracle (DuckDB's HLL
+    gives different estimates); driver records the rows-only check."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
+    )
+
+
+@register(
+    "agg_groupby_multi",
+    tags=("agg",),
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(year(l_shipdate) AS INT) AS ship_year,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus, year(l_shipdate)
+    """,
+)
+def agg_groupby_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-column grouping incl. a computed key (ship year)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        "l_returnflag",
+        "l_linestatus",
+        F.year("l_shipdate").cast("int").alias("ship_year"),
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+    )
+
+
+@register(
+    "agg_rollup",
+    tags=("agg",),
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP: hierarchical subtotals + grand total."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.sum(dec("l_extendedprice")).cast("double").alias("sum_price"),
+    )
+
+
+@register(
+    "agg_cube",
+    tags=("agg",),
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all grouping-set combinations."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    tags=("agg",),
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (SQL surface -- Catalyst plans it as a single
+    expand + aggregate, not three scans)."""
+    register_views(spark, sf_dir, ["lineitem"])
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, count(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@register(
+    "agg_having",
+    tags=("agg",),
+    oracle="""
+    SELECT o_custkey,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY o_custkey
+    HAVING sum(CAST(o_totalprice AS DECIMAL(18,2))) > 1500000
+    """,
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation filter (HAVING) -- expressed as filter-after-agg;
+    Catalyst keeps it above the aggregate, where it belongs."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.sum(dec("o_totalprice")).cast("double").alias("total_spent"),
+            F.count("*").alias("n_orders"),
+        )
+        .filter(F.col("total_spent") > 1500000)
+    )

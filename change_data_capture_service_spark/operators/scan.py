@@ -1,0 +1,81 @@
+"""Scan / projection / filter operators (SURVEY.md §2.2 X3; reference R1).
+
+The reference's only scan is ``SELECT * FROM "schema"."table"`` buffered
+whole-table in memory (``internal/wal/replicator.go:102-103``). Here scans
+are partitioned parquet reads with Catalyst pushing projections and
+predicates into the scan (verified by ``plans.inspect`` in tests).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import register
+
+
+@register(
+    "snapshot_scan",
+    tags=("scan",),
+    oracle="SELECT * FROM lineitem",
+)
+def snapshot_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-table snapshot scan (reference R1, ``replicator.go:69-184``).
+    Unlike the reference's ``ReadAll()`` (O(table) memory on one thread),
+    this is a parallel partitioned columnar scan."""
+    return load_table(spark, sf_dir, "lineitem")
+
+
+@register(
+    "projection",
+    tags=("scan",),
+    oracle="""
+    SELECT l_orderkey,
+           l_linenumber,
+           l_extendedprice * (1 - l_discount) AS net_price,
+           l_quantity
+    FROM lineitem
+    """,
+)
+def projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-pruned projection with a computed column. Catalyst prunes the
+    scan to the 5 referenced columns (ReadSchema shows only those) -- the
+    reference always reads all columns (``replicator.go:114-136``)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
+        "l_quantity",
+    )
+
+
+@register(
+    "filter_pred",
+    tags=("scan",),
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_returnflag, l_shipdate
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND l_discount IN (0.05, 0.06, 0.07)
+      AND l_quantity < 24
+      AND l_returnflag LIKE 'N%'
+      AND l_linestatus IS NOT NULL
+      AND (l_tax > 0.02 OR l_quantity >= 10)
+    """,
+)
+def filter_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate mix: range, IN-list, LIKE, null-check, boolean combo.
+    All of these push down to the parquet scan (PushedFilters)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & F.col("l_discount").isin(0.05, 0.06, 0.07)
+        & (F.col("l_quantity") < 24)
+        & F.col("l_returnflag").like("N%")
+        & F.col("l_linestatus").isNotNull()
+        & ((F.col("l_tax") > 0.02) | (F.col("l_quantity") >= 10))
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_returnflag", "l_shipdate")

@@ -1,0 +1,200 @@
+"""Window-function operators (SURVEY.md §2.2 X6).
+
+Determinism rule: every ORDER BY inside a window ends with a unique key
+(o_orderkey / event_id) so ranks, frames, and offsets are reproducible
+across engines. Running/moving float aggregates accumulate in DECIMAL and
+cast to DOUBLE, mirrored in the oracles, for bit-stable results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import register
+
+def _by_cust_price():
+    # built lazily: Column exprs need an active SparkContext
+    return Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+
+
+@register(
+    "win_rank",
+    tags=("window",),
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           CAST(rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rnk
+    FROM orders
+    """,
+)
+def win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank() per customer by order value."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey", "o_custkey", "o_totalprice", F.rank().over(_by_cust_price()).alias("rnk")
+    )
+
+
+@register(
+    "win_dense_rank",
+    tags=("window",),
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderpriority,
+           CAST(dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority, o_orderkey) AS INT) AS drnk
+    FROM orders
+    """,
+)
+def win_dense_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderpriority", "o_orderkey")
+    return o.select(
+        "o_orderkey", "o_custkey", "o_orderpriority", F.dense_rank().over(w).alias("drnk")
+    )
+
+
+@register(
+    "win_row_number",
+    tags=("window",),
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS INT) AS rn
+    FROM orders
+    """,
+)
+def win_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select("o_orderkey", "o_custkey", F.row_number().over(w).alias("rn"))
+
+
+@register(
+    "win_lag_lead",
+    tags=("window",),
+    oracle="""
+    SELECT event_id, user_id, ts,
+           lag(ts)  OVER (PARTITION BY user_id ORDER BY event_id) AS prev_ts,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY event_id) AS next_ts,
+           lag(event_type, 2) OVER (PARTITION BY user_id ORDER BY event_id) AS type_2_back
+    FROM events
+    """,
+)
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead over the per-user event sequence (the CDC 'previous image'
+    lookup the reference stubs out for UPDATE events, ``replicator.go:396``)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.lag("ts").over(w).alias("prev_ts"),
+        F.lead("ts").over(w).alias("next_ts"),
+        F.lag("event_type", 2).over(w).alias("type_2_back"),
+    )
+
+
+@register(
+    "win_running_sum",
+    tags=("window",),
+    oracle="""
+    SELECT event_id, user_id, value,
+           CAST(sum(CAST(value AS DECIMAL(18,2)))
+                OVER (PARTITION BY user_id ORDER BY event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+    FROM events
+    """,
+)
+def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative sum per user in event order (rows frame)."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias("running_value"),
+    )
+
+
+@register(
+    "win_moving_avg",
+    tags=("window",),
+    oracle="""
+    SELECT event_id, user_id, value,
+           CAST(sum(CAST(value AS DECIMAL(18,2)))
+                OVER (PARTITION BY user_id ORDER BY event_id
+                      RANGE BETWEEN 20 PRECEDING AND CURRENT ROW) AS DOUBLE)
+           / count(value) OVER (PARTITION BY user_id ORDER BY event_id
+                                RANGE BETWEEN 20 PRECEDING AND CURRENT ROW) AS moving_avg
+    FROM events
+    """,
+)
+def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving average over a RANGE frame keyed on the numeric event ordinal
+    (decimal-sum / count in both engines => exact)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id").rangeBetween(-20, 0)
+    return e.select(
+        "event_id",
+        "user_id",
+        "value",
+        (
+            F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double")
+            / F.count("value").over(w)
+        ).alias("moving_avg"),
+    )
+
+
+@register(
+    "win_ntile",
+    tags=("window",),
+    oracle="""
+    SELECT c_custkey, c_acctbal,
+           CAST(ntile(4) OVER (ORDER BY c_acctbal DESC, c_custkey) AS INT) AS quartile
+    FROM customer
+    """,
+)
+def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile bucketing of customers by balance. Unpartitioned window =
+    single-reducer sort; fine for dimension-sized inputs, never for fact
+    tables (there you'd ntile within a partition key)."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return c.select("c_custkey", "c_acctbal", F.ntile(4).over(w).alias("quartile"))
+
+
+@register(
+    "win_first_last",
+    tags=("window",),
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           first_value(event_type) OVER (PARTITION BY user_id ORDER BY event_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_type,
+           last_value(event_type)  OVER (PARTITION BY user_id ORDER BY event_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_type
+    FROM events
+    """,
+)
+def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value/last_value with an explicit full-partition frame (the
+    default frame would make last_value = current row -- classic trap)."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.first("event_type").over(w).alias("first_type"),
+        F.last("event_type").over(w).alias("last_type"),
+    )
