@@ -1,0 +1,297 @@
+"""Scalar function surface (SURVEY.md §2.2 X9-X15): string, date, math,
+array, struct, JSON, conditional. All built-in ``pyspark.sql.functions`` --
+JVM-side, inside whole-stage codegen; no Python in any hot path.
+
+Cross-engine notes baked into the oracles:
+- Spark ``ceil``/``floor`` on DOUBLE return BIGINT; DuckDB returns DOUBLE
+  -> oracle casts to BIGINT.
+- ``datediff``: Spark is datediff(end, start) on dates; DuckDB is
+  date_diff('day', start, end) -> cast operands to DATE and flip order.
+- libm-dependent fns (ln, pow) can differ in the last ulp between the JVM
+  and C libm -> both sides round to 6 decimals.
+- Spark DATE results are cast to TIMESTAMP on both sides (pandas dtype
+  parity).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import register
+
+
+@register(
+    "str_funcs",
+    tags=("scalar",),
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name) AS name_upper,
+           lower(p_brand) AS brand_lower,
+           substr(p_name, 1, 4) AS name_prefix,
+           p_brand || '/' || p_type AS brand_type,
+           trim('  ' || p_name || ' ') AS name_trim,
+           CAST(length(p_name) AS INT) AS name_len,
+           replace(p_name, ' ', '_') AS name_snake,
+           split_part(p_name, ' ', 1) AS first_word,
+           regexp_extract(p_brand, '[0-9]+', 0) AS brand_num,
+           (p_type LIKE '%ECO%') AS is_eco
+    FROM part
+    """,
+)
+def str_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """upper/lower/substr/concat/trim/length/replace/split/regexp/like."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.substring("p_name", 1, 4).alias("name_prefix"),
+        F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+        F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit(" "))).alias("name_trim"),
+        F.length("p_name").alias("name_len"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+        F.split(F.col("p_name"), " ").getItem(0).alias("first_word"),
+        F.regexp_extract("p_brand", "[0-9]+", 0).alias("brand_num"),
+        F.col("p_type").like("%ECO%").alias("is_eco"),
+    )
+
+
+@register(
+    "date_funcs",
+    tags=("scalar",),
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT) AS order_year,
+           CAST(month(o_orderdate) AS INT) AS order_month,
+           CAST(dayofmonth(o_orderdate) AS INT) AS order_day,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-06-01') AS INT) AS days_to_y2k5,
+           CAST(CAST(o_orderdate AS DATE) + 30 AS TIMESTAMP) AS due_date,
+           CAST(epoch(o_orderdate) AS BIGINT) AS epoch_sec
+    FROM orders
+    """,
+)
+def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """year/month/day/date_trunc/datediff/date_add/unix_timestamp over
+    order dates (session tz pinned UTC so epoch matches DuckDB's naive)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.datediff(F.lit("2000-06-01").cast("date"), F.col("o_orderdate").cast("date")).alias(
+            "days_to_y2k5"
+        ),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).cast("timestamp").alias("due_date"),
+        F.unix_timestamp("o_orderdate").alias("epoch_sec"),
+    )
+
+
+@register(
+    "math_funcs",
+    tags=("scalar",),
+    oracle="""
+    SELECT c_custkey,
+           round(c_acctbal, 1) AS bal_round,
+           abs(c_acctbal - 5000) AS bal_abs_dev,
+           CAST(ceil(c_acctbal / 100) AS BIGINT) AS bal_ceil_h,
+           CAST(floor(c_acctbal / 100) AS BIGINT) AS bal_floor_h,
+           sqrt(abs(c_acctbal)) AS bal_sqrt,
+           round(ln(abs(c_acctbal) + 1), 6) AS bal_ln,
+           round(pow(c_acctbal / 1000, 2), 6) AS bal_pow2,
+           c_custkey % 7 AS key_mod7,
+           CAST(sign(c_acctbal - 5000) AS DOUBLE) AS bal_sign
+    FROM customer
+    """,
+)
+def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """round/abs/ceil/floor/sqrt/ln/pow/mod/sign. sqrt is IEEE
+    correctly-rounded (bit-exact both engines); ln/pow round to 6dp."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.round("c_acctbal", 1).alias("bal_round"),
+        F.abs(F.col("c_acctbal") - 5000).alias("bal_abs_dev"),
+        F.ceil(F.col("c_acctbal") / 100).alias("bal_ceil_h"),
+        F.floor(F.col("c_acctbal") / 100).alias("bal_floor_h"),
+        F.sqrt(F.abs("c_acctbal")).alias("bal_sqrt"),
+        F.round(F.log(F.abs(F.col("c_acctbal")) + 1), 6).alias("bal_ln"),
+        F.round(F.pow(F.col("c_acctbal") / 1000, 2), 6).alias("bal_pow2"),
+        (F.col("c_custkey") % 7).alias("key_mod7"),
+        F.signum(F.col("c_acctbal") - 5000).alias("bal_sign"),
+    )
+
+
+@register(
+    "array_funcs",
+    tags=("scalar",),
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INT) AS dim,
+           CAST(embedding[1] AS DOUBLE) AS first_component,
+           CAST(embedding[64] AS DOUBLE) AS last_component,
+           CAST(list_min(embedding) AS DOUBLE) AS min_component,
+           CAST(list_max(embedding) AS DOUBLE) AS max_component,
+           (list_contains(embedding, 0.0)) AS has_zero
+    FROM embeddings
+    """,
+)
+def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """size/element_at/array_min/array_max/array_contains over the
+    embedding column (float32 components cast to double for cross-engine
+    dtype parity)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.element_at("embedding", 1).cast("double").alias("first_component"),
+        F.element_at("embedding", 64).cast("double").alias("last_component"),
+        F.array_min("embedding").cast("double").alias("min_component"),
+        F.array_max("embedding").cast("double").alias("max_component"),
+        F.array_contains("embedding", F.lit(0.0).cast("float")).alias("has_zero"),
+    )
+
+
+@register(
+    "array_explode",
+    tags=("scalar",),
+    oracle="""
+    SELECT e.vec_id,
+           CAST(t.i - 1 AS INT) AS pos,
+           CAST(e.embedding[CAST(t.i AS INT)] AS DOUBLE) AS component
+    FROM embeddings e CROSS JOIN range(1, 65) AS t(i)  -- dim = 64, fixed
+    WHERE e.vec_id < 20
+    """,
+)
+def array_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode <-> UNNEST WITH ORDINALITY (0-based position). The
+    generator multiplies rows ×64 -- at scale always filter/prune before
+    exploding (predicate pushed below the generator here)."""
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 20)
+    return e.select("vec_id", F.posexplode("embedding").alias("pos", "component")).select(
+        "vec_id", "pos", F.col("component").cast("double").alias("component")
+    )
+
+
+@register(
+    "struct_funcs",
+    tags=("scalar",),
+    oracle="""
+    SELECT o_orderkey,
+           o_custkey AS s_custkey,
+           o_totalprice AS s_price,
+           (o_totalprice > 100000) AS s_is_big
+    FROM orders
+    """,
+)
+def struct_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a struct (the envelope pattern, reference
+    ``replicator.go:138-145``) then extract its fields back out -- proving
+    struct construction/field-access round-trips losslessly."""
+    o = load_table(spark, sf_dir, "orders")
+    nested = o.select(
+        "o_orderkey",
+        F.struct(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_totalprice").alias("price"),
+            (F.col("o_totalprice") > 100000).alias("is_big"),
+        ).alias("s"),
+    )
+    return nested.select(
+        "o_orderkey",
+        F.col("s.custkey").alias("s_custkey"),
+        F.col("s.price").alias("s_price"),
+        F.col("s.is_big").alias("s_is_big"),
+    )
+
+
+@register(
+    "json_funcs",
+    tags=("scalar",),
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num,
+           json_extract_string(props, '$.k') AS k_str,
+           (json_extract_string(props, '$.k') IS NOT NULL) AS has_k,
+           (json_extract_string(props, '$.missing') IS NULL) AS missing_is_null
+    FROM events
+    """,
+)
+def json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-path extraction over the ``events.props`` JSON string -- the
+    engine's envelope codec exercised as a scalar surface (reference decodes
+    JSON payloads dynamically, ``cmd/es_consumer/main.go:66-71``)."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k")
+    return e.select(
+        "event_id",
+        k.cast("long").alias("k_num"),
+        k.alias("k_str"),
+        k.isNotNull().alias("has_k"),
+        F.get_json_object("props", "$.missing").isNull().alias("missing_is_null"),
+    )
+
+
+@register(
+    "case_when",
+    tags=("scalar",),
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice >= 300000 THEN 'jumbo'
+                WHEN o_totalprice >= 150000 THEN 'large'
+                WHEN o_totalprice >= 50000  THEN 'medium'
+                ELSE 'small' END AS size_band,
+           CASE o_orderstatus WHEN 'F' THEN 'finished'
+                              WHEN 'O' THEN 'open'
+                              ELSE 'partial' END AS status_name
+    FROM orders
+    """,
+)
+def case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Searched CASE + simple CASE."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") >= 300000, "jumbo")
+        .when(F.col("o_totalprice") >= 150000, "large")
+        .when(F.col("o_totalprice") >= 50000, "medium")
+        .otherwise("small")
+        .alias("size_band"),
+        F.when(F.col("o_orderstatus") == "F", "finished")
+        .when(F.col("o_orderstatus") == "O", "open")
+        .otherwise("partial")
+        .alias("status_name"),
+    )
+
+
+@register(
+    "coalesce_nullif",
+    tags=("scalar",),
+    oracle="""
+    SELECT o_orderkey,
+           coalesce(nullif(o_orderpriority, '4-NOT SPECIFIED'), 'unspecified') AS priority_clean,
+           nullif(o_orderstatus, 'P') AS status_or_null,
+           coalesce(CAST(NULL AS DOUBLE), o_totalprice, 0.0) AS price_fallback
+    FROM orders
+    """,
+)
+def coalesce_nullif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL plumbing: nullif to erase sentinel strings (the reference uses
+    the sentinel string "(unchanged)" for TOAST columns,
+    ``replicator.go:349-350`` -- nullif is how the engine erases it),
+    coalesce to backfill."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.coalesce(
+            F.nullif(F.col("o_orderpriority"), F.lit("4-NOT SPECIFIED")), F.lit("unspecified")
+        ).alias("priority_clean"),
+        F.nullif(F.col("o_orderstatus"), F.lit("P")).alias("status_or_null"),
+        F.coalesce(F.lit(None).cast("double"), F.col("o_totalprice"), F.lit(0.0)).alias(
+            "price_fallback"
+        ),
+    )

@@ -1,0 +1,44 @@
+"""Physical-plan quality gates: the plans we'd want at 100 TB, asserted at
+test scale. A query that silently loses pushdown/broadcast regresses here
+even while staying numerically correct."""
+
+from __future__ import annotations
+
+from change_data_capture_service_spark import registry
+from change_data_capture_service_spark.plans import inspect as P
+
+registry.load_all()
+
+
+def test_projection_prunes_scan(spark, sf_dir):
+    df = registry.get("projection").fn(spark, sf_dir)
+    cols = set(P.scan_read_schema(df))
+    assert cols == {"l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_quantity"}, cols
+
+
+def test_filter_pushdown_reaches_parquet(spark, sf_dir):
+    df = registry.get("filter_pred").fn(spark, sf_dir)
+    plan = P.formatted_plan(df)
+    assert "PushedFilters" in plan
+    # range + IN predicates must appear in the pushed set, not only post-scan
+    assert "l_quantity" in plan.split("PushedFilters")[1][:500]
+
+
+def test_dim_joins_broadcast(spark, sf_dir):
+    for name in ("join_broadcast", "join_multi", "join_inner_equi"):
+        df = registry.get(name).fn(spark, sf_dir)
+        assert P.uses_broadcast_join(df), f"{name} lost its broadcast"
+
+
+def test_latest_state_is_partial_agg_not_window(spark, sf_dir):
+    """The flagship must stay a hash-aggregate (map-side combine), not a
+    window sort -- one partially-reduced shuffle at any scale."""
+    df = registry.get("latest_state").fn(spark, sf_dir)
+    plan = P.formatted_plan(df)
+    assert "HashAggregate" in plan or "ObjectHashAggregate" in plan or "SortAggregate" in plan
+    assert "Window" not in plan
+
+
+def test_topk_avoids_global_sort(spark, sf_dir):
+    df = registry.get("topk").fn(spark, sf_dir)
+    assert "TakeOrderedAndProject" in P.formatted_plan(df)
