@@ -22,7 +22,7 @@ SF_DIR = os.environ.get("TEST_SF_DIR", "/root/testdata/sf0.001")
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark(app_name="cdc-engine-tests", shuffle_partitions=8)
+    s = get_spark(app_name="cdc-engine-tests", master="local[8]", shuffle_partitions=8)
     yield s
 
 

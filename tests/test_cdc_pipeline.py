@@ -1,0 +1,198 @@
+"""End-to-end CDC pipeline semantics (reference entry points A-D):
+snapshot -> change stream -> routed idempotent sink -> latest-state view.
+
+The oracle for latest_state is "apply the ops in LSN order by hand" --
+SURVEY.md §5 test strategy (3).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from change_data_capture_service_spark.streaming import envelope as env
+from change_data_capture_service_spark.streaming.pipeline import CdcPipeline
+from change_data_capture_service_spark.streaming.sink import read_event_log
+
+
+USERS_SCHEMA = "id long, name string, email string"
+
+
+@pytest.fixture()
+def users_df(spark):
+    return spark.createDataFrame(
+        [
+            (1, "ada", "ada@a.io"),
+            (2, "bob", "bob@b.io"),
+            (3, "cyd", "cyd@c.io"),
+        ],
+        USERS_SCHEMA,
+    )
+
+
+def _change(spark, rows, op, lsn, before_row=None):
+    """Build change envelopes from a single-row typed change (test helper)."""
+    df = spark.createDataFrame(rows, USERS_SCHEMA)
+    before_cols = None
+    if before_row is not None:
+        bdf = spark.createDataFrame([before_row], "old_id long, old_name string, old_email string")
+        df = df.crossJoin(bdf)  # single-row zip, test-only
+        before_cols = ["old_id", "old_name", "old_email"]
+    return env.encode(
+        df,
+        op=op,
+        schema_name="public",
+        table_name="users",
+        pk_cols=["id"],
+        lsn=F.lit(lsn),
+        ts=F.lit("2024-02-01 00:00:00").cast("timestamp"),
+        before_cols=before_cols,
+    )
+
+
+def test_envelope_roundtrip(spark, users_df):
+    """Typed rows -> envelope -> decode == string-degraded identity (R3/R13/R20)."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("email", T.StringType()),
+        ]
+    )
+    enc = env.encode(
+        users_df,
+        op="insert",
+        schema_name="public",
+        table_name="users",
+        pk_cols=["id"],
+        lsn=F.col("id"),
+        ts=F.lit("2024-02-01 00:00:00").cast("timestamp"),
+    )
+    dec = env.decode_payload(enc, schema)
+    got = {(r["id"], r["name"], r["email"]) for r in dec.collect()}
+    want = {(r["id"], r["name"], r["email"]) for r in users_df.collect()}
+    assert got == want
+    keys = {r["key"] for r in enc.collect()}
+    assert keys == {"public.users:1", "public.users:2", "public.users:3"}
+
+
+def test_wire_json_roundtrip(spark, users_df):
+    """Envelope -> Kafka wire JSON -> envelope (R18/R20 codec)."""
+    enc = env.encode(
+        users_df,
+        op="insert",
+        schema_name="public",
+        table_name="users",
+        pk_cols=["id"],
+        lsn=F.col("id"),
+        ts=F.lit("2024-02-01 00:00:00").cast("timestamp"),
+    )
+    wire = env.to_json_value(enc)
+    back = env.from_json_value(wire)
+    assert sorted(back.columns) == sorted(enc.columns)
+    assert back.count() == 3
+    r = back.filter(F.col("lsn") == 1).collect()[0]
+    assert r["after"]["name"] == "ada"
+    assert r["op"] == "insert"
+
+
+def _mk_pipeline(spark, tmp_path):
+    return CdcPipeline(
+        spark=spark,
+        changelog_dir=str(tmp_path / "changelog"),
+        sink_dir=str(tmp_path / "sink"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+
+
+def _append_changes(spark, pipe, ts="2024-02-01 00:00:00"):
+    """insert id=4; update id=2 (bob->rob); delete id=3."""
+    ins = _change(spark, [(4, "dee", "dee@d.io")], "insert", 101)
+    upd = _change(
+        spark,
+        [(2, "rob", "rob@b.io")],
+        "update",
+        102,
+        before_row=(2, "bob", "bob@b.io"),
+    )
+    dele = _change(spark, [(3, "cyd", "cyd@c.io")], "delete", 103)
+    for df in (ins, upd, dele):
+        df.write.mode("append").json(pipe.changelog_dir)
+
+
+def test_pipeline_end_to_end_latest_state(spark, tmp_path, users_df):
+    pipe = _mk_pipeline(spark, tmp_path)
+    fence = pipe.snapshot(users_df, "public", "users")
+    assert fence == 0
+    _append_changes(spark, pipe)
+    pipe.run_available()
+
+    state = pipe.latest_state("public", "users")
+    from pyspark.sql import types as T
+
+    got = {(r["id"], r["name"], r["email"]) for r in state.collect()}
+    # applied by hand: snapshot {1,2,3}; +4; 2->rob; -3
+    assert got == {(1, "ada", "ada@a.io"), (2, "rob", "rob@b.io"), (4, "dee", "dee@d.io")}
+    ops = {r["op"] for r in state.select("op").collect()}
+    assert "delete" not in ops
+
+
+def test_pipeline_resume_is_incremental_and_idempotent(spark, tmp_path, users_df):
+    """Re-running with the same checkpoint must not duplicate events
+    (R10/R19 done right: offsets commit after successful batches)."""
+    pipe = _mk_pipeline(spark, tmp_path)
+    pipe.snapshot(users_df, "public", "users")
+    pipe.run_available()
+    log1 = read_event_log(spark, pipe.sink_dir, "public", "users").count()
+
+    pipe.run_available()  # nothing new -> no growth
+    log2 = read_event_log(spark, pipe.sink_dir, "public", "users").count()
+    assert log1 == log2 == 3
+
+    _append_changes(spark, pipe)
+    pipe.run_available()  # only the 3 new events flow
+    log3 = read_event_log(spark, pipe.sink_dir, "public", "users")
+    assert log3.count() == 6
+    # per-event docs keyed by LSN, exactly once each
+    assert log3.select("lsn").distinct().count() == 4  # 0(×3 snapshot),101,102,103
+
+
+def test_truncate_erases_prior_state(spark, tmp_path, users_df):
+    pipe = _mk_pipeline(spark, tmp_path)
+    pipe.snapshot(users_df, "public", "users")
+    trunc = spark.createDataFrame([(0,)], "dummy int").select(F.lit(1).alias("dummy"))
+    trunc_env = env.encode(
+        trunc,
+        op="truncate",
+        schema_name="public",
+        table_name="users",
+        pk_cols=["dummy"],
+        lsn=F.lit(200),
+        ts=F.lit("2024-02-02 00:00:00").cast("timestamp"),
+    )
+    trunc_env.write.mode("append").json(pipe.changelog_dir)
+    post = _change(spark, [(9, "zoe", "zoe@z.io")], "insert", 201)
+    post.write.mode("append").json(pipe.changelog_dir)
+    pipe.run_available()
+
+    state = pipe.latest_state("public", "users")
+    got = {(r["id"], r["name"]) for r in state.collect()}
+    assert got == {(9, "zoe")}  # truncate wiped the snapshot; only post-truncate insert survives
+
+
+def test_multi_table_routing(spark, tmp_path, users_df):
+    """R21: events route to per-table directories (cdc_<schema>_<table>)."""
+    import os
+
+    pipe = _mk_pipeline(spark, tmp_path)
+    pipe.snapshot(users_df, "public", "users")
+    orders = spark.createDataFrame([(10, 1, 5.0)], "oid long, uid long, amt double")
+    pipe.snapshot(orders, "public", "orders", pk_cols=["oid"])
+    pipe.run_available()
+
+    assert os.path.isdir(f"{pipe.sink_dir}/public_users")
+    assert os.path.isdir(f"{pipe.sink_dir}/public_orders")
+    assert read_event_log(spark, pipe.sink_dir, "public", "users").count() == 3
+    assert read_event_log(spark, pipe.sink_dir, "public", "orders").count() == 1
