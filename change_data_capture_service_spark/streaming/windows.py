@@ -1,0 +1,228 @@
+"""Streaming analytics (SURVEY.md §2.2 X16): tumbling / sliding / session
+windows, streaming dedup.
+
+Each operator exists twice, by design:
+- a **batch-equivalent** registered query (this module) whose semantics are
+  identical to the streaming output once all data has arrived -- this is
+  what the DuckDB oracle checks (tumbling = epoch-aligned truncation,
+  sliding = the two-anchor expansion, session = gap islands);
+- the **actual streaming shape** (``stream_*_query`` builders below) used
+  over an unbounded source with watermarks; tests drive them with the file
+  source + ``processAllAvailable`` and assert batch/stream equivalence.
+
+This mirrors how Spark itself defines windowed streaming aggregation: the
+result of a watermarked window agg, once complete, equals the batch window
+agg over the same rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..catalog import load_table, table_path
+from ..registry import register
+
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as raw nanos
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None) -> DataFrame:
+    """events as an unbounded stream (file source; Kafka in production
+    carries the same columns via the envelope)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    # the file source needs a directory; events.parquet is a single file
+    df = reader.option("pathGlobFilter", "events.parquet").parquet(sf_dir.rstrip("/"))
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+# ---------------------------------------------------------------------------
+# batch-equivalent oracle-checked queries
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_tumbling_count",
+    tags=("streaming",),
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+           CAST(date_trunc('hour', ts) + INTERVAL 1 HOUR AS TIMESTAMP) AS window_end,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def stream_tumbling_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour count by event type. ``F.window`` is epoch-aligned,
+    so window_start == date_trunc('hour') exactly."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+@register(
+    "stream_sliding_avg",
+    tags=("streaming",),
+    oracle="""
+    SELECT CAST(date_trunc('hour', e.ts) - (o.off * INTERVAL 1 HOUR) AS TIMESTAMP) AS window_start,
+           CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_value,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events e
+    CROSS JOIN (SELECT 0 AS off UNION ALL SELECT 1) o
+    GROUP BY 1
+    """,
+)
+def stream_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (2h width, 1h slide): every event belongs to exactly
+    two windows; Spark's window() expands rows the same way the oracle's
+    two-anchor cross join does. Decimal-sum/count => exact avg."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(
+            (F.sum(F.col("value").cast("decimal(18,2)")).cast("double") / F.count("*")).alias(
+                "avg_value"
+            ),
+            F.count("*").alias("n"),
+        )
+        .select(F.col("w.start").alias("window_start"), "avg_value", "n")
+    )
+
+
+@register(
+    "stream_session",
+    tags=("streaming",),
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                       OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                          > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    grouped AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           CAST(min(ts) AS TIMESTAMP) AS session_start,
+           CAST(max(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM grouped
+    GROUP BY user_id, session_id
+    """,
+)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-minute gap) per user. ``session_window`` merges
+    events whose gaps are < 30min; end = last_ts + gap -- exactly the
+    lag/cumsum island construction in the oracle."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "stream_dedup",
+    tags=("streaming",),
+    oracle="""
+    SELECT user_id, event_type, event_id, ts
+    FROM (
+      SELECT user_id, event_type, event_id, ts,
+             row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id) AS rn
+      FROM events
+    ) t
+    WHERE rn = 1
+    """,
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First event per (user, type) -- the deterministic batch twin of
+    streaming ``dropDuplicates`` (which keeps first *arrival*; with an
+    ordered source, arrival order = event_id order). min_by aggregation ->
+    map-side partial reduction, not a window sort."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", "event_type")
+        .agg(F.min_by(F.struct("event_id", "ts"), F.col("event_id")).alias("r"))
+        .select("user_id", "event_type", "r.event_id", "r.ts")
+    )
+
+
+# ---------------------------------------------------------------------------
+# true streaming query builders (watermarked; driven in tests)
+# ---------------------------------------------------------------------------
+
+
+def tumbling_count_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling count: late events beyond the watermark are
+    dropped; state for closed windows is evicted (bounded memory on an
+    unbounded stream)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+
+
+def sliding_avg_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(F.avg("value").alias("avg_value"))
+        .select(F.col("w.start").alias("window_start"), "avg_value")
+    )
+
+
+def session_stream(events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+    )
+
+
+def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming dropDuplicates within the watermark horizon: state holds
+    one entry per key only until the watermark passes -- the scalable shape
+    for unbounded dedup."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )

@@ -1,0 +1,157 @@
+"""True streaming tests (X16): watermarked windows over an unbounded file
+source, batch/stream equivalence, late-data drop, stateful latest-state.
+Driven with memory sinks + processAllAvailable (synchronous drain)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from change_data_capture_service_spark.streaming import windows as W
+from change_data_capture_service_spark.streaming.stateful import latest_state_stream
+
+
+def _drain(df, name, output_mode="append"):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+
+def test_stream_tumbling_equals_batch(spark, sf_dir):
+    stream = W.stream_events(spark, sf_dir)
+    assert stream.isStreaming
+    # complete mode: windows still open at end-of-stream are emitted too,
+    # so the drained output equals the batch result exactly
+    _drain(W.tumbling_count_stream(stream), "tumbling_out", "complete")
+    got = {
+        (r["window_start"], r["event_type"]): r["n"]
+        for r in spark.sql("SELECT * FROM tumbling_out").collect()
+    }
+    batch = {
+        (r["window_start"], r["event_type"]): r["n"]
+        for r in W.stream_tumbling_count(spark, sf_dir).collect()
+    }
+    assert got == batch  # complete stream == batch semantics
+
+
+def test_stream_session_equals_batch(spark, sf_dir):
+    stream = W.stream_events(spark, sf_dir)
+    _drain(W.session_stream(stream), "session_out", "complete")
+    got = {
+        (r["user_id"], r["session_start"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM session_out").collect()
+    }
+    batch = {
+        (r["user_id"], r["session_start"]): r["n_events"]
+        for r in W.stream_session(spark, sf_dir).collect()
+    }
+    assert got == batch
+
+
+def _write_events(spark, path, rows):
+    rows = [(e, pd.Timestamp(ts).to_pydatetime(), u, t, v, p) for e, ts, u, t, v, p in rows]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).coalesce(1).write.mode("append").parquet(path)
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Append mode + watermark: an event arriving after the watermark passed
+    its window is dropped (the reference has no late-data concept at all --
+    every event applies; the engine makes lateness explicit)."""
+    src = str(tmp_path / "events_stream")
+    _write_events(
+        spark,
+        src,
+        [
+            (1, "2024-01-01 00:10:00", 1, "click", 1.0, "{}"),
+            (2, "2024-01-01 00:40:00", 1, "click", 1.0, "{}"),
+        ],
+    )
+    events = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+        ).option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    agg = (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    q = agg.writeStream.format("memory").queryName("late_out").outputMode("append").start()
+    q.processAllAvailable()
+    # watermark is now 00:40 - 10min = 00:30 > first window end 00:30 -> closed+emitted
+    _write_events(spark, src, [(3, "2024-01-01 00:05:00", 1, "late", 9.0, "{}")])  # hopelessly late
+    _write_events(spark, src, [(4, "2024-01-01 02:00:00", 1, "click", 1.0, "{}")])  # advances wm, closes rest
+    q.processAllAvailable()
+    q.stop()
+    out = {r["ws"].isoformat(): r["n"] for r in spark.sql("SELECT * FROM late_out").collect()}
+    assert out.get("2024-01-01T00:00:00") == 1  # late event_id=3 did NOT bump it to 2
+
+
+def test_stateful_latest_state_stream(spark, tmp_path):
+    """applyInPandasWithState: emits a changelog row when a key's max-LSN
+    advances, holds state across micro-batches, ignores stale LSNs."""
+    src = str(tmp_path / "env_stream")
+    schema = "key string, lsn long, op string, payload string"
+    spark.createDataFrame(
+        [("u:1", 1, "insert", '{"v":"a"}'), ("u:2", 2, "insert", '{"v":"b"}')], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    env_stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src)
+    q = (
+        latest_state_stream(env_stream)
+        .writeStream.format("memory")
+        .queryName("state_out")
+        .outputMode("update")
+        .start()
+    )
+    q.processAllAvailable()
+    # batch 2: update u:1 forward (lsn 5) and u:2 backward (stale lsn 1)
+    spark.createDataFrame(
+        [("u:1", 5, "update", '{"v":"a2"}'), ("u:2", 1, "update", '{"v":"stale"}')], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+
+    out = spark.sql("SELECT * FROM state_out").toPandas()
+    # u:1 appears twice (lsn 1 then 5); u:2 once (stale never emitted)
+    u1 = out[out.key == "u:1"].sort_values("lsn")
+    assert list(u1.lsn) == [1, 5]
+    u2 = out[out.key == "u:2"]
+    assert list(u2.lsn) == [2]
+    assert u2.iloc[0]["payload"] == '{"v":"b"}'
+
+
+def test_dedup_stream_drops_in_window_duplicates(spark, tmp_path):
+    src = str(tmp_path / "dedup_stream")
+    _write_events(
+        spark,
+        src,
+        [
+            (1, "2024-01-01 00:00:00", 1, "click", 1.0, "{}"),
+            (2, "2024-01-01 00:01:00", 1, "click", 1.0, "{}"),  # dup within watermark
+            (3, "2024-01-01 00:02:00", 2, "view", 1.0, "{}"),
+        ],
+    )
+    events = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).parquet(src)
+    q = (
+        W.dedup_stream(events)
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    out = spark.sql("SELECT user_id, event_type FROM dedup_out").collect()
+    assert sorted((r["user_id"], r["event_type"]) for r in out) == [(1, "click"), (2, "view")]
