@@ -1,0 +1,144 @@
+"""Multimodal columns (SURVEY.md §2.2 X21 + north star): opaque binary
+payloads with typed metadata, decode/feature-extract as Arrow-batched
+``mapInPandas`` -- the Spark plumbing a 100 TB image/audio/video pipeline
+rides on.
+
+The container has no image/audio codecs, so the *decode* step is stubbed
+(deterministic fake features + a clearly-marked ``NotImplementedError``
+real path); everything Spark-side -- binary column construction, schema,
+partitioning, UDF signature, batch iteration -- is real and tested.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import register
+
+# set True only in an environment with real codecs (PIL/librosa/ffmpeg)
+REAL_DECODERS_AVAILABLE = False
+
+
+@register(
+    "multimodal_join",
+    tags=("multimodal", "northstar"),
+    oracle="""
+    SELECT d.doc_id, d.lang, d.n_chars, e.label,
+           CAST(len(e.embedding) AS INT) AS dim,
+           CAST(e.embedding[1] AS DOUBLE) AS first_component
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    """,
+)
+def multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ⋈ embeddings: text, categorical, and array<float> columns
+    coexisting in one relation -- the mixed-modality row shape."""
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    return d.join(e, d.doc_id == e.vec_id).select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        "label",
+        F.size("embedding").alias("dim"),
+        F.element_at("embedding", 1).cast("double").alias("first_component"),
+    )
+
+
+def with_binary_payload(docs: DataFrame) -> DataFrame:
+    """Attach an opaque binary column + typed metadata struct -- the storage
+    shape for multimodal corpora: payload as ``binary`` (parquet BYTE_ARRAY,
+    never parsed by the engine), metadata queryable columns. Here the bytes
+    are the utf-8 text (a deterministic stand-in for image bytes)."""
+    return docs.select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("text/fake-image").alias("mime"),
+            F.octet_length(F.encode("text", "UTF-8")).alias("n_bytes"),
+            F.col("source").alias("origin"),
+        ).alias("meta"),
+    )
+
+
+def decode_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas decoder: binary payload -> feature row per doc.
+
+    Real path (stubbed): decode image bytes, resize, extract features.
+    Fake path (deterministic): byte-length + first/last byte + a byte-sum
+    checksum -- enough to prove batch shape, schema, and null handling."""
+    for pdf in batches:
+        if REAL_DECODERS_AVAILABLE:
+            raise NotImplementedError("real image/audio decode requires codec libs")
+        payloads = pdf["payload"]
+        out = pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": payloads.map(lambda b: len(b) if b is not None else 0),
+                "first_byte": payloads.map(lambda b: int(b[0]) if b else -1),
+                "last_byte": payloads.map(lambda b: int(b[-1]) if b else -1),
+                "byte_sum_mod": payloads.map(
+                    lambda b: int(sum(b) % 1000000007) if b is not None else -1
+                ),
+            }
+        )
+        yield out
+
+
+DECODE_SCHEMA = "doc_id long, n_bytes int, first_byte int, last_byte int, byte_sum_mod long"
+
+
+@register(
+    "multimodal_extract",
+    tags=("multimodal", "northstar"),
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+           CAST(CASE WHEN length(text) > 0 THEN ascii(substr(text, 1, 1)) ELSE -1 END AS INT)
+             AS first_byte,
+           CAST(CASE WHEN length(text) > 0 THEN ascii(substr(text, length(text), 1)) ELSE -1 END AS INT)
+             AS last_byte,
+           CAST(list_sum(list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)))
+                % 1000000007 AS BIGINT) AS byte_sum_mod
+    FROM documents
+    WHERE length(text) > 0
+    """,
+)
+def multimodal_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary decode/feature-extract pipeline: attach binary payloads, then
+    run the Arrow-batched decoder over partitions. The oracle recomputes the
+    fake features from the source text (ascii corpus: byte == ascii(char)),
+    proving the binary round-trip is lossless."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    return with_binary_payload(docs).mapInPandas(decode_features, DECODE_SCHEMA)
+
+
+@register("multimodal_frame_sample", tags=("multimodal", "northstar"))  # rows-only: synthetic frames
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing for video-like payloads: treat each 64-byte
+    slice of the payload as a 'frame', emit every 4th frame (stride
+    sampling) -- one input row fans out to N frame rows with (doc_id,
+    frame_idx, frame_bytes, frame_checksum). The explode happens JVM-side;
+    per-frame feature extraction would ride decode_features."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 64)
+    payload = with_binary_payload(docs)
+    frames = payload.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, CAST(meta.n_bytes / 64 AS INT) - 1),"
+                " i -> substring(payload, i * 64 + 1, 64))"
+            )
+        ).alias("frame_idx", "frame_bytes"),
+    ).filter(F.col("frame_idx") % 4 == 0)
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        F.octet_length("frame_bytes").alias("frame_len"),
+        F.xxhash64("frame_bytes").alias("frame_checksum"),
+    )

@@ -1,0 +1,155 @@
+"""Similarity search over embeddings (SURVEY.md §2.2 X19 + north star):
+brute-force cosine top-k (the exact baseline) and an IVF/LSH-bucketed
+approximate variant (the 100 TB path).
+
+Dot products are pure JVM array expressions (``zip_with`` + ``aggregate``)
+on double-cast components -- no Python, no UDF, codegen'd. Ranking is on
+round(cosine, 6) with vec_id tiebreak so ordering is bit-stable across
+engines.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..catalog import load_table
+from ..registry import register
+
+N_QUERIES = 5  # query set: vec_id < 5
+TOP_K = 10
+
+_VEC_D = "transform(embedding, x -> cast(x AS double))"
+_NORM = f"sqrt(aggregate({_VEC_D}, 0D, (acc, x) -> acc + x * x))"
+
+
+def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        "label",
+        F.expr(_VEC_D).alias("v"),
+        F.expr(_NORM).alias("nrm"),
+    )
+
+
+@register(
+    "knn_cosine_topk",
+    tags=("similarity", "northstar", "headline"),
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cosine
+      FROM v q JOIN v c ON q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rnk AS INT) AS rnk
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+      FROM scored
+    ) t
+    WHERE rnk <= {TOP_K}
+    """,
+)
+def knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-k for a small query set: broadcast the
+    queries against the corpus (the corpus never shuffles -- each partition
+    scores its vectors against the broadcast queries and keeps a local
+    top-k via the window). This is the exact-search baseline ANN variants
+    are measured against."""
+    vec = _vectors(spark, sf_dir)
+    queries = vec.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qnrm")
+    )
+    dot = F.expr("aggregate(zip_with(qv, v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+    scored = (
+        vec.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .withColumn("cosine", F.round(dot / (F.col("qnrm") * F.col("nrm")), 6))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+    )
+
+
+@register("knn_cosine_lsh", tags=("similarity", "northstar"))  # rows-only: ANN recall is probabilistic
+def knn_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k: random-hyperplane LSH with L independent tables +
+    1-bit multiprobe -- the standard recall lever when neighbors are far
+    (random 64-d corpora put true top-k at cos~0.4, i.e. ~66°, where a
+    single sign-bucket almost never collides).
+
+    Scale path for when the query set is the whole corpus (all-pairs kNN):
+    1. L=4 tables x 6 fixed hyperplanes (seeded, deterministic) -> four
+       6-bit buckets per vector, computed by ONE vectorized Pandas UDF
+       (numpy matmul over Arrow batches);
+    2. candidates = (table_id, bucket) equi-join; each query also probes
+       the 6 single-bit-flip buckets per table (7 probes x 4 tables);
+    3. exact cosine rerank within candidates, top-k per query.
+
+    The bucket join shuffles O(N * L) small rows, never N² -- with an
+    IVF-style coarse quantizer this is how corpus-scale kNN stays linear."""
+    import numpy as np
+
+    n_tables, n_bits = 4, 6
+    rng = np.random.RandomState(42)
+    bplanes = rng.standard_normal((n_tables * n_bits, 64)).tolist()
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def buckets_of(embs: pd.Series) -> pd.Series:
+        m = np.asarray([np.asarray(e, dtype=np.float64) for e in embs])
+        bits = (m @ np.asarray(bplanes).T) > 0  # (n, L*bits)
+        weights = 1 << np.arange(n_bits)
+        out = [
+            [int(row[t * n_bits : (t + 1) * n_bits] @ weights) for t in range(n_tables)]
+            for row in bits
+        ]
+        return pd.Series(out)
+
+    vec = _vectors(spark, sf_dir).withColumn("buckets", buckets_of(F.col("v")))
+    tabled = vec.select(
+        "vec_id", "v", "nrm", F.posexplode("buckets").alias("table_id", "bucket")
+    )
+    queries = tabled.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+        F.col("table_id").alias("qtable"),
+        F.col("bucket").alias("qbucket"),
+    )
+    probes = queries.select(
+        "query_id",
+        "qv",
+        "qnrm",
+        "qtable",
+        F.explode(
+            F.array(
+                F.col("qbucket"),
+                *[F.col("qbucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_bits)],
+            )
+        ).alias("probe_bucket"),
+    )
+    dot = F.expr("aggregate(zip_with(qv, v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+    cands = (
+        tabled.join(
+            F.broadcast(probes),
+            (F.col("table_id") == F.col("qtable"))
+            & (F.col("bucket") == F.col("probe_bucket"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select("query_id", "qv", "qnrm", "vec_id", "v", "nrm")
+        .dropDuplicates(["query_id", "vec_id"])
+        .withColumn("cosine", F.round(dot / (F.col("qnrm") * F.col("nrm")), 6))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return cands.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= TOP_K)

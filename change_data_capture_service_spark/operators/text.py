@@ -1,0 +1,255 @@
+"""Text analysis operators (SURVEY.md §2.2 X20 + north star): term
+frequencies, corpus stats, heuristic language-ID, quality scoring, token
+counting, and document fingerprinting -- all JVM-side built-ins (split /
+explode / regexp / aggregate); no Python in any per-row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import register
+
+# Tiny per-language stopword lists for the n-gram/stopword lang-ID
+# heuristic. Deliberately literal (shared verbatim by the SQL oracle):
+LANG_MARKERS = {
+    "en": ["the", "a", "of", "and"],
+    "de": ["der", "die", "und", "ein"],
+    "fr": ["le", "la", "et", "un"],
+}
+
+
+def _tokens() -> Column:
+    return F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
+
+
+@register(
+    "text_tokenize_tf",
+    tags=("text", "northstar"),
+    oracle="""
+    SELECT term, CAST(tf AS BIGINT) AS tf
+    FROM (
+      SELECT u.term AS term, count(*) AS tf
+      FROM (SELECT unnest(string_split(lower(text), ' ')) AS term FROM documents) u
+      WHERE u.term <> ''
+      GROUP BY u.term
+    )
+    ORDER BY tf DESC, term
+    LIMIT 20
+    """,
+)
+def text_tokenize_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term frequencies, top-20. explode -> partial-aggregated count
+    -> TakeOrderedAndProject; the shuffle carries (term, partial_count),
+    not token instances."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(_tokens()).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("tf"))
+        .orderBy(F.col("tf").desc(), F.col("term"))
+        .limit(20)
+    )
+
+
+@register(
+    "text_lang_counts",
+    tags=("text", "northstar"),
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def text_lang_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        (F.sum("n_chars").cast("double") / F.count("*")).alias("avg_chars"),
+    )
+
+
+@register(
+    "text_len_stats",
+    tags=("text", "northstar"),
+    oracle="""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(length(text)) AS INT) AS min_len,
+           CAST(max(length(text)) AS INT) AS max_len,
+           CAST(sum(length(text)) AS DOUBLE) / count(*) AS avg_len,
+           CAST(min(length(string_split(text, ' '))) AS INT) AS min_tokens,
+           CAST(max(length(string_split(text, ' '))) AS INT) AS max_tokens
+    FROM documents
+    GROUP BY source
+    """,
+)
+def text_len_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    ntok = F.size(F.split(F.col("text"), " "))
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.min(F.length("text")).alias("min_len"),
+        F.max(F.length("text")).alias("max_len"),
+        (F.sum(F.length("text")).cast("double") / F.count("*")).alias("avg_len"),
+        F.min(ntok).alias("min_tokens"),
+        F.max(ntok).alias("max_tokens"),
+    )
+
+
+def _marker_hits(lang: str) -> Column:
+    markers = F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])
+    return F.size(F.array_intersect(F.array_distinct(_tokens()), markers))
+
+
+def _oracle_hits(lang: str) -> str:
+    lits = ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+    return (
+        f"len(list_intersect(list_distinct(list_filter(string_split(lower(text), ' '),"
+        f" x -> x <> '')), [{lits}]))"
+    )
+
+
+@register(
+    "text_lang_id",
+    tags=("text", "northstar"),
+    oracle=f"""
+    SELECT doc_id,
+           CAST({_oracle_hits('en')} AS INT) AS en_hits,
+           CAST({_oracle_hits('de')} AS INT) AS de_hits,
+           CAST({_oracle_hits('fr')} AS INT) AS fr_hits,
+           CASE
+             WHEN {_oracle_hits('en')} >= {_oracle_hits('de')}
+              AND {_oracle_hits('en')} >= {_oracle_hits('fr')} THEN 'en'
+             WHEN {_oracle_hits('de')} >= {_oracle_hits('fr')} THEN 'de'
+             ELSE 'fr'
+           END AS pred_lang
+    FROM documents
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language ID (the classic n-gram heuristic reduced to
+    distinct-token ∩ marker-list): per-language hit counts + argmax with a
+    fixed tie order. Set-intersection of token arrays -- one pass, no
+    explode."""
+    d = load_table(spark, sf_dir, "documents")
+    en, de, fr = (_marker_hits(lang) for lang in ("en", "de", "fr"))
+    pred = (
+        F.when((en >= de) & (en >= fr), "en").when(de >= fr, "de").otherwise("fr")
+    )
+    return d.select(
+        "doc_id",
+        en.alias("en_hits"),
+        de.alias("de_hits"),
+        fr.alias("fr_hits"),
+        pred.alias("pred_lang"),
+    )
+
+
+@register(
+    "text_quality_score",
+    tags=("text", "northstar"),
+    oracle="""
+    SELECT doc_id,
+           CAST(length(string_split(text, ' ')) AS INT) AS n_tokens,
+           round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                 / length(string_split(text, ' ')), 6) AS mean_token_len,
+           round(CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE)
+                 / length(text), 6) AS space_ratio,
+           round(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+                 / length(text), 6) AS digit_ratio,
+           round(
+             0.4 * least(CAST(length(string_split(text, ' ')) AS DOUBLE) / 50, 1.0)
+             + 0.4 * (1 - abs(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                              / length(string_split(text, ' ')) - 5) / 5)
+             + 0.2 * (1 - CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+                          / length(text)),
+             6) AS quality_score
+    FROM documents
+    WHERE length(text) > 0
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality: token count, mean token length, space &
+    digit ratios, combined into a bounded score (the length/punct/stopword
+    family of pre-training corpus filters). Pure column arithmetic."""
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    n_tokens = F.size(F.split(F.col("text"), " "))
+    no_space = F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+    mean_tok = no_space.cast("double") / n_tokens
+    space_ratio = (F.length("text") - no_space).cast("double") / F.length("text")
+    digits = F.length(F.regexp_replace("text", "[^0-9]", ""))
+    digit_ratio = digits.cast("double") / F.length("text")
+    score = (
+        0.4 * F.least(n_tokens.cast("double") / 50, F.lit(1.0))
+        + 0.4 * (1 - F.abs(mean_tok - 5) / 5)
+        + 0.2 * (1 - digit_ratio)
+    )
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round(mean_tok, 6).alias("mean_token_len"),
+        F.round(space_ratio, 6).alias("space_ratio"),
+        F.round(digit_ratio, 6).alias("digit_ratio"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+@register(
+    "text_token_count",
+    tags=("text", "northstar"),
+    oracle="""
+    SELECT doc_id,
+           CAST(length(string_split(trim(text), ' ')) AS INT) AS ws_tokens,
+           CAST(length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS INT)
+             AS bpe_ish_tokens
+    FROM documents
+    WHERE length(text) > 0
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace split and a BPE-ish regex
+    (letter runs | digit runs | single punctuation) -- the cheap
+    pre-tokenizer used to budget LLM token counts at corpus scale."""
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), " ")).alias("ws_tokens"),
+        F.size(F.expr("regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0)")).alias(
+            "bpe_ish_tokens"
+        ),
+    )
+
+
+@register(
+    "text_fingerprint",
+    tags=("text", "northstar"),
+    oracle="""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(7 AS BIGINT),
+                          list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+             (acc, c) -> (acc * CAST(31 AS BIGINT) + c) % CAST(1000000007 AS BIGINT)
+           ) AS fingerprint
+    FROM documents
+    WHERE length(text) > 0
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling-hash fingerprint over characters
+    (h = (h*31 + ascii) mod 1e9+7, seed 7): an order-sensitive content
+    digest cheap enough to compute at corpus scale and identical across
+    engines (unlike xxhash). Left-fold via ``aggregate`` -- sequential
+    within a row, embarrassingly parallel across rows."""
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    fp = F.expr(
+        "aggregate(transform(split(text, ''), c -> ascii(c)), 7L,"
+        " (acc, c) -> (acc * 31 + c) % 1000000007)"
+    )
+    return d.select("doc_id", fp.alias("fingerprint"))
