@@ -1,0 +1,93 @@
+"""Engine benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is materialized with the noop sink (full execution, no driver
+collect, no disk write) -- wall-clock measures the plan, not the copy-out.
+Run with --explain to dump formatted physical plans instead of timing.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# headline set: one per operator family that matters at scale
+HEADLINE = [
+    ("q1_pricing_summary", "agg_sum_avg_minmax_count"),  # TPC-H Q1 shape: wide agg over the fact table
+    ("q2_region_revenue", "join_multi"),                 # 6-table join, broadcast dims
+    ("q3_latest_state", "latest_state"),                 # CDC compaction (max_by, partial agg)
+    ("q4_topk_per_group", "topk_per_group"),             # windowed top-k
+    ("q5_running_sum", "win_running_sum"),               # ordered window frame
+    ("q6_filter_scan", "filter_pred"),                   # pushdown-heavy scan
+    ("q7_sessionize", "stream_session"),                 # session windows (gap merge)
+    ("q8_minhash_neardup", "dedup_minhash_near"),        # LSH dedup end-to-end
+    ("q9_knn_cosine", "knn_cosine_topk"),                # brute-force similarity
+    ("q10_fingerprint", "text_fingerprint"),             # per-char fold over documents
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else None
+    explain = "--explain" in sys.argv
+
+    from change_data_capture_service_spark import registry
+    from change_data_capture_service_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="cdc-engine-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+    )
+    registry.load_all()
+
+    if explain:
+        from change_data_capture_service_spark.plans.inspect import formatted_plan
+
+        for label, key in HEADLINE:
+            print(f"==== {label} ({key}) ====")
+            print(formatted_plan(registry.get(key).fn(spark, sf_dir)))
+        return 0
+
+    # one warm pass per query: amortizes JIT + whole-stage-codegen compile +
+    # file listing, so timings measure steady-state execution
+    for _, key in HEADLINE:
+        registry.get(key).fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    # min-of-3: the host is shared, so single-shot timings jitter badly;
+    # the minimum is the standard robust estimator under external load
+    timings: dict[str, float] = {}
+    for label, key in HEADLINE:
+        df = registry.get(key).fn(spark, sf_dir)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[label] = round(best, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

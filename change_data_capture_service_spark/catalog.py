@@ -162,6 +162,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition to the session's core count.
+
+    Small single-file inputs arrive as ONE partition (file-split
+    granularity), serializing any CPU-heavy per-row derivation (shingling,
+    hashing, decoding). One cheap shuffle of the raw rows buys full-core
+    parallelism for everything downstream. At 100 TB inputs are thousands
+    of splits and this is a no-op decision -- the helper exists for the
+    few-files regime."""
+    spark = df.sparkSession
+    n = partitions or spark.sparkContext.defaultParallelism
+    return df.repartition(n)
+
+
 def register_views(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> None:
     """Register fixture tables as temp views for SQL-expressed operators."""
     for name in names or TABLE_NAMES:

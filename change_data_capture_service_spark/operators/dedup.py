@@ -20,7 +20,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..catalog import load_table
+from ..catalog import load_table, spread
 from ..registry import register
 
 # ---------------------------------------------------------------------------
@@ -48,7 +48,8 @@ def _shingles(tokens: Column, n: int = 3) -> Column:
 
 
 def _shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    # spread first: shingling is CPU-bound and the fixture is one file
+    d = spread(load_table(spark, sf_dir, "documents"))
     return (
         d.select("doc_id", _tokens().alias("toks"))
         .filter(F.size("toks") >= 3)
@@ -154,18 +155,23 @@ def dedup_minhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     n_perm, bands, rows_per_band = 32, 8, 4
 
-    def perm_min(k: int) -> Column:
-        # NB: the lambda must take exactly ONE arg -- pyspark passes the
-        # array index as a second positional arg, which would silently make
-        # hashes position-dependent
-        return F.array_min(F.transform(F.col("shingles"), lambda s: F.xxhash64(F.lit(k), s)))
+    # single pass over shingles, folding a 32-wide min-state (measured ~2x
+    # faster than 32 independent array_min(transform(...)) passes)
+    minhash = F.expr(
+        f"""
+        aggregate(shingles,
+                  array_repeat(9223372036854775807L, {n_perm}),
+                  (acc, s) -> zip_with(acc,
+                                       transform(sequence(0, {n_perm - 1}), k -> xxhash64(k, s)),
+                                       (a, h) -> least(a, h)))
+        """
+    )
+    sig = sh.select("doc_id", minhash.alias("sig"))
 
-    minhash = F.array(*[perm_min(k) for k in range(n_perm)])
-    sig = sh.select("doc_id", "shingles", minhash.alias("sig"))
-
+    # band rows carry ONLY (doc_id, band_id, band_hash) -- never the shingle
+    # arrays: the candidate join shuffles 24 bytes/row, not document text
     band_entries = sig.select(
         "doc_id",
-        "shingles",
         F.posexplode(
             F.array(
                 *[
@@ -180,20 +186,20 @@ def dedup_minhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     a = band_entries.alias("a")
     b = band_entries.alias("b")
-    candidates = (
+    pair_ids = (
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
             & (F.col("a.band_hash") == F.col("b.band_hash"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(
-            F.col("a.doc_id").alias("doc_id_a"),
-            F.col("b.doc_id").alias("doc_id_b"),
-            F.col("a.shingles").alias("sh_a"),
-            F.col("b.shingles").alias("sh_b"),
-        )
+        .select(F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b"))
         .dropDuplicates(["doc_id_a", "doc_id_b"])
+    )
+    # exact verification only for the (tiny) candidate set: join shingles back
+    candidates = (
+        pair_ids.join(sh.select(F.col("doc_id").alias("doc_id_a"), F.col("shingles").alias("sh_a")), "doc_id_a")
+        .join(sh.select(F.col("doc_id").alias("doc_id_b"), F.col("shingles").alias("sh_b")), "doc_id_b")
     )
 
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -272,7 +278,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             out[i] = np.int64(sig)
         return pd.Series(out)
 
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     sigs = d.select("doc_id", simhash64("text").alias("sig"))
 
     # 4 bands x 16 bits: docs within hamming<=6 share >=1 exact band whp

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..catalog import load_table
+from ..catalog import load_table, spread
 from ..registry import register
 
 N_QUERIES = 5  # query set: vec_id < 5
@@ -27,7 +27,8 @@ _NORM = f"sqrt(aggregate({_VEC_D}, 0D, (acc, x) -> acc + x * x))"
 
 
 def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
+    # dot products are CPU-bound; the fixture is one file -> spread first
+    e = spread(load_table(spark, sf_dir, "embeddings"))
     return e.select(
         "vec_id",
         "label",

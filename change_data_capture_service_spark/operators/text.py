@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, spread
 from ..registry import register
 
 # Tiny per-language stopword lists for the n-gram/stopword lang-ID
@@ -247,7 +247,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     digest cheap enough to compute at corpus scale and identical across
     engines (unlike xxhash). Left-fold via ``aggregate`` -- sequential
     within a row, embarrassingly parallel across rows."""
-    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    d = spread(load_table(spark, sf_dir, "documents").filter(F.length("text") > 0))
     fp = F.expr(
         "aggregate(transform(split(text, ''), c -> ascii(c)), 7L,"
         " (acc, c) -> (acc * 31 + c) % 1000000007)"
