@@ -150,6 +150,119 @@ def parse_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "decode_update",
+    tags=("cdc",),
+    oracle="""
+    SELECT event_id AS lsn,
+           user_id,
+           CAST(lag(value) OVER (PARTITION BY user_id ORDER BY event_id) AS VARCHAR) AS before_value,
+           CAST(value AS VARCHAR) AS after_value
+    FROM events
+    QUALIFY lag(value) OVER (PARTITION BY user_id ORDER BY event_id) IS NOT NULL
+    """,
+)
+def decode_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE envelope with both images -- the reference only logs updates
+    and drops them (``internal/wal/replicator.go:387-396``, comment at 396);
+    the engine constructs before (= previous row image, via the per-key lag)
+    and after, string-degraded, then reads both back out of the envelope
+    maps. Proves the full old/new-image codec the reference stubs."""
+    from pyspark.sql import Window
+
+    from ..streaming import envelope as env
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    changes = (
+        ev.withColumn("old_value", F.lag("value").over(w))
+        .filter(F.col("old_value").isNotNull())
+        .select("event_id", "user_id", "value", F.col("old_value").cast("string").alias("old_value"))
+    )
+    enc = env.encode(
+        changes.select("event_id", "user_id", "value", F.col("old_value").alias("old_v")),
+        op="update",
+        schema_name="public",
+        table_name="events",
+        pk_cols=["user_id"],
+        lsn=F.col("event_id"),
+        ts=F.current_timestamp(),
+        before_cols=["old_v"],
+    )
+    return enc.select(
+        F.col("lsn"),
+        F.element_at("after", "user_id").cast("long").alias("user_id"),
+        F.element_at("before", "v").alias("before_value"),
+        F.element_at("after", "value").alias("after_value"),
+    )
+
+
+@register(
+    "decode_delete",
+    tags=("cdc",),
+    oracle="""
+    SELECT event_id AS lsn,
+           'delete' AS op,
+           'public.events:' || CAST(user_id AS VARCHAR) AS key,
+           CAST(user_id AS VARCHAR) AS before_user_id,
+           event_type AS before_event_type
+    FROM events
+    WHERE event_type = 'error'
+    """,
+)
+def decode_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE envelope carrying the old image in ``before`` -- also stubbed
+    in the reference (``replicator.go:398-407``). Here 'error' events play
+    the deleted rows; the envelope round-trips key + before-image."""
+    from ..streaming import envelope as env
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "error")
+    enc = env.encode(
+        ev.select("event_id", "user_id", "event_type"),
+        op="delete",
+        schema_name="public",
+        table_name="events",
+        pk_cols=["user_id"],
+        lsn=F.col("event_id"),
+        ts=F.current_timestamp(),
+    )
+    return enc.select(
+        "lsn",
+        "op",
+        "key",
+        F.element_at("before", "user_id").alias("before_user_id"),
+        F.element_at("before", "event_type").alias("before_event_type"),
+    )
+
+
+@register(
+    "route_by_table",
+    tags=("cdc",),
+    oracle="""
+    SELECT 'public' AS schema_name,
+           'events_' || event_type AS table_name,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(max(event_id) AS BIGINT) AS max_lsn
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def route_by_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic per-table routing stats (R21: index name
+    ``cdc_<schema>_<table>``, ``cmd/es_consumer/main.go:75``): events fan
+    out to one sink partition per (schema, table); this query is the
+    router's accounting view -- event count and high-watermark LSN per
+    destination, i.e. exactly what a sink health check reads."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.lit("public").alias("schema_name"),
+        F.concat(F.lit("events_"), F.col("event_type")).alias("table_name"),
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.max("event_id").alias("max_lsn"),
+    )
+
+
+@register(
     "decode_insert",
     tags=("cdc",),
     oracle="""

@@ -1,0 +1,85 @@
+"""Batch file-format sources/sinks beyond parquet (csv / json / orc), plus
+the JDBC source builder that is the engine's production analogue of the
+reference's Postgres snapshot scan (R1).
+
+Parquet remains the canonical format (columnar, statistics, pushdown);
+these exist so a user can land the same tables from any common format with
+explicit catalog schemas -- never inference in production paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from ..catalog import SCHEMAS
+
+
+def read_csv(spark: SparkSession, path: str, schema: T.StructType | str, header: bool = True) -> DataFrame:
+    """Schema-explicit CSV read (no inference pass: inference = one extra
+    full scan at 100 TB, and silently wrong types)."""
+    return spark.read.schema(schema).option("header", str(header).lower()).csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: T.StructType | str) -> DataFrame:
+    return spark.read.schema(schema).json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)
+
+
+def read_table_any(spark: SparkSession, path: str, name: str, fmt: str = "parquet") -> DataFrame:
+    """Catalog-schema'd read of a fixture-shaped table in any format."""
+    schema = SCHEMAS[name]
+    if fmt == "parquet":
+        return spark.read.parquet(path)
+    if fmt == "csv":
+        return read_csv(spark, path, schema)
+    if fmt == "json":
+        return read_json(spark, path, schema)
+    if fmt == "orc":
+        return read_orc(spark, path)
+    raise ValueError(f"unsupported format: {fmt}")
+
+
+def write_table(df: DataFrame, path: str, fmt: str = "parquet", mode: str = "overwrite", partition_by: list[str] | None = None) -> None:
+    w = df.write.mode(mode)
+    if fmt == "csv":
+        w = w.option("header", "true")  # must match the reader's header=true
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    getattr(w, fmt)(path)
+
+
+def jdbc_snapshot_reader(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    *,
+    partition_column: str | None = None,
+    num_partitions: int = 32,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    properties: dict[str, str] | None = None,
+):
+    """Partitioned JDBC snapshot (reference R1 does ``SELECT *`` through one
+    connection and buffers the whole table, ``internal/wal/replicator.go:
+    102-103``; this splits the PK range across ``num_partitions`` parallel
+    connections, O(partition) memory). Returns the configured reader; call
+    ``.load()`` against a live database."""
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("numPartitions", str(num_partitions))
+    )
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound if lower_bound is not None else 0))
+            .option("upperBound", str(upper_bound if upper_bound is not None else 1_000_000))
+        )
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    return reader
