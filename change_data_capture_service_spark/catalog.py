@@ -72,7 +72,8 @@ SCHEMAS: dict[str, T.StructType] = {
             T.StructField("o_custkey", T.LongType()),
             T.StructField("o_orderstatus", T.StringType()),
             T.StructField("o_totalprice", T.DoubleType()),
-            T.StructField("o_orderdate", T.TimestampType()),
+            # parquet timestamp[ms] with isAdjustedToUTC=false -> NTZ in Spark 4
+            T.StructField("o_orderdate", T.TimestampNTZType()),
             T.StructField("o_orderpriority", T.StringType()),
         ]
     ),
@@ -88,7 +89,8 @@ SCHEMAS: dict[str, T.StructType] = {
             T.StructField("l_tax", T.DoubleType()),
             T.StructField("l_returnflag", T.StringType()),
             T.StructField("l_linestatus", T.StringType()),
-            T.StructField("l_shipdate", T.TimestampType()),
+            # parquet timestamp[ms] with isAdjustedToUTC=false -> NTZ in Spark 4
+            T.StructField("l_shipdate", T.TimestampNTZType()),
         ]
     ),
     "events": T.StructType(
@@ -121,7 +123,9 @@ SCHEMAS: dict[str, T.StructType] = {
 
 # Declared primary keys. The reference *assumes* PK = first column
 # (``replicator.go:341``); the engine instead declares PKs explicitly
-# (SURVEY.md §7 risk register, quirk "PK = first column").
+# (SURVEY.md §7 risk register, quirk "PK = first column"). lineitem is
+# absent deliberately: the fixture contains fully-duplicate rows (a fact
+# table with bag semantics), so CDC keying for it would need a surrogate.
 PRIMARY_KEYS: dict[str, list[str]] = {
     "region": ["r_regionkey"],
     "nation": ["n_nationkey"],
@@ -129,7 +133,6 @@ PRIMARY_KEYS: dict[str, list[str]] = {
     "supplier": ["s_suppkey"],
     "part": ["p_partkey"],
     "orders": ["o_orderkey"],
-    "lineitem": ["l_orderkey", "l_linenumber"],
     "events": ["event_id"],
     "documents": ["doc_id"],
     "embeddings": ["vec_id"],

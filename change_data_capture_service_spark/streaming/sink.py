@@ -45,16 +45,27 @@ class TableRoutingSink:
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
         batch_df = batch_df.persist()
         try:
+            # malformed wire rows (schema-less JSON decodes to null fields)
+            # route to a dead-letter dir instead of silently vanishing --
+            # the observable version of the reference's skip-malformed
+            # behavior (cmd/es_consumer/main.go:66-71)
+            malformed = F.col("op").isNull() | F.col("table_name").isNull()
+            dead = batch_df.filter(malformed)
+            if dead.take(1):
+                dead.write.mode("overwrite").json(
+                    f"{self.out_dir}/_dead_letter/ingest_batch={epoch_id}"
+                )
+            good = batch_df.filter(~malformed)
             # distinct (schema, table) pairs: bounded by the number of source
             # tables (a handful), safe to collect -- this is routing metadata,
             # not data.
             pairs = [
                 (r["schema_name"], r["table_name"])
-                for r in batch_df.select("schema_name", "table_name").distinct().collect()
+                for r in good.select("schema_name", "table_name").distinct().collect()
             ]
             for schema_name, table_name in pairs:
                 (
-                    batch_df.filter(
+                    good.filter(
                         (F.col("schema_name") == schema_name)
                         & (F.col("table_name") == table_name)
                     )
@@ -63,6 +74,56 @@ class TableRoutingSink:
                 )
         finally:
             batch_df.unpersist()
+
+
+def read_dead_letters(spark: SparkSession, out_dir: str) -> DataFrame:
+    path = f"{out_dir.rstrip('/')}/_dead_letter"
+    if not os.path.isdir(path):
+        return spark.createDataFrame([], env.ENVELOPE_SCHEMA)
+    return (
+        spark.read.schema(env.ENVELOPE_SCHEMA).option("recursiveFileLookup", "true").json(path)
+    )
+
+
+def compact_event_log(
+    spark: SparkSession, out_dir: str, schema_name: str, table_name: str
+) -> int:
+    """Rewrite a table's event log to its latest-state-relevant suffix: one
+    max-LSN event per live key (deletes below the max are still dropped via
+    latest-state semantics at read time; truncate fences apply first). The
+    CDC analogue of a rollup/compaction job -- bounds log growth so
+    latest_state_view cost stays O(keys), not O(history).
+
+    Returns the number of events retained. Writes a ``compacted`` snapshot
+    dir and removes the per-epoch ingest dirs it subsumes."""
+    import shutil
+
+    log = read_event_log(spark, out_dir, schema_name, table_name)
+    trunc_lsn = (
+        log.filter(F.col("op") == "truncate")
+        .agg(F.coalesce(F.max("lsn"), F.lit(-1)).alias("m"))
+        .collect()[0]["m"]
+    )
+    keep = (
+        log.filter((F.col("op") != "truncate") & (F.col("lsn") > F.lit(trunc_lsn)))
+        .groupBy("key")
+        .agg(
+            F.max_by(
+                F.struct("op", "schema_name", "table_name", "lsn", "ts", "before", "after"),
+                F.col("lsn"),
+            ).alias("r")
+        )
+        .select("key", "r.*")
+        .select(*[f.name for f in env.ENVELOPE_SCHEMA.fields])
+    )
+    table_dir = f"{out_dir.rstrip('/')}/{schema_name}_{table_name}"
+    tmp = f"{table_dir}__compacting"
+    keep.write.mode("overwrite").json(tmp)
+    n = spark.read.schema(env.ENVELOPE_SCHEMA).json(tmp).count()
+    shutil.rmtree(table_dir)
+    os.makedirs(table_dir)
+    os.rename(tmp, f"{table_dir}/compacted")
+    return n
 
 
 def read_event_log(spark: SparkSession, out_dir: str, schema_name: str, table_name: str) -> DataFrame:

@@ -196,3 +196,39 @@ def test_multi_table_routing(spark, tmp_path, users_df):
     assert os.path.isdir(f"{pipe.sink_dir}/public_orders")
     assert read_event_log(spark, pipe.sink_dir, "public", "users").count() == 3
     assert read_event_log(spark, pipe.sink_dir, "public", "orders").count() == 1
+
+
+def test_dead_letter_routing(spark, tmp_path, users_df):
+    """Malformed wire rows land in _dead_letter, not the void."""
+    from change_data_capture_service_spark.streaming.sink import read_dead_letters
+
+    pipe = _mk_pipeline(spark, tmp_path)
+    pipe.snapshot(users_df, "public", "users")
+    import os
+
+    os.makedirs(pipe.changelog_dir, exist_ok=True)
+    with open(f"{pipe.changelog_dir}/garbage.json", "w") as f:
+        f.write('{"not": "an envelope"}\n')
+    pipe.run_available()
+    assert pipe.latest_state("public", "users").count() == 3  # stream survived
+    dead = read_dead_letters(spark, pipe.sink_dir)
+    assert dead.count() == 1
+
+
+def test_compaction_preserves_latest_state(spark, tmp_path, users_df):
+    from change_data_capture_service_spark.streaming.sink import (
+        compact_event_log,
+        read_event_log,
+    )
+
+    pipe = _mk_pipeline(spark, tmp_path)
+    pipe.snapshot(users_df, "public", "users")
+    _append_changes(spark, pipe)  # +insert 4, update 2, delete 3
+    pipe.run_available()
+    before_state = {(r["id"], r["name"]) for r in pipe.latest_state("public", "users").collect()}
+    assert read_event_log(spark, pipe.sink_dir, "public", "users").count() == 6
+
+    kept = compact_event_log(spark, pipe.sink_dir, "public", "users")
+    assert kept == 4  # one max-lsn event per key (1,2,3,4); delete tombstone retained
+    after_state = {(r["id"], r["name"]) for r in pipe.latest_state("public", "users").collect()}
+    assert after_state == before_state
