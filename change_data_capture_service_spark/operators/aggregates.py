@@ -191,6 +191,68 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_percentile",
+    tags=("agg",),
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+           round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark ``percentile`` == DuckDB
+    ``quantile_cont``). Exact percentile holds the group's values -- at
+    100 TB use ``approx_percentile`` (t-digest, constant memory) unless the
+    exactness is contractual."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("median_qty"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 6).alias("p90_price"),
+    )
+
+
+@register(
+    "agg_stats_manual",
+    tags=("agg",),
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           round(
+             (CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+              - CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                * CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*))
+             / (count(*) - 1), 6) AS var_qty,
+           round(sqrt(
+             (CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+              - CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                * CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*))
+             / (count(*) - 1)), 6) AS stddev_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_stats_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample variance/stddev via decimal sum-of-squares (the textbook
+    two-moment formula). Built-in ``stddev`` uses Welford partials whose
+    float result depends on partition boundaries -- fine statistically,
+    useless for cross-engine bit-equality; decimal moments are exact in
+    both engines, so the derived doubles match."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = dec("l_quantity")
+    sum_q = F.sum(q).cast("double")
+    sum_q2 = F.sum(q * q).cast("double")
+    n = F.count("*")
+    var = (sum_q2 - sum_q * sum_q / n) / (n - 1)
+    return li.groupBy("l_returnflag").agg(
+        n.alias("n"),
+        F.round(var, 6).alias("var_qty"),
+        F.round(F.sqrt(var), 6).alias("stddev_qty"),
+    )
+
+
+@register(
     "agg_having",
     tags=("agg",),
     oracle="""

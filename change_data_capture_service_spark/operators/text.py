@@ -228,6 +228,41 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_fuzzy_levenshtein",
+    tags=("text", "northstar"),
+    oracle="""
+    SELECT a.p_partkey AS partkey_a, b.p_partkey AS partkey_b,
+           a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist
+    FROM part a
+    JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 6
+    """,
+)
+def text_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string matching: near-identical part names within the same
+    brand (edit distance <= 6). The brand equi-key is the blocking
+    structure -- Levenshtein is O(len²) per pair, so at scale the join key
+    must bound the candidate set before the distance ever runs."""
+    p = load_table(spark, sf_dir, "part")
+    a, b = p.alias("a"), p.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(b, (F.col("a.p_brand") == F.col("b.p_brand")) & (F.col("a.p_partkey") < F.col("b.p_partkey")))
+        .withColumn("edit_dist", dist)
+        .filter(F.col("edit_dist") <= 6)
+        .select(
+            F.col("a.p_partkey").alias("partkey_a"),
+            F.col("b.p_partkey").alias("partkey_b"),
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            "edit_dist",
+        )
+    )
+
+
+@register(
     "text_fingerprint",
     tags=("text", "northstar"),
     oracle="""
