@@ -190,6 +190,18 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("agg_approx_percentile", tags=("agg", "approx"))  # rows-only: t-digest sketches differ per engine
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles: constant memory per group (vs exact
+    percentile's full value buffer) -- the 100 TB default for quantiles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 1000)").alias(
+            "price_quantiles"
+        )
+    )
+
+
 @register(
     "agg_percentile",
     tags=("agg",),

@@ -50,12 +50,19 @@ class CdcPipeline:
     checkpoint_dir: str
     catalog: dict | None = None  # table -> StructType; the R11 registry
     max_files_per_trigger: int | None = None  # backpressure (R9 analogue)
+    audit_log_path: str | None = None  # R25: append-parquet logs table
     _sink: TableRoutingSink = field(init=False, default=None)  # type: ignore[assignment]
 
     def __post_init__(self):
         self._sink = TableRoutingSink(self.sink_dir)
         if self.catalog is None:
             self.catalog = dict(SCHEMAS)
+        self._audit = None
+        if self.audit_log_path:
+            from .audit import AuditListener, AuditLog
+
+            self._audit = AuditLog(self.spark, self.audit_log_path)
+            self.spark.streams.addListener(AuditListener(self._audit))
 
     # -- entry point B: snapshot/backfill (R1+R5) ---------------------------
     def snapshot(
