@@ -82,6 +82,68 @@ def knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("knn_cosine_ivf", tags=("similarity", "northstar"))  # rows-only: ANN recall is probabilistic
+def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: k-means coarse quantizer ->
+    per-cell inverted lists -> probe the query's nearest cells -> exact
+    rerank within probed cells.
+
+    The corpus-scale shape: the quantizer is fit once on a sample (here the
+    whole fixture; at 100 TB a 1% sample), every vector is assigned to one
+    cell (a narrow shuffle key), and each query touches only
+    ``n_probe/n_cells`` of the corpus. Compare ``knn_cosine_lsh`` (random
+    projections, no training) -- IVF adapts cells to the data distribution.
+    Deterministic via fixed seed."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    n_cells, n_probe = 16, 4
+    vec = _vectors(spark, sf_dir).withColumn("fv", array_to_vector(F.col("v")))
+    km = KMeans(k=n_cells, seed=42, featuresCol="fv", predictionCol="cell", maxIter=10)
+    model = km.fit(vec.select("fv"))
+    assigned = model.transform(vec).select("vec_id", "v", "nrm", "cell")
+
+    # driver-side: n_cells centroid vectors (tiny, a model artifact)
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    cent_df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)], "cell int, centroid array<double>"
+    )
+
+    queries = assigned.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qnrm")
+    )
+    # rank cells per query by centroid distance, keep n_probe nearest
+    qdot = F.expr(
+        "aggregate(zip_with(qv, centroid, (x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x)"
+    )
+    from pyspark.sql import Window as W
+
+    qcells = (
+        queries.crossJoin(F.broadcast(cent_df))
+        .withColumn("dist2", qdot)
+        .withColumn(
+            "cell_rank",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy(F.col("dist2"), F.col("cell"))
+            ),
+        )
+        .filter(F.col("cell_rank") <= n_probe)
+        .select("query_id", "qv", "qnrm", "cell")
+    )
+    dot = F.expr("aggregate(zip_with(qv, v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+    cands = (
+        assigned.join(
+            F.broadcast(qcells),
+            (assigned.cell == qcells.cell) & (F.col("vec_id") != F.col("query_id")),
+        )
+        .withColumn("cosine", F.round(dot / (F.col("qnrm") * F.col("nrm")), 6))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cosine")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return cands.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= TOP_K)
+
+
 @register("knn_cosine_lsh", tags=("similarity", "northstar"))  # rows-only: ANN recall is probabilistic
 def knn_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k: random-hyperplane LSH with L independent tables +

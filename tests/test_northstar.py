@@ -54,6 +54,21 @@ def test_knn_lsh_recall_vs_exact(spark, sf_dir):
         assert -1.0 <= r["cosine"] <= 1.0
 
 
+def test_knn_ivf_recall_vs_exact(spark, sf_dir):
+    """IVF (k-means cells, 4/16 probed) must beat random-projection LSH on
+    adapted data; measured ~0.7 at both fixture SFs."""
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in registry.get("knn_cosine_topk").fn(spark, sf_dir).collect()
+    }
+    ivf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in registry.get("knn_cosine_ivf").fn(spark, sf_dir).collect()
+    }
+    recall = len(exact & ivf) / len(exact)
+    assert recall >= 0.4, f"IVF recall collapsed: {recall}"
+
+
 def test_multimodal_frames_are_strided_slices(spark, sf_dir):
     frames = registry.get("multimodal_frame_sample").fn(spark, sf_dir)
     rows = frames.limit(200).collect()
