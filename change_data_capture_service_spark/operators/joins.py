@@ -145,10 +145,13 @@ def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def join_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5-shaped 6-table join: revenue by supplier nation in one
-    region. Dims broadcast; lineitem (the 100 TB table) shuffles once on
-    l_orderkey. Revenue accumulates in DECIMAL (exact, order-independent)
-    then casts to DOUBLE -- same on the oracle side -- so the hash is stable
-    under parallel accumulation."""
+    region. Only the FIXED-SIZE dims (nation: 25 rows, region: 5) get
+    explicit broadcast hints -- supplier/customer/orders scale with the
+    dataset, so they stay shuffle joins and AQE promotes them to broadcast
+    at runtime only when they actually fit. lineitem (the 100 TB table)
+    shuffles once on l_orderkey. Revenue accumulates in DECIMAL (exact,
+    order-independent) then casts to DOUBLE -- same on the oracle side --
+    so the hash is stable under parallel accumulation."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     l = load_table(spark, sf_dir, "lineitem")
@@ -159,7 +162,7 @@ def join_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("n_name").alias("nation"))
