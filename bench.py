@@ -53,6 +53,7 @@ def _bench_pipeline_ingest(spark, sf_dir: str) -> float:
             changelog_dir=f"{work}/log",
             sink_dir=f"{work}/sink",
             checkpoint_dir=f"{work}/ckpt",
+            fmt="parquet",  # columnar event log: the throughput configuration
         )
         t0 = time.perf_counter()
         pipe.snapshot(events, "public", "events")

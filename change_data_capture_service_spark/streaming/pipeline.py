@@ -51,10 +51,11 @@ class CdcPipeline:
     catalog: dict | None = None  # table -> StructType; the R11 registry
     max_files_per_trigger: int | None = None  # backpressure (R9 analogue)
     audit_log_path: str | None = None  # R25: append-parquet logs table
+    fmt: str = "json"  # changelog+sink format: json (wire parity) | parquet (throughput)
     _sink: TableRoutingSink = field(init=False, default=None)  # type: ignore[assignment]
 
     def __post_init__(self):
-        self._sink = TableRoutingSink(self.sink_dir)
+        self._sink = TableRoutingSink(self.sink_dir, fmt=self.fmt)
         if self.catalog is None:
             self.catalog = dict(SCHEMAS)
         self._audit = None
@@ -77,6 +78,7 @@ class CdcPipeline:
             schema_name=schema_name,
             table_name=table_name,
             pk_cols=pk_cols or PRIMARY_KEYS.get(table_name),
+            fmt=self.fmt,
         )
 
     # -- entry points C+D: stream decode + routed sink (R7-R9, R19-R22) -----
@@ -87,7 +89,7 @@ class CdcPipeline:
         reader = self.spark.readStream.schema(env.ENVELOPE_SCHEMA)
         if self.max_files_per_trigger:
             reader = reader.option("maxFilesPerTrigger", str(self.max_files_per_trigger))
-        return reader.json(self.changelog_dir)
+        return reader.format(self.fmt).load(self.changelog_dir)
 
     def start(self, available_now: bool = False) -> StreamingQuery:
         writer = (
@@ -109,5 +111,6 @@ class CdcPipeline:
     # -- the queryable surface the sink exists for --------------------------
     def latest_state(self, schema_name: str, table_name: str) -> DataFrame:
         return latest_state_view(
-            self.spark, self.sink_dir, schema_name, table_name, self.catalog.get(table_name)
+            self.spark, self.sink_dir, schema_name, table_name, self.catalog.get(table_name),
+            fmt=self.fmt,
         )

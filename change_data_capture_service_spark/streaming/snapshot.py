@@ -55,11 +55,19 @@ def write_snapshot(
     table_name: str,
     pk_cols: list[str] | None = None,
     snapshot_ts: str | None = None,
+    fmt: str = "json",
 ) -> int:
     """Snapshot a table into the changelog (the reference publishes snapshot
     events to the same Kafka topic the stream uses, ``replicator.go:160-164``
     -- one ordered log for both). Returns the fence LSN: change events must
     be appended with lsn > fence."""
+    from ..catalog import spread
+
+    # bulk one-time op: spread a few-partition source across cores so the
+    # envelope encode + write (and the downstream stream read of the files
+    # produced here) run parallel instead of single-task
+    if df.rdd.getNumPartitions() < df.sparkSession.sparkContext.defaultParallelism:
+        df = spread(df)
     events = snapshot_table(
         df,
         schema_name=schema_name,
@@ -67,5 +75,5 @@ def write_snapshot(
         pk_cols=pk_cols,
         snapshot_ts=snapshot_ts,
     )
-    events.write.mode("append").json(changelog_dir)
+    events.write.mode("append").format(fmt).save(changelog_dir)
     return SNAPSHOT_LSN

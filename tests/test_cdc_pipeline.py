@@ -232,3 +232,21 @@ def test_compaction_preserves_latest_state(spark, tmp_path, users_df):
     assert kept == 4  # one max-lsn event per key (1,2,3,4); delete tombstone retained
     after_state = {(r["id"], r["name"]) for r in pipe.latest_state("public", "users").collect()}
     assert after_state == before_state
+
+
+def test_parquet_format_pipeline(spark, tmp_path, users_df):
+    """The throughput configuration (parquet changelog+sink) preserves
+    identical semantics to the JSON wire-parity default."""
+    pipe = CdcPipeline(
+        spark=spark,
+        changelog_dir=str(tmp_path / "plog"),
+        sink_dir=str(tmp_path / "psink"),
+        checkpoint_dir=str(tmp_path / "pckpt"),
+        fmt="parquet",
+    )
+    pipe.snapshot(users_df, "public", "users")
+    upd = _change(spark, [(2, "rob", "rob@b.io")], "update", 102)
+    upd.write.mode("append").format("parquet").save(pipe.changelog_dir)
+    pipe.run_available()
+    got = {(r["id"], r["name"]) for r in pipe.latest_state("public", "users").collect()}
+    assert got == {(1, "ada"), (2, "rob"), (3, "cyd")}
