@@ -32,6 +32,7 @@ class CdcConfig:
     max_files_per_trigger: int | None = None  # backpressure (R9/maxOffsetsPerTrigger analogue)
     kafka_brokers: str | None = None
     kafka_topic: str | None = None
+    fmt: str = "json"  # event-log format: json (wire parity) | parquet/orc (throughput)
 
     @classmethod
     def load(cls, path: str | None = None, env: dict[str, str] | None = None) -> "CdcConfig":
@@ -66,4 +67,6 @@ class CdcConfig:
             sink_dir=self.sink_dir,
             checkpoint_dir=self.checkpoint_dir,
             max_files_per_trigger=self.max_files_per_trigger,
+            audit_log_path=self.audit_log_path if self.audit_log_path != "logs" else None,
+            fmt=self.fmt,
         )

@@ -55,7 +55,10 @@ class CdcPipeline:
     _sink: TableRoutingSink = field(init=False, default=None)  # type: ignore[assignment]
 
     def __post_init__(self):
-        self._sink = TableRoutingSink(self.sink_dir, fmt=self.fmt)
+        from .sink import write_format_marker
+
+        self._sink = TableRoutingSink(self.sink_dir, fmt=self.fmt)  # validates fmt + stamps sink
+        write_format_marker(self.changelog_dir, self.fmt)  # refuse fmt flips over existing data
         if self.catalog is None:
             self.catalog = dict(SCHEMAS)
         self._audit = None
@@ -107,6 +110,12 @@ class CdcPipeline:
         batches WITH checkpointing, so repeated calls resume incrementally)."""
         q = self.start(available_now=True)
         q.awaitTermination()
+
+    def compact(self, schema_name: str, table_name: str) -> int:
+        """Compact this pipeline's event log for one table (format-safe)."""
+        from .sink import compact_event_log
+
+        return compact_event_log(self.spark, self.sink_dir, schema_name, table_name, self.fmt)
 
     # -- the queryable surface the sink exists for --------------------------
     def latest_state(self, schema_name: str, table_name: str) -> DataFrame:

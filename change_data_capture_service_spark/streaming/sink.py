@@ -32,15 +32,51 @@ from ..catalog import SCHEMAS
 from . import envelope as env
 
 
+SUPPORTED_LOG_FORMATS = ("json", "parquet", "orc")
+_MARKER = "_format"
+
+
+def write_format_marker(out_dir: str, fmt: str) -> None:
+    """Stamp a sink/changelog directory with its file format so readers and
+    compaction can self-describe instead of trusting a caller's default --
+    a format mismatch reads parquet binaries as JSON lines, i.e. all-null
+    rows, silently."""
+    os.makedirs(out_dir, exist_ok=True)
+    marker = os.path.join(out_dir, _MARKER)
+    if os.path.exists(marker):
+        existing = open(marker).read().strip()
+        if existing != fmt:
+            raise ValueError(
+                f"{out_dir} was written as {existing!r}; refusing to use it as {fmt!r}"
+            )
+        return
+    with open(marker, "w") as f:
+        f.write(fmt)
+
+
+def resolve_format(out_dir: str, fmt: str | None) -> str:
+    """Explicit fmt wins (validated against the marker by write paths);
+    otherwise the directory's marker; otherwise the json default."""
+    if fmt is not None:
+        return fmt
+    marker = os.path.join(out_dir.rstrip("/"), _MARKER)
+    if os.path.exists(marker):
+        return open(marker).read().strip()
+    return "json"
+
+
 class TableRoutingSink:
     """``foreachBatch`` callable: route envelope micro-batches to per-table
     directories, idempotently per epoch."""
 
     def __init__(self, out_dir: str, fmt: str = "json"):
         # fmt: "json" = wire-parity/debuggable (the reference's shape);
-        # "parquet" = columnar event log, ~3x ingest throughput
+        # "parquet"/"orc" = columnar event log for throughput
+        if fmt not in SUPPORTED_LOG_FORMATS:
+            raise ValueError(f"fmt must be one of {SUPPORTED_LOG_FORMATS}, got {fmt!r}")
         self.out_dir = out_dir.rstrip("/")
         self.fmt = fmt
+        write_format_marker(self.out_dir, fmt)
 
     def table_dir(self, schema_name: str, table_name: str) -> str:
         return f"{self.out_dir}/{schema_name}_{table_name}"
@@ -55,8 +91,10 @@ class TableRoutingSink:
             malformed = F.col("op").isNull() | F.col("table_name").isNull()
             dead = batch_df.filter(malformed)
             if dead.take(1):
-                getattr(dead.write.mode("overwrite"), self.fmt)(
-                    f"{self.out_dir}/_dead_letter/ingest_batch={epoch_id}"
+                (
+                    dead.write.mode("overwrite")
+                    .format(self.fmt)
+                    .save(f"{self.out_dir}/_dead_letter/ingest_batch={epoch_id}")
                 )
             good = batch_df.filter(~malformed)
             # distinct (schema, table) pairs: bounded by the number of source
@@ -80,7 +118,8 @@ class TableRoutingSink:
             batch_df.unpersist()
 
 
-def read_dead_letters(spark: SparkSession, out_dir: str, fmt: str = "json") -> DataFrame:
+def read_dead_letters(spark: SparkSession, out_dir: str, fmt: str | None = None) -> DataFrame:
+    fmt = resolve_format(out_dir, fmt)
     path = f"{out_dir.rstrip('/')}/_dead_letter"
     if not os.path.isdir(path):
         return spark.createDataFrame([], env.ENVELOPE_SCHEMA)
@@ -93,7 +132,7 @@ def read_dead_letters(spark: SparkSession, out_dir: str, fmt: str = "json") -> D
 
 
 def compact_event_log(
-    spark: SparkSession, out_dir: str, schema_name: str, table_name: str, fmt: str = "json"
+    spark: SparkSession, out_dir: str, schema_name: str, table_name: str, fmt: str | None = None
 ) -> int:
     """Rewrite a table's event log to its latest-state-relevant suffix: one
     max-LSN event per live key (deletes below the max are still dropped via
@@ -105,6 +144,7 @@ def compact_event_log(
     dir and removes the per-epoch ingest dirs it subsumes."""
     import shutil
 
+    fmt = resolve_format(out_dir, fmt)
     log = read_event_log(spark, out_dir, schema_name, table_name, fmt)
     trunc_lsn = (
         log.filter(F.col("op") == "truncate")
@@ -134,8 +174,9 @@ def compact_event_log(
 
 
 def read_event_log(
-    spark: SparkSession, out_dir: str, schema_name: str, table_name: str, fmt: str = "json"
+    spark: SparkSession, out_dir: str, schema_name: str, table_name: str, fmt: str | None = None
 ) -> DataFrame:
+    fmt = resolve_format(out_dir, fmt)
     path = f"{out_dir.rstrip('/')}/{schema_name}_{table_name}"
     if not os.path.isdir(path):
         return spark.createDataFrame([], env.ENVELOPE_SCHEMA)
@@ -153,7 +194,7 @@ def latest_state_view(
     schema_name: str,
     table_name: str,
     schema: T.StructType | None = None,
-    fmt: str = "json",
+    fmt: str | None = None,
 ) -> DataFrame:
     """Current state per key from the event log (X1): keep the max-LSN event
     per key, drop keys whose latest op is delete, erase everything at/below

@@ -12,7 +12,10 @@ from pyspark.sql import functions as F
 
 from change_data_capture_service_spark.streaming import envelope as env
 from change_data_capture_service_spark.streaming.pipeline import CdcPipeline
-from change_data_capture_service_spark.streaming.sink import read_event_log
+from change_data_capture_service_spark.streaming.sink import (
+    compact_event_log,
+    read_event_log,
+)
 
 
 USERS_SCHEMA = "id long, name string, email string"
@@ -216,10 +219,7 @@ def test_dead_letter_routing(spark, tmp_path, users_df):
 
 
 def test_compaction_preserves_latest_state(spark, tmp_path, users_df):
-    from change_data_capture_service_spark.streaming.sink import (
-        compact_event_log,
-        read_event_log,
-    )
+    from change_data_capture_service_spark.streaming.sink import read_event_log
 
     pipe = _mk_pipeline(spark, tmp_path)
     pipe.snapshot(users_df, "public", "users")
@@ -228,7 +228,7 @@ def test_compaction_preserves_latest_state(spark, tmp_path, users_df):
     before_state = {(r["id"], r["name"]) for r in pipe.latest_state("public", "users").collect()}
     assert read_event_log(spark, pipe.sink_dir, "public", "users").count() == 6
 
-    kept = compact_event_log(spark, pipe.sink_dir, "public", "users")
+    kept = pipe.compact("public", "users")
     assert kept == 4  # one max-lsn event per key (1,2,3,4); delete tombstone retained
     after_state = {(r["id"], r["name"]) for r in pipe.latest_state("public", "users").collect()}
     assert after_state == before_state
@@ -236,7 +236,14 @@ def test_compaction_preserves_latest_state(spark, tmp_path, users_df):
 
 def test_parquet_format_pipeline(spark, tmp_path, users_df):
     """The throughput configuration (parquet changelog+sink) preserves
-    identical semantics to the JSON wire-parity default."""
+    identical semantics to the JSON wire-parity default -- including
+    compaction and dead-letter reads, which self-resolve the format from
+    the directory marker (a wrong-format read would silently yield
+    all-null rows)."""
+    import pytest as _pytest
+
+    from change_data_capture_service_spark.streaming.sink import read_dead_letters
+
     pipe = CdcPipeline(
         spark=spark,
         changelog_dir=str(tmp_path / "plog"),
@@ -250,3 +257,23 @@ def test_parquet_format_pipeline(spark, tmp_path, users_df):
     pipe.run_available()
     got = {(r["id"], r["name"]) for r in pipe.latest_state("public", "users").collect()}
     assert got == {(1, "ada"), (2, "rob"), (3, "cyd")}
+
+    # compaction without an explicit fmt arg must resolve parquet from the
+    # marker and preserve state (regression: json default destroyed the log)
+    kept = compact_event_log(spark, pipe.sink_dir, "public", "users")
+    assert kept == 3
+    got2 = {(r["id"], r["name"]) for r in pipe.latest_state("public", "users").collect()}
+    assert got2 == got
+
+    # dead-letter read also self-resolves (empty here, but must not misparse)
+    assert read_dead_letters(spark, pipe.sink_dir).count() == 0
+
+    # reopening the same dirs with a different fmt is refused outright
+    with _pytest.raises(ValueError, match="refusing"):
+        CdcPipeline(
+            spark=spark,
+            changelog_dir=pipe.changelog_dir,
+            sink_dir=pipe.sink_dir,
+            checkpoint_dir=pipe.checkpoint_dir,
+            fmt="json",
+        )
