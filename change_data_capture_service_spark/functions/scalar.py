@@ -59,6 +59,96 @@ def str_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "str_funcs2",
+    tags=("scalar",),
+    oracle="""
+    SELECT p_partkey,
+           lpad(p_brand, 12, '*') AS brand_lpad,
+           rpad(p_type, 10, '.') AS type_rpad,
+           reverse(p_name) AS name_rev,
+           translate(p_name, 'aeiou', 'AEIOU') AS name_upvowel,
+           CAST(strpos(p_name, 'widget') AS INT) AS widget_pos,
+           left(p_name, 3) AS name_left3,
+           right(p_name, 3) AS name_right3,
+           repeat(p_brand, 2) AS brand_twice
+    FROM part
+    """,
+)
+def str_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lpad/rpad/reverse/translate/instr/left/right/repeat."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lpad("p_brand", 12, "*").alias("brand_lpad"),
+        F.rpad("p_type", 10, ".").alias("type_rpad"),
+        F.reverse("p_name").alias("name_rev"),
+        F.translate("p_name", "aeiou", "AEIOU").alias("name_upvowel"),
+        F.instr("p_name", "widget").alias("widget_pos"),
+        F.substring("p_name", 1, 3).alias("name_left3"),
+        F.expr("right(p_name, 3)").alias("name_right3"),
+        F.repeat("p_brand", 2).alias("brand_twice"),
+    )
+
+
+@register(
+    "date_funcs2",
+    tags=("scalar",),
+    oracle="""
+    SELECT o_orderkey,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS TIMESTAMP) AS plus_3_months,
+           CAST(dayofweek(o_orderdate) AS INT) AS dow,
+           CAST(dayofyear(o_orderdate) AS INT) AS doy,
+           CAST(quarter(o_orderdate) AS INT) AS qtr
+    FROM orders
+    """,
+)
+def date_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """last_day/add_months/dayofweek/dayofyear/quarter. DuckDB dayofweek is
+    0=Sunday..6; Spark is 1=Sunday..7 -- oracle uses DuckDB's own dayofweek
+    and Spark subtracts 1 to match. add_months clamps to month end in both
+    engines (interval month add in DuckDB clamps the same way)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.last_day(F.col("o_orderdate").cast("date")).cast("timestamp").alias("month_end"),
+        F.add_months(F.col("o_orderdate").cast("date"), 3).cast("timestamp").alias("plus_3_months"),
+        (F.dayofweek("o_orderdate") - 1).alias("dow"),
+        F.dayofyear("o_orderdate").alias("doy"),
+        F.quarter("o_orderdate").alias("qtr"),
+    )
+
+
+@register(
+    "map_funcs",
+    tags=("scalar",),
+    oracle="""
+    SELECT event_id,
+           CAST(event_id AS VARCHAR) AS k_event_id,
+           event_type AS v_event_type,
+           2 AS map_size
+    FROM events
+    """,
+)
+def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map construction + element access (the envelope payload type, R3):
+    build map<string,string>, read entries back out -- output flattened to
+    scalars for cross-engine hashing."""
+    e = load_table(spark, sf_dir, "events")
+    m = F.map_from_arrays(
+        F.array(F.lit("event_id"), F.lit("event_type")),
+        F.array(F.col("event_id").cast("string"), F.col("event_type")),
+    )
+    built = e.select("event_id", m.alias("m"))
+    return built.select(
+        "event_id",
+        F.element_at("m", "event_id").alias("k_event_id"),
+        F.element_at("m", "event_type").alias("v_event_type"),
+        F.size("m").alias("map_size"),
+    )
+
+
+@register(
     "date_funcs",
     tags=("scalar",),
     oracle="""

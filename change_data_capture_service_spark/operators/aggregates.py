@@ -265,6 +265,42 @@ def agg_stats_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_corr_manual",
+    tags=("agg",),
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           round(
+             (count(*) * CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                                  * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+              - CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                * CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE))
+             / (sqrt(count(*) * CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                                         * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                     - CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                       * CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE))
+                * sqrt(count(*) * CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                                           * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                       - CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                         * CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE))),
+             6) AS corr_qty_price
+    FROM lineitem
+    """,
+)
+def agg_corr_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation from exact decimal moments (same rationale as
+    agg_stats_manual: the built-in corr's partial-merge float path is
+    partition-order-dependent; moments are exact)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q, p = dec("l_quantity"), dec("l_extendedprice")
+    n = F.count("*")
+    sq, sp = F.sum(q).cast("double"), F.sum(p).cast("double")
+    sqq, spp = F.sum(q * q).cast("double"), F.sum(p * p).cast("double")
+    sqp = F.sum(q * p).cast("double")
+    corr = (n * sqp - sq * sp) / (F.sqrt(n * sqq - sq * sq) * F.sqrt(n * spp - sp * sp))
+    return li.agg(n.alias("n"), F.round(corr, 6).alias("corr_qty_price"))
+
+
+@register(
     "agg_having",
     tags=("agg",),
     oracle="""

@@ -176,6 +176,24 @@ def join_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_cross",
+    tags=("join",),
+    oracle="""
+    SELECT n.n_name AS nation, r.r_name AS region
+    FROM nation n CROSS JOIN region r
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cartesian product -- legal only between bounded dims (25x5
+    here). The engine never plans an *implicit* cross join: Spark raises
+    unless crossJoin is called explicitly, which is the right guardrail at
+    scale."""
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return n.crossJoin(r).select(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+
+
+@register(
     "join_range",
     tags=("join",),
     oracle="""

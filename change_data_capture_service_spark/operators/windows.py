@@ -171,6 +171,30 @@ def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "win_cume_dist",
+    tags=("window",),
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           round(cume_dist() OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey), 6) AS cd,
+           round(percent_rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey), 6) AS pr
+    FROM orders
+    """,
+)
+def win_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cume_dist / percent_rank per customer (unique-key tiebreak; both are
+    exact rationals of row counts, rounded identically in both engines)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+    )
+
+
+@register(
     "win_first_last",
     tags=("window",),
     oracle="""
