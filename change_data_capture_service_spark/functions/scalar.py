@@ -385,3 +385,103 @@ def coalesce_nullif(spark: SparkSession, sf_dir: str) -> DataFrame:
             "price_fallback"
         ),
     )
+
+
+@register(
+    "regex_funcs",
+    tags=("scalar",),
+    oracle=r"""
+    SELECT p_partkey,
+           regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+           regexp_replace(p_name, '[aeiou]', '*', 'g') AS devoweled,
+           regexp_matches(p_name, 'red') AS has_red,
+           CAST(length(regexp_replace(p_name, '[^ ]', '', 'g')) AS INT) AS n_spaces
+    FROM part
+    """,
+)
+def regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_extract / regexp_replace / rlike. Note the cross-engine trap:
+    Spark regexp_replace is global by default while DuckDB needs the 'g'
+    flag -- the oracle carries it explicitly. All JVM-side codegen
+    expressions (no UDF)."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_name", r"([a-z]+)$", 1).alias("last_word"),
+        F.regexp_replace("p_name", r"[aeiou]", "*").alias("devoweled"),
+        F.col("p_name").rlike("red").alias("has_red"),
+        F.length(F.regexp_replace("p_name", r"[^ ]", "")).alias("n_spaces"),
+    )
+
+
+@register(
+    "hash_funcs",
+    tags=("scalar",),
+    oracle="""
+    SELECT o_orderkey,
+           md5(CAST(o_orderkey AS VARCHAR)) AS key_md5,
+           sha256(CAST(o_orderkey AS VARCHAR)) AS key_sha256
+    FROM orders
+    """,
+)
+def hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cryptographic digests (md5 / sha2-256) -- the engine-portable hash
+    family: unlike xxhash64/city, these agree bit-for-bit across engines,
+    which is what makes hash-based sampling and shard assignment
+    reproducible between a Spark pipeline and any other stack."""
+    o = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey").cast("string")
+    return o.select(
+        "o_orderkey",
+        F.md5(k).alias("key_md5"),
+        F.sha2(k, 256).alias("key_sha256"),
+    )
+
+
+@register(
+    "bitwise_funcs",
+    tags=("scalar",),
+    oracle="""
+    SELECT o_orderkey,
+           o_orderkey & 255 AS band,
+           o_orderkey | 4096 AS set_bit,
+           xor(o_orderkey, 21) AS flipped,
+           o_orderkey << 2 AS shl,
+           o_orderkey >> 1 AS shr,
+           CAST(bit_count(o_orderkey) AS INT) AS popcount
+    FROM orders
+    """,
+)
+def bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise and/or/xor/shift/popcount over BIGINT keys -- the primitive
+    layer under hash partitioning, bloom membership, and simhash distance."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.expr("o_orderkey & 255").alias("band"),
+        F.expr("o_orderkey | 4096").alias("set_bit"),
+        F.expr("o_orderkey ^ 21").alias("flipped"),
+        F.shiftleft(F.col("o_orderkey"), 2).alias("shl"),
+        F.shiftright(F.col("o_orderkey"), 1).alias("shr"),
+        F.bit_count(F.col("o_orderkey")).alias("popcount"),
+    )
+
+
+@register(
+    "generate_series",
+    tags=("scalar",),
+    oracle="""
+    SELECT r.r_regionkey, CAST(gs.range AS BIGINT) AS step
+    FROM region r CROSS JOIN range(1, 6) gs
+    """,
+)
+def generate_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row generation: sequence() + explode -- Spark's lateral
+    generate_series. Distributed trait: the sequence explodes per-row on
+    the executors, so generating N rows per input row never routes through
+    the driver."""
+    r = load_table(spark, sf_dir, "region")
+    return r.select(
+        "r_regionkey",
+        F.explode(F.sequence(F.lit(1).cast("long"), F.lit(5).cast("long"))).alias("step"),
+    )

@@ -324,3 +324,63 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("total_spent") > 1500000)
     )
+
+
+@register(
+    "agg_filtered",
+    tags=("agg",),
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_all,
+           CAST(count(*) FILTER (WHERE l_quantity > 25) AS BIGINT) AS n_bulk,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                FILTER (WHERE l_discount > 0.05) AS DOUBLE) AS rev_discounted,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) FILTER (WHERE l_tax = 0) AS DOUBLE)
+             AS qty_taxfree
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (SQL FILTER clause): one scan computes many
+    differently-predicated aggregates -- at 100 TB this replaces N filtered
+    sub-scans with a single pass. Spark expresses FILTER as count_if /
+    sum(when(...)); null-skipping sums make the semantics identical."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_all"),
+        F.expr("count_if(l_quantity > 25)").alias("n_bulk"),
+        F.sum(F.when(F.col("l_discount") > 0.05, dec("l_extendedprice")))
+        .cast("double")
+        .alias("rev_discounted"),
+        F.sum(F.when(F.col("l_tax") == 0, dec("l_quantity"))).cast("double").alias("qty_taxfree"),
+    )
+
+
+@register(
+    "agg_collect_sorted",
+    tags=("agg",),
+    oracle="""
+    SELECT o_custkey,
+           string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS keys_csv,
+           string_agg(o_orderstatus, '' ORDER BY o_orderstatus) AS statuses,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY o_custkey
+    """,
+)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """List aggregation with deterministic order: collect_list is
+    partition-order-dependent in Spark, so the engine always wraps it in
+    array_sort before any output -- here flattened to CSV for cross-engine
+    hashing. Sort numerically BEFORE casting to string ('10' < '9' as
+    text)."""
+    o = load_table(spark, sf_dir, "orders")
+    keys_csv = F.array_join(
+        F.transform(F.array_sort(F.collect_list("o_orderkey")), lambda x: x.cast("string")), ","
+    )
+    return o.groupBy("o_custkey").agg(
+        keys_csv.alias("keys_csv"),
+        F.array_join(F.array_sort(F.collect_list("o_orderstatus")), "").alias("statuses"),
+        F.count("*").alias("n_orders"),
+    )

@@ -351,3 +351,80 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("cos_raw", 6).alias("cosine"),
         )
     )
+
+
+@register(
+    "dedup_cluster",
+    tags=("dedup", "northstar"),
+    oracle=_ORACLE_EXACT_JACCARD.replace("WITH toks", "WITH RECURSIVE toks", 1)
+    + """
+    , near AS (
+      SELECT doc_id_a, doc_id_b FROM pairs
+      WHERE CAST(c AS DOUBLE) / (na + nb - c) >= 0.8
+    ),
+    edges AS (
+      SELECT doc_id_a AS s, doc_id_b AS d FROM near
+      UNION
+      SELECT doc_id_b, doc_id_a FROM near
+    ),
+    reach(s, d) AS (
+      SELECT s, d FROM edges
+      UNION
+      SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+    )
+    SELECT s AS doc_id, least(s, min(d)) AS cluster_id
+    FROM reach GROUP BY s
+    """,
+)
+def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the >=0.8-Jaccard
+    pair graph, each doc labeled with its component's min doc_id. Pairs
+    alone under-describe dup groups (A~B, B~C but A!~C must still dedup as
+    one group); components close that transitivity.
+
+    Distributed algorithm: iterative min-label propagation (the two-phase
+    hashmin of GraphX/connected-components papers) -- each round, every
+    vertex adopts min(own label, neighbors' labels); rounds = graph
+    diameter, and near-dup clusters are shallow (pairs share an LSH
+    bucket), so 2-3 rounds in practice, capped defensively. Each round is
+    one shuffle of (vertex, label); localCheckpoint truncates the plan so
+    lineage doesn't grow O(rounds). The oracle computes the same components
+    via a recursive-CTE transitive closure -- fine at oracle scale,
+    impossible at 100 TB, which is exactly why the engine iterates."""
+    pairs = dedup_minhash_near(spark, sf_dir).select("doc_id_a", "doc_id_b")
+    fwd = pairs.select(F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst"))
+    edges = fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    edges = edges.localCheckpoint()  # pairs computed once, reused every round
+
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(12):  # >= diameter of any near-dup cluster, defensively
+        nbr = (
+            edges.join(labels, edges["dst"] == labels["doc_id"])
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr, labels["doc_id"] == nbr["src"], "left")
+            .select(
+                "doc_id",
+                F.least(F.col("cluster_id"), F.coalesce("nbr_min", "cluster_id")).alias(
+                    "cluster_id"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") < F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc_id", "cluster_id")

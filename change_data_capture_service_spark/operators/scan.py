@@ -79,3 +79,44 @@ def filter_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("l_linestatus").isNotNull()
         & ((F.col("l_tax") > 0.02) | (F.col("l_quantity") >= 10))
     ).select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_returnflag", "l_shipdate")
+
+
+@register(
+    "sample_hash",
+    tags=("scan", "northstar"),
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) <= '28'
+    """,
+)
+def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~16% sample via md5-threshold on the key. Unlike
+    df.sample (seed- and partitioning-dependent), a content hash gives the
+    SAME sample on any engine, any partition count, any run -- the
+    reproducibility property a training-data pipeline needs for held-out
+    splits. Pure filter: no shuffle, combines with predicate pushdown."""
+    o = load_table(spark, sf_dir, "orders")
+    digest = F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 2)
+    return o.filter(digest <= "28").select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+@register(
+    "sample_stratified",
+    tags=("scan", "northstar"),
+    oracle="""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+          < CASE WHEN lang = 'en' THEN '80' ELSE '1a' END
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic sampling (~50% of 'en', ~10% of the rest):
+    the language-rebalancing primitive of corpus curation. Same hash trick
+    as sample_hash, with the threshold a function of the stratum -- still a
+    single shuffle-free scan, unlike sampleBy which is seed-dependent."""
+    d = load_table(spark, sf_dir, "documents")
+    digest = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    threshold = F.when(F.col("lang") == "en", F.lit("80")).otherwise(F.lit("1a"))
+    return d.filter(digest < threshold).select("doc_id", "lang")

@@ -6,7 +6,7 @@ explode / regexp / aggregate); no Python in any per-row path.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table, spread
@@ -288,3 +288,42 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         " (acc, c) -> (acc * 31 + c) % 1000000007)"
     )
     return d.select("doc_id", fp.alias("fingerprint"))
+
+
+@register(
+    "pack_token_budget",
+    tags=("text", "northstar"),
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang,
+             CAST(length(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
+      FROM documents WHERE length(text) > 0
+    )
+    SELECT doc_id, lang, n_tokens,
+           CAST(floor((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id)
+                       - n_tokens) / 2048.0) AS BIGINT) AS pack_id
+    FROM t
+    """,
+)
+def pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign docs to fixed token-budget packs (2048
+    here) by contiguous fill -- the operator that turns a dedup'd corpus
+    into training batches. pack = floor(preceding-cumulative-tokens /
+    budget), a pure window over (lang, doc_id): deterministic, one shuffle
+    on the partition key, parallel across strata. At 100 TB you'd partition
+    by (lang, shard) so no single window partition exceeds an executor."""
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    n_tokens = F.size(F.split(F.trim(F.col("text")), " ")).cast("long")
+    t = d.select("doc_id", "lang", n_tokens.alias("n_tokens"))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return t.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.floor((cum - F.col("n_tokens")) / F.lit(2048.0)).alias("pack_id"),
+    )

@@ -222,3 +222,34 @@ def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("event_type").over(w).alias("first_type"),
         F.last("event_type").over(w).alias("last_type"),
     )
+
+
+@register(
+    "win_range_frame",
+    tags=("window",),
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderdate,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+                      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS cum_price
+    FROM orders
+    """,
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame (vs ROWS): peers with equal order keys share one frame
+    value, so the cumulative sum is well-defined even when o_orderdate
+    ties -- no unique-key tiebreaker needed, unlike every ROWS-frame query
+    in this module. Decimal accumulation keeps both engines bit-equal."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double").alias("cum_price"),
+    )
