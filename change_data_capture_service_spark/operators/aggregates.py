@@ -384,3 +384,59 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.array_sort(F.collect_list("o_orderstatus")), "").alias("statuses"),
         F.count("*").alias("n_orders"),
     )
+
+
+@register(
+    "agg_minmax_by",
+    tags=("agg",),
+    oracle="""
+    SELECT o_custkey,
+           arg_max(o_orderkey, o_totalprice) AS biggest_order,
+           arg_min(o_orderkey, o_totalprice) AS smallest_order,
+           max(o_totalprice) AS max_price,
+           min(o_totalprice) AS min_price
+    FROM orders
+    GROUP BY o_custkey
+    """,
+)
+def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by / min_by (argmax aggregation): the key of the extreme row
+    without a self-join or window sort -- a single partial-aggregating pass
+    (this is also how latest_state picks the newest version per key).
+    Comparator ties would be nondeterministic in BOTH engines; o_totalprice
+    is tie-free here (asserted in tests) -- at scale use a unique
+    comparator (e.g. shift the key into low-order bits) or pre-reduce."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.max_by("o_orderkey", "o_totalprice").alias("biggest_order"),
+        F.min_by("o_orderkey", "o_totalprice").alias("smallest_order"),
+        F.max("o_totalprice").alias("max_price"),
+        F.min("o_totalprice").alias("min_price"),
+    )
+
+
+@register(
+    "agg_histogram",
+    tags=("agg",),
+    oracle="""
+    SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(o_totalprice) AS DOUBLE) AS lo,
+           CAST(max(o_totalprice) AS DOUBLE) AS hi
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram by arithmetic binning: bucket = floor(x/w) is
+    a pure map-side expression, so the shuffle carries only (bucket,
+    partial count) -- the scalable shape for distribution profiling (vs
+    sorting or percentiles). IEEE double division keeps bucket edges
+    bit-identical across engines."""
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / 50000.0)
+    return o.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").alias("n"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+    )

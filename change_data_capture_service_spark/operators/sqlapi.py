@@ -1,0 +1,55 @@
+"""SQL-API operators: queries expressed as ANSI SQL through spark.sql()
+over the engine catalog's temp views -- proving the surface a reference
+user would migrate raw SQL onto. Catalyst plans these identically to the
+DataFrame API (same optimizer, same physical strategies); correlated
+subqueries decorrelate into joins rather than per-row re-execution.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import register_views
+from ..registry import register
+
+# Shared dialect-neutral SQL: the Spark side executes the SAME text the
+# DuckDB oracle runs (decimal-accumulated avg keeps the threshold exact on
+# both engines).
+_CORRELATED_SQL = """
+SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+FROM orders o
+WHERE o.o_totalprice > 1.5 * (
+  SELECT CAST(sum(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+  FROM orders o2 WHERE o2.o_custkey = o.o_custkey
+)
+"""
+
+_IN_SUBQUERY_SQL = """
+SELECT c.c_custkey, c.c_name
+FROM customer c
+WHERE c.c_nationkey IN (
+  SELECT n.n_nationkey FROM nation n
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'ASIA'
+)
+AND c.c_custkey NOT IN (SELECT o.o_custkey FROM orders o WHERE o.o_orderstatus = 'F')
+"""
+
+
+@register("subquery_correlated", tags=("sqlapi",), oracle=_CORRELATED_SQL)
+def subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (orders 50% above their customer's
+    average). Catalyst decorrelates this into one aggregate + one join --
+    the fact table is scanned twice, never per-row. Identical SQL text runs
+    on both engines."""
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(_CORRELATED_SQL)
+
+
+@register("subquery_in", tags=("sqlapi",), oracle=_IN_SUBQUERY_SQL)
+def subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN / NOT IN subqueries (ASIA-nation customers with no finalized
+    orders). Planned as left-semi and null-aware left-anti joins; the dim
+    subquery broadcasts."""
+    register_views(spark, sf_dir, ["customer", "nation", "region", "orders"])
+    return spark.sql(_IN_SUBQUERY_SQL)

@@ -53,6 +53,8 @@ _QUERY_MODULES = [
     "change_data_capture_service_spark.operators.similarity",
     "change_data_capture_service_spark.operators.text",
     "change_data_capture_service_spark.operators.multimodal",
+    "change_data_capture_service_spark.operators.timeseries",
+    "change_data_capture_service_spark.operators.sqlapi",
 ]
 
 _loaded = False

@@ -34,3 +34,14 @@ def test_lineitem_has_no_unique_key(spark, sf_dir):
     fully-duplicate rows (bag semantics)."""
     df = load_table(spark, sf_dir, "lineitem")
     assert df.count() > df.distinct().count() or "lineitem" not in PRIMARY_KEYS
+
+
+def test_minmax_by_comparator_is_tie_free(duck):
+    """agg_minmax_by's docstring promises its comparator (o_totalprice
+    within o_custkey) has no ties at fixture scale -- arg_max/max_by are
+    both nondeterministic under ties, so parity would be luck otherwise."""
+    n = duck.execute(
+        "SELECT max(c) FROM (SELECT o_custkey, o_totalprice, count(*) AS c"
+        " FROM orders GROUP BY 1, 2)"
+    ).fetchone()[0]
+    assert n == 1
