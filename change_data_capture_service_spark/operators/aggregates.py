@@ -440,3 +440,27 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_totalprice").alias("lo"),
         F.max("o_totalprice").alias("hi"),
     )
+
+
+@register(
+    "agg_bool",
+    tags=("agg",),
+    oracle="""
+    SELECT l_returnflag,
+           bool_and(l_quantity > 0) AS all_positive,
+           bool_or(l_discount > 0.09) AS any_deep_discount,
+           CAST(count(*) FILTER (WHERE l_tax = 0) AS BIGINT) AS n_taxfree
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bool_and / bool_or (universal + existential quantifiers as
+    aggregates): data-quality invariants checked in one partially-combined
+    pass over the fact table instead of N count-filter scans."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.bool_and(F.col("l_quantity") > 0).alias("all_positive"),
+        F.bool_or(F.col("l_discount") > 0.09).alias("any_deep_discount"),
+        F.expr("count_if(l_tax = 0)").alias("n_taxfree"),
+    )

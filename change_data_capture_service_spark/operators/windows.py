@@ -253,3 +253,30 @@ def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderdate",
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double").alias("cum_price"),
     )
+
+
+@register(
+    "win_percent_nth",
+    tags=("window",),
+    oracle="""
+    SELECT c_custkey, c_acctbal,
+           round(percent_rank() OVER w, 6) AS pr,
+           nth_value(c_custkey, 3) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND UNBOUNDED FOLLOWING) AS third_cust
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def win_percent_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank + nth_value (full-partition frame). The c_custkey
+    tiebreaker makes both deterministic; nth_value needs the explicit
+    unbounded frame or rows past the 3rd see NULL."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return c.select(
+        "c_custkey",
+        "c_acctbal",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.nth_value("c_custkey", 3).over(wf).alias("third_cust"),
+    )

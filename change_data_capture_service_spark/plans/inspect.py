@@ -41,4 +41,8 @@ def uses_broadcast_join(df: DataFrame) -> bool:
 
 
 def count_shuffles(df: DataFrame) -> int:
-    return formatted_plan(df).count("Exchange")
+    """Number of Exchange NODES (each appears twice in formatted output:
+    once in the tree, once in the numbered detail section)."""
+    import re
+
+    return len(re.findall(r"^\(\d+\) Exchange", formatted_plan(df), re.MULTILINE))

@@ -42,3 +42,45 @@ def test_latest_state_is_partial_agg_not_window(spark, sf_dir):
 def test_topk_avoids_global_sort(spark, sf_dir):
     df = registry.get("topk").fn(spark, sf_dir)
     assert "TakeOrderedAndProject" in P.formatted_plan(df)
+
+
+def test_hash_sampling_is_shuffle_free(spark, sf_dir):
+    """Deterministic sampling must stay a pure scan+filter: zero exchanges,
+    and the projection pruned to the selected columns."""
+    for name in ("sample_hash", "sample_stratified"):
+        df = registry.get(name).fn(spark, sf_dir)
+        assert P.count_shuffles(df) == 0, f"{name} grew a shuffle"
+
+
+def test_pack_token_budget_is_one_shuffle(spark, sf_dir):
+    """Sequence packing = one hash-partition on the stratum key, then a
+    sorted window inside each partition -- any second exchange would mean
+    the window re-partitioned."""
+    df = registry.get("pack_token_budget").fn(spark, sf_dir)
+    assert P.count_shuffles(df) == 1
+
+
+def test_gapfill_spine_join_broadcasts(spark, sf_dir):
+    """The dense hour spine is O(hours); its join with the hourly aggregate
+    must be a broadcast, never a sort-merge over the fact table."""
+    df = registry.get("gapfill_hourly").fn(spark, sf_dir)
+    assert P.uses_broadcast_join(df)
+
+
+def test_correlated_subquery_decorrelates(spark, sf_dir):
+    """Catalyst must rewrite the per-customer scalar subquery into an
+    aggregate + join (two scans total), never a per-row re-execution."""
+    df = registry.get("subquery_correlated").fn(spark, sf_dir)
+    plan = P.formatted_plan(df)
+    assert "Join" in plan
+    assert "HashAggregate" in plan or "SortAggregate" in plan
+
+
+def test_histogram_is_single_partial_agg(spark, sf_dir):
+    """floor-binning must partial-aggregate map-side: one exchange carrying
+    (bucket, partial) rows only."""
+    df = registry.get("agg_histogram").fn(spark, sf_dir)
+    plan = P.formatted_plan(df)
+    assert P.count_shuffles(df) == 1
+    assert "HashAggregate" in plan
+    assert "Window" not in plan
