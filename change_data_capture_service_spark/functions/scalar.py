@@ -485,3 +485,31 @@ def generate_series(spark: SparkSession, sf_dir: str) -> DataFrame:
         "r_regionkey",
         F.explode(F.sequence(F.lit(1).cast("long"), F.lit(5).cast("long"))).alias("step"),
     )
+
+
+@register(
+    "try_funcs",
+    tags=("scalar",),
+    oracle="""
+    SELECT o_orderkey,
+           TRY_CAST(o_orderpriority AS INTEGER) AS prio_whole,
+           TRY_CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS prio_digit,
+           CAST(o_totalprice / nullif(TRY_CAST(substr(o_orderpriority, 1, 1) AS INTEGER) - 1, 0)
+                AS DOUBLE) AS per_prio_less_one
+    FROM orders
+    """,
+)
+def try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe casts: try_cast yields NULL instead of failing the job --
+    at 100 TB one malformed row must not kill a stage ('1-URGENT' as a
+    whole is not an int; its first char is). Division guards through
+    nullif so priority 1 yields NULL, not a divide error."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.expr("try_cast(o_orderpriority AS int)").alias("prio_whole"),
+        F.expr("try_cast(substring(o_orderpriority, 1, 1) AS int)").alias("prio_digit"),
+        (F.col("o_totalprice") / F.nullif(F.expr("try_cast(substring(o_orderpriority, 1, 1) AS int) - 1"), F.lit(0)))
+        .cast("double")
+        .alias("per_prio_less_one"),
+    )

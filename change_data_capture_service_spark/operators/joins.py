@@ -268,3 +268,41 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("event_type") == "purchase")
         .select("event_id", "user_id", "ts", "last_click_ts")
     )
+
+
+@register(
+    "join_full",
+    tags=("join",),
+    oracle="""
+    SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey,
+           c.c_acctbal,
+           o.n_orders
+    FROM (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 5000) c
+    FULL OUTER JOIN (
+      SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY o_custkey
+    ) o ON c.c_custkey = o.o_custkey
+    """,
+)
+def join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join where BOTH sides have unmatched keys (rich customers
+    with no orders; ordering customers below the balance cut). Full outer
+    can't broadcast either side (every unmatched row of both must surface),
+    so it is always a shuffle join -- plan accordingly at scale: filter and
+    pre-aggregate both inputs first, as here, so the shuffle carries the
+    reduced relations."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 5000)
+        .select("c_custkey", "c_acctbal")
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "full").select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        "c_acctbal",
+        "n_orders",
+    )
