@@ -392,6 +392,15 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     via a recursive-CTE transitive closure -- fine at oracle scale,
     impossible at 100 TB, which is exactly why the engine iterates."""
     pairs = dedup_minhash_near(spark, sf_dir).select("doc_id_a", "doc_id_b")
+    return connected_components(pairs)
+
+
+def connected_components(pairs: DataFrame, max_rounds: int = 50) -> DataFrame:
+    """Min-label propagation over an undirected pair graph: (doc_id_a,
+    doc_id_b) pairs in, (doc_id, cluster_id=component min) out. One
+    (vertex, label) shuffle per round; rounds bounded by component
+    diameter (property-tested against a union-find oracle on random
+    graphs in test_random_replay)."""
     fwd = pairs.select(F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst"))
     edges = fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     edges = edges.localCheckpoint()  # pairs computed once, reused every round
@@ -402,7 +411,7 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cluster_id", F.col("doc_id"))
         .localCheckpoint()
     )
-    for _ in range(12):  # >= diameter of any near-dup cluster, defensively
+    for _ in range(max_rounds):  # early-exits at convergence; cap is a runaway guard
         nbr = (
             edges.join(labels, edges["dst"] == labels["doc_id"])
             .groupBy("src")

@@ -226,3 +226,40 @@ def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["user_id", "event_type"]
     )
+
+
+# ---------------------------------------------------------------------------
+# stream-stream interval join (X16 extension)
+# ---------------------------------------------------------------------------
+
+
+def interval_join_stream(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
+    """Stream-stream inner join: purchases attributed to a click by the
+    same user within the following 30 minutes. Both sides carry watermarks
+    so Spark can bound the join state: a buffered click is evicted once the
+    purchase-side watermark passes click.ts + 30min -- state is
+    O(events in the attribution window), never O(stream). The range
+    predicate is the state-eviction contract, not just a filter."""
+    c = (
+        clicks.withWatermark("ts", "1 hour")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    p = (
+        purchases.withWatermark("ts", "1 hour")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    return c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("interval 30 minutes")),
+    ).select("c_user", "click_id", "click_ts", "purchase_id", "purchase_ts", "purchase_value")

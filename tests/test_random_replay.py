@@ -97,3 +97,46 @@ def test_random_op_sequence_replays_identically(spark, tmp_path):
     got_rows = pipe.latest_state("public", "kv").collect()
     got = {r["id"]: (r["id"], r["val"]) for r in got_rows}
     assert got == want, f"replay diverged: extra={set(got) - set(want)} missing={set(want) - set(got)}"
+
+
+# ---------------------------------------------------------------------------
+# connected_components vs a union-find oracle on random graphs
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+from change_data_capture_service_spark.operators.dedup import connected_components
+
+
+def _union_find_components(edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {v: find(v) for v in parent}
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_connected_components_matches_union_find(spark, edges):
+    """Min-label propagation must agree with a sequential union-find on
+    arbitrary small graphs -- including chains near the round bound, cycles,
+    self-parallel edges, and disconnected pieces."""
+    pairs = spark.createDataFrame(edges, ["doc_id_a", "doc_id_b"])
+    got = {r.doc_id: r.cluster_id for r in connected_components(pairs).collect()}
+    assert got == _union_find_components(edges)

@@ -155,3 +155,36 @@ def test_dedup_stream_drops_in_window_duplicates(spark, tmp_path):
     q.stop()
     out = spark.sql("SELECT user_id, event_type FROM dedup_out").collect()
     assert sorted((r["user_id"], r["event_type"]) for r in out) == [(1, "click"), (2, "view")]
+
+
+def test_stream_stream_interval_join_equals_batch(spark, sf_dir):
+    """Click→purchase attribution as a watermarked stream-stream interval
+    join must produce exactly the rows of the equivalent batch theta join."""
+    ev_stream = W.stream_events(spark, sf_dir)
+    clicks = ev_stream.filter(F.col("event_type") == "click")
+    purchases = ev_stream.filter(F.col("event_type") == "purchase")
+    _drain(W.interval_join_stream(clicks, purchases), "attrib_out")
+    got = {
+        (r["click_id"], r["purchase_id"])
+        for r in spark.sql("SELECT * FROM attrib_out").collect()
+    }
+
+    from change_data_capture_service_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("event_id").alias("purchase_id"), F.col("ts").alias("purchase_ts")
+    )
+    want = {
+        (r["click_id"], r["purchase_id"])
+        for r in c.join(
+            p,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("interval 30 minutes")),
+        ).collect()
+    }
+    assert got == want and len(got) > 0
