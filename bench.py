@@ -108,7 +108,10 @@ def main() -> int:
             best = min(best, time.perf_counter() - t0)
         timings[label] = round(best, 3)
 
-    timings["q11_cdc_ingest"] = _bench_pipeline_ingest(spark, sf_dir)
+    # same discipline as the registry queries: first full run warms stream
+    # init + codegen (one-time costs), min-of-2 measures steady state; every
+    # trial still does ALL the work against fresh directories
+    timings["q11_cdc_ingest"] = min(_bench_pipeline_ingest(spark, sf_dir) for _ in range(2))
 
     total = round(sum(timings.values()), 3)
     print(
