@@ -83,3 +83,27 @@ def jdbc_snapshot_reader(
     for k, v in (properties or {}).items():
         reader = reader.option(k, v)
     return reader
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_by: list[str],
+    num_files: int | None = None,
+    fmt: str = "parquet",
+) -> None:
+    """Range-clustered write: repartitionByRange on the cluster keys, then
+    sortWithinPartitions, so each output file owns a disjoint key range and
+    rows inside it are ordered.
+
+    Why this matters at 100 TB: parquet row-group min/max statistics only
+    prune when values are clustered -- a random layout makes every
+    range/equality predicate read every file. After this write, a filter on
+    the cluster key skips whole files (checked in test_sources by asserting
+    disjoint per-file min/max). This is the poor-man's Z-order: for
+    single-key and prefix predicates it equals it; true multi-dim curves
+    can plug in by replacing the range partitioner with an interleaved-bits
+    sort key."""
+    out = df.repartitionByRange(*([num_files] if num_files else []), *cluster_by)
+    out = out.sortWithinPartitions(*cluster_by)
+    out.write.format(fmt).mode("overwrite").save(path)

@@ -28,3 +28,34 @@ def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
     plan = formatted_plan(back)
     assert "PartitionFilters" in plan  # partition pruning engaged, not a full scan
     assert back.count() > 0
+
+
+def test_write_clustered_gives_disjoint_file_ranges(spark, sf_dir, tmp_path):
+    """Range-clustered output: each parquet file owns a disjoint o_custkey
+    range (this is what lets row-group stats prune scans), and a key filter
+    on the result reads fewer files than a full scan."""
+    import pyarrow.parquet as pq
+
+    from change_data_capture_service_spark.catalog import load_table
+    from change_data_capture_service_spark.sources.files import write_clustered
+
+    out = str(tmp_path / "clustered")
+    orders = load_table(spark, sf_dir, "orders")
+    write_clustered(orders, out, ["o_custkey"], num_files=8)
+
+    ranges = []
+    import glob as g
+
+    for f in sorted(g.glob(f"{out}/part-*.parquet")):
+        t = pq.read_table(f, columns=["o_custkey"])
+        col = t.column("o_custkey").to_pylist()
+        if col:
+            ranges.append((min(col), max(col)))
+    assert len(ranges) >= 2
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping file ranges ({lo1},{hi1}) vs ({lo2},{hi2})"
+
+    # and the round-trip preserves the data
+    back = spark.read.parquet(out)
+    assert back.count() == orders.count()
