@@ -327,3 +327,58 @@ def pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.floor((cum - F.col("n_tokens")) / F.lit(2048.0)).alias("pack_id"),
     )
+
+
+@register(
+    "text_tfidf",
+    tags=("text", "northstar"),
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2
+    ),
+    dfreq AS (
+      SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1
+    ),
+    n AS (SELECT count(*) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf,
+             round(tf.tf * ln(CAST(n.n AS DOUBLE) / dfreq.df), 6) AS tfidf
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+      FROM scored
+    )
+    SELECT doc_id, term, tf, tfidf, CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= 3
+    """,
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document. Corpus size N comes from a 1-row
+    aggregate cross-joined in (broadcast, never a driver collect); document
+    frequencies join back to term frequencies on the term key. Ranking uses
+    the ROUNDED score (ln differs in the last ulp across libms -- ranking
+    raw doubles could flip near-ties between engines) with the term as the
+    deterministic tiebreaker."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_tokens()).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tok.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    n = d.agg(F.count("*").alias("n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(n)
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.round(F.col("tf") * F.log(F.col("n").cast("double") / F.col("df")), 6).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 3)
