@@ -342,7 +342,7 @@ def pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2
     ),
     dfreq AS (
-      SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1
+      SELECT term, count(*) AS df FROM tf GROUP BY 1
     ),
     n AS (SELECT count(*) AS n FROM documents),
     scored AS (
@@ -361,14 +361,17 @@ def pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF top-3 terms per document. Corpus size N comes from a 1-row
     aggregate cross-joined in (broadcast, never a driver collect); document
-    frequencies join back to term frequencies on the term key. Ranking uses
+    frequencies derive FROM the tf relation (one row per (doc, term)
+    already), so the corpus is exploded exactly once. Ranking uses
     the ROUNDED score (ln differs in the last ulp across libms -- ranking
     raw doubles could flip near-ties between engines) with the term as the
     deterministic tiebreaker."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(_tokens()).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    dfreq = tok.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    # df(term) = rows per term in tf (tf is already one row per (doc, term)):
+    # no second explode over the corpus, no count_distinct shuffle
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     n = d.agg(F.count("*").alias("n"))
     scored = (
         tf.join(dfreq, "term")
