@@ -464,3 +464,27 @@ def agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_or(F.col("l_discount") > 0.09).alias("any_deep_discount"),
         F.expr("count_if(l_tax = 0)").alias("n_taxfree"),
     )
+
+
+@register(
+    "agg_grouping_flags",
+    tags=("agg",),
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_grouping_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING() flags on a rollup: distinguishes 'NULL because subtotal
+    row' from 'NULL in the data' -- without it, rollup output is ambiguous
+    for nullable group keys. One aggregation pass produces all levels."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("int").alias("g_flag"),
+        F.grouping("l_linestatus").cast("int").alias("g_status"),
+        F.count("*").alias("n"),
+    )
