@@ -513,3 +513,29 @@ def try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("per_prio_less_one"),
     )
+
+
+@register(
+    "array_explode_outer",
+    tags=("scalar",),
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+      FROM documents
+    )
+    SELECT doc_id, unnest(toks) AS token FROM t WHERE len(toks) > 0
+    UNION ALL
+    SELECT doc_id, NULL AS token FROM t WHERE len(toks) = 0
+    """,
+)
+def array_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer: rows with an EMPTY array survive as (key, NULL)
+    instead of vanishing -- the difference between 'this doc has no tokens'
+    and 'this doc was dropped'. Plain explode silently loses empty docs,
+    which at corpus scale is an invisible data-loss bug; a pipeline that
+    must account for every input row uses the outer variant. (DuckDB has no
+    outer unnest; the oracle reconstructs it with a UNION ALL.)"""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
+    return d.select("doc_id", F.explode_outer(toks).alias("token"))
