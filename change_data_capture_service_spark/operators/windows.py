@@ -280,3 +280,32 @@ def win_percent_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pr"),
         F.nth_value("c_custkey", 3).over(wf).alias("third_cust"),
     )
+
+
+@register(
+    "win_range_interval",
+    tags=("window",),
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderdate,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE)
+             RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS rev_30d
+    FROM orders
+    """,
+)
+def win_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based sliding frame: 30-day trailing revenue per customer.
+    Spark's rangeBetween takes numeric offsets, so the ORDER BY key is the
+    day number (datediff from epoch) and the frame is (-30, 0) -- exactly
+    DuckDB's RANGE INTERVAL 30 DAYS. Same-day orders are frame peers in
+    both engines, so the sum is well-defined under date ties."""
+    o = load_table(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+    w = Window.partitionBy("o_custkey").orderBy(day).rangeBetween(-30, 0)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double").alias("rev_30d"),
+    )
