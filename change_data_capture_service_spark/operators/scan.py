@@ -120,3 +120,53 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     digest = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
     threshold = F.when(F.col("lang") == "en", F.lit("80")).otherwise(F.lit("1a"))
     return d.filter(digest < threshold).select("doc_id", "lang")
+
+
+@register(
+    "profile_table",
+    tags=("scan",),
+    oracle="""
+    SELECT 'o_orderkey' AS col, CAST(count(*) AS BIGINT) AS n,
+           CAST(count(o_orderkey) AS BIGINT) AS non_null,
+           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS ndv,
+           CAST(min(o_orderkey) AS DOUBLE) AS min_val,
+           CAST(max(o_orderkey) AS DOUBLE) AS max_val
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', CAST(count(*) AS BIGINT), CAST(count(o_custkey) AS BIGINT),
+           CAST(count(DISTINCT o_custkey) AS BIGINT),
+           CAST(min(o_custkey) AS DOUBLE), CAST(max(o_custkey) AS DOUBLE)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', CAST(count(*) AS BIGINT), CAST(count(o_totalprice) AS BIGINT),
+           CAST(count(DISTINCT o_totalprice) AS BIGINT),
+           CAST(min(o_totalprice) AS DOUBLE), CAST(max(o_totalprice) AS DOUBLE)
+    FROM orders
+    """,
+)
+def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiler (the ANALYZE TABLE shape): rowcount, null count,
+    exact NDV, min/max for several columns in ONE scan -- the Spark agg
+    computes every metric together and unpivots to rows with stack(),
+    where the oracle's UNION ALL scans once per column. At 100 TB the
+    single-pass shape is the difference between one job and one job per
+    column; swap count_distinct for approx_count_distinct when exact NDV
+    isn't required."""
+    o = load_table(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_totalprice"]
+    agg = o.agg(
+        F.count("*").alias("n"),
+        *[F.count(c).alias(f"nn_{c}") for c in cols],
+        *[F.count_distinct(c).alias(f"ndv_{c}") for c in cols],
+        *[F.min(c).cast("double").alias(f"min_{c}") for c in cols],
+        *[F.max(c).cast("double").alias(f"max_{c}") for c in cols],
+    )
+    stack_expr = ", ".join(
+        f"'{c}', nn_{c}, ndv_{c}, min_{c}, max_{c}" for c in cols
+    )
+    return agg.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_expr}) AS (col, non_null, ndv, min_val, max_val)"
+        ),
+        "n",
+    ).select("col", "n", "non_null", "ndv", "min_val", "max_val")
