@@ -28,7 +28,7 @@ class CdcConfig:
     changelog_dir: str = "changelog"
     sink_dir: str = "sink"
     checkpoint_dir: str = "checkpoint"
-    audit_log_path: str = "logs"  # R25's cdc-logs.db analogue
+    audit_log_path: str | None = None  # R25's cdc-logs.db analogue; None = audit disabled
     max_files_per_trigger: int | None = None  # backpressure (R9/maxOffsetsPerTrigger analogue)
     kafka_brokers: str | None = None
     kafka_topic: str | None = None
@@ -67,6 +67,6 @@ class CdcConfig:
             sink_dir=self.sink_dir,
             checkpoint_dir=self.checkpoint_dir,
             max_files_per_trigger=self.max_files_per_trigger,
-            audit_log_path=self.audit_log_path if self.audit_log_path != "logs" else None,
+            audit_log_path=self.audit_log_path,
             fmt=self.fmt,
         )

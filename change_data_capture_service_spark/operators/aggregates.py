@@ -193,12 +193,16 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("agg_approx_percentile", tags=("agg", "approx"))  # rows-only: t-digest sketches differ per engine
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate percentiles: constant memory per group (vs exact
-    percentile's full value buffer) -- the 100 TB default for quantiles."""
+    percentile's full value buffer) -- the 100 TB default for quantiles.
+
+    Scalar columns (not an ``array<double>``): checked outputs must be
+    sortable by generic canonicalizers. One aggregate still computes a single
+    shared sketch per group; the three probes read from it."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 1000)").alias(
-            "price_quantiles"
-        )
+        F.expr("approx_percentile(l_extendedprice, 0.5, 1000)").alias("p50_price"),
+        F.expr("approx_percentile(l_extendedprice, 0.9, 1000)").alias("p90_price"),
+        F.expr("approx_percentile(l_extendedprice, 0.99, 1000)").alias("p99_price"),
     )
 
 

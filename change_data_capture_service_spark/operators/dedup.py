@@ -86,19 +86,23 @@ _ORACLE_EXACT_JACCARD = f"""
     "dedup_exact",
     tags=("dedup", "northstar"),
     oracle="""
-    SELECT lang, source, CAST(min(doc_id) AS BIGINT) AS keep_doc_id,
+    SELECT sha256(text) AS content_sha,
+           CAST(min(doc_id) AS BIGINT) AS keep_doc_id,
            CAST(count(*) AS BIGINT) AS group_size
     FROM documents
-    GROUP BY lang, source
+    GROUP BY sha256(text)
     """,
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup by content key: hash-groupBy keeping the lowest doc_id
-    per duplicate group (deterministic survivor). One partial-aggregated
-    shuffle; at 100 TB dedup on full text uses sha2(text) as the group key
-    so the shuffle moves 32-byte digests, not documents."""
+    """Exact dedup by CONTENT identity: hash-groupBy on sha2(text, 256),
+    keeping the lowest doc_id per duplicate group (deterministic survivor).
+    One partial-aggregated shuffle, and the shuffle moves 32-byte digests +
+    two longs per row -- never the document bodies -- which is the shape
+    that survives 100 TB."""
     d = load_table(spark, sf_dir, "documents")
-    return d.groupBy("lang", "source").agg(
+    return d.select(F.sha2(F.col("text"), 256).alias("content_sha"), "doc_id").groupBy(
+        "content_sha"
+    ).agg(
         F.min("doc_id").alias("keep_doc_id"),
         F.count("*").alias("group_size"),
     )

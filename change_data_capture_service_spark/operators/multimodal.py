@@ -73,21 +73,35 @@ def decode_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     Fake path (deterministic): byte-length + first/last byte + a byte-sum
     checksum -- enough to prove batch shape, schema, and null handling."""
     for pdf in batches:
-        if REAL_DECODERS_AVAILABLE:
-            raise NotImplementedError("real image/audio decode requires codec libs")
-        payloads = pdf["payload"]
-        out = pd.DataFrame(
-            {
-                "doc_id": pdf["doc_id"],
-                "n_bytes": payloads.map(lambda b: len(b) if b is not None else 0),
-                "first_byte": payloads.map(lambda b: int(b[0]) if b else -1),
-                "last_byte": payloads.map(lambda b: int(b[-1]) if b else -1),
-                "byte_sum_mod": payloads.map(
-                    lambda b: int(sum(b) % 1000000007) if b is not None else -1
-                ),
-            }
-        )
-        yield out
+        yield (_decode_real if REAL_DECODERS_AVAILABLE else _decode_fake)(pdf)
+
+
+def _decode_real(pdf: pd.DataFrame) -> pd.DataFrame:
+    """The real codec path. This container ships no image/audio libraries,
+    so ``REAL_DECODERS_AVAILABLE`` is statically False and this stub is
+    unreachable; wiring a decoder means implementing this function and
+    flipping the flag to an import-probe (``try: import PIL``)."""
+    raise NotImplementedError(
+        "real image/audio decode requires codec libs (e.g. Pillow/av) "
+        "that are not installed in this environment"
+    )
+
+
+def _decode_fake(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Deterministic stand-in: byte-length + first/last byte + a byte-sum
+    checksum -- enough to prove batch shape, schema, and null handling."""
+    payloads = pdf["payload"]
+    return pd.DataFrame(
+        {
+            "doc_id": pdf["doc_id"],
+            "n_bytes": payloads.map(lambda b: len(b) if b is not None else 0),
+            "first_byte": payloads.map(lambda b: int(b[0]) if b else -1),
+            "last_byte": payloads.map(lambda b: int(b[-1]) if b else -1),
+            "byte_sum_mod": payloads.map(
+                lambda b: int(sum(b) % 1000000007) if b is not None else -1
+            ),
+        }
+    )
 
 
 DECODE_SCHEMA = "doc_id long, n_bytes int, first_byte int, last_byte int, byte_sum_mod long"

@@ -60,11 +60,21 @@ def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact brute-force cosine top-k for a small query set: broadcast the
-    queries against the corpus (the corpus never shuffles -- each partition
-    scores its vectors against the broadcast queries and keeps a local
-    top-k via the window). This is the exact-search baseline ANN variants
-    are measured against."""
+    """Exact brute-force cosine top-k for a small query set, two-stage:
+
+    1. score map-side (broadcast queries; the corpus never shuffles; JVM
+       ``zip_with``/``aggregate`` dot products);
+    2. LOCAL top-k per (query, input partition) via an Arrow-batched
+       ``mapInPandas`` reducer -- bounded memory, nothing leaves the
+       partition but ``queries x k`` narrow rows;
+    3. global ``row_number`` window over at most ``partitions x queries x k``
+       rows.
+
+    The window therefore never funnels the N x Q scored rows into Q reducer
+    partitions -- the pre-window row count is independent of corpus size,
+    which is what makes the exact baseline survive a 100x corpus. Local and
+    global stages use the identical total order (cosine desc, neighbor_id
+    asc), so the union of local top-ks provably contains the global top-k."""
     vec = _vectors(spark, sf_dir)
     queries = vec.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qnrm")
@@ -75,9 +85,32 @@ def knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cosine", F.round(dot / (F.col("qnrm") * F.col("nrm")), 6))
         .select("query_id", F.col("vec_id").alias("neighbor_id"), "cosine")
     )
+
+    def _local_topk(batches):
+        frames: list[pd.DataFrame] = []
+        pending = 0
+        for pdf in batches:
+            frames.append(pdf)
+            pending += len(pdf)
+            if pending > 64_000:  # compact: keep the running set bounded
+                frames = [_head_k(pd.concat(frames, ignore_index=True))]
+                pending = len(frames[0])
+        if frames:
+            yield _head_k(pd.concat(frames, ignore_index=True))
+
+    def _head_k(pdf: pd.DataFrame) -> pd.DataFrame:
+        return (
+            pdf.sort_values(
+                ["query_id", "cosine", "neighbor_id"], ascending=[True, False, True]
+            )
+            .groupby("query_id", sort=False)
+            .head(TOP_K)
+        )
+
+    local = scored.mapInPandas(_local_topk, schema=scored.schema)
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
-        scored.withColumn("rnk", F.row_number().over(w))
+        local.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= TOP_K)
     )
 

@@ -37,8 +37,20 @@ class AuditLog:
         self.path = path
         self.flush_every = flush_every
         self._buf: list[str] = []
-        self._next_id = 0
+        self._next_id: int | None = None  # lazily seeded from max(id)+1 on first flush
         self._lock = threading.Lock()
+
+    def _seed_next_id(self) -> int:
+        """The logs table is append-only across process runs, so ids must
+        continue from the stored maximum -- restarting at 0 every run would
+        collide, breaking the unique-id contract of the reference's SQLite
+        logs table (AUTOINCREMENT) this replaces."""
+        import os
+
+        if not os.path.isdir(self.path):
+            return 0
+        prev = self.table().agg(F.coalesce(F.max("id"), F.lit(-1)).alias("m")).collect()[0]["m"]
+        return int(prev) + 1
 
     def log(self, **entry) -> None:
         with self._lock:
@@ -53,6 +65,8 @@ class AuditLog:
     def _flush_locked(self) -> None:
         if not self._buf:
             return
+        if self._next_id is None:
+            self._next_id = self._seed_next_id()
         rows = [(self._next_id + i, e) for i, e in enumerate(self._buf)]
         self._next_id += len(rows)
         self._buf.clear()

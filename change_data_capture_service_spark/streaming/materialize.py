@@ -11,8 +11,11 @@ be replayed.
 
 Delete handling: tombstones are *kept* in the state table (op='delete'
 rows) so late lower-LSN events cannot resurrect a deleted key; readers
-filter them via ``current()``. Truncate control events clear all rows of
-lower LSN for that table.
+filter them via ``current()``. Truncate control events clear all rows at or
+below the fence for that table -- and the fence itself is *persisted* as an
+op='truncate' control row (key ``_truncate_:<schema>.<table>``), so a late
+or replayed event below a truncate seen in an EARLIER batch is still
+rejected; an in-batch-only fence would let it resurrect on the next merge.
 """
 
 from __future__ import annotations
@@ -42,8 +45,8 @@ class MaterializedState:
         return self.spark.read.schema(env.ENVELOPE_SCHEMA).parquet(live)
 
     def current(self, schema_name: str | None = None, table_name: str | None = None) -> DataFrame:
-        """Live rows (tombstones filtered)."""
-        df = self._read_state().filter(F.col("op") != "delete")
+        """Live rows (tombstones and truncate-fence control rows filtered)."""
+        df = self._read_state().filter(~F.col("op").isin("delete", "truncate"))
         if schema_name is not None:
             df = df.filter(F.col("schema_name") == schema_name)
         if table_name is not None:
@@ -54,11 +57,6 @@ class MaterializedState:
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
         # 1. reduce the batch to per-key winners (tiny: one row per touched key)
         batch_df = batch_df.filter(F.col("op").isNotNull() & F.col("key").isNotNull())
-        trunc = (
-            batch_df.filter(F.col("op") == "truncate")
-            .groupBy("schema_name", "table_name")
-            .agg(F.max("lsn").alias("trunc_lsn"))
-        )
         winners = (
             batch_df.filter(F.col("op") != "truncate")
             .groupBy("key")
@@ -69,7 +67,22 @@ class MaterializedState:
             )
             .select("key", "r.*")
         )
-        state = self._read_state()
+        stored = self._read_state()
+        # stored truncate fences live ON as control rows -- a fence from any
+        # earlier batch keeps rejecting late events forever, not just within
+        # the batch that carried the truncate
+        state = stored.filter(F.col("op") != "truncate")
+        fences = (
+            stored.filter(F.col("op") == "truncate")
+            .select("schema_name", "table_name", "lsn", "ts")
+            .unionByName(
+                batch_df.filter(F.col("op") == "truncate").select(
+                    "schema_name", "table_name", "lsn", "ts"
+                )
+            )
+            .groupBy("schema_name", "table_name")
+            .agg(F.max("lsn").alias("trunc_lsn"), F.max("ts").alias("trunc_ts"))
+        )
 
         # 2. MERGE emulation: keep state rows not superseded, union winners
         #    that advance their key's LSN (late lower-LSN events lose)
@@ -89,19 +102,35 @@ class MaterializedState:
         )
         merged = kept.unionByName(advancing)
 
-        # 3. apply truncate fences (drop rows at/below the fence per table)
-        t = trunc.withColumnRenamed("schema_name", "t_schema").withColumnRenamed(
-            "table_name", "t_table"
+        # 3. apply truncate fences (drop rows at/below the fence per table;
+        #    fences is tiny -- one row per truncated table -- so broadcast)
+        t = fences.select(
+            F.col("schema_name").alias("t_schema"), F.col("table_name").alias("t_table"),
+            "trunc_lsn",
         )
         merged = (
             merged.join(
-                t,
+                F.broadcast(t),
                 (merged.schema_name == t.t_schema) & (merged.table_name == t.t_table),
                 "left",
             )
             .filter(F.col("trunc_lsn").isNull() | (F.col("lsn") > F.col("trunc_lsn")))
             .select(*_STATE_COLS)
         )
+        # persist the fences themselves as control rows (filtered by current())
+        controls = fences.select(
+            F.lit("truncate").alias("op"),
+            "schema_name",
+            "table_name",
+            F.col("trunc_lsn").alias("lsn"),
+            F.col("trunc_ts").alias("ts"),
+            F.concat(
+                F.lit("_truncate_:"), F.col("schema_name"), F.lit("."), F.col("table_name")
+            ).alias("key"),
+            F.lit(None).cast(env.PAYLOAD_TYPE).alias("before"),
+            F.lit(None).cast(env.PAYLOAD_TYPE).alias("after"),
+        ).select(*_STATE_COLS)
+        merged = merged.unionByName(controls)
 
         # 4. atomic swap: write next generation, then promote (the parquet
         #    stand-in for a transactional MERGE commit)

@@ -5,10 +5,12 @@ doc-id = LSN (idempotent per-event upsert), with ``refresh=true`` per event
 (throughput worst case) and -- a bug -- never commits Kafka offsets on
 success. The engine replaces all of that with one ``foreachBatch``:
 
-- dynamic routing: one sink directory per source table
-  (``<out>/<schema>_<table>/``), mirroring the per-table index;
+- dynamic routing: one Hive partition per source table
+  (``<out>/ingest/ingest_batch=<epoch>/schema_name=<s>/table_name=<t>/``),
+  mirroring the per-table index -- written by ONE ``partitionBy`` job per
+  epoch, never a per-table loop;
 - idempotence: each micro-batch writes to a deterministic
-  ``ingest_batch=<epoch_id>`` subdirectory with mode=overwrite, so a
+  ``ingest_batch=<epoch_id>`` directory with mode=overwrite, so a
   replayed batch (at-least-once upstream) lands in the same place instead
   of duplicating -- the Spark analogue of deterministic doc IDs;
 - offsets: Structured Streaming's checkpoint (offset+commit WAL) replaces
@@ -65,9 +67,27 @@ def resolve_format(out_dir: str, fmt: str | None) -> str:
     return "json"
 
 
+# Routing identifiers become filesystem path components: anything outside
+# this set (or empty/NULL) is malformed and goes to the dead letter, which
+# both keeps routing unambiguous and blocks path traversal via a crafted
+# wire value ('../x', 'a/b').
+_SAFE_NAME = r"^[A-Za-z0-9_]+$"
+
+
 class TableRoutingSink:
     """``foreachBatch`` callable: route envelope micro-batches to per-table
-    directories, idempotently per epoch."""
+    Hive partitions, idempotently per epoch.
+
+    ONE write job per epoch regardless of how many source tables appear in
+    the batch: ``partitionBy(schema_name, table_name)`` fans rows out to
+    ``ingest/ingest_batch=<epoch>/schema_name=<s>/table_name=<t>/`` in a
+    single pass (the old shape -- collect the distinct pairs, then one
+    filtered job per table -- rescans the batch T times and serializes on
+    the driver; at many tables x many epochs that loop IS the pipeline's
+    critical path). Epoch-dir overwrite keeps at-least-once replays
+    idempotent. Dead letters are written unconditionally -- an empty write
+    is one cheap no-op task, while probing with ``take(1)`` costs an extra
+    job on EVERY batch."""
 
     def __init__(self, out_dir: str, fmt: str = "json"):
         # fmt: "json" = wire-parity/debuggable (the reference's shape);
@@ -78,42 +98,36 @@ class TableRoutingSink:
         self.fmt = fmt
         write_format_marker(self.out_dir, fmt)
 
-    def table_dir(self, schema_name: str, table_name: str) -> str:
-        return f"{self.out_dir}/{schema_name}_{table_name}"
-
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
         batch_df = batch_df.persist()
         try:
-            # malformed wire rows (schema-less JSON decodes to null fields)
-            # route to a dead-letter dir instead of silently vanishing --
-            # the observable version of the reference's skip-malformed
-            # behavior (cmd/es_consumer/main.go:66-71)
-            malformed = F.col("op").isNull() | F.col("table_name").isNull()
-            dead = batch_df.filter(malformed)
-            if dead.take(1):
-                (
-                    dead.write.mode("overwrite")
-                    .format(self.fmt)
-                    .save(f"{self.out_dir}/_dead_letter/ingest_batch={epoch_id}")
-                )
-            good = batch_df.filter(~malformed)
-            # distinct (schema, table) pairs: bounded by the number of source
-            # tables (a handful), safe to collect -- this is routing metadata,
-            # not data.
-            pairs = [
-                (r["schema_name"], r["table_name"])
-                for r in good.select("schema_name", "table_name").distinct().collect()
-            ]
-            for schema_name, table_name in pairs:
-                (
-                    good.filter(
-                        (F.col("schema_name") == schema_name)
-                        & (F.col("table_name") == table_name)
-                    )
-                    .write.mode("overwrite")  # idempotent replay of this epoch
-                    .format(self.fmt)
-                    .save(f"{self.table_dir(schema_name, table_name)}/ingest_batch={epoch_id}")
-                )
+            # malformed wire rows (schema-less JSON decodes to null fields,
+            # crafted names would escape the sink dir) route to a dead-letter
+            # dir instead of silently vanishing -- the observable version of
+            # the reference's skip-malformed behavior
+            # (cmd/es_consumer/main.go:66-71)
+            # NULL-safe: rlike(NULL) is NULL, so the isNull() terms must be
+            # present for the OR to collapse to TRUE on null names
+            malformed = (
+                F.col("op").isNull()
+                | F.col("schema_name").isNull()
+                | F.col("table_name").isNull()
+                | ~F.col("schema_name").rlike(_SAFE_NAME)
+                | ~F.col("table_name").rlike(_SAFE_NAME)
+            )
+            (
+                batch_df.filter(malformed)
+                .write.mode("overwrite")
+                .format(self.fmt)
+                .save(f"{self.out_dir}/_dead_letter/ingest_batch={epoch_id}")
+            )
+            (
+                batch_df.filter(~malformed)
+                .write.mode("overwrite")  # idempotent replay of this epoch
+                .partitionBy("schema_name", "table_name")
+                .format(self.fmt)
+                .save(f"{self.out_dir}/ingest/ingest_batch={epoch_id}")
+            )
         finally:
             batch_df.unpersist()
 
@@ -135,17 +149,23 @@ def compact_event_log(
     spark: SparkSession, out_dir: str, schema_name: str, table_name: str, fmt: str | None = None
 ) -> int:
     """Rewrite a table's event log to its latest-state-relevant suffix: one
-    max-LSN event per live key (deletes below the max are still dropped via
-    latest-state semantics at read time; truncate fences apply first). The
-    CDC analogue of a rollup/compaction job -- bounds log growth so
-    latest_state_view cost stays O(keys), not O(history).
+    max-LSN event per live key, PLUS the max-LSN truncate control event if
+    one exists. Keeping the truncate row makes the fence durable: without
+    it, a late/replayed event with lsn below an already-applied truncate
+    would re-enter state on the next read -- the resurrection class the
+    delete-tombstone design guards against. The CDC analogue of a
+    rollup/compaction job -- bounds log growth so latest_state_view cost
+    stays O(keys), not O(history).
 
-    Returns the number of events retained. Writes a ``compacted`` snapshot
-    dir and removes the per-epoch ingest dirs it subsumes."""
+    Returns the number of events retained (incl. the fence row). Writes a
+    ``compacted/<schema>_<table>`` snapshot dir and removes the per-epoch
+    ingest partitions it subsumes."""
+    import glob
     import shutil
 
+    root = out_dir.rstrip("/")
     fmt = resolve_format(out_dir, fmt)
-    log = read_event_log(spark, out_dir, schema_name, table_name, fmt)
+    log = read_event_log(spark, root, schema_name, table_name, fmt)
     trunc_lsn = (
         log.filter(F.col("op") == "truncate")
         .agg(F.coalesce(F.max("lsn"), F.lit(-1)).alias("m"))
@@ -163,29 +183,68 @@ def compact_event_log(
         .select("key", "r.*")
         .select(*[f.name for f in env.ENVELOPE_SCHEMA.fields])
     )
-    table_dir = f"{out_dir.rstrip('/')}/{schema_name}_{table_name}"
-    tmp = f"{table_dir}__compacting"
+    if trunc_lsn >= 0:
+        fence_row = (
+            log.filter((F.col("op") == "truncate") & (F.col("lsn") == F.lit(trunc_lsn)))
+            .select(*[f.name for f in env.ENVELOPE_SCHEMA.fields])
+            .limit(1)
+        )
+        keep = keep.unionByName(fence_row)
+    comp_dir = f"{root}/compacted/{schema_name}_{table_name}"
+    tmp = f"{comp_dir}__compacting"
     keep.write.mode("overwrite").format(fmt).save(tmp)
     n = spark.read.schema(env.ENVELOPE_SCHEMA).format(fmt).load(tmp).count()
-    shutil.rmtree(table_dir)
-    os.makedirs(table_dir)
-    os.rename(tmp, f"{table_dir}/compacted")
+    # swap in the snapshot, then drop the ingest partitions it subsumes
+    if os.path.isdir(comp_dir):
+        shutil.rmtree(comp_dir)
+    os.makedirs(os.path.dirname(comp_dir), exist_ok=True)
+    os.rename(tmp, comp_dir)
+    for p in glob.glob(
+        f"{root}/ingest/ingest_batch=*/schema_name={schema_name}/table_name={table_name}"
+    ):
+        shutil.rmtree(p)
     return n
+
+
+# user schema for the partitioned ingest read: envelope fields + the
+# partition columns' types (values come from directory names)
+_INGEST_SCHEMA = T.StructType(
+    list(env.ENVELOPE_SCHEMA.fields) + [T.StructField("ingest_batch", T.LongType(), True)]
+)
 
 
 def read_event_log(
     spark: SparkSession, out_dir: str, schema_name: str, table_name: str, fmt: str | None = None
 ) -> DataFrame:
+    """One table's events = its ingest partitions (partition-pruned read:
+    only ``schema_name=<s>/table_name=<t>`` directories are listed) plus its
+    compacted snapshot, if any."""
     fmt = resolve_format(out_dir, fmt)
-    path = f"{out_dir.rstrip('/')}/{schema_name}_{table_name}"
-    if not os.path.isdir(path):
+    root = out_dir.rstrip("/")
+    cols = [f.name for f in env.ENVELOPE_SCHEMA.fields]
+    parts = []
+    ingest = f"{root}/ingest"
+    if os.path.isdir(ingest):
+        parts.append(
+            spark.read.schema(_INGEST_SCHEMA)
+            .format(fmt)
+            .load(ingest)
+            .filter(
+                (F.col("schema_name") == schema_name) & (F.col("table_name") == table_name)
+            )
+            .select(*cols)
+        )
+    comp = f"{root}/compacted/{schema_name}_{table_name}"
+    if os.path.isdir(comp):
+        parts.append(
+            spark.read.schema(env.ENVELOPE_SCHEMA).format(fmt).load(comp).select(*cols)
+        )
+    if not parts:
         return spark.createDataFrame([], env.ENVELOPE_SCHEMA)
-    return (
-        spark.read.schema(env.ENVELOPE_SCHEMA)
-        .option("recursiveFileLookup", "true")
-        .format(fmt)
-        .load(path)
-    )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def latest_state_view(

@@ -118,7 +118,7 @@ def stream_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, ts, value,
              CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                        OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                          > INTERVAL 30 MINUTE
+                          >= INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS new_session
       FROM events
     ),
@@ -138,9 +138,11 @@ def stream_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Session windows (30-minute gap) per user. ``session_window`` merges
-    events whose gaps are < 30min; end = last_ts + gap -- exactly the
-    lag/cumsum island construction in the oracle."""
+    """Session windows (30-minute gap) per user. ``session_window`` sessions
+    are half-open ``[start, last_ts + gap)``: a gap of EXACTLY 30 minutes
+    starts a new session, so the oracle's new-session predicate must be
+    ``>=`` (a ``>`` oracle silently agrees on most fixtures and diverges the
+    first time two events land exactly one gap apart)."""
     e = load_table(spark, sf_dir, "events")
     return (
         e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")

@@ -23,6 +23,24 @@ def test_audit_log_appends_and_reads_back(spark, tmp_path):
     assert all(r["ts"] is not None for r in rows)
 
 
+def test_audit_ids_continue_across_runs(spark, tmp_path):
+    """A new process (new AuditLog over the same path) must continue ids from
+    max(id)+1, not restart at 0 -- the table is append-only, so a restart
+    would collide ids."""
+    path = str(tmp_path / "logs")
+    first = AuditLog(spark, path)
+    first.log(msg="a")
+    first.log(msg="b")
+    first.flush()
+
+    second = AuditLog(spark, path)  # simulates a process restart
+    second.log(msg="c")
+    second.flush()
+
+    ids = sorted(r["id"] for r in second.table().collect())
+    assert ids == [0, 1, 2]
+
+
 def test_pipeline_audits_stream_progress(spark, tmp_path):
     """R25 wired into the pipeline: micro-batch progress lands in the logs
     table via the streaming listener."""

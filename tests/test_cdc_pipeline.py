@@ -186,8 +186,9 @@ def test_truncate_erases_prior_state(spark, tmp_path, users_df):
 
 
 def test_multi_table_routing(spark, tmp_path, users_df):
-    """R21: events route to per-table directories (cdc_<schema>_<table>)."""
-    import os
+    """R21: events route to per-table Hive partitions in ONE write job per
+    epoch (``ingest/ingest_batch=*/schema_name=<s>/table_name=<t>``)."""
+    import glob
 
     pipe = _mk_pipeline(spark, tmp_path)
     pipe.snapshot(users_df, "public", "users")
@@ -195,10 +196,36 @@ def test_multi_table_routing(spark, tmp_path, users_df):
     pipe.snapshot(orders, "public", "orders", pk_cols=["oid"])
     pipe.run_available()
 
-    assert os.path.isdir(f"{pipe.sink_dir}/public_users")
-    assert os.path.isdir(f"{pipe.sink_dir}/public_orders")
+    assert glob.glob(f"{pipe.sink_dir}/ingest/ingest_batch=*/schema_name=public/table_name=users")
+    assert glob.glob(f"{pipe.sink_dir}/ingest/ingest_batch=*/schema_name=public/table_name=orders")
     assert read_event_log(spark, pipe.sink_dir, "public", "users").count() == 3
     assert read_event_log(spark, pipe.sink_dir, "public", "orders").count() == 1
+
+
+def test_crafted_table_name_cannot_escape_sink(spark, tmp_path, users_df):
+    """A wire envelope with a path-traversal table_name routes to the dead
+    letter instead of writing outside the sink dir."""
+    import json as _json
+    import os
+
+    from change_data_capture_service_spark.streaming.sink import read_dead_letters
+
+    pipe = _mk_pipeline(spark, tmp_path)
+    pipe.snapshot(users_df, "public", "users")
+    os.makedirs(pipe.changelog_dir, exist_ok=True)
+    evil = {
+        "op": "insert", "schema_name": "public", "table_name": "../../escape",
+        "lsn": 999, "ts": "2024-02-01T00:00:00.000Z",
+        "key": "public.x:1", "before": None, "after": {"id": "1"},
+    }
+    with open(f"{pipe.changelog_dir}/evil.json", "w") as f:
+        f.write(_json.dumps(evil) + "\n")
+    pipe.run_available()
+
+    assert not os.path.exists(str(tmp_path / "escape"))
+    dead = read_dead_letters(spark, pipe.sink_dir)
+    assert dead.filter(F.col("table_name") == "../../escape").count() == 1
+    assert pipe.latest_state("public", "users").count() == 3  # stream survived
 
 
 def test_dead_letter_routing(spark, tmp_path, users_df):

@@ -65,6 +65,32 @@ def test_tombstone_blocks_resurrection(spark, tmp_path):
     assert sink.current().count() == 0
 
 
+def test_truncate_fence_durable_across_batches(spark, tmp_path):
+    """A late event arriving in a LATER batch, below a truncate fence applied
+    in an earlier batch, must not resurrect (the fence is persisted as a
+    control row, not just applied in-batch)."""
+    src, state, ckpt = (str(tmp_path / d) for d in ("src", "state", "ckpt"))
+    _env_rows(spark, [(1, "ada", 1)], "insert").write.mode("append").json(src)
+    trunc_src = spark.createDataFrame([(1,)], "dummy int")
+    env.encode(
+        trunc_src, op="truncate", schema_name="public", table_name="users",
+        pk_cols=["dummy"], lsn=F.lit(50),
+        ts=F.lit("2024-03-02 00:00:00").cast("timestamp"),
+    ).write.mode("append").json(src)
+    sink = _drain(spark, src, state, ckpt)
+    assert sink.current().count() == 0
+
+    # batch 2 (after the truncate batch committed): replayed pre-truncate event
+    _env_rows(spark, [(2, "zombie", 30)], "update").write.mode("append").json(src)
+    sink = _drain(spark, src, state, ckpt)
+    assert sink.current().count() == 0  # fence survived the batch boundary
+
+    # genuinely-new data above the fence still lands
+    _env_rows(spark, [(3, "cyd", 60)], "insert").write.mode("append").json(src)
+    sink = _drain(spark, src, state, ckpt)
+    assert {(r["key"], r["lsn"]) for r in sink.current().collect()} == {("public.users:3", 60)}
+
+
 def test_truncate_fence_in_materialized_state(spark, tmp_path):
     src, state, ckpt = (str(tmp_path / d) for d in ("src", "state", "ckpt"))
     _env_rows(spark, [(1, "ada", 1), (2, "bob", 2)], "insert").write.mode("append").json(src)

@@ -60,6 +60,22 @@ def test_pack_token_budget_is_one_shuffle(spark, sf_dir):
     assert P.count_shuffles(df) == 1
 
 
+def test_knn_topk_reduces_before_window(spark, sf_dir):
+    """The exact-kNN window must rank the LOCAL top-k survivors (bounded:
+    partitions x queries x k rows), never the full N x Q scored set -- the
+    local reducer (MapInPandas) has to sit below the window's exchange."""
+    df = registry.get("knn_cosine_topk").fn(spark, sf_dir)
+    plan = P.formatted_plan(df)
+    assert "MapInPandas" in plan, "local top-k reducer disappeared"
+    assert "Window" in plan
+    # the local reducer must be upstream of the window's shuffle: after the
+    # (single) Exchange only the bounded survivor set flows
+    window_pos = plan.index("Window")
+    assert "MapInPandas" in plan[window_pos:] or plan.index("MapInPandas") > window_pos, (
+        "MapInPandas must feed the Window (tree prints leaves below operators)"
+    )
+
+
 def test_gapfill_spine_join_broadcasts(spark, sf_dir):
     """The dense hour spine is O(hours); its join with the hourly aggregate
     must be a broadcast, never a sort-merge over the fact table."""
