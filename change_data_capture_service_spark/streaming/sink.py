@@ -99,49 +99,48 @@ class TableRoutingSink:
         write_format_marker(self.out_dir, fmt)
 
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
-        batch_df = batch_df.persist()
-        try:
-            # malformed wire rows (schema-less JSON decodes to null fields,
-            # crafted names would escape the sink dir) route to a dead-letter
-            # dir instead of silently vanishing -- the observable version of
-            # the reference's skip-malformed behavior
-            # (cmd/es_consumer/main.go:66-71)
-            # NULL-safe: rlike(NULL) is NULL, so the isNull() terms must be
-            # present for the OR to collapse to TRUE on null names
-            malformed = (
-                F.col("op").isNull()
-                | F.col("schema_name").isNull()
-                | F.col("table_name").isNull()
-                | ~F.col("schema_name").rlike(_SAFE_NAME)
-                | ~F.col("table_name").rlike(_SAFE_NAME)
-            )
-            (
-                batch_df.filter(malformed)
-                .write.mode("overwrite")
-                .format(self.fmt)
-                .save(f"{self.out_dir}/_dead_letter/ingest_batch={epoch_id}")
-            )
-            (
-                batch_df.filter(~malformed)
-                .write.mode("overwrite")  # idempotent replay of this epoch
-                .partitionBy("schema_name", "table_name")
-                .format(self.fmt)
-                .save(f"{self.out_dir}/ingest/ingest_batch={epoch_id}")
-            )
-        finally:
-            batch_df.unpersist()
+        # malformed wire rows (schema-less JSON decodes to null fields,
+        # crafted names would escape the sink dir) route to the ok=false
+        # partition instead of silently vanishing -- the observable version
+        # of the reference's skip-malformed behavior
+        # (cmd/es_consumer/main.go:66-71).
+        # NULL-safe: rlike(NULL) is NULL, so the isNull() terms must be
+        # present for the OR to collapse to TRUE on null names.
+        malformed = (
+            F.col("op").isNull()
+            | F.col("schema_name").isNull()
+            | F.col("table_name").isNull()
+            | ~F.col("schema_name").rlike(_SAFE_NAME)
+            | ~F.col("table_name").rlike(_SAFE_NAME)
+        )
+        # ONE pass over the batch: dead letters are just the ok=false
+        # partition of the same write (a separate filtered dead-letter write
+        # would re-scan every batch a second time). Spark percent-escapes
+        # partition values on write, so even a hostile table_name cannot
+        # traverse outside the epoch directory.
+        (
+            batch_df.withColumn("ok", ~malformed)
+            .write.mode("overwrite")  # idempotent replay of this epoch
+            .partitionBy("ok", "schema_name", "table_name")
+            .format(self.fmt)
+            .save(f"{self.out_dir}/ingest/ingest_batch={epoch_id}")
+        )
 
 
 def read_dead_letters(spark: SparkSession, out_dir: str, fmt: str | None = None) -> DataFrame:
+    """Malformed rows = the ``ok=false`` partition of the ingest log
+    (partition-pruned: only dead-letter directories are listed)."""
     fmt = resolve_format(out_dir, fmt)
-    path = f"{out_dir.rstrip('/')}/_dead_letter"
-    if not os.path.isdir(path):
+    ingest = f"{out_dir.rstrip('/')}/ingest"
+    if not os.path.isdir(ingest):
         return spark.createDataFrame([], env.ENVELOPE_SCHEMA)
+    cols = [f.name for f in env.ENVELOPE_SCHEMA.fields]
     return (
-        spark.read.schema(env.ENVELOPE_SCHEMA)
-        .option("recursiveFileLookup", "true")
+        spark.read.schema(_INGEST_SCHEMA)
         .format(fmt)
-        .load(path)
+        .load(ingest)
+        .filter(~F.col("ok"))
+        .select(*cols)
     )
 
 
@@ -200,7 +199,7 @@ def compact_event_log(
     os.makedirs(os.path.dirname(comp_dir), exist_ok=True)
     os.rename(tmp, comp_dir)
     for p in glob.glob(
-        f"{root}/ingest/ingest_batch=*/schema_name={schema_name}/table_name={table_name}"
+        f"{root}/ingest/ingest_batch=*/ok=true/schema_name={schema_name}/table_name={table_name}"
     ):
         shutil.rmtree(p)
     return n
@@ -209,7 +208,11 @@ def compact_event_log(
 # user schema for the partitioned ingest read: envelope fields + the
 # partition columns' types (values come from directory names)
 _INGEST_SCHEMA = T.StructType(
-    list(env.ENVELOPE_SCHEMA.fields) + [T.StructField("ingest_batch", T.LongType(), True)]
+    list(env.ENVELOPE_SCHEMA.fields)
+    + [
+        T.StructField("ingest_batch", T.LongType(), True),
+        T.StructField("ok", T.BooleanType(), True),
+    ]
 )
 
 
@@ -230,7 +233,9 @@ def read_event_log(
             .format(fmt)
             .load(ingest)
             .filter(
-                (F.col("schema_name") == schema_name) & (F.col("table_name") == table_name)
+                F.col("ok")
+                & (F.col("schema_name") == schema_name)
+                & (F.col("table_name") == table_name)
             )
             .select(*cols)
         )
@@ -260,12 +265,18 @@ def latest_state_view(
     the latest truncate. max_by aggregation => map-side partial reduction,
     one shuffle regardless of log length."""
     log = read_event_log(spark, out_dir, schema_name, table_name, fmt)
-    trunc_lsn = (
-        log.filter(F.col("op") == "truncate")
-        .agg(F.coalesce(F.max("lsn"), F.lit(-1)).alias("m"))
-        .collect()[0]["m"]
-    )  # scalar control value, not data
-    rows = log.filter((F.col("op") != "truncate") & (F.col("lsn") > F.lit(trunc_lsn)))
+    # the truncate fence is a 1-row aggregate broadcast against the log --
+    # no driver-side collect, so the whole view is ONE job instead of a
+    # fence-lookup job followed by the real one
+    fence = log.filter(F.col("op") == "truncate").agg(F.max("lsn").alias("trunc_lsn"))
+    rows = (
+        log.crossJoin(F.broadcast(fence))
+        .filter(
+            (F.col("op") != "truncate")
+            & (F.col("trunc_lsn").isNull() | (F.col("lsn") > F.col("trunc_lsn")))
+        )
+        .drop("trunc_lsn")
+    )
     latest = (
         rows.groupBy("key")
         .agg(

@@ -196,8 +196,12 @@ def test_multi_table_routing(spark, tmp_path, users_df):
     pipe.snapshot(orders, "public", "orders", pk_cols=["oid"])
     pipe.run_available()
 
-    assert glob.glob(f"{pipe.sink_dir}/ingest/ingest_batch=*/schema_name=public/table_name=users")
-    assert glob.glob(f"{pipe.sink_dir}/ingest/ingest_batch=*/schema_name=public/table_name=orders")
+    assert glob.glob(
+        f"{pipe.sink_dir}/ingest/ingest_batch=*/ok=true/schema_name=public/table_name=users"
+    )
+    assert glob.glob(
+        f"{pipe.sink_dir}/ingest/ingest_batch=*/ok=true/schema_name=public/table_name=orders"
+    )
     assert read_event_log(spark, pipe.sink_dir, "public", "users").count() == 3
     assert read_event_log(spark, pipe.sink_dir, "public", "orders").count() == 1
 
