@@ -1,0 +1,188 @@
+"""Corpus-curation operators beyond dedup (SURVEY.md §2.2 north-star
+extension): benchmark decontamination, incremental dedup against an
+already-ingested corpus, and token-budget mixture sampling -- the three
+jobs a training-data pipeline runs between "raw crawl" and "training set"
+that the dedup/text suites don't cover.
+
+Scale design shared by all three:
+- the *small* relation (benchmark shingle set, per-lang budget table) is
+  broadcast; the corpus never shuffles for it;
+- the *large*-vs-large case (incremental dedup) joins 32-byte content
+  digests, never document bodies;
+- everything is JVM built-ins (split/transform/sequence/window) -- no
+  Python in any hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table, spread
+from ..registry import register
+from .dedup import TOKENS, _shingles, _tokens
+
+# Benchmark membership for the decontamination demo: every 20th doc plays
+# the held-out eval set. Deterministic and engine-independent.
+_BENCH_PRED = "doc_id % 20 = 0"
+
+# duckdb-side 8-gram shingles over TOKENS (1-indexed lists; range(a,b) is
+# half-open, so i runs 1..len-7 and toks[i+7] reaches the last token)
+_ORACLE_8GRAMS = f"""
+    WITH toks AS (
+      SELECT doc_id, {TOKENS} AS toks FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(toks) - 6),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+                 || ' ' || toks[i+4] || ' ' || toks[i+5] || ' ' || toks[i+6] || ' ' || toks[i+7]
+             )) AS shingles
+      FROM toks WHERE len(toks) >= 8
+    )
+"""
+
+
+@register(
+    "decontaminate_ngram",
+    tags=("curation", "northstar"),
+    oracle=_ORACLE_8GRAMS
+    + f"""
+    , bench AS (
+      SELECT DISTINCT unnest(shingles) AS shingle FROM sh WHERE {_BENCH_PRED}
+    ),
+    train AS (
+      SELECT doc_id, unnest(shingles) AS shingle FROM sh WHERE NOT ({_BENCH_PRED})
+    )
+    SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_hit_shingles
+    FROM train t JOIN bench b ON t.shingle = b.shingle
+    GROUP BY t.doc_id
+    """,
+)
+def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training documents sharing any word
+    8-gram with the held-out benchmark set, with the count of distinct
+    colliding shingles (the Gopher/GPT-3-style n-gram overlap check).
+
+    100 TB shape: the benchmark side is fixed and tiny (eval suites are
+    thousands of documents), so its distinct shingle set BROADCASTS; the
+    corpus explodes its shingles map-side and hash-joins locally -- the
+    corpus is scanned once and never shuffled. Per-doc shingle arrays are
+    already distinct, so the per-doc hit count needs no DISTINCT."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    sh = (
+        d.select("doc_id", _tokens().alias("toks"))
+        .filter(F.size("toks") >= 8)
+        .select("doc_id", _shingles(F.col("toks"), 8).alias("shingles"))
+    )
+    is_bench = F.expr(_BENCH_PRED)
+    bench = (
+        sh.filter(is_bench)
+        .select(F.explode("shingles").alias("shingle"))
+        .distinct()
+    )
+    train = sh.filter(~is_bench).select("doc_id", F.explode("shingles").alias("shingle"))
+    return (
+        train.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hit_shingles"))
+    )
+
+
+@register(
+    "dedup_incremental",
+    tags=("curation", "dedup", "northstar"),
+    oracle="""
+    WITH hashed AS (
+      SELECT doc_id, sha256(text) AS content_sha FROM documents
+    ),
+    batch AS (
+      SELECT content_sha, CAST(min(doc_id) AS BIGINT) AS doc_id
+      FROM hashed WHERE doc_id >= 400 GROUP BY content_sha
+    )
+    SELECT b.doc_id, b.content_sha
+    FROM batch b
+    WHERE NOT EXISTS (
+      SELECT 1 FROM hashed s WHERE s.doc_id < 400 AND s.content_sha = b.content_sha
+    )
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup: a new ingest batch (doc_id >= 400) deduped
+    first within itself (min-doc_id survivor per content hash), then
+    anti-joined against the already-ingested corpus (doc_id < 400).
+
+    This is how exact dedup actually runs day-to-day at 100 TB: the seen
+    set is a persisted relation of 32-byte digests, each arriving batch
+    reduces to its own digest set, and the anti-join shuffles digests only
+    -- document bodies never move. (A full-corpus re-dedup per batch, like
+    ``dedup_exact`` over everything, re-reads the whole corpus every
+    time.)"""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.sha2(F.col("text"), 256).alias("content_sha")
+    )
+    seen = d.filter(F.col("doc_id") < 400).select("content_sha")
+    batch = (
+        d.filter(F.col("doc_id") >= 400)
+        .groupBy("content_sha")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    return batch.join(seen, "content_sha", "left_anti").select("doc_id", "content_sha")
+
+
+@register(
+    "sample_token_mixture",
+    tags=("curation", "northstar"),
+    oracle=f"""
+    WITH counted AS (
+      SELECT doc_id, lang,
+             CAST(len({TOKENS}) AS BIGINT) AS n_tokens,
+             md5(CAST(doc_id AS VARCHAR)) AS pick_order
+      FROM documents
+    ),
+    running AS (
+      SELECT doc_id, lang, n_tokens,
+             CAST(sum(n_tokens) OVER (
+               PARTITION BY lang ORDER BY pick_order, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cum_tokens,
+             CASE lang WHEN 'en' THEN 4000 WHEN 'de' THEN 2000 WHEN 'es' THEN 2000
+                       ELSE 1500 END AS budget
+      FROM counted
+    )
+    SELECT doc_id, lang, n_tokens, cum_tokens
+    FROM running WHERE cum_tokens <= budget
+    """,
+)
+def sample_token_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture sampling: fill a per-language token budget
+    (the training-mix weights) by taking documents in deterministic
+    hash order until each language's budget is exhausted.
+
+    Hash-order pick (md5 of doc_id) gives the same sample on any engine
+    and any partitioning -- seed-based sampling cannot. One shuffle on
+    lang; the running sum is an in-partition window. At corpus scale the
+    stratum key becomes (lang, shard) with per-shard budget slices so no
+    partition outgrows an executor -- same sub-sharding as
+    ``pack_token_budget``."""
+    d = load_table(spark, sf_dir, "documents")
+    counted = d.select(
+        "doc_id",
+        "lang",
+        F.size(_tokens()).cast("long").alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("pick_order"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("pick_order", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    budget = F.expr(
+        "CASE lang WHEN 'en' THEN 4000 WHEN 'de' THEN 2000 WHEN 'es' THEN 2000 "
+        "ELSE 1500 END"
+    )
+    return (
+        counted.withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("long"))
+        .filter(F.col("cum_tokens") <= budget)
+        .select("doc_id", "lang", "n_tokens", "cum_tokens")
+    )

@@ -55,6 +55,7 @@ _QUERY_MODULES = [
     "change_data_capture_service_spark.operators.setops",
     "change_data_capture_service_spark.operators.timeseries",
     "change_data_capture_service_spark.operators.sort",
+    "change_data_capture_service_spark.operators.curation",
     "change_data_capture_service_spark.operators.sqlapi",
     "change_data_capture_service_spark.operators.udfs",
     "change_data_capture_service_spark.streaming.windows",
