@@ -232,6 +232,41 @@ def test_crafted_table_name_cannot_escape_sink(spark, tmp_path, users_df):
     assert pipe.latest_state("public", "users").count() == 3  # stream survived
 
 
+def test_schema_evolution_new_column(spark, tmp_path, users_df):
+    """R2 schema capture under evolution: the string-degraded map payload
+    carries columns the catalog doesn't know yet, so adding a column
+    upstream never breaks ingestion -- re-declaring the catalog schema
+    surfaces it, with NULL for rows from before the change."""
+    from pyspark.sql import types as T
+
+    pipe = _mk_pipeline(spark, tmp_path)
+    pipe.snapshot(users_df, "public", "users")
+    wide = spark.createDataFrame(
+        [(5, "eve", "eve@e.io", 30)], "id long, name string, email string, age long"
+    )
+    env.encode(
+        wide,
+        op="insert",
+        schema_name="public",
+        table_name="users",
+        pk_cols=["id"],
+        lsn=F.lit(500),
+        ts=F.lit("2024-02-03 00:00:00").cast("timestamp"),
+    ).write.mode("append").json(pipe.changelog_dir)
+    pipe.run_available()
+
+    # catalog still at the old shape: pipeline works, new column invisible
+    assert pipe.latest_state("public", "users").count() == 4
+
+    # evolve the declared schema; pre-evolution rows read NULL for age
+    pipe.catalog["users"] = T.StructType(
+        list(pipe.catalog["users"].fields) + [T.StructField("age", T.LongType())]
+    )
+    state = {r["id"]: r["age"] for r in pipe.latest_state("public", "users").collect()}
+    assert state[5] == 30
+    assert state[1] is None and state[2] is None and state[3] is None
+
+
 def test_dead_letter_routing(spark, tmp_path, users_df):
     """Malformed wire rows land in _dead_letter, not the void."""
     from change_data_capture_service_spark.streaming.sink import read_dead_letters
