@@ -85,6 +85,73 @@ def jdbc_snapshot_reader(
     return reader
 
 
+def zorder_key(df: DataFrame, cols: list[str], bits: int = 10):
+    """Interleaved-bits (Morton) sort key over numeric columns.
+
+    Each column is min-max scaled to ``[0, 2^bits)`` using a 1-row bounds
+    aggregate broadcast against the data (no driver collect), then the
+    scaled values' bits interleave: bit b of column i lands at position
+    ``b * len(cols) + i``. Sorting by the result clusters rows so every
+    output file covers a small HYPER-RECTANGLE of the key space instead of
+    a slab -- parquet min/max stats then prune scans for predicates on ANY
+    clustered dimension, which single-key range clustering only gives the
+    leading key. Pure JVM bit arithmetic (shift/and/or), codegen'd.
+
+    Returns (df_with_bounds, zkey_column); callers drop the helper bound
+    columns after sorting."""
+    from pyspark.sql import functions as F
+
+    bounds = df.agg(
+        *[F.min(c).cast("double").alias(f"__{c}_min") for c in cols],
+        *[F.max(c).cast("double").alias(f"__{c}_max") for c in cols],
+    )
+    with_bounds = df.crossJoin(F.broadcast(bounds))
+    top = (1 << bits) - 1
+    z = F.lit(0).cast("long")
+    for i, c in enumerate(cols):
+        span = F.col(f"__{c}_max") - F.col(f"__{c}_min")
+        scaled = (
+            F.when(
+                span > 0,
+                F.floor((F.col(c).cast("double") - F.col(f"__{c}_min")) / span * top),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
+        for b in range(bits):
+            z = z.bitwiseOR(
+                F.shiftleft(F.shiftright(scaled, b).bitwiseAND(F.lit(1)), b * len(cols) + i)
+            )
+    return with_bounds, z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cluster_by: list[str],
+    num_files: int | None = None,
+    bits: int = 10,
+    fmt: str = "parquet",
+) -> None:
+    """Z-order clustered write: range-partition + sort on the Morton key so
+    multi-dimensional predicates prune files.
+
+    ``write_clustered`` (linear range clustering) makes the LEADING key
+    prunable and leaves every other dimension spanning the full range per
+    file; Z-ordering trades a little leading-key locality for bounded
+    per-file spans in every clustered dimension -- with F files, each
+    dimension's per-file span shrinks to roughly F^(-1/d) of its range.
+    Use it when scans filter on several independent columns (e.g.
+    time x tenant, user x score)."""
+    with_bounds, z = zorder_key(df, cluster_by, bits=bits)
+    keyed = with_bounds.withColumn("__zkey", z)
+    out = keyed.repartitionByRange(*([num_files] if num_files else []), "__zkey")
+    out = out.sortWithinPartitions("__zkey")
+    drop = ["__zkey"] + [f"__{c}_min" for c in cluster_by] + [f"__{c}_max" for c in cluster_by]
+    out = out.drop(*drop)
+    out.write.format(fmt).mode("overwrite").save(path)
+
+
 def write_clustered(
     df: DataFrame,
     path: str,

@@ -59,3 +59,54 @@ def test_write_clustered_gives_disjoint_file_ranges(spark, sf_dir, tmp_path):
     # and the round-trip preserves the data
     back = spark.read.parquet(out)
     assert back.count() == orders.count()
+
+
+def test_write_zordered_bounds_every_dimension(spark, sf_dir, tmp_path):
+    """Z-order vs linear clustering on (o_custkey, o_totalprice): linear
+    range clustering on o_custkey leaves o_totalprice spanning ~the full
+    range in every file; the Morton key bounds the per-file span in BOTH
+    dimensions, which is what lets parquet stats prune on either
+    predicate."""
+    import glob as g
+
+    import pyarrow.parquet as pq
+
+    from change_data_capture_service_spark.catalog import load_table
+    from change_data_capture_service_spark.sources.files import (
+        write_clustered,
+        write_zordered,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    n_files = 16
+
+    def file_span_fractions(out: str, col: str) -> list[float]:
+        vals = [r[0] for r in orders.select(col).collect()]
+        glo, ghi = float(min(vals)), float(max(vals))
+        fracs = []
+        for f in sorted(g.glob(f"{out}/part-*.parquet")):
+            c = pq.read_table(f, columns=[col]).column(col).to_pylist()
+            if c:
+                fracs.append((float(max(c)) - float(min(c))) / (ghi - glo))
+        return fracs
+
+    zout = str(tmp_path / "zordered")
+    write_zordered(orders, zout, ["o_custkey", "o_totalprice"], num_files=n_files)
+    lout = str(tmp_path / "linear")
+    write_clustered(orders, lout, ["o_custkey"], num_files=n_files)
+
+    z_key = file_span_fractions(zout, "o_custkey")
+    z_price = file_span_fractions(zout, "o_totalprice")
+    l_price = file_span_fractions(lout, "o_totalprice")
+    assert len(z_key) >= 4
+
+    # every z-file covers a bounded rectangle: both dims well under the
+    # full range on average (16 files in 2-D -> ~1/4 span per dim)
+    avg = lambda xs: sum(xs) / len(xs)  # noqa: E731
+    assert avg(z_key) < 0.6, f"zorder custkey spans {avg(z_key):.2f}"
+    assert avg(z_price) < 0.6, f"zorder price spans {avg(z_price):.2f}"
+    # while the linear layout can't bound the non-leading dimension
+    assert avg(l_price) > avg(z_price), "z-order should beat linear on dim 2"
+
+    back = spark.read.parquet(zout)
+    assert back.count() == orders.count()
