@@ -4,6 +4,11 @@ Determinism rule: every ORDER BY inside a window ends with a unique key
 (o_orderkey / event_id) so ranks, frames, and offsets are reproducible
 across engines. Running/moving float aggregates accumulate in DECIMAL and
 cast to DOUBLE, mirrored in the oracles, for bit-stable results.
+
+Registration order is part of the driver contract: the correctness driver
+checks keys in registration order under a bounded budget, so the keys
+without a CORRECTNESS row yet (cume_dist .. range_interval, unchecked in
+r01) register before the seven already proven there.
 """
 
 from __future__ import annotations
@@ -18,6 +23,147 @@ def _by_cust_price():
     # built lazily: Column exprs need an active SparkContext
     return Window.partitionBy("o_custkey").orderBy(
         F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+
+
+@register(
+    "win_cume_dist",
+    tags=("window",),
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           round(cume_dist() OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey), 6) AS cd,
+           round(percent_rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey), 6) AS pr
+    FROM orders
+    """,
+)
+def win_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cume_dist / percent_rank per customer (unique-key tiebreak; both are
+    exact rationals of row counts, rounded identically in both engines)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+    )
+
+
+@register(
+    "win_first_last",
+    tags=("window",),
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           first_value(event_type) OVER (PARTITION BY user_id ORDER BY event_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_type,
+           last_value(event_type)  OVER (PARTITION BY user_id ORDER BY event_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_type
+    FROM events
+    """,
+)
+def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value/last_value with an explicit full-partition frame (the
+    default frame would make last_value = current row -- classic trap)."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.first("event_type").over(w).alias("first_type"),
+        F.last("event_type").over(w).alias("last_type"),
+    )
+
+
+@register(
+    "win_range_frame",
+    tags=("window",),
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderdate,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+                      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS cum_price
+    FROM orders
+    """,
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame (vs ROWS): peers with equal order keys share one frame
+    value, so the cumulative sum is well-defined even when o_orderdate
+    ties -- no unique-key tiebreaker needed, unlike every ROWS-frame query
+    in this module. Decimal accumulation keeps both engines bit-equal."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double").alias("cum_price"),
+    )
+
+
+@register(
+    "win_percent_nth",
+    tags=("window",),
+    oracle="""
+    SELECT c_custkey, c_acctbal,
+           round(percent_rank() OVER w, 6) AS pr,
+           nth_value(c_custkey, 3) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND UNBOUNDED FOLLOWING) AS third_cust
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def win_percent_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank + nth_value (full-partition frame). The c_custkey
+    tiebreaker makes both deterministic; nth_value needs the explicit
+    unbounded frame or rows past the 3rd see NULL."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return c.select(
+        "c_custkey",
+        "c_acctbal",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.nth_value("c_custkey", 3).over(wf).alias("third_cust"),
+    )
+
+
+@register(
+    "win_range_interval",
+    tags=("window",),
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderdate,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE)
+             RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS rev_30d
+    FROM orders
+    """,
+)
+def win_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based sliding frame: 30-day trailing revenue per customer.
+    Spark's rangeBetween takes numeric offsets, so the ORDER BY key is the
+    day number (datediff from epoch) and the frame is (-30, 0) -- exactly
+    DuckDB's RANGE INTERVAL 30 DAYS. Same-day orders are frame peers in
+    both engines, so the sum is well-defined under date ties."""
+    o = load_table(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+    w = Window.partitionBy("o_custkey").orderBy(day).rangeBetween(-30, 0)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double").alias("rev_30d"),
     )
 
 
@@ -168,144 +314,3 @@ def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     w = Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
     return c.select("c_custkey", "c_acctbal", F.ntile(4).over(w).alias("quartile"))
-
-
-@register(
-    "win_cume_dist",
-    tags=("window",),
-    oracle="""
-    SELECT o_orderkey, o_custkey, o_totalprice,
-           round(cume_dist() OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey), 6) AS cd,
-           round(percent_rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey), 6) AS pr
-    FROM orders
-    """,
-)
-def win_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """cume_dist / percent_rank per customer (unique-key tiebreak; both are
-    exact rationals of row counts, rounded identically in both engines)."""
-    o = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
-    return o.select(
-        "o_orderkey",
-        "o_custkey",
-        "o_totalprice",
-        F.round(F.cume_dist().over(w), 6).alias("cd"),
-        F.round(F.percent_rank().over(w), 6).alias("pr"),
-    )
-
-
-@register(
-    "win_first_last",
-    tags=("window",),
-    oracle="""
-    SELECT event_id, user_id, event_type,
-           first_value(event_type) OVER (PARTITION BY user_id ORDER BY event_id
-                                         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_type,
-           last_value(event_type)  OVER (PARTITION BY user_id ORDER BY event_id
-                                         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_type
-    FROM events
-    """,
-)
-def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """first_value/last_value with an explicit full-partition frame (the
-    default frame would make last_value = current row -- classic trap)."""
-    e = load_table(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    )
-    return e.select(
-        "event_id",
-        "user_id",
-        "event_type",
-        F.first("event_type").over(w).alias("first_type"),
-        F.last("event_type").over(w).alias("last_type"),
-    )
-
-
-@register(
-    "win_range_frame",
-    tags=("window",),
-    oracle="""
-    SELECT o_orderkey, o_custkey, o_orderdate,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
-                OVER (PARTITION BY o_custkey ORDER BY o_orderdate
-                      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
-             AS cum_price
-    FROM orders
-    """,
-)
-def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RANGE frame (vs ROWS): peers with equal order keys share one frame
-    value, so the cumulative sum is well-defined even when o_orderdate
-    ties -- no unique-key tiebreaker needed, unlike every ROWS-frame query
-    in this module. Decimal accumulation keeps both engines bit-equal."""
-    o = load_table(spark, sf_dir, "orders")
-    w = (
-        Window.partitionBy("o_custkey")
-        .orderBy("o_orderdate")
-        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return o.select(
-        "o_orderkey",
-        "o_custkey",
-        "o_orderdate",
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double").alias("cum_price"),
-    )
-
-
-@register(
-    "win_percent_nth",
-    tags=("window",),
-    oracle="""
-    SELECT c_custkey, c_acctbal,
-           round(percent_rank() OVER w, 6) AS pr,
-           nth_value(c_custkey, 3) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
-                                         AND UNBOUNDED FOLLOWING) AS third_cust
-    FROM customer
-    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
-    """,
-)
-def win_percent_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """percent_rank + nth_value (full-partition frame). The c_custkey
-    tiebreaker makes both deterministic; nth_value needs the explicit
-    unbounded frame or rows past the 3rd see NULL."""
-    c = load_table(spark, sf_dir, "customer")
-    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
-    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    return c.select(
-        "c_custkey",
-        "c_acctbal",
-        F.round(F.percent_rank().over(w), 6).alias("pr"),
-        F.nth_value("c_custkey", 3).over(wf).alias("third_cust"),
-    )
-
-
-@register(
-    "win_range_interval",
-    tags=("window",),
-    oracle="""
-    SELECT o_orderkey, o_custkey, o_orderdate,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
-             PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE)
-             RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW
-           ) AS DOUBLE) AS rev_30d
-    FROM orders
-    """,
-)
-def win_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Time-based sliding frame: 30-day trailing revenue per customer.
-    Spark's rangeBetween takes numeric offsets, so the ORDER BY key is the
-    day number (datediff from epoch) and the frame is (-30, 0) -- exactly
-    DuckDB's RANGE INTERVAL 30 DAYS. Same-day orders are frame peers in
-    both engines, so the sum is well-defined under date ties."""
-    o = load_table(spark, sf_dir, "orders")
-    day = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
-    w = Window.partitionBy("o_custkey").orderBy(day).rangeBetween(-30, 0)
-    return o.select(
-        "o_orderkey",
-        "o_custkey",
-        "o_orderdate",
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double").alias("rev_30d"),
-    )
