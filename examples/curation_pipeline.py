@@ -7,7 +7,8 @@ the way a 100 TB pre-training data pipeline chains them.
 2. near-dup clustering: MinHash-LSH pairs -> connected components ->
    keep one representative per cluster
 3. quality + language filtering (heuristic scores, stopword lang-ID)
-4. deterministic held-out split (md5-threshold sampling)
+4. deterministic held-out split (md5-threshold sampling), then
+   benchmark decontamination of the training split (8-gram overlap)
 5. token-budget sequence packing per language stratum
 6. range-clustered write of the final corpus
 
@@ -67,6 +68,32 @@ def main() -> None:
     train = docs.filter(digest >= "1a")
     n4h, n4t = heldout.count(), train.count()
 
+    # 4b. decontaminate: drop training docs sharing any word 8-gram with
+    #     the held-out split (the benchmark-overlap check, broadcast side =
+    #     the small held-out shingle set)
+    def shingles8(df):
+        toks = F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+        idx = F.sequence(F.lit(0), F.size(toks) - 8)
+        grams = F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(8)]
+            ),
+        )
+        return df.filter(F.size(toks) >= 8).select(
+            "doc_id", F.explode(F.array_distinct(grams)).alias("shingle")
+        )
+
+    bench_shingles = shingles8(heldout).select("shingle").distinct()
+    contaminated = (
+        shingles8(train)
+        .join(F.broadcast(bench_shingles), "shingle")
+        .select("doc_id")
+        .distinct()
+    )
+    train = train.join(contaminated, "doc_id", "left_anti")
+    n4c = train.count()
+
     # 5. pack the training split into 2048-token sequences per language
     from pyspark.sql import Window
 
@@ -94,6 +121,7 @@ def main() -> None:
     print(f"after near-dup drop  : {n2}  (-{n1 - n2})")
     print(f"after quality gate   : {n3}  (-{n2 - n3})")
     print(f"held-out / train     : {n4h} / {n4t}")
+    print(f"after decontaminate  : {n4c}  (-{n4t - n4c})")
     print(f"packed sequences     : {n_packs} packs of <=2048 tokens")
     print(f"clustered corpus at  : {out}/train")
 
