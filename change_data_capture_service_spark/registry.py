@@ -56,6 +56,7 @@ _QUERY_MODULES = [
     "change_data_capture_service_spark.operators.timeseries",
     "change_data_capture_service_spark.operators.sort",
     "change_data_capture_service_spark.operators.curation",
+    "change_data_capture_service_spark.operators.analytics",
     "change_data_capture_service_spark.operators.sqlapi",
     "change_data_capture_service_spark.operators.udfs",
     "change_data_capture_service_spark.streaming.windows",
