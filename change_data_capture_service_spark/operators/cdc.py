@@ -298,3 +298,43 @@ def decode_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d.user_id").alias("user_user_id"),
         F.col("d.event_type").alias("user_event_type"),
     )
+
+
+@register(
+    "cdc_scd2",
+    tags=("cdc", "analytics"),
+    oracle="""
+    SELECT user_id,
+           event_id AS version_id,
+           value,
+           ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+           CASE WHEN lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                THEN 1 ELSE 0 END AS is_current
+    FROM events
+    WHERE event_type = 'purchase'
+    """,
+)
+def cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history from a change log: each change becomes a version
+    row with a [valid_from, valid_to) interval; the open interval marks the
+    current version. THE standard materialization of a CDC log for
+    downstream analytics ("what was the value as of T" = one range
+    predicate, no log replay).
+
+    One keyed shuffle: lead() over (key, change order) closes each version
+    with the next one's start. At 100 TB the window partitions by key, so
+    state per task is one row -- the log length per key never matters."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    valid_to = F.lead("ts").over(w)
+    return e.select(
+        "user_id",
+        F.col("event_id").alias("version_id"),
+        "value",
+        F.col("ts").alias("valid_from"),
+        valid_to.alias("valid_to"),
+        valid_to.isNull().cast("int").alias("is_current"),
+    )

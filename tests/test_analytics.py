@@ -38,6 +38,22 @@ def test_retention_week_zero_has_every_user(spark, sf_dir):
     assert week0 == n_users
 
 
+def test_scd2_intervals_chain_per_key(spark, sf_dir):
+    """Exactly one open (current) version per key, and each closed version's
+    valid_to equals some later version's valid_from (the intervals tile the
+    key's timeline with no gaps)."""
+    df = registry.get("cdc_scd2").fn(spark, sf_dir)
+    per_key = df.groupBy("user_id").agg(
+        F.sum("is_current").alias("n_current"),
+        F.count("*").alias("n_versions"),
+    )
+    assert per_key.filter(F.col("n_current") != 1).count() == 0
+    closed = df.filter(F.col("valid_to").isNotNull())
+    starts = df.select("user_id", F.col("valid_from").alias("valid_to"))
+    dangling = closed.join(starts, ["user_id", "valid_to"], "left_anti")
+    assert dangling.count() == 0
+
+
 def test_anomaly_mad_broadcasts_thresholds(spark, sf_dir):
     df = registry.get("anomaly_mad").fn(spark, sf_dir)
     assert P.uses_broadcast_join(df), "per-type MAD thresholds must broadcast"
