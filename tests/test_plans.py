@@ -44,6 +44,16 @@ def test_topk_avoids_global_sort(spark, sf_dir):
     assert "TakeOrderedAndProject" in P.formatted_plan(df)
 
 
+def test_topk_per_group_prunes_map_side(spark, sf_dir):
+    """rank-limit pushdown (WindowGroupLimit) must keep only k rows per
+    group BEFORE the shuffle -- without it the exchange carries every row
+    of every group to the window sort."""
+    df = registry.get("topk_per_group").fn(spark, sf_dir)
+    plan = P.formatted_plan(df)
+    assert "WindowGroupLimit" in plan, "rank-limit pushdown lost"
+    assert P.count_shuffles(df) == 1
+
+
 def test_hash_sampling_is_shuffle_free(spark, sf_dir):
     """Deterministic sampling must stay a pure scan+filter: zero exchanges,
     and the projection pruned to the selected columns."""
