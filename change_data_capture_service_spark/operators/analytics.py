@@ -154,7 +154,7 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT e.event_id, e.event_type, e.value,
            round(abs(e.value - mad.m) / (1.4826 * mad.mad), 6) AS score
     FROM events e JOIN mad ON e.event_type = mad.event_type
-    WHERE abs(e.value - mad.m) / (1.4826 * mad.mad) > 3
+    WHERE mad.mad > 0 AND abs(e.value - mad.m) / (1.4826 * mad.mad) > 3
     """,
 )
 def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -175,10 +175,14 @@ def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.first("m").alias("m"),
         )
     )
+    # mad == 0 (majority of a type at the median) would divide by zero:
+    # Spark yields NULL (row dropped), DuckDB yields inf (row kept) -- a
+    # silent engine/oracle divergence. Excluding degenerate groups
+    # explicitly, identically on both sides, keeps semantics defined.
     score = F.abs(F.col("value") - F.col("m")) / (1.4826 * F.col("mad"))
     return (
         e.join(F.broadcast(mad), "event_type")
-        .filter(score > 3)
+        .filter((F.col("mad") > 0) & (score > 3))
         .select(
             "event_id",
             "event_type",

@@ -306,3 +306,91 @@ def join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_acctbal",
         "n_orders",
     )
+
+
+@register(
+    "join_skew_salted",
+    tags=("join", "scale"),
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, o.o_custkey, o.o_totalprice
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted equi-join, result-identical to the plain join (the
+    oracle IS the plain join): the fact side adds a deterministic salt
+    ``xxhash64(row) % S``, the build side replicates each key S times via
+    posexplode, and the join runs on (key, salt) -- a hot key's rows spread
+    over S reducers instead of one.
+
+    This is the manual fallback when AQE skew-join can't trigger (e.g.
+    skewed key feeding a window, or a build side too big to broadcast but
+    with few hot keys). S=8 here; at 100 TB pick S ~ (hot-key rows /
+    target-partition rows). Salting costs S× replication of the build side
+    only -- never the fact table."""
+    n_salt = 8
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    # deterministic per-row salt on the fact side (row identity, not rand())
+    fact = li.select("l_orderkey", "l_linenumber").withColumn(
+        "salt", F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(n_salt)).cast("int")
+    )
+    build = o.withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))))
+    return fact.join(build, (fact.l_orderkey == build.o_orderkey) & (fact.salt == build.salt)).select(
+        "l_orderkey", "l_linenumber", "o_custkey", "o_totalprice"
+    )
+
+
+@register(
+    "tpch_q3_shipping",
+    tags=("join", "agg", "headline"),
+    oracle="""
+    SELECT l.l_orderkey,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           o.o_orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      AND l.l_shipdate > TIMESTAMP '1998-01-01'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority, adapted to the fixture columns): top-10
+    unshipped-revenue orders for one market segment. The classic
+    filter-pushdown + broadcast + partial-agg showcase: both date filters
+    reach the parquet scans, the filtered customer dim broadcasts, lineitem
+    shuffles once on l_orderkey, and the final top-10 is
+    TakeOrderedAndProject. Decimal revenue accumulation on both engines."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp"))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        1 - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate")
+    )

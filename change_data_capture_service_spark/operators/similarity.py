@@ -249,3 +249,54 @@ def knn_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return cands.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= TOP_K)
+
+
+@register(
+    "embedding_norm_stats",
+    tags=("similarity", "northstar"),
+    oracle="""
+    WITH norms AS (
+      SELECT vec_id, label,
+             round(sqrt(list_sum(list_transform(embedding,
+                                                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6)
+               AS l2_norm
+      FROM embeddings
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(l2_norm AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_norm,
+           min(l2_norm) AS min_norm,
+           max(l2_norm) AS max_norm
+    FROM norms GROUP BY label
+    """,
+)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-table hygiene check: per-label L2-norm profile (count /
+    mean / min / max). Degenerate norms (0, inf, wild spread) are the
+    canonical symptom of a broken embedding job; this is the validation
+    query a pipeline runs before building any ANN index on the table.
+
+    The dot product folds JVM-side (aggregate over the array, sequential
+    left fold -- same order as DuckDB's list_sum, so bit-identical before
+    the shared round-6). Norms round THEN aggregate in DECIMAL, making the
+    group stats accumulation-order-independent; one partial-agg shuffle of
+    |labels| rows."""
+    e = load_table(spark, sf_dir, "embeddings")
+    norm = F.round(
+        F.sqrt(
+            F.expr(
+                "aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+                " 0D, (acc, x) -> acc + x)"
+            )
+        ),
+        6,
+    )
+    norms = e.select("vec_id", "label", norm.alias("l2_norm"))
+    return norms.groupBy("label").agg(
+        F.count("*").alias("n"),
+        (F.sum(F.col("l2_norm").cast("decimal(18,6)")).cast("double") / F.count("*")).alias(
+            "avg_norm"
+        ),
+        F.min("l2_norm").alias("min_norm"),
+        F.max("l2_norm").alias("max_norm"),
+    )

@@ -101,6 +101,15 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 10):
     columns after sorting."""
     from pyspark.sql import functions as F
 
+    # bit b of column i lands at position b*len(cols)+i in a signed long:
+    # past position 62 the key silently corrupts (sign bit / dropped bits)
+    # and clustering degrades with no error. Auto-shrink bits to fit.
+    max_bits = 62 // len(cols)
+    if bits > max_bits:
+        bits = max_bits
+    if bits < 1:
+        raise ValueError(f"zorder_key: too many cluster columns ({len(cols)}) for a 63-bit key")
+
     bounds = df.agg(
         *[F.min(c).cast("double").alias(f"__{c}_min") for c in cols],
         *[F.max(c).cast("double").alias(f"__{c}_max") for c in cols],

@@ -1,7 +1,8 @@
 """Simulate the grading driver: vanilla SparkSession -> __spark_entry__
 entry() smoke + every queries()[k] vs oracle_sql()[k] in DuckDB at sf0.01.
 
-Usage: python scripts/driver_sim.py [sf_dir]
+Usage: python scripts/driver_sim.py [sf_dir] [key1 key2 ...]
+With key args, only those queries run (entry smoke skipped).
 Exit code != 0 on any mismatch.
 """
 
@@ -37,9 +38,11 @@ def main() -> int:
     )  # deliberately vanilla: the driver does not apply engine confs
     import __spark_entry__ as E
 
-    n = E.entry(spark).count()
-    print(f"entry rows: {n}")
-    assert n > 0
+    only = set(sys.argv[2:])
+    if not only:
+        n = E.entry(spark).count()
+        print(f"entry rows: {n}")
+        assert n > 0
 
     con = duckdb.connect()
     for t in TABLES:
@@ -48,6 +51,8 @@ def main() -> int:
     qs, oracles = E.queries(), E.oracle_sql()
     bad = []
     for name, fn in sorted(qs.items()):
+        if only and name not in only:
+            continue
         try:
             sdf = fn(spark, sf).toPandas()
         except Exception as exc:  # noqa: BLE001
