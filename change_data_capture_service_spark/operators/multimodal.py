@@ -21,8 +21,15 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..registry import register
 
-# set True only in an environment with real codecs (PIL/librosa/ffmpeg)
-REAL_DECODERS_AVAILABLE = False
+# Import-probe: flips automatically where a real image codec exists. This
+# container ships none, so the deterministic fake path runs; deployments
+# with Pillow installed get the real decode with no code change.
+try:
+    import PIL  # noqa: F401
+
+    REAL_DECODERS_AVAILABLE = True
+except ImportError:
+    REAL_DECODERS_AVAILABLE = False
 
 
 @register(
@@ -66,24 +73,49 @@ def with_binary_payload(docs: DataFrame) -> DataFrame:
     )
 
 
-def decode_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def decode_features(
+    batches: Iterator[pd.DataFrame], force_fake: bool = False
+) -> Iterator[pd.DataFrame]:
     """mapInPandas decoder: binary payload -> feature row per doc.
 
-    Real path (stubbed): decode image bytes, resize, extract features.
-    Fake path (deterministic): byte-length + first/last byte + a byte-sum
-    checksum -- enough to prove batch shape, schema, and null handling."""
+    Real path (taken when Pillow is importable and ``force_fake`` is off):
+    decode image bytes, extract pixel features. Fake path (deterministic):
+    byte-length + first/last byte + a byte-sum checksum -- enough to prove
+    batch shape, schema, and null handling. The fixture-backed registered
+    query pins ``force_fake=True`` because its payloads are utf-8 text
+    stand-ins, not decodable images."""
+    use_real = REAL_DECODERS_AVAILABLE and not force_fake
     for pdf in batches:
-        yield (_decode_real if REAL_DECODERS_AVAILABLE else _decode_fake)(pdf)
+        yield (_decode_real if use_real else _decode_fake)(pdf)
 
 
 def _decode_real(pdf: pd.DataFrame) -> pd.DataFrame:
-    """The real codec path. This container ships no image/audio libraries,
-    so ``REAL_DECODERS_AVAILABLE`` is statically False and this stub is
-    unreachable; wiring a decoder means implementing this function and
-    flipping the flag to an import-probe (``try: import PIL``)."""
-    raise NotImplementedError(
-        "real image/audio decode requires codec libs (e.g. Pillow/av) "
-        "that are not installed in this environment"
+    """Pillow decode path (same DECODE_SCHEMA as the fake path, derived
+    from decoded pixels instead of raw bytes). Unreachable in this
+    container (no codec libs -> REAL_DECODERS_AVAILABLE is False); where
+    Pillow exists the import-probe flips the flag and this runs with no
+    code change."""
+    import io
+
+    from PIL import Image
+
+    def feats(b):
+        if b is None:
+            return (0, -1, -1, -1)
+        px = Image.open(io.BytesIO(bytes(b))).convert("L").tobytes()
+        if not px:
+            return (len(b), -1, -1, -1)
+        return (len(b), px[0], px[-1], sum(px) % 1000000007)
+
+    rows = [feats(b) for b in pdf["payload"]]
+    return pd.DataFrame(
+        {
+            "doc_id": pdf["doc_id"],
+            "n_bytes": [r[0] for r in rows],
+            "first_byte": [r[1] for r in rows],
+            "last_byte": [r[2] for r in rows],
+            "byte_sum_mod": [r[3] for r in rows],
+        }
     )
 
 
@@ -128,8 +160,13 @@ def multimodal_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     run the Arrow-batched decoder over partitions. The oracle recomputes the
     fake features from the source text (ascii corpus: byte == ascii(char)),
     proving the binary round-trip is lossless."""
+    from functools import partial
+
     docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
-    return with_binary_payload(docs).mapInPandas(decode_features, DECODE_SCHEMA)
+    # force_fake: fixture payloads are text stand-ins, not decodable images
+    return with_binary_payload(docs).mapInPandas(
+        partial(decode_features, force_fake=True), DECODE_SCHEMA
+    )
 
 
 @register("multimodal_frame_sample", tags=("multimodal", "northstar"))  # rows-only: synthetic frames
