@@ -495,3 +495,36 @@ def agg_grouping_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.grouping("l_linestatus").cast("int").alias("g_status"),
         F.count("*").alias("n"),
     )
+
+
+@register(
+    "agg_mode",
+    tags=("agg",),
+    oracle="""
+    SELECT user_id, event_type AS modal_type, CAST(c AS BIGINT) AS n
+    FROM (
+      SELECT user_id, event_type, count(*) AS c,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY count(*) DESC, event_type) AS rn
+      FROM events GROUP BY user_id, event_type
+    )
+    WHERE rn = 1
+    """,
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user modal event type (most frequent value, lexicographic
+    tiebreak) -- SQL's missing MODE() aggregate. Count-then-rank: the
+    (user, type) aggregation partial-combines map-side, and the rank
+    window runs over |users| x |types| pre-reduced rows, never raw events.
+    Deterministic by construction: ties on count resolve to the smallest
+    type name in both engines."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    counts = e.groupBy("user_id", "event_type").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("user_id").orderBy(F.col("c").desc(), "event_type")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("modal_type"), F.col("c").alias("n"))
+    )

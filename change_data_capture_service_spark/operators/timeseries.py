@@ -61,3 +61,79 @@ def gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_events", F.lit(0)).alias("n_events"),
         F.coalesce("sv", F.lit(0).cast("decimal(18,2)")).cast("double").alias("sum_value"),
     )
+
+
+@register(
+    "ohlc_hourly",
+    tags=("timeseries",),
+    oracle="""
+    WITH ranked AS (
+      SELECT date_trunc('hour', ts) AS hour, value,
+             row_number() OVER (PARTITION BY date_trunc('hour', ts)
+                                ORDER BY ts, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY date_trunc('hour', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events
+    )
+    SELECT CAST(hour AS TIMESTAMP) AS hour,
+           CAST(count(*) AS BIGINT) AS n,
+           max(CASE WHEN rn_a = 1 THEN value END) AS open_value,
+           max(value) AS high_value,
+           min(value) AS low_value,
+           max(CASE WHEN rn_d = 1 THEN value END) AS close_value
+    FROM ranked GROUP BY hour
+    """,
+)
+def ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC rollup (open/high/low/close) over the event stream --
+    the hypertable-style time-bucket aggregation (TimescaleDB's
+    time_bucket + first/last, public docs). first/last need a total order:
+    (ts, event_id) breaks nanosecond ties deterministically.
+
+    ONE partial-agg shuffle: min_by/max_by carry (value, order-key) pairs
+    through map-side combine -- no window, no second pass, unlike the
+    oracle's two-ranking formulation. The struct comparator orders
+    lexicographically on (ts, event_id), so ties resolve identically to
+    the oracle's ORDER BY."""
+    e = load_table(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts"))
+    order = F.struct(F.col("ts"), F.col("event_id"))
+    return e.groupBy(hour.alias("hour")).agg(
+        F.count("*").alias("n"),
+        F.min_by("value", order).alias("open_value"),
+        F.max("value").alias("high_value"),
+        F.min("value").alias("low_value"),
+        F.max_by("value", order).alias("close_value"),
+    )
+
+
+@register(
+    "active_users_7d",
+    tags=("timeseries", "analytics"),
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events
+    )
+    SELECT CAST(du.day + CAST(o.range AS INT) * INTERVAL 1 DAY AS TIMESTAMP) AS anchor_day,
+           CAST(count(DISTINCT du.user_id) AS BIGINT) AS n_active
+    FROM du CROSS JOIN range(0, 7) o
+    GROUP BY 1
+    """,
+)
+def active_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users per day: each (day, user) pair votes for
+    the 7 anchor days whose trailing window contains it, then a distinct
+    count per anchor. The expansion runs on the DISTINCT (day, user) set --
+    |users| x |days| at most, tiny next to the event table -- so the fact
+    table is scanned once and the 7x fan-out applies post-reduction. The
+    standard scale shape for sliding distinct counts; swap the exact
+    distinct for approx_count_distinct when |users| per window outgrows
+    memory."""
+    e = load_table(spark, sf_dir, "events")
+    du = e.select(F.date_trunc("day", F.col("ts")).alias("day"), "user_id").distinct()
+    return (
+        du.select("day", "user_id", F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"))
+        .select(F.expr("day + off * INTERVAL 1 DAY").alias("anchor_day"), "user_id")
+        .groupBy("anchor_day")
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )

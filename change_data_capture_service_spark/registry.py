@@ -110,6 +110,9 @@ _CHECK_ORDER = [
     "join_skew_salted",
     "tpch_q3_shipping",
     "url_host_stats",
+    "ohlc_hourly",
+    "active_users_7d",
+    "agg_mode",
     # -- r01-proven rechecks (regression rotation) --
     "latest_state",
     "join_multi",
@@ -123,9 +126,6 @@ _CHECK_ORDER = [
     "gapfill_hourly",
     "route_by_table",
     "decode_insert",
-    "profile_table",
-    "sample_stratified",
-    "pivot",
 ]
 
 _loaded = False

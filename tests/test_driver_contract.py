@@ -81,11 +81,12 @@ _R3_CHECK_WINDOW = [
     # new in round 3
     "quality_gopher_rules", "pii_redact", "chunk_documents", "ngram_counts",
     "embedding_norm_stats", "join_skew_salted", "tpch_q3_shipping", "url_host_stats",
+    "ohlc_hourly", "active_users_7d", "agg_mode",
     # r01-proven regression rechecks
     "latest_state", "join_multi", "join_asof", "dedup_minhash_near",
     "knn_cosine_topk", "agg_sum_avg_minmax_count", "agg_grouping_sets",
     "win_running_sum", "text_tfidf", "gapfill_hourly", "route_by_table",
-    "decode_insert", "profile_table", "sample_stratified", "pivot",
+    "decode_insert",
 ]
 
 

@@ -110,3 +110,74 @@ def test_histogram_is_single_partial_agg(spark, sf_dir):
     assert P.count_shuffles(df) == 1
     assert "HashAggregate" in plan
     assert "Window" not in plan
+
+
+def test_pii_and_chunking_are_map_side_only(spark, sf_dir):
+    """Per-document derivations (regex scrub, stride chunking) must stay
+    embarrassingly parallel: zero exchanges, scan -> project/generate."""
+    for name in ("pii_redact", "chunk_documents"):
+        df = registry.get(name).fn(spark, sf_dir)
+        assert P.count_shuffles(df) == 0, f"{name} grew a shuffle"
+
+
+def test_ngram_counts_partial_aggs_then_topk(spark, sf_dir):
+    """Corpus bigram counting: one partially-combined shuffle of (gram,
+    count) pairs, then TakeOrderedAndProject for the top-k -- never a
+    global sort of the distinct-gram set."""
+    df = registry.get("ngram_counts").fn(spark, sf_dir)
+    plan = P.formatted_plan(df)
+    assert P.count_shuffles(df) == 1
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_tpch_q3_broadcasts_and_pushes_down(spark, sf_dir):
+    df = registry.get("tpch_q3_shipping").fn(spark, sf_dir)
+    plan = P.formatted_plan(df)
+    assert P.uses_broadcast_join(df), "customer dim lost its broadcast"
+    assert "PushedFilters" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_embedding_norm_stats_is_one_shuffle(spark, sf_dir):
+    """Norms fold JVM-side per row; only the |labels|-row partial agg
+    shuffles."""
+    df = registry.get("embedding_norm_stats").fn(spark, sf_dir)
+    assert P.count_shuffles(df) == 1
+
+
+def test_salted_join_replicates_build_side(spark, sf_dir):
+    """The salt explode (Generate) must sit on the build side; the fact
+    table itself is never replicated."""
+    df = registry.get("join_skew_salted").fn(spark, sf_dir)
+    plan = P.formatted_plan(df)
+    assert "Generate" in plan
+    # fact side adds a projected salt column only -- no Generate above its scan
+    assert plan.count("Generate explode") <= 2
+
+
+def test_quality_rules_shuffle_counts_not_text(spark, sf_dir):
+    """Two partial aggregations ((doc, token) then doc): at most two
+    exchanges, both carrying counts -- document text never shuffles."""
+    df = registry.get("quality_gopher_rules").fn(spark, sf_dir)
+    assert P.count_shuffles(df) <= 2
+
+
+def test_ohlc_is_single_partial_agg_no_window(spark, sf_dir):
+    """OHLC must stay one min_by/max_by hash aggregate -- the windowed
+    two-ranking formulation (the oracle's) would re-sort every event."""
+    df = registry.get("ohlc_hourly").fn(spark, sf_dir)
+    plan = P.formatted_plan(df)
+    assert P.count_shuffles(df) == 1
+    assert "Window" not in plan
+
+
+def test_agg_mode_ranks_reduced_rows_only(spark, sf_dir):
+    """The rank window must sit above the (user, type) aggregation --
+    ranking raw events would sort the fact table."""
+    df = registry.get("agg_mode").fn(spark, sf_dir)
+    plan = P.formatted_plan(df)
+    assert "Window" in plan
+    agg_pos = plan.find("HashAggregate")
+    win_pos = plan.find("Window")
+    assert agg_pos != -1 and win_pos != -1
+    assert P.count_shuffles(df) == 2
