@@ -1,0 +1,118 @@
+"""Quality/hygiene operators (round 3): semantic invariants beyond the
+DuckDB hash parity the driver checks -- chunk reconstruction, post-scrub
+cleanliness, salted-join equivalence under a forced shuffle join, and
+rollup consistency."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from change_data_capture_service_spark import registry
+from change_data_capture_service_spark.catalog import load_table
+from change_data_capture_service_spark.operators.quality import _EMAIL_RE, _PHONE_RE
+
+registry.load_all()
+
+
+def test_chunks_reconstruct_documents(spark, sf_dir):
+    """Stride-150/window-200 chunking is lossless: the first 150 chars of
+    every chunk except the last, plus the last chunk whole, concatenate
+    back to the original text."""
+    chunks = registry.get("chunk_documents").fn(spark, sf_dir).toPandas()
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    for doc_id, grp in chunks.groupby("doc_id"):
+        grp = grp.sort_values("chunk_id")
+        parts = list(grp["chunk_text"])
+        rebuilt = "".join(p[:150] for p in parts[:-1]) + parts[-1]
+        assert rebuilt == docs[doc_id], f"doc {doc_id} chunking lost bytes"
+
+
+def test_chunk_overlap_is_exact(spark, sf_dir):
+    """Consecutive chunks overlap by exactly window - stride = 50 chars
+    (except where the doc ends)."""
+    chunks = registry.get("chunk_documents").fn(spark, sf_dir).toPandas()
+    for _, grp in chunks.groupby("doc_id"):
+        grp = grp.sort_values("chunk_id")
+        texts = list(grp["chunk_text"])
+        for a, b in zip(texts, texts[1:]):
+            if len(a) == 200:  # a full window overlaps the next chunk's head
+                assert a[150:] == b[: len(a[150:])]
+
+
+def test_pii_redacted_output_is_clean(spark, sf_dir):
+    """After the scrub, neither pattern matches anywhere, every doc counted
+    at least one planted email+phone, and placeholders appear."""
+    df = registry.get("pii_redact").fn(spark, sf_dir)
+    leftover = df.filter(
+        (F.regexp_count("redacted", F.lit(_EMAIL_RE)) > 0)
+        | (F.regexp_count("redacted", F.lit(_PHONE_RE)) > 0)
+    ).count()
+    assert leftover == 0
+    bad = df.filter((F.col("n_emails") < 1) | (F.col("n_phones") < 1)).count()
+    assert bad == 0
+    unredacted = df.filter(~F.col("redacted").contains("[EMAIL]")).count()
+    assert unredacted == 0
+
+
+def test_salted_join_equals_plain_join_without_broadcast(spark, sf_dir):
+    """The salt path's whole point is the non-broadcast regime: force a
+    shuffle join (threshold -1) and the salted result must still equal the
+    plain join exactly."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        salted = registry.get("join_skew_salted").fn(spark, sf_dir)
+        li = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders")
+        plain = li.join(o, li.l_orderkey == o.o_orderkey).select(
+            "l_orderkey", "l_linenumber", "o_custkey", "o_totalprice"
+        )
+        assert salted.exceptAll(plain).count() == 0
+        assert plain.exceptAll(salted).count() == 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_gopher_rules_ratios_are_bounded(spark, sf_dir):
+    rows = registry.get("quality_gopher_rules").fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r["unique_frac"] <= 1
+        assert 0 < r["top_token_frac"] <= 1
+        assert r["mean_word_len"] > 0
+        assert r["keep"] in (0, 1)
+
+
+def test_ohlc_bounds_are_consistent(spark, sf_dir):
+    """low <= open, close <= high; n >= 1; single-event hours have all four
+    equal."""
+    rows = registry.get("ohlc_hourly").fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["low_value"] <= r["open_value"] <= r["high_value"]
+        assert r["low_value"] <= r["close_value"] <= r["high_value"]
+        assert r["n"] >= 1
+        if r["n"] == 1:
+            assert r["open_value"] == r["close_value"] == r["high_value"]
+
+
+def test_active_users_7d_dominates_daily_actives(spark, sf_dir):
+    """A trailing-7-day distinct count can never be below that day's own
+    distinct count, and never above the global user count."""
+    e = load_table(spark, sf_dir, "events")
+    daily = {
+        r["day"]: r["n"]
+        for r in e.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    total_users = e.select("user_id").distinct().count()
+    rolling = registry.get("active_users_7d").fn(spark, sf_dir).collect()
+    assert rolling
+    for r in rolling:
+        assert r["n_active"] <= total_users
+        if r["anchor_day"] in daily:
+            assert r["n_active"] >= daily[r["anchor_day"]]
