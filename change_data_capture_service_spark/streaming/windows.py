@@ -212,6 +212,27 @@ def sliding_avg_stream(events: DataFrame, watermark: str = "2 hours") -> DataFra
     )
 
 
+def ohlc_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming twin of the batch ``ohlc_hourly`` rollup: min_by/max_by
+    are algebraic aggregates, so the same one-pass OHLC runs incrementally
+    under a watermark -- per-window state is four (value, order-key) pairs,
+    evicted when the window closes. The continuously-maintained candle
+    table a hypertable materializes."""
+    order = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min_by("value", order).alias("open_value"),
+            F.max("value").alias("high_value"),
+            F.min("value").alias("low_value"),
+            F.max_by("value", order).alias("close_value"),
+        )
+        .select(F.col("w.start").alias("hour"), "n", "open_value", "high_value", "low_value", "close_value")
+    )
+
+
 def session_stream(events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
     return (
         events.withWatermark("ts", watermark)

@@ -188,3 +188,22 @@ def test_stream_stream_interval_join_equals_batch(spark, sf_dir):
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_ohlc_equals_batch(spark, sf_dir):
+    """The streaming OHLC (min_by/max_by under a watermark) must produce
+    exactly the batch rollup once the stream drains -- proving the
+    aggregate is algebraic/incremental, not batch-only."""
+    from change_data_capture_service_spark import registry
+
+    stream = W.stream_events(spark, sf_dir)
+    _drain(W.ohlc_stream(stream), "ohlc_out", "complete")
+    got = {
+        r["hour"]: (r["n"], r["open_value"], r["high_value"], r["low_value"], r["close_value"])
+        for r in spark.sql("SELECT * FROM ohlc_out").collect()
+    }
+    batch = {
+        r["hour"]: (r["n"], r["open_value"], r["high_value"], r["low_value"], r["close_value"])
+        for r in registry.get("ohlc_hourly").fn(spark, sf_dir).collect()
+    }
+    assert got == batch
