@@ -140,6 +140,174 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sessionize_batch",
+    tags=("analytics", "timeseries"),
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                       OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+      FROM flagged
+    )
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+           CAST(min(ts) AS TIMESTAMP) AS session_start,
+           CAST(max(ts) AS TIMESTAMP) AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM numbered GROUP BY user_id, session_no
+    """,
+)
+def sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (the batch twin of ``stream_session``,
+    ``streaming/windows.py``): per-user sessions split on >30 min
+    inactivity gaps, numbered by a running sum over the new-session flag
+    -- the classic lag + cumsum shape. Gap arithmetic runs on
+    ``unix_micros`` (exact integers) so both engines draw identical
+    boundaries; (ts, event_id) tiebreaks nanosecond collisions.
+
+    Scale: both windows partition by user_id -- ONE keyed shuffle, then
+    the groupBy reuses the same partitioning (no second exchange). State
+    per partition is one user's events; no global sort anywhere."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    flagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0).alias("new_session"),
+    )
+    numbered = flagged.select(
+        "user_id",
+        "ts",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("session_no"),
+    )
+    return numbered.groupBy("user_id", "session_no").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@register(
+    "event_transitions",
+    tags=("analytics",),
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events
+    )
+    SELECT prev_type AS from_type, event_type AS to_type,
+           CAST(count(*) AS BIGINT) AS n
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order transition matrix between consecutive event types per
+    user (the Markov-chain view of the clickstream; what 'users who view
+    then click' dashboards aggregate). lag() over the per-user order gives
+    each event its predecessor, then a count per (from, to) pair.
+
+    Scale: one keyed shuffle for the window; the follow-up groupBy reduces
+    to |types|^2 rows with map-side combine. No self-join -- the naive
+    e1 JOIN e2 ON consecutive formulation shuffles the fact table twice
+    and breaks on duplicate timestamps."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.lag("event_type").over(w).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    )
+    return (
+        seq.filter(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "audience_overlap",
+    tags=("analytics",),
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT event_type, user_id FROM events
+    ),
+    sizes AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM du GROUP BY 1
+    ),
+    inter AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(count(*) AS BIGINT) AS n_common
+      FROM du a JOIN du b ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT i.type_a, i.type_b, i.n_common,
+           round(CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON i.type_a = sa.event_type
+    JOIN sizes sb ON i.type_b = sb.event_type
+    """,
+)
+def audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise audience Jaccard between event types: how much the user
+    bases of any two event types overlap (segment-overlap analysis). The
+    intersection self-join runs on the DISTINCT (type, user) set keyed by
+    user_id -- per-user work is |types|^2 (bounded, small), never
+    |events|^2. Per-type sizes are |types| scalar rows, broadcast into
+    the final Jaccard projection.
+
+    Scale: the fact table reduces before anything joins; the only shuffle
+    of consequence is the distinct. The a < b predicate halves the pair
+    space and makes output order-canonical."""
+    e = load_table(spark, sf_dir, "events")
+    du = e.select("event_type", "user_id").distinct()
+    sizes = du.groupBy("event_type").agg(F.count("*").alias("n"))
+    a = du.alias("a")
+    b = du.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"), F.col("b.event_type").alias("type_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = F.broadcast(sizes.select(F.col("event_type").alias("type_a"), F.col("n").alias("na")))
+    sb = F.broadcast(sizes.select(F.col("event_type").alias("type_b"), F.col("n").alias("nb")))
+    return (
+        inter.join(sa, "type_a")
+        .join(sb, "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_common",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+@register(
     "anomaly_mad",
     tags=("analytics",),
     oracle="""

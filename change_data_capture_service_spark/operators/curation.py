@@ -186,3 +186,46 @@ def sample_token_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cum_tokens") <= budget)
         .select("doc_id", "lang", "n_tokens", "cum_tokens")
     )
+
+
+@register(
+    "dataset_split",
+    tags=("curation", "northstar"),
+    oracle="""
+    WITH assigned AS (
+      SELECT lang, n_chars,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= 'cb' THEN 'train'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= 'e5' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT split, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM assigned GROUP BY 1, 2
+    """,
+)
+def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by content-stable hash:
+    md5(doc_id) hex prefix thresholds carve ~80/10/10 ('00'..'cb' = 204 of
+    256 buckets, 'cc'..'e5' = 26, rest = 26). Hash assignment -- not
+    random() and not modulo-on-row-number -- survives re-partitioning,
+    re-ingestion, and engine changes: the same document lands in the same
+    split forever, which is what leakage-free eval demands.
+
+    The query returns the per-(split, lang) composition audit (the check
+    you run before training). Scale: pure map-side assignment, one partial
+    agg to |splits| x |langs| rows; never materializes per-row output."""
+    d = load_table(spark, sf_dir, "documents")
+    prefix = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(prefix <= "cb", "train").when(prefix <= "e5", "val").otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )

@@ -108,6 +108,66 @@ def ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "locf_fill",
+    tags=("timeseries",),
+    oracle="""
+    WITH b AS (
+      SELECT min(date_trunc('hour', ts)) AS lo, max(date_trunc('hour', ts)) AS hi
+      FROM events
+    ),
+    hours AS (
+      SELECT b.lo + CAST(r.range AS INT) * INTERVAL 1 HOUR AS hour
+      FROM b CROSS JOIN range(0, 8784) r
+      WHERE b.lo + CAST(r.range AS INT) * INTERVAL 1 HOUR <= b.hi
+    ),
+    agg AS (
+      SELECT date_trunc('hour', ts) AS hour,
+             sum(CAST(value AS DECIMAL(18,2))) AS sv
+      FROM events GROUP BY 1
+    )
+    SELECT CAST(h.hour AS TIMESTAMP) AS hour,
+           CAST(a.sv IS NOT NULL AS BOOLEAN) AS observed,
+           CAST(last_value(a.sv IGNORE NULLS) OVER (
+                  ORDER BY h.hour ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                ) AS DOUBLE) AS locf_value
+    FROM hours h LEFT JOIN agg a ON h.hour = a.hour
+    """,
+)
+def locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward imputation over the dense hourly
+    spine (TimescaleDB's ``locf()``, public docs): hours with no events
+    inherit the most recent observed hourly total instead of zero/NULL --
+    the right fill for gauge-style series where absence means 'unchanged',
+    not 'zero'.
+
+    The carried value is a DECIMAL sum (exact, accumulation-order-free) so
+    both engines carry bit-identical numbers. The LOCF window is a global
+    ORDER BY over the spine -- O(hours), dashboard-sized, NOT the fact
+    table (which reduces first); for per-key series partition the window
+    by key and this parallelizes per key."""
+    e = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    hour = F.date_trunc("hour", F.col("ts"))
+    agg = e.groupBy(hour.alias("hour")).agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("sv")
+    )
+    bounds = e.agg(F.min(hour).alias("lo"), F.max(hour).alias("hi"))
+    hours = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("hour")
+    )
+    w = Window.orderBy("hour").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        hours.join(agg, "hour", "left")
+        .select(
+            "hour",
+            F.col("sv").isNotNull().alias("observed"),
+            F.last("sv", ignorenulls=True).over(w).cast("double").alias("locf_value"),
+        )
+    )
+
+
+@register(
     "active_users_7d",
     tags=("timeseries", "analytics"),
     oracle="""

@@ -113,6 +113,11 @@ _CHECK_ORDER = [
     "ohlc_hourly",
     "active_users_7d",
     "agg_mode",
+    "sessionize_batch",
+    "event_transitions",
+    "audience_overlap",
+    "locf_fill",
+    "dataset_split",
     # -- r01-proven rechecks (regression rotation) --
     "latest_state",
     "join_multi",
@@ -121,11 +126,6 @@ _CHECK_ORDER = [
     "knn_cosine_topk",
     "agg_sum_avg_minmax_count",
     "agg_grouping_sets",
-    "win_running_sum",
-    "text_tfidf",
-    "gapfill_hourly",
-    "route_by_table",
-    "decode_insert",
 ]
 
 _loaded = False

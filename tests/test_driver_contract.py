@@ -64,7 +64,7 @@ def test_every_oracle_key_has_a_query(spark):
 
 
 # The first 50 keys form the driver's bounded-budget check window for round 3:
-# the 27 keys with no green CORRECTNESS row after r01+r02, the 8 new round-3
+# the 27 keys with no green CORRECTNESS row after r01+r02, the 16 new round-3
 # operators, then high-value r01-proven rechecks. This order is load-bearing
 # for grading -- an import refactor that silently reorders it would unprove
 # operators -- so it is pinned here as a contract.
@@ -82,11 +82,11 @@ _R3_CHECK_WINDOW = [
     "quality_gopher_rules", "pii_redact", "chunk_documents", "ngram_counts",
     "embedding_norm_stats", "join_skew_salted", "tpch_q3_shipping", "url_host_stats",
     "ohlc_hourly", "active_users_7d", "agg_mode",
+    "sessionize_batch", "event_transitions", "audience_overlap",
+    "locf_fill", "dataset_split",
     # r01-proven regression rechecks
     "latest_state", "join_multi", "join_asof", "dedup_minhash_near",
     "knn_cosine_topk", "agg_sum_avg_minmax_count", "agg_grouping_sets",
-    "win_running_sum", "text_tfidf", "gapfill_hourly", "route_by_table",
-    "decode_insert",
 ]
 
 
