@@ -338,3 +338,43 @@ def cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         valid_to.alias("valid_to"),
         valid_to.isNull().cast("int").alias("is_current"),
     )
+
+
+@register(
+    "cdc_changes_between",
+    tags=("cdc",),
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_changes,
+           max(event_id) AS last_event_id,
+           arg_max(event_type, event_id) AS last_type,
+           arg_max(value, event_id) AS last_value,
+           CAST(arg_max(ts, event_id) AS TIMESTAMP) AS last_ts
+    FROM events
+    WHERE event_id >= 100 AND event_id < 800
+    GROUP BY user_id
+    """,
+)
+def cdc_changes_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-sync delta: everything that changed per key between two
+    checkpoint positions (LSN analogue: event_id), compacted to ONE row
+    per key -- the query a downstream consumer runs to catch up from its
+    last offset without replaying the log row-by-row. Mirrors the
+    reference's checkpoint-resume semantics (store.go:45-59,
+    replicator.go:236) as a batch query over the retained log.
+
+    Scale: the LSN range predicate pushes down to the parquet scan (file
+    skip via min/max stats when the log is written LSN-ordered -- which
+    the ingest sink does); then one partial agg with max_by carrying the
+    (value, lsn) pairs. No window, no second shuffle, and the output is
+    |changed keys| rows, not |changes|."""
+    e = load_table(spark, sf_dir, "events").filter(
+        (F.col("event_id") >= 100) & (F.col("event_id") < 800)
+    )
+    return e.groupBy("user_id").agg(
+        F.count("*").alias("n_changes"),
+        F.max("event_id").alias("last_event_id"),
+        F.max_by("event_type", "event_id").alias("last_type"),
+        F.max_by("value", "event_id").alias("last_value"),
+        F.max_by("ts", "event_id").alias("last_ts"),
+    )

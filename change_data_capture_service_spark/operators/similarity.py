@@ -300,3 +300,44 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l2_norm").alias("min_norm"),
         F.max("l2_norm").alias("max_norm"),
     )
+
+
+RANGE_TAU = 0.30  # radius-search similarity floor
+
+
+@register(
+    "knn_cosine_range",
+    tags=("similarity", "northstar"),
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings
+    )
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cosine
+    FROM v q JOIN v c ON q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+    WHERE round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) >= {RANGE_TAU}
+    """,
+)
+def knn_cosine_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius (range) similarity search: ALL neighbors with cosine >= tau,
+    not a fixed k -- the retrieval mode for 'find everything semantically
+    close' (dedup candidates, recall-first RAG). Same broadcast-queries /
+    map-side-dot-product shape as ``knn_cosine_topk`` but with NO window at
+    all: the threshold filter is a pure map-side predicate, so the corpus
+    is scanned once and nothing shuffles -- strictly cheaper than top-k at
+    any scale. The round(6)-then-compare keeps the boundary decision
+    bit-identical across engines."""
+    vec = _vectors(spark, sf_dir)
+    queries = vec.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qnrm")
+    )
+    dot = F.expr("aggregate(zip_with(qv, v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+    cosine = F.round(dot / (F.col("qnrm") * F.col("nrm")), 6)
+    return (
+        vec.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .withColumn("cosine", cosine)
+        .filter(F.col("cosine") >= RANGE_TAU)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cosine")
+    )
