@@ -181,3 +181,59 @@ def test_agg_mode_ranks_reduced_rows_only(spark, sf_dir):
     win_pos = plan.find("Window")
     assert agg_pos != -1 and win_pos != -1
     assert P.count_shuffles(df) == 2
+
+
+def test_sessionize_shares_one_keyed_shuffle(spark, sf_dir):
+    """Both windows and the session rollup cluster on user_id -- the plan
+    must hash-partition the events ONCE and keep every later stage
+    exchange-free (HashPartitioning(user_id) satisfies the groupBy's
+    clustering requirement)."""
+    df = registry.get("sessionize_batch").fn(spark, sf_dir)
+    assert P.count_shuffles(df) == 1
+
+
+def test_transitions_window_then_reduced_agg(spark, sf_dir):
+    """lag() shuffles the events once on user_id; the (from, to) count
+    re-shuffles only |types|^2-bounded partial states."""
+    df = registry.get("event_transitions").fn(spark, sf_dir)
+    assert P.count_shuffles(df) == 2
+
+
+def test_audience_overlap_broadcasts_sizes(spark, sf_dir):
+    """Per-type audience sizes are |types| scalar rows -- both joins into
+    the Jaccard projection must broadcast, never shuffle the pair set."""
+    df = registry.get("audience_overlap").fn(spark, sf_dir)
+    assert P.uses_broadcast_join(df)
+
+
+def test_knn_range_is_shuffle_free(spark, sf_dir):
+    """Radius search = broadcast queries + map-side filter: the corpus
+    must never shuffle (spread()'s rebalance of the single fixture file
+    is the only allowed exchange, and it carries no join/agg key)."""
+    df = registry.get("knn_cosine_range").fn(spark, sf_dir)
+    plan = P.formatted_plan(df)
+    assert P.uses_broadcast_join(df)
+    assert "Window" not in plan
+    # spread()'s round-robin rebalances are allowed (they carry no key and
+    # vanish in the many-files regime); a KEYED exchange would mean the
+    # corpus started shuffling for a join/agg it shouldn't need.
+    assert "hashpartitioning" not in plan.lower()
+
+
+def test_cdc_delta_pushes_lsn_range_to_scan(spark, sf_dir):
+    """The checkpoint-range predicate must reach the parquet scan
+    (file/row-group skipping on an LSN-ordered log), and the compaction
+    stays one max_by partial agg."""
+    df = registry.get("cdc_changes_between").fn(spark, sf_dir)
+    plan = P.formatted_plan(df)
+    assert "PushedFilters" in plan
+    assert "event_id" in plan.split("PushedFilters")[1][:400]
+    assert P.count_shuffles(df) == 1
+    assert "Window" not in plan
+
+
+def test_dataset_split_is_map_side_plus_one_agg(spark, sf_dir):
+    """Hash assignment is pure projection; only |splits| x |langs| partial
+    states may shuffle."""
+    df = registry.get("dataset_split").fn(spark, sf_dir)
+    assert P.count_shuffles(df) == 1
