@@ -53,3 +53,28 @@ def subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     subquery broadcasts."""
     register_views(spark, sf_dir, ["customer", "nation", "region", "orders"])
     return spark.sql(_IN_SUBQUERY_SQL)
+
+
+_LATERAL_SQL = """
+SELECT c.c_custkey, c.c_name, t.o_orderkey, t.o_totalprice, t.rnk
+FROM customer c, LATERAL (
+  SELECT o.o_orderkey, o.o_totalprice,
+         CAST(row_number() OVER (ORDER BY o.o_totalprice DESC, o.o_orderkey) AS INT) AS rnk
+  FROM orders o WHERE o.o_custkey = c.c_custkey
+  ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 2
+) t
+WHERE c.c_nationkey < 5
+"""
+
+
+@register("join_lateral", tags=("sqlapi", "join"), oracle=_LATERAL_SQL)
+def join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery join (each customer's two largest
+    orders) -- identical SQL text on both engines. Catalyst rewrites the
+    per-row subquery into a decorrelated join + ranked window partitioned
+    by the correlation key, so execution is set-at-a-time: ONE shuffle of
+    orders on o_custkey with WindowGroupLimit pruning to k rows per key
+    map-side, never a re-executed subquery per customer row (the row-at-
+    a-time semantics the SQL text literally describes)."""
+    register_views(spark, sf_dir, ["customer", "orders"])
+    return spark.sql(_LATERAL_SQL)
