@@ -237,3 +237,17 @@ def test_dataset_split_is_map_side_plus_one_agg(spark, sf_dir):
     states may shuffle."""
     df = registry.get("dataset_split").fn(spark, sf_dir)
     assert P.count_shuffles(df) == 1
+
+
+def test_headline_relational_ops_stay_in_codegen(spark, sf_dir):
+    """The hot relational path must run inside WholeStageCodegen spans
+    (the '*(n)' markers): a Python UDF or codegen-breaking expression
+    sneaking into these operators would drop them to interpreted
+    row-at-a-time execution -- numerically identical, 10x slower."""
+    for name in ("agg_sum_avg_minmax_count", "filter_pred", "join_inner_equi",
+                 "win_running_sum", "sessionize_batch", "cdc_changes_between"):
+        df = registry.get(name).fn(spark, sf_dir)
+        df.collect()  # AQE materializes codegen stages only at execution
+        plan = P.simple_plan(df)
+        assert "*(" in plan, f"{name} fell out of whole-stage codegen"
+        assert "BatchEvalPython" not in plan, f"{name} contains a row-at-a-time Python UDF"
