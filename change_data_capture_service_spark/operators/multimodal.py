@@ -193,3 +193,114 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.octet_length("frame_bytes").alias("frame_len"),
         F.xxhash64("frame_bytes").alias("frame_checksum"),
     )
+
+
+RESIZE_TARGET = 32  # resized payload width in bytes
+RESIZE_SCHEMA = (
+    "doc_id long, orig_bytes int, resized_n int, first_byte int, "
+    "last_byte int, resized_sum_mod long"
+)
+
+
+def resize_payload(
+    batches: Iterator[pd.DataFrame], force_fake: bool = False
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas resizer: binary payload -> fixed-width payload summary.
+
+    Real path (Pillow importable, ``force_fake`` off): decode, resize to a
+    ``RESIZE_TARGET``-wide thumbnail, feature-summarize the pixels. Fake
+    path (deterministic, always available): stride-subsample the bytes --
+    byte i of the output is input byte ``i * (n // RESIZE_TARGET)`` -- the
+    exact arithmetic the oracle replays, so the Arrow round trip is
+    provably lossless."""
+    use_real = REAL_DECODERS_AVAILABLE and not force_fake
+    for pdf in batches:
+        yield (_resize_real if use_real else _resize_fake)(pdf)
+
+
+def _resize_real(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Pillow thumbnail path; same RESIZE_SCHEMA from decoded pixels.
+    Unreachable in this container (no codecs); flips on automatically via
+    the import probe where Pillow exists."""
+    import io
+
+    from PIL import Image
+
+    def feats(b):
+        if b is None or len(b) < RESIZE_TARGET:
+            return (0 if b is None else len(b), -1, -1, -1)
+        img = Image.open(io.BytesIO(bytes(b))).convert("L")
+        img = img.resize((RESIZE_TARGET, 1))
+        px = img.tobytes()
+        return (len(b), px[0], px[-1], sum(px) % 1000000007)
+
+    rows = [feats(b) for b in pdf["payload"]]
+    return pd.DataFrame(
+        {
+            "doc_id": pdf["doc_id"],
+            "orig_bytes": [r[0] for r in rows],
+            "resized_n": RESIZE_TARGET,
+            "first_byte": [r[1] for r in rows],
+            "last_byte": [r[2] for r in rows],
+            "resized_sum_mod": [r[3] for r in rows],
+        }
+    )
+
+
+def _resize_fake(pdf: pd.DataFrame) -> pd.DataFrame:
+    def feats(b):
+        b = bytes(b)
+        k = len(b) // RESIZE_TARGET
+        sampled = [b[i * k] for i in range(RESIZE_TARGET)]
+        return (len(b), sampled[0], sampled[-1], sum(sampled) % 1000000007)
+
+    rows = [feats(b) for b in pdf["payload"]]
+    return pd.DataFrame(
+        {
+            "doc_id": pdf["doc_id"],
+            "orig_bytes": [r[0] for r in rows],
+            "resized_n": RESIZE_TARGET,
+            "first_byte": [r[1] for r in rows],
+            "last_byte": [r[2] for r in rows],
+            "resized_sum_mod": [r[3] for r in rows],
+        }
+    )
+
+
+@register(
+    "multimodal_resize",
+    tags=("multimodal", "northstar"),
+    oracle=f"""
+    SELECT doc_id,
+           CAST(length(text) AS INT) AS orig_bytes,
+           CAST({RESIZE_TARGET} AS INT) AS resized_n,
+           CAST(ascii(substr(text, 1, 1)) AS INT) AS first_byte,
+           CAST(ascii(substr(text, 1 + {RESIZE_TARGET - 1} * (length(text) // {RESIZE_TARGET}), 1)) AS INT)
+             AS last_byte,
+           CAST(list_sum(list_transform(range(0, {RESIZE_TARGET}),
+                i -> CAST(ascii(substr(text, 1 + i * (length(text) // {RESIZE_TARGET}), 1)) AS BIGINT)))
+                % 1000000007 AS BIGINT) AS resized_sum_mod
+    FROM documents
+    WHERE length(text) >= {RESIZE_TARGET}
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize stage of the multimodal pipeline: fixed-width stride
+    subsample of each binary payload through the same Arrow-batched
+    ``mapInPandas`` plumbing the real thumbnailer uses (Pillow path behind
+    the import probe; deterministic byte path in this container). The
+    oracle replays the stride arithmetic over the source text (ascii
+    corpus: byte == ascii(char)), so schema, batch shape, and byte-exact
+    content are all driver-checkable.
+
+    Scale: embarrassingly parallel -- no shuffle, no state; batch size is
+    bounded by Arrow's maxRecordsPerBatch so a partition of 100 MB payloads
+    never materializes at once."""
+    from functools import partial
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") >= RESIZE_TARGET
+    )
+    return with_binary_payload(docs).mapInPandas(
+        partial(resize_payload, force_fake=True), RESIZE_SCHEMA
+    )
