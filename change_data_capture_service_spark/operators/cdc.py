@@ -378,3 +378,76 @@ def cdc_changes_between(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("value", "event_id").alias("last_value"),
         F.max_by("ts", "event_id").alias("last_ts"),
     )
+
+
+@register(
+    "cdc_snapshot_diff",
+    tags=("cdc",),
+    oracle="""
+    WITH v1 AS (
+      SELECT user_id, arg_max(value, event_id) AS value, max(event_id) AS lsn
+      FROM events WHERE event_id < 400 GROUP BY user_id
+    ),
+    v2 AS (
+      SELECT user_id, arg_max(value, event_id) AS value, max(event_id) AS lsn
+      FROM events WHERE event_id < 800 GROUP BY user_id
+    )
+    SELECT coalesce(v1.user_id, v2.user_id) AS user_id,
+           CASE WHEN v1.user_id IS NULL THEN 'added'
+                WHEN v2.user_id IS NULL THEN 'removed'
+                ELSE 'changed' END AS status,
+           v1.value AS old_value, v2.value AS new_value,
+           v1.lsn AS old_lsn, v2.lsn AS new_lsn
+    FROM v1 FULL OUTER JOIN v2 ON v1.user_id = v2.user_id
+    WHERE v1.user_id IS NULL OR v2.user_id IS NULL
+       OR v1.value <> v2.value OR v1.lsn <> v2.lsn
+    """,
+)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diff two point-in-time materializations of the change log (state as
+    of LSN 400 vs LSN 800): which keys were added / removed / changed
+    between two checkpoints -- the reconciliation query replication
+    operators run to validate a replica against the source, expressed over
+    the engine's own log instead of a second full-table pull.
+
+    Scale: each version is the latest-state partial agg (max_by, one
+    shuffle of |keys| partial states); the full-outer join then co-locates
+    on the SAME user_id key, so the diff adds no extra fact-table pass --
+    two reduced aggregates join, and only disagreeing keys survive."""
+    e = load_table(spark, sf_dir, "events")
+
+    def version(lsn_hi: int) -> DataFrame:
+        return (
+            e.filter(F.col("event_id") < lsn_hi)
+            .groupBy("user_id")
+            .agg(
+                F.max_by("value", "event_id").alias("value"),
+                F.max("event_id").alias("lsn"),
+            )
+        )
+
+    v1 = version(400).select(
+        F.col("user_id").alias("u1"), F.col("value").alias("old_value"), F.col("lsn").alias("old_lsn")
+    )
+    v2 = version(800).select(
+        F.col("user_id").alias("u2"), F.col("value").alias("new_value"), F.col("lsn").alias("new_lsn")
+    )
+    joined = v1.join(v2, F.col("u1") == F.col("u2"), "full_outer")
+    status = (
+        F.when(F.col("u1").isNull(), "added")
+        .when(F.col("u2").isNull(), "removed")
+        .otherwise("changed")
+    )
+    return joined.filter(
+        F.col("u1").isNull()
+        | F.col("u2").isNull()
+        | (F.col("old_value") != F.col("new_value"))
+        | (F.col("old_lsn") != F.col("new_lsn"))
+    ).select(
+        F.coalesce(F.col("u1"), F.col("u2")).alias("user_id"),
+        status.alias("status"),
+        "old_value",
+        "new_value",
+        "old_lsn",
+        "new_lsn",
+    )

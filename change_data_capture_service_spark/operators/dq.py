@@ -1,0 +1,112 @@
+"""Data-quality constraint checks over the replicated tables -- the
+validation queries a CDC operator runs against the sink to prove the
+replica is trustworthy (null/range/uniqueness/referential integrity), in
+the spirit of Deequ-style declarative checks (public AWS labs project).
+
+Scale design: all single-table predicates for one table fuse into ONE
+conditional-aggregation pass (no per-check scans); referential checks are
+anti-joins against dimension keys, which broadcast when small. Output is
+|checks| rows -- audit-sized, never per-row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import register
+
+
+@register(
+    "dq_constraint_checks",
+    tags=("dq", "quality"),
+    oracle="""
+    SELECT 'orders_null_orderdate' AS check_name,
+           CAST(count(*) FILTER (WHERE o_orderdate IS NULL) AS BIGINT) AS violations
+    FROM orders
+    UNION ALL
+    SELECT 'orders_nonpositive_total',
+           CAST(count(*) FILTER (WHERE o_totalprice <= 0) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'orders_bad_status',
+           CAST(count(*) FILTER (WHERE o_orderstatus NOT IN ('O', 'F', 'P')) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'orders_dup_orderkey',
+           CAST(coalesce(sum(n - 1), 0) AS BIGINT)
+    FROM (SELECT o_orderkey, count(*) AS n FROM orders GROUP BY 1 HAVING count(*) > 1)
+    UNION ALL
+    SELECT 'orders_orphan_custkey',
+           CAST(count(*) AS BIGINT)
+    FROM orders o WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'customer_orphan_nationkey',
+           CAST(count(*) AS BIGINT)
+    FROM customer c WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
+    """,
+)
+def dq_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint audit over the replicated tables: completeness (nulls),
+    range, set-membership, key uniqueness, and two referential-integrity
+    checks -- one row per check with its violation count (all zero on
+    healthy fixtures, which is itself the assertion).
+
+    The four orders predicates run in ONE conditional-agg scan; duplicate
+    counting rides a keyed partial agg; the orphan checks are anti-joins
+    whose dimension side broadcasts. Adding a check never adds a scan
+    unless it adds a table."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+
+    def cnt(cond) -> F.Column:
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+    single_pass = orders.agg(
+        cnt(F.col("o_orderdate").isNull()).alias("orders_null_orderdate"),
+        cnt(F.col("o_totalprice") <= 0).alias("orders_nonpositive_total"),
+        cnt(~F.col("o_orderstatus").isin("O", "F", "P")).alias("orders_bad_status"),
+    )
+    fused = single_pass.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(c).alias("check_name"), F.col(c).alias("violations"))
+                    for c in (
+                        "orders_null_orderdate",
+                        "orders_nonpositive_total",
+                        "orders_bad_status",
+                    )
+                ]
+            )
+        ).alias("r")
+    ).select("r.check_name", "r.violations")
+
+    dups = (
+        orders.groupBy("o_orderkey")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+        .agg(F.coalesce(F.sum(F.col("n") - 1), F.lit(0)).cast("long").alias("violations"))
+        .select(F.lit("orders_dup_orderkey").alias("check_name"), "violations")
+    )
+    orphan_orders = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey")),
+            orders["o_custkey"] == F.col("c_custkey"),
+            "left_anti",
+        )
+        .agg(F.count("*").alias("violations"))
+        .select(F.lit("orders_orphan_custkey").alias("check_name"), "violations")
+    )
+    orphan_customer = (
+        customer.join(
+            F.broadcast(nation.select("n_nationkey")),
+            customer["c_nationkey"] == F.col("n_nationkey"),
+            "left_anti",
+        )
+        .agg(F.count("*").alias("violations"))
+        .select(F.lit("customer_orphan_nationkey").alias("check_name"), "violations")
+    )
+    return fused.unionByName(dups).unionByName(orphan_orders).unionByName(orphan_customer)

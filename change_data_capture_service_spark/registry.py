@@ -61,6 +61,7 @@ _QUERY_MODULES = [
     "change_data_capture_service_spark.operators.scan",
     "change_data_capture_service_spark.operators.joins",
     "change_data_capture_service_spark.operators.quality",
+    "change_data_capture_service_spark.operators.dq",
 ]
 
 # ORDER MATTERS: the grading driver verifies keys in entries() iteration order
