@@ -119,14 +119,15 @@ _CHECK_ORDER = [
     "audience_overlap",
     "locf_fill",
     "dataset_split",
-    # -- r01-proven rechecks (regression rotation) --
+    "join_lateral",
+    "multimodal_resize",
+    "cdc_changes_between",
+    "knn_cosine_range",
+    "cdc_snapshot_diff",
+    "dq_constraint_checks",
+    # -- r01-proven recheck (regression rotation; the rest of the proven
+    #    keys keep independent verification via tests/test_oracle_parity) --
     "latest_state",
-    "join_multi",
-    "join_asof",
-    "dedup_minhash_near",
-    "knn_cosine_topk",
-    "agg_sum_avg_minmax_count",
-    "agg_grouping_sets",
 ]
 
 _loaded = False
