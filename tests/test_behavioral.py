@@ -109,3 +109,23 @@ def test_dataset_split_is_total_and_deterministic(spark, sf_dir):
         split.sort_values(key).reset_index(drop=True),
         again.sort_values(key).reset_index(drop=True),
     )
+
+
+def test_dq_fixture_is_healthy(spark, sf_dir):
+    """The driver fixtures satisfy every declared constraint -- a nonzero
+    violation count here means either the fixture changed or a check's
+    predicate drifted."""
+    dq = registry.get("dq_constraint_checks").fn(spark, sf_dir).toPandas()
+    assert len(dq) == 6
+    assert (dq["violations"] == 0).all(), dq.to_dict("records")
+
+
+def test_snapshot_diff_statuses_are_consistent(spark, sf_dir):
+    """Append-only log: no key can be 'removed'; 'added' keys must have
+    NULL old state; 'changed' keys need both states and a moved lsn."""
+    diff = registry.get("cdc_snapshot_diff").fn(spark, sf_dir).toPandas()
+    assert (diff["status"] != "removed").all()
+    added = diff[diff["status"] == "added"]
+    assert added["old_value"].isna().all() and added["old_lsn"].isna().all()
+    changed = diff[diff["status"] == "changed"]
+    assert (changed["new_lsn"] > changed["old_lsn"]).all()
