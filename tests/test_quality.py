@@ -5,6 +5,8 @@ rollup consistency."""
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import functions as F
 
 from change_data_capture_service_spark import registry
@@ -116,3 +118,38 @@ def test_active_users_7d_dominates_daily_actives(spark, sf_dir):
         assert r["n_active"] <= total_users
         if r["anchor_day"] in daily:
             assert r["n_active"] >= daily[r["anchor_day"]]
+
+
+def test_ohlc_rerollup_is_algebraic(spark, sf_dir):
+    """Continuous-aggregate property: daily OHLC derived FROM the hourly
+    rollup must equal daily OHLC computed from raw events. min_by/max_by
+    over (hour-struct) partials re-aggregate losslessly, which is what
+    makes the hourly table a valid materialization to serve coarser
+    windows from (the TimescaleDB continuous-aggregate story)."""
+    hourly = registry.get("ohlc_hourly").fn(spark, sf_dir)
+    day = F.date_trunc("day", F.col("hour"))
+    from_hourly = (
+        hourly.groupBy(day.alias("day"))
+        .agg(
+            F.sum("n").alias("n"),
+            F.min_by("open_value", F.col("hour")).alias("open_value"),
+            F.max("high_value").alias("high_value"),
+            F.min("low_value").alias("low_value"),
+            F.max_by("close_value", F.col("hour")).alias("close_value"),
+        )
+    ).toPandas().sort_values("day").reset_index(drop=True)
+
+    e = load_table(spark, sf_dir, "events")
+    order = F.struct(F.col("ts"), F.col("event_id"))
+    from_raw = (
+        e.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min_by("value", order).alias("open_value"),
+            F.max("value").alias("high_value"),
+            F.min("value").alias("low_value"),
+            F.max_by("value", order).alias("close_value"),
+        )
+    ).toPandas().sort_values("day").reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(from_hourly, from_raw)
