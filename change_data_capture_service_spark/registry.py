@@ -69,9 +69,9 @@ _QUERY_MODULES = [
 # order; everything else follows in registration order. Round-3 front 50 =
 # the 27 keys with no green CORRECTNESS row yet (sort, curation, analytics,
 # sqlapi, udfs, streaming-batch, windows tail, cdc_scd2, agg_approx_percentile
-# whose only r01 row was a harness crash), then the new round-3 operators,
-# then high-value r01-proven keys rotated back in as regression rechecks.
-# The back-of-queue keys keep independent verification via
+# whose only r01 row was a harness crash), then all 22 round-3 operators,
+# then the flagship as the single in-window regression recheck. The
+# back-of-queue proven keys keep independent verification via
 # tests/test_oracle_parity.py (mandatory in CI).
 _CHECK_ORDER = [
     # -- never driver-checked (VERDICT r2 item 1) --
