@@ -286,3 +286,41 @@ def interval_join_stream(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
         & (F.col("purchase_ts") >= F.col("click_ts"))
         & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("interval 30 minutes")),
     ).select("c_user", "click_id", "click_ts", "purchase_id", "purchase_ts", "purchase_value")
+
+
+# ---------------------------------------------------------------------------
+# stream-static enrichment join (X16 extension)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_enrich_join",
+    tags=("streaming", "join"),
+    oracle="""
+    SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment, e.value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """,
+)
+def stream_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-static enrichment join: change events
+    decorated with the customer profile they belong to -- the most common
+    CDC-consumer pattern (enrich the feed with reference data before it
+    lands). The dim side broadcasts; at stream time the same join runs
+    per micro-batch with zero state (the static side is a snapshot the
+    planner re-broadcasts, no watermark needed)."""
+    e = load_table(spark, sf_dir, "events")
+    c = load_table(spark, sf_dir, "customer")
+    return e.join(
+        F.broadcast(c), e["user_id"] == c["c_custkey"]
+    ).select("event_id", "user_id", "c_name", "c_mktsegment", "value")
+
+
+def enrich_join_stream(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static join: each micro-batch of the unbounded side joins the
+    static dimension broadcast-side. Stateless by construction -- nothing
+    is buffered between batches, so it composes freely with downstream
+    windows/sinks; the static side refreshes per batch if its source
+    changes (Spark re-lists the files)."""
+    return events.join(
+        F.broadcast(dim), events["user_id"] == dim["c_custkey"]
+    ).select("event_id", "user_id", "c_name", "c_mktsegment", "value")

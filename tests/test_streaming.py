@@ -207,3 +207,24 @@ def test_stream_ohlc_equals_batch(spark, sf_dir):
         for r in registry.get("ohlc_hourly").fn(spark, sf_dir).collect()
     }
     assert got == batch
+
+
+def test_stream_static_enrich_equals_batch(spark, sf_dir):
+    """The stream-static broadcast join must emit exactly the batch join
+    once the stream drains -- stateless enrichment, no watermark, no
+    dropped or duplicated rows."""
+    from change_data_capture_service_spark import registry
+    from change_data_capture_service_spark.catalog import load_table
+
+    stream = W.stream_events(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer")
+    _drain(W.enrich_join_stream(stream, dim), "enrich_out", "append")
+    got = {
+        (r["event_id"], r["c_name"], r["c_mktsegment"])
+        for r in spark.sql("SELECT * FROM enrich_out").collect()
+    }
+    want = {
+        (r["event_id"], r["c_name"], r["c_mktsegment"])
+        for r in registry.get("stream_enrich_join").fn(spark, sf_dir).collect()
+    }
+    assert got == want and len(got) > 0
