@@ -69,9 +69,10 @@ _QUERY_MODULES = [
 # order; everything else follows in registration order. Round-3 front 50 =
 # the 27 keys with no green CORRECTNESS row yet (sort, curation, analytics,
 # sqlapi, udfs, streaming-batch, windows tail, cdc_scd2, agg_approx_percentile
-# whose only r01 row was a harness crash), then all 22 round-3 operators,
-# then the flagship as the single in-window regression recheck. The
-# back-of-queue proven keys keep independent verification via
+# whose only r01 row was a harness crash), then all 23 round-3 operators --
+# every window slot goes to a never-checked key (the flagship needs no
+# recheck slot: the driver's entry() smoke runs latest_state every round).
+# Proven back-of-queue keys keep independent verification via
 # tests/test_oracle_parity.py (mandatory in CI).
 _CHECK_ORDER = [
     # -- never driver-checked (VERDICT r2 item 1) --
@@ -125,9 +126,7 @@ _CHECK_ORDER = [
     "knn_cosine_range",
     "cdc_snapshot_diff",
     "dq_constraint_checks",
-    # -- r01-proven recheck (regression rotation; the rest of the proven
-    #    keys keep independent verification via tests/test_oracle_parity) --
-    "latest_state",
+    "stream_enrich_join",
 ]
 
 _loaded = False

@@ -64,7 +64,7 @@ def test_every_oracle_key_has_a_query(spark):
 
 
 # The first 50 keys form the driver's bounded-budget check window for round 3:
-# the 27 keys with no green CORRECTNESS row after r01+r02, the 22 new round-3
+# the 27 keys with no green CORRECTNESS row after r01+r02, the 23 new round-3
 # operators, then high-value r01-proven rechecks. This order is load-bearing
 # for grading -- an import refactor that silently reorders it would unprove
 # operators -- so it is pinned here as a contract.
@@ -85,9 +85,7 @@ _R3_CHECK_WINDOW = [
     "sessionize_batch", "event_transitions", "audience_overlap",
     "locf_fill", "dataset_split", "join_lateral", "multimodal_resize",
     "cdc_changes_between", "knn_cosine_range", "cdc_snapshot_diff",
-    "dq_constraint_checks",
-    # r01-proven regression recheck (rest covered by test_oracle_parity)
-    "latest_state",
+    "dq_constraint_checks", "stream_enrich_join",
 ]
 
 
