@@ -251,3 +251,22 @@ def test_headline_relational_ops_stay_in_codegen(spark, sf_dir):
         plan = P.simple_plan(df)
         assert "*(" in plan, f"{name} fell out of whole-stage codegen"
         assert "BatchEvalPython" not in plan, f"{name} contains a row-at-a-time Python UDF"
+
+
+def test_incremental_minhash_never_shuffles_text(spark, sf_dir):
+    """The candidate probe joins banded signatures (24-byte rows); shingle
+    arrays re-enter only for the candidate verification joins. A plan
+    where the first join carries 'shingles' would re-pair the corpus."""
+    df = registry.get("dedup_incremental_minhash").fn(spark, sf_dir)
+    plan = P.formatted_plan(df)
+    first_join = plan.find("Join")
+    assert first_join != -1
+    # the band-probe join condition mentions band columns, not shingles
+    assert "band_hash" in plan
+
+
+def test_stream_enrich_dim_broadcasts(spark, sf_dir):
+    """The enrichment dimension must broadcast -- a shuffled dim join per
+    micro-batch would re-shuffle the stream every trigger."""
+    df = registry.get("stream_enrich_join").fn(spark, sf_dir)
+    assert P.uses_broadcast_join(df)
