@@ -394,3 +394,51 @@ def tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("l_orderkey", "revenue", "o_orderdate")
     )
+
+
+@register(
+    "join_asof_tolerance",
+    tags=("join",),
+    oracle="""
+    WITH marked AS (
+      SELECT event_id, user_id, ts, event_type,
+             last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_ts
+      FROM events
+    )
+    SELECT event_id, user_id, ts,
+           CASE WHEN epoch_us(ts) - epoch_us(last_click_ts) <= 3600000000
+                THEN last_click_ts END AS attributed_click_ts
+    FROM marked WHERE event_type = 'purchase'
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a tolerance bound (pandas ``merge_asof(tolerance=)``
+    semantics): each purchase attributes to the most recent prior click of
+    the same user ONLY if it happened within the last hour -- stale matches
+    become NULL instead of silently attributing to ancient history, which
+    is what attribution windows require. Same single keyed-window shape as
+    ``join_asof``; the tolerance is a post-window microsecond comparison
+    (exact integers both engines), so the plan costs nothing extra."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
+    last_click = F.last(click_ts, ignorenulls=True).over(w)
+    within = (
+        F.unix_micros(F.col("ts")) - F.unix_micros(F.col("last_click_ts"))
+    ) <= 3_600_000_000
+    return (
+        e.withColumn("last_click_ts", last_click)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.when(within, F.col("last_click_ts")).alias("attributed_click_ts"),
+        )
+    )
