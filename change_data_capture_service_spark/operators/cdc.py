@@ -451,3 +451,60 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "old_lsn",
         "new_lsn",
     )
+
+
+@register(
+    "cdc_changed_columns",
+    tags=("cdc",),
+    oracle="""
+    WITH lagged AS (
+      SELECT event_id, user_id,
+             event_type, lag(event_type) OVER w AS prev_type,
+             value,      lag(value)      OVER w AS prev_value,
+             props,      lag(props)      OVER w AS prev_props
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+    )
+    SELECT event_id, user_id,
+           concat_ws(',',
+             CASE WHEN event_type <> prev_type THEN 'event_type' END,
+             CASE WHEN value      <> prev_value THEN 'value' END,
+             CASE WHEN props      <> prev_props THEN 'props' END) AS changed_cols
+    FROM lagged WHERE prev_type IS NOT NULL
+    """,
+)
+def cdc_changed_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changed-column detection per update: for every change event after a
+    key's first, the comma-joined list of payload columns whose value
+    differs from the previous image -- what downstream consumers use to
+    skip no-op updates and to maintain column-level lineage (the
+    before/after envelope makes this a pure projection; the reference
+    discards update images entirely, replicator.go:387-396).
+
+    One keyed-window shuffle; concat_ws drops the NULL slots of unchanged
+    columns identically in both engines, so the audit string is
+    bit-stable."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    lagged = e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        "props",
+        F.lag("props").over(w).alias("prev_props"),
+    )
+    return lagged.filter(F.col("prev_type").isNotNull()).select(
+        "event_id",
+        "user_id",
+        F.concat_ws(
+            ",",
+            F.when(F.col("event_type") != F.col("prev_type"), "event_type"),
+            F.when(F.col("value") != F.col("prev_value"), "value"),
+            F.when(F.col("props") != F.col("prev_props"), "props"),
+        ).alias("changed_cols"),
+    )

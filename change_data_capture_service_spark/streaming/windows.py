@@ -324,3 +324,30 @@ def enrich_join_stream(events: DataFrame, dim: DataFrame) -> DataFrame:
     return events.join(
         F.broadcast(dim), events["user_id"] == dim["c_custkey"]
     ).select("event_id", "user_id", "c_name", "c_mktsegment", "value")
+
+
+def left_outer_interval_join_stream(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: every click appears exactly
+    once -- matched rows as soon as the purchase arrives, unmatched rows
+    with NULL purchase columns once the purchase-side watermark passes
+    click.ts + 30min and Spark can PROVE no match is coming. The null
+    emission is watermark-driven state eviction, not an end-of-stream
+    sweep: at any point the buffered click state is bounded by the
+    attribution window + watermark delay, same as the inner variant."""
+    c = clicks.withWatermark("ts", "1 hour").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.withWatermark("ts", "1 hour").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("interval 30 minutes")),
+        "leftOuter",
+    )

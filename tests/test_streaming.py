@@ -228,3 +228,83 @@ def test_stream_static_enrich_equals_batch(spark, sf_dir):
         for r in registry.get("stream_enrich_join").fn(spark, sf_dir).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_stream_left_outer_join_equals_batch(spark, sf_dir, tmp_path):
+    """Left-outer attribution: matched clicks pair with their purchase;
+    unmatched clicks must STILL be emitted (with NULL purchase) once the
+    watermark proves no match can arrive. A far-future sentinel pair in a
+    second file advances the watermark past every real click's horizon, so
+    the drained stream must equal the batch left join over the same data."""
+    import shutil
+    import time as _t
+
+    from change_data_capture_service_spark.catalog import load_table
+
+    src = str(tmp_path / "loj_events")
+    import os
+    os.makedirs(src)
+    # rewrite the ns-timestamp fixture as plain µs parquet so one schema
+    # covers both files in the streaming source directory
+    load_table(spark, sf_dir, "events").coalesce(1).write.parquet(f"{src}/a_tmp")
+    for f in os.listdir(f"{src}/a_tmp"):
+        if f.endswith(".parquet"):
+            shutil.move(f"{src}/a_tmp/{f}", f"{src}/a_events.parquet")
+    shutil.rmtree(f"{src}/a_tmp")
+    _t.sleep(0.05)
+    # sentinel click+purchase far in the future, 1 day apart (no mutual match)
+    spark.createDataFrame(
+        [
+            (10**9, "2030-01-01 00:00:00", -1, "click", 0.0, "{}"),
+            (10**9 + 1, "2030-01-02 00:00:00", -1, "purchase", 0.0, "{}"),
+        ],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id", "event_type", "value", "props"
+    ).coalesce(1).write.parquet(f"{src}/b_sentinel", mode="overwrite")
+    for f in os.listdir(f"{src}/b_sentinel"):
+        if f.endswith(".parquet"):
+            shutil.move(f"{src}/b_sentinel/{f}", f"{src}/z_sentinel.parquet")
+    shutil.rmtree(f"{src}/b_sentinel")
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    clicks = stream.filter(F.col("event_type") == "click")
+    purchases = stream.filter(F.col("event_type") == "purchase")
+    _drain(W.left_outer_interval_join_stream(clicks, purchases), "loj_out")
+    # the sentinel click exists only to advance the watermark; nothing later
+    # can close ITS horizon, so it is excluded from the equivalence check
+    got = {
+        (r["click_id"], r["purchase_id"])
+        for r in spark.sql("SELECT * FROM loj_out").collect()
+        if r["click_id"] < 10**9
+    }
+
+    ev = spark.read.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).parquet(src)
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("event_id").alias("purchase_id"), F.col("ts").alias("purchase_ts")
+    )
+    want = {
+        (r["click_id"], r["purchase_id"])
+        for r in c.join(
+            p,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("interval 30 minutes")),
+            "leftOuter",
+        ).collect()
+        if r["click_id"] < 10**9
+    }
+    assert got == want
+    assert any(p is None for _, p in got), "no watermark-driven null emissions seen"
