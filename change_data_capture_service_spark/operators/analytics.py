@@ -358,3 +358,58 @@ def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(score, 6).alias("score"),
         )
     )
+
+
+@register(
+    "activity_streaks",
+    tags=("analytics",),
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+    ),
+    islands AS (
+      SELECT user_id, day,
+             epoch_us(day) - row_number() OVER (PARTITION BY user_id ORDER BY day)
+               * 86400000000 AS anchor
+      FROM days
+    ),
+    streaks AS (
+      SELECT user_id, anchor, CAST(count(*) AS BIGINT) AS streak_len
+      FROM islands GROUP BY user_id, anchor
+    )
+    SELECT user_id,
+           CAST(sum(streak_len) AS BIGINT) AS n_active_days,
+           max(streak_len) AS best_streak
+    FROM streaks GROUP BY user_id
+    """,
+)
+def activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user (gaps-and-islands
+    on the calendar, the engagement metric next to DAU): distinct active
+    days, then the classic day - row_number trick -- consecutive days share
+    one anchor value, so a plain count per (user, anchor) measures each
+    streak. Day arithmetic runs in exact epoch microseconds so both
+    engines draw identical island boundaries.
+
+    Scale: the fact table reduces to DISTINCT (user, day) first (<= users
+    x days rows); every later stage -- window, both aggs -- clusters on
+    user_id and rides that one keyed shuffle."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    days = e.select("user_id", F.date_trunc("day", F.col("ts")).alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    islands = days.select(
+        "user_id",
+        "day",
+        (F.unix_micros(F.col("day")) - F.row_number().over(w) * 86_400_000_000).alias(
+            "anchor"
+        ),
+    )
+    streaks = islands.groupBy("user_id", "anchor").agg(
+        F.count("*").alias("streak_len")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.sum("streak_len").alias("n_active_days"),
+        F.max("streak_len").alias("best_streak"),
+    )

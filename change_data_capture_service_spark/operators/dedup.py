@@ -513,3 +513,62 @@ def connected_components(pairs: DataFrame, max_rounds: int = 50) -> DataFrame:
         if changed == 0:
             break
     return labels.select("doc_id", "cluster_id")
+
+
+@register(
+    "dedup_canonical",
+    tags=("dedup", "northstar"),
+    oracle=_ORACLE_EXACT_JACCARD.replace("WITH toks", "WITH RECURSIVE toks", 1)
+    + """
+    , near AS (
+      SELECT doc_id_a, doc_id_b FROM pairs
+      WHERE CAST(c AS DOUBLE) / (na + nb - c) >= 0.8
+    ),
+    edges AS (
+      SELECT doc_id_a AS s, doc_id_b AS d FROM near
+      UNION
+      SELECT doc_id_b, doc_id_a FROM near
+    ),
+    reach(s, d) AS (
+      SELECT s, d FROM edges
+      UNION
+      SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+    ),
+    cc AS (
+      SELECT s AS doc_id, least(s, min(d)) AS cluster_id
+      FROM reach GROUP BY s
+    ),
+    ranked AS (
+      SELECT cc.cluster_id, cc.doc_id, d.n_chars,
+             row_number() OVER (PARTITION BY cc.cluster_id
+                                ORDER BY d.n_chars DESC, cc.doc_id) AS rn
+      FROM cc JOIN documents d ON cc.doc_id = d.doc_id
+    )
+    SELECT cluster_id,
+           max(CASE WHEN rn = 1 THEN doc_id END) AS keep_doc_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) - 1 AS BIGINT) AS n_dropped
+    FROM ranked GROUP BY cluster_id
+    """,
+)
+def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup END STEP: for every near-duplicate cluster, elect one
+    canonical representative (longest document wins, lowest doc_id breaks
+    ties) and count what gets dropped -- the decision that actually shrinks
+    the corpus, downstream of pair finding (``dedup_minhash_near``) and
+    component closure (``dedup_cluster``).
+
+    One max_by partial agg over the (doc, cluster, n_chars) rows: the
+    struct comparator (n_chars, -doc_id) encodes the election rule, so no
+    window re-sort -- at corpus scale the agg reduces map-side to one
+    candidate per cluster per task."""
+    cc = dedup_cluster(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    member = cc.join(d, "doc_id")
+    return member.groupBy("cluster_id").agg(
+        F.max_by("doc_id", F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("nd"))).alias(
+            "keep_doc_id"
+        ),
+        F.count("*").alias("n_docs"),
+        (F.count("*") - 1).alias("n_dropped"),
+    )
