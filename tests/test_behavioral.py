@@ -129,3 +129,41 @@ def test_snapshot_diff_statuses_are_consistent(spark, sf_dir):
     assert added["old_value"].isna().all() and added["old_lsn"].isna().all()
     changed = diff[diff["status"] == "changed"]
     assert (changed["new_lsn"] > changed["old_lsn"]).all()
+
+
+def test_canonical_election_rules(spark, sf_dir):
+    """Every cluster keeps exactly one doc; the keeper has the cluster's
+    max n_chars (lowest doc_id on ties); n_docs matches the component
+    membership from dedup_cluster."""
+    canon = registry.get("dedup_canonical").fn(spark, sf_dir).toPandas()
+    cc = registry.get("dedup_cluster").fn(spark, sf_dir).toPandas()
+    chars = {
+        r["doc_id"]: r["n_chars"]
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    sizes = cc.groupby("cluster_id").size()
+    assert len(canon) == len(sizes)
+    for _, r in canon.iterrows():
+        members = cc[cc["cluster_id"] == r["cluster_id"]]["doc_id"]
+        assert r["n_docs"] == len(members) == r["n_dropped"] + 1
+        best = max(chars[d] for d in members)
+        assert chars[r["keep_doc_id"]] == best
+        assert r["keep_doc_id"] == min(d for d in members if chars[d] == best)
+
+
+def test_streaks_are_bounded_by_active_days(spark, sf_dir):
+    """best_streak <= n_active_days, and n_active_days equals the user's
+    distinct active day count from raw events."""
+    st = registry.get("activity_streaks").fn(spark, sf_dir).toPandas()
+    e = load_table(spark, sf_dir, "events")
+    days = {
+        r["user_id"]: r["n"]
+        for r in e.select("user_id", F.date_trunc("day", "ts").alias("d"))
+        .distinct()
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert (st["best_streak"] <= st["n_active_days"]).all()
+    for _, r in st.iterrows():
+        assert r["n_active_days"] == days[r["user_id"]]
