@@ -167,3 +167,35 @@ def test_streaks_are_bounded_by_active_days(spark, sf_dir):
     assert (st["best_streak"] <= st["n_active_days"]).all()
     for _, r in st.iterrows():
         assert r["n_active_days"] == days[r["user_id"]]
+
+
+def test_approx_count_distinct_within_rsd(spark, sf_dir):
+    """HLL estimates must land within a generous multiple of the requested
+    relative standard deviation of the exact NDV -- the semantic check
+    behind the rows-only driver row."""
+    approx = registry.get("agg_approx_count_distinct").fn(spark, sf_dir).toPandas()
+    exact = registry.get("agg_count_distinct").fn(spark, sf_dir).toPandas()
+    a = approx.set_index(approx.columns[0]).iloc[:, 0]
+    e = exact.set_index(exact.columns[0]).iloc[:, 0]
+    for k in e.index:
+        rel_err = abs(int(a[k]) - int(e[k])) / max(int(e[k]), 1)
+        assert rel_err < 0.15, f"{k}: approx {a[k]} vs exact {e[k]}"
+
+
+def test_approx_percentile_within_rank_tolerance(spark, sf_dir):
+    """t-digest medians must sit between the exact 40th and 60th
+    percentiles of the same distribution."""
+    approx = registry.get("agg_approx_percentile").fn(spark, sf_dir).toPandas()
+    li = load_table(spark, sf_dir, "lineitem")
+    bounds = {
+        r["l_returnflag"]: (r["lo"], r["hi"])
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_extendedprice, 0.4)").alias("lo"),
+            F.expr("percentile(l_extendedprice, 0.6)").alias("hi"),
+        )
+        .collect()
+    }
+    for _, r in approx.iterrows():
+        lo, hi = bounds[r["l_returnflag"]]
+        assert lo <= r["p50_price"] <= hi, (r["l_returnflag"], r["p50_price"], lo, hi)
