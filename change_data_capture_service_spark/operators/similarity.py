@@ -341,3 +341,60 @@ def knn_cosine_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine") >= RANGE_TAU)
         .select("query_id", F.col("vec_id").alias("neighbor_id"), "cosine")
     )
+
+
+@register(
+    "embedding_quantize_int8",
+    tags=("similarity", "northstar"),
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    scaled AS (
+      SELECT vec_id, label,
+             list_max(list_transform(v, x -> abs(x))) AS scale,
+             v
+      FROM v
+    ),
+    codes AS (
+      SELECT vec_id, label, scale,
+             list_transform(v, x -> CAST(floor(x / scale * 127) AS BIGINT)) AS code
+      FROM scaled WHERE scale > 0
+    )
+    SELECT vec_id, label, round(scale, 6) AS scale,
+           CAST(list_sum(code) AS BIGINT) AS code_sum,
+           CAST(list_min(code) AS BIGINT) AS code_min,
+           CAST(list_max(code) AS BIGINT) AS code_max
+    FROM codes
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 scalar quantization (the 4x storage compression ANN
+    indexes ship to disk): scale = max|x|, code_i = floor(x_i/scale*127).
+    floor -- not round -- keeps the boundary decision IEEE-deterministic
+    across engines (round's half-up vs banker's ties differ); the query
+    returns the per-vector code summary so the full quantization
+    arithmetic is hash-checkable without array outputs.
+
+    Scale: pure map-side JVM array folds -- zero shuffles; at index-build
+    time the codes column writes alongside the float column and the
+    coarse quantizer (see ``knn_cosine_ivf``) searches int8 with a float
+    re-rank on the shortlist."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+    scale = F.expr("array_max(transform(v, x -> abs(x)))")
+    code = F.expr("transform(v, x -> CAST(floor(x / scale * 127) AS BIGINT))")
+    return (
+        e.select("vec_id", "label", v.alias("v"))
+        .withColumn("scale", scale)
+        .filter(F.col("scale") > 0)
+        .withColumn("code", code)
+        .select(
+            "vec_id",
+            "label",
+            F.round("scale", 6).alias("scale"),
+            F.aggregate("code", F.lit(0).cast("long"), lambda a, x: a + x).alias("code_sum"),
+            F.array_min("code").alias("code_min"),
+            F.array_max("code").alias("code_max"),
+        )
+    )
