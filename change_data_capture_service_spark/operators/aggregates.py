@@ -528,3 +528,35 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", F.col("event_type").alias("modal_type"), F.col("c").alias("n"))
     )
+
+
+@register(
+    "agg_weighted_avg",
+    tags=("agg",),
+    oracle="""
+    SELECT l_returnflag,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                         CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) /
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                AS DOUBLE) AS wavg_discount_raw,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                          CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) /
+                 CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 6)
+             AS wavg_discount
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-weighted average discount per return flag -- the weighted
+    mean every finance dashboard needs and plain avg() silently gets
+    wrong. Both weight products and the denominator accumulate in DECIMAL
+    (exact, order-free); the single double division happens once at the
+    end, identically in both engines. One conditional-agg scan, one
+    partial-agg exchange."""
+    li = load_table(spark, sf_dir, "lineitem")
+    num = F.sum(dec("l_extendedprice") * dec("l_discount")).cast("double")
+    den = F.sum(dec("l_extendedprice")).cast("double")
+    return li.groupBy("l_returnflag").agg(
+        (num / den).alias("wavg_discount_raw"),
+        F.round(num / den, 6).alias("wavg_discount"),
+    )

@@ -413,3 +413,30 @@ def activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("streak_len").alias("n_active_days"),
         F.max("streak_len").alias("best_streak"),
     )
+
+
+@register(
+    "events_seasonality",
+    tags=("analytics", "timeseries"),
+    oracle="""
+    SELECT CAST(dayofweek(ts) AS INT) AS dow,
+           CAST(hour(ts) AS INT) AS hod,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week x hour-of-day activity matrix (the seasonality heatmap
+    behind every traffic dashboard). Spark's dayofweek is 1=Sunday while
+    DuckDB's is 0=Sunday, so the engine subtracts one -- the kind of
+    off-by-one that silently shifts a heatmap a day if unpinned. Output is
+    at most 7 x 24 rows from one partial-agg pass."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy(
+        (F.dayofweek("ts") - 1).alias("dow"),
+        F.hour("ts").alias("hod"),
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+    )
