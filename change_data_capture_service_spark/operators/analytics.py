@@ -440,3 +440,106 @@ def events_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
     )
+
+
+@register(
+    "winsorize_stats",
+    tags=("analytics", "quality"),
+    oracle="""
+    WITH pct AS (
+      SELECT event_type,
+             quantile_cont(value, 0.05) AS p05,
+             quantile_cont(value, 0.95) AS p95
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(avg(e.value), 6) AS DOUBLE) AS mean_raw,
+           CAST(round(avg(CASE WHEN e.value < p.p05 THEN p.p05
+                               WHEN e.value > p.p95 THEN p.p95
+                               ELSE e.value END), 6) AS DOUBLE) AS mean_winsor,
+           CAST(sum(CASE WHEN e.value < p.p05 OR e.value > p.p95 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clipped
+    FROM events e JOIN pct p ON e.event_type = p.event_type
+    GROUP BY e.event_type
+    """,
+)
+def winsorize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean per event type: clip to the [p05, p95] band and
+    compare against the raw mean -- the robust-stats preprocessing step
+    quality pipelines run before thresholding on a heavy-tailed metric.
+
+    Scale shape: exact percentiles reduce to |types| rows in one pass,
+    broadcast back onto the fact table (map-side join, no fact shuffle for
+    the join), and the clipped aggregate is one more partial-agg pass.
+    Swap percentile -> approx_percentile at petabyte scale for a
+    single-pass sketch; kept exact here for the bit-stable oracle."""
+    e = load_table(spark, sf_dir, "events")
+    pct = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("p05"),
+        F.expr("percentile(value, 0.95)").alias("p95"),
+    )
+    clipped = F.when(F.col("value") < F.col("p05"), F.col("p05")).when(
+        F.col("value") > F.col("p95"), F.col("p95")
+    ).otherwise(F.col("value"))
+    out_of_band = (F.col("value") < F.col("p05")) | (F.col("value") > F.col("p95"))
+    return (
+        e.join(F.broadcast(pct), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("value"), 6).cast("double").alias("mean_raw"),
+            F.round(F.avg(clipped), 6).cast("double").alias("mean_winsor"),
+            F.sum(out_of_band.cast("bigint")).alias("n_clipped"),
+        )
+    )
+
+
+@register(
+    "iqr_outliers",
+    tags=("analytics", "quality"),
+    oracle="""
+    WITH q AS (
+      SELECT event_type,
+             quantile_cont(value, 0.25) AS q1,
+             quantile_cont(value, 0.75) AS q3
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(round(any_value(q.q1), 6) AS DOUBLE) AS q1,
+           CAST(round(any_value(q.q3), 6) AS DOUBLE) AS q3,
+           CAST(sum(CASE WHEN e.value < q.q1 - 1.5 * (q.q3 - q.q1)
+                           OR e.value > q.q3 + 1.5 * (q.q3 - q.q1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events e JOIN q ON e.event_type = q.event_type
+    GROUP BY e.event_type
+    """,
+)
+def iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier counts per event type (1.5 x IQR beyond the
+    quartiles) -- the boxplot rule, complementing anomaly_mad's
+    median-based fence with the quartile-based one.
+
+    Same broadcast-scalars shape as anomaly_mad: quartiles reduce to
+    |types| rows, broadcast onto the fact table, one conditional-agg pass.
+    The fact table is never shuffled by the join."""
+    e = load_table(spark, sf_dir, "events")
+    q = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.25)").alias("q1"),
+        F.expr("percentile(value, 0.75)").alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    is_out = (F.col("value") < F.col("q1") - 1.5 * iqr) | (
+        F.col("value") > F.col("q3") + 1.5 * iqr
+    )
+    return (
+        e.join(F.broadcast(q), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.first("q1"), 6).cast("double").alias("q1"),
+            F.round(F.first("q3"), 6).cast("double").alias("q3"),
+            F.sum(is_out.cast("bigint")).alias("n_outliers"),
+            F.count("*").alias("n"),
+        )
+    )

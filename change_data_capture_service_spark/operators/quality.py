@@ -276,3 +276,134 @@ def url_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("lang").alias("n_langs"),
         )
     )
+
+
+@register(
+    "text_entropy",
+    tags=("quality", "text", "northstar"),
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({TOKENS}) AS tok FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS c FROM toks GROUP BY doc_id, tok
+    ),
+    tot AS (
+      SELECT doc_id, sum(c) AS n FROM tf GROUP BY doc_id
+    )
+    SELECT tf.doc_id,
+           CAST(any_value(tot.n) AS BIGINT) AS n_tokens,
+           CAST(round(-sum((tf.c / tot.n) * ln(tf.c / tot.n)), 6) AS DOUBLE) AS entropy
+    FROM tf JOIN tot ON tf.doc_id = tot.doc_id
+    GROUP BY tf.doc_id
+    """,
+)
+def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-level Shannon entropy per document (nats): the gibberish /
+    boilerplate detector -- low entropy means a few tokens dominate
+    (repeated spam), implausibly high means near-uniform noise. A standard
+    quality signal alongside the Gopher rules.
+
+    Scale: explode + two-level agg keyed by doc_id, so every shuffle key
+    is the doc -- token counting partial-aggregates map-side, and because
+    both aggs and the join share the doc_id key, the planner reuses ONE
+    exchange (co-located join, no fact re-shuffle). Per-doc state is the
+    doc's vocabulary, never the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(_tokens()).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").cast("double").alias("c"))
+    )
+    tot = tf.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    p = F.col("c") / F.col("n")
+    return (
+        tf.join(tot, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.first("n").cast("bigint").alias("n_tokens"),
+            F.round(-F.sum(p * F.log(p)), 6).cast("double").alias("entropy"),
+        )
+    )
+
+
+@register(
+    "text_repetition",
+    tags=("quality", "text", "northstar"),
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {TOKENS} AS toks FROM documents
+    ),
+    words AS (
+      SELECT doc_id, unnest(toks) AS tok, len(toks) AS n FROM toks
+    ),
+    wc AS (
+      SELECT doc_id, tok, any_value(n) AS n, count(*) AS c
+      FROM words GROUP BY doc_id, tok
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(toks)),
+                                   i -> toks[i] || ' ' || toks[i+1])) AS g,
+             len(toks) - 1 AS ng
+      FROM toks WHERE len(toks) >= 2
+    ),
+    gc AS (
+      SELECT doc_id, g, any_value(ng) AS ng, count(*) AS c
+      FROM grams GROUP BY doc_id, g
+    )
+    SELECT wc.doc_id,
+           CAST(round(max(wc.c) / any_value(wc.n), 6) AS DOUBLE) AS top_word_frac,
+           CAST(round(coalesce(any_value(gd.dup_frac), 0.0), 6) AS DOUBLE)
+             AS dup_bigram_frac
+    FROM wc
+    LEFT JOIN (
+      SELECT doc_id, sum(CASE WHEN c > 1 THEN c ELSE 0 END) / any_value(ng) AS dup_frac
+      FROM gc GROUP BY doc_id
+    ) gd ON wc.doc_id = gd.doc_id
+    GROUP BY wc.doc_id
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document: fraction of tokens
+    taken by the single most frequent word, and fraction of bigram slots
+    occupied by bigrams that occur more than once (Rae et al. 2021,
+    "Scaling Language Models", table A1 -- public paper). High values on
+    either flag template/spam text that survives length filters.
+
+    Scale: same one-key (doc_id) explode/agg family as text_entropy --
+    all shuffles are keyed by doc, partial-agg combines map-side, and the
+    two signal branches join co-located on doc_id."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", _tokens().alias("toks"))
+    wc = (
+        toks.select("doc_id", F.size("toks").alias("n"), F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.first("n").alias("n"), F.count("*").alias("c"))
+    )
+    top_word = wc.groupBy("doc_id").agg(
+        F.round(F.max("c") / F.first("n"), 6).cast("double").alias("top_word_frac")
+    )
+    grams = toks.filter(F.size("toks") >= 2).select(
+        "doc_id",
+        (F.size("toks") - 1).alias("ng"),
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1),"
+                " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+            )
+        ).alias("g"),
+    )
+    gc = grams.groupBy("doc_id", "g").agg(F.first("ng").alias("ng"), F.count("*").alias("c"))
+    dup = gc.groupBy("doc_id").agg(
+        (
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0))) / F.first("ng")
+        ).alias("dup_frac")
+    )
+    return top_word.join(dup, "doc_id", "left").select(
+        "doc_id",
+        "top_word_frac",
+        F.round(F.coalesce(F.col("dup_frac"), F.lit(0.0)), 6)
+        .cast("double")
+        .alias("dup_bigram_frac"),
+    )

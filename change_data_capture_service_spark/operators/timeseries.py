@@ -197,3 +197,169 @@ def active_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("anchor_day")
         .agg(F.count_distinct("user_id").alias("n_active"))
     )
+
+
+@register(
+    "time_weighted_avg",
+    tags=("timeseries",),
+    oracle="""
+    WITH seg AS (
+      SELECT event_type,
+             date_trunc('day', ts) AS day,
+             value,
+             epoch(lead(ts) OVER (PARTITION BY event_type ORDER BY ts, event_id) - ts)
+               AS dur_s
+      FROM events
+    )
+    SELECT event_type,
+           CAST(day AS TIMESTAMP) AS day,
+           CAST(round(sum(CAST(value * dur_s AS DECIMAL(28,6)))
+                      / sum(CAST(dur_s AS DECIMAL(28,6))), 6) AS DOUBLE) AS twa
+    FROM seg
+    WHERE dur_s IS NOT NULL AND dur_s > 0
+    GROUP BY event_type, day
+    """,
+)
+def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average per (event_type, day) for an irregularly
+    sampled series: each observation holds until the next one, so its
+    weight is the seconds it was in effect (the hypertable `time_weight`
+    aggregate from the TimescaleDB toolkit, public docs). Segments are cut
+    with lead() and attributed to the day they START in.
+
+    One keyed shuffle: lead() partitions by event_type, and the day-level
+    aggregate re-uses that clustering (day is a refinement of the sort
+    order, so AQE coalesces without a second exchange of raw rows).
+    Decimal accumulation keeps the sum order-independent for the
+    cross-engine hash."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    seg = e.select(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        "value",
+        (F.lead("ts").over(w).cast("double") - F.col("ts").cast("double")).alias("dur_s"),
+    ).filter(F.col("dur_s").isNotNull() & (F.col("dur_s") > 0))
+    num = F.sum((F.col("value") * F.col("dur_s")).cast("decimal(28,6)"))
+    den = F.sum(F.col("dur_s").cast("decimal(28,6)"))
+    return seg.groupBy("event_type", "day").agg(
+        F.round(num / den, 6).cast("double").alias("twa")
+    )
+
+
+@register(
+    "rolling_corr_24h",
+    tags=("timeseries", "analytics"),
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             CAST(count(*) AS DOUBLE) AS n,
+             avg(value) AS av
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, CAST(hour AS TIMESTAMP) AS hour,
+           CAST(round(corr(n, av) OVER (PARTITION BY event_type ORDER BY hour
+                                        ROWS BETWEEN 23 PRECEDING AND CURRENT ROW), 6)
+                AS DOUBLE) AS corr_24h
+    FROM hourly
+    ORDER BY event_type, hour
+    """,
+)
+def rolling_corr_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-24-bucket correlation between hourly event volume and
+    hourly mean value, per event type -- the drift/co-movement monitor
+    ops teams run over a CDC-fed metrics rollup.
+
+    Two-level shape: the fact table reduces to |types| x |hours| rows in
+    ONE partial-agg shuffle, and the corr() window runs on that rollup --
+    per-partition state is one type's hourly series, thousands of rows at
+    a century of retention, never fact-table-sized. corr is an algebraic
+    aggregate (sums of x, y, xy, x2, y2), so Spark computes it windowed
+    JVM-side without materializing the frame."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count("*").cast("double").alias("n"), F.avg("value").alias("av"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-23, Window.currentRow)
+    )
+    return hourly.select(
+        "event_type",
+        "hour",
+        F.round(F.corr("n", "av").over(w), 6).cast("double").alias("corr_24h"),
+    ).orderBy("event_type", "hour")
+
+
+@register(
+    "ewma_hourly",
+    tags=("timeseries",),
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             avg(value) AS av
+      FROM events GROUP BY 1, 2
+    ),
+    framed AS (
+      SELECT event_type, hour,
+             list(av) OVER (PARTITION BY event_type ORDER BY hour
+                            ROWS BETWEEN 11 PRECEDING AND CURRENT ROW) AS vals
+      FROM hourly
+    )
+    SELECT event_type, CAST(hour AS TIMESTAMP) AS hour,
+           CAST(round(
+             list_sum(list_transform(vals, (x, i) -> x * power(0.7, len(vals) - i)))
+             / list_sum(list_transform(vals, (x, i) -> power(0.7, len(vals) - i))),
+           6) AS DOUBLE) AS ewma
+    FROM framed
+    ORDER BY event_type, hour
+    """,
+)
+def ewma_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average (span-bounded) of the hourly
+    mean value per event type: weight (1-alpha)^age over the trailing 12
+    buckets, alpha = 0.3. The unbounded EWMA recurrence is inherently
+    sequential; bounding the span at 12 buckets (weight < 1.4% beyond)
+    makes it a pure windowed expression BOTH engines evaluate
+    deterministically -- the standard trick for distributed EWMA.
+
+    Same two-level shape as the other rollups: fact table -> hourly agg
+    (one shuffle), then collect_list over a 12-row frame on the rollup and
+    a JVM higher-order transform/aggregate -- no Python, no UDF. DuckDB's
+    indexed lambda is 1-based, so weight exponents are written as
+    (frame_len - i) on both sides to line up exactly."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.avg("value").alias("av"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-11, Window.currentRow)
+    )
+    framed = hourly.select(
+        "event_type", "hour", F.collect_list("av").over(w).alias("vals")
+    )
+    # Spark transform's index is 0-based; DuckDB's is 1-based. Using
+    # (size - 1 - i) here and (len - i) there yields identical exponents:
+    # newest element (i = size-1 / i = len) gets 0.7^0.
+    wsum = F.expr(
+        "aggregate(transform(vals, (x, i) -> x * power(0.7, size(vals) - 1 - i)),"
+        " CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
+    )
+    nsum = F.expr(
+        "aggregate(transform(vals, (x, i) -> power(0.7, size(vals) - 1 - i)),"
+        " CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
+    )
+    return framed.select(
+        "event_type",
+        "hour",
+        F.round(wsum / nsum, 6).cast("double").alias("ewma"),
+    ).orderBy("event_type", "hour")
