@@ -560,3 +560,95 @@ def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         (num / den).alias("wavg_discount_raw"),
         F.round(num / den, 6).alias("wavg_discount"),
     )
+
+
+@register(
+    "agg_hist_equi_depth",
+    tags=("agg", "analytics"),
+    oracle="""
+    WITH b AS (
+      SELECT list_transform(quantile_cont(o_totalprice, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
+                            x -> round(x, 2)) AS bnds
+      FROM orders
+    )
+    SELECT CAST(len(list_filter(b.bnds, x -> o.o_totalprice > x)) AS INT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(min(o.o_totalprice), 2) AS DOUBLE) AS lo,
+           CAST(round(max(o.o_totalprice), 2) AS DOUBLE) AS hi
+    FROM orders o CROSS JOIN b
+    GROUP BY 1
+    """,
+)
+def agg_hist_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (decile) histogram of order totals: ~10% of rows per
+    bucket, with each bucket's realized [lo, hi] span -- the histogram
+    that stays readable under heavy tails, and the statistics CBOs
+    actually collect.
+
+    Scale: this is deliberately NOT ntile() -- a global ntile is a
+    single-reducer sort. Boundaries come from one percentile aggregate
+    (swap in approx_percentile's sketch at petabyte scale), broadcast to
+    every task, and bucket assignment is a map-side array count of
+    boundaries below the value; then one partial-agg shuffle of 10 groups.
+    Boundaries round to 2 dp on both engines so interpolation ulps can't
+    flip a row across a bucket edge."""
+    o = load_table(spark, sf_dir, "orders")
+    bnds = o.agg(
+        F.expr(
+            "transform(percentile(o_totalprice, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9)),"
+            " x -> round(x, 2))"
+        ).alias("bnds")
+    )
+    return (
+        o.join(F.broadcast(bnds))
+        .select(
+            F.expr("size(filter(bnds, x -> o_totalprice > x))").cast("int").alias("bucket"),
+            "o_totalprice",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("o_totalprice"), 2).cast("double").alias("lo"),
+            F.round(F.max("o_totalprice"), 2).cast("double").alias("hi"),
+        )
+    )
+
+
+@register(
+    "agg_heavy_hitters",
+    tags=("agg", "analytics"),
+    oracle="""
+    WITH c AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY user_id
+    ),
+    t AS (SELECT sum(n) AS total FROM c)
+    SELECT c.user_id, c.n,
+           CAST(round(c.n / t.total, 6) AS DOUBLE) AS share
+    FROM c CROSS JOIN t
+    ORDER BY c.n DESC, c.user_id
+    LIMIT 20
+    """,
+)
+def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 heaviest keys with their traffic share -- the skew probe run
+    before choosing join/salting strategy (the exact small-k counterpart
+    of a count-min sketch heavy-hitter pass).
+
+    Scale: count per key partial-aggregates to |keys| rows; the grand
+    total is a one-row aggregate of THAT rollup (not a second fact pass)
+    cross-joined as a broadcast scalar; final top-k is
+    TakeOrderedAndProject. Fact table: exactly one scan, one shuffle of
+    (key, count) pairs."""
+    e = load_table(spark, sf_dir, "events")
+    c = e.groupBy("user_id").agg(F.count("*").alias("n"))
+    t = c.agg(F.sum("n").alias("total"))
+    return (
+        c.join(F.broadcast(t))
+        .select(
+            "user_id",
+            "n",
+            F.round(F.col("n") / F.col("total"), 6).cast("double").alias("share"),
+        )
+        .orderBy(F.col("n").desc(), "user_id")
+        .limit(20)
+    )

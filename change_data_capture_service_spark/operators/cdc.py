@@ -508,3 +508,111 @@ def cdc_changed_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("props") != F.col("prev_props"), "props"),
         ).alias("changed_cols"),
     )
+
+
+@register(
+    "cdc_snapshot_asof",
+    tags=("cdc",),
+    oracle="""
+    SELECT user_id,
+           arg_max(event_id, event_id) AS event_id,
+           CAST(arg_max(ts, event_id) AS TIMESTAMP) AS ts,
+           arg_max(event_type, event_id) AS event_type,
+           arg_max(value, event_id) AS value
+    FROM events
+    WHERE ts <= TIMESTAMP '2025-06-01 00:00:00'
+    GROUP BY user_id
+    """,
+)
+def cdc_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel: reconstruct per-key table state as of a wall-clock
+    instant from the retained change log (the AS OF query Delta/Iceberg
+    expose via snapshots, answered here from the log itself: latest change
+    per key at ts <= T).
+
+    Scale: the time predicate pushes to the parquet scan (min/max row-group
+    skip on ts -- the ingest sink writes time-ordered files), then ONE
+    max_by partial agg; output is |keys| rows. Contrast cdc_changes_between
+    (LSN-bounded delta) -- this is the absolute-state twin."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("ts") <= F.lit("2025-06-01 00:00:00").cast("timestamp")
+    )
+    return e.groupBy("user_id").agg(
+        F.max("event_id").alias("event_id"),
+        F.max_by("ts", "event_id").alias("ts"),
+        F.max_by("event_type", "event_id").alias("event_type"),
+        F.max_by("value", "event_id").alias("value"),
+    )
+
+
+@register(
+    "cdc_merge_upsert",
+    tags=("cdc",),
+    oracle="""
+    WITH base AS (
+      SELECT user_id, arg_max(value, event_id) AS value, max(event_id) AS lsn
+      FROM events WHERE event_id < 5000 GROUP BY user_id
+    ),
+    delta AS (
+      SELECT user_id,
+             arg_max(event_type, event_id) AS op_type,
+             arg_max(value, event_id) AS value,
+             max(event_id) AS lsn
+      FROM events WHERE event_id >= 5000 GROUP BY user_id
+    )
+    SELECT coalesce(b.user_id, d.user_id) AS user_id,
+           CASE WHEN d.user_id IS NULL THEN b.value ELSE d.value END AS value,
+           CASE WHEN d.user_id IS NULL THEN b.lsn ELSE d.lsn END AS lsn,
+           CASE WHEN d.user_id IS NULL THEN 'kept'
+                WHEN b.user_id IS NULL THEN 'inserted'
+                ELSE 'updated' END AS merge_action
+    FROM base b FULL OUTER JOIN delta d ON b.user_id = d.user_id
+    WHERE d.user_id IS NULL OR d.op_type <> 'error'
+    """,
+)
+def cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch MERGE: apply a compacted change batch (LSN >= 5000) onto the
+    prior materialized state (LSN < 5000) with full upsert semantics --
+    unmatched target rows are kept, matched rows take the batch's final
+    value, new keys insert, and keys whose LAST batch op is a delete
+    ('error' plays the delete marker in the fixture log) drop out. This is
+    the MERGE INTO the foreachBatch sink runs incrementally, expressed as
+    a standalone batch operator (Delta MERGE semantics, public docs).
+
+    Scale: both sides first compact to one row per key via max_by partial
+    agg -- the join sees |keys| rows, not |changes| -- and the full-outer
+    join co-locates on the shared user_id shuffle key. The merge_action
+    column makes the row-level decision auditable."""
+    e = load_table(spark, sf_dir, "events")
+    base = (
+        e.filter(F.col("event_id") < 5000)
+        .groupBy("user_id")
+        .agg(F.max_by("value", "event_id").alias("b_value"), F.max("event_id").alias("b_lsn"))
+    )
+    delta = (
+        e.filter(F.col("event_id") >= 5000)
+        .groupBy("user_id")
+        .agg(
+            F.max_by("event_type", "event_id").alias("op_type"),
+            F.max_by("value", "event_id").alias("d_value"),
+            F.max("event_id").alias("d_lsn"),
+        )
+    )
+    b = base.select(F.col("user_id").alias("bu"), "b_value", "b_lsn")
+    d = delta.select(F.col("user_id").alias("du"), "op_type", "d_value", "d_lsn")
+    joined = b.join(d, F.col("bu") == F.col("du"), "full_outer")
+    no_delta = F.col("du").isNull()
+    action = (
+        F.when(no_delta, "kept")
+        .when(F.col("bu").isNull(), "inserted")
+        .otherwise("updated")
+    )
+    return (
+        joined.filter(no_delta | (F.col("op_type") != "error"))
+        .select(
+            F.coalesce(F.col("bu"), F.col("du")).alias("user_id"),
+            F.when(no_delta, F.col("b_value")).otherwise(F.col("d_value")).alias("value"),
+            F.when(no_delta, F.col("b_lsn")).otherwise(F.col("d_lsn")).alias("lsn"),
+            action.alias("merge_action"),
+        )
+    )

@@ -229,3 +229,82 @@ def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("total_chars"),
         )
     )
+
+
+@register(
+    "decontaminate_exact",
+    tags=("curation", "northstar"),
+    oracle=f"""
+    WITH probes AS (
+      SELECT doc_id AS bench_id,
+             array_to_string(({TOKENS})[1:6], ' ') AS probe
+      FROM documents
+      WHERE {_BENCH_PRED} AND len({TOKENS}) >= 6
+    )
+    SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_probe_hits
+    FROM documents d JOIN probes p ON position(p.probe IN d.text) > 0
+    WHERE NOT (d.{_BENCH_PRED})
+    GROUP BY d.doc_id
+    """,
+)
+def decontaminate_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring decontamination: the complement of the 8-gram
+    check -- each benchmark document contributes one canonical probe
+    string (its first six tokens), and any training document containing a
+    probe verbatim is flagged with its hit count. This is the cheap
+    first-pass eval-leak scan (string containment, no tokenizer drift)
+    run before the shingle-level pass.
+
+    100 TB shape: eval probes are a broadcast list, the corpus side is a
+    map-side substring scan (broadcast nested-loop join on contains) --
+    one corpus pass, zero corpus shuffle before the per-doc count, which
+    partial-aggregates on doc_id."""
+    d = load_table(spark, sf_dir, "documents")
+    is_bench = F.expr(_BENCH_PRED)
+    probes = (
+        d.filter(is_bench)
+        .select(_tokens().alias("toks"))
+        .filter(F.size("toks") >= 6)
+        .select(F.array_join(F.slice("toks", 1, 6), " ").alias("probe"))
+    )
+    train = d.filter(~is_bench).select("doc_id", "text")
+    return (
+        train.join(F.broadcast(probes), F.col("text").contains(F.col("probe")))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_probe_hits"))
+    )
+
+
+@register(
+    "sample_reservoir_k",
+    tags=("curation", "scan", "northstar"),
+    oracle="""
+    SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents
+    ) t
+    WHERE rk <= 8
+    """,
+)
+def sample_reservoir_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-k-per-group sample: exactly 8 documents per language, chosen
+    by hash order -- the deterministic batch equivalent of per-stratum
+    reservoir sampling (uniform over the group, stable across reruns and
+    engines, unlike fraction-based sampleBy which cannot promise exact k).
+
+    Scale: rank-filter windows compile to WindowGroupLimit in Spark 4 --
+    each map task keeps only its local top-8 per lang BEFORE the shuffle,
+    so shuffle volume is partitions x groups x k rows, independent of
+    corpus size (same physical shape asserted for topk_per_group in
+    test_plans.py)."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.select("doc_id", "lang", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 8)
+        .select("doc_id", "lang", F.col("rk").cast("bigint").alias("rk"))
+    )
