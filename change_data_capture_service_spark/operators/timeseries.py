@@ -273,11 +273,17 @@ def rolling_corr_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
     ops teams run over a CDC-fed metrics rollup.
 
     Two-level shape: the fact table reduces to |types| x |hours| rows in
-    ONE partial-agg shuffle, and the corr() window runs on that rollup --
+    ONE partial-agg shuffle, and the corr window runs on that rollup --
     per-partition state is one type's hourly series, thousands of rows at
-    a century of retention, never fact-table-sized. corr is an algebraic
-    aggregate (sums of x, y, xy, x2, y2), so Spark computes it windowed
-    JVM-side without materializing the frame."""
+    a century of retention, never fact-table-sized.
+
+    corr is assembled from its five algebraic sums instead of F.corr:
+    under ANSI mode (Spark 4 default) the built-in throws DIVIDE_BY_ZERO
+    on any zero-variance frame (a sparse type with count 1 in several
+    consecutive buckets is enough), while DuckDB yields NULL -- the
+    nullif'd denominator makes degenerate frames NULL identically in both
+    engines. Same normalization-free ratio as agg_corr_manual, so sample
+    vs population corr cancels."""
     from pyspark.sql import Window
 
     e = load_table(spark, sf_dir, "events")
@@ -289,10 +295,18 @@ def rolling_corr_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("hour")
         .rowsBetween(-23, Window.currentRow)
     )
+    cnt = F.count("*").over(w).cast("double")
+    sx = F.sum("n").over(w)
+    sy = F.sum("av").over(w)
+    sxy = F.sum(F.col("n") * F.col("av")).over(w)
+    sx2 = F.sum(F.col("n") * F.col("n")).over(w)
+    sy2 = F.sum(F.col("av") * F.col("av")).over(w)
+    num = cnt * sxy - sx * sy
+    den = F.sqrt(cnt * sx2 - sx * sx) * F.sqrt(cnt * sy2 - sy * sy)
     return hourly.select(
         "event_type",
         "hour",
-        F.round(F.corr("n", "av").over(w), 6).cast("double").alias("corr_24h"),
+        F.round(num / F.nullif(den, F.lit(0.0)), 6).cast("double").alias("corr_24h"),
     ).orderBy("event_type", "hour")
 
 

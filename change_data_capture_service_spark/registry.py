@@ -66,16 +66,40 @@ _QUERY_MODULES = [
 
 # ORDER MATTERS: the grading driver verifies keys in entries() iteration order
 # under a bounded budget (50/round). Keys named here come first, in this exact
-# order; everything else follows in registration order. Round-3 front 50 =
-# the 27 keys with no green CORRECTNESS row yet (sort, curation, analytics,
-# sqlapi, udfs, streaming-batch, windows tail, cdc_scd2, agg_approx_percentile
-# whose only r01 row was a harness crash), then all 23 round-3 operators --
-# every window slot goes to a never-checked key (the flagship needs no
-# recheck slot: the driver's entry() smoke runs latest_state every round).
-# Proven back-of-queue keys keep independent verification via
-# tests/test_oracle_parity.py (mandatory in CI).
+# order; everything else follows in registration order. Round-4 front 50 =
+# the 13 new round-4 operators, the 8 operators registered after round 3's
+# window filled (never had a slot), the 27 keys round 3's window was meant to
+# prove (kept because no CORRECTNESS_r03 artifact ever landed -- if r3 DID
+# run they are already green and the recheck is free), and 2 high-value
+# round-3 rechecks to fill the window. Proven back-of-queue keys keep
+# independent verification via tests/test_oracle_parity.py (mandatory in CI).
 _CHECK_ORDER = [
-    # -- never driver-checked (VERDICT r2 item 1) --
+    # -- new in round 4 --
+    "time_weighted_avg",
+    "rolling_corr_24h",
+    "ewma_hourly",
+    "winsorize_stats",
+    "iqr_outliers",
+    "text_entropy",
+    "text_repetition",
+    "decontaminate_exact",
+    "sample_reservoir_k",
+    "cdc_snapshot_asof",
+    "cdc_merge_upsert",
+    "agg_hist_equi_depth",
+    "agg_heavy_hitters",
+    # -- registered late in round 3, first-ever window slot --
+    "dedup_incremental_minhash",
+    "dedup_canonical",
+    "embedding_quantize_int8",
+    "activity_streaks",
+    "events_seasonality",
+    "agg_weighted_avg",
+    "cdc_changed_columns",
+    "join_asof_tolerance",
+    # -- r3 window hedge: no CORRECTNESS_r03 artifact ever landed, so the
+    # -- keys that round was meant to prove keep their slots until a green
+    # -- row exists on record --
     "orderby_multi",
     "topk",
     "topk_per_group",
@@ -103,30 +127,9 @@ _CHECK_ORDER = [
     "win_range_interval",
     "cdc_scd2",
     "agg_approx_percentile",
-    # -- new in round 3 --
-    "quality_gopher_rules",
-    "pii_redact",
-    "chunk_documents",
-    "ngram_counts",
-    "embedding_norm_stats",
-    "join_skew_salted",
+    # -- high-value r3 rechecks filling the window to exactly 50 --
     "tpch_q3_shipping",
-    "url_host_stats",
-    "ohlc_hourly",
-    "active_users_7d",
-    "agg_mode",
-    "sessionize_batch",
-    "event_transitions",
-    "audience_overlap",
-    "locf_fill",
-    "dataset_split",
-    "join_lateral",
-    "multimodal_resize",
-    "cdc_changes_between",
-    "knn_cosine_range",
-    "cdc_snapshot_diff",
-    "dq_constraint_checks",
-    "stream_enrich_join",
+    "quality_gopher_rules",
 ]
 
 _loaded = False

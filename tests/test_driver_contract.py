@@ -63,13 +63,25 @@ def test_every_oracle_key_has_a_query(spark):
     assert os_ <= qs, f"orphan oracles: {os_ - qs}"
 
 
-# The first 50 keys form the driver's bounded-budget check window for round 3:
-# the 27 keys with no green CORRECTNESS row after r01+r02, the 23 new round-3
-# operators, then high-value r01-proven rechecks. This order is load-bearing
-# for grading -- an import refactor that silently reorders it would unprove
-# operators -- so it is pinned here as a contract.
-_R3_CHECK_WINDOW = [
-    # never driver-checked after r01+r02
+# The first 50 keys form the driver's bounded-budget check window for round 4:
+# the 13 new round-4 operators, the 8 late-round-3 registrations that never
+# had a window slot, the 27 keys round 3's window was meant to prove (no
+# CORRECTNESS_r03 artifact ever landed, so they keep their slots), and 2
+# high-value rechecks. This order is load-bearing for grading -- an import
+# refactor that silently reorders it would unprove operators -- so it is
+# pinned here as a contract.
+_R4_CHECK_WINDOW = [
+    # new in round 4
+    "time_weighted_avg", "rolling_corr_24h", "ewma_hourly",
+    "winsorize_stats", "iqr_outliers", "text_entropy", "text_repetition",
+    "decontaminate_exact", "sample_reservoir_k",
+    "cdc_snapshot_asof", "cdc_merge_upsert",
+    "agg_hist_equi_depth", "agg_heavy_hitters",
+    # late round-3 registrations, first-ever slot
+    "dedup_incremental_minhash", "dedup_canonical", "embedding_quantize_int8",
+    "activity_streaks", "events_seasonality", "agg_weighted_avg",
+    "cdc_changed_columns", "join_asof_tolerance",
+    # round-3 window hedge (no r03 artifact on record)
     "orderby_multi", "topk", "topk_per_group",
     "decontaminate_ngram", "dedup_incremental", "sample_token_mixture",
     "funnel_steps", "retention_cohorts", "anomaly_mad",
@@ -78,19 +90,13 @@ _R3_CHECK_WINDOW = [
     "stream_tumbling_count", "stream_sliding_avg", "stream_session", "stream_dedup",
     "win_cume_dist", "win_first_last", "win_range_frame", "win_percent_nth",
     "win_range_interval", "cdc_scd2", "agg_approx_percentile",
-    # new in round 3
-    "quality_gopher_rules", "pii_redact", "chunk_documents", "ngram_counts",
-    "embedding_norm_stats", "join_skew_salted", "tpch_q3_shipping", "url_host_stats",
-    "ohlc_hourly", "active_users_7d", "agg_mode",
-    "sessionize_batch", "event_transitions", "audience_overlap",
-    "locf_fill", "dataset_split", "join_lateral", "multimodal_resize",
-    "cdc_changes_between", "knn_cosine_range", "cdc_snapshot_diff",
-    "dq_constraint_checks", "stream_enrich_join",
+    # high-value rechecks
+    "tpch_q3_shipping", "quality_gopher_rules",
 ]
 
 
 def test_check_window_order_is_pinned():
-    assert list(registry.entries())[:50] == _R3_CHECK_WINDOW
+    assert list(registry.entries())[:50] == _R4_CHECK_WINDOW
 
 
 def test_check_order_names_are_all_registered():

@@ -270,3 +270,82 @@ def test_stream_enrich_dim_broadcasts(spark, sf_dir):
     micro-batch would re-shuffle the stream every trigger."""
     df = registry.get("stream_enrich_join").fn(spark, sf_dir)
     assert P.uses_broadcast_join(df)
+
+
+def test_robust_fences_broadcast_scalars(spark, sf_dir):
+    """winsorize/IQR: the per-type percentile fences are dimension-sized
+    and must broadcast -- the fact table may not shuffle for the join."""
+    for name in ("winsorize_stats", "iqr_outliers"):
+        df = registry.get(name).fn(spark, sf_dir)
+        assert P.uses_broadcast_join(df), f"{name} lost its fence broadcast"
+
+
+def test_equi_depth_avoids_global_ntile(spark, sf_dir):
+    """Decile assignment must be a broadcast of 9 boundaries + map-side
+    filter-count, never a global-window ntile (single-reducer sort)."""
+    df = registry.get("agg_hist_equi_depth").fn(spark, sf_dir)
+    plan = P.formatted_plan(df)
+    assert "Window" not in plan
+    assert P.uses_broadcast_join(df)
+
+
+def test_heavy_hitters_total_from_rollup(spark, sf_dir):
+    """The grand total must come from the per-key rollup, not a second
+    fact-table aggregation: at runtime AQE must reuse the rollup's shuffle
+    (ReusedExchange), so the count exchange is produced exactly once."""
+    df = registry.get("agg_heavy_hitters").fn(spark, sf_dir)
+    df.collect()  # exchange reuse only materializes in the adaptive plan
+    plan = P.simple_plan(df)
+    assert "ReusedExchange" in plan, "grand total recomputes the per-key rollup"
+    assert "TakeOrderedAndProject" in P.formatted_plan(df)
+
+
+def test_reservoir_k_prunes_map_side(spark, sf_dir):
+    """Fixed-k-per-group sampling must ride WindowGroupLimit so each map
+    task ships only its local top-k per group."""
+    df = registry.get("sample_reservoir_k").fn(spark, sf_dir)
+    assert "WindowGroupLimit" in P.formatted_plan(df)
+
+
+def test_decontaminate_exact_broadcasts_probes(spark, sf_dir):
+    """Probe strings are eval-suite-sized: the containment join must be a
+    broadcast nested loop; a shuffled cross product would move the corpus."""
+    df = registry.get("decontaminate_exact").fn(spark, sf_dir)
+    plan = P.formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or P.uses_broadcast_join(df)
+
+
+def test_merge_upsert_compacts_before_join(spark, sf_dir):
+    """Both MERGE sides must reduce to one row per key (partial agg)
+    BEFORE the full-outer join -- the join may only ever see |keys| rows."""
+    df = registry.get("cdc_merge_upsert").fn(spark, sf_dir)
+    plan = P.formatted_plan(df)
+    join_pos = plan.find("SortMergeJoin FullOuter")
+    if join_pos == -1:
+        join_pos = plan.find("FullOuter")
+    assert join_pos != -1
+    # aggregates appear before the join in the formatted tree
+    assert plan.find("HashAggregate") < join_pos or plan.find("ObjectHashAggregate") < join_pos
+
+
+def test_snapshot_asof_pushes_time_predicate(spark, sf_dir):
+    """AS-OF reconstruction must push ts <= T into the parquet scan for
+    row-group skipping on time-ordered log files."""
+    df = registry.get("cdc_snapshot_asof").fn(spark, sf_dir)
+    plan = P.formatted_plan(df)
+    assert "PushedFilters" in plan and "ts" in plan.split("PushedFilters")[1][:300]
+    assert "Window" not in plan
+
+
+def test_rollup_series_windows_stay_on_reduced_rows(spark, sf_dir):
+    """rolling corr / EWMA: the window runs on the hourly rollup, so the
+    plan must aggregate before it windows -- fact rows never enter frames."""
+    for name in ("rolling_corr_24h", "ewma_hourly"):
+        df = registry.get(name).fn(spark, sf_dir)
+        plan = P.formatted_plan(df)
+        win = plan.find("Window")
+        agg = plan.find("HashAggregate")
+        assert win != -1 and agg != -1
+        # formatted tree prints leaves last: the aggregate node must sit
+        # BELOW the window (higher index) as the window's input
+        assert agg > win, f"{name}: window is not fed by the rollup aggregate"

