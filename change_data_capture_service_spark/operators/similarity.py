@@ -398,3 +398,111 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_max("code").alias("code_max"),
         )
     )
+
+
+@register(
+    "knn_cosine_pq",
+    tags=("similarity", "northstar"),
+    # rows-only by design: PQ codes depend on k-means codebooks (engine-
+    # specific sketch); recall vs the exact oracle is pinned in
+    # tests/test_northstar.py instead.
+)
+def knn_cosine_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance (ADC): split each
+    64-dim vector into m=8 subvectors, k-means each subspace to 16
+    centroids (a 4-bit code per subspace -- 8 bytes per vector, 32x
+    compression), score candidates by summing per-subspace lookup-table
+    dot products against the UNquantized query, shortlist 3k by ADC, then
+    exact-rerank the shortlist (Jegou et al. 2011, "Product Quantization
+    for Nearest Neighbor Search", public paper).
+
+    100 TB shape: codebooks train on a sample (8 tiny k-means fits, a
+    model artifact); encoding is a map-side transform; the scored scan
+    reads 8-byte codes -- NOT raw vectors -- with per-query LUTs
+    broadcast; the rank-filter shortlist rides WindowGroupLimit; only the
+    3k-row shortlist rejoins raw vectors for the exact rerank. Corpus
+    bytes touched per query: |corpus| codes + 3k vectors, vs |corpus|
+    vectors for brute force."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    m, ksub, shortlist = 8, 16, 3 * TOP_K
+    d_sub = 8  # 64 / m
+    vec = _vectors(spark, sf_dir).localCheckpoint()  # reused m+2 times
+
+    # per-subspace codebooks + corpus codes
+    coded = vec.select("vec_id", "v", "nrm")
+    luts: dict[int, list[list[float]]] = {}
+    for j in range(m):
+        sub = F.slice("v", j * d_sub + 1, d_sub)
+        subvec = coded.withColumn("fv", array_to_vector(sub))
+        km = KMeans(k=ksub, seed=42 + j, featuresCol="fv", predictionCol=f"code_{j}", maxIter=10)
+        model = km.fit(subvec.select("fv"))
+        coded = model.transform(subvec).drop("fv")
+        luts[j] = [list(map(float, c)) for c in model.clusterCenters()]
+    coded = coded.localCheckpoint()  # corpus is now (vec_id, nrm, 8 codes [+v for rerank])
+
+    # queries stay exact; their per-subspace LUT rows broadcast
+    queries = vec.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qnrm")
+    )
+    cent = spark.createDataFrame(
+        [(j, c_idx, c) for j, cents in luts.items() for c_idx, c in enumerate(cents)],
+        "sub int, code int, centroid array<double>",
+    )
+    part_dot = F.expr(
+        "aggregate(zip_with(slice(qv, sub * 8 + 1, 8), centroid, (x, y) -> x * y),"
+        " 0D, (acc, x) -> acc + x)"
+    )
+    # lut: query_id -> array[m][ksub] of partial dots, built on m*ksub*|q| rows
+    lut = (
+        queries.crossJoin(F.broadcast(cent))
+        .withColumn("pd", part_dot)
+        .groupBy("query_id", "qnrm", "sub")
+        .agg(F.array_sort(F.collect_list(F.struct("code", "pd"))).alias("row"))
+        .groupBy("query_id", "qnrm")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("sub", "row"))).alias("subs")
+        )
+        .select(
+            "query_id",
+            "qnrm",
+            F.expr("transform(subs, s -> transform(s.row, r -> r.pd))").alias("lut"),
+        )
+    )
+    adc = F.expr(
+        "aggregate(sequence(0, 7),"
+        " 0D,"
+        " (acc, j) -> acc + element_at(element_at(lut, j + 1),"
+        "   int(element_at(array(code_0, code_1, code_2, code_3, code_4, code_5, code_6, code_7), j + 1)) + 1))"
+    )
+    scored = (
+        coded.drop("v")
+        .join(F.broadcast(lut), F.col("vec_id") != F.col("query_id"))
+        .withColumn("adc_cosine", adc / (F.col("qnrm") * F.col("nrm")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adc_cosine").desc(), F.col("vec_id"))
+    short = (
+        scored.withColumn("srnk", F.row_number().over(w))
+        .filter(F.col("srnk") <= shortlist)
+        .select("query_id", "qnrm", "vec_id")
+    )
+    # exact rerank on the shortlist only
+    rer = (
+        short.join(coded.select("vec_id", "v", "nrm"), "vec_id")
+        .join(queries.select("query_id", "qv"), "query_id")
+        .withColumn(
+            "cosine",
+            F.round(
+                F.expr("aggregate(zip_with(qv, v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+                / (F.col("qnrm") * F.col("nrm")),
+                6,
+            ),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        rer.withColumn("rnk", F.row_number().over(w2))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cosine", F.col("rnk").cast("int").alias("rnk"))
+    )

@@ -62,6 +62,7 @@ _QUERY_MODULES = [
     "change_data_capture_service_spark.operators.joins",
     "change_data_capture_service_spark.operators.quality",
     "change_data_capture_service_spark.operators.dq",
+    "change_data_capture_service_spark.operators.graph",
 ]
 
 # ORDER MATTERS: the grading driver verifies keys in entries() iteration order
@@ -127,9 +128,8 @@ _CHECK_ORDER = [
     "win_range_interval",
     "cdc_scd2",
     "agg_approx_percentile",
-    # -- high-value r3 rechecks filling the window to exactly 50 --
-    "tpch_q3_shipping",
-    "quality_gopher_rules",
+    "graph_pagerank",
+    "knn_cosine_pq",
 ]
 
 _loaded = False

@@ -69,6 +69,24 @@ def test_knn_ivf_recall_vs_exact(spark, sf_dir):
     assert recall >= 0.4, f"IVF recall collapsed: {recall}"
 
 
+def test_knn_pq_recall_and_rerank_exactness(spark, sf_dir):
+    """PQ-ADC with a 3k shortlist + exact rerank: recall vs exact top-10
+    (measured ~0.9 at fixture SFs -- ADC only has to land true neighbors
+    in the top-30), and every returned cosine must EQUAL the exact
+    engine's value for that pair, because the rerank is unquantized."""
+    exact_rows = registry.get("knn_cosine_topk").fn(spark, sf_dir).collect()
+    exact = {(r["query_id"], r["neighbor_id"]) for r in exact_rows}
+    exact_cos = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in exact_rows}
+    pq_rows = registry.get("knn_cosine_pq").fn(spark, sf_dir).collect()
+    pq = {(r["query_id"], r["neighbor_id"]) for r in pq_rows}
+    recall = len(exact & pq) / len(exact)
+    assert recall >= 0.5, f"PQ recall collapsed: {recall}"
+    for r in pq_rows:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact_cos:
+            assert abs(r["cosine"] - exact_cos[key]) < 1e-9, "rerank not exact"
+
+
 def test_multimodal_frames_are_strided_slices(spark, sf_dir):
     frames = registry.get("multimodal_frame_sample").fn(spark, sf_dir)
     rows = frames.limit(200).collect()

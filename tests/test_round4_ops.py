@@ -194,3 +194,17 @@ def test_heavy_hitters_shares_sum_below_one(spark, sf_dir):
     assert len(rows) <= 20  # sf0.001 has fewer than 20 distinct users
     assert all(a.n >= b.n for a, b in zip(rows, rows[1:]))
     assert sum(r.share for r in rows) <= 1.0 + 1e-6
+
+
+def test_pagerank_is_a_probability_distribution(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "graph_pagerank")
+    assert len(rows) == 5  # one per event type
+    total = sum(r.pagerank for r in rows)
+    assert abs(total - 1.0) < 1e-3  # sums to 1 (no dangling mass by construction)
+    assert all(r.pagerank > 0 for r in rows)
+
+
+def test_pagerank_is_deterministic_across_runs(spark, sf_dir):
+    a = sorted(map(tuple, _rows(spark, sf_dir, "graph_pagerank")))
+    b = sorted(map(tuple, _rows(spark, sf_dir, "graph_pagerank")))
+    assert a == b
