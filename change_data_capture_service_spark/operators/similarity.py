@@ -436,7 +436,14 @@ def knn_cosine_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     for j in range(m):
         sub = F.slice("v", j * d_sub + 1, d_sub)
         subvec = coded.withColumn("fv", array_to_vector(sub))
-        km = KMeans(k=ksub, seed=42 + j, featuresCol="fv", predictionCol=f"code_{j}", maxIter=10)
+        # random init (one pass) instead of k-means|| (several passes per
+        # fit): with an exact rerank behind the shortlist, codebook quality
+        # only moves recall a little, but 8 fits x extra init jobs tripled
+        # the operator's wall clock
+        km = KMeans(
+            k=ksub, seed=42 + j, featuresCol="fv", predictionCol=f"code_{j}",
+            maxIter=6, initMode="random",
+        )
         model = km.fit(subvec.select("fv"))
         coded = model.transform(subvec).drop("fv")
         luts[j] = [list(map(float, c)) for c in model.clusterCenters()]
