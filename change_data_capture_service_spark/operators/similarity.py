@@ -416,38 +416,60 @@ def knn_cosine_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-rerank the shortlist (Jegou et al. 2011, "Product Quantization
     for Nearest Neighbor Search", public paper).
 
-    100 TB shape: codebooks train on a sample (8 tiny k-means fits, a
-    model artifact); encoding is a map-side transform; the scored scan
-    reads 8-byte codes -- NOT raw vectors -- with per-query LUTs
-    broadcast; the rank-filter shortlist rides WindowGroupLimit; only the
-    3k-row shortlist rejoins raw vectors for the exact rerank. Corpus
-    bytes touched per query: |corpus| codes + 3k vectors, vs |corpus|
-    vectors for brute force."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    100 TB shape: codebooks fit DRIVER-SIDE on a bounded sample -- PQ
+    training is a model artifact, like the IVF centroids, so it must not
+    cost distributed jobs per invocation (the 8 in-cluster k-means fits
+    this replaced were ~56 sequential Spark jobs of pure launch latency).
+    Encoding is a pure JVM nearest-centroid expression over broadcast
+    codebooks; the scored scan reads 8-byte codes -- NOT raw vectors --
+    with per-query LUTs broadcast; the rank-filter shortlist rides
+    WindowGroupLimit; only the 3k-row shortlist rejoins raw vectors for
+    the exact rerank. Corpus bytes touched per query: |corpus| codes +
+    3k vectors, vs |corpus| vectors for brute force."""
+    import numpy as np
 
     m, ksub, shortlist = 8, 16, 3 * TOP_K
     d_sub = 8  # 64 / m
-    vec = _vectors(spark, sf_dir).localCheckpoint()  # reused m+2 times
+    vec = _vectors(spark, sf_dir).localCheckpoint()  # reused 3 times
 
-    # per-subspace codebooks + corpus codes
-    coded = vec.select("vec_id", "v", "nrm")
+    # -- train: bounded sample to the driver, vectorized Lloyd's per
+    # subspace (deterministic seed; at 100 TB this is `.sample(frac)` with
+    # the same cap -- codebook quality needs thousands of rows, not the
+    # corpus, and the exact rerank absorbs residual quantization error)
+    sample = np.array(
+        vec.select("v").limit(4096).toPandas()["v"].tolist(), dtype=np.float64
+    )
+    rng = np.random.default_rng(42)
     luts: dict[int, list[list[float]]] = {}
     for j in range(m):
-        sub = F.slice("v", j * d_sub + 1, d_sub)
-        subvec = coded.withColumn("fv", array_to_vector(sub))
-        # random init (one pass) instead of k-means|| (several passes per
-        # fit): with an exact rerank behind the shortlist, codebook quality
-        # only moves recall a little, but 8 fits x extra init jobs tripled
-        # the operator's wall clock
-        km = KMeans(
-            k=ksub, seed=42 + j, featuresCol="fv", predictionCol=f"code_{j}",
-            maxIter=6, initMode="random",
+        x = sample[:, j * d_sub : (j + 1) * d_sub]
+        cents = x[rng.choice(len(x), size=ksub, replace=False)]
+        for _ in range(10):
+            d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(ksub):
+                pts = x[assign == c]
+                if len(pts):
+                    cents[c] = pts.mean(axis=0)
+        luts[j] = [list(map(float, c)) for c in cents]
+
+    # -- encode: nearest centroid per subspace as a JVM argmin over the
+    # broadcast codebook row (no Python in the corpus path)
+    cb = spark.createDataFrame(
+        [tuple([luts[j] for j in range(m)])],
+        ", ".join(f"cb_{j} array<array<double>>" for j in range(m)),
+    )
+    coded = vec.select("vec_id", "v", "nrm").join(F.broadcast(cb))
+    for j in range(m):
+        dists = (
+            f"transform(cb_{j}, c -> aggregate(zip_with(slice(v, {j * d_sub + 1}, {d_sub}), c,"
+            f" (x, y) -> (x - y) * (x - y)), 0D, (a, x) -> a + x))"
         )
-        model = km.fit(subvec.select("fv"))
-        coded = model.transform(subvec).drop("fv")
-        luts[j] = [list(map(float, c)) for c in model.clusterCenters()]
-    coded = coded.localCheckpoint()  # corpus is now (vec_id, nrm, 8 codes [+v for rerank])
+        coded = coded.withColumn(
+            f"code_{j}",
+            F.expr(f"int(array_position({dists}, array_min({dists})) - 1)"),
+        )
+    coded = coded.drop(*[f"cb_{j}" for j in range(m)])
 
     # queries stay exact; their per-subspace LUT rows broadcast
     queries = vec.filter(F.col("vec_id") < N_QUERIES).select(

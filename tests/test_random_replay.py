@@ -140,3 +140,74 @@ def test_connected_components_matches_union_find(spark, edges):
     pairs = spark.createDataFrame(edges, ["doc_id_a", "doc_id_b"])
     got = {r.doc_id: r.cluster_id for r in connected_components(pairs).collect()}
     assert got == _union_find_components(edges)
+
+
+def test_random_merge_upsert_equals_dict_replay(spark):
+    """cdc_merge_upsert semantics under random logs: for ANY split point,
+    merging the compacted delta onto the base state must equal replaying
+    the whole log in one pass (delete = 'error'-typed final op)."""
+    import random as _random
+
+    from pyspark.sql import functions as F
+
+    rng = _random.Random(7)
+    rows = []
+    for lsn in range(1, 301):
+        key = rng.randrange(25)
+        op = rng.choice(["signup", "click", "view", "purchase", "error"])
+        rows.append((lsn, key, op, float(lsn)))
+    df = spark.createDataFrame(rows, "event_id long, user_id long, event_type string, value double")
+
+    def dict_replay(upto_rows):
+        state = {}
+        for lsn, key, op, val in sorted(upto_rows):
+            if op == "error":
+                state.pop(key, None)
+            else:
+                state[key] = (val, lsn)
+        return state
+
+    for split in (50, 150, 250):
+        base = (
+            df.filter(F.col("event_id") < split)
+            .groupBy("user_id")
+            .agg(F.max_by("value", "event_id").alias("b_value"), F.max("event_id").alias("b_lsn"))
+            .select(F.col("user_id").alias("bu"), "b_value", "b_lsn")
+        )
+        delta = (
+            df.filter(F.col("event_id") >= split)
+            .groupBy("user_id")
+            .agg(
+                F.max_by("event_type", "event_id").alias("op_type"),
+                F.max_by("value", "event_id").alias("d_value"),
+                F.max("event_id").alias("d_lsn"),
+            )
+            .select(F.col("user_id").alias("du"), "op_type", "d_value", "d_lsn")
+        )
+        joined = base.join(delta, F.col("bu") == F.col("du"), "full_outer")
+        no_delta = F.col("du").isNull()
+        merged = joined.filter(no_delta | (F.col("op_type") != "error")).select(
+            F.coalesce(F.col("bu"), F.col("du")).alias("user_id"),
+            F.when(no_delta, F.col("b_value")).otherwise(F.col("d_value")).alias("value"),
+            F.when(no_delta, F.col("b_lsn")).otherwise(F.col("d_lsn")).alias("lsn"),
+        )
+        got = {r.user_id: (r.value, r.lsn) for r in merged.collect()}
+
+        # NOTE the deliberate semantic: the merge applies a COMPACTED delta
+        # (only each key's final op), so a base key deleted mid-batch but
+        # absent from the final compaction... cannot happen: compaction is
+        # per-key max_by, every touched key appears exactly once. The
+        # replay twin therefore compacts identically:
+        want = {}
+        base_state = dict_replay([r for r in rows if r[0] < split])
+        for k, v in base_state.items():
+            want[k] = v
+        touched = {}
+        for lsn, key, op, val in sorted(r for r in rows if r[0] >= split):
+            touched[key] = (op, val, lsn)
+        for k, (op, val, lsn) in touched.items():
+            if op == "error":
+                want.pop(k, None)
+            else:
+                want[k] = (val, lsn)
+        assert got == want, f"split={split}"
