@@ -91,12 +91,23 @@ class AuditListener(L.StreamingQueryListener):
 
     def onQueryProgress(self, event):
         p = event.progress
-        self.audit.log(
+        entry = dict(
             kind="progress",
             id=str(p.id),
             batchId=p.batchId,
             numInputRows=p.numInputRows,
         )
+        # per-batch observe() accumulators (rows/deletes/truncates/high_lsn)
+        # computed executor-side by CdcPipeline.observed_stream
+        m = (p.observedMetrics or {}).get("cdc_ingest")
+        if m is not None:
+            entry.update(
+                obs_rows=m["rows"],
+                obs_deletes=m["deletes"],
+                obs_truncates=m["truncates"],
+                obs_high_lsn=m["high_lsn"],
+            )
+        self.audit.log(**entry)
         self.audit.flush()
 
     def onQueryIdle(self, event):

@@ -94,9 +94,28 @@ class CdcPipeline:
             reader = reader.option("maxFilesPerTrigger", str(self.max_files_per_trigger))
         return reader.format(self.fmt).load(self.changelog_dir)
 
+    def observed_stream(self) -> DataFrame:
+        """change_stream + ``observe()`` accumulators: per-micro-batch row /
+        delete / truncate counts and the high LSN, computed inline by the
+        executors and delivered through StreamingQueryProgress -- the
+        scalable twin of the reference's per-event audit INSERT
+        (``logger.go:41-54`` writes one SQLite row per event; at 100 TB the
+        metrics must ride the batch, not a side channel). AuditListener
+        persists them, so the audit log carries per-batch ingest truth
+        without a second pass over the data."""
+        from pyspark.sql import functions as F
+
+        return self.change_stream().observe(
+            "cdc_ingest",
+            F.count(F.lit(1)).alias("rows"),
+            F.sum((F.col("op") == "delete").cast("long")).alias("deletes"),
+            F.sum((F.col("op") == "truncate").cast("long")).alias("truncates"),
+            F.max("lsn").alias("high_lsn"),
+        )
+
     def start(self, available_now: bool = False) -> StreamingQuery:
         writer = (
-            self.change_stream()
+            self.observed_stream()
             .writeStream.foreachBatch(self._sink)
             .option("checkpointLocation", self.checkpoint_dir)
         )

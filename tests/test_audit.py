@@ -70,3 +70,41 @@ def test_pipeline_audits_stream_progress(spark, tmp_path):
     entries = [_json.loads(r["entry"]) for r in pipe._audit.table().collect()]
     kinds = {e["kind"] for e in entries}
     assert "query_started" in kinds or "progress" in kinds
+
+
+def test_observed_metrics_reach_the_audit_log(spark, tmp_path):
+    """observe() accumulators (rows/deletes/high LSN) computed executor-side
+    must land in the audit log via the listener -- per-batch ingest truth
+    with no second pass over the data."""
+    import json as _json
+    import time
+
+    from change_data_capture_service_spark.streaming.pipeline import CdcPipeline
+
+    pipe = CdcPipeline(
+        spark=spark,
+        changelog_dir=str(tmp_path / "log"),
+        sink_dir=str(tmp_path / "sink"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        audit_log_path=str(tmp_path / "audit"),
+    )
+    users = spark.createDataFrame([(1, "ada"), (2, "bob")], "id long, name string")
+    pipe.snapshot(users, "public", "users", pk_cols=["id"])
+    pipe.run_available()
+
+    obs = None
+    for _ in range(40):
+        try:
+            entries = [_json.loads(r["entry"]) for r in pipe._audit.table().collect()]
+            with_obs = [e for e in entries if e.get("kind") == "progress" and "obs_rows" in e]
+            if with_obs:
+                obs = with_obs
+                break
+        except Exception:
+            pass
+        time.sleep(0.25)
+    assert obs, "no progress entry carried observed metrics"
+    total_rows = sum(e["obs_rows"] for e in obs)
+    assert total_rows == 2  # both snapshot envelopes counted executor-side
+    assert all(e["obs_deletes"] == 0 and e["obs_truncates"] == 0 for e in obs)
+    assert max(e["obs_high_lsn"] for e in obs) >= 0  # snapshot envelopes ride LSN 0
