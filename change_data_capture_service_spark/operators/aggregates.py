@@ -652,3 +652,39 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "user_id")
         .limit(20)
     )
+
+
+@register(
+    "agg_hll_rollup",
+    tags=("agg", "approx", "timeseries"),
+    # rows-only by design: the estimate is a DataSketches HLL artifact with
+    # no bit-stable SQL twin; the <2% relative-error bound vs the exact
+    # count is pinned in tests/test_round4_ops.py.
+)
+def agg_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-aggregable distinct counts: build ONE HLL sketch per (day, type)
+    partial, then answer per-day distinct users by UNIONING the sketches --
+    never re-touching the fact table. This is the sketch algebra every
+    100 TB rollup pipeline runs on (persist hourly/daily sketch partials;
+    any coarser grain or ad-hoc union of days is a merge of kilobyte
+    states), where exact count_distinct would need a full re-shuffle of
+    raw user ids per query grain.
+
+    Spark 4 ships Apache DataSketches HLL natively (hll_sketch_agg /
+    hll_union_agg / hll_sketch_estimate -- public API), so the whole
+    operator is JVM aggregates: one partial-agg shuffle to the finest
+    grain, then a second tiny merge of |days|x|types| sketch blobs."""
+    e = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).alias("day")
+    partials = e.groupBy(day, "event_type").agg(
+        F.hll_sketch_agg("user_id", F.lit(14)).alias("sk"),
+        F.count("*").alias("n"),
+    )
+    return (
+        partials.groupBy("day")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+            F.sum("n").alias("n_events"),
+        )
+        .select("day", "approx_users", "n_events")
+    )

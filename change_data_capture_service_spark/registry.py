@@ -89,6 +89,7 @@ _CHECK_ORDER = [
     "cdc_merge_upsert",
     "agg_hist_equi_depth",
     "agg_heavy_hitters",
+    "agg_hll_rollup",
     # -- registered late in round 3, first-ever window slot --
     "dedup_incremental_minhash",
     "dedup_canonical",
@@ -112,7 +113,6 @@ _CHECK_ORDER = [
     "anomaly_mad",
     "subquery_correlated",
     "subquery_in",
-    "udf_scalar",
     "udf_pandas",
     "udaf_pandas",
     "udtf",

@@ -208,3 +208,21 @@ def test_pagerank_is_deterministic_across_runs(spark, sf_dir):
     a = sorted(map(tuple, _rows(spark, sf_dir, "graph_pagerank")))
     b = sorted(map(tuple, _rows(spark, sf_dir, "graph_pagerank")))
     assert a == b
+
+
+def test_hll_rollup_error_bound(spark, sf_dir):
+    """Unioned HLL estimates must sit within 2% of the exact per-day
+    distinct-user counts (lgK=14 keeps the standard error ~0.8%)."""
+    from change_data_capture_service_spark.catalog import load_table
+
+    exact = {
+        r.day: r.n
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    approx = {r.day: r.approx_users for r in _rows(spark, sf_dir, "agg_hll_rollup")}
+    assert set(approx) == set(exact)
+    for d, est in approx.items():
+        assert abs(est - exact[d]) <= max(1, 0.02 * exact[d]), (d, est, exact[d])
