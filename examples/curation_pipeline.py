@@ -62,6 +62,21 @@ def main() -> None:
     docs = docs.filter((F.length("text") > 0) & (n_tokens >= 5) & (digit_ratio < 0.3))
     n3 = docs.count()
 
+    # 3b. repetition + entropy gates (round-4 signals): drop template/spam
+    #     shaped docs the length filters miss. Both are doc-keyed
+    #     explode/agg operators; here their outputs join back as gates.
+    from change_data_capture_service_spark.operators.quality import (
+        text_entropy,
+        text_repetition,
+    )
+
+    rep = text_repetition(spark, SF).filter(
+        (F.col("top_word_frac") <= 0.20) & (F.col("dup_bigram_frac") <= 0.90)
+    ).select("doc_id")
+    ent = text_entropy(spark, SF).filter(F.col("entropy") >= 2.0).select("doc_id")
+    docs = docs.join(rep, "doc_id", "left_semi").join(ent, "doc_id", "left_semi")
+    n3b = docs.count()
+
     # 4. deterministic ~10% held-out split: same rows on ANY cluster/run
     digest = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
     heldout = docs.filter(digest < "1a")
@@ -120,6 +135,7 @@ def main() -> None:
     print(f"after exact dedup    : {n1}  (-{n0 - n1})")
     print(f"after near-dup drop  : {n2}  (-{n1 - n2})")
     print(f"after quality gate   : {n3}  (-{n2 - n3})")
+    print(f"after rep/entropy    : {n3b}  (-{n3 - n3b})")
     print(f"held-out / train     : {n4h} / {n4t}")
     print(f"after decontaminate  : {n4c}  (-{n4t - n4c})")
     print(f"packed sequences     : {n_packs} packs of <=2048 tokens")
