@@ -543,3 +543,79 @@ def iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
         )
     )
+
+
+@register(
+    "ratio_to_report_daily",
+    tags=("analytics", "timeseries"),
+    oracle="""
+    WITH d AS (
+      SELECT date_trunc('day', ts) AS day, event_type,
+             sum(CAST(value AS DECIMAL(18,2))) AS v
+      FROM events GROUP BY 1, 2
+    )
+    SELECT CAST(day AS TIMESTAMP) AS day, event_type,
+           CAST(v AS DOUBLE) AS total_value,
+           CAST(round(v / sum(v) OVER (PARTITION BY day), 6) AS DOUBLE) AS share_of_day,
+           CAST(round(v / sum(v) OVER (), 6) AS DOUBLE) AS share_of_total
+    FROM d
+    """,
+)
+def ratio_to_report_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each (day, type)'s share of its day and of the
+    grand total -- the BI mix-shift metric (Oracle's RATIO_TO_REPORT,
+    public SQL). Decimal day cells make every share a division of exact
+    sums, so both engines agree to 6 dp.
+
+    Scale: shares are windows over the |days|x|types| ROLLUP, not the
+    fact table -- one partial-agg shuffle, then dashboard-sized windows.
+    The unpartitioned grand-total window is safe for exactly that reason
+    (single-reducer over thousands of rollup rows, never raw events)."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    d = e.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day"), "event_type"
+    ).agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("v"))
+    day_w = Window.partitionBy("day")
+    all_w = Window.partitionBy()
+    return d.select(
+        "day",
+        "event_type",
+        F.col("v").cast("double").alias("total_value"),
+        F.round(F.col("v") / F.sum("v").over(day_w), 6).cast("double").alias("share_of_day"),
+        F.round(F.col("v") / F.sum("v").over(all_w), 6).cast("double").alias("share_of_total"),
+    )
+
+
+@register(
+    "latency_percentiles_hourly",
+    tags=("analytics", "timeseries", "agg"),
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+           CAST(round(quantile_cont(value, 0.50), 6) AS DOUBLE) AS p50,
+           CAST(round(quantile_cont(value, 0.95), 6) AS DOUBLE) AS p95,
+           CAST(round(quantile_cont(value, 0.99), 6) AS DOUBLE) AS p99,
+           CAST(round(max(value), 6) AS DOUBLE) AS p100,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events WHERE event_type = 'view'
+    GROUP BY 1
+    """,
+)
+def latency_percentiles_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SLO dashboard rollup: p50/p95/p99/max of a metric per hour.
+    Exact percentiles here (bit-stable oracle); the operator's scale story
+    is the SHAPE -- percentile state accumulates per (hour) group in one
+    partial-agg pass, so swapping in approx_percentile's fixed-size
+    sketch (or the HLL-style mergeable KLL sketch) changes memory, not
+    the plan. Contrast winsorize/iqr, which broadcast per-GROUP fences
+    back onto facts; here the percentile IS the output."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "view")
+    pcts = F.expr("percentile(value, array(0.50, 0.95, 0.99))")
+    return e.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour")).agg(
+        F.round(pcts[0], 6).cast("double").alias("p50"),
+        F.round(pcts[1], 6).cast("double").alias("p95"),
+        F.round(pcts[2], 6).cast("double").alias("p99"),
+        F.round(F.max("value"), 6).cast("double").alias("p100"),
+        F.count("*").alias("n"),
+    )
