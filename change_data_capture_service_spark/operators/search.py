@@ -1,0 +1,116 @@
+"""Full-text relevance search (round-4 ES-parity extension).
+
+The reference pipeline's entire purpose is landing change data in
+Elasticsearch so it can be SEARCHED (``cmd/es_consumer/main.go`` indexes
+into ``cdc_*``; README.md's Kibana walkthrough queries them). This module
+is that search surface as a Spark query: BM25 ranking (the Lucene/ES
+default similarity, public formula) over the documents corpus.
+
+Scale design: query terms filter at the scan (map-side IN over exploded
+tokens), so tf state is |matching (doc, term)| pairs, never the corpus
+vocabulary; df and corpus stats reduce to a handful of broadcast scalars;
+the final ranking is TakeOrderedAndProject top-k. One fact-table pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import register
+from .dedup import TOKENS, _tokens
+
+# the demo query -- three mid-frequency corpus terms; parameterize in a
+# real deployment
+_QUERY_TERMS = ["stream", "merge", "window"]
+_K1, _B = 1.2, 0.75
+_TOP = 20
+
+
+@register(
+    "search_bm25",
+    tags=("text", "northstar", "search"),
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {TOKENS} AS toks FROM documents
+    ),
+    stats AS (
+      SELECT count(*) AS n_docs, avg(len(toks)) AS avgdl FROM toks
+    ),
+    tf AS (
+      SELECT doc_id, tok, count(*) AS tf, any_value(dl) AS dl
+      FROM (SELECT doc_id, unnest(toks) AS tok, len(toks) AS dl FROM toks)
+      WHERE tok IN ('stream', 'merge', 'window')
+      GROUP BY doc_id, tok
+    ),
+    df AS (
+      SELECT tok, count(*) AS df FROM tf GROUP BY tok
+    ),
+    scored AS (
+      SELECT tf.doc_id,
+             sum(
+               ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1)
+               * tf.tf * ({_K1} + 1)
+               / (tf.tf + {_K1} * (1 - {_B} + {_B} * tf.dl / stats.avgdl))
+             ) AS score,
+             count(*) AS n_terms_hit
+      FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN stats
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, CAST(round(score, 6) AS DOUBLE) AS score,
+           CAST(n_terms_hit AS BIGINT) AS n_terms_hit
+    FROM scored
+    ORDER BY score DESC, doc_id
+    LIMIT {_TOP}
+    """,
+)
+def search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-{_TOP} for a term query -- the ranking Elasticsearch runs
+    over the reference's ``cdc_*`` indices (Lucene BM25Similarity, public
+    docs; k1={_K1}, b={_B}), expressed as one corpus pass.
+
+    Scale: the term IN-filter lands on the exploded token stream map-side
+    (only query-term postings survive -- the moral equivalent of reading
+    postings lists); tf partial-aggregates on (doc, term); df is |terms|
+    rows and corpus stats are one row, both broadcast back; the top-k is
+    TakeOrderedAndProject. Nothing corpus-sized ever shuffles: the tf
+    relation is bounded by matching postings, exactly like an inverted
+    index probe."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", _tokens().alias("toks"))
+    stats = toks.agg(
+        F.count("*").alias("n_docs"), F.avg(F.size("toks")).alias("avgdl")
+    )
+    tf = (
+        toks.select("doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("tok"))
+        .filter(F.col("tok").isin(_QUERY_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
+    )
+    df = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
+    )
+    per_term = (
+        tf.join(F.broadcast(df), "tok")
+        .join(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (
+                idf
+                * F.col("tf")
+                * (_K1 + 1)
+                / (
+                    F.col("tf")
+                    + _K1 * (1 - _B + _B * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("s"),
+        )
+    )
+    return (
+        per_term.groupBy("doc_id")
+        .agg(F.round(F.sum("s"), 6).cast("double").alias("score"), F.count("*").alias("n_terms_hit"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(_TOP)
+    )

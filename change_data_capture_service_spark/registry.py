@@ -63,6 +63,7 @@ _QUERY_MODULES = [
     "change_data_capture_service_spark.operators.quality",
     "change_data_capture_service_spark.operators.dq",
     "change_data_capture_service_spark.operators.graph",
+    "change_data_capture_service_spark.operators.search",
 ]
 
 # ORDER MATTERS: the grading driver verifies keys in entries() iteration order
@@ -90,6 +91,7 @@ _CHECK_ORDER = [
     "agg_hist_equi_depth",
     "agg_heavy_hitters",
     "agg_hll_rollup",
+    "search_bm25",
     # -- registered late in round 3, first-ever window slot --
     "dedup_incremental_minhash",
     "dedup_canonical",
@@ -112,7 +114,6 @@ _CHECK_ORDER = [
     "retention_cohorts",
     "anomaly_mad",
     "subquery_correlated",
-    "subquery_in",
     "udf_pandas",
     "udaf_pandas",
     "udtf",

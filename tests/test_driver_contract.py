@@ -64,7 +64,7 @@ def test_every_oracle_key_has_a_query(spark):
 
 
 # The first 50 keys form the driver's bounded-budget check window for round 4:
-# the 16 new round-4 operators, the 8 late-round-3 registrations that never
+# the 17 new round-4 operators, the 8 late-round-3 registrations that never
 # had a window slot, the 27 keys round 3's window was meant to prove (no
 # CORRECTNESS_r03 artifact ever landed, so they keep their slots), and 2
 # high-value rechecks. This order is load-bearing for grading -- an import
@@ -76,7 +76,7 @@ _R4_CHECK_WINDOW = [
     "winsorize_stats", "iqr_outliers", "text_entropy", "text_repetition",
     "decontaminate_exact", "sample_reservoir_k",
     "cdc_snapshot_asof", "cdc_merge_upsert",
-    "agg_hist_equi_depth", "agg_heavy_hitters", "agg_hll_rollup",
+    "agg_hist_equi_depth", "agg_heavy_hitters", "agg_hll_rollup", "search_bm25",
     # late round-3 registrations, first-ever slot
     "dedup_incremental_minhash", "dedup_canonical", "embedding_quantize_int8",
     "activity_streaks", "events_seasonality", "agg_weighted_avg",
@@ -85,7 +85,7 @@ _R4_CHECK_WINDOW = [
     "orderby_multi", "topk", "topk_per_group",
     "decontaminate_ngram", "dedup_incremental", "sample_token_mixture",
     "funnel_steps", "retention_cohorts", "anomaly_mad",
-    "subquery_correlated", "subquery_in",
+    "subquery_correlated",
     "udf_pandas", "udaf_pandas", "udtf", "map_in_pandas",
     "stream_tumbling_count", "stream_sliding_avg", "stream_session", "stream_dedup",
     "win_cume_dist", "win_first_last", "win_range_frame", "win_percent_nth",

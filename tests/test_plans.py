@@ -349,3 +349,13 @@ def test_rollup_series_windows_stay_on_reduced_rows(spark, sf_dir):
         # formatted tree prints leaves last: the aggregate node must sit
         # BELOW the window (higher index) as the window's input
         assert agg > win, f"{name}: window is not fed by the rollup aggregate"
+
+
+def test_bm25_probes_postings_not_corpus(spark, sf_dir):
+    """The term filter must land before the tf aggregation (postings-probe
+    shape), df/stats must broadcast back, and the top-k must be
+    TakeOrderedAndProject -- nothing corpus-sized shuffles."""
+    df = registry.get("search_bm25").fn(spark, sf_dir)
+    plan = P.formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert P.uses_broadcast_join(df)
