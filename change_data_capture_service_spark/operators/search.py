@@ -114,3 +114,57 @@ def search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(_TOP)
     )
+
+
+@register(
+    "search_facets",
+    tags=("text", "northstar", "search"),
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, source, {TOKENS} AS toks FROM documents
+    ),
+    hits AS (
+      SELECT DISTINCT doc_id, lang, source
+      FROM (SELECT doc_id, lang, source, unnest(toks) AS tok FROM toks)
+      WHERE tok IN ('stream', 'merge', 'window')
+    ),
+    facets AS (
+      SELECT 'lang' AS facet, lang AS bucket, count(*) AS n FROM hits GROUP BY lang
+      UNION ALL
+      SELECT 'source' AS facet, source AS bucket, count(*) AS n FROM hits GROUP BY source
+    )
+    SELECT facet, bucket, CAST(n AS BIGINT) AS n
+    FROM facets
+    ORDER BY facet, n DESC, bucket
+    LIMIT 20
+    """,
+)
+def search_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Faceted search -- the aggregation half of the ES surface (terms
+    aggregations over the match set, the counts Kibana renders beside
+    results): documents matching any query term, bucketed by lang and by
+    source.
+
+    Scale: the match set derives from the same map-side postings probe as
+    search_bm25 (term IN-filter on exploded tokens, then a distinct on
+    doc ids -- bounded by matching docs); each facet is a partial agg over
+    that reduced set, unioned and top-k'd. The corpus is scanned once;
+    everything downstream is match-set-sized."""
+    d = load_table(spark, sf_dir, "documents")
+    hits = (
+        d.select("doc_id", "lang", "source", F.explode(_tokens()).alias("tok"))
+        .filter(F.col("tok").isin(_QUERY_TERMS))
+        .select("doc_id", "lang", "source")
+        .distinct()
+    )
+    lang_f = hits.groupBy(F.col("lang").alias("bucket")).agg(F.count("*").alias("n")).select(
+        F.lit("lang").alias("facet"), "bucket", "n"
+    )
+    src_f = hits.groupBy(F.col("source").alias("bucket")).agg(F.count("*").alias("n")).select(
+        F.lit("source").alias("facet"), "bucket", "n"
+    )
+    return (
+        lang_f.unionByName(src_f)
+        .orderBy("facet", F.col("n").desc(), "bucket")
+        .limit(20)
+    )
