@@ -148,10 +148,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     pushes filters/pruning into the scan. The catalog schema is the declared
     contract; tests assert the files match it.
 
-    TIMESTAMP(NANOS) parquet columns (``events.ts``) are illegal for Spark's
-    vectorized reader; we read them as raw nanos (``nanosAsLong``) and floor
-    to microseconds -- exactly what DuckDB's reader does, so oracle
-    comparisons stay bit-identical."""
+    Fixture generators have shipped ``events.ts`` as TIMESTAMP(NANOS) (illegal
+    for Spark's vectorized reader -- read as raw nanos via ``nanosAsLong`` and
+    floored to micros) and as TIMESTAMP(MICROS) with isAdjustedToUTC=false
+    (read as TIMESTAMP_NTZ). Either way the catalog contract for ``ts`` is
+    instant-typed TIMESTAMP: every downstream epoch computation
+    (``unix_micros`` in sessionize/as-of tolerance) needs it, and the UTC
+    session pin makes NTZ -> LTZ value-preserving, so oracle comparisons stay
+    bit-identical with DuckDB's naive reading in both shapes."""
     from pyspark.sql import functions as F
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -162,6 +166,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         for f in want.fields:
             if isinstance(f.dataType, T.TimestampType) and isinstance(got.get(f.name), T.LongType):
                 df = df.withColumn(f.name, F.timestamp_micros(F.expr(f"{f.name} div 1000")))
+            elif isinstance(f.dataType, T.TimestampType) and isinstance(
+                got.get(f.name), T.TimestampNTZType
+            ):
+                df = df.withColumn(f.name, F.col(f.name).cast(T.TimestampType()))
     return df
 
 

@@ -27,7 +27,7 @@ from ..registry import register
 EVENTS_RAW_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as raw nanos
+        T.StructField("ts", T.LongType()),  # placeholder; swapped for the file's real type
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -38,14 +38,27 @@ EVENTS_RAW_SCHEMA = T.StructType(
 
 def stream_events(spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None) -> DataFrame:
     """events as an unbounded stream (file source; Kafka in production
-    carries the same columns via the envelope)."""
+    carries the same columns via the envelope).
+
+    The streaming file source needs a user-supplied schema, and fixture
+    generators have shipped ``ts`` as TIMESTAMP(NANOS) (only readable as raw
+    long nanos), TIMESTAMP(MICROS) NTZ, and instant-typed micros. One footer
+    read (driver-side, one file) picks the file's real type, then the stream
+    normalizes to the catalog contract: instant-typed TIMESTAMP."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    path = sf_dir.rstrip("/")
+    actual = (
+        spark.read.option("pathGlobFilter", "events.parquet").parquet(path).schema["ts"].dataType
+    )
+    fields = [f if f.name != "ts" else T.StructField("ts", actual) for f in EVENTS_RAW_SCHEMA.fields]
+    reader = spark.readStream.schema(T.StructType(fields))
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     # the file source needs a directory; events.parquet is a single file
-    df = reader.option("pathGlobFilter", "events.parquet").parquet(sf_dir.rstrip("/"))
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    df = reader.option("pathGlobFilter", "events.parquet").parquet(path)
+    if isinstance(actual, T.LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
 
 
 # ---------------------------------------------------------------------------
