@@ -619,3 +619,72 @@ def latency_percentiles_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("value"), 6).cast("double").alias("p100"),
         F.count("*").alias("n"),
     )
+
+
+@register(
+    "trend_linear_fit",
+    tags=("analytics", "timeseries"),
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             sum(CAST(value AS DECIMAL(18,2))) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    base AS (
+      SELECT event_type,
+             datediff('day', DATE '2000-01-01', CAST(day AS DATE)) AS x, y
+      FROM daily
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(x) AS DOUBLE) AS sx,
+             CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(x * y) AS DOUBLE) AS sxy,
+             CAST(sum(x * x) AS DOUBLE) AS sxx
+      FROM base GROUP BY 1
+    )
+    SELECT event_type,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6) AS intercept
+    FROM s
+    """,
+)
+def trend_linear_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type linear trend of daily revenue: ordinary least squares
+    y = slope*x + intercept fitted over (day-index, daily-sum) points --
+    the dashboard "trend arrow" query (regr_slope/regr_intercept in
+    warehouse SQL dialects).
+
+    Cross-engine determinism: regr_* aggregates accumulate doubles in
+    parallel (order-dependent), so the fit is computed closed-form from
+    EXACT sums instead -- daily y through DECIMAL, x as integer day index,
+    all five OLS sums exact, cast to double only for the final scalar
+    arithmetic (identical IEEE expression in both engines).
+
+    Scale: one partial agg reduces the fact table to (type, day) rows;
+    the five-sum reduction and the closed-form division see |types| rows.
+    Adding regressors = more exact sums, same two-shuffle shape."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("y"))
+    base = daily.select(
+        "event_type",
+        F.datediff(F.col("day"), F.lit("2000-01-01").cast("date")).alias("x"),
+        "y",
+    )
+    s = base.groupBy("event_type").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+    )
+    n, sx, sy, sxy, sxx = (F.col(c) for c in ("n", "sx", "sy", "sxy", "sxx"))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        "event_type",
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+    )

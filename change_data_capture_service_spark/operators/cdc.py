@@ -616,3 +616,46 @@ def cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             action.alias("merge_action"),
         )
     )
+
+
+@register(
+    "dead_letter_split",
+    tags=("cdc",),
+    oracle="""
+    WITH wire AS (
+      SELECT event_type,
+             CASE WHEN event_id % 13 = 0 THEN substr(props, 1, 3) ELSE props END AS payload
+      FROM events
+    )
+    SELECT event_type,
+           CAST(sum(CASE WHEN json_valid(payload) THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
+           CAST(sum(CASE WHEN json_valid(payload) THEN 0 ELSE 1 END) AS BIGINT) AS n_dead
+    FROM wire GROUP BY event_type
+    """,
+)
+def dead_letter_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter accounting for the consumer's malformed-payload path:
+    the reference commits-and-skips events whose JSON fails to decode
+    (``cmd/es_consumer/main.go:66-71``); a production pipeline routes them
+    to a dead-letter queue and ALERTS on the rate per table. This query is
+    that monitor: parse every wire payload, split ok vs dead per event
+    type. Corruption is planted deterministically (every 13th event's JSON
+    truncated to 3 chars) identically in both engines, so the parse logic
+    -- not the corpus -- is what's under test.
+
+    Scale: pure map-side parse (``try_parse_json`` yields NULL on
+    malformed input -- no exceptions, no job failure; PERMISSIVE
+    ``from_json`` would instead yield a struct of nulls and mask the
+    split) + one partial agg shuffling |event_type| rows. The same
+    split-by-validity predicate feeds the actual dead-letter sink in
+    streaming mode (filter + two writers)."""
+    e = load_table(spark, sf_dir, "events")
+    payload = F.when(
+        F.col("event_id") % 13 == 0, F.substring("props", 1, 3)
+    ).otherwise(F.col("props"))
+    ok = F.expr("try_parse_json(payload) IS NOT NULL")
+    e = e.withColumn("payload", payload)
+    return e.groupBy("event_type").agg(
+        F.sum(F.when(ok, 1).otherwise(0)).cast("bigint").alias("n_ok"),
+        F.sum(F.when(ok, 0).otherwise(1)).cast("bigint").alias("n_dead"),
+    )

@@ -308,3 +308,73 @@ def sample_reservoir_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 8)
         .select("doc_id", "lang", F.col("rk").cast("bigint").alias("rk"))
     )
+
+
+@register(
+    "dedup_lines",
+    tags=("curation", "dedup", "northstar"),
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {TOKENS} AS toks FROM documents
+    ),
+    ls AS (
+      SELECT doc_id,
+             unnest(list_transform(range(CAST(ceil(len(toks) / 12.0) AS BIGINT)),
+               i -> array_to_string(toks[i*12+1 : (i+1)*12], ' '))) AS line
+      FROM toks WHERE len(toks) > 0
+    ),
+    nd AS (
+      SELECT line, count(DISTINCT doc_id) AS n_docs FROM ls GROUP BY line
+    )
+    SELECT l.doc_id,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CASE WHEN nd.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_lines,
+           round(CAST(sum(CASE WHEN nd.n_docs > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+             AS dup_frac
+    FROM ls l JOIN nd ON l.line = nd.line
+    GROUP BY l.doc_id
+    """,
+)
+def dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level line deduplication profile (the RefinedWeb / CCNet
+    line-dedup pass): segment every document into lines, count how many of
+    each document's lines also occur in at least one OTHER document, and
+    report the duplicated fraction -- the signal that pass uses to strip
+    boilerplate (headers, nav bars, cookie banners) before training.
+
+    The fixture corpus has no newlines, so the line segmenter is a fixed
+    12-token window applied identically in both engines; the corpus-wide
+    dedup machinery (line -> distinct-doc counts -> per-doc join-back) is
+    the real operator.
+
+    Scale: lines are built with JVM array ops (sequence/slice/array_join,
+    map-side). The aggregation shuffles one row per LINE (not per token),
+    and the join-back is line-keyed equi-join -- at 100 TB you'd swap the
+    join key for xxhash64(line) to shuffle 8-byte digests instead of text,
+    the same digest-not-body rule as dedup_exact; kept as raw text here so
+    the DuckDB oracle is collision-free by construction."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", _tokens().alias("toks"))
+        .filter(F.size("toks") > 0)
+    )
+    lines = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, cast(ceil(size(toks) / 12.0) as int) - 1),"
+                " i -> array_join(slice(toks, i*12 + 1, 12), ' '))"
+            )
+        ).alias("line"),
+    )
+    n_docs = lines.groupBy("line").agg(F.count_distinct("doc_id").alias("n_docs"))
+    dup = F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0))
+    return (
+        lines.join(n_docs, "line")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            dup.cast("bigint").alias("n_dup_lines"),
+            F.round(dup / F.count("*"), 6).cast("double").alias("dup_frac"),
+        )
+    )

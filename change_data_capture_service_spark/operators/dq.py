@@ -110,3 +110,33 @@ def dq_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("customer_orphan_nationkey").alias("check_name"), "violations")
     )
     return fused.unionByName(dups).unionByName(orphan_orders).unionByName(orphan_customer)
+
+
+@register(
+    "dq_k_anonymity",
+    tags=("dq", "quality"),
+    oracle="""
+    SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS group_size
+    FROM customer
+    GROUP BY c_nationkey, c_mktsegment
+    HAVING count(*) < 10
+    """,
+)
+def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier pair (nation, market
+    segment): every combination shared by fewer than k=10 customers is a
+    re-identification risk and must be generalized or suppressed before
+    the table ships in a training set -- the standard privacy gate
+    (Sweeney 2002) run as a data-quality check next to the Deequ-style
+    constraint audit (``dq_constraint_checks``).
+
+    Scale: one partial aggregate; shuffle volume is the distinct
+    quasi-identifier combination count, independent of row count. Wider
+    quasi-identifier sets just extend the groupBy key; the HAVING filter
+    runs on the reduced side."""
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count("*").cast("bigint").alias("group_size"))
+        .filter(F.col("group_size") < 10)
+    )

@@ -168,3 +168,45 @@ def search_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("facet", F.col("n").desc(), "bucket")
         .limit(20)
     )
+
+
+@register(
+    "search_phrase",
+    tags=("search", "text"),
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {TOKENS} AS toks FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(list_filter(range(1, len(toks)),
+             i -> toks[i] = 'fast' AND toks[i+1] = 'query')) AS BIGINT) AS n_hits
+    FROM toks
+    WHERE len(list_filter(range(1, len(toks)),
+            i -> toks[i] = 'fast' AND toks[i+1] = 'query')) > 0
+    """,
+)
+def search_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase match ("fast query") with per-document occurrence
+    counts -- Elasticsearch ``match_phrase``. Lucene answers this by
+    intersecting positional postings of the two terms; on a scan engine
+    the strictly better plan is a one-pass bigram test over each
+    document's token array: zero shuffles, zero joins, whole-stage
+    codegen end to end (the postings-join shape would shuffle every term
+    occurrence just to rediscover adjacency that is free in document
+    order).
+
+    Scale: embarrassingly parallel map-side filter; at 100 TB the only
+    cost is the scan, and a z-ordered or term-bucketed layout prunes
+    files before it (write_zordered, sources/files.py). Longer phrases
+    extend the lambda, k-term proximity swaps equality for a window
+    bound."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", _tokens().alias("toks"))
+    # Spark arrays are 0-indexed (DuckDB's are 1-indexed): i in 0..size-2
+    hits = F.expr(
+        "size(filter(sequence(0, size(toks) - 2),"
+        " i -> toks[i] = 'fast' AND toks[i+1] = 'query'))"
+    )
+    return (
+        d.select("doc_id", hits.cast("bigint").alias("n_hits"))
+        .filter(F.col("n_hits") > 0)
+    )

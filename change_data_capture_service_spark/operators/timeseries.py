@@ -377,3 +377,81 @@ def ewma_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hour",
         F.round(wsum / nsum, 6).cast("double").alias("ewma"),
     ).orderBy("event_type", "hour")
+
+
+@register(
+    "rollup_time_grains",
+    tags=("timeseries",),
+    oracle="""
+    SELECT event_type, 'hour' AS grain, date_trunc('hour', ts) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 3
+    UNION ALL
+    SELECT event_type, 'day' AS grain, date_trunc('day', ts) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 3
+    UNION ALL
+    SELECT event_type, 'week' AS grain, date_trunc('week', ts) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 3
+    """,
+)
+def rollup_time_grains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-grain time rollup (hour -> day -> week) in ONE scan of the
+    fact table -- the continuous-aggregate ladder a hypertable maintains
+    (TimescaleDB continuous aggregates, Druid rollup segments). The oracle
+    recomputes each grain straight from raw events; the engine computes
+    ONLY the hourly aggregate from raw data and derives day and week by
+    re-aggregating the hourly rollup, which is valid because count/sum are
+    mergeable -- the same partial-aggregate algebra Spark itself uses.
+
+    Scale: the fact table is scanned and shuffled ONCE (to hourly, the
+    finest grain); each hourly row then fans out into its three grain
+    labels (a 3x explode of the ROLLUP, not the fact table) and
+    re-aggregates |hours| rows -- ~5 orders of magnitude smaller. A
+    naive union of three groupBys would scan the fact table three times:
+    Catalyst's exchange reuse does not deduplicate the shared hourly
+    subtree across union branches (verified empirically), so the
+    one-scan shape is built structurally, and test_round5_ops pins it.
+    Decimal sums make merge order irrelevant, so engine output is
+    hash-identical to the oracle's recompute-from-raw -- asserted, not
+    assumed."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("sv"),
+    )
+    fanout = hourly.select(
+        "event_type",
+        "n",
+        "sv",
+        F.explode(
+            F.array(
+                F.struct(F.lit("hour").alias("grain"), F.col("hour").alias("bucket")),
+                F.struct(
+                    F.lit("day").alias("grain"),
+                    F.date_trunc("day", F.col("hour")).alias("bucket"),
+                ),
+                F.struct(
+                    F.lit("week").alias("grain"),
+                    F.date_trunc("week", F.col("hour")).alias("bucket"),
+                ),
+            )
+        ).alias("g"),
+    )
+    return (
+        fanout.groupBy("event_type", F.col("g.grain").alias("grain"), F.col("g.bucket").alias("bucket"))
+        .agg(F.sum("n").alias("rn"), F.sum("sv").alias("rsv"))
+        .select(
+            "event_type",
+            "grain",
+            "bucket",
+            F.col("rn").cast("bigint").alias("n"),
+            F.col("rsv").cast("double").alias("sum_value"),
+        )
+    )
