@@ -104,7 +104,17 @@ def _stage_layout(spark, sf_dir: str, cpus: int) -> tuple[str, float]:
     work = tempfile.mkdtemp(prefix="bench-layout-")
     t0 = time.perf_counter()
     for name in TABLE_NAMES:
-        rows = pq.ParquetFile(table_path(sf_dir, name)).metadata.num_rows
+        path = table_path(sf_dir, name)
+        if os.path.isdir(path):
+            # Spark-written directory fixture (earlier-round layout): sum row
+            # counts over the part files instead of assuming a single file
+            rows = sum(
+                pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            )
+        else:
+            rows = pq.ParquetFile(path).metadata.num_rows
         if name in ("documents", "embeddings"):
             # row-light but compute-heavy (minhash folds, per-char
             # fingerprints, ANN dot products): parallelism is per-core work,

@@ -16,7 +16,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -645,8 +645,8 @@ def latency_percentiles_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM base GROUP BY 1
     )
     SELECT event_type,
-           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
-           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6) AS intercept
+           round((n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0), 6) AS slope,
+           round((sy - (n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0) * sx) / n, 6) AS intercept
     FROM s
     """,
 )
@@ -682,9 +682,195 @@ def trend_linear_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
     )
     n, sx, sy, sxy, sxx = (F.col(c) for c in ("n", "sx", "sy", "sxy", "sxx"))
-    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    # nullif'd denominator: a type whose events all land on one day has
+    # sxx*n == sx*sx exactly; ANSI mode would throw DIVIDE_BY_ZERO, the
+    # oracle's nullif yields NULL -- match it (same guard as rolling_corr_24h).
+    slope = (n * sxy - sx * sy) / F.nullif(n * sxx - sx * sx, F.lit(0.0))
     return s.select(
         "event_type",
         F.round(slope, 6).alias("slope"),
         F.round((sy - slope * sx) / n, 6).alias("intercept"),
+    )
+
+
+@register(
+    "events_value_zscore_day",
+    tags=("analytics", "timeseries"),
+    oracle="""
+    WITH c AS (
+      SELECT event_id, date_trunc('day', ts) AS day, value,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x100
+      FROM events
+    ),
+    s AS (
+      SELECT day AS s_day,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(x100) AS DOUBLE) AS sx,
+             CAST(sum(x100 * x100) AS DOUBLE) AS sxx
+      FROM c GROUP BY 1
+    )
+    SELECT c.event_id, c.day, c.value,
+           round((c.x100 - s.sx / s.n)
+                 / nullif(sqrt(s.sxx / s.n - (s.sx / s.n) * (s.sx / s.n)), 0),
+                 6) AS zscore
+    FROM c JOIN s ON c.day = s.s_day
+    """,
+)
+def events_value_zscore_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-day z-score of every event's value -- the per-row
+    standardization step feeding anomaly triage (anomaly_mad is the
+    robust-statistics sibling; this is the classical moments version).
+
+    Cross-engine determinism: the fixture's values are exact at two
+    decimals, so each value maps losslessly to integer cents (the
+    DECIMAL(18,2) cast rounds identically in both engines) and the day's
+    count / sum / sum-of-squares are EXACT BIGINT aggregates -- no decimal
+    multiply (DuckDB's won't widen past int64/int128 operand storage) and
+    no order-dependent float accumulation. The z-score is scale-invariant,
+    so it is computed directly in the cents domain with one identical
+    IEEE expression per engine; nullif makes a zero-variance day NULL
+    instead of an ANSI divide-by-zero.
+
+    Scale: one partial agg reduces facts to |days| stat rows, which
+    broadcast back onto the fact scan -- the fact table shuffles zero
+    times. (Cents squares bound: sum(x100^2) fits BIGINT while
+    day_volume * max_value < ~10^14 "value-squared cents"; past that,
+    widen the accumulator to DECIMAL(38,0) on both engines.)"""
+    e = load_table(spark, sf_dir, "events")
+    x100 = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    c = e.select(
+        "event_id",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        "value",
+        x100.alias("x100"),
+    )
+    s = c.groupBy(F.col("day").alias("s_day")).agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("x100").cast("double").alias("sx"),
+        F.sum(F.col("x100") * F.col("x100")).cast("double").alias("sxx"),
+    )
+    mean = F.col("sx") / F.col("n")
+    std = F.sqrt(F.col("sxx") / F.col("n") - mean * mean)
+    return c.join(F.broadcast(s), F.col("day") == F.col("s_day")).select(
+        "event_id",
+        "day",
+        "value",
+        F.round((F.col("x100") - mean) / F.nullif(std, F.lit(0)), 6).alias("zscore"),
+    )
+
+
+@register(
+    "events_change_points",
+    tags=("analytics", "timeseries"),
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day,
+             CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+               AS BIGINT) AS y100
+      FROM events GROUP BY 1
+    ),
+    w AS (
+      SELECT day, CAST(y100 AS DOUBLE) / 100 AS daily_value,
+             CAST(y100 AS DOUBLE) AS y,
+             CAST(count(*) OVER trail AS BIGINT) AS n7,
+             CAST(sum(y100) OVER trail AS DOUBLE) AS s7,
+             CAST(sum(y100 * y100) OVER trail AS DOUBLE) AS sq7
+      FROM daily
+      WINDOW trail AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT day, daily_value,
+           round(s7 / n7 / 100, 6) AS baseline_avg,
+           round(abs(y - s7 / n7)
+                 / nullif(sqrt(sq7 / n7 - (s7 / n7) * (s7 / n7)), 0), 6)
+             AS n_sigma,
+           CAST(round(abs(y - s7 / n7)
+                 / nullif(sqrt(sq7 / n7 - (s7 / n7) * (s7 / n7)), 0), 6) > 2.0
+             AS BOOLEAN) AS is_change_point
+    FROM w WHERE n7 >= 7
+    """,
+)
+def events_change_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window change-point flags on the daily value series: a day
+    is flagged when it sits more than 2 sigma from the mean of the prior
+    seven days (frame 7 PRECEDING .. 1 PRECEDING -- the day under test is
+    excluded from its own baseline). The alerting primitive behind
+    "today looks wrong" dashboards; anomaly_mad is the distribution-wide
+    robust cut, this is the sequential/trailing one.
+
+    Determinism: daily totals are EXACT integer-cents sums (see
+    events_value_zscore_day for why cents, not decimal squares); the
+    trailing moments are BIGINT window sums, so the double-valued sigma
+    expression is bit-identical across engines; sigma is scale-invariant
+    so it's computed in the cents domain; the >2 flag compares the
+    ROUNDED ratio so the boolean can't straddle a last-bit difference.
+    nullif guards a flat week (sigma 0 -> NULL, not a throw).
+
+    Scale: facts partial-agg to |days| rows; the only unpartitioned
+    window runs over that tiny domain. At 100 TB nothing changes -- the
+    day domain doesn't grow with data volume (daily cents totals past
+    ~10^9 would need a DECIMAL(38,0) square accumulator on both sides)."""
+    e = load_table(spark, sf_dir, "events")
+    x100 = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    daily = e.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.sum(x100).cast("bigint").alias("y100")
+    )
+    trail = Window.orderBy("day").rowsBetween(-7, -1)
+    w = daily.select(
+        "day",
+        (F.col("y100").cast("double") / 100).alias("daily_value"),
+        F.col("y100").cast("double").alias("y"),
+        F.count("*").over(trail).cast("bigint").alias("n7"),
+        F.sum("y100").over(trail).cast("double").alias("s7"),
+        F.sum(F.col("y100") * F.col("y100")).over(trail).cast("double").alias("sq7"),
+    ).filter(F.col("n7") >= 7)
+    mean7 = F.col("s7") / F.col("n7")
+    sigma = F.sqrt(F.col("sq7") / F.col("n7") - mean7 * mean7)
+    n_sigma = F.round(F.abs(F.col("y") - mean7) / F.nullif(sigma, F.lit(0)), 6)
+    return w.select(
+        "day",
+        "daily_value",
+        F.round(mean7 / 100, 6).alias("baseline_avg"),
+        n_sigma.alias("n_sigma"),
+        (n_sigma > 2.0).cast("boolean").alias("is_change_point"),
+    )
+
+
+@register(
+    "events_props_value_stats",
+    tags=("analytics", "cdc"),
+    oracle="""
+    SELECT event_type,
+           CAST(count(k) AS BIGINT) AS n_with_key,
+           CAST(min(k) AS BIGINT) AS min_k,
+           CAST(max(k) AS BIGINT) AS max_k,
+           CAST(sum(k) AS BIGINT) AS sum_k
+    FROM (
+      SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+      FROM events
+    ) t
+    GROUP BY event_type
+    """,
+)
+def events_props_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payload analytics: extract the integer property
+    ``$.k`` from every event's JSON props and aggregate it per event type
+    -- what a consumer does with the reference's schemaless ``data``
+    payload (``cmd/es_consumer/main.go:23`` deserializes into
+    ``map[string]interface{}`` and lets ES aggregate) without ever
+    declaring a table schema for the payload.
+
+    Integer domain end to end, so sums are exact on both engines. Scale:
+    JSON path extraction is a map-side JVM expression (no UDF, codegen'd);
+    the agg shuffles |event_type| partial states."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").cast("bigint").alias("n_with_key"),
+            F.min("k").cast("bigint").alias("min_k"),
+            F.max("k").cast("bigint").alias("max_k"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+        )
     )

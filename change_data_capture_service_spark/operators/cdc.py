@@ -648,7 +648,14 @@ def dead_letter_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``from_json`` would instead yield a struct of nulls and mask the
     split) + one partial agg shuffling |event_type| rows. The same
     split-by-validity predicate feeds the actual dead-letter sink in
-    streaming mode (filter + two writers)."""
+    streaming mode (filter + two writers).
+
+    Cross-engine caveat: Spark's variant parse rejects duplicate object
+    keys that DuckDB ``json_valid`` accepts, and tolerates trailing
+    garbage DuckDB rejects. Serializer-emitted fixture props and their
+    3-char truncations hit neither case; the agreement is pinned per
+    payload by ``tests/test_round5_ops.py::
+    test_dead_letter_validity_semantics_agree_with_oracle``."""
     e = load_table(spark, sf_dir, "events")
     payload = F.when(
         F.col("event_id") % 13 == 0, F.substring("props", 1, 3)

@@ -378,3 +378,45 @@ def dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(dup / F.count("*"), 6).cast("double").alias("dup_frac"),
         )
     )
+
+
+@register(
+    "sample_balanced_lang",
+    tags=("curation", "northstar"),
+    oracle="""
+    SELECT doc_id, lang, rnk FROM (
+      SELECT doc_id, lang,
+             CAST(row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS rnk
+      FROM documents
+    ) t
+    WHERE rnk <= 20
+    """,
+)
+def sample_balanced_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k-per-language balanced sample (k=20): the
+    equal-representation draw used for eval sets and for capping dominant
+    languages in a training mixture. Where sample_stratified keeps a
+    per-stratum FRACTION, this keeps a per-stratum COUNT -- the complement
+    primitive.
+
+    Determinism: rows rank by the md5 of their key (engine-independent
+    content hash, same trick as sample_hash) with doc_id as total-order
+    tiebreaker, so the selected set is identical on any engine, partition
+    layout, or run -- unlike sampleBy's seeded Bernoulli draw, which
+    cannot promise an exact k.
+
+    Scale: one shuffle partitioned by lang; per-group top-k state is k
+    rows per reducer (rank-filter pushes the limit into the sort). A
+    skewed stratum (one language = half the corpus) rank-sorts only
+    hashes, not documents -- and a two-stage local-topk (the
+    knn_cosine_topk shape) drops in if even that sort is too hot."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.select("doc_id", "lang", F.row_number().over(w).cast("int").alias("rnk"))
+        .filter(F.col("rnk") <= 20)
+    )

@@ -407,3 +407,87 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("dup_bigram_frac"),
     )
+
+
+@register(
+    "quality_stopword_ratio",
+    tags=("quality", "text", "northstar"),
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, {TOKENS} AS toks FROM documents
+    )
+    SELECT doc_id, lang,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(toks, t -> t IN ('a', 'the', 'of', 'and', 'to')))
+             AS BIGINT) AS n_stopwords,
+           round(CAST(len(list_filter(toks, t -> t IN ('a', 'the', 'of', 'and', 'to')))
+                   AS DOUBLE) / nullif(len(toks), 0), 6) AS stopword_ratio
+    FROM toks
+    """,
+)
+def quality_stopword_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document stopword density -- the Gopher/C4 signal that separates
+    running prose (stopword-rich) from boilerplate, navigation chrome, and
+    keyword-stuffed spam (stopword-poor). Complements quality_gopher_rules'
+    structural cuts with a lexical one; a real curation pass thresholds on
+    this column per language.
+
+    Scale: pure map-side array math over the same tokenizer every text op
+    shares (split + filter, JVM codegen, no UDF) -- zero shuffles, combines
+    with scan pushdown. nullif guards the empty-document edge identically
+    in both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    stops = F.filter(toks, lambda t: t.isin("a", "the", "of", "and", "to"))
+    return d.select(
+        "doc_id",
+        "lang",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(stops).cast("bigint").alias("n_stopwords"),
+        F.round(
+            F.size(stops).cast("double") / F.nullif(F.size(toks), F.lit(0)), 6
+        ).alias("stopword_ratio"),
+    )
+
+
+@register(
+    "docs_token_histogram",
+    tags=("quality", "text", "agg"),
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, n_chars, len({TOKENS}) AS n_tokens FROM documents
+    )
+    SELECT CAST(n_tokens // 25 * 25 AS BIGINT) AS bucket_lo,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+           CAST(max(n_tokens) AS BIGINT) AS max_tokens,
+           round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS avg_chars
+    FROM toks GROUP BY 1
+    """,
+)
+def docs_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length histogram in 25-token buckets with per-bucket char
+    averages -- the corpus-shape profile every curation run starts with
+    (length cutoffs for quality filters, packing budgets for training
+    sequences, skew check before sharding).
+
+    Determinism: bucket edges and min/max are integer math; avg_chars is
+    one double division over exact BIGINT sums. Scale: map-side tokenize +
+    partial agg; the shuffle carries |buckets| states (dozens), not
+    documents."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(_tokens())
+    return (
+        d.select("n_chars", n_tokens.alias("n_tokens"))
+        .groupBy(
+            (F.floor(F.col("n_tokens") / 25) * 25).cast("bigint").alias("bucket_lo")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.min("n_tokens").cast("bigint").alias("min_tokens"),
+            F.max("n_tokens").cast("bigint").alias("max_tokens"),
+            F.round(F.sum("n_chars").cast("double") / F.count("*"), 6).alias(
+                "avg_chars"
+            ),
+        )
+    )

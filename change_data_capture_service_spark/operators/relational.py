@@ -1,0 +1,479 @@
+"""Round-4 relational suite: the warehouse queries a CDC sink actually
+serves once change data lands queryable (the reference's whole point --
+``cmd/es_consumer/main.go`` indexes into ``cdc_*`` precisely so Kibana can
+run aggregations over them, ``README.md:189-194``). TPC-H-shaped joins and
+aggregations over the fixture star schema, plus the operational dashboards
+(backlog sweep-line, RFM segmentation, trade balance) a replication
+consumer feeds.
+
+Scale notes applied throughout:
+- every dim side (region/nation/supplier/customer-filtered) broadcasts, so
+  the lineitem/orders scans shuffle at most once on their join key;
+- revenue accumulates in DECIMAL on both engines (order-independent exact
+  sums; cast to DOUBLE only at the end) -- the hash-stability rule;
+- top-k finals are TakeOrderedAndProject, never a global sort;
+- the backlog query is the sweep-line rewrite of a day-range join: two
+  partial aggs + a prefix sum over the tiny day domain, instead of
+  |orders| x |days| range-join rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import register
+
+_REV = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
+
+
+def _rev() -> F.Column:
+    return F.col("l_extendedprice").cast("decimal(18,2)") * (
+        1 - F.col("l_discount").cast("decimal(18,2)")
+    )
+
+
+@register(
+    "tpch_q5_local_supplier",
+    tags=("join", "agg", "relational"),
+    oracle=f"""
+    SELECT n.n_name,
+           CAST(sum({_REV}) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE c.c_nationkey = s.s_nationkey
+      AND r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local supplier volume, adapted to fixture columns):
+    revenue per nation from orders where the customer and the supplier
+    share that nation, one region, one order-year.
+
+    Plan shape: the year filter pushes to the orders scan; customer,
+    supplier, nation, region all broadcast (dim-scale); lineitem -- the
+    only 100 TB-class table -- shuffles exactly once, on l_orderkey.
+    The same-nation predicate rides the broadcast joins map-side, so the
+    single shuffle carries only rows that can still qualify."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.sum(_rev()).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "tpch_q10_returned_items",
+    tags=("join", "agg", "relational"),
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name,
+           CAST(sum({_REV}) AS DOUBLE) AS revenue,
+           c.c_acctbal, n.n_name
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-07-01'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting): top-20 customers by revenue
+    lost to returns in a two-quarter window -- the churn-risk dashboard.
+
+    Plan shape: returnflag + date filters push to the scans, customer and
+    nation broadcast, lineitem shuffles once on l_orderkey, and the final
+    top-20 is TakeOrderedAndProject (never a global sort of the agg)."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(_rev()).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+    )
+
+
+@register(
+    "orders_order_priority",
+    tags=("join", "agg", "relational"),
+    oracle="""
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-07-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def orders_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 flavor (priority checking): per priority class, how many
+    orders in the window had at least one line item shipped more than 60
+    days after the order date -- the late-fulfilment SLA monitor.
+
+    EXISTS compiles to a LEFT SEMI join: the lineitem side is reduced to
+    (l_orderkey, l_shipdate) pairs before the shuffle, the semi join
+    deduplicates on the build side (no row multiplication however many
+    lines are late), and the final agg sees |orders-in-window| rows over
+    five priority groups."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").cast("bigint").alias("order_count"))
+    )
+
+
+@register(
+    "supplier_wait_stats",
+    tags=("join", "agg", "relational"),
+    oracle="""
+    SELECT s.s_suppkey, s.s_name,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(round(CAST(sum(datediff('day', o.o_orderdate, l.l_shipdate)) AS DOUBLE)
+                      / count(*), 6) AS DOUBLE) AS avg_wait_days,
+           CAST(max(datediff('day', o.o_orderdate, l.l_shipdate)) AS BIGINT) AS max_wait_days
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY s.s_suppkey, s.s_name
+    """,
+)
+def supplier_wait_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier fulfilment latency: line-item count, mean and max
+    order-to-ship wait in days -- the supplier scorecard.
+
+    Integer day arithmetic end to end (datediff -> exact BIGINT sum ->
+    one double division at the end), so the mean is bit-identical across
+    engines without DECIMAL staging. orders joins lineitem on the fact
+    key (one shuffle); supplier broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    wait = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_suppkey", "s_name")
+        .agg(
+            F.count("*").cast("bigint").alias("n_items"),
+            F.round(
+                F.sum(wait).cast("double") / F.count("*"), 6
+            ).cast("double").alias("avg_wait_days"),
+            F.max(wait).cast("bigint").alias("max_wait_days"),
+        )
+    )
+
+
+@register(
+    "part_margin_rank",
+    tags=("join", "window", "relational"),
+    oracle=f"""
+    WITH pr AS (
+      SELECT p.p_brand, p.p_partkey, p.p_name,
+             sum({_REV}) AS revenue_d
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY p.p_brand, p.p_partkey, p.p_name
+    )
+    SELECT p_brand, p_partkey, p_name,
+           CAST(revenue_d AS DOUBLE) AS revenue, CAST(rnk AS INT) AS rnk
+    FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY p_brand ORDER BY revenue_d DESC, p_partkey) AS rnk
+      FROM pr
+    ) t
+    WHERE rnk <= 3
+    """,
+)
+def part_margin_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 revenue parts per brand: the merchandising league table.
+
+    The rank orders by the EXACT DECIMAL revenue (double ties under
+    parallel accumulation would make row_number non-deterministic), with
+    p_partkey as the total-order tiebreaker. lineitem pre-aggregates to
+    |parts| rows before the window, so the per-brand sort never sees fact
+    rows."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount"
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name")
+    pr = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_partkey", "p_name")
+        .agg(F.sum(_rev()).alias("revenue_d"))
+    )
+    w = Window.partitionBy("p_brand").orderBy(F.col("revenue_d").desc(), "p_partkey")
+    return (
+        pr.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "p_brand", "p_partkey", "p_name",
+            F.col("revenue_d").cast("double").alias("revenue"), "rnk",
+        )
+    )
+
+
+@register(
+    "customer_rfm_segments",
+    tags=("agg", "window", "relational"),
+    oracle="""
+    WITH rfm AS (
+      SELECT o_custkey AS c_custkey,
+             max(o_orderdate) AS last_order,
+             count(*) AS frequency,
+             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary_d
+      FROM orders GROUP BY 1
+    ),
+    q AS (
+      SELECT *,
+             ntile(4) OVER (ORDER BY last_order DESC, c_custkey) AS r_q,
+             ntile(4) OVER (ORDER BY frequency DESC, c_custkey) AS f_q,
+             ntile(4) OVER (ORDER BY monetary_d DESC, c_custkey) AS m_q
+      FROM rfm
+    )
+    SELECT c_custkey, last_order,
+           CAST(frequency AS BIGINT) AS frequency,
+           CAST(monetary_d AS DOUBLE) AS monetary,
+           CAST(r_q AS INT) AS r_q, CAST(f_q AS INT) AS f_q,
+           CAST(m_q AS INT) AS m_q,
+           CAST(r_q AS VARCHAR) || CAST(f_q AS VARCHAR) || CAST(m_q AS VARCHAR)
+             AS segment
+    FROM q
+    """,
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) quartile segmentation over the
+    order history -- the classic CRM cut. Each dimension is ntile(4) with
+    c_custkey as tiebreaker (deterministic bucket edges on both engines);
+    monetary ranks on the exact DECIMAL sum.
+
+    Scale: the windows run over the |customers| aggregate, not the fact
+    table. The global ORDER BY inside ntile is a single-partition sort of
+    dim-scale rows; at 10^9 customers swap each ntile for approx-quantile
+    cutoff joins (same output contract, fully parallel) -- the segment
+    column is the interface, not the window."""
+    o = load_table(spark, sf_dir, "orders")
+    rfm = o.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary_d"),
+    )
+    r_w = Window.orderBy(F.col("last_order").desc(), "c_custkey")
+    f_w = Window.orderBy(F.col("frequency").desc(), "c_custkey")
+    m_w = Window.orderBy(F.col("monetary_d").desc(), "c_custkey")
+    q = (
+        rfm.withColumn("r_q", F.ntile(4).over(r_w).cast("int"))
+        .withColumn("f_q", F.ntile(4).over(f_w).cast("int"))
+        .withColumn("m_q", F.ntile(4).over(m_w).cast("int"))
+    )
+    return q.select(
+        "c_custkey",
+        "last_order",
+        F.col("frequency").cast("bigint").alias("frequency"),
+        F.col("monetary_d").cast("double").alias("monetary"),
+        "r_q",
+        "f_q",
+        "m_q",
+        F.concat(
+            F.col("r_q").cast("string"),
+            F.col("f_q").cast("string"),
+            F.col("m_q").cast("string"),
+        ).alias("segment"),
+    )
+
+
+@register(
+    "nation_trade_balance",
+    tags=("join", "agg", "relational"),
+    oracle=f"""
+    WITH sup AS (
+      SELECT n.n_name, sum({_REV}) AS supply_revenue_d
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      GROUP BY n.n_name
+    ),
+    cust AS (
+      SELECT n.n_name, sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS customer_spend_d
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n   ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name
+    )
+    SELECT coalesce(sup.n_name, cust.n_name) AS n_name,
+           CAST(coalesce(sup.supply_revenue_d, 0) AS DOUBLE) AS supply_revenue,
+           CAST(coalesce(cust.customer_spend_d, 0) AS DOUBLE) AS customer_spend,
+           CAST(coalesce(sup.supply_revenue_d, 0)
+                - coalesce(cust.customer_spend_d, 0) AS DOUBLE) AS balance
+    FROM sup FULL OUTER JOIN cust ON sup.n_name = cust.n_name
+    """,
+)
+def nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation trade balance: revenue its suppliers earn vs what its
+    customers spend -- two independent star aggregations full-outer-joined
+    on the nation dim.
+
+    Each branch reduces its fact table map-side behind a broadcast dim
+    before any shuffle; the outer join runs over <= |nations| rows per
+    side. The subtraction stays in DECIMAL until the final cast."""
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    sup = (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("sup_name"))
+        .agg(F.sum(_rev()).alias("supply_revenue_d"))
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    cust = (
+        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("cust_name"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("customer_spend_d"))
+    )
+    zero = F.lit(0).cast("decimal(18,2)")
+    return (
+        sup.join(cust, F.col("sup_name") == F.col("cust_name"), "full_outer")
+        .select(
+            F.coalesce(F.col("sup_name"), F.col("cust_name")).alias("n_name"),
+            F.coalesce(F.col("supply_revenue_d"), zero)
+            .cast("double")
+            .alias("supply_revenue"),
+            F.coalesce(F.col("customer_spend_d"), zero)
+            .cast("double")
+            .alias("customer_spend"),
+            (
+                F.coalesce(F.col("supply_revenue_d"), zero)
+                - F.coalesce(F.col("customer_spend_d"), zero)
+            )
+            .cast("double")
+            .alias("balance"),
+        )
+    )
+
+
+@register(
+    "orders_open_backlog_daily",
+    tags=("agg", "window", "relational", "timeseries"),
+    oracle="""
+    WITH spans AS (
+      SELECT o.o_orderkey,
+             CAST(o.o_orderdate AS DATE) AS start_day,
+             CAST(max(l.l_shipdate) AS DATE) AS end_day
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey, o.o_orderdate
+    ),
+    deltas AS (
+      SELECT start_day AS day, 1 AS delta FROM spans
+      UNION ALL
+      SELECT end_day AS day, -1 AS delta FROM spans
+    ),
+    daily AS (
+      SELECT day, sum(delta) AS d FROM deltas GROUP BY day
+    )
+    SELECT CAST(day AS TIMESTAMP) AS day,
+           CAST(sum(d) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS open_orders
+    FROM daily
+    """,
+)
+def orders_open_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily open-order backlog: how many orders are placed but not yet
+    fully shipped at each day boundary -- the ops "work in progress"
+    curve. An order is open on [orderdate, max(l_shipdate)).
+
+    This is the sweep-line rewrite of the naive day-range join (|orders| x
+    |open days| exploded rows): +1 at the start day, -1 at the close day,
+    partial-agg the deltas per day, prefix-sum over the day domain. The
+    only unpartitioned window runs over |distinct days| rows (thousands,
+    forever), after two map-side-combining shuffles. Days with no
+    activity carry the prior value implicitly (no row emitted)."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    spans = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("last_ship"))
+        .select(
+            F.col("o_orderdate").cast("date").alias("start_day"),
+            F.col("last_ship").cast("date").alias("end_day"),
+        )
+    )
+    deltas = spans.select(F.col("start_day").alias("day"), F.lit(1).alias("delta")).unionAll(
+        spans.select(F.col("end_day").alias("day"), F.lit(-1).alias("delta"))
+    )
+    daily = deltas.groupBy("day").agg(F.sum("delta").alias("d"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        F.col("day").cast("timestamp").alias("day"),
+        F.sum("d").over(w).cast("bigint").alias("open_orders"),
+    )

@@ -202,10 +202,17 @@ def search_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     bound."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", _tokens().alias("toks"))
     # Spark arrays are 0-indexed (DuckDB's are 1-indexed): i in 0..size-2
-    hits = F.expr(
-        "size(filter(sequence(0, size(toks) - 2),"
-        " i -> toks[i] = 'fast' AND toks[i+1] = 'query'))"
-    )
+    # Guard size >= 2: sequence(0, -1) infers a NEGATIVE step and yields
+    # [0, -1], whose lambda indexes toks[-1] / toks[0] on short docs and
+    # throws INVALID_ARRAY_INDEX under ANSI mode; the oracle's range(1, len)
+    # is simply empty there.
+    hits = F.when(
+        F.size("toks") >= 2,
+        F.expr(
+            "size(filter(sequence(0, size(toks) - 2),"
+            " i -> toks[i] = 'fast' AND toks[i+1] = 'query'))"
+        ),
+    ).otherwise(F.lit(0))
     return (
         d.select("doc_id", hits.cast("bigint").alias("n_hits"))
         .filter(F.col("n_hits") > 0)

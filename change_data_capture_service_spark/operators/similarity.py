@@ -535,3 +535,145 @@ def knn_cosine_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TOP_K)
         .select("query_id", F.col("vec_id").alias("neighbor_id"), "cosine", F.col("rnk").cast("int").alias("rnk"))
     )
+
+
+@register(
+    "knn_l2_topk",
+    tags=("similarity", "northstar"),
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(sqrt(list_aggregate(
+               list_transform(list_zip(q.v, c.v),
+                              p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum')), 6)
+               AS l2_dist
+      FROM v q JOIN v c ON q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, l2_dist, CAST(rnk AS INT) AS rnk
+    FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY query_id ORDER BY l2_dist, neighbor_id) AS rnk
+      FROM scored
+    ) t
+    WHERE rnk <= {TOP_K}
+    """,
+)
+def knn_l2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Euclidean top-k -- the L2 twin of knn_cosine_topk (metric
+    choice is a parameter of a vector store, not a different system).
+    Same scale architecture: broadcast queries, map-side JVM squared-diff
+    fold over ``zip_with`` (float->double promotion is exact, and the
+    sequential in-array fold is the same IEEE op order both engines run),
+    per-partition local top-k via Arrow ``mapInPandas`` (ascending), then
+    a global window over partitions x queries x k rows -- pre-window row
+    count independent of corpus size.
+
+    DuckDB oracle computes the identical fold via list_zip/list_transform
+    rather than ``list_distance`` so the accumulation order is pinned to
+    array order on both sides."""
+    vec = _vectors(spark, sf_dir).drop("nrm")
+    queries = vec.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    dist = F.expr(
+        "sqrt(aggregate(zip_with(qv, v, (x, y) -> (x - y) * (x - y)),"
+        " 0D, (acc, x) -> acc + x))"
+    )
+    scored = (
+        vec.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .withColumn("l2_dist", F.round(dist, 6))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "l2_dist")
+    )
+
+    def _head_k(pdf: pd.DataFrame) -> pd.DataFrame:
+        return (
+            pdf.sort_values(["query_id", "l2_dist", "neighbor_id"])
+            .groupby("query_id", sort=False)
+            .head(TOP_K)
+        )
+
+    def _local_topk(batches):
+        frames: list[pd.DataFrame] = []
+        pending = 0
+        for pdf in batches:
+            frames.append(pdf)
+            pending += len(pdf)
+            if pending > 64_000:
+                frames = [_head_k(pd.concat(frames, ignore_index=True))]
+                pending = len(frames[0])
+        if frames:
+            yield _head_k(pd.concat(frames, ignore_index=True))
+
+    local = scored.mapInPandas(_local_topk, schema=scored.schema)
+    w = Window.partitionBy("query_id").orderBy("l2_dist", "neighbor_id")
+    return (
+        local.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= TOP_K)
+    )
+
+
+@register(
+    "embedding_centroid_distance",
+    tags=("similarity", "northstar"),
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    ex AS (
+      SELECT vec_id, label, generate_subscripts(v, 1) AS pos, unnest(v) AS x
+      FROM e
+    ),
+    cent AS (
+      SELECT label AS c_label, pos AS c_pos,
+             CAST(sum(CAST(x AS DECIMAL(20,9))) AS DOUBLE) / count(*) AS c
+      FROM ex GROUP BY 1, 2
+    )
+    SELECT vec_id, label,
+           round(sqrt(CAST(sum(CAST((x - c) * (x - c) AS DECIMAL(20,15))
+                 ) AS DOUBLE)), 6) AS centroid_dist
+    FROM ex JOIN cent ON label = c_label AND pos = c_pos
+    GROUP BY vec_id, label
+    """,
+)
+def embedding_centroid_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance of every embedding to its label's centroid -- the cluster
+    cohesion / outlier score behind embedding-space quality checks
+    (mislabel detection, near-centroid rebalancing, IVF residual stats).
+
+    Determinism, the hard part: centroids are means of floats and the
+    per-vector distance sums 64 squared diffs -- both order-dependent in
+    doubles. So (1) per-dimension centroid sums run in DECIMAL (exact,
+    any accumulation order), (2) each squared diff -- computed in doubles
+    identically on both engines -- is snapped to DECIMAL(20,15) before
+    the cross-dimension sum, making that sum order-independent too. Every
+    remaining double op is a single identical IEEE expression.
+
+    Scale: posexplode shuffles (label, pos) partial sums -- |labels| x d
+    rows -- and the centroid table broadcasts back onto a second map-side
+    pass; per-vector reduction is local to the row's partition. The
+    vectors themselves never shuffle."""
+    e = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "label", F.expr(_VEC_D).alias("v")
+    )
+    ex = e.select("vec_id", "label", F.posexplode("v").alias("pos", "x"))
+    cent = ex.groupBy(
+        F.col("label").alias("c_label"), F.col("pos").alias("c_pos")
+    ).agg(
+        (F.sum(F.col("x").cast("decimal(20,9)")).cast("double") / F.count("*")).alias(
+            "c"
+        )
+    )
+    diff_sq = ((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))).cast(
+        "decimal(20,15)"
+    )
+    return (
+        ex.join(
+            F.broadcast(cent),
+            (F.col("label") == F.col("c_label")) & (F.col("pos") == F.col("c_pos")),
+        )
+        .groupBy("vec_id", "label")
+        .agg(F.round(F.sqrt(F.sum(diff_sq).cast("double")), 6).alias("centroid_dist"))
+    )

@@ -64,34 +64,31 @@ def test_every_oracle_key_has_a_query(spark):
 
 
 # The first 50 keys form the driver's bounded-budget check window for round 4:
-# the 17 new round-4 operators, the 8 late-round-3 registrations that never
-# had a window slot, the 27 keys round 3's window was meant to prove (no
-# CORRECTNESS_r03 artifact ever landed, so they keep their slots), and 2
-# high-value rechecks. This order is load-bearing for grading -- an import
-# refactor that silently reorders it would unprove operators -- so it is
-# pinned here as a contract.
+# the 34 keys that have never had a driver row across rounds 1-3 (CORRECTNESS
+# r01-r03 on record; every one is DuckDB-parity green locally via
+# test_oracle_parity) followed by the 16 new round-4 operators. This order is
+# load-bearing for grading -- an import refactor that silently reorders it
+# would unprove operators -- so it is pinned here as a contract.
 _R4_CHECK_WINDOW = [
+    # never driver-checked, rounds 1-3
+    "embedding_norm_stats", "knn_cosine_range", "multimodal_resize",
+    "ohlc_hourly", "locf_fill", "active_users_7d", "rollup_time_grains",
+    "dataset_split", "dedup_lines", "sessionize_batch", "event_transitions",
+    "audience_overlap", "ratio_to_report_daily", "latency_percentiles_hourly",
+    "trend_linear_fit", "subquery_in", "join_lateral", "udf_scalar",
+    "stream_enrich_join", "agg_mode", "cdc_changes_between",
+    "cdc_snapshot_diff", "dead_letter_split", "join_skew_salted",
+    "tpch_q3_shipping", "quality_gopher_rules", "pii_redact",
+    "chunk_documents", "ngram_counts", "url_host_stats",
+    "dq_constraint_checks", "dq_k_anonymity", "search_facets", "search_phrase",
     # new in round 4
-    "time_weighted_avg", "rolling_corr_24h", "ewma_hourly",
-    "winsorize_stats", "iqr_outliers", "text_entropy", "text_repetition",
-    "decontaminate_exact", "sample_reservoir_k",
-    "cdc_snapshot_asof", "cdc_merge_upsert",
-    "agg_hist_equi_depth", "agg_heavy_hitters", "agg_hll_rollup", "search_bm25",
-    # late round-3 registrations, first-ever slot
-    "dedup_incremental_minhash", "dedup_canonical", "embedding_quantize_int8",
-    "activity_streaks", "events_seasonality", "agg_weighted_avg",
-    "cdc_changed_columns", "join_asof_tolerance",
-    # round-3 window hedge (no r03 artifact on record)
-    "orderby_multi", "topk", "topk_per_group",
-    "decontaminate_ngram", "dedup_incremental", "sample_token_mixture",
-    "funnel_steps", "retention_cohorts", "anomaly_mad",
-    "subquery_correlated",
-    "udf_pandas", "udaf_pandas", "udtf", "map_in_pandas",
-    "stream_tumbling_count", "stream_sliding_avg", "stream_session", "stream_dedup",
-    "win_cume_dist", "win_first_last", "win_range_frame", "win_percent_nth",
-    "win_range_interval", "cdc_scd2", "agg_approx_percentile",
-    # round-4 iterative/ANN additions
-    "graph_pagerank", "knn_cosine_pq",
+    "tpch_q5_local_supplier", "tpch_q10_returned_items",
+    "orders_order_priority", "supplier_wait_stats", "part_margin_rank",
+    "customer_rfm_segments", "nation_trade_balance",
+    "orders_open_backlog_daily", "events_value_zscore_day",
+    "events_change_points", "events_props_value_stats",
+    "quality_stopword_ratio", "docs_token_histogram", "sample_balanced_lang",
+    "embedding_centroid_distance", "knn_l2_topk",
 ]
 
 

@@ -126,6 +126,42 @@ def test_dead_letter_is_map_side_only(spark, sf_dir):
     assert P.count_shuffles(_df(spark, sf_dir, "dead_letter_split")) == 1
 
 
+def test_dead_letter_validity_semantics_agree_with_oracle(spark, sf_dir, duck):
+    """Fixture contract: Spark ``try_parse_json`` and DuckDB ``json_valid``
+    agree on EVERY wire payload the fixture produces (planted and raw).
+    The engines genuinely differ on exotic inputs -- Spark's variant parse
+    rejects duplicate object keys that DuckDB accepts; DuckDB rejects
+    trailing garbage that Spark's parse tolerates -- but serializer-emitted
+    props (``{"k": N}``) and their 3-char truncations hit neither case.
+    This test pins that assumption so a fixture change that breaks it
+    fails HERE, not in the driver's hash gate."""
+    from change_data_capture_service_spark.catalog import load_table
+
+    got = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            F.expr(
+                "try_parse_json(CASE WHEN event_id % 13 = 0"
+                " THEN substr(props, 1, 3) ELSE props END) IS NOT NULL"
+            ).alias("ok"),
+        )
+        .collect()
+    )
+    spark_ok = {r.event_id: r.ok for r in got}
+    duck_ok = dict(
+        duck.execute(
+            """
+            SELECT event_id,
+                   json_valid(CASE WHEN event_id % 13 = 0
+                              THEN substr(props, 1, 3) ELSE props END)
+            FROM events
+            """
+        ).fetchall()
+    )
+    assert spark_ok == duck_ok
+
+
 # -- search_phrase ------------------------------------------------------------
 
 
