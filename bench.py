@@ -212,8 +212,14 @@ def main() -> int:
                     " clause-5 style load/query split) to stay comparable"
                     " with earlier rounds' multi-row-group fixtures."
                     " q11 still ingests from the raw fixture by design."
-                    " Cross-round host variance remains: compare via stable"
-                    " fixed-cost queries (q3/q6), not the suite total"
+                    " ROUND-4 ROOT CAUSE of the r3 q8/q9/q10 regression:"
+                    " reruns on a quiet host (load ~1 vs r3's spikes to 11)"
+                    " with UNCHANGED query code land at q8 0.58-0.71s,"
+                    " q9 0.61-0.74s, q10 0.29-0.34s, q11 1.9-2.5s --"
+                    " at/below round-2 levels -- so r3's 3-12x swings were"
+                    " host contention, not plan changes (plans are pinned"
+                    " by tests/test_plans.py and PLANS.md). Compare rounds"
+                    " via stable fixed-cost probes (q3/q6), not totals"
                 ),
             }
         )

@@ -427,7 +427,8 @@ def nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH spans AS (
       SELECT o.o_orderkey,
              CAST(o.o_orderdate AS DATE) AS start_day,
-             CAST(max(l.l_shipdate) AS DATE) AS end_day
+             greatest(CAST(o.o_orderdate AS DATE),
+                      CAST(max(l.l_shipdate) AS DATE)) AS end_day
       FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
       GROUP BY o.o_orderkey, o.o_orderdate
     ),
@@ -449,7 +450,10 @@ def nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 def orders_open_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily open-order backlog: how many orders are placed but not yet
     fully shipped at each day boundary -- the ops "work in progress"
-    curve. An order is open on [orderdate, max(l_shipdate)).
+    curve. An order is open on [orderdate, close) where close =
+    greatest(orderdate, max(l_shipdate)) -- the clamp makes an order whose
+    ship dates precede its order date (the fixture generator draws them
+    independently) occupy an empty interval instead of a negative one.
 
     This is the sweep-line rewrite of the naive day-range join (|orders| x
     |open days| exploded rows): +1 at the start day, -1 at the close day,
@@ -465,7 +469,9 @@ def orders_open_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("l_shipdate").alias("last_ship"))
         .select(
             F.col("o_orderdate").cast("date").alias("start_day"),
-            F.col("last_ship").cast("date").alias("end_day"),
+            F.greatest(
+                F.col("o_orderdate").cast("date"), F.col("last_ship").cast("date")
+            ).alias("end_day"),
         )
     )
     deltas = spans.select(F.col("start_day").alias("day"), F.lit(1).alias("delta")).unionAll(

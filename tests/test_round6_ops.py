@@ -1,0 +1,221 @@
+"""Semantic invariants + plan-shape gates for the round-4 relational /
+statistics batch (relational.py X40, events/corpus stats X41) -- the
+properties hash parity can't express, and the 100 TB plan shapes asserted
+at test scale."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from change_data_capture_service_spark import registry
+from change_data_capture_service_spark.plans import inspect as P
+
+registry.load_all()
+
+
+def _df(spark, sf_dir, name):
+    return registry.get(name).fn(spark, sf_dir)
+
+
+# -- plan shapes: the relational suite must broadcast dims and shuffle the
+# -- fact side once ----------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "tpch_q5_local_supplier",
+        "tpch_q10_returned_items",
+        "supplier_wait_stats",
+        "part_margin_rank",
+        "nation_trade_balance",
+    ],
+)
+def test_relational_dims_broadcast(spark, sf_dir, name):
+    assert P.uses_broadcast_join(_df(spark, sf_dir, name)), f"{name} lost its broadcast"
+
+
+def test_q10_top20_is_take_ordered(spark, sf_dir):
+    plan = P.formatted_plan(_df(spark, sf_dir, "tpch_q10_returned_items"))
+    assert "TakeOrderedAndProject" in plan, "top-20 fell back to a global sort"
+
+
+def test_part_margin_rank_prunes_map_side(spark, sf_dir):
+    """rank<=3 must push into the window sort (WindowGroupLimit) so only 3
+    rows per brand survive each partition before the exchange."""
+    plan = P.formatted_plan(_df(spark, sf_dir, "part_margin_rank"))
+    assert "WindowGroupLimit" in plan
+
+
+def test_zscore_fact_table_never_shuffles(spark, sf_dir):
+    """Day stats broadcast back onto the fact scan: the only exchange in
+    the plan is the |days|-row stats agg, never the events table."""
+    df = _df(spark, sf_dir, "events_value_zscore_day")
+    assert P.uses_broadcast_join(df), "day-stats join lost its broadcast"
+    plan = P.formatted_plan(df)
+    # the events scan feeding the join side must not sit under an exchange:
+    # with the broadcast in place the only shuffle belongs to the stats agg
+    assert P.count_shuffles(df) <= 2
+
+
+def test_stopword_ratio_is_shuffle_free(spark, sf_dir):
+    assert P.count_shuffles(_df(spark, sf_dir, "quality_stopword_ratio")) == 0
+
+
+def test_balanced_sample_single_shuffle(spark, sf_dir):
+    df = _df(spark, sf_dir, "sample_balanced_lang")
+    assert P.count_shuffles(df) == 1
+    assert "WindowGroupLimit" in P.formatted_plan(df)
+
+
+# -- semantic invariants ------------------------------------------------------
+
+
+def test_backlog_matches_naive_range_count(spark, sf_dir):
+    """The sweep-line backlog must equal the naive definition: for each
+    output day, the count of orders with start <= day < end."""
+    rows = _df(spark, sf_dir, "orders_open_backlog_daily").collect()
+    got = {r.day.date(): r.open_orders for r in rows}
+    from change_data_capture_service_spark.catalog import load_table
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    spans = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("last_ship"))
+        .select(
+            F.col("o_orderdate").cast("date").alias("s"),
+            F.greatest(
+                F.col("o_orderdate").cast("date"), F.col("last_ship").cast("date")
+            ).alias("e"),
+        )
+        .collect()
+    )
+    import random
+
+    for day in random.Random(7).sample(sorted(got), min(12, len(got))):
+        naive = sum(1 for r in spans if r.s <= day and day < r.e)
+        assert got[day] == naive, f"{day}: sweep={got[day]} naive={naive}"
+
+
+def test_rfm_quartiles_are_balanced_and_complete(spark, sf_dir):
+    rows = _df(spark, sf_dir, "customer_rfm_segments").collect()
+    n = len(rows)
+    assert n > 0
+    for dim in ("r_q", "f_q", "m_q"):
+        counts = {}
+        for r in rows:
+            v = getattr(r, dim)
+            assert 1 <= v <= 4
+            counts[v] = counts.get(v, 0) + 1
+        # ntile balance: bucket sizes differ by at most 1
+        assert max(counts.values()) - min(counts.values()) <= 1, (dim, counts)
+    for r in rows:
+        assert r.segment == f"{r.r_q}{r.f_q}{r.m_q}"
+
+
+def test_change_points_flags_planted_spike(spark, tmp_path):
+    """A flat daily series with one 10x day must flag exactly that day."""
+    base = pd.Timestamp("2024-01-01")
+    recs = []
+    eid = 0
+    for d in range(20):
+        for _ in range(4):
+            recs.append(
+                {
+                    "event_id": eid,
+                    "ts": base + pd.Timedelta(days=d, hours=eid % 12),
+                    "user_id": eid % 5,
+                    "event_type": "view",
+                    # mild day-to-day wiggle so sigma > 0, spike on day 15
+                    "value": float(250.0 if d == 15 else 25.0 + (d % 3)),
+                    "props": "{}",
+                }
+            )
+            eid += 1
+    pd.DataFrame(recs).to_parquet(tmp_path / "events.parquet")
+    rows = _df(spark, str(tmp_path), "events_change_points").collect()
+    flagged = {r.day.date() for r in rows if r.is_change_point}
+    assert flagged == {(base + pd.Timedelta(days=15)).date()}, flagged
+
+
+def test_zscore_day_mean_is_zero(spark, sf_dir):
+    """Z-scores within any day must average ~0 and have |z| spread."""
+    rows = _df(spark, sf_dir, "events_value_zscore_day").collect()
+    by_day: dict = {}
+    for r in rows:
+        if r.zscore is not None:
+            by_day.setdefault(r.day, []).append(r.zscore)
+    assert by_day
+    for day, zs in by_day.items():
+        assert abs(sum(zs) / len(zs)) < 1e-3, f"{day} mean {sum(zs)/len(zs)}"
+
+
+def test_balanced_sample_exact_k_per_lang(spark, sf_dir):
+    rows = _df(spark, sf_dir, "sample_balanced_lang").collect()
+    per = {}
+    for r in rows:
+        per[r.lang] = per.get(r.lang, 0) + 1
+    from change_data_capture_service_spark.catalog import load_table
+
+    avail = {
+        r.lang: r.n
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for lang, n in per.items():
+        assert n == min(20, avail[lang]), (lang, n, avail[lang])
+
+
+def test_knn_l2_and_cosine_agree_on_normalized_vectors(spark, sf_dir):
+    """On the same corpus, the L2 and cosine rankings need not agree in
+    general, but l2^2 = |q|^2 + |c|^2 - 2*q.c must hold pairwise."""
+    l2 = {
+        (r.query_id, r.neighbor_id): r.l2_dist
+        for r in _df(spark, sf_dir, "knn_l2_topk").collect()
+    }
+    from change_data_capture_service_spark.catalog import load_table
+
+    vecs = {
+        r.vec_id: r.embedding
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    import math
+
+    for (q, c), d in list(l2.items())[:20]:
+        qv, cv = vecs[q], vecs[c]
+        expect = math.sqrt(sum((float(a) - float(b)) ** 2 for a, b in zip(qv, cv)))
+        assert abs(d - expect) < 1e-4, ((q, c), d, expect)
+
+
+def test_centroid_distance_zero_for_singleton_label(spark, tmp_path):
+    """A label with a single vector has that vector AS its centroid."""
+    pd.DataFrame(
+        {
+            "vec_id": [0, 1, 2],
+            "embedding": [[1.0, 0.0], [0.0, 2.0], [3.0, 4.0]],
+            "label": [7, 8, 9],
+        }
+    ).to_parquet(tmp_path / "embeddings.parquet")
+    rows = _df(spark, str(tmp_path), "embedding_centroid_distance").collect()
+    assert {r.label for r in rows} == {7, 8, 9}
+    for r in rows:
+        assert r.centroid_dist == 0.0
+
+
+def test_order_priority_counts_only_late_orders(spark, sf_dir):
+    from change_data_capture_service_spark.catalog import load_table
+
+    rows = _df(spark, sf_dir, "orders_order_priority").collect()
+    total = sum(r.order_count for r in rows)
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    in_window = o.count()
+    assert 0 < total <= in_window
