@@ -874,3 +874,42 @@ def events_props_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("k").cast("bigint").alias("sum_k"),
         )
     )
+
+
+@register(
+    "events_hourly_heatmap",
+    tags=("analytics", "timeseries"),
+    oracle="""
+    SELECT CAST(isodow(ts) AS INT) AS dow,
+           CAST(hour(ts) AS INT) AS hod,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                   AS DOUBLE) / 100 / count(*), 6) AS avg_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_hourly_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week x hour-of-day activity heatmap with mean value -- the
+    capacity-planning / traffic-shape tile on every ops dashboard.
+
+    ISO day numbering (Monday=1) is constructed explicitly on both
+    engines (Spark's ``dayofweek`` is Sunday-first, DuckDB's ``isodow``
+    is ISO -- the off-by-one is the classic cross-engine trap); the mean
+    rides the exact integer-cents sum. One partial agg, 7x24 output rows
+    at any scale."""
+    e = load_table(spark, sf_dir, "events")
+    x100 = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    return (
+        e.select(
+            (F.weekday("ts") + 1).cast("int").alias("dow"),
+            F.hour("ts").cast("int").alias("hod"),
+            x100.alias("x100"),
+        )
+        .groupBy("dow", "hod")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.round(F.sum("x100").cast("double") / 100 / F.count("*"), 6).alias(
+                "avg_value"
+            ),
+        )
+    )

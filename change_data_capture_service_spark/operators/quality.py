@@ -22,7 +22,7 @@ planted line makes them provably exercised.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -490,4 +490,44 @@ def docs_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "avg_chars"
             ),
         )
+    )
+
+
+@register(
+    "docs_lang_source_mix",
+    tags=("quality", "agg", "northstar"),
+    oracle="""
+    WITH c AS (
+      SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars
+      FROM documents GROUP BY 1, 2
+    )
+    SELECT lang, source, n_docs, total_chars,
+           round(CAST(n_docs AS DOUBLE)
+                 / sum(n_docs) OVER (PARTITION BY lang), 6) AS share_of_lang
+    FROM c
+    """,
+)
+def docs_lang_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language x source composition of the corpus with within-language
+    source shares -- the mixture table a curation run balances against
+    (sample_token_mixture consumes exactly these proportions).
+
+    Counts are exact integers; the share is one double division against a
+    window sum of BIGINTs (exact, order-independent). Scale: partial agg
+    to |lang x source| rows, then a window over that dim-scale table."""
+    d = load_table(spark, sf_dir, "documents")
+    c = d.groupBy("lang", "source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+    w = Window.partitionBy("lang")
+    return c.select(
+        "lang",
+        "source",
+        "n_docs",
+        "total_chars",
+        F.round(F.col("n_docs").cast("double") / F.sum("n_docs").over(w), 6).alias(
+            "share_of_lang"
+        ),
     )

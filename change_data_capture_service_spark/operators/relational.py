@@ -483,3 +483,420 @@ def orders_open_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("day").cast("timestamp").alias("day"),
         F.sum("d").over(w).cast("bigint").alias("open_orders"),
     )
+
+
+@register(
+    "tpch_q7_volume_shipping",
+    tags=("join", "agg", "relational"),
+    oracle=f"""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INT) AS l_year,
+           CAST(sum({_REV}) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+    JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+    WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+       OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+    GROUP BY 1, 2, 3
+    """,
+)
+def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping): bilateral trade between two nations per
+    ship-year, keyed by which side supplied and which consumed.
+
+    The nation-pair disjunction evaluates map-side behind four broadcast
+    dims (supplier, customer, and nation twice under different aliases);
+    lineitem shuffles once on l_orderkey. At 100 TB the filter kills most
+    rows before that single exchange -- the broadcast order is what makes
+    the predicate early."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation")
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").cast("int").alias("l_year")
+        )
+        .agg(F.sum(_rev()).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "tpch_q14_promo_revenue",
+    tags=("join", "agg", "relational"),
+    oracle=f"""
+    SELECT date_trunc('month', l.l_shipdate) AS month,
+           CAST(sum(CASE WHEN p.p_type = 'PROMO' THEN {_REV}
+                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+             AS promo_revenue,
+           CAST(sum({_REV}) AS DOUBLE) AS total_revenue,
+           round(100 * CAST(sum(CASE WHEN p.p_type = 'PROMO' THEN {_REV}
+                                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                 / CAST(sum({_REV}) AS DOUBLE), 6) AS promo_share_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY 1
+    """,
+)
+def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect), extended to a monthly series: the
+    share of each month's revenue that came from promo-class parts.
+
+    Both the conditional and unconditional revenue accumulate in the same
+    DECIMAL type on both engines (the CASE else-branch is typed, not bare
+    0, so neither engine silently widens differently); the percentage is
+    one identical double expression over the exact sums. part broadcasts;
+    lineitem never shuffles -- the month agg is the only exchange."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    promo = F.when(F.col("p_type") == "PROMO", _rev()).otherwise(
+        F.lit(0).cast("decimal(18,2)")
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.date_trunc("month", F.col("l_shipdate")).alias("month"))
+        .agg(
+            F.sum(promo).cast("double").alias("promo_revenue"),
+            F.sum(_rev()).cast("double").alias("total_revenue"),
+        )
+        .select(
+            "month",
+            "promo_revenue",
+            "total_revenue",
+            F.round(
+                100 * F.col("promo_revenue") / F.col("total_revenue"), 6
+            ).alias("promo_share_pct"),
+        )
+    )
+
+
+@register(
+    "tpch_q18_large_orders",
+    tags=("join", "agg", "relational"),
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+      FROM lineitem GROUP BY 1
+      HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 220
+    )
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+           o.o_totalprice, CAST(b.total_qty AS DOUBLE) AS total_qty
+    FROM big b
+    JOIN orders o   ON b.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 20
+    """,
+)
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers): the 20 priciest orders whose
+    total line quantity exceeds a threshold -- the bulk-buyer audit.
+
+    The HAVING pre-filter reduces lineitem to qualifying orderkeys BEFORE
+    any join (classic agg-then-join ordering: the join input is |big
+    orders|, not |lineitem|); customer broadcasts; the final top-20 is
+    TakeOrderedAndProject on (totalprice, orderkey)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("total_qty_d"))
+        .filter(F.col("total_qty_d") > 220)
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.col("total_qty_d").cast("double").alias("total_qty"),
+        )
+    )
+
+
+@register(
+    "tpch_q19_disjunctive_filter",
+    tags=("join", "agg", "relational"),
+    oracle=f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum({_REV}) AS DOUBLE) AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def tpch_q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue, adapted): an OR-of-ANDs predicate
+    spanning both join sides -- the disjunction stress test. A naive
+    planner evaluates it post-join; the worthwhile property (asserted in
+    tests) is that the single-side conjuncts implied by the OR (brand IN
+    (..), size <= 15, quantity <= 30 bounds) still prune at the scans,
+    and part still broadcasts, so the residual OR runs map-side on the
+    already-thinned join."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg(
+            F.count("*").cast("bigint").alias("n_items"),
+            F.sum(_rev()).cast("double").alias("revenue"),
+        )
+    )
+
+
+@register(
+    "basket_brand_pairs",
+    tags=("join", "agg", "relational", "northstar"),
+    oracle="""
+    WITH ob AS (
+      SELECT DISTINCT l.l_orderkey, p.p_brand
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    )
+    SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM ob a JOIN ob b
+      ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+    GROUP BY 1, 2
+    ORDER BY n_orders DESC, brand_a, brand_b
+    LIMIT 20
+    """,
+)
+def basket_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity: the 20 brand pairs most often bought in the
+    same order -- the co-occurrence mining primitive behind "frequently
+    bought together".
+
+    The scale trick is pairing at the BRAND grain, not the item grain:
+    (order, brand) dedups first, bounding the self-join blowup at
+    C(|brands in order|, 2) <= C(25,2) = 300 pairs per order regardless
+    of how many line items the order has. The self-join co-locates on
+    l_orderkey (one shuffle each side, same key), and `<` halves the pair
+    space; the final top-20 is TakeOrderedAndProject."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    a = ob.select(F.col("l_orderkey").alias("ok_a"), F.col("p_brand").alias("brand_a"))
+    b = ob.select(F.col("l_orderkey").alias("ok_b"), F.col("p_brand").alias("brand_b"))
+    return (
+        a.join(
+            b,
+            (F.col("ok_a") == F.col("ok_b")) & (F.col("brand_a") < F.col("brand_b")),
+        )
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count("*").cast("bigint").alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), "brand_a", "brand_b")
+        .limit(20)
+    )
+
+
+@register(
+    "customer_order_gaps",
+    tags=("window", "agg", "relational"),
+    oracle="""
+    WITH g AS (
+      SELECT o_custkey,
+             datediff('day',
+                      lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                             ORDER BY o_orderdate, o_orderkey),
+                      o_orderdate) AS gap
+      FROM orders
+    )
+    SELECT o_custkey AS c_custkey,
+           CAST(count(gap) AS BIGINT) AS n_gaps,
+           round(CAST(sum(gap) AS DOUBLE) / count(gap), 6) AS avg_gap_days,
+           CAST(max(gap) AS BIGINT) AS max_gap_days
+    FROM g WHERE gap IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-purchase intervals per customer: mean and max days between
+    consecutive orders -- the reorder-cadence feature behind churn and
+    next-purchase models (and the sibling of sessionize_batch's gap
+    split, at order grain).
+
+    Integer day arithmetic on a (o_orderdate, o_orderkey)-tiebroken lag,
+    so both engines draw identical gaps; exact BIGINT sums, one double
+    division. One keyed shuffle for the window; the agg reuses the same
+    user partitioning."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderkey"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gap = F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w))
+    return (
+        o.select("o_custkey", gap.alias("gap"))
+        .filter(F.col("gap").isNotNull())
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.count("gap").cast("bigint").alias("n_gaps"),
+            F.round(F.sum("gap").cast("double") / F.count("gap"), 6).alias(
+                "avg_gap_days"
+            ),
+            F.max("gap").cast("bigint").alias("max_gap_days"),
+        )
+    )
+
+
+@register(
+    "supplier_concentration_hhi",
+    tags=("join", "agg", "relational"),
+    oracle=f"""
+    WITH sr AS (
+      SELECT s.s_nationkey, s.s_suppkey, sum({_REV}) AS r_d
+      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT s_nationkey, sum(r_d) AS t_d, count(*) AS n_suppliers FROM sr GROUP BY 1
+    )
+    SELECT n.n_name,
+           CAST(tot.n_suppliers AS BIGINT) AS n_suppliers,
+           round(CAST(sum(CAST(
+             (CAST(sr.r_d AS DOUBLE) / CAST(tot.t_d AS DOUBLE))
+             * (CAST(sr.r_d AS DOUBLE) / CAST(tot.t_d AS DOUBLE))
+             AS DECIMAL(20,15))) AS DOUBLE), 6) AS hhi
+    FROM sr
+    JOIN tot ON sr.s_nationkey = tot.s_nationkey
+    JOIN nation n ON sr.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name, tot.n_suppliers
+    """,
+)
+def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration of supplier revenue within each
+    nation -- the supply-risk score (1/n = perfectly spread, 1.0 =
+    single-source). Shares come from exact DECIMAL revenue; each squared
+    share -- an identical double expression on both engines -- is snapped
+    to DECIMAL(20,15) before the cross-supplier sum, so the reduction is
+    order-independent (same trick as embedding_centroid_distance).
+
+    Scale: lineitem reduces to |suppliers| rows behind a broadcast dim;
+    everything after is dim-scale."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    sr = (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_nationkey", "s_suppkey")
+        .agg(F.sum(_rev()).alias("r_d"))
+    )
+    tot = sr.groupBy(F.col("s_nationkey").alias("t_key")).agg(
+        F.sum("r_d").alias("t_d"), F.count("*").alias("n_suppliers")
+    )
+    share = F.col("r_d").cast("double") / F.col("t_d").cast("double")
+    return (
+        sr.join(F.broadcast(tot), F.col("s_nationkey") == F.col("t_key"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", F.col("n_suppliers").cast("bigint").alias("n_suppliers"))
+        .agg(
+            F.round(
+                F.sum((share * share).cast("decimal(20,15)")).cast("double"), 6
+            ).alias("hhi")
+        )
+    )
+
+
+@register(
+    "orders_yearly_growth",
+    tags=("agg", "window", "relational", "timeseries"),
+    oracle="""
+    WITH yr AS (
+      SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_d,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY 1
+    )
+    SELECT order_year, CAST(rev_d AS DOUBLE) AS revenue, n_orders,
+           round(100 * (CAST(rev_d AS DOUBLE)
+                        - CAST(lag(rev_d) OVER (ORDER BY order_year) AS DOUBLE))
+                 / CAST(lag(rev_d) OVER (ORDER BY order_year) AS DOUBLE), 6)
+             AS yoy_growth_pct
+    FROM yr
+    """,
+)
+def orders_yearly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth -- the board-slide query. Yearly
+    totals are exact DECIMAL sums; the growth ratio is one identical
+    double expression over this year's and last year's exact totals (lag
+    over the year axis; first year NULL by construction).
+
+    Scale: facts partial-agg to |years| rows; the unpartitioned lag
+    window sees single-digit rows forever."""
+    o = load_table(spark, sf_dir, "orders")
+    yr = o.groupBy(F.year("o_orderdate").cast("int").alias("order_year")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev_d"),
+        F.count("*").cast("bigint").alias("n_orders"),
+    )
+    w = Window.orderBy("order_year")
+    prev = F.lag("rev_d").over(w)
+    return yr.select(
+        "order_year",
+        F.col("rev_d").cast("double").alias("revenue"),
+        "n_orders",
+        F.round(
+            100
+            * (F.col("rev_d").cast("double") - prev.cast("double"))
+            / prev.cast("double"),
+            6,
+        ).alias("yoy_growth_pct"),
+    )

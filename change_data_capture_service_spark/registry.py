@@ -129,6 +129,17 @@ _CHECK_ORDER = [
     "sample_balanced_lang",
     "embedding_centroid_distance",
     "knn_l2_topk",
+    # -- registered round 4, queued for the round-5 window (positions 51+) --
+    "tpch_q7_volume_shipping",
+    "tpch_q14_promo_revenue",
+    "tpch_q18_large_orders",
+    "tpch_q19_disjunctive_filter",
+    "basket_brand_pairs",
+    "customer_order_gaps",
+    "supplier_concentration_hhi",
+    "orders_yearly_growth",
+    "events_hourly_heatmap",
+    "docs_lang_source_mix",
 ]
 
 _loaded = False

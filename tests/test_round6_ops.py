@@ -219,3 +219,97 @@ def test_order_priority_counts_only_late_orders(spark, sf_dir):
     )
     in_window = o.count()
     assert 0 < total <= in_window
+
+
+# -- batch 2 (queued for the next check window) -------------------------------
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "tpch_q7_volume_shipping",
+        "tpch_q14_promo_revenue",
+        "tpch_q18_large_orders",
+        "tpch_q19_disjunctive_filter",
+        "basket_brand_pairs",
+        "supplier_concentration_hhi",
+    ],
+)
+def test_batch2_dims_broadcast(spark, sf_dir, name):
+    assert P.uses_broadcast_join(_df(spark, sf_dir, name)), f"{name} lost its broadcast"
+
+
+def test_q18_top20_is_take_ordered(spark, sf_dir):
+    plan = P.formatted_plan(_df(spark, sf_dir, "tpch_q18_large_orders"))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q14_lineitem_single_shuffle(spark, sf_dir):
+    """part broadcasts, so the month agg is the ONLY exchange."""
+    assert P.count_shuffles(_df(spark, sf_dir, "tpch_q14_promo_revenue")) == 1
+
+
+def test_q19_pushes_implied_conjuncts(spark, sf_dir):
+    """The OR-of-ANDs must still push its single-side implications (brand
+    IN-set on the part scan) instead of evaluating everything post-join."""
+    plan = P.formatted_plan(_df(spark, sf_dir, "tpch_q19_disjunctive_filter"))
+    after = plan.split("PushedFilters")
+    assert len(after) >= 2
+    assert any("p_brand" in seg[:800] or "l_quantity" in seg[:800] for seg in after[1:])
+
+
+def test_basket_pairs_pair_space_is_bounded(spark, sf_dir):
+    """No pair may exceed |orders| co-occurrences, pairs are canonical
+    (a < b), and the result is the top of a desc-ordered set."""
+    rows = _df(spark, sf_dir, "basket_brand_pairs").collect()
+    assert rows
+    from change_data_capture_service_spark.catalog import load_table
+
+    n_orders = load_table(spark, sf_dir, "orders").count()
+    counts = [r.n_orders for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    for r in rows:
+        assert r.brand_a < r.brand_b
+        assert r.n_orders <= n_orders
+
+
+def test_hhi_bounds(spark, sf_dir):
+    """1/n <= HHI <= 1 for every nation."""
+    for r in _df(spark, sf_dir, "supplier_concentration_hhi").collect():
+        assert r.n_suppliers >= 1
+        assert 1.0 / r.n_suppliers - 1e-6 <= r.hhi <= 1.0 + 1e-6, r
+
+
+def test_yearly_growth_first_year_null(spark, sf_dir):
+    rows = sorted(
+        _df(spark, sf_dir, "orders_yearly_growth").collect(),
+        key=lambda r: r.order_year,
+    )
+    assert rows[0].yoy_growth_pct is None
+    assert all(r.yoy_growth_pct is not None for r in rows[1:])
+
+
+def test_heatmap_covers_iso_dows(spark, sf_dir):
+    rows = _df(spark, sf_dir, "events_hourly_heatmap").collect()
+    dows = {r.dow for r in rows}
+    assert dows <= set(range(1, 8))
+    assert {r.hod for r in rows} <= set(range(24))
+    # the month-long fixture has traffic on every ISO weekday
+    assert dows == set(range(1, 8))
+
+
+def test_lang_source_shares_sum_to_one(spark, sf_dir):
+    rows = _df(spark, sf_dir, "docs_lang_source_mix").collect()
+    per_lang: dict = {}
+    for r in rows:
+        per_lang.setdefault(r.lang, []).append(r.share_of_lang)
+    for lang, shares in per_lang.items():
+        assert abs(sum(shares) - 1.0) < 1e-4, (lang, shares)
+
+
+def test_order_gaps_nonnegative_and_bounded(spark, sf_dir):
+    rows = _df(spark, sf_dir, "customer_order_gaps").collect()
+    assert rows
+    for r in rows:
+        assert r.n_gaps >= 1
+        assert 0 <= r.avg_gap_days <= r.max_gap_days
