@@ -31,6 +31,16 @@ HEADLINE = [
     ("q10_fingerprint", "text_fingerprint"),             # per-char fold over documents
 ]
 
+# timed and reported separately (min-of-3) -- the headline list and its
+# total stay comparable across rounds
+EXTENDED = [
+    "tpch_q5_local_supplier",    # 6-table broadcast-dim star join
+    "tpch_q10_returned_items",   # filtered star join + TakeOrdered top-20
+    "basket_brand_pairs",        # co-located self-join at attribute grain
+    "orders_open_backlog_daily", # sweep-line prefix sum
+    "search_bm25",               # postings-probe relevance top-20
+]
+
 
 def _bench_pipeline_ingest(spark, sf_dir: str) -> dict[str, float]:
     """End-to-end CDC ingest: snapshot the events table into the changelog
@@ -179,6 +189,20 @@ def main() -> int:
                 df.write.format("noop").mode("overwrite").save()
                 best = min(best, time.perf_counter() - t0)
             timings[label] = round(best, 3)
+
+        # extended probes (NOT in the headline total, which stays
+        # cross-round comparable): the round-4 relational/search suite,
+        # min-of-3 after one warm pass
+        extended: dict[str, float] = {}
+        for key in EXTENDED:
+            df = registry.get(key).fn(spark, staged)
+            df.write.format("noop").mode("overwrite").save()
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            extended[key] = round(best, 3)
     finally:
         shutil.rmtree(staged, ignore_errors=True)
 
@@ -205,6 +229,7 @@ def main() -> int:
                 # startup constant; drain-minus-fixed is the data-proportional
                 # ingest work that must stay flat per-byte at scale
                 "q11_phases": q11,
+                "extended": extended,
                 "notes": (
                     "round-3 fixtures ship ONE parquet row group per table"
                     " (every raw scan capped at 1 task); queries therefore"
