@@ -572,3 +572,49 @@ def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         (F.count("*") - 1).alias("n_dropped"),
     )
+
+
+@register(
+    "dedup_rate_by_source",
+    tags=("dedup", "northstar", "agg"),
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, source, md5(text) AS digest FROM documents
+    ),
+    dup AS (
+      SELECT digest, CAST(count(*) AS BIGINT) AS n FROM h GROUP BY digest
+    )
+    SELECT h.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN dup.n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_docs,
+           round(CAST(sum(CASE WHEN dup.n > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS dup_rate
+    FROM h JOIN dup ON h.digest = dup.digest
+    GROUP BY h.source
+    """,
+)
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate rate per source -- the provenance-quality scorecard
+    a crawl pipeline triages with ("which feed is flooding us with
+    copies?"). A doc counts as duplicated when its content digest appears
+    more than once ANYWHERE in the corpus, attributed back to the source
+    that contributed it.
+
+    Scale: same digest-group shape as dedup_exact -- the shuffle carries
+    md5 digests, never text; the digest-count table joins back on the
+    digest key it was grouped on (co-partitioned, no extra exchange);
+    the final agg is |sources| states."""
+    d = load_table(spark, sf_dir, "documents")
+    h = d.select("doc_id", "source", F.md5("text").alias("digest"))
+    dup = h.groupBy("digest").agg(F.count("*").alias("n"))
+    flag = F.when(F.col("n") > 1, 1).otherwise(0)
+    return (
+        h.join(dup, "digest")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(flag).cast("bigint").alias("n_dup_docs"),
+            F.round(F.sum(flag).cast("double") / F.count("*"), 6).alias("dup_rate"),
+        )
+    )

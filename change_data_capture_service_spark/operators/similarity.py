@@ -677,3 +677,90 @@ def embedding_centroid_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_id", "label")
         .agg(F.round(F.sqrt(F.sum(diff_sq).cast("double")), 6).alias("centroid_dist"))
     )
+
+
+@register(
+    "embedding_centroid_similarity",
+    tags=("similarity", "northstar"),
+    oracle="""
+    WITH e AS (
+      SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    ex AS (
+      SELECT label, generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM e
+    ),
+    cent AS (
+      SELECT label, pos,
+             CAST(sum(CAST(x AS DECIMAL(20,9))) AS DOUBLE) / count(*) AS c
+      FROM ex GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT a.label AS label_a, b.label AS label_b,
+             CAST(sum(CAST(a.c * b.c AS DECIMAL(24,18))) AS DOUBLE) AS dot,
+             CAST(sum(CAST(a.c * a.c AS DECIMAL(24,18))) AS DOUBLE) AS na,
+             CAST(sum(CAST(b.c * b.c AS DECIMAL(24,18))) AS DOUBLE) AS nb
+      FROM cent a JOIN cent b ON a.pos = b.pos AND a.label < b.label
+      GROUP BY 1, 2
+    )
+    SELECT label_a, label_b,
+           round(dot / nullif(sqrt(na) * sqrt(nb), 0), 6) AS centroid_cosine
+    FROM pairs
+    """,
+)
+def embedding_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-centroid confusion structure: cosine similarity between every
+    pair of label centroids -- which classes sit close in embedding space
+    (merge candidates, mislabel suspects, IVF cell adjacency). Companion
+    to embedding_centroid_distance's within-cluster cohesion.
+
+    Determinism: centroids from exact per-dimension DECIMAL sums; every
+    cross-dimension reduction (dot, norms) snaps the double product to
+    DECIMAL(24,18) first, so all sums are order-independent; one identical
+    IEEE expression finishes. nullif guards a zero-norm centroid.
+
+    Scale: after the per-dimension partial agg the problem is |labels| x d
+    values -- dim-scale; the pair join is |labels|^2 x d rows through a
+    broadcast, trivial for any real label count, and the output is
+    C(|labels|, 2) rows."""
+    e = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "label", F.expr(_VEC_D).alias("v")
+    )
+    ex = e.select("label", F.posexplode("v").alias("pos", "x"))
+    cent = ex.groupBy("label", "pos").agg(
+        (F.sum(F.col("x").cast("decimal(20,9)")).cast("double") / F.count("*")).alias(
+            "c"
+        )
+    )
+    a = cent.select(
+        F.col("label").alias("label_a"), F.col("pos").alias("pos_a"), F.col("c").alias("ca")
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"), F.col("pos").alias("pos_b"), F.col("c").alias("cb")
+    )
+    pairs = (
+        a.join(
+            F.broadcast(b),
+            (F.col("pos_a") == F.col("pos_b")) & (F.col("label_a") < F.col("label_b")),
+        )
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.sum((F.col("ca") * F.col("cb")).cast("decimal(24,18)"))
+            .cast("double")
+            .alias("dot"),
+            F.sum((F.col("ca") * F.col("ca")).cast("decimal(24,18)"))
+            .cast("double")
+            .alias("na"),
+            F.sum((F.col("cb") * F.col("cb")).cast("decimal(24,18)"))
+            .cast("double")
+            .alias("nb"),
+        )
+    )
+    return pairs.select(
+        "label_a",
+        "label_b",
+        F.round(
+            F.col("dot")
+            / F.nullif(F.sqrt(F.col("na")) * F.sqrt(F.col("nb")), F.lit(0.0)),
+            6,
+        ).alias("centroid_cosine"),
+    )

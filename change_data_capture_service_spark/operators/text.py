@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table, spread
 from ..registry import register
+from .dedup import TOKENS
 
 # Tiny per-language stopword lists for the n-gram/stopword lang-ID
 # heuristic. Deliberately literal (shared verbatim by the SQL oracle):
@@ -385,3 +386,133 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 3)
+
+
+@register(
+    "text_zipf_fit",
+    tags=("text", "northstar", "agg"),
+    oracle=f"""
+    WITH tf AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT unnest({TOKENS}) AS tok FROM documents) t
+      GROUP BY tok
+    ),
+    ranked AS (
+      SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS rnk
+      FROM tf
+    ),
+    pts AS (
+      SELECT ln(CAST(rnk AS DOUBLE)) AS x, ln(CAST(c AS DOUBLE)) AS y
+      FROM ranked WHERE rnk <= 100
+    ),
+    s AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(x AS DECIMAL(20,15))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(y AS DECIMAL(20,15))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(x * y AS DECIMAL(20,15))) AS DOUBLE) AS sxy,
+             CAST(sum(CAST(x * x AS DECIMAL(20,15))) AS DOUBLE) AS sxx
+      FROM pts
+    )
+    SELECT CAST(n AS BIGINT) AS n_points,
+           round((n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0), 6)
+             AS zipf_slope,
+           round((sy - (n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0) * sx)
+                 / n, 6) AS intercept
+    FROM s
+    """,
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus frequency spectrum: OLS slope of
+    log(freq) against log(rank) for the top-100 tokens. Natural text sits
+    near slope -1; generated/templated corpora drift -- a one-number
+    corpus-health probe (same closed-form-from-exact-sums discipline as
+    trend_linear_fit, with each log point snapped to DECIMAL(20,15) so
+    the five sums are order-independent).
+
+    Scale: token counts partial-agg map-side (|vocab| states); the top-100
+    rank is a WindowGroupLimit-able sort over the vocabulary table, and
+    the regression reduces 100 rows. Corpus bytes never shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(_tokens()).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.orderBy(F.col("c").desc(), "tok")
+    pts = (
+        tf.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 100)
+        .select(
+            F.log(F.col("rnk").cast("double")).alias("x"),
+            F.log(F.col("c").cast("double")).alias("y"),
+        )
+    )
+    s = pts.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(F.col("x").cast("decimal(20,15)")).cast("double").alias("sx"),
+        F.sum(F.col("y").cast("decimal(20,15)")).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(20,15)")).cast("double").alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(20,15)")).cast("double").alias("sxx"),
+    )
+    n, sx, sy, sxy, sxx = (F.col(c) for c in ("n", "sx", "sy", "sxy", "sxx"))
+    slope = (n * sxy - sx * sy) / F.nullif(n * sxx - sx * sx, F.lit(0.0))
+    return s.select(
+        F.col("n").cast("bigint").alias("n_points"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+    )
+
+
+@register(
+    "text_vocab_coverage",
+    tags=("text", "northstar", "agg"),
+    oracle=f"""
+    WITH tf AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT unnest({TOKENS}) AS tok FROM documents) t
+      GROUP BY tok
+    ),
+    tot AS (SELECT sum(c) AS total FROM tf),
+    ranked AS (
+      SELECT tok, c, row_number() OVER (ORDER BY c DESC, tok) AS rnk
+      FROM tf
+    )
+    SELECT CAST(rnk AS INT) AS rnk, tok, c AS freq,
+           round(CAST(sum(c) OVER (ORDER BY rnk
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                 / CAST(tot.total AS DOUBLE), 6) AS cum_coverage
+    FROM ranked CROSS JOIN tot
+    WHERE rnk <= 50
+    """,
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: what fraction of all corpus tokens the
+    top-N vocabulary entries cover (the tokenizer-budget question -- "how
+    big must the vocab be to cover 95%?"). Cumulative share over the
+    rank-ordered frequency table, exact BIGINT sums, one double division
+    per row.
+
+    Scale: same |vocab|-bounded shape as text_zipf_fit; the cumulative
+    window runs over the top-50 rows only, and the corpus-total is a
+    broadcast scalar."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(_tokens()).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.orderBy(F.col("c").desc(), "tok")
+    ranked = tf.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 50)
+    total = tf.agg(F.sum("c").alias("total"))
+    cum = Window.orderBy("rnk").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .select(
+            F.col("rnk").cast("int").alias("rnk"),
+            "tok",
+            F.col("c").cast("bigint").alias("freq"),
+            F.round(
+                F.sum("c").over(cum).cast("double") / F.col("total").cast("double"), 6
+            ).alias("cum_coverage"),
+        )
+    )

@@ -140,6 +140,10 @@ _CHECK_ORDER = [
     "orders_yearly_growth",
     "events_hourly_heatmap",
     "docs_lang_source_mix",
+    "text_zipf_fit",
+    "text_vocab_coverage",
+    "embedding_centroid_similarity",
+    "dedup_rate_by_source",
 ]
 
 _loaded = False

@@ -313,3 +313,53 @@ def test_order_gaps_nonnegative_and_bounded(spark, sf_dir):
     for r in rows:
         assert r.n_gaps >= 1
         assert 0 <= r.avg_gap_days <= r.max_gap_days
+
+
+# -- batch 3: corpus statistics ----------------------------------------------
+
+
+def test_zipf_slope_is_negative(spark, sf_dir):
+    r = _df(spark, sf_dir, "text_zipf_fit").collect()[0]
+    assert r.n_points > 10
+    assert r.zipf_slope < 0, "frequency must decay with rank"
+
+
+def test_vocab_coverage_monotone_to_one(spark, sf_dir):
+    rows = sorted(
+        _df(spark, sf_dir, "text_vocab_coverage").collect(), key=lambda r: r.rnk
+    )
+    assert rows[0].rnk == 1
+    cov = [r.cum_coverage for r in rows]
+    assert all(a <= b + 1e-9 for a, b in zip(cov, cov[1:])), "coverage must be monotone"
+    assert 0 < cov[-1] <= 1.0 + 1e-9
+    freqs = [r.freq for r in rows]
+    assert freqs == sorted(freqs, reverse=True)
+
+
+def test_centroid_similarity_canonical_and_bounded(spark, sf_dir):
+    rows = _df(spark, sf_dir, "embedding_centroid_similarity").collect()
+    labels = set()
+    for r in rows:
+        assert r.label_a < r.label_b
+        assert -1.0 - 1e-6 <= r.centroid_cosine <= 1.0 + 1e-6
+        labels |= {r.label_a, r.label_b}
+    n = len(labels)
+    assert len(rows) == n * (n - 1) // 2, "every label pair exactly once"
+
+
+def test_dedup_rate_counts_planted_duplicates(spark, tmp_path):
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": ["same text", "same text", "unique one", "unique two"],
+            "lang": ["en"] * 4,
+            "source": ["feed_a", "feed_a", "feed_a", "feed_b"],
+            "n_chars": [9, 9, 10, 10],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    got = {
+        r.source: (r.n_docs, r.n_dup_docs, r.dup_rate)
+        for r in _df(spark, str(tmp_path), "dedup_rate_by_source").collect()
+    }
+    assert got["feed_a"] == (3, 2, round(2 / 3, 6))
+    assert got["feed_b"] == (1, 0, 0.0)
