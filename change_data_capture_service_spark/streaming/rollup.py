@@ -1,0 +1,197 @@
+"""Continuously-maintained hourly rollup (the "continuous aggregate" /
+hypertable-rollup shape): an additive aggregate table kept current by the
+change stream instead of recomputed from the event log.
+
+``rollup_time_grains`` (timeseries.py) is the batch ladder; this is its
+incremental twin. The reference's consumers get this from Kibana
+re-aggregating the ES index on every dashboard refresh -- O(index) per
+view. Here each micro-batch reduces to per-(table, hour) partial states
+(count + exact integer-cents sum), and reads merge the partials -- O(batch)
+per update, O(|groups| x |epochs|) per read, never O(history).
+
+Correctness under at-least-once replay: partials are keyed BY EPOCH
+(``partials/epoch=N``, written with per-epoch overwrite). A replayed
+micro-batch rewrites its own epoch directory rather than double-adding --
+the same epoch-idempotence discipline as the routed sink
+(``streaming/sink.py``). Deletes subtract (count -1, sum -cents), so the
+rollup tracks the LIVE table, not arrival traffic; updates contribute
+after-minus-before. ``compact()`` folds all epoch partials into one base
+partial -- additivity means fold order is irrelevant.
+
+At 100 TB: partial-agg states are |tables| x |hours| rows per epoch --
+dashboard-scale regardless of event volume; the read-side merge is a
+partial agg over those states. This is exactly the mergeable-summaries
+property the sketch rollups (agg_hll_rollup) rely on, applied to exact
+count/sum.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+PARTIAL_SCHEMA = T.StructType(
+    [
+        T.StructField("schema_name", T.StringType(), False),
+        T.StructField("table_name", T.StringType(), False),
+        T.StructField("hour", T.TimestampType(), True),
+        T.StructField("n_rows", T.LongType(), False),
+        T.StructField("sum_cents", T.LongType(), True),
+    ]
+)
+
+
+def _batch_partials(batch_df: DataFrame, ts_field: str, value_field: str) -> DataFrame:
+    """Reduce one envelope micro-batch to additive per-(table, hour)
+    deltas. Inserts/snapshots add their after-image; deletes subtract
+    their before-image; updates do both (value moves between hours if the
+    row's timestamp changed)."""
+    after_ts = F.element_at(F.col("after"), ts_field).cast("timestamp")
+    before_ts = F.element_at(F.col("before"), ts_field).cast("timestamp")
+    after_cents = (
+        F.element_at(F.col("after"), value_field).cast("decimal(18,2)") * 100
+    ).cast("long")
+    before_cents = (
+        F.element_at(F.col("before"), value_field).cast("decimal(18,2)") * 100
+    ).cast("long")
+
+    adds = (
+        batch_df.filter(F.col("op").isin("snapshot", "insert", "update"))
+        .select(
+            "schema_name",
+            "table_name",
+            F.date_trunc("hour", after_ts).alias("hour"),
+            F.lit(1).cast("long").alias("d_rows"),
+            F.coalesce(after_cents, F.lit(0)).alias("d_cents"),
+        )
+    )
+    subs = (
+        batch_df.filter(F.col("op").isin("delete", "update"))
+        .filter(F.col("before").isNotNull())
+        .select(
+            "schema_name",
+            "table_name",
+            F.date_trunc("hour", before_ts).alias("hour"),
+            F.lit(-1).cast("long").alias("d_rows"),
+            (-F.coalesce(before_cents, F.lit(0))).alias("d_cents"),
+        )
+    )
+    return (
+        adds.unionByName(subs)
+        .groupBy("schema_name", "table_name", "hour")
+        .agg(
+            F.sum("d_rows").cast("long").alias("n_rows"),
+            F.sum("d_cents").cast("long").alias("sum_cents"),
+        )
+    )
+
+
+class MaterializedRollup:
+    """foreachBatch sink maintaining the hourly rollup incrementally."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        rollup_dir: str,
+        *,
+        ts_field: str = "ts",
+        value_field: str = "value",
+    ):
+        self.spark = spark
+        self.rollup_dir = rollup_dir.rstrip("/")
+        self.ts_field = ts_field
+        self.value_field = value_field
+
+    def _partials_dir(self) -> str:
+        return f"{self.rollup_dir}/partials"
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        partials = _batch_partials(batch_df, self.ts_field, self.value_field)
+        # epoch-keyed overwrite = at-least-once replay rewrites, never
+        # double-adds
+        partials.write.mode("overwrite").parquet(
+            f"{self._partials_dir()}/epoch={epoch_id}"
+        )
+
+    # -- reading ------------------------------------------------------------
+    def _read_partials(self) -> DataFrame:
+        pdir = self._partials_dir()
+        if not os.path.isdir(pdir):
+            return self.spark.createDataFrame([], PARTIAL_SCHEMA)
+        return (
+            self.spark.read.schema(PARTIAL_SCHEMA)
+            .option("recursiveFileLookup", "true")
+            .parquet(pdir)
+        )
+
+    def current(
+        self, schema_name: str | None = None, table_name: str | None = None
+    ) -> DataFrame:
+        """The merged rollup: hour, live row count, exact value sum."""
+        df = self._read_partials()
+        if schema_name is not None:
+            df = df.filter(F.col("schema_name") == schema_name)
+        if table_name is not None:
+            df = df.filter(F.col("table_name") == table_name)
+        return (
+            df.groupBy("schema_name", "table_name", "hour")
+            .agg(
+                F.sum("n_rows").cast("long").alias("n_rows"),
+                F.sum("sum_cents").cast("long").alias("sum_cents"),
+            )
+            .filter(F.col("n_rows") != 0)
+            .withColumn(
+                "sum_value", (F.col("sum_cents").cast("double") / 100)
+            )
+        )
+
+    def compact(self) -> None:
+        """Fold every epoch partial into one base partial (additive merge
+        is order-free). Bounds the read-side file count exactly like
+        ``compact_event_log`` bounds the changelog."""
+        merged = (
+            self._read_partials()
+            .groupBy("schema_name", "table_name", "hour")
+            .agg(
+                F.sum("n_rows").cast("long").alias("n_rows"),
+                F.sum("sum_cents").cast("long").alias("sum_cents"),
+            )
+        )
+        base = f"{self.rollup_dir}/base_next"
+        merged.select(*[f.name for f in PARTIAL_SCHEMA.fields]).write.mode(
+            "overwrite"
+        ).parquet(base)
+        import shutil
+
+        pdir = self._partials_dir()
+        if os.path.isdir(pdir):
+            shutil.rmtree(pdir)
+        os.makedirs(pdir, exist_ok=True)
+        os.replace(base, f"{pdir}/epoch=-1")
+
+
+def start_rollup(
+    envelope_stream: DataFrame,
+    rollup_dir: str,
+    checkpoint_dir: str,
+    *,
+    ts_field: str = "ts",
+    value_field: str = "value",
+    available_now: bool = True,
+):
+    """Attach a MaterializedRollup to an envelope stream."""
+    sink = MaterializedRollup(
+        envelope_stream.sparkSession,
+        rollup_dir,
+        ts_field=ts_field,
+        value_field=value_field,
+    )
+    writer = envelope_stream.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return sink, writer.start()
