@@ -170,6 +170,9 @@ def main() -> int:
             for label, key in HEADLINE:
                 print(f"==== {label} ({key}) ====")
                 print(formatted_plan(registry.get(key).fn(spark, staged)))
+            for key in EXTENDED:
+                print(f"==== extended ({key}) ====")
+                print(formatted_plan(registry.get(key).fn(spark, staged)))
             return 0
 
         # one warm pass per query: amortizes JIT + whole-stage-codegen compile +
