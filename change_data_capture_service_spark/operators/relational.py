@@ -900,3 +900,212 @@ def orders_yearly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("yoy_growth_pct"),
     )
+
+
+@register(
+    "tpch_q8_market_share",
+    tags=("join", "agg", "relational"),
+    oracle=f"""
+    WITH flat AS (
+      SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+             {_REV} AS rev_d,
+             sn.n_name AS supp_nation
+      FROM lineitem l
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+      JOIN part p     ON l.l_partkey = p.p_partkey
+      WHERE p.p_type = 'STANDARD'
+    )
+    SELECT o_year,
+           CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN rev_d
+                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+             AS nation_revenue,
+           CAST(sum(rev_d) AS DOUBLE) AS total_revenue,
+           round(CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN rev_d
+                               ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                 / CAST(sum(rev_d) AS DOUBLE), 6) AS mkt_share
+    FROM flat GROUP BY o_year
+    """,
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): one nation's share of the
+    product-segment revenue per order-year. The conditional/unconditional
+    sums accumulate in the same DECIMAL type (typed else-branch -- the Q14
+    rule); the share is one identical double division.
+
+    Scale: part's segment filter prunes at its broadcast build; supplier
+    and nation broadcast; lineitem shuffles once on l_orderkey."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_partkey", "l_extendedprice", "l_discount"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "STANDARD")
+        .select("p_partkey")
+    )
+    nat = F.when(F.col("n_name") == "NATION_3", _rev()).otherwise(
+        F.lit(0).cast("decimal(18,2)")
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            F.sum(nat).cast("double").alias("nation_revenue"),
+            F.sum(_rev()).cast("double").alias("total_revenue"),
+        )
+        .select(
+            "o_year",
+            "nation_revenue",
+            "total_revenue",
+            F.round(F.col("nation_revenue") / F.col("total_revenue"), 6).alias(
+                "mkt_share"
+            ),
+        )
+    )
+
+
+@register(
+    "tpch_q13_order_count_dist",
+    tags=("join", "agg", "relational"),
+    oracle="""
+    WITH per_cust AS (
+      SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey
+    )
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM per_cust GROUP BY c_count
+    """,
+)
+def tpch_q13_order_count_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer distribution): histogram of customers by how
+    many orders they placed -- INCLUDING the zero-order customers the
+    left join preserves (the classic inner-join-loses-rows trap).
+
+    Scale: the left join shuffles both sides on custkey once; the double
+    aggregation reduces to |customers| then |distinct counts| rows --
+    each with map-side combine."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    per_cust = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("bigint").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count("*").cast("bigint").alias("custdist")
+    )
+
+
+@register(
+    "tpch_q15_top_supplier",
+    tags=("join", "agg", "window", "relational"),
+    oracle=f"""
+    WITH rev AS (
+      SELECT l_suppkey, sum({_REV}) AS total_rev_d
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, CAST(r.total_rev_d AS DOUBLE) AS total_revenue
+    FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+    WHERE r.total_rev_d = (SELECT max(total_rev_d) FROM rev)
+    """,
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): the supplier(s) with maximum revenue in a
+    quarter -- ties kept, exactly as the spec's correlated max demands.
+    The max is computed on the EXACT DECIMAL revenue (a double max could
+    disagree with the per-row sums it came from), and the filter joins
+    the 1-row max back as a broadcast.
+
+    Scale: lineitem's date filter pushes to the scan; one partial-agg
+    shuffle to |suppliers| rows; everything after is dim-scale."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(F.sum(_rev()).alias("total_rev_d"))
+    mx = rev.agg(F.max("total_rev_d").alias("mx"))
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx), F.col("total_rev_d") == F.col("mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey", "s_name", F.col("total_rev_d").cast("double").alias("total_revenue")
+        )
+    )
+
+
+@register(
+    "tpch_q22_idle_customers",
+    tags=("join", "agg", "relational"),
+    oracle="""
+    WITH avg_bal AS (
+      SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+             / count(*) AS a
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c.c_nationkey,
+           CAST(count(*) AS BIGINT) AS numcust,
+           CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM customer c CROSS JOIN avg_bal
+    WHERE c.c_acctbal > avg_bal.a
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+      )
+    GROUP BY c.c_nationkey
+    """,
+)
+def tpch_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity, adapted to the fixture's
+    dense order history): per nation, the count and account-balance mass
+    of customers who are richer than the positive-balance average yet
+    placed NO order in the final two years -- the dormant-value segment.
+    NOT EXISTS compiles to a LEFT ANTI join; the average is a broadcast
+    scalar from exact DECIMAL sums. (The spec's "never ordered" predicate
+    is empty on this fixture -- every rich customer has ordered at least
+    once -- so the recency cutoff keeps the check non-degenerate.)
+
+    Scale: the date filter prunes the anti join's build side at the scan;
+    customer is the probe; the agg sees |idle customers| rows over
+    |nations| groups."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+                / F.count("*")
+            ).alias("a")
+        )
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").cast("bigint").alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("totacctbal"),
+        )
+    )

@@ -144,6 +144,10 @@ _CHECK_ORDER = [
     "text_vocab_coverage",
     "embedding_centroid_similarity",
     "dedup_rate_by_source",
+    "tpch_q8_market_share",
+    "tpch_q13_order_count_dist",
+    "tpch_q15_top_supplier",
+    "tpch_q22_idle_customers",
 ]
 
 _loaded = False

@@ -363,3 +363,60 @@ def test_dedup_rate_counts_planted_duplicates(spark, tmp_path):
     }
     assert got["feed_a"] == (3, 2, round(2 / 3, 6))
     assert got["feed_b"] == (1, 0, 0.0)
+
+
+# -- batch 4: the TPC-H completion set ---------------------------------------
+
+
+def test_q13_preserves_zero_order_customers(spark, sf_dir):
+    """The left join must keep customers with no orders (c_count = 0)."""
+    rows = {r.c_count: r.custdist for r in _df(spark, sf_dir, "tpch_q13_order_count_dist").collect()}
+    from change_data_capture_service_spark.catalog import load_table
+
+    n_cust = load_table(spark, sf_dir, "customer").count()
+    assert sum(rows.values()) == n_cust, "every customer appears exactly once"
+
+
+def test_q15_keeps_max_revenue_ties(spark, sf_dir):
+    rows = _df(spark, sf_dir, "tpch_q15_top_supplier").collect()
+    assert rows
+    revs = {r.total_revenue for r in rows}
+    assert len(revs) == 1, "every returned supplier shares the maximum"
+
+
+def test_q8_share_bounded(spark, sf_dir):
+    for r in _df(spark, sf_dir, "tpch_q8_market_share").collect():
+        assert 0.0 <= r.mkt_share <= 1.0
+        assert r.nation_revenue <= r.total_revenue + 1e-6
+
+
+def test_q22_idle_customers_have_no_orders(spark, sf_dir):
+    from change_data_capture_service_spark.catalog import load_table
+
+    total_idle = sum(
+        r.numcust for r in _df(spark, sf_dir, "tpch_q22_idle_customers").collect()
+    )
+    c = load_table(spark, sf_dir, "customer")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+        .distinct()
+    )
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+                / F.count("*")
+            ).alias("a")
+        )
+        .collect()[0]
+        .a
+    )
+    dormant_rich = (
+        c.filter(F.col("c_acctbal") > avg_bal)
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .count()
+    )
+    assert total_idle == dormant_rich
