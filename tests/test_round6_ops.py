@@ -420,3 +420,50 @@ def test_q22_idle_customers_have_no_orders(spark, sf_dir):
         .count()
     )
     assert total_idle == dormant_rich
+
+
+def test_backlog_random_spans_replay(spark, tmp_path):
+    """Seeded-random order/ship dates (including ship-before-order
+    degenerates) through the real operator vs a 10-line python sweep over
+    EVERY emitted day."""
+    import datetime
+    import random
+
+    rng = random.Random(123)
+    base = datetime.date(2024, 1, 1)
+    orders, lines = [], []
+    for ok in range(120):
+        od = base + datetime.timedelta(days=rng.randrange(60))
+        orders.append((ok, datetime.datetime.combine(od, datetime.time()),
+                       ok % 7, "O", 1.0 * ok, "P1"))
+        for ln in range(rng.randrange(1, 4)):
+            sd = base + datetime.timedelta(days=rng.randrange(70) - 5)
+            lines.append((ok, ok * 10 + ln, datetime.datetime.combine(sd, datetime.time())))
+    odf = pd.DataFrame(
+        orders,
+        columns=["o_orderkey", "o_orderdate", "o_custkey", "o_orderstatus",
+                 "o_totalprice", "o_orderpriority"],
+    )
+    odf["o_orderdate"] = pd.to_datetime(odf["o_orderdate"])
+    # micro-second parquet timestamps: pandas' default nanos would load as
+    # LONG under the session's nanosAsLong fixture handling
+    odf.to_parquet(tmp_path / "orders.parquet", coerce_timestamps="us",
+                   allow_truncated_timestamps=True)
+    ldf = pd.DataFrame(lines, columns=["l_orderkey", "l_linenumber", "l_shipdate"])
+    ldf["l_shipdate"] = pd.to_datetime(ldf["l_shipdate"])
+    ldf.to_parquet(tmp_path / "lineitem.parquet", coerce_timestamps="us",
+                   allow_truncated_timestamps=True)
+
+    got = {
+        r.day.date(): r.open_orders
+        for r in _df(spark, str(tmp_path), "orders_open_backlog_daily").collect()
+    }
+    spans = {}
+    for ok, od, *_ in orders:
+        spans[ok] = [od.date(), od.date()]
+    for ok, _, sd in lines:
+        spans[ok][1] = max(spans[ok][1], sd.date())
+    for day, want in got.items():
+        naive = sum(1 for s, e in spans.values() if s <= day < max(s, e))
+        assert want == naive, (day, want, naive)
+    assert any(v > 0 for v in got.values())
