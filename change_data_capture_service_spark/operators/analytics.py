@@ -913,3 +913,119 @@ def events_hourly_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "sessionize_stats",
+    tags=("analytics", "timeseries", "agg"),
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                       OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_no
+      FROM flagged
+    ),
+    sessions AS (
+      SELECT user_id, session_no,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST((epoch_us(max(ts)) - epoch_us(min(ts))) / 60000000.0
+               AS DOUBLE) AS dur_min
+      FROM numbered GROUP BY user_id, session_no
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(round(CAST(sum(n_events) AS DOUBLE) / count(*), 6) AS DOUBLE)
+             AS avg_events,
+           CAST(round(quantile_cont(n_events, 0.50), 6) AS DOUBLE) AS p50_events,
+           CAST(round(quantile_cont(dur_min, 0.50), 6) AS DOUBLE) AS p50_dur_min,
+           CAST(round(quantile_cont(dur_min, 0.95), 6) AS DOUBLE) AS p95_dur_min,
+           CAST(round(max(dur_min), 6) AS DOUBLE) AS max_dur_min
+    FROM sessions
+    """,
+)
+def sessionize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engagement summary over sessionize_batch's output: session
+    count, mean/median events per session, median/p95/max duration --
+    the one-row tile at the top of every product dashboard.
+
+    Durations derive from exact integer microseconds (one double division
+    at the end); percentiles are exact and interpolate identically in
+    both engines (percentile <-> quantile_cont). Scale: one keyed shuffle
+    to sessionize (both windows share the user partitioning), then the
+    global stats reduce |sessions| rows through a partial agg."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    numbered = e.select(
+        "user_id",
+        "ts",
+        F.sum(F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("session_no"),
+    )
+    sessions = numbered.groupBy("user_id", "session_no").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        (
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))) / 60_000_000.0
+        ).alias("dur_min"),
+    )
+    return sessions.agg(
+        F.count("*").cast("bigint").alias("n_sessions"),
+        F.round(F.sum("n_events").cast("double") / F.count("*"), 6)
+        .cast("double")
+        .alias("avg_events"),
+        F.round(F.expr("percentile(n_events, 0.50)"), 6)
+        .cast("double")
+        .alias("p50_events"),
+        F.round(F.expr("percentile(dur_min, 0.50)"), 6)
+        .cast("double")
+        .alias("p50_dur_min"),
+        F.round(F.expr("percentile(dur_min, 0.95)"), 6)
+        .cast("double")
+        .alias("p95_dur_min"),
+        F.round(F.max("dur_min"), 6).cast("double").alias("max_dur_min"),
+    )
+
+
+@register(
+    "events_peak_hour_by_type",
+    tags=("analytics", "agg"),
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, CAST(hour(ts) AS INT) AS hod,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, CAST(hod AS INT) AS peak_hour,
+           CAST(n AS BIGINT) AS peak_count
+    FROM (
+      SELECT event_type, hod, n,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY n DESC, hod) AS rnk
+      FROM hourly
+    ) t WHERE rnk = 1
+    """,
+)
+def events_peak_hour_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak traffic hour per event type (max_by over the hourly rollup,
+    lowest hour wins ties deterministically on both engines) -- the
+    capacity headline each stream's dashboard leads with.
+
+    Scale: two partial aggs, 24 x |types| intermediate rows."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.hour("ts").cast("int").alias("hod")
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    return hourly.groupBy("event_type").agg(
+        F.expr("max_by(hod, struct(n, -hod))").cast("int").alias("peak_hour"),
+        F.max("n").cast("bigint").alias("peak_count"),
+    )

@@ -1109,3 +1109,49 @@ def tpch_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("totacctbal"),
         )
     )
+
+
+@register(
+    "supplier_part_coverage",
+    tags=("join", "agg", "relational"),
+    oracle="""
+    WITH catalog AS (SELECT CAST(count(*) AS BIGINT) AS n_parts FROM part)
+    SELECT s.s_suppkey, s.s_name,
+           CAST(count(DISTINCT l.l_partkey) AS BIGINT) AS n_distinct_parts,
+           round(CAST(count(DISTINCT l.l_partkey) AS DOUBLE)
+                 / CAST(catalog.n_parts AS DOUBLE), 6) AS catalog_share
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    CROSS JOIN catalog
+    GROUP BY s.s_suppkey, s.s_name, catalog.n_parts
+    """,
+)
+def supplier_part_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog coverage per supplier: how many distinct parts each
+    supplier has shipped and what share of the full part catalog that is
+    -- the assortment-breadth metric behind sourcing decisions.
+
+    COUNT(DISTINCT) expands to a two-phase exact distinct aggregate
+    (dedupe on (suppkey, partkey), then count) -- the plan Catalyst picks
+    automatically; the catalog total is a broadcast 1-row scalar. Shuffle
+    carries (suppkey, partkey) pairs, bounded by |suppliers| x |parts|."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_suppkey", "l_partkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    catalog = load_table(spark, sf_dir, "part").agg(
+        F.count("*").cast("bigint").alias("n_parts")
+    )
+    return (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .crossJoin(F.broadcast(catalog))
+        .groupBy("s_suppkey", "s_name", "n_parts")
+        .agg(F.count_distinct("l_partkey").cast("bigint").alias("n_distinct_parts"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            "n_distinct_parts",
+            F.round(
+                F.col("n_distinct_parts").cast("double") / F.col("n_parts").cast("double"),
+                6,
+            ).alias("catalog_share"),
+        )
+    )

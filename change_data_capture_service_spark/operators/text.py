@@ -516,3 +516,118 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cum_coverage"),
         )
     )
+
+
+@register(
+    "text_bigram_pmi_topk",
+    tags=("text", "northstar", "agg"),
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {TOKENS} AS toks FROM documents
+    ),
+    bigrams AS (
+      SELECT toks[i] AS w1, toks[i + 1] AS w2
+      FROM toks, LATERAL unnest(range(1, len(toks))) AS t(i)
+      WHERE len(toks) >= 2
+    ),
+    bg AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_xy
+      FROM bigrams GROUP BY 1, 2
+    ),
+    uni AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT unnest({TOKENS}) AS tok FROM documents) t GROUP BY tok
+    ),
+    n_bg AS (SELECT CAST(sum(c_xy) AS BIGINT) AS n FROM bg)
+    SELECT w1, w2, c_xy,
+           round(ln(CAST(c_xy AS DOUBLE) * CAST(n_bg.n AS DOUBLE)
+                    / (CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE))), 6) AS pmi
+    FROM bg
+    JOIN uni u1 ON bg.w1 = u1.tok
+    JOIN uni u2 ON bg.w2 = u2.tok
+    CROSS JOIN n_bg
+    WHERE c_xy >= 50
+    ORDER BY pmi DESC, w1, w2
+    LIMIT 20
+    """,
+)
+def text_bigram_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: the 20 highest-PMI bigrams with support >= 50 --
+    pointwise mutual information log(P(xy) / (P(x)P(y))) flags token
+    pairs that co-occur far more than chance (multi-word expressions,
+    templated boilerplate). A curation pipeline uses exactly this to
+    spot machine-generated patterns.
+
+    Determinism: all counts exact BIGINT; PMI is one identical double
+    expression; (pmi, w1, w2) totally orders the top-k. Scale: bigram and
+    unigram tables are vocabulary-bounded partial aggs; the unigram joins
+    broadcast (|vocab| entries); the final is TakeOrderedAndProject."""
+    d = load_table(spark, sf_dir, "documents").select(_tokens().alias("toks"))
+    bigrams = (
+        d.filter(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.expr("transform(sequence(0, size(toks) - 2),"
+                       " i -> struct(toks[i] AS w1, toks[i + 1] AS w2))")
+            ).alias("b")
+        )
+        .select("b.w1", "b.w2")
+    )
+    bg = bigrams.groupBy("w1", "w2").agg(F.count("*").cast("bigint").alias("c_xy"))
+    uni = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(_tokens()).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    n_bg = bg.agg(F.sum("c_xy").cast("bigint").alias("n"))
+    u1 = uni.select(F.col("tok").alias("t1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("tok").alias("t2"), F.col("c").alias("c2"))
+    pmi = F.log(
+        F.col("c_xy").cast("double")
+        * F.col("n").cast("double")
+        / (F.col("c1").cast("double") * F.col("c2").cast("double"))
+    )
+    return (
+        bg.filter(F.col("c_xy") >= 50)
+        .join(F.broadcast(u1), F.col("w1") == F.col("t1"))
+        .join(F.broadcast(u2), F.col("w2") == F.col("t2"))
+        .crossJoin(F.broadcast(n_bg))
+        .select("w1", "w2", "c_xy", F.round(pmi, 6).alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(20)
+    )
+
+
+@register(
+    "docs_length_percentiles_by_lang",
+    tags=("text", "quality", "agg"),
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(round(quantile_cont(n_chars, 0.10), 6) AS DOUBLE) AS p10_chars,
+           CAST(round(quantile_cont(n_chars, 0.50), 6) AS DOUBLE) AS p50_chars,
+           CAST(round(quantile_cont(n_chars, 0.90), 6) AS DOUBLE) AS p90_chars,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def docs_length_percentiles_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language document-length distribution (p10/p50/p90/min/max of
+    chars) -- the cutoff-picking table for language-aware length filters
+    (a p10 cut in one language is a p50 cut in another; curation must
+    threshold per stratum).
+
+    Exact interpolated percentiles (percentile <-> quantile_cont, same
+    definition both engines) over integer chars. One partial-agg shuffle
+    of |langs| percentile states."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.round(F.expr("percentile(n_chars, 0.10)"), 6).cast("double").alias("p10_chars"),
+        F.round(F.expr("percentile(n_chars, 0.50)"), 6).cast("double").alias("p50_chars"),
+        F.round(F.expr("percentile(n_chars, 0.90)"), 6).cast("double").alias("p90_chars"),
+        F.min("n_chars").cast("bigint").alias("min_chars"),
+        F.max("n_chars").cast("bigint").alias("max_chars"),
+    )

@@ -148,6 +148,11 @@ _CHECK_ORDER = [
     "tpch_q13_order_count_dist",
     "tpch_q15_top_supplier",
     "tpch_q22_idle_customers",
+    "sessionize_stats",
+    "events_peak_hour_by_type",
+    "text_bigram_pmi_topk",
+    "docs_length_percentiles_by_lang",
+    "supplier_part_coverage",
 ]
 
 _loaded = False

@@ -467,3 +467,50 @@ def test_backlog_random_spans_replay(spark, tmp_path):
         naive = sum(1 for s, e in spans.values() if s <= day < max(s, e))
         assert want == naive, (day, want, naive)
     assert any(v > 0 for v in got.values())
+
+
+# -- batch 5: engagement + collocation stats ---------------------------------
+
+
+def test_sessionize_stats_consistency(spark, sf_dir):
+    r = _df(spark, sf_dir, "sessionize_stats").collect()[0]
+    assert r.n_sessions > 0
+    assert 1 <= r.p50_events <= r.avg_events * 3
+    assert 0 <= r.p50_dur_min <= r.p95_dur_min <= r.max_dur_min
+
+
+def test_peak_hour_in_range(spark, sf_dir):
+    rows = _df(spark, sf_dir, "events_peak_hour_by_type").collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.peak_hour <= 23
+        assert r.peak_count >= 1
+
+
+def test_pmi_detects_planted_collocation(spark, tmp_path):
+    """A bigram that ALWAYS co-occurs ('neural network' 60x, each word
+    never alone) must out-PMI a pair of independently common words."""
+    rows = []
+    for i in range(60):
+        rows.append((i, "neural network " + "the cat sat on the mat " * 4, "en", "t", 100))
+    for i in range(60, 120):
+        rows.append((i, "the dog ran to the house and the bird flew " * 3, "en", "t", 100))
+    pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_parquet(tmp_path / "documents.parquet")
+    got = _df(spark, str(tmp_path), "text_bigram_pmi_topk").collect()
+    assert got, "support threshold met by the planted pair"
+    top = got[0]
+    assert (top.w1, top.w2) == ("neural", "network"), [(r.w1, r.w2) for r in got[:3]]
+
+
+def test_length_percentiles_ordered(spark, sf_dir):
+    for r in _df(spark, sf_dir, "docs_length_percentiles_by_lang").collect():
+        assert r.min_chars <= r.p10_chars <= r.p50_chars <= r.p90_chars <= r.max_chars
+
+
+def test_supplier_coverage_bounded(spark, sf_dir):
+    rows = _df(spark, sf_dir, "supplier_part_coverage").collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.catalog_share <= 1.0
