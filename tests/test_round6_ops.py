@@ -514,3 +514,22 @@ def test_supplier_coverage_bounded(spark, sf_dir):
     assert rows
     for r in rows:
         assert 0 < r.catalog_share <= 1.0
+
+
+def test_pmi_topk_is_take_ordered_with_broadcasts(spark, sf_dir):
+    df = _df(spark, sf_dir, "text_bigram_pmi_topk")
+    plan = P.formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan, "PMI top-20 fell back to a global sort"
+    assert P.uses_broadcast_join(df), "unigram/total joins lost their broadcast"
+
+
+def test_sessionize_stats_reuses_keyed_shuffle(spark, sf_dir):
+    """Both windows and the session groupBy share the user_id partitioning:
+    one keyed exchange plus the single-row final agg."""
+    assert P.count_shuffles(_df(spark, sf_dir, "sessionize_stats")) <= 2
+
+
+def test_supplier_coverage_two_phase_distinct(spark, sf_dir):
+    df = _df(spark, sf_dir, "supplier_part_coverage")
+    assert P.uses_broadcast_join(df)
+    assert P.count_shuffles(df) <= 3  # dedupe + count phases + final
