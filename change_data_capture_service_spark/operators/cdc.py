@@ -666,3 +666,105 @@ def dead_letter_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(ok, 1).otherwise(0)).cast("bigint").alias("n_ok"),
         F.sum(F.when(ok, 0).otherwise(1)).cast("bigint").alias("n_dead"),
     )
+
+
+@register(
+    "cdc_hot_keys",
+    tags=("cdc", "agg"),
+    oracle="""
+    WITH per_key AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_changes
+      FROM events GROUP BY user_id
+    ),
+    tot AS (SELECT CAST(sum(n_changes) AS BIGINT) AS total FROM per_key)
+    SELECT 'public.events:' || CAST(user_id AS VARCHAR) AS key,
+           n_changes,
+           round(CAST(n_changes AS DOUBLE) / CAST(tot.total AS DOUBLE), 6)
+             AS traffic_share
+    FROM per_key CROSS JOIN tot
+    ORDER BY n_changes DESC, key
+    LIMIT 20
+    """,
+)
+def cdc_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key detector over the change feed: the 20 most-mutated keys and
+    their share of total change traffic -- the monitor that decides when
+    per-key ordering becomes a skew problem (a key above ~1/partitions of
+    traffic serializes its reducer; the fix is join_skew_salted's salting
+    or AQE skew-join). The reference partitions Kafka by this exact key
+    (``internal/kafka/producer.go:24``) with no visibility into its skew.
+
+    Scale: per-key partial agg (|keys| states), 1-row broadcast total,
+    TakeOrderedAndProject final."""
+    e = load_table(spark, sf_dir, "events")
+    per_key = e.groupBy("user_id").agg(F.count("*").cast("bigint").alias("n_changes"))
+    tot = per_key.agg(F.sum("n_changes").cast("bigint").alias("total"))
+    return (
+        per_key.crossJoin(F.broadcast(tot))
+        .select(
+            F.concat(F.lit("public.events:"), F.col("user_id").cast("string")).alias(
+                "key"
+            ),
+            "n_changes",
+            F.round(
+                F.col("n_changes").cast("double") / F.col("total").cast("double"), 6
+            ).alias("traffic_share"),
+        )
+        .orderBy(F.col("n_changes").desc(), "key")
+        .limit(20)
+    )
+
+
+@register(
+    "cdc_op_mix_hourly",
+    tags=("cdc", "timeseries", "agg"),
+    oracle="""
+    WITH mapped AS (
+      SELECT date_trunc('hour', ts) AS hour,
+             CASE event_type
+               WHEN 'signup' THEN 'insert'
+               WHEN 'purchase' THEN 'insert'
+               WHEN 'error' THEN 'delete'
+               ELSE 'update' END AS op
+      FROM events
+    )
+    SELECT hour,
+           CAST(sum(CASE WHEN op = 'insert' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_insert,
+           CAST(sum(CASE WHEN op = 'update' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_update,
+           CAST(sum(CASE WHEN op = 'delete' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_delete
+    FROM mapped GROUP BY hour
+    """,
+)
+def cdc_op_mix_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly op-mix monitor for the change feed (the planted
+    event-type -> op mapping every cdc_* fixture query shares): a delete
+    spike flags a bad upstream migration, an insert cliff flags a stalled
+    producer -- the first dashboard an on-call replication operator opens.
+    The reference's audit log records per-event rows it can only grep
+    (``internal/logger/logger.go:41-54``); this is the queryable form.
+
+    Scale: map-side CASE + one partial agg; |hours| x 3 counters."""
+    e = load_table(spark, sf_dir, "events")
+    op = (
+        F.when(F.col("event_type").isin("signup", "purchase"), "insert")
+        .when(F.col("event_type") == "error", "delete")
+        .otherwise("update")
+    )
+    return (
+        e.select(F.date_trunc("hour", F.col("ts")).alias("hour"), op.alias("op"))
+        .groupBy("hour")
+        .agg(
+            F.sum(F.when(F.col("op") == "insert", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_insert"),
+            F.sum(F.when(F.col("op") == "update", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_update"),
+            F.sum(F.when(F.col("op") == "delete", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_delete"),
+        )
+    )

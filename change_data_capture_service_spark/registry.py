@@ -153,6 +153,8 @@ _CHECK_ORDER = [
     "text_bigram_pmi_topk",
     "docs_length_percentiles_by_lang",
     "supplier_part_coverage",
+    "cdc_hot_keys",
+    "cdc_op_mix_hourly",
 ]
 
 _loaded = False

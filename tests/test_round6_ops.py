@@ -533,3 +533,23 @@ def test_supplier_coverage_two_phase_distinct(spark, sf_dir):
     df = _df(spark, sf_dir, "supplier_part_coverage")
     assert P.uses_broadcast_join(df)
     assert P.count_shuffles(df) <= 3  # dedupe + count phases + final
+
+
+# -- batch 6: CDC monitoring --------------------------------------------------
+
+
+def test_hot_keys_shares_and_order(spark, sf_dir):
+    rows = _df(spark, sf_dir, "cdc_hot_keys").collect()
+    assert rows
+    counts = [r.n_changes for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    assert all(0 < r.traffic_share <= 1.0 for r in rows)
+    assert sum(r.traffic_share for r in rows) <= 1.0 + 1e-6
+
+
+def test_op_mix_totals_match_event_count(spark, sf_dir):
+    from change_data_capture_service_spark.catalog import load_table
+
+    rows = _df(spark, sf_dir, "cdc_op_mix_hourly").collect()
+    total = sum(r.n_insert + r.n_update + r.n_delete for r in rows)
+    assert total == load_table(spark, sf_dir, "events").count()
