@@ -156,6 +156,12 @@ _CHECK_ORDER = [
     "cdc_hot_keys",
     "cdc_op_mix_hourly",
 ]
+# ROUND-5 ROTATION NOTE: when CORRECTNESS_r04 lands, its window covers the
+# first 50 names above. Rotate by (1) confirming the 50 are green, (2)
+# moving the 25 queued keys (positions 51+) to the front, (3) filling the
+# remaining ~25 slots with round-5 operators, (4) updating the pinned-order
+# test in tests/test_driver_contract.py. If r04 did NOT land, keep this
+# order unchanged -- it already front-loads everything unproven.
 
 _loaded = False
 
