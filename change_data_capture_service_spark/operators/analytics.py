@@ -1029,3 +1029,137 @@ def events_peak_hour_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("max_by(hod, struct(n, -hod))").cast("int").alias("peak_hour"),
         F.max("n").cast("bigint").alias("peak_count"),
     )
+
+
+@register(
+    "user_retention_day1_day7",
+    tags=("analytics", "agg"),
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, CAST(min(date_trunc('day', ts)) AS TIMESTAMP) AS d0
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+      FROM events
+    ),
+    flags AS (
+      SELECT f.user_id, f.d0,
+             max(CASE WHEN datediff('day', f.d0, a.day) = 1 THEN 1 ELSE 0 END)
+               AS r1,
+             max(CASE WHEN datediff('day', f.d0, a.day) = 7 THEN 1 ELSE 0 END)
+               AS r7
+      FROM firsts f JOIN activity a ON f.user_id = a.user_id
+      GROUP BY f.user_id, f.d0
+    )
+    SELECT d0 AS cohort_day,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(r1) AS BIGINT) AS retained_d1,
+           CAST(sum(r7) AS BIGINT) AS retained_d7,
+           round(CAST(sum(r1) AS DOUBLE) / count(*), 6) AS d1_rate,
+           round(CAST(sum(r7) AS DOUBLE) / count(*), 6) AS d7_rate
+    FROM flags GROUP BY d0
+    """,
+)
+def user_retention_day1_day7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The growth-team headline: for each signup-day cohort, what fraction
+    of users came back exactly one day and exactly seven days later.
+    retention_cohorts is the full weekly triangle; this is the two-number
+    summary executives actually read.
+
+    Scale: first-seen and distinct-activity both partial-agg on user_id
+    and join on that same key (one partitioning reused end-to-end); the
+    flag reduction and cohort rollup see |users| then |days| rows."""
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("d0")
+    )
+    activity = (
+        e.select("user_id", F.date_trunc("day", F.col("ts")).alias("day"))
+        .distinct()
+    )
+    offset = F.datediff(F.col("day"), F.col("d0"))
+    flags = (
+        firsts.join(activity, "user_id")
+        .groupBy("user_id", "d0")
+        .agg(
+            F.max(F.when(offset == 1, 1).otherwise(0)).alias("r1"),
+            F.max(F.when(offset == 7, 1).otherwise(0)).alias("r7"),
+        )
+    )
+    return flags.groupBy(F.col("d0").alias("cohort_day")).agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum("r1").cast("bigint").alias("retained_d1"),
+        F.sum("r7").cast("bigint").alias("retained_d7"),
+        F.round(F.sum("r1").cast("double") / F.count("*"), 6).alias("d1_rate"),
+        F.round(F.sum("r7").cast("double") / F.count("*"), 6).alias("d7_rate"),
+    )
+
+
+@register(
+    "session_entry_exit_pages",
+    tags=("analytics", "agg"),
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                       OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+      SELECT user_id, ts, event_id, event_type,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_no
+      FROM flagged
+    ),
+    ranked AS (
+      SELECT user_id, session_no, event_type,
+             row_number() OVER (PARTITION BY user_id, session_no
+                                ORDER BY ts, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY user_id, session_no
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM numbered
+    ),
+    sessions AS (
+      SELECT user_id, session_no,
+             max(CASE WHEN rn_a = 1 THEN event_type END) AS entry_type,
+             max(CASE WHEN rn_d = 1 THEN event_type END) AS exit_type
+      FROM ranked GROUP BY user_id, session_no
+    )
+    SELECT entry_type, exit_type, CAST(count(*) AS BIGINT) AS n_sessions
+    FROM sessions GROUP BY entry_type, exit_type
+    """,
+)
+def session_entry_exit_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entry/exit profile of sessions: which event type opens a session
+    and which closes it, counted over every (entry, exit) pair -- the
+    landing/abandonment matrix of product analytics (an 'error' exit row
+    is the rage-quit signal).
+
+    First/last resolve by min_by/max_by over the (ts, event_id) total
+    order -- deterministic under nanosecond collisions on both engines.
+    Scale: the sessionizer's single keyed shuffle is reused by the
+    session groupBy; the final matrix is |types|^2 rows."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    numbered = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.sum(F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("session_no"),
+    )
+    sessions = numbered.groupBy("user_id", "session_no").agg(
+        F.expr("min_by(event_type, struct(ts, event_id))").alias("entry_type"),
+        F.expr("max_by(event_type, struct(ts, event_id))").alias("exit_type"),
+    )
+    return sessions.groupBy("entry_type", "exit_type").agg(
+        F.count("*").cast("bigint").alias("n_sessions")
+    )

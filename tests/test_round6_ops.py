@@ -553,3 +553,21 @@ def test_op_mix_totals_match_event_count(spark, sf_dir):
     rows = _df(spark, sf_dir, "cdc_op_mix_hourly").collect()
     total = sum(r.n_insert + r.n_update + r.n_delete for r in rows)
     assert total == load_table(spark, sf_dir, "events").count()
+
+
+# -- batch 7: growth metrics --------------------------------------------------
+
+
+def test_retention_rates_bounded(spark, sf_dir):
+    rows = _df(spark, sf_dir, "user_retention_day1_day7").collect()
+    assert rows
+    for r in rows:
+        assert r.retained_d1 <= r.n_users and r.retained_d7 <= r.n_users
+        assert 0.0 <= r.d1_rate <= 1.0 and 0.0 <= r.d7_rate <= 1.0
+
+
+def test_session_entry_exit_totals_match_session_count(spark, sf_dir):
+    matrix = _df(spark, sf_dir, "session_entry_exit_pages").collect()
+    n_from_matrix = sum(r.n_sessions for r in matrix)
+    n_sessions = _df(spark, sf_dir, "sessionize_stats").collect()[0].n_sessions
+    assert n_from_matrix == n_sessions
