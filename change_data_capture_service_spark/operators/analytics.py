@@ -1163,3 +1163,59 @@ def session_entry_exit_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessions.groupBy("entry_type", "exit_type").agg(
         F.count("*").cast("bigint").alias("n_sessions")
     )
+
+
+@register(
+    "events_burstiness",
+    tags=("analytics", "timeseries", "agg"),
+    oracle="""
+    WITH per_min AS (
+      SELECT event_type, date_trunc('minute', ts) AS minute,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(count(*) AS DOUBLE) AS k,
+             CAST(sum(n) AS DOUBLE) AS sx,
+             CAST(sum(n * n) AS DOUBLE) AS sxx
+      FROM per_min GROUP BY 1
+    )
+    SELECT event_type,
+           CAST(sx AS BIGINT) AS n_events,
+           CAST(k AS BIGINT) AS n_active_minutes,
+           round(sx / k, 6) AS mean_per_min,
+           round((sxx / k - (sx / k) * (sx / k))
+                 / nullif(sx / k, 0), 6) AS fano_factor
+    FROM s
+    """,
+)
+def events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic burstiness per stream: the Fano factor (variance/mean of
+    per-active-minute counts). ~1 is Poisson-like arrival, >>1 is bursty
+    (thundering herds, retry storms), <1 is paced -- the one-number shape
+    diagnostic that decides provisioning headroom and backpressure
+    settings (maxFilesPerTrigger in this engine's source).
+
+    Exact BIGINT count moments; variance/mean is one identical double
+    expression with a nullif guard. Scale: minute-grain partial agg then
+    |types| closed-form rows."""
+    e = load_table(spark, sf_dir, "events")
+    per_min = e.groupBy(
+        "event_type", F.date_trunc("minute", F.col("ts")).alias("minute")
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    s = per_min.groupBy("event_type").agg(
+        F.count("*").cast("double").alias("k"),
+        F.sum("n").cast("double").alias("sx"),
+        F.sum(F.col("n") * F.col("n")).cast("double").alias("sxx"),
+    )
+    mean = F.col("sx") / F.col("k")
+    return s.select(
+        "event_type",
+        F.col("sx").cast("bigint").alias("n_events"),
+        F.col("k").cast("bigint").alias("n_active_minutes"),
+        F.round(mean, 6).alias("mean_per_min"),
+        F.round(
+            (F.col("sxx") / F.col("k") - mean * mean) / F.nullif(mean, F.lit(0)), 6
+        ).alias("fano_factor"),
+    )

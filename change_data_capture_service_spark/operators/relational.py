@@ -1155,3 +1155,69 @@ def supplier_part_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("catalog_share"),
         )
     )
+
+
+@register(
+    "orders_abc_pareto",
+    tags=("agg", "window", "relational"),
+    oracle="""
+    WITH cr AS (
+      SELECT o_custkey AS c_custkey,
+             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_d
+      FROM orders GROUP BY 1
+    ),
+    tot AS (SELECT sum(rev_d) AS t FROM cr),
+    ranked AS (
+      SELECT c_custkey, rev_d,
+             sum(rev_d) OVER (ORDER BY rev_d DESC, c_custkey
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_d
+      FROM cr
+    )
+    SELECT c_custkey,
+           CAST(rev_d AS DOUBLE) AS revenue,
+           round(CAST(cum_d AS DOUBLE) / CAST(tot.t AS DOUBLE), 6)
+             AS cum_share,
+           CASE WHEN CAST(cum_d AS DOUBLE) / CAST(tot.t AS DOUBLE) <= 0.80
+                  THEN 'A'
+                WHEN CAST(cum_d AS DOUBLE) / CAST(tot.t AS DOUBLE) <= 0.95
+                  THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM ranked CROSS JOIN tot
+    """,
+)
+def orders_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification of customers by revenue: rank by exact
+    DECIMAL revenue, cumulative share against the broadcast total, class
+    A = first 80% of revenue, B = next 15%, C = tail -- the 80/20 cut
+    behind account-tiering and stock classification.
+
+    Determinism: the running sum orders on (rev_d DESC, c_custkey) over
+    exact decimals, so cum_share and the class edges are bit-identical;
+    the class compares the same double expression in both engines.
+
+    Scale: facts reduce to |customers| rows first; the unpartitioned
+    running sum is a dim-scale sort (at 10^9 customers, band by an
+    approx-quantile prefix first -- the output contract survives)."""
+    o = load_table(spark, sf_dir, "orders")
+    cr = o.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev_d")
+    )
+    tot = cr.agg(F.sum("rev_d").alias("t"))
+    w = Window.orderBy(F.col("rev_d").desc(), "c_custkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    share = F.col("cum_d").cast("double") / F.col("t").cast("double")
+    return (
+        cr.withColumn("cum_d", F.sum("rev_d").over(w))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "c_custkey",
+            F.col("rev_d").cast("double").alias("revenue"),
+            F.round(share, 6).alias("cum_share"),
+            F.when(share <= 0.80, "A")
+            .when(share <= 0.95, "B")
+            .otherwise("C")
+            .alias("abc_class"),
+        )
+    )

@@ -631,3 +631,54 @@ def docs_length_percentiles_by_lang(spark: SparkSession, sf_dir: str) -> DataFra
         F.min("n_chars").cast("bigint").alias("min_chars"),
         F.max("n_chars").cast("bigint").alias("max_chars"),
     )
+
+
+@register(
+    "docs_unique_token_growth",
+    tags=("text", "northstar", "agg"),
+    oracle=f"""
+    WITH firsts AS (
+      SELECT tok, min(CAST(doc_id // 100 AS BIGINT)) AS first_bucket
+      FROM (SELECT doc_id, unnest({TOKENS}) AS tok FROM documents) t
+      GROUP BY tok
+    ),
+    per_bucket AS (
+      SELECT first_bucket, CAST(count(*) AS BIGINT) AS new_types
+      FROM firsts GROUP BY first_bucket
+    )
+    SELECT first_bucket AS bucket,
+           new_types,
+           CAST(sum(new_types) OVER (ORDER BY first_bucket
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS vocab_size
+    FROM per_bucket
+    """,
+)
+def docs_unique_token_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth: cumulative distinct-token count at
+    every 100-document checkpoint (by doc_id order) -- the companion of
+    text_zipf_fit, and the curve that says whether a corpus keeps paying
+    vocabulary for more data or has gone repetitive.
+
+    The cumulative distinct is computed EXACTLY without re-scanning per
+    checkpoint: each token contributes once at its first-seen bucket
+    (min over an integer), new-type counts partial-agg per bucket, and a
+    prefix sum over the handful of buckets yields the curve. Scale: two
+    vocabulary-bounded aggs; corpus bytes shuffle never."""
+    d = load_table(spark, sf_dir, "documents")
+    firsts = (
+        d.select("doc_id", F.explode(_tokens()).alias("tok"))
+        .groupBy("tok")
+        .agg(F.min(F.floor(F.col("doc_id") / 100)).cast("bigint").alias("first_bucket"))
+    )
+    per_bucket = firsts.groupBy("first_bucket").agg(
+        F.count("*").cast("bigint").alias("new_types")
+    )
+    w = Window.orderBy("first_bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per_bucket.select(
+        F.col("first_bucket").alias("bucket"),
+        "new_types",
+        F.sum("new_types").over(w).cast("bigint").alias("vocab_size"),
+    )

@@ -571,3 +571,43 @@ def test_session_entry_exit_totals_match_session_count(spark, sf_dir):
     n_from_matrix = sum(r.n_sessions for r in matrix)
     n_sessions = _df(spark, sf_dir, "sessionize_stats").collect()[0].n_sessions
     assert n_from_matrix == n_sessions
+
+
+# -- batch 8: distribution-shape diagnostics ----------------------------------
+
+
+def test_abc_classes_partition_and_order(spark, sf_dir):
+    rows = _df(spark, sf_dir, "orders_abc_pareto").collect()
+    assert rows
+    by_share = sorted(rows, key=lambda r: r.cum_share)
+    assert by_share[-1].cum_share <= 1.0 + 1e-6
+    seen_b = seen_c = False
+    for r in by_share:
+        if r.abc_class == "B":
+            seen_b = True
+        if r.abc_class == "C":
+            seen_c = True
+        if seen_b:
+            assert r.abc_class in ("B", "C"), "A after B breaks the Pareto order"
+        if seen_c:
+            assert r.abc_class == "C"
+    assert {r.abc_class for r in rows} >= {"A", "C"}
+
+
+def test_vocab_growth_monotone(spark, sf_dir):
+    rows = sorted(
+        _df(spark, sf_dir, "docs_unique_token_growth").collect(),
+        key=lambda r: r.bucket,
+    )
+    assert rows
+    sizes = [r.vocab_size for r in rows]
+    assert all(a < b for a, b in zip(sizes, sizes[1:])) or len(sizes) == 1
+    assert sizes[-1] == sum(r.new_types for r in rows)
+
+
+def test_burstiness_nonnegative(spark, sf_dir):
+    rows = _df(spark, sf_dir, "events_burstiness").collect()
+    assert rows
+    for r in rows:
+        assert r.mean_per_min > 0
+        assert r.fano_factor >= 0
