@@ -78,3 +78,42 @@ def join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     a-time semantics the SQL text literally describes)."""
     register_views(spark, sf_dir, ["customer", "orders"])
     return spark.sql(_LATERAL_SQL)
+
+
+_RECURSIVE_SQL = """
+WITH RECURSIVE edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS src,
+           event_type AS dst
+    FROM events
+  ) t
+  WHERE src IS NOT NULL AND src <> dst
+),
+reach(dst, hops) AS (
+  SELECT dst, 1 AS hops FROM edges WHERE src = 'signup'
+  UNION ALL
+  SELECT e.dst, r.hops + 1
+  FROM reach r JOIN edges e ON e.src = r.dst
+  WHERE r.hops < 4
+)
+SELECT dst AS event_type, CAST(min(hops) AS INT) AS min_hops
+FROM reach GROUP BY dst
+"""
+
+
+@register("recursive_reachability", tags=("sqlapi", "graph"), oracle=_RECURSIVE_SQL)
+def recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4's WITH RECURSIVE, new surface area the SQL
+    migration path needs): minimum-hop reachability from 'signup' over the
+    observed event-type transition graph -- the declarative twin of
+    graph_pagerank's hand-rolled iteration. The identical SQL text runs on
+    both engines; the hop cap bounds the fixpoint on the cyclic graph, and
+    the final min() collapses multiple paths deterministically.
+
+    Scale: the edge list reduces to |types|^2 rows behind one keyed window
+    pass; each recursive step is a dim-scale self-join. For billion-edge
+    graphs the DataFrame loop (graph.py) with checkpointing is the
+    workhorse; the CTE form is the interface parity proof."""
+    register_views(spark, sf_dir, ["events"])
+    return spark.sql(_RECURSIVE_SQL)

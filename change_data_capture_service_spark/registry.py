@@ -160,11 +160,12 @@ _CHECK_ORDER = [
     "orders_abc_pareto",
     "docs_unique_token_growth",
     "events_burstiness",
+    "recursive_reachability",
 ]
 # ROUND-5 ROTATION NOTE: when CORRECTNESS_r04 lands, its window covers the
 # first 50 names above. Rotate by (1) confirming the 50 are green, (2)
-# moving the 30 queued keys (positions 51+) to the front, (3) filling the
-# remaining ~20 slots with round-5 operators, (4) updating the pinned-order
+# moving the 31 queued keys (positions 51+) to the front, (3) filling the
+# remaining ~19 slots with round-5 operators, (4) updating the pinned-order
 # test in tests/test_driver_contract.py. If r04 did NOT land, keep this
 # order unchanged -- it already front-loads everything unproven.
 

@@ -611,3 +611,27 @@ def test_burstiness_nonnegative(spark, sf_dir):
     for r in rows:
         assert r.mean_per_min > 0
         assert r.fano_factor >= 0
+
+
+def test_recursive_reachability_min_hops_sane(spark, sf_dir):
+    rows = {r.event_type: r.min_hops for r in _df(spark, sf_dir, "recursive_reachability").collect()}
+    assert rows, "signup must reach at least one type"
+    assert all(1 <= h <= 4 for h in rows.values())
+    # direct successors of signup must be hop 1: verify against the edge list
+    from change_data_capture_service_spark.catalog import load_table
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    direct = {
+        r.dst
+        for r in e.select(
+            F.lag("event_type").over(w).alias("src"), F.col("event_type").alias("dst")
+        )
+        .filter((F.col("src") == "signup") & (F.col("src") != F.col("dst")))
+        .select("dst")
+        .distinct()
+        .collect()
+    }
+    for t in direct:
+        assert rows.get(t) == 1, (t, rows.get(t))
