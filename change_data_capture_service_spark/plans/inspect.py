@@ -46,3 +46,36 @@ def count_shuffles(df: DataFrame) -> int:
     import re
 
     return len(re.findall(r"^\(\d+\) Exchange", formatted_plan(df), re.MULTILINE))
+
+
+def executed_metrics(df: DataFrame, keys: tuple[str, ...]) -> dict[str, int]:
+    """Sum named SQLMetrics over the EXECUTED physical plan (call after an
+    action on this exact DataFrame, e.g. ``df.collect()``). Descends
+    through AQE wrappers (AdaptiveSparkPlanExec.executedPlan,
+    QueryStageExec.plan) so post-execution query stages are visited.
+
+    This reads the ground truth the plan-shape gates can only infer:
+    e.g. ``shuffleBytesWritten`` / ``shuffleRecordsWritten`` prove a
+    partial-aggregating query shuffled O(|groups|) records regardless of
+    input rows -- the measured form of every "shuffle budget" claim in
+    SCALE.md."""
+    totals: dict[str, int] = dict.fromkeys(keys, 0)
+
+    def walk(node) -> None:
+        it = node.metrics().iterator()
+        while it.hasNext():
+            kv = it.next()
+            k = str(kv._1())
+            if k in totals:
+                totals[k] += kv._2().value()
+        cls = node.getClass().getSimpleName()
+        if "AdaptiveSparkPlan" in cls:
+            walk(node.executedPlan())
+        if "QueryStageExec" in cls:
+            walk(node.plan())
+        cit = node.children().iterator()
+        while cit.hasNext():
+            walk(cit.next())
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return totals

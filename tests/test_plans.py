@@ -359,3 +359,24 @@ def test_bm25_probes_postings_not_corpus(spark, sf_dir):
     plan = P.formatted_plan(df)
     assert "TakeOrderedAndProject" in plan
     assert P.uses_broadcast_join(df)
+
+
+def test_measured_shuffle_budgets(spark, sf_dir):
+    """Ground-truth gate on executed SQLMetrics (not plan shape): the
+    partial-agg flagship must shuffle exactly |keys| records however many
+    events exist, and the pushdown scan must shuffle zero."""
+    from change_data_capture_service_spark.catalog import load_table
+
+    df = registry.get("latest_state").fn(spark, sf_dir)
+    df.collect()
+    m = P.executed_metrics(df, ("shuffleRecordsWritten",))
+    n_keys = load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    assert m["shuffleRecordsWritten"] == n_keys, (
+        f"latest_state shuffled {m['shuffleRecordsWritten']} records for "
+        f"{n_keys} keys -- partial aggregation lost"
+    )
+
+    scan = registry.get("filter_pred").fn(spark, sf_dir)
+    scan.collect()
+    m2 = P.executed_metrics(scan, ("shuffleRecordsWritten", "shuffleBytesWritten"))
+    assert m2["shuffleRecordsWritten"] == 0 and m2["shuffleBytesWritten"] == 0
