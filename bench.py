@@ -138,10 +138,13 @@ def _bench_rollup_incremental(spark, sf_dir: str) -> dict[str, float]:
             ts=F.col("ts"),
         ).write.mode("append").format("parquet").save(log)
 
+        # timed region covers BOTH the write path (micro-batch drain) and
+        # the read-side partial merge, so the comparison with recompute_s
+        # (which includes its full read+aggregate) is symmetric
         t0 = time.perf_counter()
         drain()  # incremental: only the new files feed the sink
-        incr = time.perf_counter() - t0
         sink.current("public", "events").write.format("noop").mode("overwrite").save()
+        incr = time.perf_counter() - t0
 
         t0 = time.perf_counter()
         events.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(

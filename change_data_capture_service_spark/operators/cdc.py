@@ -691,8 +691,10 @@ def cdc_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     their share of total change traffic -- the monitor that decides when
     per-key ordering becomes a skew problem (a key above ~1/partitions of
     traffic serializes its reducer; the fix is join_skew_salted's salting
-    or AQE skew-join). The reference partitions Kafka by this exact key
-    (``internal/kafka/producer.go:24``) with no visibility into its skew.
+    or AQE skew-join). The reference keys its Kafka messages by this value
+    (``internal/kafka/producer.go:37``) but balances partitions with
+    LeastBytes, so per-key ordering is not actually partition-guaranteed
+    there -- and it has no visibility into the skew either way.
 
     Scale: per-key partial agg (|keys| states), 1-row broadcast total,
     TakeOrderedAndProject final."""

@@ -60,15 +60,22 @@ def executed_metrics(df: DataFrame, keys: tuple[str, ...]) -> dict[str, int]:
     input rows -- the measured form of every "shuffle budget" claim in
     SCALE.md."""
     totals: dict[str, int] = dict.fromkeys(keys, 0)
+    seen_accumulators: set[int] = set()
 
     def walk(node) -> None:
+        cls = node.getClass().getSimpleName()
+        # ReusedExchange/ReusedSubquery report the ORIGINAL node's SQLMetric
+        # accumulators; walking them would double-count the same shuffle
+        if "ReusedExchange" in cls or "ReusedSubquery" in cls:
+            return
         it = node.metrics().iterator()
         while it.hasNext():
             kv = it.next()
             k = str(kv._1())
-            if k in totals:
+            acc_id = kv._2().id()
+            if k in totals and acc_id not in seen_accumulators:
+                seen_accumulators.add(acc_id)
                 totals[k] += kv._2().value()
-        cls = node.getClass().getSimpleName()
         if "AdaptiveSparkPlan" in cls:
             walk(node.executedPlan())
         if "QueryStageExec" in cls:

