@@ -1221,3 +1221,421 @@ def orders_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("abc_class"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# round-5 TPC-H completion: every remaining dash that the fixture star schema
+# can express. Q2/Q11/Q16/Q20 need the partsupp table the fixtures don't
+# ship and are out of scope by data model, not by engine capability.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q4_order_priority_exists",
+    tags=("join", "agg", "relational"),
+    oracle="""
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-07-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 45 DAY
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def tpch_q4_order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (order-priority checking), adapted to fixture columns: the
+    reference schema's commit/receipt dates don't exist here, so "late" is
+    a line item shipped more than 45 days after the order date (fixture
+    mean ship lag is ~39 days). Counts a half-year of orders by priority
+    where at least one line item was late -- the EXISTS-subquery dash.
+
+    Scale: the EXISTS compiles to a LEFT SEMI join on l_orderkey -- one
+    co-located shuffle join, no row multiplication however many line items
+    match; the order-date filter prunes the orders scan before the join;
+    the priority agg is |priorities| states."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-07-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 45 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n_orders")
+    )
+
+
+@register(
+    "tpch_q6_forecast_revenue",
+    tags=("agg", "relational"),
+    oracle="""
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.02 AND 0.04
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): the revenue that would have
+    been kept by eliminating small discounts on low-quantity lines in one
+    ship-year -- the pure-scan aggregate dash.
+
+    Scale: every predicate (shipdate range, discount band, quantity cap)
+    pushes to the parquet scan for row-group skipping; zero joins; the
+    aggregate is a single global partial->final pair (one row crosses the
+    exchange per task). Revenue multiplies in DECIMAL on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.02)
+            & (F.col("l_discount") <= 0.04)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * F.col("l_discount").cast("decimal(18,2)")
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").cast("bigint").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "tpch_q9_product_profit",
+    tags=("join", "agg", "relational"),
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           CAST(year(l.l_shipdate) AS INT) AS o_year,
+           CAST(round(
+             CAST(sum({_REV}) AS DOUBLE)
+             - 0.5 * CAST(sum(CAST(p.p_retailprice AS DECIMAL(18,2))
+                              * CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE),
+             6) AS DOUBLE) AS profit
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN part p     ON l.l_partkey = p.p_partkey
+    GROUP BY 1, 2
+    """,
+)
+def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product-type profit), adapted: the reference prices cost
+    from partsupp.ps_supplycost, which the fixtures don't ship, so cost is
+    half the part's retail price per unit -- the join/agg topology (fact x
+    three dims -> nation x year profit rollup) is the operator under test,
+    not the costing constant.
+
+    Scale: supplier, nation, and part all broadcast (dim-sized); lineitem
+    never shuffles before the (nation, year) agg, which carries two exact
+    DECIMAL sums combined into one double at the end. |nations| x |years|
+    result rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    cost = F.col("p_retailprice").cast("decimal(18,2)") * F.col("l_quantity").cast(
+        "decimal(18,2)"
+    )
+    return (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").cast("int").alias("o_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(_rev()).cast("double")
+                - 0.5 * F.sum(cost).cast("double"),
+                6,
+            ).alias("profit")
+        )
+    )
+
+
+@register(
+    "tpch_q12_ship_delay_priority",
+    tags=("join", "agg", "relational"),
+    oracle="""
+    WITH d AS (
+      SELECT CASE WHEN datediff('day', o.o_orderdate, l.l_shipdate) <= 30 THEN 'fast'
+                  WHEN datediff('day', o.o_orderdate, l.l_shipdate) <= 60 THEN 'normal'
+                  ELSE 'late' END AS delay_bucket,
+             CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END AS high
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT delay_bucket,
+           CAST(sum(high) AS BIGINT) AS n_high_priority,
+           CAST(sum(1 - high) AS BIGINT) AS n_low_priority
+    FROM d GROUP BY delay_bucket
+    """,
+)
+def tpch_q12_ship_delay_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (shipping modes / order priority), adapted: the fixture
+    has no ship mode or receipt date, so line items bucket by ship delay
+    (<=30 fast, <=60 normal, else late) and each bucket counts
+    high-priority vs other orders -- did urgent orders actually ship
+    faster? The conditional-count pivot dash.
+
+    Scale: lineitem and orders shuffle once each, co-located on the order
+    key; integer day arithmetic; 3 x 2 counter states. At 100 TB both
+    sides would be bucketed on the order key and the join is shuffle-free."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    bucket = (
+        F.when(delay <= 30, "fast").when(delay <= 60, "normal").otherwise("late")
+    )
+    high = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+    ).otherwise(0)
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(bucket.alias("delay_bucket"), high.alias("high"))
+        .groupBy("delay_bucket")
+        .agg(
+            F.sum("high").cast("bigint").alias("n_high_priority"),
+            F.sum(1 - F.col("high")).cast("bigint").alias("n_low_priority"),
+        )
+    )
+
+
+@register(
+    "tpch_q17_small_qty_revenue",
+    tags=("join", "agg", "relational"),
+    oracle="""
+    WITH pa AS (
+      SELECT l_partkey,
+             CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(CAST(l_quantity * 100 AS BIGINT)) AS BIGINT) AS sq
+      FROM lineitem GROUP BY 1
+    )
+    SELECT p.p_brand,
+           CAST(round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                      / 7.0, 6) AS DOUBLE) AS avg_yearly,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem l
+    JOIN pa ON l.l_partkey = pa.l_partkey
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE 2 * CAST(l.l_quantity * 100 AS BIGINT) * pa.cnt < pa.sq
+    GROUP BY 1
+    """,
+)
+def tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue), at brand grain: revenue
+    locked in line items whose quantity is below half their part's average
+    -- the correlated-aggregate dash, decorrelated into a per-part
+    aggregate joined back to the fact table.
+
+    The below-half-average predicate is pure BIGINT arithmetic
+    (2 * qty * cnt < sum_qty, quantities exact in integer hundredths), so
+    the boundary decision is bit-identical across engines -- no double
+    division ever happens.
+
+    Scale: the per-part aggregate and the fact table co-locate on
+    l_partkey (one shuffle each, or zero with partkey bucketing); part
+    broadcasts for the brand label; |brands| result rows."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    qc = (F.col("l_quantity") * 100).cast("bigint")
+    pa = li.groupBy("l_partkey").agg(
+        F.count("*").cast("bigint").alias("cnt"),
+        F.sum(qc).cast("bigint").alias("sq"),
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        li.join(pa.withColumnRenamed("l_partkey", "pa_partkey"),
+                F.col("l_partkey") == F.col("pa_partkey"))
+        .filter(2 * qc * F.col("cnt") < F.col("sq"))
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+                / 7.0,
+                6,
+            ).alias("avg_yearly"),
+            F.count("*").cast("bigint").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "tpch_q21_waiting_suppliers",
+    tags=("join", "window", "relational"),
+    oracle="""
+    WITH ls AS (
+      SELECT l.l_orderkey, l.l_suppkey, max(l.l_shipdate) AS smax
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey AND o.o_orderstatus = 'F'
+      GROUP BY 1, 2
+    ),
+    w0 AS (
+      SELECT l_orderkey, l_suppkey, smax,
+             max(smax) OVER (PARTITION BY l_orderkey) AS omax,
+             count(*) OVER (PARTITION BY l_orderkey) AS n_supp
+      FROM ls
+    ),
+    w AS (
+      SELECT w0.*,
+             sum(CASE WHEN smax = omax THEN 1 ELSE 0 END)
+               OVER (PARTITION BY l_orderkey) AS n_at_max
+      FROM w0
+    )
+    SELECT s.s_name,
+           CAST(count(*) AS BIGINT) AS n_orders_blamed
+    FROM w JOIN supplier s ON w.l_suppkey = s.s_suppkey
+    WHERE w.smax = w.omax AND w.n_at_max = 1 AND w.n_supp >= 2
+    GROUP BY s.s_name
+    ORDER BY n_orders_blamed DESC, s_name
+    LIMIT 20
+    """,
+)
+def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting), adapted: no receipt
+    or commit dates in the fixture, so the blamed supplier of a finished
+    multi-supplier order is the UNIQUE supplier whose last ship date is
+    the order's latest -- the same "sole straggler" semantics Q21's
+    exists/not-exists pair encodes, expressed with windows.
+
+    Scale: per-(order, supplier) max reduces the fact table before any
+    window; the three windows share one l_orderkey partitioning (one
+    shuffle); supplier broadcasts for names; top-20 is
+    TakeOrderedAndProject."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    ls = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("l_shipdate").alias("smax"))
+    )
+    wo = Window.partitionBy("l_orderkey")
+    ls = ls.withColumn("omax", F.max("smax").over(wo)).withColumn(
+        "n_supp", F.count("*").over(wo)
+    )
+    ls = ls.withColumn(
+        "n_at_max",
+        F.sum(F.when(F.col("smax") == F.col("omax"), 1).otherwise(0)).over(wo),
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        ls.filter(
+            (F.col("smax") == F.col("omax"))
+            & (F.col("n_at_max") == 1)
+            & (F.col("n_supp") >= 2)
+        )
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").cast("bigint").alias("n_orders_blamed"))
+        .orderBy(F.col("n_orders_blamed").desc(), "s_name")
+        .limit(20)
+    )
+
+
+@register(
+    "basket_brand_lift",
+    tags=("join", "agg", "relational"),
+    oracle="""
+    WITH ob AS (
+      SELECT DISTINCT l.l_orderkey, p.p_brand
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    tot AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM ob),
+    c AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS n FROM ob GROUP BY 1),
+    pr AS (
+      SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+             CAST(count(*) AS BIGINT) AS n_ab
+      FROM ob a JOIN ob b
+        ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+      GROUP BY 1, 2
+    )
+    SELECT pr.brand_a, pr.brand_b, pr.n_ab,
+           round(CAST(pr.n_ab AS DOUBLE) / tot.n_orders, 6) AS support,
+           round(CAST(pr.n_ab AS DOUBLE) * tot.n_orders
+                 / (ca.n * cb.n), 6) AS lift
+    FROM pr
+    JOIN c ca ON ca.p_brand = pr.brand_a
+    JOIN c cb ON cb.p_brand = pr.brand_b
+    CROSS JOIN tot
+    WHERE pr.n_ab >= 5
+    ORDER BY lift DESC, brand_a, brand_b
+    LIMIT 20
+    """,
+)
+def basket_brand_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association metrics on top of basket_brand_pairs'
+    co-occurrence grain: support and lift for the strongest brand pairs
+    (lift > 1 = bought together more than independence predicts) -- the
+    scoring half of frequent-itemset mining.
+
+    Scale: identical pair topology as basket_brand_pairs (brand-grain
+    dedup bounds the self-join, co-located on l_orderkey); the per-brand
+    margins are |brands| rows and the order total is one row, both
+    broadcast back onto the |brands|^2-bounded pair relation. All counts
+    exact BIGINT; support/lift are single double expressions rounded at
+    the end."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    tot = ob.select(F.count_distinct("l_orderkey").cast("bigint").alias("n_orders"))
+    c = ob.groupBy("p_brand").agg(F.count("*").cast("bigint").alias("n"))
+    a = ob.select(F.col("l_orderkey").alias("ok_a"), F.col("p_brand").alias("brand_a"))
+    b = ob.select(F.col("l_orderkey").alias("ok_b"), F.col("p_brand").alias("brand_b"))
+    pr = (
+        a.join(
+            b,
+            (F.col("ok_a") == F.col("ok_b")) & (F.col("brand_a") < F.col("brand_b")),
+        )
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count("*").cast("bigint").alias("n_ab"))
+        .filter(F.col("n_ab") >= 5)
+    )
+    ca = c.select(F.col("p_brand").alias("brand_a"), F.col("n").alias("n_a"))
+    cb = c.select(F.col("p_brand").alias("brand_b"), F.col("n").alias("n_b"))
+    return (
+        pr.join(F.broadcast(ca), "brand_a")
+        .join(F.broadcast(cb), "brand_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_ab",
+            F.round(F.col("n_ab").cast("double") / F.col("n_orders"), 6).alias(
+                "support"
+            ),
+            F.round(
+                F.col("n_ab").cast("double")
+                * F.col("n_orders")
+                / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "brand_a", "brand_b")
+        .limit(20)
+    )

@@ -110,6 +110,13 @@ _CHECK_ORDER = [
     "events_burstiness",
     "recursive_reachability",
     # -- new in round 5 (filling the window to 50) --
+    "tpch_q4_order_priority_exists",
+    "tpch_q6_forecast_revenue",
+    "tpch_q9_product_profit",
+    "tpch_q12_ship_delay_priority",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q21_waiting_suppliers",
+    "basket_brand_lift",
 ]
 
 _loaded = False

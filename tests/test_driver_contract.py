@@ -89,6 +89,10 @@ _R5_CHECK_WINDOW = [
     "docs_unique_token_growth", "events_burstiness",
     "recursive_reachability",
     # new in round 5 (appended as they are registered)
+    "tpch_q4_order_priority_exists", "tpch_q6_forecast_revenue",
+    "tpch_q9_product_profit", "tpch_q12_ship_delay_priority",
+    "tpch_q17_small_qty_revenue", "tpch_q21_waiting_suppliers",
+    "basket_brand_lift",
 ]
 
 
