@@ -1219,3 +1219,139 @@ def events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("sxx") / F.col("k") - mean * mean) / F.nullif(mean, F.lit(0)), 6
         ).alias("fano_factor"),
     )
+
+
+@register(
+    "events_user_ltv_deciles",
+    tags=("analytics", "window", "agg"),
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+               AS BIGINT) AS ltv_cents
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    d AS (
+      SELECT user_id, ltv_cents,
+             CAST(ntile(10) OVER (ORDER BY ltv_cents DESC, user_id) AS INT)
+               AS decile
+      FROM u
+    )
+    SELECT decile,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(ltv_cents) AS BIGINT) AS total_cents,
+           round(CAST(sum(ltv_cents) AS DOUBLE) / count(*) / 100.0, 6)
+             AS avg_ltv,
+           round(CAST(min(ltv_cents) AS DOUBLE) / 100.0, 2) AS min_ltv,
+           round(CAST(max(ltv_cents) AS DOUBLE) / 100.0, 2) AS max_ltv
+    FROM d GROUP BY decile
+    """,
+)
+def events_user_ltv_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-lifetime-value decile table: rank users by total purchase
+    value, cut into ten equal bands, and profile each band -- the
+    whale-curve summary (what share of revenue the top decile carries)
+    that sits behind every monetization dashboard.
+
+    LTV accumulates in exact integer cents; the decile cut is a
+    deterministic ntile over (ltv desc, user_id), so band boundaries are
+    identical across engines.
+
+    Scale: per-user partial agg first (|users| rows -- the only
+    fact-sized shuffle), then a global ntile over the reduced relation.
+    A global ORDER BY window funnels to one reducer; at 100 TB the cut
+    switches to approx percentile boundaries broadcast back (the
+    customer_rfm_segments pattern), trading exact band edges for full
+    parallelism."""
+    e = load_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    u = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.sum(cents).cast("bigint").alias("ltv_cents"))
+    )
+    w = Window.orderBy(F.col("ltv_cents").desc(), "user_id")
+    d = u.withColumn("decile", F.ntile(10).over(w).cast("int"))
+    return d.groupBy("decile").agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum("ltv_cents").cast("bigint").alias("total_cents"),
+        F.round(F.sum("ltv_cents").cast("double") / F.count("*") / 100.0, 6).alias(
+            "avg_ltv"
+        ),
+        F.round(F.min("ltv_cents").cast("double") / 100.0, 2).alias("min_ltv"),
+        F.round(F.max("ltv_cents").cast("double") / 100.0, 2).alias("max_ltv"),
+    )
+
+
+@register(
+    "time_to_conversion_stats",
+    tags=("analytics", "funnel", "agg"),
+    oracle="""
+    WITH su AS (
+      SELECT user_id, min(ts) AS signup_ts
+      FROM events WHERE event_type = 'signup' GROUP BY 1
+    ),
+    pu AS (
+      SELECT e.user_id, min(e.ts) AS first_purchase_ts
+      FROM events e JOIN su ON e.user_id = su.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= su.signup_ts
+      GROUP BY 1
+    ),
+    c AS (
+      SELECT CAST(date_trunc('day', su.signup_ts) AS TIMESTAMP) AS cohort_day,
+             epoch_us(pu.first_purchase_ts) - epoch_us(su.signup_ts) AS gap_us
+      FROM su JOIN pu ON su.user_id = pu.user_id
+    )
+    SELECT cohort_day,
+           CAST(count(*) AS BIGINT) AS n_converted,
+           round(quantile_cont(CAST(gap_us AS DOUBLE), 0.5)
+                 / 3600000000.0, 6) AS p50_hours,
+           round(quantile_cont(CAST(gap_us AS DOUBLE), 0.9)
+                 / 3600000000.0, 6) AS p90_hours
+    FROM c GROUP BY cohort_day
+    """,
+)
+def time_to_conversion_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert funnel metric: for each signup-day cohort, the
+    median and p90 hours from a user's first signup to their first
+    subsequent purchase -- the latency companion to funnel_steps (which
+    counts who converts, not how fast).
+
+    First-touch timestamps reduce per user before any join; the gap is
+    exact integer microseconds; percentiles interpolate over doubles
+    derived from those exact gaps and round once.
+
+    Scale: two per-user partial aggs co-located on user_id, one |users|-
+    sized join, then a |cohort-days| agg -- the fact table shuffles
+    once per branch, bounded by the signup/purchase filters."""
+    e = load_table(spark, sf_dir, "events")
+    su = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    pu = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(su, "user_id")
+        .filter(F.col("ts") >= F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase_ts"))
+    )
+    c = su.join(pu, "user_id").select(
+        F.date_trunc("day", "signup_ts").alias("cohort_day"),
+        (
+            F.unix_micros(F.col("first_purchase_ts"))
+            - F.unix_micros(F.col("signup_ts"))
+        ).alias("gap_us"),
+    )
+    return c.groupBy("cohort_day").agg(
+        F.count("*").cast("bigint").alias("n_converted"),
+        F.round(
+            F.percentile(F.col("gap_us").cast("double"), F.lit(0.5)) / 3600000000.0,
+            6,
+        ).alias("p50_hours"),
+        F.round(
+            F.percentile(F.col("gap_us").cast("double"), F.lit(0.9)) / 3600000000.0,
+            6,
+        ).alias("p90_hours"),
+    )

@@ -770,3 +770,56 @@ def cdc_op_mix_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_delete"),
         )
     )
+
+
+@register(
+    "cdc_replication_lag",
+    tags=("cdc", "monitor"),
+    oracle="""
+    WITH a AS (SELECT max(ts) AS now_ts FROM events)
+    SELECT event_type,
+           max(ts) AS last_ts,
+           round((epoch_us(any_value(a.now_ts)) - epoch_us(max(ts)))
+                 / 1000000.0, 6) AS lag_seconds,
+           CAST(sum(CASE WHEN ts > a.now_ts - INTERVAL 1 HOUR
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_last_hour
+    FROM events CROSS JOIN a
+    GROUP BY event_type
+    """,
+)
+def cdc_replication_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replication-lag monitor: per routed stream, how far behind "now"
+    the newest replicated event is, plus last-hour arrival volume -- the
+    freshness panel that completes the X46 ops dashboard (hot keys, op
+    mix). The reference's only freshness signal is grepping per-event
+    audit lines (``internal/logger/logger.go:41-54``); this is the
+    queryable form a replication operator actually pages on.
+
+    The fixture is static, so "now" anchors to the corpus max timestamp
+    to stay deterministic; a deployment substitutes the wall clock and
+    drops the anchor pass entirely. Lag math is exact integer epoch
+    microseconds, divided and rounded once at the end.
+
+    Scale: per-type partial agg (|types| states) + a 1-row broadcast
+    anchor; nothing fact-sized shuffles."""
+    e = load_table(spark, sf_dir, "events")
+    anchor = e.agg(F.max("ts").alias("now_ts"))
+    return (
+        e.crossJoin(F.broadcast(anchor))
+        .groupBy("event_type")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.round(
+                (F.unix_micros(F.first("now_ts")) - F.unix_micros(F.max("ts")))
+                / 1000000.0,
+                6,
+            ).alias("lag_seconds"),
+            F.sum(
+                F.when(
+                    F.col("ts") > F.col("now_ts") - F.expr("INTERVAL 1 HOUR"), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_last_hour"),
+        )
+    )

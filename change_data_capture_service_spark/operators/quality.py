@@ -531,3 +531,58 @@ def docs_lang_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share_of_lang"
         ),
     )
+
+
+@register(
+    "docs_readability",
+    tags=("quality", "text"),
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             len(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+               AS n_words,
+             len(regexp_extract_all(lower(text), '[aeiou]+')) AS n_syllables
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(ceil(n_words / 12.0) AS BIGINT) AS n_sentences,
+           CAST(n_syllables AS BIGINT) AS n_syllables,
+           round(206.835
+                 - 1.015 * (CAST(n_words AS DOUBLE) / ceil(n_words / 12.0))
+                 - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 6)
+             AS flesch_score
+    FROM m WHERE n_words > 0
+    """,
+)
+def docs_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document -- the readability gate a
+    training-data pipeline runs next to the Gopher rules (very low scores
+    flag machine-generated or boilerplate text). Syllables are vowel-run
+    counts (the standard heuristic); the fixture corpus has no sentence
+    punctuation, so sentences use the same fixed 12-token segmenter as
+    dedup_lines -- the formula plumbing is the operator under test,
+    exactly as that module documents for its line segmenter.
+
+    Scale: regexp_extract_all + split are map-side JVM expressions over
+    the text column; zero shuffles, runs at scan speed like the other
+    quality gates."""
+    d = load_table(spark, sf_dir, "documents")
+    n_words = F.size(F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != ""))
+    n_syll = F.size(F.expr("regexp_extract_all(lower(text), '[aeiou]+', 0)"))
+    m = d.select(
+        "doc_id", n_words.alias("n_words"), n_syll.alias("n_syllables")
+    ).filter(F.col("n_words") > 0)
+    n_sent = F.ceil(F.col("n_words") / 12.0)
+    return m.select(
+        "doc_id",
+        F.col("n_words").cast("bigint").alias("n_words"),
+        n_sent.cast("bigint").alias("n_sentences"),
+        F.col("n_syllables").cast("bigint").alias("n_syllables"),
+        F.round(
+            206.835
+            - 1.015 * (F.col("n_words").cast("double") / n_sent)
+            - 84.6 * (F.col("n_syllables").cast("double") / F.col("n_words")),
+            6,
+        ).alias("flesch_score"),
+    )

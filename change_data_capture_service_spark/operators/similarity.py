@@ -764,3 +764,54 @@ def embedding_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame
             6,
         ).alias("centroid_cosine"),
     )
+
+
+@register(
+    "embedding_dim_profile",
+    tags=("similarity", "profile"),
+    oracle="""
+    WITH d AS (
+      SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+             unnest(CAST(embedding AS DOUBLE[])) AS x
+      FROM embeddings
+    )
+    SELECT CAST(dim AS INT) AS dim,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(x, 9) AS DECIMAL(18,9))) AS DOUBLE) / count(*)
+             AS mean_x,
+           CAST(sum(CAST(round(abs(x), 9) AS DECIMAL(18,9))) AS DOUBLE)
+             / count(*) AS mean_abs,
+           round(min(x), 6) AS min_x,
+           round(max(x), 6) AS max_x
+    FROM d GROUP BY dim
+    """,
+)
+def embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension profile of the embedding table (mean / mean-abs /
+    min / max per coordinate): dead dimensions (zero variance), biased
+    dimensions (mean far from 0), and per-dim dynamic range -- exactly
+    the statistics an int8 quantizer (embedding_quantize_int8) needs to
+    pick scales, and the first check after an embedding-model swap.
+
+    Coordinates round to 9 dp then accumulate in DECIMAL, so the per-dim
+    sums are accumulation-order-independent across engines; one double
+    division at the end.
+
+    Scale: posexplode is map-side (|rows| x |dims| narrow tuples feeding
+    a partial agg); the shuffle carries |dims| partial states per task,
+    nothing row-scaled. At 100 TB you'd fold per-partition into |dims|
+    accumulators with the same plan Spark already generates here."""
+    e = load_table(spark, sf_dir, "embeddings")
+    d = e.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x")
+    )
+    dec = lambda c: F.round(c, 9).cast("decimal(18,9)")  # noqa: E731
+    return d.groupBy(F.col("dim").cast("int").alias("dim")).agg(
+        F.count("*").cast("bigint").alias("n"),
+        (F.sum(dec(F.col("x"))).cast("double") / F.count("*")).alias("mean_x"),
+        (F.sum(dec(F.abs(F.col("x")))).cast("double") / F.count("*")).alias(
+            "mean_abs"
+        ),
+        F.round(F.min("x"), 6).alias("min_x"),
+        F.round(F.max("x"), 6).alias("max_x"),
+    )

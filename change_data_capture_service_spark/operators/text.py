@@ -682,3 +682,115 @@ def docs_unique_token_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_types",
         F.sum("new_types").over(w).cast("bigint").alias("vocab_size"),
     )
+
+
+@register(
+    "text_doc_ttr_hapax",
+    tags=("text", "quality"),
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {TOKENS} AS toks FROM documents
+    ),
+    cnt AS (
+      SELECT doc_id, tok, count(*) AS n
+      FROM (SELECT doc_id, unnest(toks) AS tok FROM toks)
+      GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(sum(n) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_types,
+           round(CAST(count(*) AS DOUBLE) / sum(n), 6) AS ttr,
+           CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           round(CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS hapax_ratio
+    FROM cnt GROUP BY doc_id
+    """,
+)
+def text_doc_ttr_hapax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document lexical-diversity profile: type-token ratio and the
+    within-document hapax share (types occurring exactly once) -- the
+    classic diversity pair used to flag template/boilerplate text (low
+    TTR) and incoherent scrape noise (very high hapax share), sitting
+    between text_repetition (n-gram grain) and text_zipf_fit (corpus
+    grain).
+
+    Scale: explode -> (doc, token) partial counts -> per-doc fold; the
+    shuffle carries one row per distinct (doc, token), never raw text
+    positions, and the second agg reuses the doc_id partitioning."""
+    d = load_table(spark, sf_dir, "documents")
+    cnt = (
+        d.select("doc_id", F.explode(_tokens()).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("n"))
+    )
+    hapax = F.sum(F.when(F.col("n") == 1, 1).otherwise(0))
+    return cnt.groupBy("doc_id").agg(
+        F.sum("n").cast("bigint").alias("n_tokens"),
+        F.count("*").cast("bigint").alias("n_types"),
+        F.round(F.count("*").cast("double") / F.sum("n"), 6).alias("ttr"),
+        hapax.cast("bigint").alias("n_hapax"),
+        F.round(hapax.cast("double") / F.count("*"), 6).alias("hapax_ratio"),
+    )
+
+
+@register(
+    "docs_bigram_novelty",
+    tags=("text", "curation"),
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {TOKENS} AS toks FROM documents
+    ),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(toks)),
+               i -> toks[i] || ' ' || toks[i+1]))) AS bigram
+      FROM toks WHERE len(toks) >= 2
+    ),
+    first_seen AS (
+      SELECT bigram, min(doc_id) AS first_doc FROM bg GROUP BY 1
+    )
+    SELECT b.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(CASE WHEN f.first_doc = b.doc_id THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_novel,
+           round(CAST(sum(CASE WHEN f.first_doc = b.doc_id THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) AS novelty
+    FROM bg b JOIN first_seen f ON b.bigram = f.bigram
+    GROUP BY b.doc_id
+    """,
+)
+def docs_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Novelty curve at bigram grain: for each document (in doc_id
+    ingestion order), the share of its distinct bigrams never seen in any
+    earlier document -- the diminishing-returns signal dataset curators
+    read before adding more of a source (docs_unique_token_growth is the
+    corpus-level cumulative twin; this is per-document and join-shaped).
+
+    Scale: distinct bigrams explode map-side (JVM array ops); first-seen
+    is a bigram-keyed partial min; the join back is bigram-keyed
+    equi-join -- counts and keys shuffle, text bodies never do (at 100 TB
+    the join key becomes xxhash64(bigram), the digest-not-body rule)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", _tokens().alias("toks")).filter(F.size("toks") >= 2)
+    bg = toks.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(0, size(toks) - 2),"
+                    " i -> concat_ws(' ', toks[i], toks[i+1]))"
+                )
+            )
+        ).alias("bigram"),
+    )
+    first_seen = bg.groupBy("bigram").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0))
+    return (
+        bg.join(first_seen, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            novel.cast("bigint").alias("n_novel"),
+            F.round(novel.cast("double") / F.count("*"), 6).alias("novelty"),
+        )
+    )

@@ -5,7 +5,7 @@ reference's Kibana surface) need zero-filled buckets, not sparse ones.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -454,4 +454,57 @@ def rollup_time_grains(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rn").cast("bigint").alias("n"),
             F.col("rsv").cast("double").alias("sum_value"),
         )
+    )
+
+
+@register(
+    "events_interarrival_stats",
+    tags=("timeseries", "window", "agg"),
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id) AS gap_us
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(gap_us) AS BIGINT) AS n_gaps,
+           round(CAST(sum(gap_us) AS DOUBLE) / count(gap_us) / 1000000.0, 6)
+             AS avg_gap_s,
+           round(quantile_cont(CAST(gap_us AS DOUBLE), 0.5) / 1000000.0, 6)
+             AS p50_gap_s,
+           round(CAST(max(gap_us) AS DOUBLE) / 1000000.0, 6) AS max_gap_s
+    FROM g WHERE gap_us IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival-time profile per event stream: mean / median / max
+    gap between consecutive events -- the burst-vs-steady diagnostic that
+    sizes stream micro-batch triggers and watermark delays (a p50 gap far
+    below the mean says the stream is bursty; max gap bounds the
+    watermark a session window needs). Sibling of events_burstiness
+    (Fano factor) on the raw-gap axis.
+
+    Gaps are exact integer epoch-microsecond differences on a
+    (ts, event_id)-tiebroken lag, so both engines draw identical gaps;
+    the only doubles are the final divisions, rounded once.
+
+    Scale: one keyed shuffle for the lag window (partition = event_type);
+    the stats agg reuses that partitioning; |types| result rows."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    g = e.select(
+        "event_type", (us - F.lag(us).over(w)).alias("gap_us")
+    ).filter(F.col("gap_us").isNotNull())
+    return g.groupBy("event_type").agg(
+        F.count("gap_us").cast("bigint").alias("n_gaps"),
+        F.round(
+            F.sum("gap_us").cast("double") / F.count("gap_us") / 1000000.0, 6
+        ).alias("avg_gap_s"),
+        F.round(
+            F.percentile(F.col("gap_us").cast("double"), F.lit(0.5)) / 1000000.0, 6
+        ).alias("p50_gap_s"),
+        F.round(F.max("gap_us").cast("double") / 1000000.0, 6).alias("max_gap_s"),
     )

@@ -117,6 +117,14 @@ _CHECK_ORDER = [
     "tpch_q17_small_qty_revenue",
     "tpch_q21_waiting_suppliers",
     "basket_brand_lift",
+    "cdc_replication_lag",
+    "events_interarrival_stats",
+    "events_user_ltv_deciles",
+    "time_to_conversion_stats",
+    "docs_readability",
+    "text_doc_ttr_hapax",
+    "docs_bigram_novelty",
+    "embedding_dim_profile",
 ]
 
 _loaded = False

@@ -92,7 +92,10 @@ _R5_CHECK_WINDOW = [
     "tpch_q4_order_priority_exists", "tpch_q6_forecast_revenue",
     "tpch_q9_product_profit", "tpch_q12_ship_delay_priority",
     "tpch_q17_small_qty_revenue", "tpch_q21_waiting_suppliers",
-    "basket_brand_lift",
+    "basket_brand_lift", "cdc_replication_lag", "events_interarrival_stats",
+    "events_user_ltv_deciles", "time_to_conversion_stats",
+    "docs_readability", "text_doc_ttr_hapax", "docs_bigram_novelty",
+    "embedding_dim_profile",
 ]
 
 
