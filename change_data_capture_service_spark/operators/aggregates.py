@@ -688,3 +688,58 @@ def agg_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("day", "approx_users", "n_events")
     )
+
+
+MG_CAPACITY, MG_TOPK = 64, 20
+
+
+@register("approx_topk", tags=("agg", "sketch", "text"))  # rows-only: sketch estimates
+def approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate heavy hitters over the document token stream via
+    mergeable Misra-Gries summaries (Agarwal et al., "Mergeable
+    Summaries", PODS'12 -- the frequent-items sketch DataSketches ships):
+    each partition folds its tokens into a capacity-64 summary, summaries
+    merge by counter addition + compress, and the merged top-20 is
+    reported with deterministic error <= N/64 per count. The sketch twin
+    of agg_hll_rollup (distinct-count) and agg_heavy_hitters (exact
+    counterpart): same mergeable-partial-aggregate shape, bounded state.
+
+    Per Arrow batch the counting is a vectorized value_counts (no
+    per-token Python); only the vocabulary-sized merge loop runs in
+    Python, once per batch. Rows-only by design (estimates, not exact
+    counts); tests/test_round7_ops.py gates the estimates against the
+    exact top-k.
+
+    Scale: state is min(|vocab|, 64) counters per partition regardless of
+    token volume; the shuffle carries |partitions| x 64 rows. This is the
+    operator that survives when agg_heavy_hitters' exact |vocab|-sized
+    state does not (open-vocabulary corpora)."""
+    import pandas as pd
+
+    from .dedup import _tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(_tokens()).alias("tok"))
+
+    def mg_partition(batches):
+        counts: dict[str, int] = {}
+        for pdf in batches:
+            for tok, c in pdf["tok"].value_counts().items():  # |batch vocab| iterations
+                counts[tok] = counts.get(tok, 0) + int(c)
+            if len(counts) > MG_CAPACITY:
+                # mergeable-summaries compress: subtract the (cap+1)-th
+                # largest counter, drop non-positive
+                cut = sorted(counts.values(), reverse=True)[MG_CAPACITY]
+                counts = {t: n - cut for t, n in counts.items() if n > cut}
+        if counts:
+            yield pd.DataFrame(
+                {"tok": list(counts), "cnt": list(counts.values())}
+            )
+
+    summaries = toks.mapInPandas(mg_partition, "tok string, cnt long")
+    return (
+        summaries.groupBy("tok")
+        .agg(F.sum("cnt").cast("bigint").alias("est_count"))
+        .orderBy(F.col("est_count").desc(), "tok")
+        .limit(MG_TOPK)
+    )

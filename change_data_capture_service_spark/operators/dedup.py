@@ -618,3 +618,115 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(flag).cast("double") / F.count("*"), 6).alias("dup_rate"),
         )
     )
+
+
+LINE_BANDS, LINE_ROWS_PER_BAND = 16, 2  # 32 perms re-banded for the lower-J line grain
+
+
+@register(
+    "dedup_minhash_lines",
+    tags=("dedup", "curation", "northstar"),
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {TOKENS} AS toks FROM documents
+    ),
+    ls AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(CAST(ceil(len(toks) / 12.0) AS BIGINT)),
+               i -> array_to_string(toks[i*12+1 : (i+1)*12], ' '))) AS lines
+      FROM toks WHERE len(toks) > 0
+    ),
+    ex AS (
+      SELECT doc_id, len(lines) AS n, unnest(lines) AS line FROM ls
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+             count(*) AS c, any_value(a.n) AS na, any_value(b.n) AS nb
+      FROM ex a JOIN ex b ON a.line = b.line AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_id_a, doc_id_b,
+           round(CAST(c AS DOUBLE) / (na + nb - c), 6) AS jaccard
+    FROM pairs
+    WHERE CAST(c AS DOUBLE) / (na + nb - c) >= 0.7
+    """,
+)
+def dedup_minhash_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash near-duplicate pairs at LINE grain (threshold 0.7 Jaccard
+    over the document's distinct line set) -- the second grain RefinedWeb
+    dedups at: shingle-grain MinHash (dedup_minhash_near) catches
+    re-worded copies, line-grain catches documents assembled from the
+    same boilerplate blocks even when their word n-grams differ. Composes
+    dedup_lines' 12-token segmenter with the X18 band-store machinery.
+
+    Line sets diverge faster than 3-gram shingle sets (one changed token
+    rewrites a whole 12-token line), so true duplicate pairs sit at lower
+    Jaccard (fixture: 0.71-0.78 vs the shingle grain's ~0.99). The 32
+    permutations therefore re-band as 16 bands x 2 rows: detection
+    probability at J=0.71 is 1-(1-0.71^2)^16 ~ 0.99999, vs ~89% under the
+    shingle grain's 8x4 banding -- that re-banding is what keeps the
+    exact-SQL oracle reachable. Candidates are still exact-verified, so
+    banding affects recall only, never precision.
+
+    Scale: identical posture to dedup_minhash_near -- signatures fold
+    JVM-side over the line array, the candidate join shuffles only
+    (band_id, band_hash, doc_id) tuples, and exact verification touches
+    candidate pairs, never the corpus squared."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", _tokens().alias("toks")).filter(F.size("toks") > 0)
+    lines = toks.select(
+        "doc_id",
+        F.array_distinct(
+            F.expr(
+                "transform(sequence(0, cast(ceil(size(toks) / 12.0) as int) - 1),"
+                " i -> array_join(slice(toks, i*12 + 1, 12), ' '))"
+            )
+        ).alias("shingles"),  # _minhash_sig folds over the 'shingles' column
+    )
+    sig = _minhash_sig(lines)
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        *[
+                            F.element_at("sig", b * LINE_ROWS_PER_BAND + r + 1)
+                            for r in range(LINE_ROWS_PER_BAND)
+                        ]
+                    )
+                    for b in range(LINE_BANDS)
+                ]
+            )
+        ).alias("band_id", "band_hash"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    pair_ids = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b"))
+        .dropDuplicates(["doc_id_a", "doc_id_b"])
+    )
+    candidates = (
+        pair_ids.join(
+            lines.select(F.col("doc_id").alias("doc_id_a"), F.col("shingles").alias("ln_a")),
+            "doc_id_a",
+        )
+        .join(
+            lines.select(F.col("doc_id").alias("doc_id_b"), F.col("shingles").alias("ln_b")),
+            "doc_id_b",
+        )
+    )
+    inter = F.size(F.array_intersect("ln_a", "ln_b"))
+    union = F.size("ln_a") + F.size("ln_b") - inter
+    jacc = inter.cast("double") / union
+    return (
+        candidates.withColumn("jaccard_raw", jacc)
+        .filter(F.col("jaccard_raw") >= 0.7)
+        .select("doc_id_a", "doc_id_b", F.round("jaccard_raw", 6).alias("jaccard"))
+    )

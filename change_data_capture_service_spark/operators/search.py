@@ -14,7 +14,7 @@ the final ranking is TakeOrderedAndProject top-k. One fact-table pass.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -216,4 +216,174 @@ def search_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         d.select("doc_id", hits.cast("bigint").alias("n_hits"))
         .filter(F.col("n_hits") > 0)
+    )
+
+
+@register(
+    "knn_cosine_hybrid",
+    tags=("search", "similarity", "northstar"),
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {{TOKENS}} AS toks FROM documents
+    ),
+    stats AS (
+      SELECT count(*) AS n_docs, avg(len(toks)) AS avgdl FROM toks
+    ),
+    tf AS (
+      SELECT doc_id, tok, count(*) AS tf, any_value(dl) AS dl
+      FROM (SELECT doc_id, unnest(toks) AS tok, len(toks) AS dl FROM toks)
+      WHERE tok IN ('stream', 'merge', 'window')
+      GROUP BY doc_id, tok
+    ),
+    df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+    bscore AS (
+      SELECT tf.doc_id,
+             sum(
+               ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1)
+               * tf.tf * ({_K1} + 1)
+               / (tf.tf + {_K1} * (1 - {_B} + {_B} * tf.dl / stats.avgdl))
+             ) AS score
+      FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN stats
+      GROUP BY tf.doc_id
+    ),
+    brank AS (
+      SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS r
+      FROM bscore QUALIFY r <= 50
+    ),
+    v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings
+    ),
+    q AS (SELECT v, nrm FROM v WHERE vec_id = 0),
+    cs AS (
+      SELECT c.vec_id AS doc_id,
+             round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cosine
+      FROM v c CROSS JOIN q WHERE c.vec_id <> 0
+    ),
+    vrank AS (
+      SELECT doc_id, CAST(row_number() OVER (ORDER BY cosine DESC, doc_id) AS INT) AS r
+      FROM cs QUALIFY r <= 50
+    ),
+    fused AS (
+      SELECT COALESCE(b.doc_id, vr.doc_id) AS doc_id,
+             COALESCE(b.r, 0) AS bm25_rank,
+             COALESCE(vr.r, 0) AS vec_rank
+      FROM brank b FULL OUTER JOIN vrank vr ON b.doc_id = vr.doc_id
+    )
+    SELECT doc_id, bm25_rank, vec_rank,
+           round((CASE WHEN bm25_rank > 0 THEN 1.0 / (60 + bm25_rank) ELSE 0 END)
+               + (CASE WHEN vec_rank  > 0 THEN 1.0 / (60 + vec_rank)  ELSE 0 END),
+             6) AS rrf_score
+    FROM fused
+    ORDER BY rrf_score DESC, doc_id
+    LIMIT 20
+    """.replace("{TOKENS}", TOKENS),
+)
+def knn_cosine_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 candidates UNION vector candidates, fused
+    with reciprocal-rank fusion (RRF, k=60 -- the public Cormack/Clarke
+    formula Elasticsearch ships as its hybrid default). This is the query
+    the reference's ES users run next once both a text index and a vector
+    field exist over the replicated rows: lexical recall catches exact
+    terms, the embedding catches paraphrase, RRF needs no score
+    calibration between the two.
+
+    The text list is the search_bm25 scorer; the vector list is cosine
+    against the vec_id=0 embedding (doc_id joins vec_id -- the
+    multimodal_join contract). Each list keeps its top-50 via
+    TakeOrderedAndProject BEFORE the rank window, so the row_number runs
+    on <=50 rows -- ranks never funnel a corpus-sized relation into one
+    reducer. Ranks are exact integers; the fused score is one double
+    expression over them, rounded once.
+
+    Scale: BM25 side is postings-bounded (term IN-filter before tf agg,
+    broadcast df/stats); vector side is broadcast-query map-side dot
+    products; the fusion join is 50x50 rows. Nothing corpus-sized
+    shuffles."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", _tokens().alias("toks"))
+    stats = toks.agg(
+        F.count("*").alias("n_docs"), F.avg(F.size("toks")).alias("avgdl")
+    )
+    tf = (
+        toks.select(
+            "doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("tok")
+        )
+        .filter(F.col("tok").isin(_QUERY_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
+    )
+    dfr = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
+    )
+    bscore = (
+        tf.join(F.broadcast(dfr), "tok")
+        .join(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (
+                idf
+                * F.col("tf")
+                * (_K1 + 1)
+                / (F.col("tf") + _K1 * (1 - _B + _B * F.col("dl") / F.col("avgdl")))
+            ).alias("s"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("s").alias("score"))
+    )
+    wb = Window.orderBy(F.col("score").desc(), "doc_id")
+    brank = (
+        bscore.orderBy(F.col("score").desc(), "doc_id")
+        .limit(50)
+        .withColumn("bm25_rank", F.row_number().over(wb).cast("int"))
+        .select("doc_id", "bm25_rank")
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    nrm = F.sqrt(
+        F.expr(
+            "aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+            " 0D, (acc, x) -> acc + x)"
+        )
+    )
+    v = e.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"), nrm.alias("nrm")
+    )
+    q = v.filter(F.col("vec_id") == 0).select(
+        F.col("v").alias("qv"), F.col("nrm").alias("qnrm")
+    )
+    dot = F.expr("aggregate(zip_with(qv, v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+    cs = (
+        v.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(dot / (F.col("qnrm") * F.col("nrm")), 6).alias("cosine"),
+        )
+    )
+    wv = Window.orderBy(F.col("cosine").desc(), "doc_id")
+    vrank = (
+        cs.orderBy(F.col("cosine").desc(), "doc_id")
+        .limit(50)
+        .withColumn("vec_rank", F.row_number().over(wv).cast("int"))
+        .select("doc_id", "vec_rank")
+    )
+
+    fused = brank.join(vrank, "doc_id", "full_outer").select(
+        "doc_id",
+        F.coalesce("bm25_rank", F.lit(0)).alias("bm25_rank"),
+        F.coalesce("vec_rank", F.lit(0)).alias("vec_rank"),
+    )
+    rrf = F.round(
+        F.when(F.col("bm25_rank") > 0, 1.0 / (60 + F.col("bm25_rank"))).otherwise(0.0)
+        + F.when(F.col("vec_rank") > 0, 1.0 / (60 + F.col("vec_rank"))).otherwise(0.0),
+        6,
+    )
+    return (
+        fused.withColumn("rrf_score", rrf)
+        .orderBy(F.col("rrf_score").desc(), "doc_id")
+        .limit(20)
     )

@@ -125,6 +125,10 @@ _CHECK_ORDER = [
     "text_doc_ttr_hapax",
     "docs_bigram_novelty",
     "embedding_dim_profile",
+    "dedup_minhash_lines",
+    "knn_cosine_hybrid",
+    "approx_topk",
+    "stream_topk_windowed",
 ]
 
 _loaded = False

@@ -364,3 +364,73 @@ def left_outer_interval_join_stream(clicks: DataFrame, purchases: DataFrame) -> 
         & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("interval 30 minutes")),
         "leftOuter",
     )
+
+
+@register(
+    "stream_topk_windowed",
+    tags=("streaming", "window"),
+    oracle="""
+    WITH c AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+             event_type, count(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT window_start, event_type, CAST(n AS BIGINT) AS n,
+           CAST(rnk AS INT) AS rnk
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY window_start ORDER BY n DESC, event_type) AS rnk
+      FROM c
+    ) t
+    WHERE rnk <= 3
+    """,
+)
+def stream_topk_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed top-k: the 3 busiest event types per tumbling hour -- the
+    trending-now panel over the change stream. Batch-equivalent form of
+    ``topk_windowed_stream`` below, same equivalence contract as every
+    X16 operator: the streaming output, once all data is drained, equals
+    this batch query (asserted in tests/test_streaming.py).
+
+    Scale: the windowed count partial-aggregates to |windows| x |types|
+    states before the rank window, and the rank partitions by window
+    (parallel over windows, WindowGroupLimit keeps 3 per window map-side
+    in Spark 4)."""
+    e = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    c = (
+        e.groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+    rk = F.row_number().over(
+        W.partitionBy("window_start").orderBy(F.col("n").desc(), "event_type")
+    )
+    return (
+        c.withColumn("rnk", rk.cast("int"))
+        .filter(F.col("rnk") <= 3)
+        .select("window_start", "event_type", F.col("n").cast("bigint").alias("n"), "rnk")
+    )
+
+
+def topk_windowed_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """True-streaming half of stream_topk_windowed: watermarked tumbling
+    counts per (window, type). Rank-within-window is not expressible as a
+    streaming operator (it would re-sort every update), so the stream
+    maintains the counts -- bounded state: |open windows| x |types| --
+    and the top-k is a trivial batch query over the sink after each
+    trigger, exactly how a serving layer reads a continuously-maintained
+    leaderboard."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .count()
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            F.col("count").alias("n"),
+        )
+    )

@@ -95,7 +95,8 @@ _R5_CHECK_WINDOW = [
     "basket_brand_lift", "cdc_replication_lag", "events_interarrival_stats",
     "events_user_ltv_deciles", "time_to_conversion_stats",
     "docs_readability", "text_doc_ttr_hapax", "docs_bigram_novelty",
-    "embedding_dim_profile",
+    "embedding_dim_profile", "dedup_minhash_lines", "knn_cosine_hybrid",
+    "approx_topk", "stream_topk_windowed",
 ]
 
 
