@@ -39,6 +39,8 @@ EXTENDED = [
     "basket_brand_pairs",        # co-located self-join at attribute grain
     "orders_open_backlog_daily", # sweep-line prefix sum
     "search_bm25",               # postings-probe relevance top-20
+    "knn_cosine_hybrid",         # round-5: BM25 + vector RRF fusion
+    "recursive_reachability",    # round-5: iterative (launch-latency profile)
 ]
 
 
@@ -94,12 +96,21 @@ def _bench_pipeline_ingest(spark, sf_dir: str) -> dict[str, float]:
 
 
 def _bench_rollup_incremental(spark, sf_dir: str) -> dict[str, float]:
-    """Continuous-aggregate scale story, measured: maintaining the hourly
-    rollup for ONE new micro-batch (10% of the table arriving as inserts)
-    vs recomputing the aggregate from the full event log. At 100x history
-    the recompute cost keeps growing with the log; the incremental merge
-    stays O(batch) -- this prints both numbers so the gap is a recorded
-    fact, not a claim."""
+    """Continuous-aggregate crossover, measured at two history depths:
+    maintaining the hourly rollup for ONE arriving micro-batch (10% of
+    the table as inserts) vs recomputing the aggregate from the full
+    event log, on a 1x log and on a 30x log (history replicated with
+    disjoint LSN ranges). Incremental cost is O(batch) and must stay
+    flat as history grows; recompute reads the whole log and must scale
+    with it -- the crossover point where maintenance beats recompute is
+    thereby a recorded fact, not a claim. (At sf0.1 x1 the recompute of
+    a trivially small log wins on fixed per-epoch overhead -- measured
+    sf0.1 probe: incremental 1.44/0.92/0.88 s flat at 1x/10x/30x while
+    recompute scales 0.60/0.51/1.52 s -- the 30x point is past the
+    crossover.)
+
+    Both paths are timed symmetrically: incremental = micro-batch drain
+    + read-side partial merge; recompute = full log scan + aggregate."""
     import shutil
     import tempfile
     import time
@@ -111,50 +122,75 @@ def _bench_rollup_incremental(spark, sf_dir: str) -> dict[str, float]:
     from change_data_capture_service_spark.streaming.rollup import start_rollup
     from change_data_capture_service_spark.streaming.snapshot import write_snapshot
 
-    work = tempfile.mkdtemp(prefix="bench-rollup-")
-    try:
-        events = load_table(spark, sf_dir, "events")
-        base = events.filter(F.col("event_id") % 10 != 0)
-        delta = events.filter(F.col("event_id") % 10 == 0)
-        log = f"{work}/log"
-        write_snapshot(spark, base, log, schema_name="public",
-                       table_name="events", fmt="parquet")
+    events = load_table(spark, sf_dir, "events")
+    base = events.filter(F.col("event_id") % 10 != 0)
+    delta = events.filter(F.col("event_id") % 10 == 0)
+    out: dict[str, float] = {}
 
-        def drain():
-            stream = (
-                spark.readStream.schema(env.ENVELOPE_SCHEMA)
-                .format("parquet").load(log)
+    for mult in (1, 30):
+        work = tempfile.mkdtemp(prefix=f"bench-rollup-{mult}x-")
+        try:
+            log = f"{work}/log"
+            write_snapshot(spark, base, log, schema_name="public",
+                           table_name="events", fmt="parquet")
+            # replicate history with disjoint LSN ranges: same byte volume
+            # per copy, so the log is genuinely mult x larger on disk
+            for i in range(1, mult):
+                env.encode(
+                    base, op="insert", schema_name="public",
+                    table_name="events", pk_cols=["event_id"],
+                    lsn=F.col("event_id") + i * 10_000_000, ts=F.col("ts"),
+                ).write.mode("append").format("parquet").save(log)
+
+            def drain():
+                stream = (
+                    spark.readStream.schema(env.ENVELOPE_SCHEMA)
+                    .format("parquet").load(log)
+                )
+                sink, q = start_rollup(stream, f"{work}/rollup", f"{work}/ckpt")
+                q.awaitTermination()
+                return sink
+
+            sink = drain()  # initial load (not the measured path)
+            sink.compact()  # steady-state reader: bounded partial files
+
+            # the arriving 10% as insert envelopes
+            env.encode(
+                delta, op="insert", schema_name="public", table_name="events",
+                pk_cols=["event_id"], lsn=F.col("event_id") + 900_000_000,
+                ts=F.col("ts"),
+            ).write.mode("append").format("parquet").save(log)
+
+            # timed region covers BOTH the write path (micro-batch drain)
+            # and the read-side partial merge, so the comparison with
+            # recompute (full read+aggregate) is symmetric
+            t0 = time.perf_counter()
+            drain()  # incremental: only the new files feed the sink
+            sink.current("public", "events").write.format("noop").mode(
+                "overwrite"
+            ).save()
+            out[f"incremental_{mult}x_s"] = round(time.perf_counter() - t0, 3)
+
+            # recompute reads the LOG (the thing that grows with history),
+            # not the original table
+            t0 = time.perf_counter()
+            (
+                spark.read.schema(env.ENVELOPE_SCHEMA).parquet(log)
+                .select(
+                    F.element_at(F.col("after"), "ts").cast("timestamp").alias("ts"),
+                    (
+                        F.element_at(F.col("after"), "value").cast("decimal(18,2)")
+                        * 100
+                    ).cast("long").alias("cents"),
+                )
+                .groupBy(F.date_trunc("hour", "ts").alias("hour"))
+                .agg(F.count("*").alias("n"), F.sum("cents").alias("c"))
+                .write.format("noop").mode("overwrite").save()
             )
-            sink, q = start_rollup(stream, f"{work}/rollup", f"{work}/ckpt")
-            q.awaitTermination()
-            return sink
-
-        sink = drain()  # initial load (not the measured path)
-
-        # the arriving 10% as insert envelopes
-        env.encode(
-            delta, op="insert", schema_name="public", table_name="events",
-            pk_cols=["event_id"], lsn=F.col("event_id") + 1_000_000,
-            ts=F.col("ts"),
-        ).write.mode("append").format("parquet").save(log)
-
-        # timed region covers BOTH the write path (micro-batch drain) and
-        # the read-side partial merge, so the comparison with recompute_s
-        # (which includes its full read+aggregate) is symmetric
-        t0 = time.perf_counter()
-        drain()  # incremental: only the new files feed the sink
-        sink.current("public", "events").write.format("noop").mode("overwrite").save()
-        incr = time.perf_counter() - t0
-
-        t0 = time.perf_counter()
-        events.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
-            F.count("*").alias("n"),
-            F.sum((F.col("value").cast("decimal(18,2)") * 100).cast("long")).alias("c"),
-        ).write.format("noop").mode("overwrite").save()
-        recompute = time.perf_counter() - t0
-        return {"incremental_s": round(incr, 3), "recompute_s": round(recompute, 3)}
-    finally:
-        shutil.rmtree(work, ignore_errors=True)
+            out[f"recompute_{mult}x_s"] = round(time.perf_counter() - t0, 3)
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+    return out
 
 
 def _stage_layout(spark, sf_dir: str, cpus: int) -> tuple[str, float]:
@@ -244,32 +280,48 @@ def main() -> int:
         for _, key in HEADLINE:
             registry.get(key).fn(spark, staged).write.format("noop").mode("overwrite").save()
 
-        # min-of-5: the host is shared (observed load spikes to 11 with nothing
-        # of ours running, same warm query 0.7s-11.6s); the minimum over enough
-        # trials is the standard robust estimator under external load
+        # min-of-5 with the full spread recorded: the host is shared (observed
+        # load spikes to 11 with nothing of ours running, same warm query
+        # 0.7s-11.6s). The minimum stays the headline estimator (robust under
+        # external load, cross-round comparable); min/median/max per query are
+        # emitted so contention is visible IN the artifact instead of needing
+        # a notes-level explanation (a wide spread with a low min = noisy
+        # host, a tight high spread = real regression).
+        def spread(trials: list[float]) -> dict[str, float]:
+            s = sorted(trials)
+            return {
+                "min": round(s[0], 3),
+                "med": round(s[len(s) // 2], 3),
+                "max": round(s[-1], 3),
+            }
+
         timings: dict[str, float] = {}
+        spreads: dict[str, dict[str, float]] = {}
         for label, key in HEADLINE:
             df = registry.get(key).fn(spark, staged)
-            best = float("inf")
+            trials = []
             for _ in range(5):
                 t0 = time.perf_counter()
                 df.write.format("noop").mode("overwrite").save()
-                best = min(best, time.perf_counter() - t0)
-            timings[label] = round(best, 3)
+                trials.append(time.perf_counter() - t0)
+            timings[label] = round(min(trials), 3)
+            spreads[label] = spread(trials)
 
         # extended probes (NOT in the headline total, which stays
-        # cross-round comparable): the round-4 relational/search suite,
-        # min-of-3 after one warm pass
+        # cross-round comparable): the relational/search suite and the
+        # round-5 iterative probe, min-of-3 after one warm pass
         extended: dict[str, float] = {}
+        extended_spreads: dict[str, dict[str, float]] = {}
         for key in EXTENDED:
             df = registry.get(key).fn(spark, staged)
             df.write.format("noop").mode("overwrite").save()
-            best = float("inf")
+            trials = []
             for _ in range(3):
                 t0 = time.perf_counter()
                 df.write.format("noop").mode("overwrite").save()
-                best = min(best, time.perf_counter() - t0)
-            extended[key] = round(best, 3)
+                trials.append(time.perf_counter() - t0)
+            extended[key] = round(min(trials), 3)
+            extended_spreads[key] = spread(trials)
     finally:
         shutil.rmtree(staged, ignore_errors=True)
 
@@ -289,6 +341,12 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                # per-query min/median/max over the 5 trials: a wide spread
+                # with a low min = external host contention; a tight high
+                # spread = real regression. This is the artifact-level form
+                # of the host-contention analysis earlier rounds could only
+                # state in prose.
+                "spreads": spreads,
                 "sf": sf,
                 # TPC-style load phase (fixtures -> engine-managed layout,
                 # cpus row groups/table); query timings run on that layout
@@ -298,8 +356,11 @@ def main() -> int:
                 # ingest work that must stay flat per-byte at scale
                 "q11_phases": q11,
                 "extended": extended,
-                # continuous-aggregate story: maintaining the rollup for a
-                # 10% arriving batch vs recomputing from the full log
+                "extended_spreads": extended_spreads,
+                # continuous-aggregate crossover: maintaining the rollup for
+                # a 10% arriving batch vs recomputing from the full log, at
+                # 1x and 30x history -- incremental must stay ~flat while
+                # recompute scales with the log
                 "rollup_incremental": rollup,
                 "notes": (
                     "round-3 fixtures ship ONE parquet row group per table"
@@ -308,14 +369,13 @@ def main() -> int:
                     " clause-5 style load/query split) to stay comparable"
                     " with earlier rounds' multi-row-group fixtures."
                     " q11 still ingests from the raw fixture by design."
-                    " ROUND-4 ROOT CAUSE of the r3 q8/q9/q10 regression:"
-                    " reruns on a quiet host (load ~1 vs r3's spikes to 11)"
-                    " with UNCHANGED query code land at q8 0.58-0.71s,"
-                    " q9 0.61-0.74s, q10 0.29-0.34s, q11 1.9-2.5s --"
-                    " at/below round-2 levels -- so r3's 3-12x swings were"
-                    " host contention, not plan changes (plans are pinned"
-                    " by tests/test_plans.py and PLANS.md). Compare rounds"
-                    " via stable fixed-cost probes (q3/q6), not totals"
+                    " Cross-round comparisons: use the stable fixed-cost"
+                    " probes (q3/q6) plus per-query spreads; r3's 3-12x"
+                    " swings were host contention (root-caused r4), which"
+                    " the spreads now make mechanically visible."
+                    " recursive_reachability in extended is iterative (10"
+                    " bounded rounds): its time is launch-latency-dominated"
+                    " locally and tracks lineage-growth regressions."
                 ),
             }
         )
