@@ -1639,3 +1639,280 @@ def basket_brand_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lift").desc(), "brand_a", "brand_b")
         .limit(20)
     )
+
+
+@register(
+    "tpch_q2_min_cost_supplier",
+    tags=("join", "agg", "relational"),
+    oracle="""
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             min(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                      AS DOUBLE)
+                 / CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT))
+               AS unit_cost
+      FROM lineitem GROUP BY 1, 2
+    ),
+    eu AS (
+      SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+      FROM supplier s
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'ASIA'
+    ),
+    cand AS (
+      SELECT ps.l_partkey, ps.l_suppkey, ps.unit_cost,
+             min(ps.unit_cost) OVER (PARTITION BY ps.l_partkey) AS best
+      FROM ps JOIN eu ON ps.l_suppkey = eu.s_suppkey
+    )
+    SELECT eu.s_acctbal, eu.s_name, eu.n_name,
+           CAST(c.l_partkey AS BIGINT) AS p_partkey, p.p_name,
+           round(c.unit_cost, 6) AS supply_cost
+    FROM cand c
+    JOIN eu ON c.l_suppkey = eu.s_suppkey
+    JOIN part p ON p.p_partkey = c.l_partkey
+    WHERE c.unit_cost = c.best
+      AND p.p_type = 'LARGE' AND p.p_size BETWEEN 10 AND 20
+    ORDER BY eu.s_acctbal DESC, eu.n_name, eu.s_name, p_partkey
+    """,
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (minimum-cost supplier), adapted: the fixture has no
+    partsupp table, so the part-supplier relation derives from observed
+    line items -- supply cost is the minimum unit price
+    (extendedprice/quantity) a supplier ever charged for the part -- and
+    the complaint-free European supplier hunt becomes: for LARGE parts in
+    a size band, which ASIA-region supplier offers each at its regional
+    minimum cost.
+
+    Unit cost is an IEEE division of two exact BIGINTs (cent-scaled via
+    DECIMAL, so both engines see identical integers), making the min and
+    the cost-equality predicate bit-identical across engines.
+
+    Scale: the derived partsupp is one (partkey, suppkey) partial agg over
+    the fact table; the regional supplier dim broadcasts; the per-part
+    regional minimum is one window over the |parts x region suppliers|
+    candidate relation, already reduced from line-item grain. At 100 TB
+    the ps aggregate is the only fact-sized shuffle."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    pc = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("bigint")
+    qc = (F.col("l_quantity").cast("decimal(18,2)") * 100).cast("bigint")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(pc.cast("double") / qc).alias("unit_cost")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    eu = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cand = ps.join(F.broadcast(eu), ps.l_suppkey == eu.s_suppkey).withColumn(
+        "best", F.min("unit_cost").over(Window.partitionBy("l_partkey"))
+    )
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "LARGE") & F.col("p_size").between(10, 20)
+    ).select("p_partkey", "p_name")
+    return (
+        cand.filter(F.col("unit_cost") == F.col("best"))
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            F.col("l_partkey").cast("bigint").alias("p_partkey"),
+            "p_name",
+            F.round("unit_cost", 6).alias("supply_cost"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+    )
+
+
+@register(
+    "tpch_q11_important_stock",
+    tags=("join", "agg", "relational"),
+    oracle="""
+    WITH nat AS (
+      SELECT s_suppkey FROM supplier s
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      WHERE n.n_name = 'NATION_7'
+    ),
+    v AS (
+      SELECT l.l_partkey,
+             sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS value
+      FROM lineitem l JOIN nat ON l.l_suppkey = nat.s_suppkey
+      GROUP BY 1
+    ),
+    tot AS (SELECT sum(value) AS total FROM v)
+    SELECT CAST(v.l_partkey AS BIGINT) AS p_partkey,
+           CAST(v.value AS DOUBLE) AS value
+    FROM v CROSS JOIN tot
+    WHERE v.value > tot.total * 0.001
+    ORDER BY value DESC, p_partkey
+    """,
+)
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock identification), adapted: with no
+    partsupp availqty, a part's held value for one nation's suppliers is
+    the DECIMAL sum of their line-item extended prices, and the query
+    keeps parts whose value exceeds a fixed fraction of the nation's
+    total -- the scalar-subquery-threshold dash.
+
+    Scale: one partkey partial agg over the nation-filtered fact slice
+    (the nation's supplier list broadcasts as a semi-join); the grand
+    total re-aggregates the |parts| rollup, not the fact table, and
+    broadcasts back as a 1-row cross join. Value sums stay DECIMAL (exact,
+    order-independent) through the threshold comparison; cast to DOUBLE
+    only for display."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    nat = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select("s_suppkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    v = (
+        li.join(F.broadcast(nat), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("value"))
+    )
+    tot = v.agg(F.sum("value").alias("total"))
+    return (
+        v.crossJoin(F.broadcast(tot))
+        .filter(F.col("value") > F.col("total") * 0.001)
+        .select(
+            F.col("l_partkey").cast("bigint").alias("p_partkey"),
+            F.col("value").cast("double").alias("value"),
+        )
+        .orderBy(F.col("value").desc(), "p_partkey")
+    )
+
+
+@register(
+    "tpch_q16_supplier_count_by_part",
+    tags=("join", "agg", "relational"),
+    oracle="""
+    WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    ok_supp AS (SELECT s_suppkey FROM supplier WHERE s_acctbal >= 0)
+    SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+           CAST(count(DISTINCT ps.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM ps
+    JOIN ok_supp ON ps.l_suppkey = ok_supp.s_suppkey
+    JOIN part p ON p.p_partkey = ps.l_partkey
+    WHERE p.p_brand <> 'Brand#5' AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
+    GROUP BY 1, 2, 3
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def tpch_q16_supplier_count_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (parts/supplier relationship), adapted: the part-supplier
+    relation derives from distinct (l_partkey, l_suppkey) pairs in the
+    fact table, and Q16's customer-complaint supplier exclusion becomes a
+    negative-balance exclusion (the fixture's only supplier-health
+    signal). Counts distinct suppliers per (brand, type, size) for the
+    filtered part families.
+
+    Scale: the distinct pair reduction is the only fact-sized shuffle and
+    carries two keys, never text; the ok-supplier list and the filtered
+    part dim both broadcast; count(DISTINCT suppkey) expands to the
+    standard two-level partial aggregate over the already-reduced pair
+    relation. |brand x type x size| result rows."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    ps = li.distinct()
+    ok = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") >= 0
+    ).select("s_suppkey")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    return (
+        ps.join(F.broadcast(ok), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("bigint").alias("p_size"))
+        .agg(F.count_distinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+@register(
+    "tpch_q20_dominant_suppliers",
+    tags=("join", "agg", "relational"),
+    oracle="""
+    WITH pq AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT))
+                  AS BIGINT) AS qty_supp
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-01-01'
+      GROUP BY 1, 2
+    ),
+    pt AS (
+      SELECT l_partkey, CAST(sum(qty_supp) AS BIGINT) AS qty_total
+      FROM pq GROUP BY 1
+    ),
+    dom AS (
+      SELECT DISTINCT pq.l_suppkey
+      FROM pq
+      JOIN pt ON pq.l_partkey = pt.l_partkey
+      JOIN part p ON p.p_partkey = pq.l_partkey
+      WHERE 2 * pq.qty_supp > pt.qty_total
+        AND p.p_name LIKE 'small %'
+    )
+    SELECT s.s_name, n.n_name
+    FROM dom
+    JOIN supplier s ON dom.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    ORDER BY s.s_name
+    """,
+)
+def tpch_q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (potential part promotion), adapted: without partsupp
+    availqty, "holds excess stock of a part" becomes "shipped strictly
+    more than half of the part's total 1996 volume" -- the same
+    correlated half-of-demand threshold Q20 encodes, decorrelated into a
+    per-(part, supplier) aggregate compared against the per-part total.
+    Suppliers qualifying on any 'small %' part are listed with their
+    nation.
+
+    The dominance predicate is exact BIGINT arithmetic on cent-scaled
+    quantities (2 * qty_supp > qty_total) -- no division, so the boundary
+    is bit-identical across engines.
+
+    Scale: the date filter prunes at the scan; the (part, supplier)
+    aggregate is the one fact-sized shuffle; the per-part total
+    re-aggregates that rollup and joins back co-located on l_partkey; the
+    part-name filter broadcasts; output is |suppliers|-bounded."""
+    qc = (F.col("l_quantity").cast("decimal(18,2)") * 100).cast("bigint")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    ).select("l_partkey", "l_suppkey", qc.alias("qc"))
+    pq = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("qc").cast("bigint").alias("qty_supp")
+    )
+    pt = pq.groupBy("l_partkey").agg(
+        F.sum("qty_supp").cast("bigint").alias("qty_total")
+    )
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("small %")
+    ).select("p_partkey")
+    dom = (
+        pq.join(pt, "l_partkey")
+        .filter(2 * F.col("qty_supp") > F.col("qty_total"))
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"), "left_semi")
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        dom.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )

@@ -130,6 +130,14 @@ _CHECK_ORDER = [
     "approx_topk",
     "stream_topk_windowed",
 ]
+# Round-6 rotation note: keys registered AFTER the round-5 window filled
+# (tpch_q2_min_cost_supplier, tpch_q11_important_stock,
+# tpch_q16_supplier_count_by_part, tpch_q20_dominant_suppliers, and any
+# later round-5 additions) sit past position 50 in entries() iteration
+# (registration order) and therefore have no driver row yet. All are
+# DuckDB-parity green via tests/test_oracle_parity.py. Round 6 MUST rotate
+# them to the front of _CHECK_ORDER once CORRECTNESS_r05 attests the
+# current window -- same procedure that produced this window from r4's.
 
 _loaded = False
 

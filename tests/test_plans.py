@@ -385,3 +385,20 @@ def test_measured_shuffle_budgets(spark, sf_dir):
     scan.collect()
     m2 = P.executed_metrics(scan, ("shuffleRecordsWritten", "shuffleBytesWritten"))
     assert m2["shuffleRecordsWritten"] == 0 and m2["shuffleBytesWritten"] == 0
+
+
+def test_tpch_completion_dims_broadcast_and_windows_bounded(spark, sf_dir):
+    """The round-5 TPC-H completions (Q2/Q11/Q16/Q20) must keep every dim
+    side broadcast and at most Q2's single per-part-minimum window; the
+    only fact-sized exchange in each is the derived part-supplier (or
+    part-value) partial aggregate."""
+    q2 = registry.get("tpch_q2_min_cost_supplier").fn(spark, sf_dir)
+    assert P.uses_broadcast_join(q2), "q2 lost its supplier/part broadcasts"
+    assert P.formatted_plan(q2).count("Window") <= 2, "q2 grew extra window passes"
+    for name in ("tpch_q11_important_stock", "tpch_q16_supplier_count_by_part",
+                 "tpch_q20_dominant_suppliers"):
+        df = registry.get(name).fn(spark, sf_dir)
+        plan = P.formatted_plan(df)
+        assert P.uses_broadcast_join(df), f"{name} lost its broadcast"
+        assert "Window" not in plan, f"{name} acquired a window it should not need"
+        assert "CartesianProduct" not in plan, f"{name} fell to a cartesian"
