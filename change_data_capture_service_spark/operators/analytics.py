@@ -1355,3 +1355,156 @@ def time_to_conversion_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("p90_hours"),
     )
+
+
+@register(
+    "events_gini_concentration",
+    tags=("analytics", "agg", "window"),
+    oracle="""
+    WITH u AS (
+      SELECT event_type, user_id,
+             CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT event_type, cents,
+             CAST(row_number() OVER (PARTITION BY event_type
+                                     ORDER BY cents, user_id) AS BIGINT) AS i,
+             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+             CAST(sum(cents) OVER (PARTITION BY event_type) AS BIGINT) AS tot
+      FROM u
+    )
+    SELECT event_type,
+           CAST(max(n) AS BIGINT) AS n_users,
+           CAST(round((2.0 * CAST(sum(i * cents) AS BIGINT)
+                       - (max(n) + 1) * max(tot))
+                      / (CAST(max(n) AS DOUBLE) * max(tot)), 6) AS DOUBLE)
+             AS gini
+    FROM r GROUP BY event_type
+    """,
+)
+def events_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user value concentration within each event
+    type: 0 = spend spread evenly across users, ->1 = a few whales carry
+    everything -- the one-number inequality summary behind the LTV decile
+    table (events_user_ltv_deciles gives the curve, this gives the area).
+
+    Uses the exact rank formulation G = (2*sum(i*x_i) - (n+1)*sum(x)) /
+    (n*sum(x)) over cent-scaled BIGINT totals: every term is exact integer
+    arithmetic until the single final division, so the boundary is
+    bit-identical across engines.
+
+    Scale: the per-user reduction is the only fact-sized shuffle; the rank
+    window runs over |users| reduced rows per type. At 100 TB the global
+    per-type sort inside the window is the pressure point -- the
+    documented swap is quantile-binned partial Ginis (broadcast
+    approx-percentile boundaries, the rfm/ltv pattern), trading exactness
+    for a parallel cut."""
+    e = load_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    u = e.groupBy("event_type", "user_id").agg(
+        F.sum(cents).cast("bigint").alias("cents")
+    )
+    w = Window.partitionBy("event_type").orderBy("cents", "user_id")
+    wa = Window.partitionBy("event_type")
+    r = u.select(
+        "event_type",
+        "cents",
+        F.row_number().over(w).cast("bigint").alias("i"),
+        F.count("*").over(wa).cast("bigint").alias("n"),
+        F.sum("cents").over(wa).cast("bigint").alias("tot"),
+    )
+    return r.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n_users"),
+        F.round(
+            (
+                2.0 * F.sum(F.col("i") * F.col("cents")).cast("bigint")
+                - (F.max("n") + 1) * F.max("tot")
+            )
+            / (F.max("n").cast("double") * F.max("tot")),
+            6,
+        )
+        .cast("double")
+        .alias("gini"),
+    )
+
+
+@register(
+    "events_hourly_autocorr",
+    tags=("analytics", "timeseries", "window"),
+    oracle="""
+    WITH h AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT event_type, c AS y,
+             lag(c) OVER (PARTITION BY event_type ORDER BY hour) AS x
+      FROM h
+    ),
+    s AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy,
+             CAST(sum(x * y) AS BIGINT) AS sxy
+      FROM p WHERE x IS NOT NULL GROUP BY 1
+    )
+    SELECT event_type, n AS n_pairs,
+           CAST(round((n * sxy - sx * sy)
+                      / nullif(sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                               * sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 0),
+                      6) AS DOUBLE) AS autocorr_lag1
+    FROM s
+    """,
+)
+def events_hourly_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of hourly event volume per stream: near 1 =
+    smooth/diurnal load (safe to autoscale on a moving average), near 0 =
+    memoryless arrivals, negative = oscillating retry storms. With
+    events_burstiness (Fano factor) this completes the arrival-process
+    profile that sizes micro-batch triggers.
+
+    All five moments accumulate as exact BIGINTs over hourly counts
+    (adjacent observed hours pair via one lag window); doubles appear only
+    in the final Pearson expression, sqrt being IEEE-exact on both
+    engines.
+
+    Scale: the hourly rollup is the fact-sized partial agg; the lag window
+    and the moment agg both run on |hours| rows per type and share the
+    event_type partitioning -- one reduced-relation shuffle after the
+    rollup."""
+    e = load_table(spark, sf_dir, "events")
+    h = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    w = Window.partitionBy("event_type").orderBy("hour")
+    p = h.select(
+        "event_type",
+        F.col("c").alias("y"),
+        F.lag("c").over(w).alias("x"),
+    ).filter(F.col("x").isNotNull())
+    s = p.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    denom = F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")) * F.sqrt(
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return s.select(
+        "event_type",
+        F.col("n").alias("n_pairs"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / F.nullif(denom, F.lit(0)),
+            6,
+        )
+        .cast("double")
+        .alias("autocorr_lag1"),
+    )

@@ -8,7 +8,7 @@ stand-in: ``event_id`` is the LSN ordinal, ``user_id`` the row key).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -822,4 +822,71 @@ def cdc_replication_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("n_last_hour"),
         )
+    )
+
+
+@register(
+    "cdc_out_of_order_rate",
+    tags=("cdc", "monitor", "window"),
+    oracle="""
+    WITH o AS (
+      SELECT event_type, ts,
+             max(ts) OVER (PARTITION BY event_type ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS seen
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN ts < seen THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_late,
+           CAST(round(CAST(sum(CASE WHEN ts < seen THEN 1 ELSE 0 END)
+                           AS DOUBLE) / count(*), 6) AS DOUBLE) AS late_rate,
+           CAST(max(CASE WHEN ts < seen
+                         THEN epoch_us(seen) - epoch_us(ts)
+                         ELSE 0 END) AS BIGINT) AS max_late_us
+    FROM o GROUP BY 1
+    """,
+)
+def cdc_out_of_order_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-order profile per stream: the fraction of events whose
+    event time lands behind the running maximum in arrival order
+    (event_id standing in for the LSN, the fixture convention), plus the
+    worst observed lateness. This is THE input for choosing a Structured
+    Streaming watermark delay -- ``withWatermark`` must cover max_late (or
+    the accepted loss quantile) or windowed aggregates silently drop those
+    events. The reference has no notion of event-time disorder at all: it
+    indexes by LSN arrival order only (``cmd/es_consumer/main.go:77``).
+
+    Lateness is exact integer microseconds (epoch_us on both engines), so
+    the max and the late/on-time boundary are bit-identical.
+
+    Scale: one window shuffle keyed by the stream id (running max is a
+    streaming-friendly prefix scan -- rows-frame, no sort spill beyond
+    the keyed order), then a |types|-state partial agg that reuses the
+    same partitioning. At 100 TB the arrival order within a type is the
+    log's native file order, so the sort is near-presorted merge work."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    o = e.select(
+        "event_type",
+        "ts",
+        F.max("ts").over(w).alias("seen"),
+    )
+    late = F.when(F.col("ts") < F.col("seen"), 1).otherwise(0)
+    late_us = F.when(
+        F.col("ts") < F.col("seen"),
+        F.unix_micros(F.col("seen")) - F.unix_micros(F.col("ts")),
+    ).otherwise(0)
+    return o.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum(late).cast("bigint").alias("n_late"),
+        F.round(F.sum(late).cast("double") / F.count("*"), 6)
+        .cast("double")
+        .alias("late_rate"),
+        F.max(late_us).cast("bigint").alias("max_late_us"),
     )

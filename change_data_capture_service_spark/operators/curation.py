@@ -420,3 +420,76 @@ def sample_balanced_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", "lang", F.row_number().over(w).cast("int").alias("rnk"))
         .filter(F.col("rnk") <= 20)
     )
+
+
+@register(
+    "sample_temperature_mixture",
+    tags=("curation", "northstar", "agg"),
+    oracle=f"""
+    WITH t AS (
+      SELECT source, CAST(sum(len({TOKENS})) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY 1
+    ),
+    w AS (
+      SELECT source, n_tokens,
+             CAST(round(sqrt(CAST(n_tokens AS DOUBLE)), 6) AS DECIMAL(18,6))
+               AS wt
+      FROM t
+    ),
+    tot AS (
+      SELECT CAST(sum(n_tokens) AS BIGINT) AS nt, sum(wt) AS wtot FROM w
+    )
+    SELECT w.source, w.n_tokens,
+           CAST(round(CAST(w.n_tokens AS DOUBLE) / tot.nt, 6) AS DOUBLE)
+             AS raw_share,
+           CAST(round(CAST(w.wt AS DOUBLE) / CAST(tot.wtot AS DOUBLE), 6)
+                AS DOUBLE) AS temp_share
+    FROM w CROSS JOIN tot
+    ORDER BY source
+    """,
+)
+def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture weights per source (alpha = 0.5): the
+    standard multilingual/multi-source rebalancing rule w_i proportional
+    to p_i^alpha that upsamples small sources without letting the biggest
+    one dominate -- the sampling-plan companion to sample_token_mixture
+    (which executes a given plan; this derives one).
+
+    alpha is fixed at 0.5 so the power is sqrt(), which IEEE 754 requires
+    correctly rounded -- bit-identical across engines where a generic
+    pow() is not. Each source's weight snaps to DECIMAL(18,6) before the
+    normalizing sum, so the denominator is an exact decimal sum,
+    order-independent.
+
+    Scale: token counting partial-aggregates to |sources| rows (the
+    fixed-size fold family); the normalizer is a 1-row broadcast.
+    Everything after the first agg is dim-scale."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.groupBy("source").agg(
+        F.sum(F.size(_tokens())).cast("bigint").alias("n_tokens")
+    )
+    w = t.select(
+        "source",
+        "n_tokens",
+        F.round(F.sqrt(F.col("n_tokens").cast("double")), 6)
+        .cast("decimal(18,6)")
+        .alias("wt"),
+    )
+    tot = w.agg(
+        F.sum("n_tokens").cast("bigint").alias("nt"),
+        F.sum("wt").alias("wtot"),
+    )
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_tokens",
+            F.round(F.col("n_tokens").cast("double") / F.col("nt"), 6)
+            .cast("double")
+            .alias("raw_share"),
+            F.round(F.col("wt").cast("double") / F.col("wtot").cast("double"), 6)
+            .cast("double")
+            .alias("temp_share"),
+        )
+        .orderBy("source")
+    )

@@ -586,3 +586,67 @@ def docs_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("flesch_score"),
     )
+
+
+@register(
+    "quality_perplexity_unigram",
+    tags=("quality", "text", "northstar"),
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({TOKENS}) AS tok FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY 1, 2
+    ),
+    corpus AS (
+      SELECT tok, CAST(sum(c) AS BIGINT) AS cc FROM tf GROUP BY 1
+    ),
+    n AS (SELECT CAST(sum(cc) AS BIGINT) AS n FROM corpus)
+    SELECT tf.doc_id,
+           CAST(sum(tf.c) AS BIGINT) AS n_tokens,
+           CAST(round(-sum(tf.c * ln(CAST(corpus.cc AS DOUBLE) / n.n))
+                      / sum(tf.c), 6) AS DOUBLE) AS cross_entropy
+    FROM tf JOIN corpus USING (tok) CROSS JOIN n
+    GROUP BY tf.doc_id
+    """,
+)
+def quality_perplexity_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-entropy under the corpus's own unigram language
+    model (nats/token): the cheapest perplexity-style quality filter --
+    documents far above the corpus norm are noise/gibberish, far below are
+    boilerplate -- the signal CCNet/Gopher pipelines compute with a real
+    LM, here with the corpus itself as the model so the operator is
+    self-contained and oracle-checkable.
+
+    Scale: token counts partial-aggregate at (doc, token) grain, the
+    corpus model re-aggregates THAT relation at token grain (vocab-sized,
+    never corpus-sized), and the model joins back co-located on the token
+    key; the corpus total is a 1-row broadcast. Per-token ln() terms sum
+    per doc and round at 1e-6 (the text_entropy precedent: doc-local sums
+    are small enough that accumulation order cannot move the 6th
+    decimal)."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(_tokens()).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    corpus = tf.groupBy("tok").agg(F.sum("c").cast("bigint").alias("cc"))
+    n = corpus.agg(F.sum("cc").cast("bigint").alias("n"))
+    return (
+        tf.join(corpus, "tok")
+        .crossJoin(F.broadcast(n))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.round(
+                -F.sum(
+                    F.col("c") * F.log(F.col("cc").cast("double") / F.col("n"))
+                )
+                / F.sum("c"),
+                6,
+            )
+            .cast("double")
+            .alias("cross_entropy"),
+        )
+    )

@@ -402,3 +402,26 @@ def test_tpch_completion_dims_broadcast_and_windows_bounded(spark, sf_dir):
         assert P.uses_broadcast_join(df), f"{name} lost its broadcast"
         assert "Window" not in plan, f"{name} acquired a window it should not need"
         assert "CartesianProduct" not in plan, f"{name} fell to a cartesian"
+
+
+def test_arrival_profile_ops_reduce_before_windows(spark, sf_dir):
+    """Batch-2 round-5 ops: the perplexity model must derive from the tf
+    relation (one corpus explode, token-keyed co-located join), and the
+    Gini/autocorr windows must run over reduced relations, never raw
+    facts."""
+    ppl = registry.get("quality_perplexity_unigram").fn(spark, sf_dir)
+    ppl.collect()  # AQE resolves exchange reuse only at execution
+    # simple_plan prints Final Plan then Initial Plan; judge the final only
+    final = P.simple_plan(ppl).split("== Initial Plan ==")[0]
+    n_explodes = final.count("Generate explode")
+    assert n_explodes <= 2 and "CartesianProduct" not in final, (
+        f"perplexity plan degraded: {n_explodes} corpus explodes"
+    )
+    for name in ("events_gini_concentration", "events_hourly_autocorr"):
+        df = registry.get(name).fn(spark, sf_dir)
+        plan = P.formatted_plan(df)
+        # the window's child must be an aggregate (the reduction), so the
+        # raw fact table never feeds a sort
+        assert "Window" in plan and "HashAggregate" in plan, name
+    ooo = registry.get("cdc_out_of_order_rate").fn(spark, sf_dir)
+    assert P.count_shuffles(ooo) <= 2, "out-of-order profile grew extra exchanges"
