@@ -99,18 +99,19 @@ def _bench_rollup_incremental(spark, sf_dir: str) -> dict[str, float]:
     """Continuous-aggregate crossover, measured at two history depths:
     maintaining the hourly rollup for ONE arriving micro-batch (10% of
     the table as inserts) vs recomputing the aggregate from the full
-    event log, on a 1x log and on a 30x log (history replicated with
-    disjoint LSN ranges). Incremental cost is O(batch) and must stay
-    flat as history grows; recompute reads the whole log and must scale
-    with it -- the crossover point where maintenance beats recompute is
-    thereby a recorded fact, not a claim. (At sf0.1 x1 the recompute of
-    a trivially small log wins on fixed per-epoch overhead -- measured
-    sf0.1 probe: incremental 1.44/0.92/0.88 s flat at 1x/10x/30x while
-    recompute scales 0.60/0.51/1.52 s -- the 30x point is past the
-    crossover.)
+    event log, on a 1x log and on a 100x log. Incremental cost is
+    O(batch) plus the file-source listing and must stay near-flat as
+    history grows; recompute reads the whole log and must scale with it
+    -- the crossover point where maintenance beats recompute is thereby
+    a recorded fact in every round's JSON, not a claim. At 1x the
+    recompute of a trivially small log wins on fixed per-epoch overhead
+    (expected, documented); at 100x incremental must win or the feature
+    is broken.
 
-    Both paths are timed symmetrically: incremental = micro-batch drain
-    + read-side partial merge; recompute = full log scan + aggregate."""
+    Both paths are timed symmetrically (incremental = micro-batch drain
+    + read-side partial merge; recompute = full log scan + aggregate),
+    min-of-2 trials each, because one cold streaming launch under GC
+    pressure is enough to double a single reading."""
     import shutil
     import tempfile
     import time
@@ -127,20 +128,31 @@ def _bench_rollup_incremental(spark, sf_dir: str) -> dict[str, float]:
     delta = events.filter(F.col("event_id") % 10 == 0)
     out: dict[str, float] = {}
 
-    for mult in (1, 30):
+    for mult in (1, 100):
         work = tempfile.mkdtemp(prefix=f"bench-rollup-{mult}x-")
         try:
             log = f"{work}/log"
             write_snapshot(spark, base, log, schema_name="public",
                            table_name="events", fmt="parquet")
-            # replicate history with disjoint LSN ranges: same byte volume
-            # per copy, so the log is genuinely mult x larger on disk
-            for i in range(1, mult):
+            # replicate history: ONE extra insert-envelope copy is written
+            # through the engine, then byte-copied under fresh names, so
+            # the log is genuinely mult x larger on disk without mult
+            # Spark write jobs. The additive rollup and the recompute
+            # aggregate are indifferent to the repeated LSN range -- both
+            # paths do mult x the scan/merge work either way.
+            if mult > 1:
+                import glob as _glob
+
+                src = f"{work}/copy_src"
                 env.encode(
                     base, op="insert", schema_name="public",
                     table_name="events", pk_cols=["event_id"],
-                    lsn=F.col("event_id") + i * 10_000_000, ts=F.col("ts"),
-                ).write.mode("append").format("parquet").save(log)
+                    lsn=F.col("event_id") + 10_000_000, ts=F.col("ts"),
+                ).write.format("parquet").save(src)
+                parts = _glob.glob(f"{src}/part-*.parquet")
+                for i in range(1, mult):
+                    for j, p in enumerate(parts):
+                        shutil.copy(p, f"{log}/hist-{i:03d}-{j:03d}.parquet")
 
             def drain():
                 stream = (
@@ -154,40 +166,48 @@ def _bench_rollup_incremental(spark, sf_dir: str) -> dict[str, float]:
             sink = drain()  # initial load (not the measured path)
             sink.compact()  # steady-state reader: bounded partial files
 
-            # the arriving 10% as insert envelopes
-            env.encode(
-                delta, op="insert", schema_name="public", table_name="events",
-                pk_cols=["event_id"], lsn=F.col("event_id") + 900_000_000,
-                ts=F.col("ts"),
-            ).write.mode("append").format("parquet").save(log)
-
+            # two arriving micro-batches, timed independently, min kept:
+            # a single cold streaming-query launch under GC pressure can
+            # double the reading, and the crossover claim deserves the
+            # same min-of-N discipline as every other number here. The
             # timed region covers BOTH the write path (micro-batch drain)
             # and the read-side partial merge, so the comparison with
-            # recompute (full read+aggregate) is symmetric
-            t0 = time.perf_counter()
-            drain()  # incremental: only the new files feed the sink
-            sink.current("public", "events").write.format("noop").mode(
-                "overwrite"
-            ).save()
-            out[f"incremental_{mult}x_s"] = round(time.perf_counter() - t0, 3)
+            # recompute (full read+aggregate) is symmetric.
+            inc_trials = []
+            for k, lsn_base in enumerate((900_000_000, 910_000_000)):
+                env.encode(
+                    delta, op="insert", schema_name="public",
+                    table_name="events", pk_cols=["event_id"],
+                    lsn=F.col("event_id") + lsn_base, ts=F.col("ts"),
+                ).write.mode("append").format("parquet").save(log)
+                t0 = time.perf_counter()
+                drain()  # incremental: only the new files feed the sink
+                sink.current("public", "events").write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                inc_trials.append(time.perf_counter() - t0)
+            out[f"incremental_{mult}x_s"] = round(min(inc_trials), 3)
 
             # recompute reads the LOG (the thing that grows with history),
-            # not the original table
-            t0 = time.perf_counter()
-            (
-                spark.read.schema(env.ENVELOPE_SCHEMA).parquet(log)
-                .select(
-                    F.element_at(F.col("after"), "ts").cast("timestamp").alias("ts"),
-                    (
-                        F.element_at(F.col("after"), "value").cast("decimal(18,2)")
-                        * 100
-                    ).cast("long").alias("cents"),
+            # not the original table; min-of-2 for symmetry
+            rec_trials = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                (
+                    spark.read.schema(env.ENVELOPE_SCHEMA).parquet(log)
+                    .select(
+                        F.element_at(F.col("after"), "ts").cast("timestamp").alias("ts"),
+                        (
+                            F.element_at(F.col("after"), "value").cast("decimal(18,2)")
+                            * 100
+                        ).cast("long").alias("cents"),
+                    )
+                    .groupBy(F.date_trunc("hour", "ts").alias("hour"))
+                    .agg(F.count("*").alias("n"), F.sum("cents").alias("c"))
+                    .write.format("noop").mode("overwrite").save()
                 )
-                .groupBy(F.date_trunc("hour", "ts").alias("hour"))
-                .agg(F.count("*").alias("n"), F.sum("cents").alias("c"))
-                .write.format("noop").mode("overwrite").save()
-            )
-            out[f"recompute_{mult}x_s"] = round(time.perf_counter() - t0, 3)
+                rec_trials.append(time.perf_counter() - t0)
+            out[f"recompute_{mult}x_s"] = round(min(rec_trials), 3)
         finally:
             shutil.rmtree(work, ignore_errors=True)
     return out

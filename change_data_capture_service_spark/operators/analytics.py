@@ -1508,3 +1508,56 @@ def events_hourly_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("autocorr_lag1"),
     )
+
+
+@register(
+    "events_entry_paths_topk",
+    tags=("analytics", "window"),
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+      FROM events
+    ),
+    p AS (
+      SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+      FROM s WHERE rn <= 3 GROUP BY user_id
+    )
+    SELECT path, CAST(count(*) AS BIGINT) AS n_users
+    FROM p GROUP BY path
+    ORDER BY n_users DESC, path
+    LIMIT 20
+    """,
+)
+def events_entry_paths_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top first-three-event paths across users: the onboarding-flow
+    Sankey's source data (which openings actually happen, and how often)
+    -- the sequence-mining companion to event_transitions' single-step
+    matrix.
+
+    Scale: the rank filter (rn <= 3) is a WindowGroupLimit, so map tasks
+    keep only 3 rows per user BEFORE the user-keyed shuffle; path assembly
+    sorts the 3-element struct array per user (array_sort on (rn, type)
+    -- deterministic, engine-agnostic); path counting partial-aggregates
+    to |distinct paths| and top-20 is TakeOrderedAndProject."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    s = (
+        e.select("user_id", "event_type", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+    )
+    p = s.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                lambda x: x["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        p.groupBy("path")
+        .agg(F.count("*").cast("bigint").alias("n_users"))
+        .orderBy(F.col("n_users").desc(), "path")
+        .limit(20)
+    )

@@ -730,3 +730,55 @@ def dedup_minhash_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard_raw") >= 0.7)
         .select("doc_id_a", "doc_id_b", F.round("jaccard_raw", 6).alias("jaccard"))
     )
+
+
+@register(
+    "dedup_containment_pairs",
+    tags=("dedup", "northstar"),
+    oracle=_ORACLE_EXACT_JACCARD
+    + """
+    SELECT doc_id_a, doc_id_b,
+           round(CAST(c AS DOUBLE) / na, 6) AS containment_a,
+           round(CAST(c AS DOUBLE) / nb, 6) AS containment_b
+    FROM pairs
+    WHERE CAST(c AS DOUBLE) / na >= 0.8 OR CAST(c AS DOUBLE) / nb >= 0.8
+    """,
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle containment (|A∩B| / |A|, threshold 0.8): the
+    subset-duplicate detector Jaccard misses -- a short doc fully embedded
+    in a long one has high containment but low Jaccard because the union
+    is dominated by the long doc. Standard second pass next to
+    dedup_ngram_jaccard in curation pipelines (quote extraction,
+    boilerplate wrappers, truncated re-crawls).
+
+    Scale: identical pair topology to the exact-Jaccard op -- pairs form
+    only through shared shingles (shingle-keyed equi-join), so cost is
+    sum over shingles of docs-per-shingle squared, and only (doc_id, n,
+    shingle-hash) rows shuffle, never text. The two containment ratios
+    are IEEE divisions of the same exact counts on both engines."""
+    sh = _shingled_docs(spark, sf_dir)
+    ex = sh.select(
+        "doc_id", F.size("shingles").alias("n"), F.explode("shingles").alias("shingle")
+    )
+    a, b = ex.alias("a"), ex.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b"))
+        .agg(F.count("*").alias("c"), F.first("a.n").alias("na"), F.first("b.n").alias("nb"))
+    )
+    ca = F.col("c").cast("double") / F.col("na")
+    cb = F.col("c").cast("double") / F.col("nb")
+    return (
+        pairs.filter((ca >= 0.8) | (cb >= 0.8))
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            F.round(ca, 6).alias("containment_a"),
+            F.round(cb, 6).alias("containment_b"),
+        )
+    )

@@ -1916,3 +1916,66 @@ def tpch_q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_name", "n_name")
         .orderBy("s_name")
     )
+
+
+@register(
+    "discount_quantity_effect",
+    tags=("agg", "relational"),
+    oracle=f"""
+    WITH b AS (
+      SELECT CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS discount_pct,
+             CAST(count(*) AS BIGINT) AS n_items,
+             CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT))
+                  AS BIGINT) AS qty_cents,
+             sum({_REV}) AS rev
+      FROM lineitem GROUP BY 1
+    ),
+    tot AS (SELECT sum(rev) AS rev_total FROM b)
+    SELECT b.discount_pct, b.n_items,
+           CAST(round(CAST(b.qty_cents AS DOUBLE) / 100 / b.n_items, 6)
+                AS DOUBLE) AS avg_qty,
+           CAST(round(CAST(b.rev AS DOUBLE) / CAST(tot.rev_total AS DOUBLE), 6)
+                AS DOUBLE) AS revenue_share
+    FROM b CROSS JOIN tot
+    ORDER BY discount_pct
+    """,
+)
+def discount_quantity_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discount elasticity dash: per discount level (exact integer
+    percent), how many line items, the average quantity (do deeper
+    discounts move bigger baskets?), and the level's share of total
+    revenue -- the pricing analysis TPC-H Q6 gestures at, done as a full
+    distribution instead of one slice.
+
+    Scale: one partial agg with |discount levels| states (~12); the
+    revenue total re-aggregates that rollup (1-row broadcast back).
+    Quantities and revenue stay exact (BIGINT cents / DECIMAL) until the
+    two final display divisions."""
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.groupBy(
+        (F.col("l_discount").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("discount_pct")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_items"),
+        F.sum((F.col("l_quantity").cast("decimal(18,2)") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("qty_cents"),
+        F.sum(_rev()).alias("rev"),
+    )
+    tot = b.agg(F.sum("rev").alias("rev_total"))
+    return (
+        b.crossJoin(F.broadcast(tot))
+        .select(
+            "discount_pct",
+            "n_items",
+            F.round(F.col("qty_cents").cast("double") / 100 / F.col("n_items"), 6)
+            .cast("double")
+            .alias("avg_qty"),
+            F.round(F.col("rev").cast("double") / F.col("rev_total").cast("double"), 6)
+            .cast("double")
+            .alias("revenue_share"),
+        )
+        .orderBy("discount_pct")
+    )
