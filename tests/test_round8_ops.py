@@ -1,0 +1,172 @@
+"""Semantic invariants for the round-5 late batch (TPC-H partsupp-derived
+four, arrival/quality/mixture profiles, containment dedup, path mining,
+discount dash) -- conservation laws and bounds that hash parity can't
+express."""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from change_data_capture_service_spark import registry
+from change_data_capture_service_spark.catalog import load_table
+
+registry.load_all()
+
+
+def _pdf(spark, sf_dir, name):
+    return registry.get(name).fn(spark, sf_dir).toPandas()
+
+
+def test_gini_bounds_and_independent_recompute(spark, sf_dir):
+    """0 <= G < 1, and the operator's value matches an independent pandas
+    recomputation of the rank formula from raw events."""
+    g = _pdf(spark, sf_dir, "events_gini_concentration")
+    assert ((g["gini"] >= 0) & (g["gini"] < 1)).all()
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "user_id", F.col("value").cast("decimal(18,2)").alias("v"))
+        .toPandas()
+    )
+    ev["cents"] = (ev["v"] * 100).astype("int64")
+    for etype, grp in ev.groupby("event_type"):
+        u = (
+            grp.groupby("user_id")["cents"].sum().reset_index()
+            .sort_values(["cents", "user_id"]).reset_index(drop=True)
+        )
+        n, tot = len(u), int(u["cents"].sum())
+        s = int((u["cents"] * (u.index + 1)).sum())
+        expect = round((2.0 * s - (n + 1) * tot) / (n * tot), 6)
+        got = float(g.loc[g["event_type"] == etype, "gini"].iloc[0])
+        assert math.isclose(got, expect, abs_tol=1e-9), (etype, got, expect)
+
+
+def test_autocorr_is_a_correlation(spark, sf_dir):
+    """|r| <= 1 and n_pairs = observed hours - 1 per stream."""
+    a = _pdf(spark, sf_dir, "events_hourly_autocorr")
+    assert (a["autocorr_lag1"].dropna().abs() <= 1.0 + 1e-9).all()
+    hours = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("hour", "ts"))
+        .count()
+        .groupBy("event_type")
+        .count()
+        .toPandas()
+        .set_index("event_type")["count"]
+    )
+    for _, row in a.iterrows():
+        assert row["n_pairs"] == hours[row["event_type"]] - 1
+
+
+def test_perplexity_token_weighted_mean_is_corpus_entropy(spark, sf_dir):
+    """Conservation law: the token-weighted mean of per-doc cross-entropy
+    under the corpus unigram model IS the corpus unigram entropy --
+    sum_docs(n_d * H_d) / N == -sum_vocab(p * ln p)."""
+    ppl = _pdf(spark, sf_dir, "quality_perplexity_unigram")
+    weighted = float((ppl["n_tokens"] * ppl["cross_entropy"]).sum() / ppl["n_tokens"].sum())
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.filter(F.split(F.lower("text"), " "), lambda x: x != "")).alias("t"))
+        .groupBy("t").count().toPandas()["count"]
+    )
+    p = toks / toks.sum()
+    h_corpus = float(-(p * p.map(math.log)).sum())
+    assert math.isclose(weighted, h_corpus, rel_tol=1e-4), (weighted, h_corpus)
+
+
+def test_temperature_mixture_flattens_shares(spark, sf_dir):
+    """Both share columns sum to 1, and alpha=0.5 compresses the
+    distribution: the biggest source loses share, the smallest gains."""
+    m = _pdf(spark, sf_dir, "sample_temperature_mixture").sort_values("raw_share")
+    assert math.isclose(m["raw_share"].sum(), 1.0, abs_tol=1e-3)
+    assert math.isclose(m["temp_share"].sum(), 1.0, abs_tol=1e-3)
+    if m["raw_share"].iloc[-1] > m["raw_share"].iloc[0] + 1e-9:
+        assert m["temp_share"].iloc[-1] < m["raw_share"].iloc[-1]
+        assert m["temp_share"].iloc[0] > m["raw_share"].iloc[0]
+
+
+def test_out_of_order_rate_internally_consistent(spark, sf_dir):
+    o = _pdf(spark, sf_dir, "cdc_out_of_order_rate")
+    assert (o["n_late"] <= o["n_events"]).all()
+    for _, r in o.iterrows():
+        assert math.isclose(r["late_rate"], round(r["n_late"] / r["n_events"], 6), abs_tol=1e-9)
+        if r["n_late"] == 0:
+            assert r["max_late_us"] == 0
+        else:
+            assert r["max_late_us"] > 0
+
+
+def test_containment_dominates_jaccard(spark, sf_dir):
+    """containment_a = c/na >= c/(na+nb-c) = jaccard, so every pair the
+    exact-Jaccard op reports at >=0.5 must appear here with containment
+    >= its jaccard (threshold permitting) -- and all containments are in
+    (0, 1]."""
+    cont = _pdf(spark, sf_dir, "dedup_containment_pairs")
+    assert ((cont["containment_a"] > 0) & (cont["containment_a"] <= 1.0)).all()
+    assert ((cont["containment_b"] > 0) & (cont["containment_b"] <= 1.0)).all()
+    assert (cont[["containment_a", "containment_b"]].max(axis=1) >= 0.8 - 1e-9).all()
+    assert (cont["doc_id_a"] < cont["doc_id_b"]).all()
+    jac = _pdf(spark, sf_dir, "dedup_ngram_jaccard")
+    merged = jac.merge(cont, on=["doc_id_a", "doc_id_b"], how="inner")
+    for _, r in merged.iterrows():
+        assert max(r["containment_a"], r["containment_b"]) >= r["jaccard"] - 1e-6
+
+
+def test_entry_paths_conserve_users(spark, sf_dir):
+    p = _pdf(spark, sf_dir, "events_entry_paths_topk")
+    n_users = load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    assert p["n_users"].sum() <= n_users
+    assert (p["path"].str.count(">") <= 2).all()
+    # top-20 is sorted deterministically
+    assert list(p["n_users"]) == sorted(p["n_users"], reverse=True)
+
+
+def test_q2_reports_the_regional_minimum_once_per_supplier_part(spark, sf_dir):
+    q2 = _pdf(spark, sf_dir, "tpch_q2_min_cost_supplier")
+    if len(q2) == 0:
+        return  # sf0.001 may have no LARGE parts in the size band
+    assert (q2["supply_cost"] > 0).all()
+    # every row for one part carries the same (minimum) cost
+    assert (q2.groupby("p_partkey")["supply_cost"].nunique() == 1).all()
+
+
+def test_q16_counts_bounded_by_clean_suppliers(spark, sf_dir):
+    q16 = _pdf(spark, sf_dir, "tpch_q16_supplier_count_by_part")
+    n_ok = (
+        load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") >= 0).count()
+    )
+    assert (q16["supplier_cnt"] <= n_ok).all()
+    assert q16["p_size"].isin([1, 4, 9, 16, 25, 36, 49]).all()
+    assert (q16["p_type"] != "PROMO").all()
+
+
+def test_q20_dominance_verified_from_raw(spark, sf_dir):
+    """Every listed supplier must actually dominate (>half of 1996 volume)
+    at least one 'small %' part, recomputed independently from raw."""
+    q20 = _pdf(spark, sf_dir, "tpch_q20_dominant_suppliers")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter((F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01"))
+        .select("l_partkey", "l_suppkey", (F.col("l_quantity").cast("decimal(18,2)") * 100).cast("bigint").alias("qc"))
+        .toPandas()
+    )
+    parts = load_table(spark, sf_dir, "part").toPandas()
+    small = set(parts.loc[parts["p_name"].str.startswith("small "), "p_partkey"])
+    sup = load_table(spark, sf_dir, "supplier").toPandas().set_index("s_suppkey")["s_name"]
+    pq = li.groupby(["l_partkey", "l_suppkey"])["qc"].sum().reset_index()
+    pt = pq.groupby("l_partkey")["qc"].sum()
+    dom_keys = {
+        int(r["l_suppkey"])
+        for _, r in pq.iterrows()
+        if r["l_partkey"] in small and 2 * r["qc"] > pt[r["l_partkey"]]
+    }
+    assert set(q20["s_name"]) == {sup[k] for k in dom_keys}
+
+
+def test_discount_effect_shares_sum_to_one(spark, sf_dir):
+    d = _pdf(spark, sf_dir, "discount_quantity_effect")
+    assert math.isclose(d["revenue_share"].sum(), 1.0, abs_tol=1e-3)
+    assert (d["avg_qty"] > 0).all()
+    assert (d["n_items"] > 0).all()
