@@ -77,6 +77,23 @@ def main() -> None:
     docs = docs.join(rep, "doc_id", "left_semi").join(ent, "doc_id", "left_semi")
     n3b = docs.count()
 
+    # 3c. perplexity gate (round-5): score every doc against the corpus's
+    #     own unigram LM and drop the worst 5% -- the CCNet-style filter;
+    #     the cutoff is a single broadcast scalar from the score relation.
+    from change_data_capture_service_spark.operators.quality import (
+        quality_perplexity_unigram,
+    )
+
+    ppl = quality_perplexity_unigram(spark, SF)
+    cutoff = ppl.agg(F.expr("percentile(cross_entropy, 0.95)").alias("p95"))
+    keep = (
+        ppl.crossJoin(F.broadcast(cutoff))
+        .filter(F.col("cross_entropy") <= F.col("p95"))
+        .select("doc_id")
+    )
+    docs = docs.join(keep, "doc_id", "left_semi")
+    n3c = docs.count()
+
     # 4. deterministic ~10% held-out split: same rows on ANY cluster/run
     digest = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
     heldout = docs.filter(digest < "1a")
@@ -109,6 +126,23 @@ def main() -> None:
     train = train.join(contaminated, "doc_id", "left_anti")
     n4c = train.count()
 
+    # 4c. mixture plan (round-5): temperature-scaled source weights over
+    #     the SURVIVING training split (alpha=0.5 via sqrt) -- the sampling
+    #     plan a trainer consumes next to the packed shards
+    tok_counts = train.groupBy("source").agg(
+        F.sum(F.size(F.filter(F.split(F.lower("text"), " "), lambda x: x != "")))
+        .cast("bigint")
+        .alias("n_tokens")
+    )
+    wts = tok_counts.select(
+        "source", "n_tokens", F.sqrt(F.col("n_tokens").cast("double")).alias("w")
+    )
+    mixture = (
+        wts.crossJoin(F.broadcast(wts.agg(F.sum("w").alias("wtot"))))
+        .select("source", "n_tokens", F.round(F.col("w") / F.col("wtot"), 4).alias("weight"))
+        .orderBy(F.col("weight").desc())
+    )
+
     # 5. pack the training split into 2048-token sequences per language
     from pyspark.sql import Window
 
@@ -136,8 +170,12 @@ def main() -> None:
     print(f"after near-dup drop  : {n2}  (-{n1 - n2})")
     print(f"after quality gate   : {n3}  (-{n2 - n3})")
     print(f"after rep/entropy    : {n3b}  (-{n3 - n3b})")
+    print(f"after perplexity gate: {n3c}  (-{n3b - n3c})")
     print(f"held-out / train     : {n4h} / {n4t}")
     print(f"after decontaminate  : {n4c}  (-{n4t - n4c})")
+    print("mixture plan (alpha=0.5):")
+    for r in mixture.limit(5).collect():
+        print(f"  {r['source']:12s} {r['n_tokens']:>9d} tokens  weight {r['weight']}")
     print(f"packed sequences     : {n_packs} packs of <=2048 tokens")
     print(f"clustered corpus at  : {out}/train")
 

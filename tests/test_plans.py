@@ -425,3 +425,26 @@ def test_arrival_profile_ops_reduce_before_windows(spark, sf_dir):
         assert "Window" in plan and "HashAggregate" in plan, name
     ooo = registry.get("cdc_out_of_order_rate").fn(spark, sf_dir)
     assert P.count_shuffles(ooo) <= 2, "out-of-order profile grew extra exchanges"
+
+
+def test_entry_paths_shuffle_bounded_by_rank_limit(spark, sf_dir):
+    """Measured SQLMetrics gate: WindowGroupLimit must cap the user-keyed
+    exchange at <= tasks x 3 rows per user plus the small path rollup --
+    without the pushdown the exchange carries EVERY event of every user."""
+    from change_data_capture_service_spark.catalog import load_table
+
+    df = registry.get("events_entry_paths_topk").fn(spark, sf_dir)
+    df.collect()
+    m = P.executed_metrics(df, ("shuffleRecordsWritten",))
+    ev = load_table(spark, sf_dir, "events")
+    n_users = ev.select("user_id").distinct().count()
+    n_tasks = ev.rdd.getNumPartitions()
+    n_events = ev.count()
+    # window exchange <= tasks*users*3, path agg exchange <= tasks*paths
+    # (paths <= users); the un-pruned plan would exceed this whenever
+    # users average > ~7 events
+    budget = n_tasks * n_users * 3 + n_tasks * n_users + 20
+    assert m["shuffleRecordsWritten"] <= budget, (
+        f"shuffled {m['shuffleRecordsWritten']} > budget {budget} "
+        f"({n_events} events, {n_users} users): rank-limit pushdown lost"
+    )
