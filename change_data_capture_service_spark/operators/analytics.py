@@ -1561,3 +1561,60 @@ def events_entry_paths_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_users").desc(), "path")
         .limit(20)
     )
+
+
+@register(
+    "attribution_last_touch",
+    tags=("analytics", "window"),
+    oracle="""
+    WITH a AS (
+      SELECT user_id, event_type, value,
+             last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS src
+      FROM events
+    )
+    SELECT coalesce(src, 'direct') AS source,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(round(CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                                    AS BIGINT)) AS DOUBLE) / 100, 2)
+                AS DOUBLE) AS attributed_value
+    FROM a WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch revenue attribution: every purchase credits the user's
+    most recent PRECEDING non-purchase event type ('direct' when the
+    purchase is the user's first touch) -- the default attribution model
+    of every marketing warehouse, and the business query the funnel/
+    transition operators feed.
+
+    Scale: the same single-keyed-shuffle as-of shape as join_asof --
+    last(ignorenulls) over the user/time window resolves the touch
+    without any self-join, so the fact table shuffles once and no
+    |purchases| x |events| range pairing ever forms. Revenue accumulates
+    as exact BIGINT cents; one display division at the end."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    src = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    return (
+        e.select("event_type", cents.alias("cents"), src.alias("src"))
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce(F.col("src"), F.lit("direct")).alias("source"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_purchases"),
+            F.round(F.sum("cents").cast("double") / 100, 2)
+            .cast("double")
+            .alias("attributed_value"),
+        )
+    )

@@ -782,3 +782,36 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cb, 6).alias("containment_b"),
         )
     )
+
+
+@register("dedup_lsh_bucket_stats", tags=("dedup", "monitor"))  # rows-only: xxhash64 buckets are engine-specific
+def dedup_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH health panel: per band, how many buckets exist, how big the
+    biggest is, and how many candidate pairs the band generates
+    (sum over buckets of C(size, 2)). THE skew diagnostic for banded
+    dedup at scale -- one hot bucket (an empty-doc signature, a
+    boilerplate shingle set) turns the candidate join quadratic, and this
+    panel is how an operator sees it coming BEFORE launching the pair
+    join. Engine-specific xxhash64 bucket values -> rows-only check;
+    the containment law (every reported near-dup pair shares >=1 band
+    bucket, so candidate pairs bound verified pairs) is pinned in pytest.
+
+    Scale: reuses the exact signature/banding pipeline of
+    dedup_minhash_near up to the band entries, then ONE partial agg at
+    (band, bucket) grain and a |bands|-row rollup -- the panel costs a
+    fraction of the join it de-risks."""
+    sh = _shingled_docs(spark, sf_dir)
+    bands = _band_entries(_minhash_sig(sh))
+    buckets = bands.groupBy("band_id", "band_hash").agg(
+        F.count("*").cast("bigint").alias("sz")
+    )
+    return (
+        buckets.groupBy("band_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_buckets"),
+            F.sum("sz").cast("bigint").alias("n_docs"),
+            F.max("sz").cast("bigint").alias("max_bucket"),
+            F.sum(F.col("sz") * (F.col("sz") - 1) / 2).cast("bigint").alias("candidate_pairs"),
+        )
+        .orderBy("band_id")
+    )

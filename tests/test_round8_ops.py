@@ -170,3 +170,29 @@ def test_discount_effect_shares_sum_to_one(spark, sf_dir):
     assert math.isclose(d["revenue_share"].sum(), 1.0, abs_tol=1e-3)
     assert (d["avg_qty"] > 0).all()
     assert (d["n_items"] > 0).all()
+
+
+def test_lsh_bucket_stats_bound_verified_pairs(spark, sf_dir):
+    """Containment law: every near-dup pair the MinHash op reports must
+    share at least one band bucket, so the panel's candidate total bounds
+    the verified pair count; per-band doc totals equal the banded corpus."""
+    stats = _pdf(spark, sf_dir, "dedup_lsh_bucket_stats")
+    assert len(stats) == 8
+    near = registry.get("dedup_minhash_near").fn(spark, sf_dir).count()
+    assert int(stats["candidate_pairs"].sum()) >= near
+    assert stats["n_docs"].nunique() == 1  # every band sees every banded doc
+    assert (stats["max_bucket"] >= 1).all()
+
+
+def test_attribution_conserves_purchases(spark, sf_dir):
+    """Every purchase is attributed exactly once, and total attributed
+    revenue equals total purchase revenue to the cent."""
+    att = _pdf(spark, sf_dir, "attribution_last_touch")
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    n = e.count()
+    cents = int(
+        e.select(F.sum((F.col("value").cast("decimal(18,2)") * 100).cast("bigint")))
+        .collect()[0][0]
+    )
+    assert int(att["n_purchases"].sum()) == n
+    assert math.isclose(float(att["attributed_value"].sum()), cents / 100, abs_tol=0.05)
