@@ -815,3 +815,48 @@ def embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("x"), 6).alias("min_x"),
         F.round(F.max("x"), 6).alias("max_x"),
     )
+
+
+@register("knn_recall_eval", tags=("similarity", "monitor"))  # rows-only: ANN recall is probabilistic
+def knn_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k panel for every ANN tier against the exact brute-force
+    baseline: per (method, query) the fraction of true top-k neighbors the
+    approximate index returned. The evaluation every ANN deployment runs
+    before trusting an index -- here a first-class operator (the product
+    twin of the pytest recall gates), so an operator can re-measure recall
+    after any re-index or parameter change.
+
+    Scale: each ANN tier already bounds its own work (bucketed probes /
+    coarse quantization / code scan); the eval adds only |queries| x k
+    row joins on (query_id, neighbor_id) -- dim-scale. At 100 TB the
+    baseline comes from a held-out query sample, never the full corpus.
+    """
+    exact = knn_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    k = TOP_K
+    outs = []
+    for method, fn in (
+        ("lsh", knn_cosine_lsh),
+        ("ivf", knn_cosine_ivf),
+        ("pq", knn_cosine_pq),
+    ):
+        approx = fn(spark, sf_dir).select("query_id", "neighbor_id")
+        hits = exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
+        per_q = hits.groupBy("query_id").agg(
+            (F.count("*").cast("double") / k).alias("recall_at_k")
+        )
+        # queries where the index returned nothing still score 0
+        base = exact.select("query_id").distinct()
+        outs.append(
+            base.join(per_q, "query_id", "left")
+            .select(
+                F.lit(method).alias("method"),
+                "query_id",
+                F.round(F.coalesce(F.col("recall_at_k"), F.lit(0.0)), 3).alias(
+                    "recall_at_k"
+                ),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("method", "query_id")

@@ -196,3 +196,27 @@ def test_attribution_conserves_purchases(spark, sf_dir):
     )
     assert int(att["n_purchases"].sum()) == n
     assert math.isclose(float(att["attributed_value"].sum()), cents / 100, abs_tol=0.05)
+
+
+def test_minhash_estimator_error_inside_envelope(spark, sf_dir):
+    """32-permutation MinHash: measured mean |est - exact| on candidate
+    pairs must sit inside the analytic estimator envelope
+    (std <= sqrt(0.25/32) ~ 0.088), and the estimate must rank near-dups
+    usefully (no candidate with exact J >= 0.8 estimated below 0.5)."""
+    q = _pdf(spark, sf_dir, "dedup_minhash_estimate_quality")
+    if len(q) == 0:
+        return
+    assert q["abs_err"].mean() <= 0.09, q["abs_err"].mean()
+    bad = q[(q["exact_jaccard"] >= 0.8) & (q["est_jaccard"] < 0.5)]
+    assert len(bad) == 0, bad
+
+
+def test_recall_eval_bounds_and_methods(spark, sf_dir):
+    """Each method reports every query exactly once with recall in [0, 1];
+    the IVF tier (probing real partitions of the space) must find at least
+    some true neighbors on the fixture."""
+    r = _pdf(spark, sf_dir, "knn_recall_eval")
+    assert sorted(r["method"].unique()) == ["ivf", "lsh", "pq"]
+    assert ((r["recall_at_k"] >= 0) & (r["recall_at_k"] <= 1)).all()
+    assert (r.groupby("method")["query_id"].count() == r["query_id"].nunique()).all()
+    assert r.loc[r["method"] == "ivf", "recall_at_k"].mean() > 0
