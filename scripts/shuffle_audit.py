@@ -30,7 +30,15 @@ def main() -> int:
     spark = get_spark(app_name="shuffle-audit")
     registry.load_all()
 
-    names = [k for _, k in HEADLINE] + list(EXTENDED)
+    # round-5-late ops with sharp budget claims, audited alongside the suites
+    extra = (
+        "events_entry_paths_topk",    # rank-limit: <= 3 rows/user + path rollup
+        "attribution_last_touch",     # one as-of window shuffle + |sources| agg
+        "quality_perplexity_unigram", # (doc,tok) + vocab-grain model exchanges
+        "tpch_q16_supplier_count_by_part",  # distinct pair reduction only
+        "dedup_containment_pairs",    # shared-shingle candidates, never text
+    )
+    names = [k for _, k in HEADLINE] + list(EXTENDED) + list(extra)
     print(f"| query | shuffle records | shuffle bytes | result rows |")
     print(f"|---|---|---|---|")
     for key in names:
