@@ -794,3 +794,65 @@ def docs_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(novel.cast("double") / F.count("*"), 6).alias("novelty"),
         )
     )
+
+
+@register(
+    "text_langid_confusion",
+    tags=("text", "monitor"),
+    oracle=f"""
+    WITH pred AS (
+      SELECT lang,
+             CASE
+               WHEN {_oracle_hits('en')} >= {_oracle_hits('de')}
+                AND {_oracle_hits('en')} >= {_oracle_hits('fr')} THEN 'en'
+               WHEN {_oracle_hits('de')} >= {_oracle_hits('fr')} THEN 'de'
+               ELSE 'fr'
+             END AS pred_lang
+      FROM documents
+    ),
+    m AS (
+      SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+      FROM pred GROUP BY 1, 2
+    ),
+    tot AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_lang FROM m GROUP BY 1)
+    SELECT m.lang, m.pred_lang, m.n,
+           CAST(round(CAST(m.n AS DOUBLE) / tot.n_lang, 6) AS DOUBLE) AS share
+    FROM m JOIN tot ON m.lang = tot.lang
+    ORDER BY m.lang, m.pred_lang
+    """,
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the stopword-marker language-ID heuristic
+    against the ground-truth label: per (true, predicted) pair, the count
+    and the within-language share (rows for one true language sum to 1,
+    so the diagonal IS per-language recall). The evaluation every
+    classifier-shaped curation gate needs before its output drives
+    sampling -- and it shows exactly where a 3-language heuristic sends
+    the languages it cannot name (es/zh docs land on whichever marker set
+    fires most).
+
+    Scale: prediction is the same zero-shuffle set-intersection pass as
+    text_lang_id; the matrix is one |langs x preds|-state partial agg and
+    the per-language totals re-aggregate THAT relation (broadcast join
+    back). Nothing fact-sized moves twice."""
+    d = load_table(spark, sf_dir, "documents")
+    en, de, fr = (_marker_hits(lang) for lang in ("en", "de", "fr"))
+    pred = (
+        F.when((en >= de) & (en >= fr), "en").when(de >= fr, "de").otherwise("fr")
+    )
+    m = d.select("lang", pred.alias("pred_lang")).groupBy("lang", "pred_lang").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    tot = m.groupBy("lang").agg(F.sum("n").cast("bigint").alias("n_lang"))
+    return (
+        m.join(F.broadcast(tot), "lang")
+        .select(
+            "lang",
+            "pred_lang",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("n_lang"), 6)
+            .cast("double")
+            .alias("share"),
+        )
+        .orderBy("lang", "pred_lang")
+    )

@@ -220,3 +220,15 @@ def test_recall_eval_bounds_and_methods(spark, sf_dir):
     assert ((r["recall_at_k"] >= 0) & (r["recall_at_k"] <= 1)).all()
     assert (r.groupby("method")["query_id"].count() == r["query_id"].nunique()).all()
     assert r.loc[r["method"] == "ivf", "recall_at_k"].mean() > 0
+
+
+def test_langid_confusion_rows_are_distributions(spark, sf_dir):
+    """Within each true language the shares sum to 1; predictions only
+    ever name the three languages the heuristic knows; English recall is
+    high on the fixture (its markers are planted)."""
+    c = _pdf(spark, sf_dir, "text_langid_confusion")
+    assert set(c["pred_lang"]) <= {"en", "de", "fr"}
+    sums = c.groupby("lang")["share"].sum()
+    assert ((sums - 1.0).abs() < 1e-3).all(), sums
+    en = c[(c["lang"] == "en") & (c["pred_lang"] == "en")]["share"]
+    assert len(en) == 1 and float(en.iloc[0]) >= 0.9
