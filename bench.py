@@ -41,6 +41,8 @@ EXTENDED = [
     "search_bm25",               # postings-probe relevance top-20
     "knn_cosine_hybrid",         # round-5: BM25 + vector RRF fusion
     "recursive_reachability",    # round-5: iterative (launch-latency profile)
+    "events_entry_paths_topk",   # round-5: rank-limit pushdown showcase
+    "attribution_last_touch",    # round-5: as-of window (row-linear family)
 ]
 
 
