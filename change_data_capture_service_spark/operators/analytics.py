@@ -1618,3 +1618,51 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("attributed_value"),
         )
     )
+
+
+@register(
+    "events_cumulative_reach",
+    tags=("analytics", "window"),
+    oracle="""
+    WITH f AS (
+      SELECT user_id, min(CAST(date_trunc('day', ts) AS TIMESTAMP)) AS first_day
+      FROM events GROUP BY 1
+    ),
+    d AS (
+      SELECT first_day AS day, CAST(count(*) AS BIGINT) AS new_users
+      FROM f GROUP BY 1
+    )
+    SELECT day, new_users,
+           CAST(sum(new_users) OVER (ORDER BY day
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS BIGINT)
+             AS cumulative_reach
+    FROM d ORDER BY day
+    """,
+)
+def events_cumulative_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative reach curve: per day, the users seen for the FIRST time
+    and the running total of distinct users ever reached -- the growth
+    chart every product review opens with. Computed exactly without any
+    distinct-over-window (which neither engine supports): reduce each
+    user to a first-seen day, then a plain running sum over the day
+    domain.
+
+    Scale: the first-seen reduction is the only fact-sized shuffle
+    (min partial-aggregates map-side per user); the day rollup and the
+    prefix sum run on |days| rows -- the same reduced-domain
+    single-partition window as the backlog sweep-line, thousands of rows
+    forever."""
+    e = load_table(spark, sf_dir, "events")
+    f = e.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", F.col("ts"))).alias("first_day")
+    )
+    d = f.groupBy(F.col("first_day").alias("day")).agg(
+        F.count("*").cast("bigint").alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return d.select(
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).cast("bigint").alias("cumulative_reach"),
+    ).orderBy("day")

@@ -232,3 +232,13 @@ def test_langid_confusion_rows_are_distributions(spark, sf_dir):
     assert ((sums - 1.0).abs() < 1e-3).all(), sums
     en = c[(c["lang"] == "en") & (c["pred_lang"] == "en")]["share"]
     assert len(en) == 1 and float(en.iloc[0]) >= 0.9
+
+
+def test_cumulative_reach_converges_to_user_count(spark, sf_dir):
+    """Each user is new exactly once: new_users sums to |users|, the curve
+    is non-decreasing, and its last point equals the distinct user count."""
+    r = _pdf(spark, sf_dir, "events_cumulative_reach").sort_values("day")
+    n_users = load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    assert int(r["new_users"].sum()) == n_users
+    assert int(r["cumulative_reach"].iloc[-1]) == n_users
+    assert r["cumulative_reach"].is_monotonic_increasing
