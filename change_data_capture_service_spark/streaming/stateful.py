@@ -60,3 +60,61 @@ def latest_state_stream(envelope_stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Continuous last-touch attribution (the streaming twin of the batch
+# operators/analytics.attribution_last_touch): state per user = the most
+# recent non-purchase touch seen so far in ARRIVAL (LSN) order; every
+# purchase is credited the moment it arrives. The batch op resolves the
+# same credit with an event-time as-of window; the stream resolves it in
+# arrival order -- identical whenever the log is time-ordered per key,
+# and the stream's answer is the only one available before the day closes.
+
+ATTRIB_OUTPUT_SCHEMA = "user_id long, event_id long, source string, cents long"
+ATTRIB_STATE_SCHEMA = "last_touch string, last_event_id long"
+
+
+def _last_touch_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    touch, last_id = state.get if state.exists else (None, -1)
+    frames = [pdf for pdf in pdfs if not pdf.empty]
+    if frames:
+        pdf = pd.concat(frames, ignore_index=True).sort_values("event_id")
+        out = []
+        for r in pdf.itertuples(index=False):
+            if r.event_type == "purchase":
+                out.append(
+                    (
+                        key[0],
+                        int(r.event_id),
+                        touch if touch is not None else "direct",
+                        int(r.cents),
+                    )
+                )
+            else:
+                touch = r.event_type
+            last_id = int(r.event_id)
+        state.update((touch, last_id))
+        if out:
+            yield pd.DataFrame(
+                out, columns=["user_id", "event_id", "source", "cents"]
+            )
+
+
+def last_touch_stream(events_stream: DataFrame) -> DataFrame:
+    """Event stream -> per-purchase attribution rows as they arrive.
+
+    Input needs (user_id, event_id, event_type, cents). State per user is
+    one (touch, last_event_id) pair on the executors -- O(users) across
+    the cluster, the correct 100 TB posture. Each emitted row is final
+    (append mode): a purchase's credit never changes once assigned, so
+    downstream revenue-by-source is a plain streaming aggregation."""
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        _last_touch_fn,
+        outputStructType=ATTRIB_OUTPUT_SCHEMA,
+        stateStructType=ATTRIB_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

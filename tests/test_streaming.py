@@ -308,3 +308,47 @@ def test_stream_stream_left_outer_join_equals_batch(spark, sf_dir, tmp_path):
     }
     assert got == want
     assert any(p is None for _, p in got), "no watermark-driven null emissions seen"
+
+
+def test_stateful_last_touch_stream(spark, tmp_path):
+    """Continuous attribution: the last non-purchase touch persists in
+    per-user state ACROSS micro-batches; purchases credit it on arrival;
+    first-touch purchases credit 'direct'; emitted rows are final."""
+    from change_data_capture_service_spark.streaming.stateful import last_touch_stream
+
+    src = str(tmp_path / "attrib_stream")
+    schema = "user_id long, event_id long, event_type string, cents long"
+    # batch 1: u1 clicks then buys; u2 buys cold (direct)
+    spark.createDataFrame(
+        [(1, 1, "click", 0), (1, 2, "purchase", 1000), (2, 1, "purchase", 200)],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src)
+    q = (
+        last_touch_stream(stream)
+        .writeStream.format("memory")
+        .queryName("attrib_out")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    # batch 2: u1 views (new touch) then buys again -- the click credit
+    # must NOT leak forward; u2's view updates state but emits nothing
+    spark.createDataFrame(
+        [(1, 3, "view", 0), (1, 4, "purchase", 500), (2, 2, "view", 0)],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+
+    out = spark.sql("SELECT * FROM attrib_out").toPandas()
+    got = {
+        (int(r["user_id"]), int(r["event_id"])): (r["source"], int(r["cents"]))
+        for _, r in out.iterrows()
+    }
+    assert got == {
+        (1, 2): ("click", 1000),   # same-batch touch
+        (2, 1): ("direct", 200),   # no prior touch ever
+        (1, 4): ("view", 500),     # state crossed the batch boundary AND advanced
+    }
