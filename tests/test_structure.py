@@ -1,0 +1,60 @@
+"""Structural guards: the repo-level contracts that nothing else asserts --
+examples must at least import (drift in operator signatures breaks them
+silently otherwise), and every registered operator documents itself (the
+docstring IS the design record the scale review reads)."""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+
+from change_data_capture_service_spark import registry
+
+registry.load_all()
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_examples_importable():
+    for name in (
+        "quickstart",
+        "curation_pipeline",
+        "replica_operations",
+        "warehouse_analytics",
+    ):
+        path = os.path.join(_ROOT, "examples", f"{name}.py")
+        spec = importlib.util.spec_from_file_location(f"examples_{name}", path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)  # import-time only; main() never runs
+        assert hasattr(mod, "main"), name
+
+
+def test_every_operator_documents_itself():
+    # trivial single-expression ops carry one-liners; the guard is against
+    # EMPTY docs, not against brevity
+    undocumented = [
+        name
+        for name, e in registry.entries().items()
+        if len((e.fn.__doc__ or "").strip()) < 10
+    ]
+    assert not undocumented, f"operators missing real docstrings: {undocumented}"
+
+
+def test_rows_only_set_is_exactly_the_documented_one():
+    """COVERAGE.md promises 12 rows-only keys; a new oracle-less key must
+    be a deliberate decision, not a forgotten oracle."""
+    rows_only = {name for name, e in registry.entries().items() if e.oracle is None}
+    assert rows_only == {
+        "agg_approx_count_distinct",
+        "agg_approx_percentile",
+        "dedup_simhash",
+        "knn_cosine_ivf",
+        "knn_cosine_lsh",
+        "knn_cosine_pq",
+        "agg_hll_rollup",
+        "multimodal_frame_sample",
+        "approx_topk",
+        "dedup_lsh_bucket_stats",
+        "knn_recall_eval",
+        "dedup_minhash_estimate_quality",
+    }, rows_only
