@@ -68,6 +68,8 @@ def text_tokenize_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_lang_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition by language: doc and character counts per lang
+    label -- one |langs|-state partial aggregate."""
     d = load_table(spark, sf_dir, "documents")
     return d.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
@@ -92,6 +94,8 @@ def text_lang_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_len_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source length profile (docs, token/char means and extremes):
+    the first-look corpus audit, one partial aggregate."""
     d = load_table(spark, sf_dir, "documents")
     ntok = F.size(F.split(F.col("text"), " "))
     return d.groupBy("source").agg(

@@ -194,6 +194,8 @@ def win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def win_dense_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dense_rank per customer (no gaps on ties) -- one keyed window
+    shuffle with a deterministic tiebreak order."""
     o = load_table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_orderpriority", "o_orderkey")
     return o.select(
@@ -211,6 +213,8 @@ def win_dense_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def win_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number per customer in order-date order -- the unique-sequence
+    window; (date, orderkey) ordering keeps it deterministic."""
     o = load_table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     return o.select("o_orderkey", "o_custkey", F.row_number().over(w).alias("rn"))
