@@ -46,7 +46,17 @@ def main() -> None:
     n1 = docs.count()
 
     # 2. near-dup clusters (>=0.8 shingle-jaccard) -> drop all but the
-    #    min-doc_id representative of each cluster
+    #    min-doc_id representative of each cluster. At 100 TB, price the
+    #    candidate join FIRST: the band census predicts its size as
+    #    sum-of-C(bucket,2) and flags the hot bucket that would turn it
+    #    quadratic (a run with a skewed census stops here, not 3 h in).
+    from change_data_capture_service_spark.operators.dedup import dedup_lsh_bucket_stats
+
+    census = dedup_lsh_bucket_stats(spark, SF)
+    n_cand = census.agg(F.sum("candidate_pairs")).collect()[0][0]
+    max_bucket = census.agg(F.max("max_bucket")).collect()[0][0]
+    print(f"LSH census: {n_cand} candidate pairs, hottest bucket {max_bucket}")
+
     pairs = dedup_minhash_near(spark, SF).select("doc_id_a", "doc_id_b")
     clusters = connected_components(pairs)
     non_representatives = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
