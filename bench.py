@@ -398,6 +398,11 @@ def main() -> int:
                     " recursive_reachability in extended is iterative (10"
                     " bounded rounds): its time is launch-latency-dominated"
                     " locally and tracks lineage-growth regressions."
+                    " rollup_incremental (r5): 1x/100x history, min-of-2"
+                    " per path; at 1x recompute of a tiny log wins on fixed"
+                    " overhead (expected), at 100x incremental must win --"
+                    " measured quiet-host 0.68/0.79 s flat vs recompute"
+                    " 4.3-7.0 s."
                 ),
             }
         )
