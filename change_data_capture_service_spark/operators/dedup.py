@@ -732,15 +732,55 @@ def dedup_minhash_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Structural worst-case bound for containment candidate generation: a
+# shingle appearing in more than this many documents (boilerplate headers,
+# licence blocks) is dropped from PAIR FORMATION -- otherwise one
+# mega-shingle-bucket makes the candidate space quadratic by itself.
+# Containment values for surfaced pairs stay EXACT (computed on the full
+# shingle sets); the recall trade-off is that a pair sharing ONLY hot
+# shingles never surfaces -- the standard containment-dedup compromise,
+# same spirit as the banding analysis in dedup_minhash_lines.
+CONTAINMENT_DF_CAP = 64
+
+
 @register(
     "dedup_containment_pairs",
     tags=("dedup", "northstar"),
-    oracle=_ORACLE_EXACT_JACCARD
-    + """
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {TOKENS} AS toks FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+      FROM toks WHERE len(toks) >= 3
+    ),
+    ex AS (
+      SELECT doc_id, unnest(shingles) AS shingle FROM sh
+    ),
+    ok AS (
+      SELECT shingle FROM ex GROUP BY 1 HAVING count(*) <= {CONTAINMENT_DF_CAP}
+    ),
+    exc AS (
+      SELECT ex.doc_id, ex.shingle FROM ex JOIN ok USING (shingle)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+      FROM exc a JOIN exc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    ),
+    verified AS (
+      SELECT c.doc_id_a, c.doc_id_b,
+             len(list_intersect(sa.shingles, sb.shingles)) AS c,
+             len(sa.shingles) AS na, len(sb.shingles) AS nb
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.doc_id_a
+      JOIN sh sb ON sb.doc_id = c.doc_id_b
+    )
     SELECT doc_id_a, doc_id_b,
            round(CAST(c AS DOUBLE) / na, 6) AS containment_a,
            round(CAST(c AS DOUBLE) / nb, 6) AS containment_b
-    FROM pairs
+    FROM verified
     WHERE CAST(c AS DOUBLE) / na >= 0.8 OR CAST(c AS DOUBLE) / nb >= 0.8
     """,
 )
@@ -752,29 +792,48 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_ngram_jaccard in curation pipelines (quote extraction,
     boilerplate wrappers, truncated re-crawls).
 
-    Scale: identical pair topology to the exact-Jaccard op -- pairs form
-    only through shared shingles (shingle-keyed equi-join), so cost is
-    sum over shingles of docs-per-shingle squared, and only (doc_id, n,
-    shingle-hash) rows shuffle, never text. The two containment ratios
-    are IEEE divisions of the same exact counts on both engines."""
+    Scale: the pair space is bounded BY CONSTRUCTION, not by operator
+    vigilance -- shingles with document frequency > CONTAINMENT_DF_CAP are
+    dropped from candidate generation (one cheap (shingle -> df) pre-agg
+    on the same key the pair join shuffles on), so the worst case is
+    sum over surviving shingles of df² <= |shingles| x CAP². Containment
+    ratios for surfaced pairs are computed EXACTLY on the full shingle
+    sets (array_intersect over candidates only), so the cap affects
+    recall -- a pair sharing only boilerplate shingles never surfaces --
+    never the reported values. Only (doc_id, shingle-hash) rows shuffle
+    in candidate generation; full shingle arrays ship only for the
+    candidate pairs in the verify join."""
     sh = _shingled_docs(spark, sf_dir)
-    ex = sh.select(
-        "doc_id", F.size("shingles").alias("n"), F.explode("shingles").alias("shingle")
+    ex = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    ok = (
+        ex.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= CONTAINMENT_DF_CAP)
+        .select("shingle")
     )
-    a, b = ex.alias("a"), ex.alias("b")
-    pairs = (
+    exc = ex.join(ok, "shingle", "left_semi")
+    a, b = exc.alias("a"), exc.alias("b")
+    cand = (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .groupBy(F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b"))
-        .agg(F.count("*").alias("c"), F.first("a.n").alias("na"), F.first("b.n").alias("nb"))
+        .select(F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b"))
+        .dropDuplicates(["doc_id_a", "doc_id_b"])
     )
-    ca = F.col("c").cast("double") / F.col("na")
-    cb = F.col("c").cast("double") / F.col("nb")
+    verified = cand.join(
+        sh.select(F.col("doc_id").alias("doc_id_a"), F.col("shingles").alias("sh_a")),
+        "doc_id_a",
+    ).join(
+        sh.select(F.col("doc_id").alias("doc_id_b"), F.col("shingles").alias("sh_b")),
+        "doc_id_b",
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    ca = inter.cast("double") / F.size("sh_a")
+    cb = inter.cast("double") / F.size("sh_b")
     return (
-        pairs.filter((ca >= 0.8) | (cb >= 0.8))
+        verified.filter((ca >= 0.8) | (cb >= 0.8))
         .select(
             "doc_id_a",
             "doc_id_b",
@@ -811,7 +870,10 @@ def dedup_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("bigint").alias("n_buckets"),
             F.sum("sz").cast("bigint").alias("n_docs"),
             F.max("sz").cast("bigint").alias("max_bucket"),
-            F.sum(F.col("sz") * (F.col("sz") - 1) / 2).cast("bigint").alias("candidate_pairs"),
+            # sz*(sz-1) is always even so DIV 2 is exact; integer / would
+            # promote to DOUBLE and lose exactness past 2^53 -- precisely
+            # the hot-bucket skew regime this panel exists to detect.
+            F.sum(F.expr("sz * (sz - 1) DIV 2")).cast("bigint").alias("candidate_pairs"),
         )
         .orderBy("band_id")
     )

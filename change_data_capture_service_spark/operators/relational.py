@@ -1781,7 +1781,10 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = v.agg(F.sum("value").alias("total"))
     return (
         v.crossJoin(F.broadcast(tot))
-        .filter(F.col("value") > F.col("total") * 0.001)
+        # value * 1000 > total keeps both operands DECIMAL (a 0.001 float
+        # literal would promote the comparison to DOUBLE while the DuckDB
+        # oracle's 0.001 stays DECIMAL(4,3) -- boundary values could flip).
+        .filter(F.col("value") * F.lit(1000) > F.col("total"))
         .select(
             F.col("l_partkey").cast("bigint").alias("p_partkey"),
             F.col("value").cast("double").alias("value"),

@@ -832,7 +832,12 @@ def knn_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     baseline comes from a held-out query sample, never the full corpus.
     """
     exact = knn_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
-    k = TOP_K
+    # Denominator is the per-query size of the EXACT top-k set, not the
+    # constant k: a query with fewer than k true neighbors (small corpus,
+    # self-filtered candidates) must still be able to reach recall 1.0.
+    exact_n = exact.groupBy("query_id").agg(
+        F.count("*").cast("double").alias("exact_n")
+    )
     outs = []
     for method, fn in (
         ("lsh", knn_cosine_lsh),
@@ -842,7 +847,9 @@ def knn_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         approx = fn(spark, sf_dir).select("query_id", "neighbor_id")
         hits = exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
         per_q = hits.groupBy("query_id").agg(
-            (F.count("*").cast("double") / k).alias("recall_at_k")
+            F.count("*").cast("double").alias("hit_n")
+        ).join(exact_n, "query_id").select(
+            "query_id", (F.col("hit_n") / F.col("exact_n")).alias("recall_at_k")
         )
         # queries where the index returned nothing still score 0
         base = exact.select("query_id").distinct()

@@ -380,7 +380,7 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = d.agg(F.count("*").alias("n"))
     scored = (
         tf.join(dfreq, "term")
-        .crossJoin(n)
+        .crossJoin(F.broadcast(n))
         .select(
             "doc_id",
             "term",

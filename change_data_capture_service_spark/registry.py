@@ -69,14 +69,40 @@ _QUERY_MODULES = [
 
 # ORDER MATTERS: the grading driver verifies keys in entries() iteration order
 # under a bounded budget (50/round). Keys named here come first, in this exact
-# order; everything else follows in registration order. CORRECTNESS_r04 landed
-# 50/50 full hash-green, so the round-4 window is fully attested and rotates
-# out. Round-5 front 50 = the 31 keys registered in round 4 that have never
-# had a driver row (every one DuckDB-parity green locally via
-# tests/test_oracle_parity.py -- the gap was attestation timing, not
-# correctness) + the new round-5 operators. Proven back-of-queue keys keep
+# order; everything else follows in registration order. CORRECTNESS_r05 landed
+# 49/50 full hash-green + 1 rows-only-clean, so the round-5 window is fully
+# attested and rotates out. Round-6 front 50 = the 18 keys registered late in
+# round 5 that have never had a driver row (every one DuckDB-parity green
+# locally via tests/test_oracle_parity.py -- the gap was attestation timing,
+# not correctness) + the new round-6 operators. Proven back-of-queue keys keep
 # independent verification via tests/test_oracle_parity.py (mandatory in CI).
 _CHECK_ORDER = [
+    # -- registered round 5 past the window, never driver-checked (18 keys) --
+    "tpch_q2_min_cost_supplier",
+    "tpch_q11_important_stock",
+    "tpch_q16_supplier_count_by_part",
+    "tpch_q20_dominant_suppliers",
+    "cdc_out_of_order_rate",
+    "quality_perplexity_unigram",
+    "events_gini_concentration",
+    "events_hourly_autocorr",
+    "sample_temperature_mixture",
+    "events_cumulative_reach",
+    "dedup_containment_pairs",
+    "events_entry_paths_topk",
+    "discount_quantity_effect",
+    "attribution_last_touch",
+    "dedup_lsh_bucket_stats",
+    "text_langid_confusion",
+    "knn_recall_eval",
+    "dedup_minhash_estimate_quality",
+    # -- new in round 6 (filling the window to 50) --
+    # (appended below as operators land)
+]
+# Provenance: the round-5 window, fully attested by CORRECTNESS_r05
+# (49 full hash-green + approx_topk rows-only-clean). Kept for the
+# rotation audit trail; not consulted by entries().
+_ROUND5_WINDOW_ATTESTED = [
     # -- registered round 4, never driver-checked (31 keys) --
     "tpch_q7_volume_shipping",
     "tpch_q14_promo_revenue",
@@ -130,14 +156,11 @@ _CHECK_ORDER = [
     "approx_topk",
     "stream_topk_windowed",
 ]
-# Round-6 rotation note: keys registered AFTER the round-5 window filled
-# (tpch_q2_min_cost_supplier, tpch_q11_important_stock,
-# tpch_q16_supplier_count_by_part, tpch_q20_dominant_suppliers, and any
-# later round-5 additions) sit past position 50 in entries() iteration
-# (registration order) and therefore have no driver row yet. All are
-# DuckDB-parity green via tests/test_oracle_parity.py. Round 6 MUST rotate
-# them to the front of _CHECK_ORDER once CORRECTNESS_r05 attests the
-# current window -- same procedure that produced this window from r4's.
+# Round-7 rotation note: same procedure as every round -- once
+# CORRECTNESS_r06 attests the current window, rotate any keys registered
+# past position 50 (registration order after the named front) to the head
+# of _CHECK_ORDER. All such keys must already be DuckDB-parity green via
+# tests/test_oracle_parity.py before they queue.
 
 _loaded = False
 

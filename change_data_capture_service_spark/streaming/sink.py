@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -191,8 +191,14 @@ def compact_event_log(
         keep = keep.unionByName(fence_row)
     comp_dir = f"{root}/compacted/{schema_name}_{table_name}"
     tmp = f"{comp_dir}__compacting"
-    keep.write.mode("overwrite").format(fmt).save(tmp)
-    n = spark.read.schema(env.ENVELOPE_SCHEMA).format(fmt).load(tmp).count()
+    # Row count comes from observed metrics on the write itself -- a
+    # re-read .count() would be a second full scan of the compacted
+    # output in a maintenance path.
+    obs = Observation()
+    keep.observe(obs, F.count(F.lit(1)).alias("n")).write.mode("overwrite").format(
+        fmt
+    ).save(tmp)
+    n = int(obs.get["n"])
     # swap in the snapshot, then drop the ingest partitions it subsumes
     if os.path.isdir(comp_dir):
         shutil.rmtree(comp_dir)

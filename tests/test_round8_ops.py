@@ -242,3 +242,57 @@ def test_cumulative_reach_converges_to_user_count(spark, sf_dir):
     assert int(r["new_users"].sum()) == n_users
     assert int(r["cumulative_reach"].iloc[-1]) == n_users
     assert r["cumulative_reach"].is_monotonic_increasing
+
+
+def test_containment_candidate_space_bounded_under_boilerplate(spark, tmp_path):
+    """Adversarial fixture: 200 docs that all share one boilerplate
+    shingle (df=200 > CONTAINMENT_DF_CAP) plus unique tails. Uncapped,
+    the hot shingle alone forms C(200,2)=19900 candidate pairs; with the
+    structural DF cap the candidate join sees ZERO pairs. A genuine
+    near-dup pair built from low-df shingles must still surface with
+    exact containment 1.0 -- the cap trades recall on boilerplate-only
+    overlap, never correctness of surfaced values."""
+    from change_data_capture_service_spark.operators.dedup import (
+        CONTAINMENT_DF_CAP,
+        _shingled_docs,
+        dedup_containment_pairs,
+    )
+
+    rows = []
+    # 200 docs: shared boilerplate trigram + a unique 3-token tail each
+    for i in range(200):
+        rows.append((i, f"common header line unique{i}a unique{i}b unique{i}c", "en", "t", 0))
+    # one true containment pair from low-df shingles (doc 500 inside 501)
+    core = "alpha beta gamma delta epsilon zeta"
+    rows.append((500, core, "en", "t", 0))
+    rows.append((501, core + " eta theta iota kappa", "en", "t", 0))
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+    fx = str(tmp_path / "advfix")
+    df.coalesce(1).write.mode("overwrite").parquet(fx + "/documents.parquet")
+
+    import pyspark.sql.functions as F
+
+    sh = _shingled_docs(spark, fx)
+    ex = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    dfreq = ex.groupBy("shingle").agg(F.count("*").alias("df"))
+    assert dfreq.agg(F.max("df")).collect()[0][0] == 200  # fixture is adversarial
+    ok = dfreq.filter(F.col("df") <= CONTAINMENT_DF_CAP).select("shingle")
+    exc = ex.join(ok, "shingle", "left_semi")
+    a, b = exc.alias("a"), exc.alias("b")
+    n_cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id"), F.col("b.doc_id"))
+        .distinct()
+        .count()
+    )
+    # bounded by construction: only the genuine pair's shared low-df shingles
+    assert n_cand == 1, n_cand
+
+    out = dedup_containment_pairs(spark, fx).toPandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r["doc_id_a"], r["doc_id_b"]) == (500, 501)
+    assert r["containment_a"] == 1.0  # doc 500 fully contained in 501
