@@ -890,3 +890,82 @@ def cdc_out_of_order_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("late_rate"),
         F.max(late_us).cast("bigint").alias("max_late_us"),
     )
+
+
+@register(
+    "decode_pgoutput",
+    tags=("cdc", "source"),
+    oracle="""
+    SELECT 'insert' AS op, 'public' AS schema_name, 'events' AS table_name,
+           CAST(event_id AS BIGINT) AS lsn,
+           'public.events:' || CAST(event_id AS VARCHAR) AS key,
+           CAST(user_id AS BIGINT) AS user_id,
+           event_type
+    FROM events
+    """,
+)
+def decode_pgoutput_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wire-format round trip for the pgoutput binary decode layer
+    (sources/pgoutput.py): every events row is encoded into a real
+    XLogData+Insert pgoutput frame (text-format tuple cells, exactly what
+    a Postgres publication ships), the relation registry is recovered by
+    PARSING a wire-format Relation frame, and the two-pass decoder turns
+    the binary log back into envelope rows. The DuckDB oracle never sees
+    bytes -- it projects the source table directly -- so a hash match
+    proves encode->decode is the identity on this surface, i.e. the
+    decoder agrees with an independent reading of the same data. This is
+    the engine's equivalent of the reference's live WAL decode
+    (``internal/wal/replicator.go:304-384``), testable without Postgres.
+
+    Scale: encode and decode are both mapInPandas over whatever
+    partitioning the source has -- zero shuffles end to end (the plan is
+    scan -> encode -> decode -> project). The relation pass parses ONE
+    dim-scale frame; in production it is the byte-predicate scan in
+    ``collect_relations`` over the materialized frame log."""
+    import pandas as _pd
+
+    from ..sources import pgoutput as P
+
+    REL_OID = 16400
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+
+    def _enc(batches):
+        for pdf in batches:
+            frames = []
+            for eid, uid, et in zip(pdf["event_id"], pdf["user_id"], pdf["event_type"]):
+                cells = [
+                    str(int(eid)),
+                    None if _pd.isna(uid) else str(int(uid)),
+                    None if et is None else str(et),
+                ]
+                frames.append(
+                    P.encode_xlogdata(int(eid), P.encode_insert(REL_OID, cells))
+                )
+            yield _pd.DataFrame(
+                {"seq": pdf["event_id"].astype("int64"), "frame": frames}
+            )
+
+    frames = ev.mapInPandas(_enc, P.FRAME_SCHEMA)
+    rel_frame = P.encode_xlogdata(
+        0,
+        P.encode_relation(
+            REL_OID,
+            "public",
+            "events",
+            [("event_id", 20, True), ("user_id", 20, False), ("event_type", 25, False)],
+        ),
+    )
+    rel_df = spark.createDataFrame([(0, bytearray(rel_frame))], P.FRAME_SCHEMA)
+    # registry recovered from wire bytes; scanning only the materialized
+    # relation frame avoids re-running the encode stage for pass 1
+    relations = P.collect_relations(rel_df)
+    decoded = P.decode_pgoutput_frames(frames, relations)
+    return decoded.select(
+        "op",
+        "schema_name",
+        "table_name",
+        "lsn",
+        "key",
+        F.col("after")["user_id"].cast("bigint").alias("user_id"),
+        F.col("after")["event_type"].alias("event_type"),
+    )

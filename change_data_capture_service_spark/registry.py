@@ -97,7 +97,7 @@ _CHECK_ORDER = [
     "knn_recall_eval",
     "dedup_minhash_estimate_quality",
     # -- new in round 6 (filling the window to 50) --
-    # (appended below as operators land)
+    "decode_pgoutput",
 ]
 # Provenance: the round-5 window, fully attested by CORRECTNESS_r05
 # (49 full hash-green + approx_topk rows-only-clean). Kept for the

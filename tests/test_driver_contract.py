@@ -83,6 +83,7 @@ _R6_CHECK_WINDOW = [
     "dedup_lsh_bucket_stats", "text_langid_confusion",
     "knn_recall_eval", "dedup_minhash_estimate_quality",
     # new in round 6 (appended as they are registered)
+    "decode_pgoutput",
 ]
 
 
