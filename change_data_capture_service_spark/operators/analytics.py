@@ -1666,3 +1666,97 @@ def events_cumulative_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_users",
         F.sum("new_users").over(w).cast("bigint").alias("cumulative_reach"),
     ).orderBy("day")
+
+
+@register(
+    "funnel_attribution_sessions",
+    tags=("analytics", "window", "northstar"),
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             CASE WHEN lag(epoch_us(ts)) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    s AS (
+      SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM g
+    ),
+    a AS (
+      SELECT user_id, session_no, event_type, value,
+             last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id, session_no ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS src
+      FROM s
+    )
+    SELECT coalesce(src, 'direct') AS source,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(count(DISTINCT user_id || '#' || session_no) AS BIGINT)
+             AS n_sessions,
+           CAST(round(CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                                    AS BIGINT)) AS DOUBLE) / 100, 2)
+                AS DOUBLE) AS attributed_value
+    FROM a WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def funnel_attribution_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-grain last-touch attribution: each purchase credits the most
+    recent non-purchase touch WITHIN ITS OWN 30-minute-gap session
+    ('direct' when the purchase opens the session) -- the composition the
+    marketing warehouse actually runs, joining the sessionizer's boundary
+    logic (sessionize_batch) with last-touch credit assignment
+    (attribution_last_touch). Cross-session touches never get credit,
+    which is the behavioral difference vs the user-lifetime model.
+
+    Scale: ONE user-keyed shuffle serves the whole query -- the session
+    numbering window, the in-session touch window (partitioned by
+    (user_id, session_no), a refinement of the same key, so Catalyst
+    reuses the exchange and only re-sorts), and the purchase filter are
+    all pipelined before the final dim-sized source rollup. Revenue
+    accumulates as exact BIGINT cents. The session-count aggregate
+    dedups (user, session) pairs per source -- bounded by |sessions|,
+    not |events|."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    flagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        "value",
+        F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0).alias("new_session"),
+    )
+    numbered = flagged.withColumn(
+        "session_no",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    ws = (
+        Window.partitionBy("user_id", "session_no")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    src = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(ws)
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    return (
+        numbered.withColumn("src", src)
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce(F.col("src"), F.lit("direct")).alias("source"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_purchases"),
+            F.countDistinct("user_id", "session_no").cast("bigint").alias("n_sessions"),
+            F.round(F.sum(cents).cast("double") / 100, 2)
+            .cast("double")
+            .alias("attributed_value"),
+        )
+    )

@@ -843,6 +843,7 @@ def knn_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("lsh", knn_cosine_lsh),
         ("ivf", knn_cosine_ivf),
         ("pq", knn_cosine_pq),
+        ("ivf_pq", knn_cosine_ivf_pq),
     ):
         approx = fn(spark, sf_dir).select("query_id", "neighbor_id")
         hits = exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
@@ -867,3 +868,182 @@ def knn_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out.orderBy("method", "query_id")
+
+
+@register("knn_cosine_ivf_pq", tags=("similarity", "northstar"))  # rows-only: ANN recall is probabilistic
+def knn_cosine_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with asymmetric distance: the composition of the engine's two
+    ANN tiers into the architecture that actually serves 100 TB corpora
+    (Jegou et al. 2011's IVFADC, public paper) -- an IVF coarse quantizer
+    bounds WHICH vectors each query touches, and residual product
+    quantization bounds HOW MANY BYTES each touched vector costs.
+
+    1. Coarse: k-means cells (fit once, seeded); every vector stores its
+       cell id. Queries probe the n_probe nearest cells, so the candidate
+       scan covers ~n_probe/n_cells of the corpus.
+    2. Residual PQ: codebooks are trained driver-side on a bounded sample
+       of residuals (v - cell_centroid) -- residuals are much more
+       compressible than raw vectors because the coarse quantizer already
+       removed the between-cell variance. Encoding is a pure JVM argmin
+       over broadcast codebooks; the candidate scan reads 8 4-bit codes +
+       one float norm per vector, never the raw 64 doubles.
+    3. ADC: q.v decomposes exactly as q.c_cell + q.r; the first term is
+       computed exactly per (query, probed cell), the second looked up
+       from per-query LUTs over the residual codebooks. Shortlist 3k by
+       ADC cosine, then exact-rerank the shortlist only.
+
+    Corpus bytes per query: (n_probe/n_cells) x |corpus| x ~16 bytes for
+    the scored scan + 3k raw vectors for the rerank -- vs |corpus| x 512
+    bytes brute-force. Deterministic: fixed seeds, argmin tiebreak by
+    position, rerank identical to the exact operator. Recall-gated in
+    tests/test_northstar.py next to its IVF and PQ parents."""
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    n_cells, n_probe = 16, 6
+    m, ksub, d_sub, shortlist = 8, 16, 8, 3 * TOP_K
+    vec = _vectors(spark, sf_dir).localCheckpoint()  # reused by fit/encode/rerank
+
+    km = KMeans(k=n_cells, seed=42, featuresCol="fv", predictionCol="cell", maxIter=10)
+    model = km.fit(vec.withColumn("fv", array_to_vector(F.col("v"))).select("fv"))
+    assigned = model.transform(
+        vec.withColumn("fv", array_to_vector(F.col("v")))
+    ).select("vec_id", "v", "nrm", "cell")
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    cent_df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)], "cell int, centroid array<double>"
+    )
+
+    # -- train residual codebooks driver-side on a bounded sample
+    samp = assigned.select("v", "cell").limit(4096).toPandas()
+    cents_np = np.asarray(centroids)
+    res_sample = np.asarray(samp["v"].tolist(), dtype=np.float64) - cents_np[
+        samp["cell"].to_numpy()
+    ]
+    rng = np.random.default_rng(42)
+    luts: dict[int, list[list[float]]] = {}
+    for j in range(m):
+        x = res_sample[:, j * d_sub : (j + 1) * d_sub]
+        cents = x[rng.choice(len(x), size=ksub, replace=False)]
+        for _ in range(10):
+            d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign_ = d2.argmin(axis=1)
+            for c in range(ksub):
+                pts = x[assign_ == c]
+                if len(pts):
+                    cents[c] = pts.mean(axis=0)
+        luts[j] = [list(map(float, c)) for c in cents]
+
+    # -- encode: residual = v - cell centroid (JVM zip_with), then nearest
+    # residual-codebook centroid per subspace as a JVM argmin
+    cb = spark.createDataFrame(
+        [tuple([luts[j] for j in range(m)])],
+        ", ".join(f"cb_{j} array<array<double>>" for j in range(m)),
+    )
+    coded = (
+        assigned.join(F.broadcast(cent_df), "cell")
+        .withColumn("res", F.expr("zip_with(v, centroid, (x, y) -> x - y)"))
+        .join(F.broadcast(cb))
+    )
+    for j in range(m):
+        dists = (
+            f"transform(cb_{j}, c -> aggregate(zip_with(slice(res, {j * d_sub + 1}, {d_sub}), c,"
+            f" (x, y) -> (x - y) * (x - y)), 0D, (a, x) -> a + x))"
+        )
+        coded = coded.withColumn(
+            f"code_{j}", F.expr(f"int(array_position({dists}, array_min({dists})) - 1)")
+        )
+    coded = coded.select(
+        "vec_id", "cell", "nrm", "v", *[f"code_{j}" for j in range(m)]
+    ).localCheckpoint()  # scored scan + rerank both read it
+
+    # -- queries: probe the n_probe nearest cells; q.c exact per probe
+    queries = vec.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qnrm")
+    )
+    cdist2 = F.expr(
+        "aggregate(zip_with(qv, centroid, (x, y) -> (x - y) * (x - y)), 0D, (a, x) -> a + x)"
+    )
+    qdotc = F.expr("aggregate(zip_with(qv, centroid, (x, y) -> x * y), 0D, (a, x) -> a + x)")
+    wq = Window.partitionBy("query_id").orderBy(F.col("dist2"), F.col("cell"))
+    probed = (
+        queries.crossJoin(F.broadcast(cent_df))
+        .withColumn("dist2", cdist2)
+        .withColumn("q_dot_c", qdotc)
+        .withColumn("cell_rank", F.row_number().over(wq))
+        .filter(F.col("cell_rank") <= n_probe)
+        .select("query_id", "qv", "qnrm", "cell", "q_dot_c")
+    )
+
+    # -- per-query residual LUTs: q . codebook_centroid partial dots
+    cent_rows = spark.createDataFrame(
+        [(j, ci, c) for j, cents in luts.items() for ci, c in enumerate(cents)],
+        "sub int, code int, centroid array<double>",
+    )
+    part_dot = F.expr(
+        "aggregate(zip_with(slice(qv, sub * 8 + 1, 8), centroid, (x, y) -> x * y),"
+        " 0D, (acc, x) -> acc + x)"
+    )
+    lut = (
+        queries.crossJoin(F.broadcast(cent_rows))
+        .withColumn("pd", part_dot)
+        .groupBy("query_id", "sub")
+        .agg(F.array_sort(F.collect_list(F.struct("code", "pd"))).alias("row"))
+        .groupBy("query_id")
+        .agg(F.array_sort(F.collect_list(F.struct("sub", "row"))).alias("subs"))
+        .select(
+            "query_id",
+            F.expr("transform(subs, s -> transform(s.row, r -> r.pd))").alias("lut"),
+        )
+    )
+    probes = probed.join(lut, "query_id")
+
+    # -- ADC scan over probed cells only: codes + norms, no raw vectors
+    adc_res = F.expr(
+        "aggregate(sequence(0, 7),"
+        " 0D,"
+        " (acc, j) -> acc + element_at(element_at(lut, j + 1),"
+        "   int(element_at(array(code_0, code_1, code_2, code_3, code_4, code_5, code_6, code_7), j + 1)) + 1))"
+    )
+    scored = (
+        coded.drop("v")
+        .join(
+            F.broadcast(probes),
+            (coded.cell == probes.cell) & (F.col("vec_id") != F.col("query_id")),
+        )
+        .withColumn("adc_cosine", (F.col("q_dot_c") + adc_res) / (F.col("qnrm") * F.col("nrm")))
+        .select("query_id", "vec_id", "qnrm", "adc_cosine")
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    ws = Window.partitionBy("query_id").orderBy(F.col("adc_cosine").desc(), F.col("vec_id"))
+    short = (
+        scored.withColumn("srnk", F.row_number().over(ws))
+        .filter(F.col("srnk") <= shortlist)
+        .select("query_id", "qnrm", "vec_id")
+    )
+
+    # -- exact rerank on the shortlist only
+    rer = (
+        short.join(coded.select("vec_id", "v", "nrm"), "vec_id")
+        .join(queries.select("query_id", "qv"), "query_id")
+        .withColumn(
+            "cosine",
+            F.round(
+                F.expr("aggregate(zip_with(qv, v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+                / (F.col("qnrm") * F.col("nrm")),
+                6,
+            ),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        rer.withColumn("rnk", F.row_number().over(w2))
+        .filter(F.col("rnk") <= TOP_K)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "cosine",
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )

@@ -55,6 +55,7 @@ _QUERY_MODULES = [
     "change_data_capture_service_spark.operators.sqlapi",
     "change_data_capture_service_spark.operators.udfs",
     "change_data_capture_service_spark.streaming.windows",
+    "change_data_capture_service_spark.streaming.dedup_stream",
     "change_data_capture_service_spark.operators.windows",
     "change_data_capture_service_spark.operators.aggregates",
     "change_data_capture_service_spark.operators.cdc",
@@ -98,6 +99,9 @@ _CHECK_ORDER = [
     "dedup_minhash_estimate_quality",
     # -- new in round 6 (filling the window to 50) --
     "decode_pgoutput",
+    "knn_cosine_ivf_pq",
+    "stream_incremental_dedup",
+    "funnel_attribution_sessions",
 ]
 # Provenance: the round-5 window, fully attested by CORRECTNESS_r05
 # (49 full hash-green + approx_topk rows-only-clean). Kept for the

@@ -84,6 +84,9 @@ _R6_CHECK_WINDOW = [
     "knn_recall_eval", "dedup_minhash_estimate_quality",
     # new in round 6 (appended as they are registered)
     "decode_pgoutput",
+    "knn_cosine_ivf_pq",
+    "stream_incremental_dedup",
+    "funnel_attribution_sessions",
 ]
 
 

@@ -111,3 +111,28 @@ def test_multimodal_binary_roundtrip_matches_text(spark, sf_dir):
     for r in joined:
         assert r["n_bytes"] == len(r["text"].encode())
         assert r["first_byte"] == r["text"].encode()[0]
+
+
+def test_knn_ivf_pq_recall_and_rerank_exactness(spark, sf_dir):
+    """IVF-PQ (6/16 cells probed, residual-PQ ADC, 3k shortlist, exact
+    rerank): candidate coverage is bounded by the probed cells, so recall
+    sits between the PQ parent (full-corpus ADC) and the IVF parent
+    (probed cells, exact scoring); every returned cosine must EQUAL the
+    exact engine's value for that pair because the rerank is unquantized."""
+    exact_rows = registry.get("knn_cosine_topk").fn(spark, sf_dir).collect()
+    exact = {(r["query_id"], r["neighbor_id"]) for r in exact_rows}
+    exact_cos = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in exact_rows}
+    rows = registry.get("knn_cosine_ivf_pq").fn(spark, sf_dir).collect()
+    got = {(r["query_id"], r["neighbor_id"]) for r in rows}
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.4, f"IVF-PQ recall collapsed: {recall}"
+    for r in rows:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact_cos:
+            assert abs(r["cosine"] - exact_cos[key]) < 1e-9, "rerank not exact"
+    # per-query k results with contiguous ranks
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r["rnk"])
+    for q, rnks in per_q.items():
+        assert sorted(rnks) == list(range(1, len(rnks) + 1)), q

@@ -216,7 +216,7 @@ def test_recall_eval_bounds_and_methods(spark, sf_dir):
     the IVF tier (probing real partitions of the space) must find at least
     some true neighbors on the fixture."""
     r = _pdf(spark, sf_dir, "knn_recall_eval")
-    assert sorted(r["method"].unique()) == ["ivf", "lsh", "pq"]
+    assert sorted(r["method"].unique()) == ["ivf", "ivf_pq", "lsh", "pq"]
     assert ((r["recall_at_k"] >= 0) & (r["recall_at_k"] <= 1)).all()
     assert (r.groupby("method")["query_id"].count() == r["query_id"].nunique()).all()
     assert r.loc[r["method"] == "ivf", "recall_at_k"].mean() > 0

@@ -352,3 +352,78 @@ def test_stateful_last_touch_stream(spark, tmp_path):
         (2, 1): ("direct", 200),   # no prior touch ever
         (1, 4): ("view", 500),     # state crossed the batch boundary AND advanced
     }
+
+
+def test_streaming_minhash_dedup_equals_batch(spark, sf_dir, tmp_path):
+    """The streaming incremental near-dup sink, fed the documents table in
+    doc_id-ordered micro-batches (one file per trigger), must produce
+    EXACTLY the all-pairs batch operator's matches: cross-batch pairs come
+    from probing the band store, intra-batch pairs from the self-join, so
+    the union is invariant to how ingestion is chopped into batches."""
+    from change_data_capture_service_spark import registry
+    from change_data_capture_service_spark.catalog import load_table
+    from change_data_capture_service_spark.streaming.dedup_stream import (
+        start_incremental_dedup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = str(tmp_path / "docs_src")
+    # 4 files in doc_id ranges -> 4 micro-batches in arrival order
+    n_max = docs.agg(F.max("doc_id")).collect()[0][0]
+    step = (n_max + 4) // 4
+    for i in range(4):
+        (
+            docs.filter(
+                (F.col("doc_id") >= i * step) & (F.col("doc_id") < (i + 1) * step)
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q, sink = start_incremental_dedup(
+        stream, str(tmp_path / "store"), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(300)
+
+    got = {
+        (min(r["new_doc_id"], r["seen_doc_id"]), max(r["new_doc_id"], r["seen_doc_id"]))
+        for r in sink.matches().collect()
+    }
+    batch = {
+        (min(r["doc_id_a"], r["doc_id_b"]), max(r["doc_id_a"], r["doc_id_b"]))
+        for r in registry.get("dedup_minhash_near").fn(spark, sf_dir).collect()
+    }
+    assert got == batch, (got - batch, batch - got)
+    assert len(got) > 0  # fixture plants near-dups; empty would be vacuous
+
+
+def test_streaming_minhash_dedup_replay_idempotent(spark, sf_dir, tmp_path):
+    """Re-running an epoch (at-least-once replay) rewrites its epoch
+    partitions byte-identically instead of duplicating matches or store
+    rows."""
+    from change_data_capture_service_spark.catalog import load_table
+    from change_data_capture_service_spark.streaming.dedup_stream import (
+        StreamingMinHashDedup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    other = docs.filter(F.col("doc_id") % 2 == 1)
+    sink = StreamingMinHashDedup(spark, str(tmp_path / "store"))
+    sink(half, 0)
+    sink(other, 1)
+    once = sorted(
+        (r["new_doc_id"], r["seen_doc_id"], r["jaccard"])
+        for r in sink.matches().collect()
+    )
+    sink(other, 1)  # replay epoch 1
+    twice = sorted(
+        (r["new_doc_id"], r["seen_doc_id"], r["jaccard"])
+        for r in sink.matches().collect()
+    )
+    assert once == twice

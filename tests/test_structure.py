@@ -41,7 +41,7 @@ def test_every_operator_documents_itself():
 
 
 def test_rows_only_set_is_exactly_the_documented_one():
-    """COVERAGE.md promises 12 rows-only keys; a new oracle-less key must
+    """COVERAGE.md promises 13 rows-only keys; a new oracle-less key must
     be a deliberate decision, not a forgotten oracle."""
     rows_only = {name for name, e in registry.entries().items() if e.oracle is None}
     assert rows_only == {
@@ -51,6 +51,7 @@ def test_rows_only_set_is_exactly_the_documented_one():
         "knn_cosine_ivf",
         "knn_cosine_lsh",
         "knn_cosine_pq",
+        "knn_cosine_ivf_pq",
         "agg_hll_rollup",
         "multimodal_frame_sample",
         "approx_topk",
