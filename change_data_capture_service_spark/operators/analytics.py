@@ -1760,3 +1760,308 @@ def funnel_attribution_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("attributed_value"),
         )
     )
+
+
+@register(
+    "events_user_event_diversity",
+    tags=("analytics", "agg"),
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, count(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    u AS (
+      SELECT user_id, CAST(sum(c) AS BIGINT) AS n_events,
+             CAST(count(*) AS BIGINT) AS n_types,
+             CAST(sum(CAST(round(c * ln(c), 9) AS DECIMAL(28,9))) AS DOUBLE)
+               AS sum_clnc
+      FROM c GROUP BY 1
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id, n_events, n_types,
+           round(ln(n_events) - sum_clnc / n_events, 6) AS type_entropy
+    FROM u ORDER BY user_id
+    """,
+)
+def events_user_event_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral diversity: Shannon entropy over the user's
+    event-type distribution (0 = does one thing; ln(n_types) = uses
+    everything equally) -- the engagement-breadth feature every churn and
+    LTV model starts from.
+
+    Scale: two partial aggs on the same user-keyed shuffle ((user, type)
+    counts, then |users| states). Entropy comes from EXACT counts via
+    ln(n) - sum(c ln c)/n; the per-type c*ln(c) terms snap to DECIMAL(9dp)
+    before summing so accumulation order cannot flip the 6dp output."""
+    e = load_table(spark, sf_dir, "events")
+    c = e.groupBy("user_id", "event_type").agg(F.count("*").alias("c"))
+    u = c.groupBy("user_id").agg(
+        F.sum("c").cast("bigint").alias("n_events"),
+        F.count("*").cast("bigint").alias("n_types"),
+        F.sum(
+            F.round(F.col("c") * F.log(F.col("c")), 9).cast("decimal(28,9)")
+        )
+        .cast("double")
+        .alias("sum_clnc"),
+    )
+    return (
+        u.select(
+            F.col("user_id").cast("bigint").alias("user_id"),
+            "n_events",
+            "n_types",
+            F.round(
+                F.log(F.col("n_events")) - F.col("sum_clnc") / F.col("n_events"), 6
+            ).alias("type_entropy"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "events_daily_new_vs_returning",
+    tags=("analytics", "agg"),
+    oracle="""
+    WITH f AS (
+      SELECT user_id, min(CAST(date_trunc('day', ts) AS TIMESTAMP)) AS first_day
+      FROM events GROUP BY 1
+    ),
+    d AS (
+      SELECT CAST(date_trunc('day', e.ts) AS TIMESTAMP) AS day, e.user_id,
+             f.first_day
+      FROM events e JOIN f ON e.user_id = f.user_id
+    )
+    SELECT day,
+           CAST(count(DISTINCT CASE WHEN day = first_day THEN user_id END)
+                AS BIGINT) AS new_users,
+           CAST(count(DISTINCT CASE WHEN day > first_day THEN user_id END)
+                AS BIGINT) AS returning_users,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM d GROUP BY 1 ORDER BY 1
+    """,
+)
+def events_daily_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily actives split into first-ever-seen-today vs returning -- the
+    growth-vs-retention decomposition on every product dashboard.
+
+    Scale: the first-day rollup is one user-keyed partial agg; it joins
+    back on the SAME user key (no extra exchange beyond the day rollup);
+    the two conditional distincts share one expand pass. At 100 TB the
+    first-day table is the incrementally-maintained dimension this
+    recomputation checks against."""
+    e = load_table(spark, sf_dir, "events")
+    f = e.groupBy("user_id").agg(F.min(F.date_trunc("day", "ts")).alias("first_day"))
+    d = e.select(F.date_trunc("day", "ts").alias("day"), "user_id").join(f, "user_id")
+    return (
+        d.groupBy("day")
+        .agg(
+            F.count_distinct(
+                F.when(F.col("day") == F.col("first_day"), F.col("user_id"))
+            )
+            .cast("bigint")
+            .alias("new_users"),
+            F.count_distinct(
+                F.when(F.col("day") > F.col("first_day"), F.col("user_id"))
+            )
+            .cast("bigint")
+            .alias("returning_users"),
+            F.count("*").cast("bigint").alias("n_events"),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "events_dau_wau_ratio",
+    tags=("analytics", "agg"),
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+      FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM ud)
+    SELECT d.day,
+           CAST(count(DISTINCT CASE WHEN ud.day = d.day THEN ud.user_id END)
+                AS BIGINT) AS dau,
+           CAST(count(DISTINCT ud.user_id) AS BIGINT) AS wau,
+           round(CAST(count(DISTINCT CASE WHEN ud.day = d.day
+                                          THEN ud.user_id END) AS DOUBLE)
+                 / count(DISTINCT ud.user_id), 6) AS stickiness
+    FROM days d JOIN ud
+      ON ud.day <= d.day AND ud.day >= d.day - INTERVAL 6 DAY
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def events_dau_wau_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU, trailing-7-day WAU, and the DAU/WAU stickiness ratio per day
+    -- THE engagement-frequency metric ("how many weekly users show up on
+    a given day").
+
+    Scale: events first dedupe to (user, day) pairs -- the only
+    data-scaled agg; the 7-day containment joins that rollup against the
+    tiny distinct-days dim (broadcast, range predicate), expanding each
+    user-day into at most 7 day-buckets before the per-day distinct.
+    Nothing ever pairs users with users."""
+    e = load_table(spark, sf_dir, "events")
+    ud = e.select("user_id", F.date_trunc("day", "ts").alias("day")).distinct()
+    days = ud.select(F.col("day").alias("d")).distinct()
+    j = ud.join(
+        F.broadcast(days),
+        (F.col("day") <= F.col("d"))
+        & (F.col("day") >= F.col("d") - F.expr("INTERVAL 6 DAY")),
+    )
+    return (
+        j.groupBy(F.col("d").alias("day"))
+        .agg(
+            F.count_distinct(F.when(F.col("day") == F.col("d"), F.col("user_id")))
+            .cast("bigint")
+            .alias("dau"),
+            F.count_distinct("user_id").cast("bigint").alias("wau"),
+            F.round(
+                F.count_distinct(
+                    F.when(F.col("day") == F.col("d"), F.col("user_id"))
+                ).cast("double")
+                / F.count_distinct("user_id"),
+                6,
+            ).alias("stickiness"),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "events_session_depth_dist",
+    tags=("analytics", "window"),
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(epoch_us(ts)) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    s AS (
+      SELECT user_id,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM g
+    ),
+    depth AS (
+      SELECT user_id, session_no, CAST(count(*) AS BIGINT) AS depth
+      FROM s GROUP BY 1, 2
+    )
+    SELECT depth, CAST(count(*) AS BIGINT) AS n_sessions
+    FROM depth GROUP BY 1 ORDER BY 1
+    """,
+)
+def events_session_depth_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of session depth (events per 30-min-gap session): the
+    histogram that separates bounce traffic (depth 1-2) from engaged use
+    -- the first summary anyone asks of the sessionizer.
+
+    Scale: the session numbering reuses sessionize_batch's single
+    user-keyed shuffle; the depth rollup rides the same partitioning and
+    the final histogram is |distinct depths| states -- tiny."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    numbered = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0).alias("ns"),
+    ).select(
+        "user_id",
+        F.sum("ns").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("session_no"),
+    )
+    depth = numbered.groupBy("user_id", "session_no").agg(
+        F.count("*").cast("bigint").alias("depth")
+    )
+    return (
+        depth.groupBy("depth")
+        .agg(F.count("*").cast("bigint").alias("n_sessions"))
+        .orderBy("depth")
+    )
+
+
+@register(
+    "events_lifecycle_stages",
+    tags=("analytics", "window"),
+    oracle="""
+    WITH uw AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS week
+      FROM events
+    ),
+    lagged AS (
+      SELECT user_id, week,
+             lag(week) OVER (PARTITION BY user_id ORDER BY week) AS prev_week
+      FROM uw
+    ),
+    staged AS (
+      SELECT week,
+             CASE WHEN prev_week IS NULL THEN 'new'
+                  WHEN week = prev_week + INTERVAL 7 DAY THEN 'retained'
+                  ELSE 'resurrected' END AS stage
+      FROM lagged
+    ),
+    counts AS (
+      SELECT week, CAST(count(*) FILTER (WHERE stage = 'new') AS BIGINT) AS n_new,
+             CAST(count(*) FILTER (WHERE stage = 'retained') AS BIGINT) AS n_retained,
+             CAST(count(*) FILTER (WHERE stage = 'resurrected') AS BIGINT)
+               AS n_resurrected,
+             CAST(count(*) AS BIGINT) AS n_active
+      FROM staged GROUP BY 1
+    )
+    SELECT c.week, c.n_new, c.n_retained, c.n_resurrected, c.n_active,
+           CAST(coalesce(p.n_active, 0) - c.n_retained AS BIGINT) AS n_churned
+    FROM counts c
+    LEFT JOIN counts p ON p.week = c.week - INTERVAL 7 DAY
+    ORDER BY c.week
+    """,
+)
+def events_lifecycle_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly growth accounting: actives decomposed into new (first week
+    ever), retained (also active the immediately preceding week), and
+    resurrected (returning after a gap), plus churned = last week's
+    actives who did not retain -- the canonical startup growth table
+    (new + retained + resurrected - churned = net weekly change).
+
+    Scale: ONE user-keyed shuffle produces the distinct user-weeks and
+    the lag window; the stage rollup is |weeks| x 3 states, and churn
+    derives from the rollup joined to itself shifted one week (dim-scale,
+    robust to empty weeks, no second pass over events)."""
+    e = load_table(spark, sf_dir, "events")
+    uw = e.select("user_id", F.date_trunc("week", "ts").alias("week")).distinct()
+    w = Window.partitionBy("user_id").orderBy("week")
+    staged = uw.withColumn("prev_week", F.lag("week").over(w)).select(
+        "week",
+        F.when(F.col("prev_week").isNull(), "new")
+        .when(F.col("week") == F.col("prev_week") + F.expr("INTERVAL 7 DAY"), "retained")
+        .otherwise("resurrected")
+        .alias("stage"),
+    )
+    counts = staged.groupBy("week").agg(
+        F.count_if(F.col("stage") == "new").cast("bigint").alias("n_new"),
+        F.count_if(F.col("stage") == "retained").cast("bigint").alias("n_retained"),
+        F.count_if(F.col("stage") == "resurrected").cast("bigint").alias("n_resurrected"),
+        F.count("*").cast("bigint").alias("n_active"),
+    )
+    p = counts.select(
+        (F.col("week") + F.expr("INTERVAL 7 DAY")).alias("week"),
+        F.col("n_active").alias("prev_active"),
+    )
+    return (
+        counts.join(p, "week", "left")
+        .select(
+            "week",
+            "n_new",
+            "n_retained",
+            "n_resurrected",
+            "n_active",
+            (F.coalesce(F.col("prev_active"), F.lit(0)) - F.col("n_retained"))
+            .cast("bigint")
+            .alias("n_churned"),
+        )
+        .orderBy("week")
+    )

@@ -969,3 +969,77 @@ def decode_pgoutput_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("after")["user_id"].cast("bigint").alias("user_id"),
         F.col("after")["event_type"].alias("event_type"),
     )
+
+
+@register(
+    "cdc_event_size_profile",
+    tags=("cdc", "agg"),
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(length(props) AS BIGINT)) AS BIGINT) AS total_bytes,
+           round(CAST(sum(CAST(length(props) AS BIGINT)) AS DOUBLE)
+                 / count(*), 6) AS avg_bytes,
+           CAST(max(length(props)) AS BIGINT) AS max_bytes
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
+def cdc_event_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payload-size profile per event type: count, total/average/max JSON
+    payload bytes -- the capacity-planning panel for a change stream
+    (sink batch sizing, Kafka message limits, and the early-warning for a
+    producer that started embedding blobs in props).
+
+    Scale: string length is computed map-side in the scan projection;
+    ONE |types|-state partial agg carries exact integer byte sums."""
+    e = load_table(spark, sf_dir, "events")
+    ln = F.length("props").cast("bigint")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(ln).cast("bigint").alias("total_bytes"),
+            F.round(F.sum(ln).cast("double") / F.count("*"), 6).alias("avg_bytes"),
+            F.max(ln).cast("bigint").alias("max_bytes"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "cdc_batch_size_distribution",
+    tags=("cdc", "agg"),
+    oracle="""
+    SELECT CAST(event_id // 5000 AS BIGINT) AS batch_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(length(props) AS BIGINT)) AS BIGINT) AS batch_bytes,
+           round(CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS DOUBLE)
+                 / 1000000, 6) AS span_seconds
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
+def cdc_batch_size_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Micro-batch sizing panel: chop the change log into fixed 5000-event
+    batches (by the monotone event_id, the LSN stand-in) and report each
+    batch's row count, payload bytes, and wall-clock span -- exactly the
+    evidence that tunes maxFilesPerTrigger / maxOffsetsPerTrigger
+    backpressure (streaming/pipeline.py): bytes-per-batch drives executor
+    memory, span-per-batch drives end-to-end latency.
+
+    Scale: the batch key is integer division on a scan column -- no
+    window, no sort; ONE |batches|-state partial agg with exact integer
+    sums and min/max micros."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy((F.col("event_id") / 5000).cast("bigint").alias("batch_id"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(F.length("props").cast("bigint")).cast("bigint").alias("batch_bytes"),
+            F.round(
+                (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).cast("double")
+                / 1_000_000,
+                6,
+            ).alias("span_seconds"),
+        )
+        .orderBy("batch_id")
+    )

@@ -1982,3 +1982,371 @@ def discount_quantity_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("discount_pct")
     )
+
+
+@register(
+    "orders_seasonal_index",
+    tags=("agg", "window", "relational"),
+    oracle="""
+    WITH m AS (
+      SELECT CAST(year(o_orderdate) AS INT) AS yr,
+             CAST(month(o_orderdate) AS INT) AS mo,
+             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT yr, mo, CAST(rev AS DOUBLE) AS revenue,
+           round(CAST(rev AS DOUBLE) /
+                 (CAST(sum(rev) OVER (PARTITION BY yr) AS DOUBLE)
+                  / count(*) OVER (PARTITION BY yr)), 6) AS seasonal_index
+    FROM m ORDER BY yr, mo
+    """,
+)
+def orders_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly seasonality index: each month's revenue relative to its
+    year's average month -- the demand-planning normalization that makes
+    December-vs-March comparable across years.
+
+    Scale: one partial agg to |year x month| rows (the only pass over
+    orders), then the window runs on the 12-rows-per-year rollup --
+    window cost is dim-scale, never data-scale. Revenue stays DECIMAL
+    through the agg; the index is one double division of exact sums."""
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.month("o_orderdate").cast("int").alias("mo"),
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    wy = Window.partitionBy("yr")
+    return (
+        m.withColumn(
+            "seasonal_index",
+            F.round(
+                F.col("rev").cast("double")
+                / (F.sum("rev").over(wy).cast("double") / F.count("*").over(wy)),
+                6,
+            ),
+        )
+        .select("yr", "mo", F.col("rev").cast("double").alias("revenue"), "seasonal_index")
+        .orderBy("yr", "mo")
+    )
+
+
+@register(
+    "regional_price_dispersion",
+    tags=("join", "agg", "relational"),
+    oracle="""
+    WITH u AS (
+      SELECT r.r_name,
+             CAST(round(l.l_extendedprice / l.l_quantity, 6)
+                  AS DECIMAL(18,6)) AS unit_price
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      JOIN region r   ON n.n_regionkey = r.r_regionkey
+    )
+    SELECT r_name,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           round(CAST(sum(unit_price) AS DOUBLE) / count(*), 6) AS avg_unit_price,
+           round(sqrt((CAST(sum(CAST(unit_price AS DECIMAL(19,6))
+                                * CAST(unit_price AS DECIMAL(19,6)))
+                            AS DOUBLE)
+                       - CAST(sum(unit_price) AS DOUBLE)
+                         * CAST(sum(unit_price) AS DOUBLE) / count(*))
+                      / (count(*) - 1)), 6) AS stddev_unit_price
+    FROM u GROUP BY 1 ORDER BY 1
+    """,
+)
+def regional_price_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unit-price dispersion by supplier region: mean and sample stddev of
+    extendedprice/quantity -- the procurement dashboard that shows which
+    region's pricing is volatile.
+
+    Scale: supplier/nation/region broadcast onto the fact scan; ONE
+    |regions|-state partial agg carries exact DECIMAL moments (unit price
+    rounded to 6 dp first, so sum and sum-of-squares are accumulation-
+    order-independent across engines); mean and stddev are closed-form
+    doubles computed from the exact sums at the end."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    u = (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(
+            "r_name",
+            F.round(F.col("l_extendedprice") / F.col("l_quantity"), 6)
+            .cast("decimal(18,6)")
+            .alias("up"),
+        )
+    )
+    cnt = F.count("*")
+    s1 = F.sum("up").cast("double")
+    s2 = F.sum((F.col("up") * F.col("up")).cast("decimal(38,12)")).cast("double")
+    return (
+        u.groupBy("r_name")
+        .agg(
+            cnt.cast("bigint").alias("n_lines"),
+            F.round(s1 / cnt, 6).alias("avg_unit_price"),
+            F.round(F.sqrt((s2 - s1 * s1 / cnt) / (cnt - 1)), 6).alias(
+                "stddev_unit_price"
+            ),
+        )
+        .orderBy("r_name")
+    )
+
+
+@register(
+    "part_substitution_candidates",
+    tags=("join", "relational"),
+    oracle="""
+    SELECT a.p_partkey AS partkey_a, b.p_partkey AS partkey_b,
+           a.p_brand, a.p_type,
+           CAST(a.p_size AS INT) AS size_a, CAST(b.p_size AS INT) AS size_b,
+           round(abs(a.p_retailprice - b.p_retailprice), 2) AS price_gap
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_type = b.p_type
+     AND b.p_size = a.p_size + 1
+    ORDER BY partkey_a, partkey_b
+    """,
+)
+def part_substitution_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substitution candidates: part pairs in the same brand+type whose
+    sizes are adjacent -- the catalog query behind out-of-stock
+    recommendations and assortment rationalization.
+
+    Scale: an equi-join on (brand, type) with the +1-size predicate as a
+    join-key component (b.size = a.size + 1 is an equality after the
+    rewrite, so this hashes -- never a range or cross join); pair space is
+    bounded by parts-per-(brand, type, size), a catalog constant."""
+    p = load_table(spark, sf_dir, "part")
+    a = p.alias("a")
+    b = p.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_type") == F.col("b.p_type"))
+            & (F.col("b.p_size") == F.col("a.p_size") + 1),
+        )
+        .select(
+            F.col("a.p_partkey").alias("partkey_a"),
+            F.col("b.p_partkey").alias("partkey_b"),
+            F.col("a.p_brand").alias("p_brand"),
+            F.col("a.p_type").alias("p_type"),
+            F.col("a.p_size").cast("int").alias("size_a"),
+            F.col("b.p_size").cast("int").alias("size_b"),
+            F.round(F.abs(F.col("a.p_retailprice") - F.col("b.p_retailprice")), 2).alias(
+                "price_gap"
+            ),
+        )
+        .orderBy("partkey_a", "partkey_b")
+    )
+
+
+@register(
+    "orders_priority_sla_breach",
+    tags=("join", "agg", "relational"),
+    oracle="""
+    WITH first_ship AS (
+      SELECT l_orderkey, min(l_shipdate) AS first_ship
+      FROM lineitem GROUP BY 1
+    )
+    SELECT CAST(date_trunc('month', o.o_orderdate) AS TIMESTAMP) AS month,
+           o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(count(*) FILTER (WHERE f.first_ship > o.o_orderdate
+                                       + INTERVAL 30 DAY) AS BIGINT) AS n_breached,
+           round(CAST(count(*) FILTER (WHERE f.first_ship > o.o_orderdate
+                                             + INTERVAL 30 DAY) AS DOUBLE)
+                 / count(*), 6) AS breach_rate
+    FROM orders o JOIN first_ship f ON o.o_orderkey = f.l_orderkey
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def orders_priority_sla_breach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLA panel: per order-month and priority, the share of orders whose
+    FIRST shipment left more than 30 days after the order date -- the
+    fulfillment-health query an ops team pages on.
+
+    Scale: lineitem partial-aggregates to one min-shipdate row per order
+    BEFORE the join (map-side combine -- the fact table's width never
+    crosses the wire), then joins orders on the shared o_orderkey
+    partitioning; the month x priority rollup is dim-scale."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    first_ship = li.groupBy("l_orderkey").agg(F.min("l_shipdate").alias("first_ship"))
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    breached = F.col("first_ship") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")
+    return (
+        o.join(first_ship, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            F.date_trunc("month", "o_orderdate").alias("month"), "o_orderpriority"
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.count_if(breached).cast("bigint").alias("n_breached"),
+            F.round(F.count_if(breached).cast("double") / F.count("*"), 6).alias(
+                "breach_rate"
+            ),
+        )
+        .orderBy("month", "o_orderpriority")
+    )
+
+
+@register(
+    "customer_wallet_share",
+    tags=("agg", "window", "relational"),
+    oracle="""
+    WITH s AS (
+      SELECT o_custkey, CAST(year(o_orderdate) AS INT) AS yr,
+             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT CAST(o_custkey AS BIGINT) AS custkey, yr,
+           CAST(spend AS DOUBLE) AS spend,
+           round(CAST(spend AS DOUBLE) /
+                 CAST(sum(spend) OVER (PARTITION BY o_custkey) AS DOUBLE), 6)
+             AS share_of_wallet
+    FROM s ORDER BY custkey, yr
+    """,
+)
+def customer_wallet_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per customer-year spend and its share of the customer's lifetime
+    spend -- the wallet-trajectory view behind churn-risk scoring (a
+    shrinking share in recent years IS the churn signal).
+
+    Scale: orders partial-aggregates to |customers x years| rows in one
+    shuffle; the share window partitions by customer over that rollup
+    (a handful of rows per key). DECIMAL spend, one double division."""
+    o = load_table(spark, sf_dir, "orders")
+    s = o.groupBy(
+        F.col("o_custkey"), F.year("o_orderdate").cast("int").alias("yr")
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend"))
+    wc = Window.partitionBy("o_custkey")
+    return (
+        s.withColumn(
+            "share_of_wallet",
+            F.round(
+                F.col("spend").cast("double") / F.sum("spend").over(wc).cast("double"), 6
+            ),
+        )
+        .select(
+            F.col("o_custkey").cast("bigint").alias("custkey"),
+            "yr",
+            F.col("spend").cast("double").alias("spend"),
+            "share_of_wallet",
+        )
+        .orderBy("custkey", "yr")
+    )
+
+
+@register(
+    "returnflag_rate_by_brand",
+    tags=("join", "agg", "relational"),
+    oracle=f"""
+    SELECT p.p_brand,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(count(*) FILTER (WHERE l.l_returnflag = 'R') AS BIGINT)
+             AS n_returned,
+           round(CAST(count(*) FILTER (WHERE l.l_returnflag = 'R') AS DOUBLE)
+                 / count(*), 6) AS return_rate,
+           CAST(sum(CASE WHEN l.l_returnflag = 'R' THEN {_REV}
+                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+             AS returned_revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def returnflag_rate_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Return rate and returned revenue by brand -- the merchandising
+    quality panel (a brand whose return rate doubles is a product or
+    fulfillment defect surfacing as customer behavior).
+
+    Scale: part broadcasts onto the lineitem scan (dim vs fact); ONE
+    |brands|-state partial agg computes count, conditional count, and
+    conditional DECIMAL revenue in the same pass -- no second scan for
+    the returned slice."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_returnflag", "l_extendedprice", "l_discount"
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ret = F.col("l_returnflag") == "R"
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            F.count_if(ret).cast("bigint").alias("n_returned"),
+            F.round(F.count_if(ret).cast("double") / F.count("*"), 6).alias(
+                "return_rate"
+            ),
+            F.sum(F.when(ret, _rev()).otherwise(F.lit(0).cast("decimal(18,2)")))
+            .cast("double")
+            .alias("returned_revenue"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@register(
+    "supplier_revenue_rank_by_region",
+    tags=("join", "agg", "window", "relational"),
+    oracle=f"""
+    WITH rev AS (
+      SELECT r.r_name, s.s_suppkey, s.s_name,
+             sum({_REV}) AS revenue
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      JOIN region r   ON n.n_regionkey = r.r_regionkey
+      GROUP BY 1, 2, 3
+    )
+    SELECT r_name, CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
+           CAST(revenue AS DOUBLE) AS revenue, CAST(rnk AS INT) AS rnk
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY r_name
+                                   ORDER BY revenue DESC, s_suppkey) AS rnk
+      FROM rev
+    ) t
+    WHERE rnk <= 5 ORDER BY r_name, rnk
+    """,
+)
+def supplier_revenue_rank_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 suppliers by revenue within each region -- the leaderboard
+    variant of the regional revenue rollup, with a deterministic
+    (revenue DESC, suppkey) tiebreak.
+
+    Scale: supplier/nation/region broadcast; ONE supplier-grain partial
+    agg over the fact scan (DECIMAL revenue); the rank window runs on the
+    |suppliers| rollup partitioned by region and Spark 4's
+    WindowGroupLimit keeps 5 per region map-side before the exchange."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    rev = (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "s_suppkey", "s_name")
+        .agg(F.sum(_rev()).alias("revenue"))
+    )
+    w = Window.partitionBy("r_name").orderBy(F.col("revenue").desc(), "s_suppkey")
+    return (
+        rev.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 5)
+        .select(
+            "r_name",
+            F.col("s_suppkey").cast("bigint").alias("s_suppkey"),
+            "s_name",
+            F.col("revenue").cast("double").alias("revenue"),
+            "rnk",
+        )
+        .orderBy("r_name", "rnk")
+    )

@@ -87,6 +87,20 @@ _R6_CHECK_WINDOW = [
     "knn_cosine_ivf_pq",
     "stream_incremental_dedup",
     "funnel_attribution_sessions",
+    "orders_seasonal_index",
+    "regional_price_dispersion",
+    "part_substitution_candidates",
+    "orders_priority_sla_breach",
+    "customer_wallet_share",
+    "returnflag_rate_by_brand",
+    "supplier_revenue_rank_by_region",
+    "events_user_event_diversity",
+    "events_daily_new_vs_returning",
+    "events_dau_wau_ratio",
+    "events_session_depth_dist",
+    "events_lifecycle_stages",
+    "cdc_event_size_profile",
+    "cdc_batch_size_distribution",
 ]
 
 
