@@ -2065,3 +2065,163 @@ def events_lifecycle_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("week")
     )
+
+
+@register(
+    "events_bounce_rate_daily",
+    tags=("analytics", "window", "agg"),
+    oracle="""
+    WITH x AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM x
+    ),
+    g AS (
+      SELECT user_id, session_no, min(ts) AS session_start,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM s GROUP BY 1, 2
+    )
+    SELECT date_trunc('day', session_start) AS day,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bounces,
+           round(CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS bounce_rate
+    FROM g GROUP BY 1 ORDER BY 1
+    """,
+)
+def events_bounce_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bounce rate: share of 30-min-gap sessions that contain exactly
+    one event, keyed by session start day -- the engagement-health daily
+    the depth distribution (``events_session_depth_dist``) summarizes
+    without a time axis. Session boundaries use the same exact
+    ``unix_micros`` arithmetic as ``sessionize_batch``.
+
+    Scale: ONE keyed shuffle on user_id feeds both windows and the session
+    groupBy (same partitioning, no extra exchange); the day rollup is
+    |days|-state."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    flagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0).alias("new_session"),
+    )
+    numbered = flagged.select(
+        "user_id",
+        "ts",
+        F.sum("new_session")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("session_no"),
+    )
+    g = numbered.groupBy("user_id", "session_no").agg(
+        F.min("ts").alias("session_start"),
+        F.count("*").cast("bigint").alias("n_events"),
+    )
+    bounce = F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+    return (
+        g.groupBy(F.date_trunc("day", F.col("session_start")).alias("day"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_sessions"),
+            bounce.cast("bigint").alias("n_bounces"),
+            F.round(bounce.cast("double") / F.count("*"), 6).alias("bounce_rate"),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "events_weekday_weekend_mix",
+    tags=("analytics", "agg"),
+    oracle="""
+    SELECT event_type,
+           CAST(sum(CASE WHEN isodow(ts) <= 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_weekday,
+           CAST(sum(CASE WHEN isodow(ts) >= 6 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_weekend,
+           round(CAST(sum(CASE WHEN isodow(ts) >= 6 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS weekend_share
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
+def events_weekday_weekend_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday vs weekend traffic mix per event type (is 'purchase' a
+    weekend behavior?). ISO day-of-week derived the same way as
+    ``shipdate_dow_revenue`` so Sunday lands in the weekend bucket on both
+    engines.
+
+    Scale: map-side date arithmetic + ONE |types|-state partial agg."""
+    e = load_table(spark, sf_dir, "events")
+    dow_iso = (F.dayofweek(F.col("ts")) + 5) % 7 + 1
+    wknd = F.sum(F.when(dow_iso >= 6, 1).otherwise(0))
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.sum(F.when(dow_iso <= 5, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_weekday"),
+            wknd.cast("bigint").alias("n_weekend"),
+            F.round(wknd.cast("double") / F.count("*"), 6).alias("weekend_share"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "events_first_touch_type_share",
+    tags=("analytics", "agg"),
+    oracle="""
+    WITH r AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    f AS (SELECT user_id, event_type FROM r WHERE rn = 1)
+    SELECT event_type AS first_event_type,
+           CAST(count(*) AS BIGINT) AS n_users,
+           round(CAST(count(*) AS DOUBLE)
+                 / (SELECT count(*) FROM f), 6) AS share
+    FROM f GROUP BY 1 ORDER BY 1
+    """,
+)
+def events_first_touch_type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acquisition mix: each user's FIRST event type (the first-touch twin
+    of ``attribution_last_touch``) and its share of the user base --
+    which front door brings people in. (ts, event_id) tiebreaks identical
+    timestamps deterministically.
+
+    Scale: no window over the fact table -- ``min_by`` on a (ts, event_id)
+    struct collapses to |users| rows in ONE partial agg; the share divides
+    by a 1-row broadcast total."""
+    e = load_table(spark, sf_dir, "events")
+    f = e.groupBy("user_id").agg(
+        F.min_by(F.col("event_type"), F.struct("ts", "event_id")).alias(
+            "first_event_type"
+        )
+    )
+    per_type = f.groupBy("first_event_type").agg(
+        F.count("*").cast("bigint").alias("n_users")
+    )
+    tot = per_type.agg(F.sum("n_users").cast("double").alias("total"))
+    return (
+        per_type.crossJoin(F.broadcast(tot))
+        .select(
+            "first_event_type",
+            "n_users",
+            F.round(F.col("n_users").cast("double") / F.col("total"), 6).alias("share"),
+        )
+        .orderBy("first_event_type")
+    )

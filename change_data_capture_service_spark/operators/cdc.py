@@ -1043,3 +1043,51 @@ def cdc_batch_size_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("batch_id")
     )
+
+
+@register(
+    "cdc_key_churn",
+    tags=("cdc", "agg"),
+    oracle="""
+    WITH k AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n_ops,
+             CAST(date_diff('second', min(ts), max(ts)) AS BIGINT) AS lifespan_s
+      FROM events GROUP BY 1
+    )
+    SELECT CAST(n_ops // 10 AS BIGINT) AS ops_decade,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(n_ops) AS BIGINT) AS total_ops,
+           round(CAST(sum(lifespan_s) AS DOUBLE) / count(*), 2) AS avg_lifespan_s
+    FROM k GROUP BY 1 ORDER BY 1
+    """,
+)
+def cdc_key_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-churn histogram for the change feed: per key (the reference's
+    Kafka message key, ``internal/kafka/producer.go:37``), total ops and
+    active lifespan, bucketed into decade bands of op count (40-49 ops,
+    50-59, ...). The upsert sink's compaction win is exactly
+    ``total_ops - n_keys`` summed over the tail bands -- this panel tells
+    you whether compaction is worth running. Decade edges come from integer
+    division and lifespans are exact integer seconds -- no boundary flap.
+
+    Scale: ONE |keys|-grain partial agg over the feed, then a
+    |decades|-state rollup."""
+    e = load_table(spark, sf_dir, "events")
+    k = e.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_ops"),
+        (F.unix_seconds(F.max("ts")) - F.unix_seconds(F.min("ts")))
+        .cast("bigint")
+        .alias("lifespan_s"),
+    )
+    return (
+        k.groupBy(F.expr("n_ops DIV 10").cast("bigint").alias("ops_decade"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_keys"),
+            F.sum("n_ops").cast("bigint").alias("total_ops"),
+            F.round(F.sum("lifespan_s").cast("double") / F.count("*"), 2).alias(
+                "avg_lifespan_s"
+            ),
+        )
+        .orderBy("ops_decade")
+    )

@@ -937,3 +937,47 @@ def dedup_minhash_estimate_quality(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("doc_id_a", "doc_id_b")
     )
+
+
+@register(
+    "dedup_family_size_dist",
+    tags=("dedup", "agg"),
+    oracle="""
+    WITH f AS (
+      SELECT md5(substr(text, 1, 100)) AS h,
+             CAST(count(*) AS BIGINT) AS family_size
+      FROM documents GROUP BY 1
+    )
+    SELECT family_size,
+           CAST(count(*) AS BIGINT) AS n_families,
+           CAST(family_size * count(*) AS BIGINT) AS n_docs
+    FROM f GROUP BY 1 ORDER BY 1
+    """,
+)
+def dedup_family_size_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-fingerprint family-size histogram: group documents by the
+    digest of their first 100 characters (the crawl-dedup trick that
+    catches boilerplate openings and templated mirrors exact hashing
+    misses), then count families at each size -- the one-glance answer to
+    'how duplicated is this crawl?' (size-1 families are unique docs; the
+    tail is what prefix-level dedup would collapse). Both engines digest
+    with standard MD5 over the identical UTF-8 prefix, so family keys
+    agree exactly.
+
+    Scale: the fact table shuffles DIGESTS (16 bytes), never text -- the
+    substr+md5 projects map-side; two stacked partial aggs end
+    |sizes|-state."""
+    d = load_table(spark, sf_dir, "documents")
+    f = d.groupBy(F.md5(F.substring(F.col("text"), 1, 100)).alias("h")).agg(
+        F.count("*").cast("bigint").alias("family_size")
+    )
+    return (
+        f.groupBy("family_size")
+        .agg(F.count("*").cast("bigint").alias("n_families"))
+        .select(
+            "family_size",
+            "n_families",
+            (F.col("family_size") * F.col("n_families")).cast("bigint").alias("n_docs"),
+        )
+        .orderBy("family_size")
+    )

@@ -2350,3 +2350,369 @@ def supplier_revenue_rank_by_region(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("r_name", "rnk")
     )
+
+
+@register(
+    "orders_monthly_momentum",
+    tags=("agg", "window", "timeseries", "relational"),
+    oracle="""
+    WITH m AS (
+      SELECT date_trunc('month', o_orderdate) AS month,
+             CAST(sum(CAST(round(o_totalprice, 2) AS DECIMAL(18,2)))
+                  AS DOUBLE) AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT month,
+           round(revenue, 2) AS revenue,
+           round(100.0 * (revenue - lag(revenue) OVER w)
+                 / lag(revenue) OVER w, 4) AS mom_pct,
+           round((revenue
+                  + coalesce(lag(revenue, 1) OVER w, 0)
+                  + coalesce(lag(revenue, 2) OVER w, 0))
+                 / (1 + CASE WHEN lag(revenue, 1) OVER w IS NULL THEN 0 ELSE 1 END
+                      + CASE WHEN lag(revenue, 2) OVER w IS NULL THEN 0 ELSE 1 END),
+                 2) AS ma3
+    FROM m WINDOW w AS (ORDER BY month) ORDER BY month
+    """,
+)
+def orders_monthly_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue momentum: month-over-month % change plus a trailing
+    3-month moving average -- the topline finance chart. The MA is written
+    as an explicit lag-sum (not ``avg() OVER ROWS 2 PRECEDING``) so both
+    engines evaluate the identical closed-form double expression on exact
+    DECIMAL-summed monthly totals.
+
+    Scale: the fact scan collapses to |months| rows in ONE partial agg;
+    the ordered window then runs on that tiny rollup (single task, fine --
+    it is |months| rows regardless of fact size)."""
+    o = load_table(spark, sf_dir, "orders")
+    m = (
+        o.groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("month"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice"), 2).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    w = Window.orderBy("month")
+    l1 = F.lag("revenue", 1).over(w)
+    l2 = F.lag("revenue", 2).over(w)
+    denom = (
+        F.lit(1)
+        + F.when(l1.isNull(), 0).otherwise(1)
+        + F.when(l2.isNull(), 0).otherwise(1)
+    )
+    return (
+        m.select(
+            "month",
+            F.round(F.col("revenue"), 2).alias("revenue"),
+            F.round(100.0 * (F.col("revenue") - l1) / l1, 4).alias("mom_pct"),
+            F.round(
+                (F.col("revenue") + F.coalesce(l1, F.lit(0.0)) + F.coalesce(l2, F.lit(0.0)))
+                / denom,
+                2,
+            ).alias("ma3"),
+        )
+        .orderBy("month")
+    )
+
+
+@register(
+    "part_price_band_mix",
+    tags=("agg", "relational"),
+    oracle="""
+    SELECT p_brand,
+           CAST(floor(p_retailprice / 100) * 100 AS BIGINT) AS price_band,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           round(CAST(sum(CAST(p_size AS BIGINT)) AS DOUBLE) / count(*), 4)
+             AS avg_size
+    FROM part GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def part_price_band_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog mix by brand x $100 price band (a merchandising pivot):
+    how many SKUs each brand fields per price band and their average size.
+    Band edges come from integer floor division, so both engines bucket
+    identically with no float-boundary flap.
+
+    Scale: pure map-side projection + ONE |brands x bands|-state partial
+    agg; integer sums stay exact."""
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.groupBy(
+            "p_brand",
+            (F.floor(F.col("p_retailprice") / 100) * 100)
+            .cast("bigint")
+            .alias("price_band"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_parts"),
+            F.round(
+                F.sum(F.col("p_size").cast("bigint")).cast("double") / F.count("*"), 4
+            ).alias("avg_size"),
+        )
+        .orderBy("p_brand", "price_band")
+    )
+
+
+@register(
+    "customer_repeat_interval_by_segment",
+    tags=("window", "agg", "relational"),
+    oracle="""
+    WITH g AS (
+      SELECT o_custkey,
+             date_diff('day',
+                       lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                              ORDER BY o_orderdate, o_orderkey),
+                       o_orderdate) AS gap
+      FROM orders
+    ),
+    j AS (
+      SELECT c.c_mktsegment, g.gap
+      FROM g JOIN customer c ON g.o_custkey = c.c_custkey
+      WHERE g.gap IS NOT NULL
+    )
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_gaps,
+           round(CAST(sum(CAST(gap AS BIGINT)) AS DOUBLE) / count(*), 4)
+             AS avg_gap_days,
+           CAST(sum(CASE WHEN gap <= 7 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_within_week,
+           CAST(sum(CASE WHEN gap <= 30 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_within_month
+    FROM j GROUP BY 1 ORDER BY 1
+    """,
+)
+def customer_repeat_interval_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase cadence by market segment: day gaps between each
+    customer's consecutive orders (lag over the per-customer order
+    sequence), rolled up to segment-level mean and <=7d / <=30d shares.
+    Gaps are exact integer day-diffs, so every aggregate is exact.
+
+    Scale: ONE keyed shuffle on o_custkey for the lag window; the
+    customer dim broadcasts onto the gap rows; final agg is
+    |segments|-state."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    g = o.select(
+        "o_custkey",
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w)).alias("gap"),
+    ).filter(F.col("gap").isNotNull())
+    return (
+        g.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("bigint").alias("n_gaps"),
+            F.round(
+                F.sum(F.col("gap").cast("bigint")).cast("double") / F.count("*"), 4
+            ).alias("avg_gap_days"),
+            F.sum(F.when(F.col("gap") <= 7, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_within_week"),
+            F.sum(F.when(F.col("gap") <= 30, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_within_month"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "shipdate_dow_revenue",
+    tags=("agg", "relational"),
+    oracle=f"""
+    SELECT CAST(isodow(l_shipdate) AS INT) AS dow_iso,
+           l_linestatus,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum({_REV}) AS DOUBLE) AS revenue
+    FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def shipdate_dow_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping revenue by ISO day-of-week x line status (warehouse
+    staffing view: does weekend shipping carry real revenue?). Spark's
+    ``dayofweek`` is Sunday=1, so it is remapped to ISO Monday=1..Sunday=7
+    to match the oracle's ``isodow`` exactly.
+
+    Scale: map-side date arithmetic + ONE 14-state partial agg over the
+    fact scan; DECIMAL revenue keeps the sum accumulation-order-free."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dow_iso = ((F.dayofweek(F.col("l_shipdate")) + 5) % 7 + 1).cast("int")
+    return (
+        li.groupBy(dow_iso.alias("dow_iso"), "l_linestatus")
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            F.sum(_rev()).cast("double").alias("revenue"),
+        )
+        .orderBy("dow_iso", "l_linestatus")
+    )
+
+
+@register(
+    "orders_basket_size_dist",
+    tags=("agg", "relational"),
+    oracle=f"""
+    WITH s AS (
+      SELECT l_orderkey,
+             CAST(count(*) AS BIGINT) AS n_items,
+             CAST(sum({_REV}) AS DECIMAL(38,4)) AS rev
+      FROM lineitem GROUP BY 1
+    )
+    SELECT n_items,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(CAST(sum(rev) AS DOUBLE) / count(*), 2) AS avg_order_revenue
+    FROM s GROUP BY 1 ORDER BY 1
+    """,
+)
+def orders_basket_size_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Basket-size distribution: how many orders have 1, 2, ... line
+    items, and the average order revenue at each size -- the histogram
+    behind free-shipping-threshold decisions. Revenue stays DECIMAL
+    through BOTH aggregation levels; only the final mean is a double.
+
+    Scale: two partial aggs -- |orders|-grain then |sizes|-grain -- both
+    map-side combinable; nothing wider than the orderkey shuffle Spark
+    already needs for the first group."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = li.groupBy("l_orderkey").agg(
+        F.count("*").cast("bigint").alias("n_items"),
+        F.sum(_rev()).cast("decimal(38,4)").alias("rev"),
+    )
+    return (
+        s.groupBy("n_items")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.round(F.sum("rev").cast("double") / F.count("*"), 2).alias(
+                "avg_order_revenue"
+            ),
+        )
+        .orderBy("n_items")
+    )
+
+
+@register(
+    "customer_balance_vs_spend",
+    tags=("agg", "join", "relational"),
+    oracle="""
+    WITH sp AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS y_c
+      FROM orders GROUP BY 1
+    ),
+    j AS (
+      SELECT c.c_mktsegment,
+             CAST(round(c.c_acctbal * 100) AS BIGINT) AS x_c,
+             sp.y_c
+      FROM customer c JOIN sp ON c.c_custkey = sp.o_custkey
+    ),
+    m AS (
+      SELECT c_mktsegment,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(x_c AS HUGEINT)) AS DOUBLE) AS sx,
+             CAST(sum(CAST(y_c AS HUGEINT)) AS DOUBLE) AS sy,
+             CAST(sum(CAST(x_c AS HUGEINT) * y_c) AS DOUBLE) AS sxy,
+             CAST(sum(CAST(x_c AS HUGEINT) * x_c) AS DOUBLE) AS sx2,
+             CAST(sum(CAST(y_c AS HUGEINT) * y_c) AS DOUBLE) AS sy2
+      FROM j GROUP BY 1
+    )
+    SELECT c_mktsegment,
+           CAST(n AS BIGINT) AS n_customers,
+           round((n * sxy - sx * sy)
+                 / (sqrt(n * sx2 - sx * sx) * sqrt(n * sy2 - sy * sy)),
+                 6) AS corr_balance_spend
+    FROM m ORDER BY 1
+    """,
+)
+def customer_balance_vs_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does account balance predict spend? Pearson correlation of
+    c_acctbal vs lifetime order total, per market segment. Both inputs are
+    quantized to exact integer cents and every moment (sum, sum-of-squares,
+    cross-sum) accumulates integrally -- DECIMAL(38,0) on Spark, HUGEINT in
+    the oracle -- so the closed-form correlation is bit-identical across
+    engines (cites ``agg_corr_manual`` for the generic shape).
+
+    Scale: |customers|-grain partial agg on orders, broadcast customer dim,
+    |segments|-state moment agg; no double accumulates anywhere."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("x_c"),
+    )
+    sp = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("y_c")
+    )
+    j = sp.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+    dec = lambda col: F.col(col).cast("decimal(38,0)")
+    m = j.groupBy("c_mktsegment").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(dec("x_c")).cast("double").alias("sx"),
+        F.sum(dec("y_c")).cast("double").alias("sy"),
+        F.sum(dec("x_c") * F.col("y_c")).cast("double").alias("sxy"),
+        F.sum(dec("x_c") * F.col("x_c")).cast("double").alias("sx2"),
+        F.sum(dec("y_c") * F.col("y_c")).cast("double").alias("sy2"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    return (
+        m.select(
+            "c_mktsegment",
+            n.cast("bigint").alias("n_customers"),
+            F.round(
+                (n * F.col("sxy") - sx * sy)
+                / (
+                    F.sqrt(n * F.col("sx2") - sx * sx)
+                    * F.sqrt(n * F.col("sy2") - sy * sy)
+                ),
+                6,
+            ).alias("corr_balance_spend"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "part_type_brand_diversity",
+    tags=("agg", "relational"),
+    oracle="""
+    WITH b AS (
+      SELECT p_type, p_brand, CAST(count(*) AS BIGINT) AS n
+      FROM part GROUP BY 1, 2
+    )
+    SELECT p_type,
+           CAST(count(*) AS BIGINT) AS n_brands,
+           CAST(sum(n) AS BIGINT) AS n_parts,
+           round(CAST(sum(n * n) AS DOUBLE)
+                 / (CAST(sum(n) AS DOUBLE) * CAST(sum(n) AS DOUBLE)),
+                 6) AS brand_hhi
+    FROM b GROUP BY 1 ORDER BY 1
+    """,
+)
+def part_type_brand_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand diversity within each part type: brand count plus the
+    Herfindahl index of brand shares (1/HHI is the effective number of
+    competing brands) -- the assortment-concentration twin of
+    ``supplier_concentration_hhi`` at catalog grain. All moments are exact
+    integers; only the final ratio is a double.
+
+    Scale: two stacked partial aggs (|type x brand| then |type|); the
+    second reuses the first's hash partitioning on the leading key."""
+    p = load_table(spark, sf_dir, "part")
+    b = p.groupBy("p_type", "p_brand").agg(F.count("*").cast("bigint").alias("n"))
+    s = F.sum("n").cast("bigint")
+    return (
+        b.groupBy("p_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_brands"),
+            s.alias("n_parts"),
+            F.round(
+                F.sum(F.col("n") * F.col("n")).cast("double")
+                / (s.cast("double") * s.cast("double")),
+                6,
+            ).alias("brand_hhi"),
+        )
+        .orderBy("p_type")
+    )

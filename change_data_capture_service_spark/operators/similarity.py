@@ -1047,3 +1047,67 @@ def knn_cosine_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rnk").cast("int").alias("rnk"),
         )
     )
+
+
+@register(
+    "embedding_cosine_hist",
+    tags=("similarity", "agg"),
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos
+      FROM v a JOIN v b
+        ON a.vec_id < b.vec_id
+       AND (a.vec_id * 1000003 + b.vec_id) % 17 = 0
+    )
+    SELECT CAST(floor(cos * 20) AS INT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(CAST(sum(CAST(cos AS DECIMAL(9,6))) AS DOUBLE) / count(*), 6)
+             AS avg_cos
+    FROM pairs GROUP BY 1 ORDER BY 1
+    """,
+)
+def embedding_cosine_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise-cosine histogram over a deterministic hash sample of vector
+    pairs (bucket width 0.05): the corpus-geometry profile that tells you
+    whether near-dup thresholds and ANN cell counts are sane BEFORE running
+    them -- a hub-shaped bump near 1.0 predicts LSH hot buckets. Cosines are
+    rounded to 6 dp before bucketing, and the per-bucket mean accumulates
+    through DECIMAL, so both engines bucket and average identically.
+
+    Scale: the all-pairs join is hash-SAMPLED by construction
+    ((id_a * 1000003 + id_b) mod 17 here; mod ~1e6 at corpus scale), so
+    candidate volume is tunable; the self-join broadcasts the smaller
+    projected (id, vec, norm) side and the histogram is a 41-state agg."""
+    v = _vectors(spark, sf_dir).select("vec_id", "v", "nrm")
+    a = v.select(
+        F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    b = v.select(
+        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    dot = F.expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+    pairs = (
+        a.join(
+            F.broadcast(b),
+            (F.col("id_a") < F.col("id_b"))
+            & ((F.col("id_a") * 1000003 + F.col("id_b")) % 17 == 0),
+        )
+        .select(F.round(dot / (F.col("na") * F.col("nb")), 6).alias("cos"))
+    )
+    return (
+        pairs.groupBy(F.floor(F.col("cos") * 20).cast("int").alias("bucket"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.round(
+                F.sum(F.col("cos").cast("decimal(9,6)")).cast("double") / F.count("*"),
+                6,
+            ).alias("avg_cos"),
+        )
+        .orderBy("bucket")
+    )

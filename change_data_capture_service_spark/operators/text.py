@@ -860,3 +860,44 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "pred_lang")
     )
+
+
+@register(
+    "docs_source_length_profile",
+    tags=("text", "agg"),
+    oracle="""
+    SELECT source, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(CAST(sum(CAST(n_chars AS BIGINT)) AS DOUBLE) / count(*), 4)
+             AS avg_chars,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars,
+           round(CAST(sum(CASE WHEN n_chars < 100 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS short_share
+    FROM documents GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def docs_source_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per source x language document-length profile (count, mean, min/max
+    chars, share under 100 chars) -- the curation pre-flight that decides
+    which crawl sources need a length floor before they enter the training
+    mix. Complements ``docs_lang_source_mix`` (counts only) with the length
+    dimensions; all aggregates are exact integers until the final ratios.
+
+    Scale: pure metadata scan (text column pruned away) + ONE
+    |sources x langs|-state partial agg."""
+    d = load_table(spark, sf_dir, "documents").select("source", "lang", "n_chars")
+    short = F.sum(F.when(F.col("n_chars") < 100, 1).otherwise(0))
+    return (
+        d.groupBy("source", "lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.round(
+                F.sum(F.col("n_chars").cast("bigint")).cast("double") / F.count("*"), 4
+            ).alias("avg_chars"),
+            F.min("n_chars").cast("bigint").alias("min_chars"),
+            F.max("n_chars").cast("bigint").alias("max_chars"),
+            F.round(short.cast("double") / F.count("*"), 6).alias("short_share"),
+        )
+        .orderBy("source", "lang")
+    )

@@ -101,6 +101,20 @@ _R6_CHECK_WINDOW = [
     "events_lifecycle_stages",
     "cdc_event_size_profile",
     "cdc_batch_size_distribution",
+    "orders_monthly_momentum",
+    "part_price_band_mix",
+    "customer_repeat_interval_by_segment",
+    "shipdate_dow_revenue",
+    "orders_basket_size_dist",
+    "customer_balance_vs_spend",
+    "part_type_brand_diversity",
+    "events_bounce_rate_daily",
+    "events_weekday_weekend_mix",
+    "events_first_touch_type_share",
+    "embedding_cosine_hist",
+    "dedup_family_size_dist",
+    "docs_source_length_profile",
+    "cdc_key_churn",
 ]
 
 
