@@ -2225,3 +2225,93 @@ def events_first_touch_type_share(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("first_event_type")
     )
+
+
+@register(
+    "events_seasonal_residual_anomaly",
+    tags=("analytics", "agg", "timeseries"),
+    oracle="""
+    WITH h AS (
+      SELECT date_trunc('hour', ts) AS hour,
+             CAST(isodow(ts) AS INT) AS dow,
+             CAST(hour(ts) AS INT) AS hod,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2, 3
+    ),
+    prof AS (
+      SELECT dow, hod,
+             CAST(count(*) AS BIGINT) AS n_samples,
+             CAST(sum(n) AS BIGINT) AS s1,
+             CAST(sum(n * n) AS BIGINT) AS s2
+      FROM h GROUP BY 1, 2
+    )
+    SELECT h.hour, h.n,
+           round(CAST(p.s1 AS DOUBLE) / p.n_samples, 4) AS expected,
+           round((h.n - CAST(p.s1 AS DOUBLE) / p.n_samples)
+                 / sqrt((CAST(p.s2 AS DOUBLE)
+                         - CAST(p.s1 AS DOUBLE) * p.s1 / p.n_samples)
+                        / (p.n_samples - 1)), 4) AS z
+    FROM h JOIN prof p ON h.dow = p.dow AND h.hod = p.hod
+    WHERE p.n_samples >= 3
+      AND CAST(p.s2 AS DOUBLE) * p.n_samples > CAST(p.s1 AS DOUBLE) * p.s1
+    ORDER BY abs(round((h.n - CAST(p.s1 AS DOUBLE) / p.n_samples)
+                 / sqrt((CAST(p.s2 AS DOUBLE)
+                         - CAST(p.s1 AS DOUBLE) * p.s1 / p.n_samples)
+                        / (p.n_samples - 1)), 4)) DESC, h.hour
+    LIMIT 10
+    """,
+)
+def events_seasonal_residual_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware anomaly flags: each hour's traffic is scored
+    against the mean/stddev of ITS OWN (iso-dow, hour-of-day) cell -- a
+    Tuesday-3pm spike is judged against other Tuesday-3pms, not the global
+    mean, which is what makes this usable on strongly diurnal change
+    streams where ``anomaly_mad``'s per-type global threshold would flag
+    every rush hour. Output is the top-10 hours by |z| (a RANKING, not a
+    fixed threshold: with k weekly samples per cell the sample z is
+    mathematically bounded by (k-1)/sqrt(k), so any fixed cutoff is either
+    dead or saturated until months of history accumulate -- the on-call
+    view is 'worst hours first' regardless). Requires >=3 samples and
+    nonzero variance. Every moment is an exact BIGINT; the z closed form
+    is bit-identical across engines (IEEE ops on exact inputs, identical
+    expression shape), and the rank key is the 4-dp ROUNDED |z| with the
+    hour as tiebreaker, so ordering cannot flap.
+
+    Scale: the fact scan collapses to |hours| rows in ONE partial agg; the
+    168-cell profile is a second tiny agg broadcast back onto the hourly
+    rollup. The candidate hour is included in its own profile (documented
+    bias, vanishing as weeks accumulate)."""
+    e = load_table(spark, sf_dir, "events")
+    h = e.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        ((F.dayofweek(F.col("ts")) + 5) % 7 + 1).cast("int").alias("dow"),
+        F.hour(F.col("ts")).cast("int").alias("hod"),
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    prof = h.groupBy("dow", "hod").agg(
+        F.count("*").cast("bigint").alias("n_samples"),
+        F.sum("n").cast("bigint").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).cast("bigint").alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n_samples")
+    var = (
+        F.col("s2").cast("double") - F.col("s1").cast("double") * F.col("s1") / F.col("n_samples")
+    ) / (F.col("n_samples") - 1)
+    z = (F.col("n") - mean) / F.sqrt(var)
+    return (
+        h.join(F.broadcast(prof), ["dow", "hod"])
+        .filter(
+            (F.col("n_samples") >= 3)
+            & (
+                F.col("s2").cast("double") * F.col("n_samples")
+                > F.col("s1").cast("double") * F.col("s1")
+            )
+        )
+        .select(
+            "hour",
+            "n",
+            F.round(mean, 4).alias("expected"),
+            F.round(z, 4).alias("z"),
+        )
+        .orderBy(F.abs(F.col("z")).desc(), "hour")
+        .limit(10)
+    )

@@ -1091,3 +1091,85 @@ def cdc_key_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ops_decade")
     )
+
+
+@register(
+    "cdc_tombstone_gc_candidates",
+    tags=("cdc", "monitor"),
+    oracle="""
+    WITH mapped AS (
+      SELECT user_id, event_id, ts,
+             CASE event_type
+               WHEN 'signup' THEN 'insert'
+               WHEN 'purchase' THEN 'insert'
+               WHEN 'error' THEN 'delete'
+               ELSE 'update' END AS op
+      FROM events
+    ),
+    last AS (
+      SELECT user_id, op AS last_op, ts AS last_ts,
+             CAST(event_id AS BIGINT) AS last_lsn
+      FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+        FROM mapped
+      ) t WHERE rn = 1
+    ),
+    anchor AS (SELECT max(ts) AS now_ts FROM events)
+    SELECT CAST(l.user_id AS BIGINT) AS user_id, l.last_lsn, l.last_ts,
+           CAST(date_diff('second', l.last_ts, a.now_ts) AS BIGINT) AS age_s
+    FROM last l CROSS JOIN anchor a
+    WHERE l.last_op = 'delete'
+      AND l.last_ts <= a.now_ts - INTERVAL 1 DAY
+    ORDER BY age_s DESC, user_id
+    LIMIT 20
+    """,
+)
+def cdc_tombstone_gc_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tombstone garbage-collection worklist: keys whose LAST change is a
+    delete older than the retention horizon (1 day on the 30-day
+    fixture window; ``delete.retention.ms``-scale in deployment) -- safe to purge from the
+    compacted upsert store (``streaming/sink.py``) because no later op can
+    resurrect them below the watermark. This is the Kafka-compaction
+    ``delete.retention.ms`` semantic made queryable; the anchor is the
+    feed's own max ts so the fixture run is deterministic (wall-clock in
+    deployment). (ts, event_id) max_by tiebreaks concurrent ops exactly
+    like the upsert sink does.
+
+    Scale: ONE |keys|-grain max_by partial agg; 1-row broadcast anchor;
+    TakeOrderedAndProject final."""
+    e = load_table(spark, sf_dir, "events")
+    op = (
+        F.when(F.col("event_type").isin("signup", "purchase"), "insert")
+        .when(F.col("event_type") == "error", "delete")
+        .otherwise("update")
+    )
+    last = (
+        e.select("user_id", "event_id", "ts", op.alias("op"))
+        .groupBy("user_id")
+        .agg(
+            F.max_by("op", F.struct("ts", "event_id")).alias("last_op"),
+            F.max("ts").alias("last_ts"),
+            F.max_by("event_id", F.struct("ts", "event_id"))
+            .cast("bigint")
+            .alias("last_lsn"),
+        )
+    )
+    anchor = e.agg(F.max("ts").alias("now_ts"))
+    return (
+        last.crossJoin(F.broadcast(anchor))
+        .filter(
+            (F.col("last_op") == "delete")
+            & (F.col("last_ts") <= F.col("now_ts") - F.expr("INTERVAL 1 DAY"))
+        )
+        .select(
+            F.col("user_id").cast("bigint").alias("user_id"),
+            "last_lsn",
+            "last_ts",
+            (F.unix_seconds(F.col("now_ts")) - F.unix_seconds(F.col("last_ts")))
+            .cast("bigint")
+            .alias("age_s"),
+        )
+        .orderBy(F.col("age_s").desc(), "user_id")
+        .limit(20)
+    )

@@ -2716,3 +2716,146 @@ def part_type_brand_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_type")
     )
+
+
+@register(
+    "orders_cohort_repeat_rate",
+    tags=("agg", "window", "relational"),
+    oracle="""
+    WITH f AS (
+      SELECT o_custkey, min(o_orderdate) AS first_dt,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY 1
+    ),
+    s AS (
+      SELECT o.o_custkey, min(o.o_orderdate) AS second_dt
+      FROM orders o JOIN f ON o.o_custkey = f.o_custkey
+                         AND o.o_orderdate > f.first_dt
+      GROUP BY 1
+    )
+    SELECT CAST(year(f.first_dt) AS INT) AS cohort_year,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(CASE WHEN s.second_dt IS NOT NULL
+                              AND date_diff('day', f.first_dt, s.second_dt) <= 90
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_repeat_90d,
+           round(CAST(sum(CASE WHEN s.second_dt IS NOT NULL
+                                    AND date_diff('day', f.first_dt, s.second_dt) <= 90
+                               THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+             AS repeat_rate_90d,
+           round(CAST(sum(f.n_orders) AS DOUBLE) / count(*), 4) AS avg_orders
+    FROM f LEFT JOIN s ON f.o_custkey = s.o_custkey
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def orders_cohort_repeat_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acquisition-cohort repeat rate: customers grouped by first-order
+    year; the share that placed a SECOND order within 90 days of the first
+    (strictly-later date, so same-day double orders don't count as repeat)
+    plus lifetime orders per customer -- the retention table the warehouse
+    twin of events ``retention_cohorts``. Day gaps are exact integers.
+
+    Scale: the oracle's two dependent self-joins collapse into ONE
+    customer-keyed aggregation engine-side: a sorted order-date array per
+    customer (bounded by orders/customer), first = element 1, second =
+    first strictly-greater element -- the fact table shuffles once."""
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.array_sort(F.collect_list("o_orderdate")).alias("dts"),
+        F.count("*").cast("bigint").alias("n_orders"),
+    )
+    # try_element_at: the filtered array is empty for one-order customers,
+    # and plain element_at throws under ANSI mode (the driver's vanilla
+    # session) instead of returning NULL.
+    first = F.try_element_at(F.col("dts"), F.lit(1))
+    second = F.try_element_at(F.filter(F.col("dts"), lambda d: d > first), F.lit(1))
+    repeat = F.when(
+        second.isNotNull() & (F.datediff(second, first) <= 90), 1
+    ).otherwise(0)
+    per_cust = per_cust.select(
+        F.year(first).cast("int").alias("cohort_year"),
+        "n_orders",
+        repeat.alias("is_repeat"),
+    )
+    rep = F.sum("is_repeat")
+    return (
+        per_cust.groupBy("cohort_year")
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            rep.cast("bigint").alias("n_repeat_90d"),
+            F.round(rep.cast("double") / F.count("*"), 6).alias("repeat_rate_90d"),
+            F.round(F.sum("n_orders").cast("double") / F.count("*"), 4).alias(
+                "avg_orders"
+            ),
+        )
+        .orderBy("cohort_year")
+    )
+
+
+@register(
+    "brand_discount_elasticity",
+    tags=("agg", "join", "relational"),
+    oracle="""
+    WITH q AS (
+      SELECT p.p_brand,
+             CAST(round(l.l_discount * 100) AS BIGINT) AS x,
+             CAST(round(l.l_quantity * 100) AS BIGINT) AS y
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    m AS (
+      SELECT p_brand,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
+             CAST(sum(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
+             CAST(sum(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy,
+             CAST(sum(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sx2
+      FROM q GROUP BY 1
+    )
+    SELECT p_brand,
+           CAST(n AS BIGINT) AS n_lines,
+           round((n * sxy - sx * sy) / (n * sx2 - sx * sx), 6)
+             AS qty_per_discount_pt,
+           round((sy - ((n * sxy - sx * sy) / (n * sx2 - sx * sx)) * sx)
+                 / n / 100, 4) AS base_qty
+    FROM m ORDER BY 1
+    """,
+)
+def brand_discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discount-response curve per brand: OLS slope of quantity on discount
+    level (in discount percentage points x quantity hundredths, both exact
+    integers) plus the zero-discount intercept -- does discounting actually
+    move volume for this brand? The closed-form slope runs on exact
+    integral moments (DECIMAL(38,0) / HUGEINT), so it is bit-identical
+    across engines; cites ``customer_balance_vs_spend`` for the moment
+    idiom and ``discount_quantity_effect`` for the distribution view.
+
+    Scale: part dim broadcasts onto the fact scan; ONE |brands|-state
+    moment agg; nothing else shuffles."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("x"),
+        F.round(F.col("l_quantity") * 100).cast("bigint").alias("y"),
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    dec = lambda col: F.col(col).cast("decimal(38,0)")
+    m = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").cast("double").alias("n"),
+            F.sum(dec("x")).cast("double").alias("sx"),
+            F.sum(dec("y")).cast("double").alias("sy"),
+            F.sum(dec("x") * F.col("y")).cast("double").alias("sxy"),
+            F.sum(dec("x") * F.col("x")).cast("double").alias("sx2"),
+        )
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    slope = (n * F.col("sxy") - sx * sy) / (n * F.col("sx2") - sx * sx)
+    return (
+        m.select(
+            "p_brand",
+            n.cast("bigint").alias("n_lines"),
+            F.round(slope, 6).alias("qty_per_discount_pt"),
+            F.round((sy - slope * sx) / n / 100, 4).alias("base_qty"),
+        )
+        .orderBy("p_brand")
+    )

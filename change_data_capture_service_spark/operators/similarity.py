@@ -1111,3 +1111,83 @@ def embedding_cosine_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# rows-only: eigenvector computation is iterative (power method), not
+# SQL-expressible; the numpy cross-check lives in tests/test_northstar.py.
+@register("embedding_pca_pc1", tags=("similarity", "northstar"))
+def embedding_pca_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA, first principal component: per-label projection
+    profile onto the corpus's top variance direction plus the share of
+    variance it explains -- the embedding-drift / index-health probe (a
+    collapsing PC1 share means the space went anisotropic and IVF cells
+    need retraining; per-label mean separation on PC1 is a cheap
+    linear-probe signal).
+
+    Scale shape (the standard big-data PCA split):
+    - moment accumulation is DISTRIBUTED: each Arrow batch folds to one
+      (count, sum-vector, X^T X flattened) partial via ``mapInPandas`` --
+      d + d^2 floats per TASK, independent of rows;
+    - the d x d eigenproblem is DRIVER-side (64x64 here -- a model-fit
+      artifact exactly like ``knn_cosine_ivf``'s KMeans step): a
+      deterministic symmetric eigendecomposition, sign fixed by the
+      largest-|component| coordinate (power iteration would need
+      O(log eps / log(lam2/lam1)) rounds -- needlessly slow when the top
+      eigengap is small, and the matrix is driver-tiny anyway);
+    - projection is JVM-side: the centered dot product runs as a
+      ``zip_with``/``aggregate`` fold against broadcast literal arrays --
+      no Python in the per-row path.
+    """
+    import numpy as np
+    import pandas as pd
+
+    vec = _vectors(spark, sf_dir).select("vec_id", "label", "v")
+    d = 64
+
+    def partials(batches):
+        for pdf in batches:
+            X = np.stack(pdf["v"].to_numpy())
+            yield pd.DataFrame(
+                {
+                    "n": [len(X)],
+                    "s": [X.sum(axis=0).tolist()],
+                    "p": [(X.T @ X).ravel().tolist()],
+                }
+            )
+
+    parts = vec.mapInPandas(
+        partials, "n long, s array<double>, p array<double>"
+    ).toPandas()
+    n = int(parts["n"].sum())
+    s = np.sum(np.stack(parts["s"].to_numpy()), axis=0)
+    P = np.sum(np.stack(parts["p"].to_numpy()), axis=0).reshape(d, d)
+    mu = s / n
+    cov = P / n - np.outer(mu, mu)
+    w, V = np.linalg.eigh(cov)
+    v, lam = V[:, -1], float(w[-1])
+    if v[int(np.argmax(np.abs(v)))] < 0:
+        v = -v
+    var_share = lam / float(np.trace(cov))
+
+    mu_lit = F.array(*[F.lit(float(x)) for x in mu])
+    v_lit = F.array(*[F.lit(float(x)) for x in v])
+    centered_dot = F.aggregate(
+        F.zip_with(F.col("v"), F.zip_with(mu_lit, v_lit, lambda m, w: F.struct(m.alias("m"), w.alias("w"))),
+                   lambda x, mw: (x - mw["m"]) * mw["w"]),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    scored = vec.select(
+        "label", F.round(centered_dot, 6).cast("decimal(18,6)").alias("pc1")
+    )
+    return (
+        scored.groupBy("label")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.sum("pc1").cast("double") / F.count("*"), 6).alias("mean_pc1"),
+            F.round(F.min("pc1").cast("double"), 6).alias("min_pc1"),
+            F.round(F.max("pc1").cast("double"), 6).alias("max_pc1"),
+        )
+        .withColumn("pc1_var_share", F.round(F.lit(var_share), 6))
+        .orderBy("label")
+    )

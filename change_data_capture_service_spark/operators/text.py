@@ -901,3 +901,72 @@ def docs_source_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "lang")
     )
+
+
+@register(
+    "docs_language_mix_drift",
+    tags=("text", "agg"),
+    oracle="""
+    WITH c AS (
+      SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+      FROM documents GROUP BY 1, 2
+    ),
+    src AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_src FROM c GROUP BY 1),
+    corp AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_lang FROM c GROUP BY 1),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM c),
+    terms AS (
+      SELECT c.source, s.n_src,
+             CAST(round((CAST(c.n AS DOUBLE) / s.n_src)
+                        * ln(CAST(c.n AS DOUBLE) * t.n_total
+                             / (CAST(s.n_src AS DOUBLE) * l.n_lang)), 6)
+                  AS DECIMAL(18,6)) AS term
+      FROM c
+      JOIN src s ON c.source = s.source
+      JOIN corp l ON c.lang = l.lang
+      CROSS JOIN tot t
+    )
+    SELECT source,
+           CAST(min(n_src) AS BIGINT) AS n_docs,
+           round(CAST(sum(term) AS DOUBLE), 6) AS kl_vs_corpus
+    FROM terms GROUP BY 1 ORDER BY 1
+    """,
+)
+def docs_language_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-mix drift per source: KL divergence of each source's
+    language distribution from the corpus-wide mix -- the curation monitor
+    that catches a crawl feed silently going monolingual before it skews
+    the training mixture (compare ``docs_lang_source_mix``, which shows
+    the raw table; this is the one-number-per-source alarm). All counts
+    are exact; each p*ln(p/q) term is snapped to 6 dp DECIMAL before the
+    per-source sum, so accumulation order cannot flip the hash.
+
+    Scale: ONE |sources x langs|-state partial agg off the metadata scan;
+    the corpus marginals and total are |langs|- and 1-row broadcasts."""
+    d = load_table(spark, sf_dir, "documents")
+    c = d.groupBy("source", "lang").agg(F.count("*").cast("bigint").alias("n"))
+    src = c.groupBy("source").agg(F.sum("n").cast("bigint").alias("n_src"))
+    corp = c.groupBy("lang").agg(F.sum("n").cast("bigint").alias("n_lang"))
+    tot = c.agg(F.sum("n").cast("bigint").alias("n_total"))
+    term = F.round(
+        (F.col("n").cast("double") / F.col("n_src"))
+        * F.log(
+            F.col("n").cast("double")
+            * F.col("n_total")
+            / (F.col("n_src").cast("double") * F.col("n_lang"))
+        ),
+        6,
+    ).cast("decimal(18,6)")
+    terms = (
+        c.join(F.broadcast(src), "source")
+        .join(F.broadcast(corp), "lang")
+        .crossJoin(F.broadcast(tot))
+        .select("source", "n_src", term.alias("term"))
+    )
+    return (
+        terms.groupBy("source")
+        .agg(
+            F.min("n_src").cast("bigint").alias("n_docs"),
+            F.round(F.sum("term").cast("double"), 6).alias("kl_vs_corpus"),
+        )
+        .orderBy("source")
+    )

@@ -508,3 +508,83 @@ def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p50_gap_s"),
         F.round(F.max("gap_us").cast("double") / 1000000.0, 6).alias("max_gap_s"),
     )
+
+
+@register(
+    "events_forecast_baseline_mae",
+    tags=("timeseries", "agg"),
+    oracle="""
+    WITH bounds AS (
+      SELECT date_trunc('day', max(ts)) - INTERVAL 7 DAY AS cutoff FROM events
+    ),
+    h AS (
+      SELECT date_trunc('hour', ts) AS hour,
+             CAST(isodow(ts) AS INT) AS dow,
+             CAST(hour(ts) AS INT) AS hod,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2, 3
+    ),
+    model AS (
+      SELECT h.dow, h.hod,
+             CAST(count(*) AS BIGINT) AS n_train,
+             CAST(sum(h.n) AS BIGINT) AS s1
+      FROM h CROSS JOIN bounds b WHERE h.hour < b.cutoff
+      GROUP BY 1, 2
+    ),
+    test AS (
+      SELECT h.dow, h.hod, h.n FROM h CROSS JOIN bounds b WHERE h.hour >= b.cutoff
+    )
+    SELECT t.dow,
+           CAST(count(*) AS BIGINT) AS n_test_hours,
+           round(CAST(sum(CAST(round(abs(t.n - CAST(m.s1 AS DOUBLE) / m.n_train), 6)
+                               AS DECIMAL(18,6)) ) AS DOUBLE) / count(*), 4) AS mae,
+           round(CAST(sum(t.n) AS DOUBLE) / count(*), 4) AS actual_mean
+    FROM test t JOIN model m ON t.dow = m.dow AND t.hod = m.hod
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def events_forecast_baseline_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest: train a (iso-dow, hour-of-day)
+    mean-traffic model on everything before the final 7 days, score it on
+    the held-out week, and report MAE per day-of-week -- the baseline
+    every fancier traffic forecaster must beat, and the capacity-planning
+    sanity check ('how predictable is this stream?'). Per-hour absolute
+    errors are snapped to 6 dp DECIMAL before the MAE sum, so the
+    aggregate is accumulation-order-free; the model means come from exact
+    BIGINT sums.
+
+    Scale: fact scan -> |hours| rollup (ONE partial agg); the 168-cell
+    model broadcasts onto the 168-row test week. The cutoff is a 1-row
+    broadcast aggregate, anchored to the data's own max ts so the query is
+    deterministic on a frozen fixture (wall-clock in deployment)."""
+    e = load_table(spark, sf_dir, "events")
+    h = e.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        ((F.dayofweek(F.col("ts")) + 5) % 7 + 1).cast("int").alias("dow"),
+        F.hour(F.col("ts")).cast("int").alias("hod"),
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    bounds = e.agg(
+        (F.date_trunc("day", F.max("ts")) - F.expr("INTERVAL 7 DAY")).alias("cutoff")
+    )
+    h = h.crossJoin(F.broadcast(bounds))
+    model = (
+        h.filter(F.col("hour") < F.col("cutoff"))
+        .groupBy("dow", "hod")
+        .agg(
+            F.count("*").cast("bigint").alias("n_train"),
+            F.sum("n").cast("bigint").alias("s1"),
+        )
+    )
+    test = h.filter(F.col("hour") >= F.col("cutoff")).select("dow", "hod", "n")
+    pred = F.col("s1").cast("double") / F.col("n_train")
+    err = F.round(F.abs(F.col("n") - pred), 6).cast("decimal(18,6)")
+    return (
+        test.join(F.broadcast(model), ["dow", "hod"])
+        .groupBy("dow")
+        .agg(
+            F.count("*").cast("bigint").alias("n_test_hours"),
+            F.round(F.sum(err).cast("double") / F.count("*"), 4).alias("mae"),
+            F.round(F.sum("n").cast("double") / F.count("*"), 4).alias("actual_mean"),
+        )
+        .orderBy("dow")
+    )

@@ -434,3 +434,55 @@ def topk_windowed_stream(events: DataFrame, watermark: str = "2 hours") -> DataF
             F.col("count").alias("n"),
         )
     )
+
+
+@register(
+    "stream_interval_join",
+    tags=("streaming", "join"),
+    oracle="""
+    SELECT c.user_id AS c_user,
+           CAST(c.event_id AS BIGINT) AS click_id,
+           c.ts AS click_ts,
+           CAST(p.event_id AS BIGINT) AS purchase_id,
+           p.ts AS purchase_ts,
+           p.value AS purchase_value
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    """,
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of ``interval_join_stream`` (the stream-stream inner
+    interval join): every (click, purchase) pair for the same user where
+    the purchase lands within 30 minutes after the click -- the
+    attribution JOIN, as opposed to ``attribution_last_touch``'s pick-one
+    reduction. Same X16 equivalence contract: the watermarked streaming
+    join, once both sides drain, equals this batch query
+    (tests/test_streaming.py drives the streaming half).
+
+    Scale: ONE co-partitioned shuffle on user_id for both sides (the
+    stream version buffers bounded state instead: a click is evicted once
+    the purchase watermark passes click.ts + 30min -- the range predicate
+    IS the eviction contract)."""
+    e = load_table(spark, sf_dir, "events")
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").cast("bigint").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").cast("bigint").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    return c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTE")),
+    ).select(
+        "c_user", "click_id", "click_ts", "purchase_id", "purchase_ts", "purchase_value"
+    )

