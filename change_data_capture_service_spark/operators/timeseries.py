@@ -553,34 +553,42 @@ def events_forecast_baseline_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate is accumulation-order-free; the model means come from exact
     BIGINT sums.
 
-    Scale: fact scan -> |hours| rollup (ONE partial agg); the 168-cell
-    model broadcasts onto the 168-row test week. The cutoff is a 1-row
-    broadcast aggregate, anchored to the data's own max ts so the query is
-    deterministic on a frozen fixture (wall-clock in deployment)."""
+    Scale: fact scan -> |hours| rollup -- ONE partial agg and the ONLY
+    pass over the fact table. The cutoff anchor and the per-cell train
+    stats are window expressions over that tiny rollup (a separate 1-row
+    anchor aggregate and train/test groupBy branches would each re-execute
+    the rollup lineage -- measured 4 planned file scans that way); the
+    cutoff day derives from max(hour), which truncates to the same day as
+    max(ts). Wall-clock replaces the anchor in deployment."""
+    from pyspark.sql import Window
+
     e = load_table(spark, sf_dir, "events")
     h = e.groupBy(
         F.date_trunc("hour", F.col("ts")).alias("hour"),
         ((F.dayofweek(F.col("ts")) + 5) % 7 + 1).cast("int").alias("dow"),
         F.hour(F.col("ts")).cast("int").alias("hod"),
     ).agg(F.count("*").cast("bigint").alias("n"))
-    bounds = e.agg(
-        (F.date_trunc("day", F.max("ts")) - F.expr("INTERVAL 7 DAY")).alias("cutoff")
+    cutoff = F.date_trunc("day", F.max("hour").over(Window.partitionBy())) - F.expr(
+        "INTERVAL 7 DAY"
     )
-    h = h.crossJoin(F.broadcast(bounds))
-    model = (
-        h.filter(F.col("hour") < F.col("cutoff"))
-        .groupBy("dow", "hod")
-        .agg(
-            F.count("*").cast("bigint").alias("n_train"),
-            F.sum("n").cast("bigint").alias("s1"),
-        )
+    cell = Window.partitionBy("dow", "hod")
+    is_train = F.col("hour") < F.col("cutoff")
+    h = h.withColumn("cutoff", cutoff).select(
+        "hour",
+        "dow",
+        "hod",
+        "n",
+        "cutoff",
+        F.sum(F.when(is_train, 1)).over(cell).cast("bigint").alias("n_train"),
+        F.sum(F.when(is_train, F.col("n"))).over(cell).cast("bigint").alias("s1"),
     )
-    test = h.filter(F.col("hour") >= F.col("cutoff")).select("dow", "hod", "n")
+    # n_train IS NOT NULL mirrors the oracle's inner model join: a test
+    # cell with no training history has no forecast and drops out.
+    test = h.filter((F.col("hour") >= F.col("cutoff")) & F.col("n_train").isNotNull())
     pred = F.col("s1").cast("double") / F.col("n_train")
     err = F.round(F.abs(F.col("n") - pred), 6).cast("decimal(18,6)")
     return (
-        test.join(F.broadcast(model), ["dow", "hod"])
-        .groupBy("dow")
+        test.groupBy("dow")
         .agg(
             F.count("*").cast("bigint").alias("n_test_hours"),
             F.round(F.sum(err).cast("double") / F.count("*"), 4).alias("mae"),
