@@ -830,8 +830,12 @@ def knn_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     coarse quantization / code scan); the eval adds only |queries| x k
     row joins on (query_id, neighbor_id) -- dim-scale. At 100 TB the
     baseline comes from a held-out query sample, never the full corpus.
+    The exact baseline is persisted: it is |queries| x k rows referenced
+    by every tier's hit join plus the denominator and the zero-score
+    base -- ~12 plan references that would each re-run the brute-force
+    pipeline (measured 28 planned embeddings scans without the persist).
     """
-    exact = knn_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    exact = knn_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id").persist()
     # Denominator is the per-query size of the EXACT top-k set, not the
     # constant k: a query with fewer than k true neighbors (small corpus,
     # self-filtered candidates) must still be able to reach recall 1.0.
