@@ -493,3 +493,76 @@ def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "docs_template_lines",
+    tags=("curation", "dedup", "northstar"),
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {TOKENS} AS toks FROM documents
+    ),
+    ls AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(CAST(ceil(len(toks) / 12.0) AS BIGINT)),
+               i -> array_to_string(toks[i*12+1 : (i+1)*12], ' '))) AS line
+      FROM toks WHERE len(toks) > 0
+    ),
+    nd AS (
+      SELECT line, CAST(count(*) AS BIGINT) AS n_docs FROM ls GROUP BY line
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS total_docs FROM documents)
+    SELECT line, n_docs,
+           round(CAST(n_docs AS DOUBLE) / total_docs, 6) AS doc_share
+    FROM nd CROSS JOIN tot
+    WHERE n_docs >= 3
+    ORDER BY n_docs DESC, line
+    LIMIT 20
+    """,
+)
+def docs_template_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template/boilerplate line detector: the top-20 lines (12-token
+    segments, the shared ``dedup_lines`` segmenter) that appear in the
+    most DISTINCT documents, with their corpus coverage -- this is the
+    list a RefinedWeb-style line-dedup pass actually strips (cookie
+    banners, nav bars, license headers), where ``dedup_lines`` reports the
+    per-document damage. The >= 3-docs floor is the standard template
+    support threshold.
+
+    Scale: per-doc DISTINCT lines reduce map-side before the line-keyed
+    count shuffle (one row per distinct (doc, line)); the final is
+    TakeOrderedAndProject over the |distinct lines| rollup and the doc
+    total is a 1-row broadcast. At 100 TB the line key becomes
+    xxhash64(line) with a representative join-back, same digest rule as
+    dedup_exact."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", _tokens().alias("toks"))
+        .filter(F.size("toks") > 0)
+    )
+    lines = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, cast(ceil(size(toks) / 12.0) as int) - 1),"
+                " i -> array_join(slice(toks, i*12 + 1, 12), ' '))"
+            )
+        ).alias("line"),
+    ).distinct()
+    nd = lines.groupBy("line").agg(F.count("*").cast("bigint").alias("n_docs"))
+    tot = load_table(spark, sf_dir, "documents").agg(
+        F.count("*").cast("bigint").alias("total_docs")
+    )
+    return (
+        nd.filter(F.col("n_docs") >= 3)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "line",
+            "n_docs",
+            F.round(F.col("n_docs").cast("double") / F.col("total_docs"), 6).alias(
+                "doc_share"
+            ),
+        )
+        .orderBy(F.col("n_docs").desc(), "line")
+        .limit(20)
+    )

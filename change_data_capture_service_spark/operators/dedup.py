@@ -981,3 +981,45 @@ def dedup_family_size_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("family_size")
     )
+
+
+@register(
+    "dedup_embedding_clusters",
+    tags=("dedup", "similarity", "northstar"),
+    oracle="""
+    WITH RECURSIVE near AS (
+      SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
+      FROM embeddings a
+      JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+            / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+               * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))
+            >= 0.35
+    ),
+    edges AS (
+      SELECT vec_id_a AS s, vec_id_b AS d FROM near
+      UNION
+      SELECT vec_id_b, vec_id_a FROM near
+    ),
+    reach(s, d) AS (
+      SELECT s, d FROM edges
+      UNION
+      SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+    )
+    SELECT s AS doc_id, least(s, min(d)) AS cluster_id
+    FROM reach GROUP BY s
+    """,
+)
+def dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-duplicate CLUSTERS: connected components over the
+    >=0.35-cosine embedding pair graph (``dedup_embedding_cosine``'s
+    pairs), each vector labeled with its component's min id -- the
+    embedding-space twin of ``dedup_cluster``, and the grain a semantic
+    dedup pass actually deletes at (keep one representative per cluster,
+    not per pair). Same min-label-propagation engine, same recursive-CTE
+    transitive-closure oracle; the blocked (label-bounded) pair join is
+    the IVF-cell analogue that keeps the graph build corpus-linear."""
+    pairs = dedup_embedding_cosine(spark, sf_dir).select(
+        F.col("vec_id_a").alias("doc_id_a"), F.col("vec_id_b").alias("doc_id_b")
+    )
+    return connected_components(pairs)

@@ -650,3 +650,110 @@ def quality_perplexity_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cross_entropy"),
         )
     )
+
+
+@register(
+    "quality_ccnet_buckets",
+    tags=("quality", "text", "northstar"),
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({TOKENS}) AS tok FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY 1, 2
+    ),
+    corpus AS (
+      SELECT tok, CAST(sum(c) AS BIGINT) AS cc FROM tf GROUP BY 1
+    ),
+    n AS (SELECT CAST(sum(cc) AS BIGINT) AS n FROM corpus),
+    ce AS (
+      SELECT tf.doc_id,
+             CAST(round(-sum(tf.c * ln(CAST(corpus.cc AS DOUBLE) / n.n))
+                        / sum(tf.c), 6) AS DOUBLE) AS cross_entropy
+      FROM tf JOIN corpus USING (tok) CROSS JOIN n
+      GROUP BY tf.doc_id
+    ),
+    scored AS (
+      SELECT d.lang, ce.cross_entropy FROM ce JOIN documents d USING (doc_id)
+    ),
+    cuts AS (
+      SELECT lang,
+             quantile_cont(cross_entropy, 1.0/3) AS b1,
+             quantile_cont(cross_entropy, 2.0/3) AS b2
+      FROM scored GROUP BY lang
+    )
+    SELECT s.lang,
+           CASE WHEN s.cross_entropy <= c.b1 THEN 'head'
+                WHEN s.cross_entropy <= c.b2 THEN 'middle'
+                ELSE 'tail' END AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(CAST(sum(CAST(s.cross_entropy AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(*), 6) AS avg_cross_entropy
+    FROM scored s JOIN cuts c USING (lang)
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def quality_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail quality binning: per language, documents
+    are split at the tertiles of their unigram cross-entropy (lowest
+    third = 'head' = closest to the corpus LM = highest quality -- the
+    bucket CCNet trains on first). Builds directly on
+    ``quality_perplexity_unigram``'s per-doc score; both engines compute
+    the tertile boundaries with the same linear-interpolation quantile
+    definition over identical 6-dp-rounded doubles, so bucket edges agree
+    exactly, and the per-bucket mean accumulates through DECIMAL.
+
+    Scale: the per-doc score relation (doc-grain -- exactly what CCNet
+    materializes) is persisted because both the boundary aggregate and the
+    bucket assignment consume it; boundaries are a |langs|-row broadcast."""
+    from pyspark.storagelevel import StorageLevel
+
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(_tokens()).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    corpus = tf.groupBy("tok").agg(F.sum("c").cast("bigint").alias("cc"))
+    n = corpus.agg(F.sum("cc").cast("bigint").alias("n"))
+    ce = (
+        tf.join(corpus, "tok")
+        .crossJoin(F.broadcast(n))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                -F.sum(F.col("c") * F.log(F.col("cc").cast("double") / F.col("n")))
+                / F.sum("c"),
+                6,
+            )
+            .cast("double")
+            .alias("cross_entropy")
+        )
+    )
+    scored = (
+        ce.join(d.select("doc_id", "lang"), "doc_id")
+        .select("lang", "cross_entropy")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    cuts = scored.groupBy("lang").agg(
+        F.percentile("cross_entropy", F.lit(1.0 / 3)).alias("b1"),
+        F.percentile("cross_entropy", F.lit(2.0 / 3)).alias("b2"),
+    )
+    bucket = (
+        F.when(F.col("cross_entropy") <= F.col("b1"), "head")
+        .when(F.col("cross_entropy") <= F.col("b2"), "middle")
+        .otherwise("tail")
+    )
+    return (
+        scored.join(F.broadcast(cuts), "lang")
+        .groupBy("lang", bucket.alias("bucket"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.round(
+                F.sum(F.col("cross_entropy").cast("decimal(18,6)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("avg_cross_entropy"),
+        )
+        .orderBy("lang", "bucket")
+    )

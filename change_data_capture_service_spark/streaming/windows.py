@@ -486,3 +486,51 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "c_user", "click_id", "click_ts", "purchase_id", "purchase_ts", "purchase_value"
     )
+
+
+@register(
+    "stream_interval_join_left",
+    tags=("streaming", "join"),
+    oracle="""
+    SELECT c.user_id AS c_user,
+           CAST(c.event_id AS BIGINT) AS click_id,
+           c.ts AS click_ts,
+           CAST(p.event_id AS BIGINT) AS purchase_id,
+           p.ts AS purchase_ts
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    """,
+)
+def stream_interval_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of ``left_outer_interval_join_stream``: every click
+    appears at least once -- with its within-30-minutes purchases when
+    they exist, with NULL purchase columns when none do (the unconverted
+    clicks an attribution report must still count). In the streaming
+    half the NULL rows are emitted by watermark-driven state eviction
+    (Spark proves no match can still arrive); in this batch form they are
+    the ordinary LEFT JOIN non-matches -- the equivalence once both
+    streams drain is the X16 contract.
+
+    Scale: same single co-partitioned user_id shuffle as the inner
+    variant; the outer side never multiplies rows beyond its matches."""
+    e = load_table(spark, sf_dir, "events")
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").cast("bigint").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").cast("bigint").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTE")),
+        "left",
+    ).select("c_user", "click_id", "click_ts", "purchase_id", "purchase_ts")
