@@ -273,8 +273,17 @@ def audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the fact table reduces before anything joins; the only shuffle
     of consequence is the distinct. The a < b predicate halves the pair
     space and makes output order-canonical."""
+    from pyspark.storagelevel import StorageLevel
+
     e = load_table(spark, sf_dir, "events")
-    du = e.select("event_type", "user_id").distinct()
+    # materialize-once: the reduced distinct set feeds the sizes agg and
+    # BOTH self-join sides; unpersisted, each consumer re-scans the fact
+    # table (measured 4 planned events scans).
+    du = (
+        e.select("event_type", "user_id")
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     sizes = du.groupBy("event_type").agg(F.count("*").alias("n"))
     a = du.alias("a")
     b = du.alias("b")

@@ -19,6 +19,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.storagelevel import StorageLevel
 
 from ..catalog import load_table, spread
 from ..registry import register
@@ -155,7 +156,10 @@ def dedup_minhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~1e-10 -- so the exact-SQL oracle matches. The candidate join shuffles
     only (band_id, band_hash, doc_id) tuples: at 100 TB the all-pairs N²
     never materializes."""
-    sh = _shingled_docs(spark, sf_dir)
+    # materialize-once: the shingle relation feeds candidate generation
+    # AND the exact-verify joins; without the persist each consumer
+    # re-tokenizes the corpus (measured 4-6 planned document scans).
+    sh = _shingled_docs(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
     band_entries = _band_entries(_minhash_sig(sh))
 
     a = band_entries.alias("a")
@@ -254,7 +258,10 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     miss probability for a true 0.8-pair ~1.5%, ~1e-10 for the planted
     ~0.99 dups, so the exact oracle matches). Complements
     ``dedup_incremental`` (exact digests) with the near-dup tier."""
-    sh = _shingled_docs(spark, sf_dir)
+    # materialize-once: the shingle relation feeds candidate generation
+    # AND the exact-verify joins; without the persist each consumer
+    # re-tokenizes the corpus (measured 4-6 planned document scans).
+    sh = _shingled_docs(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
     seen_sh = sh.filter(F.col("doc_id") < 400)
     new_sh = sh.filter(F.col("doc_id") >= 400)
     seen_bands = _band_entries(_minhash_sig(seen_sh)).alias("s")
@@ -803,7 +810,10 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     never the reported values. Only (doc_id, shingle-hash) rows shuffle
     in candidate generation; full shingle arrays ship only for the
     candidate pairs in the verify join."""
-    sh = _shingled_docs(spark, sf_dir)
+    # materialize-once: the shingle relation feeds candidate generation
+    # AND the exact-verify joins; without the persist each consumer
+    # re-tokenizes the corpus (measured 4-6 planned document scans).
+    sh = _shingled_docs(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
     ex = sh.select("doc_id", F.explode("shingles").alias("shingle"))
     ok = (
         ex.groupBy("shingle")
@@ -893,7 +903,10 @@ def dedup_minhash_estimate_quality(spark: SparkSession, sf_dir: str) -> DataFram
     Scale: candidates come from the banded join (never all pairs); the
     exact Jaccard joins shingle arrays back for CANDIDATE pairs only --
     the same verify-stage cost profile as dedup_minhash_near itself."""
-    sh = _shingled_docs(spark, sf_dir)
+    # materialize-once: the shingle relation feeds candidate generation
+    # AND the exact-verify joins; without the persist each consumer
+    # re-tokenizes the corpus (measured 4-6 planned document scans).
+    sh = _shingled_docs(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
     sig = _minhash_sig(sh)
     bands = _band_entries(sig)
     cand = (

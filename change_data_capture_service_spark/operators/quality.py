@@ -625,11 +625,17 @@ def quality_perplexity_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     per doc and round at 1e-6 (the text_entropy precedent: doc-local sums
     are small enough that accumulation order cannot move the 6th
     decimal)."""
+    from pyspark.storagelevel import StorageLevel
+
     d = load_table(spark, sf_dir, "documents")
+    # materialize-once: tf feeds the corpus model, the 1-row total (via the
+    # model), and the scoring join -- unpersisted, each branch re-tokenizes
+    # the corpus (measured 3 planned document scans).
     tf = (
         d.select("doc_id", F.explode(_tokens()).alias("tok"))
         .groupBy("doc_id", "tok")
         .agg(F.count("*").cast("bigint").alias("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     corpus = tf.groupBy("tok").agg(F.sum("c").cast("bigint").alias("cc"))
     n = corpus.agg(F.sum("cc").cast("bigint").alias("n"))

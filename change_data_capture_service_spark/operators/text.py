@@ -372,8 +372,16 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw doubles could flip near-ties between engines) with the term as the
     deterministic tiebreaker."""
     d = load_table(spark, sf_dir, "documents")
+    from pyspark.storagelevel import StorageLevel
+
     tok = d.select("doc_id", F.explode(_tokens()).alias("term"))
-    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    # materialize-once: tf feeds the df aggregation AND the scoring join;
+    # unpersisted, the df branch re-tokenizes the corpus.
+    tf = (
+        tok.groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     # df(term) = rows per term in tf (tf is already one row per (doc, term)):
     # no second explode over the corpus, no count_distinct shuffle
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
@@ -577,7 +585,13 @@ def text_bigram_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("b.w1", "b.w2")
     )
-    bg = bigrams.groupBy("w1", "w2").agg(F.count("*").cast("bigint").alias("c_xy"))
+    # materialize-once: bg is vocabulary-bounded (tiny) but its lineage is a
+    # full corpus pass; the grand total and the final scoring both consume it.
+    bg = (
+        bigrams.groupBy("w1", "w2")
+        .agg(F.count("*").cast("bigint").alias("c_xy"))
+        .persist()
+    )
     uni = (
         load_table(spark, sf_dir, "documents")
         .select(F.explode(_tokens()).alias("tok"))
