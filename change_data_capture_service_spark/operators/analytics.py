@@ -2324,3 +2324,139 @@ def events_seasonal_residual_anomaly(spark: SparkSession, sf_dir: str) -> DataFr
         .orderBy(F.abs(F.col("z")).desc(), "hour")
         .limit(10)
     )
+
+
+@register(
+    "events_value_psi_weekly",
+    tags=("analytics", "quality", "agg"),
+    oracle="""
+    WITH b AS (
+      SELECT min(date_trunc('day', ts)) AS lo,
+             date_trunc('day', max(ts)) - INTERVAL 6 DAY AS cur_lo
+      FROM events
+    ),
+    ref AS (
+      SELECT e.event_type, e.value FROM events e CROSS JOIN b
+      WHERE e.ts < b.lo + INTERVAL 7 DAY
+    ),
+    cur AS (
+      SELECT e.event_type, e.value FROM events e CROSS JOIN b
+      WHERE e.ts >= b.cur_lo
+    ),
+    edges AS (
+      SELECT event_type,
+             quantile_cont(value, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS es
+      FROM ref GROUP BY 1
+    ),
+    rb AS (
+      SELECT r.event_type,
+             len(list_filter(e.es, x -> r.value > x)) AS bucket,
+             CAST(count(*) AS BIGINT) AS n
+      FROM ref r JOIN edges e USING (event_type) GROUP BY 1, 2
+    ),
+    cb AS (
+      SELECT c.event_type,
+             len(list_filter(e.es, x -> c.value > x)) AS bucket,
+             CAST(count(*) AS BIGINT) AS n
+      FROM cur c JOIN edges e USING (event_type) GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT DISTINCT event_type, r.range AS bucket
+      FROM edges CROSS JOIN range(0, 10) r
+    ),
+    tot AS (
+      SELECT g.event_type, g.bucket,
+             coalesce(rb.n, 0) AS rn, coalesce(cb.n, 0) AS cn,
+             sum(coalesce(rb.n, 0)) OVER (PARTITION BY g.event_type) AS rtot,
+             sum(coalesce(cb.n, 0)) OVER (PARTITION BY g.event_type) AS ctot
+      FROM grid g
+      LEFT JOIN rb ON g.event_type = rb.event_type AND g.bucket = rb.bucket
+      LEFT JOIN cb ON g.event_type = cb.event_type AND g.bucket = cb.bucket
+    )
+    SELECT event_type,
+           CAST(min(rtot) AS BIGINT) AS n_ref,
+           CAST(min(ctot) AS BIGINT) AS n_cur,
+           round(CAST(sum(CAST(round(
+             ((rn + 1.0) / (rtot + 10) - (cn + 1.0) / (ctot + 10))
+             * ln(((rn + 1.0) / (rtot + 10)) / ((cn + 1.0) / (ctot + 10))), 6)
+             AS DECIMAL(18,6))) AS DOUBLE), 6) AS psi
+    FROM tot GROUP BY 1 ORDER BY 1
+    """,
+)
+def events_value_psi_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the value distribution, first week vs
+    last week, per event type -- THE drift gate every ML feature pipeline
+    runs before retraining (PSI > 0.25 = distribution moved, re-fit).
+    Decile edges come from the REFERENCE week only (the deployed-model
+    convention); both windows bucket against those edges with identical
+    strict-> comparisons, Laplace (+1/+10) smoothing keeps empty buckets
+    finite, and each bucket's PSI term snaps to 6 dp DECIMAL before the
+    sum.
+
+    Scale: two window filters over one fact scan feed |types| x 10 bucket
+    partial aggs; the |types|-row edge table broadcasts; the dense bucket
+    grid is |types| x 10 rows forever. Bucketing is size(filter(edges,
+    x -> value > x)) -- a JVM array fold against the broadcast edges, no
+    per-row Python anywhere."""
+    e = load_table(spark, sf_dir, "events")
+    b = e.agg(
+        F.min(F.date_trunc("day", F.col("ts"))).alias("lo"),
+        (F.date_trunc("day", F.max("ts")) - F.expr("INTERVAL 6 DAY")).alias("cur_lo"),
+    )
+    ev = e.crossJoin(F.broadcast(b))
+    ref = ev.filter(F.col("ts") < F.col("lo") + F.expr("INTERVAL 7 DAY")).select(
+        "event_type", "value"
+    )
+    cur = ev.filter(F.col("ts") >= F.col("cur_lo")).select("event_type", "value")
+    edges = ref.groupBy("event_type").agg(
+        F.percentile(
+            "value", F.array(*[F.lit(i / 10.0) for i in range(1, 10)])
+        ).alias("es")
+    )
+    def bucketed(side: DataFrame) -> DataFrame:
+        return (
+            side.join(F.broadcast(edges), "event_type")
+            .select(
+                "event_type",
+                F.size(F.filter(F.col("es"), lambda x: F.col("value") > x)).alias(
+                    "bucket"
+                ),
+            )
+            .groupBy("event_type", "bucket")
+            .agg(F.count("*").cast("bigint").alias("n"))
+        )
+    rb, cb = bucketed(ref), bucketed(cur)
+    grid = edges.select(
+        "event_type", F.explode(F.array(*[F.lit(i) for i in range(10)])).alias("bucket")
+    )
+    from pyspark.sql import Window
+
+    wt = Window.partitionBy("event_type")
+    tot = (
+        grid.join(rb.withColumnRenamed("n", "rn"), ["event_type", "bucket"], "left")
+        .join(cb.withColumnRenamed("n", "cn"), ["event_type", "bucket"], "left")
+        .select(
+            "event_type",
+            F.coalesce("rn", F.lit(0)).alias("rn"),
+            F.coalesce("cn", F.lit(0)).alias("cn"),
+        )
+        .select(
+            "event_type",
+            "rn",
+            "cn",
+            F.sum("rn").over(wt).alias("rtot"),
+            F.sum("cn").over(wt).alias("ctot"),
+        )
+    )
+    p = (F.col("rn") + 1.0) / (F.col("rtot") + 10)
+    q = (F.col("cn") + 1.0) / (F.col("ctot") + 10)
+    term = F.round((p - q) * F.log(p / q), 6).cast("decimal(18,6)")
+    return (
+        tot.groupBy("event_type")
+        .agg(
+            F.min("rtot").cast("bigint").alias("n_ref"),
+            F.min("ctot").cast("bigint").alias("n_cur"),
+            F.round(F.sum(term).cast("double"), 6).alias("psi"),
+        )
+        .orderBy("event_type")
+    )

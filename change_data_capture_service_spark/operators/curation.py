@@ -566,3 +566,82 @@ def docs_template_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_docs").desc(), "line")
         .limit(20)
     )
+
+
+@register(
+    "sample_neyman_allocation",
+    tags=("curation", "agg", "northstar"),
+    oracle="""
+    WITH m AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS nh,
+             CAST(sum(CAST(n_chars AS HUGEINT)) AS DOUBLE) AS s1,
+             CAST(sum(CAST(n_chars AS HUGEINT) * n_chars) AS DOUBLE) AS s2
+      FROM documents GROUP BY 1
+    ),
+    sd AS (
+      SELECT source, nh,
+             sqrt((s2 - s1 * s1 / nh) / (nh - 1)) AS sh
+      FROM m WHERE nh > 1
+    ),
+    tot AS (SELECT sum(nh * sh) AS denom, sum(nh) AS n_total FROM sd)
+    SELECT s.source, s.nh AS stratum_size,
+           round(s.sh, 4) AS stratum_sd,
+           round(s.nh * s.sh / t.denom, 6) AS neyman_share,
+           CAST(round(1000 * s.nh * s.sh / t.denom) AS BIGINT) AS neyman_n,
+           CAST(round(1000 * CAST(s.nh AS DOUBLE) / t.n_total) AS BIGINT)
+             AS proportional_n
+    FROM sd s CROSS JOIN tot t
+    ORDER BY s.source
+    """,
+)
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sample allocation over sources: each
+    stratum's share of a 1000-doc audit budget proportional to N_h x S_h
+    (size x within-stratum spread of doc length) -- the survey-sampling
+    answer to 'which feeds deserve the most QA eyeballs', vs the naive
+    proportional allocation shown beside it. Variance comes from exact
+    integral moments (HUGEINT / DECIMAL(38,0)); every downstream value is
+    a closed-form double on those exact sums.
+
+    Scale: ONE |sources|-state moment agg over the metadata scan; the
+    denominator is a window sum over the |sources|-row rollup (single
+    tiny partition, free -- and no second scan)."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    dec = F.col("n_chars").cast("decimal(38,0)")
+    m = d.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("nh"),
+        F.sum(dec).cast("double").alias("s1"),
+        F.sum(dec * F.col("n_chars")).cast("double").alias("s2"),
+    )
+    sd = m.filter(F.col("nh") > 1).select(
+        "source",
+        "nh",
+        F.sqrt(
+            (F.col("s2") - F.col("s1") * F.col("s1") / F.col("nh")) / (F.col("nh") - 1)
+        ).alias("sh"),
+    )
+    w = Window.partitionBy()
+    sd = sd.select(
+        "source",
+        "nh",
+        "sh",
+        F.sum(F.col("nh") * F.col("sh")).over(w).alias("denom"),
+        F.sum("nh").over(w).alias("n_total"),
+    )
+    share = F.col("nh") * F.col("sh") / F.col("denom")
+    return (
+        sd.select(
+            "source",
+            F.col("nh").alias("stratum_size"),
+            F.round(F.col("sh"), 4).alias("stratum_sd"),
+            F.round(share, 6).alias("neyman_share"),
+            F.round(1000 * share).cast("bigint").alias("neyman_n"),
+            F.round(1000 * F.col("nh").cast("double") / F.col("n_total"))
+            .cast("bigint")
+            .alias("proportional_n"),
+        )
+        .orderBy("source")
+    )

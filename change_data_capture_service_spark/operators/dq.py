@@ -140,3 +140,70 @@ def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("group_size"))
         .filter(F.col("group_size") < 10)
     )
+
+
+@register(
+    "lineitem_price_consistency",
+    tags=("dq", "agg", "relational"),
+    oracle="""
+    WITH u AS (
+      SELECT l_partkey,
+             CAST(round(l_extendedprice / l_quantity, 6) AS DECIMAL(18,6))
+               AS unit_price
+      FROM lineitem WHERE l_quantity > 0
+    ),
+    p AS (
+      SELECT l_partkey,
+             CAST(count(*) AS BIGINT) AS n_lines,
+             min(unit_price) AS min_price,
+             max(unit_price) AS max_price
+      FROM u GROUP BY 1
+    )
+    SELECT CAST(l_partkey AS BIGINT) AS l_partkey, n_lines,
+           CAST(min_price AS DOUBLE) AS min_price,
+           CAST(max_price AS DOUBLE) AS max_price,
+           round(CAST(max_price AS DOUBLE) / CAST(min_price AS DOUBLE), 6)
+             AS spread_ratio
+    FROM p
+    WHERE n_lines >= 5 AND min_price > 0
+    ORDER BY spread_ratio DESC, l_partkey
+    LIMIT 20
+    """,
+)
+def lineitem_price_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing-consistency audit: the 20 parts whose observed unit price
+    varies most across line items (max/min ratio, >= 5 observations) --
+    either legitimate discount laddering or a data-entry defect, and
+    either way the first thing a pricing DQ pass flags. Unit prices snap
+    to 6 dp DECIMAL before the min/max so the extremes are
+    accumulation-order-free; the ratio is one double division at the end.
+
+    Scale: ONE |parts|-grain partial agg over the fact scan,
+    TakeOrderedAndProject final."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    u = li.select(
+        "l_partkey",
+        F.round(F.col("l_extendedprice") / F.col("l_quantity"), 6)
+        .cast("decimal(18,6)")
+        .alias("unit_price"),
+    )
+    p = u.groupBy("l_partkey").agg(
+        F.count("*").cast("bigint").alias("n_lines"),
+        F.min("unit_price").alias("min_price"),
+        F.max("unit_price").alias("max_price"),
+    )
+    return (
+        p.filter((F.col("n_lines") >= 5) & (F.col("min_price") > 0))
+        .select(
+            F.col("l_partkey").cast("bigint").alias("l_partkey"),
+            "n_lines",
+            F.col("min_price").cast("double").alias("min_price"),
+            F.col("max_price").cast("double").alias("max_price"),
+            F.round(
+                F.col("max_price").cast("double") / F.col("min_price").cast("double"),
+                6,
+            ).alias("spread_ratio"),
+        )
+        .orderBy(F.col("spread_ratio").desc(), "l_partkey")
+        .limit(20)
+    )

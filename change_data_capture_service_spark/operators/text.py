@@ -993,3 +993,57 @@ def docs_language_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "text_charset_profile",
+    tags=("text", "quality", "agg"),
+    oracle="""
+    WITH m AS (
+      SELECT lang,
+             CAST(length(text) AS BIGINT) AS n,
+             CAST(length(regexp_replace(text, '[^ -~]', '', 'g')) AS BIGINT)
+               AS n_ascii,
+             CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT)
+               AS n_digit
+      FROM documents WHERE length(text) > 0
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(CAST(sum(n_ascii) AS DOUBLE) / sum(n), 6) AS ascii_ratio,
+           round(CAST(sum(n_digit) AS DOUBLE) / sum(n), 6) AS digit_ratio,
+           CAST(sum(CASE WHEN n_ascii < n THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_docs_non_ascii
+    FROM m GROUP BY 1 ORDER BY 1
+    """,
+)
+def text_charset_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-set profile per language label: printable-ASCII and digit
+    ratios plus how many docs contain ANY non-ASCII -- the encoding sanity
+    check that catches mojibake, a mislabeled zh feed, or a crawler that
+    started double-encoding UTF-8. The '[^ -~]' printable-ASCII class is
+    the same RE2-compatible pattern on both engines; all counts are exact
+    integers.
+
+    Scale: map-side regexp projections + ONE |langs|-state partial agg."""
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    n = F.length("text").cast("bigint")
+    n_ascii = F.length(F.regexp_replace("text", "[^ -~]", "")).cast("bigint")
+    n_digit = F.length(F.regexp_replace("text", "[^0-9]", "")).cast("bigint")
+    m = d.select("lang", n.alias("n"), n_ascii.alias("n_ascii"), n_digit.alias("n_digit"))
+    return (
+        m.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.round(F.sum("n_ascii").cast("double") / F.sum("n"), 6).alias(
+                "ascii_ratio"
+            ),
+            F.round(F.sum("n_digit").cast("double") / F.sum("n"), 6).alias(
+                "digit_ratio"
+            ),
+            F.sum(F.when(F.col("n_ascii") < F.col("n"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_docs_non_ascii"),
+        )
+        .orderBy("lang")
+    )

@@ -596,3 +596,57 @@ def events_forecast_baseline_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow")
     )
+
+
+@register(
+    "events_inactivity_gap_profile",
+    tags=("timeseries", "analytics", "agg"),
+    oracle="""
+    WITH g AS (
+      SELECT user_id,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                    ORDER BY ts, event_id) AS gap_us
+      FROM events
+    ),
+    mx AS (
+      SELECT user_id, max(gap_us) AS max_gap_us
+      FROM g WHERE gap_us IS NOT NULL GROUP BY 1
+    )
+    SELECT CAST(max_gap_us // 86400000000 AS BIGINT) AS max_gap_days,
+           CAST(count(*) AS BIGINT) AS n_users,
+           round(CAST(sum(max_gap_us) AS DOUBLE) / count(*) / 3600000000, 4)
+             AS avg_max_gap_hours
+    FROM mx GROUP BY 1 ORDER BY 1
+    """,
+)
+def events_inactivity_gap_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest-silence profile: each user's maximum inactivity gap, bucketed
+    by whole days -- the empirical input for choosing a churn-definition
+    window and a session TTL (if most users' longest gap is under 2 days, a
+    7-day churn rule is too loose). Gap arithmetic is exact integer
+    microseconds end to end (the ``sessionize_batch`` convention); the day
+    bucket is integer division.
+
+    Scale: ONE user-keyed shuffle for the lag window, a |users|-grain max
+    agg on the same partitioning, then a |buckets|-state rollup."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    g = e.select("user_id", (us - F.lag(us).over(w)).alias("gap_us")).filter(
+        F.col("gap_us").isNotNull()
+    )
+    mx = g.groupBy("user_id").agg(F.max("gap_us").alias("max_gap_us"))
+    return (
+        mx.groupBy(
+            F.expr("max_gap_us DIV 86400000000").cast("bigint").alias("max_gap_days")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_users"),
+            F.round(
+                F.sum("max_gap_us").cast("double") / F.count("*") / 3600000000, 4
+            ).alias("avg_max_gap_hours"),
+        )
+        .orderBy("max_gap_days")
+    )
