@@ -165,3 +165,28 @@ def test_pca_pc1_matches_numpy_eigendecomposition(spark, sf_dir):
     for _, row in df.iterrows():
         mask = lbl == row["label"]
         assert abs(proj[mask].mean() - row["mean_pc1"]) < 1e-3
+
+
+def test_phash_pairs_near_identical_payloads(spark, tmp_path):
+    """dHash banding must pair payloads differing by a tiny suffix edit
+    (prefix-dominated grid ≈ unchanged) and must NOT pair unrelated byte
+    streams; verified end-to-end through the registered operator by
+    pointing it at a constructed corpus."""
+    import shutil
+
+    base = "the quick brown fox jumps over the lazy dog " * 20
+    rows = [
+        (1, base, "en", "s", len(base)),
+        (2, base[:-3] + "xyz", "en", "s", len(base)),       # near-identical
+        (3, "".join(chr(33 + (i * 7) % 90) for i in range(900)), "en", "s", 900),  # unrelated
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+    d = tmp_path / "phash_fixture"
+    d.mkdir()
+    df.coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+
+    out = registry.get("multimodal_phash_dedup").fn(spark, str(d)).toPandas()
+    pairs = set(zip(out["doc_id_a"], out["doc_id_b"]))
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+    shutil.rmtree(d, ignore_errors=True)
