@@ -2393,48 +2393,58 @@ def events_value_psi_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     finite, and each bucket's PSI term snaps to 6 dp DECIMAL before the
     sum.
 
-    Scale: two window filters over one fact scan feed |types| x 10 bucket
-    partial aggs; the |types|-row edge table broadcasts; the dense bucket
-    grid is |types| x 10 rows forever. Bucketing is size(filter(edges,
-    x -> value > x)) -- a JVM array fold against the broadcast edges, no
-    per-row Python anywhere."""
+    Scale: exactly TWO fact scans by construction -- the edge-fit pass
+    and one combined bucketing pass with conditional window counts (plus
+    the 1-row bounds pass); the |types|-row edge table broadcasts and
+    persists; the dense bucket grid is |types| x 10 rows forever.
+    Bucketing is size(filter(edges, x -> value > x)) -- a JVM array fold
+    against the broadcast edges, no per-row Python anywhere."""
+    from pyspark.sql import Window
+
     e = load_table(spark, sf_dir, "events")
+    # two passes over the fact table, by construction: pass A fits the
+    # reference-week decile edges, pass B buckets BOTH windows in one scan
+    # with conditional counts. The 1-row bounds and |types|-row edges
+    # persist -- re-deriving either costs a fact scan per consumer
+    # (measured 10 planned scans with branch-per-window groupBys).
     b = e.agg(
         F.min(F.date_trunc("day", F.col("ts"))).alias("lo"),
         (F.date_trunc("day", F.max("ts")) - F.expr("INTERVAL 6 DAY")).alias("cur_lo"),
-    )
+    ).persist()
     ev = e.crossJoin(F.broadcast(b))
-    ref = ev.filter(F.col("ts") < F.col("lo") + F.expr("INTERVAL 7 DAY")).select(
-        "event_type", "value"
-    )
-    cur = ev.filter(F.col("ts") >= F.col("cur_lo")).select("event_type", "value")
-    edges = ref.groupBy("event_type").agg(
-        F.percentile(
-            "value", F.array(*[F.lit(i / 10.0) for i in range(1, 10)])
-        ).alias("es")
-    )
-    def bucketed(side: DataFrame) -> DataFrame:
-        return (
-            side.join(F.broadcast(edges), "event_type")
-            .select(
-                "event_type",
-                F.size(F.filter(F.col("es"), lambda x: F.col("value") > x)).alias(
-                    "bucket"
-                ),
-            )
-            .groupBy("event_type", "bucket")
-            .agg(F.count("*").cast("bigint").alias("n"))
+    is_ref = F.col("ts") < F.col("lo") + F.expr("INTERVAL 7 DAY")
+    is_cur = F.col("ts") >= F.col("cur_lo")
+    edges = (
+        ev.filter(is_ref)
+        .groupBy("event_type")
+        .agg(
+            F.percentile(
+                "value", F.array(*[F.lit(i / 10.0) for i in range(1, 10)])
+            ).alias("es")
         )
-    rb, cb = bucketed(ref), bucketed(cur)
+        .persist()
+    )
+    both = (
+        ev.filter(is_ref | is_cur)
+        .join(F.broadcast(edges), "event_type")
+        .select(
+            "event_type",
+            F.size(F.filter(F.col("es"), lambda x: F.col("value") > x)).alias("bucket"),
+            is_ref.cast("int").alias("in_ref"),
+            is_cur.cast("int").alias("in_cur"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.sum("in_ref").cast("bigint").alias("rn"),
+            F.sum("in_cur").cast("bigint").alias("cn"),
+        )
+    )
     grid = edges.select(
         "event_type", F.explode(F.array(*[F.lit(i) for i in range(10)])).alias("bucket")
     )
-    from pyspark.sql import Window
-
     wt = Window.partitionBy("event_type")
     tot = (
-        grid.join(rb.withColumnRenamed("n", "rn"), ["event_type", "bucket"], "left")
-        .join(cb.withColumnRenamed("n", "cn"), ["event_type", "bucket"], "left")
+        grid.join(both, ["event_type", "bucket"], "left")
         .select(
             "event_type",
             F.coalesce("rn", F.lit(0)).alias("rn"),
