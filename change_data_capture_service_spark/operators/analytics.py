@@ -273,8 +273,6 @@ def audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the fact table reduces before anything joins; the only shuffle
     of consequence is the distinct. The a < b predicate halves the pair
     space and makes output order-canonical."""
-    from pyspark.storagelevel import StorageLevel
-
     e = load_table(spark, sf_dir, "events")
     # materialize-once: the reduced distinct set feeds the sizes agg and
     # BOTH self-join sides; unpersisted, each consumer re-scans the fact
@@ -282,7 +280,7 @@ def audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     du = (
         e.select("event_type", "user_id")
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=False)
     )
     sizes = du.groupBy("event_type").agg(F.count("*").alias("n"))
     a = du.alias("a")
@@ -2410,7 +2408,7 @@ def events_value_psi_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = e.agg(
         F.min(F.date_trunc("day", F.col("ts"))).alias("lo"),
         (F.date_trunc("day", F.max("ts")) - F.expr("INTERVAL 6 DAY")).alias("cur_lo"),
-    ).persist()
+    ).localCheckpoint(eager=False)
     ev = e.crossJoin(F.broadcast(b))
     is_ref = F.col("ts") < F.col("lo") + F.expr("INTERVAL 7 DAY")
     is_cur = F.col("ts") >= F.col("cur_lo")
@@ -2422,7 +2420,7 @@ def events_value_psi_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "value", F.array(*[F.lit(i / 10.0) for i in range(1, 10)])
             ).alias("es")
         )
-        .persist()
+        .localCheckpoint(eager=False)
     )
     both = (
         ev.filter(is_ref | is_cur)

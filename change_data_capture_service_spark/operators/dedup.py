@@ -19,7 +19,6 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
-from pyspark.storagelevel import StorageLevel
 
 from ..catalog import load_table, spread
 from ..registry import register
@@ -159,7 +158,7 @@ def dedup_minhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize-once: the shingle relation feeds candidate generation
     # AND the exact-verify joins; without the persist each consumer
     # re-tokenizes the corpus (measured 4-6 planned document scans).
-    sh = _shingled_docs(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    sh = _shingled_docs(spark, sf_dir).localCheckpoint(eager=False)
     band_entries = _band_entries(_minhash_sig(sh))
 
     a = band_entries.alias("a")
@@ -261,7 +260,7 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize-once: the shingle relation feeds candidate generation
     # AND the exact-verify joins; without the persist each consumer
     # re-tokenizes the corpus (measured 4-6 planned document scans).
-    sh = _shingled_docs(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    sh = _shingled_docs(spark, sf_dir).localCheckpoint(eager=False)
     seen_sh = sh.filter(F.col("doc_id") < 400)
     new_sh = sh.filter(F.col("doc_id") >= 400)
     seen_bands = _band_entries(_minhash_sig(seen_sh)).alias("s")
@@ -813,7 +812,7 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize-once: the shingle relation feeds candidate generation
     # AND the exact-verify joins; without the persist each consumer
     # re-tokenizes the corpus (measured 4-6 planned document scans).
-    sh = _shingled_docs(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    sh = _shingled_docs(spark, sf_dir).localCheckpoint(eager=False)
     ex = sh.select("doc_id", F.explode("shingles").alias("shingle"))
     ok = (
         ex.groupBy("shingle")
@@ -906,7 +905,7 @@ def dedup_minhash_estimate_quality(spark: SparkSession, sf_dir: str) -> DataFram
     # materialize-once: the shingle relation feeds candidate generation
     # AND the exact-verify joins; without the persist each consumer
     # re-tokenizes the corpus (measured 4-6 planned document scans).
-    sh = _shingled_docs(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    sh = _shingled_docs(spark, sf_dir).localCheckpoint(eager=False)
     sig = _minhash_sig(sh)
     bands = _band_entries(sig)
     cand = (

@@ -625,8 +625,6 @@ def quality_perplexity_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     per doc and round at 1e-6 (the text_entropy precedent: doc-local sums
     are small enough that accumulation order cannot move the 6th
     decimal)."""
-    from pyspark.storagelevel import StorageLevel
-
     d = load_table(spark, sf_dir, "documents")
     # materialize-once: tf feeds the corpus model, the 1-row total (via the
     # model), and the scoring join -- unpersisted, each branch re-tokenizes
@@ -635,7 +633,7 @@ def quality_perplexity_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", F.explode(_tokens()).alias("tok"))
         .groupBy("doc_id", "tok")
         .agg(F.count("*").cast("bigint").alias("c"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=False)
     )
     corpus = tf.groupBy("tok").agg(F.sum("c").cast("bigint").alias("cc"))
     n = corpus.agg(F.sum("cc").cast("bigint").alias("n"))
@@ -712,8 +710,6 @@ def quality_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the per-doc score relation (doc-grain -- exactly what CCNet
     materializes) is persisted because both the boundary aggregate and the
     bucket assignment consume it; boundaries are a |langs|-row broadcast."""
-    from pyspark.storagelevel import StorageLevel
-
     d = load_table(spark, sf_dir, "documents")
     tf = (
         d.select("doc_id", F.explode(_tokens()).alias("tok"))
@@ -739,7 +735,7 @@ def quality_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         ce.join(d.select("doc_id", "lang"), "doc_id")
         .select("lang", "cross_entropy")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=False)
     )
     cuts = scored.groupBy("lang").agg(
         F.percentile("cross_entropy", F.lit(1.0 / 3)).alias("b1"),

@@ -1600,15 +1600,13 @@ def basket_brand_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     it from the fact table -- measured 5 planned lineitem scans;
     materialize-once is the standard itemset-mining shape (MEMORY_AND_DISK
     -- at 100 TB the reduced relation spills, it never re-scans)."""
-    from pyspark.storagelevel import StorageLevel
-
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     ob = (
         li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .select("l_orderkey", "p_brand")
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=False)
     )
     tot = ob.select(F.count_distinct("l_orderkey").cast("bigint").alias("n_orders"))
     c = ob.groupBy("p_brand").agg(F.count("*").cast("bigint").alias("n"))

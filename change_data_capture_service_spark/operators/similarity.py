@@ -835,7 +835,7 @@ def knn_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     base -- ~12 plan references that would each re-run the brute-force
     pipeline (measured 28 planned embeddings scans without the persist).
     """
-    exact = knn_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id").persist()
+    exact = knn_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id").localCheckpoint(eager=False)
     # Denominator is the per-query size of the EXACT top-k set, not the
     # constant k: a query with fewer than k true neighbors (small corpus,
     # self-filtered candidates) must still be able to reach recall 1.0.

@@ -372,15 +372,13 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw doubles could flip near-ties between engines) with the term as the
     deterministic tiebreaker."""
     d = load_table(spark, sf_dir, "documents")
-    from pyspark.storagelevel import StorageLevel
-
     tok = d.select("doc_id", F.explode(_tokens()).alias("term"))
     # materialize-once: tf feeds the df aggregation AND the scoring join;
     # unpersisted, the df branch re-tokenizes the corpus.
     tf = (
         tok.groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=False)
     )
     # df(term) = rows per term in tf (tf is already one row per (doc, term)):
     # no second explode over the corpus, no count_distinct shuffle
@@ -590,7 +588,7 @@ def text_bigram_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     bg = (
         bigrams.groupBy("w1", "w2")
         .agg(F.count("*").cast("bigint").alias("c_xy"))
-        .persist()
+        .localCheckpoint(eager=False)
     )
     uni = (
         load_table(spark, sf_dir, "documents")
