@@ -1,0 +1,137 @@
+"""Incrementally-maintained join view: delta recomputation must equal the
+batch join of both latest states after every micro-batch -- through
+inserts, dim updates (fan-out to all fact partners), fact join-key moves
+(vacating the old slice), and deletes on either side."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from change_data_capture_service_spark.streaming import envelope as env
+from change_data_capture_service_spark.streaming.joinview import (
+    MaterializedJoinView,
+    start_join_view,
+)
+
+
+def _orders(spark, rows, op):
+    """rows: (orderkey, custkey, total, lsn)."""
+    df = spark.createDataFrame(
+        [(o, c, t) for o, c, t, _ in rows],
+        "o_orderkey long, o_custkey long, o_total string",
+    )
+    lsn = {o: l for o, _, _, l in rows}
+    m = F.create_map(*[x for o in lsn for x in (F.lit(o), F.lit(lsn[o]))])
+    return env.encode(
+        df, op=op, schema_name="public", table_name="orders",
+        pk_cols=["o_orderkey"], lsn=m[F.col("o_orderkey")],
+        ts=F.lit("2024-03-01 00:00:00").cast("timestamp"),
+    )
+
+
+def _custs(spark, rows, op):
+    """rows: (custkey, name, lsn)."""
+    df = spark.createDataFrame(
+        [(c, n) for c, n, _ in rows], "c_custkey long, c_name string"
+    )
+    lsn = {c: l for c, _, l in rows}
+    m = F.create_map(*[x for c in lsn for x in (F.lit(c), F.lit(lsn[c]))])
+    return env.encode(
+        df, op=op, schema_name="public", table_name="customer",
+        pk_cols=["c_custkey"], lsn=m[F.col("c_custkey")],
+        ts=F.lit("2024-03-01 00:00:00").cast("timestamp"),
+    )
+
+
+def _drain(spark, src, state, ckpt):
+    stream = spark.readStream.schema(env.ENVELOPE_SCHEMA).json(src)
+    sink, q = start_join_view(stream, state, ckpt)
+    q.awaitTermination()
+    return sink
+
+
+def _expected(sink):
+    """Ground truth: full batch join of the maintained latest states."""
+    fact = sink._read("fact").filter(F.col("op") != "delete")
+    dim = sink._read("dim").filter(F.col("op") != "delete")
+    j = fact.select(
+        "key", F.element_at("after", "o_custkey").alias("jk"), "lsn", "after"
+    ).join(
+        dim.select(
+            F.element_at("after", "c_custkey").alias("jk"),
+            F.col("after").alias("dim_after"),
+        ),
+        "jk",
+    )
+    return {
+        (r["key"], r["jk"], r["after"]["o_custkey"], r["dim_after"]["c_name"])
+        for r in j.collect()
+    }
+
+
+def _got(sink):
+    return {
+        (r["key"], r["join_key"], r["after"]["o_custkey"], r["dim_after"]["c_name"])
+        for r in sink.view().collect()
+    }
+
+
+def test_join_view_tracks_batch_join_through_all_change_kinds(spark, tmp_path):
+    src, state, ckpt = (str(tmp_path / d) for d in ("src", "state", "ckpt"))
+
+    # batch 1: two customers, three orders (cust 1 has two)
+    _custs(spark, [(1, "ada", 1), (2, "bob", 2)], "insert").write.mode("append").json(src)
+    _orders(
+        spark, [(10, 1, "a", 3), (11, 1, "b", 4), (12, 2, "c", 5)], "insert"
+    ).write.mode("append").json(src)
+    sink = _drain(spark, src, state, ckpt)
+    assert _got(sink) == _expected(sink)
+    assert len(_got(sink)) == 3
+
+    # batch 2: dim update fans out to both of cust 1's orders
+    _custs(spark, [(1, "ada2", 10)], "update").write.mode("append").json(src)
+    sink = _drain(spark, src, state, ckpt)
+    got = _got(sink)
+    assert got == _expected(sink)
+    assert {g[3] for g in got if g[1] == "1"} == {"ada2"}
+
+    # batch 3: order 11 moves to customer 2 (must vacate cust 1's slice)
+    _orders(spark, [(11, 2, "b2", 20)], "update").write.mode("append").json(src)
+    sink = _drain(spark, src, state, ckpt)
+    got = _got(sink)
+    assert got == _expected(sink)
+    assert {g[0] for g in got if g[1] == "2"} == {
+        "public.orders:11",
+        "public.orders:12",
+    }
+
+    # batch 4: delete order 10; delete customer 2 (orders 11, 12 lose their
+    # partner and leave the inner-join view)
+    _orders(spark, [(10, 1, "a", 30)], "delete").write.mode("append").json(src)
+    _custs(spark, [(2, "bob", 31)], "delete").write.mode("append").json(src)
+    sink = _drain(spark, src, state, ckpt)
+    got = _got(sink)
+    assert got == _expected(sink)
+    assert got == set()
+
+    # batch 5: customer 2 re-inserted with a higher LSN -- its surviving
+    # orders re-enter the view
+    _custs(spark, [(2, "bob2", 40)], "insert").write.mode("append").json(src)
+    sink = _drain(spark, src, state, ckpt)
+    got = _got(sink)
+    assert got == _expected(sink)
+    assert {g[0] for g in got} == {"public.orders:11", "public.orders:12"}
+
+
+def test_join_view_late_event_loses(spark, tmp_path):
+    src, state, ckpt = (str(tmp_path / d) for d in ("src", "state", "ckpt"))
+    _custs(spark, [(1, "ada", 1)], "insert").write.mode("append").json(src)
+    _orders(spark, [(10, 1, "a", 5)], "insert").write.mode("append").json(src)
+    _drain(spark, src, state, ckpt)
+
+    # stale fact update (lower LSN) must not change the view
+    _orders(spark, [(10, 99, "stale", 2)], "update").write.mode("append").json(src)
+    sink = _drain(spark, src, state, ckpt)
+    got = _got(sink)
+    assert got == _expected(sink)
+    assert [g[1] for g in got] == ["1"]
