@@ -2468,3 +2468,170 @@ def events_value_psi_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "events_cohort_ltv_curve",
+    tags=("analytics", "agg"),
+    oracle="""
+    WITH f AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      FROM events GROUP BY 1
+    ),
+    wk AS (
+      SELECT e.user_id, f.cohort_week,
+             CAST(date_diff('week', f.cohort_week, date_trunc('week', e.ts))
+                  AS INT) AS week_no,
+             CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS v_c
+      FROM events e JOIN f ON e.user_id = f.user_id
+      WHERE e.event_type = 'purchase'
+      GROUP BY 1, 2, 3
+    ),
+    sizes AS (SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_users FROM f GROUP BY 1),
+    curve AS (
+      SELECT cohort_week, week_no,
+             CAST(sum(v_c) AS BIGINT) AS week_value_c
+      FROM wk GROUP BY 1, 2
+    )
+    SELECT c.cohort_week, c.week_no, s.cohort_users,
+           round(CAST(sum(c.week_value_c) OVER (
+                   PARTITION BY c.cohort_week ORDER BY c.week_no
+                   ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                 / 100 / s.cohort_users, 4) AS cum_ltv_per_user
+    FROM curve c JOIN sizes s USING (cohort_week)
+    ORDER BY 1, 2
+    """,
+)
+def events_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curves: cumulative purchase value per user by weeks since
+    the cohort's first activity -- the payback-period chart that decides
+    acquisition spend (which week does cumulative LTV cross CAC?). All
+    value arithmetic is exact integer cents until the final per-user
+    division; the cumulative window runs over the |cohorts| x |weeks|
+    rollup, never the fact table.
+
+    Scale: first-seen reduction (|users| rows) -> same-key join back ->
+    (cohort, week) partial agg; the running sum sees dashboard-sized
+    data."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    f = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    wk = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(f, "user_id")
+        .groupBy(
+            "cohort_week",
+            (
+                F.floor(
+                    F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week"))
+                    / 7
+                )
+            )
+            .cast("int")
+            .alias("week_no"),
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("week_value_c")
+        )
+    )
+    sizes = f.groupBy("cohort_week").agg(
+        F.count("*").cast("bigint").alias("cohort_users")
+    )
+    w = Window.partitionBy("cohort_week").orderBy("week_no").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        wk.join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_no",
+            "cohort_users",
+            F.round(
+                F.sum("week_value_c").over(w).cast("double")
+                / 100
+                / F.col("cohort_users"),
+                4,
+            ).alias("cum_ltv_per_user"),
+        )
+        .orderBy("cohort_week", "week_no")
+    )
+
+
+@register(
+    "events_value_by_session_position",
+    tags=("analytics", "window", "agg"),
+    oracle="""
+    WITH x AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts, event_id, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM x
+    ),
+    pos AS (
+      SELECT least(CAST(row_number() OVER (PARTITION BY user_id, session_no
+                                           ORDER BY ts, event_id) AS BIGINT),
+                   10) AS position,
+             value
+      FROM s
+    )
+    SELECT position,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+                 / 100 / count(*), 4) AS avg_value
+    FROM pos GROUP BY 1 ORDER BY 1
+    """,
+)
+def events_value_by_session_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value by within-session position (1st event, 2nd, ... capped at
+    10+): does engagement value build or decay as a session progresses --
+    the curve that motivates session-depth optimization vs acquisition.
+    Shares the 30-min sessionizer arithmetic; value sums in exact cents.
+
+    Scale: ONE user-keyed shuffle serves the session boundary window, the
+    numbering, and (same leading key) the position rank; the final agg is
+    10 states."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    s = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.sum(F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("session_no"),
+    )
+    pw = Window.partitionBy("user_id", "session_no").orderBy("ts", "event_id")
+    pos = s.select(
+        F.least(F.row_number().over(pw).cast("bigint"), F.lit(10)).alias("position"),
+        "value",
+    )
+    return (
+        pos.groupBy("position")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.round(
+                F.sum(F.round(F.col("value") * 100).cast("bigint")).cast("double")
+                / 100
+                / F.count("*"),
+                4,
+            ).alias("avg_value"),
+        )
+        .orderBy("position")
+    )

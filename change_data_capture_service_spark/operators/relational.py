@@ -2864,3 +2864,56 @@ def brand_discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+@register(
+    "orders_rolling_13wk_revenue",
+    tags=("agg", "window", "timeseries", "relational"),
+    oracle="""
+    WITH wk AS (
+      SELECT date_trunc('week', o_orderdate) AS week,
+             CAST(sum(CAST(round(o_totalprice, 2) AS DECIMAL(18,2)))
+                  AS DECIMAL(38,2)) AS rev
+      FROM orders GROUP BY 1
+    )
+    SELECT week,
+           round(CAST(rev AS DOUBLE), 2) AS week_revenue,
+           round(CAST(sum(rev) OVER (ORDER BY week
+                                     ROWS BETWEEN 12 PRECEDING AND CURRENT ROW)
+                      AS DOUBLE), 2) AS rolling_13wk_revenue,
+           CAST(count(*) OVER (ORDER BY week
+                               ROWS BETWEEN 12 PRECEDING AND CURRENT ROW)
+                AS INT) AS weeks_in_window
+    FROM wk ORDER BY week
+    """,
+)
+def orders_rolling_13wk_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 13-week (fiscal-quarter) revenue: the retail smoothing
+    standard that de-noises holiday weeks while staying current --
+    reported beside the raw weekly number and the window's actual week
+    count so partial leading windows are visible. Revenue stays DECIMAL
+    through the rolling sum (exact, order-free); only display values are
+    doubles.
+
+    Scale: the fact scan collapses to |weeks| rows in ONE partial agg;
+    the rolling frame runs on that tiny ordered rollup."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    wk = o.groupBy(F.date_trunc("week", F.col("o_orderdate")).alias("week")).agg(
+        F.sum(F.round(F.col("o_totalprice"), 2).cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .alias("rev")
+    )
+    w = Window.orderBy("week").rowsBetween(-12, 0)
+    return (
+        wk.select(
+            "week",
+            F.round(F.col("rev").cast("double"), 2).alias("week_revenue"),
+            F.round(F.sum("rev").over(w).cast("double"), 2).alias(
+                "rolling_13wk_revenue"
+            ),
+            F.count("*").over(w).cast("int").alias("weeks_in_window"),
+        )
+        .orderBy("week")
+    )
