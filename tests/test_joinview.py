@@ -135,3 +135,92 @@ def test_join_view_late_event_loses(spark, tmp_path):
     got = _got(sink)
     assert got == _expected(sink)
     assert [g[1] for g in got] == ["1"]
+
+
+def test_join_view_random_replay_matches_python_reference(spark, tmp_path):
+    """Seeded random op soup over BOTH tables, applied in random batch
+    splits through the incremental view, must equal a 25-line dict-replay
+    reference join at every drain point."""
+    import random
+
+    rng = random.Random(1234)
+    fact_ref: dict[int, tuple[int, int]] = {}  # orderkey -> (custkey, lsn)
+    dim_ref: dict[int, tuple[str, int]] = {}  # custkey -> (name, lsn)
+    ops = []  # (table, op, key, payload, lsn)
+    lsn = 1
+    for _ in range(150):
+        r = rng.random()
+        if r < 0.5:
+            o = rng.randrange(25)
+            c = rng.randrange(8)
+            kind = "delete" if (r < 0.08 and o in fact_ref) else (
+                "update" if o in fact_ref else "insert"
+            )
+            ops.append(("orders", kind, o, c, lsn))
+            if kind == "delete":
+                fact_ref.pop(o, None)
+            else:
+                fact_ref[o] = (c, lsn)
+        else:
+            c = rng.randrange(8)
+            kind = "delete" if (r > 0.95 and c in dim_ref) else (
+                "update" if c in dim_ref else "insert"
+            )
+            ops.append(("customer", kind, c, f"n{lsn}", lsn))
+            if kind == "delete":
+                dim_ref.pop(c, None)
+            else:
+                dim_ref[c] = (f"n{lsn}", lsn)
+        lsn += 1
+
+    sink = MaterializedJoinView(spark, str(tmp_path / "state"))
+    # random batch boundaries (4-6 batches)
+    cuts = sorted(rng.sample(range(1, len(ops)), 4))
+    batches, lo = [], 0
+    for hi in cuts + [len(ops)]:
+        batches.append(ops[lo:hi])
+        lo = hi
+    for epoch, chunk in enumerate(batches):
+        envs = []
+        for table, kind, key, payload, l in chunk:
+            if table == "orders":
+                df = spark.createDataFrame(
+                    [(key, payload)], "o_orderkey long, o_custkey long"
+                )
+                envs.append(_orders_one(df, kind, l))
+            else:
+                df = spark.createDataFrame(
+                    [(key, payload)], "c_custkey long, c_name string"
+                )
+                envs.append(_custs_one(df, kind, l))
+        batch = envs[0]
+        for e2 in envs[1:]:
+            batch = batch.unionByName(e2)
+        sink(batch, epoch)
+
+    expected = {
+        (f"public.orders:{o}", str(c), dim_ref[c][0])
+        for o, (c, _) in fact_ref.items()
+        if c in dim_ref
+    }
+    got = {
+        (r["key"], r["join_key"], r["dim_after"]["c_name"])
+        for r in sink.view().collect()
+    }
+    assert got == expected
+
+
+def _orders_one(df, op, lsn):
+    return env.encode(
+        df, op=op, schema_name="public", table_name="orders",
+        pk_cols=["o_orderkey"], lsn=F.lit(lsn),
+        ts=F.lit("2024-03-01 00:00:00").cast("timestamp"),
+    )
+
+
+def _custs_one(df, op, lsn):
+    return env.encode(
+        df, op=op, schema_name="public", table_name="customer",
+        pk_cols=["c_custkey"], lsn=F.lit(lsn),
+        ts=F.lit("2024-03-01 00:00:00").cast("timestamp"),
+    )

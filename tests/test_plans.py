@@ -448,3 +448,29 @@ def test_entry_paths_shuffle_bounded_by_rank_limit(spark, sf_dir):
         f"shuffled {m['shuffleRecordsWritten']} > budget {budget} "
         f"({n_events} events, {n_users} users): rank-limit pushdown lost"
     )
+
+
+def test_marginals_are_windows_not_rescans(spark, sf_dir):
+    """The round-6 plan-hygiene rule: marginals over a shared rollup must
+    be window sums (one fact scan), not groupBy branches (a scan per
+    branch). Pins docs_language_mix_drift and events_forecast_baseline_mae
+    at exactly one planned file scan each."""
+    import re
+
+    for name in ("docs_language_mix_drift", "events_forecast_baseline_mae"):
+        df = registry.get(name).fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        scans = len(re.findall(r"\w+\.parquet", plan))
+        assert scans == 1, f"{name}: {scans} planned file scans (marginal branches re-scan)"
+
+
+def test_materialize_once_relations_plan_as_rdd_scans(spark, sf_dir):
+    """Multi-consumer reduced relations go through lazy localCheckpoint --
+    every consumer must read the checkpointed RDD (Scan ExistingRDD), and
+    the SQL cache manager must stay EMPTY (persist() there would leak
+    cached subtrees into unrelated queries' plans, the bug this pins)."""
+    df = registry.get("basket_brand_lift").fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in plan, "basket relation no longer checkpointed"
+    jcm = spark._jsparkSession.sharedState().cacheManager()
+    assert jcm.isEmpty(), "SQL cache manager not empty: a persist() leaked back in"
