@@ -43,6 +43,8 @@ EXTENDED = [
     "recursive_reachability",    # round-5: iterative (launch-latency profile)
     "events_entry_paths_topk",   # round-5: rank-limit pushdown showcase
     "attribution_last_touch",    # round-5: as-of window (row-linear family)
+    "events_value_psi_weekly",   # round-6: two-pass drift gate (edge fit + bucket)
+    "stream_join_view_maintenance",  # round-6: incremental join-view (2-epoch IVM)
 ]
 
 
