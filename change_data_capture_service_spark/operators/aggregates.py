@@ -743,3 +743,90 @@ def approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("est_count").desc(), "tok")
         .limit(MG_TOPK)
     )
+
+
+@register(
+    "part_attr_assoc_cramer",
+    tags=("agg", "stats"),
+    oracle="""
+    WITH c AS (
+      SELECT p_brand, p_type, CAST(count(*) AS BIGINT) AS n
+      FROM part GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT p_brand, p_type, n,
+             CAST(sum(n) OVER (PARTITION BY p_brand) AS BIGINT) AS n_row,
+             CAST(sum(n) OVER (PARTITION BY p_type) AS BIGINT) AS n_col,
+             CAST(sum(n) OVER () AS BIGINT) AS n_tot,
+             CAST(count(*) OVER (PARTITION BY p_brand) AS BIGINT) AS _r,
+             CAST(count(*) OVER (PARTITION BY p_type) AS BIGINT) AS _c
+      FROM c
+    ),
+    chi AS (
+      SELECT CAST(sum(CAST(round(
+               (n - CAST(n_row AS DOUBLE) * n_col / n_tot)
+               * (n - CAST(n_row AS DOUBLE) * n_col / n_tot)
+               / (CAST(n_row AS DOUBLE) * n_col / n_tot), 6) AS DECIMAL(18,6)))
+             AS DOUBLE) AS chi2,
+             CAST(min(n_tot) AS BIGINT) AS n_tot,
+             CAST(count(DISTINCT p_brand) AS BIGINT) AS k_rows,
+             CAST(count(DISTINCT p_type) AS BIGINT) AS k_cols
+      FROM m
+    )
+    SELECT round(chi2, 4) AS chi2,
+           n_tot AS n_parts, k_rows AS n_brands, k_cols AS n_types,
+           round(sqrt(chi2 / (n_tot *
+                 (CASE WHEN k_rows < k_cols THEN k_rows ELSE k_cols END - 1))),
+                 6) AS cramers_v
+    FROM chi
+    """,
+)
+def part_attr_assoc_cramer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical association between brand and part type: chi-square over
+    the observed-vs-independence contingency table, normalized to Cramér's
+    V (0 = independent assortment, 1 = brand determines type) -- the
+    feature-redundancy screen a training pipeline runs before one-hot
+    encoding both columns. Marginals are window sums over the contingency
+    rollup (single fact scan, the round-6 rule); each cell's chi term
+    snaps to 6 dp DECIMAL before summing, so the statistic is
+    accumulation-order-free.
+
+    Scale: ONE |brands x types|-state partial agg; everything after runs
+    on that tiny rollup."""
+    from pyspark.sql import Window
+
+    p = load_table(spark, sf_dir, "part")
+    c = p.groupBy("p_brand", "p_type").agg(F.count("*").cast("bigint").alias("n"))
+    wr, wc, wt = (
+        Window.partitionBy("p_brand"),
+        Window.partitionBy("p_type"),
+        Window.partitionBy(),
+    )
+    m = c.select(
+        "p_brand",
+        "p_type",
+        "n",
+        F.sum("n").over(wr).cast("bigint").alias("n_row"),
+        F.sum("n").over(wc).cast("bigint").alias("n_col"),
+        F.sum("n").over(wt).cast("bigint").alias("n_tot"),
+    )
+    exp = F.col("n_row").cast("double") * F.col("n_col") / F.col("n_tot")
+    term = F.round((F.col("n") - exp) * (F.col("n") - exp) / exp, 6).cast(
+        "decimal(18,6)"
+    )
+    chi = m.agg(
+        F.sum(term).cast("double").alias("chi2"),
+        F.min("n_tot").cast("bigint").alias("n_parts"),
+        F.count_distinct("p_brand").cast("bigint").alias("n_brands"),
+        F.count_distinct("p_type").cast("bigint").alias("n_types"),
+    )
+    k_min = F.least(F.col("n_brands"), F.col("n_types"))
+    return chi.select(
+        F.round("chi2", 4).alias("chi2"),
+        "n_parts",
+        "n_brands",
+        "n_types",
+        F.round(
+            F.sqrt(F.col("chi2") / (F.col("n_parts") * (k_min - 1))), 6
+        ).alias("cramers_v"),
+    )

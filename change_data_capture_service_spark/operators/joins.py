@@ -442,3 +442,62 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(within, F.col("last_click_ts")).alias("attributed_click_ts"),
         )
     )
+
+
+@register(
+    "join_asof_nearest",
+    tags=("join",),
+    oracle="""
+    WITH w AS (
+      SELECT event_id, user_id, ts, event_type,
+             last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_click,
+             first_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_click
+      FROM events
+    )
+    SELECT event_id, user_id, ts,
+           CASE
+             WHEN prev_click IS NULL THEN next_click
+             WHEN next_click IS NULL THEN prev_click
+             WHEN epoch_us(ts) - epoch_us(prev_click)
+                  <= epoch_us(next_click) - epoch_us(ts) THEN prev_click
+             ELSE next_click
+           END AS nearest_click_ts
+    FROM w WHERE event_type = 'purchase'
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor as-of join (pandas ``merge_asof(direction=
+    'nearest')``): each purchase matched to the temporally CLOSEST click of
+    the same user, before or after -- the right semantic when attributing
+    to co-occurring activity rather than strictly-prior causes. Ties break
+    backward (<=), and distance compares in exact integer microseconds.
+
+    Scale: completes the as-of family (backward ``join_asof``, bounded
+    ``join_asof_tolerance``) with the same single user-keyed ordered
+    window shuffle -- the backward and forward candidates come from one
+    frame pair over one sort, never a range self-join."""
+    e = load_table(spark, sf_dir, "events")
+    base = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
+    prev_c = F.last(click_ts, ignorenulls=True).over(
+        base.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    next_c = F.first(click_ts, ignorenulls=True).over(
+        base.rowsBetween(1, Window.unboundedFollowing)
+    )
+    us = F.unix_micros
+    nearest = (
+        F.when(prev_c.isNull(), next_c)
+        .when(next_c.isNull(), prev_c)
+        .when(us(F.col("ts")) - us(prev_c) <= us(next_c) - us(F.col("ts")), prev_c)
+        .otherwise(next_c)
+    )
+    return (
+        e.select("event_id", "user_id", "ts", "event_type", nearest.alias("nearest_click_ts"))
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", "nearest_click_ts")
+    )

@@ -534,3 +534,54 @@ def stream_interval_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTE")),
         "left",
     ).select("c_user", "click_id", "click_ts", "purchase_id", "purchase_ts")
+
+
+@register(
+    "session_window_native",
+    tags=("streaming", "window"),
+    oracle="""
+    WITH x AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM x
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, session_no
+    """,
+)
+def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE ``session_window`` operator (the dynamic-gap session
+    TVF Structured Streaming uses for stateful session aggregation), run in
+    batch and proven equal to the manual lag+cumsum gap-islands
+    formulation: Spark defines a session's end as last-event + gap, and a
+    strictly-greater-than-gap split -- exactly the islands the oracle
+    derives, with session_end = max(ts) + 30min. Having BOTH forms
+    oracle-checked pins that the engine's hand-rolled sessionizer
+    (``sessionize_batch``) and the built-in operator agree on every
+    boundary.
+
+    Scale: session_window aggregates partially per partition then merges
+    overlapping candidate sessions in ONE keyed shuffle -- same exchange
+    budget as the manual form, with the merge logic in native code."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").cast("bigint").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
