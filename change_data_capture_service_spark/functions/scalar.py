@@ -539,3 +539,38 @@ def array_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
     return d.select("doc_id", F.explode_outer(toks).alias("token"))
+
+
+@register(
+    "variant_funcs",
+    tags=("scalar", "json"),
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_long,
+           CAST(CAST(json_extract(props, '$.k') AS BIGINT) AS VARCHAR) AS k_str,
+           CAST(json_extract(props, '$.k') IS NOT NULL AS BOOLEAN) AS has_k,
+           CAST(json_extract(props, '$.missing') AS BIGINT) AS missing_long
+    FROM events WHERE event_id < 500
+    """,
+)
+def variant_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT type surface: ``parse_json`` into the binary
+    semi-structured VARIANT encoding, typed path extraction with
+    ``variant_get`` / ``try_variant_get`` (missing paths -> NULL, like the
+    oracle's JSON extraction) -- the open-table-format answer to schemaless
+    payloads that replaces string re-parsing per access: parse ONCE,
+    extract many times from the binary form.
+
+    Scale: VARIANT stores a parsed binary tree, so repeated extractions
+    skip the JSON tokenizer; with parquet variant shredding the column
+    prunes like a struct. All JVM-side, codegen'd, zero shuffles."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    return e.select(
+        "event_id",
+        F.expr("variant_get(parse_json(props), '$.k', 'long')").alias("k_long"),
+        F.expr("variant_get(parse_json(props), '$.k', 'string')").alias("k_str"),
+        F.expr("variant_get(parse_json(props), '$.k', 'long')").isNotNull().alias("has_k"),
+        F.expr("try_variant_get(parse_json(props), '$.missing', 'long')").alias(
+            "missing_long"
+        ),
+    )
