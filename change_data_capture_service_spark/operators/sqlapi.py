@@ -117,3 +117,60 @@ def recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     workhorse; the CTE form is the interface parity proof."""
     register_views(spark, sf_dir, ["events"])
     return spark.sql(_RECURSIVE_SQL)
+
+
+_GROUP_BY_ALL_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY ALL
+ORDER BY ALL
+"""
+
+
+@register("sqlapi_group_by_all", tags=("sqlapi",), oracle=_GROUP_BY_ALL_SQL)
+def sqlapi_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL / ORDER BY ALL (the DuckDB-popularized shorthand Spark
+    adopted): every non-aggregate select item becomes a grouping key, and
+    the result orders by the full select list -- identical SQL text
+    executes on both engines, pinning that the dialects resolve the
+    shorthand to the same explicit form."""
+    register_views(spark, sf_dir, ["lineitem"])
+    return spark.sql(_GROUP_BY_ALL_SQL)
+
+
+@register(
+    "sqlapi_parameterized",
+    tags=("sqlapi",),
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice, 2) AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_totalprice > 1000.0
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def sqlapi_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (`spark.sql(text, args={...})`): named parameter
+    markers bound server-side instead of string interpolation -- the
+    injection-safe form the reference's hand-assembled snapshot SQL
+    (``replicator.go:102`` + ``quoteIdent``) needs; Spark binds typed
+    literals into the plan so pushdown and constant folding see real
+    constants. The oracle inlines the same literals."""
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(round(o_totalprice, 2) AS DECIMAL(18,2))) AS DOUBLE)
+                 AS revenue
+        FROM orders
+        WHERE o_orderdate >= :cutoff AND o_totalprice > :floor
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        args={"cutoff": "1997-01-01 00:00:00", "floor": 1000.0},
+    )
