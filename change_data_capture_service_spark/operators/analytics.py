@@ -2635,3 +2635,84 @@ def events_value_by_session_position(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .orderBy("position")
     )
+
+
+@register(
+    "events_propensity_features",
+    tags=("analytics", "agg", "northstar"),
+    oracle="""
+    WITH a AS (SELECT max(ts) AS now_ts FROM events),
+    f AS (
+      SELECT e.user_id,
+             CAST(count(*) AS BIGINT) AS frequency,
+             CAST(date_diff('second', max(e.ts), a.now_ts) AS BIGINT)
+               AS recency_s,
+             CAST(date_diff('second', min(e.ts), a.now_ts) AS BIGINT)
+               AS tenure_s,
+             CAST(sum(CASE WHEN e.event_type = 'purchase'
+                           THEN CAST(round(e.value * 100) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS monetary_c,
+             CAST(count(DISTINCT e.event_type) AS BIGINT) AS n_types,
+             CAST(sum(CASE WHEN e.event_type = 'error' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_errors
+      FROM events e CROSS JOIN a GROUP BY e.user_id, a.now_ts
+    )
+    SELECT user_id, frequency, recency_s, tenure_s,
+           round(CAST(monetary_c AS DOUBLE) / 100, 2) AS monetary,
+           n_types,
+           round(CAST(n_errors AS DOUBLE) / frequency, 6) AS error_rate
+    FROM f ORDER BY user_id
+    """,
+)
+def events_propensity_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-grain propensity feature table: recency / frequency / monetary
+    / tenure / behavioral breadth / error rate per user -- the standard
+    churn- and LTV-model input this engine exists to hand a training
+    pipeline (the per-key reduction every feature store materializes).
+    Every feature is exact-integer until display; the recency anchor is
+    the feed's own max ts (wall-clock in deployment).
+
+    Scale: ONE |users|-grain partial agg over the fact scan with a 1-row
+    broadcast anchor -- the same shape as latest_state, so the feature
+    refresh co-schedules with state materialization."""
+    e = load_table(spark, sf_dir, "events")
+    a = e.agg(F.max("ts").alias("now_ts"))
+    f = (
+        e.crossJoin(F.broadcast(a))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("frequency"),
+            (F.unix_seconds(F.max("now_ts")) - F.unix_seconds(F.max("ts")))
+            .cast("bigint")
+            .alias("recency_s"),
+            (F.unix_seconds(F.max("now_ts")) - F.unix_seconds(F.min("ts")))
+            .cast("bigint")
+            .alias("tenure_s"),
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.round(F.col("value") * 100).cast("bigint"),
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("monetary_c"),
+            F.count_distinct("event_type").cast("bigint").alias("n_types"),
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_errors"),
+        )
+    )
+    return (
+        f.select(
+            "user_id",
+            "frequency",
+            "recency_s",
+            "tenure_s",
+            F.round(F.col("monetary_c").cast("double") / 100, 2).alias("monetary"),
+            "n_types",
+            F.round(F.col("n_errors").cast("double") / F.col("frequency"), 6).alias(
+                "error_rate"
+            ),
+        )
+        .orderBy("user_id")
+    )

@@ -1035,3 +1035,75 @@ def dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id_a").alias("doc_id_a"), F.col("vec_id_b").alias("doc_id_b")
     )
     return connected_components(pairs)
+
+
+@register(
+    "dedup_cluster_stats",
+    tags=("dedup", "agg", "northstar"),
+    oracle=_ORACLE_EXACT_JACCARD.replace("WITH toks", "WITH RECURSIVE toks", 1)
+    + """
+    , near AS (
+      SELECT doc_id_a, doc_id_b FROM pairs
+      WHERE CAST(c AS DOUBLE) / (na + nb - c) >= 0.8
+    ),
+    edges AS (
+      SELECT doc_id_a AS s, doc_id_b AS d FROM near
+      UNION
+      SELECT doc_id_b, doc_id_a FROM near
+    ),
+    reach(s, d) AS (
+      SELECT s, d FROM edges
+      UNION
+      SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+    ),
+    comp AS (
+      SELECT s AS doc_id, least(s, min(d)) AS cluster_id
+      FROM reach GROUP BY s
+    ),
+    sizes AS (
+      SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+      FROM comp GROUP BY 1
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS corpus_docs FROM documents)
+    SELECT CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(cluster_size) AS BIGINT) AS docs_in_clusters,
+           CAST(sum(cluster_size - 1) AS BIGINT) AS dupes_removable,
+           CAST(max(cluster_size) AS BIGINT) AS max_cluster_size,
+           round(CAST(sum(cluster_size - 1) AS DOUBLE) / min(t.corpus_docs), 6)
+             AS corpus_shrink_frac
+    FROM sizes CROSS JOIN tot t
+    """,
+)
+def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup savings headline: how many near-dup clusters exist, how
+    many documents they cover, how many deletions keep-one-per-cluster
+    yields, the biggest cluster (the boilerplate-family tripwire), and the
+    corpus shrink fraction -- the one-row report a dedup run ends with,
+    and the number that decides whether the pass pays for itself at
+    100 TB. Composes the iterative component labeling
+    (``dedup_cluster``'s min-label propagation) with a |clusters|-grain
+    rollup; the oracle recomputes components via the recursive-CTE
+    transitive closure.
+
+    Scale: everything after the (bounded) component step is dim-scale."""
+    comp = dedup_cluster(spark, sf_dir)
+    sizes = comp.groupBy("cluster_id").agg(
+        F.count("*").cast("bigint").alias("cluster_size")
+    )
+    tot = load_table(spark, sf_dir, "documents").agg(
+        F.count("*").cast("bigint").alias("corpus_docs")
+    )
+    return (
+        sizes.crossJoin(F.broadcast(tot))
+        .agg(
+            F.count("*").cast("bigint").alias("n_clusters"),
+            F.sum("cluster_size").cast("bigint").alias("docs_in_clusters"),
+            F.sum(F.col("cluster_size") - 1).cast("bigint").alias("dupes_removable"),
+            F.max("cluster_size").cast("bigint").alias("max_cluster_size"),
+            F.round(
+                F.sum(F.col("cluster_size") - 1).cast("double")
+                / F.min("corpus_docs"),
+                6,
+            ).alias("corpus_shrink_frac"),
+        )
+    )
