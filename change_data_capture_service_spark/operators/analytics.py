@@ -2716,3 +2716,187 @@ def events_propensity_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "events_churn_training_set",
+    tags=("analytics", "agg", "northstar"),
+    oracle="""
+    WITH a AS (
+      SELECT date_trunc('day', max(ts)) - INTERVAL 7 DAY AS cutoff FROM events
+    ),
+    feat AS (
+      SELECT e.user_id,
+             CAST(count(*) AS BIGINT) AS frequency,
+             CAST(date_diff('second', max(e.ts), a.cutoff) AS BIGINT)
+               AS recency_s,
+             CAST(sum(CASE WHEN e.event_type = 'purchase'
+                           THEN CAST(round(e.value * 100) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS monetary_c,
+             CAST(count(DISTINCT e.event_type) AS BIGINT) AS n_types
+      FROM events e CROSS JOIN a
+      WHERE e.ts < a.cutoff
+      GROUP BY e.user_id, a.cutoff
+    ),
+    label AS (
+      SELECT DISTINCT e.user_id FROM events e CROSS JOIN a
+      WHERE e.ts >= a.cutoff
+    )
+    SELECT f.user_id, f.frequency, f.recency_s,
+           round(CAST(f.monetary_c AS DOUBLE) / 100, 2) AS monetary,
+           f.n_types,
+           CAST(l.user_id IS NULL AS BOOLEAN) AS churned
+    FROM feat f LEFT JOIN label l ON f.user_id = l.user_id
+    ORDER BY f.user_id
+    """,
+)
+def events_churn_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct churn training table: features computed ONLY
+    from events BEFORE the cutoff (last 7 days held out), label = 'no
+    activity after the cutoff'. The strict temporal split is the whole
+    point -- computing any feature over the full window leaks the label
+    (the classic feature-leakage bug this construction makes structurally
+    impossible), which is why feature stores call this an as-of join
+    against the label spine.
+
+    Scale: one pre-cutoff |users|-grain partial agg (the feature pass) +
+    one post-cutoff distinct reduction (the label pass), joined on the
+    user key they are both already reduced to; the cutoff is a 1-row
+    broadcast anchored to the feed (wall-clock in deployment)."""
+    e = load_table(spark, sf_dir, "events")
+    a = e.agg(
+        (F.date_trunc("day", F.max("ts")) - F.expr("INTERVAL 7 DAY")).alias("cutoff")
+    )
+    ev = e.crossJoin(F.broadcast(a))
+    feat = (
+        ev.filter(F.col("ts") < F.col("cutoff"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("frequency"),
+            (F.unix_seconds(F.max("cutoff")) - F.unix_seconds(F.max("ts")))
+            .cast("bigint")
+            .alias("recency_s"),
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.round(F.col("value") * 100).cast("bigint"),
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("monetary_c"),
+            F.count_distinct("event_type").cast("bigint").alias("n_types"),
+        )
+    )
+    label = (
+        ev.filter(F.col("ts") >= F.col("cutoff"))
+        .select(F.col("user_id").alias("l_user"))
+        .distinct()
+    )
+    return (
+        feat.join(label, feat.user_id == label.l_user, "left")
+        .select(
+            "user_id",
+            "frequency",
+            "recency_s",
+            F.round(F.col("monetary_c").cast("double") / 100, 2).alias("monetary"),
+            "n_types",
+            F.col("l_user").isNull().alias("churned"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "events_ab_lift_ztest",
+    tags=("analytics", "stats", "agg"),
+    oracle="""
+    WITH assign AS (
+      SELECT user_id,
+             CASE WHEN user_id % 2 = 0 THEN 'treatment' ELSE 'control' END
+               AS arm,
+             CAST(CASE WHEN sum(CASE WHEN event_type = 'purchase'
+                                     THEN 1 ELSE 0 END) >= 15
+                       THEN 1 ELSE 0 END AS BIGINT) AS converted
+      FROM events GROUP BY 1, 2
+    ),
+    arms AS (
+      SELECT arm, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(converted) AS BIGINT) AS conv
+      FROM assign GROUP BY 1
+    ),
+    wide AS (
+      SELECT max(CASE WHEN arm = 'treatment' THEN n END) AS nt,
+             max(CASE WHEN arm = 'treatment' THEN conv END) AS ct,
+             max(CASE WHEN arm = 'control' THEN n END) AS nc,
+             max(CASE WHEN arm = 'control' THEN conv END) AS cc
+      FROM arms
+    )
+    SELECT CAST(nt AS BIGINT) AS n_treatment, CAST(ct AS BIGINT) AS conv_treatment,
+           CAST(nc AS BIGINT) AS n_control, CAST(cc AS BIGINT) AS conv_control,
+           round(CAST(ct AS DOUBLE) / nt, 6) AS rate_treatment,
+           round(CAST(cc AS DOUBLE) / nc, 6) AS rate_control,
+           round(CAST(ct AS DOUBLE) / nt - CAST(cc AS DOUBLE) / nc, 6)
+             AS abs_lift,
+           round(CASE WHEN ct + cc = 0 OR ct + cc = nt + nc THEN NULL
+                 ELSE (CAST(ct AS DOUBLE) / nt - CAST(cc AS DOUBLE) / nc)
+                      / sqrt((CAST(ct + cc AS DOUBLE) / (nt + nc))
+                             * (1 - CAST(ct + cc AS DOUBLE) / (nt + nc))
+                             * (1.0 / nt + 1.0 / nc)) END, 4) AS z_score
+    FROM wide
+    """,
+)
+def events_ab_lift_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion experiment readout: per-user conversion (15+
+    purchases in the window -- a threshold that splits this corpus rather
+    than saturating, since every fixture user buys at least once) under a
+    deterministic user_id-parity assignment, pooled
+    two-sample z statistic for the lift -- the canonical A/B dashboard
+    row. The pooled-variance closed form runs on exact integer counts, so
+    both engines produce the identical statistic; the parity assignment
+    stands in for the hash-bucket assignment a real experiment platform
+    persists.
+
+    Scale: |users|-grain conversion reduction (map-side combinable), a
+    2-row arm rollup, then scalar arithmetic."""
+    e = load_table(spark, sf_dir, "events")
+    assign = e.groupBy(
+        "user_id",
+        F.when(F.col("user_id") % 2 == 0, "treatment")
+        .otherwise("control")
+        .alias("arm"),
+    ).agg(
+        F.when(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)) >= 15, 1
+        )
+        .otherwise(0)
+        .cast("bigint")
+        .alias("converted")
+    )
+    arms = assign.groupBy("arm").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("converted").cast("bigint").alias("conv"),
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("arm") == "treatment", F.col("n"))).alias("nt"),
+        F.max(F.when(F.col("arm") == "treatment", F.col("conv"))).alias("ct"),
+        F.max(F.when(F.col("arm") == "control", F.col("n"))).alias("nc"),
+        F.max(F.when(F.col("arm") == "control", F.col("conv"))).alias("cc"),
+    )
+    nt, ct, nc, cc = (F.col(c).cast("double") for c in ("nt", "ct", "nc", "cc"))
+    pooled = (ct + cc) / (nt + nc)
+    # degenerate arms (nobody or everybody converts) have zero pooled
+    # variance: z is undefined, NULL on both engines (ANSI division guard)
+    z = F.when(
+        (ct + cc > 0) & (ct + cc < nt + nc),
+        (ct / nt - cc / nc) / F.sqrt(pooled * (1 - pooled) * (1.0 / nt + 1.0 / nc)),
+    )
+    return wide.select(
+        F.col("nt").cast("bigint").alias("n_treatment"),
+        F.col("ct").cast("bigint").alias("conv_treatment"),
+        F.col("nc").cast("bigint").alias("n_control"),
+        F.col("cc").cast("bigint").alias("conv_control"),
+        F.round(ct / nt, 6).alias("rate_treatment"),
+        F.round(cc / nc, 6).alias("rate_control"),
+        F.round(ct / nt - cc / nc, 6).alias("abs_lift"),
+        F.round(z, 4).alias("z_score"),
+    )
