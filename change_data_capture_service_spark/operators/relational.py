@@ -2917,3 +2917,80 @@ def orders_rolling_13wk_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("week")
     )
+
+
+@register(
+    "orders_price_volume_mix",
+    tags=("agg", "relational"),
+    oracle="""
+    WITH yr AS (
+      SELECT o_orderpriority,
+             CAST(year(o_orderdate) AS INT) AS yr,
+             CAST(count(*) AS BIGINT) AS q,
+             CAST(sum(CAST(round(o_totalprice, 2) AS DECIMAL(18,2)))
+                  AS DOUBLE) AS r
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+        AND o_orderdate <  TIMESTAMP '2001-01-01'
+      GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT o_orderpriority,
+             max(CASE WHEN yr = 1999 THEN q END) AS q0,
+             max(CASE WHEN yr = 1999 THEN r END) AS r0,
+             max(CASE WHEN yr = 2000 THEN q END) AS q1,
+             max(CASE WHEN yr = 2000 THEN r END) AS r1
+      FROM yr GROUP BY 1
+    )
+    SELECT o_orderpriority,
+           round(r0, 2) AS revenue_1999,
+           round(r1, 2) AS revenue_2000,
+           round(r1 - r0, 2) AS delta,
+           round((q1 - q0) * (r0 / q0), 2) AS volume_effect,
+           round((r1 / q1 - r0 / q0) * q1, 2) AS price_effect
+    FROM w WHERE q0 IS NOT NULL AND q1 IS NOT NULL
+    ORDER BY o_orderpriority
+    """,
+)
+def orders_price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-volume decomposition of the year-over-year revenue change per
+    order priority (1999 -> 2000): volume effect = order-count change at
+    old average value, price effect = average-value change at new volume
+    -- the two terms reconcile to the delta EXACTLY by construction
+    ((q1-q0)p0 + (p1-p0)q1 = q1p1 - q0p0), which is why FP&A uses this
+    split. Yearly sums are exact DECIMAL; the effects are closed-form
+    doubles on those exact sums.
+
+    Scale: the year filter pushes to the scan; ONE |priorities x 2|-state
+    partial agg; everything after is a 5-row pivot."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("2001-01-01").cast("timestamp"))
+    )
+    yr = o.groupBy(
+        "o_orderpriority", F.year("o_orderdate").cast("int").alias("yr")
+    ).agg(
+        F.count("*").cast("bigint").alias("q"),
+        F.sum(F.round(F.col("o_totalprice"), 2).cast("decimal(18,2)"))
+        .cast("double")
+        .alias("r"),
+    )
+    w = yr.groupBy("o_orderpriority").agg(
+        F.max(F.when(F.col("yr") == 1999, F.col("q"))).alias("q0"),
+        F.max(F.when(F.col("yr") == 1999, F.col("r"))).alias("r0"),
+        F.max(F.when(F.col("yr") == 2000, F.col("q"))).alias("q1"),
+        F.max(F.when(F.col("yr") == 2000, F.col("r"))).alias("r1"),
+    )
+    q0, r0, q1, r1 = (F.col(c) for c in ("q0", "r0", "q1", "r1"))
+    return (
+        w.filter(q0.isNotNull() & q1.isNotNull())
+        .select(
+            "o_orderpriority",
+            F.round(r0, 2).alias("revenue_1999"),
+            F.round(r1, 2).alias("revenue_2000"),
+            F.round(r1 - r0, 2).alias("delta"),
+            F.round((q1 - q0) * (r0 / q0), 2).alias("volume_effect"),
+            F.round((r1 / q1 - r0 / q0) * q1, 2).alias("price_effect"),
+        )
+        .orderBy("o_orderpriority")
+    )
