@@ -759,3 +759,53 @@ def quality_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "bucket")
     )
+
+
+# rows-only: zlib byte-stream output is library-versioned; the SIGNAL
+# (ratio ordering: repetitive compresses further) is gated in pytest.
+@register("quality_compression_ratio", tags=("quality", "text", "northstar"))
+def quality_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality signal: deflate each document and report
+    compressed/raw bytes -- the cheap repetitiveness detector curation
+    stacks run beside Gopher rules (template spam and keyboard mash both
+    compress abnormally well; near-random noise doesn't compress at all).
+    Vectorized zlib over Arrow batches (stdlib, level 6 pinned); the
+    per-source rollup is what a crawl triage dashboard shows.
+
+    Scale: map-side mapInPandas (CPU-bound, embarrassingly parallel) ->
+    ONE |sources|-state partial agg; ratios snap to 6 dp DECIMAL before
+    averaging."""
+    import pandas as pd
+    import zlib
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+
+    def ratios(batches):
+        for pdf in batches:
+            raw = pdf["text"].str.encode("utf-8")
+            comp = raw.map(lambda b: len(zlib.compress(b, 6)))
+            n = raw.map(len)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "source": pdf["source"],
+                    "n_bytes": n,
+                    "ratio": (comp / n.clip(lower=1)).round(6),
+                }
+            )
+
+    r = d.mapInPandas(ratios, "doc_id long, source string, n_bytes long, ratio double")
+    return (
+        r.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.round(
+                F.sum(F.col("ratio").cast("decimal(18,6)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("avg_ratio"),
+            F.round(F.min("ratio"), 6).alias("min_ratio"),
+            F.round(F.max("ratio"), 6).alias("max_ratio"),
+        )
+        .orderBy("source")
+    )

@@ -1195,3 +1195,78 @@ def embedding_pca_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("pc1_var_share", F.round(F.lit(var_share), 6))
         .orderBy("label")
     )
+
+
+@register(
+    "embedding_outlier_mahalanobis",
+    tags=("similarity", "quality", "northstar"),
+    oracle=f"""
+    WITH d AS (
+      SELECT vec_id, label, generate_subscripts(embedding, 1) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ),
+    stats AS (
+      SELECT dim,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(CAST(round(x * 1000000) AS BIGINT) AS HUGEINT))
+                  AS DOUBLE) / 1000000 AS s1,
+             CAST(sum(CAST(CAST(round(x * 1000000) AS BIGINT) AS HUGEINT)
+                      * CAST(round(x * 1000000) AS BIGINT)) AS DOUBLE)
+                  / 1000000 / 1000000 AS s2
+      FROM d GROUP BY 1
+    ),
+    sc AS (
+      SELECT d.vec_id, d.label,
+             CAST(round(
+               (d.x - s.s1 / s.n) * (d.x - s.s1 / s.n)
+               / ((s.s2 - s.s1 * s.s1 / s.n) / (s.n - 1)), 6)
+               AS DECIMAL(18,6)) AS term
+      FROM d JOIN stats s ON d.dim = s.dim
+    )
+    SELECT vec_id, CAST(label AS INT) AS label,
+           round(sqrt(CAST(sum(term) AS DOUBLE)), 4) AS mdist
+    FROM sc GROUP BY 1, 2
+    ORDER BY mdist DESC, vec_id LIMIT 20
+    """,
+)
+def embedding_outlier_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diagonal-Mahalanobis embedding outliers: each vector scored by its
+    squared z-distance summed over dimensions (the covariance diagonal --
+    the practical high-d approximation, since the full inverse is both
+    expensive and ill-conditioned at d=64), top-20 most anomalous -- the
+    detector that catches corrupted encodes and wrong-modality rows BEFORE
+    they poison ANN training (complements ``embedding_norm_stats``, which
+    only sees magnitude). Per-dimension moments accumulate as exact
+    integers at 1e-6 quantization (HUGEINT / DECIMAL), per-dim score terms
+    snap to 6 dp DECIMAL before the row sum, so ranking is
+    accumulation-order-free.
+
+    Scale: posexplode to (dim, x) grain partial-aggregates to |dims|
+    moment rows (broadcast back); the score join is map-side; final is
+    TakeOrderedAndProject."""
+    e = spread(load_table(spark, sf_dir, "embeddings"))
+    d = e.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.expr(_VEC_D)).alias("dim", "x"),
+    )
+    q = F.round(F.col("x") * 1_000_000).cast("bigint").cast("decimal(38,0)")
+    stats = d.groupBy("dim").agg(
+        F.count("*").cast("bigint").alias("n"),
+        (F.sum(q).cast("double") / 1e6).alias("s1"),
+        (F.sum(q * F.round(F.col("x") * 1_000_000).cast("bigint")).cast("double") / 1e12).alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n")
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1)
+    term = F.round((F.col("x") - mean) * (F.col("x") - mean) / var, 6).cast(
+        "decimal(18,6)"
+    )
+    return (
+        d.join(F.broadcast(stats), "dim")
+        .groupBy("vec_id", "label")
+        .agg(F.round(F.sqrt(F.sum(term).cast("double")), 4).alias("mdist"))
+        .select("vec_id", F.col("label").cast("int").alias("label"), "mdist")
+        .orderBy(F.col("mdist").desc(), "vec_id")
+        .limit(20)
+    )

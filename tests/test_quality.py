@@ -153,3 +153,34 @@ def test_ohlc_rerollup_is_algebraic(spark, sf_dir):
     ).toPandas().sort_values("day").reset_index(drop=True)
 
     pd.testing.assert_frame_equal(from_hourly, from_raw)
+
+
+def test_compression_ratio_orders_repetitive_below_noise(spark, tmp_path):
+    """The signal contract: highly repetitive text must compress much
+    further (lower ratio) than high-entropy text, through the registered
+    operator end-to-end on a constructed corpus."""
+    import shutil
+
+    import random
+
+    rng = random.Random(7)
+    noise = "".join(chr(rng.randrange(33, 123)) for _ in range(1500))
+    rows = [
+        (1, "spam spam spam " * 100, "en", "rep", 1500),
+        (2, noise, "en", "noise", 1500),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = tmp_path / "cr_fixture"
+    d.mkdir()
+    df.coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    out = (
+        registry.get("quality_compression_ratio")
+        .fn(spark, str(d))
+        .toPandas()
+        .set_index("source")
+    )
+    assert out.loc["rep", "avg_ratio"] < 0.1
+    assert out.loc["noise", "avg_ratio"] > 0.5
+    shutil.rmtree(d, ignore_errors=True)
