@@ -78,6 +78,11 @@ _QUERY_MODULES = [
 # locally via tests/test_oracle_parity.py -- the gap was attestation timing,
 # not correctness) + the new round-6 operators. Proven back-of-queue keys keep
 # independent verification via tests/test_oracle_parity.py (mandatory in CI).
+# Round-7 queue: 36 keys registered past this 50-slot window (X70-X76 --
+# IVM join view, drift/DQ/planning panels, experimentation + feature
+# tables, dialect surface, embedding hygiene). Registration deliberately
+# STOPPED there: one more key would push attestation to round 8. Rotate
+# with scripts/rotate_check_window.py once CORRECTNESS_r06 lands.
 _CHECK_ORDER = [
     # -- registered round 5 past the window, never driver-checked (18 keys) --
     "tpch_q2_min_cost_supplier",
