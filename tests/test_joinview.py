@@ -224,3 +224,28 @@ def _custs_one(df, op, lsn):
         pk_cols=["c_custkey"], lsn=F.lit(lsn),
         ts=F.lit("2024-03-01 00:00:00").cast("timestamp"),
     )
+
+
+def test_join_view_epoch_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch can replay a batch after a crash (same epoch_id, same
+    rows): applying the identical batch twice must leave the stores and
+    the view byte-identical -- replayed winners tie on LSN and lose to the
+    stored row, and the affected-slice rebuild recomputes the same rows."""
+    sink = MaterializedJoinView(spark, str(tmp_path / "state"))
+    b0 = _custs(spark, [(1, "ada", 1)], "insert").unionByName(
+        _orders(spark, [(10, 1, "a", 2), (11, 1, "b", 3)], "insert")
+    )
+    sink(b0, 0)
+    b1 = _orders(spark, [(10, 1, "a2", 9)], "update")
+    sink(b1, 1)
+    before = sorted(
+        (r["key"], r["join_key"], r["lsn"], r["after"]["o_total"])
+        for r in sink.view().collect()
+    )
+    sink(b1, 1)  # crash-replay of the same epoch
+    after = sorted(
+        (r["key"], r["join_key"], r["lsn"], r["after"]["o_total"])
+        for r in sink.view().collect()
+    )
+    assert before == after
+    assert {x[3] for x in after if x[0] == "public.orders:10"} == {"a2"}
