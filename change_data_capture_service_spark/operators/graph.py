@@ -88,6 +88,8 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _transition_edges(spark, sf_dir).localCheckpoint()
     nodes = edges.select(F.col("src").alias("node")).distinct()
     n = nodes.count()  # bounded: |event types|; at vertex scale keep it a crossJoin scalar
+    if n == 0:  # empty feed: no graph, return the schema, don't divide by it
+        return spark.createDataFrame([], "node string, rank double")
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank")).localCheckpoint()
     for i in range(_ITERS):
         contrib = (

@@ -127,6 +127,11 @@ def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``n_probe/n_cells`` of the corpus. Compare ``knn_cosine_lsh`` (random
     projections, no training) -- IVF adapts cells to the data distribution.
     Deterministic via fixed seed."""
+    _vec_probe = _vectors(spark, sf_dir)
+    if not _vec_probe.take(1):  # empty corpus: nothing to train a quantizer on
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, rnk int"
+        )
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
@@ -426,6 +431,11 @@ def knn_cosine_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     WindowGroupLimit; only the 3k-row shortlist rejoins raw vectors for
     the exact rerank. Corpus bytes touched per query: |corpus| codes +
     3k vectors, vs |corpus| vectors for brute force."""
+    _vec_probe = _vectors(spark, sf_dir)
+    if not _vec_probe.take(1):  # empty corpus: nothing to train a quantizer on
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, rnk int"
+        )
     import numpy as np
 
     m, ksub, shortlist = 8, 16, 3 * TOP_K
@@ -835,6 +845,10 @@ def knn_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     base -- ~12 plan references that would each re-run the brute-force
     pipeline (measured 28 planned embeddings scans without the persist).
     """
+    if not _vectors(spark, sf_dir).take(1):
+        return spark.createDataFrame(
+            [], "method string, query_id long, recall_at_k double"
+        )
     exact = knn_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id").localCheckpoint(eager=False)
     # Denominator is the per-query size of the EXACT top-k set, not the
     # constant k: a query with fewer than k true neighbors (small corpus,
@@ -901,6 +915,11 @@ def knn_cosine_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     bytes brute-force. Deterministic: fixed seeds, argmin tiebreak by
     position, rerank identical to the exact operator. Recall-gated in
     tests/test_northstar.py next to its IVF and PQ parents."""
+    _vec_probe = _vectors(spark, sf_dir)
+    if not _vec_probe.take(1):  # empty corpus: nothing to train a quantizer on
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, rnk int"
+        )
     import numpy as np
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -1142,6 +1161,12 @@ def embedding_pca_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
       ``zip_with``/``aggregate`` fold against broadcast literal arrays --
       no Python in the per-row path.
     """
+    _probe = _vectors(spark, sf_dir)
+    if not _probe.take(1):  # empty corpus: no moments, no eigenproblem
+        return spark.createDataFrame(
+            [],
+            "label int, n long, mean_pc1 double, min_pc1 double, max_pc1 double, pc1_var_share double",
+        )
     import numpy as np
     import pandas as pd
 
