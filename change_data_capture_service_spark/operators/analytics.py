@@ -25,9 +25,13 @@ from ..registry import register
 
 def _first_after(sorted_ts: F.Column, prev: F.Column) -> F.Column:
     """Earliest timestamp in a sorted array strictly after ``prev`` (NULL if
-    none / prev is NULL)."""
+    none / prev is NULL). try_element_at: the filtered array is EMPTY for a
+    user who never reaches the next stage, and plain element_at throws
+    under ANSI mode instead of returning NULL (latent until a
+    view-without-click user exists -- caught by the 1-row corpus sweep)."""
     return F.when(
-        prev.isNotNull(), F.element_at(F.filter(sorted_ts, lambda x: x > prev), 1)
+        prev.isNotNull(),
+        F.try_element_at(F.filter(sorted_ts, lambda x: x > prev), F.lit(1)),
     )
 
 
@@ -77,7 +81,7 @@ def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         stage_ts("click").alias("clicks"),
         stage_ts("purchase").alias("purchases"),
     )
-    t1 = F.element_at(F.col("views"), 1)
+    t1 = F.try_element_at(F.col("views"), F.lit(1))
     t2 = _first_after(F.col("clicks"), t1)
     t3 = _first_after(F.col("purchases"), t2)
     flags = per_user.select(

@@ -128,14 +128,17 @@ def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     projections, no training) -- IVF adapts cells to the data distribution.
     Deterministic via fixed seed."""
     _vec_probe = _vectors(spark, sf_dir)
-    if not _vec_probe.take(1):  # empty corpus: nothing to train a quantizer on
+    _n_avail = len(_vec_probe.take(16))  # bounded probe: 0..16 rows
+    if _n_avail < 2:  # 0 or 1 vectors: no quantizer (KMeans needs k >= 2)
+        # and no neighbors either (queries exclude self)
         return spark.createDataFrame(
             [], "query_id long, neighbor_id long, cosine double, rnk int"
         )
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
-    n_cells, n_probe = 16, 4
+    n_cells = max(2, min(16, _n_avail))  # tiny corpus: k <= points, k >= 2
+    n_probe = min(4, n_cells)
     vec = _vectors(spark, sf_dir).withColumn("fv", array_to_vector(F.col("v")))
     km = KMeans(k=n_cells, seed=42, featuresCol="fv", predictionCol="cell", maxIter=10)
     model = km.fit(vec.select("fv"))
@@ -432,7 +435,9 @@ def knn_cosine_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact rerank. Corpus bytes touched per query: |corpus| codes +
     3k vectors, vs |corpus| vectors for brute force."""
     _vec_probe = _vectors(spark, sf_dir)
-    if not _vec_probe.take(1):  # empty corpus: nothing to train a quantizer on
+    _n_avail = len(_vec_probe.take(16))  # bounded probe: 0..16 rows
+    if _n_avail < 2:  # 0 or 1 vectors: no quantizer (KMeans needs k >= 2)
+        # and no neighbors either (queries exclude self)
         return spark.createDataFrame(
             [], "query_id long, neighbor_id long, cosine double, rnk int"
         )
@@ -453,7 +458,7 @@ def knn_cosine_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     luts: dict[int, list[list[float]]] = {}
     for j in range(m):
         x = sample[:, j * d_sub : (j + 1) * d_sub]
-        cents = x[rng.choice(len(x), size=ksub, replace=False)]
+        cents = x[rng.choice(len(x), size=min(ksub, len(x)), replace=False)]
         for _ in range(10):
             d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
             assign = d2.argmin(axis=1)
@@ -845,7 +850,7 @@ def knn_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     base -- ~12 plan references that would each re-run the brute-force
     pipeline (measured 28 planned embeddings scans without the persist).
     """
-    if not _vectors(spark, sf_dir).take(1):
+    if len(_vectors(spark, sf_dir).take(2)) < 2:
         return spark.createDataFrame(
             [], "method string, query_id long, recall_at_k double"
         )
@@ -916,7 +921,9 @@ def knn_cosine_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     position, rerank identical to the exact operator. Recall-gated in
     tests/test_northstar.py next to its IVF and PQ parents."""
     _vec_probe = _vectors(spark, sf_dir)
-    if not _vec_probe.take(1):  # empty corpus: nothing to train a quantizer on
+    _n_avail = len(_vec_probe.take(16))  # bounded probe: 0..16 rows
+    if _n_avail < 2:  # 0 or 1 vectors: no quantizer (KMeans needs k >= 2)
+        # and no neighbors either (queries exclude self)
         return spark.createDataFrame(
             [], "query_id long, neighbor_id long, cosine double, rnk int"
         )
@@ -924,7 +931,8 @@ def knn_cosine_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    n_cells, n_probe = 16, 6
+    n_cells = max(2, min(16, _n_avail))  # tiny corpus: k <= points, k >= 2
+    n_probe = min(6, n_cells)
     m, ksub, d_sub, shortlist = 8, 16, 8, 3 * TOP_K
     vec = _vectors(spark, sf_dir).localCheckpoint()  # reused by fit/encode/rerank
 
@@ -948,7 +956,7 @@ def knn_cosine_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     luts: dict[int, list[list[float]]] = {}
     for j in range(m):
         x = res_sample[:, j * d_sub : (j + 1) * d_sub]
-        cents = x[rng.choice(len(x), size=ksub, replace=False)]
+        cents = x[rng.choice(len(x), size=min(ksub, len(x)), replace=False)]
         for _ in range(10):
             d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
             assign_ = d2.argmin(axis=1)
@@ -1162,7 +1170,7 @@ def embedding_pca_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
       no Python in the per-row path.
     """
     _probe = _vectors(spark, sf_dir)
-    if not _probe.take(1):  # empty corpus: no moments, no eigenproblem
+    if len(_probe.take(2)) < 2:  # < 2 vectors: zero covariance, no eigenproblem
         return spark.createDataFrame(
             [],
             "label int, n long, mean_pc1 double, min_pc1 double, max_pc1 double, pc1_var_share double",
@@ -1282,6 +1290,9 @@ def embedding_outlier_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame
         (F.sum(q).cast("double") / 1e6).alias("s1"),
         (F.sum(q * F.round(F.col("x") * 1_000_000).cast("bigint")).cast("double") / 1e12).alias("s2"),
     )
+    # n >= 2: a single-row corpus has no sample variance -- the join below
+    # then produces no terms and the operator returns 0 rows (ANSI-safe)
+    stats = stats.filter(F.col("n") >= 2)
     mean = F.col("s1") / F.col("n")
     var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1)
     term = F.round((F.col("x") - mean) * (F.col("x") - mean) / var, 6).cast(

@@ -120,19 +120,14 @@ def test_session_position_one_count_equals_session_count(spark, sf_dir):
     assert got == n_sessions
 
 
-def test_every_operator_survives_an_empty_corpus(spark, tmp_path):
-    """Robustness sweep: every registered query must run (and return its
-    schema) against schema-correct EMPTY tables -- empty partitions exist
-    at every scale, and the model-fit operators (KMeans/PQ/PCA/pagerank)
-    must degrade to empty results, not crash mid-fit. (Found 6 crashers
-    when first run; all now guard.)"""
+def _degenerate_sweep(spark, tmp_path, n_rows):
     from change_data_capture_service_spark.catalog import TABLE_NAMES
 
-    src = str(tmp_path / "empty_fixture")
+    src = str(tmp_path / f"fixture_{n_rows}")
     for t in TABLE_NAMES:
         (
             load_table(spark, "/root/testdata/sf0.001", t)
-            .limit(0)
+            .limit(n_rows)
             .coalesce(1)
             .write.mode("overwrite")
             .parquet(f"{src}/{t}.parquet")
@@ -144,3 +139,20 @@ def test_every_operator_survives_an_empty_corpus(spark, tmp_path):
         except Exception as ex:  # noqa: BLE001 - collecting the full list
             failures.append(f"{name}: {type(ex).__name__}")
     assert not failures, failures
+
+
+def test_every_operator_survives_an_empty_corpus(spark, tmp_path):
+    """Robustness sweep: every registered query must run (and return its
+    schema) against schema-correct EMPTY tables -- empty partitions exist
+    at every scale, and the model-fit operators (KMeans/PQ/PCA/pagerank)
+    must degrade to empty results, not crash mid-fit. (Found 6 crashers
+    when first run; all now guard.)"""
+    _degenerate_sweep(spark, tmp_path, 0)
+
+
+def test_every_operator_survives_a_single_row_corpus(spark, tmp_path):
+    """The n=1 sweep trips what n=0 cannot: sample-variance n-1 divisions
+    (ANSI DIVIDE_BY_ZERO), element_at on empty filtered arrays (a user who
+    never reaches the next funnel stage -- a LATENT funnel_steps bug this
+    sweep caught), and KMeans k > points. All guard now."""
+    _degenerate_sweep(spark, tmp_path, 1)
