@@ -1332,28 +1332,35 @@ def time_to_conversion_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integer microseconds; percentiles interpolate over doubles
     derived from those exact gaps and round once.
 
-    Scale: two per-user partial aggs co-located on user_id, one |users|-
-    sized join, then a |cohort-days| agg -- the fact table shuffles
-    once per branch, bounded by the signup/purchase filters."""
+    Scale: ONE fact scan and one user-keyed partial agg -- signup first
+    touch via min(when), first subsequent purchase from a sorted per-user
+    purchase-ts array (the funnel_steps array-walk shape; the earlier
+    two-branch form scanned the fact table three times re-deriving the
+    signup reduction). try_element_at: the filtered array is empty for
+    never-converting users (NULL, ANSI-safe)."""
     e = load_table(spark, sf_dir, "events")
-    su = (
-        e.filter(F.col("event_type") == "signup")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("signup_ts"))
+    per_user = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias(
+            "signup_ts"
+        ),
+        F.array_sort(
+            F.collect_list(F.when(F.col("event_type") == "purchase", F.col("ts")))
+        ).alias("purchases"),
     )
-    pu = (
-        e.filter(F.col("event_type") == "purchase")
-        .join(su, "user_id")
-        .filter(F.col("ts") >= F.col("signup_ts"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("first_purchase_ts"))
+    first_purchase = F.try_element_at(
+        F.filter(F.col("purchases"), lambda x: x >= F.col("signup_ts")), F.lit(1)
     )
-    c = su.join(pu, "user_id").select(
-        F.date_trunc("day", "signup_ts").alias("cohort_day"),
-        (
-            F.unix_micros(F.col("first_purchase_ts"))
-            - F.unix_micros(F.col("signup_ts"))
-        ).alias("gap_us"),
+    c = (
+        per_user.filter(F.col("signup_ts").isNotNull())
+        .withColumn("first_purchase_ts", first_purchase)
+        .filter(F.col("first_purchase_ts").isNotNull())
+        .select(
+            F.date_trunc("day", "signup_ts").alias("cohort_day"),
+            (
+                F.unix_micros(F.col("first_purchase_ts"))
+                - F.unix_micros(F.col("signup_ts"))
+            ).alias("gap_us"),
+        )
     )
     return c.groupBy("cohort_day").agg(
         F.count("*").cast("bigint").alias("n_converted"),

@@ -82,11 +82,15 @@ def search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = toks.agg(
         F.count("*").alias("n_docs"), F.avg(F.size("toks")).alias("avgdl")
     )
+    # postings-bounded and consumed twice (df + scoring): materialize once
+    # so the df branch doesn't re-tokenize the corpus (2 scans, not 3 --
+    # the stats pass is the irreducible second one)
     tf = (
         toks.select("doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("tok"))
         .filter(F.col("tok").isin(_QUERY_TERMS))
         .groupBy("doc_id", "tok")
         .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
+        .localCheckpoint(eager=False)
     )
     df = tf.groupBy("tok").agg(F.count("*").alias("df"))
     idf = F.log(
@@ -314,6 +318,7 @@ def knn_cosine_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("tok").isin(_QUERY_TERMS))
         .groupBy("doc_id", "tok")
         .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
+        .localCheckpoint(eager=False)  # consumed by dfr AND the scoring join
     )
     dfr = tf.groupBy("tok").agg(F.count("*").alias("df"))
     idf = F.log(
