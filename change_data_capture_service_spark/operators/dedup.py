@@ -680,6 +680,9 @@ def dedup_minhash_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate pairs, never the corpus squared."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", _tokens().alias("toks")).filter(F.size("toks") > 0)
+    # materialize-once: the line-set relation feeds the signature pipeline
+    # AND both exact-verify joins (the shingle-grain ops' rule; 4 planned
+    # document scans without it)
     lines = toks.select(
         "doc_id",
         F.array_distinct(
@@ -688,7 +691,7 @@ def dedup_minhash_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " i -> array_join(slice(toks, i*12 + 1, 12), ' '))"
             )
         ).alias("shingles"),  # _minhash_sig folds over the 'shingles' column
-    )
+    ).localCheckpoint(eager=False)
     sig = _minhash_sig(lines)
     bands = sig.select(
         "doc_id",
