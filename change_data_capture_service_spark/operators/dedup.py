@@ -36,15 +36,21 @@ def _tokens() -> Column:
 
 def _shingles(tokens: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles, built entirely with JVM array
-    expressions (sequence/transform/concat_ws) -- no Python in the loop."""
+    expressions (sequence/transform/slice) -- no Python in the loop.
+
+    TOTAL by construction: slice never throws and the CASE guard returns
+    an empty array for arrays shorter than n. The earlier element_at form
+    relied on an upstream size filter -- but Catalyst's subexpression
+    elimination can hoist the shingle expression into a merged Filter
+    PREDICATE evaluated before that guard, which threw
+    INVALID_ARRAY_INDEX under ANSI on short documents (caught by the
+    unicode/degenerate corpus sweeps). Expressions that can throw must be
+    total; CASE branches are the only evaluation-order guarantee."""
     idx = F.sequence(F.lit(0), F.size(tokens) - n)
-    grams = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(tokens, (i + j + 1).cast("int")) for j in range(n)]
-        ),
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(tokens, i + 1, n), " "))
+    return F.when(F.size(tokens) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
     )
-    return F.array_distinct(grams)
 
 
 def _shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:

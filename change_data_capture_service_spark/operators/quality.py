@@ -682,8 +682,8 @@ def quality_perplexity_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     cuts AS (
       SELECT lang,
-             quantile_cont(cross_entropy, 1.0/3) AS b1,
-             quantile_cont(cross_entropy, 2.0/3) AS b2
+             round(quantile_cont(cross_entropy, 1.0/3), 6) AS b1,
+             round(quantile_cont(cross_entropy, 2.0/3), 6) AS b2
       FROM scored GROUP BY lang
     )
     SELECT s.lang,
@@ -737,9 +737,14 @@ def quality_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "cross_entropy")
         .localCheckpoint(eager=False)
     )
+    # 6-dp snap on the boundaries: the two engines interpolate quantiles
+    # with different arithmetic orderings, and a document whose (already
+    # 6-dp) score sits ON a tertile boundary would flip buckets on a
+    # last-ulp difference (caught by the unicode-corpus sweep's tiny
+    # per-language groups)
     cuts = scored.groupBy("lang").agg(
-        F.percentile("cross_entropy", F.lit(1.0 / 3)).alias("b1"),
-        F.percentile("cross_entropy", F.lit(2.0 / 3)).alias("b2"),
+        F.round(F.percentile("cross_entropy", F.lit(1.0 / 3)), 6).alias("b1"),
+        F.round(F.percentile("cross_entropy", F.lit(2.0 / 3)), 6).alias("b2"),
     )
     bucket = (
         F.when(F.col("cross_entropy") <= F.col("b1"), "head")

@@ -156,3 +156,71 @@ def test_every_operator_survives_a_single_row_corpus(spark, tmp_path):
     never reaches the next funnel stage -- a LATENT funnel_steps bug this
     sweep caught), and KMeans k > points. All guard now."""
     _degenerate_sweep(spark, tmp_path, 1)
+
+
+def test_documents_oracles_agree_on_a_unicode_corpus(spark, tmp_path):
+    """Cross-engine unicode parity: every documents-table oracle operator
+    must hash-match DuckDB on a corpus of emoji, CJK, combining marks,
+    RTL, zero-width characters, fullwidth forms, and whitespace soup --
+    the divergence class ASCII fixtures can never catch. (First run found
+    a Catalyst subexpression-elimination ANSI crash in the shingle
+    builder and a quantile-interpolation ulp flap in the CCNet tertiles;
+    both fixed.) multimodal_extract/resize are excluded: their oracles
+    are documented byte==ascii(char) ASCII-scope approximations."""
+    import duckdb
+
+    from tests.conftest import assert_query_matches_oracle
+    from change_data_capture_service_spark.catalog import TABLE_NAMES, table_path
+
+    texts = [
+        "hello world the quick fox",
+        "café naïve résumé déjà vu",
+        "café naïve",  # combining marks
+        "日本語 のテキスト と 中文 文本",
+        "مرحبا بالعالم هذا نص",
+        "emoji \U0001F680 test \U0001F389\U0001F389 done \U0001F44D",
+        "zero​width​space test",
+        "tabs\tand\nnewlines mixed  double  spaces",
+        "ＦＵＬＬＷＩＤＴＨ ｔｅｘｔ ladder",
+        "mixed 한국어 texto ελληνικά русский",
+    ] * 3
+    rows = [
+        (i, t, ["en", "de", "fr", "es", "zh"][i % 5],
+         ["web", "wiki", "books"][i % 3], len(t))
+        for i, t in enumerate(texts)
+    ]
+    d = str(tmp_path / "unicode_fixture")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    for t in TABLE_NAMES:
+        if t != "documents":
+            (
+                load_table(spark, "/root/testdata/sf0.001", t)
+                .limit(50)
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(f"{d}/{t}.parquet")
+            )
+    duck = duckdb.connect()
+    for t in TABLE_NAMES:
+        duck.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(d, t)}/*.parquet')"
+        )
+    targets = [
+        n
+        for n, e in registry.entries().items()
+        if e.oracle and "documents" in e.oracle
+        and n not in ("multimodal_extract", "multimodal_resize")
+    ]
+    assert len(targets) > 50
+    failures = []
+    for name in sorted(targets):
+        try:
+            assert_query_matches_oracle(spark, duck, name, d)
+        except AssertionError as ex:
+            failures.append(f"{name}: {str(ex)[:100]}")
+        except Exception as ex:  # noqa: BLE001
+            failures.append(f"{name}: {type(ex).__name__}")
+    duck.close()
+    assert not failures, failures
