@@ -526,7 +526,7 @@ def try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id, unnest(toks) AS token FROM t WHERE len(toks) > 0
     UNION ALL
-    SELECT doc_id, NULL AS token FROM t WHERE len(toks) = 0
+    SELECT doc_id, NULL AS token FROM t WHERE len(toks) = 0 OR toks IS NULL
     """,
 )
 def array_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -534,8 +534,11 @@ def array_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of vanishing -- the difference between 'this doc has no tokens'
     and 'this doc was dropped'. Plain explode silently loses empty docs,
     which at corpus scale is an invisible data-loss bug; a pipeline that
-    must account for every input row uses the outer variant. (DuckDB has no
-    outer unnest; the oracle reconstructs it with a UNION ALL.)"""
+    must account for every input row uses the outer variant -- and NULL
+    arrays (null text) survive the same way, not just empty ones. (DuckDB
+    has no outer unnest; the oracle reconstructs it with a UNION ALL whose
+    second branch must cover len=0 OR NULL -- len(NULL) is NULL, which
+    silently drops null-array rows from both branches otherwise.)"""
     d = load_table(spark, sf_dir, "documents")
     toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
     return d.select("doc_id", F.explode_outer(toks).alias("token"))

@@ -921,7 +921,9 @@ def docs_source_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH c AS (
       SELECT source, lang, CAST(count(*) AS BIGINT) AS n
-      FROM documents GROUP BY 1, 2
+      FROM documents
+      WHERE source IS NOT NULL AND lang IS NOT NULL
+      GROUP BY 1, 2
     ),
     src AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_src FROM c GROUP BY 1),
     corp AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_lang FROM c GROUP BY 1),
@@ -961,7 +963,10 @@ def docs_language_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost nothing, including the single-partition global window."""
     from pyspark.sql import Window
 
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("source").isNotNull() & F.col("lang").isNotNull()
+    )  # drift is defined over LABELED docs; NULL labels would form their
+    # own window partitions here but drop from the oracle's joins
     c = d.groupBy("source", "lang").agg(F.count("*").cast("bigint").alias("n"))
     n_src = F.sum("n").over(Window.partitionBy("source")).cast("bigint")
     n_lang = F.sum("n").over(Window.partitionBy("lang")).cast("bigint")

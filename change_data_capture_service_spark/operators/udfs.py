@@ -102,10 +102,11 @@ def udaf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     "udtf",
     tags=("udf",),
     oracle="""
-    SELECT d.doc_id, t.i - 1 AS pos, string_split(d.text, ' ')[CAST(t.i AS INT)] AS word
+    SELECT d.doc_id, t.i - 1 AS pos,
+           string_split(coalesce(d.text, ''), ' ')[CAST(t.i AS INT)] AS word
     FROM documents d
     CROSS JOIN range(1, 4096) AS t(i)
-    WHERE d.doc_id < 5 AND t.i <= len(string_split(d.text, ' '))
+    WHERE d.doc_id < 5 AND t.i <= len(string_split(coalesce(d.text, ''), ' '))
     """,
 )
 def udtf(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -224,3 +224,70 @@ def test_documents_oracles_agree_on_a_unicode_corpus(spark, tmp_path):
             failures.append(f"{name}: {type(ex).__name__}")
     duck.close()
     assert not failures, failures
+
+
+def test_documents_oracles_agree_on_a_null_laden_corpus(spark, tmp_path):
+    """Cross-engine NULL parity: the fixtures never contain NULLs, so
+    null-handling divergence is latent until a real feed ships one. A
+    corpus with NULL text / lang / source must still hash-match DuckDB on
+    every documents-table oracle. (First run found three: the outer-
+    explode oracle dropped NULL-array rows because len(NULL) is NULL in
+    both WHERE branches; the UDTF's Python `or ""` had no oracle twin;
+    the language-drift windows kept NULL label groups its oracle's joins
+    dropped. All fixed.)"""
+    import duckdb
+
+    from tests.conftest import assert_query_matches_oracle
+    from change_data_capture_service_spark.catalog import TABLE_NAMES, table_path
+
+    base = [
+        "the quick brown fox jumps",
+        "pack my box with five dozen jugs",
+        "sphinx of black quartz judge my vow",
+    ]
+    rows = []
+    for i in range(30):
+        t = None if i % 7 == 3 else ("" if i % 7 == 5 else base[i % 3] + f" v{i}")
+        rows.append(
+            (
+                i,
+                t,
+                None if i % 11 == 4 else ["en", "de", "fr"][i % 3],
+                None if i % 13 == 6 else ["web", "wiki"][i % 2],
+                None if t is None else len(t),
+            )
+        )
+    d = str(tmp_path / "null_fixture")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    for t in TABLE_NAMES:
+        if t != "documents":
+            (
+                load_table(spark, "/root/testdata/sf0.001", t)
+                .limit(50)
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(f"{d}/{t}.parquet")
+            )
+    duck = duckdb.connect()
+    for t in TABLE_NAMES:
+        duck.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(d, t)}/*.parquet')"
+        )
+    targets = [
+        n
+        for n, e in registry.entries().items()
+        if e.oracle and "documents" in e.oracle
+        and n not in ("multimodal_extract", "multimodal_resize")
+    ]
+    failures = []
+    for name in sorted(targets):
+        try:
+            assert_query_matches_oracle(spark, duck, name, d)
+        except AssertionError as ex:
+            failures.append(f"{name}: {str(ex)[:100]}")
+        except Exception as ex:  # noqa: BLE001
+            failures.append(f"{name}: {type(ex).__name__}")
+    duck.close()
+    assert not failures, failures
