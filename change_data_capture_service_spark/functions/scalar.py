@@ -303,12 +303,20 @@ def struct_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "json_funcs",
     tags=("scalar",),
     oracle="""
+    WITH v AS (
+      SELECT event_id,
+             CASE WHEN json_valid(props)
+                  THEN json_extract_string(props, '$.k') END AS k_raw,
+             CASE WHEN json_valid(props)
+                  THEN json_extract_string(props, '$.missing') END AS miss_raw
+      FROM events
+    )
     SELECT event_id,
-           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num,
-           json_extract_string(props, '$.k') AS k_str,
-           (json_extract_string(props, '$.k') IS NOT NULL) AS has_k,
-           (json_extract_string(props, '$.missing') IS NULL) AS missing_is_null
-    FROM events
+           TRY_CAST(k_raw AS BIGINT) AS k_num,
+           k_raw AS k_str,
+           (k_raw IS NOT NULL) AS has_k,
+           (miss_raw IS NULL) AS missing_is_null
+    FROM v
     """,
 )
 def json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -317,9 +325,11 @@ def json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     JSON payloads dynamically, ``cmd/es_consumer/main.go:66-71``)."""
     e = load_table(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k")
+    # try_cast: props is USER payload; a non-numeric $.k must extract as
+    # NULL (the dead-letter principle), not throw under ANSI
     return e.select(
         "event_id",
-        k.cast("long").alias("k_num"),
+        k.try_cast("long").alias("k_num"),
         k.alias("k_str"),
         k.isNotNull().alias("has_k"),
         F.get_json_object("props", "$.missing").isNull().alias("missing_is_null"),
@@ -548,12 +558,20 @@ def array_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     "variant_funcs",
     tags=("scalar", "json"),
     oracle="""
+    WITH v AS (
+      SELECT event_id,
+             CASE WHEN json_valid(props)
+                  THEN json_extract_string(props, '$.k') END AS k_raw,
+             CASE WHEN json_valid(props)
+                  THEN json_extract_string(props, '$.missing') END AS miss_raw
+      FROM events WHERE event_id < 500
+    )
     SELECT event_id,
-           CAST(json_extract(props, '$.k') AS BIGINT) AS k_long,
-           CAST(CAST(json_extract(props, '$.k') AS BIGINT) AS VARCHAR) AS k_str,
-           CAST(json_extract(props, '$.k') IS NOT NULL AS BOOLEAN) AS has_k,
-           CAST(json_extract(props, '$.missing') AS BIGINT) AS missing_long
-    FROM events WHERE event_id < 500
+           TRY_CAST(k_raw AS BIGINT) AS k_long,
+           k_raw AS k_str,
+           CAST(TRY_CAST(k_raw AS BIGINT) IS NOT NULL AS BOOLEAN) AS has_k,
+           TRY_CAST(miss_raw AS BIGINT) AS missing_long
+    FROM v
     """,
 )
 def variant_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -570,10 +588,10 @@ def variant_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 500)
     return e.select(
         "event_id",
-        F.expr("variant_get(parse_json(props), '$.k', 'long')").alias("k_long"),
-        F.expr("variant_get(parse_json(props), '$.k', 'string')").alias("k_str"),
-        F.expr("variant_get(parse_json(props), '$.k', 'long')").isNotNull().alias("has_k"),
-        F.expr("try_variant_get(parse_json(props), '$.missing', 'long')").alias(
+        F.expr("try_variant_get(try_parse_json(props), '$.k', 'long')").alias("k_long"),
+        F.expr("try_variant_get(try_parse_json(props), '$.k', 'string')").alias("k_str"),
+        F.expr("try_variant_get(try_parse_json(props), '$.k', 'long')").isNotNull().alias("has_k"),
+        F.expr("try_variant_get(try_parse_json(props), '$.missing', 'long')").alias(
             "missing_long"
         ),
     )

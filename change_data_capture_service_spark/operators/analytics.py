@@ -856,7 +856,10 @@ def events_change_points(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(max(k) AS BIGINT) AS max_k,
            CAST(sum(k) AS BIGINT) AS sum_k
     FROM (
-      SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+      SELECT event_type,
+             TRY_CAST(CASE WHEN json_valid(props)
+                           THEN json_extract_string(props, '$.k') END
+                      AS BIGINT) AS k
       FROM events
     ) t
     GROUP BY event_type
@@ -874,7 +877,9 @@ def events_props_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     JSON path extraction is a map-side JVM expression (no UDF, codegen'd);
     the agg shuffles |event_type| partial states."""
     e = load_table(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("bigint")
+    # try_cast: user payloads may carry non-numeric $.k -- extract NULL,
+    # don't throw under ANSI (the dead-letter principle)
+    k = F.get_json_object("props", "$.k").try_cast("bigint")
     return (
         e.select("event_type", k.alias("k"))
         .groupBy("event_type")

@@ -131,8 +131,11 @@ def cdc_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("cdc",),
     oracle="""
     SELECT event_id,
-           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
-           json_extract_string(props, '$.k') AS k_raw
+           TRY_CAST(CASE WHEN json_valid(props)
+                         THEN json_extract_string(props, '$.k') END
+                    AS BIGINT) AS k,
+           CASE WHEN json_valid(props)
+                THEN json_extract_string(props, '$.k') END AS k_raw
     FROM events
     """,
 )
@@ -144,7 +147,7 @@ def parse_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return ev.select(
         "event_id",
-        F.get_json_object("props", "$.k").cast("long").alias("k"),
+        F.get_json_object("props", "$.k").try_cast("long").alias("k"),
         F.get_json_object("props", "$.k").alias("k_raw"),
     )
 

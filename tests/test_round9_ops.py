@@ -291,3 +291,72 @@ def test_documents_oracles_agree_on_a_null_laden_corpus(spark, tmp_path):
             failures.append(f"{name}: {type(ex).__name__}")
     duck.close()
     assert not failures, failures
+
+
+def test_json_payload_oracles_tolerate_malformed_props(spark, tmp_path):
+    """CDC payloads are USER data: malformed JSON, non-numeric values,
+    nulls, wrong-case keys, nested objects, and top-level arrays must
+    extract as NULL -- never throw -- and must hash-match DuckDB. (First
+    run: four operators threw ANSI CAST_INVALID_INPUT / INVALID_VARIANT
+    on a non-numeric $.k; now try_cast / try_variant_get with json_valid
+    guards in the oracles. Out-of-range JSON numbers (1e309) are excluded:
+    engines legitimately serialize the overflow differently.)"""
+    import datetime
+
+    import duckdb
+
+    from tests.conftest import assert_query_matches_oracle
+    from change_data_capture_service_spark.catalog import TABLE_NAMES, table_path
+
+    props = [
+        '{"k": 1}', '{"k": "七"}', "not json", None, '{"k": null}',
+        '{"K": 2}', '{"k": 3, "extra": {"nested": [1,2]}}', "", "[1,2,3]",
+        '{"k": -9}',
+    ]
+    rows = [
+        (
+            i,
+            datetime.datetime(2024, 1, 1, 0, 0, i % 60),
+            i % 5,
+            ["view", "click", "purchase", "signup", "error"][i % 5],
+            float(i),
+            props[i % 10],
+        )
+        for i in range(50)
+    ]
+    d = str(tmp_path / "json_fixture")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    for t in TABLE_NAMES:
+        if t != "events":
+            (
+                load_table(spark, "/root/testdata/sf0.001", t)
+                .limit(20)
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(f"{d}/{t}.parquet")
+            )
+    duck = duckdb.connect()
+    for t in TABLE_NAMES:
+        duck.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(d, t)}/*.parquet')"
+        )
+    failures = []
+    for name in (
+        "parse_envelope",
+        "json_funcs",
+        "variant_funcs",
+        "events_props_value_stats",
+        "dead_letter_split",
+        "cdc_event_size_profile",
+    ):
+        try:
+            assert_query_matches_oracle(spark, duck, name, d)
+        except AssertionError as ex:
+            failures.append(f"{name}: {str(ex)[:100]}")
+        except Exception as ex:  # noqa: BLE001
+            failures.append(f"{name}: {type(ex).__name__}")
+    duck.close()
+    assert not failures, failures
