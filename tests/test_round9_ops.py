@@ -360,3 +360,78 @@ def test_json_payload_oracles_tolerate_malformed_props(spark, tmp_path):
             failures.append(f"{name}: {type(ex).__name__}")
     duck.close()
     assert not failures, failures
+
+
+def test_lifecycle_stages_conserve_actives(spark, sf_dir):
+    """new + retained + resurrected == that week's actives, and churned(w)
+    == actives(w-1) - retained(w) -- the growth-accounting identity."""
+    s = _pdf(spark, sf_dir, "events_lifecycle_stages").sort_values("week").reset_index(drop=True)
+    assert (
+        s["n_new"] + s["n_retained"] + s["n_resurrected"] == s["n_active"]
+    ).all()
+    for i in range(1, len(s)):
+        assert s.loc[i, "n_churned"] == s.loc[i - 1, "n_active"] - s.loc[i, "n_retained"]
+
+
+def test_dau_wau_ratio_bounds(spark, sf_dir):
+    r = _pdf(spark, sf_dir, "events_dau_wau_ratio")
+    assert (r["dau"] <= r["wau"]).all()
+    assert ((r["stickiness"] > 0) & (r["stickiness"] <= 1.0 + 1e-9)).all()
+    recomputed = (r["dau"] / r["wau"]).round(6)
+    assert (abs(recomputed - r["stickiness"]) < 1e-6).all()
+
+
+def test_new_plus_returning_equals_dau_and_sums_to_userbase(spark, sf_dir):
+    d = _pdf(spark, sf_dir, "events_daily_new_vs_returning")
+    dau = _pdf(spark, sf_dir, "events_dau_wau_ratio").set_index("day")["dau"]
+    for _, row in d.iterrows():
+        assert row["new_users"] + row["returning_users"] == dau[row["day"]]
+    users = load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    assert int(d["new_users"].sum()) == users
+
+
+def test_event_diversity_entropy_bounds(spark, sf_dir):
+    e = _pdf(spark, sf_dir, "events_user_event_diversity")
+    assert (e["type_entropy"] >= -1e-9).all()
+    import numpy as np
+
+    assert (e["type_entropy"] <= np.log(e["n_types"]) + 1e-6).all()
+    assert (e.loc[e["n_types"] == 1, "type_entropy"] == 0).all()
+
+
+def test_funnel_attribution_conserves_purchase_value(spark, sf_dir):
+    """Every purchase credits exactly one touch (or 'direct'): total
+    attributed value == total purchase value, purchase counts conserve."""
+    a = _pdf(spark, sf_dir, "funnel_attribution_sessions")
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    n_purch = purchases.count()
+    total_cents = (
+        purchases.select(
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("s")
+        ).collect()[0]["s"]
+    )
+    assert int(a["n_purchases"].sum()) == n_purch
+    assert abs(a["attributed_value"].sum() - total_cents / 100) < 0.05
+
+
+def test_seasonal_index_averages_to_one_within_year(spark, sf_dir):
+    s = _pdf(spark, sf_dir, "orders_seasonal_index")
+    for yr, grp in s.groupby("yr"):
+        if len(grp) == 12:  # only complete years carry the identity
+            assert abs(grp["seasonal_index"].mean() - 1.0) < 1e-3, yr
+
+
+def test_wallet_shares_sum_to_one_per_customer(spark, sf_dir):
+    w = _pdf(spark, sf_dir, "customer_wallet_share")
+    sums = w.groupby("custkey")["share_of_wallet"].sum()
+    assert ((sums - 1.0).abs() < 1e-3).all()
+
+
+def test_session_depth_dist_conserves_events_and_sessions(spark, sf_dir):
+    d = _pdf(spark, sf_dir, "events_session_depth_dist")
+    ev_total = load_table(spark, sf_dir, "events").count()
+    n_sessions = registry.get("session_window_native").fn(spark, sf_dir).count()
+    # depth histogram may cap the tail bucket; recompute via depth*count
+    # only if the op is uncapped -- assert the session count either way
+    assert int(d.iloc[:, 1].sum()) == n_sessions or int(d["n_sessions"].sum()) == n_sessions
