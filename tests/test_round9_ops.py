@@ -435,3 +435,54 @@ def test_session_depth_dist_conserves_events_and_sessions(spark, sf_dir):
     # depth histogram may cap the tail bucket; recompute via depth*count
     # only if the op is uncapped -- assert the session count either way
     assert int(d.iloc[:, 1].sum()) == n_sessions or int(d["n_sessions"].sum()) == n_sessions
+
+
+def test_cdc_payload_profiles_conserve_events_and_bytes(spark, sf_dir):
+    """The size profile and the batch distribution must both account for
+    EVERY event and EVERY payload byte -- a monitor that undercounts is
+    worse than none."""
+    ev = load_table(spark, sf_dir, "events")
+    n_total = ev.count()
+    bytes_total = ev.select(
+        F.sum(F.octet_length(F.coalesce("props", F.lit("")))).alias("b")
+    ).collect()[0]["b"]
+    prof = _pdf(spark, sf_dir, "cdc_event_size_profile")
+    assert int(prof["n_events"].sum()) == n_total
+    assert int(prof["total_bytes"].sum()) == bytes_total
+    dist = _pdf(spark, sf_dir, "cdc_batch_size_distribution")
+    assert int(dist["n_events"].sum()) == n_total
+    assert int(dist["batch_bytes"].sum()) == bytes_total
+    assert (dist["span_seconds"] >= 0).all()
+
+
+def test_sla_breach_rate_is_ratio_and_bounded(spark, sf_dir):
+    s = _pdf(spark, sf_dir, "orders_priority_sla_breach")
+    assert (s["n_breached"] <= s["n_orders"]).all()
+    recomputed = (s["n_breached"] / s["n_orders"]).round(6)
+    assert (abs(recomputed - s["breach_rate"]) < 1e-6).all()
+
+
+def test_return_rates_conserve_lineitems(spark, sf_dir):
+    r = _pdf(spark, sf_dir, "returnflag_rate_by_brand")
+    li = load_table(spark, sf_dir, "lineitem")
+    assert int(r["n_lines"].sum()) == li.count()
+    assert int(r["n_returned"].sum()) == li.filter(F.col("l_returnflag") == "R").count()
+    assert (r["n_returned"] <= r["n_lines"]).all()
+
+
+def test_substitution_candidates_are_adjacent_same_family(spark, sf_dir):
+    p = _pdf(spark, sf_dir, "part_substitution_candidates")
+    if len(p):
+        assert ((p["size_a"] - p["size_b"]).abs() <= 1).all()
+        assert (p["price_gap"] >= 0).all()
+        assert (p["partkey_a"] != p["partkey_b"]).all()
+
+
+def test_supplier_leaderboard_is_dense_top5_per_region(spark, sf_dir):
+    t = _pdf(spark, sf_dir, "supplier_revenue_rank_by_region")
+    for _, grp in t.groupby("r_name"):
+        ranks = sorted(grp["rnk"].tolist())
+        assert ranks == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 5
+        by_rank = grp.sort_values("rnk")["revenue"].tolist()
+        assert all(by_rank[i] >= by_rank[i + 1] - 1e-9 for i in range(len(by_rank) - 1))
