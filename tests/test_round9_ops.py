@@ -486,3 +486,40 @@ def test_supplier_leaderboard_is_dense_top5_per_region(spark, sf_dir):
         assert len(ranks) <= 5
         by_rank = grp.sort_values("rnk")["revenue"].tolist()
         assert all(by_rank[i] >= by_rank[i + 1] - 1e-9 for i in range(len(by_rank) - 1))
+
+
+def test_language_mix_drift_is_nonnegative_kl(spark, sf_dir):
+    k = _pdf(spark, sf_dir, "docs_language_mix_drift")
+    # KL >= 0 up to the 6-dp per-term snap (terms can round to -1e-6 * |langs|)
+    assert (k["kl_vs_corpus"] >= -1e-4).all()
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("source").isNotNull() & F.col("lang").isNotNull()
+    )
+    assert int(k["n_docs"].sum()) == docs.count()
+
+
+def test_forecast_mae_bounds_and_coverage(spark, sf_dir):
+    m = _pdf(spark, sf_dir, "events_forecast_baseline_mae")
+    assert (m["mae"] >= 0).all()
+    assert (m["n_test_hours"] > 0).all()
+    assert set(m["dow"]) <= set(range(1, 8))
+
+
+def test_tombstone_gc_lists_only_dead_keys(spark, sf_dir):
+    g = _pdf(spark, sf_dir, "cdc_tombstone_gc_candidates")
+    assert (g["age_s"] >= 86400).all() if len(g) else True
+    if len(g):
+        # every listed key's LAST mapped op must be a delete ('error')
+        ev = load_table(spark, sf_dir, "events").toPandas()
+        last = ev.sort_values(["ts", "event_id"]).groupby("user_id").last()
+        for uid in g["user_id"]:
+            assert last.loc[uid, "event_type"] == "error", uid
+
+
+def test_discount_elasticity_is_finite_with_positive_base(spark, sf_dir):
+    e = _pdf(spark, sf_dir, "brand_discount_elasticity")
+    import numpy as np
+
+    assert np.isfinite(e["qty_per_discount_pt"]).all()
+    assert (e["base_qty"] > 0).all()
+    assert (e["n_lines"] > 0).all()
