@@ -523,3 +523,42 @@ def test_discount_elasticity_is_finite_with_positive_base(spark, sf_dir):
     assert np.isfinite(e["qty_per_discount_pt"]).all()
     assert (e["base_qty"] > 0).all()
     assert (e["n_lines"] > 0).all()
+
+
+def test_interval_join_pairs_are_within_window_and_left_conserves_clicks(spark, sf_dir):
+    inner = _pdf(spark, sf_dir, "stream_interval_join")
+    gaps = (inner["purchase_ts"] - inner["click_ts"]).dt.total_seconds()
+    assert ((gaps >= 0) & (gaps <= 1800)).all()
+    left = _pdf(spark, sf_dir, "stream_interval_join_left")
+    ev = load_table(spark, sf_dir, "events")
+    n_clicks = ev.filter(F.col("event_type") == "click").count()
+    assert left["click_id"].nunique() == n_clicks
+    matched = left.dropna(subset=["purchase_id"])
+    assert len(matched) == len(inner)
+
+
+def test_template_lines_meet_support_floor(spark, sf_dir):
+    t = _pdf(spark, sf_dir, "docs_template_lines")
+    if len(t):
+        assert (t["n_docs"] >= 3).all()
+        n_docs = load_table(spark, sf_dir, "documents").count()
+        assert (abs(t["doc_share"] - t["n_docs"] / n_docs) < 1e-5).all()
+
+
+def test_embedding_clusters_use_min_label_and_respect_pairs(spark, sf_dir):
+    comp = _pdf(spark, sf_dir, "dedup_embedding_clusters").set_index("doc_id")
+    assert (comp["cluster_id"] <= comp.index).all()
+    pairs = _pdf(spark, sf_dir, "dedup_embedding_cosine")
+    for _, p in pairs.iterrows():
+        assert comp.loc[p["vec_id_a"], "cluster_id"] == comp.loc[p["vec_id_b"], "cluster_id"]
+
+
+def test_ccnet_buckets_partition_each_language_with_ordered_means(spark, sf_dir):
+    b = _pdf(spark, sf_dir, "quality_ccnet_buckets")
+    docs = load_table(spark, sf_dir, "documents").groupBy("lang").count().toPandas().set_index("lang")
+    order = {"head": 0, "middle": 1, "tail": 2}
+    for lang, grp in b.groupby("lang"):
+        assert int(grp["n_docs"].sum()) == int(docs.loc[lang, "count"])
+        g = grp.sort_values("bucket", key=lambda s: s.map(order))
+        means = g["avg_cross_entropy"].tolist()
+        assert all(means[i] <= means[i + 1] + 1e-6 for i in range(len(means) - 1)), lang
