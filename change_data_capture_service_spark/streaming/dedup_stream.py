@@ -222,11 +222,17 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: each epoch costs |batch| band rows + candidate verification;
     the store grows by 24-byte band rows; nothing re-pairs the corpus
     with itself."""
+    import shutil
     import tempfile
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     mid = docs.agg((F.max("doc_id") / 2).cast("long").alias("m")).collect()[0]["m"]
-    sink = StreamingMinHashDedup(spark, tempfile.mkdtemp(prefix="stream_dedup_"))
-    sink(docs.filter(F.col("doc_id") <= mid), 0)
-    sink(docs.filter(F.col("doc_id") > mid), 1)
-    return sink.matches().orderBy("new_doc_id", "seen_doc_id")
+    scratch = tempfile.mkdtemp(prefix="stream_dedup_")
+    try:
+        sink = StreamingMinHashDedup(spark, scratch)
+        sink(docs.filter(F.col("doc_id") <= mid), 0)
+        sink(docs.filter(F.col("doc_id") > mid), 1)
+        # eager: materialize off the scratch store before the finally deletes it
+        return sink.matches().orderBy("new_doc_id", "seen_doc_id").localCheckpoint()
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)

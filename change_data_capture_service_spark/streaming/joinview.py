@@ -63,29 +63,60 @@ class MaterializedJoinView:
         self.dim_key_col = dim_key_col
 
     # -- storage ------------------------------------------------------------
+    # Generation dirs + an atomically-replaced CURRENT pointer file. The
+    # swap order is: (1) write gen_<epoch> in full, (2) fsync+rename the
+    # pointer, (3) sweep superseded generations. A crash at any point
+    # leaves a readable store: before (2) the old generation stays live;
+    # after (2) the new one is live and at worst an orphan gen dir
+    # remains, which the next successful swap's sweep removes.
+    # LIMITATION: the pointer swap uses local-filesystem primitives
+    # (os.replace); state_dir must be a local path. An HDFS/S3 deployment
+    # would route these three steps through the Hadoop FileSystem API
+    # (create-overwrite of the pointer object is the atomic step there).
+
+    def _current(self, name: str) -> str | None:
+        ptr = f"{self.state_dir}/{name}/CURRENT"
+        try:
+            with open(ptr) as f:
+                gen = f.read().strip()
+        except FileNotFoundError:
+            return None
+        path = f"{self.state_dir}/{name}/{gen}"
+        return path if os.path.isdir(path) else None
+
     def _read(self, name: str) -> DataFrame:
-        live = f"{self.state_dir}/{name}/live"
-        if not os.path.isdir(live):
+        cur = self._current(name)
+        if cur is None:
             return self.spark.createDataFrame([], env.ENVELOPE_SCHEMA)
-        return self.spark.read.schema(env.ENVELOPE_SCHEMA).parquet(live)
+        return self.spark.read.schema(env.ENVELOPE_SCHEMA).parquet(cur)
 
     def _swap_in(self, name: str, df: DataFrame, epoch_id: int) -> None:
-        nxt = f"{self.state_dir}/{name}/gen_{epoch_id}"
-        df.write.mode("overwrite").parquet(nxt)
-        live = f"{self.state_dir}/{name}/live"
-        if os.path.isdir(live):
-            shutil.rmtree(live)
-        os.replace(nxt, live)
+        gen = f"gen_{epoch_id}"
+        root = f"{self.state_dir}/{name}"
+        cur = self._current(name)
+        if cur is not None and os.path.basename(cur) == gen:
+            # epoch replay: never overwrite the live generation in place
+            gen = f"gen_{epoch_id}_r"
+        df.write.mode("overwrite").parquet(f"{root}/{gen}")
+        ptr, tmp = f"{root}/CURRENT", f"{root}/CURRENT.tmp"
+        with open(tmp, "w") as f:
+            f.write(gen)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, ptr)  # atomic on POSIX: readers see old or new, never neither
+        for d in os.listdir(root):
+            if d.startswith("gen_") and d != gen:
+                shutil.rmtree(f"{root}/{d}", ignore_errors=True)
 
     def view(self) -> DataFrame:
         """The maintained join result: one row per live fact row whose join
         key has a live dim partner; fact payload + dim payload maps."""
-        live = f"{self.state_dir}/view/live"
-        if not os.path.isdir(live):
+        cur = self._current("view")
+        if cur is None:
             return self.spark.createDataFrame(
                 [], "key string, join_key string, lsn long, after map<string,string>, dim_after map<string,string>"
             )
-        return self.spark.read.parquet(live)
+        return self.spark.read.parquet(cur)
 
     # -- the delta maintenance ----------------------------------------------
     def _winners(self, batch_df: DataFrame, table: str) -> DataFrame:
@@ -234,6 +265,7 @@ def stream_join_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: per epoch the view recomputes only affected join keys; see the
     module docstring for the bucketed-store layout at 100 TB."""
+    import shutil as _shutil
     import tempfile
 
     orders = (
@@ -254,21 +286,26 @@ def stream_join_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ts=F.lit("2024-03-01 00:00:00").cast("timestamp"),
         )
 
-    sink = MaterializedJoinView(spark, tempfile.mkdtemp(prefix="join_view_"))
-    # epoch 0: even customers + first half of orders
-    e0 = env_of(custs.filter(F.col("c_custkey") % 2 == 0), "customer", "c_custkey", None).unionByName(
-        env_of(orders.filter(F.col("o_orderkey") <= 1000), "orders", "o_orderkey", None)
-    )
-    # epoch 1: odd customers + second half of orders
-    e1 = env_of(custs.filter(F.col("c_custkey") % 2 == 1), "customer", "c_custkey", None).unionByName(
-        env_of(orders.filter(F.col("o_orderkey") > 1000), "orders", "o_orderkey", None)
-    )
-    sink(e0, 0)
-    sink(e1, 1)
-    return sink.view().select(
-        "key",
-        "join_key",
-        "lsn",
-        F.element_at("after", "o_total").alias("o_total"),
-        F.element_at("dim_after", "c_mktsegment").alias("c_mktsegment"),
-    ).orderBy("key")
+    scratch = tempfile.mkdtemp(prefix="join_view_")
+    try:
+        sink = MaterializedJoinView(spark, scratch)
+        # epoch 0: even customers + first half of orders
+        e0 = env_of(custs.filter(F.col("c_custkey") % 2 == 0), "customer", "c_custkey", None).unionByName(
+            env_of(orders.filter(F.col("o_orderkey") <= 1000), "orders", "o_orderkey", None)
+        )
+        # epoch 1: odd customers + second half of orders
+        e1 = env_of(custs.filter(F.col("c_custkey") % 2 == 1), "customer", "c_custkey", None).unionByName(
+            env_of(orders.filter(F.col("o_orderkey") > 1000), "orders", "o_orderkey", None)
+        )
+        sink(e0, 0)
+        sink(e1, 1)
+        # eager: materialize off the scratch store before the finally deletes it
+        return sink.view().select(
+            "key",
+            "join_key",
+            "lsn",
+            F.element_at("after", "o_total").alias("o_total"),
+            F.element_at("dim_after", "c_mktsegment").alias("c_mktsegment"),
+        ).orderBy("key").localCheckpoint()
+    finally:
+        _shutil.rmtree(scratch, ignore_errors=True)

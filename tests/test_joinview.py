@@ -249,3 +249,60 @@ def test_join_view_epoch_replay_is_idempotent(spark, tmp_path):
     )
     assert before == after
     assert {x[3] for x in after if x[0] == "public.orders:10"} == {"a2"}
+
+
+def test_swap_is_pointer_based_single_generation(spark, tmp_path):
+    """The store swap must be crash-safe: exactly one live generation per
+    store after each epoch, named by an atomically-replaced CURRENT
+    pointer, and an epoch replay must never overwrite the generation the
+    pointer currently names (it writes a sibling and re-points)."""
+    import os
+
+    sink = MaterializedJoinView(spark, str(tmp_path / "state"))
+    b0 = _custs(spark, [(1, "ada", 1)], "insert").unionByName(
+        _orders(spark, [(10, 1, "a", 2)], "insert")
+    )
+    sink(b0, 0)
+    for store in ("fact", "dim", "view"):
+        root = tmp_path / "state" / store
+        gens = [d for d in os.listdir(root) if d.startswith("gen_")]
+        assert len(gens) == 1, f"{store}: superseded generations not swept: {gens}"
+        assert (root / "CURRENT").read_text().strip() == gens[0]
+    live_before = (tmp_path / "state" / "fact" / "CURRENT").read_text().strip()
+    sink(b0, 0)  # crash-replay of the same epoch
+    root = tmp_path / "state" / "fact"
+    gens = [d for d in os.listdir(root) if d.startswith("gen_")]
+    assert len(gens) == 1
+    assert gens[0] != live_before, "replay overwrote the live generation in place"
+    assert (root / "CURRENT").read_text().strip() == gens[0]
+
+
+def test_registered_streaming_queries_leave_no_scratch_dirs(spark, sf_dir):
+    """stream_join_view_maintenance and stream_incremental_dedup allocate
+    per-invocation scratch state under the system temp dir; rerunning the
+    surface must not accumulate band-store/join-view dirs in /tmp, and the
+    returned DataFrame must stay usable after cleanup."""
+    import glob
+    import tempfile
+
+    from change_data_capture_service_spark.streaming.dedup_stream import (
+        stream_incremental_dedup,
+    )
+    from change_data_capture_service_spark.streaming.joinview import (
+        stream_join_view_maintenance,
+    )
+
+    tmp = tempfile.gettempdir()
+
+    def leftovers():
+        return set(glob.glob(f"{tmp}/join_view_*")) | set(
+            glob.glob(f"{tmp}/stream_dedup_*")
+        )
+
+    base = leftovers()
+    jv = stream_join_view_maintenance(spark, sf_dir)
+    dd = stream_incremental_dedup(spark, sf_dir)
+    assert jv.count() > 0
+    assert dd.count() >= 0  # sf0.001 may have no >=0.8 pairs; usable is the point
+    assert jv.limit(1).collect() is not None
+    assert leftovers() == base
