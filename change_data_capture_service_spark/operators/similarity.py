@@ -450,9 +450,13 @@ def knn_cosine_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # -- train: bounded sample to the driver, vectorized Lloyd's per
     # subspace (deterministic seed; at 100 TB this is `.sample(frac)` with
     # the same cap -- codebook quality needs thousands of rows, not the
-    # corpus, and the exact rerank absorbs residual quantization error)
+    # corpus, and the exact rerank absorbs residual quantization error).
+    # ORDERED limit: a bare limit is plan-dependent (a parquet layout
+    # change would silently change the codebooks); TakeOrdered on vec_id
+    # pins the sample without a full sort.
     sample = np.array(
-        vec.select("v").limit(4096).toPandas()["v"].tolist(), dtype=np.float64
+        vec.orderBy("vec_id").limit(4096).select("v").toPandas()["v"].tolist(),
+        dtype=np.float64,
     )
     rng = np.random.default_rng(42)
     luts: dict[int, list[list[float]]] = {}
@@ -946,8 +950,11 @@ def knn_cosine_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i, c) for i, c in enumerate(centroids)], "cell int, centroid array<double>"
     )
 
-    # -- train residual codebooks driver-side on a bounded sample
-    samp = assigned.select("v", "cell").limit(4096).toPandas()
+    # -- train residual codebooks driver-side on a bounded sample.
+    # ORDERED limit: a bare limit is plan-dependent (a parquet layout
+    # change would silently change the codebooks); TakeOrdered on vec_id
+    # pins the sample without a full sort.
+    samp = assigned.orderBy("vec_id").limit(4096).select("v", "cell").toPandas()
     cents_np = np.asarray(centroids)
     res_sample = np.asarray(samp["v"].tolist(), dtype=np.float64) - cents_np[
         samp["cell"].to_numpy()

@@ -43,6 +43,7 @@ _REGISTRY: dict[str, QueryEntry] = {}
 _QUERY_MODULES = [
     "change_data_capture_service_spark.operators.dedup",
     "change_data_capture_service_spark.operators.similarity",
+    "change_data_capture_service_spark.operators.ann_index",
     "change_data_capture_service_spark.operators.text",
     "change_data_capture_service_spark.operators.multimodal",
     "change_data_capture_service_spark.operators.reshape",
@@ -120,6 +121,7 @@ _CHECK_ORDER = [
     "orders_rolling_13wk_revenue",
     "orders_price_volume_mix",
     # -- new in round 7 (filling the window to 50; appended as each lands) --
+    "knn_cosine_ivf_pq_prebuilt",
 ]
 # Provenance: the round-5 window, fully attested by CORRECTNESS_r05
 # (49 full hash-green + approx_topk rows-only-clean). Kept for the

@@ -118,3 +118,81 @@ def last_touch_stream(events_stream: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithState twin of last_touch_stream: Spark 4's arbitrary-state
+# API (SPARK-40434's successor, public). Same per-user single-value state
+# and same emitted rows, but through a StatefulProcessor with typed state
+# handles -- which is where Spark is taking stateful streaming: named
+# state variables, native TTL (state evicted by the store itself, no
+# timeout bookkeeping in user code), timers, and schema evolution of
+# state. The applyInPandasWithState form above stays as the portable
+# baseline; tests/test_streaming.py pins multi-batch equivalence of the
+# two and exercises TTL expiry (idle users' touch state is evicted, so a
+# later purchase credits 'direct') -- the capability the GroupState path
+# lacks. Requires the RocksDB state store provider (bundled with Spark)
+# AND the google.protobuf runtime for the Python state-server protocol;
+# the latter is absent in the build sandbox, so the execution tests are
+# explicit xfail(run=False) there (plan construction is always tested).
+
+
+from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
+    StatefulProcessor,
+)
+
+
+class _LastTouchProcessor(StatefulProcessor):
+    """StatefulProcessor maintaining (last_touch, last_event_id) per user."""
+
+    def __init__(self, ttl_ms: int | None = None):
+        self._ttl_ms = ttl_ms
+
+    def init(self, handle) -> None:
+        self._state = handle.getValueState(
+            "touch", ATTRIB_STATE_SCHEMA, ttlDurationMs=self._ttl_ms
+        )
+
+    def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+        held = self._state.get() if self._state.exists() else None
+        touch, last_id = held if held is not None else (None, -1)
+        frames = [pdf for pdf in rows if not pdf.empty]
+        if not frames:
+            return
+        pdf = pd.concat(frames, ignore_index=True).sort_values("event_id")
+        out = []
+        for r in pdf.itertuples(index=False):
+            if r.event_type == "purchase":
+                out.append(
+                    (
+                        key[0],
+                        int(r.event_id),
+                        touch if touch is not None else "direct",
+                        int(r.cents),
+                    )
+                )
+            else:
+                touch = r.event_type
+            last_id = int(r.event_id)
+        self._state.update((touch, last_id))
+        if out:
+            yield pd.DataFrame(out, columns=["user_id", "event_id", "source", "cents"])
+
+    def close(self) -> None:
+        pass
+
+
+def last_touch_stream_tws(
+    events_stream: DataFrame, *, ttl_ms: int | None = None
+) -> DataFrame:
+    """``last_touch_stream`` on ``transformWithStateInPandas``. Same
+    input/output contract; ``ttl_ms`` additionally evicts idle users'
+    state (a user whose last touch is older than the TTL attributes the
+    next purchase to 'direct') -- bounded state without manual timeout
+    code. TTL requires timeMode='processingTime'."""
+    return events_stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_LastTouchProcessor(ttl_ms),
+        outputStructType=ATTRIB_OUTPUT_SCHEMA,
+        outputMode="append",
+        timeMode="processingTime" if ttl_ms is not None else "none",
+    )

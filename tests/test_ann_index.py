@@ -1,0 +1,124 @@
+"""Persisted ANN index (operators/ann_index.py): build/query split.
+
+Contract: the prebuilt-index query path must (1) keep the same recall and
+rerank-exactness bar as the inline knn_cosine_ivf_pq it mirrors, (2) be
+DETERMINISTIC at build time -- two builds over the same corpus produce
+byte-identical codebooks/centroids/codes (the reason the codebook sample
+is TakeOrdered, not a bare limit), (3) lay codes out partitioned by cell
+so probes become partition-pruned scans, and (4) expose staleness via the
+meta row count. The registered query must also clean its scratch index.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from change_data_capture_service_spark import registry
+from change_data_capture_service_spark.operators.ann_index import (
+    build_ann_index,
+    index_meta,
+    query_ann_index,
+)
+from change_data_capture_service_spark.operators.similarity import (
+    N_QUERIES,
+    _vectors,
+)
+
+
+def test_prebuilt_recall_and_rerank_exactness(spark, sf_dir):
+    """Same bar as test_knn_ivf_pq_recall_and_rerank_exactness: recall
+    >= 0.4 vs the exact engine, every overlapping cosine identical (the
+    rerank is unquantized), contiguous per-query ranks."""
+    exact_rows = registry.get("knn_cosine_topk").fn(spark, sf_dir).collect()
+    exact = {(r["query_id"], r["neighbor_id"]) for r in exact_rows}
+    exact_cos = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in exact_rows}
+    rows = registry.get("knn_cosine_ivf_pq_prebuilt").fn(spark, sf_dir).collect()
+    got = {(r["query_id"], r["neighbor_id"]) for r in rows}
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.4, f"prebuilt IVF-PQ recall collapsed: {recall}"
+    for r in rows:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact_cos:
+            assert abs(r["cosine"] - exact_cos[key]) < 1e-9, "rerank not exact"
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r["rnk"])
+    for q, rnks in per_q.items():
+        assert sorted(rnks) == list(range(1, len(rnks) + 1)), q
+
+
+def test_build_is_deterministic_byte_identical(spark, sf_dir, tmp_path):
+    """Two builds over the same corpus must produce byte-identical
+    codebooks, centroids, and codes -- the determinism the ordered
+    codebook sample buys (a bare limit is plan-dependent)."""
+    vec = _vectors(spark, sf_dir).localCheckpoint()
+    a, b = str(tmp_path / "ia"), str(tmp_path / "ib")
+    build_ann_index(spark, vec, a)
+    build_ann_index(spark, vec, b)
+
+    def canon(d, sub, cols):
+        return sorted(
+            tuple(r[c] for c in cols)
+            for r in spark.read.parquet(f"{d}/{sub}").collect()
+        )
+
+    assert canon(a, "centroids", ["cell", "centroid"]) == canon(
+        b, "centroids", ["cell", "centroid"]
+    )
+    assert canon(a, "codebooks", ["sub", "code", "centroid"]) == canon(
+        b, "codebooks", ["sub", "code", "centroid"]
+    )
+    code_cols = ["vec_id", "cell", "nrm"] + [f"code_{j}" for j in range(8)]
+    assert canon(a, "codes", code_cols) == canon(b, "codes", code_cols)
+
+
+def test_codes_partitioned_by_cell_and_meta_tracks_staleness(spark, sf_dir, tmp_path):
+    """The codes table must be hive-partitioned by cell (probes prune to
+    their cells' directories) and the meta row count must equal the
+    corpus size at build time, diverging as the corpus grows -- the
+    staleness signal."""
+    vec = _vectors(spark, sf_dir).localCheckpoint()
+    idx = str(tmp_path / "idx")
+    meta = build_ann_index(spark, vec, idx)
+
+    cell_dirs = glob.glob(f"{idx}/codes/cell=*")
+    assert len(cell_dirs) >= 2, "codes not partitioned by cell"
+    assert len(cell_dirs) <= meta["n_cells"]
+    assert meta["n_vectors"] == vec.count()
+    assert index_meta(idx)["n_vectors"] == meta["n_vectors"]
+
+    # pruned probe: filtering to one cell reads only that partition's files
+    one = int(os.path.basename(cell_dirs[0]).split("=")[1])
+    from change_data_capture_service_spark.plans.inspect import executed_metrics
+
+    codes = spark.read.parquet(f"{idx}/codes").filter(F.col("cell") == one)
+    codes.collect()
+    m = executed_metrics(codes, ("numFiles",))
+    files_in_cell = len(glob.glob(f"{cell_dirs[0]}/*.parquet"))
+    total_files = len(glob.glob(f"{idx}/codes/cell=*/*.parquet"))
+    assert m["numFiles"] == files_in_cell
+    assert m["numFiles"] < total_files
+
+
+def test_query_without_index_raises_and_registered_cleans_scratch(spark, sf_dir, tmp_path):
+    import tempfile
+
+    vec = _vectors(spark, sf_dir).localCheckpoint()
+    q = vec.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    try:
+        query_ann_index(spark, str(tmp_path / "missing"), q, vec)
+        raise AssertionError("expected FileNotFoundError")
+    except FileNotFoundError:
+        pass
+
+    before = set(glob.glob(f"{tempfile.gettempdir()}/ann_index_*"))
+    df = registry.get("knn_cosine_ivf_pq_prebuilt").fn(spark, sf_dir)
+    assert df.count() > 0
+    assert set(glob.glob(f"{tempfile.gettempdir()}/ann_index_*")) == before

@@ -111,6 +111,7 @@ _R7_CHECK_WINDOW = [
     "orders_rolling_13wk_revenue",
     "orders_price_volume_mix",
     # new in round 7 (appended as they are registered)
+    "knn_cosine_ivf_pq_prebuilt",
 ]
 
 

@@ -427,3 +427,167 @@ def test_streaming_minhash_dedup_replay_idempotent(spark, sf_dir, tmp_path):
         for r in sink.matches().collect()
     )
     assert once == twice
+
+
+def _protobuf_available() -> bool:
+    """transformWithState's Python state-server protocol needs the
+    google.protobuf runtime, which is absent in this sandbox (no wheel on
+    disk, installs disallowed) -- same class of environment gap as the
+    spark-sql-kafka jar, handled the same way: xfail(run=False) with the
+    reason, plus an always-running plan-build test so the twin cannot
+    silently rot."""
+    import importlib.util
+
+    try:
+        return importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:  # parent 'google' namespace absent entirely
+        return False
+
+
+needs_protobuf = pytest.mark.xfail(
+    condition=not _protobuf_available(),
+    reason=(
+        "transformWithStateInPandas execution needs the google.protobuf "
+        "runtime for its state-server protocol; not installable in-sandbox "
+        "(no network, no wheel cache). Plan construction is still covered "
+        "by test_last_touch_tws_plan_builds."
+    ),
+    run=False,
+)
+
+
+def test_last_touch_tws_plan_builds(spark):
+    """The transformWithState twin must at least BUILD its unbounded plan
+    in every environment: output schema identical to the GroupState
+    baseline's, streaming bit set. (Execution needs protobuf; gated
+    below.)"""
+    from change_data_capture_service_spark.streaming.stateful import (
+        last_touch_stream_tws,
+    )
+
+    stream = spark.readStream.format("rate").load().selectExpr(
+        "value as user_id",
+        "value as event_id",
+        "'click' as event_type",
+        "value as cents",
+    )
+    df = last_touch_stream_tws(stream)
+    assert df.columns == ["user_id", "event_id", "source", "cents"]
+    assert df.isStreaming
+
+
+@needs_protobuf
+def test_last_touch_tws_matches_group_state_twin(spark, tmp_path):
+    """transformWithState twin: fed the same two micro-batches as
+    test_stateful_last_touch_stream, the StatefulProcessor implementation
+    must emit exactly the rows the applyInPandasWithState baseline does
+    (state crossing batch boundaries, same-batch touches, cold 'direct').
+    Requires the RocksDB state store provider, set for this query only."""
+    from change_data_capture_service_spark.streaming.stateful import (
+        last_touch_stream_tws,
+    )
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        src = str(tmp_path / "attrib_tws")
+        schema = "user_id long, event_id long, event_type string, cents long"
+        spark.createDataFrame(
+            [(1, 1, "click", 0), (1, 2, "purchase", 1000), (2, 1, "purchase", 200)],
+            schema,
+        ).coalesce(1).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = (
+            last_touch_stream_tws(stream)
+            .writeStream.format("memory")
+            .queryName("attrib_tws_out")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        q.processAllAvailable()
+        spark.createDataFrame(
+            [(1, 3, "view", 0), (1, 4, "purchase", 500), (2, 2, "view", 0)],
+            schema,
+        ).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        q.stop()
+
+        out = spark.sql("SELECT * FROM attrib_tws_out").toPandas()
+        got = {
+            (int(r["user_id"]), int(r["event_id"])): (r["source"], int(r["cents"]))
+            for _, r in out.iterrows()
+        }
+        assert got == {
+            (1, 2): ("click", 1000),
+            (2, 1): ("direct", 200),
+            (1, 4): ("view", 500),
+        }
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+@needs_protobuf
+def test_last_touch_tws_ttl_evicts_idle_state(spark, tmp_path):
+    """The capability the GroupState path lacks: with a 100 ms state TTL,
+    a user's touch recorded in batch 1 is evicted by the store before a
+    batch processed ~2 s later, so the purchase credits 'direct' instead
+    of the stale click. (TTL is processing-time; the 2 s sleep dwarfs the
+    100 ms TTL, so eviction is deterministic in practice.)"""
+    import time as _time
+
+    from change_data_capture_service_spark.streaming.stateful import (
+        last_touch_stream_tws,
+    )
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        src = str(tmp_path / "attrib_ttl")
+        schema = "user_id long, event_id long, event_type string, cents long"
+        spark.createDataFrame(
+            [(1, 1, "click", 0)], schema
+        ).coalesce(1).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = (
+            last_touch_stream_tws(stream, ttl_ms=100)
+            .writeStream.format("memory")
+            .queryName("attrib_ttl_out")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        q.processAllAvailable()
+        _time.sleep(2)  # >> ttl: the click state expires
+        spark.createDataFrame(
+            [(1, 2, "purchase", 700)], schema
+        ).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        q.stop()
+
+        out = spark.sql("SELECT * FROM attrib_ttl_out").toPandas()
+        assert len(out) == 1
+        assert out.iloc[0]["source"] == "direct"  # not the expired click
+        assert int(out.iloc[0]["cents"]) == 700
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
