@@ -363,7 +363,88 @@ def collect_relations(frames: DataFrame, frame_col: str = "frame") -> dict[int, 
     return relations
 
 
-def decode_pgoutput_frames(frames: DataFrame, relations: dict[int, Relation]) -> DataFrame:
+class RelationVersions:
+    """Seq-versioned relation registry: the schema-evolution-correct form
+    of the driver-side registry.
+
+    pgoutput re-sends a Relation message on the same connection whenever a
+    table's schema changes (ALTER TABLE adds/renames/drops a column), and
+    every subsequent DML frame must decode against the newest Relation
+    at-or-before it in the log. A flat last-registration-wins dict decodes
+    PRE-alter frames against the POST-alter column list -- mis-zipping
+    cell values to column names -- which is exactly the failure mode the
+    reference's silent re-cache has (``replicator.go:320-336``). Entries
+    are (announce_seq, Relation) per OID, ascending; ``at(seq)`` returns a
+    view whose ``.get(oid)`` resolves the version governing that frame.
+    Frames before any announcement for their OID resolve to None and take
+    the dead-letter path (decoding against a future schema would be a
+    guess, not a decode)."""
+
+    def __init__(self) -> None:
+        self._seqs: dict[int, list[int]] = {}
+        self._rels: dict[int, list[Relation]] = {}
+
+    def add(self, seq: int, rel: Relation) -> None:
+        seqs = self._seqs.setdefault(rel.relation_id, [])
+        rels = self._rels.setdefault(rel.relation_id, [])
+        import bisect
+
+        i = bisect.bisect_right(seqs, seq)
+        seqs.insert(i, seq)
+        rels.insert(i, rel)
+
+    def latest(self) -> dict[int, Relation]:
+        """Flat last-wins view (the pre-evolution registry shape)."""
+        return {oid: rels[-1] for oid, rels in self._rels.items()}
+
+    def at(self, seq: int) -> "_RegistryAt":
+        return _RegistryAt(self, seq)
+
+    def n_versions(self, oid: int) -> int:
+        return len(self._seqs.get(oid, ()))
+
+
+class _RegistryAt:
+    """dict-shaped view of RelationVersions as of one frame's seq."""
+
+    def __init__(self, versions: RelationVersions, seq: int) -> None:
+        self._v = versions
+        self._seq = seq
+
+    def get(self, oid: int) -> Relation | None:
+        seqs = self._v._seqs.get(oid)
+        if not seqs:
+            return None
+        import bisect
+
+        i = bisect.bisect_right(seqs, self._seq)
+        return self._v._rels[oid][i - 1] if i else None
+
+
+def collect_relation_versions(
+    frames: DataFrame, frame_col: str = "frame", seq_col: str = "seq"
+) -> RelationVersions:
+    """Pass 1, versioned: pull Relation ('R') frames WITH their log
+    position. Same pushed byte-predicates and dim-scale collect as
+    ``collect_relations``; the seq column (file order / LSN order) is what
+    lets pass 2 resolve each DML frame against the schema in force at its
+    position rather than whichever registration happened to be last."""
+    rel_frames = (
+        frames.filter(F.expr(f"substring({frame_col}, 1, 1) = X'77'"))
+        .filter(F.expr(f"substring({frame_col}, 26, 1) = X'52'"))
+        .select(seq_col, frame_col)
+        .collect()
+    )
+    versions = RelationVersions()
+    for row in rel_frames:
+        _, _, _, inner = parse_xlogdata(bytes(row[frame_col]))
+        versions.add(int(row[seq_col]), parse_relation(inner))
+    return versions
+
+
+def decode_pgoutput_frames(
+    frames: DataFrame, relations: dict[int, Relation] | RelationVersions
+) -> DataFrame:
     """Pass 2: decode DML frames to envelope rows with ``mapInPandas``.
 
     Embarrassingly parallel: each frame decodes independently against the
@@ -389,11 +470,19 @@ def decode_pgoutput_frames(frames: DataFrame, relations: dict[int, Relation]) ->
         ]
     )
 
+    versioned = isinstance(relations, RelationVersions)
+
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows: list[dict] = []
-            for frame in pdf["frame"]:
-                rows.extend(decode_frame(bytes(frame), relations))
+            if versioned:
+                for seq, frame in zip(pdf["seq"], pdf["frame"]):
+                    rows.extend(
+                        decode_frame(bytes(frame), relations.at(int(seq)))
+                    )
+            else:
+                for frame in pdf["frame"]:
+                    rows.extend(decode_frame(bytes(frame), relations))
             yield pd.DataFrame(
                 rows,
                 columns=[
@@ -408,12 +497,17 @@ def decode_pgoutput_frames(frames: DataFrame, relations: dict[int, Relation]) ->
                 ],
             )
 
-    return frames.select("frame").mapInPandas(_decode, out_schema)
+    cols = ["seq", "frame"] if versioned else ["frame"]
+    return frames.select(*cols).mapInPandas(_decode, out_schema)
 
 
 def decode_pgoutput(frames: DataFrame) -> DataFrame:
-    """End-to-end decode: relation pass + broadcast + DML pass."""
-    return decode_pgoutput_frames(frames, collect_relations(frames))
+    """End-to-end decode: versioned relation pass + broadcast + DML pass.
+
+    Schema-evolution-correct by default: a mid-stream Relation
+    re-announcement (ALTER TABLE) splits the log into regimes and each
+    DML frame decodes against the schema in force at its seq."""
+    return decode_pgoutput_frames(frames, collect_relation_versions(frames))
 
 
 # ---------------------------------------------------------------------------

@@ -280,3 +280,105 @@ def test_spark_decode_feeds_latest_state(spark):
     assert live["public.users:1"]["op"] == "update"
     assert live["public.users:1"]["after"]["email"] == "a2@x"
     assert live["public.users:2"]["op"] == "delete"
+
+
+# ---------------------------------------------------------------------------
+# Schema evolution: a mid-stream Relation re-announcement (ALTER TABLE)
+# must split the log into regimes -- each DML frame decodes against the
+# schema in force AT ITS POSITION, not whichever registration was last.
+# The reference silently re-caches (replicator.go:320-336), which mis-zips
+# pre-alter frames; the versioned registry is the fix.
+# ---------------------------------------------------------------------------
+
+EVO_OID = 17000
+
+
+def _evolving_log() -> list[tuple[int, bytes]]:
+    v1 = relation_msg(EVO_OID, "public", "users", [("id", 20, True), ("name", 25, False)])
+    # ALTER TABLE users ADD COLUMN email
+    v2 = relation_msg(
+        EVO_OID, "public", "users",
+        [("id", 20, True), ("name", 25, False), ("email", 25, False)],
+    )
+    # ALTER TABLE users RENAME name TO full_name
+    v3 = relation_msg(
+        EVO_OID, "public", "users",
+        [("id", 20, True), ("full_name", 25, False), ("email", 25, False)],
+    )
+    frames = [
+        xlog(100, v1, TS),
+        xlog(110, insert_msg(EVO_OID, ["1", "ada"]), TS),
+        xlog(120, v2, TS),
+        xlog(130, insert_msg(EVO_OID, ["2", "bob", "b@x"]), TS),
+        xlog(140, v3, TS),
+        xlog(150, insert_msg(EVO_OID, ["3", "carol", "c@x"]), TS),
+    ]
+    return list(enumerate(frames))
+
+
+def test_mid_stream_relation_widens_envelope(spark):
+    """insert -> ALTER ADD COLUMN (new Relation frame) -> insert -> ALTER
+    RENAME -> insert: each insert's after-map must carry exactly its
+    regime's column names; the union view is the widened envelope."""
+    df = spark.createDataFrame(_evolving_log(), P.FRAME_SCHEMA)
+    out = P.decode_pgoutput(df).toPandas().sort_values("lsn").reset_index(drop=True)
+    assert list(out["op"]) == ["insert", "insert", "insert"]
+    assert dict(out.iloc[0]["after"]) == {"id": "1", "name": "ada"}
+    assert dict(out.iloc[1]["after"]) == {"id": "2", "name": "bob", "email": "b@x"}
+    assert dict(out.iloc[2]["after"]) == {
+        "id": "3", "full_name": "carol", "email": "c@x",
+    }
+    # keys survive every version (id stays the replica identity)
+    assert list(out["key"]) == [
+        "public.users:1", "public.users:2", "public.users:3",
+    ]
+
+
+def test_versioned_decode_is_partitioning_invariant(spark):
+    """The regime resolution rides the seq column, not arrival order, so
+    an arbitrarily shuffled frame log decodes identically."""
+    df = spark.createDataFrame(_evolving_log(), P.FRAME_SCHEMA)
+    a = P.decode_pgoutput(df).toPandas().sort_values("lsn").reset_index(drop=True)
+    b = (
+        P.decode_pgoutput(df.repartition(5))
+        .toPandas()
+        .sort_values("lsn")
+        .reset_index(drop=True)
+    )
+    assert list(a["after"]) == list(b["after"])
+    assert list(a["key"]) == list(b["key"])
+
+
+def test_dml_before_any_relation_is_dead_letter(spark):
+    """A frame whose OID has no announcement AT OR BEFORE its seq must
+    dead-letter (decoding against a future schema would be a guess): the
+    last-wins flat registry would wrongly decode it."""
+    log = _evolving_log()
+    early = xlog(90, insert_msg(EVO_OID, ["0", "eve"]), TS)
+    df = spark.createDataFrame([(-1, early)] + log, P.FRAME_SCHEMA)
+    out = P.decode_pgoutput(df).toPandas().sort_values("lsn").reset_index(drop=True)
+    assert list(out["op"]) == ["unknown", "insert", "insert", "insert"]
+    assert out.iloc[0]["table_name"] == f"oid_{EVO_OID}"
+
+
+def test_relation_versions_registry_shape():
+    """Unit shape: three announcements -> three versions; at() resolves
+    bisect-style; latest() matches the flat registry."""
+    versions = P.RelationVersions()
+    for seq, frame in _evolving_log():
+        b = frame
+        if b[:1] == b"w" and b[25:26] == b"R":
+            _, _, _, inner = P.parse_xlogdata(b)
+            versions.add(seq, P.parse_relation(inner))
+    assert versions.n_versions(EVO_OID) == 3
+    assert [c.name for c in versions.at(1).get(EVO_OID).columns] == ["id", "name"]
+    assert [c.name for c in versions.at(3).get(EVO_OID).columns] == [
+        "id", "name", "email",
+    ]
+    assert [c.name for c in versions.at(99).get(EVO_OID).columns] == [
+        "id", "full_name", "email",
+    ]
+    assert versions.at(-5).get(EVO_OID) is None
+    assert [c.name for c in versions.latest()[EVO_OID].columns] == [
+        "id", "full_name", "email",
+    ]
