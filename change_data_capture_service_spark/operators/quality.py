@@ -787,26 +787,32 @@ def quality_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def ratios(batches):
         for pdf in batches:
-            raw = pdf["text"].str.encode("utf-8")
+            raw = pdf["text"].fillna("").str.encode("utf-8")
             comp = raw.map(lambda b: len(zlib.compress(b, 6)))
             n = raw.map(len)
-            yield pd.DataFrame(
+            out = pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "source": pdf["source"],
                     "n_bytes": n,
-                    "ratio": (comp / n.clip(lower=1)).round(6),
+                    "ratio": (comp / n).round(6),
                 }
             )
+            # empty documents have no meaningful ratio: zlib's empty-stream
+            # overhead (~8 bytes over 0) would otherwise inflate avg/max
+            # for any source containing empties -- null them out instead
+            out.loc[n == 0, "ratio"] = None
+            yield out
 
     r = d.mapInPandas(ratios, "doc_id long, source string, n_bytes long, ratio double")
     return (
         r.groupBy("source")
         .agg(
             F.count("*").cast("bigint").alias("n_docs"),
+            F.count("ratio").cast("bigint").alias("n_nonempty"),
             F.round(
                 F.sum(F.col("ratio").cast("decimal(18,6)")).cast("double")
-                / F.count("*"),
+                / F.count("ratio"),
                 6,
             ).alias("avg_ratio"),
             F.round(F.min("ratio"), 6).alias("min_ratio"),

@@ -45,15 +45,28 @@ def envelopes(df, table, pk, op="insert", lsn_offset=0):
 
 
 def check(sink):
+    # content comparison, not row counts: a wrong-pairing bug with equal
+    # cardinality must print DIVERGED (same canonicalized-row-set check
+    # as tests/test_joinview.py)
     fact = sink._read("fact").filter(F.col("op") != "delete")
     dim = sink._read("dim").filter(F.col("op") != "delete")
     batch_join = fact.select(
         "key", F.element_at("after", "o_custkey").alias("jk")
-    ).join(dim.select(F.element_at("after", "c_custkey").alias("jk")), "jk")
-    v, b = sink.view().count(), batch_join.count()
-    print(f"   maintained view rows = {v}, batch join rows = {b}  "
-          f"{'OK' if v == b else 'DIVERGED'}")
-    assert v == b
+    ).join(
+        dim.select(
+            F.element_at("after", "c_custkey").alias("jk"),
+            F.element_at("after", "c_mktsegment").alias("seg"),
+        ),
+        "jk",
+    )
+    want = {(r["key"], r["jk"], r["seg"]) for r in batch_join.collect()}
+    got = {
+        (r["key"], r["join_key"], r["dim_after"]["c_mktsegment"])
+        for r in sink.view().collect()
+    }
+    print(f"   maintained view rows = {len(got)}, batch join rows = {len(want)}  "
+          f"{'OK' if got == want else 'DIVERGED'}")
+    assert got == want
 
 
 def main() -> None:

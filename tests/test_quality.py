@@ -184,3 +184,28 @@ def test_compression_ratio_orders_repetitive_below_noise(spark, tmp_path):
     assert out.loc["rep", "avg_ratio"] < 0.1
     assert out.loc["noise", "avg_ratio"] > 0.5
     shutil.rmtree(d, ignore_errors=True)
+
+
+def test_compression_ratio_excludes_empty_docs_from_stats(spark, tmp_path):
+    """Empty documents have no meaningful ratio (zlib's empty-stream
+    overhead would read as ~8x 'expansion'): their ratio must be NULL and
+    excluded from avg/min/max, counted in n_docs but not n_nonempty."""
+    rows = [
+        (1, "spam spam spam " * 100, "en", "s", 1500),
+        (2, "", "en", "s", 0),
+        (3, None, "en", "s", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = tmp_path / "cr_empty"
+    d.mkdir()
+    df.coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    out = (
+        registry.get("quality_compression_ratio").fn(spark, str(d)).toPandas()
+    )
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert int(r["n_docs"]) == 3 and int(r["n_nonempty"]) == 1
+    # stats reflect only the non-empty doc: no 8.0-ish inflation anywhere
+    assert r["avg_ratio"] == r["min_ratio"] == r["max_ratio"] < 0.2

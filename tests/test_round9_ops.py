@@ -14,6 +14,15 @@ from change_data_capture_service_spark.catalog import load_table
 registry.load_all()
 
 
+def conftest_sf_dir() -> str:
+    """Schema-donor dir for sweep helpers that outlive a single test's
+    fixture injection: same source of truth as the sf_dir fixture
+    (TEST_SF_DIR env override), never a hardcoded path."""
+    from conftest import SF_DIR
+
+    return SF_DIR
+
+
 def _pdf(spark, sf_dir, name):
     return registry.get(name).fn(spark, sf_dir).toPandas()
 
@@ -27,18 +36,42 @@ def test_price_volume_effects_reconcile_exactly(spark, sf_dir):
     assert (resid <= 0.05).all(), resid.max()
 
 
-def test_psi_nonnegative_and_zero_on_self(spark, sf_dir):
-    """PSI >= 0 always; comparing a window against itself must give ~0
-    (every bucket's p == q) -- checked by recomputing the operator's own
-    smoothed formula with ref == cur from raw events."""
+def test_psi_nonnegative_and_zero_on_self(spark, sf_dir, tmp_path):
+    """PSI >= 0 always; and on a fixture whose last week is a byte-copy of
+    its first week (same values, same times of day, shifted +35 days so
+    the windows land exactly on the two copies), the OPERATOR must return
+    psi == 0 for every event_type: identical per-bucket counts make every
+    (p-q)ln(p/q) term exactly 0 regardless of smoothing."""
     psi = _pdf(spark, sf_dir, "events_value_psi_weekly")
     assert (psi["psi"] >= 0).all()
     assert (psi["n_ref"] > 0).all() and (psi["n_cur"] > 0).all()
-    # self-comparison: identical counts => every term is exactly 0
-    # ((p-q)=0), regardless of smoothing
-    assert all(
-        round((0.0) * math.log(1.0), 6) == 0.0 for _ in range(1)
-    )  # formula sanity; the operator path is covered by the oracle
+
+    import datetime as dt
+
+    rows = []
+    eid = 0
+    for day in range(7):
+        for etype in ("view", "click"):
+            for k in range(12):
+                ts = dt.datetime(2024, 3, 1 + day, 8, k * 3)
+                rows.append((eid, ts, k % 5, etype, float(10 + day + k * 7 % 13), "{}"))
+                eid += 1
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    week1 = spark.createDataFrame(rows, schema)
+    week2 = week1.select(
+        (F.col("event_id") + 100000).alias("event_id"),
+        (F.col("ts") + F.expr("INTERVAL 35 DAYS")).alias("ts"),
+        "user_id", "event_type", "value", "props",
+    )
+    out = str(tmp_path / "self_psi")
+    week1.unionByName(week2).coalesce(1).write.parquet(f"{out}/events.parquet")
+    self_psi = _pdf(spark, out, "events_value_psi_weekly")
+    assert set(self_psi["event_type"]) == {"view", "click"}
+    assert (self_psi["n_ref"] == self_psi["n_cur"]).all()
+    assert (self_psi["psi"] == 0.0).all(), self_psi[["event_type", "psi"]]
 
 
 def test_cramers_v_bounds(spark, sf_dir):
@@ -126,7 +159,7 @@ def _degenerate_sweep(spark, tmp_path, n_rows):
     src = str(tmp_path / f"fixture_{n_rows}")
     for t in TABLE_NAMES:
         (
-            load_table(spark, "/root/testdata/sf0.001", t)
+            load_table(spark, conftest_sf_dir(), t)
             .limit(n_rows)
             .coalesce(1)
             .write.mode("overwrite")
@@ -196,7 +229,7 @@ def test_documents_oracles_agree_on_a_unicode_corpus(spark, tmp_path):
     for t in TABLE_NAMES:
         if t != "documents":
             (
-                load_table(spark, "/root/testdata/sf0.001", t)
+                load_table(spark, conftest_sf_dir(), t)
                 .limit(50)
                 .coalesce(1)
                 .write.mode("overwrite")
@@ -264,7 +297,7 @@ def test_documents_oracles_agree_on_a_null_laden_corpus(spark, tmp_path):
     for t in TABLE_NAMES:
         if t != "documents":
             (
-                load_table(spark, "/root/testdata/sf0.001", t)
+                load_table(spark, conftest_sf_dir(), t)
                 .limit(50)
                 .coalesce(1)
                 .write.mode("overwrite")
@@ -332,7 +365,7 @@ def test_json_payload_oracles_tolerate_malformed_props(spark, tmp_path):
     for t in TABLE_NAMES:
         if t != "events":
             (
-                load_table(spark, "/root/testdata/sf0.001", t)
+                load_table(spark, conftest_sf_dir(), t)
                 .limit(20)
                 .coalesce(1)
                 .write.mode("overwrite")
