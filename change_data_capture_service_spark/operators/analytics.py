@@ -2916,3 +2916,205 @@ def events_ab_lift_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ct / nt - cc / nc, 6).alias("abs_lift"),
         F.round(z, 4).alias("z_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 additions (X77): Markov clickstream views + power-user
+# concentration.
+# ---------------------------------------------------------------------------
+
+_MARKOV_SEQ = """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    tr AS (
+      SELECT prev_type AS from_type, event_type AS to_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT from_type, sum(n) AS t FROM tr GROUP BY 1
+    )
+"""
+
+
+@register(
+    "events_markov_next_event_topk",
+    tags=("analytics", "agg"),
+    oracle=_MARKOV_SEQ
+    + """
+    SELECT from_type, to_type, n,
+           round(CAST(n AS DOUBLE) / t, 6) AS prob,
+           CAST(rnk AS INT) AS rnk
+    FROM (
+      SELECT tr.from_type, tr.to_type, tr.n, tot.t,
+             row_number() OVER (
+               PARTITION BY tr.from_type ORDER BY tr.n DESC, tr.to_type ASC
+             ) AS rnk
+      FROM tr JOIN tot ON tr.from_type = tot.from_type
+    ) x
+    WHERE rnk <= 3
+    """,
+)
+def events_markov_next_event_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'What happens next': the top-3 next event types from each state of
+    the first-order Markov chain (the event_transitions matrix normalized
+    row-wise) -- the view product teams read as 'after a view, 62% click'.
+    Ranking is by exact transition COUNT (integer, no float ties), with
+    to_type as the deterministic tiebreak; probabilities are display
+    output.
+
+    Scale: the transition matrix is |types|^2 rows after one keyed window
+    pass over the fact table (the event_transitions shape); everything
+    downstream is dim-scale."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = (
+        e.select(
+            F.lag("event_type").over(w).alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .filter(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    tot = Window.partitionBy("from_type")
+    rnk = Window.partitionBy("from_type").orderBy(
+        F.col("n").desc(), F.col("to_type").asc()
+    )
+    return (
+        tr.withColumn("t", F.sum("n").over(tot))
+        .withColumn("rnk", F.row_number().over(rnk))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("t"), 6).alias("prob"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
+
+
+@register(
+    "events_markov_entropy",
+    tags=("analytics", "agg"),
+    oracle=_MARKOV_SEQ
+    + """
+    SELECT tr.from_type,
+           CAST(count(*) AS BIGINT) AS n_next_types,
+           CAST(max(tot.t) AS BIGINT) AS n_transitions,
+           round(max(CAST(tr.n AS DOUBLE) / tot.t), 6) AS top_prob,
+           round(-sum(CAST(
+             (CAST(tr.n AS DOUBLE) / tot.t) * ln(CAST(tr.n AS DOUBLE) / tot.t)
+             AS DECIMAL(20,15))), 6) AS entropy_nats
+    FROM tr JOIN tot ON tr.from_type = tot.from_type
+    GROUP BY tr.from_type
+    """,
+)
+def events_markov_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How predictable each clickstream state is: Shannon entropy (nats)
+    of the next-event distribution per from_type, with the modal
+    probability alongside. Entropy near 0 = deterministic funnels (one
+    dominant next step); near ln(|types|) = users scatter. Each p*ln(p)
+    term -- identical double arithmetic on both engines from exact
+    integer ratios -- snaps to DECIMAL(20,15) before the cross-type sum,
+    so the reduction is order-independent (the supplier_concentration_hhi
+    trick).
+
+    Scale: same |types|^2 transition matrix; the entropy fold is
+    dim-scale."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = (
+        e.select(
+            F.lag("event_type").over(w).alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .filter(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    tot = Window.partitionBy("from_type")
+    p = F.col("n").cast("double") / F.col("t")
+    return (
+        tr.withColumn("t", F.sum("n").over(tot))
+        .groupBy("from_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_next_types"),
+            F.max("t").cast("bigint").alias("n_transitions"),
+            F.round(F.max(p), 6).alias("top_prob"),
+            F.round(
+                -F.sum((p * F.log(p)).cast("decimal(20,15)")), 6
+            ).cast("double").alias("entropy_nats"),
+        )
+    )
+
+
+@register(
+    "events_power_users_pareto",
+    tags=("analytics", "agg"),
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1
+    ),
+    ranked AS (
+      SELECT cnt,
+             row_number() OVER (ORDER BY cnt DESC, user_id ASC) AS rn,
+             CAST(count(*) OVER () AS BIGINT) AS n_users,
+             sum(cnt) OVER () AS n_events,
+             sum(cnt) OVER (ORDER BY cnt DESC, user_id ASC
+                            ROWS UNBOUNDED PRECEDING) AS cum
+      FROM per_user
+    )
+    SELECT CAST(max(n_users) AS BIGINT) AS n_users,
+           CAST(max(n_events) AS BIGINT) AS n_events,
+           CAST(ceil(max(n_users) * 0.01) AS BIGINT) AS top1pct_users,
+           round(CAST(max(CASE WHEN rn = ceil(n_users * 0.01)
+                               THEN cum END) AS DOUBLE) / max(n_events), 6)
+             AS top1pct_share,
+           round(CAST(max(CASE WHEN rn = ceil(n_users * 0.1)
+                               THEN cum END) AS DOUBLE) / max(n_events), 6)
+             AS top10pct_share
+    FROM ranked
+    """,
+)
+def events_power_users_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic concentration: what share of all events the top 1% and top
+    10% most-active users generate (the '1% rule' health check every
+    engagement dashboard carries; heavy concentration means bot review,
+    flat concentration means broad engagement). Users rank by exact
+    event count with user_id tiebreak; shares are integer ratios.
+
+    Scale: the fact table reduces to |users| counts in one partial agg;
+    the ranking windows over that reduced relation only."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(F.count("*").cast("bigint").alias("cnt"))
+    w = Window.orderBy(F.col("cnt").desc(), F.col("user_id").asc())
+    ranked = (
+        per_user.withColumn("rn", F.row_number().over(w))
+        .withColumn("cum", F.sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("n_users", F.count("*").over(Window.partitionBy()))
+        .withColumn("n_events", F.sum("cnt").over(Window.partitionBy()))
+    )
+    at = lambda q: F.max(
+        F.when(
+            F.col("rn") == F.ceil(F.col("n_users") * q), F.col("cum")
+        )
+    )
+    return ranked.groupBy().agg(
+        F.max("n_users").cast("bigint").alias("n_users"),
+        F.max("n_events").cast("bigint").alias("n_events"),
+        F.ceil(F.max("n_users") * 0.01).cast("bigint").alias("top1pct_users"),
+        F.round(at(0.01).cast("double") / F.max("n_events"), 6).alias("top1pct_share"),
+        F.round(at(0.1).cast("double") / F.max("n_events"), 6).alias("top10pct_share"),
+    )

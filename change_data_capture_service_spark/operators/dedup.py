@@ -1165,3 +1165,348 @@ def dedup_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("edit_dist") <= 3)
         .orderBy("edit_dist", "name_a", "name_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 additions: multi-signal dedup diagnostics (X77). The LLM-curation
+# questions these answer: do text and embedding signals AGREE on what is a
+# duplicate; which member of a family should survive; what does dedup
+# actually buy in tokens; and where should the jaccard threshold sit.
+# ---------------------------------------------------------------------------
+
+_COS = (
+    "list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))"
+    " / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))"
+    " * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))"
+)
+
+
+@register(
+    "dedup_semantic_minhash_union",
+    tags=("dedup", "similarity", "northstar"),
+    oracle=_ORACLE_EXACT_JACCARD
+    + f"""
+    , j AS (
+      SELECT doc_id_a, doc_id_b,
+             round(CAST(c AS DOUBLE) / (na + nb - c), 6) AS jaccard,
+             CAST(c AS DOUBLE) / (na + nb - c) >= 0.8 AS is_text
+      FROM pairs
+      WHERE CAST(c AS DOUBLE) / (na + nb - c) >= 0.5
+    )
+    SELECT j.doc_id_a, j.doc_id_b, j.jaccard,
+           round({_COS}, 6) AS cosine,
+           CASE WHEN j.is_text AND {_COS} >= 0.35 THEN 'both'
+                WHEN j.is_text THEN 'text_only'
+                WHEN {_COS} >= 0.35 THEN 'embedding_only'
+                ELSE 'neither' END AS verdict
+    FROM j
+    JOIN embeddings a ON a.vec_id = j.doc_id_a
+    JOIN embeddings b ON b.vec_id = j.doc_id_b
+    """,
+)
+def dedup_semantic_minhash_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-AND-embedding agreement dedup: every shingle-blocked candidate
+    pair (exact n-gram jaccard >= 0.5, the dedup_ngram_jaccard universe)
+    scored on BOTH signals -- lexical jaccard and embedding cosine -- and
+    labeled both / text_only / embedding_only / neither. The curation
+    decision this feeds: 'text_only' pairs are templated boilerplate
+    (same words, different meaning-bearing content), 'embedding_only'
+    pairs are paraphrases lexical dedup misses, 'both' is safe to drop.
+
+    Scale: the pair space is the shingle equi-join's (never N^2); the two
+    embedding lookups are |pairs| broadcast-joins against the vectors
+    relation; cosines are JVM array folds on the pair rows only."""
+    from .similarity import _vectors
+
+    sh = _shingled_docs(spark, sf_dir)
+    ex = sh.select(
+        "doc_id", F.size("shingles").alias("n"), F.explode("shingles").alias("shingle")
+    )
+    a, b = ex.alias("a"), ex.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b"))
+        .agg(F.count("*").alias("c"), F.first("a.n").alias("na"), F.first("b.n").alias("nb"))
+    )
+    jacc = F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c"))
+    j = pairs.withColumn("jaccard_raw", jacc).filter(F.col("jaccard_raw") >= 0.5)
+
+    vec = _vectors(spark, sf_dir).select("vec_id", "v", "nrm")
+    va = vec.select(
+        F.col("vec_id").alias("a_id"), F.col("v").alias("va"), F.col("nrm").alias("na_")
+    )
+    vb = vec.select(
+        F.col("vec_id").alias("b_id"), F.col("v").alias("vb"), F.col("nrm").alias("nb_")
+    )
+    dot = F.expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+    cos = dot / (F.col("na_") * F.col("nb_"))
+    return (
+        j.join(va, j.doc_id_a == va.a_id)
+        .join(vb, j.doc_id_b == vb.b_id)
+        .withColumn("cosine_raw", cos)
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            F.round("jaccard_raw", 6).alias("jaccard"),
+            F.round("cosine_raw", 6).alias("cosine"),
+            F.when(
+                (F.col("jaccard_raw") >= 0.8) & (F.col("cosine_raw") >= 0.35), "both"
+            )
+            .when(F.col("jaccard_raw") >= 0.8, "text_only")
+            .when(F.col("cosine_raw") >= 0.35, "embedding_only")
+            .otherwise("neither")
+            .alias("verdict"),
+        )
+    )
+
+
+@register(
+    "docs_dedup_survivorship_quality",
+    tags=("dedup", "quality", "northstar"),
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({TOKENS}) AS tok FROM documents
+    ),
+    per_tok AS (
+      SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c, CAST(len(tok) AS BIGINT) AS l
+      FROM toks GROUP BY doc_id, tok
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(CASE WHEN sum(c) BETWEEN 10 AND 100000
+                        AND CAST(sum(l * c) AS DOUBLE) / sum(c) BETWEEN 2 AND 10
+                        AND CAST(count(*) AS DOUBLE) / sum(c) > 0.2
+                        AND CAST(max(c) AS DOUBLE) / sum(c) < 0.3
+                   THEN 1 ELSE 0 END AS INT) AS keep
+      FROM per_tok GROUP BY doc_id
+    ),
+    fam AS (
+      SELECT d.doc_id, md5(substr(d.text, 1, 100)) AS family_h,
+             coalesce(p.n_tokens, 0) AS n_tokens, coalesce(p.keep, 0) AS keep
+      FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+    ),
+    ranked AS (
+      SELECT *,
+             row_number() OVER (
+               PARTITION BY family_h
+               ORDER BY keep DESC, n_tokens DESC, doc_id ASC
+             ) AS rn,
+             CAST(count(*) OVER (PARTITION BY family_h) AS BIGINT) AS family_size
+      FROM fam
+    )
+    SELECT family_h, family_size,
+           CAST(max(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS survivor_doc_id,
+           CAST(max(CASE WHEN rn = 1 THEN keep END) AS INT) AS survivor_keep,
+           CAST(sum(keep) AS BIGINT) AS n_quality_pass,
+           CAST(max(CASE WHEN rn = 1 THEN n_tokens END) AS BIGINT) AS tokens_kept,
+           CAST(sum(CASE WHEN rn > 1 THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_dropped
+    FROM ranked
+    WHERE family_size >= 2
+    GROUP BY family_h, family_size
+    """,
+)
+def docs_dedup_survivorship_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware survivor pick: within each prefix-fingerprint dup
+    family (the dedup_family_size_dist grouping, size >= 2), the survivor
+    is the member that PASSES the Gopher gate, then the longest, then the
+    lowest doc_id -- instead of the naive min-doc_id pick that can keep a
+    truncated or mashed copy and drop the clean one. Per family: the
+    survivor, whether it passes quality, how many members pass, and the
+    token cost of the drop.
+
+    Scale: families shuffle 16-byte digests; the quality join is the
+    gopher per-doc aggregate (vocabulary-bounded); the in-family ranking
+    windows over family-sized groups."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    per_tok = (
+        d.select("doc_id", F.explode(_tokens()).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+        .withColumn("l", F.length("tok").cast("long"))
+    )
+    per_doc = per_tok.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("n_unique"),
+        F.max("c").alias("top_count"),
+        F.sum(F.col("l") * F.col("c")).alias("sum_len"),
+    )
+    mean_len = F.col("sum_len").cast("double") / F.col("n_tokens")
+    uniq = F.col("n_unique").cast("double") / F.col("n_tokens")
+    top = F.col("top_count").cast("double") / F.col("n_tokens")
+    keep = (
+        F.col("n_tokens").between(10, 100000)
+        & mean_len.between(2, 10)
+        & (uniq > 0.2)
+        & (top < 0.3)
+    ).cast("int")
+    q = per_doc.select("doc_id", "n_tokens", keep.alias("keep"))
+
+    fam = (
+        d.select("doc_id", F.md5(F.substring("text", 1, 100)).alias("family_h"))
+        .join(q, "doc_id", "left")
+        .select(
+            "doc_id",
+            "family_h",
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("keep", F.lit(0)).alias("keep"),
+        )
+    )
+    w = Window.partitionBy("family_h").orderBy(
+        F.col("keep").desc(), F.col("n_tokens").desc(), F.col("doc_id").asc()
+    )
+    ranked = fam.withColumn("rn", F.row_number().over(w)).withColumn(
+        "family_size", F.count("*").over(Window.partitionBy("family_h"))
+    )
+    return (
+        ranked.filter(F.col("family_size") >= 2)
+        .groupBy("family_h", F.col("family_size").cast("bigint").alias("family_size"))
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("doc_id")))
+            .cast("bigint")
+            .alias("survivor_doc_id"),
+            F.max(F.when(F.col("rn") == 1, F.col("keep")))
+            .cast("int")
+            .alias("survivor_keep"),
+            F.sum("keep").cast("bigint").alias("n_quality_pass"),
+            F.max(F.when(F.col("rn") == 1, F.col("n_tokens")))
+            .cast("bigint")
+            .alias("tokens_kept"),
+            F.sum(F.when(F.col("rn") > 1, F.col("n_tokens")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("tokens_dropped"),
+        )
+    )
+
+
+@register(
+    "docs_dedup_net_tokens_saved",
+    tags=("dedup", "agg"),
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, sha256(text) AS h,
+             CAST(len({TOKENS}) AS BIGINT) AS n_toks
+      FROM documents
+    ),
+    surv AS (
+      SELECT h, min(doc_id) AS keep_id FROM t GROUP BY h
+    )
+    SELECT t.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(t.n_toks) AS BIGINT) AS total_tokens,
+           CAST(sum(CASE WHEN t.doc_id <> s.keep_id THEN 1 ELSE 0 END) AS BIGINT)
+             AS dropped_docs,
+           CAST(sum(CASE WHEN t.doc_id <> s.keep_id THEN t.n_toks ELSE 0 END) AS BIGINT)
+             AS dropped_tokens,
+           round(CAST(sum(CASE WHEN t.doc_id <> s.keep_id THEN t.n_toks ELSE 0 END) AS DOUBLE)
+                 / greatest(sum(t.n_toks), 1), 6) AS pct_tokens_saved
+    FROM t JOIN surv s ON t.h = s.h
+    GROUP BY t.source
+    """,
+)
+def docs_dedup_net_tokens_saved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What exact dedup buys, in the currency that matters for a training
+    corpus: tokens. Per source, the docs and tokens that would be dropped
+    by content-hash dedup (min-doc_id survivor, the dedup_exact rule) and
+    the fraction of the source's token budget that saves.
+
+    Scale: the only shuffle moves 32-byte digests + a long per row; the
+    survivor map is |families| rows joined back by digest."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        "source",
+        F.sha2(F.col("text"), 256).alias("h"),
+        F.size(_tokens()).cast("bigint").alias("n_toks"),
+    )
+    surv = t.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
+    dropped = F.when(F.col("doc_id") != F.col("keep_id"), 1).otherwise(0)
+    dropped_toks = F.when(
+        F.col("doc_id") != F.col("keep_id"), F.col("n_toks")
+    ).otherwise(F.lit(0))
+    return (
+        t.join(surv, "h")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("total_tokens"),
+            F.sum(dropped).cast("bigint").alias("dropped_docs"),
+            F.sum(dropped_toks).cast("bigint").alias("dropped_tokens"),
+            F.round(
+                F.sum(dropped_toks).cast("double")
+                / F.greatest(F.sum("n_toks"), F.lit(1)),
+                6,
+            ).alias("pct_tokens_saved"),
+        )
+    )
+
+
+@register(
+    "docs_near_dup_band_profile",
+    tags=("dedup", "agg"),
+    oracle=_ORACLE_EXACT_JACCARD
+    + """
+    , j AS (
+      SELECT doc_id_a, doc_id_b, CAST(c AS DOUBLE) / (na + nb - c) AS jac
+      FROM pairs WHERE CAST(c AS DOUBLE) / (na + nb - c) >= 0.5
+    )
+    SELECT least(floor(j.jac * 10), 9) / 10 AS band_lo,
+           CAST(CASE WHEN da.source = db.source THEN 1 ELSE 0 END AS INT) AS same_source,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM j
+    JOIN documents da ON da.doc_id = j.doc_id_a
+    JOIN documents db ON db.doc_id = j.doc_id_b
+    GROUP BY 1, 2
+    """,
+)
+def docs_near_dup_band_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Where should the near-dup threshold sit: candidate pairs (jaccard
+    >= 0.5) histogrammed by jaccard band x same-source flag. A heavy
+    same-source 0.9+ band is template boilerplate (dedup aggressively); a
+    cross-source 0.5-0.7 mass is syndication (dedup carefully). The
+    identical double arithmetic (c/(na+nb-c), floor x10) runs on both
+    engines, so band edges agree bit-for-bit.
+
+    Scale: pair space bounded by the shingle equi-join; the two source
+    lookups broadcast the narrow documents projection; output is <= 20
+    rows forever."""
+    sh = _shingled_docs(spark, sf_dir)
+    ex = sh.select(
+        "doc_id", F.size("shingles").alias("n"), F.explode("shingles").alias("shingle")
+    )
+    a, b = ex.alias("a"), ex.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b"))
+        .agg(F.count("*").alias("c"), F.first("a.n").alias("na"), F.first("b.n").alias("nb"))
+    )
+    jac = F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c"))
+    j = pairs.withColumn("jac", jac).filter(F.col("jac") >= 0.5)
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    sa = src.select(F.col("doc_id").alias("a_id"), F.col("source").alias("src_a"))
+    sb = src.select(F.col("doc_id").alias("b_id"), F.col("source").alias("src_b"))
+    return (
+        j.join(F.broadcast(sa), j.doc_id_a == sa.a_id)
+        .join(F.broadcast(sb), j.doc_id_b == sb.b_id)
+        .groupBy(
+            (F.least(F.floor(F.col("jac") * 10), F.lit(9)) / 10).alias("band_lo"),
+            # CASE-shaped, not a bare ==: NULL sources must land in the 0
+            # bucket on both engines (a raw equality would emit a third
+            # NULL group here while the oracle's CASE folds it into ELSE)
+            F.when(F.col("src_a") == F.col("src_b"), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("same_source"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_pairs"))
+    )

@@ -2994,3 +2994,117 @@ def orders_price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 additions (X77): returns trend + operational skew.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lineitem_returns_by_month",
+    tags=("relational", "agg"),
+    oracle=f"""
+    SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS ship_month,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum({_REV}) AS DOUBLE) AS revenue,
+           CAST(sum(CASE WHEN l_returnflag = 'R' THEN {_REV}
+                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+             AS returned_revenue,
+           round(CAST(sum(CASE WHEN l_returnflag = 'R' THEN {_REV}
+                               ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                 / CAST(sum({_REV}) AS DOUBLE), 6) AS return_rate
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def lineitem_returns_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Return-rate trend: monthly revenue, returned ('R' flag) revenue,
+    and the returned share -- the merchandising panel that catches a bad
+    product batch as a rising line. Revenue is exact DECIMAL on both
+    engines; the rate divides the two exact sums once at the end.
+
+    Scale: single fact scan, |months| partial-agg states, month projects
+    map-side from the scan column."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ret = F.when(F.col("l_returnflag") == "R", _rev()).otherwise(
+        F.lit(0).cast("decimal(18,2)")
+    )
+    return (
+        li.groupBy(F.date_trunc("month", "l_shipdate").alias("ship_month"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_items"),
+            F.sum(_rev()).cast("double").alias("revenue"),
+            F.sum(ret).cast("double").alias("returned_revenue"),
+            F.round(
+                F.sum(ret).cast("double") / F.sum(_rev()).cast("double"), 6
+            ).alias("return_rate"),
+        )
+    )
+
+
+@register(
+    "orders_customer_concentration",
+    tags=("relational", "agg"),
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey, CAST(count(*) AS BIGINT) AS n FROM orders GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_customers,
+             CAST(sum(n) AS BIGINT) AS total_orders,
+             CAST(max(n) AS BIGINT) AS max_orders,
+             CAST(sum(n * n) AS BIGINT) AS sum_sq
+      FROM per_cust
+    )
+    SELECT t.n_customers, t.total_orders, t.max_orders,
+           (SELECT CAST(min(o_custkey) AS BIGINT) FROM per_cust
+            WHERE n = t.max_orders) AS top_custkey,
+           round(CAST(t.max_orders AS DOUBLE) / t.total_orders, 6) AS max_share,
+           round(CAST(t.sum_sq AS DOUBLE)
+                 / (CAST(t.total_orders AS DOUBLE) * t.total_orders), 6) AS hhi
+    FROM tot t
+    """,
+)
+def orders_customer_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Demand-concentration panel: how unevenly orders spread over
+    customers -- the biggest account's share and the Herfindahl index of
+    order volume, both from EXACT integers (hhi = sum(n_i^2)/total^2, no
+    float accumulation at all), so the reduction order cannot flap the
+    hash. High concentration = revenue keyed to few accounts (churn
+    risk); it is also the skew signal for partitioning on o_custkey.
+
+    Scale: orders reduce to |customers| counts in one partial agg; the
+    skew fold is a 1-row aggregate over that."""
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(F.count("*").cast("bigint").alias("n"))
+    tot = per_cust.agg(
+        F.count("*").cast("bigint").alias("n_customers"),
+        F.sum("n").cast("bigint").alias("total_orders"),
+        F.max("n").cast("bigint").alias("max_orders"),
+        F.sum(F.col("n") * F.col("n")).cast("bigint").alias("sum_sq"),
+    )
+    top = (
+        per_cust.join(
+            F.broadcast(tot.select(F.col("max_orders").alias("mo"))),
+            F.col("n") == F.col("mo"),
+        )
+        .agg(F.min("o_custkey").cast("bigint").alias("top_custkey"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(top))
+        .select(
+            "n_customers",
+            "total_orders",
+            "max_orders",
+            "top_custkey",
+            F.round(
+                F.col("max_orders").cast("double") / F.col("total_orders"), 6
+            ).alias("max_share"),
+            F.round(
+                F.col("sum_sq").cast("double")
+                / (F.col("total_orders").cast("double") * F.col("total_orders")),
+                6,
+            ).alias("hhi"),
+        )
+    )

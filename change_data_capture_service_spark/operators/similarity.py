@@ -1313,3 +1313,77 @@ def embedding_outlier_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame
         .orderBy(F.col("mdist").desc(), "vec_id")
         .limit(20)
     )
+
+
+@register(
+    "knn_label_purity",
+    tags=("similarity", "eval"),
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, q.label AS query_label, c.label AS n_label,
+             round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cosine,
+             c.vec_id AS neighbor_id
+      FROM v q JOIN v c ON q.vec_id < 50 AND c.vec_id <> q.vec_id
+    ),
+    topk AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+      ) AS rnk
+      FROM scored
+    )
+    SELECT query_id, CAST(max(query_label) AS INT) AS label,
+           CAST(count(*) AS BIGINT) AS n_neighbors,
+           round(CAST(sum(CASE WHEN n_label = query_label THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS purity
+    FROM topk WHERE rnk <= {TOP_K}
+    GROUP BY query_id
+    """,
+)
+def knn_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space quality probe: for each of 50 query vectors, the
+    fraction of its exact top-10 cosine neighbors that share its label --
+    the kNN-classifier sanity check run before trusting an embedding
+    column for clustering, dedup, or retrieval (purity near 1/|labels| =
+    the space carries no signal). Ranking matches knn_cosine_topk's
+    convention exactly: round(cosine, 6) descending, neighbor_id
+    tiebreak.
+
+    Scale: 50 broadcast queries x corpus scored map-side (JVM array
+    folds); the rank window partitions by query over queriesxcorpus rows
+    per partition reduced map-side -- same posture as the exact kNN
+    baseline, and the purity agg is |queries| rows."""
+    vec = _vectors(spark, sf_dir).localCheckpoint(eager=False)
+    q = vec.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    dot = F.expr("aggregate(zip_with(qv, v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+    scored = (
+        vec.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .withColumn("cosine", F.round(dot / (F.col("qnrm") * F.col("nrm")), 6))
+        .select("query_id", "query_label", F.col("label").alias("n_label"), "cosine", "vec_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .groupBy("query_id")
+        .agg(
+            F.max("query_label").cast("int").alias("label"),
+            F.count("*").cast("bigint").alias("n_neighbors"),
+            F.round(
+                F.sum((F.col("n_label") == F.col("query_label")).cast("int")).cast(
+                    "double"
+                )
+                / F.count("*"),
+                6,
+            ).alias("purity"),
+        )
+    )

@@ -122,6 +122,16 @@ _CHECK_ORDER = [
     "orders_price_volume_mix",
     # -- new in round 7 (filling the window to 50; appended as each lands) --
     "knn_cosine_ivf_pq_prebuilt",
+    "dedup_semantic_minhash_union",
+    "docs_dedup_survivorship_quality",
+    "docs_dedup_net_tokens_saved",
+    "docs_near_dup_band_profile",
+    "events_markov_next_event_topk",
+    "events_markov_entropy",
+    "events_power_users_pareto",
+    "knn_label_purity",
+    "lineitem_returns_by_month",
+    "orders_customer_concentration",
 ]
 # Provenance: the round-5 window, fully attested by CORRECTNESS_r05
 # (49 full hash-green + approx_topk rows-only-clean). Kept for the

@@ -112,6 +112,16 @@ _R7_CHECK_WINDOW = [
     "orders_price_volume_mix",
     # new in round 7 (appended as they are registered)
     "knn_cosine_ivf_pq_prebuilt",
+    "dedup_semantic_minhash_union",
+    "docs_dedup_survivorship_quality",
+    "docs_dedup_net_tokens_saved",
+    "docs_near_dup_band_profile",
+    "events_markov_next_event_topk",
+    "events_markov_entropy",
+    "events_power_users_pareto",
+    "knn_label_purity",
+    "lineitem_returns_by_month",
+    "orders_customer_concentration",
 ]
 
 

@@ -1,0 +1,105 @@
+"""Semantic invariants for the round-7 operator batch (multi-signal dedup
+diagnostics, Markov clickstream views, concentration panels, embedding
+eval) -- conservation laws and bounds hash parity can't express."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from change_data_capture_service_spark import registry
+from change_data_capture_service_spark.catalog import load_table
+
+registry.load_all()
+
+
+def _pdf(spark, sf_dir, name):
+    return registry.get(name).fn(spark, sf_dir).toPandas()
+
+
+def test_semantic_union_verdicts_consistent_with_scores(spark, sf_dir):
+    u = _pdf(spark, sf_dir, "dedup_semantic_minhash_union")
+    assert len(u) > 0  # the fixtures plant near-dup pairs
+    for _, r in u.iterrows():
+        text = r["jaccard"] >= 0.8
+        emb = r["cosine"] >= 0.35
+        want = (
+            "both" if text and emb else
+            "text_only" if text else
+            "embedding_only" if emb else "neither"
+        )
+        assert r["verdict"] == want, dict(r)
+    assert (u["jaccard"] >= 0.5).all()
+    assert u["cosine"].between(-1.000001, 1.000001).all()
+
+
+def test_survivorship_tokens_conserve_and_prefer_quality(spark, sf_dir):
+    s = _pdf(spark, sf_dir, "docs_dedup_survivorship_quality")
+    assert (s["family_size"] >= 2).all()
+    # the survivor's keep flag can only be 0 when NO family member passes
+    bad = s[(s["survivor_keep"] == 0) & (s["n_quality_pass"] > 0)]
+    assert bad.empty, bad
+    # family sizes here must match the family-size histogram's >=2 tail
+    hist = _pdf(spark, sf_dir, "dedup_family_size_dist")
+    tail = hist[hist["family_size"] >= 2]
+    assert int(tail["n_families"].sum()) == len(s)
+
+
+def test_net_tokens_saved_conserves_totals(spark, sf_dir):
+    t = _pdf(spark, sf_dir, "docs_dedup_net_tokens_saved")
+    d = load_table(spark, sf_dir, "documents")
+    assert int(t["n_docs"].sum()) == d.count()
+    assert (t["dropped_tokens"] <= t["total_tokens"]).all()
+    assert (t["dropped_docs"] <= t["n_docs"]).all()
+    assert t["pct_tokens_saved"].between(0, 1).all()
+
+
+def test_band_profile_covers_exactly_the_ngram_pairs(spark, sf_dir):
+    bands = _pdf(spark, sf_dir, "docs_near_dup_band_profile")
+    pairs = _pdf(spark, sf_dir, "dedup_ngram_jaccard")
+    assert int(bands["n_pairs"].sum()) == len(pairs)
+    assert set(bands["same_source"]) <= {0, 1}
+    assert bands["band_lo"].between(0.5, 0.9).all()
+
+
+def test_markov_topk_probs_and_entropy_bounds(spark, sf_dir):
+    topk = _pdf(spark, sf_dir, "events_markov_next_event_topk")
+    assert (topk.groupby("from_type")["rnk"].max() <= 3).all()
+    assert topk["prob"].between(0, 1).all()
+    ent = _pdf(spark, sf_dir, "events_markov_entropy").set_index("from_type")
+    assert (ent["entropy_nats"] >= -1e-9).all()
+    # H <= ln(number of observed next states), per state
+    for ft, r in ent.iterrows():
+        assert r["entropy_nats"] <= math.log(r["n_next_types"]) + 1e-6, ft
+    # modal probability agrees with the top-1 of the topk view
+    top1 = topk[topk["rnk"] == 1].set_index("from_type")["prob"]
+    for ft in ent.index:
+        assert abs(ent.loc[ft, "top_prob"] - top1[ft]) < 1e-9
+
+
+def test_power_users_pareto_shares_are_ordered(spark, sf_dir):
+    p = _pdf(spark, sf_dir, "events_power_users_pareto").iloc[0]
+    assert 0 < p["top1pct_share"] <= p["top10pct_share"] <= 1.0
+    ev = load_table(spark, sf_dir, "events")
+    assert int(p["n_events"]) == ev.count()
+    assert int(p["n_users"]) == ev.select("user_id").distinct().count()
+
+
+def test_label_purity_beats_random_on_clustered_fixture(spark, sf_dir):
+    pur = _pdf(spark, sf_dir, "knn_label_purity")
+    assert len(pur) == 50
+    assert pur["purity"].between(0, 1).all()
+    n_labels = load_table(spark, sf_dir, "embeddings").select("label").distinct().count()
+    # the fixture embeds label clusters; mean purity must beat random
+    assert pur["purity"].mean() > 1.0 / n_labels
+
+
+def test_returns_by_month_rates_and_concentration_bounds(spark, sf_dir):
+    m = _pdf(spark, sf_dir, "lineitem_returns_by_month")
+    assert (m["returned_revenue"] <= m["revenue"] + 1e-6).all()
+    assert m["return_rate"].between(0, 1).all()
+    c = _pdf(spark, sf_dir, "orders_customer_concentration").iloc[0]
+    n = c["n_customers"]
+    assert 1.0 / n - 1e-9 <= c["hhi"] <= 1.0  # HHI in [1/n, 1]
+    assert c["max_share"] * c["max_share"] <= c["hhi"] + 1e-9
