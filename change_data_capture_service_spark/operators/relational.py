@@ -3077,7 +3077,14 @@ def orders_customer_concentration(spark: SparkSession, sf_dir: str) -> DataFrame
     Scale: orders reduce to |customers| counts in one partial agg; the
     skew fold is a 1-row aggregate over that."""
     o = load_table(spark, sf_dir, "orders")
-    per_cust = o.groupBy("o_custkey").agg(F.count("*").cast("bigint").alias("n"))
+    # |customers|-row reduction consumed by THREE branches (tot, top, and
+    # the final projection): lazy-materialize once instead of re-scanning
+    # orders per branch
+    per_cust = (
+        o.groupBy("o_custkey")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .localCheckpoint(eager=False)
+    )
     tot = per_cust.agg(
         F.count("*").cast("bigint").alias("n_customers"),
         F.sum("n").cast("bigint").alias("total_orders"),

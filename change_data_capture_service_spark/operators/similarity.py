@@ -1354,9 +1354,10 @@ def knn_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiebreak.
 
     Scale: 50 broadcast queries x corpus scored map-side (JVM array
-    folds); the rank window partitions by query over queriesxcorpus rows
-    per partition reduced map-side -- same posture as the exact kNN
-    baseline, and the purity agg is |queries| rows."""
+    folds), then the knn_cosine_topk two-stage reduction -- a LOCAL
+    top-k per (query, partition) via mapInPandas BEFORE the global rank
+    window, so the shuffle carries partitions x queries x k narrow rows
+    regardless of corpus size; the purity agg is |queries| rows."""
     vec = _vectors(spark, sf_dir).localCheckpoint(eager=False)
     q = vec.filter(F.col("vec_id") < 50).select(
         F.col("vec_id").alias("query_id"),
@@ -1370,9 +1371,32 @@ def knn_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cosine", F.round(dot / (F.col("qnrm") * F.col("nrm")), 6))
         .select("query_id", "query_label", F.col("label").alias("n_label"), "cosine", "vec_id")
     )
+
+    def _head_k(pdf: pd.DataFrame) -> pd.DataFrame:
+        return (
+            pdf.sort_values(
+                ["query_id", "cosine", "vec_id"], ascending=[True, False, True]
+            )
+            .groupby("query_id", sort=False)
+            .head(TOP_K)
+        )
+
+    def _local_topk(batches):
+        frames: list[pd.DataFrame] = []
+        pending = 0
+        for pdf in batches:
+            frames.append(pdf)
+            pending += len(pdf)
+            if pending > 64_000:
+                frames = [_head_k(pd.concat(frames, ignore_index=True))]
+                pending = len(frames[0])
+        if frames:
+            yield _head_k(pd.concat(frames, ignore_index=True))
+
+    local = scored.mapInPandas(_local_topk, schema=scored.schema)
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return (
-        scored.withColumn("rnk", F.row_number().over(w))
+        local.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= TOP_K)
         .groupBy("query_id")
         .agg(
