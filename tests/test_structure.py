@@ -41,7 +41,7 @@ def test_every_operator_documents_itself():
 
 
 def test_rows_only_set_is_exactly_the_documented_one():
-    """COVERAGE.md promises 16 rows-only keys; a new oracle-less key must
+    """COVERAGE.md promises 17 rows-only keys; a new oracle-less key must
     be a deliberate decision, not a forgotten oracle."""
     rows_only = {name for name, e in registry.entries().items() if e.oracle is None}
     assert rows_only == {
@@ -55,6 +55,7 @@ def test_rows_only_set_is_exactly_the_documented_one():
         "knn_cosine_lsh",
         "knn_cosine_pq",
         "knn_cosine_ivf_pq",
+        "knn_cosine_ivf_pq_prebuilt",  # same ANN family; recall+determinism gates in test_ann_index
         "agg_hll_rollup",
         "multimodal_frame_sample",
         "approx_topk",
