@@ -3118,3 +3118,56 @@ def events_power_users_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(at(0.01).cast("double") / F.max("n_events"), 6).alias("top1pct_share"),
         F.round(at(0.1).cast("double") / F.max("n_events"), 6).alias("top10pct_share"),
     )
+
+
+@register(
+    "events_hourly_activity_entropy",
+    tags=("analytics", "agg"),
+    oracle="""
+    WITH hc AS (
+      SELECT event_type, CAST(extract(hour FROM ts) AS INT) AS hr,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT event_type, sum(n) AS t FROM hc GROUP BY 1
+    )
+    SELECT hc.event_type,
+           CAST(count(*) AS BIGINT) AS n_active_hours,
+           CAST(max(tot.t) AS BIGINT) AS n_events,
+           round(max(CAST(hc.n AS DOUBLE) / tot.t), 6) AS peak_hour_share,
+           round(-sum(CAST(
+             (CAST(hc.n AS DOUBLE) / tot.t) * ln(CAST(hc.n AS DOUBLE) / tot.t)
+             AS DECIMAL(20,15))), 6) AS entropy_nats
+    FROM hc JOIN tot ON hc.event_type = tot.event_type
+    GROUP BY hc.event_type
+    """,
+)
+def events_hourly_activity_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diurnal concentration per event type: Shannon entropy of the
+    hour-of-day distribution (24 cells). Near ln(24) = traffic spread
+    around the clock (global audience or bots); low = a sharp daily peak
+    (single-timezone humans) -- the complement of events_peak_hour_by_type
+    that one number can't give. Each p*ln(p) term from exact integer
+    ratios snaps to DECIMAL(20,15) before the sum (order-independent).
+
+    Scale: ONE |types|x24-state partial agg over the fact scan;
+    everything after is dim-scale."""
+    e = load_table(spark, sf_dir, "events")
+    hc = e.groupBy(
+        "event_type", F.hour("ts").cast("int").alias("hr")
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    tot = Window.partitionBy("event_type")
+    p = F.col("n").cast("double") / F.col("t")
+    return (
+        hc.withColumn("t", F.sum("n").over(tot))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_active_hours"),
+            F.max("t").cast("bigint").alias("n_events"),
+            F.round(F.max(p), 6).alias("peak_hour_share"),
+            F.round(
+                -F.sum((p * F.log(p)).cast("decimal(20,15)")), 6
+            ).cast("double").alias("entropy_nats"),
+        )
+    )

@@ -1510,3 +1510,97 @@ def docs_near_dup_band_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").cast("bigint").alias("n_pairs"))
     )
+
+
+@register(
+    "dedup_exact_vs_near_overlap",
+    tags=("dedup", "agg"),
+    oracle=_ORACLE_EXACT_JACCARD
+    + """
+    , near AS (
+      SELECT doc_id_a, doc_id_b FROM pairs
+      WHERE CAST(c AS DOUBLE) / (na + nb - c) >= 0.8
+    ),
+    fam AS (
+      SELECT sha256(text) AS h, CAST(count(*) AS BIGINT) AS n
+      FROM documents GROUP BY 1
+    ),
+    exact_cnt AS (
+      SELECT CAST(coalesce(sum(n * (n - 1) / 2), 0) AS BIGINT) AS exact_pairs
+      FROM fam WHERE n >= 2
+    ),
+    nearx AS (
+      SELECT CAST(count(*) AS BIGINT) AS near_pairs,
+             CAST(sum(CASE WHEN da.h2 = db.h2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS near_and_exact
+      FROM near
+      JOIN (SELECT doc_id, sha256(text) AS h2 FROM documents) da
+        ON da.doc_id = near.doc_id_a
+      JOIN (SELECT doc_id, sha256(text) AS h2 FROM documents) db
+        ON db.doc_id = near.doc_id_b
+    )
+    SELECT exact_cnt.exact_pairs, nearx.near_pairs, nearx.near_and_exact,
+           CAST(nearx.near_pairs - nearx.near_and_exact AS BIGINT)
+             AS near_only_pairs
+    FROM exact_cnt, nearx
+    """,
+)
+def dedup_exact_vs_near_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What near-dup adds over exact dedup, in one row: content-hash
+    duplicate pairs (sum of C(n,2) over sha families), jaccard>=0.8
+    near-dup pairs, their overlap, and the near-ONLY remainder -- the
+    marginal value of running the expensive pass. A near_only count of 0
+    means exact dedup already catches everything and the minhash stage
+    can be skipped for this corpus.
+
+    Scale: exact side shuffles digests; near side is the shingle-blocked
+    pair space; the overlap join touches |near_pairs| rows."""
+    d = load_table(spark, sf_dir, "documents")
+    fam = d.groupBy(F.sha2("text", 256).alias("h")).agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    ex = fam.filter(F.col("n") >= 2).agg(
+        F.coalesce(F.sum(F.col("n") * (F.col("n") - 1) / 2), F.lit(0))
+        .cast("bigint")
+        .alias("exact_pairs")
+    )
+
+    sh = _shingled_docs(spark, sf_dir)
+    exd = sh.select(
+        "doc_id", F.size("shingles").alias("n"), F.explode("shingles").alias("shingle")
+    )
+    a, b = exd.alias("a"), exd.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b"))
+        .agg(F.count("*").alias("c"), F.first("a.n").alias("na"), F.first("b.n").alias("nb"))
+    )
+    near = pairs.filter(
+        F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c")) >= 0.8
+    ).select("doc_id_a", "doc_id_b")
+
+    hashes = d.select("doc_id", F.sha2("text", 256).alias("h2"))
+    ha = hashes.select(F.col("doc_id").alias("a_id"), F.col("h2").alias("h_a"))
+    hb = hashes.select(F.col("doc_id").alias("b_id"), F.col("h2").alias("h_b"))
+    nearx = (
+        near.join(F.broadcast(ha), near.doc_id_a == ha.a_id)
+        .join(F.broadcast(hb), near.doc_id_b == hb.b_id)
+        .agg(
+            F.count("*").cast("bigint").alias("near_pairs"),
+            F.sum(F.when(F.col("h_a") == F.col("h_b"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("near_and_exact"),
+        )
+    )
+    return ex.crossJoin(F.broadcast(nearx)).select(
+        "exact_pairs",
+        "near_pairs",
+        "near_and_exact",
+        (F.col("near_pairs") - F.col("near_and_exact"))
+        .cast("bigint")
+        .alias("near_only_pairs"),
+    )

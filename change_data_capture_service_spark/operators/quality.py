@@ -820,3 +820,79 @@ def quality_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "docs_quality_pass_rate_by_source_lang",
+    tags=("quality", "agg"),
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({TOKENS}) AS tok FROM documents
+    ),
+    per_tok AS (
+      SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c, CAST(len(tok) AS BIGINT) AS l
+      FROM toks GROUP BY doc_id, tok
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             CAST(CASE WHEN sum(c) BETWEEN 10 AND 100000
+                        AND CAST(sum(l * c) AS DOUBLE) / sum(c) BETWEEN 2 AND 10
+                        AND CAST(count(*) AS DOUBLE) / sum(c) > 0.2
+                        AND CAST(max(c) AS DOUBLE) / sum(c) < 0.3
+                   THEN 1 ELSE 0 END AS INT) AS keep
+      FROM per_tok GROUP BY doc_id
+    )
+    SELECT d.source, d.lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(coalesce(p.keep, 0)) AS BIGINT) AS n_pass,
+           round(CAST(sum(coalesce(p.keep, 0)) AS DOUBLE) / count(*), 6)
+             AS pass_rate
+    FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+    GROUP BY d.source, d.lang
+    """,
+)
+def docs_quality_pass_rate_by_source_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation slicing grid: Gopher-gate pass rate per (source,
+    lang) cell -- which crawl sources and languages are worth keeping at
+    current thresholds, and where the gate disproportionately drops a
+    language (the fairness review every filtered-corpus report includes).
+    Docs too short to tokenize count as fails (coalesce 0), matching the
+    gate's intent.
+
+    Scale: the gopher per-doc agg is vocabulary-bounded; the rollup is
+    one |sources x langs|-state partial agg."""
+    d = load_table(spark, sf_dir, "documents")
+    per_tok = (
+        d.select("doc_id", F.explode(_tokens()).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+        .withColumn("l", F.length("tok").cast("long"))
+    )
+    per_doc = per_tok.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("n_unique"),
+        F.max("c").alias("top_count"),
+        F.sum(F.col("l") * F.col("c")).alias("sum_len"),
+    )
+    mean_len = F.col("sum_len").cast("double") / F.col("n_tokens")
+    uniq = F.col("n_unique").cast("double") / F.col("n_tokens")
+    top = F.col("top_count").cast("double") / F.col("n_tokens")
+    keep = (
+        F.col("n_tokens").between(10, 100000)
+        & mean_len.between(2, 10)
+        & (uniq > 0.2)
+        & (top < 0.3)
+    ).cast("int")
+    q = per_doc.select("doc_id", keep.alias("keep"))
+    return (
+        d.select("doc_id", "source", "lang")
+        .join(q, "doc_id", "left")
+        .groupBy("source", "lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.coalesce("keep", F.lit(0))).cast("bigint").alias("n_pass"),
+            F.round(
+                F.sum(F.coalesce("keep", F.lit(0))).cast("double") / F.count("*"), 6
+            ).alias("pass_rate"),
+        )
+    )

@@ -132,6 +132,9 @@ _CHECK_ORDER = [
     "knn_label_purity",
     "lineitem_returns_by_month",
     "orders_customer_concentration",
+    "dedup_exact_vs_near_overlap",
+    "docs_quality_pass_rate_by_source_lang",
+    "events_hourly_activity_entropy",
 ]
 # Provenance: the round-5 window, fully attested by CORRECTNESS_r05
 # (49 full hash-green + approx_topk rows-only-clean). Kept for the

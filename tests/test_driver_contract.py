@@ -122,6 +122,9 @@ _R7_CHECK_WINDOW = [
     "knn_label_purity",
     "lineitem_returns_by_month",
     "orders_customer_concentration",
+    "dedup_exact_vs_near_overlap",
+    "docs_quality_pass_rate_by_source_lang",
+    "events_hourly_activity_entropy",
 ]
 
 

@@ -103,3 +103,33 @@ def test_returns_by_month_rates_and_concentration_bounds(spark, sf_dir):
     n = c["n_customers"]
     assert 1.0 / n - 1e-9 <= c["hhi"] <= 1.0  # HHI in [1/n, 1]
     assert c["max_share"] * c["max_share"] <= c["hhi"] + 1e-9
+
+
+def test_exact_vs_near_overlap_counts_consistent(spark, sf_dir):
+    o = _pdf(spark, sf_dir, "dedup_exact_vs_near_overlap").iloc[0]
+    assert o["near_and_exact"] <= o["near_pairs"]
+    assert o["near_and_exact"] <= max(o["exact_pairs"], o["near_pairs"])
+    assert o["near_only_pairs"] == o["near_pairs"] - o["near_and_exact"]
+    # the near-pair count must equal the >=0.8 slice of the exact-jaccard op
+    nj = _pdf(spark, sf_dir, "dedup_ngram_jaccard")
+    assert int(o["near_pairs"]) == int((nj["jaccard"] >= 0.8).sum())
+
+
+def test_quality_pass_rate_grid_conserves_docs(spark, sf_dir):
+    g = _pdf(spark, sf_dir, "docs_quality_pass_rate_by_source_lang")
+    d = load_table(spark, sf_dir, "documents")
+    assert int(g["n_docs"].sum()) == d.count()
+    assert (g["n_pass"] <= g["n_docs"]).all()
+    assert g["pass_rate"].between(0, 1).all()
+    # grid totals must agree with the per-doc gopher gate
+    q = _pdf(spark, sf_dir, "quality_gopher_rules")
+    assert int(g["n_pass"].sum()) == int(q["keep"].sum())
+
+
+def test_hourly_entropy_bounds(spark, sf_dir):
+    ent = _pdf(spark, sf_dir, "events_hourly_activity_entropy")
+    assert (ent["n_active_hours"] <= 24).all()
+    assert (ent["entropy_nats"] >= -1e-9).all()
+    for _, r in ent.iterrows():
+        assert r["entropy_nats"] <= math.log(max(r["n_active_hours"], 1)) + 1e-6
+        assert r["peak_hour_share"] >= 1.0 / max(r["n_active_hours"], 1) - 1e-9
