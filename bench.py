@@ -45,6 +45,8 @@ EXTENDED = [
     "attribution_last_touch",    # round-5: as-of window (row-linear family)
     "events_value_psi_weekly",   # round-6: two-pass drift gate (edge fit + bucket)
     "stream_join_view_maintenance",  # round-6: incremental join-view (2-epoch IVM)
+    "dedup_semantic_minhash_union",  # round-7: shingle-blocked pairs + 2 vector lookups
+    "events_markov_next_event_topk", # round-7: one user-keyed window pass + dim-scale rank
 ]
 
 
