@@ -61,25 +61,70 @@ def build_ann_index(
 ) -> dict:
     """Fit + encode + persist. ``corpus`` must carry (vec_id, v, nrm) as
     produced by ``similarity._vectors``. Returns the meta dict. The build
-    is deterministic for a given corpus: seeded k-means, seeded PQ
-    training on an ordered sample, argmin tiebreak by position."""
+    is deterministic for a given corpus: both quantizers (coarse cells
+    AND residual codebooks) train driver-side with seeded vectorized
+    Lloyd's on the same ordered bounded sample -- quantizer quality needs
+    thousands of rows, not the corpus, and a driver fit costs ZERO Spark
+    jobs where the in-cluster k-means this replaced ran ~10 sequential
+    fit iterations of pure launch latency. Cell assignment of the full
+    corpus is one JVM argmin over the broadcast centroids (the same
+    expression shape as the PQ encode); argmin ties break by position."""
     import numpy as np
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
 
     index_dir = index_dir.rstrip("/")
-    n_avail = len(corpus.take(16))
-    n_cells = max(2, min(n_cells, n_avail))  # KMeans needs 2 <= k <= points
-    vec = corpus.localCheckpoint()  # fit + assign + sample + encode reuse it
+    vec = corpus.localCheckpoint()  # assign + sample + encode reuse it
 
-    km = KMeans(k=n_cells, seed=42, featuresCol="fv", predictionCol="cell", maxIter=10)
-    model = km.fit(vec.withColumn("fv", array_to_vector(F.col("v"))).select("fv"))
-    assigned = model.transform(
-        vec.withColumn("fv", array_to_vector(F.col("v")))
-    ).select("vec_id", "v", "nrm", "cell")
-    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    # deterministic UNBIASED sample: order by a hash of the id, not the id
+    # itself -- an id-ordered prefix is biased whenever insertion order
+    # correlates with content (labels clustering in id ranges would starve
+    # whole clusters of centroids); hashing keeps determinism without the
+    # correlation
+    fit = np.asarray(
+        vec.orderBy(F.md5(F.col("vec_id").cast("string")))
+        .limit(n_sample)
+        .select("v")
+        .toPandas()["v"]
+        .tolist(),
+        dtype=np.float64,
+    )
+    n_cells = max(2, min(n_cells, len(fit)))  # tiny corpus: 2 <= k <= points
+    # seeded k-means++ init (Arthur & Vassilvitskii 2007, public): random
+    # init loses ~0.2 recall@10 vs a spread seeding on clustered data
+    rng0 = np.random.default_rng(7)
+    first = int(rng0.integers(len(fit)))
+    cents0 = fit[first][None, :]
+    d2min = ((fit - cents0[0]) ** 2).sum(axis=1)
+    while len(cents0) < n_cells:
+        probs = d2min / d2min.sum() if d2min.sum() > 0 else None
+        nxt = int(rng0.choice(len(fit), p=probs))
+        cents0 = np.vstack([cents0, fit[nxt]])
+        d2min = np.minimum(d2min, ((fit - fit[nxt]) ** 2).sum(axis=1))
+    for _ in range(15):
+        d2 = ((fit[:, None, :] - cents0[None, :, :]) ** 2).sum(axis=2)
+        assign0 = d2.argmin(axis=1)
+        for c in range(n_cells):
+            pts = fit[assign0 == c]
+            if len(pts):
+                cents0[c] = pts.mean(axis=0)
+    centroids = [list(map(float, c)) for c in cents0]
     cent_df = spark.createDataFrame(
         [(i, c) for i, c in enumerate(centroids)], "cell int, centroid array<double>"
+    )
+    # full-corpus cell assignment: JVM argmin over the broadcast centroids
+    cell_dists = (
+        "transform(cents, c -> aggregate(zip_with(v, c,"
+        " (x, y) -> (x - y) * (x - y)), 0D, (a, x) -> a + x))"
+    )
+    cents_one = spark.createDataFrame(
+        [(centroids,)], "cents array<array<double>>"
+    )
+    assigned = (
+        vec.join(F.broadcast(cents_one))
+        .withColumn(
+            "cell",
+            F.expr(f"int(array_position({cell_dists}, array_min({cell_dists})) - 1)"),
+        )
+        .select("vec_id", "v", "nrm", "cell")
     )
 
     # residual codebooks: driver-side vectorized Lloyd's on an ordered sample
