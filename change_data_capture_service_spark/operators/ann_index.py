@@ -26,7 +26,7 @@ the two halves:
 probe the n_probe nearest cells per query, prune the codes scan to the
 union of probed cells, ADC-score (per-query LUTs over the codebooks,
 q.v = q.c_cell + q.r decomposition per Jegou et al. 2011 IVFADC, public
-paper), shortlist 3k, exact-rerank against the corpus (raw vectors live
+paper), shortlist 30k, exact-rerank against the corpus (raw vectors live
 in the corpus table, not the index -- the index stays ~16 bytes/vector).
 
 Queries cost launch latency + pruned code scan + |shortlist| raw-vector
@@ -216,7 +216,12 @@ def query_ann_index(
     if meta is None:
         raise FileNotFoundError(f"no ANN index at {index_dir} (run build_ann_index)")
     n_probe = min(n_probe, meta["n_cells"])
-    shortlist = 3 * top_k
+    # rerank shortlist: the recall lever of the ADC family. Measured at
+    # sf0.1 (5k vectors, 6/16 cells probed): recall@10 = 0.32 at 3k,
+    # 0.52 at 10k, 0.64 at 30k vs the 0.70 IVF ceiling -- the exact
+    # rerank recovers whatever the shortlist retains, and 30k raw-vector
+    # lookups per query is still ~300 rows against a keyed corpus.
+    shortlist = 30 * top_k
 
     cent_df = spark.read.parquet(f"{index_dir}/centroids")
     cent_rows = spark.read.parquet(f"{index_dir}/codebooks")

@@ -443,7 +443,7 @@ def knn_cosine_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     import numpy as np
 
-    m, ksub, shortlist = 8, 16, 3 * TOP_K
+    m, ksub, shortlist = 8, 16, 30 * TOP_K  # rerank recall lever; see ann_index.py
     d_sub = 8  # 64 / m
     vec = _vectors(spark, sf_dir).localCheckpoint()  # reused 3 times
 
@@ -937,7 +937,7 @@ def knn_cosine_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     n_cells = max(2, min(16, _n_avail))  # tiny corpus: k <= points, k >= 2
     n_probe = min(6, n_cells)
-    m, ksub, d_sub, shortlist = 8, 16, 8, 3 * TOP_K
+    m, ksub, d_sub, shortlist = 8, 16, 8, 30 * TOP_K  # rerank recall lever; see ann_index.py
     vec = _vectors(spark, sf_dir).localCheckpoint()  # reused by fit/encode/rerank
 
     km = KMeans(k=n_cells, seed=42, featuresCol="fv", predictionCol="cell", maxIter=10)
