@@ -316,7 +316,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode-shingles-and-equi-join shape. Pairs sharing zero shingles are
     never formed, so cost is sum over shingles of (docs-per-shingle)² --
     the exact-but-scalable baseline the MinHash path approximates."""
-    sh = _shingled_docs(spark, sf_dir)
+    # materialize-once: the self-join consumes the shingle relation on
+    # BOTH sides, so without a checkpoint the CPU-heavy tokenize+shingle
+    # pass runs twice (measured 5x wall-clock on the sf0.1 corpus)
+    sh = _shingled_docs(spark, sf_dir).localCheckpoint(eager=False)
     ex = sh.select(
         "doc_id", F.size("shingles").alias("n"), F.explode("shingles").alias("shingle")
     )
@@ -1218,7 +1221,7 @@ def dedup_semantic_minhash_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     relation; cosines are JVM array folds on the pair rows only."""
     from .similarity import _vectors
 
-    sh = _shingled_docs(spark, sf_dir)
+    sh = _shingled_docs(spark, sf_dir).localCheckpoint(eager=False)  # both join sides
     ex = sh.select(
         "doc_id", F.size("shingles").alias("n"), F.explode("shingles").alias("shingle")
     )
@@ -1476,7 +1479,7 @@ def docs_near_dup_band_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: pair space bounded by the shingle equi-join; the two source
     lookups broadcast the narrow documents projection; output is <= 20
     rows forever."""
-    sh = _shingled_docs(spark, sf_dir)
+    sh = _shingled_docs(spark, sf_dir).localCheckpoint(eager=False)  # both join sides
     ex = sh.select(
         "doc_id", F.size("shingles").alias("n"), F.explode("shingles").alias("shingle")
     )
@@ -1565,7 +1568,7 @@ def dedup_exact_vs_near_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("exact_pairs")
     )
 
-    sh = _shingled_docs(spark, sf_dir)
+    sh = _shingled_docs(spark, sf_dir).localCheckpoint(eager=False)  # both join sides
     exd = sh.select(
         "doc_id", F.size("shingles").alias("n"), F.explode("shingles").alias("shingle")
     )
