@@ -29,6 +29,11 @@ q.v = q.c_cell + q.r decomposition per Jegou et al. 2011 IVFADC, public
 paper), shortlist 30k, exact-rerank against the corpus (raw vectors live
 in the corpus table, not the index -- the index stays ~16 bytes/vector).
 
+``extend_ann_index(spark, new_vectors, index_dir)`` -- the delta path:
+encode ONLY the new vectors with the existing (immutable) quantizers and
+append to the cell partitions; re-cluster only when measured recall
+drifts.
+
 Queries cost launch latency + pruned code scan + |shortlist| raw-vector
 lookups; the k-means fit, the codebook training, and the full-corpus
 encode all happen once at build time. Staleness is observable: the meta
@@ -49,6 +54,51 @@ from .similarity import N_QUERIES, TOP_K, _vectors
 
 _M, _KSUB, _DSUB = 8, 16, 8  # 8 subspaces x 16 centroids over 64 dims
 _META = "_ANN_META.json"
+
+
+def _assign_cells(spark: SparkSession, vec: DataFrame, centroids: list) -> DataFrame:
+    """Cell assignment: one JVM argmin over the broadcast centroids (ties
+    break by position, same convention as the PQ encode)."""
+    cell_dists = (
+        "transform(cents, c -> aggregate(zip_with(v, c,"
+        " (x, y) -> (x - y) * (x - y)), 0D, (a, x) -> a + x))"
+    )
+    cents_one = spark.createDataFrame([(centroids,)], "cents array<array<double>>")
+    return (
+        vec.join(F.broadcast(cents_one))
+        .withColumn(
+            "cell",
+            F.expr(f"int(array_position({cell_dists}, array_min({cell_dists})) - 1)"),
+        )
+        .select("vec_id", "v", "nrm", "cell")
+    )
+
+
+def _encode_residuals(
+    spark: SparkSession, assigned: DataFrame, cent_df: DataFrame, luts: dict
+) -> DataFrame:
+    """Residual PQ encode: residual vs cell centroid, then the nearest
+    residual-codebook centroid per subspace as a JVM argmin over the
+    broadcast codebooks. Shared by the initial build and the delta
+    extend (a delta must encode with the EXISTING quantizers)."""
+    cb = spark.createDataFrame(
+        [tuple([luts[j] for j in range(_M)])],
+        ", ".join(f"cb_{j} array<array<double>>" for j in range(_M)),
+    )
+    coded = (
+        assigned.join(F.broadcast(cent_df), "cell")
+        .withColumn("res", F.expr("zip_with(v, centroid, (x, y) -> x - y)"))
+        .join(F.broadcast(cb))
+    )
+    for j in range(_M):
+        dists = (
+            f"transform(cb_{j}, c -> aggregate(zip_with(slice(res, {j * _DSUB + 1}, {_DSUB}), c,"
+            f" (x, y) -> (x - y) * (x - y)), 0D, (a, x) -> a + x))"
+        )
+        coded = coded.withColumn(
+            f"code_{j}", F.expr(f"int(array_position({dists}, array_min({dists})) - 1)")
+        )
+    return coded
 
 
 def build_ann_index(
@@ -110,22 +160,7 @@ def build_ann_index(
     cent_df = spark.createDataFrame(
         [(i, c) for i, c in enumerate(centroids)], "cell int, centroid array<double>"
     )
-    # full-corpus cell assignment: JVM argmin over the broadcast centroids
-    cell_dists = (
-        "transform(cents, c -> aggregate(zip_with(v, c,"
-        " (x, y) -> (x - y) * (x - y)), 0D, (a, x) -> a + x))"
-    )
-    cents_one = spark.createDataFrame(
-        [(centroids,)], "cents array<array<double>>"
-    )
-    assigned = (
-        vec.join(F.broadcast(cents_one))
-        .withColumn(
-            "cell",
-            F.expr(f"int(array_position({cell_dists}, array_min({cell_dists})) - 1)"),
-        )
-        .select("vec_id", "v", "nrm", "cell")
-    )
+    assigned = _assign_cells(spark, vec, centroids)
 
     # residual codebooks: driver-side vectorized Lloyd's on an ordered sample
     samp = (
@@ -149,24 +184,7 @@ def build_ann_index(
                     cents[c] = pts.mean(axis=0)
         luts[j] = [list(map(float, c)) for c in cents]
 
-    # encode: residual vs cell centroid, JVM argmin over broadcast codebooks
-    cb = spark.createDataFrame(
-        [tuple([luts[j] for j in range(_M)])],
-        ", ".join(f"cb_{j} array<array<double>>" for j in range(_M)),
-    )
-    coded = (
-        assigned.join(F.broadcast(cent_df), "cell")
-        .withColumn("res", F.expr("zip_with(v, centroid, (x, y) -> x - y)"))
-        .join(F.broadcast(cb))
-    )
-    for j in range(_M):
-        dists = (
-            f"transform(cb_{j}, c -> aggregate(zip_with(slice(res, {j * _DSUB + 1}, {_DSUB}), c,"
-            f" (x, y) -> (x - y) * (x - y)), 0D, (a, x) -> a + x))"
-        )
-        coded = coded.withColumn(
-            f"code_{j}", F.expr(f"int(array_position({dists}, array_min({dists})) - 1)")
-        )
+    coded = _encode_residuals(spark, assigned, cent_df, luts)
 
     cent_df.write.mode("overwrite").parquet(f"{index_dir}/centroids")
     spark.createDataFrame(
@@ -197,6 +215,56 @@ def index_meta(index_dir: str) -> dict | None:
             return json.load(f)
     except FileNotFoundError:
         return None
+
+
+def extend_ann_index(
+    spark: SparkSession, new_vectors: DataFrame, index_dir: str
+) -> dict:
+    """Delta-index the staleness gap: encode NEW vectors with the
+    EXISTING quantizers (centroids + codebooks are immutable artifacts --
+    a delta never re-clusters) and append their codes to the
+    cell-partitioned table, bumping the meta row count. Recall on the
+    delta degrades only as its distribution drifts from the build-time
+    sample, which ``knn_recall_eval``'s harness measures; when it does,
+    rebuild. This is the ES-index analogue of incremental indexing vs
+    reindex-from-scratch.
+
+    Scale: one encode pass over the delta only (argmin against broadcast
+    quantizers, zero shuffles before the partitioned append)."""
+    index_dir = index_dir.rstrip("/")
+    meta = index_meta(index_dir)
+    if meta is None:
+        raise FileNotFoundError(f"no ANN index at {index_dir} (run build_ann_index)")
+    cent_rows = sorted(
+        (r["cell"], r["centroid"])
+        for r in spark.read.parquet(f"{index_dir}/centroids").collect()
+    )
+    centroids = [list(map(float, c)) for _, c in cent_rows]
+    cent_df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)], "cell int, centroid array<double>"
+    )
+    luts: dict[int, list[list[float]]] = {}
+    for r in spark.read.parquet(f"{index_dir}/codebooks").collect():
+        luts.setdefault(int(r["sub"]), [])
+    cb_rows = sorted(
+        (int(r["sub"]), int(r["code"]), list(map(float, r["centroid"])))
+        for r in spark.read.parquet(f"{index_dir}/codebooks").collect()
+    )
+    for sub, _code, cent in cb_rows:
+        luts[sub].append(cent)
+
+    assigned = _assign_cells(spark, new_vectors, centroids)
+    coded = _encode_residuals(spark, assigned, cent_df, luts)
+    (
+        coded.select("vec_id", "nrm", *[f"code_{j}" for j in range(_M)], "cell")
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(f"{index_dir}/codes")
+    )
+    meta["n_vectors"] = int(meta["n_vectors"]) + new_vectors.count()
+    with open(f"{index_dir}/{_META}", "w") as f:
+        json.dump(meta, f)
+    return meta
 
 
 def query_ann_index(

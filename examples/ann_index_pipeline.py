@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from change_data_capture_service_spark import registry
 from change_data_capture_service_spark.operators.ann_index import (
     build_ann_index,
+    extend_ann_index,
     index_meta,
     query_ann_index,
 )
@@ -79,16 +80,18 @@ def main() -> None:
         got = {(r["query_id"], r["neighbor_id"]) for r in hits}
         print(f"   recall@10 = {len(exact & got) / len(exact):.2f}")
 
-        print("4. staleness: the corpus grows, the index does not")
-        grown = vec.unionByName(
-            vec.select(
-                (F.col("vec_id") + 1_000_000).alias("vec_id"),
-                "label", "v", "nrm",
-            ).limit(100)
-        )
+        print("4. staleness + delta-index: the corpus grows, the index catches up")
+        delta = vec.select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"), "label", "v", "nrm"
+        ).limit(100).localCheckpoint()
+        grown = vec.unionByName(delta)
         live, indexed = grown.count(), index_meta(index_dir)["n_vectors"]
         print(f"   live corpus = {live} rows, index covers {indexed} "
-              f"({live - indexed} unindexed -> rebuild or delta-index)")
+              f"({live - indexed} unindexed)")
+        meta2 = extend_ann_index(spark, delta, index_dir)
+        print(f"   extend_ann_index encoded the delta with the EXISTING "
+              f"quantizers -> index now covers {meta2['n_vectors']} "
+              f"(re-cluster only when recall drifts)")
     finally:
         shutil.rmtree(index_dir, ignore_errors=True)
 

@@ -122,3 +122,50 @@ def test_query_without_index_raises_and_registered_cleans_scratch(spark, sf_dir,
     df = registry.get("knn_cosine_ivf_pq_prebuilt").fn(spark, sf_dir)
     assert df.count() > 0
     assert set(glob.glob(f"{tempfile.gettempdir()}/ann_index_*")) == before
+
+
+def test_extend_appends_delta_with_existing_quantizers(spark, sf_dir, tmp_path):
+    """Delta-index contract: build on half the corpus, extend with the
+    other half -- the extended index must answer queries over the WHOLE
+    corpus (neighbors from both halves reachable), quantizer artifacts
+    must be untouched (a delta never re-clusters), and meta must track
+    the true row count. The split index's recall is measured against the
+    same exact baseline as the full build."""
+    from change_data_capture_service_spark.operators.ann_index import (
+        extend_ann_index,
+    )
+
+    vec = _vectors(spark, sf_dir).localCheckpoint()
+    mid = vec.agg(F.expr("cast(max(vec_id)/2 as long)")).collect()[0][0]
+    first, second = vec.filter(F.col("vec_id") <= mid), vec.filter(F.col("vec_id") > mid)
+    idx = str(tmp_path / "idx")
+    build_ann_index(spark, first, idx)
+
+    import hashlib
+
+    def artifact_hash(sub):
+        rows = sorted(map(str, spark.read.parquet(f"{idx}/{sub}").collect()))
+        return hashlib.md5("\n".join(rows).encode()).hexdigest()
+
+    cents_before = artifact_hash("centroids")
+    books_before = artifact_hash("codebooks")
+    meta2 = extend_ann_index(spark, second, idx)
+    assert artifact_hash("centroids") == cents_before
+    assert artifact_hash("codebooks") == books_before
+    assert meta2["n_vectors"] == vec.count()
+    assert index_meta(idx)["n_vectors"] == vec.count()
+
+    q = vec.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    hits = query_ann_index(spark, idx, q, vec).collect()
+    got = {(r["query_id"], r["neighbor_id"]) for r in hits}
+    assert any(n > mid for _, n in got), "no delta-half neighbors reachable"
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in registry.get("knn_cosine_topk").fn(spark, sf_dir).collect()
+    }
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.4, f"extended-index recall collapsed: {recall}"
