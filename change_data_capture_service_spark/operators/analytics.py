@@ -710,7 +710,7 @@ def trend_linear_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH c AS (
       SELECT event_id, date_trunc('day', ts) AS day, value,
-             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x100
+             TRY_CAST(TRY_CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x100
       FROM events
     ),
     s AS (
@@ -748,7 +748,7 @@ def events_value_zscore_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     day_volume * max_value < ~10^14 "value-squared cents"; past that,
     widen the accumulator to DECIMAL(38,0) on both engines.)"""
     e = load_table(spark, sf_dir, "events")
-    x100 = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    x100 = F.expr("try_cast(try_cast(value AS decimal(18,2)) * 100 AS bigint)")
     c = e.select(
         "event_id",
         F.date_trunc("day", F.col("ts")).alias("day"),
@@ -758,7 +758,11 @@ def events_value_zscore_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = c.groupBy(F.col("day").alias("s_day")).agg(
         F.count("*").cast("double").alias("n"),
         F.sum("x100").cast("double").alias("sx"),
-        F.sum(F.col("x100") * F.col("x100")).cast("double").alias("sxx"),
+        # squares through DECIMAL(38,0): a 1e15 value is 1e17 cents and
+        # its square overflows BIGINT; the decimal accumulator holds to 1e38
+        F.sum(F.col("x100").cast("decimal(38,0)") * F.col("x100"))
+        .cast("double")
+        .alias("sxx"),
     )
     mean = F.col("sx") / F.col("n")
     std = F.sqrt(F.col("sxx") / F.col("n") - mean * mean)
@@ -821,7 +825,7 @@ def events_change_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     day domain doesn't grow with data volume (daily cents totals past
     ~10^9 would need a DECIMAL(38,0) square accumulator on both sides)."""
     e = load_table(spark, sf_dir, "events")
-    x100 = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    x100 = F.expr("try_cast(try_cast(value AS decimal(18,2)) * 100 AS bigint)")
     daily = e.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
         F.sum(x100).cast("bigint").alias("y100")
     )
@@ -914,7 +918,7 @@ def events_hourly_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     rides the exact integer-cents sum. One partial agg, 7x24 output rows
     at any scale."""
     e = load_table(spark, sf_dir, "events")
-    x100 = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    x100 = F.expr("try_cast(try_cast(value AS decimal(18,2)) * 100 AS bigint)")
     return (
         e.select(
             (F.weekday("ts") + 1).cast("int").alias("dow"),
@@ -2498,7 +2502,7 @@ def events_value_psi_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT e.user_id, f.cohort_week,
              CAST(date_diff('week', f.cohort_week, date_trunc('week', e.ts))
                   AS INT) AS week_no,
-             CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS v_c
+             CAST(sum(TRY_CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS v_c
       FROM events e JOIN f ON e.user_id = f.user_id
       WHERE e.event_type = 'purchase'
       GROUP BY 1, 2, 3
@@ -2550,7 +2554,7 @@ def events_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("week_no"),
         )
         .agg(
-            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            F.sum(F.expr("try_cast(round(value * 100) AS bigint)"))
             .cast("bigint")
             .alias("week_value_c")
         )
@@ -2604,7 +2608,7 @@ def events_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT position,
            CAST(count(*) AS BIGINT) AS n_events,
-           round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+           round(CAST(sum(TRY_CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
                  / 100 / count(*), 4) AS avg_value
     FROM pos GROUP BY 1 ORDER BY 1
     """,
@@ -2643,7 +2647,7 @@ def events_value_by_session_position(spark: SparkSession, sf_dir: str) -> DataFr
         .agg(
             F.count("*").cast("bigint").alias("n_events"),
             F.round(
-                F.sum(F.round(F.col("value") * 100).cast("bigint")).cast("double")
+                F.sum(F.expr("try_cast(round(value * 100) AS bigint)")).cast("double")
                 / 100
                 / F.count("*"),
                 4,
@@ -2666,7 +2670,7 @@ def events_value_by_session_position(spark: SparkSession, sf_dir: str) -> DataFr
              CAST(date_diff('second', min(e.ts), a.now_ts) AS BIGINT)
                AS tenure_s,
              CAST(sum(CASE WHEN e.event_type = 'purchase'
-                           THEN CAST(round(e.value * 100) AS BIGINT)
+                           THEN TRY_CAST(round(e.value * 100) AS BIGINT)
                            ELSE 0 END) AS BIGINT) AS monetary_c,
              CAST(count(DISTINCT e.event_type) AS BIGINT) AS n_types,
              CAST(sum(CASE WHEN e.event_type = 'error' THEN 1 ELSE 0 END)
@@ -2707,7 +2711,7 @@ def events_propensity_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(
                 F.when(
                     F.col("event_type") == "purchase",
-                    F.round(F.col("value") * 100).cast("bigint"),
+                    F.expr("try_cast(round(value * 100) AS bigint)"),
                 ).otherwise(0)
             )
             .cast("bigint")
@@ -2747,7 +2751,7 @@ def events_propensity_features(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(date_diff('second', max(e.ts), a.cutoff) AS BIGINT)
                AS recency_s,
              CAST(sum(CASE WHEN e.event_type = 'purchase'
-                           THEN CAST(round(e.value * 100) AS BIGINT)
+                           THEN TRY_CAST(round(e.value * 100) AS BIGINT)
                            ELSE 0 END) AS BIGINT) AS monetary_c,
              CAST(count(DISTINCT e.event_type) AS BIGINT) AS n_types
       FROM events e CROSS JOIN a
@@ -2795,7 +2799,7 @@ def events_churn_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(
                 F.when(
                     F.col("event_type") == "purchase",
-                    F.round(F.col("value") * 100).cast("bigint"),
+                    F.expr("try_cast(round(value * 100) AS bigint)"),
                 ).otherwise(0)
             )
             .cast("bigint")

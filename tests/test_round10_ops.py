@@ -14,6 +14,12 @@ from change_data_capture_service_spark.catalog import load_table
 registry.load_all()
 
 
+def conftest_sf_dir() -> str:
+    from conftest import SF_DIR
+
+    return SF_DIR
+
+
 def _pdf(spark, sf_dir, name):
     return registry.get(name).fn(spark, sf_dir).toPandas()
 
@@ -133,3 +139,57 @@ def test_hourly_entropy_bounds(spark, sf_dir):
     for _, r in ent.iterrows():
         assert r["entropy_nats"] <= math.log(max(r["n_active_hours"], 1)) + 1e-6
         assert r["peak_hour_share"] >= 1.0 / max(r["n_active_hours"], 1) - 1e-9
+
+
+def test_every_operator_survives_extreme_numerics(spark, tmp_path):
+    """Engine totality under hostile numerics: an events table carrying
+    NaN, +-Inf, +-1e15, -0.0, and heavy timestamp ties must not crash ANY
+    registered operator Spark-side -- one bad telemetry row in 100 TB
+    must not kill the job. (First run found four ANSI crashers: the
+    round(value*100)->bigint cents cast threw on non-finite values in the
+    LTV curve, session-position, propensity, and churn feature tables,
+    and the z-score's bigint sum-of-squares overflowed at 1e17 cents; all
+    now route through try_cast / DECIMAL(38,0) accumulators with the
+    oracles mirrored.) Cross-engine agreement is NOT asserted here:
+    NaN/Inf string formatting ('Infinity' vs 'inf', '1.0E15' vs
+    '1e+15') and NaN quantile placement are engine-defined, so the
+    oracle contract scopes them out -- this sweep pins that the ENGINE
+    is total; hash parity stays pinned on the finite-valued fixtures."""
+    from datetime import datetime
+
+    from change_data_capture_service_spark.catalog import TABLE_NAMES
+
+    rows = []
+    vals = [float("nan"), float("inf"), float("-inf"), 1e15, -1e15, -0.0,
+            0.0, 1e-15, 42.5]
+    eid = 0
+    for day in range(3):
+        for k, v in enumerate(vals):
+            rows.append(
+                (eid, datetime(2024, 3, 1 + day, 10, 0), k % 3,
+                 ["view", "click", "purchase"][k % 3], v, '{"a": 1}')
+            )
+            eid += 1
+    src = str(tmp_path / "extreme")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.parquet(f"{src}/events.parquet")
+    for t in TABLE_NAMES:
+        if t == "events":
+            continue
+        (
+            load_table(spark, conftest_sf_dir(), t)
+            .limit(50)
+            .coalesce(1)
+            .write.parquet(f"{src}/{t}.parquet")
+        )
+
+    failures = []
+    for name in sorted(registry.entries()):
+        try:
+            registry.get(name).fn(spark, src).count()
+        except Exception as ex:  # noqa: BLE001 - collecting the full list
+            failures.append(f"{name}: {type(ex).__name__}: {str(ex)[:120]}")
+    assert not failures, failures
