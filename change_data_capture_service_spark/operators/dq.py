@@ -148,7 +148,7 @@ def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH u AS (
       SELECT l_partkey,
-             CAST(round(l_extendedprice / l_quantity, 6) AS DECIMAL(18,6))
+             TRY_CAST(round(l_extendedprice / l_quantity, 6) AS DECIMAL(18,6))
                AS unit_price
       FROM lineitem WHERE l_quantity > 0
     ),
@@ -157,7 +157,7 @@ def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(count(*) AS BIGINT) AS n_lines,
              min(unit_price) AS min_price,
              max(unit_price) AS max_price
-      FROM u GROUP BY 1
+      FROM u WHERE unit_price IS NOT NULL GROUP BY 1
     )
     SELECT CAST(l_partkey AS BIGINT) AS l_partkey, n_lines,
            CAST(min_price AS DOUBLE) AS min_price,
@@ -181,12 +181,16 @@ def lineitem_price_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: ONE |parts|-grain partial agg over the fact scan,
     TakeOrderedAndProject final."""
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    # try_cast: a price/quantity pathological enough to overflow the 6-dp
+    # DECIMAL (e.g. near-cap price over cent-scale quantity) is a DQ
+    # finding, not a reason to crash the DQ query -- it nulls out and is
+    # excluded from the min/max
     u = li.select(
         "l_partkey",
-        F.round(F.col("l_extendedprice") / F.col("l_quantity"), 6)
-        .cast("decimal(18,6)")
-        .alias("unit_price"),
-    )
+        F.expr(
+            "try_cast(round(l_extendedprice / l_quantity, 6) AS decimal(18,6))"
+        ).alias("unit_price"),
+    ).filter(F.col("unit_price").isNotNull())
     p = u.groupBy("l_partkey").agg(
         F.count("*").cast("bigint").alias("n_lines"),
         F.min("unit_price").alias("min_price"),

@@ -1654,7 +1654,7 @@ def basket_brand_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT l_partkey, l_suppkey,
              min(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
                       AS DOUBLE)
-                 / CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT))
+                 / nullif(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT), 0))
                AS unit_cost
       FROM lineitem GROUP BY 1, 2
     ),
@@ -1704,8 +1704,10 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pc = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("bigint")
     qc = (F.col("l_quantity").cast("decimal(18,2)") * 100).cast("bigint")
+    # nullif: a zero-quantity line must contribute NULL (min skips it),
+    # not an ANSI divide-by-zero that kills the audit
     ps = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.min(pc.cast("double") / qc).alias("unit_cost")
+        F.min(pc.cast("double") / F.nullif(qc, F.lit(0))).alias("unit_cost")
     )
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")

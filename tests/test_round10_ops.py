@@ -193,3 +193,48 @@ def test_every_operator_survives_extreme_numerics(spark, tmp_path):
         except Exception as ex:  # noqa: BLE001 - collecting the full list
             failures.append(f"{name}: {type(ex).__name__}: {str(ex)[:120]}")
     assert not failures, failures
+
+
+def test_every_operator_survives_hostile_prices(spark, tmp_path):
+    """Relational totality: lineitem/orders rows with a near-DECIMAL-cap
+    price, negative prices, discounts outside [0,1], zero quantities, and
+    NULL flags/priorities must not crash any operator Spark-side. (First
+    run found two ANSI crashers: the Q2 unit-cost division threw on a
+    zero-quantity line, and the price-consistency DQ audit overflowed its
+    6-dp DECIMAL on near-cap-price-over-cent-quantity -- exactly the
+    defective rows a DQ pass exists to FLAG, so they now null out and are
+    excluded instead of killing the query; oracles mirrored.)"""
+    from change_data_capture_service_spark.catalog import TABLE_NAMES
+
+    src = str(tmp_path / "hostile_prices")
+    for t in TABLE_NAMES:
+        if t in ("lineitem", "orders"):
+            continue
+        (
+            load_table(spark, conftest_sf_dir(), t)
+            .limit(50)
+            .coalesce(1)
+            .write.parquet(f"{src}/{t}.parquet")
+        )
+    li = load_table(spark, conftest_sf_dir(), "lineitem").limit(20).toPandas()
+    li.loc[0, "l_extendedprice"] = 9.9e15  # near decimal(18,2) cap
+    li.loc[1, "l_extendedprice"] = -5.0
+    li.loc[2, "l_discount"] = 1.5
+    li.loc[3, "l_discount"] = -0.5
+    li.loc[4, "l_quantity"] = 0.0
+    if "l_returnflag" in li.columns:
+        li.loc[5, "l_returnflag"] = None
+    spark.createDataFrame(li).coalesce(1).write.parquet(f"{src}/lineitem.parquet")
+    o = load_table(spark, conftest_sf_dir(), "orders").limit(20).toPandas()
+    o.loc[0, "o_totalprice"] = 9.9e15
+    o.loc[1, "o_totalprice"] = -1.0
+    o.loc[2, "o_orderpriority"] = None
+    spark.createDataFrame(o).coalesce(1).write.parquet(f"{src}/orders.parquet")
+
+    failures = []
+    for name in sorted(registry.entries()):
+        try:
+            registry.get(name).fn(spark, src).count()
+        except Exception as ex:  # noqa: BLE001 - collecting the full list
+            failures.append(f"{name}: {type(ex).__name__}: {str(ex)[:120]}")
+    assert not failures, failures
