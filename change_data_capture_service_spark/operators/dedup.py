@@ -427,7 +427,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm = F.sqrt(F.expr(
         "aggregate(transform(embedding, x -> cast(x AS double)), 0D, (acc, x) -> acc + x * x)"
     ))
-    docs = e.select("vec_id", "label", vec.alias("v"), norm.alias("nrm"))
+    # hygiene filter (same rule as similarity._vectors): zero-norm and
+    # NaN/Inf-norm vectors have no direction and would turn the cosine
+    # division into an ANSI crash for one corrupt row
+    docs = e.select("vec_id", "label", vec.alias("v"), norm.alias("nrm")).filter(
+        (F.col("nrm") > 0) & (F.col("nrm") < float("inf"))
+    )
     a, b = docs.alias("a"), docs.alias("b")
     dot = F.expr("aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
     cosine = dot / (F.col("a.nrm") * F.col("b.nrm"))

@@ -354,9 +354,11 @@ def knn_cosine_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
             " 0D, (acc, x) -> acc + x)"
         )
     )
+    # hygiene filter (same rule as similarity._vectors): zero/non-finite
+    # norms cannot participate in cosine scoring
     v = e.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v"), nrm.alias("nrm")
-    )
+    ).filter((F.col("nrm") > 0) & (F.col("nrm") < float("inf")))
     q = v.filter(F.col("vec_id") == 0).select(
         F.col("v").alias("qv"), F.col("nrm").alias("qnrm")
     )

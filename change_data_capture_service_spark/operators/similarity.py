@@ -29,12 +29,22 @@ _NORM = f"sqrt(aggregate({_VEC_D}, 0D, (acc, x) -> acc + x * x))"
 def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dot products are CPU-bound; the fixture is one file -> spread first
     e = spread(load_table(spark, sf_dir, "embeddings"))
-    return e.select(
+    out = e.select(
         "vec_id",
         "label",
         F.expr(_VEC_D).alias("v"),
         F.expr(_NORM).alias("nrm"),
     )
+    # cosine space admits only finite nonzero-norm vectors: a zero vector
+    # has no direction and its norm divides every cosine downstream (an
+    # ANSI divide-by-zero that would kill the whole query for one corrupt
+    # row), and a NaN/Inf component poisons norms and quantizer fits the
+    # same way. Excluded at the source -- `nrm > 0` also drops NaN norms
+    # (NaN comparisons are false) -- which is the hygiene rule
+    # embedding_norm_stats exists to surface. The fixtures carry no such
+    # rows, so every oracle hash is unchanged; the hostile-embeddings
+    # sweep in tests/test_round10_ops.py pins the totality.
+    return out.filter((F.col("nrm") > 0) & (F.col("nrm") < float("inf")))
 
 
 @register(
@@ -1249,16 +1259,16 @@ def embedding_pca_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats AS (
       SELECT dim,
              CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(CAST(CAST(round(x * 1000000) AS BIGINT) AS HUGEINT))
+             CAST(sum(CAST(TRY_CAST(round(x * 1000000) AS BIGINT) AS HUGEINT))
                   AS DOUBLE) / 1000000 AS s1,
-             CAST(sum(CAST(CAST(round(x * 1000000) AS BIGINT) AS HUGEINT)
-                      * CAST(round(x * 1000000) AS BIGINT)) AS DOUBLE)
+             CAST(sum(CAST(TRY_CAST(round(x * 1000000) AS BIGINT) AS HUGEINT)
+                      * TRY_CAST(round(x * 1000000) AS BIGINT)) AS DOUBLE)
                   / 1000000 / 1000000 AS s2
       FROM d GROUP BY 1
     ),
     sc AS (
       SELECT d.vec_id, d.label,
-             CAST(round(
+             TRY_CAST(round(
                (d.x - s.s1 / s.n) * (d.x - s.s1 / s.n)
                / ((s.s2 - s.s1 * s.s1 / s.n) / (s.n - 1)), 6)
                AS DECIMAL(18,6)) AS term
@@ -1291,18 +1301,22 @@ def embedding_outlier_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame
         "label",
         F.posexplode(F.expr(_VEC_D)).alias("dim", "x"),
     )
-    q = F.round(F.col("x") * 1_000_000).cast("bigint").cast("decimal(38,0)")
+    # try_cast: a component past the 1e-6-quantized BIGINT range (a
+    # cosmically corrupt encode) must degrade to a NULL contribution, not
+    # crash the detector whose whole job is surfacing corrupt rows
+    qb = F.round(F.col("x") * 1_000_000).try_cast("bigint")
+    q = qb.cast("decimal(38,0)")
     stats = d.groupBy("dim").agg(
         F.count("*").cast("bigint").alias("n"),
         (F.sum(q).cast("double") / 1e6).alias("s1"),
-        (F.sum(q * F.round(F.col("x") * 1_000_000).cast("bigint")).cast("double") / 1e12).alias("s2"),
+        (F.sum(q * qb).cast("double") / 1e12).alias("s2"),
     )
     # n >= 2: a single-row corpus has no sample variance -- the join below
     # then produces no terms and the operator returns 0 rows (ANSI-safe)
     stats = stats.filter(F.col("n") >= 2)
     mean = F.col("s1") / F.col("n")
     var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1)
-    term = F.round((F.col("x") - mean) * (F.col("x") - mean) / var, 6).cast(
+    term = F.round((F.col("x") - mean) * (F.col("x") - mean) / var, 6).try_cast(
         "decimal(18,6)"
     )
     return (

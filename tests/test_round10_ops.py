@@ -238,3 +238,41 @@ def test_every_operator_survives_hostile_prices(spark, tmp_path):
         except Exception as ex:  # noqa: BLE001 - collecting the full list
             failures.append(f"{name}: {type(ex).__name__}: {str(ex)[:120]}")
     assert not failures, failures
+
+
+def test_every_operator_survives_hostile_embeddings(spark, tmp_path):
+    """Embedding totality: a corpus containing the zero vector (norm 0 --
+    no direction), a NaN component, a 1e154 component (norm near double
+    overflow), and an Inf component must not crash any operator
+    Spark-side. (First run found 12 crashers, all one root cause: the
+    cosine's norm-product divisor hit ANSI divide-by-zero, plus the
+    Mahalanobis 1e-6 quantization overflowing BIGINT. Degenerate vectors
+    are now excluded at the vector source -- they cannot participate in
+    cosine space, the hygiene rule embedding_norm_stats surfaces -- and
+    the Mahalanobis moments/terms try_cast, oracles mirrored.)"""
+    from change_data_capture_service_spark.catalog import TABLE_NAMES
+
+    src = str(tmp_path / "hostile_emb")
+    for t in TABLE_NAMES:
+        if t == "embeddings":
+            continue
+        (
+            load_table(spark, conftest_sf_dir(), t)
+            .limit(50)
+            .coalesce(1)
+            .write.parquet(f"{src}/{t}.parquet")
+        )
+    emb = load_table(spark, conftest_sf_dir(), "embeddings").limit(20).toPandas()
+    emb.at[0, "embedding"] = [0.0] * 64
+    v = list(emb.at[1, "embedding"]); v[0] = float("nan"); emb.at[1, "embedding"] = v
+    v = list(emb.at[2, "embedding"]); v[0] = 1e154; emb.at[2, "embedding"] = v
+    v = list(emb.at[3, "embedding"]); v[0] = float("inf"); emb.at[3, "embedding"] = v
+    spark.createDataFrame(emb).coalesce(1).write.parquet(f"{src}/embeddings.parquet")
+
+    failures = []
+    for name in sorted(registry.entries()):
+        try:
+            registry.get(name).fn(spark, src).count()
+        except Exception as ex:  # noqa: BLE001 - collecting the full list
+            failures.append(f"{name}: {type(ex).__name__}: {str(ex)[:120]}")
+    assert not failures, failures
