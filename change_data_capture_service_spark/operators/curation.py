@@ -645,3 +645,97 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# duckdb-side 5-gram shingles over TOKENS (1-indexed; i runs 1..len-4)
+_ORACLE_5GRAMS = f"""
+    WITH toks AS (
+      SELECT source, {TOKENS} AS toks FROM documents
+    ),
+    sh AS (
+      SELECT source,
+             list_distinct(list_transform(range(1, len(toks) - 3),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                 || ' ' || toks[i+3] || ' ' || toks[i+4]
+             )) AS shingles
+      FROM toks WHERE len(toks) >= 5
+    ),
+    ss AS (
+      SELECT DISTINCT source, unnest(shingles) AS shingle FROM sh
+    )
+"""
+
+
+@register(
+    "docs_source_ngram_overlap",
+    tags=("curation", "dedup", "northstar"),
+    oracle=_ORACLE_5GRAMS
+    + """
+    , cnt AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n FROM ss GROUP BY source
+    ),
+    inter AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(count(*) AS BIGINT) AS n_common
+      FROM ss a JOIN ss b ON a.shingle = b.shingle AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT i.source_a, i.source_b, ca.n AS n_a, cb.n AS n_b, i.n_common,
+           round(CAST(i.n_common AS DOUBLE) / (ca.n + cb.n - i.n_common), 6)
+             AS jaccard
+    FROM inter i
+    JOIN cnt ca ON i.source_a = ca.source
+    JOIN cnt cb ON i.source_b = cb.source
+    """,
+)
+def docs_source_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise word-5-gram Jaccard between corpus SOURCES -- the
+    cross-source contamination matrix: which crawls/feeds carry the same
+    boilerplate or mirrored content (decontaminate_ngram answers the
+    train-vs-benchmark version of the same question; this is the
+    source-vs-source audit that decides which feeds to dedup jointly).
+    Pairs with zero shared shingles are omitted (inner join on shingle),
+    identically on both engines.
+
+    Scale: documents explode to (source, shingle) and REDUCE by distinct
+    before any pairing, so the join input is the per-source shingle
+    vocabulary, not the corpus. The intersection join keys on shingle;
+    each shingle contributes at most C(|sources sharing it|, 2) pairs,
+    bounded by the source count squared -- not by corpus size. At
+    thousands of sources, block by (shingle hash % B) first and aggregate
+    the per-block partial intersections."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    ss = (
+        d.select("source", _tokens().alias("toks"))
+        .filter(F.size("toks") >= 5)
+        .select("source", F.explode(_shingles(F.col("toks"), 5)).alias("shingle"))
+        .distinct()
+        .localCheckpoint(eager=False)  # shingle vocab: reused by cnt + pair join
+    )
+    cnt = ss.groupBy("source").agg(F.count("*").cast("bigint").alias("n"))
+    a = ss.select(F.col("source").alias("source_a"), "shingle")
+    b = ss.select(F.col("source").alias("source_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("bigint").alias("n_common"))
+    )
+    ca = cnt.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))
+    cb = cnt.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(ca), "source_a")
+        .join(F.broadcast(cb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_a",
+            "n_b",
+            "n_common",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

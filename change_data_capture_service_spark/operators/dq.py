@@ -11,7 +11,7 @@ anti-joins against dimension keys, which broadcast when small. Output is
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -210,4 +210,99 @@ def lineitem_price_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("spread_ratio").desc(), "l_partkey")
         .limit(20)
+    )
+
+
+# Benford first-digit probabilities log10(1+1/d), shared LITERALS on both
+# engines so no runtime log10 (whose last-bit behaviour is
+# implementation-defined) enters the hash-compared output
+_BENFORD_CASE = (
+    "CASE digit WHEN 1 THEN 0.3010299956639812 WHEN 2 THEN 0.17609125905568124"
+    " WHEN 3 THEN 0.12493873660829992 WHEN 4 THEN 0.09691001300805642"
+    " WHEN 5 THEN 0.07918124604762482 WHEN 6 THEN 0.06694678963061322"
+    " WHEN 7 THEN 0.05799194697768673 WHEN 8 THEN 0.05115252244738129"
+    " WHEN 9 THEN 0.04575749056067514 END"
+)
+
+
+@register(
+    "lineitem_benford_first_digit",
+    tags=("dq", "agg"),
+    oracle=f"""
+    WITH digits AS (
+      SELECT CAST(regexp_extract(
+               CAST(try_cast(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR),
+               '[1-9]', 0) AS VARCHAR) AS d
+      FROM lineitem
+    ),
+    cnt AS (
+      SELECT CAST(d AS INT) AS digit, CAST(count(*) AS BIGINT) AS n
+      FROM digits WHERE d <> '' GROUP BY d
+    ),
+    dom AS (SELECT CAST(range AS INT) AS digit FROM range(1, 10)),
+    j AS (
+      SELECT dom.digit, CAST(coalesce(cnt.n, 0) AS BIGINT) AS n,
+             CAST(sum(coalesce(cnt.n, 0)) OVER () AS BIGINT) AS total
+      FROM dom LEFT JOIN cnt ON dom.digit = cnt.digit
+    )
+    SELECT digit, n,
+           round(CAST(n AS DOUBLE) / total, 6) AS obs_share,
+           round({_BENFORD_CASE}, 6) AS benford_p,
+           round(pow(CAST(n AS DOUBLE) - total * ({_BENFORD_CASE}), 2)
+                 / (total * ({_BENFORD_CASE})), 6) AS chi2_term
+    FROM j WHERE total > 0
+    """,
+)
+def lineitem_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit of line prices: observed first-significant-digit
+    shares vs the log10(1+1/d) law, with per-digit chi-square terms --
+    the fabricated-data / synthetic-feed detector auditors run on
+    financial columns (a price feed that fails Benford hard was binned,
+    capped, or invented).
+
+    Determinism: the first digit comes from the DECIMAL(18,2) STRING
+    rendering (identical on both engines; no float log10 whose ulp
+    behaviour could flip a digit near powers of ten), non-finite and
+    non-positive prices drop out via try_cast + no-[1-9]-match; the
+    Benford probabilities are shared compile-time literals. All nine
+    digits always appear (zero-count digits matter to chi-square), via a
+    left join against the 1..9 domain.
+
+    Scale: one regexp scan partial-aggregated to <=9 groups -- map-side
+    combinable, no shuffle beyond the 9-row rollup."""
+    li = load_table(spark, sf_dir, "lineitem")
+    d = F.regexp_extract(
+        F.expr("CAST(try_cast(l_extendedprice AS decimal(18,2)) AS string)"),
+        "[1-9]",
+        0,
+    )
+    cnt = (
+        li.select(d.alias("d"))
+        .filter(F.col("d") != "")
+        .groupBy(F.col("d").cast("int").alias("digit"))
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    dom = spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+    j = dom.join(F.broadcast(cnt), "digit", "left").select(
+        "digit",
+        F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
+        F.sum(F.coalesce("n", F.lit(0)))
+        .over(
+            Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        )
+        .cast("bigint")
+        .alias("total"),
+    )
+    # Spark parses the long literals as DECIMAL; DuckDB as DOUBLE -- pin double
+    p = F.expr(_BENFORD_CASE).cast("double")
+    return j.filter(F.col("total") > 0).select(
+        "digit",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("total"), 6).alias("obs_share"),
+        F.round(p, 6).alias("benford_p"),
+        F.round(
+            F.pow(F.col("n").cast("double") - F.col("total") * p, 2)
+            / (F.col("total") * p),
+            6,
+        ).alias("chi2_term"),
     )

@@ -107,3 +107,275 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("event_type"),
         F.round("rank", 6).cast("double").alias("pagerank"),
     )
+
+
+def _cc_contract(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
+    """Connected components by graph CONTRACTION with pointer jumping:
+    each round relabels every current node to the min of its closed
+    neighbourhood, pointer-jumps that label table twice (label <-
+    label(label(v)), so label chains contract 4x), rewrites the edge set
+    through the new labels, and drops self-loops. The graph SHRINKS every
+    round -- unlike plain min-label propagation, whose O(diameter) rounds
+    make a size-chain graph pathological (a label can point at a local
+    minimum and stop moving; this is why dedup.connected_components keeps
+    a 50-round cap). Contraction + jumping halves even a
+    descending-id chain per round: O(log diameter) rounds, the
+    MapReduce large-star/small-star result by different means.
+
+    ``edges`` must be symmetrized (src, dst). Returns (node, component),
+    component = min node id of the component (the minimum never relabels
+    -- it is the least element of every neighbourhood it appears in --
+    and every other node's chain terminates at it). Per round: one
+    groupBy over current edges, two small self-joins on the label table,
+    one mapping update join, one edge rewrite + distinct; all on
+    monotonically shrinking relations, re-checkpointed so lineage stays
+    O(1). Equivalence to the plain propagation is property-tested on
+    random graphs (tests/test_round11_ops.py)."""
+    edges = edges.localCheckpoint()
+    mapping = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_rounds):  # exits when the graph is fully contracted
+        if edges.isEmpty():
+            break
+        # label(u) = min(u, neighbours) over the CURRENT contracted graph
+        lab = (
+            edges.groupBy(F.col("src").alias("node"))
+            .agg(F.min("dst").alias("lbl"))
+            .select("node", F.least("node", "lbl").alias("lbl"))
+        )
+        # pointer-jump twice: follow label chains, 4x contraction per round
+        for _j in range(2):
+            lab = (
+                lab.alias("a")
+                .join(
+                    lab.select(
+                        F.col("node").alias("l_node"), F.col("lbl").alias("l_lbl")
+                    ).alias("b"),
+                    F.col("a.lbl") == F.col("b.l_node"),
+                    "left",
+                )
+                .select("node", F.coalesce("l_lbl", "lbl").alias("lbl"))
+            )
+        lab = lab.localCheckpoint()
+        # fold the round's relabel into the global node -> component map
+        mapping = (
+            mapping.join(
+                lab.select(
+                    F.col("node").alias("m_node"), F.col("lbl").alias("m_lbl")
+                ),
+                mapping["component"] == F.col("m_node"),
+                "left",
+            )
+            .select(
+                "node", F.coalesce("m_lbl", "component").alias("component")
+            )
+            .localCheckpoint()
+        )
+        # contract: rewrite both endpoints, drop self-loops, dedup
+        s = lab.select(F.col("node").alias("src"), F.col("lbl").alias("ls"))
+        d = lab.select(F.col("node").alias("dst"), F.col("lbl").alias("ld"))
+        edges = (
+            edges.join(s, "src")
+            .join(d, "dst")
+            .filter(F.col("ls") != F.col("ld"))
+            .select(F.col("ls").alias("src"), F.col("ld").alias("dst"))
+            .distinct()
+            .localCheckpoint()
+        )
+    return mapping.select("node", "component")
+
+
+@register(
+    "graph_connected_components",
+    tags=("graph", "analytics"),
+    oracle="""
+    WITH RECURSIVE e AS (
+      SELECT a.p_partkey AS pa, b.p_partkey AS pb
+      FROM part a JOIN part b
+        ON a.p_type = b.p_type
+       AND b.p_size BETWEEN a.p_size AND a.p_size + 1
+       AND (b.p_size > a.p_size OR a.p_partkey < b.p_partkey)
+    ),
+    sym AS (
+      SELECT pa AS src, pb AS dst FROM e
+      UNION ALL SELECT pb, pa FROM e
+    ),
+    reach AS (
+      SELECT DISTINCT src AS node, src AS peer FROM sym
+      UNION
+      SELECT r.node, s.dst FROM reach r JOIN sym s ON r.peer = s.src
+    ),
+    comp AS (
+      SELECT node, CAST(min(peer) AS BIGINT) AS component
+      FROM reach GROUP BY node
+    )
+    SELECT c.component, CAST(count(*) AS BIGINT) AS n_parts,
+           any_value(p.p_type) AS p_type,
+           CAST(min(p.p_size) AS INT) AS size_min,
+           CAST(max(p.p_size) AS INT) AS size_max
+    FROM comp c JOIN part p ON c.node = p.p_partkey
+    GROUP BY c.component
+    """,
+)
+def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the part-substitution graph (same edge rule
+    as part_substitution_candidates: same type, size within 1), summarized
+    per component -- the "interchangeability families" a procurement
+    engine clusters parts into. Components never span types; size ranges
+    chain transitively, so each component is a maximal run of adjacent
+    sizes within a type.
+
+    Engine side: the pairs join blocks on (type, size-bucket) -- never an
+    all-pairs -- then pointer-jumping min-label propagation converges in
+    O(log diameter) rounds (the chain topology here is the propagation
+    worst case: plain one-hop min-label would need ~|sizes| rounds, the
+    jump needs ~7). The oracle expresses the same fixpoint as a recursive
+    transitive closure + min -- closure is O(sum of component^2) rows,
+    fine at oracle scale and exactly what the distributed loop avoids.
+
+    Scale: |V| = |parts|, |E| bounded by parts x (parts per adjacent size
+    bucket); every round is two keyed shuffles over |V| label rows. At
+    10^9 parts the same loop runs with labels bucketed on node -- the
+    GraphX CC shape without the RDD API."""
+    p = load_table(spark, sf_dir, "part")
+    a = p.select(
+        F.col("p_partkey").alias("pa"),
+        F.col("p_type").alias("ta"),
+        F.col("p_size").alias("sa"),
+    )
+    b = p.select(
+        F.col("p_partkey").alias("pb"),
+        F.col("p_type").alias("tb"),
+        F.col("p_size").alias("sb"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("ta") == F.col("tb"))
+        & F.col("sb").between(F.col("sa"), F.col("sa") + 1)
+        & ((F.col("sb") > F.col("sa")) | (F.col("pa") < F.col("pb"))),
+    ).select("pa", "pb")
+    sym = pairs.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).union(
+        pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+    )
+    comp = _cc_contract(sym)
+    return (
+        comp.join(p, comp["node"] == p["p_partkey"])
+        .groupBy("component")
+        .agg(
+            F.count("*").cast("bigint").alias("n_parts"),
+            F.any_value("p_type").alias("p_type"),
+            F.min("p_size").cast("int").alias("size_min"),
+            F.max("p_size").cast("int").alias("size_max"),
+        )
+        .select(
+            F.col("component").cast("bigint").alias("component"),
+            "n_parts",
+            "p_type",
+            "size_min",
+            "size_max",
+        )
+    )
+
+
+@register(
+    "graph_triangle_count",
+    tags=("graph", "analytics"),
+    oracle="""
+    WITH ob AS (
+      SELECT DISTINCT l_orderkey, p_brand
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+    ),
+    thr AS (
+      SELECT CAST(ceil(0.024 * count(*)) AS BIGINT) AS t FROM orders
+    ),
+    e AS (
+      SELECT a.p_brand AS u, b.p_brand AS v
+      FROM ob a JOIN ob b
+        ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+      GROUP BY a.p_brand, b.p_brand
+      HAVING count(*) >= (SELECT t FROM thr)
+    )
+    SELECT e1.u AS brand_a, e1.v AS brand_b, e2.v AS brand_c
+    FROM e e1 JOIN e e2 ON e1.v = e2.u JOIN e e3
+      ON e3.u = e1.u AND e3.v = e2.v
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle enumeration over the brand co-occurrence graph (edge =
+    two brands bought together in at least 2.4% of orders -- a
+    data-proportional threshold, so the graph stays comparably dense at
+    every scale factor): the clustering-structure primitive behind
+    community detection and recommendation diversity scoring.
+
+    Engine side uses DEGREE-ORDERED ORIENTATION -- every edge points from
+    its lower-(degree, name) endpoint to the higher one, wedges are built
+    only from each node's out-neighbours, and a wedge (a, b) is a
+    triangle iff the oriented edge a->b exists. Orientation bounds
+    out-degree by O(sqrt(|E|)) on any graph, so the wedge join never
+    explodes on hub vertices -- the standard skew-proof triangle
+    algorithm; a naive lexicographic orientation (the oracle's form, fine
+    at oracle scale) lets one low-name hub own O(deg^2) wedges. Both
+    enumerate the same canonical (a < b < c) triangle set.
+
+    Scale: the (order, brand) grain bounds the pair space at C(25,2) per
+    order; edges aggregate to the brand-pair grain (tiny) before any
+    wedge work, so the triangle phase runs on the REDUCED graph no matter
+    how many orders feed it."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    orders = load_table(spark, sf_dir, "orders")
+    thr = orders.agg(
+        F.ceil(0.024 * F.count("*")).cast("bigint").alias("t")
+    )
+    ob = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    a = ob.select(F.col("l_orderkey").alias("ok_a"), F.col("p_brand").alias("u"))
+    b = ob.select(F.col("l_orderkey").alias("ok_b"), F.col("p_brand").alias("v"))
+    edges = (
+        a.join(b, (F.col("ok_a") == F.col("ok_b")) & (F.col("u") < F.col("v")))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("n"))
+        .crossJoin(F.broadcast(thr))
+        .filter(F.col("n") >= F.col("t"))
+        .select("u", "v")
+        .localCheckpoint(eager=False)  # reduced graph: reused by deg + 3 joins
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .union(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("deg_u"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("deg_v"))
+    ranked = edges.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")
+    lower_first = (F.col("deg_u") < F.col("deg_v")) | (
+        (F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ranked.select(
+        F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(lower_first, F.col("deg_v")).otherwise(F.col("deg_u")).alias("deg_dst"),
+    ).localCheckpoint(eager=False)
+    w1 = oriented.select("src", F.col("dst").alias("a"), F.col("deg_dst").alias("da"))
+    w2 = oriented.select("src", F.col("dst").alias("b"), F.col("deg_dst").alias("db"))
+    wedges = w1.join(w2, "src").filter(
+        (F.col("da") < F.col("db"))
+        | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
+    )
+    closing = oriented.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    tri = wedges.join(closing, ["a", "b"]).select(
+        F.array_sort(F.array("src", "a", "b")).alias("t")
+    )
+    return tri.select(
+        F.col("t")[0].alias("brand_a"),
+        F.col("t")[1].alias("brand_b"),
+        F.col("t")[2].alias("brand_c"),
+    )

@@ -1,0 +1,449 @@
+"""Exact statistical-test operators (round-7 extension): one-way ANOVA,
+two-sample Kolmogorov-Smirnov, Mann-Whitney U, and Spearman rank
+correlation -- the hypothesis-test layer an analytics engine needs on top
+of the moment/quantile aggregates (events_ab_lift_ztest is the z-test
+member of this family; these add the variance-decomposition, the
+distribution-free, and the rank-based tests).
+
+Cross-engine exactness discipline (registry header rules):
+- every sample value routes through ``try_cast(... AS decimal(18,2)) * 100
+  -> BIGINT`` cents so non-finite doubles NULL out instead of throwing and
+  all accumulation is integer/DECIMAL(38,0), accumulation-order-free;
+- rank statistics use DOUBLED average ranks (2*rank is always integral
+  under midrank tie handling), so rank sums stay in the integer domain;
+- the final test statistic is one shared double-valued closed form over
+  those exact aggregates, rounded to 6dp on both engines.
+
+Scale design: every test reduces the fact table to either a per-group
+moment row (ANOVA), a per-distinct-value count row (KS, U, Spearman), or
+both, before any window runs. The only ordered windows run over the
+DISTINCT VALUE DOMAIN (cents values), which is bounded by price/value
+range, not by row count -- no global row sort ever happens, which is what
+makes these runnable at 10^11 rows (a naive rank() over the fact table
+would single-partition the world).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import register
+
+# cents casts: total under NaN/Inf/overflow (NULL, excluded as non-sample)
+_PRICE_C = "try_cast(try_cast(l_extendedprice AS decimal(18,2)) * 100 AS bigint)"
+_QTY_C = "try_cast(try_cast(l_quantity AS decimal(18,2)) * 100 AS bigint)"
+_VALUE_C = "try_cast(try_cast(value AS decimal(18,2)) * 100 AS bigint)"
+
+
+@register(
+    "lineitem_price_anova_returnflag",
+    tags=("stats", "agg"),
+    oracle=f"""
+    WITH s AS (
+      SELECT l_returnflag AS grp, {_PRICE_C} AS c FROM lineitem
+      WHERE {_PRICE_C} IS NOT NULL
+    ),
+    g AS (
+      SELECT grp, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(c) AS DECIMAL(38,0)) AS s,
+             CAST(sum(CAST(c AS DECIMAL(38,0)) * c) AS DECIMAL(38,0)) AS q
+      FROM s GROUP BY grp
+    ),
+    t AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(n) AS BIGINT) AS n_total,
+             CAST(sum(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) AS DOUBLE)
+               AS sum_s2n,
+             CAST(sum(s) AS DOUBLE) AS s_all,
+             CAST(sum(q) AS DOUBLE) AS q_all
+      FROM g
+    )
+    SELECT k, n_total,
+           round((sum_s2n - s_all * s_all / n_total) / (k - 1)
+                 / nullif((q_all - sum_s2n) / (n_total - k), 0), 6) AS f_stat,
+           round((sum_s2n - s_all * s_all / n_total)
+                 / nullif(q_all - s_all * s_all / n_total, 0), 6) AS eta_sq
+    FROM t WHERE n_total > k
+    """,
+)
+def lineitem_price_anova_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of line price across return-flag groups: F =
+    (SSB/(k-1)) / (SSW/(N-k)) with SSB/SSW decomposed from per-group
+    exact sums -- the "does this categorical split explain price
+    variance" test, plus eta-squared (SSB/SST) as the effect size.
+
+    Exactness: per-group (n, sum, sum-of-squares) are BIGINT/DECIMAL(38,0)
+    over cents (a cents square at 10^11-row scale overflows BIGINT, hence
+    the DECIMAL accumulator -- the totality-campaign recipe); the F
+    closed form is one shared double expression over those exact moments.
+    Degenerate inputs (all values equal -> SSW = 0) yield NULL via the
+    nullif guard instead of a division error on either engine.
+
+    Scale: one map-side-combinable partial agg to |groups| rows (k = 3
+    here), then scalar arithmetic on the driver-side single row. There is
+    no window and no sort; this is the cheapest test in the family."""
+    li = load_table(spark, sf_dir, "lineitem")
+    c = F.expr(_PRICE_C)
+    s = li.select(F.col("l_returnflag").alias("grp"), c.alias("c")).filter(
+        F.col("c").isNotNull()
+    )
+    g = s.groupBy("grp").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("c").cast("decimal(38,0)").alias("s"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c"))
+        .cast("decimal(38,0)")
+        .alias("q"),
+    )
+    t = g.agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("n").cast("bigint").alias("n_total"),
+        F.sum(F.col("s").cast("double") * F.col("s").cast("double") / F.col("n"))
+        .cast("double")
+        .alias("sum_s2n"),
+        F.sum("s").cast("double").alias("s_all"),
+        F.sum("q").cast("double").alias("q_all"),
+    )
+    ssb = F.col("sum_s2n") - F.col("s_all") * F.col("s_all") / F.col("n_total")
+    ssw = F.col("q_all") - F.col("sum_s2n")
+    sst = F.col("q_all") - F.col("s_all") * F.col("s_all") / F.col("n_total")
+    return t.filter(F.col("n_total") > F.col("k")).select(
+        "k",
+        "n_total",
+        F.round(
+            (ssb / (F.col("k") - 1))
+            / F.nullif(ssw / (F.col("n_total") - F.col("k")), F.lit(0)),
+            6,
+        ).alias("f_stat"),
+        F.round(ssb / F.nullif(sst, F.lit(0)), 6).alias("eta_sq"),
+    )
+
+
+@register(
+    "events_value_ks_weekend",
+    tags=("stats", "analytics"),
+    oracle=f"""
+    WITH s AS (
+      SELECT {_VALUE_C} AS c,
+             CAST(dayofweek(ts) IN (0, 6) AS BOOLEAN) AS wkd
+      FROM events WHERE {_VALUE_C} IS NOT NULL
+    ),
+    v AS (
+      SELECT c,
+             CAST(sum(CASE WHEN wkd THEN 1 ELSE 0 END) AS BIGINT) AS c_we,
+             CAST(sum(CASE WHEN wkd THEN 0 ELSE 1 END) AS BIGINT) AS c_wd
+      FROM s GROUP BY c
+    ),
+    cum AS (
+      SELECT CAST(sum(c_we) OVER (ORDER BY c) AS BIGINT) AS cum_we,
+             CAST(sum(c_wd) OVER (ORDER BY c) AS BIGINT) AS cum_wd,
+             CAST(sum(c_we) OVER () AS BIGINT) AS n_we,
+             CAST(sum(c_wd) OVER () AS BIGINT) AS n_wd
+      FROM v
+    )
+    SELECT n_we AS n_weekend, n_wd AS n_weekday,
+           round(CAST(max(abs(cum_we * n_wd - cum_wd * n_we)) AS DOUBLE)
+                 / (CAST(n_we AS DOUBLE) * CAST(n_wd AS DOUBLE)), 6) AS ks_d
+    FROM cum
+    WHERE n_we > 0 AND n_wd > 0
+    GROUP BY n_we, n_wd
+    """,
+)
+def events_value_ks_weekend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between weekend and weekday
+    event values: D = max over the pooled support of |F_weekend(x) -
+    F_weekday(x)| -- the distribution-free "are these two samples from the
+    same distribution" test behind seasonality and drift panels
+    (events_value_psi_weekly bins first and loses tail resolution; KS is
+    the binning-free companion).
+
+    Exactness: the CDF difference is kept in the INTEGER cross-multiplied
+    form |cum_we * n_wd - cum_wd * n_we| (no per-step division), so the
+    max is over exact integers; exactly one division happens at the end.
+    Weekend membership uses day-of-week integers on both engines (Spark
+    dayofweek: Sun=1/Sat=7; DuckDB: Sun=0/Sat=6).
+
+    Scale: events reduce to one row per DISTINCT cents value (bounded by
+    the value domain, not row count) with per-group counts; the ordered
+    prefix sum runs over that bounded domain. At a 10^9-distinct-value
+    domain the same prefix sum range-partitions (sum over partition
+    totals + in-partition scan) -- never a global row sort."""
+    e = load_table(spark, sf_dir, "events")
+    c = F.expr(_VALUE_C)
+    s = e.select(
+        c.alias("c"), F.dayofweek("ts").isin(1, 7).alias("wkd")
+    ).filter(F.col("c").isNotNull())
+    v = s.groupBy("c").agg(
+        F.sum(F.when(F.col("wkd"), 1).otherwise(0)).cast("bigint").alias("c_we"),
+        F.sum(F.when(F.col("wkd"), 0).otherwise(1)).cast("bigint").alias("c_wd"),
+    )
+    wcum = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cum = v.select(
+        F.sum("c_we").over(wcum).cast("bigint").alias("cum_we"),
+        F.sum("c_wd").over(wcum).cast("bigint").alias("cum_wd"),
+        F.sum("c_we").over(wall).cast("bigint").alias("n_we"),
+        F.sum("c_wd").over(wall).cast("bigint").alias("n_wd"),
+    )
+    d_num = F.abs(
+        F.col("cum_we") * F.col("n_wd") - F.col("cum_wd") * F.col("n_we")
+    )
+    return (
+        cum.filter((F.col("n_we") > 0) & (F.col("n_wd") > 0))
+        .groupBy(
+            F.col("n_we").alias("n_weekend"), F.col("n_wd").alias("n_weekday")
+        )
+        .agg(
+            F.round(
+                F.max(d_num).cast("double")
+                / (F.col("n_we").cast("double") * F.col("n_wd").cast("double")),
+                6,
+            ).alias("ks_d")
+        )
+    )
+
+
+@register(
+    "events_mannwhitney_purchase_ab",
+    tags=("stats", "analytics"),
+    oracle=f"""
+    WITH s AS (
+      SELECT {_VALUE_C} AS c,
+             CAST(user_id % 2 = 0 AS BOOLEAN) AS treat
+      FROM events
+      WHERE event_type = 'purchase' AND {_VALUE_C} IS NOT NULL
+    ),
+    v AS (
+      SELECT c,
+             CAST(sum(CASE WHEN treat THEN 1 ELSE 0 END) AS BIGINT) AS c_t,
+             CAST(sum(CASE WHEN treat THEN 0 ELSE 1 END) AS BIGINT) AS c_c
+      FROM s GROUP BY c
+    ),
+    r AS (
+      SELECT c_t, c_c, c_t + c_c AS m,
+             CAST(coalesce(sum(c_t + c_c) OVER (
+               ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS before
+      FROM v
+    ),
+    agg AS (
+      SELECT CAST(sum(c_t) AS BIGINT) AS n_t,
+             CAST(sum(c_c) AS BIGINT) AS n_c,
+             CAST(sum(CAST(c_t AS DECIMAL(38,0)) * (2 * before + m + 1))
+               AS DECIMAL(38,0)) AS r2_t,
+             CAST(sum(CAST(m AS DECIMAL(38,0)) * m * m - m) AS DECIMAL(38,0))
+               AS tie3
+      FROM r
+    )
+    SELECT n_t AS n_treat, n_c AS n_control,
+           round((CAST(r2_t AS DOUBLE) - CAST(n_t AS DOUBLE) * (n_t + 1)) / 2
+                 - CAST(n_t AS DOUBLE) * n_c / 2, 6) AS u_centered,
+           round(((CAST(r2_t AS DOUBLE) - CAST(n_t AS DOUBLE) * (n_t + 1)) / 2
+                  - CAST(n_t AS DOUBLE) * n_c / 2)
+                 / nullif(sqrt(CAST(n_t AS DOUBLE) * n_c / 12
+                     * ((n_t + n_c + 1)
+                        - CAST(tie3 AS DOUBLE)
+                          / (CAST(n_t + n_c AS DOUBLE) * (n_t + n_c - 1)))), 0),
+                 6) AS z
+    FROM agg WHERE n_t > 0 AND n_c > 0 AND n_t + n_c > 1
+    """,
+)
+def events_mannwhitney_purchase_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (rank-sum) test on purchase values between the two
+    experiment arms (same deterministic user-parity assignment as
+    events_ab_lift_ztest): the nonparametric companion to that z-test --
+    it detects distributional shift in spend even when means match.
+    Reports U - E[U] (centered) and the tie-corrected normal z.
+
+    Exactness: midrank tie handling keeps DOUBLED rank sums integral --
+    for a tied block of m values starting after `before` pooled rows, the
+    doubled average rank is 2*before + m + 1, so sum(c_t * that) is an
+    exact DECIMAL(38,0); the tie-correction term sum(m^3 - m) likewise.
+    The z closed form is one shared double expression, NULL (not a throw)
+    when the pooled sample is degenerate (all values tied -> zero
+    variance).
+
+    Scale: same per-distinct-value reduction as the KS operator -- counts
+    per cents value, one prefix sum over the bounded value domain, then a
+    single-row reduce. The fact table is scanned once, never sorted."""
+    e = load_table(spark, sf_dir, "events")
+    c = F.expr(_VALUE_C)
+    s = e.filter(F.col("event_type") == "purchase").select(
+        c.alias("c"), (F.col("user_id") % 2 == 0).alias("treat")
+    ).filter(F.col("c").isNotNull())
+    v = s.groupBy("c").agg(
+        F.sum(F.when(F.col("treat"), 1).otherwise(0)).cast("bigint").alias("c_t"),
+        F.sum(F.when(F.col("treat"), 0).otherwise(1)).cast("bigint").alias("c_c"),
+    )
+    wb = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, -1)
+    r = v.select(
+        "c_t",
+        "c_c",
+        (F.col("c_t") + F.col("c_c")).alias("m"),
+        F.coalesce(F.sum(F.col("c_t") + F.col("c_c")).over(wb), F.lit(0))
+        .cast("bigint")
+        .alias("before"),
+    )
+    agg = r.agg(
+        F.sum("c_t").cast("bigint").alias("n_t"),
+        F.sum("c_c").cast("bigint").alias("n_c"),
+        F.sum(
+            F.col("c_t").cast("decimal(38,0)")
+            * (2 * F.col("before") + F.col("m") + 1)
+        )
+        .cast("decimal(38,0)")
+        .alias("r2_t"),
+        F.sum(
+            F.col("m").cast("decimal(38,0)") * F.col("m") * F.col("m") - F.col("m")
+        )
+        .cast("decimal(38,0)")
+        .alias("tie3"),
+    )
+    n_t, n_c = F.col("n_t").cast("double"), F.col("n_c").cast("double")
+    u_centered = (
+        F.col("r2_t").cast("double") - n_t * (F.col("n_t") + 1)
+    ) / 2 - n_t * n_c / 2
+    var = (
+        n_t
+        * n_c
+        / 12
+        * (
+            (F.col("n_t") + F.col("n_c") + 1)
+            - F.col("tie3").cast("double")
+            / (
+                (F.col("n_t") + F.col("n_c")).cast("double")
+                * (F.col("n_t") + F.col("n_c") - 1)
+            )
+        )
+    )
+    return agg.filter(
+        (F.col("n_t") > 0)
+        & (F.col("n_c") > 0)
+        & (F.col("n_t") + F.col("n_c") > 1)
+    ).select(
+        F.col("n_t").alias("n_treat"),
+        F.col("n_c").alias("n_control"),
+        F.round(u_centered, 6).alias("u_centered"),
+        F.round(u_centered / F.nullif(F.sqrt(var), F.lit(0)), 6).alias("z"),
+    )
+
+
+@register(
+    "lineitem_spearman_qty_price",
+    tags=("stats", "agg"),
+    oracle=f"""
+    WITH s AS (
+      SELECT {_QTY_C} AS x, {_PRICE_C} AS y FROM lineitem
+      WHERE {_QTY_C} IS NOT NULL AND {_PRICE_C} IS NOT NULL
+    ),
+    rx AS (
+      SELECT x, CAST(count(*) AS BIGINT) AS cnt,
+             CAST(2 * coalesce(sum(count(*)) OVER (
+               ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) + count(*) + 1 AS BIGINT) AS r2
+      FROM s GROUP BY x
+    ),
+    ry AS (
+      SELECT y, CAST(count(*) AS BIGINT) AS cnt,
+             CAST(2 * coalesce(sum(count(*)) OVER (
+               ORDER BY y ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) + count(*) + 1 AS BIGINT) AS r2
+      FROM s GROUP BY y
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(rx.r2) AS DECIMAL(38,0)) AS sx,
+             CAST(sum(ry.r2) AS DECIMAL(38,0)) AS sy,
+             CAST(sum(CAST(rx.r2 AS DECIMAL(38,0)) * rx.r2) AS DECIMAL(38,0)) AS sxx,
+             CAST(sum(CAST(ry.r2 AS DECIMAL(38,0)) * ry.r2) AS DECIMAL(38,0)) AS syy,
+             CAST(sum(CAST(rx.r2 AS DECIMAL(38,0)) * ry.r2) AS DECIMAL(38,0)) AS sxy
+      FROM s JOIN rx ON s.x = rx.x JOIN ry ON s.y = ry.y
+    )
+    SELECT n,
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / nullif(sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                          * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)), 0),
+                 6) AS spearman_rho
+    FROM m WHERE n > 1
+    """,
+)
+def lineitem_spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between quantity and line price: Pearson
+    over midrank-tied ranks -- the monotonic-association measure that is
+    robust to the price outliers a linear correlation chases
+    (customer_balance_vs_spend is the Pearson member of the family).
+
+    Exactness: doubled midranks (2*rank always integral) come from the
+    per-distinct-value reduction -- for value v with cnt ties after
+    `before` smaller rows, 2*avgrank = 2*before + cnt + 1 -- and all five
+    Pearson moments accumulate in DECIMAL(38,0); rho is one shared double
+    closed form over them, NULL when either variable is constant.
+
+    Scale: two per-distinct-value rank maps (bounded by the quantity and
+    price domains), each prefix-summed over its own domain, then joined
+    back to the fact rows by value -- an equi-join on a bounded-domain
+    key (broadcastable when the domain is small, hash otherwise). The
+    fact table is never globally sorted; a naive rank() window over rows
+    would single-partition 10^11 rows and is exactly what this shape
+    avoids."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = li.select(
+        F.expr(_QTY_C).alias("x"), F.expr(_PRICE_C).alias("y")
+    ).filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+
+    def rank_map(col: str) -> DataFrame:
+        wb = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
+        return (
+            s.groupBy(col)
+            .agg(F.count("*").cast("bigint").alias("cnt"))
+            .select(
+                col,
+                (
+                    2 * F.coalesce(F.sum("cnt").over(wb), F.lit(0))
+                    + F.col("cnt")
+                    + 1
+                )
+                .cast("bigint")
+                .alias(f"r2_{col}"),
+            )
+        )
+
+    # the rank maps are |distinct values| rows (domain-bounded): broadcast
+    # them so the fact rows never shuffle -- the moment agg stays map-side
+    joined = s.join(F.broadcast(rank_map("x")), "x").join(
+        F.broadcast(rank_map("y")), "y"
+    )
+    m = joined.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("r2_x").cast("decimal(38,0)").alias("sx"),
+        F.sum("r2_y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("r2_x").cast("decimal(38,0)") * F.col("r2_x"))
+        .cast("decimal(38,0)")
+        .alias("sxx"),
+        F.sum(F.col("r2_y").cast("decimal(38,0)") * F.col("r2_y"))
+        .cast("decimal(38,0)")
+        .alias("syy"),
+        F.sum(F.col("r2_x").cast("decimal(38,0)") * F.col("r2_y"))
+        .cast("decimal(38,0)")
+        .alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    num = n * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col(
+        "sy"
+    ).cast("double")
+    denx = F.sqrt(
+        n * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    )
+    deny = F.sqrt(
+        n * F.col("syy").cast("double")
+        - F.col("sy").cast("double") * F.col("sy").cast("double")
+    )
+    return m.filter(F.col("n") > 1).select(
+        "n",
+        F.round(num / F.nullif(denx * deny, F.lit(0)), 6).alias("spearman_rho"),
+    )

@@ -650,3 +650,106 @@ def events_inactivity_gap_profile(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("max_gap_days")
     )
+
+
+@register(
+    "events_cusum_drift",
+    tags=("timeseries", "analytics"),
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(sum(try_cast(try_cast(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+               AS BIGINT) AS x100
+      FROM events
+      WHERE try_cast(try_cast(value AS DECIMAL(18,2)) * 100 AS BIGINT) IS NOT NULL
+      GROUP BY event_type, date_trunc('day', ts)
+    ),
+    w AS (
+      SELECT event_type, day,
+             CAST(count(*) OVER bytype AS BIGINT) AS n_days,
+             CAST(sum(x100) OVER bytype AS BIGINT) AS total,
+             CAST(sum(x100) OVER cum AS BIGINT) AS cum,
+             CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+               AS BIGINT) AS idx
+      FROM daily
+      WINDOW bytype AS (PARTITION BY event_type),
+             cum AS (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    t AS (
+      SELECT event_type, day, n_days,
+             abs(n_days * cum - idx * total) AS t_abs,
+             row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY abs(n_days * cum - idx * total) DESC, day
+             ) AS rn
+      FROM w
+    )
+    SELECT event_type, n_days, day AS peak_day,
+           round(CAST(t_abs AS DOUBLE) / n_days / 100, 6) AS max_cusum
+    FROM t WHERE rn = 1
+    """,
+)
+def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM drift detector per event type: the cumulative sum of daily
+    deviations from the type's overall daily mean, reported at its peak
+    |S_d| with the day it peaks -- the classic "when did the level shift"
+    statistic (events_change_points flags single anomalous days against a
+    trailing week; CUSUM accumulates small persistent shifts those
+    per-day tests miss).
+
+    Exactness: S_d = sum_{i<=d}(x_i - total/n) is kept in the INTEGER
+    cross-multiplied form T_d = n*cum_d - d*total (cents), so the running
+    deviation, the max, and the argmax tie-break (earliest peak day) are
+    all over exact integers; the single division happens at the end.
+
+    Scale: events partial-agg to (type, day) rows first; every window
+    runs over that |types| x |days| domain, partitioned by type -- no
+    global sort, nothing proportional to raw row count. (Daily cents
+    totals approaching 2^63/n_days would route T through DECIMAL(38,0);
+    the fixture domain is ~10 orders below that.)"""
+    e = load_table(spark, sf_dir, "events")
+    x = F.expr("try_cast(try_cast(value AS decimal(18,2)) * 100 AS bigint)")
+    daily = (
+        e.select("event_type", F.date_trunc("day", "ts").alias("day"), x.alias("x"))
+        .filter(F.col("x").isNotNull())
+        .groupBy("event_type", "day")
+        .agg(F.sum("x").cast("bigint").alias("x100"))
+    )
+    bytype = Window.partitionBy("event_type")
+    cumw = Window.partitionBy("event_type").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w = daily.select(
+        "event_type",
+        "day",
+        F.count("*").over(bytype).cast("bigint").alias("n_days"),
+        F.sum("x100").over(bytype).cast("bigint").alias("total"),
+        F.sum("x100").over(cumw).cast("bigint").alias("cum"),
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("day"))
+        .cast("bigint")
+        .alias("idx"),
+    )
+    t_abs = F.abs(
+        F.col("n_days") * F.col("cum") - F.col("idx") * F.col("total")
+    )
+    ranked = w.select(
+        "event_type",
+        "day",
+        "n_days",
+        t_abs.alias("t_abs"),
+        F.row_number()
+        .over(
+            Window.partitionBy("event_type").orderBy(t_abs.desc(), F.col("day"))
+        )
+        .alias("rn"),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "event_type",
+        "n_days",
+        F.col("day").alias("peak_day"),
+        F.round(F.col("t_abs").cast("double") / F.col("n_days") / 100, 6).alias(
+            "max_cusum"
+        ),
+    )

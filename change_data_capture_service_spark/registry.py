@@ -54,6 +54,7 @@ _QUERY_MODULES = [
     "change_data_capture_service_spark.operators.curation",
     "change_data_capture_service_spark.operators.analytics",
     "change_data_capture_service_spark.operators.sqlapi",
+    "change_data_capture_service_spark.operators.stats",
     "change_data_capture_service_spark.operators.udfs",
     "change_data_capture_service_spark.streaming.windows",
     "change_data_capture_service_spark.streaming.dedup_stream",
