@@ -739,3 +739,101 @@ def docs_source_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+@register(
+    "sample_quality_weighted_tokens",
+    tags=("curation", "quality", "northstar"),
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({TOKENS}) AS tok FROM documents
+    ),
+    per_tok AS (
+      SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c,
+             CAST(len(tok) AS BIGINT) AS l
+      FROM toks GROUP BY doc_id, tok
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             CAST(sum(c) AS BIGINT) AS n_tokens,
+             round(CAST(count(*) AS DOUBLE) / sum(c), 6) AS quality,
+             CAST(CASE WHEN sum(c) BETWEEN 10 AND 100000
+                        AND CAST(sum(l * c) AS DOUBLE) / sum(c) BETWEEN 2 AND 10
+                        AND CAST(count(*) AS DOUBLE) / sum(c) > 0.2
+                        AND CAST(max(c) AS DOUBLE) / sum(c) < 0.3
+                   THEN 1 ELSE 0 END AS INT) AS keep
+      FROM per_tok GROUP BY doc_id
+    ),
+    ranked AS (
+      SELECT d.doc_id, d.source, p.n_tokens, p.quality,
+             CAST(sum(p.n_tokens) OVER (
+               PARTITION BY d.source
+               ORDER BY p.quality DESC, d.doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cum_tokens
+      FROM documents d JOIN per_doc p ON d.doc_id = p.doc_id
+      WHERE p.keep = 1
+    )
+    SELECT doc_id, source, n_tokens, quality, cum_tokens
+    FROM ranked WHERE cum_tokens <= 3000
+    """,
+)
+def sample_quality_weighted_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted token-budget sampling: fill each source's token
+    budget with its BEST documents first -- Gopher-gate survivors ranked
+    by unique-token ratio -- instead of hash order
+    (sample_token_mixture) or temperature-scaled mass
+    (sample_temperature_mixture). This is the "quality-first data buy"
+    curation policy: spend the per-source token allowance on documents a
+    quality model ranks highest, deterministically.
+
+    Determinism: the rank key is the 6dp-ROUNDED quality ratio (two
+    exact integers divided once; rounding before ordering means an
+    engine ulp cannot reorder neighbours) with doc_id as the tiebreak;
+    the budget fill is an exact integer prefix sum.
+
+    Scale: the per-doc quality pass is the vocabulary-bounded Gopher agg;
+    the fill is one |source|-keyed window over gate survivors. At corpus
+    scale the stratum key becomes (source, quality-band shard) so no
+    partition outgrows an executor -- same sub-sharding as
+    pack_token_budget."""
+    d = load_table(spark, sf_dir, "documents")
+    per_tok = (
+        d.select("doc_id", F.explode(_tokens()).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+        .withColumn("l", F.length("tok").cast("long"))
+    )
+    per_doc = per_tok.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count("*").alias("n_unique"),
+        F.max("c").alias("top_count"),
+        F.sum(F.col("l") * F.col("c")).alias("sum_len"),
+    )
+    mean_len = F.col("sum_len").cast("double") / F.col("n_tokens")
+    uniq = F.col("n_unique").cast("double") / F.col("n_tokens")
+    top = F.col("top_count").cast("double") / F.col("n_tokens")
+    scored = per_doc.select(
+        "doc_id",
+        "n_tokens",
+        F.round(uniq, 6).alias("quality"),
+        (
+            F.col("n_tokens").between(10, 100000)
+            & mean_len.between(2, 10)
+            & (uniq > 0.2)
+            & (top < 0.3)
+        ).alias("keep"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("quality").desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d.select("doc_id", "source")
+        .join(scored, "doc_id")
+        .filter(F.col("keep"))
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("bigint"))
+        .filter(F.col("cum_tokens") <= 3000)
+        .select("doc_id", "source", "n_tokens", "quality", "cum_tokens")
+    )

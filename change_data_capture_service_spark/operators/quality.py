@@ -896,3 +896,107 @@ def docs_quality_pass_rate_by_source_lang(spark: SparkSession, sf_dir: str) -> D
             ).alias("pass_rate"),
         )
     )
+
+
+@register(
+    "quality_perplexity_bigram",
+    tags=("quality", "text", "northstar"),
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {{TOKENS}} AS toks FROM documents
+    ),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(toks)),
+               i -> toks[i] || ' ' || toks[i+1])) AS bg
+      FROM toks WHERE len(toks) >= 2
+    ),
+    dbg AS (
+      SELECT doc_id, bg, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY 1, 2
+    ),
+    cbg AS (
+      SELECT bg, CAST(sum(c) AS BIGINT) AS cbb FROM dbg GROUP BY bg
+    ),
+    cw1 AS (
+      SELECT split_part(bg, ' ', 1) AS w1, CAST(sum(cbb) AS BIGINT) AS cu
+      FROM cbg GROUP BY 1
+    ),
+    v AS (
+      SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+      FROM (SELECT unnest(toks) AS tok FROM toks)
+    )
+    SELECT dbg.doc_id,
+           CAST(sum(dbg.c) AS BIGINT) AS n_bigrams,
+           CAST(round(-sum(dbg.c * ln((CAST(cbg.cbb AS DOUBLE) + 1)
+                                      / (cw1.cu + v.v)))
+                      / sum(dbg.c), 6) AS DOUBLE) AS cross_entropy
+    FROM dbg
+    JOIN cbg USING (bg)
+    JOIN cw1 ON split_part(dbg.bg, ' ', 1) = cw1.w1
+    CROSS JOIN v
+    GROUP BY dbg.doc_id
+    """.replace("{{TOKENS}}", "{TOKENS}").format(TOKENS=TOKENS),
+)
+def quality_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-entropy under the corpus's own ADD-ONE-smoothed
+    bigram model (nats/bigram): P(w2|w1) = (C(w1 w2)+1)/(C(w1 .)+V). The
+    bigram member of the perplexity family -- it catches
+    scrambled-word-order junk the unigram model scores as perfectly
+    normal (same unigram marginals, alien transitions), which is the
+    gibberish class CCNet's 5-gram KenLM exists to kill; add-one
+    smoothing keeps the model total over unseen transitions without
+    shipping an external LM. Documents with < 2 tokens have no bigrams
+    and are excluded on both engines.
+
+    Scale: same shape as quality_perplexity_unigram one gram up --
+    (doc, bigram) partial counts, a corpus model at BIGRAM-VOCAB grain
+    re-aggregated from that relation (the head-word totals C(w1 .) fold
+    from the bigram model, not from a second corpus pass), and a
+    co-located scoring join on the bigram key; V and nothing else is a
+    broadcast scalar. Per-token ln() terms sum per doc and round at 1e-6
+    (the text_entropy accumulation-order precedent)."""
+    d = load_table(spark, sf_dir, "documents")
+    t = _tokens()
+    bigrams = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.array_join(F.slice(t, i, 2), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    dbg = (
+        d.select("doc_id", F.explode(bigrams).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .localCheckpoint(eager=False)  # feeds the model and the scoring join
+    )
+    cbg = dbg.groupBy("bg").agg(F.sum("c").cast("bigint").alias("cbb"))
+    cw1 = (
+        cbg.groupBy(F.substring_index("bg", " ", 1).alias("w1"))
+        .agg(F.sum("cbb").cast("bigint").alias("cu"))
+    )
+    v = d.select(F.explode(t).alias("tok")).agg(
+        F.count_distinct("tok").cast("bigint").alias("v")
+    )
+    return (
+        dbg.join(cbg, "bg")
+        .join(cw1, F.substring_index(dbg["bg"], " ", 1) == cw1["w1"])
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_bigrams"),
+            F.round(
+                -F.sum(
+                    F.col("c")
+                    * F.log(
+                        (F.col("cbb").cast("double") + 1)
+                        / (F.col("cu") + F.col("v"))
+                    )
+                )
+                / F.sum("c"),
+                6,
+            )
+            .cast("double")
+            .alias("cross_entropy"),
+        )
+    )

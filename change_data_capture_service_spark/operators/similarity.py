@@ -1425,3 +1425,119 @@ def knn_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("purity"),
         )
     )
+
+
+@register(
+    "knn_graph_reciprocity",
+    tags=("similarity", "graph", "northstar"),
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings
+      WHERE sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                  CAST(embedding AS DOUBLE[]))) > 0
+        AND isfinite(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                           CAST(embedding AS DOUBLE[]))))
+    ),
+    scored AS (
+      SELECT a.vec_id AS src, a.label AS src_label, b.vec_id AS dst,
+             round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
+      FROM v a JOIN v b ON a.vec_id <> b.vec_id
+    ),
+    knn AS (
+      SELECT src, src_label, dst FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY src ORDER BY cosine DESC, dst
+        ) AS rnk FROM scored
+      ) t WHERE rnk <= 10
+    ),
+    mut AS (
+      SELECT a.src, a.src_label,
+             CAST(CASE WHEN b.src IS NOT NULL THEN 1 ELSE 0 END AS INT) AS m
+      FROM knn a LEFT JOIN knn b ON a.src = b.dst AND a.dst = b.src
+    )
+    SELECT src_label AS label,
+           CAST(count(DISTINCT src) AS BIGINT) AS n_nodes,
+           CAST(count(*) AS BIGINT) AS n_edges,
+           CAST(sum(m) AS BIGINT) AS n_mutual,
+           round(CAST(sum(m) AS DOUBLE) / count(*), 6) AS reciprocity
+    FROM mut GROUP BY src_label
+    """,
+)
+def knn_graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-edge rate of the exact k=10 cosine kNN graph, per label:
+    the embedding-space health probe behind "are these clusters real" --
+    high reciprocity means points sit in coherent neighbourhoods
+    (mutual-kNN is the backbone graph HDBSCAN/UMAP trust); a label whose
+    reciprocity collapses is a smeared or fragmented cluster
+    (knn_label_purity measures agreement of neighbours' labels; this
+    measures the SYMMETRY of the neighbourhood relation itself, which
+    purity cannot see).
+
+    Engine side scores all-pairs with the corpus broadcast to itself --
+    honest at fixture scale and for the bounded eval subsets this
+    diagnostic runs on. At 10^9 vectors the same operator consumes the
+    persisted ANN index instead (query_ann_index over the corpus in
+    batches gives the approximate kNN graph; the reciprocity fold below
+    is unchanged) -- the reciprocity computation itself is two
+    |V|*k-row relations self-joined on the (src, dst) key, linear in
+    the graph, never in the pair space.
+
+    Exactness: cosines round at 6dp BEFORE the rank window (the
+    knn_cosine_topk precedent) with neighbor-id tiebreaks, so both
+    engines rank identically; everything after is exact integers."""
+    k = 10
+    vec = _vectors(spark, sf_dir).localCheckpoint(eager=False)
+    other = vec.select(
+        F.col("vec_id").alias("dst"),
+        F.col("v").alias("bv"),
+        F.col("nrm").alias("bnrm"),
+    )
+    dot = F.expr("aggregate(zip_with(v, bv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+    scored = (
+        vec.select(
+            F.col("vec_id").alias("src"), F.col("label").alias("src_label"), "v", "nrm"
+        )
+        .join(F.broadcast(other), F.col("src") != F.col("dst"))
+        .withColumn("cosine", F.round(dot / (F.col("nrm") * F.col("bnrm")), 6))
+        .select("src", "src_label", "dst", "cosine")
+    )
+    w = Window.partitionBy("src").orderBy(F.col("cosine").desc(), F.col("dst"))
+    knn = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("src", "src_label", "dst")
+        .localCheckpoint(eager=False)  # the graph: reused by both join sides
+    )
+    # mutuality via the CANONICAL-PAIR rollup instead of a knn-vs-knn
+    # self-join (whose shared lineage makes Spark resolve both sides of
+    # the reversed-edge condition to the same attributes): each directed
+    # edge contributes one row under its unordered (u, w) key; a key with
+    # both directions present counts 2. The groupBy emits fresh
+    # attributes, so the join-back is unambiguous by construction.
+    pairs = (
+        knn.groupBy(
+            F.least("src", "dst").alias("pu"), F.greatest("src", "dst").alias("pw")
+        )
+        .agg(F.count("*").alias("nd"))
+    )
+    mut = (
+        knn.withColumn("u", F.least("src", "dst"))
+        .withColumn("w", F.greatest("src", "dst"))
+        .join(
+            pairs, (F.col("u") == F.col("pu")) & (F.col("w") == F.col("pw"))
+        )
+        .select(
+            "src",
+            "src_label",
+            F.when(F.col("nd") == 2, 1).otherwise(0).alias("m"),
+        )
+    )
+    return mut.groupBy(F.col("src_label").alias("label")).agg(
+        F.count_distinct("src").cast("bigint").alias("n_nodes"),
+        F.count("*").cast("bigint").alias("n_edges"),
+        F.sum("m").cast("bigint").alias("n_mutual"),
+        F.round(F.sum("m").cast("double") / F.count("*"), 6).alias("reciprocity"),
+    )

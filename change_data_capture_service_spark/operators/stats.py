@@ -447,3 +447,95 @@ def lineitem_spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(num / F.nullif(denx * deny, F.lit(0)), 6).alias("spearman_rho"),
     )
+
+
+@register(
+    "lineitem_ols_price_on_qty",
+    tags=("stats", "agg"),
+    oracle=f"""
+    WITH s AS (
+      SELECT {_QTY_C} AS x, {_PRICE_C} AS y FROM lineitem
+      WHERE {_QTY_C} IS NOT NULL AND {_PRICE_C} IS NOT NULL
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS DECIMAL(38,0)) AS sx,
+             CAST(sum(y) AS DECIMAL(38,0)) AS sy,
+             CAST(sum(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS sxx,
+             CAST(sum(CAST(y AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS syy,
+             CAST(sum(CAST(x AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS sxy
+      FROM s
+    )
+    SELECT n,
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / nullif(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0), 6)
+             AS slope,
+           round((CAST(sy AS DOUBLE)
+                  - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                    / nullif(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0)
+                    * CAST(sx AS DOUBLE))
+                 / n / 100, 6) AS intercept_dollars,
+           round(pow(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE), 2)
+                 / nullif((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                          * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)), 0), 6)
+             AS r2
+    FROM m WHERE n > 1
+    """,
+)
+def lineitem_ols_price_on_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simple linear regression of line price on quantity: closed-form
+    OLS slope, intercept (dollars), and R-squared from the five exact
+    moments -- the parametric companion to lineitem_spearman_qty_price
+    (rank association) and trend_linear_fit (price on TIME). One formula
+    family, three association measures, all oracle-checkable.
+
+    Exactness: all five moments accumulate in DECIMAL(38,0) over cents
+    (order-free); slope/intercept/R2 are one shared double closed form,
+    NULL via nullif when x or y is constant (vertical/degenerate fit).
+
+    Scale: a single map-side-combinable partial agg to one moment row --
+    no window, no join; the cheapest possible plan shape."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = li.select(
+        F.expr(_QTY_C).alias("x"), F.expr(_PRICE_C).alias("y")
+    ).filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+    m = s.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x"))
+        .cast("decimal(38,0)")
+        .alias("sxx"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y"))
+        .cast("decimal(38,0)")
+        .alias("syy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y"))
+        .cast("decimal(38,0)")
+        .alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy, sxy = (
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+        F.col("sxy").cast("double"),
+    )
+    cov_n = n * sxy - sx * sy
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
+    slope = cov_n / F.nullif(var_x, F.lit(0))
+    return m.filter(F.col("n") > 1).select(
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n / 100, 6).alias("intercept_dollars"),
+        F.round(
+            F.pow(cov_n, 2) / F.nullif(var_x * var_y, F.lit(0)), 6
+        ).alias("r2"),
+    )

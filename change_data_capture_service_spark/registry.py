@@ -59,6 +59,7 @@ _QUERY_MODULES = [
     "change_data_capture_service_spark.streaming.windows",
     "change_data_capture_service_spark.streaming.dedup_stream",
     "change_data_capture_service_spark.streaming.joinview",
+    "change_data_capture_service_spark.streaming.rollup",
     "change_data_capture_service_spark.operators.windows",
     "change_data_capture_service_spark.operators.aggregates",
     "change_data_capture_service_spark.operators.cdc",

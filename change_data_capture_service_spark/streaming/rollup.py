@@ -225,3 +225,107 @@ def start_rollup(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return sink, writer.start()
+
+
+from ..catalog import load_table  # noqa: E402  (registered-query deps)
+from ..registry import register  # noqa: E402
+from . import envelope as _env  # noqa: E402
+
+
+@register(
+    "stream_rollup_maintenance",
+    tags=("streaming", "timeseries", "cdc"),
+    oracle="""
+    WITH fin AS (
+      SELECT event_id, ts, try_cast(value AS DECIMAL(18,2)) AS v
+      FROM events
+      WHERE try_cast(value AS DECIMAL(18,2)) IS NOT NULL
+    ),
+    final AS (
+      SELECT ts, CASE WHEN event_id % 100 = 13 THEN v + 1.00 ELSE v END AS v
+      FROM fin WHERE event_id % 100 <> 7
+    )
+    SELECT date_trunc('hour', ts) AS hour,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(v * 100 AS BIGINT)) AS BIGINT) AS sum_cents,
+           round(CAST(sum(CAST(v * 100 AS BIGINT)) AS DOUBLE) / 100, 2)
+             AS sum_value
+    FROM final GROUP BY date_trunc('hour', ts)
+    HAVING count(*) <> 0
+    """,
+)
+def stream_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive the continuously-maintained hourly rollup through THREE
+    epochs exercising every delta kind -- epoch 0 inserts 90% of events,
+    epoch 1 inserts the rest, epoch 2 deletes the %100==7 rows and
+    bumps the %100==13 rows by +1.00 (update: after-minus-before) --
+    then return the merged rollup. Incremental-maintenance correctness
+    IS the oracle: after all deltas apply, the maintained aggregate must
+    equal the batch aggregate over the final table state. This registers
+    the rollup member of the IVM trilogy the same way
+    stream_join_view_maintenance registers the join member (and
+    tests/test_rollup.py pins the I/O-scaling claim: incremental work is
+    bounded by the arriving batch, recompute by history).
+
+    Values route through DECIMAL(18,2) before encoding so non-finite
+    doubles drop out (mirrored in the oracle) and the update's +1.00
+    happens in exact decimal -- the envelope's string payload then
+    round-trips bit-exactly on both engines.
+
+    Scale: each epoch reduces to |hours| additive partial rows (count +
+    integer-cents sum); the read-side merge is a partial agg over
+    |hours| x |epochs| rows -- dashboard-scale regardless of event
+    volume. See the module docstring for replay/compaction semantics."""
+    import shutil as _shutil
+    import tempfile
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "ts",
+        F.expr("try_cast(value AS decimal(18,2))").alias("value"),
+    ).filter(F.col("value").isNotNull())
+
+    def enc(df, op, lsn_base, before_cols=None):
+        return _env.encode(
+            df,
+            op=op,
+            schema_name="public",
+            table_name="events",
+            pk_cols=["event_id"],
+            lsn=F.col("event_id").cast("long") + lsn_base,
+            ts=F.col("ts"),
+            before_cols=before_cols,
+        )
+
+    scratch = tempfile.mkdtemp(prefix="rollup_maint_")
+    try:
+        sink = MaterializedRollup(spark, scratch)
+        sink(enc(e.filter(F.col("event_id") % 10 != 0), "insert", 0), 0)
+        sink(enc(e.filter(F.col("event_id") % 10 == 0), "insert", 10_000_000), 1)
+        deletes = enc(e.filter(F.col("event_id") % 100 == 7), "delete", 20_000_000)
+        updates = enc(
+            e.filter(F.col("event_id") % 100 == 13).select(
+                "event_id",
+                "ts",
+                (F.col("value") + F.lit(1.00).cast("decimal(18,2)")).alias("value"),
+                F.col("ts").alias("old_ts"),
+                F.col("value").alias("old_value"),
+            ),
+            "update",
+            20_000_000,
+            before_cols=["old_ts", "old_value"],
+        )
+        sink(deletes.unionByName(updates), 2)
+        # eager: materialize off the scratch store before the finally deletes it
+        return (
+            sink.current("public", "events")
+            .select(
+                "hour",
+                "n_rows",
+                "sum_cents",
+                F.round(F.col("sum_value"), 2).alias("sum_value"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        _shutil.rmtree(scratch, ignore_errors=True)

@@ -259,3 +259,95 @@ def test_source_ngram_overlap_bounds(spark, sf_dir):
     assert (o["n_common"] >= 1).all()
     assert (o["n_common"] <= o[["n_a", "n_b"]].min(axis=1)).all()
     assert ((o["jaccard"] > 0) & (o["jaccard"] <= 1)).all()
+
+
+# ------------------------------------------------ round-7b second batch
+
+
+def test_rollup_maintenance_leaves_no_scratch(spark, sf_dir):
+    import glob
+    import tempfile
+
+    before = set(glob.glob(f"{tempfile.gettempdir()}/rollup_maint_*"))
+    out = _df(spark, sf_dir, "stream_rollup_maintenance")
+    after = set(glob.glob(f"{tempfile.gettempdir()}/rollup_maint_*"))
+    assert after == before, "registered query must clean its scratch dir"
+    assert len(out) > 0
+    assert (out["n_rows"] > 0).all()
+    # the maintained rollup equals the batch aggregate over the final
+    # state -- recomputed here in pandas (delete %100==7, bump %100==13)
+    e = load_table(spark, sf_dir, "events").toPandas()
+    e["v"] = (e["value"].round(2) * 100).round().astype("int64")
+    e = e[e["event_id"] % 100 != 7].copy()
+    e.loc[e["event_id"] % 100 == 13, "v"] += 100
+    e["hour"] = e["ts"].dt.floor("h")
+    ref = e.groupby("hour")["v"].agg(["count", "sum"])
+    got = out.set_index("hour").sort_index()
+    assert (got["n_rows"] == ref["count"]).all()
+    assert (got["sum_cents"] == ref["sum"]).all()
+
+
+def test_bigram_perplexity_matches_python(spark, sf_dir):
+    out = _df(spark, sf_dir, "quality_perplexity_bigram").set_index("doc_id")
+    docs = load_table(spark, sf_dir, "documents").toPandas()
+    from collections import Counter
+
+    corpus_bg: Counter = Counter()
+    vocab = set()
+    toks_by_doc = {}
+    for _, r in docs.iterrows():
+        toks = [t for t in r["text"].lower().split(" ") if t]
+        toks_by_doc[r["doc_id"]] = toks
+        vocab.update(toks)
+        corpus_bg.update(zip(toks, toks[1:]))
+    head = Counter()
+    for (w1, _), c in corpus_bg.items():
+        head[w1] += c
+    V = len(vocab)
+    import math as _m
+
+    for doc_id, toks in list(toks_by_doc.items())[:50]:
+        bgs = list(zip(toks, toks[1:]))
+        if not bgs:
+            assert doc_id not in out.index
+            continue
+        ce = -sum(
+            _m.log((corpus_bg[b] + 1) / (head[b[0]] + V)) for b in bgs
+        ) / len(bgs)
+        assert out.loc[doc_id, "n_bigrams"] == len(bgs)
+        assert out.loc[doc_id, "cross_entropy"] == pytest.approx(ce, abs=1e-5)
+
+
+def test_quality_weighted_sample_budget_and_order(spark, sf_dir):
+    s = _df(spark, sf_dir, "sample_quality_weighted_tokens")
+    if len(s) == 0:
+        pytest.skip("no gate survivors at this sf")
+    for _, grp in s.groupby("source"):
+        grp = grp.sort_values("cum_tokens")
+        assert grp["cum_tokens"].iloc[-1] <= 3000
+        # cum is the running sum of n_tokens in pick order
+        assert (grp["cum_tokens"].diff().dropna() == grp["n_tokens"].iloc[1:]).all()
+        # picked docs are quality-sorted (descending, doc_id tiebreak)
+        q = list(zip(-grp["quality"], grp["doc_id"]))
+        assert q == sorted(q)
+
+
+def test_reciprocity_bounds(spark, sf_dir):
+    r = _df(spark, sf_dir, "knn_graph_reciprocity")
+    assert len(r) > 0
+    assert (r["n_edges"] == r["n_nodes"] * 10).all()
+    assert (r["n_mutual"] <= r["n_edges"]).all()
+    assert ((r["reciprocity"] >= 0) & (r["reciprocity"] <= 1)).all()
+
+
+def test_ols_matches_numpy(spark, sf_dir):
+    row = _df(spark, sf_dir, "lineitem_ols_price_on_qty").iloc[0]
+    li = load_table(spark, sf_dir, "lineitem").toPandas()
+    x = (li["l_quantity"].round(2) * 100).round().astype("int64").to_numpy(dtype=float)
+    y = (li["l_extendedprice"].round(2) * 100).round().astype("int64").to_numpy(dtype=float)
+    slope, intercept = np.polyfit(x, y, 1)
+    r = np.corrcoef(x, y)[0, 1]
+    assert row["n"] == len(x)
+    assert row["slope"] == pytest.approx(slope, rel=1e-4)
+    assert row["intercept_dollars"] == pytest.approx(intercept / 100, rel=1e-4)
+    assert row["r2"] == pytest.approx(r * r, rel=1e-4, abs=1e-6)
