@@ -47,6 +47,8 @@ EXTENDED = [
     "stream_join_view_maintenance",  # round-6: incremental join-view (2-epoch IVM)
     "dedup_semantic_minhash_union",  # round-7: shingle-blocked pairs + 2 vector lookups
     "events_markov_next_event_topk", # round-7: one user-keyed window pass + dim-scale rank
+    "graph_triangle_count",          # round-7b: oriented wedge join on the reduced graph
+    "quality_perplexity_bigram",     # round-7b: (doc,bigram) partials + model fold
 ]
 
 
