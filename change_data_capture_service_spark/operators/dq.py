@@ -306,3 +306,86 @@ def lineitem_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("chi2_term"),
     )
+
+
+@register(
+    "dq_orders_lineitem_reconciliation",
+    tags=("dq", "join"),
+    oracle="""
+    WITH line_gross AS (
+      SELECT l_orderkey,
+             CAST(sum(try_cast(round(
+               l_extendedprice * (1 - l_discount) * (1 + l_tax), 2
+             ) * 100 AS BIGINT)) AS BIGINT) AS lines_cents,
+             CAST(count(*) AS BIGINT) AS n_lines
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    recon AS (
+      SELECT o.o_orderstatus,
+             try_cast(round(o.o_totalprice, 2) * 100 AS BIGINT) AS o_cents,
+             g.lines_cents
+      FROM orders o LEFT JOIN line_gross g ON o.o_orderkey = g.l_orderkey
+    )
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CASE WHEN lines_cents IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_lineless,
+           CAST(sum(CASE WHEN o_cents = lines_cents THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_exact,
+           round(CAST(sum(abs(o_cents - lines_cents)) AS DOUBLE)
+                 / nullif(sum(CASE WHEN lines_cents IS NOT NULL
+                              THEN 1 ELSE 0 END), 0) / 100, 2) AS mean_abs_diff,
+           round(CAST(max(abs(o_cents - lines_cents)) AS DOUBLE) / 100, 2)
+             AS max_abs_diff
+    FROM recon GROUP BY o_orderstatus
+    """,
+)
+def dq_orders_lineitem_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table reconciliation: does each order's header total equal
+    the sum of its lines' gross charge (extendedprice x (1-discount) x
+    (1+tax))? The classic financial-close DQ control -- header-vs-detail
+    drift means a failed backfill, a partial CDC apply, or (as in these
+    independently-synthesized fixtures) totals that were never derived
+    from the lines at all; the per-status report quantifies the gap
+    either way, plus orders with NO lines (referential gap).
+
+    Exactness: the per-line gross is one shared double expression rounded
+    to cents THEN try_cast to BIGINT (identical IEEE product both
+    engines; the round-then-cents order matters and is mirrored); header
+    totals go through the same cents gate; all aggregation is integer.
+    NULL-total or overflow rows null out instead of throwing.
+
+    Scale: one |orders|-keyed partial agg over lineitem co-located with
+    the header join key, one broadcast-free equi-join (both sides
+    order-keyed), one |status| rollup."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    gross = F.expr(
+        "try_cast(round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 2)"
+        " * 100 AS bigint)"
+    )
+    line_gross = li.groupBy("l_orderkey").agg(
+        F.sum(gross).cast("bigint").alias("lines_cents"),
+        F.count("*").cast("bigint").alias("n_lines"),
+    )
+    recon = o.select(
+        "o_orderstatus",
+        "o_orderkey",
+        F.expr("try_cast(round(o_totalprice, 2) * 100 AS bigint)").alias("o_cents"),
+    ).join(line_gross, F.col("o_orderkey") == F.col("l_orderkey"), "left")
+    diff = F.abs(F.col("o_cents") - F.col("lines_cents"))
+    has_lines = F.when(F.col("lines_cents").isNotNull(), 1).otherwise(0)
+    return recon.groupBy("o_orderstatus").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum(F.when(F.col("lines_cents").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_lineless"),
+        F.sum(F.when(F.col("o_cents") == F.col("lines_cents"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_exact"),
+        F.round(
+            F.sum(diff).cast("double") / F.nullif(F.sum(has_lines), F.lit(0)) / 100,
+            2,
+        ).alias("mean_abs_diff"),
+        F.round(F.max(diff).cast("double") / 100, 2).alias("max_abs_diff"),
+    )

@@ -1541,3 +1541,89 @@ def knn_graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("m").cast("bigint").alias("n_mutual"),
         F.round(F.sum("m").cast("double") / F.count("*"), 6).alias("reciprocity"),
     )
+
+
+@register(
+    "embedding_kdist_profile",
+    tags=("similarity", "northstar"),
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings
+      WHERE sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                  CAST(embedding AS DOUBLE[]))) > 0
+        AND isfinite(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                           CAST(embedding AS DOUBLE[]))))
+    ),
+    scored AS (
+      SELECT a.vec_id AS src, a.label AS label, b.vec_id AS dst,
+             round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
+      FROM v a JOIN v b ON a.vec_id <> b.vec_id
+    ),
+    kd AS (
+      SELECT src, label,
+             CAST(round(1 - cosine, 6) AS DECIMAL(18,6)) AS kdist
+      FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY src ORDER BY cosine DESC, dst
+        ) AS rnk FROM scored
+      ) t WHERE rnk = 10
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(kdist) AS DOUBLE) AS min_kdist,
+           round(CAST(sum(kdist) AS DOUBLE) / count(*), 6) AS avg_kdist,
+           CAST(max(kdist) AS DOUBLE) AS max_kdist
+    FROM kd GROUP BY label
+    """,
+)
+def embedding_kdist_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-distance profile (cosine distance to the 10th nearest
+    neighbour) per label: the density diagnostic behind DBSCAN/HDBSCAN
+    eps selection and ANN recall triage -- a label whose 10-distance is
+    large lives in sparse space (poor cluster; expect low IVF recall
+    there), a near-zero one is dense/duplicated. Companion to
+    knn_graph_reciprocity (symmetry) and embedding_norm_stats (scale).
+
+    Exactness: cosines round at 6dp before the rank window (identical
+    ranking both engines); the k-distance is stored as DECIMAL(18,6) so
+    the per-label mean is an EXACT decimal sum divided once -- no
+    accumulation-order ulps (the quantile-interpolation lesson: profile
+    by min/mean/max over exact decimals, not interpolated percentiles).
+
+    Scale: the scoring reuses the exact-kNN shape (corpus broadcast at
+    fixture scale, ANN-index-fed at 10^9 vectors); after the rank window
+    only |V| (src, kdist) rows remain, and the profile is a |labels|
+    rollup."""
+    k = 10
+    vec = _vectors(spark, sf_dir).localCheckpoint(eager=False)
+    other = vec.select(
+        F.col("vec_id").alias("dst"),
+        F.col("v").alias("bv"),
+        F.col("nrm").alias("bnrm"),
+    )
+    dot = F.expr("aggregate(zip_with(v, bv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+    scored = (
+        vec.select(F.col("vec_id").alias("src"), "label", "v", "nrm")
+        .join(F.broadcast(other), F.col("src") != F.col("dst"))
+        .withColumn("cosine", F.round(dot / (F.col("nrm") * F.col("bnrm")), 6))
+        .select("src", "label", "dst", "cosine")
+    )
+    w = Window.partitionBy("src").orderBy(F.col("cosine").desc(), F.col("dst"))
+    kd = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == k)
+        .select(
+            "src",
+            "label",
+            F.round(1 - F.col("cosine"), 6).cast("decimal(18,6)").alias("kdist"),
+        )
+    )
+    return kd.groupBy("label").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.min("kdist").cast("double").alias("min_kdist"),
+        F.round(F.sum("kdist").cast("double") / F.count("*"), 6).alias("avg_kdist"),
+        F.max("kdist").cast("double").alias("max_kdist"),
+    )

@@ -539,3 +539,244 @@ def lineitem_ols_price_on_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.pow(cov_n, 2) / F.nullif(var_x * var_y, F.lit(0)), 6
         ).alias("r2"),
     )
+
+
+@register(
+    "customer_survival_km",
+    tags=("stats", "analytics"),
+    oracle="""
+    WITH ranked AS (
+      SELECT o_custkey, o_orderdate,
+             row_number() OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ) AS rn
+      FROM orders
+    ),
+    horizon AS (SELECT max(o_orderdate) AS h FROM orders),
+    spans AS (
+      SELECT f.o_custkey,
+             CAST(CASE WHEN s.o_orderdate IS NOT NULL
+                  THEN date_diff('day', f.o_orderdate, s.o_orderdate)
+                  ELSE date_diff('day', f.o_orderdate, horizon.h)
+             END AS BIGINT) AS duration,
+             CAST(s.o_orderdate IS NOT NULL AS INT) AS event
+      FROM ranked f
+      LEFT JOIN ranked s ON f.o_custkey = s.o_custkey AND s.rn = 2
+      CROSS JOIN horizon
+      WHERE f.rn = 1
+    ),
+    grid AS (
+      SELECT duration,
+             CAST(sum(event) AS BIGINT) AS d,
+             CAST(count(*) AS BIGINT) AS leaving
+      FROM spans GROUP BY duration
+    ),
+    risk AS (
+      SELECT duration, d,
+             CAST((SELECT count(*) FROM spans) AS BIGINT)
+               - CAST(coalesce(sum(leaving) OVER (
+                   ORDER BY duration
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0) AS BIGINT) AS n_risk
+      FROM grid
+    )
+    SELECT duration AS duration_days, n_risk, d AS n_events,
+           round(exp(sum(ln(1 - CAST(d AS DOUBLE) / n_risk)) OVER (
+             ORDER BY duration
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           )), 6) AS survival
+    FROM risk WHERE d > 0 AND d < n_risk
+    """,
+)
+def customer_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve for time-to-second-order: the repeat-
+    purchase survival analysis marketing teams run -- S(t) = product over
+    event times <= t of (1 - d_i/n_i), where customers who never
+    reordered are RIGHT-CENSORED at the data horizon (dropping them, as a
+    naive repeat-rate query does, biases retention low; censoring is the
+    entire point of the estimator). Emits one row per event time with
+    the at-risk count, events, and the survival estimate.
+
+    Exactness: durations, event counts d_i, and at-risk counts n_i are
+    exact integers (at-risk = total minus everyone who left strictly
+    earlier; deaths and same-day censorings both count as at risk at t,
+    the standard convention); the product is computed as
+    exp(running-sum of ln terms) with identical expression shape on both
+    engines and a 6dp final round (the entropy-family ln precedent).
+    Times where everyone at risk dies (d = n_risk, survival 0, ln
+    singular) are excluded by the d < n_risk guard on both sides.
+
+    Scale: |customers|-grain first/second-order reduction (one keyed
+    window over orders), then every remaining relation is the |distinct
+    durations| grid -- day-domain bounded, not data bounded."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    ranked = o.select(
+        "o_custkey", "o_orderdate", F.row_number().over(w).alias("rn")
+    )
+    horizon = o.agg(F.max("o_orderdate").alias("h"))
+    first = ranked.filter(F.col("rn") == 1).select(
+        "o_custkey", F.col("o_orderdate").alias("t0")
+    )
+    second = ranked.filter(F.col("rn") == 2).select(
+        F.col("o_custkey").alias("ck2"), F.col("o_orderdate").alias("t1")
+    )
+    spans = (
+        first.join(second, first["o_custkey"] == second["ck2"], "left")
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.when(
+                F.col("t1").isNotNull(), F.datediff(F.col("t1"), F.col("t0"))
+            )
+            .otherwise(F.datediff(F.col("h"), F.col("t0")))
+            .cast("bigint")
+            .alias("duration"),
+            F.col("t1").isNotNull().cast("int").alias("event"),
+        )
+    )
+    grid = spans.groupBy("duration").agg(
+        F.sum("event").cast("bigint").alias("d"),
+        F.count("*").cast("bigint").alias("leaving"),
+    )
+    total = spans.agg(F.count("*").cast("bigint").alias("n_total"))
+    wb = Window.orderBy("duration").rowsBetween(Window.unboundedPreceding, -1)
+    wc = Window.orderBy("duration").rowsBetween(Window.unboundedPreceding, 0)
+    risk = grid.crossJoin(F.broadcast(total)).select(
+        "duration",
+        "d",
+        (
+            F.col("n_total")
+            - F.coalesce(F.sum("leaving").over(wb), F.lit(0))
+        )
+        .cast("bigint")
+        .alias("n_risk"),
+    )
+    surv = F.round(
+        F.exp(
+            F.sum(F.log(1 - F.col("d").cast("double") / F.col("n_risk"))).over(wc)
+        ),
+        6,
+    )
+    return (
+        risk.withColumn("survival", surv)
+        .filter((F.col("d") > 0) & (F.col("d") < F.col("n_risk")))
+        .select(
+            F.col("duration").alias("duration_days"),
+            "n_risk",
+            F.col("d").alias("n_events"),
+            "survival",
+        )
+    )
+
+
+@register(
+    "events_mutual_info_type_dow",
+    tags=("stats", "analytics"),
+    oracle="""
+    WITH cell AS (
+      SELECT event_type AS x, dayofweek(ts) AS y, CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY event_type, dayofweek(ts)
+    ),
+    mx AS (SELECT x, CAST(sum(c) AS BIGINT) AS cx FROM cell GROUP BY x),
+    my AS (SELECT y, CAST(sum(c) AS BIGINT) AS cy FROM cell GROUP BY y),
+    n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cell),
+    hx AS (
+      SELECT -sum(CAST(cx AS DOUBLE) / n.n * ln(CAST(cx AS DOUBLE) / n.n)) AS hx
+      FROM mx CROSS JOIN n
+    ),
+    hy AS (
+      SELECT -sum(CAST(cy AS DOUBLE) / n.n * ln(CAST(cy AS DOUBLE) / n.n)) AS hy
+      FROM my CROSS JOIN n
+    ),
+    terms AS (
+      SELECT cell.c, mx.cx, my.cy, n.n
+      FROM cell JOIN mx USING (x) JOIN my USING (y) CROSS JOIN n
+    )
+    SELECT any_value(n) AS n,
+           round(sum(CAST(c AS DOUBLE) / n
+                     * ln(CAST(c AS DOUBLE) * n
+                          / (CAST(cx AS DOUBLE) * cy))), 6) AS mi,
+           round(sum(CAST(c AS DOUBLE) / n
+                     * ln(CAST(c AS DOUBLE) * n
+                          / (CAST(cx AS DOUBLE) * cy)))
+                 / nullif(least(hx.hx, hy.hy), 0), 6) AS nmi
+    FROM terms CROSS JOIN hx CROSS JOIN hy
+    GROUP BY hx.hx, hy.hy
+    """,
+)
+def events_mutual_info_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between event type and day-of-week (nats), plus
+    the min-entropy-normalized NMI: the information-theoretic "is
+    behaviour day-dependent" test -- zero iff the contingency table
+    factorizes, and unlike the chi-square family it is comparable across
+    table sizes. (part_attr_assoc_cramer is the chi-square effect size;
+    this is its information-theoretic sibling.)
+
+    Exactness: all cell/marginal counts are exact integers from one
+    partial agg; MI terms are one shared double expression (ln precedent:
+    6dp final round). The marginal entropies H(x)/H(y) fold from the
+    MARGINAL tables, never from the joined cell relation (folding there
+    would double-count repeated marginal probabilities).
+
+    Scale: events reduce to the |types| x 7 contingency table map-side;
+    everything downstream is dim-scale arithmetic. dayofweek integers
+    differ across engines only by offset (Spark Sun=1..Sat=7, DuckDB
+    Sun=0..6), which MI is invariant to -- the y labels never leave the
+    query."""
+    e = load_table(spark, sf_dir, "events")
+    cell = e.groupBy(
+        F.col("event_type").alias("x"), F.dayofweek("ts").alias("y")
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    cell = cell.localCheckpoint(eager=False)  # 3 consumers of one tiny table
+    mx = cell.groupBy("x").agg(F.sum("c").cast("bigint").alias("cx"))
+    my = cell.groupBy("y").agg(F.sum("c").cast("bigint").alias("cy"))
+    n = cell.agg(F.sum("c").cast("bigint").alias("n"))
+    terms = (
+        cell.join(F.broadcast(mx), "x")
+        .join(F.broadcast(my), "y")
+        .crossJoin(F.broadcast(n))
+    )
+    p = F.col("c").cast("double") / F.col("n")
+    mi_term = p * F.log(
+        F.col("c").cast("double") * F.col("n")
+        / (F.col("cx").cast("double") * F.col("cy"))
+    )
+    hx = (
+        mx.crossJoin(F.broadcast(n))
+        .agg(
+            (
+                -F.sum(
+                    F.col("cx").cast("double")
+                    / F.col("n")
+                    * F.log(F.col("cx").cast("double") / F.col("n"))
+                )
+            ).alias("hx")
+        )
+    )
+    hy = (
+        my.crossJoin(F.broadcast(n))
+        .agg(
+            (
+                -F.sum(
+                    F.col("cy").cast("double")
+                    / F.col("n")
+                    * F.log(F.col("cy").cast("double") / F.col("n"))
+                )
+            ).alias("hy")
+        )
+    )
+    return (
+        terms.crossJoin(F.broadcast(hx))
+        .crossJoin(F.broadcast(hy))
+        .groupBy("hx", "hy")
+        .agg(
+            F.any_value("n").alias("n"),
+            F.round(F.sum(mi_term), 6).alias("mi"),
+            F.round(
+                F.sum(mi_term)
+                / F.nullif(F.least(F.col("hx"), F.col("hy")), F.lit(0)),
+                6,
+            ).alias("nmi"),
+        )
+        .select("n", "mi", "nmi")
+    )

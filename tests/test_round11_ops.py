@@ -351,3 +351,86 @@ def test_ols_matches_numpy(spark, sf_dir):
     assert row["slope"] == pytest.approx(slope, rel=1e-4)
     assert row["intercept_dollars"] == pytest.approx(intercept / 100, rel=1e-4)
     assert row["r2"] == pytest.approx(r * r, rel=1e-4, abs=1e-6)
+
+
+# ------------------------------------------------- round-7b third batch
+
+
+def test_km_matches_python(spark, sf_dir):
+    out = _df(spark, sf_dir, "customer_survival_km")
+    o = load_table(spark, sf_dir, "orders").toPandas()
+    o = o.sort_values(["o_orderdate", "o_orderkey"])
+    horizon = o["o_orderdate"].max()
+    spans = []
+    for _, grp in o.groupby("o_custkey"):
+        dates = grp["o_orderdate"].tolist()
+        if len(dates) >= 2:
+            spans.append(((dates[1] - dates[0]).days, 1))
+        else:
+            spans.append(((horizon - dates[0]).days, 0))
+    # KM by hand
+    from collections import defaultdict
+
+    d = defaultdict(int)
+    leave = defaultdict(int)
+    for t, e in spans:
+        leave[t] += 1
+        d[t] += e
+    n_risk = len(spans)
+    s = 1.0
+    ref = {}
+    for t in sorted(leave):
+        if d[t] > 0 and d[t] < n_risk:
+            s *= 1 - d[t] / n_risk
+            ref[t] = (n_risk, d[t], s)
+        n_risk -= leave[t]
+    got = out.set_index("duration_days").sort_index()
+    assert set(got.index) == set(ref)
+    for t, (nr, dd, sv) in ref.items():
+        assert got.loc[t, "n_risk"] == nr
+        assert got.loc[t, "n_events"] == dd
+        assert got.loc[t, "survival"] == pytest.approx(sv, abs=1e-5)
+    # survival is monotone nonincreasing in time
+    assert (got["survival"].diff().dropna() <= 1e-12).all()
+
+
+def test_mutual_info_matches_numpy(spark, sf_dir):
+    row = _df(spark, sf_dir, "events_mutual_info_type_dow").iloc[0]
+    e = load_table(spark, sf_dir, "events").toPandas()
+    x = e["event_type"]
+    y = e["ts"].dt.dayofweek
+    tab = (
+        e.assign(x=x, y=y).groupby(["x", "y"]).size().unstack(fill_value=0).to_numpy()
+    )
+    n = tab.sum()
+    px = tab.sum(1) / n
+    py = tab.sum(0) / n
+    p = tab / n
+    with np.errstate(divide="ignore", invalid="ignore"):
+        terms = p * np.log(p / np.outer(px, py))
+    mi_ref = np.nansum(terms)
+    hx = -np.sum(px * np.log(px))
+    hy = -np.sum(py * np.log(py))
+    assert row["n"] == n
+    assert row["mi"] == pytest.approx(mi_ref, abs=1e-5)
+    assert row["nmi"] == pytest.approx(mi_ref / min(hx, hy), abs=1e-4)
+    assert 0 <= row["nmi"] <= 1 + 1e-9
+
+
+def test_reconciliation_conserves_orders(spark, sf_dir):
+    r = _df(spark, sf_dir, "dq_orders_lineitem_reconciliation")
+    n_orders = load_table(spark, sf_dir, "orders").count()
+    assert r["n_orders"].sum() == n_orders
+    assert (r["n_exact"] <= r["n_orders"]).all()
+    assert (r["n_lineless"] <= r["n_orders"]).all()
+    assert (r["max_abs_diff"].fillna(0) >= r["mean_abs_diff"].fillna(0) - 1e-9).all()
+
+
+def test_kdist_profile_bounds(spark, sf_dir):
+    p = _df(spark, sf_dir, "embedding_kdist_profile")
+    emb = load_table(spark, sf_dir, "embeddings").count()
+    assert p["n"].sum() == emb  # fixtures carry no degenerate vectors
+    assert (p["min_kdist"] >= 0).all()
+    assert (p["min_kdist"] <= p["avg_kdist"] + 1e-9).all()
+    assert (p["avg_kdist"] <= p["max_kdist"] + 1e-9).all()
+    assert (p["max_kdist"] <= 2.0).all()
