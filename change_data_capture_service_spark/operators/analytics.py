@@ -3175,3 +3175,101 @@ def events_hourly_activity_entropy(spark: SparkSession, sf_dir: str) -> DataFram
             ).cast("double").alias("entropy_nats"),
         )
     )
+
+
+@register(
+    "events_sequence_rules_confidence",
+    tags=("analytics", "agg"),
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS next_type
+      FROM events
+    ),
+    rule_users AS (
+      SELECT DISTINCT user_id, event_type AS a, next_type AS b
+      FROM seq WHERE next_type IS NOT NULL
+    ),
+    rules AS (
+      SELECT a, b, CAST(count(*) AS BIGINT) AS n_rule FROM rule_users GROUP BY a, b
+    ),
+    ante AS (
+      SELECT event_type AS a, CAST(count(DISTINCT user_id) AS BIGINT) AS n_a
+      FROM events GROUP BY event_type
+    ),
+    cons AS (
+      SELECT event_type AS b, CAST(count(DISTINCT user_id) AS BIGINT) AS n_b
+      FROM events GROUP BY event_type
+    ),
+    total AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n FROM events)
+    SELECT r.a AS antecedent, r.b AS consequent, r.n_rule,
+           round(CAST(r.n_rule AS DOUBLE) / total.n, 6) AS support,
+           round(CAST(r.n_rule AS DOUBLE) / ante.n_a, 6) AS confidence,
+           round(CAST(r.n_rule AS DOUBLE) * total.n
+                 / (CAST(ante.n_a AS DOUBLE) * cons.n_b), 6) AS lift
+    FROM rules r
+    JOIN ante ON r.a = ante.a
+    JOIN cons ON r.b = cons.b
+    CROSS JOIN total
+    ORDER BY confidence DESC, antecedent, consequent
+    LIMIT 20
+    """,
+)
+def events_sequence_rules_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential association rules at USER grain: for each direct
+    transition a -> b, the share of all users who exhibit it (support),
+    the share of users-with-a who exhibit it (confidence), and the lift
+    against the consequent's base rate -- the market-basket rule triple
+    applied to event sequences. event_transitions counts transition
+    EVENTS; this counts transition USERS, which is what a
+    recommendation/journey team acts on (one power user cannot inflate a
+    rule). Top-20 by confidence with full deterministic tiebreaks.
+
+    Scale: one user-keyed lead() window (the event_transitions shuffle),
+    a distinct-reduction to (user, a, b), then everything is
+    |types|^2-grain; antecedent/consequent user counts are |types|-grain
+    distinct aggregates. TakeOrdered final."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        F.col("event_type").alias("a"),
+        F.lead("event_type").over(w).alias("b"),
+    ).filter(F.col("b").isNotNull())
+    rules = (
+        seq.select("user_id", "a", "b")
+        .distinct()
+        .groupBy("a", "b")
+        .agg(F.count("*").cast("bigint").alias("n_rule"))
+    )
+    ante = e.groupBy(F.col("event_type").alias("a")).agg(
+        F.count_distinct("user_id").cast("bigint").alias("n_a")
+    )
+    cons = e.groupBy(F.col("event_type").alias("b")).agg(
+        F.count_distinct("user_id").cast("bigint").alias("n_b")
+    )
+    total = e.agg(F.count_distinct("user_id").cast("bigint").alias("n"))
+    return (
+        rules.join(F.broadcast(ante), "a")
+        .join(F.broadcast(cons), "b")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("a").alias("antecedent"),
+            F.col("b").alias("consequent"),
+            "n_rule",
+            F.round(F.col("n_rule").cast("double") / F.col("n"), 6).alias("support"),
+            F.round(F.col("n_rule").cast("double") / F.col("n_a"), 6).alias(
+                "confidence"
+            ),
+            F.round(
+                F.col("n_rule").cast("double")
+                * F.col("n")
+                / (F.col("n_a").cast("double") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("confidence").desc(), "antecedent", "consequent")
+        .limit(20)
+    )

@@ -314,15 +314,16 @@ def lineitem_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH line_gross AS (
       SELECT l_orderkey,
-             CAST(sum(try_cast(round(
-               l_extendedprice * (1 - l_discount) * (1 + l_tax), 2
-             ) * 100 AS BIGINT)) AS BIGINT) AS lines_cents,
+             CAST(sum(try_cast(try_cast(
+               l_extendedprice * (1 - l_discount) * (1 + l_tax)
+               AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS lines_cents,
              CAST(count(*) AS BIGINT) AS n_lines
       FROM lineitem GROUP BY l_orderkey
     ),
     recon AS (
       SELECT o.o_orderstatus,
-             try_cast(round(o.o_totalprice, 2) * 100 AS BIGINT) AS o_cents,
+             try_cast(try_cast(o.o_totalprice AS DECIMAL(18,2)) * 100
+               AS BIGINT) AS o_cents,
              g.lines_cents
       FROM orders o LEFT JOIN line_gross g ON o.o_orderkey = g.l_orderkey
     )
@@ -349,20 +350,24 @@ def dq_orders_lineitem_reconciliation(spark: SparkSession, sf_dir: str) -> DataF
     from the lines at all; the per-status report quantifies the gap
     either way, plus orders with NO lines (referential gap).
 
-    Exactness: the per-line gross is one shared double expression rounded
-    to cents THEN try_cast to BIGINT (identical IEEE product both
-    engines; the round-then-cents order matters and is mirrored); header
-    totals go through the same cents gate; all aggregation is integer.
-    NULL-total or overflow rows null out instead of throwing.
+    Exactness: the per-line gross is one shared double expression (the
+    IEEE product is identical on both engines) routed to cents through
+    the DECIMAL(18,2) cast -- the registry recipe; a round()*100->BIGINT
+    path differs cross-engine because Spark's float->int cast truncates
+    while DuckDB's rounds. Header totals go through the same gate; all
+    aggregation is integer. NULL-total or overflow rows null out instead
+    of throwing.
 
     Scale: one |orders|-keyed partial agg over lineitem co-located with
     the header join key, one broadcast-free equi-join (both sides
     order-keyed), one |status| rollup."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
+    # cents via the DECIMAL cast (round()*100 -> bigint truncates on Spark
+    # but rounds on DuckDB; the decimal cast rounds identically on both)
     gross = F.expr(
-        "try_cast(round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 2)"
-        " * 100 AS bigint)"
+        "try_cast(try_cast(l_extendedprice * (1 - l_discount) * (1 + l_tax)"
+        " AS decimal(18,2)) * 100 AS bigint)"
     )
     line_gross = li.groupBy("l_orderkey").agg(
         F.sum(gross).cast("bigint").alias("lines_cents"),
@@ -371,7 +376,9 @@ def dq_orders_lineitem_reconciliation(spark: SparkSession, sf_dir: str) -> DataF
     recon = o.select(
         "o_orderstatus",
         "o_orderkey",
-        F.expr("try_cast(round(o_totalprice, 2) * 100 AS bigint)").alias("o_cents"),
+        F.expr(
+            "try_cast(try_cast(o_totalprice AS decimal(18,2)) * 100 AS bigint)"
+        ).alias("o_cents"),
     ).join(line_gross, F.col("o_orderkey") == F.col("l_orderkey"), "left")
     diff = F.abs(F.col("o_cents") - F.col("lines_cents"))
     has_lines = F.when(F.col("lines_cents").isNotNull(), 1).otherwise(0)

@@ -3117,3 +3117,99 @@ def orders_customer_concentration(spark: SparkSession, sf_dir: str) -> DataFrame
             ).alias("hhi"),
         )
     )
+
+
+@register(
+    "part_price_index_laspeyres",
+    tags=("relational", "timeseries", "agg"),
+    oracle="""
+    WITH monthly AS (
+      SELECT l_partkey, date_trunc('month', l_shipdate) AS month,
+             CAST(sum(try_cast(try_cast(l_extendedprice AS DECIMAL(18,2))
+                                * 100 AS BIGINT)) AS BIGINT) AS sc,
+             CAST(sum(try_cast(try_cast(l_quantity AS DECIMAL(18,2))
+                                * 100 AS BIGINT)) AS BIGINT) AS qc
+      FROM lineitem
+      GROUP BY l_partkey, date_trunc('month', l_shipdate)
+      HAVING sum(try_cast(try_cast(l_quantity AS DECIMAL(18,2))
+                          * 100 AS BIGINT)) > 0
+    ),
+    base AS (
+      SELECT l_partkey, sc AS sc0, qc AS qc0 FROM monthly
+      WHERE month = (SELECT min(month) FROM monthly)
+    )
+    SELECT m.month,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(CAST((2 * m.sc * 1000000 + m.qc) // (2 * m.qc)
+                          AS DECIMAL(38,0)) * b.qc0) AS DOUBLE)
+             / CAST(sum(CAST((2 * b.sc0 * 1000000 + b.qc0) // (2 * b.qc0)
+                             AS DECIMAL(38,0)) * b.qc0) AS DOUBLE)
+             AS laspeyres_index
+    FROM monthly m JOIN base b ON m.l_partkey = b.l_partkey
+    GROUP BY m.month
+    """,
+)
+def part_price_index_laspeyres(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laspeyres price index by ship month: sum(p_t x q_0) / sum(p_0 x
+    q_0) over the parts traded in both the base month (the first month
+    in the data) and month t, with p = the month's observed unit price
+    (extended-price cents over quantity cents) and q_0 the base-month
+    quantity weights -- the fixed-basket inflation measure an assortment
+    or procurement team tracks (base-quantity weights isolate PRICE
+    movement from mix shift, which a raw average price cannot).
+
+    Exactness (hard-won): per-(part, month) price and quantity totals
+    are exact integer cents; the micro-unit price is rounded half-up IN
+    INTEGER ARITHMETIC -- (2*sc*10^6 + qc) div (2*qc) -- because
+    round(double, 6) on a quotient of small integers lands on decimal
+    ties constantly and Spark (shortest-repr HALF_UP) and DuckDB (binary
+    round-half-even) disagree on ties (observed on 82 of 83 months
+    through the double path); basket sums then accumulate
+    DECIMAL(38,0)-exactly and the final quotient ships unrounded -- both
+    engines divide the identical pair of doubles, so the bit pattern
+    matches.
+    Zero-quantity part-months are excluded by the HAVING on both engines
+    (no unit price exists).
+
+    Scale: lineitem reduces to |parts| x |months| partial states
+    map-side; the base month is a |parts|-sized broadcast; the index is
+    a |months| rollup. Nothing downstream of the first agg sees fact
+    rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    # cents via the DECIMAL cast (NOT round()*100 -> bigint: Spark's
+    # double->bigint cast truncates while DuckDB's rounds, +-1 cent apart
+    # on ~7% of part-months through that path)
+    sc = F.expr("try_cast(try_cast(l_extendedprice AS decimal(18,2)) * 100 AS bigint)")
+    qc = F.expr("try_cast(try_cast(l_quantity AS decimal(18,2)) * 100 AS bigint)")
+    monthly = (
+        li.groupBy(
+            "l_partkey", F.date_trunc("month", "l_shipdate").alias("month")
+        )
+        .agg(
+            F.sum(sc).cast("bigint").alias("sc"),
+            F.sum(qc).cast("bigint").alias("qc"),
+        )
+        .filter(F.col("qc") > 0)
+        .localCheckpoint(eager=False)  # feeds the base lookup and the index
+    )
+    base_month = monthly.agg(F.min("month").alias("m0"))
+    base = (
+        monthly.crossJoin(F.broadcast(base_month))
+        .filter(F.col("month") == F.col("m0"))
+        .select(
+            F.col("l_partkey").alias("bk"),
+            F.col("sc").alias("sc0"),
+            F.col("qc").alias("qc0"),
+        )
+    )
+    j = monthly.join(F.broadcast(base), F.col("l_partkey") == F.col("bk"))
+    unit_t = F.expr("CAST((2 * sc * 1000000 + qc) div (2 * qc) AS decimal(38,0))")
+    unit_0 = F.expr(
+        "CAST((2 * sc0 * 1000000 + qc0) div (2 * qc0) AS decimal(38,0))"
+    )
+    num = F.sum(unit_t * F.col("qc0")).cast("double")
+    den = F.sum(unit_0 * F.col("qc0")).cast("double")
+    return j.groupBy("month").agg(
+        F.count("*").cast("bigint").alias("n_parts"),
+        (num / den).alias("laspeyres_index"),
+    )

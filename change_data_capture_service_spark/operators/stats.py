@@ -780,3 +780,85 @@ def events_mutual_info_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("n", "mi", "nmi")
     )
+
+
+@register(
+    "events_poisson_rate_weekend",
+    tags=("stats", "analytics"),
+    oracle="""
+    WITH d AS (
+      SELECT date_trunc('day', ts) AS day,
+             CAST(dayofweek(ts) IN (0, 6) AS BOOLEAN) AS wkd,
+             CAST(count(*) AS BIGINT) AS k
+      FROM events GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT CAST(sum(CASE WHEN wkd THEN k ELSE 0 END) AS BIGINT) AS k_we,
+             CAST(sum(CASE WHEN wkd THEN 0 ELSE k END) AS BIGINT) AS k_wd,
+             CAST(count(DISTINCT CASE WHEN wkd THEN day END) AS BIGINT) AS d_we,
+             CAST(count(DISTINCT CASE WHEN NOT wkd THEN day END) AS BIGINT) AS d_wd
+      FROM d
+    )
+    SELECT k_we AS n_weekend, k_wd AS n_weekday,
+           d_we AS days_weekend, d_wd AS days_weekday,
+           round(CAST(k_we AS DOUBLE) / d_we / 24, 6) AS rate_weekend_hr,
+           round(CAST(k_wd AS DOUBLE) / d_wd / 24, 6) AS rate_weekday_hr,
+           round((CAST(k_we AS DOUBLE) / d_we / 24
+                  - CAST(k_wd AS DOUBLE) / d_wd / 24)
+                 / nullif(sqrt(CAST(k_we AS DOUBLE) / (CAST(d_we AS DOUBLE) * 24
+                                                       * d_we * 24)
+                               + CAST(k_wd AS DOUBLE) / (CAST(d_wd AS DOUBLE) * 24
+                                                         * d_wd * 24)), 0), 6) AS z
+    FROM agg WHERE d_we > 0 AND d_wd > 0
+    """,
+)
+def events_poisson_rate_weekend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Poisson rate test: hourly event rate on weekend days vs
+    weekdays, with the normal-approximation z for the rate difference
+    (var(k/t) = k/t^2 under Poisson) -- the COUNT-side companion to
+    events_value_ks_weekend's value-side test; together they answer "do
+    weekends differ in traffic, in spend, or both". Exposure is the
+    number of OBSERVED days of each kind times 24 hours, computed from
+    the data itself so both engines see identical denominators.
+
+    Exactness: counts and day tallies are exact integers; the rates and
+    z are one shared double closed form, NULL on a degenerate window
+    (no events at all -> zero variance).
+
+    Scale: one (day, kind) partial agg -- day-domain sized -- then a
+    single-row reduce."""
+    e = load_table(spark, sf_dir, "events")
+    d = e.groupBy(
+        F.date_trunc("day", "ts").alias("day"),
+        F.dayofweek("ts").isin(1, 7).alias("wkd"),
+    ).agg(F.count("*").cast("bigint").alias("k"))
+    agg = d.agg(
+        F.sum(F.when(F.col("wkd"), F.col("k")).otherwise(0))
+        .cast("bigint")
+        .alias("k_we"),
+        F.sum(F.when(F.col("wkd"), 0).otherwise(F.col("k")))
+        .cast("bigint")
+        .alias("k_wd"),
+        F.count_distinct(F.when(F.col("wkd"), F.col("day")))
+        .cast("bigint")
+        .alias("d_we"),
+        F.count_distinct(F.when(~F.col("wkd"), F.col("day")))
+        .cast("bigint")
+        .alias("d_wd"),
+    )
+    r_we = F.col("k_we").cast("double") / F.col("d_we") / 24
+    r_wd = F.col("k_wd").cast("double") / F.col("d_wd") / 24
+    var = F.col("k_we").cast("double") / (
+        F.col("d_we").cast("double") * 24 * F.col("d_we") * 24
+    ) + F.col("k_wd").cast("double") / (
+        F.col("d_wd").cast("double") * 24 * F.col("d_wd") * 24
+    )
+    return agg.filter((F.col("d_we") > 0) & (F.col("d_wd") > 0)).select(
+        F.col("k_we").alias("n_weekend"),
+        F.col("k_wd").alias("n_weekday"),
+        F.col("d_we").alias("days_weekend"),
+        F.col("d_wd").alias("days_weekday"),
+        F.round(r_we, 6).alias("rate_weekend_hr"),
+        F.round(r_wd, 6).alias("rate_weekday_hr"),
+        F.round((r_we - r_wd) / F.nullif(F.sqrt(var), F.lit(0)), 6).alias("z"),
+    )

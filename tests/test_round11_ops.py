@@ -434,3 +434,40 @@ def test_kdist_profile_bounds(spark, sf_dir):
     assert (p["min_kdist"] <= p["avg_kdist"] + 1e-9).all()
     assert (p["avg_kdist"] <= p["max_kdist"] + 1e-9).all()
     assert (p["max_kdist"] <= 2.0).all()
+
+
+# ------------------------------------------------ round-7b fourth batch
+
+
+def test_poisson_rate_conserves_counts(spark, sf_dir):
+    row = _df(spark, sf_dir, "events_poisson_rate_weekend").iloc[0]
+    e = load_table(spark, sf_dir, "events").toPandas()
+    assert row["n_weekend"] + row["n_weekday"] == len(e)
+    days = e["ts"].dt.floor("D")
+    wkd = e["ts"].dt.dayofweek >= 5
+    assert row["days_weekend"] == days[wkd].nunique()
+    assert row["days_weekday"] == days[~wkd].nunique()
+    assert row["rate_weekend_hr"] == pytest.approx(
+        row["n_weekend"] / row["days_weekend"] / 24, abs=1e-5
+    )
+    # z sign agrees with the rate difference
+    assert (row["z"] > 0) == (row["rate_weekend_hr"] > row["rate_weekday_hr"])
+
+
+def test_sequence_rules_bounds(spark, sf_dir):
+    r = _df(spark, sf_dir, "events_sequence_rules_confidence")
+    assert 0 < len(r) <= 20
+    assert ((r["confidence"] > 0) & (r["confidence"] <= 1)).all()
+    assert (r["support"] <= r["confidence"] + 1e-9).all()
+    assert (r["lift"] > 0).all()
+    confs = list(r["confidence"])
+    assert confs == sorted(confs, reverse=True)
+
+
+def test_laspeyres_base_month_is_unity(spark, sf_dir):
+    idx = _df(spark, sf_dir, "part_price_index_laspeyres")
+    base = idx.sort_values("month").iloc[0]
+    # base month compares the basket to itself: exactly 1.0
+    assert base["laspeyres_index"] == pytest.approx(1.0, abs=1e-12)
+    assert (idx["laspeyres_index"] > 0).all()
+    assert (idx["n_parts"] > 0).all()
