@@ -366,12 +366,15 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=False)
     w1 = oriented.select("src", F.col("dst").alias("a"), F.col("deg_dst").alias("da"))
     w2 = oriented.select("src", F.col("dst").alias("b"), F.col("deg_dst").alias("db"))
-    wedges = w1.join(w2, "src").filter(
+    # the reduced graph is attribute-grain bounded (<= C(|brands|, 2)
+    # edges at ANY data scale), so both wedge-phase joins broadcast --
+    # the checkpointed relation has no stats, so the hint is explicit
+    wedges = w1.join(F.broadcast(w2), "src").filter(
         (F.col("da") < F.col("db"))
         | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
     )
     closing = oriented.select(F.col("src").alias("a"), F.col("dst").alias("b"))
-    tri = wedges.join(closing, ["a", "b"]).select(
+    tri = wedges.join(F.broadcast(closing), ["a", "b"]).select(
         F.array_sort(F.array("src", "a", "b")).alias("t")
     )
     return tri.select(
