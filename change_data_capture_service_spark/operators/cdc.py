@@ -1176,3 +1176,74 @@ def cdc_tombstone_gc_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("age_s").desc(), "user_id")
         .limit(20)
     )
+
+
+@register(
+    "cdc_lsn_gap_detection",
+    tags=("cdc",),
+    oracle="""
+    WITH alive AS (
+      SELECT event_id FROM events
+      WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 2) < 'f8'
+    ), per AS (
+      SELECT CAST(floor(event_id / 1024) AS BIGINT) AS bucket,
+             min(event_id) AS lsn_lo,
+             max(event_id) AS lsn_hi,
+             CAST(count(*) AS BIGINT) AS present
+      FROM alive GROUP BY 1
+    )
+    SELECT bucket, lsn_lo, lsn_hi, present,
+           CAST(lsn_hi - lsn_lo + 1 - present AS BIGINT) AS missing_within,
+           CAST(coalesce(lsn_lo - lag(lsn_hi) OVER (ORDER BY bucket) - 1, 0) AS BIGINT) AS missing_before
+    FROM per
+    """,
+)
+def cdc_lsn_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAL-continuity audit: find LSN ranges the sink never received --
+    the check that catches a dropped replication segment before the
+    downstream index silently diverges. The reference tracks only the
+    high-water LSN (``replicator.go``'s standby status), so a lost middle
+    segment is invisible to it; counting PRESENT LSNs per fixed-width
+    bucket against the bucket's own [min, max] span detects every
+    interior hole exactly, and a lag over the bucket summary catches
+    holes that span bucket boundaries.
+
+    Fixture note: event_id is the LSN (fixture convention) and the
+    fixture log is gapless, so a deterministic ~3% md5-band drop
+    simulates segment loss; detection then recovers exactly the planted
+    holes (pytest-pinned).
+
+    Scale: the heavy pass is ONE partial agg keyed by lsn DIV 1024 --
+    min/max/count combine map-side, the shuffle is |buckets| rows (data
+    / 1024), and NO global sort of the log ever happens (a naive
+    lag-over-every-LSN window would single-partition 10^11 rows). The
+    boundary window runs over the bucket summary only."""
+    e = load_table(spark, sf_dir, "events")
+    alive = e.filter(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 2) < "f8"
+    )
+    per = (
+        alive.select(
+            F.floor(F.col("event_id") / 1024).cast("bigint").alias("bucket"),
+            "event_id",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.min("event_id").alias("lsn_lo"),
+            F.max("event_id").alias("lsn_hi"),
+            F.count("*").cast("bigint").alias("present"),
+        )
+    )
+    w = Window.orderBy("bucket")
+    return per.select(
+        "bucket",
+        "lsn_lo",
+        "lsn_hi",
+        "present",
+        (F.col("lsn_hi") - F.col("lsn_lo") + 1 - F.col("present"))
+        .cast("bigint")
+        .alias("missing_within"),
+        F.coalesce(F.col("lsn_lo") - F.lag("lsn_hi").over(w) - 1, F.lit(0))
+        .cast("bigint")
+        .alias("missing_before"),
+    )

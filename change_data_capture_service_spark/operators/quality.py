@@ -1000,3 +1000,101 @@ def quality_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cross_entropy"),
         )
     )
+
+
+@register(
+    "docs_url_canonical_dedup",
+    tags=("quality", "curation", "northstar"),
+    oracle="""
+    WITH u AS (
+      SELECT source,
+             'https://' ||
+             CASE WHEN doc_id % 3 = 0 THEN upper(source) ELSE source END ||
+             '.Example.COM/docs/' || CAST(CAST(floor(doc_id / 100) AS BIGINT) AS VARCHAR) ||
+             CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END ||
+             CASE WHEN doc_id % 5 = 0 THEN '?utm_source=feed&id=' || lang
+                  WHEN doc_id % 5 = 1 THEN '?id=' || lang
+                  ELSE '' END ||
+             CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END AS url
+      FROM documents
+    ), c AS (
+      SELECT source, url,
+             'https://' ||
+             lower(regexp_extract(regexp_replace(regexp_replace(str_split(url, '#')[1], 'utm_[^&]*&?', ''), '[?&]+$', ''), '^https?://([^/]+)', 1)) ||
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(str_split(url, '#')[1], 'utm_[^&]*&?', ''), '[?&]+$', ''), '^https?://[^/]+', ''), '/\\?', '?'), '/+$', '') AS canon
+      FROM u
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_urls,
+           CAST(count(DISTINCT url) AS BIGINT) AS n_distinct_raw,
+           CAST(count(DISTINCT canon) AS BIGINT) AS n_canonical,
+           round(1 - CAST(count(DISTINCT canon) AS DOUBLE) / nullif(count(DISTINCT url), 0), 6) AS alias_rate
+    FROM c GROUP BY source
+    """,
+)
+def docs_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization dedup -- the FIRST dedup pass of every crawl
+    pipeline (cheaper than any content hash: two fetches of the same page
+    under cosmetic URL variants never enter the corpus). Canonical form:
+    lowercase the host, drop the fragment, strip utm_* tracking params
+    (and any dangling '?'/'&'), collapse '/?'->'?' and trailing slashes;
+    REAL query params (?id=...) survive, so distinct resources stay
+    distinct. URLs are synthesized deterministically from
+    (source, doc_id, lang) -- the fixture has no URL column (same
+    convention as url_host_stats) -- with the noise dimensions keyed to
+    doc_id residues so each (source, century) page exists under several
+    cosmetic variants.
+
+    Scale: canonicalization is pure map-side string work; the rollup is
+    one |sources|-keyed partial agg. The count_distinct pair makes this
+    a two-phase agg on (source, url) -- still shuffles digest-sized rows
+    only. At 100 TB you'd hash canon to 16 bytes first; semantics
+    identical."""
+    d = load_table(spark, sf_dir, "documents")
+    host = F.when(F.col("doc_id") % 3 == 0, F.upper("source")).otherwise(
+        F.col("source")
+    )
+    url = F.concat(
+        F.lit("https://"),
+        host,
+        F.lit(".Example.COM/docs/"),
+        F.floor(F.col("doc_id") / 100).cast("bigint").cast("string"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit("?utm_source=feed&id="), F.col("lang")),
+        )
+        .when(F.col("doc_id") % 5 == 1, F.concat(F.lit("?id="), F.col("lang")))
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    u = d.select("source", url.alias("url"))
+    no_frag = F.split(F.col("url"), "#").getItem(0)
+    no_utm = F.regexp_replace(no_frag, "utm_[^&]*&?", "")
+    no_dangle = F.regexp_replace(no_utm, "[?&]+$", "")
+    lhost = F.lower(F.regexp_extract(no_dangle, "^https?://([^/]+)", 1))
+    rest = F.regexp_replace(no_dangle, "^https?://[^/]+", "")
+    rest = F.regexp_replace(rest, "/\\?", "?")
+    rest = F.regexp_replace(rest, "/+$", "")
+    canon = F.concat(F.lit("https://"), lhost, rest)
+    return (
+        u.select("source", "url", canon.alias("canon"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_urls"),
+            F.count_distinct("url").cast("bigint").alias("n_distinct_raw"),
+            F.count_distinct("canon").cast("bigint").alias("n_canonical"),
+        )
+        .select(
+            "source",
+            "n_urls",
+            "n_distinct_raw",
+            "n_canonical",
+            F.round(
+                1
+                - F.col("n_canonical").cast("double")
+                / F.nullif(F.col("n_distinct_raw"), F.lit(0)),
+                6,
+            ).alias("alias_rate"),
+        )
+    )

@@ -862,3 +862,135 @@ def events_poisson_rate_weekend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(r_wd, 6).alias("rate_weekday_hr"),
         F.round((r_we - r_wd) / F.nullif(F.sqrt(var), F.lit(0)), 6).alias("z"),
     )
+
+
+@register(
+    "events_bootstrap_ci_value",
+    tags=("stats", "analytics"),
+    oracle="""
+    WITH base AS (
+      SELECT event_id,
+             try_cast(try_cast(value AS decimal(18,2)) * 100 AS BIGINT) AS v
+      FROM events WHERE event_type = 'purchase'
+    ), base2 AS (
+      SELECT * FROM base WHERE v IS NOT NULL
+    ), rep AS (
+      SELECT b2.v, g.b,
+             CASE WHEN substr(md5(CAST(b2.event_id AS VARCHAR) || ':' || CAST(g.b AS VARCHAR)), 1, 2) <= '5d' THEN 0
+                  WHEN substr(md5(CAST(b2.event_id AS VARCHAR) || ':' || CAST(g.b AS VARCHAR)), 1, 2) <= 'bb' THEN 1
+                  WHEN substr(md5(CAST(b2.event_id AS VARCHAR) || ':' || CAST(g.b AS VARCHAR)), 1, 2) <= 'ea' THEN 2
+                  WHEN substr(md5(CAST(b2.event_id AS VARCHAR) || ':' || CAST(g.b AS VARCHAR)), 1, 2) <= 'fa' THEN 3
+                  ELSE 4 END AS w
+      FROM base2 b2, generate_series(0, 199) AS g(b)
+    ), reps AS (
+      SELECT b, round(CAST(sum(w * v) AS DOUBLE) / nullif(sum(w), 0) / 100, 6) AS m
+      FROM rep GROUP BY b
+    ), ci AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_replicates,
+             round(quantile_cont(m, 0.025), 6) AS ci_lo,
+             round(quantile_cont(m, 0.975), 6) AS ci_hi,
+             sum(CAST(m AS DECIMAL(18,6))) AS s1,
+             sum(CAST(m AS DECIMAL(18,6)) * CAST(m AS DECIMAL(18,6))) AS s2
+      FROM reps
+    ), obs AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_obs,
+             round(CAST(sum(v) AS DOUBLE) / nullif(count(*), 0) / 100, 6) AS mean_value
+      FROM base2
+    )
+    SELECT n_obs, mean_value, n_replicates,
+           round(CASE WHEN n_replicates > 1
+                       AND (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n_replicates) >= 0
+                 THEN sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n_replicates)
+                           / (n_replicates - 1)) END, 6) AS boot_se,
+           ci_lo, ci_hi
+    FROM obs, ci
+    """,
+)
+def events_bootstrap_ci_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap confidence interval for mean purchase value --
+    the resampling method that actually runs on sharded data (Chamandy et
+    al. 2012, "Estimating Uncertainty for Massive Data Streams"): instead
+    of drawing n rows WITH replacement per replicate (which needs global
+    coordination), every row draws an independent Poisson(1) replication
+    weight per replicate, computed here from an md5 prefix of
+    (event_id, replicate) so both engines see the SAME pseudo-random
+    weights. Thresholds on the first two hex chars approximate the
+    Poisson(1) pmf to 1/256 resolution (94/94/47/16/5 of 256 for
+    w=0..4+).
+
+    Exactness: cents casts make every replicate sum an exact integer;
+    replicate means snap to 6dp before the percentile so interpolation
+    runs on identical doubles; the bootstrap SE routes through exact
+    DECIMAL sum/sum-of-squares (accumulation-order-free).
+
+    Scale: the explode is CPU-only map-side work (B=200 weight draws per
+    row); the shuffle after the partial agg is B rows per partition, and
+    the replicate table itself is exactly B rows. No resampled copy of
+    the data ever materializes -- this is THE bootstrap shape for 10^11
+    rows. Reference has no uncertainty quantification at all."""
+    B = 200
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    base = (
+        e.select(F.col("event_id"), F.expr(_VALUE_C).alias("v"))
+        .filter(F.col("v").isNotNull())
+    )
+    rep = base.select(
+        "event_id", "v", F.explode(F.sequence(F.lit(0), F.lit(B - 1))).alias("b")
+    )
+    t2 = F.substring(F.md5(F.concat_ws(":", F.col("event_id"), F.col("b"))), 1, 2)
+    w = (
+        F.when(t2 <= "5d", 0)
+        .when(t2 <= "bb", 1)
+        .when(t2 <= "ea", 2)
+        .when(t2 <= "fa", 3)
+        .otherwise(4)
+    )
+    reps = (
+        rep.select("v", "b", w.alias("w"))
+        .groupBy("b")
+        .agg(
+            F.sum(F.col("w")).cast("bigint").alias("nw"),
+            F.sum((F.col("w") * F.col("v")).cast("decimal(38,0)")).alias("sw"),
+        )
+        .select(
+            "b",
+            F.round(
+                F.col("sw").cast("double") / F.nullif(F.col("nw"), F.lit(0)) / 100, 6
+            ).alias("m"),
+        )
+    )
+    md = F.col("m").cast("decimal(18,6)")
+    ci = reps.agg(
+        F.count("*").cast("bigint").alias("n_replicates"),
+        F.round(F.expr("percentile(m, 0.025)"), 6).alias("ci_lo"),
+        F.round(F.expr("percentile(m, 0.975)"), 6).alias("ci_hi"),
+        F.sum(md).alias("s1"),
+        F.sum(md * md).alias("s2"),
+    )
+    obs = base.agg(
+        F.count("*").cast("bigint").alias("n_obs"),
+        F.round(
+            F.sum(F.col("v").cast("decimal(38,0)")).cast("double")
+            / F.nullif(F.count("*"), F.lit(0))
+            / 100,
+            6,
+        ).alias("mean_value"),
+    )
+    nrep = F.col("n_replicates").cast("double")
+    ssq = (
+        F.col("s2").cast("double")
+        - F.col("s1").cast("double") * F.col("s1").cast("double") / nrep
+    )
+    return obs.crossJoin(F.broadcast(ci)).select(
+        "n_obs",
+        "mean_value",
+        "n_replicates",
+        F.round(
+            F.when(
+                (F.col("n_replicates") > 1) & (ssq >= 0), F.sqrt(ssq / (nrep - 1))
+            ),
+            6,
+        ).alias("boot_se"),
+        "ci_lo",
+        "ci_hi",
+    )

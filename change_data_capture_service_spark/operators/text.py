@@ -1050,3 +1050,70 @@ def text_charset_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "text_code_prose_profile",
+    tags=("text", "quality", "northstar"),
+    oracle=r"""
+    WITH doc AS (
+      SELECT source,
+             round(CAST(len(list_filter(str_split(text, chr(10)), l -> regexp_matches(l, '[;{}]\s*$|^\s{4,}\S|\b(def|class|import|function|var|return)\b'))) AS DOUBLE)
+                   / nullif(CAST(len(str_split(text, chr(10))) AS DOUBLE), 0.0), 6) AS code_ratio,
+             round(CAST(length(text) - length(regexp_replace(text, '[{}();=<>\[\]]', '', 'g')) AS DOUBLE)
+                   / nullif(CAST(length(text) AS DOUBLE), 0.0), 6) AS sym_density
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(CAST(avg(CAST(code_ratio AS DECIMAL(18,6))) AS DOUBLE), 6) AS avg_code_line_ratio,
+           round(CAST(avg(CAST(sym_density AS DECIMAL(18,6))) AS DOUBLE), 6) AS avg_symbol_density,
+           CAST(sum(CASE WHEN code_ratio > 0.3 THEN 1 ELSE 0 END) AS BIGINT) AS n_code_like
+    FROM doc GROUP BY source
+    """,
+)
+def text_code_prose_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose composition per source -- the curation split every
+    LLM data pipeline needs before mixing (code wants different dedup
+    grains, quality rules, and sampling temperature than prose). Two
+    heuristic signals, both language-agnostic and regex-only: the share
+    of LINES that look like code (trailing ';'/'{'/'}', >=4-space indent,
+    or a keyword from the def/class/import/function/var/return set) and
+    the density of code punctuation among all characters. A doc whose
+    code-line ratio clears 0.3 counts as code-like.
+
+    The fixture corpus is synthetic prose, so all rates are legitimately
+    0 here; the pytest gate plants real code documents beside prose in a
+    scratch corpus and pins that they (and only they) are flagged.
+
+    Scale: pure map-side regexp work per document (no tokenize shuffle),
+    then ONE |sources|-state partial agg. NULL-safe on empty docs via
+    nullif denominators."""
+    d = load_table(spark, sf_dir, "documents")
+    code_line = "[;{}]\\s*$|^\\s{4,}\\S|\\b(def|class|import|function|var|return)\\b"
+    lines = F.split(F.col("text"), "\n")
+    n_lines = F.size(lines)
+    code_lines = F.size(F.filter(lines, lambda l: l.rlike(code_line)))
+    n_chars = F.length("text")
+    sym = n_chars - F.length(F.regexp_replace(F.col("text"), "[{}();=<>\\[\\]]", ""))
+    doc = d.select(
+        "source",
+        F.round(
+            code_lines.cast("double") / F.nullif(n_lines.cast("double"), F.lit(0.0)), 6
+        ).alias("code_ratio"),
+        F.round(
+            sym.cast("double") / F.nullif(n_chars.cast("double"), F.lit(0.0)), 6
+        ).alias("sym_density"),
+    )
+    return doc.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.round(
+            F.avg(F.col("code_ratio").cast("decimal(18,6)")).cast("double"), 6
+        ).alias("avg_code_line_ratio"),
+        F.round(
+            F.avg(F.col("sym_density").cast("decimal(18,6)")).cast("double"), 6
+        ).alias("avg_symbol_density"),
+        F.sum(F.when(F.col("code_ratio") > 0.3, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_code_like"),
+    )

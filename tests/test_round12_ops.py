@@ -1,0 +1,148 @@
+"""Invariant gates for the round-7 third-batch operators: Poisson-
+bootstrap CI, bucketed LSN-gap detection, URL canonicalization dedup,
+and code-vs-prose profiling.
+
+Cross-engine value parity is covered by test_oracle_parity (all four
+register DuckDB oracles); these pin the SEMANTIC properties an oracle
+twin cannot: the bootstrap weight distribution against the Poisson(1)
+pmf and CI coverage of the point estimate, exact recovery of planted
+LSN holes against an independent python reimplementation, URL-alias
+conservation laws, and that the code detector actually discriminates a
+planted code corpus from prose.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+import pytest
+
+from change_data_capture_service_spark import registry
+from change_data_capture_service_spark.catalog import load_table
+
+registry.load_all()
+
+
+def _df(spark, sf_dir, name):
+    return registry.get(name).fn(spark, sf_dir).toPandas()
+
+
+# ------------------------------------------------- bootstrap CI
+
+
+def test_bootstrap_ci_brackets_mean_and_weights_are_poisson(spark, sf_dir):
+    out = _df(spark, sf_dir, "events_bootstrap_ci_value")
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert r["n_replicates"] == 200
+    assert r["boot_se"] > 0
+    # percentile CI must bracket the observed mean for this (mild) data
+    assert r["ci_lo"] <= r["mean_value"] <= r["ci_hi"]
+    # and be roughly +-2 SE wide (percentile vs normal agree loosely)
+    width = r["ci_hi"] - r["ci_lo"]
+    assert 2 * r["boot_se"] < width < 8 * r["boot_se"]
+
+
+def test_bootstrap_weight_thresholds_match_poisson_pmf():
+    # the md5 two-hex-char thresholds encode Poisson(1) at 1/256 grain
+    import math
+
+    bands = {0: 0x5E, 1: 0xBC - 0x5E, 2: 0xEB - 0xBC, 3: 0xFB - 0xEB, 4: 0x100 - 0xFB}
+    assert sum(bands.values()) == 256
+    for k in range(4):
+        pmf = math.exp(-1) / math.factorial(k)
+        assert abs(bands[k] / 256 - pmf) < 0.005, k
+
+
+# ------------------------------------------------- LSN gap detection
+
+
+def test_lsn_gap_detection_recovers_planted_holes(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select("event_id").toPandas()
+    ids = sorted(ev["event_id"].tolist())
+
+    def dropped(i: int) -> bool:
+        return hashlib.md5(str(i).encode()).hexdigest()[:2] >= "f8"
+
+    alive = [i for i in ids if not dropped(i)]
+    interior = [i for i in ids if dropped(i) and alive[0] < i < alive[-1]]
+
+    out = _df(spark, sf_dir, "cdc_lsn_gap_detection")
+    # every hole strictly inside the observed LSN span is found, exactly
+    assert int(out["missing_within"].sum() + out["missing_before"].sum()) == len(
+        interior
+    )
+    # bucket spans never overlap and cover only alive LSNs
+    out = out.sort_values("bucket").reset_index(drop=True)
+    assert (out["lsn_lo"] <= out["lsn_hi"]).all()
+    assert (out["present"] <= out["lsn_hi"] - out["lsn_lo"] + 1).all()
+    for i in range(1, len(out)):
+        assert out.loc[i, "lsn_lo"] > out.loc[i - 1, "lsn_hi"]
+
+
+# ------------------------------------------------- URL canonical dedup
+
+
+def test_url_canonical_dedup_conservation(spark, sf_dir):
+    out = _df(spark, sf_dir, "docs_url_canonical_dedup")
+    assert (out["n_canonical"] <= out["n_distinct_raw"]).all()
+    assert (out["n_distinct_raw"] <= out["n_urls"]).all()
+    assert out["alias_rate"].between(0, 1).all()
+    # the synthesized variants genuinely alias somewhere
+    assert (out["alias_rate"] > 0).any()
+
+
+# ------------------------------------------------- code/prose profile
+
+_CODE_DOC = (
+    "import os\n"
+    "def main(argv):\n"
+    "    total = 0;\n"
+    "    for i in range(10):\n"
+    "        total += i * 2;\n"
+    "    return total\n"
+    "class Config:\n"
+    "    pass\n"
+)
+_PROSE_DOC = (
+    "The morning light settled over the harbor town.\n"
+    "Fishermen hauled their nets while gulls wheeled overhead.\n"
+    "Nothing about the day suggested what was to come.\n"
+)
+
+
+def test_code_prose_profile_discriminates_planted_code(spark, tmp_path):
+    rows = []
+    for i in range(8):
+        rows.append((i, _CODE_DOC, "en", "code_src", len(_CODE_DOC)))
+    for i in range(8, 16):
+        rows.append((i, _PROSE_DOC, "en", "prose_src", len(_PROSE_DOC)))
+    pdf = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    scratch = str(tmp_path / "corpus")
+    spark.createDataFrame(pdf).write.parquet(f"{scratch}/documents.parquet")
+
+    out = _df(spark, scratch, "text_code_prose_profile").set_index("source")
+    assert out.loc["code_src", "n_code_like"] == 8
+    assert out.loc["prose_src", "n_code_like"] == 0
+    assert (
+        out.loc["code_src", "avg_code_line_ratio"]
+        > out.loc["prose_src", "avg_code_line_ratio"] + 0.5
+    )
+    assert (
+        out.loc["code_src", "avg_symbol_density"]
+        > out.loc["prose_src", "avg_symbol_density"]
+    )
+
+
+def test_code_prose_profile_total_on_empty_doc(spark, tmp_path):
+    pdf = pd.DataFrame(
+        [(0, "", "en", "s", 0), (1, None, "en", "s", 0)],
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    scratch = str(tmp_path / "corpus2")
+    spark.createDataFrame(pdf).write.parquet(f"{scratch}/documents.parquet")
+    out = _df(spark, scratch, "text_code_prose_profile")
+    assert len(out) == 1  # no crash, NULL-safe denominators
