@@ -837,3 +837,107 @@ def sample_quality_weighted_tokens(spark: SparkSession, sf_dir: str) -> DataFram
         .filter(F.col("cum_tokens") <= 3000)
         .select("doc_id", "source", "n_tokens", "quality", "cum_tokens")
     )
+
+
+@register(
+    "docs_curation_funnel",
+    tags=("curation", "quality", "northstar"),
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, lang, md5(text) AS digest,
+             CAST(len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS BIGINT) AS n_tok,
+             CAST(list_sum(list_transform(list_filter(string_split(lower(text), ' '), x -> x <> ''), x -> length(x))) AS BIGINT) AS tot_len
+      FROM documents
+    ), flagged AS (
+      SELECT doc_id, digest, n_tok,
+             (lang IN ('en','es','de','fr')) AS f1,
+             (lang IN ('en','es','de','fr') AND n_tok >= 30 AND n_tok <= 5000) AS f2,
+             (lang IN ('en','es','de','fr') AND n_tok >= 30 AND n_tok <= 5000
+              AND CAST(tot_len AS DOUBLE) / nullif(n_tok, 0) >= 3.0
+              AND CAST(tot_len AS DOUBLE) / nullif(n_tok, 0) <= 4.6) AS f3
+      FROM base
+    ), rk AS (
+      SELECT *, row_number() OVER (PARTITION BY digest, f3 ORDER BY doc_id) AS rk FROM flagged
+    ), staged AS (
+      SELECT n_tok, s.stage, s.keep
+      FROM rk, LATERAL (VALUES
+        ('stage0_raw', true), ('stage1_lang', f1), ('stage2_length', f2),
+        ('stage3_wordlen', f3), ('stage4_exact_dedup', f3 AND rk = 1)) AS s(stage, keep)
+    ), agg AS (
+      SELECT stage, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+      FROM staged WHERE keep GROUP BY stage
+    )
+    SELECT stage, n_docs, n_tokens,
+           round(CAST(n_docs AS DOUBLE) / nullif((SELECT n_docs FROM agg WHERE stage = 'stage0_raw'), 0), 6) AS pct_docs
+    FROM agg
+    """,
+)
+def docs_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation pipeline as ONE query: per-stage survivor counts
+    (docs and tokens) through language filter -> length gate -> mean-
+    word-length gate -> exact dedup, cumulatively -- the attrition
+    funnel every pretraining-data report leads with (RefinedWeb fig. 2,
+    Dolma, FineWeb all publish exactly this table). Stages compose the
+    same primitives the standalone operators expose (sample_balanced_lang's
+    lang domain, quality_gopher_rules' word-length band, dedup_exact's
+    digest-first-survivor); this op pins the COMPOSITION: every doc is
+    flagged once per gate and the stage rows are marginals of one flag
+    table, so stageN >= stageN+1 by construction (gate monotonicity is
+    pytest-pinned, plus a planted-duplicate test proving stage4 bites).
+    Fixture attrition at sf0.01: 500 -> 425 -> 332 -> 233 -> 233 docs.
+
+    Scale: one documents scan computes all flags map-side; the dedup
+    rank is the standard 16-byte-digest window (never text); the x5
+    stack explode feeds a |stages|-state partial agg, and the raw-count
+    anchor is a broadcast 1-row join. Cost ~ one dedup_exact, NOT the
+    sum of five standalone passes -- the reason to funnel in-engine
+    instead of chaining jobs."""
+    d = load_table(spark, sf_dir, "documents")
+    tot_len = F.expr(
+        "aggregate(filter(split(lower(text), ' '), x -> x <> ''), 0L,"
+        " (acc, x) -> acc + length(x))"
+    )
+    base = d.select(
+        "doc_id",
+        "lang",
+        F.size(_tokens()).alias("n_tok"),
+        tot_len.alias("tot_len"),
+        F.md5("text").alias("digest"),
+    )
+    f1 = F.col("lang").isin("en", "es", "de", "fr")
+    f2 = f1 & (F.col("n_tok") >= 30) & (F.col("n_tok") <= 5000)
+    mwl = F.col("tot_len").cast("double") / F.nullif(F.col("n_tok"), F.lit(0))
+    f3 = f2 & (mwl >= 3.0) & (mwl <= 4.6)
+    flagged = base.select(
+        "doc_id", "digest", "n_tok", f1.alias("f1"), f2.alias("f2"), f3.alias("f3")
+    ).withColumn(
+        "rk",
+        F.row_number().over(Window.partitionBy("digest", "f3").orderBy("doc_id")),
+    )
+    staged = flagged.select(
+        "n_tok",
+        F.expr(
+            "stack(5, 'stage0_raw', true, 'stage1_lang', f1, 'stage2_length', f2,"
+            " 'stage3_wordlen', f3, 'stage4_exact_dedup', f3 AND rk = 1)"
+            " as (stage, keep)"
+        ),
+    )
+    out = (
+        staged.filter(F.col("keep"))
+        .groupBy("stage")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.col("n_tok").cast("bigint")).cast("bigint").alias("n_tokens"),
+        )
+    )
+    raw = out.filter(F.col("stage") == "stage0_raw").select(
+        F.col("n_docs").alias("raw_docs")
+    )
+    return out.crossJoin(F.broadcast(raw)).select(
+        "stage",
+        "n_docs",
+        "n_tokens",
+        F.round(
+            F.col("n_docs").cast("double") / F.nullif(F.col("raw_docs"), F.lit(0)), 6
+        ).alias("pct_docs"),
+    )

@@ -162,3 +162,38 @@ def test_truncation_recall_baseline_is_perfect_and_bounded(spark, sf_dir):
     assert (out["n_queries"] == out.loc[64, "n_queries"]).all()
     # untrained-for-truncation embeddings must lose recall when cut 4x
     assert out.loc[16, "avg_recall"] < 1.0
+
+
+# ------------------------------------------------- curation funnel
+
+
+def test_curation_funnel_is_monotone_and_conserves(spark, sf_dir):
+    out = (
+        _df(spark, sf_dir, "docs_curation_funnel")
+        .sort_values("stage")
+        .reset_index(drop=True)
+    )
+    assert list(out["stage"]) == [
+        "stage0_raw",
+        "stage1_lang",
+        "stage2_length",
+        "stage3_wordlen",
+        "stage4_exact_dedup",
+    ]
+    # cumulative gates: each stage keeps a subset of the previous one
+    assert (out["n_docs"].diff().dropna() <= 0).all()
+    assert (out["n_tokens"].diff().dropna() <= 0).all()
+    assert out.loc[0, "pct_docs"] == 1.0
+    assert (out["pct_docs"].between(0, 1)).all()
+
+
+def test_curation_funnel_dedup_stage_bites_on_planted_dups(spark, tmp_path):
+    text = " ".join(["cats dogs runs fast"] * 15)  # 60 toks, mwl 4.0 in-band
+    rows = [(i, text, "en", "s", len(text)) for i in range(6)]  # 6 exact dups
+    rows += [(10 + i, text + f" unique{i}", "en", "s", 0) for i in range(4)]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source", "n_chars"])
+    scratch = str(tmp_path / "dups")
+    spark.createDataFrame(pdf).write.parquet(f"{scratch}/documents.parquet")
+    out = _df(spark, scratch, "docs_curation_funnel").set_index("stage")
+    assert out.loc["stage3_wordlen", "n_docs"] == 10
+    assert out.loc["stage4_exact_dedup", "n_docs"] == 5  # 6 dups -> 1 survivor
