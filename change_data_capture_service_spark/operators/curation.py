@@ -929,6 +929,9 @@ def docs_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("bigint").alias("n_docs"),
             F.sum(F.col("n_tok").cast("bigint")).cast("bigint").alias("n_tokens"),
         )
+        # |stages| rows consumed twice (funnel + raw anchor): materialize
+        # once so the anchor branch doesn't re-run the scan+flag pipeline
+        .localCheckpoint(eager=False)
     )
     raw = out.filter(F.col("stage") == "stage0_raw").select(
         F.col("n_docs").alias("raw_docs")

@@ -474,3 +474,43 @@ def test_materialize_once_relations_plan_as_rdd_scans(spark, sf_dir):
     assert "ExistingRDD" in plan, "basket relation no longer checkpointed"
     jcm = spark._jsparkSession.sharedState().cacheManager()
     assert jcm.isEmpty(), "SQL cache manager not empty: a persist() leaked back in"
+
+
+def test_bootstrap_shuffle_is_replicate_bounded(spark, sf_dir):
+    """The Poisson bootstrap's whole point at scale: the x200 explode is
+    map-side CPU work; what crosses the wire is B replicate partial
+    states (+ two 1-row anchors), NOT a resampled copy of the data."""
+    df = registry.get("events_bootstrap_ci_value").fn(spark, sf_dir)
+    df.collect()
+    m = P.executed_metrics(df, ("shuffleRecordsWritten",))
+    n_tasks = 32  # session shuffle partitions upper-bounds partial states
+    assert 0 < m["shuffleRecordsWritten"] <= 200 * n_tasks / 16 + 64, (
+        f"bootstrap shuffled {m['shuffleRecordsWritten']} records -- "
+        "the explode leaked past the partial aggregation"
+    )
+
+
+def test_lsn_gap_buckets_aggregate_before_window(spark, sf_dir):
+    """Gap detection must reduce to |buckets| rows before its boundary
+    window -- a lag over raw LSNs would single-partition the log."""
+    df = registry.get("cdc_lsn_gap_detection").fn(spark, sf_dir)
+    df.collect()
+    m = P.executed_metrics(df, ("shuffleRecordsWritten",))
+    n = df.count()
+    # bucket partials (<= tasks x buckets) + |buckets| window input
+    assert m["shuffleRecordsWritten"] <= 4 * n + 8, (
+        f"gap detection shuffled {m['shuffleRecordsWritten']} records for "
+        f"{n} buckets -- raw LSNs are crossing the wire"
+    )
+
+
+def test_curation_funnel_is_one_scan(spark, sf_dir):
+    """The funnel's cost claim: all gate flags come from ONE documents
+    scan. The |stages|-row aggregate is materialized once (lazy
+    localCheckpoint), so both consumers (funnel rows + raw anchor) read
+    the checkpoint -- the final plan touches NO parquet at all."""
+    df = registry.get("docs_curation_funnel").fn(spark, sf_dir)
+    df.collect()
+    plan = P.formatted_plan(df)
+    assert plan.count("Scan parquet") == 0, "anchor branch re-scans documents"
+    assert "ExistingRDD" in plan, "stage aggregate lost its checkpoint"
