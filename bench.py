@@ -49,6 +49,8 @@ EXTENDED = [
     "events_markov_next_event_topk", # round-7: one user-keyed window pass + dim-scale rank
     "graph_triangle_count",          # round-7b: oriented wedge join on the reduced graph
     "quality_perplexity_bigram",     # round-7b: (doc,bigram) partials + model fold
+    "docs_curation_funnel",          # round-7c: 4-gate funnel from ONE scan + checkpointed anchor
+    "dedup_lsh_tuning_curve",        # round-7c: S-curve config table over the blocked pair space
 ]
 
 

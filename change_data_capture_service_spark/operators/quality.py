@@ -1098,3 +1098,146 @@ def docs_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("alias_rate"),
         )
     )
+
+
+@register(
+    "quality_gate_agreement_kappa",
+    tags=("quality", "dq", "northstar"),
+    oracle=f"""
+    WITH tf AS (
+      SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT doc_id, unnest({TOKENS}) AS tok FROM documents) GROUP BY 1, 2
+    ), stats AS (
+      SELECT doc_id, sum(c) AS n, count(*) AS u, max(c) AS tc,
+             sum(len(tok) * c) AS sl,
+             sum(CASE WHEN tok IN ('the','a','an','and','or','of','to','in','is','it') THEN c ELSE 0 END) AS sw
+      FROM tf GROUP BY 1
+    ), ent AS (
+      SELECT tf.doc_id, -sum((CAST(c AS DOUBLE)/n)*ln(CAST(c AS DOUBLE)/n)) AS entropy
+      FROM tf JOIN (SELECT doc_id, sum(c) AS n FROM tf GROUP BY 1) t USING (doc_id)
+      GROUP BY 1
+    ), flags AS (
+      SELECT s.doc_id,
+             (n >= 10 AND n <= 100000 AND CAST(sl AS DOUBLE)/n >= 2 AND CAST(sl AS DOUBLE)/n <= 10
+              AND CAST(u AS DOUBLE)/n > 0.2 AND CAST(tc AS DOUBLE)/n < 0.3) AS g_gopher,
+             (entropy >= 3.0) AS g_entropy,
+             (CAST(sw AS DOUBLE)/n >= 0.05) AS g_stopword
+      FROM stats s JOIN ent USING (doc_id)
+    ), pairs AS (
+      SELECT p.gate_a, p.gate_b, p.a, p.b
+      FROM flags, LATERAL (VALUES
+        ('gopher', 'entropy', g_gopher, g_entropy),
+        ('gopher', 'stopword', g_gopher, g_stopword),
+        ('entropy', 'stopword', g_entropy, g_stopword)) AS p(gate_a, gate_b, a, b)
+    ), agg AS (
+      SELECT gate_a, gate_b, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+             CAST(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+             CAST(sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n01
+      FROM pairs GROUP BY 1, 2
+    )
+    SELECT gate_a, gate_b, n_docs,
+           round((n11 + (n_docs - n11 - n10 - n01)) / CAST(n_docs AS DOUBLE), 6) AS observed_agreement,
+           round(((n11 + (n_docs - n11 - n10 - n01)) / CAST(n_docs AS DOUBLE)
+                  - ((n11+n10)/CAST(n_docs AS DOUBLE) * (n11+n01)/CAST(n_docs AS DOUBLE)
+                     + (1-(n11+n10)/CAST(n_docs AS DOUBLE)) * (1-(n11+n01)/CAST(n_docs AS DOUBLE))))
+                 / nullif(1 - ((n11+n10)/CAST(n_docs AS DOUBLE) * (n11+n01)/CAST(n_docs AS DOUBLE)
+                     + (1-(n11+n10)/CAST(n_docs AS DOUBLE)) * (1-(n11+n01)/CAST(n_docs AS DOUBLE))), 0), 6) AS kappa
+    FROM agg
+    """,
+)
+def quality_gate_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Do the quality filters agree? Pairwise Cohen's kappa between three
+    independent gate families -- the Gopher composite (length / word-
+    length / uniqueness / top-token), a token-entropy threshold, and a
+    stopword-ratio threshold -- the meta-analysis a curation team runs
+    before stacking filters: near-zero kappa means the gates remove
+    DIFFERENT documents (stacking multiplies attrition), high kappa
+    means a cheaper gate can substitute for an expensive one. On the
+    synthetic fixture the gates are close to independent (kappa ~ 0.01-
+    0.11), which is the correct reading, and pytest plants a corpus
+    where two gates provably co-fire to pin the high-kappa side.
+
+    Exactness: all four confusion cells are exact integers from one flag
+    table; po/pe/kappa are one shared double closed form, NULL when a
+    gate is constant on both sides (pe = 1).
+
+    Scale: ONE (doc, token) aggregation feeds every signal (the entropy
+    pass reuses the same tf relation), flags are doc-grain, and the x3
+    stack explodes scalar booleans into a |gate-pairs|-state partial
+    agg. No second tokenize pass, no text shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    stop = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+    tf = (
+        d.select("doc_id", F.explode(_tokens()).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)  # tf feeds stats AND the entropy join
+    )
+    tot = tf.groupBy("doc_id").agg(F.sum("c").cast("bigint").alias("n"))
+    ent = (
+        tf.join(tot, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                -(F.col("c").cast("double") / F.col("n"))
+                * F.log(F.col("c").cast("double") / F.col("n"))
+            ).alias("entropy")
+        )
+    )
+    stats = tf.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.count("*").cast("bigint").alias("u"),
+        F.max("c").cast("bigint").alias("tc"),
+        F.sum(F.length("tok") * F.col("c")).cast("bigint").alias("sl"),
+        F.sum(F.when(F.col("tok").isin(*stop), F.col("c")).otherwise(0))
+        .cast("bigint")
+        .alias("sw"),
+    )
+    flags = stats.join(ent, "doc_id").select(
+        "doc_id",
+        (
+            (F.col("n") >= 10)
+            & (F.col("n") <= 100000)
+            & (F.col("sl").cast("double") / F.col("n") >= 2)
+            & (F.col("sl").cast("double") / F.col("n") <= 10)
+            & (F.col("u").cast("double") / F.col("n") > 0.2)
+            & (F.col("tc").cast("double") / F.col("n") < 0.3)
+        ).alias("g_gopher"),
+        (F.col("entropy") >= 3.0).alias("g_entropy"),
+        (F.col("sw").cast("double") / F.col("n") >= 0.05).alias("g_stopword"),
+    )
+    pairs = flags.select(
+        F.expr(
+            "stack(3,"
+            " 'gopher', 'entropy', g_gopher, g_entropy,"
+            " 'gopher', 'stopword', g_gopher, g_stopword,"
+            " 'entropy', 'stopword', g_entropy, g_stopword"
+            ") as (gate_a, gate_b, a, b)"
+        )
+    )
+    agg = pairs.groupBy("gate_a", "gate_b").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("a") & F.col("b"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n11"),
+        F.sum(F.when(F.col("a") & ~F.col("b"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n10"),
+        F.sum(F.when(~F.col("a") & F.col("b"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n01"),
+    )
+    n = F.col("n_docs").cast("double")
+    n00 = n - F.col("n11") - F.col("n10") - F.col("n01")
+    po = (F.col("n11") + n00) / n
+    pa = (F.col("n11") + F.col("n10")) / n
+    pb = (F.col("n11") + F.col("n01")) / n
+    pe = pa * pb + (1 - pa) * (1 - pb)
+    return agg.select(
+        "gate_a",
+        "gate_b",
+        "n_docs",
+        F.round(po, 6).alias("observed_agreement"),
+        F.round((po - pe) / F.nullif(1 - pe, F.lit(0.0)), 6).alias("kappa"),
+    )

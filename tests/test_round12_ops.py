@@ -224,3 +224,30 @@ def test_lsh_tuning_curve_matches_closed_form_and_orders(spark, sf_dir):
         out.loc[(64, 2), "expected_recall_at_08"]
         >= out.loc[(8, 16), "expected_recall_at_08"]
     )
+
+
+# ------------------------------------------------- gate agreement kappa
+
+
+def test_gate_kappa_bounds_and_planted_agreement(spark, sf_dir, tmp_path):
+    out = _df(spark, sf_dir, "quality_gate_agreement_kappa")
+    assert len(out) == 3
+    assert (out["observed_agreement"].between(0, 1)).all()
+    assert (out["kappa"].dropna().between(-1, 1)).all()
+
+    # planted corpus: half the docs are rich prose that PASSES all gates,
+    # half are one-token spam that FAILS all gates -> kappa == 1 pairwise
+    good = (
+        "the cat and the dog ran to the old barn and it was dark so "
+        "they sat by the door and the owl kept watch over the yard "
+        "while a cold wind came in from the north and the rain began"
+    )
+    bad = " ".join(["spam"] * 40)
+    rows = [(i, good + f" tail{i}", "en", "s", 0) for i in range(10)]
+    rows += [(100 + i, bad, "en", "s", 0) for i in range(10)]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source", "n_chars"])
+    scratch = str(tmp_path / "kappa")
+    spark.createDataFrame(pdf).write.parquet(f"{scratch}/documents.parquet")
+    planted = _df(spark, scratch, "quality_gate_agreement_kappa")
+    assert (planted["kappa"] == 1.0).all()
+    assert (planted["observed_agreement"] == 1.0).all()
