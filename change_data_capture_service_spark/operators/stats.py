@@ -994,3 +994,183 @@ def events_bootstrap_ci_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ci_lo",
         "ci_hi",
     )
+
+
+@register(
+    "events_value_emd_weekend",
+    tags=("stats", "analytics"),
+    oracle=f"""
+    WITH base AS (
+      SELECT {_VALUE_C} AS v, dayofweek(ts) IN (0, 6) AS wkd
+      FROM events WHERE event_type = 'purchase'
+    ), b2 AS (SELECT * FROM base WHERE v IS NOT NULL),
+    per_v AS (
+      SELECT v,
+             CAST(sum(CASE WHEN wkd THEN 1 ELSE 0 END) AS BIGINT) AS c_we,
+             CAST(sum(CASE WHEN NOT wkd THEN 1 ELSE 0 END) AS BIGINT) AS c_wd
+      FROM b2 GROUP BY v
+    ), cum AS (
+      SELECT v,
+             sum(c_we) OVER (ORDER BY v) AS k_we,
+             sum(c_wd) OVER (ORDER BY v) AS k_wd,
+             lead(v) OVER (ORDER BY v) AS v_next
+      FROM per_v
+    ), tot AS (
+      SELECT CAST(sum(CASE WHEN wkd THEN 1 ELSE 0 END) AS BIGINT) AS n_we,
+             CAST(sum(CASE WHEN NOT wkd THEN 1 ELSE 0 END) AS BIGINT) AS n_wd
+      FROM b2
+    )
+    SELECT n_we, n_wd,
+           round(CAST(sum(abs(CAST(k_we AS DECIMAL(38,0)) * n_wd - CAST(k_wd AS DECIMAL(38,0)) * n_we)
+                          * CAST(v_next - v AS DECIMAL(38,0))) AS DOUBLE)
+                 / (CAST(n_we AS DOUBLE) * n_wd) / 100, 6) AS emd_value
+    FROM cum, tot WHERE v_next IS NOT NULL
+    GROUP BY n_we, n_wd
+    """,
+)
+def events_value_emd_weekend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 1-Wasserstein (earth-mover) distance between the weekend and
+    weekday purchase-value distributions: the integral of |F_we - F_wd|
+    over the value axis. The KS twin (events_value_ks_weekend) reports
+    the WORST pointwise CDF gap; EMD reports the total transport cost in
+    VALUE UNITS ("weekend spend distribution sits ~$2.45 away"), which is
+    the effect-size number a KS p-value can't give and the metric drift
+    monitors prefer for its robustness to single-point wiggles.
+
+    Exactness: per-distinct-cents counts and prefix sums are exact
+    integers; each segment contributes |k_we*N_wd - k_wd*N_we| * gap in
+    DECIMAL(38,0) (safe to 10^11 rows x 10^6-cent spans), divided once
+    at the end.
+
+    Scale: identical shape to the KS operator -- ONE per-distinct-value
+    partial agg, then a window over the bounded CENTS DOMAIN (price
+    range, not row count), never a global row sort."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    base = e.select(
+        F.expr(_VALUE_C).alias("v"),
+        F.dayofweek("ts").isin(1, 7).alias("wkd"),
+    ).filter(F.col("v").isNotNull())
+    per_v = base.groupBy("v").agg(
+        F.sum(F.when(F.col("wkd"), 1).otherwise(0)).cast("bigint").alias("c_we"),
+        F.sum(F.when(~F.col("wkd"), 1).otherwise(0)).cast("bigint").alias("c_wd"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    wl = Window.orderBy("v")
+    cum = per_v.select(
+        "v",
+        F.sum("c_we").over(w).alias("k_we"),
+        F.sum("c_wd").over(w).alias("k_wd"),
+        F.lead("v").over(wl).alias("v_next"),
+    )
+    tot = base.agg(
+        F.sum(F.when(F.col("wkd"), 1).otherwise(0)).cast("bigint").alias("n_we"),
+        F.sum(F.when(~F.col("wkd"), 1).otherwise(0)).cast("bigint").alias("n_wd"),
+    )
+    j = cum.crossJoin(F.broadcast(tot)).filter(F.col("v_next").isNotNull())
+    term = F.abs(
+        F.col("k_we").cast("decimal(38,0)") * F.col("n_wd")
+        - F.col("k_wd").cast("decimal(38,0)") * F.col("n_we")
+    ) * (F.col("v_next") - F.col("v")).cast("decimal(38,0)")
+    return (
+        j.groupBy("n_we", "n_wd")
+        .agg(F.sum(term).alias("s"))
+        .select(
+            "n_we",
+            "n_wd",
+            F.round(
+                F.col("s").cast("double")
+                / (F.col("n_we").cast("double") * F.col("n_wd"))
+                / 100,
+                6,
+            ).alias("emd_value"),
+        )
+    )
+
+
+@register(
+    "lineitem_theilsen_price_trend",
+    tags=("stats", "relational"),
+    oracle=f"""
+    WITH m AS (
+      SELECT date_trunc('month', l_shipdate) AS mon,
+             round(CAST(sum(CAST(p AS DECIMAL(38,0))) AS DOUBLE) / count(*) / 100, 6) AS y
+      FROM (SELECT {_PRICE_C} AS p, l_shipdate FROM lineitem) WHERE p IS NOT NULL
+      GROUP BY 1
+    ), mi AS (
+      SELECT y, row_number() OVER (ORDER BY mon) - 1 AS x FROM m
+    ), slopes AS (
+      SELECT round((b.y - a.y) / (b.x - a.x), 6) AS sl
+      FROM mi a JOIN mi b ON a.x < b.x
+    ), sl AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+             round(quantile_cont(sl, 0.5), 6) AS slope
+      FROM slopes
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_months, n_pairs, slope,
+           round(quantile_cont(round(y - slope * x, 6), 0.5), 6) AS intercept
+    FROM mi, sl GROUP BY n_pairs, slope
+    """,
+)
+def lineitem_theilsen_price_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of the monthly mean line-item price: the
+    median of all pairwise month-to-month slopes (then median intercept
+    given that slope) -- the estimator with a 29% breakdown point, so a
+    few promo-crazy or fat-fingered months cannot drag the trend the way
+    they drag OLS (lineitem_ols_price_on_qty is the L2 sibling). The
+    published way to fit trends on dirty operational data.
+
+    Exactness: monthly means come from exact DECIMAL cents sums; pair
+    slopes snap to 6dp before the median, so interpolation runs on
+    identical doubles; the scalar slope broadcasts back for the
+    intercept pass.
+
+    Scale: pairs form over the MONTH DOMAIN (C(|months|, 2) ~ 3.4k rows
+    at 83 months -- bounded by calendar span, not data volume), after
+    the fact table has already reduced to |months| partial-agg states.
+    A Theil-Sen over raw rows would be O(N^2) and is exactly what this
+    construction avoids."""
+    li = load_table(spark, sf_dir, "lineitem")
+    m = (
+        li.select(
+            F.expr(_PRICE_C).alias("p"),
+            F.date_trunc("month", "l_shipdate").alias("mon"),
+        )
+        .filter(F.col("p").isNotNull())
+        .groupBy("mon")
+        .agg(
+            F.round(
+                F.sum(F.col("p").cast("decimal(38,0)")).cast("double")
+                / F.count("*")
+                / 100,
+                6,
+            ).alias("y")
+        )
+    )
+    wm = Window.orderBy("mon")
+    mi = m.select("mon", "y", (F.row_number().over(wm) - 1).alias("x")).localCheckpoint(
+        eager=False
+    )
+    a, b = mi.alias("a"), mi.alias("b")
+    slopes = a.join(b, F.col("a.x") < F.col("b.x")).select(
+        F.round((F.col("b.y") - F.col("a.y")) / (F.col("b.x") - F.col("a.x")), 6).alias(
+            "sl"
+        )
+    )
+    sl = slopes.agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.round(F.expr("percentile(sl, 0.5)"), 6).alias("slope"),
+    )
+    return (
+        mi.crossJoin(F.broadcast(sl))
+        .select(
+            "n_pairs",
+            "slope",
+            F.round(F.col("y") - F.col("slope") * F.col("x"), 6).alias("ic"),
+        )
+        .groupBy("n_pairs", "slope")
+        .agg(
+            F.count("*").cast("bigint").alias("n_months"),
+            F.round(F.expr("percentile(ic, 0.5)"), 6).alias("intercept"),
+        )
+        .select("n_months", "n_pairs", "slope", "intercept")
+    )

@@ -251,3 +251,62 @@ def test_gate_kappa_bounds_and_planted_agreement(spark, sf_dir, tmp_path):
     planted = _df(spark, scratch, "quality_gate_agreement_kappa")
     assert (planted["kappa"] == 1.0).all()
     assert (planted["observed_agreement"] == 1.0).all()
+
+
+# ------------------------------------------------- EMD + Theil-Sen
+
+
+def test_emd_matches_independent_numpy_integral(spark, sf_dir):
+    import numpy as np
+
+    out = _df(spark, sf_dir, "events_value_emd_weekend").iloc[0]
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter("event_type = 'purchase'")
+        .selectExpr(
+            "try_cast(try_cast(value AS decimal(18,2)) * 100 AS bigint) AS v",
+            "dayofweek(ts) IN (1, 7) AS wkd",
+        )
+        .toPandas()
+        .dropna(subset=["v"])
+    )
+    we = np.sort(ev.loc[ev["wkd"], "v"].to_numpy())
+    wd = np.sort(ev.loc[~ev["wkd"], "v"].to_numpy())
+    grid = np.unique(np.concatenate([we, wd]))
+    f1 = np.searchsorted(we, grid, side="right") / len(we)
+    f2 = np.searchsorted(wd, grid, side="right") / len(wd)
+    emd_ref = float(np.sum(np.abs(f1[:-1] - f2[:-1]) * np.diff(grid))) / 100
+    assert out["n_we"] == len(we) and out["n_wd"] == len(wd)
+    assert abs(out["emd_value"] - emd_ref) < 1e-4
+    assert out["emd_value"] >= 0
+
+
+def test_theilsen_matches_independent_numpy_median_of_slopes(spark, sf_dir):
+    import numpy as np
+
+    out = _df(spark, sf_dir, "lineitem_theilsen_price_trend").iloc[0]
+    m = (
+        load_table(spark, sf_dir, "lineitem")
+        .selectExpr(
+            "date_trunc('month', l_shipdate) AS mon",
+            "try_cast(try_cast(l_extendedprice AS decimal(18,2)) * 100 AS bigint) AS p",
+        )
+        .toPandas()
+        .dropna(subset=["p"])
+        .groupby("mon")["p"]
+        .mean()
+        .sort_index()
+        .to_numpy()
+        / 100.0
+    )
+    y = np.round(m, 6)
+    x = np.arange(len(y))
+    slopes = [
+        (y[j] - y[i]) / (j - i) for i in range(len(y)) for j in range(i + 1, len(y))
+    ]
+    slope_ref = float(np.median(np.round(slopes, 6)))
+    assert out["n_months"] == len(y)
+    assert out["n_pairs"] == len(slopes)
+    assert abs(out["slope"] - slope_ref) < 1e-5
+    ic_ref = float(np.median(np.round(y - out["slope"] * x, 6)))
+    assert abs(out["intercept"] - ic_ref) < 1e-5
