@@ -3213,3 +3213,135 @@ def part_price_index_laspeyres(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_parts"),
         (num / den).alias("laspeyres_index"),
     )
+
+
+@register(
+    "part_abc_xyz_matrix",
+    tags=("relational", "analytics"),
+    oracle="""
+    WITH base AS (
+      SELECT l_partkey,
+             try_cast(try_cast(l_extendedprice AS decimal(18,2)) * 100 AS BIGINT) AS p,
+             try_cast(try_cast(l_quantity AS decimal(18,2)) * 100 AS BIGINT) AS q,
+             date_trunc('month', l_shipdate) AS mon
+      FROM lineitem
+      WHERE try_cast(try_cast(l_extendedprice AS decimal(18,2)) * 100 AS BIGINT) IS NOT NULL
+        AND try_cast(try_cast(l_quantity AS decimal(18,2)) * 100 AS BIGINT) IS NOT NULL
+    ), monthly AS (
+      SELECT l_partkey, mon, CAST(sum(q) AS DECIMAL(38,0)) AS mq FROM base GROUP BY 1, 2
+    ), per_part AS (
+      SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_months,
+             CAST(sum(mq) AS DECIMAL(38,0)) AS sq,
+             CAST(sum(mq * mq) AS DECIMAL(38,0)) AS qq
+      FROM monthly GROUP BY 1
+    ), rev AS (
+      SELECT l_partkey, CAST(sum(p) AS DECIMAL(38,0)) AS r FROM base GROUP BY 1
+    ), stats AS (
+      SELECT p.l_partkey, r, n_months, sq, qq,
+             round(sqrt(greatest((CAST(qq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE) / n_months)
+                                 / nullif(n_months - 1.0, 0.0), 0.0))
+                   / nullif(CAST(sq AS DOUBLE) / n_months, 0.0), 6) AS cv
+      FROM per_part p JOIN rev USING (l_partkey)
+    ), cls AS (
+      SELECT l_partkey, r, cv,
+             sum(r) OVER (ORDER BY r DESC, l_partkey) / CAST(sum(r) OVER () AS DOUBLE) AS cum_share
+      FROM stats
+    ), labeled AS (
+      SELECT l_partkey, r,
+             CASE WHEN cum_share <= 0.8 THEN 'A' WHEN cum_share <= 0.95 THEN 'B' ELSE 'C' END AS abc,
+             CASE WHEN cv IS NULL THEN 'Z' WHEN cv <= 0.5 THEN 'X' WHEN cv <= 1.0 THEN 'Y' ELSE 'Z' END AS xyz
+      FROM cls
+    )
+    SELECT abc, xyz, CAST(count(*) AS BIGINT) AS n_parts,
+           round(CAST(sum(r) AS DOUBLE) / (SELECT CAST(sum(r) AS DOUBLE) FROM labeled), 6) AS revenue_share
+    FROM labeled GROUP BY 1, 2
+    """,
+)
+def part_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC x XYZ inventory classification matrix -- the supply-chain
+    segmentation every planning tool ships: ABC ranks parts by cumulative
+    revenue share (A <= 80%, B <= 95%, C rest, ordered revenue-desc with
+    partkey tiebreak) and XYZ bands demand predictability by the
+    coefficient of variation of MONTHLY quantities (X <= 0.5 steady,
+    Y <= 1.0, Z erratic or single-month). The 3x3 cell counts + revenue
+    shares tell you where cycle counting and safety stock go; orders_
+    abc_pareto is the 1-D revenue view, this adds the variability axis.
+
+    Exactness: revenue and monthly-quantity moments are exact
+    DECIMAL(38,0) cents/centi-units; CV is one shared closed form
+    (variance clamped at 0 against FP negatives, NULL-safe on
+    single-month parts which land in Z by definition).
+
+    Scale: two partial aggs reduce the fact table to |parts| and
+    (part, month) states; the cumulative-share window runs over the
+    PART DOMAIN (dim-scale, range-partitionable prefix sum), never the
+    fact rows; the final matrix is a 9-state agg + broadcast total."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pc = "try_cast(try_cast(l_extendedprice AS decimal(18,2)) * 100 AS bigint)"
+    qc = "try_cast(try_cast(l_quantity AS decimal(18,2)) * 100 AS bigint)"
+    base = li.select(
+        "l_partkey",
+        F.expr(pc).alias("p"),
+        F.expr(qc).alias("q"),
+        F.date_trunc("month", "l_shipdate").alias("mon"),
+    ).filter(F.col("p").isNotNull() & F.col("q").isNotNull())
+    monthly = base.groupBy("l_partkey", "mon").agg(
+        F.sum(F.col("q").cast("decimal(38,0)")).alias("mq")
+    )
+    per_part = monthly.groupBy("l_partkey").agg(
+        F.count("*").cast("bigint").alias("n_months"),
+        F.sum("mq").cast("decimal(38,0)").alias("sq"),
+        F.sum(F.col("mq") * F.col("mq")).cast("decimal(38,0)").alias("qq"),
+    )
+    rev = base.groupBy("l_partkey").agg(
+        F.sum(F.col("p").cast("decimal(38,0)")).alias("r")
+    )
+    stats = per_part.join(rev, "l_partkey")
+    nm = F.col("n_months").cast("double")
+    mean = F.col("sq").cast("double") / nm
+    var = (
+        F.col("qq").cast("double")
+        - F.col("sq").cast("double") * F.col("sq").cast("double") / nm
+    ) / F.nullif(nm - 1, F.lit(0.0))
+    cv = F.round(
+        F.sqrt(F.greatest(var, F.lit(0.0))) / F.nullif(mean, F.lit(0.0)), 6
+    )
+    w = Window.orderBy(F.col("r").desc(), F.col("l_partkey"))
+    cls = stats.select(
+        "l_partkey",
+        "r",
+        cv.alias("cv"),
+        (
+            F.sum("r").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("double")
+            / F.sum("r").over(Window.partitionBy()).cast("double")
+        ).alias("cum_share"),
+    )
+    abc = (
+        F.when(F.col("cum_share") <= 0.8, "A")
+        .when(F.col("cum_share") <= 0.95, "B")
+        .otherwise("C")
+    )
+    xyz = (
+        F.when(F.col("cv").isNull(), "Z")
+        .when(F.col("cv") <= 0.5, "X")
+        .when(F.col("cv") <= 1.0, "Y")
+        .otherwise("Z")
+    )
+    labeled = cls.select("l_partkey", "r", abc.alias("abc"), xyz.alias("xyz"))
+    tot_r = labeled.agg(F.sum("r").cast("double").alias("tr"))
+    return (
+        labeled.groupBy("abc", "xyz")
+        .agg(
+            F.count("*").cast("bigint").alias("n_parts"),
+            F.sum("r").alias("rev"),
+        )
+        .crossJoin(F.broadcast(tot_r))
+        .select(
+            "abc",
+            "xyz",
+            "n_parts",
+            F.round(F.col("rev").cast("double") / F.col("tr"), 6).alias(
+                "revenue_share"
+            ),
+        )
+    )

@@ -310,3 +310,21 @@ def test_theilsen_matches_independent_numpy_median_of_slopes(spark, sf_dir):
     assert abs(out["slope"] - slope_ref) < 1e-5
     ic_ref = float(np.median(np.round(y - out["slope"] * x, 6)))
     assert abs(out["intercept"] - ic_ref) < 1e-5
+
+
+# ------------------------------------------------- ABC x XYZ matrix
+
+
+def test_abc_xyz_matrix_conserves_parts_and_revenue(spark, sf_dir):
+    out = _df(spark, sf_dir, "part_abc_xyz_matrix")
+    n_parts_total = (
+        load_table(spark, sf_dir, "lineitem").select("l_partkey").distinct().count()
+    )
+    assert out["n_parts"].sum() == n_parts_total
+    assert abs(out["revenue_share"].sum() - 1.0) < 1e-4
+    assert set(out["abc"]) <= {"A", "B", "C"}
+    assert set(out["xyz"]) <= {"X", "Y", "Z"}
+    # ABC is a revenue ranking: A cells must out-earn C cells in total
+    by_abc = out.groupby("abc")["revenue_share"].sum()
+    if {"A", "C"} <= set(by_abc.index):
+        assert by_abc["A"] > by_abc["C"]
