@@ -1,14 +1,17 @@
 """Invariant gates for the round-7 third-batch operators: Poisson-
 bootstrap CI, bucketed LSN-gap detection, URL canonicalization dedup,
-and code-vs-prose profiling.
+code-vs-prose profiling, Matryoshka truncation recall, the curation
+funnel, the LSH (b, r) tuning curve, quality-gate agreement kappa,
+exact Wasserstein-1, Theil-Sen robust trend, and the ABC x XYZ matrix.
 
-Cross-engine value parity is covered by test_oracle_parity (all four
-register DuckDB oracles); these pin the SEMANTIC properties an oracle
-twin cannot: the bootstrap weight distribution against the Poisson(1)
-pmf and CI coverage of the point estimate, exact recovery of planted
-LSN holes against an independent python reimplementation, URL-alias
-conservation laws, and that the code detector actually discriminates a
-planted code corpus from prose.
+Cross-engine value parity is covered by test_oracle_parity (all of
+these register DuckDB oracles); these pin the SEMANTIC properties an
+oracle twin cannot: the bootstrap weight distribution against the
+Poisson(1) pmf and CI coverage of the point estimate, exact recovery
+of planted LSN holes / planted duplicates / planted code corpora
+against independent python reimplementations, conservation and
+monotonicity laws, and numpy cross-checks of the EMD integral and the
+median-of-slopes fit.
 """
 
 from __future__ import annotations
