@@ -46,11 +46,24 @@ def main() -> None:
     n1 = docs.count()
 
     # 2. near-dup clusters (>=0.8 shingle-jaccard) -> drop all but the
-    #    min-doc_id representative of each cluster. At 100 TB, price the
-    #    candidate join FIRST: the band census predicts its size as
-    #    sum-of-C(bucket,2) and flags the hot bucket that would turn it
-    #    quadratic (a run with a skewed census stops here, not 3 h in).
-    from change_data_capture_service_spark.operators.dedup import dedup_lsh_bucket_stats
+    #    min-doc_id representative of each cluster. At 100 TB, PLAN the
+    #    LSH config first (the S-curve tuning table says what each
+    #    (bands, rows) choice costs in candidate verifications and buys
+    #    in recall), then price the candidate join: the band census
+    #    predicts its size as sum-of-C(bucket,2) and flags the hot
+    #    bucket that would turn it quadratic (a run with a skewed census
+    #    stops here, not 3 h in).
+    from change_data_capture_service_spark.operators.dedup import (
+        dedup_lsh_bucket_stats,
+        dedup_lsh_tuning_curve,
+    )
+
+    for row in dedup_lsh_tuning_curve(spark, SF).orderBy("rows_per_band").collect():
+        print(
+            f"LSH plan: b={row.bands:>2} r={row.rows_per_band:>2}  "
+            f"expected candidates {row.expected_candidates:>8.1f}  "
+            f"recall@0.8 {row.expected_recall_at_08}"
+        )
 
     census = dedup_lsh_bucket_stats(spark, SF)
     n_cand = census.agg(F.sum("candidate_pairs")).collect()[0][0]
@@ -188,6 +201,19 @@ def main() -> None:
         print(f"  {r['source']:12s} {r['n_tokens']:>9d} tokens  weight {r['weight']}")
     print(f"packed sequences     : {n_packs} packs of <=2048 tokens")
     print(f"clustered corpus at  : {out}/train")
+
+    # the same attrition profile as ONE registered query (lang ->
+    # length -> word-length -> exact-dedup gates from a single scan):
+    # what a scheduled 100 TB curation run reports without re-running
+    # the whole pipeline above
+    from change_data_capture_service_spark.operators.curation import docs_curation_funnel
+
+    print("one-query funnel (docs_curation_funnel):")
+    for r in docs_curation_funnel(spark, SF).orderBy("stage").collect():
+        print(
+            f"  {r['stage']:20s} {r['n_docs']:>5d} docs  "
+            f"{r['n_tokens']:>7d} tokens  {r['pct_docs']:>6.1%}"
+        )
 
 
 if __name__ == "__main__":
