@@ -396,3 +396,77 @@ def dq_orders_lineitem_reconciliation(spark: SparkSession, sf_dir: str) -> DataF
         ).alias("mean_abs_diff"),
         F.round(F.max(diff).cast("double") / 100, 2).alias("max_abs_diff"),
     )
+
+
+@register(
+    "orders_rapid_repeat_audit",
+    tags=("dq", "relational"),
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_custkey,
+             try_cast(try_cast(o_totalprice AS decimal(18,2)) * 100 AS BIGINT) AS cents,
+             o_orderdate AS d
+      FROM orders
+      WHERE try_cast(try_cast(o_totalprice AS decimal(18,2)) * 100 AS BIGINT) IS NOT NULL
+    )
+    SELECT a.o_custkey AS custkey, a.o_orderkey AS orderkey_a, b.o_orderkey AS orderkey_b,
+           round(CAST(a.cents AS DOUBLE) / 100, 2) AS amount_a,
+           round(CAST(b.cents AS DOUBLE) / 100, 2) AS amount_b,
+           round(CAST(least(a.cents, b.cents) AS DOUBLE) / greatest(a.cents, b.cents), 6) AS amount_ratio,
+           CAST(abs(date_diff('day', a.d, b.d)) AS INT) AS days_apart
+    FROM base a JOIN base b
+      ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+    WHERE abs(date_diff('day', a.d, b.d)) <= 30
+      AND CAST(least(a.cents, b.cents) AS DOUBLE) / greatest(a.cents, b.cents) >= 0.9
+    """,
+)
+def orders_rapid_repeat_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-invoice audit: pairs of orders from the SAME customer,
+    placed within 30 days, whose totals agree within 10% -- the classic
+    accounts-payable double-payment screen (exact-amount duplicates are
+    the textbook case; real systems flag the near-misses too, because a
+    re-keyed invoice rarely matches to the cent). Output is the pair
+    evidence an auditor reviews: both keys, both amounts, the ratio, and
+    the day gap.
+
+    Exactness: amounts compare as exact cents (least/greatest ratio,
+    round 6); the day gap is integer date arithmetic.
+
+    Scale: the self-join is equi-keyed on custkey -- the customer key IS
+    the blocking key, so the pair space is sum over customers of
+    C(orders-in-window, 2), never orders^2. At 100 TB add (custkey,
+    month) to the join key to also bound the per-customer window
+    scan; semantics unchanged for the 30-day gate."""
+    o = load_table(spark, sf_dir, "orders")
+    tc = "try_cast(try_cast(o_totalprice AS decimal(18,2)) * 100 AS bigint)"
+    base = o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.expr(tc).alias("cents"),
+        F.col("o_orderdate").alias("d"),
+    ).filter(F.col("cents").isNotNull())
+    a, b = base.alias("a"), base.alias("b")
+    ratio = F.least(F.col("a.cents"), F.col("b.cents")).cast("double") / F.greatest(
+        F.col("a.cents"), F.col("b.cents")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (F.col("a.o_orderkey") < F.col("b.o_orderkey")),
+        )
+        .filter(
+            (F.abs(F.datediff(F.col("b.d"), F.col("a.d"))) <= 30) & (ratio >= 0.9)
+        )
+        .select(
+            F.col("a.o_custkey").alias("custkey"),
+            F.col("a.o_orderkey").alias("orderkey_a"),
+            F.col("b.o_orderkey").alias("orderkey_b"),
+            F.round(F.col("a.cents").cast("double") / 100, 2).alias("amount_a"),
+            F.round(F.col("b.cents").cast("double") / 100, 2).alias("amount_b"),
+            F.round(ratio, 6).alias("amount_ratio"),
+            F.abs(F.datediff(F.col("b.d"), F.col("a.d"))).cast("int").alias(
+                "days_apart"
+            ),
+        )
+    )

@@ -1174,3 +1174,78 @@ def lineitem_theilsen_price_trend(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .select("n_months", "n_pairs", "slope", "intercept")
     )
+
+
+@register(
+    "lineitem_price_mann_kendall",
+    tags=("stats", "relational"),
+    oracle=f"""
+    WITH m AS (
+      SELECT date_trunc('month', l_shipdate) AS mon,
+             CAST(sum(CAST(p AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s,
+             CAST(count(*) AS BIGINT) AS n
+      FROM (SELECT {_PRICE_C} AS p, l_shipdate FROM lineitem) WHERE p IS NOT NULL GROUP BY 1
+    ), pairs AS (
+      SELECT sign(CAST(b.s * a.n - a.s * b.n AS DOUBLE)) AS sg
+      FROM m a JOIN m b ON a.mon < b.mon
+    ), stat AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_pairs, CAST(sum(sg) AS BIGINT) AS s FROM pairs
+    ), nrow AS (SELECT CAST(count(*) AS BIGINT) AS n_months FROM m)
+    SELECT n_months, n_pairs, s,
+           round(CASE WHEN s > 0 THEN (s - 1) / sqrt(n_months * (n_months - 1.0) * (2 * n_months + 5) / 18)
+                      WHEN s < 0 THEN (s + 1) / sqrt(n_months * (n_months - 1.0) * (2 * n_months + 5) / 18)
+                      ELSE 0.0 END, 6) AS z
+    FROM nrow, stat
+    """,
+)
+def lineitem_price_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend TEST on the monthly mean line-item price -- the
+    nonparametric significance companion to lineitem_theilsen_price_trend
+    (Theil-Sen says HOW STEEP, Mann-Kendall says WHETHER the monotone
+    trend is real): S = sum over month pairs of sign(mean_j - mean_i),
+    z from the exact no-ties variance n(n-1)(2n+5)/18 with the standard
+    +/-1 continuity correction. The hydrology-standard pairing for
+    trend detection on noisy operational series.
+
+    Exactness: monthly means never materialize as doubles for the
+    comparison -- sign(s_j*n_i - s_i*n_j) compares the exact rationals
+    by DECIMAL cross-multiplication, so S is an exact integer and z is
+    one shared closed form.
+
+    Scale: the fact table reduces to |months| (sum, count) states before
+    pairing; the C(|months|, 2) sign pairs live on the calendar domain
+    (3,403 rows at 83 months) off a checkpointed month relation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    m = (
+        li.select(
+            F.date_trunc("month", "l_shipdate").alias("mon"),
+            F.expr(_PRICE_C).alias("p"),
+        )
+        .filter(F.col("p").isNotNull())
+        .groupBy("mon")
+        .agg(
+            F.sum(F.col("p").cast("decimal(38,0)")).alias("s"),
+            F.count("*").cast("bigint").alias("n"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    a, b = m.alias("a"), m.alias("b")
+    sgn = F.signum(
+        (F.col("b.s") * F.col("a.n") - F.col("a.s") * F.col("b.n")).cast("double")
+    )
+    pairs = a.join(b, F.col("a.mon") < F.col("b.mon")).select(sgn.alias("sg"))
+    stat = pairs.agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.sum("sg").cast("bigint").alias("s"),
+    )
+    nrow = m.agg(F.count("*").cast("bigint").alias("n_months"))
+    nm = F.col("n_months").cast("double")
+    var = nm * (nm - 1) * (2 * nm + 5) / 18
+    zed = (
+        F.when(F.col("s") > 0, (F.col("s") - 1) / F.sqrt(var))
+        .when(F.col("s") < 0, (F.col("s") + 1) / F.sqrt(var))
+        .otherwise(F.lit(0.0))
+    )
+    return nrow.crossJoin(F.broadcast(stat)).select(
+        "n_months", "n_pairs", "s", F.round(zed, 6).alias("z")
+    )

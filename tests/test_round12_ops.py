@@ -331,3 +331,57 @@ def test_abc_xyz_matrix_conserves_parts_and_revenue(spark, sf_dir):
     by_abc = out.groupby("abc")["revenue_share"].sum()
     if {"A", "C"} <= set(by_abc.index):
         assert by_abc["A"] > by_abc["C"]
+
+
+# ------------------------------------------------- rapid-repeat + MK
+
+
+def test_rapid_repeat_audit_pairs_are_valid(spark, sf_dir):
+    out = _df(spark, sf_dir, "orders_rapid_repeat_audit")
+    assert len(out) > 0
+    assert (out["orderkey_a"] < out["orderkey_b"]).all()
+    assert out["days_apart"].between(0, 30).all()
+    assert out["amount_ratio"].between(0.9, 1.0).all()
+    import numpy as np
+
+    assert np.allclose(
+        out["amount_ratio"],
+        np.round(
+            np.minimum(out["amount_a"], out["amount_b"])
+            / np.maximum(out["amount_a"], out["amount_b"]),
+            6,
+        ),
+        atol=1e-4,
+    )
+
+
+def test_mann_kendall_matches_independent_python(spark, sf_dir):
+    out = _df(spark, sf_dir, "lineitem_price_mann_kendall").iloc[0]
+    import math
+
+    from fractions import Fraction
+
+    m = (
+        load_table(spark, sf_dir, "lineitem")
+        .selectExpr(
+            "date_trunc('month', l_shipdate) AS mon",
+            "try_cast(try_cast(l_extendedprice AS decimal(18,2)) * 100 AS bigint) AS p",
+        )
+        .toPandas()
+        .dropna(subset=["p"])
+        .groupby("mon")["p"]
+        .agg(["sum", "count"])
+        .sort_index()
+    )
+    rates = [Fraction(int(s), int(n)) for s, n in zip(m["sum"], m["count"])]
+    s_stat = sum(
+        (rates[j] > rates[i]) - (rates[j] < rates[i])
+        for i in range(len(rates))
+        for j in range(i + 1, len(rates))
+    )
+    assert out["s"] == s_stat
+    n = len(rates)
+    var = n * (n - 1) * (2 * n + 5) / 18
+    z_ref = (s_stat - (1 if s_stat > 0 else -1 if s_stat < 0 else 0)) / math.sqrt(var) if s_stat != 0 else 0.0
+    assert abs(out["z"] - round(z_ref, 6)) < 1e-6
+    assert out["n_pairs"] == n * (n - 1) // 2
