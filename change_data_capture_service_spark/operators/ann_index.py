@@ -26,7 +26,7 @@ the two halves:
 probe the n_probe nearest cells per query, prune the codes scan to the
 union of probed cells, ADC-score (per-query LUTs over the codebooks,
 q.v = q.c_cell + q.r decomposition per Jegou et al. 2011 IVFADC, public
-paper), shortlist 30k, exact-rerank against the corpus (raw vectors live
+paper), shortlist 30*top_k rows, exact-rerank against the corpus (raw vectors live
 in the corpus table, not the index -- the index stays ~16 bytes/vector).
 
 ``extend_ann_index(spark, new_vectors, index_dir)`` -- the delta path:
@@ -278,17 +278,17 @@ def query_ann_index(
 ) -> DataFrame:
     """Top-k cosine neighbors from the prebuilt index. ``queries`` carries
     (query_id, qv, qnrm); ``corpus`` carries (vec_id, v, nrm) and is read
-    ONLY for the exact rerank of the 3k-row shortlist."""
+    ONLY for the exact rerank of the 30*top_k-row shortlist."""
     index_dir = index_dir.rstrip("/")
     meta = index_meta(index_dir)
     if meta is None:
         raise FileNotFoundError(f"no ANN index at {index_dir} (run build_ann_index)")
     n_probe = min(n_probe, meta["n_cells"])
     # rerank shortlist: the recall lever of the ADC family. Measured at
-    # sf0.1 (5k vectors, 6/16 cells probed): recall@10 = 0.32 at 3k,
-    # 0.52 at 10k, 0.64 at 30k vs the 0.70 IVF ceiling -- the exact
-    # rerank recovers whatever the shortlist retains, and 30k raw-vector
-    # lookups per query is still ~300 rows against a keyed corpus.
+    # sf0.1 (5k vectors, 6/16 cells probed): recall@10 = 0.32 at 3*k,
+    # 0.52 at 10*k, 0.64 at 30*k vs the 0.70 IVF ceiling -- the exact
+    # rerank recovers whatever the shortlist retains, and 30*top_k
+    # raw-vector lookups per query is ~300 rows against a keyed corpus.
     shortlist = 30 * top_k
 
     cent_df = spark.read.parquet(f"{index_dir}/centroids")

@@ -63,6 +63,62 @@ def _shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Document-frequency cap for EXACT-jaccard pair formation (the round-8
+# extension of the CONTAINMENT_DF_CAP treatment to its siblings): a shingle
+# appearing in more than this many documents is dropped from CANDIDATE
+# GENERATION -- the pair space is otherwise sum over shingles of df², and one
+# boilerplate shingle in 10^6 docs yields 10^12 join rows before any filter
+# can run. With the cap the worst case is |shingles| x CAP² BY CONSTRUCTION,
+# not by operator vigilance. Jaccard values for surfaced pairs stay EXACT
+# (array_intersect over the FULL shingle sets, hot shingles included), so
+# the cap is a recall-only bias: a pair sharing ONLY hot shingles never
+# surfaces -- the standard compromise (the banded MinHash path is the
+# production detector for those; these exact ops are its diagnostics).
+JACCARD_DF_CAP = 64
+
+
+def _capped_exact_pairs(sh: DataFrame) -> DataFrame:
+    """Exact-jaccard pair statistics (doc_id_a, doc_id_b, c, na, nb) over
+    the DF-capped candidate space. Two stages, mirroring
+    ``dedup_containment_pairs``: (1) candidates from the shingle equi-join
+    restricted to shingles with df <= JACCARD_DF_CAP (one cheap
+    (shingle -> df) pre-agg on the same key the join shuffles on; only
+    (doc_id, shingle) rows shuffle); (2) exact verify -- full shingle
+    arrays ship ONLY for candidate pairs, and c/na/nb are computed on the
+    full sets so surfaced values are identical to the uncapped join's."""
+    ex = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    ok = (
+        ex.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= JACCARD_DF_CAP)
+        .select("shingle")
+    )
+    exc = ex.join(ok, "shingle", "left_semi")
+    a, b = exc.alias("a"), exc.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b"))
+        .dropDuplicates(["doc_id_a", "doc_id_b"])
+    )
+    va = sh.select(F.col("doc_id").alias("doc_id_a"), F.col("shingles").alias("sh_a"))
+    vb = sh.select(F.col("doc_id").alias("doc_id_b"), F.col("shingles").alias("sh_b"))
+    return (
+        cand.join(va, "doc_id_a")
+        .join(vb, "doc_id_b")
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("long").alias("c"),
+            F.size("sh_a").cast("long").alias("na"),
+            F.size("sh_b").cast("long").alias("nb"),
+        )
+    )
+
+
 # SQL fragment shared by oracles: exact pairwise jaccard via shingle
 # explode + equi-join (never an N² cross join -- same shape as the engine's
 # verification stage).
@@ -84,6 +140,43 @@ _ORACLE_EXACT_JACCARD = f"""
              count(*) AS c, any_value(a.n) AS na, any_value(b.n) AS nb
       FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2
+    )
+"""
+
+# The DF-capped twin of _ORACLE_EXACT_JACCARD, mirroring _capped_exact_pairs:
+# candidates only from shingles with df <= JACCARD_DF_CAP, exact c/na/nb from
+# the FULL shingle sets for surfaced pairs. Ends with the same `pairs` CTE
+# (same columns), so downstream oracle suffixes compose unchanged.
+_ORACLE_EXACT_JACCARD_CAPPED = f"""
+    WITH toks AS (
+      SELECT doc_id, {TOKENS} AS toks FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+      FROM toks WHERE len(toks) >= 3
+    ),
+    ex AS (
+      SELECT doc_id, unnest(shingles) AS shingle FROM sh
+    ),
+    ok AS (
+      SELECT shingle FROM ex GROUP BY 1 HAVING count(*) <= {JACCARD_DF_CAP}
+    ),
+    exc AS (
+      SELECT ex.doc_id, ex.shingle FROM ex JOIN ok USING (shingle)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+      FROM exc a JOIN exc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    ),
+    pairs AS (
+      SELECT cand.doc_id_a, cand.doc_id_b,
+             len(list_intersect(sa.shingles, sb.shingles)) AS c,
+             len(sa.shingles) AS na, len(sb.shingles) AS nb
+      FROM cand
+      JOIN sh sa ON sa.doc_id = cand.doc_id_a
+      JOIN sh sb ON sb.doc_id = cand.doc_id_b
     )
 """
 
@@ -303,7 +396,7 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_ngram_jaccard",
     tags=("dedup", "northstar"),
-    oracle=_ORACLE_EXACT_JACCARD
+    oracle=_ORACLE_EXACT_JACCARD_CAPPED
     + """
     SELECT doc_id_a, doc_id_b,
            round(CAST(c AS DOUBLE) / (na + nb - c), 6) AS jaccard
@@ -312,23 +405,18 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard pairs (threshold 0.5) WITHOUT LSH: the
-    explode-shingles-and-equi-join shape. Pairs sharing zero shingles are
-    never formed, so cost is sum over shingles of (docs-per-shingle)² --
-    the exact-but-scalable baseline the MinHash path approximates."""
+    """Exact n-gram Jaccard pairs (threshold 0.5) WITHOUT LSH: candidates
+    from the DF-capped shingle equi-join (pairs sharing zero rare
+    shingles are never formed -- cost is bounded at |shingles| x
+    JACCARD_DF_CAP² by construction, never df² on a boilerplate shingle),
+    then exact verification on the full shingle sets. The
+    exact-but-scalable baseline the MinHash path approximates; surfaced
+    jaccard values are identical to the uncapped join's."""
     # materialize-once: the self-join consumes the shingle relation on
     # BOTH sides, so without a checkpoint the CPU-heavy tokenize+shingle
     # pass runs twice (measured 5x wall-clock on the sf0.1 corpus)
     sh = _shingled_docs(spark, sf_dir).localCheckpoint(eager=False)
-    ex = sh.select(
-        "doc_id", F.size("shingles").alias("n"), F.explode("shingles").alias("shingle")
-    )
-    a, b = ex.alias("a"), ex.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b"))
-        .agg(F.count("*").alias("c"), F.first("a.n").alias("na"), F.first("b.n").alias("nb"))
-    )
+    pairs = _capped_exact_pairs(sh)
     jacc = F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c"))
     return (
         pairs.withColumn("jaccard_raw", jacc)
@@ -1192,7 +1280,7 @@ _COS = (
 @register(
     "dedup_semantic_minhash_union",
     tags=("dedup", "similarity", "northstar"),
-    oracle=_ORACLE_EXACT_JACCARD
+    oracle=_ORACLE_EXACT_JACCARD_CAPPED
     + f"""
     , j AS (
       SELECT doc_id_a, doc_id_b,
@@ -1210,6 +1298,14 @@ _COS = (
     FROM j
     JOIN embeddings a ON a.vec_id = j.doc_id_a
     JOIN embeddings b ON b.vec_id = j.doc_id_b
+    WHERE sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                CAST(a.embedding AS DOUBLE[]))) > 0
+      AND isfinite(sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(a.embedding AS DOUBLE[]))))
+      AND sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                                CAST(b.embedding AS DOUBLE[]))) > 0
+      AND isfinite(sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[]))))
     """,
 )
 def dedup_semantic_minhash_union(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1221,25 +1317,15 @@ def dedup_semantic_minhash_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     (same words, different meaning-bearing content), 'embedding_only'
     pairs are paraphrases lexical dedup misses, 'both' is safe to drop.
 
-    Scale: the pair space is the shingle equi-join's (never N^2); the two
-    embedding lookups are |pairs| broadcast-joins against the vectors
-    relation; cosines are JVM array folds on the pair rows only."""
+    Scale: the pair space is the DF-capped shingle equi-join's
+    (_capped_exact_pairs: bounded at |shingles| x JACCARD_DF_CAP², never
+    N^2 and never df² on a boilerplate shingle); the two embedding
+    lookups are |pairs| broadcast-joins against the vectors relation;
+    cosines are JVM array folds on the pair rows only."""
     from .similarity import _vectors
 
     sh = _shingled_docs(spark, sf_dir).localCheckpoint(eager=False)  # both join sides
-    ex = sh.select(
-        "doc_id", F.size("shingles").alias("n"), F.explode("shingles").alias("shingle")
-    )
-    a, b = ex.alias("a"), ex.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b"))
-        .agg(F.count("*").alias("c"), F.first("a.n").alias("na"), F.first("b.n").alias("nb"))
-    )
+    pairs = _capped_exact_pairs(sh)
     jacc = F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c"))
     j = pairs.withColumn("jaccard_raw", jacc).filter(F.col("jaccard_raw") >= 0.5)
 
@@ -1458,7 +1544,7 @@ def docs_dedup_net_tokens_saved(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "docs_near_dup_band_profile",
     tags=("dedup", "agg"),
-    oracle=_ORACLE_EXACT_JACCARD
+    oracle=_ORACLE_EXACT_JACCARD_CAPPED
     + """
     , j AS (
       SELECT doc_id_a, doc_id_b, CAST(c AS DOUBLE) / (na + nb - c) AS jac
@@ -1481,23 +1567,12 @@ def docs_near_dup_band_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical double arithmetic (c/(na+nb-c), floor x10) runs on both
     engines, so band edges agree bit-for-bit.
 
-    Scale: pair space bounded by the shingle equi-join; the two source
-    lookups broadcast the narrow documents projection; output is <= 20
-    rows forever."""
+    Scale: pair space bounded by the DF-capped shingle equi-join
+    (_capped_exact_pairs, |shingles| x JACCARD_DF_CAP² worst case); the
+    two source lookups broadcast the narrow documents projection; output
+    is <= 20 rows forever."""
     sh = _shingled_docs(spark, sf_dir).localCheckpoint(eager=False)  # both join sides
-    ex = sh.select(
-        "doc_id", F.size("shingles").alias("n"), F.explode("shingles").alias("shingle")
-    )
-    a, b = ex.alias("a"), ex.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b"))
-        .agg(F.count("*").alias("c"), F.first("a.n").alias("na"), F.first("b.n").alias("nb"))
-    )
+    pairs = _capped_exact_pairs(sh)
     jac = F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c"))
     j = pairs.withColumn("jac", jac).filter(F.col("jac") >= 0.5)
     src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
@@ -1617,7 +1692,7 @@ def dedup_exact_vs_near_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_lsh_tuning_curve",
     tags=("dedup", "northstar"),
-    oracle=_ORACLE_EXACT_JACCARD
+    oracle=_ORACLE_EXACT_JACCARD_CAPPED
     + """
     , scored AS (
       SELECT cfg.bands, cfg.rows_per_band,
@@ -1647,25 +1722,18 @@ def dedup_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     audits the chosen config's ACTUAL buckets after the fact; this op
     chooses the config.
 
-    Scale: rides the identical shingle-blocked pair space as
-    dedup_ngram_jaccard (cost = sum over shingles of df^2, never N^2);
-    the x4 config explode happens on (s)-scalar pair rows, and each
-    per-pair probability snaps to 6dp DECIMAL before the
-    accumulation-order-free sum."""
+    Scale: rides the identical DF-capped pair space as
+    dedup_ngram_jaccard (_capped_exact_pairs: bounded at |shingles| x
+    JACCARD_DF_CAP², never df² on a boilerplate shingle, never N^2 --
+    this matters doubly here because the tuning curve is the op you run
+    FIRST on a new corpus, before any dedup has pruned it); the x4
+    config explode happens on (s)-scalar pair rows, and each per-pair
+    probability snaps to 6dp DECIMAL before the accumulation-order-free
+    sum. The cap biases the curve's pair distribution away from
+    boilerplate-only pairs -- exactly the pairs banded MinHash would
+    also treat via its own bucket-size limits."""
     sh = _shingled_docs(spark, sf_dir).localCheckpoint(eager=False)
-    ex = sh.select(
-        "doc_id", F.size("shingles").alias("n"), F.explode("shingles").alias("shingle")
-    )
-    a, b = ex.alias("a"), ex.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b"))
-        .agg(F.count("*").alias("c"), F.first("a.n").alias("na"), F.first("b.n").alias("nb"))
-    )
+    pairs = _capped_exact_pairs(sh)
     s = F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c"))
     cfg = F.explode(
         F.expr(

@@ -3133,6 +3133,8 @@ def orders_customer_concentration(spark: SparkSession, sf_dir: str) -> DataFrame
       GROUP BY l_partkey, date_trunc('month', l_shipdate)
       HAVING sum(try_cast(try_cast(l_quantity AS DECIMAL(18,2))
                           * 100 AS BIGINT)) > 0
+         AND sum(try_cast(try_cast(l_extendedprice AS DECIMAL(18,2))
+                          * 100 AS BIGINT)) >= 0
     ),
     base AS (
       SELECT l_partkey, sc AS sc0, qc AS qc0 FROM monthly
@@ -3189,7 +3191,13 @@ def part_price_index_laspeyres(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(sc).cast("bigint").alias("sc"),
             F.sum(qc).cast("bigint").alias("qc"),
         )
-        .filter(F.col("qc") > 0)
+        # qc > 0: no unit price without quantity. sc >= 0: a negative
+        # monthly price sum (credit/correction months in the hostile-price
+        # sweep) has no meaningful unit price either -- and the half-up
+        # integer identity below diverges cross-engine for negative sc
+        # (Spark `div` truncates toward zero, DuckDB `//` floors), so both
+        # engines exclude such part-months symmetrically.
+        .filter((F.col("qc") > 0) & (F.col("sc") >= 0))
         .localCheckpoint(eager=False)  # feeds the base lookup and the index
     )
     base_month = monthly.agg(F.min("month").alias("m0"))

@@ -1337,6 +1337,10 @@ def embedding_outlier_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame
       SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
              sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
       FROM embeddings
+      WHERE sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                  CAST(embedding AS DOUBLE[]))) > 0
+        AND isfinite(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                           CAST(embedding AS DOUBLE[]))))
     ),
     scored AS (
       SELECT q.vec_id AS query_id, q.label AS query_label, c.label AS n_label,
@@ -1636,6 +1640,10 @@ def embedding_kdist_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH v AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
       FROM embeddings
+      WHERE sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                  CAST(embedding AS DOUBLE[]))) > 0
+        AND isfinite(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                           CAST(embedding AS DOUBLE[]))))
     ), tr AS (
       SELECT vec_id, d.dims, v[1:d.dims] AS vd
       FROM v, (VALUES (16),(32),(64)) AS d(dims)

