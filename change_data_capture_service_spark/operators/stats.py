@@ -36,6 +36,80 @@ _PRICE_C = "try_cast(try_cast(l_extendedprice AS decimal(18,2)) * 100 AS bigint)
 _QTY_C = "try_cast(try_cast(l_quantity AS decimal(18,2)) * 100 AS bigint)"
 _VALUE_C = "try_cast(try_cast(value AS decimal(18,2)) * 100 AS bigint)"
 
+# Range width (distinct integer values per bucket) for the two-level
+# prefix sums below. 2^16 cents = one $655 bucket: a 10^9-distinct-value
+# domain compresses to ~15k bucket rows for the level-2 scan while each
+# level-1 partition holds at most 2^16 rows.
+_RANGE_W = 65536
+
+
+def _domain_prefix(
+    v: DataFrame,
+    key: str,
+    cols: list[str],
+    *,
+    with_next_key: bool = False,
+) -> DataFrame:
+    """Two-level RANGE-PARTITIONED prefix sums over a distinct-value
+    domain relation -- the scale form of ``sum(x) OVER (ORDER BY key)``
+    that never single-partitions the domain.
+
+    ``v`` must hold ONE row per distinct ``key`` (an integer, e.g. cents)
+    with bigint count columns ``cols``. Returns ``v``'s rows plus, for
+    each name, ``pre_<name>`` = the EXCLUSIVE prefix sum of that column
+    over ascending ``key`` (add the row's own value for the inclusive
+    form), and -- when ``with_next_key`` -- ``next_<key>``, the next
+    distinct key in global order (NULL on the last row).
+
+    Shape: (1) bucket every row by the order-preserving range id
+    ``(key - pmod(key, W)) DIV W`` (exact integer floor-division, valid
+    for negative cents); (2) one partial agg to per-bucket totals --
+    |domain| / W rows; (3) the EXCLUSIVE bucket-prefix runs as an ordered
+    window over THAT bounded relation (a 10^9-value domain is ~15k bucket
+    rows -- driver-scale, and broadcast back); (4) the within-bucket
+    prefix runs under ``Window.partitionBy(bucket)``, so the wide stage
+    executes with one task per bucket, each scanning <= W rows.
+    All accumulation is integer (bigint), hence order-free -- the
+    two-level regrouping cannot change a single result bit, unlike a
+    floating-point sum.
+    """
+    bkt = F.expr(f"({key} - pmod({key}, {_RANGE_W})) DIV {_RANGE_W}").cast("bigint")
+    b = v.withColumn("_bkt", bkt)
+    aggs = [F.sum(c).cast("bigint").alias(f"_t_{c}") for c in cols]
+    if with_next_key:
+        aggs.append(F.min(key).alias("_bmin"))
+    t = b.groupBy("_bkt").agg(*aggs)
+    wb = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    base_cols = [
+        F.coalesce(F.sum(f"_t_{c}").over(wb), F.lit(0))
+        .cast("bigint")
+        .alias(f"_b_{c}")
+        for c in cols
+    ]
+    if with_next_key:
+        base_cols.append(
+            F.lead("_bmin").over(Window.orderBy("_bkt")).alias("_next_bmin")
+        )
+    base = t.select("_bkt", *base_cols)
+    j = b.join(F.broadcast(base), "_bkt")
+    ww = Window.partitionBy("_bkt").orderBy(key).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    out_cols = list(v.columns) + [
+        (F.col(f"_b_{c}") + F.coalesce(F.sum(c).over(ww), F.lit(0)))
+        .cast("bigint")
+        .alias(f"pre_{c}")
+        for c in cols
+    ]
+    if with_next_key:
+        out_cols.append(
+            F.coalesce(
+                F.lead(key).over(Window.partitionBy("_bkt").orderBy(key)),
+                F.col("_next_bmin"),
+            ).alias(f"next_{key}")
+        )
+    return j.select(*out_cols)
+
 
 @register(
     "lineitem_price_anova_returnflag",
@@ -166,9 +240,13 @@ def events_value_ks_weekend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: events reduce to one row per DISTINCT cents value (bounded by
     the value domain, not row count) with per-group counts; the ordered
-    prefix sum runs over that bounded domain. At a 10^9-distinct-value
-    domain the same prefix sum range-partitions (sum over partition
-    totals + in-partition scan) -- never a global row sort."""
+    prefix sum runs over that bounded domain in the TWO-LEVEL
+    range-partitioned form (_domain_prefix: per-range partial totals
+    broadcast back + in-partition scans, one task per 2^16-cent range)
+    -- never a global row sort, never a single-task domain scan. The
+    integer accumulation makes the regrouping exactly result-preserving.
+    Grand totals come from a plain agg (a windowless reduce), not an
+    unbounded window."""
     e = load_table(spark, sf_dir, "events")
     c = F.expr(_VALUE_C)
     s = e.select(
@@ -178,13 +256,19 @@ def events_value_ks_weekend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("wkd"), 1).otherwise(0)).cast("bigint").alias("c_we"),
         F.sum(F.when(F.col("wkd"), 0).otherwise(1)).cast("bigint").alias("c_wd"),
     )
-    wcum = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
-    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    cum = v.select(
-        F.sum("c_we").over(wcum).cast("bigint").alias("cum_we"),
-        F.sum("c_wd").over(wcum).cast("bigint").alias("cum_wd"),
-        F.sum("c_we").over(wall).cast("bigint").alias("n_we"),
-        F.sum("c_wd").over(wall).cast("bigint").alias("n_wd"),
+    tot = v.agg(
+        F.sum("c_we").cast("bigint").alias("n_we"),
+        F.sum("c_wd").cast("bigint").alias("n_wd"),
+    )
+    cum = (
+        _domain_prefix(v, "c", ["c_we", "c_wd"])
+        .crossJoin(F.broadcast(tot))
+        .select(
+            (F.col("pre_c_we") + F.col("c_we")).cast("bigint").alias("cum_we"),
+            (F.col("pre_c_wd") + F.col("c_wd")).cast("bigint").alias("cum_wd"),
+            "n_we",
+            "n_wd",
+        )
     )
     d_num = F.abs(
         F.col("cum_we") * F.col("n_wd") - F.col("cum_wd") * F.col("n_we")
@@ -265,7 +349,9 @@ def events_mannwhitney_purchase_ab(spark: SparkSession, sf_dir: str) -> DataFram
     variance).
 
     Scale: same per-distinct-value reduction as the KS operator -- counts
-    per cents value, one prefix sum over the bounded value domain, then a
+    per cents value, then the exclusive prefix sum over the bounded value
+    domain in the two-level range-partitioned form (_domain_prefix: one
+    task per 2^16-cent range, never a single-task domain scan), then a
     single-row reduce. The fact table is scanned once, never sorted."""
     e = load_table(spark, sf_dir, "events")
     c = F.expr(_VALUE_C)
@@ -275,15 +361,9 @@ def events_mannwhitney_purchase_ab(spark: SparkSession, sf_dir: str) -> DataFram
     v = s.groupBy("c").agg(
         F.sum(F.when(F.col("treat"), 1).otherwise(0)).cast("bigint").alias("c_t"),
         F.sum(F.when(F.col("treat"), 0).otherwise(1)).cast("bigint").alias("c_c"),
-    )
-    wb = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, -1)
-    r = v.select(
-        "c_t",
-        "c_c",
-        (F.col("c_t") + F.col("c_c")).alias("m"),
-        F.coalesce(F.sum(F.col("c_t") + F.col("c_c")).over(wb), F.lit(0))
-        .cast("bigint")
-        .alias("before"),
+    ).withColumn("m", (F.col("c_t") + F.col("c_c")).cast("bigint"))
+    r = _domain_prefix(v, "c", ["m"]).select(
+        "c_t", "c_c", "m", F.col("pre_m").alias("before")
     )
     agg = r.agg(
         F.sum("c_t").cast("bigint").alias("n_t"),
@@ -384,10 +464,12 @@ def lineitem_spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     closed form over them, NULL when either variable is constant.
 
     Scale: two per-distinct-value rank maps (bounded by the quantity and
-    price domains), each prefix-summed over its own domain, then joined
-    back to the fact rows by value -- an equi-join on a bounded-domain
-    key (broadcastable when the domain is small, hash otherwise). The
-    fact table is never globally sorted; a naive rank() window over rows
+    price domains), each prefix-summed over its own domain in the
+    two-level range-partitioned form (_domain_prefix -- one task per
+    2^16-cent range, never a single-task domain scan), then joined back
+    to the fact rows by value -- an equi-join on a bounded-domain key
+    (broadcastable when the domain is small, hash otherwise). The fact
+    table is never globally sorted; a naive rank() window over rows
     would single-partition 10^11 rows and is exactly what this shape
     avoids."""
     li = load_table(spark, sf_dir, "lineitem")
@@ -396,20 +478,12 @@ def lineitem_spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("x").isNotNull() & F.col("y").isNotNull())
 
     def rank_map(col: str) -> DataFrame:
-        wb = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
-        return (
-            s.groupBy(col)
-            .agg(F.count("*").cast("bigint").alias("cnt"))
-            .select(
-                col,
-                (
-                    2 * F.coalesce(F.sum("cnt").over(wb), F.lit(0))
-                    + F.col("cnt")
-                    + 1
-                )
-                .cast("bigint")
-                .alias(f"r2_{col}"),
-            )
+        cnt = s.groupBy(col).agg(F.count("*").cast("bigint").alias("cnt"))
+        return _domain_prefix(cnt, col, ["cnt"]).select(
+            col,
+            (2 * F.col("pre_cnt") + F.col("cnt") + 1)
+            .cast("bigint")
+            .alias(f"r2_{col}"),
         )
 
     # the rank maps are |distinct values| rows (domain-bounded): broadcast
@@ -608,7 +682,13 @@ def customer_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: |customers|-grain first/second-order reduction (one keyed
     window over orders), then every remaining relation is the |distinct
-    durations| grid -- day-domain bounded, not data bounded."""
+    durations| grid -- day-domain bounded, not data bounded: a 30-year
+    horizon is ~11k rows FOREVER, so the ordered windows here scan a
+    bounded driver-scale relation by construction (unlike the cents-domain
+    ops, which use _domain_prefix). The survival product is additionally a
+    FLOAT running sum (exp of cumulative ln), which must accumulate in one
+    deterministic order for cross-engine hash parity -- a second reason
+    this op keeps the single sequential scan."""
     o = load_table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     ranked = o.select(
@@ -1043,8 +1123,11 @@ def events_value_emd_weekend(spark: SparkSession, sf_dir: str) -> DataFrame:
     at the end.
 
     Scale: identical shape to the KS operator -- ONE per-distinct-value
-    partial agg, then a window over the bounded CENTS DOMAIN (price
-    range, not row count), never a global row sort."""
+    partial agg, then the two-level range-partitioned prefix sum over the
+    bounded CENTS DOMAIN (_domain_prefix with next-key stitching: the
+    last value of each range reads the following range's first value from
+    the broadcast bucket relation), never a global row sort or a
+    single-task domain scan."""
     e = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
     base = e.select(
         F.expr(_VALUE_C).alias("v"),
@@ -1054,13 +1137,11 @@ def events_value_emd_weekend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("wkd"), 1).otherwise(0)).cast("bigint").alias("c_we"),
         F.sum(F.when(~F.col("wkd"), 1).otherwise(0)).cast("bigint").alias("c_wd"),
     )
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    wl = Window.orderBy("v")
-    cum = per_v.select(
+    cum = _domain_prefix(per_v, "v", ["c_we", "c_wd"], with_next_key=True).select(
         "v",
-        F.sum("c_we").over(w).alias("k_we"),
-        F.sum("c_wd").over(w).alias("k_wd"),
-        F.lead("v").over(wl).alias("v_next"),
+        (F.col("pre_c_we") + F.col("c_we")).alias("k_we"),
+        (F.col("pre_c_wd") + F.col("c_wd")).alias("k_wd"),
+        F.col("next_v").alias("v_next"),
     )
     tot = base.agg(
         F.sum(F.when(F.col("wkd"), 1).otherwise(0)).cast("bigint").alias("n_we"),
