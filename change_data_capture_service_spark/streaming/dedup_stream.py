@@ -35,12 +35,11 @@ size. The shingle store is only read for verify-join candidates.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from . import statefs
 from ..operators.dedup import _band_entries, _minhash_sig, _shingles, _tokens
 
 BAND_SCHEMA = T.StructType(
@@ -83,13 +82,16 @@ class StreamingMinHashDedup:
     def __init__(self, spark: SparkSession, store_dir: str):
         self.spark = spark
         self.store_dir = store_dir.rstrip("/")
+        # scheme-routed dir probe: bare local paths stay on os.path, a
+        # file:/hdfs:/s3a: store_dir probes through the Hadoop FS API
+        self.fs = statefs.for_path(spark, self.store_dir)
 
     def _dir(self, name: str) -> str:
         return f"{self.store_dir}/{name}"
 
     def _read(self, name: str, schema: T.StructType) -> DataFrame:
         d = self._dir(name)
-        if not os.path.isdir(d):
+        if not self.fs.is_dir(d):
             return self.spark.createDataFrame([], schema)
         return (
             self.spark.read.schema(schema)

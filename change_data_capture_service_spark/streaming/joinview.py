@@ -25,13 +25,13 @@ affected-key broadcast is bounded by batch size, not corpus size.
 
 from __future__ import annotations
 
-import os
-import shutil
+import posixpath
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import envelope as env
+from . import statefs
 
 _STATE_COLS = ["key", "op", "schema_name", "table_name", "lsn", "ts", "before", "after"]
 
@@ -57,6 +57,7 @@ class MaterializedJoinView:
     ):
         self.spark = spark
         self.state_dir = state_dir.rstrip("/")
+        self.fs = statefs.for_path(spark, self.state_dir)
         self.fact_table = fact_table
         self.dim_table = dim_table
         self.fact_join_col = fact_join_col
@@ -64,25 +65,23 @@ class MaterializedJoinView:
 
     # -- storage ------------------------------------------------------------
     # Generation dirs + an atomically-replaced CURRENT pointer file. The
-    # swap order is: (1) write gen_<epoch> in full, (2) fsync+rename the
-    # pointer, (3) sweep superseded generations. A crash at any point
+    # swap order is: (1) write gen_<epoch> in full, (2) atomically replace
+    # the pointer, (3) sweep superseded generations. A crash at any point
     # leaves a readable store: before (2) the old generation stays live;
     # after (2) the new one is live and at worst an orphan gen dir
     # remains, which the next successful swap's sweep removes.
-    # LIMITATION: the pointer swap uses local-filesystem primitives
-    # (os.replace); state_dir must be a local path. An HDFS/S3 deployment
-    # would route these three steps through the Hadoop FileSystem API
-    # (create-overwrite of the pointer object is the atomic step there).
+    # The three steps route through ``statefs``: bare local paths use
+    # fsync+os.replace (rename(2)); scheme'd URIs (file:, hdfs:, s3a:)
+    # use the Hadoop FileSystem API with
+    # FileContext.rename(..., Rename.OVERWRITE) as the atomic step --
+    # so the same sink runs unchanged against an HDFS state_dir.
 
     def _current(self, name: str) -> str | None:
-        ptr = f"{self.state_dir}/{name}/CURRENT"
-        try:
-            with open(ptr) as f:
-                gen = f.read().strip()
-        except FileNotFoundError:
+        raw = self.fs.read_text(f"{self.state_dir}/{name}/CURRENT")
+        if raw is None:
             return None
-        path = f"{self.state_dir}/{name}/{gen}"
-        return path if os.path.isdir(path) else None
+        path = f"{self.state_dir}/{name}/{raw.strip()}"
+        return path if self.fs.is_dir(path) else None
 
     def _read(self, name: str) -> DataFrame:
         cur = self._current(name)
@@ -94,19 +93,14 @@ class MaterializedJoinView:
         gen = f"gen_{epoch_id}"
         root = f"{self.state_dir}/{name}"
         cur = self._current(name)
-        if cur is not None and os.path.basename(cur) == gen:
+        if cur is not None and posixpath.basename(cur) == gen:
             # epoch replay: never overwrite the live generation in place
             gen = f"gen_{epoch_id}_r"
         df.write.mode("overwrite").parquet(f"{root}/{gen}")
-        ptr, tmp = f"{root}/CURRENT", f"{root}/CURRENT.tmp"
-        with open(tmp, "w") as f:
-            f.write(gen)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, ptr)  # atomic on POSIX: readers see old or new, never neither
-        for d in os.listdir(root):
+        self.fs.write_text_atomic(f"{root}/CURRENT", gen)
+        for d in self.fs.list_names(root):
             if d.startswith("gen_") and d != gen:
-                shutil.rmtree(f"{root}/{d}", ignore_errors=True)
+                self.fs.delete(f"{root}/{d}")
 
     def view(self) -> DataFrame:
         """The maintained join result: one row per live fact row whose join

@@ -306,3 +306,82 @@ def test_registered_streaming_queries_leave_no_scratch_dirs(spark, sf_dir):
     assert dd.count() >= 0  # sf0.001 may have no >=0.8 pairs; usable is the point
     assert jv.limit(1).collect() is not None
     assert leftovers() == base
+
+
+def test_swap_runs_against_hadoop_file_scheme_path(spark, tmp_path):
+    """The same sink must run unchanged when state_dir is a Hadoop
+    ``file:``-scheme URI: pointer read/replace/sweep route through the
+    Hadoop FileSystem API (FileContext.rename OVERWRITE as the atomic
+    step), and the maintained view equals the POSIX-path result.
+    Crash-replay invariants hold identically: one live generation, replay
+    writes a sibling and re-points."""
+    import os
+
+    from change_data_capture_service_spark.streaming import statefs
+
+    state = tmp_path / "hstate"
+    sink = MaterializedJoinView(spark, f"file:{state}")
+    assert isinstance(sink.fs, statefs.HadoopStateFS)
+
+    b0 = _custs(spark, [(1, "ada", 1), (2, "bob", 2)], "insert").unionByName(
+        _orders(spark, [(10, 1, "a", 3), (11, 2, "b", 4)], "insert")
+    )
+    sink(b0, 0)
+    b1 = _custs(spark, [(2, "bobby", 5)], "update").unionByName(
+        _orders(spark, [(10, 2, "a2", 6)], "update")
+    )
+    sink(b1, 1)
+    got = {
+        (r["key"], r["join_key"], r["dim_after"]["c_name"])
+        for r in sink.view().collect()
+    }
+    assert got == {
+        ("public.orders:10", "2", "bobby"),
+        ("public.orders:11", "2", "bobby"),
+    }
+    # generation hygiene on the Hadoop route (inspect via plain os -- the
+    # URI is the local tree)
+    for store in ("fact", "dim", "view"):
+        root = state / store
+        gens = [d for d in os.listdir(root) if d.startswith("gen_")]
+        assert len(gens) == 1, f"{store}: superseded generations not swept: {gens}"
+        assert (root / "CURRENT").read_text().strip() == gens[0]
+    live_before = (state / "fact" / "CURRENT").read_text().strip()
+    sink(b1, 1)  # crash-replay of the live epoch
+    gens = [d for d in os.listdir(state / "fact") if d.startswith("gen_")]
+    assert len(gens) == 1 and gens[0] != live_before
+    assert (state / "fact" / "CURRENT").read_text().strip() == gens[0]
+
+
+def test_statefs_primitives_hadoop_vs_posix(spark, tmp_path):
+    """statefs backend contract: scheme routing, atomic pointer overwrite,
+    dir probe, listing, recursive delete -- identical observable behavior
+    on both backends."""
+    from change_data_capture_service_spark.streaming import statefs
+
+    assert statefs.is_scheme_path("file:/x") and statefs.is_scheme_path(
+        "hdfs://nn/x"
+    )
+    assert not statefs.is_scheme_path(str(tmp_path))
+
+    hfs = statefs.for_path(spark, f"file:{tmp_path}")
+    pfs = statefs.for_path(spark, str(tmp_path))
+    assert isinstance(hfs, statefs.HadoopStateFS)
+    assert isinstance(pfs, statefs.PosixStateFS)
+
+    ptr = f"file:{tmp_path}/CURRENT"
+    assert hfs.read_text(ptr) is None
+    hfs.write_text_atomic(ptr, "gen_0")
+    hfs.write_text_atomic(ptr, "gen_1")  # overwrite of an existing pointer
+    assert hfs.read_text(ptr).strip() == "gen_1"
+    assert pfs.read_text(f"{tmp_path}/CURRENT").strip() == "gen_1"
+    assert not (tmp_path / "CURRENT.tmp").exists()
+
+    (tmp_path / "gen_1" / "sub").mkdir(parents=True)
+    assert hfs.is_dir(f"file:{tmp_path}/gen_1")
+    assert not hfs.is_dir(f"file:{tmp_path}/absent")
+    assert not hfs.is_dir(ptr)  # a file is not a dir
+    assert set(hfs.list_names(f"file:{tmp_path}")) == {"CURRENT", "gen_1"}
+    hfs.delete(f"file:{tmp_path}/gen_1")
+    assert not (tmp_path / "gen_1").exists()
+    hfs.delete(f"file:{tmp_path}/absent")  # best-effort, no raise
