@@ -238,6 +238,32 @@ def parse_dml(b: bytes, relations: dict[int, Relation]) -> dict:
         before, off = _parse_tuple_data(b, off + 1)
         kind = "delete"
 
+    # Arity guard -- the DESTRUCTIVE half of schema evolution. A dropped
+    # column (ALTER TABLE DROP) shrinks both the re-announced Relation and
+    # every later tuple, so counts agree when regime resolution is right.
+    # If they DISAGREE, the registry is desynced from the wire (exactly
+    # the reference's silent-recache hazard, replicator.go:320-336, where
+    # zip-by-position mis-labels every cell): dead-letter with a reason
+    # instead of guessing. Exception: a Delete/Update old-KEY tuple ('K')
+    # legitimately carries only replica-identity columns padded with
+    # nulls OR just the key cells on some server versions -- a SHORT
+    # before-tuple on those paths zips against the leading columns the
+    # server sent it for, which pgoutput defines positionally.
+    if after is not None and len(after) != len(rel.columns):
+        return {
+            "kind": "arity_mismatch",
+            "relation": rel,
+            "ncells": len(after),
+            "ncols": len(rel.columns),
+        }
+    if before is not None and len(before) > len(rel.columns):
+        return {
+            "kind": "arity_mismatch",
+            "relation": rel,
+            "ncells": len(before),
+            "ncols": len(rel.columns),
+        }
+
     def as_map(vals: list[str | None] | None) -> dict[str, str | None] | None:
         if vals is None:
             return None
@@ -308,7 +334,32 @@ def decode_frame(frame: bytes, relations: dict[int, Relation]) -> list[dict]:
                 "ts": ts,
                 "key": None,
                 "before": None,
-                "after": None,
+                "after": {
+                    "_dead_letter_reason": (
+                        f"no_relation_announced_for_oid_{msg['relation_id']}"
+                    )
+                },
+            }
+        ]
+    if msg["kind"] == "arity_mismatch":
+        mrel: Relation = msg["relation"]
+        return [
+            {
+                "op": "unknown",
+                "schema_name": mrel.namespace,
+                "table_name": mrel.name,
+                "lsn": wal_start,
+                "ts": ts,
+                "key": None,
+                "before": None,
+                "after": {
+                    "_dead_letter_reason": (
+                        "arity_mismatch: tuple has "
+                        f"{msg['ncells']} cells, relation "
+                        f"{mrel.relation_id} has {msg['ncols']} columns "
+                        "(registry desync -- refusing to mis-zip)"
+                    )
+                },
             }
         ]
     rel: Relation = msg["relation"]

@@ -382,3 +382,90 @@ def test_relation_versions_registry_shape():
     assert [c.name for c in versions.latest()[EVO_OID].columns] == [
         "id", "full_name", "email",
     ]
+
+
+# ---------------------------------------------------------------------------
+# Schema evolution, the DESTRUCTIVE half: column DROP and ALTER COLUMN TYPE
+# both re-send Relation; every later DML frame must decode under the new
+# regime, every earlier one under the old. A tuple whose cell count
+# contradicts its governing Relation (registry desync -- the reference's
+# silent-recache hazard, replicator.go:320-336) must DEAD-LETTER with a
+# reason, never mis-zip cells to the wrong column names.
+# ---------------------------------------------------------------------------
+
+DROP_OID = 17100
+
+
+def test_mid_stream_column_drop_decodes_both_regimes(spark):
+    """insert(3 cells) -> Relation drops email -> insert(2 cells): each
+    regime zips against its own column list; the dropped column survives
+    in pre-drop payloads (audit) and simply stops appearing after."""
+    v1 = relation_msg(
+        DROP_OID, "public", "users",
+        [("id", 20, True), ("name", 25, False), ("email", 25, False)],
+    )
+    v2 = relation_msg(DROP_OID, "public", "users", [("id", 20, True), ("name", 25, False)])
+    frames = list(enumerate([
+        xlog(100, v1, TS),
+        xlog(110, insert_msg(DROP_OID, ["1", "ada", "a@x"]), TS),
+        xlog(120, v2, TS),
+        xlog(130, insert_msg(DROP_OID, ["2", "bob"]), TS),
+        xlog(140, delete_msg(DROP_OID, ["1", None], old_kind=b"K"), TS),
+    ]))
+    df = spark.createDataFrame(frames, P.FRAME_SCHEMA)
+    out = P.decode_pgoutput(df).toPandas().sort_values("lsn").reset_index(drop=True)
+    assert list(out["op"]) == ["insert", "insert", "delete"]
+    assert dict(out.iloc[0]["after"]) == {"id": "1", "name": "ada", "email": "a@x"}
+    assert dict(out.iloc[1]["after"]) == {"id": "2", "name": "bob"}
+    # post-drop delete keys against the 2-column regime
+    assert out.iloc[2]["key"] == "public.users:1"
+
+
+def test_mid_stream_column_retype_decodes_and_registry_sees_new_oid(spark):
+    """ALTER COLUMN TYPE re-sends Relation with a new type OID for the
+    column (Postgres re-announces on any schema change). Values are text
+    on the wire either way, so both regimes decode; the versioned registry
+    exposes the type change for typed consumers."""
+    t1 = relation_msg(DROP_OID + 1, "public", "m", [("id", 20, True), ("v", 23, False)])   # int4
+    t2 = relation_msg(DROP_OID + 1, "public", "m", [("id", 20, True), ("v", 1700, False)]) # numeric
+    frames = list(enumerate([
+        xlog(100, t1, TS),
+        xlog(110, insert_msg(DROP_OID + 1, ["1", "42"]), TS),
+        xlog(120, t2, TS),
+        xlog(130, insert_msg(DROP_OID + 1, ["2", "42.5"]), TS),
+    ]))
+    df = spark.createDataFrame(frames, P.FRAME_SCHEMA)
+    out = P.decode_pgoutput(df).toPandas().sort_values("lsn").reset_index(drop=True)
+    assert [dict(a)["v"] for a in out["after"]] == ["42", "42.5"]
+    versions = P.collect_relation_versions(df)
+    assert versions.n_versions(DROP_OID + 1) == 2
+    assert versions.at(1).get(DROP_OID + 1).columns[1].type_oid == 23
+    assert versions.at(3).get(DROP_OID + 1).columns[1].type_oid == 1700
+
+
+def test_arity_mismatch_dead_letters_instead_of_miszipping(spark):
+    """A 3-cell insert governed by a 2-column Relation (what a consumer
+    holding a STALE pre-ADD relation sees, or any registry desync): the
+    decode must refuse to zip and emit a reasoned dead-letter row. The
+    reference zips by position here and silently mislabels every cell."""
+    rel2 = relation_msg(DROP_OID + 2, "public", "users", [("id", 20, True), ("name", 25, False)])
+    frames = list(enumerate([
+        xlog(100, rel2, TS),
+        xlog(110, insert_msg(DROP_OID + 2, ["1", "ada", "surprise-extra-cell"]), TS),
+        xlog(120, insert_msg(DROP_OID + 2, ["2", "bob"]), TS),
+    ]))
+    df = spark.createDataFrame(frames, P.FRAME_SCHEMA)
+    out = P.decode_pgoutput(df).toPandas().sort_values("lsn").reset_index(drop=True)
+    assert list(out["op"]) == ["unknown", "insert"]
+    bad = out.iloc[0]
+    assert bad["table_name"] == "users" and bad["key"] is None
+    reason = dict(bad["after"])["_dead_letter_reason"]
+    assert "arity_mismatch" in reason and "3 cells" in reason and "2 columns" in reason
+    # the short-before Delete/Update 'K' path stays legal (replica identity
+    # tuples may carry fewer cells than the relation on some paths)
+    short_del = list(enumerate([
+        xlog(100, rel2, TS),
+        xlog(110, delete_msg(DROP_OID + 2, ["7"], old_kind=b"K"), TS),
+    ]))
+    d = P.decode_pgoutput(spark.createDataFrame(short_del, P.FRAME_SCHEMA)).toPandas()
+    assert list(d["op"]) == ["delete"] and d.iloc[0]["key"] == "public.users:7"
