@@ -27,6 +27,7 @@ import pytest
 import pyspark.sql.functions as F
 
 from change_data_capture_service_spark import registry
+from change_data_capture_service_spark.catalog import TABLE_NAMES, table_path
 
 registry.load_all()
 
@@ -222,3 +223,35 @@ def test_ks_mw_emd_exact_on_wide_domain(spark, wide_domain_fixture):
     gaps = np.diff(vals)  # all 1 cent
     emd_ref = float((np.abs(cdf_we - cdf_wd)[:-1] * gaps).sum()) / 100  # dollars
     assert abs(e["emd_value"] - emd_ref) < 1e-4, (e["emd_value"], emd_ref)
+
+
+# ------------------------------------------------- pagerank fixed point, sf0.01
+
+
+def test_pagerank_fixed_point_matches_recursive_cte_at_sf0_01(spark):
+    """The 10-round synchronous power-iteration fixed point, pinned against
+    the recursive-CTE oracle at sf0.01 (10x the default pytest fixture --
+    the scale the driver attests at). The engine loop (join + partial agg
+    per round, lineage checkpointed every 3 rounds) and the declarative
+    recursive CTE must land on the SAME rounded rank vector; a drift in
+    damping, iteration count, or dangling-mass handling shows up here
+    before it shows up in a driver rotation slot."""
+    import duckdb
+
+    from tests.conftest import canonicalize
+
+    sf = "/root/testdata/sf0.01"
+    entry = registry.get("graph_pagerank")
+    con = duckdb.connect()
+    try:
+        for name in TABLE_NAMES:
+            con.execute(
+                f"CREATE VIEW {name} AS SELECT * FROM "
+                f"read_parquet('{table_path(sf, name)}')"
+            )
+        sdf = entry.fn(spark, sf).toPandas()
+        odf = con.execute(entry.oracle).fetchdf()
+    finally:
+        con.close()
+    assert canonicalize(sdf) == canonicalize(odf)
+    assert abs(sdf["pagerank"].sum() - 1.0) < 1e-3  # probability distribution
