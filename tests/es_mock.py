@@ -1,0 +1,94 @@
+"""In-process Elasticsearch ``_bulk`` mock (stdlib only).
+
+Implements just enough of the bulk contract for the sink tests:
+``POST /_bulk`` with NDJSON action/doc pairs, per-index doc stores with
+last-write-wins ``index`` and ``delete`` semantics, an ES-shaped reply
+(``{"errors": bool, "items": [...]}``), and a one-shot failure switch to
+exercise the sink's fail-the-batch path. Thread-safe: the sink posts from
+many executor threads concurrently (ThreadingHTTPServer + one lock).
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+
+class MockEs:
+    """``with MockEs() as es: ... es.indices[...]`` -- starts on an
+    ephemeral port; state is inspected in-process, no GET API needed."""
+
+    def __init__(self):
+        self.indices: dict[str, dict[str, dict]] = {}
+        self.bulk_requests = 0
+        self.fail_next = False  # one-shot: next _bulk returns HTTP 500
+        self._lock = threading.Lock()
+        mock = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # silence per-request stderr noise
+                pass
+
+            def do_POST(self):
+                if not self.path.startswith("/_bulk"):
+                    self.send_error(404)
+                    return
+                body = self.rfile.read(int(self.headers["Content-Length"]))
+                with mock._lock:
+                    mock.bulk_requests += 1
+                    if mock.fail_next:
+                        mock.fail_next = False
+                        self.send_error(500, "mock failure")
+                        return
+                    items, errors = mock._apply(body.decode("utf-8"))
+                reply = json.dumps({"errors": errors, "items": items}).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(reply)))
+                self.end_headers()
+                self.wfile.write(reply)
+
+        self._server = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        self.url = f"http://127.0.0.1:{self._server.server_port}"
+        self._thread = threading.Thread(target=self._server.serve_forever, daemon=True)
+
+    def _apply(self, ndjson: str):
+        """Apply one bulk body; returns (items, errors). Caller holds lock."""
+        lines = [ln for ln in ndjson.split("\n") if ln.strip()]
+        items, errors, i = [], False, 0
+        while i < len(lines):
+            action_obj = json.loads(lines[i])
+            (action, meta), = action_obj.items()
+            idx, doc_id = meta["_index"], meta["_id"]
+            store = self.indices.setdefault(idx, {})
+            if action == "index":
+                store[doc_id] = json.loads(lines[i + 1])
+                items.append({"index": {"_index": idx, "_id": doc_id, "status": 200}})
+                i += 2
+            elif action == "delete":
+                found = store.pop(doc_id, None) is not None
+                items.append(
+                    {"delete": {"_index": idx, "_id": doc_id, "status": 200 if found else 404}}
+                )
+                # ES does not mark delete-of-missing as an error
+                i += 1
+            else:
+                items.append({action: {"_index": idx, "_id": doc_id, "status": 400}})
+                errors = True
+                i += 2
+        return items, errors
+
+    def snapshot(self) -> dict[str, dict[str, dict]]:
+        """Deep-ish copy of the index state for before/after comparisons."""
+        with self._lock:
+            return {idx: dict(docs) for idx, docs in self.indices.items()}
+
+    def __enter__(self):
+        self._thread.start()
+        return self
+
+    def __exit__(self, *exc):
+        self._server.shutdown()
+        self._server.server_close()
+        return False

@@ -1,0 +1,206 @@
+"""EsBulkSink against an in-process HTTP ``_bulk`` mock -- the real REST
+round trip the sandbox's missing ES cluster otherwise leaves untested
+(R22/R23; reference ``cmd/es_consumer/main.go:75-95``).
+
+Covers: index naming + doc-id parity, epoch replay idempotence in both
+modes, state-mode compaction + delete, dead-letter routing of malformed
+envelopes, bulk chunking, fail-the-batch on HTTP errors, and one true
+Structured-Streaming foreachBatch drive."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import types as T
+
+from change_data_capture_service_spark.streaming.envelope import ENVELOPE_SCHEMA
+from change_data_capture_service_spark.streaming.es_sink import EsBulkSink
+from tests.es_mock import MockEs
+
+TS = datetime(2024, 1, 1, 0, 0, 0)
+
+# wire-decoded envelopes CAN carry null routing fields (malformed JSON
+# decodes to NULLs); the canonical schema marks them non-null for typed
+# producers, so tests build rows on the nullable twin.
+_NULLABLE_ENVELOPE = T.StructType(
+    [T.StructField(f.name, f.dataType, True) for f in ENVELOPE_SCHEMA.fields]
+)
+
+
+def _env(spark, rows):
+    """rows: (op, table, lsn, key, before, after) on schema 'public'."""
+    data = [
+        ("public" if t is not None else None, t, op, lsn, key, before, after)
+        for (op, t, lsn, key, before, after) in rows
+    ]
+    return spark.createDataFrame(
+        [
+            {
+                "op": op,
+                "schema_name": s,
+                "table_name": t,
+                "lsn": lsn,
+                "ts": TS,
+                "key": key,
+                "before": before,
+                "after": after,
+            }
+            for (s, t, op, lsn, key, before, after) in data
+        ],
+        _NULLABLE_ENVELOPE,
+    )
+
+
+@pytest.fixture()
+def es():
+    with MockEs() as mock:
+        yield mock
+
+
+def test_event_mode_reference_parity_and_replay(spark, es):
+    """Doc-per-event with _id=lsn into cdc_<schema>_<table>; a replayed
+    epoch rewrites the same docs (byte-identical state); snapshot payloads
+    are PRESERVED -- the reference indexes them empty (SURVEY §1.4)."""
+    sink = EsBulkSink(es.url, mode="event")
+    b0 = _env(
+        spark,
+        [
+            ("snapshot", "users", 1, "public.users:1", None, {"id": "1", "v": "a"}),
+            ("insert", "users", 2, "public.users:2", None, {"id": "2", "v": "b"}),
+            ("insert", "orders", 3, "public.orders:9", None, {"id": "9"}),
+        ],
+    )
+    sink(b0, epoch_id=0)
+    b1 = _env(
+        spark,
+        [("update", "users", 4, "public.users:2", {"v": "b"}, {"id": "2", "v": "b2"})],
+    )
+    sink(b1, epoch_id=1)
+
+    state = es.snapshot()
+    assert sorted(state) == ["cdc_public_orders", "cdc_public_users"]
+    assert sorted(state["cdc_public_users"]) == ["1", "2", "4"]
+    snap = state["cdc_public_users"]["1"]
+    assert snap["op"] == "snapshot" and snap["data"] == {"id": "1", "v": "a"}
+    assert state["cdc_public_users"]["4"]["before"] == {"v": "b"}
+
+    sink(b0, epoch_id=0)  # at-least-once replay
+    assert es.snapshot() == state
+
+
+def test_state_mode_compaction_upsert_delete(spark, es):
+    """Doc-per-key: the batch compacts to its max-LSN event per key before
+    any action is emitted; deletes remove the doc; replay is idempotent."""
+    sink = EsBulkSink(es.url, mode="state")
+    b0 = _env(
+        spark,
+        [
+            ("insert", "users", 1, "public.users:1", None, {"id": "1", "v": "a"}),
+            ("update", "users", 3, "public.users:1", None, {"id": "1", "v": "a3"}),
+            ("insert", "users", 2, "public.users:2", None, {"id": "2", "v": "b"}),
+        ],
+    )
+    sink(b0, epoch_id=0)
+    users = es.snapshot()["cdc_public_users"]
+    assert sorted(users) == ["public.users:1", "public.users:2"]
+    assert users["public.users:1"]["data"]["v"] == "a3"  # compacted to lsn 3
+
+    b1 = _env(
+        spark,
+        [
+            ("delete", "users", 4, "public.users:2", {"id": "2"}, None),
+            ("update", "users", 5, "public.users:1", None, {"id": "1", "v": "a5"}),
+        ],
+    )
+    sink(b1, epoch_id=1)
+    state = es.snapshot()
+    assert sorted(state["cdc_public_users"]) == ["public.users:1"]
+    assert state["cdc_public_users"]["public.users:1"]["data"]["v"] == "a5"
+
+    sink(b1, epoch_id=1)  # replay: delete-of-missing is not an error in ES
+    assert es.snapshot() == state
+
+
+def test_malformed_routes_to_dead_letter_deterministically(spark, es):
+    """NULL/unsafe routing fields index into <prefix>dead_letter under a
+    content-hash id -- observable (unlike the reference's silent skip,
+    main.go:66-71) and replay-stable."""
+    sink = EsBulkSink(es.url, mode="event")
+    batch = _env(
+        spark,
+        [
+            ("insert", "users", 1, "public.users:1", None, {"id": "1"}),
+            ("insert", None, 2, "k", None, {"x": "1"}),  # NULL table
+            ("insert", "no/slash", 3, "k", None, {"x": "2"}),  # unsafe name
+        ],
+    )
+    sink(batch, epoch_id=0)
+    state = es.snapshot()
+    assert len(state["cdc_dead_letter"]) == 2
+    assert sorted(state["cdc_public_users"]) == ["1"]
+    sink(batch, epoch_id=0)
+    assert es.snapshot() == state  # same hash ids, no duplicates
+
+
+def test_bulk_chunking_splits_requests(spark, es):
+    sink = EsBulkSink(es.url, mode="event", max_actions=2)
+    batch = _env(
+        spark,
+        [
+            ("insert", "users", i, f"public.users:{i}", None, {"id": str(i)})
+            for i in range(1, 6)
+        ],
+    ).coalesce(1)
+    sink(batch, epoch_id=0)
+    assert es.bulk_requests == 3  # 2 + 2 + 1 actions
+    assert len(es.snapshot()["cdc_public_users"]) == 5
+
+
+def test_http_error_fails_the_batch(spark, es):
+    """Non-2xx must raise (so the streaming checkpoint never commits a
+    half-applied epoch) -- the reference logs-and-drops instead."""
+    sink = EsBulkSink(es.url, mode="event")
+    es.fail_next = True
+    batch = _env(spark, [("insert", "users", 1, "k", None, {"id": "1"})]).coalesce(1)
+    with pytest.raises(Exception, match="_bulk HTTP 500"):
+        sink(batch, epoch_id=0)
+    # the retry (Spark would replay the epoch) then lands cleanly
+    sink(batch, epoch_id=0)
+    assert sorted(es.snapshot()["cdc_public_users"]) == ["1"]
+
+
+def test_streaming_foreachbatch_end_to_end(spark, es, tmp_path):
+    """A true Structured-Streaming drive: envelope parquet file source ->
+    foreachBatch(EsBulkSink) -> mock cluster state, two micro-batches."""
+    src = str(tmp_path / "env_src")
+    ckpt = str(tmp_path / "ckpt")
+    _env(
+        spark, [("insert", "users", 1, "public.users:1", None, {"id": "1", "v": "a"})]
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    sink = EsBulkSink(es.url, mode="state")
+    q = (
+        spark.readStream.schema(ENVELOPE_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _env(
+            spark,
+            [
+                ("update", "users", 2, "public.users:1", None, {"id": "1", "v": "a2"}),
+                ("insert", "users", 3, "public.users:2", None, {"id": "2", "v": "b"}),
+            ],
+        ).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    users = es.snapshot()["cdc_public_users"]
+    assert sorted(users) == ["public.users:1", "public.users:2"]
+    assert users["public.users:1"]["data"]["v"] == "a2"
