@@ -35,6 +35,7 @@ from ..registry import register
 _PRICE_C = "try_cast(try_cast(l_extendedprice AS decimal(18,2)) * 100 AS bigint)"
 _QTY_C = "try_cast(try_cast(l_quantity AS decimal(18,2)) * 100 AS bigint)"
 _VALUE_C = "try_cast(try_cast(value AS decimal(18,2)) * 100 AS bigint)"
+_TOTAL_C = "try_cast(try_cast(o_totalprice AS decimal(18,2)) * 100 AS bigint)"
 
 # Range width (distinct integer values per bucket) for the two-level
 # prefix sums below. 2^16 cents = one $655 bucket: a 10^9-distinct-value
@@ -1329,4 +1330,126 @@ def lineitem_price_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return nrow.crossJoin(F.broadcast(stat)).select(
         "n_months", "n_pairs", "s", F.round(zed, 6).alias("z")
+    )
+
+
+@register(
+    "orders_kruskal_wallis_priority",
+    tags=("stats", "agg"),
+    oracle=f"""
+    WITH s AS (
+      SELECT o_orderpriority AS grp, {_TOTAL_C} AS c FROM orders
+      WHERE {_TOTAL_C} IS NOT NULL
+    ),
+    gv AS (
+      SELECT grp, c, CAST(count(*) AS BIGINT) AS cnt FROM s GROUP BY 1, 2
+    ),
+    v AS (
+      SELECT c, CAST(sum(cnt) AS BIGINT) AS m FROM gv GROUP BY 1
+    ),
+    r AS (
+      SELECT c, m,
+             CAST(coalesce(sum(m) OVER (
+               ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS before
+      FROM v
+    ),
+    per_grp AS (
+      SELECT gv.grp,
+             CAST(sum(gv.cnt) AS BIGINT) AS n_g,
+             CAST(sum(CAST(gv.cnt AS DECIMAL(38,0)) * (2 * r.before + r.m + 1))
+               AS DECIMAL(38,0)) AS r2_g
+      FROM gv JOIN r ON gv.c = r.c
+      GROUP BY 1
+    ),
+    ties AS (
+      SELECT CAST(sum(CAST(m AS DECIMAL(38,0)) * m * m - m) AS DECIMAL(38,0)) AS tie3,
+             CAST(sum(m) AS BIGINT) AS n
+      FROM v
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS k, any_value(t.n) AS n, any_value(t.tie3) AS tie3,
+             sum(CAST(r2_g AS DOUBLE) * r2_g / n_g) AS sr
+      FROM per_grp CROSS JOIN ties t
+    )
+    SELECT n, k, CAST(k - 1 AS BIGINT) AS dof,
+           round((3.0 * sr / (CAST(n AS DOUBLE) * (n + 1)) - 3.0 * (n + 1))
+                 / nullif(1 - CAST(tie3 AS DOUBLE)
+                              / (CAST(n AS DOUBLE) * n * n - n), 0),
+                 6) AS h
+    FROM agg WHERE n > 1 AND k > 1
+    """,
+)
+def orders_kruskal_wallis_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H across the five order priorities on total price --
+    the k-group generalization of events_mannwhitney_purchase_ab and the
+    rank-based (distribution-free) companion to
+    lineitem_price_anova_returnflag: does ANY priority class's price
+    distribution sit systematically higher, without assuming normality?
+    Reports the tie-corrected H (chi-squared with k-1 dof under H0).
+
+    Exactness: midrank handling keeps DOUBLED rank sums integral (a tied
+    block of m values after `before` pooled rows has doubled average rank
+    2*before + m + 1), so each group's r2_g = 2*R_g is an exact
+    DECIMAL(38,0); with H = 12/(N(N+1)) * sum(R_g^2/n_g) - 3(N+1) the
+    doubled form gives 3*sum(r2_g^2/n_g)/(N(N+1)) - 3(N+1), divided by
+    the same tie correction 1 - sum(m^3-m)/(N^3-N) Mann-Whitney uses.
+    One shared double closed form at the end, 6 dp both engines; NULL
+    (never a throw) when all values tie.
+
+    Scale: one fact pass to (grp, cents) counts; the value-domain
+    relation v gets its exclusive prefix sum via the two-level
+    range-partitioned _domain_prefix (one task per 2^16-cent range, no
+    single-task domain scan); per-group rank sums join gv back to that
+    domain relation on the cents key -- |groups x domain| rows at most,
+    never a row-level rank."""
+    o = load_table(spark, sf_dir, "orders")
+    c = F.expr(_TOTAL_C)
+    s = o.select(F.col("o_orderpriority").alias("grp"), c.alias("c")).filter(
+        F.col("c").isNotNull()
+    )
+    gv = (
+        s.groupBy("grp", "c")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .localCheckpoint(eager=False)  # feeds v, per-group join
+    )
+    v = gv.groupBy("c").agg(F.sum("cnt").cast("bigint").alias("m"))
+    r = _domain_prefix(v, "c", ["m"]).select(
+        "c", "m", F.col("pre_m").alias("before")
+    )
+    per_grp = (
+        gv.join(r, "c")
+        .groupBy("grp")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_g"),
+            F.sum(
+                F.col("cnt").cast("decimal(38,0)")
+                * (2 * F.col("before") + F.col("m") + 1)
+            )
+            .cast("decimal(38,0)")
+            .alias("r2_g"),
+        )
+    )
+    ties = v.agg(
+        F.sum(
+            F.col("m").cast("decimal(38,0)") * F.col("m") * F.col("m") - F.col("m")
+        )
+        .cast("decimal(38,0)")
+        .alias("tie3"),
+        F.sum("m").cast("bigint").alias("n"),
+    )
+    agg = per_grp.crossJoin(F.broadcast(ties)).agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.first("n").alias("n"),
+        F.first("tie3").alias("tie3"),
+        F.sum(F.col("r2_g").cast("double") * F.col("r2_g") / F.col("n_g")).alias("sr"),
+    )
+    n = F.col("n").cast("double")
+    h_raw = 3.0 * F.col("sr") / (n * (F.col("n") + 1)) - 3.0 * (F.col("n") + 1)
+    corr = 1 - F.col("tie3").cast("double") / (n * n * n - F.col("n"))
+    return agg.filter((F.col("n") > 1) & (F.col("k") > 1)).select(
+        "n",
+        "k",
+        (F.col("k") - 1).cast("bigint").alias("dof"),
+        F.round(h_raw / F.nullif(corr, F.lit(0.0)), 6).alias("h"),
     )

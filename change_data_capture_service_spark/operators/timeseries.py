@@ -753,3 +753,118 @@ def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_cusum"
         ),
     )
+
+
+@register(
+    "events_value_acf",
+    tags=("timeseries", "stats"),
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day,
+             CAST(sum(try_cast(try_cast(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+               AS BIGINT) AS x
+      FROM events
+      WHERE try_cast(try_cast(value AS DECIMAL(18,2)) * 100 AS BIGINT) IS NOT NULL
+      GROUP BY 1
+    ),
+    g AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s,
+             CAST(sum(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS q
+      FROM daily
+    ),
+    pairs AS (
+      SELECT k.lag AS lag,
+             CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(CAST(a.x AS DECIMAL(38,0)) * b.x) AS DECIMAL(38,0)) AS sp,
+             CAST(sum(CAST(a.x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sa,
+             CAST(sum(CAST(b.x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sb
+      FROM daily a
+      JOIN (VALUES (1),(2),(3),(4),(5),(6),(7)) AS k(lag)
+        ON TRUE
+      JOIN daily b ON b.day = a.day - to_days(CAST(k.lag AS INT))
+      GROUP BY 1
+    )
+    SELECT CAST(lag AS INT) AS lag, n_pairs,
+           round((CAST(n AS DOUBLE) * n * CAST(sp AS DOUBLE)
+                  - CAST(n AS DOUBLE) * CAST(s AS DOUBLE) * (CAST(sa AS DOUBLE) + CAST(sb AS DOUBLE))
+                  + CAST(n_pairs AS DOUBLE) * CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                 / nullif(CAST(n AS DOUBLE)
+                          * (CAST(n AS DOUBLE) * CAST(q AS DOUBLE)
+                             - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)), 0),
+                 6) AS acf
+    FROM pairs CROSS JOIN g
+    ORDER BY 1
+    """,
+)
+def events_value_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the daily total event value at lags
+    1-7 days -- the seasonality fingerprint (a weekly cycle shows as an
+    acf spike at lag 7) that tells a forecaster which seasonal-naive
+    baseline (events_forecast_baseline_mae) is even plausible, and the
+    standard residual-whiteness diagnostic after detrending.
+
+    Exactness: daily totals are exact BIGINT cents (try_cast NULLs out
+    non-finite values, per the stats-module recipe); every aggregate the
+    statistic needs (s, q, and per-lag sp/sa/sb over calendar-matched
+    pairs) is an exact DECIMAL(38,0) integer sum, accumulation-order
+    free. The textbook estimator r_k = sum((x_t - mean)(x_{t-k} - mean))
+    / sum((x - mean)^2) is algebraically multiplied through by n^2 so
+    both numerator and denominator are integer-exact before ONE final
+    double division, rounded to 6 dp on both engines. Gap days simply
+    drop the affected pairs (calendar-lag join, not row-lag), mirrored
+    exactly in the oracle.
+
+    Scale: the fact table reduces to the |days| daily rollup in one
+    partial agg -- the only fact-table pass. The lag join runs day-keyed
+    over that calendar-bounded relation (|days| x 7 rows; 30 years is
+    ~11k days), so nothing ever sorts or single-partitions the raw
+    stream."""
+    e = load_table(spark, sf_dir, "events")
+    x = F.expr("try_cast(try_cast(value AS decimal(18,2)) * 100 AS bigint)")
+    daily = (
+        e.select(F.date_trunc("day", F.col("ts")).alias("day"), x.alias("x"))
+        .filter(F.col("x").isNotNull())
+        .groupBy("day")
+        .agg(F.sum("x").cast("bigint").alias("x"))
+        .localCheckpoint(eager=False)  # feeds g + both sides of the lag join
+    )
+    g = daily.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).cast("decimal(38,0)").alias("s"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x"))
+        .cast("decimal(38,0)")
+        .alias("q"),
+    )
+    lags = spark.range(1, 8).select(F.col("id").cast("int").alias("lag"))
+    a = daily.select(F.col("day").alias("day_a"), F.col("x").alias("xa"))
+    b = daily.select(F.col("day").alias("day_b"), F.col("x").alias("xb"))
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            b,
+            F.col("day_b")
+            == F.col("day_a") - F.expr("make_interval(0, 0, 0, lag, 0, 0, 0)"),
+        )
+        .groupBy("lag")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.sum(F.col("xa").cast("decimal(38,0)") * F.col("xb"))
+            .cast("decimal(38,0)")
+            .alias("sp"),
+            F.sum(F.col("xa").cast("decimal(38,0)")).cast("decimal(38,0)").alias("sa"),
+            F.sum(F.col("xb").cast("decimal(38,0)")).cast("decimal(38,0)").alias("sb"),
+        )
+    )
+    n, s, q = (F.col("n").cast("double"), F.col("s").cast("double"), F.col("q").cast("double"))
+    num = (
+        n * n * F.col("sp").cast("double")
+        - n * s * (F.col("sa").cast("double") + F.col("sb").cast("double"))
+        + F.col("n_pairs").cast("double") * s * s
+    )
+    den = n * (n * q - s * s)
+    return (
+        pairs.crossJoin(F.broadcast(g))
+        .select("lag", "n_pairs", F.round(num / F.nullif(den, F.lit(0.0)), 6).alias("acf"))
+        .orderBy("lag")
+    )
