@@ -3273,3 +3273,83 @@ def events_sequence_rules_confidence(spark: SparkSession, sf_dir: str) -> DataFr
         .orderBy(F.col("confidence").desc(), "antecedent", "consequent")
         .limit(20)
     )
+
+
+@register(
+    "events_retention_matrix",
+    tags=("analytics", "agg"),
+    oracle="""
+    WITH f AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      FROM events GROUP BY 1
+    ),
+    active AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             CAST(date_diff('week', f.cohort_week, date_trunc('week', e.ts))
+                  AS INT) AS week_no
+      FROM events e JOIN f ON e.user_id = f.user_id
+    ),
+    sizes AS (
+      SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_users
+      FROM f GROUP BY 1
+    )
+    SELECT a.cohort_week, a.week_no,
+           s.cohort_users,
+           CAST(count(*) AS BIGINT) AS n_active,
+           round(CAST(count(*) AS DOUBLE) / s.cohort_users, 6) AS retention
+    FROM active a JOIN sizes s USING (cohort_week)
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2
+    """,
+)
+def events_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic cohort retention triangle: for each weekly signup
+    cohort and each week-of-age, the share of the cohort active that week
+    -- THE growth-accounting table (week-0 row is 1.0 by construction;
+    reading down a column compares cohort quality, reading across a row
+    shows decay). Complements events_cohort_ltv_curve (value per user) and
+    events_cohort_repeat_rate (orders) with the activity dimension.
+
+    Scale: first-seen reduction (|users| rows, one partial agg) -> join
+    back on user_id (same key the fact table already shuffles on) -> the
+    (user, cohort, week) DISTINCT bounds state at one row per user-week
+    -> (cohort, week) counts are dashboard-sized. No windows over the
+    fact table, cohort sizes broadcast back."""
+    e = load_table(spark, sf_dir, "events")
+    f = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    ).localCheckpoint(eager=False)  # feeds sizes AND the fact join
+    active = (
+        e.join(f, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.floor(
+                    F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week"))
+                    / 7
+                )
+            )
+            .cast("int")
+            .alias("week_no"),
+        )
+        .distinct()
+    )
+    sizes = f.groupBy("cohort_week").agg(
+        F.count("*").cast("bigint").alias("cohort_users")
+    )
+    return (
+        active.groupBy("cohort_week", "week_no")
+        .agg(F.count("*").cast("bigint").alias("n_active"))
+        .join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_no",
+            "cohort_users",
+            "n_active",
+            F.round(
+                F.col("n_active").cast("double") / F.col("cohort_users"), 6
+            ).alias("retention"),
+        )
+        .orderBy("cohort_week", "week_no")
+    )

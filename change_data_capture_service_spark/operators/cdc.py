@@ -1247,3 +1247,86 @@ def cdc_lsn_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("missing_before"),
     )
+
+
+@register(
+    "cdc_out_of_order_arrivals",
+    tags=("cdc", "dq"),
+    oracle="""
+    WITH e AS (
+      SELECT CAST(floor(event_id / 1024) AS BIGINT) AS bucket,
+             event_id,
+             epoch_us(ts) AS ts_us,
+             lag(epoch_us(ts)) OVER (
+               PARTITION BY CAST(floor(event_id / 1024) AS BIGINT)
+               ORDER BY event_id
+             ) AS prev_us
+      FROM events
+    ),
+    per AS (
+      SELECT bucket,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(CASE WHEN ts_us < prev_us THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_backward,
+             CAST(coalesce(max(CASE WHEN ts_us < prev_us
+                                    THEN prev_us - ts_us END), 0) AS BIGINT)
+               AS max_backward_us,
+             min_by(ts_us, event_id) AS first_us,
+             max_by(ts_us, event_id) AS last_us
+      FROM e GROUP BY 1
+    )
+    SELECT bucket, n_events, n_backward, max_backward_us,
+           CAST(greatest(coalesce(lag(last_us) OVER (ORDER BY bucket)
+                                  - first_us, 0), 0) AS BIGINT)
+             AS boundary_backward_us
+    FROM per
+    """,
+)
+def cdc_out_of_order_arrivals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Commit-order vs commit-time audit: per 1024-LSN bucket, how many
+    adjacent-in-LSN event pairs have a BACKWARD timestamp step, and how
+    far back the worst one goes -- the disorder profile that tells you
+    what watermark delay the streaming windows (X16) actually need, and
+    the sibling of cdc_lsn_gap_detection (that one finds holes in the
+    sequence; this one finds clock disorder within it). The reference
+    trusts event timestamps blindly (replicator.go stamps time.Now at
+    decode), so skew is invisible to it.
+
+    Uses the fixture's event_id-as-LSN convention (gap detection's).
+    Timestamps compare as exact integer microseconds on both engines.
+
+    Scale: the same no-global-sort shape as gap detection -- adjacent
+    pairs resolve inside 1024-LSN buckets (Window.partitionBy(bucket),
+    <= 1024 rows per task, never a single-task log sort); the only
+    cross-bucket state is one (first_ts, last_ts) row per bucket, and the
+    boundary-pair check is a lag over that |log|/1024-row summary."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("bucket").orderBy("event_id")
+    ev = e.select(
+        F.floor(F.col("event_id") / 1024).cast("bigint").alias("bucket"),
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+    ).withColumn("prev_us", F.lag("ts_us").over(w))
+    back = F.when(F.col("ts_us") < F.col("prev_us"), F.col("prev_us") - F.col("ts_us"))
+    per = ev.groupBy("bucket").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum(F.when(F.col("ts_us") < F.col("prev_us"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_backward"),
+        F.coalesce(F.max(back), F.lit(0)).cast("bigint").alias("max_backward_us"),
+        F.min_by("ts_us", "event_id").alias("first_us"),
+        F.max_by("ts_us", "event_id").alias("last_us"),
+    )
+    wb = Window.orderBy("bucket")
+    return per.select(
+        "bucket",
+        "n_events",
+        "n_backward",
+        "max_backward_us",
+        F.greatest(
+            F.coalesce(F.lag("last_us").over(wb) - F.col("first_us"), F.lit(0)),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("boundary_backward_us"),
+    )

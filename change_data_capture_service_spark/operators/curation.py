@@ -944,3 +944,115 @@ def docs_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_docs").cast("double") / F.nullif(F.col("raw_docs"), F.lit(0)), 6
         ).alias("pct_docs"),
     )
+
+
+@register(
+    "docs_ngram_novelty_curve",
+    tags=("curation", "text", "dedup"),
+    oracle=f"""
+    WITH bounds AS (
+      SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents
+    ),
+    d AS (
+      SELECT doc_id,
+             CAST(least(9, ((doc_id - b.lo) * 10) // (b.hi - b.lo + 1)) AS INT) AS decile,
+             {TOKENS} AS toks
+      FROM documents CROSS JOIN bounds b
+    ),
+    sh AS (
+      SELECT doc_id, decile,
+             list_distinct(list_transform(range(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+      FROM d WHERE len(toks) >= 3
+    ),
+    ex AS (
+      SELECT decile, unnest(shingles) AS shingle FROM sh
+    ),
+    per_decile AS (
+      SELECT decile, CAST(count(DISTINCT shingle) AS BIGINT) AS n_distinct
+      FROM ex GROUP BY 1
+    ),
+    first_seen AS (
+      SELECT shingle, min(decile) AS decile FROM ex GROUP BY 1
+    ),
+    news AS (
+      SELECT decile, CAST(count(*) AS BIGINT) AS n_new FROM first_seen GROUP BY 1
+    ),
+    docs AS (
+      SELECT decile, CAST(count(*) AS BIGINT) AS n_docs FROM d GROUP BY 1
+    )
+    SELECT docs.decile, docs.n_docs,
+           coalesce(p.n_distinct, 0) AS n_distinct_shingles,
+           coalesce(n.n_new, 0) AS n_new_shingles,
+           round(CAST(coalesce(n.n_new, 0) AS DOUBLE)
+                 / nullif(CAST(p.n_distinct AS DOUBLE), 0), 6) AS novelty_rate
+    FROM docs
+    LEFT JOIN per_decile p ON docs.decile = p.decile
+    LEFT JOIN news n ON docs.decile = n.decile
+    ORDER BY 1
+    """,
+)
+def docs_ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus saturation curve: split the ingest order (doc_id span) into
+    10 value-based deciles and report, per decile, how many distinct
+    3-gram shingles appear and how many appear for the FIRST time -- the
+    curve that answers "is new data still contributing new content, or
+    are we re-crawling the same text?" (the dedup-ROI / diminishing-
+    returns diagnostic a 100 TB crawl pipeline runs before paying for the
+    next crawl batch; cf. the saturation analyses in the Gopher/
+    RefinedWeb data papers).
+
+    Deciles are VALUE-based over the doc_id span (floor((id-lo)*10/span),
+    capped at 9), not rank-based: O(1) to compute from two scalars,
+    identical in both engines, and -- unlike ntile() -- requiring NO
+    global sort of the corpus (rank deciles single-partition 10^9 rows).
+    For the fixture's dense ids they coincide with rank deciles.
+
+    Scale: one corpus pass explodes (decile, shingle); first-occurrence
+    is a min() partial agg keyed by shingle (vocabulary-bounded, the same
+    shuffle key the distinct-per-decile count uses); everything after is
+    |deciles| rows. No pair joins, no windows."""
+    d0 = spread(load_table(spark, sf_dir, "documents"))
+    bounds = d0.agg(
+        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+    )
+    # integer floor-div (div) matches DuckDB's // exactly, including the
+    # negative-id case a double division would round differently
+    d = d0.crossJoin(F.broadcast(bounds)).select(
+        "doc_id",
+        F.expr("cast(least(9, ((doc_id - lo) * 10) div (hi - lo + 1)) as int)").alias(
+            "decile"
+        ),
+        _tokens().alias("toks"),
+    )
+    ex = (
+        d.filter(F.size("toks") >= 3)
+        .select("decile", F.explode(_shingles(F.col("toks"))).alias("shingle"))
+        .localCheckpoint(eager=False)  # feeds per-decile distinct AND first-seen
+    )
+    per_decile = ex.groupBy("decile").agg(
+        F.countDistinct("shingle").cast("bigint").alias("n_distinct")
+    )
+    news = (
+        ex.groupBy("shingle")
+        .agg(F.min("decile").alias("decile"))
+        .groupBy("decile")
+        .agg(F.count("*").cast("bigint").alias("n_new"))
+    )
+    docs = d.groupBy("decile").agg(F.count("*").cast("bigint").alias("n_docs"))
+    return (
+        docs.join(per_decile, "decile", "left")
+        .join(news, "decile", "left")
+        .select(
+            "decile",
+            "n_docs",
+            F.coalesce("n_distinct", F.lit(0)).cast("bigint").alias("n_distinct_shingles"),
+            F.coalesce("n_new", F.lit(0)).cast("bigint").alias("n_new_shingles"),
+            F.round(
+                F.coalesce("n_new", F.lit(0)).cast("double")
+                / F.nullif(F.col("n_distinct").cast("double"), F.lit(0.0)),
+                6,
+            ).alias("novelty_rate"),
+        )
+        .orderBy("decile")
+    )

@@ -382,3 +382,120 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("t")[1].alias("brand_b"),
         F.col("t")[2].alias("brand_c"),
     )
+
+
+# Degree cap for the COMMON-NEIGHBOR role in link prediction: paths
+# through a hub vertex z cost deg(z)^2 join rows while contributing the
+# LEAST information (Adamic-Adar's own 1/ln(deg) downweight exists
+# precisely because hub co-neighbors are weak evidence). Capping z's
+# degree bounds the path space at |V| x CAP^2 by construction -- the
+# graph-side twin of dedup's JACCARD_DF_CAP, with the same recall-only
+# bias, mirrored in the oracle.
+AA_HUB_CAP = 64
+
+
+@register(
+    "part_link_prediction_adamic_adar",
+    tags=("graph", "join", "relational"),
+    oracle=f"""
+    WITH ob AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ),
+    edges AS (
+      SELECT DISTINCT a.pk AS u, b.pk AS v
+      FROM ob a JOIN ob b ON a.ok = b.ok AND a.pk <> b.pk
+    ),
+    deg AS (
+      SELECT u AS z, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY 1
+    ),
+    thin AS (
+      SELECT e.u, e.v FROM edges e JOIN deg ON e.v = deg.z
+      WHERE deg.d <= {AA_HUB_CAP} AND deg.d >= 2
+    ),
+    paths AS (
+      SELECT a.u AS pa, b.u AS pb, a.v AS z
+      FROM thin a JOIN thin b ON a.v = b.v AND a.u < b.u
+    ),
+    scored AS (
+      SELECT p.pa, p.pb,
+             CAST(count(*) AS BIGINT) AS n_common,
+             CAST(sum(CAST(round(1.0 / ln(deg.d), 6) AS DECIMAL(18,6)))
+               AS DECIMAL(18,6)) AS aa
+      FROM paths p JOIN deg ON p.z = deg.z
+      GROUP BY 1, 2
+    )
+    SELECT s.pa AS part_a, s.pb AS part_b, s.n_common,
+           round(CAST(s.aa AS DOUBLE), 6) AS aa_score
+    FROM scored s
+    LEFT JOIN edges e ON s.pa = e.u AND s.pb = e.v
+    WHERE e.u IS NULL
+    ORDER BY aa_score DESC, part_a, part_b
+    LIMIT 20
+    """,
+)
+def part_link_prediction_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction on the part co-purchase graph: the 20
+    part pairs NOT yet bought together whose co-purchase neighborhoods
+    overlap most, weighting each shared neighbor z by 1/ln(deg(z))
+    (Adamic & Adar 2003) -- "products that will be bought together next",
+    the link-prediction member of the graph suite (pagerank ranks nodes,
+    connected components clusters them, this predicts the missing edges).
+
+    Exactness: per-path contributions 1/ln(deg) snap to 6 dp DECIMAL
+    before the pair sum (accumulation-order-free); top-k ties break on
+    the id pair in both engines.
+
+    Scale: edges dedup at the (order, part) grain first (same bound as
+    basket_brand_pairs); the path join runs over the THINNED adjacency --
+    common-neighbor role restricted to deg(z) in [2, AA_HUB_CAP] -- so
+    the path space is bounded at |V| x CAP^2 BY CONSTRUCTION instead of
+    sum(deg^2) (one boilerplate hub part otherwise contributes deg^2 =
+    billions of join rows at 100 TB while adding the least Adamic-Adar
+    mass; same cap discipline as dedup's JACCARD_DF_CAP). The non-edge
+    filter is an anti-join against the edge set, and the final top-20 is
+    TakeOrderedAndProject."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    a = li.select(F.col("ok").alias("ok_a"), F.col("pk").alias("u"))
+    b = li.select(F.col("ok").alias("ok_b"), F.col("pk").alias("v"))
+    edges = (
+        a.join(b, (F.col("ok_a") == F.col("ok_b")) & (F.col("u") != F.col("v")))
+        .select("u", "v")
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds deg, thin, and the anti-join
+    )
+    deg = edges.groupBy(F.col("u").alias("z")).agg(
+        F.count("*").cast("bigint").alias("d")
+    ).localCheckpoint(eager=False)
+    thin = (
+        edges.join(deg, edges["v"] == deg["z"])
+        .filter((F.col("d") <= AA_HUB_CAP) & (F.col("d") >= 2))
+        .select("u", "v")
+    )
+    pa = thin.select(F.col("u").alias("pa"), F.col("v").alias("za"))
+    pb = thin.select(F.col("u").alias("pb"), F.col("v").alias("zb"))
+    paths = pa.join(
+        pb, (F.col("za") == F.col("zb")) & (F.col("pa") < F.col("pb"))
+    ).select("pa", "pb", F.col("za").alias("z"))
+    scored = (
+        paths.join(deg, "z")
+        .groupBy("pa", "pb")
+        .agg(
+            F.count("*").cast("bigint").alias("n_common"),
+            F.sum(F.round(1.0 / F.log(F.col("d")), 6).cast("decimal(18,6)"))
+            .cast("decimal(18,6)")
+            .alias("aa"),
+        )
+    )
+    non_edge = scored.join(
+        edges,
+        (scored["pa"] == edges["u"]) & (scored["pb"] == edges["v"]),
+        "left_anti",
+    )
+    return non_edge.select(
+        F.col("pa").alias("part_a"),
+        F.col("pb").alias("part_b"),
+        "n_common",
+        F.round(F.col("aa").cast("double"), 6).alias("aa_score"),
+    ).orderBy(F.col("aa_score").desc(), "part_a", "part_b").limit(20)
