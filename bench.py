@@ -51,6 +51,8 @@ EXTENDED = [
     "quality_perplexity_bigram",     # round-7b: (doc,bigram) partials + model fold
     "docs_curation_funnel",          # round-7c: 4-gate funnel from ONE scan + checkpointed anchor
     "dedup_lsh_tuning_curve",        # round-7c: S-curve config table over the blocked pair space
+    "dedup_minhash_tuned",           # round-8: curve-chosen banding, 4-row planner collect + detection
+    "part_link_prediction_adamic_adar",  # round-8: hub-capped wedge join (priciest new probe)
 ]
 
 
