@@ -422,3 +422,87 @@ def knn_cosine_ivf_pq_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+@register("knn_recall_vs_nprobe_curve", tags=("similarity", "monitor"))
+# rows-only by design: ANN recall is probabilistic; the monotonicity and
+# ceiling gates live in tests/test_ann_index.py.
+def knn_recall_vs_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The n_probe operating-curve for the persisted IVF-PQ index:
+    recall@k and cells-probed at n_probe in {1, 2, 4, 8} against the
+    exact brute-force baseline -- the ANN twin of dedup_lsh_tuning_curve
+    (that one prices LSH configs analytically before a signature pass;
+    this one prices the QUERY-side latency/recall trade on the index you
+    already built, which is how you pick a serving n_probe before going
+    to production). Read the knee the same way: the first n_probe whose
+    recall stops improving is the serving config; everything beyond it
+    pays pruned-partition reads for nothing.
+
+    Scale: ONE build (the expensive distributed encode) serves all four
+    probe settings; each query pass reads only its probed cells' parquet
+    partitions (n_probe/n_cells of the codes), and the exact baseline is
+    |queries| x |corpus| only at fixture scale -- at 100 TB the baseline
+    comes from the held-out query sample every ANN deployment keeps. The
+    recall join is |queries| x k rows per setting."""
+    import shutil
+    import tempfile
+
+    from .similarity import knn_cosine_topk
+
+    vec = _vectors(spark, sf_dir)
+    if len(vec.take(2)) < 2:
+        return spark.createDataFrame(
+            [], "n_probe int, n_queries bigint, avg_recall_at_k double"
+        )
+    scratch = tempfile.mkdtemp(prefix="ann_curve_")
+    try:
+        vec = vec.localCheckpoint()
+        build_ann_index(spark, vec, scratch)
+        queries = vec.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qnrm"),
+        )
+        exact = (
+            knn_cosine_topk(spark, sf_dir)
+            .select("query_id", "neighbor_id")
+            .localCheckpoint(eager=False)  # referenced by all four settings
+        )
+        exact_n = exact.groupBy("query_id").agg(
+            F.count("*").cast("double").alias("exact_n")
+        )
+        outs = []
+        for n_probe in (1, 2, 4, 8):
+            approx = query_ann_index(
+                spark, scratch, queries, vec, n_probe=n_probe
+            ).select("query_id", "neighbor_id")
+            hits = exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
+            per_q = (
+                hits.groupBy("query_id")
+                .agg(F.count("*").cast("double").alias("hit_n"))
+                .join(exact_n, "query_id")
+                .select(
+                    "query_id", (F.col("hit_n") / F.col("exact_n")).alias("recall")
+                )
+            )
+            base = exact.select("query_id").distinct()
+            outs.append(
+                base.join(per_q, "query_id", "left")
+                .agg(
+                    F.count("*").cast("bigint").alias("n_queries"),
+                    F.round(F.avg(F.coalesce(F.col("recall"), F.lit(0.0))), 3).alias(
+                        "avg_recall_at_k"
+                    ),
+                )
+                .select(
+                    F.lit(n_probe).cast("int").alias("n_probe"),
+                    "n_queries",
+                    "avg_recall_at_k",
+                )
+            )
+        out = outs[0]
+        for o in outs[1:]:
+            out = out.unionByName(o)
+        return out.orderBy("n_probe").localCheckpoint()  # before scratch rm
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)

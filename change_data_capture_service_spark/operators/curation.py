@@ -1056,3 +1056,110 @@ def docs_ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+@register(
+    "dataset_split_leakage",
+    tags=("curation", "dedup", "dq"),
+    oracle="""
+    WITH assigned AS (
+      SELECT doc_id, sha256(text) AS content_sha,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= 'cb' THEN 'train'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= 'e5' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    ),
+    fam AS (
+      SELECT content_sha,
+             CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+             CAST(sum(CASE WHEN split = 'val'   THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+             CAST(sum(CASE WHEN split = 'test'  THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+      FROM assigned GROUP BY 1
+    ),
+    pairs AS (
+      SELECT 'train_val' AS leak_kind, n_train AS n_a, n_val AS n_b FROM fam
+      UNION ALL
+      SELECT 'train_test', n_train, n_test FROM fam
+      UNION ALL
+      SELECT 'val_test', n_val, n_test FROM fam
+    )
+    SELECT leak_kind,
+           CAST(sum(CASE WHEN n_a > 0 AND n_b > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_leaked_families,
+           CAST(sum(CASE WHEN n_a > 0 AND n_b > 0 THEN n_b ELSE 0 END) AS BIGINT)
+             AS n_contaminated_docs
+    FROM pairs GROUP BY 1 ORDER BY 1
+    """,
+)
+def dataset_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split contamination audit for ``dataset_split``'s hash
+    assignment: exact-duplicate TEXT whose copies land in different
+    splits. Hash-on-doc_id splitting is deterministic per document but
+    NOT per content -- the same text re-crawled under two doc_ids can
+    straddle train and eval, which silently inflates eval scores (the
+    problem decontaminate_* solves against external benchmarks; this op
+    measures it INSIDE the corpus's own split). Reports, per split pair,
+    the number of duplicate families spanning both and the number of
+    second-side docs contaminated (for train_val: val docs whose exact
+    text is also in train).
+
+    Zero on a perfectly deduped corpus -- so the production reading is
+    "run dedup_exact first, or split on sha256(text) instead of doc_id";
+    nonzero numbers quantify exactly what skipping that costs.
+
+    Scale: one corpus pass to (content_sha, split) flags, partial-agg
+    keyed by the digest (the dedup_exact shuffle: 32-byte keys, never
+    text); the x3 pair stack and the final 3-row agg run on the family
+    relation. Map-side split assignment, no windows, no joins."""
+    d = load_table(spark, sf_dir, "documents")
+    prefix = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(prefix <= "cb", "train").when(prefix <= "e5", "val").otherwise("test")
+    )
+    fam = (
+        d.select(F.sha2("text", 256).alias("content_sha"), split.alias("split"))
+        .groupBy("content_sha")
+        .agg(
+            F.sum(F.when(F.col("split") == "train", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_train"),
+            F.sum(F.when(F.col("split") == "val", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_val"),
+            F.sum(F.when(F.col("split") == "test", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_test"),
+        )
+    )
+    pairs = fam.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("train_val").alias("leak_kind"),
+                    F.col("n_train").alias("n_a"),
+                    F.col("n_val").alias("n_b"),
+                ),
+                F.struct(
+                    F.lit("train_test").alias("leak_kind"),
+                    F.col("n_train").alias("n_a"),
+                    F.col("n_test").alias("n_b"),
+                ),
+                F.struct(
+                    F.lit("val_test").alias("leak_kind"),
+                    F.col("n_val").alias("n_a"),
+                    F.col("n_test").alias("n_b"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.leak_kind", "p.n_a", "p.n_b")
+    both = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    return (
+        pairs.groupBy("leak_kind")
+        .agg(
+            F.sum(F.when(both, 1).otherwise(0)).cast("bigint").alias("n_leaked_families"),
+            F.sum(F.when(both, F.col("n_b")).otherwise(0))
+            .cast("bigint")
+            .alias("n_contaminated_docs"),
+        )
+        .orderBy("leak_kind")
+    )

@@ -79,42 +79,75 @@ JACCARD_DF_CAP = 64
 
 def _capped_exact_pairs(sh: DataFrame) -> DataFrame:
     """Exact-jaccard pair statistics (doc_id_a, doc_id_b, c, na, nb) over
-    the DF-capped candidate space. Two stages, mirroring
-    ``dedup_containment_pairs``: (1) candidates from the shingle equi-join
-    restricted to shingles with df <= JACCARD_DF_CAP (one cheap
-    (shingle -> df) pre-agg on the same key the join shuffles on; only
-    (doc_id, shingle) rows shuffle); (2) exact verify -- full shingle
-    arrays ship ONLY for candidate pairs, and c/na/nb are computed on the
-    full sets so surfaced values are identical to the uncapped join's."""
-    ex = sh.select("doc_id", F.explode("shingles").alias("shingle"))
-    ok = (
+    the DF-capped candidate space, in the ONE-groupBy shape of the
+    original uncapped join (the first capped form routed candidates
+    through a dropDuplicates + two full-shingle-array verify joins --
+    3 extra stages that benched 3x slower at sf0.1 on a hot-shingle-free
+    corpus, pure overhead in the common case):
+
+    1. the global hot-shingle list (df > JACCARD_DF_CAP) is TINY by
+       construction (<= occurrences/CAP entries) and broadcasts;
+    2. candidate occurrences are the broadcast ANTI-join of the exploded
+       stream against it, carrying each doc's FULL shingle count n, so
+       one equi-join + groupBy yields c_capped, na, nb directly --
+       identical cost to the uncapped form when nothing is hot;
+    3. exactness is restored by adding back the HOT-shingle overlap:
+       per-doc hot-shingle sets (small arrays, empty for most docs) left-
+       join onto the surviving pairs and c = c_capped +
+       |hotset_a INTERSECT hotset_b|. Surfaced c/na/nb are therefore
+       EXACT (hot shingles included) while candidate formation stays
+       bounded at |shingles| x CAP^2."""
+    ex = sh.select(
+        "doc_id", F.size("shingles").alias("n"), F.explode("shingles").alias("shingle")
+    )
+    hot = (
         ex.groupBy("shingle")
         .agg(F.count("*").alias("df"))
-        .filter(F.col("df") <= JACCARD_DF_CAP)
+        .filter(F.col("df") > JACCARD_DF_CAP)
         .select("shingle")
+        .localCheckpoint(eager=False)  # consumed by the anti- AND semi-join
     )
-    exc = ex.join(ok, "shingle", "left_semi")
+    exc = ex.join(F.broadcast(hot), "shingle", "left_anti")
     a, b = exc.alias("a"), exc.alias("b")
-    cand = (
+    pairs0 = (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b"))
-        .dropDuplicates(["doc_id_a", "doc_id_b"])
+        .groupBy(F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b"))
+        .agg(
+            F.count("*").alias("c_capped"),
+            F.first("a.n").alias("na"),
+            F.first("b.n").alias("nb"),
+        )
     )
-    va = sh.select(F.col("doc_id").alias("doc_id_a"), F.col("shingles").alias("sh_a"))
-    vb = sh.select(F.col("doc_id").alias("doc_id_b"), F.col("shingles").alias("sh_b"))
+    hotdoc = (
+        ex.join(F.broadcast(hot), "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("hotset"))
+    )
+    ha = hotdoc.select(F.col("doc_id").alias("doc_id_a"), F.col("hotset").alias("hs_a"))
+    hb = hotdoc.select(F.col("doc_id").alias("doc_id_b"), F.col("hotset").alias("hs_b"))
+    empty = F.array().cast("array<string>")
     return (
-        cand.join(va, "doc_id_a")
-        .join(vb, "doc_id_b")
+        pairs0.join(ha, "doc_id_a", "left")
+        .join(hb, "doc_id_b", "left")
         .select(
             "doc_id_a",
             "doc_id_b",
-            F.size(F.array_intersect("sh_a", "sh_b")).cast("long").alias("c"),
-            F.size("sh_a").cast("long").alias("na"),
-            F.size("sh_b").cast("long").alias("nb"),
+            (
+                F.col("c_capped")
+                + F.size(
+                    F.array_intersect(
+                        F.coalesce("hs_a", empty), F.coalesce("hs_b", empty)
+                    )
+                )
+            )
+            .cast("long")
+            .alias("c"),
+            F.col("na").cast("long").alias("na"),
+            F.col("nb").cast("long").alias("nb"),
         )
     )
 

@@ -169,3 +169,21 @@ def test_extend_appends_delta_with_existing_quantizers(spark, sf_dir, tmp_path):
     }
     recall = len(exact & got) / len(exact)
     assert recall >= 0.4, f"extended-index recall collapsed: {recall}"
+
+
+def test_nprobe_curve_is_monotone_and_pays_off(spark, sf_dir):
+    """The serving-config planner must show the trade it exists to
+    expose: recall@k non-decreasing in n_probe, and probing more than one
+    cell must actually buy recall on the fixture (else the curve is
+    flat and the op is vacuous)."""
+    rows = (
+        registry.get("knn_recall_vs_nprobe_curve")
+        .fn(spark, sf_dir)
+        .orderBy("n_probe")
+        .collect()
+    )
+    assert [r["n_probe"] for r in rows] == [1, 2, 4, 8]
+    recalls = [r["avg_recall_at_k"] for r in rows]
+    assert all(b >= a for a, b in zip(recalls, recalls[1:])), recalls
+    assert recalls[-1] > recalls[0], recalls
+    assert all(r["n_queries"] == rows[0]["n_queries"] for r in rows)
