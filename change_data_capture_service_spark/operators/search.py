@@ -472,3 +472,131 @@ def search_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(_TOP)
     )
+
+
+# MLT demo source document + ES-default-ish knobs (max_query_terms=25,
+# min_doc_freq=2); parameterize in a real deployment
+_MLT_DOC = 7
+_MLT_TERMS = 25
+_MLT_MIN_DF = 2
+
+
+@register(
+    "search_more_like_this",
+    tags=("text", "search"),
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {TOKENS} AS toks FROM documents
+    ),
+    stats AS (
+      SELECT count(*) AS n_docs, avg(len(toks)) AS avgdl FROM toks
+    ),
+    post AS (
+      SELECT doc_id, tok, count(*) AS tf, any_value(dl) AS dl
+      FROM (SELECT doc_id, unnest(toks) AS tok, len(toks) AS dl FROM toks)
+      GROUP BY 1, 2
+    ),
+    src_terms AS (
+      SELECT tok, tf AS src_tf FROM post WHERE doc_id = {_MLT_DOC}
+    ),
+    df AS (
+      SELECT p.tok, CAST(count(*) AS BIGINT) AS df
+      FROM post p JOIN src_terms s ON p.tok = s.tok
+      GROUP BY 1
+    ),
+    sel AS (
+      SELECT s.tok, df.df,
+             round(s.src_tf * ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1), 6)
+               AS term_score
+      FROM src_terms s JOIN df ON s.tok = df.tok CROSS JOIN stats
+      WHERE df.df >= {_MLT_MIN_DF}
+      ORDER BY term_score DESC, s.tok
+      LIMIT {_MLT_TERMS}
+    ),
+    scored AS (
+      SELECT p.doc_id,
+             CAST(count(*) AS BIGINT) AS n_terms_hit,
+             round(CAST(sum(CAST(round(
+               ln((stats.n_docs - sel.df + 0.5) / (sel.df + 0.5) + 1)
+               * p.tf * ({_K1} + 1)
+               / (p.tf + {_K1} * (1 - {_B} + {_B} * p.dl / stats.avgdl)), 6)
+               AS DECIMAL(18,6))) AS DOUBLE), 6) AS score
+      FROM post p JOIN sel ON p.tok = sel.tok CROSS JOIN stats
+      WHERE p.doc_id <> {_MLT_DOC}
+      GROUP BY 1
+    )
+    SELECT doc_id, n_terms_hit, score FROM scored
+    ORDER BY score DESC, doc_id
+    LIMIT {_TOP}
+    """,
+)
+def search_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``more_like_this`` parity: find the {_TOP} documents most
+    similar to doc {_MLT_DOC} by (1) selecting its {_MLT_TERMS} most
+    characteristic terms (tf x BM25-idf, min_doc_freq={_MLT_MIN_DF} --
+    the MLT term-selection recipe from the ES docs) and (2) BM25-scoring
+    the corpus on that derived term query. The related-content /
+    find-similar-tickets query every ES deployment runs; completes the
+    search family (bm25 = explicit terms, fuzzy = typo-tolerant terms,
+    MLT = terms derived from an exemplar document).
+
+    Exactness: term scores and per-(doc, term) BM25 contributions snap to
+    6 dp (DECIMAL before the per-doc sum), ties break on token / doc_id,
+    so the selected term set and the final ranking are engine-identical.
+
+    Scale: the postings relation (doc, term, tf, dl) partial-aggregates
+    from one corpus pass and is consumed THREE times (source terms, df of
+    source terms, match scoring) -- materialize-once; df counts only the
+    SOURCE document's terms (semi-join against its |terms|-row set, never
+    corpus vocabulary); the selected 25-term relation broadcasts into the
+    scoring join, so matching reads postings map-side exactly like
+    search_bm25; top-k is TakeOrderedAndProject."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", _tokens().alias("toks"))
+    stats = toks.agg(
+        F.count("*").alias("n_docs"), F.avg(F.size("toks")).alias("avgdl")
+    )
+    post = (
+        toks.select(
+            "doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("tok")
+        )
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
+        .localCheckpoint(eager=False)  # src terms + df + scoring
+    )
+    src_terms = post.filter(F.col("doc_id") == _MLT_DOC).select(
+        "tok", F.col("tf").alias("src_tf")
+    )
+    df = (
+        post.join(F.broadcast(src_terms.select("tok")), "tok", "left_semi")
+        .groupBy("tok")
+        .agg(F.count("*").cast("bigint").alias("df"))
+    )
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+    sel = (
+        src_terms.join(df, "tok")
+        .crossJoin(F.broadcast(stats))
+        .filter(F.col("df") >= _MLT_MIN_DF)
+        .select("tok", "df", F.round(F.col("src_tf") * idf, 6).alias("term_score"))
+        .orderBy(F.col("term_score").desc(), "tok")
+        .limit(_MLT_TERMS)
+    )
+    contrib = F.round(
+        idf
+        * F.col("tf")
+        * (_K1 + 1)
+        / (F.col("tf") + _K1 * (1 - _B + _B * F.col("dl") / F.col("avgdl"))),
+        6,
+    ).cast("decimal(18,6)")
+    return (
+        post.filter(F.col("doc_id") != _MLT_DOC)
+        .join(F.broadcast(sel), "tok")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_terms_hit"),
+            F.round(F.sum(contrib).cast("double"), 6).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(_TOP)
+    )
