@@ -553,9 +553,11 @@ def search_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
     search_bm25; top-k is TakeOrderedAndProject."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", _tokens().alias("toks"))
+    # 1-row relation with TWO consumers (term selection + match scoring):
+    # materialize once or each crossJoin re-tokenizes the corpus
     stats = toks.agg(
         F.count("*").alias("n_docs"), F.avg(F.size("toks")).alias("avgdl")
-    )
+    ).localCheckpoint(eager=False)
     post = (
         toks.select(
             "doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("tok")

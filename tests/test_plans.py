@@ -514,3 +514,37 @@ def test_curation_funnel_is_one_scan(spark, sf_dir):
     plan = P.formatted_plan(df)
     assert plan.count("Scan parquet") == 0, "anchor branch re-scans documents"
     assert "ExistingRDD" in plan, "stage aggregate lost its checkpoint"
+
+
+def test_fuzzy_and_mlt_search_keep_the_postings_shape(spark, sf_dir):
+    """Round-8 search family: fuzzy must rank via TakeOrderedAndProject
+    with the levenshtein filter ahead of the tf aggregation (the plan has
+    no corpus-sized shuffle -- only matching postings aggregate), and MLT
+    must read its postings from the ONE checkpointed relation (selected
+    terms broadcast into the scoring join, no second tokenize pass)."""
+    fz = registry.get("search_fuzzy_match").fn(spark, sf_dir)
+    plan = P.formatted_plan(fz)
+    assert "TakeOrderedAndProject" in plan
+    assert "levenshtein" in plan.lower()
+
+    mlt = registry.get("search_more_like_this").fn(spark, sf_dir)
+    mlt.collect()  # materialize the lazy checkpoints before reading the plan
+    plan = P.formatted_plan(mlt)
+    assert "TakeOrderedAndProject" in plan
+    assert P.uses_broadcast_join(mlt)
+    # postings + stats materialize once: every consumer reads a
+    # checkpoint, so the final plan touches NO parquet at all
+    assert "ExistingRDD" in plan, "postings relation lost its checkpoint"
+    assert plan.count("Scan parquet") == 0, "a consumer re-tokenizes the corpus"
+
+
+def test_adamic_adar_paths_ride_the_thinned_adjacency(spark, sf_dir):
+    """The wedge join's both sides must be the capped adjacency (degree
+    filter applied BEFORE pairing): the executed wedge shuffle stays
+    bounded and the final ranking is TakeOrderedAndProject."""
+    df = registry.get("part_link_prediction_adamic_adar").fn(spark, sf_dir)
+    plan = P.formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    from change_data_capture_service_spark.operators.graph import AA_HUB_CAP
+
+    assert f"(d#" in plan or str(AA_HUB_CAP) in plan  # degree-cap predicate present
