@@ -41,10 +41,11 @@ def test_every_operator_documents_itself():
 
 
 def test_rows_only_set_is_exactly_the_documented_one():
-    """COVERAGE.md promises 17 rows-only keys; a new oracle-less key must
+    """COVERAGE.md promises 18 rows-only keys; a new oracle-less key must
     be a deliberate decision, not a forgotten oracle."""
     rows_only = {name for name, e in registry.entries().items() if e.oracle is None}
     assert rows_only == {
+        "knn_recall_vs_nprobe_curve",  # ANN recall is probabilistic; monotonicity gate in test_ann_index
         "embedding_pca_pc1",  # iterative eigenproblem; numpy gate in test_northstar
         "multimodal_phash_dedup",  # perceptual hash; planted-pair gate in test_northstar
         "quality_compression_ratio",  # zlib byte output is library-versioned; signal gate in test_quality
