@@ -320,3 +320,31 @@ def test_minhash_tuned_knee_beats_max_recall_config(spark, sf_dir):
     assert pairs_of(_banded_near_pairs(sh, kb, kr, 0.8)) == pairs_of(
         _banded_near_pairs(sh, 64, 2, 0.8)
     )
+
+
+# ----------------------------------------------------- ACF seasonality
+
+
+def test_acf_detects_a_planted_weekly_cycle(spark, tmp_path):
+    """Semantic gate for events_value_acf beyond oracle parity: on a
+    synthetic stream with a strong 7-day value cycle, acf at lag 7 must
+    dominate the off-cycle lags -- the signal the operator exists to
+    surface."""
+    import datetime
+
+    rows = []
+    base = datetime.datetime(2024, 1, 1)
+    for d in range(70):
+        v = 1000.0 if d % 7 == 0 else 10.0 + (d % 3)
+        rows.append((d, base + datetime.timedelta(days=d), d, "purchase", v, "{}"))
+    src = str(tmp_path / "weekly_events")
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).write.parquet(f"{src}/events.parquet")
+
+    out = {
+        r["lag"]: r["acf"]
+        for r in registry.get("events_value_acf").fn(spark, src).collect()
+    }
+    assert out[7] > 0.8, out
+    assert all(out[7] > out[k] + 0.5 for k in (1, 2, 3, 4, 5, 6)), out
