@@ -204,3 +204,63 @@ def test_streaming_foreachbatch_end_to_end(spark, es, tmp_path):
     users = es.snapshot()["cdc_public_users"]
     assert sorted(users) == ["public.users:1", "public.users:2"]
     assert users["public.users:1"]["data"]["v"] == "a2"
+
+
+def test_pipeline_change_stream_fans_out_to_es(spark, es, tmp_path):
+    """The reference's full topology against the REST sink: snapshot two
+    tables through CdcPipeline's changelog, stream a second epoch of
+    changes, and drain the SAME change stream into the mock cluster in
+    state mode -- snapshot docs land, updates supersede them, deletes
+    remove, per-table index routing holds."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from change_data_capture_service_spark.streaming import envelope as env
+    from change_data_capture_service_spark.streaming.pipeline import CdcPipeline
+
+    pipe = CdcPipeline(
+        spark=spark,
+        changelog_dir=str(tmp_path / "log"),
+        sink_dir=str(tmp_path / "sink"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    users = spark.createDataFrame([(1, "ada"), (2, "bob")], "id long, v string")
+    items = spark.createDataFrame([(10, "hat")], "id long, v string")
+    pipe.snapshot(users, "public", "users", pk_cols=["id"])
+    pipe.snapshot(items, "public", "items", pk_cols=["id"])
+
+    def envs(table, rows, op, lsn0):
+        df = spark.createDataFrame(rows, "id long, v string")
+        return env.encode(
+            df, op=op, schema_name="public", table_name=table, pk_cols=["id"],
+            lsn=F.col("id") + lsn0,
+            ts=F.lit("2024-04-01 00:00:00").cast("timestamp"),
+        )
+
+    envs("users", [(1, "ada2")], "update", 100).write.mode("append").json(
+        pipe.changelog_dir
+    )
+    envs("users", [(2, "bob")], "delete", 200).write.mode("append").json(
+        pipe.changelog_dir
+    )
+
+    sink = EsBulkSink(es.url, mode="state")
+    q = (
+        pipe.change_stream()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "es_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    state = es.snapshot()
+    assert sorted(k for k in state if state[k]) == ["cdc_public_items", "cdc_public_users"]
+    users_idx = state["cdc_public_users"]
+    # user 1: update (lsn 101) supersedes the snapshot doc; user 2: deleted
+    assert sorted(users_idx) == ["public.users:1"]
+    assert json.loads(json.dumps(users_idx["public.users:1"]))["data"]["v"] == "ada2"
+    assert sorted(state["cdc_public_items"]) == ["public.items:10"]
