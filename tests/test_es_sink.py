@@ -264,3 +264,20 @@ def test_pipeline_change_stream_fans_out_to_es(spark, es, tmp_path):
     assert sorted(users_idx) == ["public.users:1"]
     assert json.loads(json.dumps(users_idx["public.users:1"]))["data"]["v"] == "ada2"
     assert sorted(state["cdc_public_items"]) == ["public.items:10"]
+
+
+def test_concurrent_partition_posts_are_thread_safe(spark, es):
+    """The sink's scale posture is N executors posting in parallel; the
+    mock is ThreadingHTTPServer + a lock. 200 docs across 8 partitions
+    with 10-action chunks must land exactly once each."""
+    sink = EsBulkSink(es.url, mode="event", max_actions=10)
+    batch = _env(
+        spark,
+        [
+            ("insert", "users", i, f"public.users:{i}", None, {"id": str(i)})
+            for i in range(1, 201)
+        ],
+    ).repartition(8)
+    sink(batch, epoch_id=0)
+    assert len(es.snapshot()["cdc_public_users"]) == 200
+    assert es.bulk_requests >= 20  # ceil(200/10), more if partitions uneven
