@@ -173,11 +173,16 @@ class EsBulkSink:
                 F.lit("index").alias("action"),
                 doc_body.alias("doc"),
             )
+            # lsn ties cannot happen on a real WAL (LSNs are unique), but a
+            # deterministic tiebreak keeps replays byte-stable even on
+            # malformed producers: deletes lose to concurrent upserts.
             last = (
                 ok.withColumn(
                     "_rn",
                     F.row_number().over(
-                        Window.partitionBy("key").orderBy(F.col("lsn").desc())
+                        Window.partitionBy("key").orderBy(
+                            F.col("lsn").desc(), F.col("op"), F.col("ts").desc()
+                        )
                     ),
                 )
                 .filter(F.col("_rn") == 1)
