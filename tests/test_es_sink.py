@@ -281,3 +281,19 @@ def test_concurrent_partition_posts_are_thread_safe(spark, es):
     sink(batch, epoch_id=0)
     assert len(es.snapshot()["cdc_public_users"]) == 200
     assert es.bulk_requests >= 20  # ceil(200/10), more if partitions uneven
+
+
+def test_hostile_payload_values_cannot_break_ndjson_framing(spark, es):
+    """NDJSON framing holds because to_json escapes control characters:
+    payload values carrying raw newlines, quotes, and backslashes must
+    arrive intact as ONE action, not split the bulk body."""
+    sink = EsBulkSink(es.url, mode="event")
+    nasty = 'line1\nline2\t"quoted" \\backslash {"fake":"json"}'
+    batch = _env(
+        spark,
+        [("insert", "users", 1, "public.users:1", None, {"v": nasty})],
+    )
+    sink(batch, epoch_id=0)
+    users = es.snapshot()["cdc_public_users"]
+    assert sorted(users) == ["1"]
+    assert users["1"]["data"]["v"] == nasty
