@@ -348,3 +348,50 @@ def test_acf_detects_a_planted_weekly_cycle(spark, tmp_path):
     }
     assert out[7] > 0.8, out
     assert all(out[7] > out[k] + 0.5 for k in (1, 2, 3, 4, 5, 6)), out
+
+
+# ------------------------------------------- capped-pairs exactness property
+
+
+def test_capped_pairs_values_exact_under_forced_hot_shingles(spark, monkeypatch):
+    """Property pinned for the round-8 one-groupBy rewrite of
+    _capped_exact_pairs: with the cap forced tiny (so several shingles go
+    hot and the add-back path actually runs), every surfaced pair's
+    (c, na, nb) must equal the brute-force full-set values, and the
+    surfaced pair set must be exactly the pairs sharing at least one
+    NON-hot shingle (hot-only pairs never surface -- the documented
+    recall-only bias)."""
+    import itertools
+    import random
+
+    from change_data_capture_service_spark.operators import dedup as D
+
+    monkeypatch.setattr(D, "JACCARD_DF_CAP", 2)
+    rng = random.Random(813)
+    vocab = [f"s{i}" for i in range(12)]
+    for trial in range(4):
+        docs = {
+            i: set(rng.sample(vocab, rng.randint(2, 7))) for i in range(10)
+        }
+        sh = spark.createDataFrame(
+            [(i, sorted(s)) for i, s in docs.items()],
+            "doc_id long, shingles array<string>",
+        )
+        got = {
+            (r["doc_id_a"], r["doc_id_b"]): (r["c"], r["na"], r["nb"])
+            for r in D._capped_exact_pairs(sh).collect()
+        }
+        df = {}
+        for s in vocab:
+            df[s] = sum(1 for d in docs.values() if s in d)
+        cold = {s for s in vocab if df[s] <= 2}
+        assert any(df[s] > 2 for s in vocab), "fixture never went hot; weaken rng"
+        want_pairs = {
+            (a, b)
+            for a, b in itertools.combinations(sorted(docs), 2)
+            if docs[a] & docs[b] & cold
+        }
+        assert set(got) == want_pairs, (trial, set(got) ^ want_pairs)
+        for (a, b), (c, na, nb) in got.items():
+            assert c == len(docs[a] & docs[b]), (trial, a, b)  # hot INCLUDED
+            assert na == len(docs[a]) and nb == len(docs[b])
