@@ -63,7 +63,13 @@ def main() -> None:
     ):
         run(key)
 
-    # 3. continuous rollup fed by a real change stream
+    # 3. the search surface (the queries a reference user runs in Kibana
+    #    over the cdc_* indices): explicit terms, typo-tolerant terms,
+    #    and terms derived from an exemplar document
+    for key in ("search_bm25", "search_fuzzy_match", "search_more_like_this"):
+        run(key)
+
+    # 4. continuous rollup fed by a real change stream
     with tempfile.TemporaryDirectory() as work:
         events = load_table(spark, SF_DIR, "events")
         write_snapshot(spark, events, f"{work}/log", schema_name="public",
