@@ -395,3 +395,94 @@ def test_capped_pairs_values_exact_under_forced_hot_shingles(spark, monkeypatch)
         for (a, b), (c, na, nb) in got.items():
             assert c == len(docs[a] & docs[b]), (trial, a, b)  # hot INCLUDED
             assert na == len(docs[a]) and nb == len(docs[b])
+
+
+# ----------------------------------------------- numpy cross-checks (r8 stats)
+
+
+def test_kruskal_wallis_matches_numpy_reference(spark, sf_dir):
+    """Tie-corrected H recomputed from scratch in numpy (midranks via
+    scipy-free rankdata) on the same fixture must match the engine's
+    closed form to 1e-6."""
+    import numpy as np
+
+    from change_data_capture_service_spark.catalog import load_table
+
+    pdf = (
+        load_table(spark, sf_dir, "orders")
+        .selectExpr(
+            "o_orderpriority AS grp",
+            "try_cast(try_cast(o_totalprice AS decimal(18,2)) * 100 AS bigint) AS c",
+        )
+        .where("c IS NOT NULL")
+        .toPandas()
+    )
+    vals = pdf["c"].to_numpy()
+    order = np.argsort(vals, kind="mergesort")
+    ranks = np.empty(len(vals), dtype=float)
+    sv = vals[order]
+    i = 0
+    pos = 1
+    tie3 = 0.0
+    while i < len(sv):
+        j = i
+        while j < len(sv) and sv[j] == sv[i]:
+            j += 1
+        m = j - i
+        ranks[order[i:j]] = pos + (m - 1) / 2.0
+        tie3 += m**3 - m
+        pos += m
+        i = j
+    n = len(vals)
+    groups = pdf.assign(rank=ranks).groupby("grp")["rank"]
+    h = 12.0 / (n * (n + 1)) * sum(
+        g.sum() ** 2 / len(g) for _, g in groups
+    ) - 3 * (n + 1)
+    h /= 1 - tie3 / (n**3 - n)
+
+    row = registry.get("orders_kruskal_wallis_priority").fn(spark, sf_dir).collect()[0]
+    assert row["n"] == n and row["dof"] == pdf["grp"].nunique() - 1
+    assert abs(row["h"] - h) < 1e-4, (row["h"], h)
+
+
+def test_acf_matches_numpy_reference(spark, sf_dir):
+    """The n^2-multiplied integer estimator must equal the textbook float
+    form computed in numpy on the same daily series."""
+    import numpy as np
+
+    from change_data_capture_service_spark.catalog import load_table
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .selectExpr(
+            "date_trunc('day', ts) AS day",
+            "try_cast(try_cast(value AS decimal(18,2)) * 100 AS bigint) AS x",
+        )
+        .where("x IS NOT NULL")
+        .groupBy("day")
+        .agg(F.sum("x").alias("x"))
+        .orderBy("day")
+        .toPandas()
+    )
+    days = daily["day"].to_numpy()
+    xs = daily["x"].to_numpy(dtype=float)
+    mu = xs.mean()
+    den = ((xs - mu) ** 2).sum()
+    by_day = dict(zip(days, xs))
+    got = {
+        r["lag"]: (r["acf"], r["n_pairs"])
+        for r in registry.get("events_value_acf").fn(spark, sf_dir).collect()
+    }
+    one_day = np.timedelta64(1, "D") if days.dtype.kind == "M" else None
+    for lag in range(1, 8):
+        num = 0.0
+        n_pairs = 0
+        for d, x in by_day.items():
+            prev = d - (one_day * lag if one_day is not None else pd.Timedelta(days=lag))
+            if prev in by_day:
+                num += (x - mu) * (by_day[prev] - mu)
+                n_pairs += 1
+        ref = num / den
+        acf, np_engine = got[lag]
+        assert np_engine == n_pairs, (lag, np_engine, n_pairs)
+        assert abs(acf - ref) < 1e-5, (lag, acf, ref)
