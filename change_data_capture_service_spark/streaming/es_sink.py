@@ -132,7 +132,13 @@ class EsBulkSink:
             | F.col("lsn").isNull()
             | ~F.col("schema_name").rlike(_SAFE_NAME)
             | ~F.col("table_name").rlike(_SAFE_NAME)
-            | (F.lit(self.mode == "state") & F.col("key").isNull())
+            | (
+                F.lit(self.mode == "state")
+                & F.col("key").isNull()
+                # truncate is a CONTROL event: NULL key is its legitimate
+                # shape, never malformed
+                & (F.col("op") != "truncate")
+            )
         )
         doc_body = F.to_json(
             F.struct(
@@ -166,10 +172,38 @@ class EsBulkSink:
             # BEFORE emitting actions (one map-side-combinable groupBy on
             # the batch; within-bulk action order then cannot matter).
             # Malformed rows bypass compaction -- they have no usable key.
-            ok = batch_df.filter(~malformed)
+            good = batch_df.filter(~malformed)
             bad = batch_df.filter(malformed).select(
                 dead_index.alias("_index"),
                 dead_id.alias("_id"),
+                F.lit("index").alias("action"),
+                doc_body.alias("doc"),
+            )
+            # TRUNCATE fence (same semantics as the parquet sink's
+            # compaction, sink.py:151-174): within the batch, every event
+            # of the truncated table with lsn <= the fence is superseded
+            # and must not be indexed. _bulk has no delete-by-query, so
+            # the cross-epoch half (docs indexed in EARLIER epochs) cannot
+            # be applied here: the fence event itself is indexed into
+            # <prefix>control (id = lsn, replay-idempotent) so operators
+            # see it and run the out-of-band indices.delete -- observable,
+            # never silent.
+            trunc = (
+                good.filter(F.col("op") == "truncate")
+                .groupBy("schema_name", "table_name")
+                .agg(F.max("lsn").alias("_fence_lsn"))
+            )
+            ok = (
+                good.filter(F.col("op") != "truncate")
+                .join(F.broadcast(trunc), ["schema_name", "table_name"], "left")
+                .filter(
+                    F.col("_fence_lsn").isNull() | (F.col("lsn") > F.col("_fence_lsn"))
+                )
+                .drop("_fence_lsn")
+            )
+            control = good.filter(F.col("op") == "truncate").select(
+                F.lit(self.index_prefix + "control").alias("_index"),
+                F.col("lsn").cast("string").alias("_id"),
                 F.lit("index").alias("action"),
                 doc_body.alias("doc"),
             )
@@ -200,7 +234,7 @@ class EsBulkSink:
                 F.when(F.col("op") == "delete", F.lit(None).cast("string"))
                 .otherwise(after_body)
                 .alias("doc"),
-            ).unionByName(bad)
+            ).unionByName(bad).unionByName(control)
 
         # to_json cannot emit a dynamic top-level field name, so build the
         # two known action shapes and branch (both are JSON-escaped by

@@ -297,3 +297,31 @@ def test_hostile_payload_values_cannot_break_ndjson_framing(spark, es):
     users = es.snapshot()["cdc_public_users"]
     assert sorted(users) == ["1"]
     assert users["1"]["data"]["v"] == nasty
+
+
+def test_truncate_fences_the_batch_and_lands_in_control(spark, es):
+    """TRUNCATE through the REST sink (the parquet sink's fence semantics,
+    bulk-expressible half): events of the truncated table at or below the
+    fence LSN never index, later events do, the fence itself lands in
+    <prefix>control keyed by LSN (replay-idempotent), and OTHER tables are
+    untouched. Cross-epoch clearing needs indices.delete out-of-band --
+    the control doc is what makes that visible."""
+    sink = EsBulkSink(es.url, mode="state")
+    batch = _env(
+        spark,
+        [
+            ("insert", "users", 1, "public.users:1", None, {"id": "1", "v": "old"}),
+            ("insert", "items", 2, "public.items:9", None, {"id": "9"}),
+            ("truncate", "users", 5, None, None, None),
+            ("insert", "users", 6, "public.users:2", None, {"id": "2", "v": "new"}),
+        ],
+    )
+    sink(batch, epoch_id=0)
+    state = es.snapshot()
+    # users:1 (lsn 1 <= fence 5) suppressed; users:2 (lsn 6) survives
+    assert sorted(state["cdc_public_users"]) == ["public.users:2"]
+    assert sorted(state["cdc_public_items"]) == ["public.items:9"]
+    assert sorted(state["cdc_control"]) == ["5"]
+    assert state["cdc_control"]["5"]["op"] == "truncate"
+    sink(batch, epoch_id=0)  # replay
+    assert es.snapshot() == state
