@@ -35,6 +35,12 @@ EMPTY documents. This module is the engine's wire-real analogue:
   like the reference's unmarshal-failure path (``main.go:66-71``) -- the
   observable version of skip-malformed, same contract as
   ``TableRoutingSink``'s ok=false partition.
+- TRUNCATE control events (NULL key by design) apply their fence within
+  the batch in state mode (events of the truncated table at or below the
+  fence LSN never index) and the fence itself lands in ``<prefix>control``
+  keyed by LSN; ``_bulk`` cannot express delete-by-query, so clearing
+  docs from EARLIER epochs is an out-of-band ``indices.delete`` the
+  control doc makes visible.
 - ``refresh`` defaults to FALSE: per-request refresh is the reference's
   single biggest throughput bug; opt back in only for tests that read
   their own writes immediately.
