@@ -325,3 +325,12 @@ def test_truncate_fences_the_batch_and_lands_in_control(spark, es):
     assert state["cdc_control"]["5"]["op"] == "truncate"
     sink(batch, epoch_id=0)  # replay
     assert es.snapshot() == state
+
+
+def test_empty_batch_posts_nothing(spark, es):
+    """Structured Streaming delivers empty micro-batches routinely; the
+    sink must not send empty bulk bodies (ES rejects a bodyless _bulk)."""
+    sink = EsBulkSink(es.url, mode="state")
+    sink(_env(spark, []), epoch_id=0)
+    assert es.bulk_requests == 0
+    assert es.snapshot() == {}
