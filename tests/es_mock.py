@@ -23,6 +23,7 @@ class MockEs:
         self.indices: dict[str, dict[str, dict]] = {}
         self.bulk_requests = 0
         self.fail_next = False  # one-shot: next _bulk returns HTTP 500
+        self.fail_after = None  # fail the (N+1)th request, then disarm
         self._lock = threading.Lock()
         mock = self
 
@@ -37,8 +38,12 @@ class MockEs:
                 body = self.rfile.read(int(self.headers["Content-Length"]))
                 with mock._lock:
                     mock.bulk_requests += 1
-                    if mock.fail_next:
+                    if mock.fail_next or (
+                        mock.fail_after is not None
+                        and mock.bulk_requests > mock.fail_after
+                    ):
                         mock.fail_next = False
+                        mock.fail_after = None
                         self.send_error(500, "mock failure")
                         return
                     items, errors = mock._apply(body.decode("utf-8"))

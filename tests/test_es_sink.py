@@ -334,3 +334,27 @@ def test_empty_batch_posts_nothing(spark, es):
     sink(_env(spark, []), epoch_id=0)
     assert es.bulk_requests == 0
     assert es.snapshot() == {}
+
+
+def test_partial_batch_failure_then_replay_is_exactly_once(spark, es):
+    """The at-least-once contract end to end: a multi-chunk batch fails
+    MIDWAY (first chunk applied, second rejected), the batch raises, and
+    the full replay -- what Spark does after a failed epoch -- converges
+    to exactly-once state because doc IDs are deterministic."""
+    sink = EsBulkSink(es.url, mode="event", max_actions=2)
+    batch = _env(
+        spark,
+        [
+            ("insert", "users", i, f"public.users:{i}", None, {"id": str(i)})
+            for i in range(1, 7)
+        ],
+    ).coalesce(1)  # 3 chunks of 2
+    es.fail_after = 1  # chunk 1 lands, chunk 2 gets HTTP 500
+    with pytest.raises(Exception, match="_bulk HTTP 500"):
+        sink(batch, epoch_id=0)
+    partial = es.snapshot()["cdc_public_users"]
+    assert 0 < len(partial) < 6  # genuinely half-applied
+
+    sink(batch, epoch_id=0)  # Spark's epoch replay
+    users = es.snapshot()["cdc_public_users"]
+    assert sorted(users, key=int) == [str(i) for i in range(1, 7)]
