@@ -217,6 +217,7 @@ def parse_dml(b: bytes, relations: dict[int, Relation]) -> dict:
         return {"kind": "unknown", "relation_id": rel_id}
     before: list[str | None] | None = None
     after: list[str | None] | None = None
+    before_marker: bytes | None = None  # b"K" (old key) or b"O" (old full tuple)
     if tag == b"I":
         if b[off : off + 1] != b"N":
             raise PgOutputError("Insert message without new tuple")
@@ -225,6 +226,7 @@ def parse_dml(b: bytes, relations: dict[int, Relation]) -> dict:
     elif tag == b"U":
         marker = b[off : off + 1]
         if marker in (b"K", b"O"):  # old key / old full tuple present
+            before_marker = marker
             before, off = _parse_tuple_data(b, off + 1)
             marker = b[off : off + 1]
         if marker != b"N":
@@ -235,6 +237,7 @@ def parse_dml(b: bytes, relations: dict[int, Relation]) -> dict:
         marker = b[off : off + 1]
         if marker not in (b"K", b"O"):
             raise PgOutputError("Delete message without old tuple")
+        before_marker = marker
         before, off = _parse_tuple_data(b, off + 1)
         kind = "delete"
 
@@ -247,8 +250,11 @@ def parse_dml(b: bytes, relations: dict[int, Relation]) -> dict:
     # instead of guessing. Exception: a Delete/Update old-KEY tuple ('K')
     # legitimately carries only replica-identity columns padded with
     # nulls OR just the key cells on some server versions -- a SHORT
-    # before-tuple on those paths zips against the leading columns the
-    # server sent it for, which pgoutput defines positionally.
+    # 'K' before-tuple zips against the leading columns the server sent
+    # it for, which pgoutput defines positionally. An old-FULL tuple
+    # ('O' -- REPLICA IDENTITY FULL) must match the relation arity
+    # exactly, same as the after-tuple: a short 'O' is a registry desync
+    # and dead-letters rather than being silently mis-keyed.
     if after is not None and len(after) != len(rel.columns):
         return {
             "kind": "arity_mismatch",
@@ -256,7 +262,10 @@ def parse_dml(b: bytes, relations: dict[int, Relation]) -> dict:
             "ncells": len(after),
             "ncols": len(rel.columns),
         }
-    if before is not None and len(before) > len(rel.columns):
+    if before is not None and (
+        len(before) > len(rel.columns)
+        or (before_marker == b"O" and len(before) != len(rel.columns))
+    ):
         return {
             "kind": "arity_mismatch",
             "relation": rel,

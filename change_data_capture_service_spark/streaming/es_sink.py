@@ -47,7 +47,7 @@ EMPTY documents. This module is the engine's wire-real analogue:
 
 There is no live Elasticsearch in this sandbox: tests drive the sink
 against an in-process stdlib ``http.server`` mock that implements the
-``_bulk`` contract (``tests/es_mock.py``), which exercises the full
+``_bulk`` contract (``change_data_capture_service_spark/testing/es_mock.py``), which exercises the full
 HTTP/NDJSON/response-parsing path end-to-end.
 """
 
@@ -215,13 +215,16 @@ class EsBulkSink:
             )
             # lsn ties cannot happen on a real WAL (LSNs are unique), but a
             # deterministic tiebreak keeps replays byte-stable even on
-            # malformed producers: deletes lose to concurrent upserts.
+            # malformed producers: deletes lose to concurrent upserts
+            # (explicit priority -- alphabetical op order would invert it).
+            op_rank = F.when(F.col("op") == "delete", F.lit(1)).otherwise(F.lit(0))
             last = (
                 ok.withColumn(
                     "_rn",
                     F.row_number().over(
                         Window.partitionBy("key").orderBy(
-                            F.col("lsn").desc(), F.col("op"), F.col("ts").desc()
+                            F.col("lsn").desc(), op_rank.asc(),
+                            F.col("ts").desc(), F.col("op"),
                         )
                     ),
                 )

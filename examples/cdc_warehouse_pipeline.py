@@ -113,7 +113,7 @@ def main() -> None:
     print("   Elasticsearch-compatible endpoint (in-process mock here;")
     print("   point base_url at a real cluster in deployment):")
     from change_data_capture_service_spark.streaming.es_sink import EsBulkSink
-    from tests.es_mock import MockEs
+    from change_data_capture_service_spark.testing import MockEs
 
     with MockEs() as es:
         writer = EsBulkSink(es.url, mode="state")

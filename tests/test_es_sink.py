@@ -16,7 +16,7 @@ from pyspark.sql import types as T
 
 from change_data_capture_service_spark.streaming.envelope import ENVELOPE_SCHEMA
 from change_data_capture_service_spark.streaming.es_sink import EsBulkSink
-from tests.es_mock import MockEs
+from change_data_capture_service_spark.testing import MockEs
 
 TS = datetime(2024, 1, 1, 0, 0, 0)
 
@@ -358,3 +358,26 @@ def test_partial_batch_failure_then_replay_is_exactly_once(spark, es):
     sink(batch, epoch_id=0)  # Spark's epoch replay
     users = es.snapshot()["cdc_public_users"]
     assert sorted(users, key=int) == [str(i) for i in range(1, 7)]
+
+
+def test_duplicate_lsn_tiebreak_upsert_outranks_delete(spark, es):
+    """LSN ties cannot happen on a real WAL, but a malformed producer must
+    still replay deterministically: on an equal-LSN collision the UPSERT
+    wins over the delete (explicit op-priority rank -- alphabetical op
+    ordering would invert the documented policy)."""
+    sink = EsBulkSink(es.url, mode="state")
+    batch = _env(
+        spark,
+        [
+            ("delete", "users", 5, "public.users:1", {"id": "1"}, None),
+            ("update", "users", 5, "public.users:1", {"id": "1"}, {"id": "1", "v": "x"}),
+        ],
+    )
+    sink(batch, epoch_id=0)
+    users = es.snapshot().get("cdc_public_users", {})
+    assert "public.users:1" in users, "delete won the LSN tie; policy says upsert wins"
+    assert users["public.users:1"]["data"] == {"id": "1", "v": "x"}
+
+    state = es.snapshot()
+    sink(batch, epoch_id=0)  # replay stays byte-stable
+    assert es.snapshot() == state

@@ -469,3 +469,27 @@ def test_arity_mismatch_dead_letters_instead_of_miszipping(spark):
     ]))
     d = P.decode_pgoutput(spark.createDataFrame(short_del, P.FRAME_SCHEMA)).toPandas()
     assert list(d["op"]) == ["delete"] and d.iloc[0]["key"] == "public.users:7"
+
+
+def test_short_old_full_tuple_dead_letters_like_after_tuple(spark):
+    """The 'K' exemption must NOT leak to 'O' (REPLICA IDENTITY FULL)
+    before-tuples: an old-FULL tuple with fewer cells than the relation is
+    a registry desync on the delete/update old-tuple path -- the exact
+    hazard the after-tuple guard targets -- and dead-letters rather than
+    being positionally mis-zipped into a wrong key."""
+    rel2 = relation_msg(DROP_OID + 3, "public", "users", [("id", 20, True), ("name", 25, False)])
+    frames = list(enumerate([
+        xlog(100, rel2, TS),
+        xlog(110, delete_msg(DROP_OID + 3, ["7"], old_kind=b"O"), TS),
+        xlog(120, update_msg(DROP_OID + 3, ["7", "ada"], old=["7"], old_kind=b"O"), TS),
+        xlog(130, update_msg(DROP_OID + 3, ["8", "bob"], old=["8", "bo"], old_kind=b"O"), TS),
+    ]))
+    out = (
+        P.decode_pgoutput(spark.createDataFrame(frames, P.FRAME_SCHEMA))
+        .toPandas().sort_values("lsn").reset_index(drop=True)
+    )
+    assert list(out["op"]) == ["unknown", "unknown", "update"]
+    for i in (0, 1):
+        reason = dict(out.iloc[i]["after"])["_dead_letter_reason"]
+        assert "arity_mismatch" in reason and "1 cells" in reason
+    assert out.iloc[2]["key"] == "public.users:8"  # full-arity 'O' stays legal
