@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..registry import register
+from .ranks import exact_ntile
 
 
 def _first_after(sorted_ts: F.Column, prev: F.Column) -> F.Column:
@@ -1278,11 +1279,10 @@ def events_user_ltv_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical across engines.
 
     Scale: per-user partial agg first (|users| rows -- the only
-    fact-sized shuffle), then a global ntile over the reduced relation.
-    A global ORDER BY window funnels to one reducer; at 100 TB the cut
-    switches to approx percentile boundaries broadcast back (the
-    customer_rfm_segments pattern), trading exact band edges for full
-    parallelism."""
+    fact-sized shuffle), then the decile cut runs as ``ranks.exact_ntile``
+    (range-repartition on the sort key, per-range row_number, broadcast
+    offsets) -- exact band edges with no single-reducer sort even at
+    10^9 users."""
     e = load_table(spark, sf_dir, "events")
     cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
     u = (
@@ -1290,8 +1290,9 @@ def events_user_ltv_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.sum(cents).cast("bigint").alias("ltv_cents"))
     )
-    w = Window.orderBy(F.col("ltv_cents").desc(), "user_id")
-    d = u.withColumn("decile", F.ntile(10).over(w).cast("int"))
+    d = exact_ntile(
+        u, 10, [F.col("ltv_cents").desc(), F.col("user_id")], "decile"
+    )
     return d.groupBy("decile").agg(
         F.count("*").cast("bigint").alias("n_users"),
         F.sum("ltv_cents").cast("bigint").alias("total_cents"),

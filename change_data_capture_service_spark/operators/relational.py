@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..registry import register
+from .ranks import exact_ntile
 
 _REV = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
 
@@ -311,25 +312,23 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     c_custkey as tiebreaker (deterministic bucket edges on both engines);
     monetary ranks on the exact DECIMAL sum.
 
-    Scale: the windows run over the |customers| aggregate, not the fact
-    table. The global ORDER BY inside ntile is a single-partition sort of
-    dim-scale rows; at 10^9 customers swap each ntile for approx-quantile
-    cutoff joins (same output contract, fully parallel) -- the segment
-    column is the interface, not the window."""
+    Scale: the per-customer aggregate is the only fact-sized shuffle;
+    each quartile cut is ``ranks.exact_ntile`` -- range-repartition on
+    the sort key, per-range row_number, per-range counts -> broadcast
+    offsets -- so even at 10^9 customers no stage single-partitions the
+    dim relation (the window-ntile form this replaced funneled all
+    customers through one reducer three times)."""
     o = load_table(spark, sf_dir, "orders")
     rfm = o.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
         F.max("o_orderdate").alias("last_order"),
         F.count("*").alias("frequency"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary_d"),
     )
-    r_w = Window.orderBy(F.col("last_order").desc(), "c_custkey")
-    f_w = Window.orderBy(F.col("frequency").desc(), "c_custkey")
-    m_w = Window.orderBy(F.col("monetary_d").desc(), "c_custkey")
-    q = (
-        rfm.withColumn("r_q", F.ntile(4).over(r_w).cast("int"))
-        .withColumn("f_q", F.ntile(4).over(f_w).cast("int"))
-        .withColumn("m_q", F.ntile(4).over(m_w).cast("int"))
+    q = exact_ntile(
+        rfm, 4, [F.col("last_order").desc(), F.col("c_custkey")], "r_q"
     )
+    q = exact_ntile(q, 4, [F.col("frequency").desc(), F.col("c_custkey")], "f_q")
+    q = exact_ntile(q, 4, [F.col("monetary_d").desc(), F.col("c_custkey")], "m_q")
     return q.select(
         "c_custkey",
         "last_order",
