@@ -8,7 +8,7 @@ analogue is the Elasticsearch index its consumer maintains:
 -- built once by the ingest path, queried many times). This module splits
 the two halves:
 
-``build_ann_index(spark, corpus, index_dir)`` -- one distributed pass:
+``build_ann_index(spark, corpus, index_dir=...)`` -- one distributed pass:
 
 * ``centroids/``  -- the IVF coarse quantizer (cell, centroid), k-means
   with a fixed seed;
@@ -22,14 +22,14 @@ the two halves:
   IVF's "touch n_probe/n_cells of the corpus";
 * ``_ANN_META.json`` -- geometry (n_cells, m, ksub, d_sub) + a row count.
 
-``query_ann_index(spark, index_dir, queries, corpus)`` -- the read side:
+``query_ann_index(spark, queries, corpus, index_dir=...)`` -- the read side:
 probe the n_probe nearest cells per query, prune the codes scan to the
 union of probed cells, ADC-score (per-query LUTs over the codebooks,
 q.v = q.c_cell + q.r decomposition per Jegou et al. 2011 IVFADC, public
 paper), shortlist 30*top_k rows, exact-rerank against the corpus (raw vectors live
 in the corpus table, not the index -- the index stays ~16 bytes/vector).
 
-``extend_ann_index(spark, new_vectors, index_dir)`` -- the delta path:
+``extend_ann_index(spark, new_vectors, index_dir=...)`` -- the delta path:
 encode ONLY the new vectors with the existing (immutable) quantizers and
 append to the cell partitions; re-cluster only when measured recall
 drifts.
@@ -101,11 +101,26 @@ def _encode_residuals(
     return coded
 
 
+def _check_index_dir(index_dir) -> str:
+    """Positional-swap guard: the three index entry points historically
+    took ``index_dir`` in DIFFERENT positions (build: 3rd, query: 2nd),
+    an API trap that silently passed a DataFrame where a path belonged.
+    ``index_dir`` is now keyword-only everywhere and must be a string
+    path."""
+    if not isinstance(index_dir, str):
+        raise TypeError(
+            f"index_dir must be a filesystem path string, got "
+            f"{type(index_dir).__name__}; pass it keyword-only, e.g. "
+            f"query_ann_index(spark, queries, corpus, index_dir=...)"
+        )
+    return index_dir.rstrip("/")
+
+
 def build_ann_index(
     spark: SparkSession,
     corpus: DataFrame,
-    index_dir: str,
     *,
+    index_dir: str,
     n_cells: int = 16,
     n_sample: int = 4096,
 ) -> dict:
@@ -121,7 +136,7 @@ def build_ann_index(
     expression shape as the PQ encode); argmin ties break by position."""
     import numpy as np
 
-    index_dir = index_dir.rstrip("/")
+    index_dir = _check_index_dir(index_dir)
     vec = corpus.localCheckpoint()  # assign + sample + encode reuse it
 
     # deterministic UNBIASED sample: order by a hash of the id, not the id
@@ -218,7 +233,7 @@ def index_meta(index_dir: str) -> dict | None:
 
 
 def extend_ann_index(
-    spark: SparkSession, new_vectors: DataFrame, index_dir: str
+    spark: SparkSession, new_vectors: DataFrame, *, index_dir: str
 ) -> dict:
     """Delta-index the staleness gap: encode NEW vectors with the
     EXISTING quantizers (centroids + codebooks are immutable artifacts --
@@ -231,7 +246,7 @@ def extend_ann_index(
 
     Scale: one encode pass over the delta only (argmin against broadcast
     quantizers, zero shuffles before the partitioned append)."""
-    index_dir = index_dir.rstrip("/")
+    index_dir = _check_index_dir(index_dir)
     meta = index_meta(index_dir)
     if meta is None:
         raise FileNotFoundError(f"no ANN index at {index_dir} (run build_ann_index)")
@@ -269,17 +284,17 @@ def extend_ann_index(
 
 def query_ann_index(
     spark: SparkSession,
-    index_dir: str,
     queries: DataFrame,
     corpus: DataFrame,
     *,
+    index_dir: str,
     n_probe: int = 6,
     top_k: int = TOP_K,
 ) -> DataFrame:
     """Top-k cosine neighbors from the prebuilt index. ``queries`` carries
     (query_id, qv, qnrm); ``corpus`` carries (vec_id, v, nrm) and is read
     ONLY for the exact rerank of the 30*top_k-row shortlist."""
-    index_dir = index_dir.rstrip("/")
+    index_dir = _check_index_dir(index_dir)
     meta = index_meta(index_dir)
     if meta is None:
         raise FileNotFoundError(f"no ANN index at {index_dir} (run build_ann_index)")
@@ -409,14 +424,14 @@ def knn_cosine_ivf_pq_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
     scratch = tempfile.mkdtemp(prefix="ann_index_")
     try:
         vec = vec.localCheckpoint()
-        build_ann_index(spark, vec, scratch)
+        build_ann_index(spark, vec, index_dir=scratch)
         queries = vec.filter(F.col("vec_id") < N_QUERIES).select(
             F.col("vec_id").alias("query_id"),
             F.col("v").alias("qv"),
             F.col("nrm").alias("qnrm"),
         )
         return (
-            query_ann_index(spark, scratch, queries, vec)
+            query_ann_index(spark, queries, vec, index_dir=scratch)
             .orderBy("query_id", "rnk")
             .localCheckpoint()  # materialize before the finally deletes the index
         )
@@ -457,7 +472,7 @@ def knn_recall_vs_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     scratch = tempfile.mkdtemp(prefix="ann_curve_")
     try:
         vec = vec.localCheckpoint()
-        build_ann_index(spark, vec, scratch)
+        build_ann_index(spark, vec, index_dir=scratch)
         queries = vec.filter(F.col("vec_id") < N_QUERIES).select(
             F.col("vec_id").alias("query_id"),
             F.col("v").alias("qv"),
@@ -474,7 +489,7 @@ def knn_recall_vs_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         outs = []
         for n_probe in (1, 2, 4, 8):
             approx = query_ann_index(
-                spark, scratch, queries, vec, n_probe=n_probe
+                spark, queries, vec, index_dir=scratch, n_probe=n_probe
             ).select("query_id", "neighbor_id")
             hits = exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
             per_q = (

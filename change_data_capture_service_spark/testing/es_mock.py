@@ -22,6 +22,7 @@ class MockEs:
     def __init__(self):
         self.indices: dict[str, dict[str, dict]] = {}
         self.bulk_requests = 0
+        self.bulk_bytes = 0  # total NDJSON request-body bytes received
         self.fail_next = False  # one-shot: next _bulk returns HTTP 500
         self.fail_after = None  # fail the (N+1)th request, then disarm
         self._lock = threading.Lock()
@@ -38,6 +39,7 @@ class MockEs:
                 body = self.rfile.read(int(self.headers["Content-Length"]))
                 with mock._lock:
                     mock.bulk_requests += 1
+                    mock.bulk_bytes += len(body)
                     if mock.fail_next or (
                         mock.fail_after is not None
                         and mock.bulk_requests > mock.fail_after

@@ -51,7 +51,7 @@ def main() -> None:
 
         print("1. build: fit + encode + persist (the one-time pass)")
         t0 = time.perf_counter()
-        meta = build_ann_index(spark, vec, index_dir)
+        meta = build_ann_index(spark, vec, index_dir=index_dir)
         print(f"   built in {time.perf_counter() - t0:.2f}s: "
               f"{meta['n_vectors']} vectors, {meta['n_cells']} cells, "
               f"{meta['m']}x{meta['ksub']} residual codebooks")
@@ -67,7 +67,7 @@ def main() -> None:
             F.col("nrm").alias("qnrm"),
         )
         t0 = time.perf_counter()
-        hits = query_ann_index(spark, index_dir, queries, vec).collect()
+        hits = query_ann_index(spark, queries, vec, index_dir=index_dir).collect()
         print(f"   answered {len(set(r['query_id'] for r in hits))} queries "
               f"x top-{max(r['rnk'] for r in hits)} in "
               f"{time.perf_counter() - t0:.2f}s")
@@ -88,7 +88,7 @@ def main() -> None:
         live, indexed = grown.count(), index_meta(index_dir)["n_vectors"]
         print(f"   live corpus = {live} rows, index covers {indexed} "
               f"({live - indexed} unindexed)")
-        meta2 = extend_ann_index(spark, delta, index_dir)
+        meta2 = extend_ann_index(spark, delta, index_dir=index_dir)
         print(f"   extend_ann_index encoded the delta with the EXISTING "
               f"quantizers -> index now covers {meta2['n_vectors']} "
               f"(re-cluster only when recall drifts)")

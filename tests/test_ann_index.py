@@ -56,8 +56,8 @@ def test_build_is_deterministic_byte_identical(spark, sf_dir, tmp_path):
     codebook sample buys (a bare limit is plan-dependent)."""
     vec = _vectors(spark, sf_dir).localCheckpoint()
     a, b = str(tmp_path / "ia"), str(tmp_path / "ib")
-    build_ann_index(spark, vec, a)
-    build_ann_index(spark, vec, b)
+    build_ann_index(spark, vec, index_dir=a)
+    build_ann_index(spark, vec, index_dir=b)
 
     def canon(d, sub, cols):
         return sorted(
@@ -82,7 +82,7 @@ def test_codes_partitioned_by_cell_and_meta_tracks_staleness(spark, sf_dir, tmp_
     staleness signal."""
     vec = _vectors(spark, sf_dir).localCheckpoint()
     idx = str(tmp_path / "idx")
-    meta = build_ann_index(spark, vec, idx)
+    meta = build_ann_index(spark, vec, index_dir=idx)
 
     cell_dirs = glob.glob(f"{idx}/codes/cell=*")
     assert len(cell_dirs) >= 2, "codes not partitioned by cell"
@@ -113,7 +113,7 @@ def test_query_without_index_raises_and_registered_cleans_scratch(spark, sf_dir,
         F.col("nrm").alias("qnrm"),
     )
     try:
-        query_ann_index(spark, str(tmp_path / "missing"), q, vec)
+        query_ann_index(spark, q, vec, index_dir=str(tmp_path / "missing"))
         raise AssertionError("expected FileNotFoundError")
     except FileNotFoundError:
         pass
@@ -139,7 +139,7 @@ def test_extend_appends_delta_with_existing_quantizers(spark, sf_dir, tmp_path):
     mid = vec.agg(F.expr("cast(max(vec_id)/2 as long)")).collect()[0][0]
     first, second = vec.filter(F.col("vec_id") <= mid), vec.filter(F.col("vec_id") > mid)
     idx = str(tmp_path / "idx")
-    build_ann_index(spark, first, idx)
+    build_ann_index(spark, first, index_dir=idx)
 
     import hashlib
 
@@ -149,7 +149,7 @@ def test_extend_appends_delta_with_existing_quantizers(spark, sf_dir, tmp_path):
 
     cents_before = artifact_hash("centroids")
     books_before = artifact_hash("codebooks")
-    meta2 = extend_ann_index(spark, second, idx)
+    meta2 = extend_ann_index(spark, second, index_dir=idx)
     assert artifact_hash("centroids") == cents_before
     assert artifact_hash("codebooks") == books_before
     assert meta2["n_vectors"] == vec.count()
@@ -160,7 +160,7 @@ def test_extend_appends_delta_with_existing_quantizers(spark, sf_dir, tmp_path):
         F.col("v").alias("qv"),
         F.col("nrm").alias("qnrm"),
     )
-    hits = query_ann_index(spark, idx, q, vec).collect()
+    hits = query_ann_index(spark, q, vec, index_dir=idx).collect()
     got = {(r["query_id"], r["neighbor_id"]) for r in hits}
     assert any(n > mid for _, n in got), "no delta-half neighbors reachable"
     exact = {
@@ -187,3 +187,63 @@ def test_nprobe_curve_is_monotone_and_pays_off(spark, sf_dir):
     assert all(b >= a for a, b in zip(recalls, recalls[1:])), recalls
     assert recalls[-1] > recalls[0], recalls
     assert all(r["n_queries"] == rows[0]["n_queries"] for r in rows)
+
+
+def test_index_dir_positional_swap_raises_typeerror(spark, sf_dir):
+    """index_dir is keyword-only everywhere with an isinstance guard: the
+    historical API took it in DIFFERENT positions (build: 3rd, query:
+    2nd), so a positional swap passed a DataFrame where a path belonged.
+    Both the keyword-only signature and the runtime type check must
+    fire."""
+    import pytest
+
+    from change_data_capture_service_spark.operators.ann_index import (
+        extend_ann_index,
+    )
+
+    vec = _vectors(spark, sf_dir)
+    with pytest.raises(TypeError):
+        build_ann_index(spark, vec, "/tmp/nope")  # positional: rejected
+    with pytest.raises(TypeError, match="filesystem path"):
+        build_ann_index(spark, vec, index_dir=vec)  # DataFrame: clear error
+    with pytest.raises(TypeError, match="keyword-only"):
+        query_ann_index(spark, vec, vec, index_dir=vec)
+    with pytest.raises(TypeError):
+        extend_ann_index(spark, vec, vec)
+
+
+def test_extend_in_batches_equals_extend_in_one(spark, sf_dir, tmp_path):
+    """Delta-path equivalence at equal n_probe: starting from the same
+    base index (same immutable quantizers), extending with the remainder
+    in TWO batches answers exactly what extending in ONE batch answers --
+    encode is per-row against frozen artifacts, so batch boundaries and
+    append order cannot change a neighbor. This is the end-to-end gate
+    for build -> extend -> query beyond the recall test above."""
+    from change_data_capture_service_spark.operators.ann_index import (
+        extend_ann_index,
+    )
+
+    vec = _vectors(spark, sf_dir).localCheckpoint()
+    hi = vec.agg(F.max("vec_id")).collect()[0][0]
+    t1, t2 = hi // 3, 2 * hi // 3
+    base = vec.filter(F.col("vec_id") <= t1)
+    mid = vec.filter((F.col("vec_id") > t1) & (F.col("vec_id") <= t2))
+    rest = vec.filter(F.col("vec_id") > t2)
+
+    one, two = str(tmp_path / "one"), str(tmp_path / "two")
+    build_ann_index(spark, base, index_dir=one)
+    build_ann_index(spark, base, index_dir=two)
+    extend_ann_index(spark, mid.unionByName(rest), index_dir=one)
+    extend_ann_index(spark, mid, index_dir=two)
+    extend_ann_index(spark, rest, index_dir=two)
+    assert index_meta(one)["n_vectors"] == index_meta(two)["n_vectors"] == vec.count()
+
+    q = vec.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    for n_probe in (2, 6):
+        a = sorted(map(str, query_ann_index(spark, q, vec, index_dir=one, n_probe=n_probe).collect()))
+        b = sorted(map(str, query_ann_index(spark, q, vec, index_dir=two, n_probe=n_probe).collect()))
+        assert a == b
