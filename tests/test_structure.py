@@ -64,3 +64,24 @@ def test_rows_only_set_is_exactly_the_documented_one():
         "knn_recall_eval",
         "dedup_minhash_estimate_quality",
     }, rows_only
+
+
+def test_catalog_md_is_in_sync_with_registry():
+    """CATALOG.md is GENERATED from the registry (scripts/gen_catalog.py);
+    an operator that lands without regenerating it fails here, so the
+    user-facing catalog can never drift from registry.queries()."""
+    import importlib
+    import os
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(root, "scripts"))
+    try:
+        gen = importlib.import_module("gen_catalog")
+    finally:
+        sys.path.pop(0)
+    with open(os.path.join(root, "CATALOG.md")) as f:
+        on_disk = f.read()
+    assert on_disk == gen.render(), (
+        "CATALOG.md is stale: run `python scripts/gen_catalog.py`"
+    )
