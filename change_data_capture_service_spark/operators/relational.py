@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..registry import register
-from .ranks import exact_ntile
+from .ranks import exact_global_row_number, exact_ntile
 
 _REV = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
 
@@ -3351,4 +3351,207 @@ def part_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "revenue_share"
             ),
         )
+    )
+
+
+@register(
+    "part_price_index_paasche_fisher",
+    tags=("relational", "timeseries", "agg"),
+    oracle="""
+    WITH monthly AS (
+      SELECT l_partkey, date_trunc('month', l_shipdate) AS month,
+             CAST(sum(try_cast(try_cast(l_extendedprice AS DECIMAL(18,2))
+                                * 100 AS BIGINT)) AS BIGINT) AS sc,
+             CAST(sum(try_cast(try_cast(l_quantity AS DECIMAL(18,2))
+                                * 100 AS BIGINT)) AS BIGINT) AS qc
+      FROM lineitem
+      GROUP BY l_partkey, date_trunc('month', l_shipdate)
+      HAVING sum(try_cast(try_cast(l_quantity AS DECIMAL(18,2))
+                          * 100 AS BIGINT)) > 0
+         AND sum(try_cast(try_cast(l_extendedprice AS DECIMAL(18,2))
+                          * 100 AS BIGINT)) >= 0
+    ),
+    base AS (
+      SELECT l_partkey, sc AS sc0, qc AS qc0 FROM monthly
+      WHERE month = (SELECT min(month) FROM monthly)
+    ),
+    j AS (
+      SELECT m.month,
+             CAST((2 * m.sc * 1000000 + m.qc) // (2 * m.qc) AS DECIMAL(38,0)) AS pt,
+             CAST((2 * b.sc0 * 1000000 + b.qc0) // (2 * b.qc0) AS DECIMAL(38,0)) AS p0,
+             m.qc AS qt, b.qc0 AS q0
+      FROM monthly m JOIN base b ON m.l_partkey = b.l_partkey
+    )
+    SELECT month, CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(pt * q0) AS DOUBLE) / CAST(sum(p0 * q0) AS DOUBLE)
+             AS laspeyres_index,
+           CAST(sum(pt * qt) AS DOUBLE) / CAST(sum(p0 * qt) AS DOUBLE)
+             AS paasche_index,
+           sqrt((CAST(sum(pt * q0) AS DOUBLE) / CAST(sum(p0 * q0) AS DOUBLE))
+                * (CAST(sum(pt * qt) AS DOUBLE) / CAST(sum(p0 * qt) AS DOUBLE)))
+             AS fisher_index
+    FROM j GROUP BY month
+    """,
+)
+def part_price_index_paasche_fisher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paasche (current-quantity weights) and Fisher (geometric mean of
+    Laspeyres and Paasche) price indices by ship month -- the other two
+    classical index formulas beside part_price_index_laspeyres. Laspeyres
+    overstates inflation when buyers substitute away from price risers,
+    Paasche understates it; Fisher is the "ideal" compromise the pair
+    brackets. All three ship here so the substitution-bias GAP is a
+    queryable column pair.
+
+    Exactness: identical machinery to the Laspeyres op -- integer-cents
+    part-month totals, the half-up INTEGER micro-unit-price identity
+    (2*sc*10^6 + qc) div (2*qc) (the double path disagrees on decimal
+    ties across engines), DECIMAL(38,0) basket sums, and final quotients
+    as unrounded doubles (sqrt is IEEE-correctly-rounded, so Fisher
+    matches bit-for-bit too).
+
+    Scale: same as Laspeyres -- |parts| x |months| partial agg, a
+    |parts| broadcast base, a |months| rollup; no fact rows past the
+    first agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sc = F.expr("try_cast(try_cast(l_extendedprice AS decimal(18,2)) * 100 AS bigint)")
+    qc = F.expr("try_cast(try_cast(l_quantity AS decimal(18,2)) * 100 AS bigint)")
+    monthly = (
+        li.groupBy(
+            "l_partkey", F.date_trunc("month", "l_shipdate").alias("month")
+        )
+        .agg(
+            F.sum(sc).cast("bigint").alias("sc"),
+            F.sum(qc).cast("bigint").alias("qc"),
+        )
+        # same symmetric domain gates as the Laspeyres op (no unit price
+        # without quantity; negative sums diverge on integer div semantics)
+        .filter((F.col("qc") > 0) & (F.col("sc") >= 0))
+        .localCheckpoint(eager=False)  # feeds the base lookup and the index
+    )
+    base_month = monthly.agg(F.min("month").alias("m0"))
+    base = (
+        monthly.crossJoin(F.broadcast(base_month))
+        .filter(F.col("month") == F.col("m0"))
+        .select(
+            F.col("l_partkey").alias("bk"),
+            F.col("sc").alias("sc0"),
+            F.col("qc").alias("qc0"),
+        )
+    )
+    j = monthly.join(F.broadcast(base), F.col("l_partkey") == F.col("bk")).select(
+        "month",
+        F.expr("CAST((2 * sc * 1000000 + qc) div (2 * qc) AS decimal(38,0))").alias("pt"),
+        F.expr("CAST((2 * sc0 * 1000000 + qc0) div (2 * qc0) AS decimal(38,0))").alias("p0"),
+        F.col("qc").alias("qt"),
+        F.col("qc0").alias("q0"),
+    )
+    lasp = F.sum(F.col("pt") * F.col("q0")).cast("double") / F.sum(
+        F.col("p0") * F.col("q0")
+    ).cast("double")
+    paas = F.sum(F.col("pt") * F.col("qt")).cast("double") / F.sum(
+        F.col("p0") * F.col("qt")
+    ).cast("double")
+    return j.groupBy("month").agg(
+        F.count("*").cast("bigint").alias("n_parts"),
+        lasp.alias("laspeyres_index"),
+        paas.alias("paasche_index"),
+        F.sqrt(lasp * paas).alias("fisher_index"),
+    )
+
+
+@register(
+    "part_revenue_gini_lorenz",
+    tags=("relational", "stats", "window"),
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey,
+             CAST(sum(try_cast(try_cast(l_extendedprice AS DECIMAL(18,2))
+                                * 100 AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem
+      GROUP BY 1
+      HAVING sum(try_cast(try_cast(l_extendedprice AS DECIMAL(18,2))
+                          * 100 AS BIGINT)) >= 0
+    ),
+    r AS (
+      SELECT cents,
+             CAST(row_number() OVER (ORDER BY cents, l_partkey) AS BIGINT) AS rn,
+             CAST(count(*) OVER () AS BIGINT) AS n
+      FROM rev
+    )
+    SELECT n AS n_parts,
+           round((2 * CAST(sum(CAST(rn AS DECIMAL(38,0)) * cents) AS DOUBLE)
+                  - (CAST(n AS DOUBLE) + 1) * CAST(sum(CAST(cents AS DECIMAL(38,0))) AS DOUBLE))
+                 / nullif(CAST(n AS DOUBLE)
+                          * CAST(sum(CAST(cents AS DECIMAL(38,0))) AS DOUBLE), 0),
+                 6) AS gini,
+           round(CAST(sum(CASE WHEN rn > n - n // 10 THEN CAST(cents AS DECIMAL(38,0)) ELSE 0 END) AS DOUBLE)
+                 / nullif(CAST(sum(CAST(cents AS DECIMAL(38,0))) AS DOUBLE), 0), 6)
+             AS top_decile_share,
+           round(CAST(sum(CASE WHEN rn <= n // 2 THEN CAST(cents AS DECIMAL(38,0)) ELSE 0 END) AS DOUBLE)
+                 / nullif(CAST(sum(CAST(cents AS DECIMAL(38,0))) AS DOUBLE), 0), 6)
+             AS bottom_half_share
+    FROM r GROUP BY n
+    """,
+)
+def part_revenue_gini_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration across parts: exact Gini coefficient plus
+    two Lorenz-curve landmarks (top-decile share, bottom-half share) --
+    the assortment-inequality summary (is revenue a long tail or a
+    hit-driven head?) that events_gini_concentration answers for users
+    and this answers for the catalog.
+
+    Uses the exact rank formulation G = (2*sum(i*x_i) - (n+1)*sum(x)) /
+    (n*sum(x)) over cent-scaled BIGINT totals with (cents, partkey) as
+    the total order; every term is exact integer arithmetic
+    (DECIMAL(38,0) rank-weighted sums) until the final division.
+
+    Scale: the per-part reduction is the only fact-sized shuffle; the
+    global rank comes from ranks.exact_global_row_number -- range-
+    repartitioned per-range row_number plus broadcast offsets -- so
+    unlike a window-rank Gini there is NO single-task sort of the
+    |parts| relation at any width (the rank stage is the same
+    multi-task shape test_round14_ops pins for the ntile family)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.expr(
+        "try_cast(try_cast(l_extendedprice AS decimal(18,2)) * 100 AS bigint)"
+    )
+    rev = (
+        li.groupBy("l_partkey")
+        .agg(F.sum(cents).cast("bigint").alias("cents"))
+        .filter(F.col("cents") >= 0)
+    )
+    r = exact_global_row_number(
+        rev, [F.col("cents"), F.col("l_partkey")], "rn"
+    )
+    tot = F.sum(F.col("cents").cast("decimal(38,0)")).cast("double")
+    num = 2 * F.sum(F.col("rn").cast("decimal(38,0)") * F.col("cents")).cast("double")
+    out = r.groupBy("_N").agg(
+        F.round(
+            (num - (F.col("_N").cast("double") + 1) * tot)
+            / F.nullif(F.col("_N").cast("double") * tot, F.lit(0.0)),
+            6,
+        ).alias("gini"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("rn") > F.col("_N") - F.expr("_N DIV 10"),
+                    F.col("cents").cast("decimal(38,0)"),
+                ).otherwise(F.lit(0))
+            ).cast("double")
+            / F.nullif(tot, F.lit(0.0)),
+            6,
+        ).alias("top_decile_share"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("rn") <= F.expr("_N DIV 2"),
+                    F.col("cents").cast("decimal(38,0)"),
+                ).otherwise(F.lit(0))
+            ).cast("double")
+            / F.nullif(tot, F.lit(0.0)),
+            6,
+        ).alias("bottom_half_share"),
+    )
+    return out.select(
+        F.col("_N").alias("n_parts"), "gini", "top_decile_share", "bottom_half_share"
     )

@@ -1453,3 +1453,520 @@ def orders_kruskal_wallis_priority(spark: SparkSession, sf_dir: str) -> DataFram
         (F.col("k") - 1).cast("bigint").alias("dof"),
         F.round(h_raw / F.nullif(corr, F.lit(0.0)), 6).alias("h"),
     )
+
+
+@register(
+    "events_welch_ttest_weekend",
+    tags=("stats", "analytics"),
+    oracle=f"""
+    WITH s AS (
+      SELECT {_VALUE_C} AS c,
+             CAST(dayofweek(ts) IN (0, 6) AS BOOLEAN) AS wkd
+      FROM events WHERE {_VALUE_C} IS NOT NULL
+    ),
+    m AS (
+      SELECT CAST(sum(CASE WHEN wkd THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN wkd THEN 0 ELSE 1 END) AS BIGINT) AS n2,
+             CAST(sum(CASE WHEN wkd THEN CAST(c AS DECIMAL(38,0)) ELSE 0 END)
+               AS DECIMAL(38,0)) AS s1,
+             CAST(sum(CASE WHEN wkd THEN 0 ELSE CAST(c AS DECIMAL(38,0)) END)
+               AS DECIMAL(38,0)) AS s2,
+             CAST(sum(CASE WHEN wkd THEN CAST(c AS DECIMAL(38,0)) * c ELSE 0 END)
+               AS DECIMAL(38,0)) AS q1,
+             CAST(sum(CASE WHEN wkd THEN 0 ELSE CAST(c AS DECIMAL(38,0)) * c END)
+               AS DECIMAL(38,0)) AS q2
+      FROM s
+    ),
+    d AS (
+      SELECT n1, n2,
+             CAST(s1 AS DOUBLE) / n1 AS m1, CAST(s2 AS DOUBLE) / n2 AS m2,
+             (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n1)
+               / (n1 - 1) / n1 AS se1,
+             (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / n2)
+               / (n2 - 1) / n2 AS se2
+      FROM m WHERE n1 > 1 AND n2 > 1
+    )
+    SELECT n1 AS n_weekend, n2 AS n_weekday,
+           round((m1 - m2) / 100, 6) AS mean_diff_dollars,
+           round((m1 - m2) / nullif(sqrt(se1 + se2), 0), 6) AS t_stat,
+           round((se1 + se2) * (se1 + se2)
+                 / nullif(se1 * se1 / (n1 - 1) + se2 * se2 / (n2 - 1), 0),
+                 6) AS dof_welch
+    FROM d
+    """,
+)
+def events_welch_ttest_weekend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test between weekend and weekday event
+    values, with the Welch-Satterthwaite effective degrees of freedom --
+    the parametric companion to the distribution-free pair already in the
+    registry (events_mannwhitney_purchase_ab ranks, events_value_ks_weekend
+    whole-CDF): same question, mean-difference lens.
+
+    Exactness: the six sufficient moments (n, sum, sum-of-squares per
+    group) accumulate as exact DECIMAL(38,0) integer cents in ONE partial
+    agg; the t statistic and dof are a shared double closed form from
+    those exact operands (identical expression shape on both engines),
+    rounded at 6 dp, NULL via nullif on degenerate variance.
+
+    Scale: a single map-side-combinable pass over the fact table to one
+    moment row -- no window, no join, no shuffle wider than the 6-column
+    partial."""
+    e = load_table(spark, sf_dir, "events")
+    c = F.expr(_VALUE_C)
+    s = e.select(
+        c.alias("c"), F.dayofweek("ts").isin(1, 7).alias("wkd")
+    ).filter(F.col("c").isNotNull())
+    cd = F.col("c").cast("decimal(38,0)")
+    m = s.agg(
+        F.sum(F.when(F.col("wkd"), 1).otherwise(0)).cast("bigint").alias("n1"),
+        F.sum(F.when(F.col("wkd"), 0).otherwise(1)).cast("bigint").alias("n2"),
+        F.sum(F.when(F.col("wkd"), cd).otherwise(F.lit(0))).cast("decimal(38,0)").alias("s1"),
+        F.sum(F.when(F.col("wkd"), F.lit(0)).otherwise(cd)).cast("decimal(38,0)").alias("s2"),
+        F.sum(F.when(F.col("wkd"), cd * F.col("c")).otherwise(F.lit(0)))
+        .cast("decimal(38,0)").alias("q1"),
+        F.sum(F.when(F.col("wkd"), F.lit(0)).otherwise(cd * F.col("c")))
+        .cast("decimal(38,0)").alias("q2"),
+    ).filter((F.col("n1") > 1) & (F.col("n2") > 1))
+    n1d, n2d = F.col("n1").cast("double"), F.col("n2").cast("double")
+    m1 = F.col("s1").cast("double") / F.col("n1")
+    m2 = F.col("s2").cast("double") / F.col("n2")
+    se1 = (
+        (F.col("q1").cast("double") - F.col("s1").cast("double") * F.col("s1").cast("double") / F.col("n1"))
+        / (F.col("n1") - 1) / F.col("n1")
+    )
+    se2 = (
+        (F.col("q2").cast("double") - F.col("s2").cast("double") * F.col("s2").cast("double") / F.col("n2"))
+        / (F.col("n2") - 1) / F.col("n2")
+    )
+    return m.select(
+        F.col("n1").alias("n_weekend"),
+        F.col("n2").alias("n_weekday"),
+        F.round((m1 - m2) / 100, 6).alias("mean_diff_dollars"),
+        F.round((m1 - m2) / F.nullif(F.sqrt(se1 + se2), F.lit(0.0)), 6).alias("t_stat"),
+        F.round(
+            (se1 + se2) * (se1 + se2)
+            / F.nullif(se1 * se1 / (n1d - 1) + se2 * se2 / (n2d - 1), F.lit(0.0)),
+            6,
+        ).alias("dof_welch"),
+    )
+
+
+@register(
+    "events_chi_square_type_dow",
+    tags=("stats", "analytics"),
+    oracle="""
+    WITH n AS (
+      SELECT event_type AS t, CAST(dayofweek(ts) AS INT) AS d,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    rt AS (SELECT t, CAST(sum(n) AS BIGINT) AS r FROM n GROUP BY 1),
+    ct AS (SELECT d, CAST(sum(n) AS BIGINT) AS c FROM n GROUP BY 1),
+    g AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM n),
+    grid AS (
+      SELECT rt.t, ct.d, rt.r, ct.c, coalesce(n.n, 0) AS n
+      FROM rt CROSS JOIN ct LEFT JOIN n ON n.t = rt.t AND n.d = ct.d
+    )
+    SELECT CAST(count(DISTINCT t) AS BIGINT) AS n_types,
+           CAST(count(DISTINCT d) AS BIGINT) AS n_dows,
+           (count(DISTINCT t) - 1) * (count(DISTINCT d) - 1) AS dof,
+           CAST(tot AS BIGINT) AS n,
+           round(sum(
+             CAST((CAST(n AS DECIMAL(38,0)) * tot - CAST(r AS DECIMAL(38,0)) * c)
+                  * (CAST(n AS DECIMAL(38,0)) * tot - CAST(r AS DECIMAL(38,0)) * c)
+               AS DOUBLE)
+             / (CAST(r AS DOUBLE) * c * tot)), 6) AS chi2,
+           round(sqrt(sum(
+             CAST((CAST(n AS DECIMAL(38,0)) * tot - CAST(r AS DECIMAL(38,0)) * c)
+                  * (CAST(n AS DECIMAL(38,0)) * tot - CAST(r AS DECIMAL(38,0)) * c)
+               AS DOUBLE)
+             / (CAST(r AS DOUBLE) * c * tot))
+             / (tot * least(count(DISTINCT t) - 1, count(DISTINCT d) - 1))), 6)
+             AS cramers_v
+    FROM grid CROSS JOIN g
+    GROUP BY tot
+    """,
+)
+def events_chi_square_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-squared test of independence between event type and
+    day-of-week, with Cramer's V effect size -- the contingency-table
+    twin of events_mutual_info_type_dow (information-theoretic) and
+    part_attr_assoc_cramer (which measures part attributes; this one
+    answers "does WHEN an event happens depend on WHAT it is").
+
+    Exactness: the statistic uses the cross-multiplied integer form
+    (n_ij*N - r_i*c_j)^2 in DECIMAL(38,0) -- exact until the single
+    division by r_i*c_j*N per cell -- summed over the FULL margin grid
+    (unobserved cells contribute their expected count, which the
+    observed-rows-only shortcut silently drops). Day-of-week ints are
+    engine-native on each side (grouping keys only -- never compared
+    across engines).
+
+    Scale: one fact pass to the |types x 7| contingency counts (partial
+    agg); margins and the grid are k x 7 driver-scale relations joined
+    broadcast. Nothing beyond the first agg touches fact-table rows."""
+    e = load_table(spark, sf_dir, "events")
+    n = (
+        e.filter(F.col("event_type").isNotNull() & F.col("ts").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("t"),
+            F.dayofweek("ts").cast("int").alias("d"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n"))
+    ).localCheckpoint(eager=False)  # margins + grid reuse the counts
+    rt = n.groupBy("t").agg(F.sum("n").cast("bigint").alias("r"))
+    ct = n.groupBy("d").agg(F.sum("n").cast("bigint").alias("c"))
+    g = n.agg(F.sum("n").cast("bigint").alias("tot"))
+    grid = (
+        rt.crossJoin(F.broadcast(ct))
+        .join(F.broadcast(n), ["t", "d"], "left")
+        .select("t", "d", "r", "c", F.coalesce(F.col("n"), F.lit(0)).alias("n"))
+        .crossJoin(F.broadcast(g))
+    )
+    num = (
+        F.col("n").cast("decimal(38,0)") * F.col("tot")
+        - F.col("r").cast("decimal(38,0)") * F.col("c")
+    )
+    cell = (num * num).cast("double") / (
+        F.col("r").cast("double") * F.col("c") * F.col("tot")
+    )
+    chi2 = F.sum(cell)
+    kmin = F.least(
+        F.count_distinct(F.col("t")) - 1, F.count_distinct(F.col("d")) - 1
+    )
+    return grid.groupBy("tot").agg(
+        F.count_distinct(F.col("t")).cast("bigint").alias("n_types"),
+        F.count_distinct(F.col("d")).cast("bigint").alias("n_dows"),
+        ((F.count_distinct(F.col("t")) - 1) * (F.count_distinct(F.col("d")) - 1)).alias("dof"),
+        F.round(chi2, 6).alias("chi2"),
+        F.round(F.sqrt(chi2 / (F.col("tot") * kmin)), 6).alias("cramers_v"),
+    ).select(
+        "n_types", "n_dows", "dof", F.col("tot").cast("bigint").alias("n"),
+        "chi2", "cramers_v",
+    )
+
+
+@register(
+    "lineitem_brown_forsythe_returnflag",
+    tags=("stats", "agg"),
+    oracle=f"""
+    WITH s AS (
+      SELECT l_returnflag AS grp, {_PRICE_C} AS c FROM lineitem
+      WHERE {_PRICE_C} IS NOT NULL AND l_returnflag IS NOT NULL
+    ),
+    gv AS (
+      SELECT grp, c, CAST(count(*) AS BIGINT) AS cnt FROM s GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT grp, c, cnt,
+             CAST(sum(cnt) OVER (PARTITION BY grp ORDER BY c) AS BIGINT) AS cm,
+             CAST(sum(cnt) OVER (PARTITION BY grp) AS BIGINT) AS n_g
+      FROM gv
+    ),
+    med AS (
+      SELECT grp, n_g,
+             min(CASE WHEN cm >= (n_g + 1) // 2 THEN c END)
+             + min(CASE WHEN cm >= (n_g + 2) // 2 THEN c END) AS med2
+      FROM cum GROUP BY 1, 2
+    ),
+    z AS (
+      SELECT gv.grp, med.n_g,
+             CAST(sum(CAST(cnt AS DECIMAL(38,0)) * abs(2 * gv.c - med2))
+               AS DECIMAL(38,0)) AS sd,
+             CAST(sum(CAST(cnt AS DECIMAL(38,0)) * abs(2 * gv.c - med2)
+                      * abs(2 * gv.c - med2)) AS DECIMAL(38,0)) AS sd2
+      FROM gv JOIN med ON gv.grp = med.grp GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n_g) AS BIGINT) AS n,
+             sum(CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE) / n_g) AS sq_over,
+             CAST(sum(sd) AS DOUBLE) AS sd_all,
+             sum(CAST(sd2 AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE) / n_g)
+               AS within
+      FROM z
+    )
+    SELECT n, k, CAST(k - 1 AS BIGINT) AS dof1, CAST(n - k AS BIGINT) AS dof2,
+           round((CAST(n AS DOUBLE) - k) / (k - 1)
+                 * (sq_over - sd_all * sd_all / n)
+                 / nullif(within, 0), 6) AS w_stat
+    FROM agg WHERE k > 1 AND n > k
+    """,
+)
+def lineitem_brown_forsythe_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe variance-homogeneity test across return flags: a
+    one-way ANOVA on |x - group median| -- the robust "are these groups
+    equally SPREAD" gate that should precede
+    lineitem_price_anova_returnflag (whose F test assumes it).
+
+    Exactness: group medians come from ORDER STATISTICS over the cents
+    domain (lo/hi midrank picks on per-group cumulative counts), never
+    from interpolated quantiles -- so the DOUBLED median (lo+hi) is an
+    exact integer, |2x - med2| is an exact integer deviation, and the
+    per-group deviation sums (sd, sd2) are exact DECIMAL(38,0); the /4
+    rescale of doubled deviations cancels in the W ratio. One shared
+    double closed form, 6 dp.
+
+    Scale: one fact pass to (grp, cents) counts; the per-group cumulative
+    runs over the value-DOMAIN relation partitioned by group (k tasks,
+    each over at most |distinct cents| rows -- at extreme domains, ride
+    _domain_prefix per group, same recipe as the KS/Kruskal family);
+    deviation sums join the counts back to the k-row broadcast medians."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = li.select(
+        F.col("l_returnflag").alias("grp"), F.expr(_PRICE_C).alias("c")
+    ).filter(F.col("c").isNotNull() & F.col("grp").isNotNull())
+    gv = (
+        s.groupBy("grp", "c")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .localCheckpoint(eager=False)  # feeds cum + the deviation join
+    )
+    wg = Window.partitionBy("grp").orderBy("c")
+    cum = gv.select(
+        "grp", "c", "cnt",
+        F.sum("cnt").over(wg).cast("bigint").alias("cm"),
+        F.sum("cnt").over(Window.partitionBy("grp")).cast("bigint").alias("n_g"),
+    )
+    med = cum.groupBy("grp", "n_g").agg(
+        (
+            F.min(F.when(F.col("cm") >= F.expr("(n_g + 1) DIV 2"), F.col("c")))
+            + F.min(F.when(F.col("cm") >= F.expr("(n_g + 2) DIV 2"), F.col("c")))
+        ).alias("med2")
+    )
+    d2 = F.abs(2 * F.col("c") - F.col("med2"))
+    z = (
+        gv.join(F.broadcast(med), "grp")
+        .groupBy("grp", "n_g")
+        .agg(
+            F.sum(F.col("cnt").cast("decimal(38,0)") * d2)
+            .cast("decimal(38,0)").alias("sd"),
+            F.sum(F.col("cnt").cast("decimal(38,0)") * d2 * d2)
+            .cast("decimal(38,0)").alias("sd2"),
+        )
+    )
+    agg = z.agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.sum(F.col("sd").cast("double") * F.col("sd").cast("double") / F.col("n_g")).alias("sq_over"),
+        F.sum("sd").cast("double").alias("sd_all"),
+        F.sum(
+            F.col("sd2").cast("double")
+            - F.col("sd").cast("double") * F.col("sd").cast("double") / F.col("n_g")
+        ).alias("within"),
+    )
+    return agg.filter((F.col("k") > 1) & (F.col("n") > F.col("k"))).select(
+        "n", "k",
+        (F.col("k") - 1).cast("bigint").alias("dof1"),
+        (F.col("n") - F.col("k")).cast("bigint").alias("dof2"),
+        F.round(
+            (F.col("n").cast("double") - F.col("k")) / (F.col("k") - 1)
+            * (F.col("sq_over") - F.col("sd_all") * F.col("sd_all") / F.col("n"))
+            / F.nullif(F.col("within"), F.lit(0.0)),
+            6,
+        ).alias("w_stat"),
+    )
+
+
+# Jarque-Bera domain gate: fourth powers of cents must stay inside
+# DECIMAL(38,0) under summation. |c| <= 10^8 cents ($1M per event) keeps
+# c^4 <= 10^32, six orders of headroom for the row count.
+_JB_CAP = 100_000_000
+
+
+@register(
+    "events_value_jarque_bera",
+    tags=("stats", "analytics"),
+    oracle=f"""
+    WITH s AS (
+      SELECT {_VALUE_C} AS c FROM events
+      WHERE event_type = 'purchase' AND {_VALUE_C} IS NOT NULL
+        AND abs({_VALUE_C}) <= {_JB_CAP}
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(c AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS p1,
+             CAST(sum(CAST(c AS DECIMAL(38,0)) * c) AS DECIMAL(38,0)) AS p2,
+             CAST(sum(CAST(c AS DECIMAL(38,0)) * c * c) AS DECIMAL(38,0)) AS p3,
+             CAST(sum(CAST(c AS DECIMAL(38,0)) * c * c * c) AS DECIMAL(38,0)) AS p4
+      FROM s
+    ),
+    c AS (
+      SELECT n,
+             CAST(p1 AS DOUBLE) / n AS mu,
+             CAST(p2 AS DOUBLE) / n - (CAST(p1 AS DOUBLE) / n) * (CAST(p1 AS DOUBLE) / n) AS m2,
+             CAST(p3 AS DOUBLE) / n
+               - 3 * (CAST(p1 AS DOUBLE) / n) * (CAST(p2 AS DOUBLE) / n)
+               + 2 * (CAST(p1 AS DOUBLE) / n) * (CAST(p1 AS DOUBLE) / n) * (CAST(p1 AS DOUBLE) / n) AS m3,
+             CAST(p4 AS DOUBLE) / n
+               - 4 * (CAST(p1 AS DOUBLE) / n) * (CAST(p3 AS DOUBLE) / n)
+               + 6 * (CAST(p1 AS DOUBLE) / n) * (CAST(p1 AS DOUBLE) / n) * (CAST(p2 AS DOUBLE) / n)
+               - 3 * (CAST(p1 AS DOUBLE) / n) * (CAST(p1 AS DOUBLE) / n)
+                   * (CAST(p1 AS DOUBLE) / n) * (CAST(p1 AS DOUBLE) / n) AS m4
+      FROM m WHERE n > 3
+    )
+    SELECT n,
+           round(m3 / nullif(sqrt(m2) * m2, 0), 6) AS skewness,
+           round(m4 / nullif(m2 * m2, 0) - 3, 6) AS excess_kurtosis,
+           round(CAST(n AS DOUBLE) / 6
+                 * ((m3 / nullif(sqrt(m2) * m2, 0)) * (m3 / nullif(sqrt(m2) * m2, 0))
+                    + (m4 / nullif(m2 * m2, 0) - 3) * (m4 / nullif(m2 * m2, 0) - 3) / 4),
+                 6) AS jb_stat
+    FROM c
+    """,
+)
+def events_value_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality test on purchase values: skewness, excess
+    kurtosis, and JB = n/6 (S^2 + K^2/4) -- chi-squared(2) under
+    normality. The moment-based gate behind every "can I use the
+    parametric test" decision (events_welch_ttest_weekend assumes what
+    this measures).
+
+    Exactness: the four raw power sums accumulate as exact DECIMAL(38,0)
+    integer cents in ONE partial agg (domain-gated to |value| <= $1M so
+    the fourth power keeps six orders of DECIMAL headroom over the row
+    count -- gate mirrored in the oracle); central moments and the
+    statistic are a shared double closed form (sqrt(m2)*m2 instead of
+    pow(m2,1.5): sqrt is IEEE-correctly-rounded, pow is not), 6 dp.
+
+    Scale: a single map-side-combinable pass to one 5-column moment row
+    -- the same cheapest-possible shape as the OLS/Welch family."""
+    e = load_table(spark, sf_dir, "events")
+    c = F.expr(_VALUE_C)
+    s = e.filter(F.col("event_type") == "purchase").select(c.alias("c")).filter(
+        F.col("c").isNotNull() & (F.abs(F.col("c")) <= _JB_CAP)
+    )
+    cd = F.col("c").cast("decimal(38,0)")
+    m = s.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(cd).cast("decimal(38,0)").alias("p1"),
+        F.sum(cd * F.col("c")).cast("decimal(38,0)").alias("p2"),
+        F.sum(cd * F.col("c") * F.col("c")).cast("decimal(38,0)").alias("p3"),
+        F.sum(cd * F.col("c") * F.col("c") * F.col("c")).cast("decimal(38,0)").alias("p4"),
+    ).filter(F.col("n") > 3)
+    mu = F.col("p1").cast("double") / F.col("n")
+    p2n = F.col("p2").cast("double") / F.col("n")
+    p3n = F.col("p3").cast("double") / F.col("n")
+    p4n = F.col("p4").cast("double") / F.col("n")
+    m2 = p2n - mu * mu
+    m3 = p3n - 3 * mu * p2n + 2 * mu * mu * mu
+    m4 = p4n - 4 * mu * p3n + 6 * mu * mu * p2n - 3 * mu * mu * mu * mu
+    skew = m3 / F.nullif(F.sqrt(m2) * m2, F.lit(0.0))
+    kurt = m4 / F.nullif(m2 * m2, F.lit(0.0)) - 3
+    return m.select(
+        "n",
+        F.round(skew, 6).alias("skewness"),
+        F.round(kurt, 6).alias("excess_kurtosis"),
+        F.round(F.col("n").cast("double") / 6 * (skew * skew + kurt * kurt / 4), 6).alias("jb_stat"),
+    )
+
+
+@register(
+    "events_runs_test_daily",
+    tags=("stats", "timeseries"),
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day, CAST(count(*) AS BIGINT) AS cnt
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
+    ),
+    med AS (
+      SELECT min(CASE WHEN cm >= (n + 1) // 2 THEN cnt END)
+             + min(CASE WHEN cm >= (n + 2) // 2 THEN cnt END) AS med2
+      FROM (
+        SELECT cnt,
+               CAST(count(*) OVER (ORDER BY cnt, day) AS BIGINT) AS cm,
+               CAST(count(*) OVER () AS BIGINT) AS n
+        FROM daily
+      )
+    ),
+    signs AS (
+      SELECT day, CAST(2 * cnt > med2 AS BOOLEAN) AS above
+      FROM daily CROSS JOIN med WHERE 2 * cnt <> med2
+    ),
+    chg AS (
+      SELECT above,
+             CASE WHEN above <> lag(above) OVER (ORDER BY day)
+                  THEN 1 ELSE 0 END AS c
+      FROM signs
+    ),
+    runs AS (
+      SELECT CAST(sum(CASE WHEN above THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN above THEN 0 ELSE 1 END) AS BIGINT) AS n2,
+             CAST(1 + sum(c) AS BIGINT) AS r
+      FROM chg
+    )
+    SELECT n1 AS n_above, n2 AS n_below, r AS runs,
+           round((r - (1.0 + 2.0 * n1 * n2 / (n1 + n2)))
+                 / nullif(sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                               / ((CAST(n1 + n2 AS DOUBLE)) * (n1 + n2) * (n1 + n2 - 1))), 0),
+                 6) AS z
+    FROM runs WHERE n1 > 0 AND n2 > 0 AND n1 + n2 > 1
+    """,
+)
+def events_runs_test_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test on the daily event-count series: are
+    above-median and below-median days randomly interleaved, or do they
+    clump (trend/seasonality) or alternate (over-dispersion)? The
+    sequence-randomness companion to events_value_acf (which measures
+    linear correlation; runs are the sign-pattern version).
+
+    Exactness: the median is the DOUBLED order-statistic form (lo+hi on
+    cumulative day counts -- exact integers, no interpolation);
+    equal-to-median days are excluded per the classic construction; run
+    boundaries come from a lag over the day order. Integer counts feed
+    one double z closed form at 6 dp.
+
+    Scale: one fact pass to the |days| daily rollup; everything after is
+    calendar-bounded (30 years is ~11k rows) -- the cumulative and lag
+    windows run on the day domain, a documented bounded-domain single
+    task, never on raw events."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.filter(F.col("ts").isNotNull())
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .localCheckpoint(eager=False)  # median + sign passes reuse it
+    )
+    wc = Window.orderBy("cnt", "day")
+    ranked = daily.select(
+        "cnt",
+        F.count("*").over(wc.rowsBetween(Window.unboundedPreceding, 0)).cast("bigint").alias("cm"),
+        F.count("*").over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).cast("bigint").alias("n"),
+    )
+    med = ranked.agg(
+        (
+            F.min(F.when(F.col("cm") >= F.expr("(n + 1) DIV 2"), F.col("cnt")))
+            + F.min(F.when(F.col("cm") >= F.expr("(n + 2) DIV 2"), F.col("cnt")))
+        ).alias("med2")
+    )
+    signs = (
+        daily.crossJoin(F.broadcast(med))
+        .filter(2 * F.col("cnt") != F.col("med2"))
+        .select("day", (2 * F.col("cnt") > F.col("med2")).alias("above"))
+    )
+    wd = Window.orderBy("day")
+    runs = signs.select(
+        "above",
+        F.when(
+            F.col("above") != F.lag("above").over(wd), F.lit(1)
+        ).otherwise(F.lit(0)).alias("chg"),
+    ).agg(
+        F.sum(F.when(F.col("above"), 1).otherwise(0)).cast("bigint").alias("n1"),
+        F.sum(F.when(F.col("above"), 0).otherwise(1)).cast("bigint").alias("n2"),
+        (1 + F.sum("chg")).cast("bigint").alias("r"),
+    )
+    n1d, n2d = F.col("n1").cast("double"), F.col("n2").cast("double")
+    nn = n1d + n2d
+    e_r = 1.0 + 2.0 * n1d * n2d / nn
+    v_r = 2.0 * n1d * n2d * (2.0 * n1d * n2d - nn) / (nn * nn * (nn - 1))
+    return runs.filter(
+        (F.col("n1") > 0) & (F.col("n2") > 0) & (F.col("n1") + F.col("n2") > 1)
+    ).select(
+        F.col("n1").alias("n_above"),
+        F.col("n2").alias("n_below"),
+        F.col("r").alias("runs"),
+        F.round((F.col("r") - e_r) / F.nullif(F.sqrt(v_r), F.lit(0.0)), 6).alias("z"),
+    )

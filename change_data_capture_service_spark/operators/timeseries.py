@@ -868,3 +868,155 @@ def events_value_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lag", "n_pairs", F.round(num / F.nullif(den, F.lit(0.0)), 6).alias("acf"))
         .orderBy("lag")
     )
+
+
+@register(
+    "events_value_pacf3",
+    tags=("timeseries", "stats"),
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day,
+             CAST(sum(try_cast(try_cast(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+               AS BIGINT) AS x
+      FROM events
+      WHERE try_cast(try_cast(value AS DECIMAL(18,2)) * 100 AS BIGINT) IS NOT NULL
+      GROUP BY 1
+    ),
+    g AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s,
+             CAST(sum(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS q
+      FROM daily
+    ),
+    pairs AS (
+      SELECT k.lag AS lag,
+             CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(CAST(a.x AS DECIMAL(38,0)) * b.x) AS DECIMAL(38,0)) AS sp,
+             CAST(sum(CAST(a.x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sa,
+             CAST(sum(CAST(b.x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sb
+      FROM daily a
+      JOIN (VALUES (1),(2),(3)) AS k(lag) ON TRUE
+      JOIN daily b ON b.day = a.day - to_days(CAST(k.lag AS INT))
+      GROUP BY 1
+    ),
+    r AS (
+      SELECT
+        max(CASE WHEN lag = 1 THEN acf END) AS r1,
+        max(CASE WHEN lag = 2 THEN acf END) AS r2,
+        max(CASE WHEN lag = 3 THEN acf END) AS r3,
+        max(n) AS n_days
+      FROM (
+        SELECT lag, n,
+               (CAST(n AS DOUBLE) * n * CAST(sp AS DOUBLE)
+                - CAST(n AS DOUBLE) * CAST(s AS DOUBLE)
+                  * (CAST(sa AS DOUBLE) + CAST(sb AS DOUBLE))
+                + CAST(n_pairs AS DOUBLE) * CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+               / nullif(CAST(n AS DOUBLE)
+                        * (CAST(n AS DOUBLE) * CAST(q AS DOUBLE)
+                           - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)), 0) AS acf
+        FROM pairs CROSS JOIN g
+      )
+    )
+    SELECT CAST(n_days AS BIGINT) AS n_days,
+           round(r1, 6) AS acf1, round(r2, 6) AS acf2, round(r3, 6) AS acf3,
+           round(r1, 6) AS pacf1,
+           round((r2 - r1 * r1) / nullif(1 - r1 * r1, 0), 6) AS pacf2,
+           round((r3 - (r1 - ((r2 - r1 * r1) / nullif(1 - r1 * r1, 0)) * r1) * r2
+                     - ((r2 - r1 * r1) / nullif(1 - r1 * r1, 0)) * r1)
+                 / nullif(1 - (r1 - ((r2 - r1 * r1) / nullif(1 - r1 * r1, 0)) * r1) * r1
+                            - ((r2 - r1 * r1) / nullif(1 - r1 * r1, 0)) * r2, 0), 6)
+             AS pacf3
+    FROM r WHERE r1 IS NOT NULL AND r2 IS NOT NULL AND r3 IS NOT NULL
+    """,
+)
+def events_value_pacf3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation of the daily value series at lags 1-3 via
+    the closed-form Durbin-Levinson recursion over the exact ACF
+    estimates -- the AR-order diagnostic that separates "lag-2 correlation
+    is real structure" from "lag-2 correlation is lag-1 applied twice"
+    (events_value_acf alone cannot tell them apart; PACF is how one picks
+    p for an AR(p) baseline).
+
+    Exactness: the lag moments are the ACF op's exact DECIMAL(38,0)
+    integer sums (calendar-matched pairs); r1-r3 are each ONE double
+    division of integer-exact operands, and the DL recursion (phi_11=r1;
+    phi_22=(r2-r1^2)/(1-r1^2); phi_33 via the order-2 coefficients) is
+    written with the IDENTICAL expression tree on both engines -- IEEE
+    +,-,*,/ are exactly specified, so identical operands + identical
+    shape = identical doubles before the 6 dp round.
+
+    Scale: one fact pass to the |days| rollup; the 3-lag join and the
+    recursion run on the calendar-bounded relation -- same profile as
+    events_value_acf."""
+    e = load_table(spark, sf_dir, "events")
+    x = F.expr("try_cast(try_cast(value AS decimal(18,2)) * 100 AS bigint)")
+    daily = (
+        e.select(F.date_trunc("day", F.col("ts")).alias("day"), x.alias("x"))
+        .filter(F.col("x").isNotNull())
+        .groupBy("day")
+        .agg(F.sum("x").cast("bigint").alias("x"))
+        .localCheckpoint(eager=False)  # feeds g + both sides of the lag join
+    )
+    g = daily.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).cast("decimal(38,0)").alias("s"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x"))
+        .cast("decimal(38,0)").alias("q"),
+    )
+    lags = spark.range(1, 4).select(F.col("id").cast("int").alias("lag"))
+    a = daily.select(F.col("day").alias("day_a"), F.col("x").alias("xa"))
+    b = daily.select(F.col("day").alias("day_b"), F.col("x").alias("xb"))
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            b,
+            F.col("day_b")
+            == F.col("day_a") - F.expr("make_interval(0, 0, 0, lag, 0, 0, 0)"),
+        )
+        .groupBy("lag")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.sum(F.col("xa").cast("decimal(38,0)") * F.col("xb"))
+            .cast("decimal(38,0)").alias("sp"),
+            F.sum(F.col("xa").cast("decimal(38,0)")).cast("decimal(38,0)").alias("sa"),
+            F.sum(F.col("xb").cast("decimal(38,0)")).cast("decimal(38,0)").alias("sb"),
+        )
+    )
+    acf = (
+        F.col("n").cast("double") * F.col("n") * F.col("sp").cast("double")
+        - F.col("n").cast("double") * F.col("s").cast("double")
+          * (F.col("sa").cast("double") + F.col("sb").cast("double"))
+        + F.col("n_pairs").cast("double") * F.col("s").cast("double") * F.col("s").cast("double")
+    ) / F.nullif(
+        F.col("n").cast("double")
+        * (F.col("n").cast("double") * F.col("q").cast("double")
+           - F.col("s").cast("double") * F.col("s").cast("double")),
+        F.lit(0.0),
+    )
+    wide = (
+        pairs.crossJoin(F.broadcast(g))
+        .withColumn("acf", acf)
+        .agg(
+            F.max(F.when(F.col("lag") == 1, F.col("acf"))).alias("r1"),
+            F.max(F.when(F.col("lag") == 2, F.col("acf"))).alias("r2"),
+            F.max(F.when(F.col("lag") == 3, F.col("acf"))).alias("r3"),
+            F.max("n").cast("bigint").alias("n_days"),
+        )
+    )
+    r1, r2, r3 = F.col("r1"), F.col("r2"), F.col("r3")
+    phi22 = (r2 - r1 * r1) / F.nullif(1 - r1 * r1, F.lit(0.0))
+    phi21 = r1 - phi22 * r1
+    pacf3 = (r3 - phi21 * r2 - phi22 * r1) / F.nullif(
+        1 - phi21 * r1 - phi22 * r2, F.lit(0.0)
+    )
+    return wide.filter(
+        r1.isNotNull() & r2.isNotNull() & r3.isNotNull()
+    ).select(
+        "n_days",
+        F.round(r1, 6).alias("acf1"),
+        F.round(r2, 6).alias("acf2"),
+        F.round(r3, 6).alias("acf3"),
+        F.round(r1, 6).alias("pacf1"),
+        F.round(phi22, 6).alias("pacf2"),
+        F.round(pacf3, 6).alias("pacf3"),
+    )
