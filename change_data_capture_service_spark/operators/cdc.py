@@ -1330,3 +1330,84 @@ def cdc_out_of_order_arrivals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("boundary_backward_us"),
     )
+
+
+@register(
+    "cdc_daily_compaction_profile",
+    tags=("cdc", "agg", "timeseries"),
+    oracle="""
+    WITH ops AS (
+      SELECT user_id AS k, date_trunc('day', ts) AS day
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ),
+    daily AS (
+      SELECT day,
+             CAST(count(*) AS BIGINT) AS n_ops,
+             CAST(count(DISTINCT k) AS BIGINT) AS keys_touched
+      FROM ops GROUP BY 1
+    ),
+    first_seen AS (
+      SELECT k, min(day) AS day FROM ops GROUP BY 1
+    ),
+    news AS (
+      SELECT day, CAST(count(*) AS BIGINT) AS new_keys FROM first_seen GROUP BY 1
+    )
+    SELECT d.day, d.n_ops, d.keys_touched,
+           CAST(coalesce(n.new_keys, 0) AS BIGINT) AS new_keys,
+           CAST(sum(coalesce(n.new_keys, 0))
+                OVER (ORDER BY d.day) AS BIGINT) AS cum_keys_seen,
+           round(CAST(d.n_ops AS DOUBLE) / d.keys_touched, 6) AS ops_per_key
+    FROM daily d LEFT JOIN news n ON d.day = n.day
+    """,
+)
+def cdc_daily_compaction_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-grain compaction planning panel for the change feed: raw ops
+    vs distinct keys touched (ops_per_key = the day's write
+    amplification, i.e. what state-mode compaction saves the ES sink
+    that day), new keys first seen, and the cumulative key universe
+    (the live-state table's size ceiling over time). cdc_key_churn
+    answers "which KEYS are hot"; this answers "which DAYS does
+    compaction pay and how fast does state grow" -- the two axes a
+    capacity plan needs.
+
+    Exactness: all counts are exact integers (exact distinct, not HLL --
+    the approximate twin is agg_hll_rollup's documented territory); the
+    one ratio rounds at 6 dp.
+
+    Scale: one pass to the (key, day) grain (the only fact-sized
+    shuffle), then day-grain rollups; the cumulative runs on the
+    calendar-bounded day domain (a documented bounded-domain window,
+    ~11k rows for 30 years)."""
+    e = load_table(spark, sf_dir, "events")
+    ops = e.filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull()).select(
+        F.col("user_id").alias("k"), F.date_trunc("day", "ts").alias("day")
+    ).localCheckpoint(eager=False)  # daily + first-seen reuse the grain
+    daily = ops.groupBy("day").agg(
+        F.count("*").cast("bigint").alias("n_ops"),
+        F.count_distinct(F.col("k")).cast("bigint").alias("keys_touched"),
+    )
+    news = (
+        ops.groupBy("k")
+        .agg(F.min("day").alias("day"))
+        .groupBy("day")
+        .agg(F.count("*").cast("bigint").alias("new_keys"))
+    )
+    wd = Window.orderBy("day")
+    return (
+        daily.join(news, "day", "left")
+        .select(
+            "day",
+            "n_ops",
+            "keys_touched",
+            F.coalesce(F.col("new_keys"), F.lit(0)).cast("bigint").alias("new_keys"),
+        )
+        .withColumn(
+            "cum_keys_seen",
+            F.sum("new_keys").over(wd.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("bigint"),
+        )
+        .withColumn(
+            "ops_per_key",
+            F.round(F.col("n_ops").cast("double") / F.col("keys_touched"), 6),
+        )
+    )

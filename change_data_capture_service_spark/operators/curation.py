@@ -1163,3 +1163,78 @@ def dataset_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("leak_kind")
     )
+
+
+@register(
+    "sample_importance_reweight",
+    tags=("curation", "northstar", "agg"),
+    oracle="""
+    WITH t AS (
+      SELECT source,
+             CAST(len(regexp_extract_all(text,
+               '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0)) AS BIGINT) AS toks
+      FROM documents WHERE length(text) > 0 AND source IS NOT NULL
+    ),
+    s AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(toks) AS BIGINT) AS tokens
+      FROM t GROUP BY 1
+    ),
+    g AS (
+      SELECT CAST(sum(tokens) AS BIGINT) AS tot,
+             CAST(count(*) AS BIGINT) AS k
+      FROM s
+    )
+    SELECT source, n_docs, tokens,
+           round(CAST(tokens AS DOUBLE) / tot, 6) AS actual_share,
+           round(1.0 / k, 6) AS target_share,
+           round(CAST(tot AS DOUBLE) / (CAST(k AS DOUBLE) * tokens), 6)
+             AS weight,
+           CAST(sum(n_docs) OVER () AS BIGINT) AS corpus_docs
+    FROM s CROSS JOIN g
+    """,
+)
+def sample_importance_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance weights that rebalance the corpus to a UNIFORM-source
+    token mixture: weight_s = target_share / actual_share per source --
+    the domain-reweighting primitive (every doc in source s carries
+    weight_s in the training sampler, so one epoch sees equal token mass
+    per source without materializing a resample). The static-target
+    sibling of sample_token_mixture (which materializes a sampled mix);
+    weights compose with quality scores at sampler time.
+
+    Exactness: token counts are exact integer sums; shares and weights
+    are single divisions of exact operands at 6 dp.
+
+    Scale: one pass over documents (JVM regexp token counting) to the
+    |sources| grain; everything downstream is a k-row relation -- the
+    OVER () total runs on k rows, not the corpus."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        (F.length("text") > 0) & F.col("source").isNotNull()
+    )
+    t = d.select(
+        "source",
+        F.size(
+            F.expr("regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0)")
+        ).cast("bigint").alias("toks"),
+    )
+    s = t.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("toks").cast("bigint").alias("tokens"),
+    )
+    g = s.agg(
+        F.sum("tokens").cast("bigint").alias("tot"),
+        F.count("*").cast("bigint").alias("k"),
+    )
+    j = s.crossJoin(F.broadcast(g))
+    corpus = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return j.select(
+        "source", "n_docs", "tokens",
+        F.round(F.col("tokens").cast("double") / F.col("tot"), 6).alias("actual_share"),
+        F.round(F.lit(1.0) / F.col("k"), 6).alias("target_share"),
+        F.round(
+            F.col("tot").cast("double") / (F.col("k").cast("double") * F.col("tokens")),
+            6,
+        ).alias("weight"),
+        F.sum("n_docs").over(corpus).cast("bigint").alias("corpus_docs"),
+    )

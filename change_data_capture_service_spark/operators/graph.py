@@ -499,3 +499,215 @@ def part_link_prediction_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFr
         "n_common",
         F.round(F.col("aa").cast("double"), 6).alias("aa_score"),
     ).orderBy(F.col("aa_score").desc(), "part_a", "part_b").limit(20)
+
+
+@register(
+    "graph_degree_assortativity",
+    tags=("graph", "stats", "analytics"),
+    oracle="""
+    WITH ob AS (
+      SELECT DISTINCT l_orderkey, p_brand
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+    ),
+    thr AS (
+      SELECT CAST(ceil(0.024 * count(*)) AS BIGINT) AS t FROM orders
+    ),
+    e AS (
+      SELECT a.p_brand AS u, b.p_brand AS v
+      FROM ob a JOIN ob b
+        ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+      GROUP BY a.p_brand, b.p_brand
+      HAVING count(*) >= (SELECT t FROM thr)
+    ),
+    both_dirs AS (
+      SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e
+    ),
+    deg AS (
+      SELECT u AS node, CAST(count(*) AS BIGINT) AS d FROM both_dirs GROUP BY 1
+    ),
+    stubs AS (
+      SELECT du.d AS x, dv.d AS y
+      FROM both_dirs b
+      JOIN deg du ON b.u = du.node
+      JOIN deg dv ON b.v = dv.node
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+             CAST(sum(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS sxx,
+             CAST(sum(CAST(x AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS sxy
+      FROM stubs
+    )
+    SELECT CAST(m / 2 AS BIGINT) AS n_edges,
+           (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+           round((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 / nullif(CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0),
+                 6) AS assortativity
+    FROM m WHERE m > 0
+    """,
+)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the brand co-occurrence graph (Newman
+    2002): the Pearson correlation of endpoint degrees over every edge
+    stub -- positive = hubs link to hubs (social-network shape), negative
+    = hubs link to leaves (hub-and-spoke catalogs). The one-number
+    topology summary that says WHICH degree-skew mitigation the other
+    graph ops need (hub caps matter exactly when assortativity is
+    negative and hubs fan wide).
+
+    Exactness: on the stub list (each undirected edge contributes both
+    directions) the x and y marginals coincide, so r needs only three
+    DECIMAL(38,0)-exact integer moments (sum d, sum d^2, sum d_u*d_v) and
+    one double division, 6 dp.
+
+    Scale: the same reduced brand graph as graph_triangle_count -- the
+    fact table collapses to (order, brand) then to the brand-pair grain
+    before any graph work; degrees and stub moments are joins on the
+    attribute-bounded edge relation (broadcast both ways)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    orders = load_table(spark, sf_dir, "orders")
+    thr = orders.agg(F.ceil(0.024 * F.count("*")).cast("bigint").alias("t"))
+    ob = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    a = ob.select(F.col("l_orderkey").alias("ok_a"), F.col("p_brand").alias("u"))
+    b = ob.select(F.col("l_orderkey").alias("ok_b"), F.col("p_brand").alias("v"))
+    e = (
+        a.join(b, (F.col("ok_a") == F.col("ok_b")) & (F.col("u") < F.col("v")))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("n"))
+        .crossJoin(F.broadcast(thr))
+        .filter(F.col("n") >= F.col("t"))
+        .select("u", "v")
+    )
+    both = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=False)  # degrees + stub join reuse it
+    deg = both.groupBy(F.col("u").alias("node")).agg(
+        F.count("*").cast("bigint").alias("d")
+    ).localCheckpoint(eager=False)
+    stubs = (
+        both.join(
+            F.broadcast(deg.select(F.col("node").alias("u"), F.col("d").alias("x"))),
+            "u",
+        )
+        .join(
+            F.broadcast(deg.select(F.col("node").alias("v"), F.col("d").alias("y"))),
+            "v",
+        )
+    )
+    xd = F.col("x").cast("decimal(38,0)")
+    m = stubs.agg(
+        F.count("*").cast("bigint").alias("m"),
+        F.sum(xd).cast("decimal(38,0)").alias("sx"),
+        F.sum(xd * F.col("x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(xd * F.col("y")).cast("decimal(38,0)").alias("sxy"),
+    ).filter(F.col("m") > 0)
+    n_nodes = deg.agg(F.count("*").cast("bigint").alias("nn"))
+    r = (
+        F.col("m").cast("double") * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    ) / F.nullif(
+        F.col("m").cast("double") * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double"),
+        F.lit(0.0),
+    )
+    return m.crossJoin(F.broadcast(n_nodes)).select(
+        F.expr("m DIV 2").cast("bigint").alias("n_edges"),
+        F.col("nn").alias("n_nodes"),
+        F.round(r, 6).alias("assortativity"),
+    )
+
+
+def _kcore(both_dirs: DataFrame, max_k: int = 64) -> DataFrame:
+    """Core decomposition by iterative peeling over a (u, v) BOTH-DIRECTIONS
+    edge relation: for k = 1, 2, ... repeatedly delete nodes with degree
+    < k; a node's core number is the last k it survived. Returns (node,
+    coreness).
+
+    Scale: each peel pass is one degree agg + one semi-join on the
+    CURRENT (shrinking) edge set, lineage cut with localCheckpoint per
+    pass (the pagerank/reachability discipline -- iterative ops pay
+    launch latency per round, never lineage growth). Outer rounds are
+    bounded by the graph degeneracy (<= max_k guard); inner fixed-point
+    passes by the longest peel chain. On the attribute-grain reduced
+    graphs the engine builds (brands, parts), every pass is
+    broadcast-sized."""
+    spark = both_dirs.sparkSession
+    cur = both_dirs.localCheckpoint()
+    core = None  # (node, coreness) accumulated per peel level
+    k = 1
+    while k <= max_k:
+        # fixed point: drop sub-k nodes until none remain
+        while True:
+            deg = cur.groupBy("u").agg(F.count("*").alias("d"))
+            low = deg.filter(F.col("d") < k).select("u")
+            if low.isEmpty():
+                break
+            removed = low.withColumn("coreness", F.lit(k - 1).cast("int"))
+            core = removed if core is None else core.unionByName(removed)
+            core = core.localCheckpoint()
+            keep = deg.filter(F.col("d") >= k).select("u")
+            cur = (
+                cur.join(F.broadcast(keep), "u", "left_semi")
+                .join(
+                    F.broadcast(keep.select(F.col("u").alias("v"))),
+                    "v",
+                    "left_semi",
+                )
+                .localCheckpoint()
+            )
+        if cur.isEmpty():
+            break
+        k += 1
+    survivors = cur.select("u").distinct().withColumn(
+        "coreness", F.lit(min(k, max_k) - 1).cast("int")
+    )
+    out = survivors if core is None else core.unionByName(survivors)
+    return out.select(F.col("u").alias("node"), "coreness")
+
+
+@register("graph_kcore", tags=("graph", "analytics"))  # rows-only: iterative peeling has no SQL twin
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition of the brand co-occurrence graph: each
+    brand's coreness = the largest k such that it survives in a subgraph
+    where every node has degree >= k -- the standard density hierarchy
+    (coreness separates the tight co-purchase nucleus from tendrils, and
+    is the classic pre-filter for community detection and influence
+    seeding; Seidman 1983).
+
+    Rows-only by declared contract: the peeling fixed point is iterative
+    (recursive SQL cannot express "recompute degrees after deletion").
+    Correctness is pinned by tests/test_round14_ops.py on constructed
+    graphs with known core numbers (clique, pendant path, bridge), plus
+    the coreness <= degree invariant on the fixture graph.
+
+    Scale: see _kcore -- the registered surface runs it on the SAME
+    attribute-grain reduced brand graph as graph_triangle_count, so every
+    peel pass is broadcast-sized regardless of fact-table width."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    orders = load_table(spark, sf_dir, "orders")
+    thr = orders.agg(F.ceil(0.024 * F.count("*")).cast("bigint").alias("t"))
+    ob = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    a = ob.select(F.col("l_orderkey").alias("ok_a"), F.col("p_brand").alias("u"))
+    b = ob.select(F.col("l_orderkey").alias("ok_b"), F.col("p_brand").alias("v"))
+    e = (
+        a.join(b, (F.col("ok_a") == F.col("ok_b")) & (F.col("u") < F.col("v")))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("n"))
+        .crossJoin(F.broadcast(thr))
+        .filter(F.col("n") >= F.col("t"))
+        .select("u", "v")
+    )
+    both = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    return _kcore(both).orderBy("node")

@@ -1241,3 +1241,110 @@ def quality_gate_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(po, 6).alias("observed_agreement"),
         F.round((po - pe) / F.nullif(1 - pe, F.lit(0.0)), 6).alias("kappa"),
     )
+
+
+@register(
+    "quality_perplexity_vs_gopher_calibration",
+    tags=("quality", "northstar", "agg"),
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({TOKENS}) AS tok FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c,
+             CAST(len(tok) AS BIGINT) AS l
+      FROM toks GROUP BY doc_id, tok
+    ),
+    corpus AS (
+      SELECT tok, CAST(sum(c) AS BIGINT) AS cc FROM tf GROUP BY tok
+    ),
+    tot AS (SELECT CAST(sum(cc) AS BIGINT) AS n FROM corpus),
+    ce AS (
+      SELECT tf.doc_id,
+             round(-sum(tf.c * ln(CAST(cc AS DOUBLE) / n)) / sum(tf.c), 6)
+               AS cross_entropy
+      FROM tf JOIN corpus ON tf.tok = corpus.tok CROSS JOIN tot
+      GROUP BY tf.doc_id
+    ),
+    gopher AS (
+      SELECT doc_id,
+             CASE WHEN sum(c) BETWEEN 10 AND 100000
+                   AND CAST(sum(l * c) AS DOUBLE) / sum(c) BETWEEN 2 AND 10
+                   AND CAST(count(*) AS DOUBLE) / sum(c) > 0.2
+                   AND CAST(max(c) AS DOUBLE) / sum(c) < 0.3
+              THEN 1 ELSE 0 END AS keep,
+             CAST(sum(c) AS BIGINT) AS n_tokens
+      FROM tf GROUP BY doc_id
+    )
+    SELECT CAST(floor(ce.cross_entropy * 2) AS BIGINT) AS ce_band,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(g.keep) AS BIGINT) AS n_keep,
+           round(CAST(sum(g.keep) AS DOUBLE) / count(*), 6) AS gopher_pass_rate,
+           CAST(sum(g.n_tokens) AS BIGINT) AS tokens
+    FROM ce JOIN gopher g ON ce.doc_id = g.doc_id
+    GROUP BY 1
+    """,
+)
+def quality_perplexity_vs_gopher_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-signal calibration: per half-nat band of unigram
+    cross-entropy, the Gopher rule gate's pass rate -- do the cheap LM
+    signal and the heuristic ruleset AGREE on which documents are
+    garbage? A monotone pass-rate curve says either signal suffices; a
+    flat one says they measure different failure modes and the pipeline
+    needs both (quality_gate_agreement_kappa gives the doc-level
+    agreement number; this gives the curve that explains it).
+
+    Exactness: both signals recompute their ops' exact forms from ONE
+    shared (doc, token) relation; banding floors the 6dp-ROUNDED
+    cross-entropy at half-nat edges (integer band ids, no quantile
+    boundary flap); pass rates are exact-count divisions at 6 dp.
+
+    Scale: one explode + one (doc, token) partial agg feeds both signals
+    (single corpus scan -- the rollup-window discipline); the corpus LM
+    is vocab-bounded; the final rollup is |bands|-sized."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(_tokens()).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .withColumn("l", F.length("tok").cast("bigint"))
+        .localCheckpoint(eager=False)  # both signals + the LM reuse it
+    )
+    corpus = tf.groupBy("tok").agg(F.sum("c").cast("bigint").alias("cc"))
+    tot = corpus.agg(F.sum("cc").cast("bigint").alias("n"))
+    ce = (
+        tf.join(corpus, "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                -F.sum(F.col("c") * F.log(F.col("cc").cast("double") / F.col("n")))
+                / F.sum("c"),
+                6,
+            ).alias("cross_entropy")
+        )
+    )
+    gopher = tf.groupBy("doc_id").agg(
+        F.when(
+            F.sum("c").between(10, 100000)
+            & (F.sum(F.col("l") * F.col("c")).cast("double") / F.sum("c")).between(2, 10)
+            & (F.count("*").cast("double") / F.sum("c") > 0.2)
+            & (F.max("c").cast("double") / F.sum("c") < 0.3),
+            F.lit(1),
+        ).otherwise(F.lit(0)).alias("keep"),
+        F.sum("c").cast("bigint").alias("n_tokens"),
+    )
+    return (
+        ce.join(gopher, "doc_id")
+        .groupBy(
+            F.floor(F.col("cross_entropy") * 2).cast("bigint").alias("ce_band")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("keep").cast("bigint").alias("n_keep"),
+            F.round(F.sum("keep").cast("double") / F.count("*"), 6).alias(
+                "gopher_pass_rate"
+            ),
+            F.sum("n_tokens").cast("bigint").alias("tokens"),
+        )
+    )

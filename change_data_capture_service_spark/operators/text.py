@@ -1117,3 +1117,64 @@ def text_code_prose_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_code_like"),
     )
+
+
+@register(
+    "text_tokenizer_fertility",
+    tags=("text", "northstar", "agg"),
+    oracle="""
+    WITH t AS (
+      SELECT lang,
+             CAST(len(regexp_split_to_array(trim(text), ' ')) AS BIGINT) AS words,
+             CAST(len(regexp_extract_all(text,
+               '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0)) AS BIGINT) AS toks,
+             CAST(length(text) AS BIGINT) AS chars
+      FROM documents WHERE length(text) > 0 AND lang IS NOT NULL
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(words) AS BIGINT) AS words,
+           CAST(sum(toks) AS BIGINT) AS tokens,
+           round(CAST(sum(toks) AS DOUBLE) / nullif(sum(words), 0), 6)
+             AS fertility,
+           round(CAST(sum(chars) AS DOUBLE) / nullif(sum(toks), 0), 6)
+             AS chars_per_token
+    FROM t GROUP BY lang
+    """,
+)
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by language: BPE-ish tokens per whitespace
+    word and characters per token -- the standard multilingual budgeting
+    table (a language with fertility 2.3 costs 2.3x the context window
+    per word; chars-per-token says how far a byte budget stretches).
+    text_token_count gives the per-doc counts; this is the per-language
+    planning rollup a mixture design actually consumes
+    (sample_token_mixture's weights assume it).
+
+    Exactness: token and word counts are integer sums (corpus-exact);
+    the two ratios are single divisions at 6 dp with nullif guards.
+
+    Scale: one pass over documents with per-doc regexp counting (JVM
+    regexp_extract_all, no Python), partial-agg to the |langs| grain."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        (F.length("text") > 0) & F.col("lang").isNotNull()
+    )
+    t = d.select(
+        "lang",
+        F.size(F.split(F.trim(F.col("text")), " ")).cast("bigint").alias("words"),
+        F.size(
+            F.expr("regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0)")
+        ).cast("bigint").alias("toks"),
+        F.length("text").cast("bigint").alias("chars"),
+    )
+    return t.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("words").cast("bigint").alias("words"),
+        F.sum("toks").cast("bigint").alias("tokens"),
+        F.round(
+            F.sum("toks").cast("double") / F.nullif(F.sum("words"), F.lit(0)), 6
+        ).alias("fertility"),
+        F.round(
+            F.sum("chars").cast("double") / F.nullif(F.sum("toks"), F.lit(0)), 6
+        ).alias("chars_per_token"),
+    )
