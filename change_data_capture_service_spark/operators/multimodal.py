@@ -396,3 +396,85 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id_a", "doc_id_b", "hamming")
         .orderBy("doc_id_a", "doc_id_b")
     )
+
+
+@register(
+    "multimodal_size_tiers",
+    tags=("multimodal", "agg"),
+    oracle="""
+    WITH pl AS (
+      SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+                  WHEN doc_id % 3 = 1 THEN 'audio'
+                  ELSE 'text' END AS media_type,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      FROM documents WHERE text IS NOT NULL
+    ),
+    tiered AS (
+      SELECT media_type,
+             CAST(CASE WHEN n_bytes < 256 THEN 0
+                       WHEN n_bytes < 1024 THEN 1
+                       WHEN n_bytes < 4096 THEN 2
+                       WHEN n_bytes < 16384 THEN 3
+                       ELSE 4 END AS INT) AS tier,
+             n_bytes
+      FROM pl
+    ),
+    g AS (SELECT CAST(sum(n_bytes) AS BIGINT) AS tot FROM tiered)
+    SELECT media_type, tier,
+           CAST(count(*) AS BIGINT) AS n_objects,
+           CAST(sum(n_bytes) AS BIGINT) AS bytes,
+           CAST(max(n_bytes) AS BIGINT) AS max_bytes,
+           round(CAST(sum(n_bytes) AS DOUBLE) / tot, 6) AS storage_share
+    FROM tiered CROSS JOIN g
+    GROUP BY media_type, tier, tot
+    """,
+)
+def multimodal_size_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage tiering table for a multimodal corpus: object count,
+    byte mass, and storage share per (media_type, size tier) with fixed
+    power-of-4 tier edges -- the table behind blob-store layout decisions
+    (which tiers inline into parquet pages vs externalize to object
+    storage; how many row groups a shuffle-free scan of each tier needs).
+    The payload is the with_binary_payload stand-in (utf-8 bytes), with a
+    deterministic doc_id-keyed media-type assignment, so the PLUMBING --
+    binary octet lengths, fixed-edge integer tiering, share-of-total --
+    is real and oracle-checked even though the bytes are fakes (the
+    decode path's import-probe discipline, applied to storage stats).
+
+    Exactness: byte counts are exact integers; tier edges are integer
+    comparisons (no quantile flap); one share division at 6 dp.
+
+    Scale: one pass, partial agg to the (type x 5 tiers) grain; the
+    grand total is a broadcast scalar."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    pl = d.select(
+        F.when(F.col("doc_id") % 3 == 0, F.lit("image"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("audio"))
+        .otherwise(F.lit("text")).alias("media_type"),
+        F.octet_length(F.encode("text", "UTF-8")).cast("bigint").alias("n_bytes"),
+    )
+    tiered = pl.withColumn(
+        "tier",
+        F.when(F.col("n_bytes") < 256, 0)
+        .when(F.col("n_bytes") < 1024, 1)
+        .when(F.col("n_bytes") < 4096, 2)
+        .when(F.col("n_bytes") < 16384, 3)
+        .otherwise(4)
+        .cast("int"),
+    )
+    g = tiered.agg(F.sum("n_bytes").cast("bigint").alias("tot"))
+    return (
+        tiered.groupBy("media_type", "tier")
+        .agg(
+            F.count("*").cast("bigint").alias("n_objects"),
+            F.sum("n_bytes").cast("bigint").alias("bytes"),
+            F.max("n_bytes").cast("bigint").alias("max_bytes"),
+        )
+        .crossJoin(F.broadcast(g))
+        .select(
+            "media_type", "tier", "n_objects", "bytes", "max_bytes",
+            F.round(F.col("bytes").cast("double") / F.col("tot"), 6).alias(
+                "storage_share"
+            ),
+        )
+    )

@@ -602,3 +602,156 @@ def search_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(_TOP)
     )
+
+
+@register(
+    "search_ndcg_eval",
+    tags=("search", "northstar", "agg"),
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {TOKENS} AS toks FROM documents
+    ),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(len(toks)) AS avgdl
+      FROM toks
+    ),
+    tf AS (
+      SELECT doc_id, dl, tok, CAST(count(*) AS BIGINT) AS tf
+      FROM (
+        SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, unnest(toks) AS tok
+        FROM toks
+      )
+      WHERE tok IN ('stream', 'merge', 'window')
+      GROUP BY doc_id, dl, tok
+    ),
+    df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+    scored AS (
+      SELECT tf.doc_id,
+             round(sum(
+               ln((n_docs - df + 0.5) / (df + 0.5) + 1)
+               * tf * ({_K1} + 1)
+               / (tf + {_K1} * (1 - {_B} + {_B} * dl / avgdl))), 6) AS score
+      FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN stats
+      GROUP BY tf.doc_id
+    ),
+    rel AS (
+      SELECT doc_id, CAST(count(DISTINCT tok) AS BIGINT) AS rel FROM tf GROUP BY doc_id
+    ),
+    ranked AS (
+      SELECT r.rel, row_number() OVER (ORDER BY s.score DESC, s.doc_id) AS rn
+      FROM scored s JOIN rel r ON s.doc_id = r.doc_id
+      ORDER BY s.score DESC, s.doc_id LIMIT {_TOP}
+    ),
+    ideal AS (
+      SELECT rel, row_number() OVER (ORDER BY rel DESC, doc_id) AS rn
+      FROM rel ORDER BY rel DESC, doc_id LIMIT {_TOP}
+    ),
+    ks AS (SELECT unnest([5, 10, 20]) AS k)
+    SELECT CAST(k AS INT) AS k,
+           round((SELECT sum((pow(2, rel) - 1) / ln(rn + 1))
+                  FROM ranked WHERE rn <= k), 6) AS dcg,
+           round((SELECT sum((pow(2, rel) - 1) / ln(rn + 1))
+                  FROM ideal WHERE rn <= k), 6) AS idcg,
+           round((SELECT sum((pow(2, rel) - 1) / ln(rn + 1))
+                  FROM ranked WHERE rn <= k)
+                 / nullif((SELECT sum((pow(2, rel) - 1) / ln(rn + 1))
+                           FROM ideal WHERE rn <= k), 0), 6) AS ndcg
+    FROM ks
+    """,
+)
+def search_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@{{5,10,20}} of the BM25 ranking against a deterministic graded
+    relevance label (rel = how many distinct query terms the document
+    contains, 0-3) -- the standard ranking-quality evaluation closed over
+    engine-computable ground truth, so the metric itself is
+    oracle-checkable end to end (search_bm25 produces the ranking; this
+    measures it; a scoring regression moves ndcg before anyone reads
+    result lists). Natural-log discount (ln instead of log2 -- the
+    constant cancels in ndcg and keeps both engines on the same libm
+    call).
+
+    Exactness: relevance grades and ranks are exact integers; gains
+    2^rel - 1 are exact small doubles; the <= 20-term discounted sums
+    round at 6 dp; ndcg divides the two rounded sums with a nullif
+    guard.
+
+    Scale: identical postings-probe shape to search_bm25 (query-term
+    IN-filter lands map-side; tf is postings-bounded); both rankings cut
+    to top-20 before any window ranks them, so the rank windows see
+    <= 20 rows -- at wider corpora the cut is TakeOrderedAndProject
+    either way."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", _tokens().alias("toks"))
+    stats = toks.agg(
+        F.count("*").alias("n_docs"), F.avg(F.size("toks")).alias("avgdl")
+    )
+    tf = (
+        toks.select("doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("tok"))
+        .filter(F.col("tok").isin(_QUERY_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
+        .localCheckpoint(eager=False)  # df + scoring + relevance reuse it
+    )
+    df = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+    scored = (
+        tf.join(F.broadcast(df), "tok")
+        .join(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(
+                    idf * F.col("tf") * (_K1 + 1)
+                    / (F.col("tf") + _K1 * (1 - _B + _B * F.col("dl") / F.col("avgdl")))
+                ),
+                6,
+            ).alias("score")
+        )
+    )
+    rel = tf.groupBy("doc_id").agg(
+        F.count_distinct(F.col("tok")).cast("bigint").alias("rel")
+    ).localCheckpoint(eager=False)  # both rankings consume it
+    top = (
+        scored.join(rel, "doc_id")
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(_TOP)
+    )
+    ranked = top.select(
+        "rel",
+        F.row_number()
+        .over(Window.orderBy(F.col("score").desc(), "doc_id"))
+        .alias("rn"),
+    )
+    ideal = (
+        rel.orderBy(F.col("rel").desc(), "doc_id")
+        .limit(_TOP)
+        .select(
+            "rel",
+            F.row_number()
+            .over(Window.orderBy(F.col("rel").desc(), "doc_id"))
+            .alias("rn"),
+        )
+    )
+    ks = spark.createDataFrame([(5,), (10,), (20,)], "k int")
+    gain = (F.pow(F.lit(2.0), F.col("rel")) - 1) / F.log(F.col("rn") + 1)
+    dcg = (
+        ks.join(ranked, ranked["rn"] <= ks["k"])
+        .groupBy("k")
+        .agg(F.round(F.sum(gain), 6).alias("dcg"))
+    )
+    idcg = (
+        ks.join(ideal, ideal["rn"] <= ks["k"])
+        .groupBy("k")
+        .agg(F.round(F.sum(gain), 6).alias("idcg"))
+    )
+    return (
+        dcg.join(idcg, "k")
+        .select(
+            F.col("k").cast("int").alias("k"),
+            "dcg",
+            "idcg",
+            F.round(
+                F.col("dcg") / F.nullif(F.col("idcg"), F.lit(0.0)), 6
+            ).alias("ndcg"),
+        )
+    )

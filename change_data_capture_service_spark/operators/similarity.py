@@ -1763,3 +1763,130 @@ def embedding_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("dims", F.col("dims").cast("int"))
     )
+
+
+@register(
+    "knn_hubness_profile",
+    tags=("similarity", "northstar", "stats"),
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings
+      WHERE sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                  CAST(embedding AS DOUBLE[]))) > 0
+        AND isfinite(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                           CAST(embedding AS DOUBLE[]))))
+    ),
+    scored AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
+      FROM v a JOIN v b ON a.vec_id <> b.vec_id
+    ),
+    knn AS (
+      SELECT src, dst FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY src ORDER BY cosine DESC, dst
+        ) AS rnk FROM scored
+      ) t WHERE rnk <= 10
+    ),
+    indeg AS (
+      SELECT v.vec_id, v.label, CAST(count(k.src) AS BIGINT) AS d
+      FROM v LEFT JOIN knn k ON v.vec_id = k.dst
+      GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT label, CAST(count(*) AS BIGINT) AS n_nodes,
+             CAST(sum(d) AS BIGINT) AS s1,
+             CAST(sum(d * d) AS BIGINT) AS s2,
+             CAST(sum(d * d * d) AS BIGINT) AS s3,
+             CAST(max(d) AS BIGINT) AS max_in_degree,
+             CAST(sum(CASE WHEN d = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
+             CAST(sum(CASE WHEN d >= 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_hubs
+      FROM indeg GROUP BY 1
+    )
+    SELECT label, n_nodes, max_in_degree,
+           round(CAST(n_orphans AS DOUBLE) / n_nodes, 6) AS orphan_rate,
+           round(CAST(n_hubs AS DOUBLE) / n_nodes, 6) AS hub_rate,
+           round((CAST(s3 AS DOUBLE) / n_nodes
+                  - 3 * (CAST(s1 AS DOUBLE) / n_nodes) * (CAST(s2 AS DOUBLE) / n_nodes)
+                  + 2 * (CAST(s1 AS DOUBLE) / n_nodes) * (CAST(s1 AS DOUBLE) / n_nodes)
+                      * (CAST(s1 AS DOUBLE) / n_nodes))
+                 / nullif(sqrt(CAST(s2 AS DOUBLE) / n_nodes
+                               - (CAST(s1 AS DOUBLE) / n_nodes) * (CAST(s1 AS DOUBLE) / n_nodes))
+                          * (CAST(s2 AS DOUBLE) / n_nodes
+                             - (CAST(s1 AS DOUBLE) / n_nodes) * (CAST(s1 AS DOUBLE) / n_nodes)), 0),
+                 6) AS indeg_skewness
+    FROM m
+    """,
+)
+def knn_hubness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hubness profile of the exact k=10 cosine kNN graph, per label:
+    in-degree skewness, orphan rate (never anyone's neighbour), hub rate
+    (in-degree >= 2k), and the max hub -- the high-dimensional pathology
+    meter (Radovanovic et al. 2010: as dimension grows, a few points
+    become everyone's neighbour and retrieval quality silently degrades).
+    knn_graph_reciprocity measures edge SYMMETRY; this measures the
+    in-degree DISTRIBUTION those edges induce -- the two failure axes of
+    an embedding space.
+
+    Exactness: cosines round at 6dp before the rank window (the family
+    precedent); in-degrees are exact integers via a LEFT join from the
+    node universe (orphans exist only on that side), and skewness comes
+    from the three exact integer power sums with the sqrt(m2)*m2
+    denominator (IEEE-correctly-rounded, no pow).
+
+    Scale: same contract as reciprocity -- all-pairs is honest at
+    fixture/eval scale, and at 10^9 vectors the SAME fold consumes
+    query_ann_index batches (the profile is linear in the |V|*k edge
+    list; only neighbor generation changes)."""
+    k = 10
+    vec = _vectors(spark, sf_dir).localCheckpoint(eager=False)
+    other = vec.select(
+        F.col("vec_id").alias("dst"),
+        F.col("v").alias("bv"),
+        F.col("nrm").alias("bnrm"),
+    )
+    dot = F.expr("aggregate(zip_with(v, bv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+    scored = (
+        vec.select(F.col("vec_id").alias("src"), "v", "nrm")
+        .join(F.broadcast(other), F.col("src") != F.col("dst"))
+        .withColumn("cosine", F.round(dot / (F.col("nrm") * F.col("bnrm")), 6))
+        .select("src", "dst", "cosine")
+    )
+    w = Window.partitionBy("src").orderBy(F.col("cosine").desc(), F.col("dst"))
+    knn = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("src", "dst")
+    )
+    indeg = (
+        vec.select("vec_id", "label")
+        .join(knn.select(F.col("dst").alias("vec_id"), F.lit(1).alias("one")), "vec_id", "left")
+        .groupBy("vec_id", "label")
+        .agg(F.sum(F.coalesce(F.col("one"), F.lit(0))).cast("bigint").alias("d"))
+    )
+    m = indeg.groupBy("label").agg(
+        F.count("*").cast("bigint").alias("n_nodes"),
+        F.sum("d").cast("bigint").alias("s1"),
+        F.sum(F.col("d") * F.col("d")).cast("bigint").alias("s2"),
+        F.sum(F.col("d") * F.col("d") * F.col("d")).cast("bigint").alias("s3"),
+        F.max("d").cast("bigint").alias("max_in_degree"),
+        F.sum(F.when(F.col("d") == 0, 1).otherwise(0)).cast("bigint").alias("n_orphans"),
+        F.sum(F.when(F.col("d") >= 2 * k, 1).otherwise(0)).cast("bigint").alias("n_hubs"),
+    )
+    nd = F.col("n_nodes").cast("double")
+    mu = F.col("s1").cast("double") / F.col("n_nodes")
+    m2 = F.col("s2").cast("double") / F.col("n_nodes") - mu * mu
+    m3 = (
+        F.col("s3").cast("double") / F.col("n_nodes")
+        - 3 * mu * (F.col("s2").cast("double") / F.col("n_nodes"))
+        + 2 * mu * mu * mu
+    )
+    return m.select(
+        "label", "n_nodes", "max_in_degree",
+        F.round(F.col("n_orphans").cast("double") / nd, 6).alias("orphan_rate"),
+        F.round(F.col("n_hubs").cast("double") / nd, 6).alias("hub_rate"),
+        F.round(m3 / F.nullif(F.sqrt(m2) * m2, F.lit(0.0)), 6).alias("indeg_skewness"),
+    )
