@@ -99,6 +99,23 @@ _CHECK_ORDER = [
     "search_fuzzy_match",
     "search_more_like_this",
     # -- new in round 9 (filling the window to 50; HARD CAP 39) --
+    "events_welch_ttest_weekend",
+    "events_chi_square_type_dow",
+    "lineitem_brown_forsythe_returnflag",
+    "events_value_jarque_bera",
+    "events_runs_test_daily",
+    "events_value_pacf3",
+    "part_price_index_paasche_fisher",
+    "part_revenue_gini_lorenz",
+    "graph_degree_assortativity",
+    "graph_kcore",
+    "cdc_daily_compaction_profile",
+    "text_tokenizer_fertility",
+    "sample_importance_reweight",
+    "quality_perplexity_vs_gopher_calibration",
+    "knn_hubness_profile",
+    "multimodal_size_tiers",
+    "search_ndcg_eval",
 ]
 # Provenance: the round-8 window, fully attested by CORRECTNESS_r08
 # (47 full hash-green + 3 rows-only-clean: dedup_simhash,

@@ -86,6 +86,23 @@ _R9_CHECK_WINDOW = [
     "search_fuzzy_match",
     "search_more_like_this",
     # new in round 9 (appended as they are registered; hard cap 39)
+    "events_welch_ttest_weekend",
+    "events_chi_square_type_dow",
+    "lineitem_brown_forsythe_returnflag",
+    "events_value_jarque_bera",
+    "events_runs_test_daily",
+    "events_value_pacf3",
+    "part_price_index_paasche_fisher",
+    "part_revenue_gini_lorenz",
+    "graph_degree_assortativity",
+    "graph_kcore",
+    "cdc_daily_compaction_profile",
+    "text_tokenizer_fertility",
+    "sample_importance_reweight",
+    "quality_perplexity_vs_gopher_calibration",
+    "knn_hubness_profile",
+    "multimodal_size_tiers",
+    "search_ndcg_eval",
 ]
 
 

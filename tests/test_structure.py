@@ -63,6 +63,7 @@ def test_rows_only_set_is_exactly_the_documented_one():
         "dedup_lsh_bucket_stats",
         "knn_recall_eval",
         "dedup_minhash_estimate_quality",
+        "graph_kcore",  # iterative peeling; exact core numbers pinned in test_round14_ops
     }, rows_only
 
 
