@@ -86,3 +86,33 @@ def test_catalog_md_is_in_sync_with_registry():
     assert on_disk == gen.render(), (
         "CATALOG.md is stale: run `python scripts/gen_catalog.py`"
     )
+
+
+def test_docstring_constants_match_code():
+    """Docstring drift guard (the round-8 ADVICE class): numeric claims
+    that restate tuning constants must equal the code. Covers the ANN
+    rerank shortlist multiplier (every '<N>*top_k' mention must match the
+    single `shortlist = N * top_k` assignment) and the dedup/graph cap
+    constants quoted by value anywhere in their modules."""
+    import inspect
+    import re
+
+    from change_data_capture_service_spark.operators import ann_index, dedup, graph
+
+    src = inspect.getsource(ann_index)
+    assign = re.search(r"shortlist = (\d+) \* top_k", src)
+    assert assign, "shortlist assignment moved; update this test"
+    n = assign.group(1)
+    mentions = re.findall(r"(\d+)\s*[*x·]\s*top_k", src)
+    assert mentions and set(mentions) == {n}, (
+        f"docstrings mention shortlist multipliers {set(mentions)} but code uses {n}"
+    )
+
+    # caps restated by value: 'df > <N>' prose in dedup must equal
+    # JACCARD_DF_CAP; 'deg(z) <= <N>' style in graph must equal AA_HUB_CAP
+    dsrc = inspect.getsource(dedup)
+    for m in re.findall(r"df > (\d+)", dsrc):
+        assert int(m) == dedup.JACCARD_DF_CAP
+    gsrc = inspect.getsource(graph)
+    for m in re.findall(r"deg\(z\)[^.\n]{0,20}?(\d{2,})", gsrc):
+        assert int(m) == graph.AA_HUB_CAP
