@@ -1411,3 +1411,76 @@ def cdc_daily_compaction_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_ops").cast("double") / F.col("keys_touched"), 6),
         )
     )
+
+
+@register(
+    "cdc_revisit_time_histogram",
+    tags=("cdc", "agg", "timeseries"),
+    oracle="""
+    WITH gaps AS (
+      SELECT CAST(epoch_us(ts) // 1000000 - epoch_us(lag(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id)) // 1000000
+             AS BIGINT) AS g
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ),
+    banded AS (
+      SELECT CAST(CASE WHEN g <= 0 THEN 0
+                  ELSE length(bin(g)) END AS INT) AS log2_band,
+             g
+      FROM gaps WHERE g IS NOT NULL
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM banded)
+    SELECT log2_band,
+           CAST(count(*) AS BIGINT) AS n_revisits,
+           CAST(min(g) AS BIGINT) AS min_gap_s,
+           CAST(max(g) AS BIGINT) AS max_gap_s,
+           round(CAST(count(*) AS DOUBLE) / n, 6) AS share
+    FROM banded CROSS JOIN tot
+    GROUP BY log2_band, n
+    """,
+)
+def cdc_revisit_time_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-revisit-time histogram for the change feed: log2 bands of the
+    gap (seconds) between consecutive ops on the SAME key -- the
+    distribution that sizes every keyed cache and state-store TTL (a
+    mass at <64s says state must stay hot; a mass at days says tombstone
+    GC can be aggressive). cdc_key_churn counts ops per key; this times
+    them.
+
+    Exactness: gaps are exact integer seconds from user-keyed lags; the
+    log2 band is the integer BIT LENGTH of the gap (length(bin(g)) --
+    pure integer arithmetic; the first floating form, floor(ln g/ln 2),
+    flapped one band at powers of two from ln() ulp differences between
+    engines, caught by this op's own oracle); zero gaps (same-second
+    ops) take band 0.
+
+    Scale: user-keyed window then a |bands| partial agg -- nothing
+    global but the 1-row total."""
+    e = load_table(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        e.filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select(
+            (F.unix_seconds(F.col("ts")) - F.unix_seconds(F.lag("ts").over(wu)))
+            .cast("bigint").alias("g")
+        )
+        .filter(F.col("g").isNotNull())
+    )
+    band = F.when(F.col("g") <= 0, F.lit(0)).otherwise(
+        F.length(F.bin(F.col("g")))
+    ).cast("int")
+    banded = gaps.select(band.alias("log2_band"), "g")
+    tot = banded.agg(F.count("*").cast("bigint").alias("n"))
+    return (
+        banded.crossJoin(F.broadcast(tot))
+        .groupBy("log2_band", "n")
+        .agg(
+            F.count("*").cast("bigint").alias("n_revisits"),
+            F.min("g").cast("bigint").alias("min_gap_s"),
+            F.max("g").cast("bigint").alias("max_gap_s"),
+        )
+        .select(
+            "log2_band", "n_revisits", "min_gap_s", "max_gap_s",
+            F.round(F.col("n_revisits").cast("double") / F.col("n"), 6).alias("share"),
+        )
+    )

@@ -478,3 +478,76 @@ def multimodal_size_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "multimodal_exact_byte_dedup",
+    tags=("multimodal", "dedup", "agg"),
+    oracle="""
+    WITH pl AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN 'image'
+                  WHEN doc_id % 3 = 1 THEN 'audio'
+                  ELSE 'text' END AS media_type,
+             md5(text) AS digest,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      FROM documents WHERE text IS NOT NULL
+    ),
+    fam AS (
+      SELECT media_type, digest,
+             CAST(count(*) AS BIGINT) AS copies,
+             CAST(min(doc_id) AS BIGINT) AS canonical_doc,
+             CAST(max(n_bytes) AS BIGINT) AS n_bytes
+      FROM pl GROUP BY 1, 2
+    )
+    SELECT media_type,
+           CAST(count(*) AS BIGINT) AS n_distinct_payloads,
+           CAST(sum(copies) AS BIGINT) AS n_objects,
+           CAST(sum(copies - 1) AS BIGINT) AS n_redundant,
+           CAST(sum((copies - 1) * n_bytes) AS BIGINT) AS reclaimable_bytes,
+           round(CAST(sum(copies - 1) AS DOUBLE) / sum(copies), 6)
+             AS dup_rate
+    FROM fam GROUP BY 1
+    """,
+)
+def multimodal_exact_byte_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact byte-identical payload dedup per media type: content-digest
+    grouping, canonical pick (min doc_id), redundant copies, and the
+    bytes a content-addressed blob store reclaims -- the EXACT sibling of
+    multimodal_phash_dedup (perceptual near-dups need banding; byte dups
+    need only a digest groupBy, and they are where most storage actually
+    goes in crawled media). Payloads are the with_binary_payload stand-in
+    bytes; digests are md5 (engine-portable, the hash_funcs precedent).
+
+    Exactness: counts and byte sums are exact integers off the digest
+    grain; one rate division at 6 dp.
+
+    Scale: the shuffle carries (type, digest) -- 16-byte keys, never
+    payloads; the family relation is bounded by distinct content. This
+    is the map-side-combinable shape dedup_exact documents, applied to
+    the binary column."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    pl = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, F.lit("image"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("audio"))
+        .otherwise(F.lit("text")).alias("media_type"),
+        F.md5(F.encode("text", "UTF-8")).alias("digest"),
+        F.octet_length(F.encode("text", "UTF-8")).cast("bigint").alias("n_bytes"),
+    )
+    fam = pl.groupBy("media_type", "digest").agg(
+        F.count("*").cast("bigint").alias("copies"),
+        F.min("doc_id").cast("bigint").alias("canonical_doc"),
+        F.max("n_bytes").cast("bigint").alias("n_bytes"),
+    )
+    return fam.groupBy("media_type").agg(
+        F.count("*").cast("bigint").alias("n_distinct_payloads"),
+        F.sum("copies").cast("bigint").alias("n_objects"),
+        F.sum(F.col("copies") - 1).cast("bigint").alias("n_redundant"),
+        F.sum((F.col("copies") - 1) * F.col("n_bytes")).cast("bigint").alias(
+            "reclaimable_bytes"
+        ),
+        F.round(
+            F.sum(F.col("copies") - 1).cast("double") / F.sum("copies"), 6
+        ).alias("dup_rate"),
+    )

@@ -3555,3 +3555,66 @@ def part_revenue_gini_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("_N").alias("n_parts"), "gini", "top_decile_share", "bottom_half_share"
     )
+
+
+@register(
+    "part_single_source_risk",
+    tags=("relational", "join", "agg"),
+    oracle="""
+    WITH pp AS (
+      SELECT l_partkey AS pk,
+             CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+             CAST(sum(try_cast(try_cast(l_extendedprice AS DECIMAL(18,2))
+                                * 100 AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem GROUP BY 1
+    ),
+    g AS (SELECT CAST(sum(cents) AS BIGINT) AS tot FROM pp)
+    SELECT CAST(least(n_suppliers, 4) AS INT) AS supplier_band,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(cents) AS BIGINT) AS spend_cents,
+           round(CAST(sum(cents) AS DOUBLE) / tot, 6) AS spend_share
+    FROM pp CROSS JOIN g
+    GROUP BY 1, tot
+    """,
+)
+def part_single_source_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sourcing-concentration risk: parts banded by OBSERVED supplier
+    count in the order history (1 = effectively single-sourced, capped at
+    4+) with the revenue exposed in each band -- the procurement-risk
+    table (a supply shock removes every single-sourced part; the spend
+    share in band 1 is the revenue at risk). The supplier-side complement
+    of supplier_concentration_hhi (which measures revenue concentration
+    ACROSS suppliers; this measures redundancy PER PART).
+
+    Exactness: supplier counts are exact distincts at part grain; spend
+    is exact integer cents; one share division at 6 dp.
+
+    Scale: ONE fact pass reduces lineitem at part grain (distinct-count
+    + spend in the same partial agg); the band rollup and grand total
+    run on the |parts| relation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.expr(
+        "try_cast(try_cast(l_extendedprice AS decimal(18,2)) * 100 AS bigint)"
+    )
+    pp = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.count_distinct(F.col("l_suppkey")).cast("bigint").alias("n_suppliers"),
+        F.sum(cents).cast("bigint").alias("cents"),
+    )
+    g = pp.agg(F.sum("cents").cast("bigint").alias("tot"))
+    return (
+        pp.crossJoin(F.broadcast(g))
+        .groupBy(
+            F.least(F.col("n_suppliers"), F.lit(4)).cast("int").alias("supplier_band"),
+            "tot",
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_parts"),
+            F.sum("cents").cast("bigint").alias("spend_cents"),
+        )
+        .select(
+            "supplier_band", "n_parts", "spend_cents",
+            F.round(F.col("spend_cents").cast("double") / F.col("tot"), 6).alias(
+                "spend_share"
+            ),
+        )
+    )

@@ -755,3 +755,136 @@ def search_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ndcg"),
         )
     )
+
+
+@register(
+    "search_mrr_eval",
+    tags=("search", "agg"),
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {TOKENS} AS toks FROM documents
+    ),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(len(toks)) AS avgdl
+      FROM toks
+    ),
+    tf AS (
+      SELECT doc_id, dl, tok, CAST(count(*) AS BIGINT) AS tf
+      FROM (
+        SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, unnest(toks) AS tok
+        FROM toks
+      )
+      WHERE tok IN ('stream', 'merge', 'window')
+      GROUP BY doc_id, dl, tok
+    ),
+    df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+    scored AS (
+      SELECT tf.doc_id,
+             round(sum(
+               ln((n_docs - df + 0.5) / (df + 0.5) + 1)
+               * tf * ({_K1} + 1)
+               / (tf + {_K1} * (1 - {_B} + {_B} * dl / avgdl))), 6) AS score
+      FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN stats
+      GROUP BY tf.doc_id
+    ),
+    rel AS (
+      SELECT doc_id, CAST(count(DISTINCT tok) AS BIGINT) AS rel FROM tf GROUP BY doc_id
+    ),
+    ranked AS (
+      SELECT r.rel, row_number() OVER (ORDER BY s.score DESC, s.doc_id) AS rn
+      FROM scored s JOIN rel r ON s.doc_id = r.doc_id
+      ORDER BY s.score DESC, s.doc_id LIMIT {_TOP}
+    )
+    SELECT CAST((SELECT count(*) FROM rel WHERE rel = 3) AS BIGINT)
+             AS n_fully_relevant,
+           CAST(coalesce((SELECT min(rn) FROM ranked WHERE rel = 3), 0) AS BIGINT)
+             AS first_relevant_rank,
+           round(coalesce(1.0 / nullif((SELECT min(rn) FROM ranked
+                                        WHERE rel = 3), 0), 0), 6)
+             AS mrr,
+           round(CAST((SELECT count(*) FROM ranked WHERE rn <= 10 AND rel >= 2)
+                      AS DOUBLE)
+                 / nullif(least((SELECT count(*) FROM rel WHERE rel >= 2), 10), 0),
+                 6) AS recall_at_10
+    """,
+)
+def search_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRR and recall@10 of the BM25 ranking under the same deterministic
+    term-coverage relevance as search_ndcg_eval: MRR = 1/rank of the
+    first fully-relevant document (all three query terms present),
+    recall@10 = share of the (capped) rel>=2 pool surfaced in the top
+    ten -- the two navigational-search metrics nDCG's graded view
+    doesn't report directly.
+
+    Exactness: ranks and pools are exact integers off the same 6dp-
+    rounded-score ranking as the BM25/nDCG family; 0 sentinel when no
+    fully-relevant doc makes the cut.
+
+    Scale: the search_bm25 postings-probe shape; both metrics read the
+    <= 20-row ranked relation and tiny pool counts."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", _tokens().alias("toks"))
+    stats = toks.agg(
+        F.count("*").alias("n_docs"), F.avg(F.size("toks")).alias("avgdl")
+    )
+    tf = (
+        toks.select("doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("tok"))
+        .filter(F.col("tok").isin(_QUERY_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
+        .localCheckpoint(eager=False)
+    )
+    df = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+    scored = (
+        tf.join(F.broadcast(df), "tok")
+        .join(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(
+                    idf * F.col("tf") * (_K1 + 1)
+                    / (F.col("tf") + _K1 * (1 - _B + _B * F.col("dl") / F.col("avgdl")))
+                ),
+                6,
+            ).alias("score")
+        )
+    )
+    rel = tf.groupBy("doc_id").agg(
+        F.count_distinct(F.col("tok")).cast("bigint").alias("rel")
+    ).localCheckpoint(eager=False)
+    ranked = (
+        scored.join(rel, "doc_id")
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(_TOP)
+        .select(
+            "rel",
+            F.row_number()
+            .over(Window.orderBy(F.col("score").desc(), "doc_id"))
+            .alias("rn"),
+        )
+        .localCheckpoint(eager=False)  # three scalar reads
+    )
+    pools = rel.agg(
+        F.sum(F.when(F.col("rel") == 3, 1).otherwise(0)).cast("bigint").alias("n_full"),
+        F.sum(F.when(F.col("rel") >= 2, 1).otherwise(0)).cast("bigint").alias("n_rel2"),
+    )
+    firsts = ranked.agg(
+        F.min(F.when(F.col("rel") == 3, F.col("rn"))).alias("fr"),
+        F.sum(
+            F.when((F.col("rn") <= 10) & (F.col("rel") >= 2), 1).otherwise(0)
+        ).cast("bigint").alias("hit10"),
+    )
+    return pools.crossJoin(F.broadcast(firsts)).select(
+        F.col("n_full").alias("n_fully_relevant"),
+        F.coalesce(F.col("fr"), F.lit(0)).cast("bigint").alias("first_relevant_rank"),
+        F.round(
+            F.coalesce(1.0 / F.nullif(F.col("fr").cast("double"), F.lit(0.0)), F.lit(0.0)),
+            6,
+        ).alias("mrr"),
+        F.round(
+            F.col("hit10").cast("double")
+            / F.nullif(F.least(F.col("n_rel2"), F.lit(10)).cast("double"), F.lit(0.0)),
+            6,
+        ).alias("recall_at_10"),
+    )

@@ -1890,3 +1890,94 @@ def knn_hubness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n_hubs").cast("double") / nd, 6).alias("hub_rate"),
         F.round(m3 / F.nullif(F.sqrt(m2) * m2, F.lit(0.0)), 6).alias("indeg_skewness"),
     )
+
+
+@register(
+    "embedding_isotropy",
+    tags=("similarity", "northstar", "stats"),
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings
+      WHERE sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                  CAST(embedding AS DOUBLE[]))) > 0
+        AND isfinite(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                           CAST(embedding AS DOUBLE[]))))
+    ),
+    comp AS (
+      SELECT vec_id, t.i AS dim,
+             CAST(floor(v.v[t.i] / nrm * 1000000000) AS BIGINT) AS m
+      FROM v, unnest(generate_series(1, len(v.v))) AS t(i)
+    ),
+    dims AS (
+      SELECT dim, CAST(sum(m) AS BIGINT) AS s FROM comp GROUP BY dim
+    ),
+    q AS (
+      SELECT CAST(sum(CAST(m AS DECIMAL(38,0)) * m) AS DECIMAL(38,0)) AS qq,
+             CAST(count(DISTINCT vec_id) AS BIGINT) AS n
+      FROM comp
+    ),
+    ss AS (
+      SELECT CAST(sum(CAST(s AS DECIMAL(38,0)) * s) AS DECIMAL(38,0)) AS s2
+      FROM dims
+    )
+    SELECT n AS n_vectors,
+           (SELECT CAST(count(*) AS BIGINT) FROM dims) AS dim,
+           round(CAST(s2 - qq AS DOUBLE) / 1e18
+                 / nullif(CAST(n AS DOUBLE) * (n - 1), 0), 6)
+             AS mean_pairwise_cosine
+    FROM q CROSS JOIN ss
+    """,
+)
+def embedding_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotropy probe: the mean pairwise cosine across ALL vector pairs,
+    computed WITHOUT forming a single pair -- sum the unit vectors
+    per dimension and use sum_{i<>j} cos(i,j) = ||sum u||^2 - sum ||u||^2.
+    A mean cosine far above 0 is the anisotropic "narrow cone" pathology
+    (Ethayarajh 2019): similarity scores compress, thresholds stop
+    separating, and centering/whitening is indicated. The cheapest
+    whole-corpus geometry check -- one pass, no pair space, no sampling.
+
+    Exactness: unit-vector components quantize to FLOOR(u * 10^9)
+    integers (floor, not round: round's half-up vs half-even tie split
+    across engines is the laspeyres lesson; floor has no ties), so the
+    per-dimension sums, their squares, and the self-norm correction are
+    all exact DECIMAL(38,0) -- one double division at the end. The
+    quantization bias is O(1e-9 * sqrt(d)), invisible at 6 dp.
+
+    Scale: posexplode to (dim, component) -- the only wide relation, d
+    rows per vector -- then a d-row partial agg; n and the self-term ride
+    the same pass. At 10^9 x 1k-dim this is exactly the shuffle shape of
+    embedding_dim_profile, linear and map-side-combinable."""
+    vec = _vectors(spark, sf_dir)
+    comp = vec.select(
+        "vec_id",
+        F.posexplode(F.col("v")).alias("dim", "x"),
+        F.col("nrm"),
+    ).select(
+        "vec_id",
+        (F.col("dim") + 1).alias("dim"),  # 1-based like UNNEST WITH ORDINALITY
+        F.floor(F.col("x") / F.col("nrm") * 1e9).cast("bigint").alias("m"),
+    ).localCheckpoint(eager=False)  # dims + q reuse it
+    dims = comp.groupBy("dim").agg(F.sum("m").cast("bigint").alias("s"))
+    q = comp.agg(
+        F.sum(F.col("m").cast("decimal(38,0)") * F.col("m"))
+        .cast("decimal(38,0)").alias("qq"),
+        F.count_distinct(F.col("vec_id")).cast("bigint").alias("n"),
+    )
+    ss = dims.agg(
+        F.sum(F.col("s").cast("decimal(38,0)") * F.col("s"))
+        .cast("decimal(38,0)").alias("s2"),
+        F.count("*").cast("bigint").alias("dim"),
+    )
+    return q.crossJoin(F.broadcast(ss)).select(
+        F.col("n").alias("n_vectors"),
+        "dim",
+        F.round(
+            (F.col("s2") - F.col("qq")).cast("double") / 1e18
+            / F.nullif(F.col("n").cast("double") * (F.col("n") - 1), F.lit(0.0)),
+            6,
+        ).alias("mean_pairwise_cosine"),
+    )

@@ -1970,3 +1970,125 @@ def events_runs_test_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r").alias("runs"),
         F.round((F.col("r") - e_r) / F.nullif(F.sqrt(v_r), F.lit(0.0)), 6).alias("z"),
     )
+
+
+@register(
+    "events_gap_memory_coefficient",
+    tags=("stats", "timeseries"),
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts, event_id,
+             CAST(epoch_us(ts) // 1000000 - epoch_us(lag(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id)) // 1000000
+             AS BIGINT) AS g
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ),
+    pairs AS (
+      SELECT g,
+             lag(g) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gp
+      FROM gaps
+    ),
+    m AS (
+      SELECT CAST(count(g) AS BIGINT) AS n_gaps,
+             CAST(sum(CAST(g AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s1,
+             CAST(sum(CAST(g AS DECIMAL(38,0)) * g) AS DECIMAL(38,0)) AS s2
+      FROM gaps WHERE g IS NOT NULL
+    ),
+    pm AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(CAST(g AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sa,
+             CAST(sum(CAST(gp AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sb,
+             CAST(sum(CAST(g AS DECIMAL(38,0)) * g) AS DECIMAL(38,0)) AS saa,
+             CAST(sum(CAST(gp AS DECIMAL(38,0)) * gp) AS DECIMAL(38,0)) AS sbb,
+             CAST(sum(CAST(g AS DECIMAL(38,0)) * gp) AS DECIMAL(38,0)) AS sab
+      FROM pairs WHERE g IS NOT NULL AND gp IS NOT NULL
+    )
+    SELECT n_gaps, n_pairs,
+           round((sqrt(CAST(s2 AS DOUBLE) / n_gaps
+                       - (CAST(s1 AS DOUBLE) / n_gaps) * (CAST(s1 AS DOUBLE) / n_gaps))
+                  - CAST(s1 AS DOUBLE) / n_gaps)
+                 / nullif(sqrt(CAST(s2 AS DOUBLE) / n_gaps
+                               - (CAST(s1 AS DOUBLE) / n_gaps) * (CAST(s1 AS DOUBLE) / n_gaps))
+                          + CAST(s1 AS DOUBLE) / n_gaps, 0), 6) AS burstiness_b,
+           round((CAST(n_pairs AS DOUBLE) * CAST(sab AS DOUBLE)
+                  - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+                 / nullif(sqrt(CAST(n_pairs AS DOUBLE) * CAST(saa AS DOUBLE)
+                               - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+                          * sqrt(CAST(n_pairs AS DOUBLE) * CAST(sbb AS DOUBLE)
+                                 - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)), 0),
+                 6) AS memory_coeff
+    FROM m CROSS JOIN pm
+    """,
+)
+def events_gap_memory_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goh-Barabasi temporal-pattern pair for per-user inter-event gaps:
+    burstiness B = (sigma - mu)/(sigma + mu) over all gaps, and the
+    memory coefficient M = Pearson r of consecutive gap pairs -- together
+    they place the stream on the (B, M) plane that separates human-bursty
+    traffic from Poisson and from periodic automation (Goh & Barabasi
+    2008). events_burstiness gives the per-minute Fano factor (rate
+    view); this is the inter-arrival view with sequence memory, which
+    the Fano factor cannot see.
+
+    Exactness: gaps are exact integer seconds from user-keyed lags; all
+    five Pearson moments and both gap moments accumulate in
+    DECIMAL(38,0); two double closed forms at 6 dp (sqrt is
+    IEEE-correctly-rounded).
+
+    Scale: user-keyed windows (lag twice) -- partitioned by user, never
+    global; moments are one map-side-combinable agg each."""
+    e = load_table(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        e.filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            (F.unix_seconds(F.col("ts")) - F.unix_seconds(F.lag("ts").over(wu)))
+            .cast("bigint")
+            .alias("g"),
+        )
+        .filter(F.col("g").isNotNull())
+        .localCheckpoint(eager=False)  # moment agg + the pair lag reuse it
+    )
+    # the pair lag needs the ORIGINAL event order, which the filtered gaps
+    # relation no longer carries -- rebuild from the source with both lags
+    wg = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select(
+            "user_id", "ts", "event_id",
+            (F.unix_seconds(F.col("ts")) - F.unix_seconds(F.lag("ts").over(wg)))
+            .cast("bigint").alias("g"),
+        )
+        .withColumn("gp", F.lag("g").over(wg))
+        .filter(F.col("g").isNotNull() & F.col("gp").isNotNull())
+    )
+    gd = F.col("g").cast("decimal(38,0)")
+    m = gaps.agg(
+        F.count("g").cast("bigint").alias("n_gaps"),
+        F.sum(gd).cast("decimal(38,0)").alias("s1"),
+        F.sum(gd * F.col("g")).cast("decimal(38,0)").alias("s2"),
+    )
+    pm = pairs.agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.sum(gd).cast("decimal(38,0)").alias("sa"),
+        F.sum(F.col("gp").cast("decimal(38,0)")).cast("decimal(38,0)").alias("sb"),
+        F.sum(gd * F.col("g")).cast("decimal(38,0)").alias("saa"),
+        F.sum(F.col("gp").cast("decimal(38,0)") * F.col("gp")).cast("decimal(38,0)").alias("sbb"),
+        F.sum(gd * F.col("gp")).cast("decimal(38,0)").alias("sab"),
+    )
+    mu = F.col("s1").cast("double") / F.col("n_gaps")
+    sig = F.sqrt(F.col("s2").cast("double") / F.col("n_gaps") - mu * mu)
+    npd = F.col("n_pairs").cast("double")
+    r_num = npd * F.col("sab").cast("double") - F.col("sa").cast("double") * F.col("sb").cast("double")
+    r_den = F.sqrt(
+        npd * F.col("saa").cast("double") - F.col("sa").cast("double") * F.col("sa").cast("double")
+    ) * F.sqrt(
+        npd * F.col("sbb").cast("double") - F.col("sb").cast("double") * F.col("sb").cast("double")
+    )
+    return m.crossJoin(pm).select(
+        "n_gaps",
+        "n_pairs",
+        F.round((sig - mu) / F.nullif(sig + mu, F.lit(0.0)), 6).alias("burstiness_b"),
+        F.round(r_num / F.nullif(r_den, F.lit(0.0)), 6).alias("memory_coeff"),
+    )

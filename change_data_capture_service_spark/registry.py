@@ -116,6 +116,13 @@ _CHECK_ORDER = [
     "knn_hubness_profile",
     "multimodal_size_tiers",
     "search_ndcg_eval",
+    "events_gap_memory_coefficient",
+    "part_single_source_risk",
+    "cdc_revisit_time_histogram",
+    "graph_local_clustering",
+    "embedding_isotropy",
+    "multimodal_exact_byte_dedup",
+    "search_mrr_eval",
 ]
 # Provenance: the round-8 window, fully attested by CORRECTNESS_r08
 # (47 full hash-green + 3 rows-only-clean: dedup_simhash,

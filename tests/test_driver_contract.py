@@ -103,6 +103,13 @@ _R9_CHECK_WINDOW = [
     "knn_hubness_profile",
     "multimodal_size_tiers",
     "search_ndcg_eval",
+    "events_gap_memory_coefficient",
+    "part_single_source_risk",
+    "cdc_revisit_time_histogram",
+    "graph_local_clustering",
+    "embedding_isotropy",
+    "multimodal_exact_byte_dedup",
+    "search_mrr_eval",
 ]
 
 
