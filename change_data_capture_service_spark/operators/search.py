@@ -734,13 +734,17 @@ def search_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ks = spark.createDataFrame([(5,), (10,), (20,)], "k int")
     gain = (F.pow(F.lit(2.0), F.col("rel")) - 1) / F.log(F.col("rn") + 1)
+    # LEFT joins: an empty ranking (no doc matches any query term) must
+    # still yield the three k rows with NULL sums -- the shape the
+    # oracle's scalar subqueries produce (caught by the hostile-corpus
+    # sweep, where an inner join returned zero rows)
     dcg = (
-        ks.join(ranked, ranked["rn"] <= ks["k"])
+        ks.join(ranked, ranked["rn"] <= ks["k"], "left")
         .groupBy("k")
         .agg(F.round(F.sum(gain), 6).alias("dcg"))
     )
     idcg = (
-        ks.join(ideal, ideal["rn"] <= ks["k"])
+        ks.join(ideal, ideal["rn"] <= ks["k"], "left")
         .groupBy("k")
         .agg(F.round(F.sum(gain), 6).alias("idcg"))
     )
@@ -865,14 +869,19 @@ def search_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=False)  # three scalar reads
     )
+    # coalesce: an EMPTY rel relation (no term matches anywhere) sums to
+    # NULL in Spark where the oracle's COUNTs give 0 (hostile-corpus sweep)
     pools = rel.agg(
-        F.sum(F.when(F.col("rel") == 3, 1).otherwise(0)).cast("bigint").alias("n_full"),
-        F.sum(F.when(F.col("rel") >= 2, 1).otherwise(0)).cast("bigint").alias("n_rel2"),
+        F.coalesce(F.sum(F.when(F.col("rel") == 3, 1).otherwise(0)), F.lit(0))
+        .cast("bigint").alias("n_full"),
+        F.coalesce(F.sum(F.when(F.col("rel") >= 2, 1).otherwise(0)), F.lit(0))
+        .cast("bigint").alias("n_rel2"),
     )
     firsts = ranked.agg(
         F.min(F.when(F.col("rel") == 3, F.col("rn"))).alias("fr"),
-        F.sum(
-            F.when((F.col("rn") <= 10) & (F.col("rel") >= 2), 1).otherwise(0)
+        F.coalesce(
+            F.sum(F.when((F.col("rn") <= 10) & (F.col("rel") >= 2), 1).otherwise(0)),
+            F.lit(0),
         ).cast("bigint").alias("hit10"),
     )
     return pools.crossJoin(F.broadcast(firsts)).select(
