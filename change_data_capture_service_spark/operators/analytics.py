@@ -3354,3 +3354,91 @@ def events_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "week_no")
     )
+
+
+@register(
+    "events_sessionization_sensitivity",
+    tags=("analytics", "agg"),
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id,
+             CAST(epoch_us(ts) // 1000000 - epoch_us(lag(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id)) // 1000000
+             AS BIGINT) AS g
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ),
+    base AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_events,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ),
+    ks AS (SELECT unnest([900, 1800, 3600]) AS gap_s),
+    breaks AS (
+      SELECT k.gap_s,
+             CAST(sum(CASE WHEN g.g > k.gap_s THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_breaks
+      FROM ks k CROSS JOIN gaps g
+      WHERE g.g IS NOT NULL
+      GROUP BY 1
+    )
+    SELECT CAST(b.gap_s AS INT) AS gap_s,
+           CAST(base.n_users + b.n_breaks AS BIGINT) AS n_sessions,
+           round(CAST(base.n_events AS DOUBLE)
+                 / (base.n_users + b.n_breaks), 6) AS events_per_session
+    FROM breaks b CROSS JOIN base
+    """,
+)
+def events_sessionization_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-count sensitivity to the inactivity threshold (15/30/60
+    minutes) from ONE pass over the gap stream: sessions(T) = users +
+    gaps exceeding T, so the whole sensitivity curve costs one user-keyed
+    lag plus a 3-way conditional count -- no re-sessionization per
+    threshold (sessionize_batch materializes sessions at one T; this
+    tells you whether T even matters before you pick it: a flat curve
+    means any threshold works, a steep one means session metrics are
+    threshold artifacts).
+
+    Exactness: gaps are the per-timestamp-floored integer seconds of the
+    gap-family recipe; session counts are exact integers; one division
+    at 6 dp.
+
+    Scale: one user-keyed window pass; the threshold fan-out multiplies
+    the tiny conditional-count agg, never the data (the oracle's cross
+    join form is for SQL clarity -- Spark computes three conditional
+    sums in a single agg)."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    ).localCheckpoint(eager=False)  # gap pass + base counts reuse it
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = e.select(
+        (F.unix_seconds(F.col("ts")) - F.unix_seconds(F.lag("ts").over(wu)))
+        .cast("bigint").alias("g")
+    ).filter(F.col("g").isNotNull())
+    base = e.agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.count_distinct(F.col("user_id")).cast("bigint").alias("n_users"),
+    )
+    breaks = gaps.agg(
+        *[
+            F.sum(F.when(F.col("g") > t, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"b{t}")
+            for t in (900, 1800, 3600)
+        ]
+    )
+    wide = base.crossJoin(F.broadcast(breaks))
+    rows = [
+        wide.select(
+            F.lit(t).cast("int").alias("gap_s"),
+            (F.col("n_users") + F.col(f"b{t}")).cast("bigint").alias("n_sessions"),
+            F.round(
+                F.col("n_events").cast("double") / (F.col("n_users") + F.col(f"b{t}")),
+                6,
+            ).alias("events_per_session"),
+        )
+        for t in (900, 1800, 3600)
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

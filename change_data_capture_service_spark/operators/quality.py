@@ -1348,3 +1348,87 @@ def quality_perplexity_vs_gopher_calibration(spark: SparkSession, sf_dir: str) -
             F.sum("n_tokens").cast("bigint").alias("tokens"),
         )
     )
+
+
+@register(
+    "chunk_boundary_overlap_audit",
+    tags=("quality", "northstar", "agg"),
+    oracle="""
+    WITH chunks AS (
+      SELECT doc_id,
+             CAST(len(text) AS BIGINT) AS doc_chars,
+             CAST((pos - 1) / 150 AS INT) AS chunk_id,
+             CAST(len(substr(text, CAST(pos AS INT), 200)) AS BIGINT) AS n_chunk_chars
+      FROM (
+        SELECT doc_id, text,
+               unnest(generate_series(1, greatest(len(text), 1), 150)) AS pos
+        FROM documents
+      )
+    ),
+    per_doc AS (
+      SELECT doc_id, max(doc_chars) AS doc_chars,
+             CAST(count(*) AS BIGINT) AS n_chunks,
+             CAST(sum(n_chunk_chars) AS BIGINT) AS emitted_chars
+      FROM chunks GROUP BY doc_id
+    )
+    SELECT n_chunks,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(doc_chars) AS BIGINT) AS doc_chars,
+           CAST(sum(emitted_chars) AS BIGINT) AS emitted_chars,
+           CAST(sum(emitted_chars - doc_chars) AS BIGINT) AS overlap_chars,
+           round(CAST(sum(emitted_chars) AS DOUBLE)
+                 / nullif(sum(doc_chars), 0), 6) AS expansion_ratio
+    FROM per_doc GROUP BY n_chunks
+    """,
+)
+def chunk_boundary_overlap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunking-cost audit over chunk_documents' exact stride/window
+    geometry (window 200, stride 150): per chunks-per-doc band, how many
+    characters the chunker EMITS vs the document's own -- the overlap tax
+    (emitted - original) is pure duplicated compute/storage downstream
+    (every overlapped character is embedded and indexed twice), and the
+    expansion ratio is the multiplier a budget owner applies to corpus
+    bytes before sizing the embedding job. Full coverage is structural
+    (stride tiles every offset), so the audit's conservation law is
+    emitted >= doc chars with equality iff one chunk.
+
+    Exactness: all character counts are exact integers off the same
+    substring geometry as chunk_documents (mirrored oracle); one ratio
+    at 6 dp.
+
+    Scale: sequence+explode map-side (the chunk op's own shape), then a
+    |docs| partial agg and a |bands| rollup -- no shuffle carries chunk
+    text, only counts."""
+    d = load_table(spark, sf_dir, "documents")
+    chunks = d.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("doc_chars"),
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.length("text"), F.lit(1)), F.lit(150))
+        ).alias("pos"),
+        F.col("text"),
+    ).select(
+        "doc_id",
+        "doc_chars",
+        F.length(F.expr("substr(text, CAST(pos AS INT), 200)")).cast("bigint").alias(
+            "n_chunk_chars"
+        ),
+    )
+    per_doc = chunks.groupBy("doc_id").agg(
+        F.max("doc_chars").alias("doc_chars"),
+        F.count("*").cast("bigint").alias("n_chunks"),
+        F.sum("n_chunk_chars").cast("bigint").alias("emitted_chars"),
+    )
+    return per_doc.groupBy("n_chunks").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("doc_chars").cast("bigint").alias("doc_chars"),
+        F.sum("emitted_chars").cast("bigint").alias("emitted_chars"),
+        F.sum(F.col("emitted_chars") - F.col("doc_chars")).cast("bigint").alias(
+            "overlap_chars"
+        ),
+        F.round(
+            F.sum("emitted_chars").cast("double")
+            / F.nullif(F.sum("doc_chars"), F.lit(0)),
+            6,
+        ).alias("expansion_ratio"),
+    )

@@ -123,6 +123,8 @@ _CHECK_ORDER = [
     "embedding_isotropy",
     "multimodal_exact_byte_dedup",
     "search_mrr_eval",
+    "chunk_boundary_overlap_audit",
+    "events_sessionization_sensitivity",
 ]
 # Provenance: the round-8 window, fully attested by CORRECTNESS_r08
 # (47 full hash-green + 3 rows-only-clean: dedup_simhash,

@@ -110,6 +110,8 @@ _R9_CHECK_WINDOW = [
     "embedding_isotropy",
     "multimodal_exact_byte_dedup",
     "search_mrr_eval",
+    "chunk_boundary_overlap_audit",
+    "events_sessionization_sensitivity",
 ]
 
 
