@@ -2038,22 +2038,10 @@ def events_gap_memory_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame
     Scale: user-keyed windows (lag twice) -- partitioned by user, never
     global; moments are one map-side-combinable agg each."""
     e = load_table(spark, sf_dir, "events")
-    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gaps = (
-        e.filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
-        .select(
-            "user_id",
-            (F.unix_seconds(F.col("ts")) - F.unix_seconds(F.lag("ts").over(wu)))
-            .cast("bigint")
-            .alias("g"),
-        )
-        .filter(F.col("g").isNotNull())
-        .localCheckpoint(eager=False)  # moment agg + the pair lag reuse it
-    )
-    # the pair lag needs the ORIGINAL event order, which the filtered gaps
-    # relation no longer carries -- rebuild from the source with both lags
     wg = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    pairs = (
+    # ONE window pass computes the gap and its predecessor (both lags ride
+    # the same sort), so the moment agg and the pair agg share the shuffle
+    seq = (
         e.filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
         .select(
             "user_id", "ts", "event_id",
@@ -2061,8 +2049,10 @@ def events_gap_memory_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame
             .cast("bigint").alias("g"),
         )
         .withColumn("gp", F.lag("g").over(wg))
-        .filter(F.col("g").isNotNull() & F.col("gp").isNotNull())
+        .localCheckpoint(eager=False)  # moment agg + pair agg reuse it
     )
+    gaps = seq.filter(F.col("g").isNotNull())
+    pairs = seq.filter(F.col("g").isNotNull() & F.col("gp").isNotNull())
     gd = F.col("g").cast("decimal(38,0)")
     m = gaps.agg(
         F.count("g").cast("bigint").alias("n_gaps"),
