@@ -281,6 +281,46 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Edge threshold for the brand co-occurrence graph: two brands count as
+# linked when bought together in at least this share of orders -- a
+# data-proportional bound, so the reduced graph stays comparably dense
+# at every scale factor. Single source of truth for the four ops that
+# share the graph (triangle count, assortativity, k-core, local
+# clustering); their oracles restate it in SQL by necessity.
+BRAND_EDGE_SUPPORT = 0.024
+
+
+def _brand_cooccurrence_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reduced brand co-occurrence graph as canonical (u < v) edges.
+
+    Scale: the fact table collapses to the DISTINCT (order, brand) grain
+    first (pair space bounded at C(|brands in order|, 2) per order), then
+    aggregates to the brand-pair grain before the support filter -- the
+    graph ops downstream never see fact rows, only the attribute-bounded
+    edge relation."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    orders = load_table(spark, sf_dir, "orders")
+    thr = orders.agg(
+        F.ceil(BRAND_EDGE_SUPPORT * F.count("*")).cast("bigint").alias("t")
+    )
+    ob = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    a = ob.select(F.col("l_orderkey").alias("ok_a"), F.col("p_brand").alias("u"))
+    b = ob.select(F.col("l_orderkey").alias("ok_b"), F.col("p_brand").alias("v"))
+    return (
+        a.join(b, (F.col("ok_a") == F.col("ok_b")) & (F.col("u") < F.col("v")))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("n"))
+        .crossJoin(F.broadcast(thr))
+        .filter(F.col("n") >= F.col("t"))
+        .select("u", "v")
+    )
+
+
 @register(
     "graph_triangle_count",
     tags=("graph", "analytics"),
@@ -325,28 +365,9 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     order; edges aggregate to the brand-pair grain (tiny) before any
     wedge work, so the triangle phase runs on the REDUCED graph no matter
     how many orders feed it."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    orders = load_table(spark, sf_dir, "orders")
-    thr = orders.agg(
-        F.ceil(0.024 * F.count("*")).cast("bigint").alias("t")
-    )
-    ob = (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .select("l_orderkey", "p_brand")
-        .distinct()
-    )
-    a = ob.select(F.col("l_orderkey").alias("ok_a"), F.col("p_brand").alias("u"))
-    b = ob.select(F.col("l_orderkey").alias("ok_b"), F.col("p_brand").alias("v"))
-    edges = (
-        a.join(b, (F.col("ok_a") == F.col("ok_b")) & (F.col("u") < F.col("v")))
-        .groupBy("u", "v")
-        .agg(F.count("*").alias("n"))
-        .crossJoin(F.broadcast(thr))
-        .filter(F.col("n") >= F.col("t"))
-        .select("u", "v")
-        .localCheckpoint(eager=False)  # reduced graph: reused by deg + 3 joins
-    )
+    edges = _brand_cooccurrence_edges(spark, sf_dir).localCheckpoint(
+        eager=False
+    )  # reduced graph: reused by deg + 3 joins
     deg = (
         edges.select(F.col("u").alias("node"))
         .union(edges.select(F.col("v").alias("node")))
@@ -566,25 +587,7 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact table collapses to (order, brand) then to the brand-pair grain
     before any graph work; degrees and stub moments are joins on the
     attribute-bounded edge relation (broadcast both ways)."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    orders = load_table(spark, sf_dir, "orders")
-    thr = orders.agg(F.ceil(0.024 * F.count("*")).cast("bigint").alias("t"))
-    ob = (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .select("l_orderkey", "p_brand")
-        .distinct()
-    )
-    a = ob.select(F.col("l_orderkey").alias("ok_a"), F.col("p_brand").alias("u"))
-    b = ob.select(F.col("l_orderkey").alias("ok_b"), F.col("p_brand").alias("v"))
-    e = (
-        a.join(b, (F.col("ok_a") == F.col("ok_b")) & (F.col("u") < F.col("v")))
-        .groupBy("u", "v")
-        .agg(F.count("*").alias("n"))
-        .crossJoin(F.broadcast(thr))
-        .filter(F.col("n") >= F.col("t"))
-        .select("u", "v")
-    )
+    e = _brand_cooccurrence_edges(spark, sf_dir)
     both = e.unionByName(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).localCheckpoint(eager=False)  # degrees + stub join reuse it
@@ -628,7 +631,14 @@ def _kcore(both_dirs: DataFrame, max_k: int = 64) -> DataFrame:
     """Core decomposition by iterative peeling over a (u, v) BOTH-DIRECTIONS
     edge relation: for k = 1, 2, ... repeatedly delete nodes with degree
     < k; a node's core number is the last k it survived. Returns (node,
-    coreness).
+    coreness). Nodes whose neighbors are all removed in the SAME pass go
+    edge-less without ever showing a low degree row -- the peel therefore
+    tracks the ALIVE node universe explicitly and treats a missing degree
+    as 0 (review-caught: the first form derived candidates from the edge
+    relation alone and silently dropped simultaneously-orphaned nodes,
+    e.g. the middle of a path whose two ends peel together). Survivors of
+    the max_k guard report coreness = max_k, a documented CLAMP meaning
+    "at least max_k" (not max_k - 1).
 
     Scale: each peel pass is one degree agg + one semi-join on the
     CURRENT (shrinking) edge set, lineage cut with localCheckpoint per
@@ -638,35 +648,40 @@ def _kcore(both_dirs: DataFrame, max_k: int = 64) -> DataFrame:
     passes by the longest peel chain. On the attribute-grain reduced
     graphs the engine builds (brands, parts), every pass is
     broadcast-sized."""
-    spark = both_dirs.sparkSession
     cur = both_dirs.localCheckpoint()
+    alive = cur.select("u").distinct().localCheckpoint()
     core = None  # (node, coreness) accumulated per peel level
     k = 1
     while k <= max_k:
-        # fixed point: drop sub-k nodes until none remain
         while True:
-            deg = cur.groupBy("u").agg(F.count("*").alias("d"))
+            counts = cur.groupBy("u").agg(F.count("*").alias("d"))
+            deg = (
+                alive.join(counts, "u", "left")
+                .select("u", F.coalesce(F.col("d"), F.lit(0)).alias("d"))
+            )
             low = deg.filter(F.col("d") < k).select("u")
             if low.isEmpty():
                 break
             removed = low.withColumn("coreness", F.lit(k - 1).cast("int"))
             core = removed if core is None else core.unionByName(removed)
             core = core.localCheckpoint()
-            keep = deg.filter(F.col("d") >= k).select("u")
+            alive = alive.join(low, "u", "left_anti").localCheckpoint()
             cur = (
-                cur.join(F.broadcast(keep), "u", "left_semi")
+                cur.join(F.broadcast(alive), "u", "left_semi")
                 .join(
-                    F.broadcast(keep.select(F.col("u").alias("v"))),
+                    F.broadcast(alive.select(F.col("u").alias("v"))),
                     "v",
                     "left_semi",
                 )
                 .localCheckpoint()
             )
-        if cur.isEmpty():
+        if alive.isEmpty():
             break
         k += 1
-    survivors = cur.select("u").distinct().withColumn(
-        "coreness", F.lit(min(k, max_k) - 1).cast("int")
+    survivors = alive.withColumn(
+        # loop left via k > max_k: every remaining node survived peeling at
+        # k = max_k, so its true coreness is >= max_k -- report the clamp
+        "coreness", F.lit(min(k, max_k)).cast("int") if k > max_k else F.lit(k - 1).cast("int")
     )
     out = survivors if core is None else core.unionByName(survivors)
     return out.select(F.col("u").alias("node"), "coreness")
@@ -690,25 +705,7 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: see _kcore -- the registered surface runs it on the SAME
     attribute-grain reduced brand graph as graph_triangle_count, so every
     peel pass is broadcast-sized regardless of fact-table width."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    orders = load_table(spark, sf_dir, "orders")
-    thr = orders.agg(F.ceil(0.024 * F.count("*")).cast("bigint").alias("t"))
-    ob = (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .select("l_orderkey", "p_brand")
-        .distinct()
-    )
-    a = ob.select(F.col("l_orderkey").alias("ok_a"), F.col("p_brand").alias("u"))
-    b = ob.select(F.col("l_orderkey").alias("ok_b"), F.col("p_brand").alias("v"))
-    e = (
-        a.join(b, (F.col("ok_a") == F.col("ok_b")) & (F.col("u") < F.col("v")))
-        .groupBy("u", "v")
-        .agg(F.count("*").alias("n"))
-        .crossJoin(F.broadcast(thr))
-        .filter(F.col("n") >= F.col("t"))
-        .select("u", "v")
-    )
+    e = _brand_cooccurrence_edges(spark, sf_dir)
     both = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     return _kcore(both).orderBy("node")
 
@@ -735,8 +732,8 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS d FROM bd GROUP BY 1),
     tri AS (
       SELECT e1.u AS node, CAST(count(*) AS BIGINT) AS t
-      FROM bd e1 JOIN bd e2 ON e1.v = e2.u AND e1.u < e2.v
-      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+      FROM bd e1 JOIN bd e2 ON e1.u = e2.u AND e1.v < e2.v
+      JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
       GROUP BY 1
     )
     SELECT deg.node, deg.d AS degree,
@@ -754,35 +751,24 @@ def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     cc~0 is a pure connector; cc~1 is a clique member; the distribution
     separates hub-and-spoke catalogs from community-structured ones).
 
-    Exactness: triangle counts per node come from the wedge+closing-edge
-    join (each triangle {a,b,c} counted once per node via the u<v wedge
-    canonicalization); degrees and counts are exact integers, one ratio
-    at 6 dp, degree-1 nodes defined 0.
+    Exactness: per-node triangles come from wedges ANCHORED AT THE NODE
+    over its own neighbor pairs (x < y canonicalizes the pair, the
+    closing edge (x, y) is checked against the undirected edge set) --
+    each triangle contributes exactly one wedge per member node, so all
+    three members count it once; degrees and counts are exact integers,
+    one ratio at 6 dp, degree-1 nodes defined 0. Pinned on a hand-checked
+    triangle+pendant graph in test_round14_ops (the first join shape
+    keyed wedges on e1.v = e2.u and asymmetrically over- and
+    under-counted members -- caught in review, and invisible to the
+    oracle because the SQL mirrored the same shape).
 
     Scale: same reduced brand graph as the triangle op -- all joins run
     on the attribute-grain-bounded edge relation; at general graphs the
     wedge side rides the degree-ordered orientation exactly as
     graph_triangle_count documents."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    orders = load_table(spark, sf_dir, "orders")
-    thr = orders.agg(F.ceil(0.024 * F.count("*")).cast("bigint").alias("t"))
-    ob = (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .select("l_orderkey", "p_brand")
-        .distinct()
-    )
-    a = ob.select(F.col("l_orderkey").alias("ok_a"), F.col("p_brand").alias("u"))
-    b = ob.select(F.col("l_orderkey").alias("ok_b"), F.col("p_brand").alias("v"))
-    e = (
-        a.join(b, (F.col("ok_a") == F.col("ok_b")) & (F.col("u") < F.col("v")))
-        .groupBy("u", "v")
-        .agg(F.count("*").alias("n"))
-        .crossJoin(F.broadcast(thr))
-        .filter(F.col("n") >= F.col("t"))
-        .select("u", "v")
-        .localCheckpoint(eager=False)  # bd + the closing-edge join reuse it
-    )
+    e = _brand_cooccurrence_edges(spark, sf_dir).localCheckpoint(
+        eager=False
+    )  # bd + the closing-edge join reuse it
     bd = e.unionByName(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).localCheckpoint(eager=False)
@@ -790,12 +776,13 @@ def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("d")
     )
     w1 = bd.select(F.col("u").alias("node"), F.col("v").alias("x"))
-    w2 = bd.select(F.col("u").alias("x0"), F.col("v").alias("y"))
+    w2 = bd.select(F.col("u").alias("node"), F.col("v").alias("y"))
     tri = (
-        w1.join(F.broadcast(w2), (F.col("x") == F.col("x0")) & (F.col("node") < F.col("y")))
+        w1.join(F.broadcast(w2), "node")
+        .filter(F.col("x") < F.col("y"))
         .join(
-            F.broadcast(e.select(F.col("u").alias("node"), F.col("v").alias("y"))),
-            ["node", "y"],
+            F.broadcast(e.select(F.col("u").alias("x"), F.col("v").alias("y"))),
+            ["x", "y"],
         )
         .groupBy("node")
         .agg(F.count("*").cast("bigint").alias("t"))

@@ -604,6 +604,59 @@ def search_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bm25_relevance_ranking(spark: SparkSession, sf_dir: str):
+    """Shared eval substrate for search_ndcg_eval / search_mrr_eval: the
+    BM25 top-k ranking as (rel, rn) rows over _QUERY_TERMS plus the
+    per-doc term-coverage relevance relation -- ONE definition, so both
+    metrics provably grade the SAME ranking (they previously hand-copied
+    the pipeline; a scoring tweak applied to one would silently diverge
+    the other). Same postings-probe shape as search_bm25."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", _tokens().alias("toks"))
+    stats = toks.agg(
+        F.count("*").alias("n_docs"), F.avg(F.size("toks")).alias("avgdl")
+    )
+    tf = (
+        toks.select("doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("tok"))
+        .filter(F.col("tok").isin(_QUERY_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
+        .localCheckpoint(eager=False)  # df + scoring + relevance reuse it
+    )
+    df = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+    scored = (
+        tf.join(F.broadcast(df), "tok")
+        .join(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(
+                    idf * F.col("tf") * (_K1 + 1)
+                    / (F.col("tf") + _K1 * (1 - _B + _B * F.col("dl") / F.col("avgdl")))
+                ),
+                6,
+            ).alias("score")
+        )
+    )
+    rel = tf.groupBy("doc_id").agg(
+        F.count_distinct(F.col("tok")).cast("bigint").alias("rel")
+    ).localCheckpoint(eager=False)  # both rankings / both metrics consume it
+    ranked = (
+        scored.join(rel, "doc_id")
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(_TOP)
+        .select(
+            "rel",
+            F.row_number()
+            .over(Window.orderBy(F.col("score").desc(), "doc_id"))
+            .alias("rn"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    return ranked, rel
+
+
 @register(
     "search_ndcg_eval",
     tags=("search", "northstar", "agg"),
@@ -680,48 +733,7 @@ def search_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     to top-20 before any window ranks them, so the rank windows see
     <= 20 rows -- at wider corpora the cut is TakeOrderedAndProject
     either way."""
-    d = load_table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", _tokens().alias("toks"))
-    stats = toks.agg(
-        F.count("*").alias("n_docs"), F.avg(F.size("toks")).alias("avgdl")
-    )
-    tf = (
-        toks.select("doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("tok"))
-        .filter(F.col("tok").isin(_QUERY_TERMS))
-        .groupBy("doc_id", "tok")
-        .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
-        .localCheckpoint(eager=False)  # df + scoring + relevance reuse it
-    )
-    df = tf.groupBy("tok").agg(F.count("*").alias("df"))
-    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
-    scored = (
-        tf.join(F.broadcast(df), "tok")
-        .join(F.broadcast(stats))
-        .groupBy("doc_id")
-        .agg(
-            F.round(
-                F.sum(
-                    idf * F.col("tf") * (_K1 + 1)
-                    / (F.col("tf") + _K1 * (1 - _B + _B * F.col("dl") / F.col("avgdl")))
-                ),
-                6,
-            ).alias("score")
-        )
-    )
-    rel = tf.groupBy("doc_id").agg(
-        F.count_distinct(F.col("tok")).cast("bigint").alias("rel")
-    ).localCheckpoint(eager=False)  # both rankings consume it
-    top = (
-        scored.join(rel, "doc_id")
-        .orderBy(F.col("score").desc(), "doc_id")
-        .limit(_TOP)
-    )
-    ranked = top.select(
-        "rel",
-        F.row_number()
-        .over(Window.orderBy(F.col("score").desc(), "doc_id"))
-        .alias("rn"),
-    )
+    ranked, rel = _bm25_relevance_ranking(spark, sf_dir)
     ideal = (
         rel.orderBy(F.col("rel").desc(), "doc_id")
         .limit(_TOP)
@@ -826,49 +838,7 @@ def search_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the search_bm25 postings-probe shape; both metrics read the
     <= 20-row ranked relation and tiny pool counts."""
-    d = load_table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", _tokens().alias("toks"))
-    stats = toks.agg(
-        F.count("*").alias("n_docs"), F.avg(F.size("toks")).alias("avgdl")
-    )
-    tf = (
-        toks.select("doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("tok"))
-        .filter(F.col("tok").isin(_QUERY_TERMS))
-        .groupBy("doc_id", "tok")
-        .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
-        .localCheckpoint(eager=False)
-    )
-    df = tf.groupBy("tok").agg(F.count("*").alias("df"))
-    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
-    scored = (
-        tf.join(F.broadcast(df), "tok")
-        .join(F.broadcast(stats))
-        .groupBy("doc_id")
-        .agg(
-            F.round(
-                F.sum(
-                    idf * F.col("tf") * (_K1 + 1)
-                    / (F.col("tf") + _K1 * (1 - _B + _B * F.col("dl") / F.col("avgdl")))
-                ),
-                6,
-            ).alias("score")
-        )
-    )
-    rel = tf.groupBy("doc_id").agg(
-        F.count_distinct(F.col("tok")).cast("bigint").alias("rel")
-    ).localCheckpoint(eager=False)
-    ranked = (
-        scored.join(rel, "doc_id")
-        .orderBy(F.col("score").desc(), "doc_id")
-        .limit(_TOP)
-        .select(
-            "rel",
-            F.row_number()
-            .over(Window.orderBy(F.col("score").desc(), "doc_id"))
-            .alias("rn"),
-        )
-        .localCheckpoint(eager=False)  # three scalar reads
-    )
+    ranked, rel = _bm25_relevance_ranking(spark, sf_dir)
     # coalesce: an EMPTY rel relation (no term matches anywhere) sums to
     # NULL in Spark where the oracle's COUNTs give 0 (hostile-corpus sweep)
     pools = rel.agg(

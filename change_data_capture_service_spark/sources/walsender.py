@@ -285,7 +285,13 @@ class WalSenderClient:
         (the at-least-once contract: we confirm RECEIPT; durable flush
         confirmation belongs to the sink's checkpoint, and replaying an
         over-acknowledged gap is exactly what the engine's idempotent
-        doc-id sinks absorb). CopyDone ends the iterator cleanly."""
+        doc-id sinks absorb). CopyDone ends the iterator cleanly, and so
+        does a socket timeout on a QUIET server (idle WAL, keepalive
+        interval longer than the socket timeout): the bounded drain
+        RETURNS the frames already received instead of raising and
+        losing them. A timeout can strand partial bytes mid-message, so
+        the connection is single-drain after that -- close and redial,
+        which is what replicate_batch callers do anyway."""
         flushed = 0
         start = clock()
         n = 0
@@ -294,7 +300,10 @@ class WalSenderClient:
                 return
             if deadline_s is not None and clock() - start > deadline_s:
                 return
-            msg = self._read_message()
+            try:
+                msg = self._read_message()
+            except (TimeoutError, socket.timeout):
+                return
             if msg.type == b"d":  # CopyData -> inner frame
                 inner = msg.payload
                 tag = inner[0:1]

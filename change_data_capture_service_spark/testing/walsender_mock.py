@@ -31,9 +31,18 @@ class MockWalSender:
     ``status_updates``), which is exactly the liveness contract a real
     walsender enforces before advancing."""
 
-    def __init__(self, script: list[bytes], *, password: str | None = None):
+    def __init__(
+        self,
+        script: list[bytes],
+        *,
+        password: str | None = None,
+        hang_after_script: bool = False,
+    ):
         self.script = script
         self.password = password
+        # simulate an idle-WAL server: stream the script then go QUIET
+        # (no CopyDone), so clients exercise their socket-timeout path
+        self.hang_after_script = hang_after_script
         self.status_updates: list[dict] = []
         self.startup_params: dict[str, str] = {}
         self.queries: list[str] = []
@@ -86,12 +95,20 @@ class MockWalSender:
             conn, _ = self._srv.accept()
             with conn:
                 buf = bytearray()
-                # startup message: int32 len, int32 proto, params
+                # startup message: int32 len, int32 proto, params. recv()
+                # returning b'' means the client vanished mid-handshake --
+                # bail instead of busy-looping on an empty read forever
                 while len(buf) < 4:
-                    buf.extend(conn.recv(65536))
+                    chunk = conn.recv(65536)
+                    if not chunk:
+                        return
+                    buf.extend(chunk)
                 (ln,) = struct.unpack(">i", bytes(buf[:4]))
                 while len(buf) < ln:
-                    buf.extend(conn.recv(65536))
+                    chunk = conn.recv(65536)
+                    if not chunk:
+                        return
+                    buf.extend(chunk)
                 params = bytes(buf[8:ln]).split(b"\x00")[:-2]
                 del buf[:ln]
                 it = iter(params)
@@ -152,6 +169,16 @@ class MockWalSender:
                                 self.status_updates.append(
                                     {"written": w, "flushed": f, "applied": a}
                                 )
+                        if self.hang_after_script:
+                            # park until the client gives up (Terminate
+                            # or a straight close) -- the expected end
+                            try:
+                                while True:
+                                    t2, _ = self._read_msg(conn, buf)
+                                    if t2 == b"X":
+                                        return
+                            except ConnectionError:
+                                return
                         self._send(conn, b"c", b"")  # CopyDone
                         self._send(conn, b"C", b"COPY 0\x00")
                         self._ready(conn)

@@ -162,6 +162,99 @@ def test_kcore_exact_on_constructed_graphs(spark):
     }, got
 
 
+def test_kcore_simultaneous_orphans_and_clamp(spark):
+    """Review-caught regressions pinned: (a) a node whose neighbors ALL
+    peel in the same pass (path middle, star hub) must still receive its
+    coreness row; (b) survivors of the max_k guard report the CLAMP
+    max_k ("at least max_k"), not max_k - 1."""
+    from change_data_capture_service_spark.operators.graph import _kcore
+
+    def kcore(edges, **kw):
+        df = spark.createDataFrame(edges, "u string, v string")
+        both = df.union(df.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        return {r["node"]: r["coreness"] for r in _kcore(both, **kw).collect()}
+
+    assert kcore([("a", "b"), ("b", "c")]) == {"a": 1, "b": 1, "c": 1}
+    star = [("hub", f"l{i}") for i in range(5)]
+    assert kcore(star) == {"hub": 1, **{f"l{i}": 1 for i in range(5)}}
+    k5 = [(a, b) for i, a in enumerate("pqrst") for b in "pqrst"[i + 1:]]
+    assert kcore(k5, max_k=2) == {c: 2 for c in "pqrst"}
+
+
+def test_local_clustering_hand_checked(spark, tmp_path):
+    """Per-node clustering on a hand-checked graph: triangle a-b-c plus
+    pendant c-d gives cc = (1.0, 1.0, 1/3, 0) -- pins the wedge-anchoring
+    fix (the first join shape reported (2.0, 1.0, 0.0, 0), an impossible
+    cc > 1 and a triangle member at 0, mirrored in its oracle)."""
+    import pandas as pd
+
+    from change_data_capture_service_spark.operators.graph import (
+        graph_local_clustering,
+    )
+
+    # brand graph: orders co-purchasing brands A-B-C as a triangle, C-D
+    # pendant; threshold ceil(0.024 * 4 orders) = 1 keeps every pair
+    rows = []
+    basket = [("A", "B"), ("A", "C"), ("B", "C"), ("C", "D")]
+    for ok, (x, y) in enumerate(basket):
+        rows += [(ok, 2 * ok), (ok, 2 * ok + 1)]
+    parts = {}
+    for ok, (x, y) in enumerate(basket):
+        parts[2 * ok] = x
+        parts[2 * ok + 1] = y
+    pd.DataFrame(
+        {
+            "l_orderkey": [r[0] for r in rows],
+            "l_partkey": [r[1] for r in rows],
+            "l_suppkey": [1] * len(rows),
+            "l_linenumber": [1] * len(rows),
+            "l_quantity": [1.0] * len(rows),
+            "l_extendedprice": [1.0] * len(rows),
+            "l_discount": [0.0] * len(rows),
+            "l_tax": [0.0] * len(rows),
+            "l_returnflag": ["N"] * len(rows),
+            "l_linestatus": ["O"] * len(rows),
+            "l_shipdate": pd.to_datetime(["2024-01-01"] * len(rows)),
+        }
+    ).to_parquet(str(tmp_path / "lineitem.parquet"))
+    pd.DataFrame(
+        {
+            "p_partkey": list(parts),
+            "p_name": [f"part{k}" for k in parts],
+            "p_mfgr": ["m"] * len(parts),
+            "p_brand": list(parts.values()),
+            "p_type": ["t"] * len(parts),
+            "p_size": [1] * len(parts),
+            "p_container": ["c"] * len(parts),
+            "p_retailprice": [1.0] * len(parts),
+            "p_comment": [""] * len(parts),
+        }
+    ).to_parquet(str(tmp_path / "part.parquet"))
+    pd.DataFrame(
+        {
+            "o_orderkey": range(4),
+            "o_custkey": [1] * 4,
+            "o_orderstatus": ["F"] * 4,
+            "o_totalprice": [1.0] * 4,
+            "o_orderdate": pd.to_datetime(["2024-01-01"] * 4),
+            "o_orderpriority": ["1"] * 4,
+            "o_clerk": ["c"] * 4,
+            "o_shippriority": [0] * 4,
+            "o_comment": [""] * 4,
+        }
+    ).to_parquet(str(tmp_path / "orders.parquet"))
+    got = {
+        r["node"]: (r["degree"], r["triangles"], r["local_cc"])
+        for r in graph_local_clustering(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        "A": (2, 1, 1.0),
+        "B": (2, 1, 1.0),
+        "C": (3, 1, 0.333333),
+        "D": (1, 0, 0.0),
+    }, got
+
+
 def test_kcore_fixture_invariants(spark):
     """On the brand graph: every node appears exactly once, and coreness
     never exceeds degree (peeling can only remove)."""

@@ -123,3 +123,33 @@ def test_against_live_postgres():
     ) as client:
         ident = client.identify_system()
         assert "xlogpos" in ident
+
+
+def test_quiet_server_ends_the_bounded_drain_without_losing_frames():
+    """A server that goes quiet mid-stream (idle WAL, no CopyDone) must
+    not crash replicate_batch: the socket timeout ends the drain and the
+    frames already received are RETURNED (review-caught: the first form
+    let TimeoutError propagate and discarded the batch)."""
+    script = _script()[:2]  # relation + one insert, then silence
+    with MockWalSender(script, hang_after_script=True) as srv:
+        with WalSenderClient(
+            port=srv.port, user="repl", dbname="app", timeout=1.0
+        ) as client:
+            client.start_replication("cdc_slot", "cdc_pub")
+            frames = list(client.pump(deadline_s=30))
+    assert len(frames) == 2
+
+
+def test_mock_survives_client_vanishing_mid_handshake():
+    """A client that connects and disconnects before completing the
+    startup message must not busy-loop the mock's server thread."""
+    import socket as _socket
+    import time
+
+    with MockWalSender(_script()) as srv:
+        s = _socket.create_connection(("127.0.0.1", srv.port), 2)
+        s.sendall(b"\x00\x00")  # partial length prefix
+        s.close()
+        time.sleep(0.2)
+    # __exit__ joins the thread (timeout 5): reaching here without a
+    # hang IS the assertion; the thread exited on the empty read
