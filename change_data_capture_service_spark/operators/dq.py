@@ -470,3 +470,70 @@ def orders_rapid_repeat_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "lineitem_quantity_heaping_audit",
+    tags=("dq", "stats", "agg"),
+    oracle="""
+    WITH q AS (
+      SELECT try_cast(l_quantity AS BIGINT) AS n
+      FROM lineitem
+      WHERE try_cast(l_quantity AS BIGINT) IS NOT NULL
+        AND try_cast(l_quantity AS BIGINT) > 0
+        AND try_cast(l_quantity AS DOUBLE) = try_cast(l_quantity AS BIGINT)
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN n % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS at10,
+             CAST(sum(CASE WHEN n % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS at5,
+             CAST(sum(CASE WHEN n % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS at2
+      FROM q
+    )
+    SELECT n_rows,
+           round(CAST(at10 AS DOUBLE) / n_rows, 6) AS share_mult10,
+           round(CAST(at5 AS DOUBLE) / n_rows, 6) AS share_mult5,
+           round(CAST(at2 AS DOUBLE) / n_rows, 6) AS share_mult2,
+           round(CAST(at10 AS DOUBLE) / n_rows / 0.1, 6) AS heaping_index10,
+           round(CAST(at5 AS DOUBLE) / n_rows / 0.2, 6) AS heaping_index5
+    FROM m WHERE n_rows > 0
+    """,
+)
+def lineitem_quantity_heaping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Digit-preference (heaping) audit on order quantities: the share of
+    values at multiples of 10/5/2 against the uniform expectation, as
+    Whipple-style heaping indices (1.0 = no preference; >>1 = humans
+    typed round numbers -- the classic symptom of manual entry, estimated
+    counts, or a UI stepper). The round-number twin of
+    lineitem_benford_first_digit: Benford checks leading-digit law on
+    MAGNITUDE data, heaping checks terminal-digit preference on COUNT
+    data -- together they cover the two standard entered-vs-measured
+    forensic tests.
+
+    Exactness: integer modular counts only (non-integers are excluded --
+    a fractional quantity cannot heap); one division per index at 6 dp.
+
+    Scale: one map-side-combinable pass to a 4-counter row -- the
+    cheapest plan shape."""
+    li = load_table(spark, sf_dir, "lineitem")
+    n = F.expr("try_cast(l_quantity AS bigint)")
+    q = li.select(n.alias("n")).filter(
+        F.col("n").isNotNull()
+        & (F.col("n") > 0)
+        & (F.expr("try_cast(l_quantity AS double)") == F.col("n"))
+    )
+    m = q.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum(F.when(F.col("n") % 10 == 0, 1).otherwise(0)).cast("bigint").alias("at10"),
+        F.sum(F.when(F.col("n") % 5 == 0, 1).otherwise(0)).cast("bigint").alias("at5"),
+        F.sum(F.when(F.col("n") % 2 == 0, 1).otherwise(0)).cast("bigint").alias("at2"),
+    ).filter(F.col("n_rows") > 0)
+    nr = F.col("n_rows").cast("double")
+    return m.select(
+        "n_rows",
+        F.round(F.col("at10") / nr, 6).alias("share_mult10"),
+        F.round(F.col("at5") / nr, 6).alias("share_mult5"),
+        F.round(F.col("at2") / nr, 6).alias("share_mult2"),
+        F.round(F.col("at10") / nr / 0.1, 6).alias("heaping_index10"),
+        F.round(F.col("at5") / nr / 0.2, 6).alias("heaping_index5"),
+    )

@@ -125,6 +125,7 @@ _CHECK_ORDER = [
     "search_mrr_eval",
     "chunk_boundary_overlap_audit",
     "events_sessionization_sensitivity",
+    "lineitem_quantity_heaping_audit",
 ]
 # Provenance: the round-8 window, fully attested by CORRECTNESS_r08
 # (47 full hash-green + 3 rows-only-clean: dedup_simhash,

@@ -112,6 +112,7 @@ _R9_CHECK_WINDOW = [
     "search_mrr_eval",
     "chunk_boundary_overlap_audit",
     "events_sessionization_sensitivity",
+    "lineitem_quantity_heaping_audit",
 ]
 
 
