@@ -488,17 +488,41 @@ def main() -> int:
                 "max": round(s[-1], 3),
             }
 
+        # contention-invariant companion to the wall numbers: executor
+        # CPU-seconds per query (delta of the AppStatusStore stage totals
+        # around each trial). cpu_s doesn't move when OTHER processes
+        # steal the host, so cross-round cpu_s drift = real regression,
+        # wall-only drift = contention -- the adjudication r9 had to do
+        # by diff-reading is now mechanical.
+        from change_data_capture_service_spark.plans.inspect import (
+            executor_time_totals,
+        )
+
         timings: dict[str, float] = {}
         spreads: dict[str, dict[str, float]] = {}
+        cpu: dict[str, dict[str, float]] = {}
         for label, key in HEADLINE:
             df = registry.get(key).fn(spark, staged)
             trials = []
+            cpu_trials = []
             for _ in range(5):
+                c0 = executor_time_totals(spark)
                 t0 = time.perf_counter()
                 df.write.format("noop").mode("overwrite").save()
                 trials.append(time.perf_counter() - t0)
+                c1 = executor_time_totals(spark)
+                cpu_trials.append(
+                    {k: c1[k] - c0[k] for k in ("run_s", "cpu_s")}
+                )
             timings[label] = round(min(trials), 3)
             spreads[label] = spread(trials)
+            # min over trials, like the wall estimator: GC or a cold
+            # codegen path inflates one trial's CPU the same way it
+            # inflates its wall
+            cpu[label] = {
+                "run_s": round(min(t["run_s"] for t in cpu_trials), 3),
+                "cpu_s": round(min(t["cpu_s"] for t in cpu_trials), 3),
+            }
 
         # extended probes (NOT in the headline total, which stays
         # cross-round comparable): the relational/search suite and the
@@ -521,9 +545,27 @@ def main() -> int:
     # same discipline as the registry queries: first full run warms stream
     # init + codegen (one-time costs), min-of-3 measures steady state; every
     # trial still does ALL the work against fresh directories
-    ingest_trials = [_bench_pipeline_ingest(spark, sf_dir) for _ in range(3)]
+    from change_data_capture_service_spark.plans.inspect import executor_time_totals
+
+    ingest_trials = []
+    q11_cpu_trials = []
+    for _ in range(3):
+        c0 = executor_time_totals(spark)
+        ingest_trials.append(_bench_pipeline_ingest(spark, sf_dir))
+        c1 = executor_time_totals(spark)
+        q11_cpu_trials.append({k: c1[k] - c0[k] for k in ("run_s", "cpu_s")})
     q11 = min(ingest_trials, key=lambda p: p["total"])
     timings["q11_cdc_ingest"] = q11.pop("total")
+    # per-phase [min, med, max] over ALL trials (r9 recorded only the min
+    # trial's phases, so a phase-local regression under contention was
+    # unadjudicable) + the CPU companion for the whole ingest
+    q11 = dict(q11)
+    for phase in ("snapshot", "stream_drain", "latest_state", "stream_fixed"):
+        q11[f"{phase}_spread"] = _spread3([t[phase] for t in ingest_trials])
+    cpu["q11_cdc_ingest"] = {
+        "run_s": round(min(t["run_s"] for t in q11_cpu_trials), 3),
+        "cpu_s": round(min(t["cpu_s"] for t in q11_cpu_trials), 3),
+    }
     rollup = _bench_rollup_incremental(spark, sf_dir)
     ann = _bench_ann_prebuilt(spark, sf_dir)
     es_sink = _bench_es_sink(spark, sf_dir)
@@ -592,6 +634,11 @@ def main() -> int:
         # which re-fits everything per call
         "ann_prebuilt": ann,
         "extended": extended,
+        # executor-seconds per headline query (min-of-trials delta of the
+        # AppStatusStore stage totals): cpu_s is invariant to external
+        # host load, so compare IT across rounds before believing a wall
+        # regression
+        "cpu": cpu,
         "queries": timings,
         "value": total,
     }

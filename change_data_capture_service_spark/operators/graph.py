@@ -627,7 +627,20 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kcore(both_dirs: DataFrame, max_k: int = 64) -> DataFrame:
+# _kcore's per-pass semi-joins broadcast the alive-node set only while it
+# fits comfortably in an executor: above this bound the hint is dropped and
+# Spark falls back to a shuffle join (same result, graceful degradation).
+# 4M nodes of (long) keys ~ 32 MB serialized -- inside the default 8 GB
+# driver/executor headroom with a wide margin, same discipline as
+# dedup.JACCARD_DF_CAP: a hard bound in code, not a prose contract.
+KCORE_BROADCAST_NODE_CAP = 4_000_000
+
+
+def _kcore(
+    both_dirs: DataFrame,
+    max_k: int = 64,
+    broadcast_node_cap: int = KCORE_BROADCAST_NODE_CAP,
+) -> DataFrame:
     """Core decomposition by iterative peeling over a (u, v) BOTH-DIRECTIONS
     edge relation: for k = 1, 2, ... repeatedly delete nodes with degree
     < k; a node's core number is the last k it survived. Returns (node,
@@ -647,9 +660,14 @@ def _kcore(both_dirs: DataFrame, max_k: int = 64) -> DataFrame:
     bounded by the graph degeneracy (<= max_k guard); inner fixed-point
     passes by the longest peel chain. On the attribute-grain reduced
     graphs the engine builds (brands, parts), every pass is
-    broadcast-sized."""
+    broadcast-sized; on a user-grain graph the broadcast hint is applied
+    ONLY while the alive set is under broadcast_node_cap (checked against
+    the materialized checkpoint each pass -- alive only shrinks, so once
+    small it stays hinted), otherwise the semi-joins run as plain shuffle
+    joins instead of OOMing an executor on a forced hint."""
     cur = both_dirs.localCheckpoint()
     alive = cur.select("u").distinct().localCheckpoint()
+    n_alive = alive.count()  # cheap: counts the checkpointed materialization
     core = None  # (node, coreness) accumulated per peel level
     k = 1
     while k <= max_k:
@@ -666,10 +684,12 @@ def _kcore(both_dirs: DataFrame, max_k: int = 64) -> DataFrame:
             core = removed if core is None else core.unionByName(removed)
             core = core.localCheckpoint()
             alive = alive.join(low, "u", "left_anti").localCheckpoint()
+            n_alive = alive.count()
+            hint = (lambda d: F.broadcast(d)) if n_alive <= broadcast_node_cap else (lambda d: d)
             cur = (
-                cur.join(F.broadcast(alive), "u", "left_semi")
+                cur.join(hint(alive), "u", "left_semi")
                 .join(
-                    F.broadcast(alive.select(F.col("u").alias("v"))),
+                    hint(alive.select(F.col("u").alias("v"))),
                     "v",
                     "left_semi",
                 )

@@ -1838,9 +1838,13 @@ def knn_hubness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     denominator (IEEE-correctly-rounded, no pow).
 
     Scale: same contract as reciprocity -- all-pairs is honest at
-    fixture/eval scale, and at 10^9 vectors the SAME fold consumes
-    query_ann_index batches (the profile is linear in the |V|*k edge
-    list; only neighbor generation changes)."""
+    fixture/eval scale, and at 10^9 vectors the SAME fold
+    (``hubness_from_edges``) consumes query_ann_index batches: the
+    profile is linear in the |V|*k edge list and only neighbor
+    generation changes. That claim is an EXECUTED path, not prose --
+    tests/test_ann_index.py::test_hubness_fold_consumes_ann_index_edges
+    feeds this exact fold from a full-probe prebuilt-index run and
+    asserts agreement with the all-pairs profile."""
     k = 10
     vec = _vectors(spark, sf_dir).localCheckpoint(eager=False)
     other = vec.select(
@@ -1861,9 +1865,25 @@ def knn_hubness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= k)
         .select("src", "dst")
     )
+    return hubness_from_edges(vec.select("vec_id", "label"), knn, k=k)
+
+
+def hubness_from_edges(nodes: DataFrame, knn_edges: DataFrame, *, k: int) -> DataFrame:
+    """In-degree distribution profile of a kNN edge list, per label:
+    the generation-agnostic fold behind knn_hubness_profile. ``nodes``
+    carries (vec_id, label) -- the node UNIVERSE, so orphans (never
+    anyone's neighbour) are counted; ``knn_edges`` carries (src, dst)
+    directed neighbour edges from ANY generator: the all-pairs exact
+    scorer at eval scale, or ``ann_index.query_ann_index`` batches
+    (query_id -> src, neighbor_id -> dst) at 10^9-vector scale. Linear
+    in |edges|; one shuffle at node grain, one at label grain."""
     indeg = (
-        vec.select("vec_id", "label")
-        .join(knn.select(F.col("dst").alias("vec_id"), F.lit(1).alias("one")), "vec_id", "left")
+        nodes
+        .join(
+            knn_edges.select(F.col("dst").alias("vec_id"), F.lit(1).alias("one")),
+            "vec_id",
+            "left",
+        )
         .groupBy("vec_id", "label")
         .agg(F.sum(F.coalesce(F.col("one"), F.lit(0))).cast("bigint").alias("d"))
     )

@@ -86,3 +86,37 @@ def executed_metrics(df: DataFrame, keys: tuple[str, ...]) -> dict[str, int]:
 
     walk(df._jdf.queryExecution().executedPlan())
     return totals
+
+
+def executor_time_totals(spark) -> dict[str, float]:
+    """Cumulative executor wall/CPU seconds over ALL stages the app has run
+    so far, from the live AppStatusStore (the same numbers the Spark UI's
+    stage table shows). Delta two snapshots around a query to get
+    contention-robust per-query cost:
+
+    - ``run_s``  = sum of executorRunTime (task wall on executor threads);
+      inflates under host contention like driver wall does, but excludes
+      scheduler/launch latency.
+    - ``cpu_s``  = sum of executorCpuTime (actual CPU-seconds the tasks
+      burned); invariant to *other processes* stealing the host, so a
+      cross-round cpu_s drift is a real code regression while a wall-only
+      drift is contention.
+
+    Local mode keeps every stage of the app in the store (default
+    ``spark.ui.retainedStages`` 1000 >> any bench run), so deltas are
+    exact.
+    """
+    sc = spark.sparkContext
+    gw = sc._gateway
+    store = sc._jsc.sc().statusStore()
+    empty = gw.jvm.java.util.ArrayList()
+    quantiles = gw.new_array(gw.jvm.double, 0)
+    stages = store.stageList(empty, False, False, quantiles, empty)
+    run_ms = 0
+    cpu_ns = 0
+    it = stages.iterator()
+    while it.hasNext():
+        s = it.next()
+        run_ms += s.executorRunTime()
+        cpu_ns += s.executorCpuTime()
+    return {"run_s": run_ms / 1e3, "cpu_s": cpu_ns / 1e9}

@@ -247,3 +247,44 @@ def test_extend_in_batches_equals_extend_in_one(spark, sf_dir, tmp_path):
         a = sorted(map(str, query_ann_index(spark, q, vec, index_dir=one, n_probe=n_probe).collect()))
         b = sorted(map(str, query_ann_index(spark, q, vec, index_dir=two, n_probe=n_probe).collect()))
         assert a == b
+
+
+def test_hubness_fold_consumes_ann_index_edges(spark, sf_dir, tmp_path):
+    """The 10^9-vector contract of knn_hubness_profile, executed: the SAME
+    in-degree fold (hubness_from_edges) consumes query_ann_index batches
+    as its edge generator and must agree with the all-pairs profile.
+
+    Exactness setup: full probe (n_probe clamped to n_cells) plus
+    top_k=17 makes the 30*top_k ADC shortlist (510) cover the whole
+    499-candidate corpus, so the exact rerank sees EVERY candidate --
+    the index path degenerates to exact kNN by construction, both sides
+    round cosines at 6dp with the same vec_id tiebreak, and the
+    resulting per-label profiles must be byte-identical (not merely
+    close). At production scale only n_probe/shortlist change; the fold
+    is untouched."""
+    from change_data_capture_service_spark.operators.similarity import (
+        hubness_from_edges,
+    )
+
+    vec = _vectors(spark, sf_dir).localCheckpoint()
+    idx = str(tmp_path / "hub-idx")
+    build_ann_index(spark, vec, index_dir=idx)
+
+    queries = vec.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    hits = query_ann_index(
+        spark, queries, vec, index_dir=idx, n_probe=10_000, top_k=17
+    )
+    edges = hits.filter(F.col("rnk") <= 10).select(
+        F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
+    got = sorted(
+        map(str, hubness_from_edges(vec.select("vec_id", "label"), edges, k=10).collect())
+    )
+    want = sorted(
+        map(str, registry.get("knn_hubness_profile").fn(spark, sf_dir).collect())
+    )
+    assert got == want

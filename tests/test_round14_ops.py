@@ -181,6 +181,30 @@ def test_kcore_simultaneous_orphans_and_clamp(spark):
     assert kcore(k5, max_k=2) == {c: 2 for c in "pqrst"}
 
 
+def test_kcore_above_broadcast_cap_shuffle_join_identical(spark):
+    """Grain guard (r9 verdict): on a node set LARGER than
+    broadcast_node_cap the forced-broadcast hint must be dropped (plain
+    shuffle semi-joins) and the decomposition must still complete with
+    byte-identical core numbers -- graceful degradation, not an executor
+    OOM, when _kcore is handed a user-grain graph."""
+    from change_data_capture_service_spark.operators.graph import _kcore
+
+    edges = [
+        ("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d"),
+        ("d", "e"), ("e", "f"),
+        ("x", "y"), ("y", "z"), ("x", "z"),
+    ]
+    df = spark.createDataFrame(edges, "u string, v string")
+    both = df.union(df.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    want = {r["node"]: r["coreness"] for r in _kcore(both).collect()}
+    # cap=0: every pass exceeds the bound, so EVERY semi-join runs unhinted
+    got = {
+        r["node"]: r["coreness"]
+        for r in _kcore(both, broadcast_node_cap=0).collect()
+    }
+    assert got == want, (got, want)
+
+
 def test_local_clustering_hand_checked(spark, tmp_path):
     """Per-node clustering on a hand-checked graph: triangle a-b-c plus
     pendant c-d gives cc = (1.0, 1.0, 1/3, 0) -- pins the wedge-anchoring
