@@ -2082,3 +2082,701 @@ def events_gap_memory_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame
         F.round((sig - mu) / F.nullif(sig + mu, F.lit(0.0)), 6).alias("burstiness_b"),
         F.round(r_num / F.nullif(r_den, F.lit(0.0)), 6).alias("memory_coeff"),
     )
+
+
+@register(
+    "events_cohens_d_weekend",
+    tags=("stats", "analytics"),
+    oracle=f"""
+    WITH s AS (
+      SELECT {_VALUE_C} AS c,
+             CAST(dayofweek(ts) IN (0, 6) AS BOOLEAN) AS wkd
+      FROM events WHERE {_VALUE_C} IS NOT NULL
+    ),
+    m AS (
+      SELECT CAST(sum(CASE WHEN wkd THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN wkd THEN 0 ELSE 1 END) AS BIGINT) AS n2,
+             CAST(sum(CASE WHEN wkd THEN CAST(c AS DECIMAL(38,0)) ELSE 0 END)
+               AS DECIMAL(38,0)) AS s1,
+             CAST(sum(CASE WHEN wkd THEN 0 ELSE CAST(c AS DECIMAL(38,0)) END)
+               AS DECIMAL(38,0)) AS s2,
+             CAST(sum(CASE WHEN wkd THEN CAST(c AS DECIMAL(38,0)) * c ELSE 0 END)
+               AS DECIMAL(38,0)) AS q1,
+             CAST(sum(CASE WHEN wkd THEN 0 ELSE CAST(c AS DECIMAL(38,0)) * c END)
+               AS DECIMAL(38,0)) AS q2
+      FROM s
+    ),
+    d AS (
+      SELECT n1, n2,
+             CAST(s1 AS DOUBLE) / n1 AS m1, CAST(s2 AS DOUBLE) / n2 AS m2,
+             (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n1)
+               AS ss1,
+             (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / n2)
+               AS ss2
+      FROM m WHERE n1 > 1 AND n2 > 1
+    ),
+    p AS (
+      SELECT n1, n2, m1, m2,
+             sqrt((ss1 + ss2) / (n1 + n2 - 2)) AS sp
+      FROM d
+    )
+    SELECT n1 AS n_weekend, n2 AS n_weekday,
+           round(sp / 100, 6) AS pooled_sd_dollars,
+           round((m1 - m2) / nullif(sp, 0), 6) AS cohens_d,
+           round((m1 - m2) / nullif(sp, 0)
+                 * (1 - 3.0 / (4 * (n1 + n2) - 9)), 6) AS hedges_g
+    FROM p
+    """,
+)
+def events_cohens_d_weekend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d (pooled-SD standardized mean difference) between weekend
+    and weekday event values, with the Hedges' g small-sample correction
+    factor J = 1 - 3/(4N - 9) -- the EFFECT-SIZE companion to
+    events_welch_ttest_weekend: a t statistic says whether the difference
+    is detectable at this n, d/g say whether it is LARGE, which is the
+    number a mixture rebalance or experiment readout actually acts on.
+
+    Exactness: the same six sufficient moments as Welch (n, sum,
+    sum-of-squares per group) accumulate as exact DECIMAL(38,0) integer
+    cents in ONE partial agg; d, g, and the pooled SD are a shared double
+    closed form from those exact operands, rounded at 6 dp, NULL via
+    nullif on degenerate variance.
+
+    Scale: one map-side-combinable pass over the fact table to a single
+    moment row -- no window, no join; the reduction shape is identical at
+    100 TB."""
+    e = load_table(spark, sf_dir, "events")
+    c = F.expr(_VALUE_C)
+    s = e.select(
+        c.alias("c"), F.dayofweek("ts").isin(1, 7).alias("wkd")
+    ).filter(F.col("c").isNotNull())
+    cd = F.col("c").cast("decimal(38,0)")
+    m = s.agg(
+        F.sum(F.when(F.col("wkd"), 1).otherwise(0)).cast("bigint").alias("n1"),
+        F.sum(F.when(F.col("wkd"), 0).otherwise(1)).cast("bigint").alias("n2"),
+        F.sum(F.when(F.col("wkd"), cd).otherwise(F.lit(0))).cast("decimal(38,0)").alias("s1"),
+        F.sum(F.when(F.col("wkd"), F.lit(0)).otherwise(cd)).cast("decimal(38,0)").alias("s2"),
+        F.sum(F.when(F.col("wkd"), cd * F.col("c")).otherwise(F.lit(0)))
+        .cast("decimal(38,0)").alias("q1"),
+        F.sum(F.when(F.col("wkd"), F.lit(0)).otherwise(cd * F.col("c")))
+        .cast("decimal(38,0)").alias("q2"),
+    ).filter((F.col("n1") > 1) & (F.col("n2") > 1))
+    m1 = F.col("s1").cast("double") / F.col("n1")
+    m2 = F.col("s2").cast("double") / F.col("n2")
+    ss1 = (
+        F.col("q1").cast("double")
+        - F.col("s1").cast("double") * F.col("s1").cast("double") / F.col("n1")
+    )
+    ss2 = (
+        F.col("q2").cast("double")
+        - F.col("s2").cast("double") * F.col("s2").cast("double") / F.col("n2")
+    )
+    sp = F.sqrt((ss1 + ss2) / (F.col("n1") + F.col("n2") - 2))
+    d = (m1 - m2) / F.nullif(sp, F.lit(0.0))
+    return m.select(
+        F.col("n1").alias("n_weekend"),
+        F.col("n2").alias("n_weekday"),
+        F.round(sp / 100, 6).alias("pooled_sd_dollars"),
+        F.round(d, 6).alias("cohens_d"),
+        F.round(
+            d * (1 - 3.0 / (4 * (F.col("n1") + F.col("n2")) - 9)), 6
+        ).alias("hedges_g"),
+    )
+
+
+@register(
+    "lineitem_kendall_tau_qty_price",
+    tags=("stats", "analytics"),
+    oracle=f"""
+    WITH s AS (
+      SELECT CAST({_QTY_C} / 100 AS BIGINT) AS x,
+             CAST({_PRICE_C} // 1000000 AS BIGINT) AS y
+      FROM lineitem
+      WHERE {_QTY_C} IS NOT NULL AND {_PRICE_C} IS NOT NULL
+    ),
+    cell AS (
+      SELECT x, y, CAST(count(*) AS DECIMAL(38,0)) AS n
+      FROM s GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT CAST(sum(CASE WHEN b.y > a.y THEN a.n * b.n ELSE 0 END)
+               AS DECIMAL(38,0)) AS conc,
+             CAST(sum(CASE WHEN b.y < a.y THEN a.n * b.n ELSE 0 END)
+               AS DECIMAL(38,0)) AS disc
+      FROM cell a JOIN cell b ON b.x > a.x
+    ),
+    marg2 AS (
+      SELECT
+        (SELECT CAST(sum(n) AS DECIMAL(38,0)) FROM cell) AS nn,
+        (SELECT CAST(sum(tx * (tx - 1)) AS DECIMAL(38,0)) FROM (
+           SELECT CAST(sum(n) AS DECIMAL(38,0)) AS tx FROM cell GROUP BY x)) AS tx2,
+        (SELECT CAST(sum(ty * (ty - 1)) AS DECIMAL(38,0)) FROM (
+           SELECT CAST(sum(n) AS DECIMAL(38,0)) AS ty FROM cell GROUP BY y)) AS ty2
+    )
+    SELECT CAST(nn AS BIGINT) AS n,
+           CAST(conc AS BIGINT) AS concordant,
+           CAST(disc AS BIGINT) AS discordant,
+           round((CAST(conc AS DOUBLE) - CAST(disc AS DOUBLE))
+                 / nullif(sqrt((CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1) / 2
+                                - CAST(tx2 AS DOUBLE) / 2)
+                               * (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1) / 2
+                                  - CAST(ty2 AS DOUBLE) / 2)), 0),
+                 6) AS tau_b
+    FROM pairs, marg2
+    """,
+)
+def lineitem_kendall_tau_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's tau-b rank correlation between order quantity and a
+    $10k-bucketed extended price, computed EXACTLY from the contingency
+    table: concordant/discordant pair masses are cell-count products
+    summed over ordered cell pairs, and the tie corrections come from the
+    row/column marginals -- the standard tau-b-from-contingency identity
+    (Kendall 1945; same construction SPSS/R documents for crosstabs).
+    Complements lineitem_spearman_qty_price: Spearman ranks VALUES, tau
+    ranks PAIRS, and tau-b is the variant that stays honest under the
+    heavy ties integer quantities force.
+
+    Exactness: every operand is an exact integer count; pair masses
+    accumulate as DECIMAL(38,0) products (no n^2 overflow at any SF); the
+    single double division happens once at the end, rounded 6 dp.
+
+    Scale: the fact table reduces to a |qty buckets| x |price buckets|
+    contingency (~50 x ~12 cells) in ONE map-side-combinable agg; the
+    pair join is cells^2 -- dim-bounded, independent of row count."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qc, pc = F.expr(_QTY_C), F.expr(_PRICE_C)
+    s = li.select(
+        (qc / 100).cast("bigint").alias("x"),
+        F.expr(f"CAST({_PRICE_C} DIV 1000000 AS BIGINT)").alias("y"),
+    ).filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+    cell = s.groupBy("x", "y").agg(
+        F.count("*").cast("decimal(38,0)").alias("n")
+    ).localCheckpoint(eager=False)
+    a = cell.select(F.col("x").alias("ax"), F.col("y").alias("ay"), F.col("n").alias("an"))
+    b = cell.select(F.col("x").alias("bx"), F.col("y").alias("by"), F.col("n").alias("bn"))
+    pairs = (
+        a.join(F.broadcast(b), F.col("bx") > F.col("ax"))
+        .agg(
+            F.sum(F.when(F.col("by") > F.col("ay"), F.col("an") * F.col("bn")).otherwise(F.lit(0)))
+            .cast("decimal(38,0)").alias("conc"),
+            F.sum(F.when(F.col("by") < F.col("ay"), F.col("an") * F.col("bn")).otherwise(F.lit(0)))
+            .cast("decimal(38,0)").alias("disc"),
+        )
+    )
+    nn = cell.agg(F.sum("n").cast("decimal(38,0)").alias("nn"))
+    tx2 = (
+        cell.groupBy("x").agg(F.sum("n").cast("decimal(38,0)").alias("tx"))
+        .agg(F.sum(F.col("tx") * (F.col("tx") - 1)).cast("decimal(38,0)").alias("tx2"))
+    )
+    ty2 = (
+        cell.groupBy("y").agg(F.sum("n").cast("decimal(38,0)").alias("ty"))
+        .agg(F.sum(F.col("ty") * (F.col("ty") - 1)).cast("decimal(38,0)").alias("ty2"))
+    )
+    nd = F.col("nn").cast("double")
+    n0 = nd * (nd - 1) / 2
+    den = F.sqrt(
+        (n0 - F.col("tx2").cast("double") / 2) * (n0 - F.col("ty2").cast("double") / 2)
+    )
+    return (
+        pairs.crossJoin(F.broadcast(nn))
+        .crossJoin(F.broadcast(tx2))
+        .crossJoin(F.broadcast(ty2))
+        .select(
+            F.col("nn").cast("bigint").alias("n"),
+            F.col("conc").cast("bigint").alias("concordant"),
+            F.col("disc").cast("bigint").alias("discordant"),
+            F.round(
+                (F.col("conc").cast("double") - F.col("disc").cast("double"))
+                / F.nullif(den, F.lit(0.0)),
+                6,
+            ).alias("tau_b"),
+        )
+    )
+
+
+@register(
+    "orders_friedman_priority_by_year",
+    tags=("stats", "analytics"),
+    oracle=f"""
+    WITH cell AS (
+      SELECT CAST(year(o_orderdate) AS INT) AS yr, o_orderpriority AS pri,
+             CAST(sum(CAST({_TOTAL_C} AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s,
+             CAST(count(*) AS BIGINT) AS c
+      FROM orders WHERE {_TOTAL_C} IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    k AS (SELECT CAST(count(DISTINCT pri) AS BIGINT) AS k FROM cell),
+    full_blocks AS (
+      SELECT yr FROM cell GROUP BY yr
+      HAVING count(*) = (SELECT k FROM k)
+    ),
+    ranked AS (
+      SELECT pri,
+             CAST(row_number() OVER (
+               PARTITION BY yr
+               ORDER BY CAST(s AS DOUBLE) / c, pri
+             ) AS BIGINT) AS r
+      FROM cell WHERE yr IN (SELECT yr FROM full_blocks)
+    ),
+    rj AS (
+      SELECT pri, CAST(sum(r) AS DECIMAL(38,0)) AS rsum
+      FROM ranked GROUP BY pri
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(rsum * rsum) AS DECIMAL(38,0)) AS sr2,
+             (SELECT CAST(count(*) AS BIGINT) FROM full_blocks) AS n
+      FROM rj
+    )
+    SELECT n AS n_blocks, k AS k_treatments,
+           CAST(k - 1 AS BIGINT) AS dof,
+           round(12.0 * CAST(sr2 AS DOUBLE) / (n * k * (k + 1))
+                 - 3.0 * n * (k + 1), 6) AS q_stat
+    FROM agg WHERE n > 0 AND k > 1
+    """,
+)
+def orders_friedman_priority_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman rank test of order priority across order-year blocks:
+    within each year, the five priorities are ranked by their mean order
+    value, and Q = 12/(nk(k+1)) * sum_j R_j^2 - 3n(k+1) tests whether any
+    priority consistently out-earns the others across years (Friedman
+    1937 -- the repeated-measures, distribution-free companion to the
+    one-way Kruskal-Wallis already registered: KW pools all rows, Friedman
+    blocks out the year effect first).
+
+    Exactness: cell means are ONE IEEE division of exact DECIMAL cent
+    sums by exact counts (identical in both engines); within-block ranks
+    are row_number with the (mean, priority) total-order tiebreak; rank
+    sums and their squares stay exact DECIMAL; only years holding all k
+    treatments enter (blocks must be complete for the statistic to be
+    defined). Means are continuous enough that exact rank ties cannot
+    occur (equal doubles fall back to the priority tiebreak
+    deterministically on both engines).
+
+    Scale: the fact table reduces to a |years| x |priorities| cell grid
+    in one partial agg; everything after is dim-bounded."""
+    o = load_table(spark, sf_dir, "orders")
+    tc = F.expr(_TOTAL_C)
+    cell = (
+        o.filter(tc.isNotNull())
+        .groupBy(
+            F.year("o_orderdate").cast("int").alias("yr"),
+            F.col("o_orderpriority").alias("pri"),
+        )
+        .agg(
+            F.sum(tc.cast("decimal(38,0)")).cast("decimal(38,0)").alias("s"),
+            F.count("*").cast("bigint").alias("c"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    k = cell.select(F.countDistinct("pri").cast("bigint").alias("k"))
+    full_blocks = (
+        cell.groupBy("yr").agg(F.count("*").alias("npri"))
+        .crossJoin(F.broadcast(k))
+        .filter(F.col("npri") == F.col("k"))
+        .select("yr")
+    )
+    ranked = (
+        cell.join(F.broadcast(full_blocks), "yr", "left_semi")
+        .withColumn("m", F.col("s").cast("double") / F.col("c"))
+        .withColumn(
+            "r",
+            F.row_number()
+            .over(Window.partitionBy("yr").orderBy("m", "pri"))
+            .cast("bigint"),
+        )
+    )
+    rj = ranked.groupBy("pri").agg(F.sum("r").cast("decimal(38,0)").alias("rsum"))
+    nb = full_blocks.agg(F.count("*").cast("bigint").alias("n"))
+    agg = (
+        rj.agg(
+            F.count("*").cast("bigint").alias("k"),
+            F.sum(F.col("rsum") * F.col("rsum")).cast("decimal(38,0)").alias("sr2"),
+        )
+        .crossJoin(F.broadcast(nb))
+        .filter((F.col("n") > 0) & (F.col("k") > 1))
+    )
+    nd, kd = F.col("n").cast("double"), F.col("k").cast("double")
+    return agg.select(
+        F.col("n").alias("n_blocks"),
+        F.col("k").alias("k_treatments"),
+        (F.col("k") - 1).cast("bigint").alias("dof"),
+        F.round(
+            12.0 * F.col("sr2").cast("double") / (nd * kd * (kd + 1))
+            - 3.0 * nd * (kd + 1),
+            6,
+        ).alias("q_stat"),
+    )
+
+
+@register(
+    "lineitem_ansari_bradley_returnflag",
+    tags=("stats", "analytics"),
+    oracle=f"""
+    WITH s AS (
+      SELECT {_PRICE_C} AS c,
+             CAST(l_returnflag = 'R' AS BOOLEAN) AS g1
+      FROM lineitem
+      WHERE l_returnflag IN ('R', 'A') AND {_PRICE_C} IS NOT NULL
+    ),
+    v AS (
+      SELECT c,
+             CAST(sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             CAST(sum(CASE WHEN g1 THEN 0 ELSE 1 END) AS BIGINT) AS c2
+      FROM s GROUP BY c
+    ),
+    r AS (
+      SELECT c1, c2, c1 + c2 AS m,
+             CAST(coalesce(sum(c1 + c2) OVER (
+               ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS before
+      FROM v
+    ),
+    tot AS (SELECT CAST(sum(m) AS BIGINT) AS nn FROM r),
+    sc AS (
+      SELECT c1, c2, m,
+             CAST(least(2 * before + m + 1,
+                        2 * (nn + 1) - (2 * before + m + 1)) AS BIGINT) AS a2
+      FROM r, tot
+    ),
+    agg AS (
+      SELECT CAST(sum(c1) AS BIGINT) AS n1,
+             CAST(sum(c2) AS BIGINT) AS n2,
+             CAST(sum(CAST(c1 AS DECIMAL(38,0)) * a2) AS DECIMAL(38,0)) AS ab2,
+             CAST(sum(CAST(m AS DECIMAL(38,0)) * a2) AS DECIMAL(38,0)) AS s1,
+             CAST(sum(CAST(m AS DECIMAL(38,0)) * a2 * a2) AS DECIMAL(38,0)) AS s2
+      FROM sc
+    )
+    SELECT n1 AS n_returned, n2 AS n_accepted,
+           round(CAST(ab2 AS DOUBLE) / 2, 6) AS ab_stat,
+           round((CAST(ab2 AS DOUBLE) - CAST(n1 AS DOUBLE) * CAST(s1 AS DOUBLE) / (n1 + n2))
+                 / nullif(sqrt(CAST(n1 AS DOUBLE) * n2 / (n1 + n2 - 1)
+                               * (CAST(s2 AS DOUBLE) / (n1 + n2)
+                                  - (CAST(s1 AS DOUBLE) / (n1 + n2))
+                                    * (CAST(s1 AS DOUBLE) / (n1 + n2)))), 0),
+                 6) AS z
+    FROM agg WHERE n1 > 0 AND n2 > 0 AND n1 + n2 > 1
+    """,
+)
+def lineitem_ansari_bradley_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ansari-Bradley rank test for a SCALE (dispersion) difference in
+    extended price between returned ('R') and accepted ('A') line items:
+    pooled observations get the center-folded score a = min(r, N+1-r) --
+    small at both extremes, large in the middle -- so a group whose
+    prices are MORE spread out collects a smaller score sum (Ansari &
+    Bradley 1960). Completes the two-sample family: location is covered
+    by Mann-Whitney/Welch, the whole CDF by KS; this isolates dispersion,
+    the Brown-Forsythe question answered without touching moments.
+
+    Tie handling (documented contract): scores are computed ON midranks
+    (score-of-average-rank). Doubling keeps everything integral -- a tied
+    block of m values after `before` pooled rows has doubled midrank
+    2*before + m + 1 and doubled score min(that, 2(N+1) - that), an exact
+    BIGINT -- so the score sums accumulate as exact DECIMAL and the
+    normal-approximation z (finite-population moments of sampling n1
+    scores without replacement) is one shared double closed form, NULL on
+    a degenerate pooled sample.
+
+    Scale: per-distinct-cents reduction, then the two-level
+    range-partitioned exclusive prefix (_domain_prefix -- never a
+    single-task domain sort), then a 1-row reduce."""
+    li = load_table(spark, sf_dir, "lineitem")
+    c = F.expr(_PRICE_C)
+    s = li.filter(F.col("l_returnflag").isin("R", "A")).select(
+        c.alias("c"), (F.col("l_returnflag") == "R").alias("g1")
+    ).filter(F.col("c").isNotNull())
+    v = s.groupBy("c").agg(
+        F.sum(F.when(F.col("g1"), 1).otherwise(0)).cast("bigint").alias("c1"),
+        F.sum(F.when(F.col("g1"), 0).otherwise(1)).cast("bigint").alias("c2"),
+    ).withColumn("m", (F.col("c1") + F.col("c2")).cast("bigint"))
+    r = _domain_prefix(v, "c", ["m"]).select(
+        "c1", "c2", "m", F.col("pre_m").alias("before")
+    )
+    tot = r.agg(F.sum("m").cast("bigint").alias("nn"))
+    sc = r.crossJoin(F.broadcast(tot)).withColumn(
+        "a2",
+        F.least(
+            2 * F.col("before") + F.col("m") + 1,
+            2 * (F.col("nn") + 1) - (2 * F.col("before") + F.col("m") + 1),
+        ).cast("bigint"),
+    )
+    agg = sc.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"),
+        F.sum(F.col("c1").cast("decimal(38,0)") * F.col("a2"))
+        .cast("decimal(38,0)").alias("ab2"),
+        F.sum(F.col("m").cast("decimal(38,0)") * F.col("a2"))
+        .cast("decimal(38,0)").alias("s1"),
+        F.sum(F.col("m").cast("decimal(38,0)") * F.col("a2") * F.col("a2"))
+        .cast("decimal(38,0)").alias("s2"),
+    ).filter((F.col("n1") > 0) & (F.col("n2") > 0) & (F.col("n1") + F.col("n2") > 1))
+    n1d, n2d = F.col("n1").cast("double"), F.col("n2").cast("double")
+    nd = n1d + n2d
+    mu = F.col("s1").cast("double") / nd
+    var_a = F.col("s2").cast("double") / nd - mu * mu
+    return agg.select(
+        F.col("n1").alias("n_returned"),
+        F.col("n2").alias("n_accepted"),
+        F.round(F.col("ab2").cast("double") / 2, 6).alias("ab_stat"),
+        F.round(
+            (F.col("ab2").cast("double") - n1d * mu)
+            / F.nullif(F.sqrt(n1d * n2d / (nd - 1) * var_a), F.lit(0.0)),
+            6,
+        ).alias("z"),
+    )
+
+
+@register(
+    "events_type_dow_stdres_cells",
+    tags=("stats", "analytics"),
+    oracle="""
+    WITH n AS (
+      SELECT event_type AS t, CAST(dayofweek(ts) AS INT) + 1 AS d,
+             CAST(count(*) AS BIGINT) AS o
+      FROM events GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT t, d, o,
+             CAST(sum(o) OVER (PARTITION BY t) AS BIGINT) AS rt,
+             CAST(sum(o) OVER (PARTITION BY d) AS BIGINT) AS ct,
+             CAST(sum(o) OVER () AS BIGINT) AS nn
+      FROM n
+    )
+    SELECT t AS event_type, d AS dow, o AS observed,
+           round(CAST(rt AS DOUBLE) * ct / nn, 6) AS expected,
+           round((o - CAST(rt AS DOUBLE) * ct / nn)
+                 / nullif(sqrt(CAST(rt AS DOUBLE) * ct / nn
+                               * (1 - CAST(rt AS DOUBLE) / nn)
+                               * (1 - CAST(ct AS DOUBLE) / nn)), 0),
+                 6) AS std_residual
+    FROM m
+    """,
+)
+def events_type_dow_stdres_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjusted standardized residuals for every cell of the event-type x
+    day-of-week contingency: r = (O - E) / sqrt(E (1 - rowshare)
+    (1 - colshare)) (Haberman 1973) -- the POST-HOC panel for the
+    already-registered events_chi_square_type_dow: the omnibus statistic
+    says the table is non-independent, the residual map says WHICH
+    (type, weekday) cells drive it (|r| > 2 ~ cell-level significance).
+
+    Exactness: observed counts and both marginals are exact integers from
+    ONE contingency reduction (marginals are window sums over the
+    dim-bounded cell grid, NOT re-scans of the fact table); expected and
+    residual are a shared double closed form rounded 6 dp, NULL on a
+    degenerate marginal. Day-of-week is pinned to Spark's 1..7 Sunday
+    start (DuckDB's 0..6 shifted by +1).
+
+    Scale: one map-side-combinable pass over events to |types| x 7 cells;
+    everything downstream is dim-bounded."""
+    e = load_table(spark, sf_dir, "events")
+    n = e.groupBy(
+        F.col("event_type").alias("t"), F.dayofweek("ts").cast("int").alias("d")
+    ).agg(F.count("*").cast("bigint").alias("o"))
+    m = (
+        n.withColumn("rt", F.sum("o").over(Window.partitionBy("t")).cast("bigint"))
+        .withColumn("ct", F.sum("o").over(Window.partitionBy("d")).cast("bigint"))
+        .withColumn(
+            "nn",
+            F.sum("o").over(
+                Window.partitionBy().rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ).cast("bigint"),
+        )
+    )
+    exp = F.col("rt").cast("double") * F.col("ct") / F.col("nn")
+    den = F.sqrt(
+        exp
+        * (1 - F.col("rt").cast("double") / F.col("nn"))
+        * (1 - F.col("ct").cast("double") / F.col("nn"))
+    )
+    return m.select(
+        F.col("t").alias("event_type"),
+        F.col("d").alias("dow"),
+        F.col("o").alias("observed"),
+        F.round(exp, 6).alias("expected"),
+        F.round((F.col("o") - exp) / F.nullif(den, F.lit(0.0)), 6).alias("std_residual"),
+    )
+
+
+@register(
+    "events_changepoint_binary_seg",
+    tags=("stats", "timeseries"),
+    oracle="""
+    WITH d AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ),
+    p AS (
+      SELECT day, y,
+             CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i,
+             CAST(sum(y) OVER (ORDER BY day) AS DECIMAL(38,0)) AS cum,
+             CAST(sum(y) OVER () AS DECIMAL(38,0)) AS tot,
+             CAST(count(*) OVER () AS BIGINT) AS n
+      FROM d
+    ),
+    g AS (
+      SELECT day, i, n,
+             CAST(cum AS DOUBLE) / i AS mean_left,
+             (CAST(tot AS DOUBLE) - CAST(cum AS DOUBLE)) / (n - i) AS mean_right,
+             sqrt(CAST(i AS DOUBLE) * (n - i) / n)
+               * abs(CAST(cum AS DOUBLE) / i
+                     - (CAST(tot AS DOUBLE) - CAST(cum AS DOUBLE)) / (n - i))
+               AS gstat
+      FROM p WHERE i < n
+    )
+    SELECT CAST(day AS TIMESTAMP) AS split_after_day,
+           CAST(i AS BIGINT) AS split_index,
+           n AS n_days,
+           round(mean_left, 6) AS mean_left,
+           round(mean_right, 6) AS mean_right,
+           round(gstat, 6) AS g_stat
+    FROM g
+    ORDER BY gstat DESC, day
+    LIMIT 1
+    """,
+)
+def events_changepoint_binary_seg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single change-point detection on the daily event-count series by
+    binary segmentation's first split: over every candidate split t, the
+    scaled mean-shift statistic G_t = sqrt(t(n-t)/n) |mean_left -
+    mean_right| (the two-sample CUSUM form; Scott & Knott 1974 / the AMOC
+    case of binary segmentation) -- returns the argmax split with both
+    segment means. Complements events_cusum_drift: CUSUM monitors drift
+    ONLINE against a fixed baseline; this finds the single best
+    retrospective break, the statistic a backfill/repartition decision
+    reads.
+
+    Exactness: daily counts and their prefix sums are exact integers
+    (DECIMAL accumulate); each candidate's means are single IEEE
+    divisions of exact operands -- identical in both engines -- and the
+    argmax tiebreak is (g desc, day asc), deterministic.
+
+    Scale: events reduce to |days| rows in one partial agg; the prefix
+    sum and argmax run on that dim-bounded series (a 10-year hourly
+    series is ~87k rows -- still one broadcastable relation; the fact
+    table is never windowed)."""
+    e = load_table(spark, sf_dir, "events")
+    d = e.groupBy(F.date_trunc("day", "ts").cast("date").alias("day")).agg(
+        F.count("*").cast("bigint").alias("y")
+    )
+    w = Window.orderBy("day")
+    wall = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    p = d.select(
+        "day",
+        F.row_number().over(w).cast("bigint").alias("i"),
+        F.sum("y").over(w).cast("decimal(38,0)").alias("cum"),
+        F.sum("y").over(wall).cast("decimal(38,0)").alias("tot"),
+        F.count("*").over(wall).cast("bigint").alias("n"),
+    ).filter(F.col("i") < F.col("n"))
+    ml = F.col("cum").cast("double") / F.col("i")
+    mr = (F.col("tot").cast("double") - F.col("cum").cast("double")) / (
+        F.col("n") - F.col("i")
+    )
+    g = F.sqrt(F.col("i").cast("double") * (F.col("n") - F.col("i")) / F.col("n")) * F.abs(
+        ml - mr
+    )
+    return (
+        p.select(
+            F.col("day").cast("timestamp").alias("split_after_day"),
+            F.col("i").alias("split_index"),
+            F.col("n").alias("n_days"),
+            F.round(ml, 6).alias("mean_left"),
+            F.round(mr, 6).alias("mean_right"),
+            F.round(g, 6).alias("g_stat"),
+            g.alias("_g"),
+        )
+        .orderBy(F.col("_g").desc(), "split_after_day")
+        .limit(1)
+        .drop("_g")
+    )
+
+
+@register(
+    "events_daily_bollinger_breaches",
+    tags=("stats", "timeseries"),
+    oracle=f"""
+    WITH d AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(sum(CAST({_VALUE_C} AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS v
+      FROM events WHERE {_VALUE_C} IS NOT NULL
+      GROUP BY 1
+    ),
+    r AS (
+      SELECT day, v,
+             CAST(count(*) OVER w AS BIGINT) AS wn,
+             CAST(sum(v) OVER w AS DECIMAL(38,0)) AS ws,
+             CAST(sum(v * v) OVER w AS DECIMAL(38,0)) AS wq
+      FROM d
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    ),
+    b AS (
+      SELECT day, v, wn,
+             CAST(ws AS DOUBLE) / wn AS mu,
+             sqrt(greatest(CAST(wq AS DOUBLE) / wn
+                           - (CAST(ws AS DOUBLE) / wn) * (CAST(ws AS DOUBLE) / wn),
+                           0)) AS sigma
+      FROM r WHERE wn = 7
+    )
+    SELECT CAST(day AS TIMESTAMP) AS day,
+           round(CAST(v AS DOUBLE) / 100, 6) AS value_dollars,
+           round(mu / 100, 6) AS band_mean_dollars,
+           round((CAST(v AS DOUBLE) - mu) / nullif(sigma, 0), 6) AS z
+    FROM b
+    WHERE abs(CAST(v AS DOUBLE) - mu) > 2 * sigma
+    ORDER BY day
+    """,
+)
+def events_daily_bollinger_breaches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger-band breach days on the daily total event value: a
+    trailing 7-day rolling mean +/- 2 rolling (population) sigma band,
+    reporting the days whose total lands outside it with the band z-score
+    (Bollinger's classic volatility envelope, the ops-dashboard form of
+    'is today anomalous vs the recent regime') -- the ROLLING companion
+    to the fixed-baseline events_cusum_drift and the seasonal
+    events_seasonal_residual_anomaly.
+
+    Exactness: daily totals are exact DECIMAL cent sums; the rolling
+    n/sum/sum-of-squares come from an exact-integer ROWS frame (order-free
+    accumulation), the mean/sigma/z closed form is shared double
+    arithmetic rounded 6 dp, sigma=0 windows NULL out via nullif, and
+    only complete 7-day windows qualify (wn = 7 -- the warm-up rows can't
+    breach a band they define).
+
+    Scale: one partial agg to |days| rows; the ROWS window runs over the
+    dim-bounded daily series, never the fact table."""
+    e = load_table(spark, sf_dir, "events")
+    c = F.expr(_VALUE_C)
+    d = e.filter(c.isNotNull()).groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.sum(c.cast("decimal(38,0)")).cast("decimal(38,0)").alias("v"))
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    r = d.select(
+        "day",
+        "v",
+        F.count("*").over(w).cast("bigint").alias("wn"),
+        F.sum("v").over(w).cast("decimal(38,0)").alias("ws"),
+        F.sum(F.col("v") * F.col("v")).over(w).cast("decimal(38,0)").alias("wq"),
+    ).filter(F.col("wn") == 7)
+    mu = F.col("ws").cast("double") / F.col("wn")
+    sigma = F.sqrt(
+        F.greatest(
+            F.col("wq").cast("double") / F.col("wn") - mu * mu, F.lit(0.0)
+        )
+    )
+    return (
+        r.filter(F.abs(F.col("v").cast("double") - mu) > 2 * sigma)
+        .select(
+            F.col("day").cast("timestamp").alias("day"),
+            F.round(F.col("v").cast("double") / 100, 6).alias("value_dollars"),
+            F.round(mu / 100, 6).alias("band_mean_dollars"),
+            F.round(
+                (F.col("v").cast("double") - mu) / F.nullif(sigma, F.lit(0.0)), 6
+            ).alias("z"),
+        )
+        .orderBy("day")
+    )

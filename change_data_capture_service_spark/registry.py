@@ -74,57 +74,51 @@ _QUERY_MODULES = [
 
 # ORDER MATTERS: the grading driver verifies keys in entries() iteration order
 # under a bounded budget (50/round). Keys named here come first, in this exact
-# order; everything else follows in registration order. CORRECTNESS_r08 landed
-# 47 full hash-green + 3 rows-only-clean, so the round-8 window is fully
-# attested and rotates out. Round-9 front = the 11 keys registered late in
-# round 8 that have never had a driver row (every one hash-green in the
-# round-8 judge's driver simulation AND DuckDB-parity green locally via
-# tests/test_oracle_parity.py; the gap was attestation timing, not
-# correctness) + at most 39 new round-9 operators appended as they land
-# (hard cap: the window has 39 free slots and out-registering it just
-# re-creates the backlog). Proven back-of-queue keys keep independent
-# verification via tests/test_oracle_parity.py (mandatory in CI). Rotate
-# with scripts/rotate_check_window.py once CORRECTNESS_r09 lands.
+# order; everything else follows in registration order. CORRECTNESS_r09 landed
+# 47 hash-green + 3 rows-only-clean, closing attestation debt at ZERO: all 421
+# pre-round-10 keys carry a clean driver row (rotation audit via
+# scripts/rotate_check_window.py, 2026-08-15). Round-10 front = new round-10
+# operators appended as they land (hard cap 50), then -- per the round-9
+# verdict -- spare slots filled with RE-ATTESTATION keys: previously-green
+# keys whose implementation files were diff-touched this round, in touched
+# order, so the driver record tracks drift, not just first landing. Proven
+# back-of-queue keys keep independent verification via
+# tests/test_oracle_parity.py (mandatory in CI).
 _CHECK_ORDER = [
-    # -- registered round 8 past the window, never driver-checked (11 keys) --
-    "dedup_minhash_tuned",
-    "knn_recall_vs_nprobe_curve",
-    "events_value_acf",
-    "docs_ngram_novelty_curve",
-    "dataset_split_leakage",
-    "events_retention_matrix",
-    "orders_kruskal_wallis_priority",
-    "cdc_out_of_order_arrivals",
-    "part_link_prediction_adamic_adar",
-    "search_fuzzy_match",
-    "search_more_like_this",
-    # -- new in round 9 (filling the window to 50; HARD CAP 39) --
-    "events_welch_ttest_weekend",
-    "events_chi_square_type_dow",
-    "lineitem_brown_forsythe_returnflag",
-    "events_value_jarque_bera",
-    "events_runs_test_daily",
-    "events_value_pacf3",
-    "part_price_index_paasche_fisher",
-    "part_revenue_gini_lorenz",
-    "graph_degree_assortativity",
-    "graph_kcore",
-    "cdc_daily_compaction_profile",
-    "text_tokenizer_fertility",
-    "sample_importance_reweight",
-    "quality_perplexity_vs_gopher_calibration",
+    # -- new in round 10 (appended as they land; HARD CAP 50 incl. re-attest) --
+    "events_cohens_d_weekend",
+    "lineitem_kendall_tau_qty_price",
+    "orders_friedman_priority_by_year",
+    "lineitem_ansari_bradley_returnflag",
+    "events_type_dow_stdres_cells",
+    "events_changepoint_binary_seg",
+    "events_daily_bollinger_breaches",
+    # -- re-attestation: green keys whose impl files changed this round --
     "knn_hubness_profile",
-    "multimodal_size_tiers",
-    "search_ndcg_eval",
-    "events_gap_memory_coefficient",
-    "part_single_source_risk",
-    "cdc_revisit_time_histogram",
-    "graph_local_clustering",
-    "embedding_isotropy",
-    "multimodal_exact_byte_dedup",
-    "search_mrr_eval",
-    "chunk_boundary_overlap_audit",
-    "events_sessionization_sensitivity",
+    "graph_kcore",
+]
+# Provenance: the round-9 window, fully attested by CORRECTNESS_r09
+# (47 hash-green + 3 rows-only-clean: knn_recall_vs_nprobe_curve,
+# graph_kcore, dedup_simhash). Kept for the rotation audit trail; not
+# consulted by entries().
+_ROUND9_WINDOW_ATTESTED = [
+    "dedup_minhash_tuned", "knn_recall_vs_nprobe_curve", "events_value_acf",
+    "docs_ngram_novelty_curve", "dataset_split_leakage",
+    "events_retention_matrix", "orders_kruskal_wallis_priority",
+    "cdc_out_of_order_arrivals", "part_link_prediction_adamic_adar",
+    "search_fuzzy_match", "search_more_like_this",
+    "events_welch_ttest_weekend", "events_chi_square_type_dow",
+    "lineitem_brown_forsythe_returnflag", "events_value_jarque_bera",
+    "events_runs_test_daily", "events_value_pacf3",
+    "part_price_index_paasche_fisher", "part_revenue_gini_lorenz",
+    "graph_degree_assortativity", "graph_kcore",
+    "cdc_daily_compaction_profile", "text_tokenizer_fertility",
+    "sample_importance_reweight", "quality_perplexity_vs_gopher_calibration",
+    "knn_hubness_profile", "multimodal_size_tiers", "search_ndcg_eval",
+    "events_gap_memory_coefficient", "part_single_source_risk",
+    "cdc_revisit_time_histogram", "graph_local_clustering",
+    "embedding_isotropy", "multimodal_exact_byte_dedup", "search_mrr_eval",
+    "chunk_boundary_overlap_audit", "events_sessionization_sensitivity",
     "lineitem_quantity_heaping_audit",
 ]
 # Provenance: the round-8 window, fully attested by CORRECTNESS_r08

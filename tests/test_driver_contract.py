@@ -63,62 +63,34 @@ def test_every_oracle_key_has_a_query(spark):
     assert os_ <= qs, f"orphan oracles: {os_ - qs}"
 
 
-# The front keys form the driver's bounded-budget check window for round 9:
-# the 11 keys registered late in round 8 after its 50-slot window filled
-# (every one DuckDB-parity green locally via test_oracle_parity AND
-# hash-green in the round-8 judge's driver simulation; the gap is
-# attestation timing, not correctness) followed by the new round-9
-# operators (hard cap 39). This order is load-bearing for grading -- an
-# import refactor that silently reorders it would unprove operators -- so
-# it is pinned here as a contract. Rounds 1-8 attested 383 keys with zero
-# failures (CORRECTNESS_r01-r08 on record).
-_R9_CHECK_WINDOW = [
-    # registered round 8 past the window, never driver-checked
-    "dedup_minhash_tuned",
-    "knn_recall_vs_nprobe_curve",
-    "events_value_acf",
-    "docs_ngram_novelty_curve",
-    "dataset_split_leakage",
-    "events_retention_matrix",
-    "orders_kruskal_wallis_priority",
-    "cdc_out_of_order_arrivals",
-    "part_link_prediction_adamic_adar",
-    "search_fuzzy_match",
-    "search_more_like_this",
-    # new in round 9 (appended as they are registered; hard cap 39)
-    "events_welch_ttest_weekend",
-    "events_chi_square_type_dow",
-    "lineitem_brown_forsythe_returnflag",
-    "events_value_jarque_bera",
-    "events_runs_test_daily",
-    "events_value_pacf3",
-    "part_price_index_paasche_fisher",
-    "part_revenue_gini_lorenz",
-    "graph_degree_assortativity",
-    "graph_kcore",
-    "cdc_daily_compaction_profile",
-    "text_tokenizer_fertility",
-    "sample_importance_reweight",
-    "quality_perplexity_vs_gopher_calibration",
+# The front keys form the driver's bounded-budget check window for round 10:
+# attestation debt entered the round at ZERO (CORRECTNESS_r09 closed the
+# round-9 window; all 421 keys carry a clean driver row), so the front is
+# the new round-10 operators appended as they land (hard cap 50) followed
+# by RE-ATTESTATION slots -- previously-green keys whose implementation
+# files were diff-touched this round, so the driver record tracks drift.
+# This order is load-bearing for grading -- an import refactor that
+# silently reorders it would unprove operators -- so it is pinned here as
+# a contract. Rounds 1-9 attested 421 keys with zero failures
+# (CORRECTNESS_r01-r09 on record).
+_R10_CHECK_WINDOW = [
+    # new in round 10 (appended as they are registered; hard cap 50)
+    "events_cohens_d_weekend",
+    "lineitem_kendall_tau_qty_price",
+    "orders_friedman_priority_by_year",
+    "lineitem_ansari_bradley_returnflag",
+    "events_type_dow_stdres_cells",
+    "events_changepoint_binary_seg",
+    "events_daily_bollinger_breaches",
+    # re-attestation: green keys whose impl files changed this round
     "knn_hubness_profile",
-    "multimodal_size_tiers",
-    "search_ndcg_eval",
-    "events_gap_memory_coefficient",
-    "part_single_source_risk",
-    "cdc_revisit_time_histogram",
-    "graph_local_clustering",
-    "embedding_isotropy",
-    "multimodal_exact_byte_dedup",
-    "search_mrr_eval",
-    "chunk_boundary_overlap_audit",
-    "events_sessionization_sensitivity",
-    "lineitem_quantity_heaping_audit",
+    "graph_kcore",
 ]
 
 
 def test_check_window_order_is_pinned():
-    n = len(_R9_CHECK_WINDOW)
-    assert list(registry.entries())[:n] == _R9_CHECK_WINDOW
+    n = len(_R10_CHECK_WINDOW)
+    assert list(registry.entries())[:n] == _R10_CHECK_WINDOW
 
 
 def test_check_order_names_are_all_registered():
