@@ -3618,3 +3618,326 @@ def part_single_source_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "supplier_revenue_hhi_by_nation",
+    tags=("relational", "agg", "analytics"),
+    oracle=f"""
+    WITH sup AS (
+      SELECT n_name AS nation, s_suppkey,
+             CAST(sum({_REV}) AS DECIMAL(38,4)) AS rev
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT nation,
+             CAST(count(*) AS BIGINT) AS n_suppliers,
+             CAST(sum(rev) AS DECIMAL(38,4)) AS total,
+             CAST(max(rev) AS DECIMAL(38,4)) AS top_rev
+      FROM sup GROUP BY 1
+    )
+    SELECT t.nation, t.n_suppliers,
+           round(CAST(t.total AS DOUBLE) / 100, 2) AS total_revenue,
+           round(CAST(t.top_rev AS DOUBLE) / CAST(t.total AS DOUBLE), 6)
+             AS top_supplier_share,
+           round(sum((CAST(s.rev AS DOUBLE) / CAST(t.total AS DOUBLE))
+                     * (CAST(s.rev AS DOUBLE) / CAST(t.total AS DOUBLE)))
+                 * 10000, 6) AS hhi
+    FROM sup s JOIN tot t ON s.nation = t.nation
+    WHERE CAST(t.total AS DOUBLE) > 0
+    GROUP BY 1, 2, 3, 4
+    ORDER BY 1
+    """,
+)
+def supplier_revenue_hhi_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration of supplier revenue within each
+    nation: HHI = 10000 * sum of squared revenue shares (the antitrust
+    scale where 10000 = monopoly, <1500 ~ unconcentrated), with supplier
+    count and the top supplier's share -- the market-structure companion
+    to part_revenue_gini_lorenz (Gini measures inequality of the curve;
+    HHI weights the HEAD, which is what supply-risk reviews read) and the
+    nation-grain rollup of part_single_source_risk.
+
+    Exactness: per-supplier revenue accumulates as exact DECIMAL; shares
+    are IEEE divisions of exact operands (identical both engines); the
+    share-square sum runs over the |suppliers|-grain relation and is
+    rounded 6 dp once.
+
+    Scale: one fact-table shuffle to (nation, supplier) grain with
+    broadcast dims; the HHI re-agg is |suppliers| rows to |nations|
+    rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    sup = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), "s_suppkey")
+        .agg(F.sum(_rev()).cast("decimal(38,4)").alias("rev"))
+        .localCheckpoint(eager=False)
+    )
+    tot = sup.groupBy("nation").agg(
+        F.count("*").cast("bigint").alias("n_suppliers"),
+        F.sum("rev").cast("decimal(38,4)").alias("total"),
+        F.max("rev").cast("decimal(38,4)").alias("top_rev"),
+    )
+    share = F.col("rev").cast("double") / F.col("total").cast("double")
+    return (
+        sup.join(F.broadcast(tot), "nation")
+        .filter(F.col("total").cast("double") > 0)
+        .groupBy(
+            "nation",
+            "n_suppliers",
+            F.round(F.col("total").cast("double") / 100, 2).alias("total_revenue"),
+            F.round(
+                F.col("top_rev").cast("double") / F.col("total").cast("double"), 6
+            ).alias("top_supplier_share"),
+        )
+        .agg(F.round(F.sum(share * share) * 10000, 6).alias("hhi"))
+        .orderBy("nation")
+    )
+
+
+@register(
+    "orders_backlog_aging_buckets",
+    tags=("relational", "agg"),
+    oracle=f"""
+    WITH anchor AS (SELECT max(o_orderdate) AS today FROM orders),
+    open_o AS (
+      SELECT datediff('day', o_orderdate, today) AS age_days,
+             CAST(try_cast(try_cast(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS DECIMAL(38,0)) AS cents
+      FROM orders, anchor
+      WHERE o_orderstatus = 'O'
+    )
+    SELECT CASE WHEN age_days <= 30 THEN '0-30'
+                WHEN age_days <= 90 THEN '31-90'
+                WHEN age_days <= 365 THEN '91-365'
+                ELSE '365+' END AS age_bucket,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(CAST(sum(cents) AS DOUBLE) / 100, 2) AS open_value,
+           CAST(min(age_days) AS BIGINT) AS min_age_days,
+           CAST(max(age_days) AS BIGINT) AS max_age_days
+    FROM open_o
+    GROUP BY 1 ORDER BY min(age_days)
+    """,
+)
+def orders_backlog_aging_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aging analysis of the OPEN order backlog as of the dataset anchor
+    (max order date): orders still in status 'O' bucketed by how long
+    they have been open (0-30 / 31-90 / 91-365 / 365+ days) with count
+    and tied-up value per bucket -- the receivables-style aging report
+    that complements orders_open_backlog_daily: the daily series shows
+    backlog LEVEL over time, this shows its AGE COMPOSITION now, which is
+    what an ops review escalates on.
+
+    Exactness: ages are exact integer day diffs against a 1-row anchor;
+    value accumulates as exact DECIMAL cents (try_cast-total under
+    hostile prices); bucket order is pinned by min age, not label sort.
+
+    Scale: anchor is a 1-row broadcast; one filtered pass over orders to
+    4 bucket rows -- map-side combinable, no window, no join wider than
+    the broadcast."""
+    o = load_table(spark, sf_dir, "orders")
+    anchor = o.agg(F.max("o_orderdate").alias("today"))
+    cents = F.expr(
+        "try_cast(try_cast(o_totalprice AS decimal(18,2)) * 100 AS bigint)"
+    ).cast("decimal(38,0)")
+    open_o = (
+        o.filter(F.col("o_orderstatus") == "O")
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            F.datediff(F.col("today"), F.col("o_orderdate")).alias("age_days"),
+            cents.alias("cents"),
+        )
+    )
+    bucket = (
+        F.when(F.col("age_days") <= 30, "0-30")
+        .when(F.col("age_days") <= 90, "31-90")
+        .when(F.col("age_days") <= 365, "91-365")
+        .otherwise("365+")
+    )
+    return (
+        open_o.groupBy(bucket.alias("age_bucket"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.round(F.sum("cents").cast("double") / 100, 2).alias("open_value"),
+            F.min("age_days").cast("bigint").alias("min_age_days"),
+            F.max("age_days").cast("bigint").alias("max_age_days"),
+        )
+        .orderBy("min_age_days")
+    )
+
+
+@register(
+    "orders_priority_mix_shift",
+    tags=("relational", "agg", "analytics"),
+    oracle="""
+    WITH yr AS (
+      SELECT CAST(min(year(o_orderdate)) AS INT) AS y0,
+             CAST(max(year(o_orderdate)) AS INT) AS y1
+      FROM orders
+    ),
+    m AS (
+      SELECT o_orderpriority AS pri,
+             CAST(sum(CASE WHEN year(o_orderdate) = y0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+             CAST(sum(CASE WHEN year(o_orderdate) = y1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN year(o_orderdate) = y1
+                           THEN CAST(try_cast(try_cast(o_totalprice AS DECIMAL(18,2)) * 100
+                                     AS BIGINT) AS DECIMAL(38,0)) ELSE 0 END)
+               AS DECIMAL(38,0)) AS r1
+      FROM orders, yr
+      GROUP BY 1
+    ),
+    t AS (
+      SELECT pri, n0, n1, r1,
+             CAST(sum(n0) OVER () AS BIGINT) AS t0,
+             CAST(sum(n1) OVER () AS BIGINT) AS t1
+      FROM m
+    )
+    SELECT pri AS priority, n0 AS n_first_year, n1 AS n_last_year,
+           round(CAST(n0 AS DOUBLE) / t0, 6) AS share_first,
+           round(CAST(n1 AS DOUBLE) / t1, 6) AS share_last,
+           round(CAST(n1 AS DOUBLE) / t1 - CAST(n0 AS DOUBLE) / t0, 6)
+             AS share_shift,
+           round((CAST(n1 AS DOUBLE) / t1 - CAST(n0 AS DOUBLE) / t0)
+                 * (CAST(r1 AS DOUBLE) / 100), 2) AS revenue_at_shift
+    FROM t
+    ORDER BY pri
+    """,
+)
+def orders_priority_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-priority mix shift between the first and last order year in
+    the data: per priority class, its share of orders in each endpoint
+    year, the share shift in points, and the last-year order value
+    rescaled by that shift (the 'revenue riding the mix change' figure a
+    capacity-planning review reads next to orders_price_volume_mix, which
+    decomposes PRICE x VOLUME; this decomposes the URGENCY mix -- a
+    creeping 1-URGENT share is an SLA cost signal).
+
+    Exactness: endpoint years come from one 1-row min/max anchor; per
+    (priority, endpoint) counts and DECIMAL cent sums accumulate in ONE
+    conditional pass over orders (no per-year scans); shares are single
+    divisions of exact integers; year totals are window sums over the
+    |priorities|-grain relation.
+
+    Scale: 1-row broadcast anchor + one map-side-combinable pass to
+    |priorities| rows."""
+    o = load_table(spark, sf_dir, "orders")
+    yr = o.agg(
+        F.min(F.year("o_orderdate")).cast("int").alias("y0"),
+        F.max(F.year("o_orderdate")).cast("int").alias("y1"),
+    )
+    cents = F.expr(
+        "try_cast(try_cast(o_totalprice AS decimal(18,2)) * 100 AS bigint)"
+    ).cast("decimal(38,0)")
+    y = F.year("o_orderdate")
+    m = (
+        o.crossJoin(F.broadcast(yr))
+        .groupBy(F.col("o_orderpriority").alias("pri"))
+        .agg(
+            F.sum(F.when(y == F.col("y0"), 1).otherwise(0)).cast("bigint").alias("n0"),
+            F.sum(F.when(y == F.col("y1"), 1).otherwise(0)).cast("bigint").alias("n1"),
+            F.sum(F.when(y == F.col("y1"), cents).otherwise(F.lit(0)))
+            .cast("decimal(38,0)").alias("r1"),
+        )
+    )
+    wall = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    t = m.withColumn("t0", F.sum("n0").over(wall).cast("bigint")).withColumn(
+        "t1", F.sum("n1").over(wall).cast("bigint")
+    )
+    s0 = F.col("n0").cast("double") / F.col("t0")
+    s1 = F.col("n1").cast("double") / F.col("t1")
+    return t.select(
+        F.col("pri").alias("priority"),
+        F.col("n0").alias("n_first_year"),
+        F.col("n1").alias("n_last_year"),
+        F.round(s0, 6).alias("share_first"),
+        F.round(s1, 6).alias("share_last"),
+        F.round(s1 - s0, 6).alias("share_shift"),
+        F.round((s1 - s0) * (F.col("r1").cast("double") / 100), 2).alias(
+            "revenue_at_shift"
+        ),
+    ).orderBy("priority")
+
+
+@register(
+    "customer_supplier_colocation_share",
+    tags=("relational", "join", "agg"),
+    oracle=f"""
+    SELECT cr.r_name AS customer_region,
+           CAST(count(*) AS BIGINT) AS n_lineitems,
+           round(CAST(sum({_REV}) AS DOUBLE) / 100, 2) AS revenue,
+           round(CAST(sum(CASE WHEN cn.n_nationkey = sn.n_nationkey
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS same_nation_share,
+           round(CAST(sum(CASE WHEN cn.n_regionkey = sn.n_regionkey
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS same_region_share
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    JOIN region cr ON cn.n_regionkey = cr.r_regionkey
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def customer_supplier_colocation_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trade localization panel by customer region: the share of line
+    items (and their revenue base) where the supplier sits in the SAME
+    nation, and the same region, as the ordering customer -- the
+    generalization of TPC-H Q5's 'local supplier' revenue (already
+    registered as tpch_q5_local_supplier for one region/year) to an
+    all-region, nation-AND-region-grain localization audit: the number a
+    supply-chain or data-residency review reads first.
+
+    Exactness: both share numerators are exact integer conditional
+    counts; revenue is an exact DECIMAL sum; shares divide once, rounded
+    6 dp.
+
+    Scale: the orders->customer side reduces through the orderkey join
+    (the one fact-sized shuffle); supplier/nation/region dims broadcast;
+    the output is |regions| rows from one partial agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    cn = n.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_regionkey").alias("c_rkey")
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_regionkey").alias("s_rkey")
+    )
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(r), F.col("c_rkey") == F.col("r_regionkey"))
+    )
+    same_nation = F.when(F.col("c_nkey") == F.col("s_nkey"), 1).otherwise(0)
+    same_region = F.when(F.col("c_rkey") == F.col("s_rkey"), 1).otherwise(0)
+    return (
+        j.groupBy(F.col("r_name").alias("customer_region"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_lineitems"),
+            F.round(F.sum(_rev()).cast("double") / 100, 2).alias("revenue"),
+            F.round(F.sum(same_nation).cast("double") / F.count("*"), 6).alias(
+                "same_nation_share"
+            ),
+            F.round(F.sum(same_region).cast("double") / F.count("*"), 6).alias(
+                "same_region_share"
+            ),
+        )
+        .orderBy("customer_region")
+    )

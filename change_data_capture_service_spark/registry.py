@@ -93,6 +93,10 @@ _CHECK_ORDER = [
     "events_type_dow_stdres_cells",
     "events_changepoint_binary_seg",
     "events_daily_bollinger_breaches",
+    "supplier_revenue_hhi_by_nation",
+    "orders_backlog_aging_buckets",
+    "orders_priority_mix_shift",
+    "customer_supplier_colocation_share",
     # -- re-attestation: green keys whose impl files changed this round --
     "knn_hubness_profile",
     "graph_kcore",
