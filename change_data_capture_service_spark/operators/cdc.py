@@ -1484,3 +1484,177 @@ def cdc_revisit_time_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_revisits").cast("double") / F.col("n"), 6).alias("share"),
         )
     )
+
+
+@register(
+    "cdc_dml_mix_drift",
+    tags=("cdc", "analytics", "timeseries"),
+    oracle="""
+    WITH ops AS (
+      SELECT date_trunc('day', ts) AS day,
+             CASE event_type
+               WHEN 'signup' THEN 'insert'
+               WHEN 'purchase' THEN 'insert'
+               WHEN 'error' THEN 'delete'
+               ELSE 'update' END AS op
+      FROM events WHERE ts IS NOT NULL
+    ),
+    b AS (SELECT min(day) AS lo FROM ops),
+    ref AS (
+      SELECT op, CAST(count(*) AS BIGINT) AS rn
+      FROM ops, b WHERE day < lo + INTERVAL 7 DAY GROUP BY 1
+    ),
+    rtot AS (SELECT CAST(sum(rn) AS BIGINT) AS rt FROM ref),
+    daily AS (
+      SELECT day, op, CAST(count(*) AS BIGINT) AS cn FROM ops GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT d.day, o.op
+      FROM (SELECT DISTINCT day FROM daily) d
+      CROSS JOIN (VALUES ('insert'), ('update'), ('delete')) o(op)
+    ),
+    cell AS (
+      SELECT g.day, g.op,
+             coalesce(r.rn, 0) AS rn, coalesce(dl.cn, 0) AS cn,
+             CAST(sum(coalesce(dl.cn, 0)) OVER (PARTITION BY g.day) AS BIGINT) AS ct
+      FROM grid g
+      LEFT JOIN ref r ON g.op = r.op
+      LEFT JOIN daily dl ON g.day = dl.day AND g.op = dl.op
+    )
+    SELECT CAST(day AS TIMESTAMP) AS day,
+           CAST(min(ct) AS BIGINT) AS n_ops,
+           round(CAST(sum(CAST(round(
+             ((cn + 1.0) / (ct + 3) - (rn + 1.0) / (rt + 3))
+             * ln(((cn + 1.0) / (ct + 3)) / ((rn + 1.0) / (rt + 3))), 6)
+             AS DECIMAL(18,6))) AS DOUBLE), 6) AS psi
+    FROM cell, rtot
+    GROUP BY day, rt ORDER BY day
+    """,
+)
+def cdc_dml_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily drift of the DML operation mix (insert/update/delete shares)
+    against the first week's baseline, as a PSI per day -- the
+    change-feed twin of events_value_psi_weekly: a replication monitor
+    cares when a feed that was 70% updates suddenly turns insert- or
+    delete-heavy (backfill, bulk purge, or an upstream bug), BEFORE the
+    sink falls over. Op classes derive from event types by the engine's
+    established mapping (signup/purchase -> insert, error -> delete,
+    else update -- the same CASE cdc_op_mix_by_table uses).
+
+    Exactness: both mixes are exact integer counts over a fixed 3-op
+    grid with Laplace +1 smoothing (zero-safe); each PSI term rounds at
+    6 dp and snaps to DECIMAL(18,6) BEFORE the sum (the ln-ulp recipe
+    events_value_psi_weekly established), so accumulation is exact.
+
+    Scale: one pass to (day, op) cells; the baseline is a 3-row
+    broadcast; everything downstream is day-grain."""
+    e = load_table(spark, sf_dir, "events")
+    op = (
+        F.when(F.col("event_type").isin("signup", "purchase"), "insert")
+        .when(F.col("event_type") == "error", "delete")
+        .otherwise("update")
+    )
+    ops = e.filter(F.col("ts").isNotNull()).select(
+        F.date_trunc("day", "ts").alias("day"), op.alias("op")
+    ).localCheckpoint(eager=False)
+    lo = ops.agg(F.min("day").alias("lo"))
+    ref = (
+        ops.crossJoin(F.broadcast(lo))
+        .filter(F.col("day") < F.col("lo") + F.expr("INTERVAL 7 DAY"))
+        .groupBy("op")
+        .agg(F.count("*").cast("bigint").alias("rn"))
+    )
+    rtot = ref.agg(F.sum("rn").cast("bigint").alias("rt"))
+    daily = ops.groupBy("day", "op").agg(F.count("*").cast("bigint").alias("cn"))
+    grid = (
+        daily.select("day").distinct()
+        .crossJoin(spark.createDataFrame([("insert",), ("update",), ("delete",)], "op string"))
+    )
+    cell = (
+        grid.join(F.broadcast(ref), "op", "left")
+        .join(daily, ["day", "op"], "left")
+        .select(
+            "day",
+            "op",
+            F.coalesce(F.col("rn"), F.lit(0)).alias("rn"),
+            F.coalesce(F.col("cn"), F.lit(0)).alias("cn"),
+        )
+        .withColumn("ct", F.sum("cn").over(Window.partitionBy("day")).cast("bigint"))
+    )
+    p = (F.col("cn") + 1.0) / (F.col("ct") + 3)
+    q = (F.col("rn") + 1.0) / (F.col("rt") + 3)
+    term = F.round((p - q) * F.log(p / q), 6).cast("decimal(18,6)")
+    return (
+        cell.crossJoin(F.broadcast(rtot))
+        .groupBy(F.col("day").cast("timestamp").alias("day"))
+        .agg(
+            F.min("ct").cast("bigint").alias("n_ops"),
+            F.round(F.sum(term).cast("double"), 6).alias("psi"),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "cdc_burst_detection",
+    tags=("cdc", "analytics", "timeseries"),
+    oracle="""
+    WITH h AS (
+      SELECT date_trunc('hour', ts) AS hr, CAST(count(*) AS BIGINT) AS n
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
+    ),
+    s AS (
+      SELECT CAST(sum(n) AS BIGINT) AS tot, CAST(count(*) AS BIGINT) AS nh
+      FROM h
+    )
+    SELECT CAST(hr AS TIMESTAMP) AS hour, n AS n_events,
+           round(CAST(tot AS DOUBLE) / nh, 6) AS lambda_hourly,
+           round((n - CAST(tot AS DOUBLE) / nh)
+                 / nullif(sqrt(CAST(tot AS DOUBLE) / nh), 0), 6) AS poisson_z
+    FROM h, s
+    WHERE n > CAST(tot AS DOUBLE) / nh + 3 * sqrt(CAST(tot AS DOUBLE) / nh)
+    ORDER BY hr
+    """,
+)
+def cdc_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest burst detector: hours whose event count exceeds the global
+    hourly mean by more than 3 Poisson standard deviations (z = (n -
+    lambda)/sqrt(lambda), the classical rate-surprise test) -- the
+    feed-side alarm that sizes sink bulk queues and decides when the
+    es_sink's max_actions chunking actually matters. Complements
+    events_interarrival_stats (micro gaps) and cdc_out_of_order_arrivals
+    (ordering): this flags VOLUME spikes at operating grain.
+
+    Contract: lambda is the mean over OBSERVED hours (hours with >= 1
+    event) -- an all-quiet feed with one hot hour still alarms; a feed
+    with long true gaps should be profiled with
+    events_inactivity_gap_profile first.
+
+    Exactness: hourly counts are exact integers; lambda is one IEEE
+    division of exact operands; the threshold comparison and z share one
+    double closed form on both engines, rounded 6 dp on output.
+
+    Scale: one map-side-combinable pass to |hours| rows, a 1-row
+    broadcast of the rate, and a dim-bounded filter."""
+    e = load_table(spark, sf_dir, "events")
+    h = e.filter(F.col("ts").isNotNull()).groupBy(
+        F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    s = h.agg(
+        F.sum("n").cast("bigint").alias("tot"),
+        F.count("*").cast("bigint").alias("nh"),
+    )
+    lam = F.col("tot").cast("double") / F.col("nh")
+    return (
+        h.crossJoin(F.broadcast(s))
+        .filter(F.col("n") > lam + 3 * F.sqrt(lam))
+        .select(
+            F.col("hr").cast("timestamp").alias("hour"),
+            F.col("n").alias("n_events"),
+            F.round(lam, 6).alias("lambda_hourly"),
+            F.round((F.col("n") - lam) / F.nullif(F.sqrt(lam), F.lit(0.0)), 6).alias(
+                "poisson_z"
+            ),
+        )
+        .orderBy("hour")
+    )

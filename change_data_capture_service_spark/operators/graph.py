@@ -823,3 +823,267 @@ def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("local_cc"),
         )
     )
+
+
+@register(
+    "graph_edge_jaccard_similarity",
+    tags=("graph", "analytics"),
+    oracle="""
+    WITH ob AS (
+      SELECT DISTINCT l_orderkey, p_brand
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+    ),
+    thr AS (
+      SELECT CAST(ceil(0.024 * count(*)) AS BIGINT) AS t FROM orders
+    ),
+    e AS (
+      SELECT a.p_brand AS u, b.p_brand AS v
+      FROM ob a JOIN ob b
+        ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+      GROUP BY a.p_brand, b.p_brand
+      HAVING count(*) >= (SELECT t FROM thr)
+    ),
+    bd AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+    deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS d FROM bd GROUP BY 1),
+    cn AS (
+      SELECT e.u, e.v, CAST(count(*) AS BIGINT) AS c
+      FROM e JOIN bd a ON a.u = e.u
+             JOIN bd b ON b.u = e.v AND b.v = a.v
+      GROUP BY 1, 2
+    )
+    SELECT e.u, e.v,
+           CAST(coalesce(cn.c, 0) AS BIGINT) AS common_neighbors,
+           round(CASE WHEN du.d + dv.d - 2 - coalesce(cn.c, 0) > 0
+                 THEN CAST(coalesce(cn.c, 0) AS DOUBLE)
+                      / (du.d + dv.d - 2 - coalesce(cn.c, 0))
+                 ELSE 0 END, 6) AS edge_jaccard
+    FROM e
+    JOIN deg du ON du.node = e.u
+    JOIN deg dv ON dv.node = e.v
+    LEFT JOIN cn ON cn.u = e.u AND cn.v = e.v
+    ORDER BY 1, 2
+    """,
+)
+def graph_edge_jaccard_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-EDGE Jaccard similarity of endpoint neighborhoods on the brand
+    co-occurrence graph: for each edge (u, v), |N(u) n N(v)| / |N(u) u
+    N(v) \\ {u, v}| -- the local-bridge detector (Satuluri et al. 2011
+    use exactly this score for graph sparsification; an edge with
+    jaccard ~ 0 connects otherwise-disjoint neighborhoods, i.e. is a
+    bridge between communities, while a high score sits inside a dense
+    cluster). The edge-grain companion to graph_local_clustering (node
+    grain) and the structural input a community-preserving sparsifier
+    keeps.
+
+    Exactness: common-neighbor counts come from the wedge join (w is
+    adjacent to both endpoints; self-loops cannot occur so no endpoint
+    exclusions are needed); the union size is du + dv - 2 - c by
+    inclusion-exclusion (each endpoint's set contains the other); one
+    rounded division, 0 (not NULL) on the isolated-edge denominator.
+
+    Scale: everything runs on the attribute-reduced edge relation
+    (_brand_cooccurrence_edges discipline) -- the wedge join is
+    |edges| x max-degree, never fact-sized."""
+    e = _brand_cooccurrence_edges(spark, sf_dir).localCheckpoint(eager=False)
+    bd = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = bd.groupBy(F.col("u").alias("node")).agg(F.count("*").cast("bigint").alias("d"))
+    a = bd.select(F.col("u").alias("eu"), F.col("v").alias("w"))
+    b = bd.select(F.col("u").alias("ev"), F.col("v").alias("w2"))
+    cn = (
+        e.join(a, F.col("u") == F.col("eu"))
+        .join(b, (F.col("v") == F.col("ev")) & (F.col("w2") == F.col("w")))
+        .groupBy("u", "v")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    un = F.col("du") + F.col("dv") - 2 - F.col("c0")
+    return (
+        e.join(F.broadcast(du), "u")
+        .join(F.broadcast(dv), "v")
+        .join(cn, ["u", "v"], "left")
+        .withColumn("c0", F.coalesce(F.col("c"), F.lit(0)).cast("bigint"))
+        .select(
+            "u",
+            "v",
+            F.col("c0").alias("common_neighbors"),
+            F.round(
+                F.when(un > 0, F.col("c0").cast("double") / un).otherwise(F.lit(0.0)),
+                6,
+            ).alias("edge_jaccard"),
+        )
+        .orderBy("u", "v")
+    )
+
+
+def _label_propagation(both_dirs: DataFrame, rounds: int = 4) -> DataFrame:
+    """Deterministic synchronous label propagation (Raghavan et al. 2007)
+    over a symmetrized (u, v) edge relation: every node starts labeled
+    with itself; each round it adopts the most frequent label among its
+    neighbours, ties broken by MIN label (the determinism knob -- the
+    original algorithm breaks ties randomly, which cannot be attested).
+    Fixed ``rounds`` synchronous rounds rather than convergence detection:
+    synchronous LPA can 2-cycle on bipartite-ish structures, so a bounded
+    round count IS the documented semantics, exactness pinned on
+    constructed graphs in tests/test_round15_ops.py.
+
+    Scale: each round is one edge-sized join + a (node, label) partial
+    agg + a per-node arg-max window on the neighbour-label grain --
+    the pagerank shuffle shape; labels re-checkpoint every round so
+    lineage stays O(1). Isolated nodes keep their own label."""
+    nodes = both_dirs.select(F.col("u").alias("node")).distinct().localCheckpoint()
+    labels = nodes.withColumn("lbl", F.col("node"))
+    for _ in range(rounds):
+        nb = both_dirs.join(
+            labels.select(F.col("node").alias("v"), "lbl"), "v"
+        ).select(F.col("u").alias("node"), "lbl")
+        freq = nb.groupBy("node", "lbl").agg(F.count("*").alias("c"))
+        w = Window.partitionBy("node").orderBy(F.col("c").desc(), F.col("lbl"))
+        best = (
+            freq.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("node", F.col("lbl").alias("new_lbl"))
+        )
+        labels = (
+            labels.join(best, "node", "left")
+            .select("node", F.coalesce("new_lbl", "lbl").alias("lbl"))
+            .localCheckpoint()
+        )
+    return labels.select("node", F.col("lbl").alias("community"))
+
+
+@register("graph_label_propagation", tags=("graph", "analytics"))  # rows-only: iterative fixed rounds
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection on the brand co-occurrence graph by 4-round
+    deterministic synchronous label propagation: near-linear community
+    structure without a modularity optimization pass -- the standard
+    cheap first cut before heavier community methods, and the community
+    companion to graph_connected_components (components = reachability;
+    LPA splits a connected graph into dense regions).
+
+    Rows-only by declared contract: the per-round most-frequent-neighbour
+    fixed point is iterative (recursive SQL cannot re-aggregate neighbour
+    label frequencies per round). Semantics pinned by
+    tests/test_round15_ops.py on constructed graphs (two cliques joined
+    by a bridge split into two communities keyed by their min members;
+    a clique collapses to its min label) plus determinism (two runs,
+    byte-identical) and the community-label-is-a-member invariant on the
+    fixture graph.
+
+    Scale: see _label_propagation -- attribute-reduced graph, one keyed
+    shuffle per round."""
+    e = _brand_cooccurrence_edges(spark, sf_dir)
+    both = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    return _label_propagation(both).orderBy("node")
+
+
+def _betweenness(both_dirs: DataFrame, max_depth: int = 32) -> DataFrame:
+    """Exact betweenness centrality via Brandes' algorithm (Brandes 2001)
+    run from ALL sources simultaneously as DataFrame passes: a forward
+    multi-source BFS accumulating shortest-path counts sigma per
+    (source, node) with the level structure of the BFS DAG, then the
+    backward dependency sweep delta(v) = sum over DAG successors w of
+    (sigma_v / sigma_w) * (1 + delta_w), processed one level at a time
+    from the deepest frontier back to the sources. Betweenness(v) =
+    sum over sources s != v of delta_s(v), halved because the
+    symmetrized relation walks every unordered pair twice.
+
+    Scale: the forward pass is one (frontier join edges) + anti-join +
+    partial agg per BFS LEVEL (not per source -- all sources advance in
+    the same job), bounded by the graph diameter; the backward pass
+    replays the same level count. Every relation carries (src, node)
+    pairs -- |V|^2 worst case, the inherent footprint of exact
+    betweenness; on the attribute-reduced graphs the engine builds this
+    is dim-bounded, and at larger |V| the same fold runs on a sampled
+    source set (Brandes-Pich approximation) by filtering the seed
+    relation, which changes no downstream shape."""
+    edges = both_dirs.localCheckpoint()
+    nodes = edges.select(F.col("u").alias("node")).distinct()
+    paths = nodes.select(
+        F.col("node").alias("src"),
+        "node",
+        F.lit(0).alias("dist"),
+        F.lit(1).cast("bigint").alias("sigma"),
+    ).localCheckpoint()
+    frontier = paths
+    depth = 0
+    for level in range(1, max_depth + 1):
+        cand = (
+            frontier.join(edges, frontier["node"] == edges["u"])
+            .groupBy("src", F.col("v").alias("nnode"))
+            .agg(F.sum("sigma").cast("bigint").alias("sigma"))
+            .withColumnRenamed("nnode", "node")
+        )
+        new = cand.join(paths.select("src", "node"), ["src", "node"], "left_anti")
+        if new.isEmpty():
+            break
+        new = new.select("src", "node", F.lit(level).alias("dist"), "sigma")
+        paths = paths.unionByName(new).localCheckpoint()
+        frontier = new.localCheckpoint()
+        depth = level
+    # backward sweep: deltas finalize level by level, deepest first
+    delta = paths.filter(F.col("dist") == depth).withColumn(
+        "delta", F.lit(0.0)
+    ).localCheckpoint()
+    acc = delta
+    for level in range(depth - 1, -1, -1):
+        cur = paths.filter(F.col("dist") == level)
+        succ = delta.select(
+            F.col("src").alias("s2"),
+            F.col("node").alias("w"),
+            F.col("sigma").alias("sigma_w"),
+            F.col("delta").alias("delta_w"),
+        )
+        contrib = (
+            cur.join(edges, cur["node"] == edges["u"])
+            .join(
+                succ,
+                (F.col("src") == F.col("s2")) & (F.col("v") == F.col("w")),
+            )
+            .groupBy("src", "node")
+            .agg(
+                F.sum(
+                    F.col("sigma").cast("double")
+                    / F.col("sigma_w")
+                    * (1 + F.col("delta_w"))
+                ).alias("d")
+            )
+        )
+        delta = (
+            cur.join(contrib, ["src", "node"], "left")
+            .select(
+                "src", "node", "dist", "sigma",
+                F.coalesce("d", F.lit(0.0)).alias("delta"),
+            )
+            .localCheckpoint()
+        )
+        acc = acc.unionByName(delta).localCheckpoint()
+    return (
+        acc.filter(F.col("src") != F.col("node"))
+        .groupBy("node")
+        .agg(F.round(F.sum("delta") / 2, 6).alias("betweenness"))
+    )
+
+
+@register("graph_betweenness_brandes", tags=("graph", "analytics"))  # rows-only: iterative BFS+sweep
+def graph_betweenness_brandes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact betweenness centrality of every brand in the co-occurrence
+    graph (Brandes 2001): the share of all-pairs shortest paths passing
+    through each node -- THE broker/bottleneck ranking (a high-betweenness
+    low-degree brand is a bridge between purchase communities; degree and
+    pagerank cannot see that). Completes the centrality set next to
+    graph_pagerank (flow), degree (volume), k-core (density position).
+
+    Rows-only by declared contract: forward BFS + backward dependency
+    sweep is inherently iterative. Exactness pinned by
+    tests/test_round15_ops.py against closed forms on constructed graphs
+    (path P4: ends 0, middles 2; star K1,5: hub C(5,2)=10, leaves 0;
+    cycle C5: all equal 1) and symmetry/nonnegativity invariants on the
+    fixture graph.
+
+    Scale: see _betweenness -- per-LEVEL dataflow, all sources advance
+    together; source sampling (Brandes-Pich) is the documented knob at
+    large |V|."""
+    e = _brand_cooccurrence_edges(spark, sf_dir)
+    both = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    return _betweenness(both).orderBy("node")

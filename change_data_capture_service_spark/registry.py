@@ -97,6 +97,14 @@ _CHECK_ORDER = [
     "orders_backlog_aging_buckets",
     "orders_priority_mix_shift",
     "customer_supplier_colocation_share",
+    "cdc_dml_mix_drift",
+    "cdc_burst_detection",
+    "graph_edge_jaccard_similarity",
+    "graph_label_propagation",
+    "graph_betweenness_brandes",
+    "stream_interval_join_semi",
+    "stream_interval_join_anti",
+    "stream_ewma_anomaly",
     # -- re-attestation: green keys whose impl files changed this round --
     "knn_hubness_profile",
     "graph_kcore",

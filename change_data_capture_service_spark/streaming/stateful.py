@@ -196,3 +196,95 @@ def last_touch_stream_tws(
         outputMode="append",
         timeMode="processingTime" if ttl_ms is not None else "none",
     )
+
+
+# ---------------------------------------------------------------------------
+# per-key EWMA anomaly stream (round 10): the O(1)-state single-pass twin of
+# the registered stream_ewma_anomaly batch fold (streaming/windows.py)
+# ---------------------------------------------------------------------------
+
+EWMA_OUTPUT_SCHEMA = (
+    "user_id long, day timestamp, value_dollars double, ewma_dollars double,"
+    " residual_dollars double, is_anomaly boolean"
+)
+# (ewma so far, open day epoch-days, open day cents, days emitted+open)
+EWMA_STATE_SCHEMA = "ewma double, day_epoch long, sum_cents long, n_days long"
+
+
+def _ewma_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    import math
+
+    ewma, day_epoch, sum_cents, n_days = (
+        state.get if state.exists else (0.0, -1, 0, 0)
+    )
+    frames = [p for p in pdfs if not p.empty]
+    if not frames:
+        return
+    pdf = pd.concat(frames, ignore_index=True).sort_values("ts")
+    out = []
+
+    def close_day(next_epoch):
+        """Emit the finished open day and fold it into the EWMA."""
+        nonlocal ewma, day_epoch, sum_cents, n_days
+        v = sum_cents / 100.0
+        prev = ewma if n_days > 0 else None
+        e = v if n_days == 0 else 0.5 * v + 0.5 * ewma
+        resid = None if prev is None else v - prev
+        out.append(
+            (
+                key[0],
+                pd.Timestamp(day_epoch, unit="D"),
+                v,
+                math.floor(e * 1e6) / 1e6,
+                None if resid is None else math.floor(resid * 1e6) / 1e6,
+                False if prev is None else abs(resid) > 0.5 * abs(prev),
+            )
+        )
+        ewma, n_days = e, n_days + 1
+        day_epoch, sum_cents = next_epoch, 0
+
+    for r in pdf.itertuples(index=False):
+        ep = int(pd.Timestamp(r.ts).normalize().value // 86_400_000_000_000)
+        if day_epoch == -1:
+            day_epoch = ep
+        elif ep > day_epoch:
+            close_day(ep)
+        sum_cents += int(r.cents)
+    state.update((ewma, day_epoch, sum_cents, n_days))
+    if out:
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "user_id", "day", "value_dollars", "ewma_dollars",
+                "residual_dollars", "is_anomaly",
+            ],
+        )
+
+
+def ewma_anomaly_stream(events_stream: DataFrame) -> DataFrame:
+    """Per-user daily EWMA control chart as a continuous stateful stream:
+    state per user is ONE (ewma, open-day, running-cents, n_days) tuple;
+    each day ROLLOVER emits the finished day's (value, ewma, one-step
+    residual, anomaly flag) row, final on emission. This is the
+    production form of the registered ``stream_ewma_anomaly`` batch fold:
+    O(1) state and O(days) work per key where the batch twin re-folds
+    prefixes (its documented eval-scale contract).
+
+    Input needs (user_id, ts, cents) -- compute cents JVM-side with the
+    engine's try_cast expression before grouping, so the Python worker
+    only sums exact integers. Contract: the feed is day-ordered per user
+    across micro-batches (within a batch any order -- rows sort by ts);
+    the still-open last day sits in state awaiting its rollover, so a
+    drained stream equals the batch twin MINUS each user's final day
+    (tests/test_streaming.py pins exactly that, plus bitwise-equal
+    doubles on the shared rows: both sides run the identical IEEE fold,
+    alpha = 0.5 keeps weights powers of two)."""
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        _ewma_fn,
+        outputStructType=EWMA_OUTPUT_SCHEMA,
+        stateStructType=EWMA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

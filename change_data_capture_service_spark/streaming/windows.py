@@ -585,3 +585,272 @@ def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# stream-stream LEFT SEMI / ANTI interval joins (X71 twins, round 10)
+# ---------------------------------------------------------------------------
+
+
+def left_semi_interval_join_stream(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
+    """LEFT SEMI stream-stream interval join: the clicks that DID convert
+    (>= 1 purchase by the same user within the following 30 minutes),
+    each emitted exactly once with no purchase columns -- the EXISTS form
+    of the attribution join, which is what a conversion-rate numerator
+    wants (the inner join multiplies a click by its purchase count).
+    Structured Streaming supports leftSemi natively for stream-stream
+    joins; state bounds are the inner variant's (a buffered click evicts
+    once the purchase watermark passes click.ts + 30min)."""
+    c = clicks.withWatermark("ts", "1 hour").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.withWatermark("ts", "1 hour").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("interval 30 minutes")),
+        "leftSemi",
+    )
+
+
+def anti_interval_join_stream(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
+    """LEFT ANTI stream-stream interval join, expressed as the left-outer
+    join filtered to watermark-evicted non-matches: the clicks that did
+    NOT convert within 30 minutes. Structured Streaming does not support
+    leftAnti between two streams (checked against the Spark 4 join-type
+    matrix), but the OUTER join's NULL rows are emitted precisely when
+    the watermark PROVES no match can arrive -- so filtering them is the
+    anti join with identical state bounds and eviction timing. Each
+    unconverted click appears exactly once."""
+    c = clicks.withWatermark("ts", "1 hour").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.withWatermark("ts", "1 hour").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return (
+        c.join(
+            p,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("interval 30 minutes")),
+            "leftOuter",
+        )
+        .filter(F.col("purchase_id").isNull())
+        .select("c_user", "click_id", "click_ts")
+    )
+
+
+@register(
+    "stream_interval_join_semi",
+    tags=("streaming", "join"),
+    oracle="""
+    SELECT c.user_id AS c_user,
+           CAST(c.event_id AS BIGINT) AS click_id,
+           c.ts AS click_ts
+    FROM events c
+    WHERE c.event_type = 'click'
+      AND EXISTS (
+        SELECT 1 FROM events p
+        WHERE p.event_type = 'purchase'
+          AND p.user_id = c.user_id
+          AND p.ts >= c.ts
+          AND p.ts <= c.ts + INTERVAL 30 MINUTE
+      )
+    """,
+)
+def stream_interval_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of ``left_semi_interval_join_stream``: clicks with at
+    least one same-user purchase in the following 30 minutes, emitted
+    once each (the conversion-rate numerator; the inner join's row count
+    is purchase-weighted and over-counts multi-purchase clicks). X16
+    equivalence contract: the watermarked streaming leftSemi join, once
+    both sides drain, equals this EXISTS query
+    (tests/test_streaming.py::test_stream_semi_anti_interval_joins_equal_batch).
+
+    Scale: one co-partitioned user_id shuffle; the semi join never
+    multiplies rows."""
+    e = load_table(spark, sf_dir, "events")
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").cast("bigint").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("purchase_ts")
+    )
+    return c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTE")),
+        "left_semi",
+    )
+
+
+@register(
+    "stream_interval_join_anti",
+    tags=("streaming", "join"),
+    oracle="""
+    SELECT c.user_id AS c_user,
+           CAST(c.event_id AS BIGINT) AS click_id,
+           c.ts AS click_ts
+    FROM events c
+    WHERE c.event_type = 'click'
+      AND NOT EXISTS (
+        SELECT 1 FROM events p
+        WHERE p.event_type = 'purchase'
+          AND p.user_id = c.user_id
+          AND p.ts >= c.ts
+          AND p.ts <= c.ts + INTERVAL 30 MINUTE
+      )
+    """,
+)
+def stream_interval_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of ``anti_interval_join_stream``: the clicks that did
+    NOT convert within 30 minutes -- the retargeting audience / funnel
+    drop-off list, and the complement of stream_interval_join_semi (the
+    two partition the click stream; the equivalence test asserts exactly
+    that). In the streaming half these rows are the left-outer join's
+    watermark-evicted NULL emissions (stream-stream leftAnti is not in
+    Spark's supported matrix; outer + IS NULL is the standard rewrite
+    with the same state bounds).
+
+    Scale: one co-partitioned user_id shuffle; anti join never
+    multiplies rows."""
+    e = load_table(spark, sf_dir, "events")
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").cast("bigint").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("purchase_ts")
+    )
+    return c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTE")),
+        "left_anti",
+    )
+
+
+@register(
+    "stream_ewma_anomaly",
+    tags=("streaming", "timeseries", "stats"),
+    oracle="""
+    WITH daily AS (
+      SELECT user_id,
+             CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             CAST(sum(CAST(try_cast(try_cast(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                  AS DECIMAL(38,0))) AS DOUBLE) / 100 AS v
+      FROM events
+      WHERE ts IS NOT NULL
+        AND try_cast(try_cast(value AS DECIMAL(18,2)) * 100 AS BIGINT) IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    per AS (
+      SELECT user_id,
+             list(v ORDER BY day) AS vs,
+             list(day ORDER BY day) AS ds
+      FROM daily GROUP BY 1
+    ),
+    idx AS (
+      SELECT user_id, vs, ds, generate_subscripts(vs, 1) AS i FROM per
+    )
+    SELECT user_id, ds[i] AS day,
+           round(vs[i], 6) AS value_dollars,
+           floor(list_reduce(list_slice(vs, 1, i),
+                             (acc, x) -> 0.5 * x + 0.5 * acc) * 1e6) / 1e6
+             AS ewma_dollars,
+           floor(CASE WHEN i > 1
+                 THEN vs[i] - list_reduce(list_slice(vs, 1, i - 1),
+                                          (acc, x) -> 0.5 * x + 0.5 * acc)
+                 END * 1e6) / 1e6 AS residual_dollars,
+           CASE WHEN i > 1
+                THEN abs(vs[i] - list_reduce(list_slice(vs, 1, i - 1),
+                                             (acc, x) -> 0.5 * x + 0.5 * acc))
+                     > 0.5 * abs(list_reduce(list_slice(vs, 1, i - 1),
+                                             (acc, x) -> 0.5 * x + 0.5 * acc))
+                ELSE FALSE END AS is_anomaly
+    FROM idx
+    """,
+)
+def stream_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily-spend EWMA (alpha = 0.5) with one-step-ahead
+    residual anomaly flags: e_1 = v_1, e_d = 0.5 v_d + 0.5 e_(d-1);
+    residual_d = v_d - e_(d-1); a day is anomalous when the residual
+    exceeds half the forecast in magnitude -- the classic per-key
+    EWMA control chart (Roberts 1959), keyed at the user grain. This is
+    the BATCH TWIN of ``stateful.ewma_anomaly_stream`` (single-pass
+    per-key state via applyInPandasWithState); equivalence once the
+    stream drains is pinned in tests/test_streaming.py.
+
+    Exactness: alpha = 0.5 keeps every EWMA weight a power of two, so
+    the fold is EXACT binary arithmetic given the inputs; both engines
+    evaluate the identical left fold over the identically-ordered daily
+    list (Spark ``aggregate`` seeded with the first element over
+    slice(2..); DuckDB ``list_reduce``, which seeds the same way), so
+    doubles agree bit-for-bit. Daily sums accumulate as DECIMAL cents
+    first. Output snapping uses floor(x * 1e6)/1e6, NOT round(x, 6):
+    alpha = 0.5 makes many EWMAs EXACT decimal halves at the 7th digit
+    (...3125), where Spark's HALF_UP and DuckDB's HALF_EVEN disagree --
+    truncation is tie-free on identical doubles.
+
+    Scale: the registered form materializes each user's day list and
+    re-folds per prefix -- O(days^2) per key, honest at eval grain
+    (fixture: <= 30 days/user). The production path IS the streaming
+    twin: O(1) state and O(days) work per key. The two-tier contract is
+    the knn_hubness_profile precedent."""
+    e = load_table(spark, sf_dir, "events")
+    cents = F.expr("try_cast(try_cast(value AS decimal(18,2)) * 100 AS bigint)")
+    daily = (
+        e.filter(F.col("ts").isNotNull() & cents.isNotNull())
+        .groupBy(
+            "user_id", F.date_trunc("day", "ts").cast("timestamp").alias("day")
+        )
+        .agg(
+            (F.sum(cents.cast("decimal(38,0)")).cast("double") / 100).alias("v")
+        )
+    )
+    per = daily.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("day", "v"))).alias("arr")
+    )
+    idx = per.select(
+        "user_id",
+        F.expr("transform(arr, x -> x.v)").alias("vs"),
+        F.posexplode(F.col("arr")).alias("pos", "row"),
+    ).select(
+        "user_id",
+        "vs",
+        (F.col("pos") + 1).alias("i"),
+        F.col("row.day").alias("day"),
+        F.col("row.v").alias("v"),
+    )
+    ewma_i = F.expr(
+        "aggregate(slice(vs, 2, i - 1), element_at(vs, 1), (acc, x) -> 0.5D * x + 0.5D * acc)"
+    )
+    ewma_prev = F.expr(
+        "CASE WHEN i > 1 THEN aggregate(slice(vs, 2, i - 2), element_at(vs, 1), (acc, x) -> 0.5D * x + 0.5D * acc) END"
+    )
+    return idx.select(
+        "user_id",
+        "day",
+        F.round(F.col("v"), 6).alias("value_dollars"),
+        (F.floor(ewma_i * 1e6) / 1e6).alias("ewma_dollars"),
+        (F.floor((F.col("v") - ewma_prev) * 1e6) / 1e6).alias("residual_dollars"),
+        F.coalesce(
+            F.abs(F.col("v") - ewma_prev) > 0.5 * F.abs(ewma_prev), F.lit(False)
+        ).alias("is_anomaly"),
+    )

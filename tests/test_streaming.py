@@ -591,3 +591,163 @@ def test_last_touch_tws_ttl_evicts_idle_state(spark, tmp_path):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_stream_semi_anti_interval_joins_equal_batch(spark, sf_dir, tmp_path):
+    """The watermarked leftSemi stream-stream join and the outer+IS NULL
+    anti rewrite must, once both sides drain, equal their batch EXISTS /
+    NOT EXISTS twins -- and together partition the click stream. Same
+    far-future sentinel harness as the left-outer test: anti emissions
+    are watermark-driven, so something must advance the watermark past
+    the last real click's horizon."""
+    import os
+    import shutil
+    import time as _t
+
+    from change_data_capture_service_spark import registry
+    from change_data_capture_service_spark.catalog import load_table
+
+    src = str(tmp_path / "semi_anti_events")
+    os.makedirs(src)
+    load_table(spark, sf_dir, "events").coalesce(1).write.parquet(f"{src}/a_tmp")
+    for f in os.listdir(f"{src}/a_tmp"):
+        if f.endswith(".parquet"):
+            shutil.move(f"{src}/a_tmp/{f}", f"{src}/a_events.parquet")
+    shutil.rmtree(f"{src}/a_tmp")
+    _t.sleep(0.05)
+    spark.createDataFrame(
+        [
+            (10**9, "2030-01-01 00:00:00", -1, "click", 0.0, "{}"),
+            (10**9 + 1, "2030-01-02 00:00:00", -1, "purchase", 0.0, "{}"),
+        ],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id", "event_type", "value", "props"
+    ).coalesce(1).write.parquet(f"{src}/b_sentinel", mode="overwrite")
+    for f in os.listdir(f"{src}/b_sentinel"):
+        if f.endswith(".parquet"):
+            shutil.move(f"{src}/b_sentinel/{f}", f"{src}/z_sentinel.parquet")
+    shutil.rmtree(f"{src}/b_sentinel")
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+
+    def mkstream():
+        return (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+
+    st = mkstream()
+    _drain(
+        W.left_semi_interval_join_stream(
+            st.filter(F.col("event_type") == "click"),
+            st.filter(F.col("event_type") == "purchase"),
+        ),
+        "semi_out",
+    )
+    st = mkstream()
+    _drain(
+        W.anti_interval_join_stream(
+            st.filter(F.col("event_type") == "click"),
+            st.filter(F.col("event_type") == "purchase"),
+        ),
+        "anti_out",
+    )
+    got_semi = {
+        r["click_id"]
+        for r in spark.sql("SELECT * FROM semi_out").collect()
+        if r["click_id"] < 10**9
+    }
+    got_anti = {
+        r["click_id"]
+        for r in spark.sql("SELECT * FROM anti_out").collect()
+        if r["click_id"] < 10**9
+    }
+
+    registry.load_all()
+    want_semi = {
+        r["click_id"]
+        for r in registry.get("stream_interval_join_semi").fn(spark, sf_dir).collect()
+    }
+    want_anti = {
+        r["click_id"]
+        for r in registry.get("stream_interval_join_anti").fn(spark, sf_dir).collect()
+    }
+    assert got_semi == want_semi and len(got_semi) > 0
+    assert got_anti == want_anti and len(got_anti) > 0
+    # the two partition the click stream
+    assert not (got_semi & got_anti)
+    n_clicks = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "click"
+    ).count()
+    assert len(got_semi) + len(got_anti) == n_clicks
+
+
+def test_ewma_anomaly_stream_equals_batch(spark, sf_dir, tmp_path):
+    """The O(1)-state streaming EWMA (applyInPandasWithState, one tuple
+    per user) must equal the registered batch fold on every CLOSED day --
+    the open final day per user legitimately sits in state. Data arrives
+    in two day-split files so state genuinely persists across
+    micro-batches."""
+    import os
+    import shutil
+
+    from change_data_capture_service_spark import registry
+    from change_data_capture_service_spark.catalog import load_table
+    from change_data_capture_service_spark.streaming.stateful import (
+        ewma_anomaly_stream,
+    )
+
+    registry.load_all()
+    src = str(tmp_path / "ewma_events")
+    os.makedirs(src)
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.expr("try_cast(try_cast(value AS decimal(18,2)) * 100 AS bigint)")
+    base = ev.filter(F.col("ts").isNotNull() & cents.isNotNull()).select(
+        "user_id", "ts", cents.alias("cents")
+    )
+    mid = base.agg(F.date_trunc("day", F.min("ts")) + F.expr("INTERVAL 4 DAY")).collect()[0][0]
+    for name, part in (
+        ("a_first.parquet", base.filter(F.col("ts") < F.lit(mid))),
+        ("z_second.parquet", base.filter(F.col("ts") >= F.lit(mid))),
+    ):
+        tmp = f"{src}/_tmp"
+        part.coalesce(1).write.parquet(tmp)
+        for f in os.listdir(tmp):
+            if f.endswith(".parquet"):
+                shutil.move(f"{tmp}/{f}", f"{src}/{name}")
+        shutil.rmtree(tmp)
+
+    stream = spark.readStream.schema("user_id long, ts timestamp, cents long").option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    q = (
+        ewma_anomaly_stream(stream)
+        .writeStream.format("memory")
+        .queryName("ewma_out")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r["user_id"], str(r["day"])): (
+            r["value_dollars"], r["ewma_dollars"], r["residual_dollars"], r["is_anomaly"]
+        )
+        for r in spark.sql("SELECT * FROM ewma_out").collect()
+    }
+
+    batch = registry.get("stream_ewma_anomaly").fn(spark, sf_dir)
+    wlast = F.max("day").over(__import__("pyspark").sql.Window.partitionBy("user_id"))
+    closed = batch.withColumn("_last", wlast).filter(F.col("day") < F.col("_last"))
+    want = {
+        (r["user_id"], str(r["day"])): (
+            r["value_dollars"], r["ewma_dollars"], r["residual_dollars"], r["is_anomaly"]
+        )
+        for r in closed.collect()
+    }
+    assert len(got) > 0
+    assert got == want
