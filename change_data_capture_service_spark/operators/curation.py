@@ -1238,3 +1238,191 @@ def sample_importance_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("weight"),
         F.sum("n_docs").over(corpus).cast("bigint").alias("corpus_docs"),
     )
+
+
+@register(
+    "docs_dedup_survivor_quality_shift",
+    tags=("curation", "dedup", "northstar"),
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, source,
+             CAST(len({TOKENS}) AS BIGINT) AS n_tokens,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             md5(text) AS h
+      FROM documents
+    ),
+    surv AS (
+      SELECT h, min(doc_id) AS keep FROM d GROUP BY h
+    ),
+    flag AS (
+      SELECT d.*, CAST(d.doc_id = s.keep AS BOOLEAN) AS is_survivor
+      FROM d JOIN surv s ON d.h = s.h
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN is_survivor THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_survivors,
+           round(1 - CAST(sum(CASE WHEN is_survivor THEN 1 ELSE 0 END) AS DOUBLE)
+                     / count(*), 6) AS dup_rate,
+           round(CAST(sum(CAST(n_chars AS DECIMAL(38,0))) AS DOUBLE)
+                 / count(*), 6) AS mean_chars_all,
+           round(CAST(sum(CASE WHEN is_survivor THEN CAST(n_chars AS DECIMAL(38,0))
+                          ELSE 0 END) AS DOUBLE)
+                 / nullif(sum(CASE WHEN is_survivor THEN 1 ELSE 0 END), 0), 6)
+             AS mean_chars_survivors,
+           round(CAST(sum(CAST(n_tokens AS DECIMAL(38,0))) AS DOUBLE)
+                 / count(*), 6) AS mean_tokens_all,
+           round(CAST(sum(CASE WHEN is_survivor THEN CAST(n_tokens AS DECIMAL(38,0))
+                          ELSE 0 END) AS DOUBLE)
+                 / nullif(sum(CASE WHEN is_survivor THEN 1 ELSE 0 END), 0), 6)
+             AS mean_tokens_survivors
+    FROM flag
+    GROUP BY source ORDER BY source
+    """,
+)
+def docs_dedup_survivor_quality_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Before/after composition audit of exact dedup, per source: document
+    count vs survivor count (md5-of-text families, min-doc_id
+    survivorship -- the dedup_exact/dedup_canonical policy), and how the
+    mean length statistics MOVE when duplicates drop -- the
+    'did dedup change what my corpus looks like' readout every curation
+    run should publish next to its savings number (duplicates are not
+    length-neutral: boilerplate is short, mirrored articles are long, so
+    dedup shifts the distribution the mixture plan was tuned on).
+
+    Exactness: survivor flags are exact (digest-grain min); char/token
+    masses accumulate as DECIMAL; the means divide once, rounded 6 dp,
+    NULL-guarded for a hypothetical all-duplicate source.
+
+    Scale: digests shuffle, text does not (the family discipline); one
+    (digest)-grain reduce + one source-grain reduce."""
+    d = spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id",
+        "source",
+        F.size(_tokens()).cast("bigint").alias("n_tokens"),
+        F.length("text").cast("bigint").alias("n_chars"),
+        F.md5("text").alias("h"),
+    )
+    surv = d.groupBy("h").agg(F.min("doc_id").alias("keep"))
+    flag = d.join(surv, "h").withColumn(
+        "is_survivor", F.col("doc_id") == F.col("keep")
+    )
+    sflag = F.when(F.col("is_survivor"), 1).otherwise(0)
+    chars_d = F.col("n_chars").cast("decimal(38,0)")
+    toks_d = F.col("n_tokens").cast("decimal(38,0)")
+    n_surv = F.sum(sflag)
+    return (
+        flag.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            n_surv.cast("bigint").alias("n_survivors"),
+            F.round(1 - n_surv.cast("double") / F.count("*"), 6).alias("dup_rate"),
+            F.round(F.sum(chars_d).cast("double") / F.count("*"), 6).alias(
+                "mean_chars_all"
+            ),
+            F.round(
+                F.sum(F.when(F.col("is_survivor"), chars_d).otherwise(F.lit(0)))
+                .cast("double")
+                / F.nullif(n_surv, F.lit(0)),
+                6,
+            ).alias("mean_chars_survivors"),
+            F.round(F.sum(toks_d).cast("double") / F.count("*"), 6).alias(
+                "mean_tokens_all"
+            ),
+            F.round(
+                F.sum(F.when(F.col("is_survivor"), toks_d).otherwise(F.lit(0)))
+                .cast("double")
+                / F.nullif(n_surv, F.lit(0)),
+                6,
+            ).alias("mean_tokens_survivors"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "sample_dataset_card",
+    tags=("curation", "northstar", "agg"),
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, source, lang,
+             CAST(len({TOKENS}) AS BIGINT) AS n_tokens,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             md5(text) AS h
+      FROM documents
+    ),
+    top_lang AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n
+      FROM d GROUP BY lang ORDER BY n DESC, lang LIMIT 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(sum(CAST(n_tokens AS DECIMAL(38,0))) AS BIGINT) AS total_tokens,
+           CAST(sum(CAST(n_chars AS DECIMAL(38,0))) AS BIGINT) AS total_chars,
+           round(CAST(sum(CAST(n_tokens AS DECIMAL(38,0))) AS DOUBLE)
+                 / count(*), 6) AS mean_tokens,
+           round(1 - CAST(count(DISTINCT h) AS DOUBLE) / count(*), 6)
+             AS exact_dup_rate,
+           (SELECT lang FROM top_lang) AS top_lang,
+           round((SELECT CAST(n AS DOUBLE) FROM top_lang) / count(*), 6)
+             AS top_lang_share
+    FROM d
+    """,
+)
+def sample_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row dataset card for the corpus: document/source/language
+    counts, exact token and char masses, mean document length, exact
+    duplicate rate, and the dominant language with its share -- the
+    headline numbers a dataset datasheet publishes (Gebru et al. 2021
+    'Datasheets for Datasets'; every public LLM corpus release carries
+    exactly this table). The single-row summary that fronts the deeper
+    panels already registered (docs_curation_funnel, language mix,
+    length profiles).
+
+    Exactness: every field is an exact count, an exact DECIMAL mass, or
+    one division thereof; the top language is a count-desc, lang-asc
+    deterministic argmax; dup rate = 1 - distinct digests / docs.
+
+    Scale: one corpus pass to the moment row (count-distincts at
+    source/lang/digest grain -- digest is the only wide one and is the
+    same shuffle dedup_exact already pays); the top-lang probe is a
+    |langs|-row reduce."""
+    d = spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id",
+        "source",
+        "lang",
+        F.size(_tokens()).cast("bigint").alias("n_tokens"),
+        F.length("text").cast("bigint").alias("n_chars"),
+        F.md5("text").alias("h"),
+    ).localCheckpoint(eager=False)
+    top = (
+        d.groupBy("lang")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), "lang")
+        .limit(1)
+        .select(F.col("lang").alias("top_lang"), F.col("n").alias("top_n"))
+    )
+    toks_d = F.col("n_tokens").cast("decimal(38,0)")
+    chars_d = F.col("n_chars").cast("decimal(38,0)")
+    return (
+        d.agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.count_distinct("source").cast("bigint").alias("n_sources"),
+            F.count_distinct("lang").cast("bigint").alias("n_langs"),
+            F.sum(toks_d).cast("bigint").alias("total_tokens"),
+            F.sum(chars_d).cast("bigint").alias("total_chars"),
+            F.round(F.sum(toks_d).cast("double") / F.count("*"), 6).alias("mean_tokens"),
+            F.round(1 - F.count_distinct("h").cast("double") / F.count("*"), 6).alias(
+                "exact_dup_rate"
+            ),
+        )
+        .crossJoin(F.broadcast(top))
+        .select(
+            "n_docs", "n_sources", "n_langs", "total_tokens", "total_chars",
+            "mean_tokens", "exact_dup_rate", "top_lang",
+            F.round(F.col("top_n").cast("double") / F.col("n_docs"), 6).alias(
+                "top_lang_share"
+            ),
+        )
+    )

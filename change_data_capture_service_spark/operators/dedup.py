@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import pandas as pd
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -1932,4 +1932,147 @@ def dedup_minhash_tuned(spark: SparkSession, sf_dir: str) -> DataFrame:
         "jaccard",
         F.lit(bands).cast("int").alias("bands"),
         F.lit(rows_per_band).cast("int").alias("rows_per_band"),
+    )
+
+
+@register(
+    "dedup_exact_substring_runs",
+    tags=("dedup", "northstar", "curation"),
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {TOKENS} AS toks FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, toks,
+             unnest(range(1, len(toks) - 6)) AS p
+      FROM toks WHERE len(toks) >= 8
+    ),
+    sh AS (
+      SELECT doc_id, CAST(p AS BIGINT) AS p,
+             md5(array_to_string(toks[p:p+7], ' ')) AS h
+      FROM pos
+    ),
+    dup AS (
+      SELECT h FROM sh GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+    ),
+    dp AS (
+      SELECT s.doc_id, s.p,
+             CASE WHEN s.p - lag(s.p) OVER (PARTITION BY s.doc_id ORDER BY s.p) > 8
+                       OR lag(s.p) OVER (PARTITION BY s.doc_id ORDER BY s.p) IS NULL
+                  THEN 1 ELSE 0 END AS brk
+      FROM sh s JOIN dup USING (h)
+    ),
+    isl AS (
+      SELECT doc_id, p,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY p
+                            ROWS UNBOUNDED PRECEDING) AS island
+      FROM dp
+    ),
+    runs AS (
+      SELECT doc_id, island,
+             CAST(max(p) - min(p) + 8 AS BIGINT) AS span,
+             CAST(count(*) AS BIGINT) AS n_pos
+      FROM isl GROUP BY 1, 2
+    ),
+    per AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_runs,
+             CAST(sum(span) AS BIGINT) AS dup_token_span,
+             CAST(sum(n_pos) AS BIGINT) AS n_dup_positions
+      FROM runs GROUP BY 1
+    )
+    SELECT t.doc_id,
+           CAST(len(t.toks) AS BIGINT) AS n_tokens,
+           CAST(coalesce(per.n_dup_positions, 0) AS BIGINT) AS n_dup_positions,
+           CAST(coalesce(per.n_runs, 0) AS BIGINT) AS n_runs,
+           CAST(coalesce(per.dup_token_span, 0) AS BIGINT) AS dup_token_span,
+           round(CAST(coalesce(per.dup_token_span, 0) AS DOUBLE)
+                 / nullif(len(t.toks), 0), 6) AS dup_share
+    FROM toks t LEFT JOIN per ON t.doc_id = per.doc_id
+    ORDER BY t.doc_id
+    """,
+)
+def dedup_exact_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication profile per document, suffix-array-free:
+    every 8-token shingle POSITION whose shingle text recurs in >= 2
+    distinct documents is a duplicated position; consecutive duplicated
+    positions merge into maximal runs (interval union of [p, p+7] spans),
+    and each document reports its duplicated-token span and share -- the
+    per-document form of Lee et al. 2022's exact-substring dedup
+    ('Deduplicating Training Data Makes Language Models Better' uses
+    50-token matches via suffix arrays; sorted shingle runs recover the
+    same maximal-match spans at k-gram resolution with plain dataflow).
+    dedup_lines profiles LINE-grain copying, MinHash estimates WHOLE-doc
+    similarity; this finds the copied PASSAGES inside otherwise-unique
+    docs -- what you trim rather than drop.
+
+    Exactness: positions are exact integers; the duplicate vocabulary is
+    keyed on md5 digests (identical both engines); run spans come from
+    the islands construction (break when the next duplicated position
+    starts past the previous interval's end, p_next - p_prev > 8), so the
+    span is the exact interval-union length, over-count-free even when
+    runs overlap mid-shingle.
+
+    Scale: the shingle shuffle carries (digest, doc_id, pos) -- 16-byte
+    hashes, never text (the dedup-family discipline); the duplicate
+    vocabulary reduces by digest before the semi-join back; per-doc
+    windows run at duplicated-position grain, bounded by document
+    length."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    k = 8
+    toks = d.select("doc_id", _tokens().alias("toks")).localCheckpoint(eager=False)
+    grams = F.when(
+        F.size("toks") >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - (k - 1)),
+            lambda i: F.md5(F.array_join(F.slice(F.col("toks"), i, k), " ")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = toks.select(
+        "doc_id", F.posexplode(grams).alias("pos0", "h")
+    ).select("doc_id", (F.col("pos0") + 1).cast("bigint").alias("p"), "h")
+    sh = sh.localCheckpoint(eager=False)  # dup vocab + join-back reuse it
+    dup = sh.groupBy("h").agg(
+        F.count_distinct("doc_id").alias("nd")
+    ).filter(F.col("nd") >= 2).select("h")
+    wp = Window.partitionBy("doc_id").orderBy("p")
+    dp = (
+        sh.join(dup, "h", "left_semi")
+        .withColumn("prev", F.lag("p").over(wp))
+        .withColumn(
+            "brk",
+            F.when(
+                F.col("prev").isNull() | (F.col("p") - F.col("prev") > k), 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "island",
+            F.sum("brk").over(wp.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    runs = dp.groupBy("doc_id", "island").agg(
+        (F.max("p") - F.min("p") + k).cast("bigint").alias("span"),
+        F.count("*").cast("bigint").alias("n_pos"),
+    )
+    per = runs.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_runs"),
+        F.sum("span").cast("bigint").alias("dup_token_span"),
+        F.sum("n_pos").cast("bigint").alias("n_dup_positions"),
+    )
+    return (
+        toks.select("doc_id", F.size("toks").cast("bigint").alias("n_tokens"))
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_dup_positions", F.lit(0)).cast("bigint").alias("n_dup_positions"),
+            F.coalesce("n_runs", F.lit(0)).cast("bigint").alias("n_runs"),
+            F.coalesce("dup_token_span", F.lit(0)).cast("bigint").alias("dup_token_span"),
+            F.round(
+                F.coalesce("dup_token_span", F.lit(0)).cast("double")
+                / F.nullif(F.col("n_tokens"), F.lit(0)),
+                6,
+            ).alias("dup_share"),
+        )
+        .orderBy("doc_id")
     )

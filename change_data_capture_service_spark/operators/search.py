@@ -867,3 +867,216 @@ def search_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("recall_at_10"),
     )
+
+
+@register(
+    "search_prf_expansion",
+    tags=("text", "northstar", "search"),
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {TOKENS} AS toks FROM documents
+    ),
+    stats AS (
+      SELECT count(*) AS n_docs, avg(len(toks)) AS avgdl FROM toks
+    ),
+    tf0 AS (
+      SELECT doc_id, tok, count(*) AS tf, any_value(dl) AS dl
+      FROM (SELECT doc_id, unnest(toks) AS tok, len(toks) AS dl FROM toks)
+      WHERE tok IN ('stream', 'merge', 'window')
+      GROUP BY doc_id, tok
+    ),
+    df0 AS (SELECT tok, count(*) AS df FROM tf0 GROUP BY tok),
+    seed AS (
+      SELECT tf0.doc_id,
+             sum(ln((stats.n_docs - df0.df + 0.5) / (df0.df + 0.5) + 1)
+                 * tf0.tf * ({_K1} + 1)
+                 / (tf0.tf + {_K1} * (1 - {_B} + {_B} * tf0.dl / stats.avgdl)))
+               AS score
+      FROM tf0 JOIN df0 ON tf0.tok = df0.tok CROSS JOIN stats
+      GROUP BY tf0.doc_id
+      ORDER BY score DESC, tf0.doc_id LIMIT 10
+    ),
+    exp_terms AS (
+      SELECT tok FROM (
+        SELECT tok, count(DISTINCT t.doc_id) AS rdf
+        FROM (SELECT doc_id, unnest(toks) AS tok FROM toks) t
+        JOIN seed ON t.doc_id = seed.doc_id
+        WHERE length(tok) >= 4 AND tok NOT IN ('stream', 'merge', 'window')
+        GROUP BY tok
+      ) ORDER BY rdf DESC, tok LIMIT 5
+    ),
+    q AS (
+      SELECT tok FROM exp_terms
+      UNION ALL SELECT unnest(['stream', 'merge', 'window'])
+    ),
+    tf AS (
+      SELECT doc_id, tok, count(*) AS tf, any_value(dl) AS dl
+      FROM (SELECT doc_id, unnest(toks) AS tok, len(toks) AS dl FROM toks)
+      WHERE tok IN (SELECT tok FROM q)
+      GROUP BY doc_id, tok
+    ),
+    dfx AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+    scored AS (
+      SELECT tf.doc_id,
+             sum(ln((stats.n_docs - dfx.df + 0.5) / (dfx.df + 0.5) + 1)
+                 * tf.tf * ({_K1} + 1)
+                 / (tf.tf + {_K1} * (1 - {_B} + {_B} * tf.dl / stats.avgdl)))
+               AS score,
+             count(*) AS n_terms_hit
+      FROM tf JOIN dfx ON tf.tok = dfx.tok CROSS JOIN stats
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, CAST(round(score, 6) AS DOUBLE) AS score,
+           CAST(n_terms_hit AS BIGINT) AS n_terms_hit
+    FROM scored
+    ORDER BY score DESC, doc_id
+    LIMIT {_TOP}
+    """,
+)
+def search_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance-feedback query expansion (Rocchio-style two-pass
+    retrieval, the classic PRF loop ES exposes via significant-terms
+    aggregations): pass 1 ranks the corpus by BM25 for the seed query;
+    the 5 terms most common across the top-10 feedback docs (distinct-doc
+    frequency, length >= 4, seeds excluded, term-asc tiebreak) join the
+    query; pass 2 re-ranks with the expanded term set and returns the
+    top-{_TOP}. The recall-repair tool when the seed vocabulary misses
+    relevant phrasing -- the lexical cousin of knn_cosine_hybrid's RRF.
+
+    Exactness: both passes use the established BM25 closed form (shared
+    ln arithmetic, 6-dp output round); term selection and feedback-doc
+    selection are exact counts with full deterministic tiebreaks.
+
+    Scale: each pass is the postings-probe shape of search_bm25 (the
+    IN-filter lands map-side; only matching postings shuffle); the
+    feedback-doc term profile explodes ONLY the 10 feedback docs; the
+    expansion vocabulary is a <= 8-term broadcast."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", _tokens().alias("toks")).localCheckpoint(eager=False)
+    stats = toks.agg(
+        F.count("*").alias("n_docs"), F.avg(F.size("toks")).alias("avgdl")
+    )
+
+    def bm25(term_filter, tiebreak_limit):
+        tf = (
+            toks.select(
+                "doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("tok")
+            )
+            .join(F.broadcast(term_filter), "tok")
+            .groupBy("doc_id", "tok")
+            .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
+            .localCheckpoint(eager=False)
+        )
+        dfr = tf.groupBy("tok").agg(F.count("*").alias("df"))
+        idf = F.log(
+            (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
+        )
+        w = (
+            idf
+            * F.col("tf")
+            * (_K1 + 1)
+            / (F.col("tf") + _K1 * (1 - _B + _B * F.col("dl") / F.col("avgdl")))
+        )
+        return (
+            tf.join(F.broadcast(dfr), "tok")
+            .crossJoin(F.broadcast(stats))
+            .groupBy("doc_id")
+            .agg(F.sum(w).alias("score"), F.count("*").alias("n_terms_hit"))
+            .orderBy(F.col("score").desc(), "doc_id")
+            .limit(tiebreak_limit)
+        )
+
+    seeds = spark.createDataFrame([(t,) for t in _QUERY_TERMS], "tok string")
+    feedback = bm25(seeds, 10).select("doc_id").localCheckpoint(eager=False)
+    exp_terms = (
+        toks.join(F.broadcast(feedback), "doc_id")
+        .select("doc_id", F.explode("toks").alias("tok"))
+        .filter((F.length("tok") >= 4) & ~F.col("tok").isin(_QUERY_TERMS))
+        .groupBy("tok")
+        .agg(F.count_distinct("doc_id").alias("rdf"))
+        .orderBy(F.col("rdf").desc(), "tok")
+        .limit(5)
+        .select("tok")
+    )
+    q = exp_terms.unionByName(seeds).localCheckpoint(eager=False)
+    return bm25(q, _TOP).select(
+        "doc_id",
+        F.round("score", 6).cast("double").alias("score"),
+        F.col("n_terms_hit").cast("bigint").alias("n_terms_hit"),
+    )
+
+
+@register(
+    "search_snippet_best_window",
+    tags=("text", "search"),
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {TOKENS} AS toks FROM documents
+    ),
+    hits AS (
+      SELECT doc_id, toks, CAST(p AS BIGINT) AS p
+      FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS p FROM toks)
+      WHERE toks[p] IN ('stream', 'merge', 'window')
+    ),
+    win AS (
+      SELECT doc_id, toks, p,
+             CAST(count(*) OVER (PARTITION BY doc_id ORDER BY p
+                                 RANGE BETWEEN CURRENT ROW AND 19 FOLLOWING)
+               AS BIGINT) AS n_in_window
+      FROM hits
+    ),
+    best AS (
+      SELECT doc_id, toks, p, n_in_window,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY n_in_window DESC, p) AS rk
+      FROM win
+    )
+    SELECT doc_id,
+           p AS best_start,
+           n_in_window AS n_query_hits,
+           array_to_string(toks[p:p+19], ' ') AS snippet
+    FROM best WHERE rk = 1
+    ORDER BY doc_id
+    """,
+)
+def search_snippet_best_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-snippet extraction: for every document matching the seed
+    query, the 20-token window holding the MOST query-term occurrences
+    (earliest window on ties) with its rendered text -- the highlighter
+    behind every search UI (Lucene's unified highlighter solves exactly
+    this window-maximization). A window starting at a hit is optimal
+    without loss of generality (sliding right to the first covered hit
+    loses nothing), so candidate starts are hit positions only.
+
+    Exactness: hit positions are exact integers; the per-candidate count
+    is a RANGE frame over [p, p+19]; argmax tiebreak (count desc, start
+    asc) is total; the snippet renders from the same token array on both
+    engines.
+
+    Scale: the corpus explodes map-side and only QUERY-TERM positions
+    survive to the shuffle (postings-probe discipline, like search_bm25);
+    the RANGE window and argmax run at hit grain, bounded by matches, and
+    the snippet join-back touches only matching docs."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", _tokens().alias("toks")).localCheckpoint(eager=False)
+    hits = toks.select(
+        "doc_id", F.posexplode("toks").alias("p0", "tok")
+    ).filter(F.col("tok").isin(_QUERY_TERMS)).select(
+        "doc_id", (F.col("p0") + 1).cast("bigint").alias("p")
+    )
+    wr = Window.partitionBy("doc_id").orderBy("p").rangeBetween(0, 19)
+    win = hits.withColumn("n_in_window", F.count("*").over(wr).cast("bigint"))
+    wb = Window.partitionBy("doc_id").orderBy(F.col("n_in_window").desc(), "p")
+    best = win.withColumn("rk", F.row_number().over(wb)).filter(F.col("rk") == 1)
+    return (
+        best.join(toks, "doc_id")
+        .select(
+            "doc_id",
+            F.col("p").alias("best_start"),
+            F.col("n_in_window").alias("n_query_hits"),
+            F.array_join(
+                F.slice(F.col("toks"), F.col("p").cast("int"), 20), " "
+            ).alias("snippet"),
+        )
+        .orderBy("doc_id")
+    )

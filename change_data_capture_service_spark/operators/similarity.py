@@ -2001,3 +2001,210 @@ def embedding_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mean_pairwise_cosine"),
     )
+
+
+@register(
+    "embedding_label_centroid_similarity",
+    tags=("similarity", "northstar"),
+    oracle="""
+    WITH d AS (
+      SELECT label,
+             generate_subscripts(embedding, 1) AS dim,
+             unnest(CAST(embedding AS DOUBLE[])) AS x
+      FROM embeddings
+    ),
+    cs AS (
+      SELECT label, dim,
+             CAST(sum(CAST(round(x, 9) AS DECIMAL(18,9))) AS DOUBLE)
+               / count(*) AS c,
+             CAST(count(*) AS BIGINT) AS n
+      FROM d GROUP BY 1, 2
+    ),
+    cen AS (
+      SELECT label, list(c ORDER BY dim) AS cv, min(n) AS n
+      FROM cs GROUP BY 1
+    )
+    SELECT a.label AS label_a, b.label AS label_b,
+           a.n AS n_a, b.n AS n_b,
+           round(list_dot_product(a.cv, b.cv)
+                 / nullif(sqrt(list_dot_product(a.cv, a.cv))
+                          * sqrt(list_dot_product(b.cv, b.cv)), 0), 6)
+             AS centroid_cosine
+    FROM cen a JOIN cen b ON a.label < b.label
+    ORDER BY 1, 2
+    """,
+)
+def embedding_label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine similarity between per-label embedding CENTROIDS:
+    the class-separation matrix -- two labels whose centroids sit at
+    cosine ~1 are indistinguishable to a linear probe (merge or relabel
+    them); the matrix is the first read after clustering or an
+    embedding-model swap, and the cheap preview of a confusion matrix
+    without training anything. Complements embedding_isotropy (global
+    geometry) and knn_hubness_profile (neighbourhood pathology) at the
+    CLASS grain.
+
+    Exactness: coordinates round at 9 dp and accumulate in DECIMAL per
+    (label, dim) -- order-free sums, the embedding_dim_profile recipe;
+    centroid components are single IEEE divisions; both engines fold the
+    dot products sequentially over identically dim-ordered centroid
+    arrays (Spark aggregate/zip_with, DuckDB list_dot_product), and the
+    one output division rounds at 6 dp with a nullif guard for a
+    degenerate all-zero centroid.
+
+    Scale: one (label, dim)-grain partial agg over the posexploded
+    table (|labels| x |dims| cells); the pair join is |labels|^2 --
+    dim-bounded."""
+    e = load_table(spark, sf_dir, "embeddings")
+    d = e.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim0", "x"),
+    )
+    cs = d.groupBy("label", (F.col("dim0") + 1).alias("dim")).agg(
+        (F.sum(F.round(F.col("x"), 9).cast("decimal(18,9)")).cast("double") / F.count("*")).alias("c"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    cen = cs.groupBy("label").agg(
+        F.expr("transform(array_sort(collect_list(struct(dim, c))), s -> s.c)").alias("cv"),
+        F.min("n").alias("n"),
+    ).localCheckpoint(eager=False)
+    a = cen.select(
+        F.col("label").alias("label_a"), F.col("cv").alias("ca"), F.col("n").alias("n_a")
+    )
+    b = cen.select(
+        F.col("label").alias("label_b"), F.col("cv").alias("cb"), F.col("n").alias("n_b")
+    )
+    dot = lambda x, y: F.expr(  # noqa: E731
+        f"aggregate(zip_with({x}, {y}, (p, q) -> p * q), 0D, (acc, z) -> acc + z)"
+    )
+    return (
+        a.join(F.broadcast(b), F.col("label_a") < F.col("label_b"))
+        .select(
+            "label_a",
+            "label_b",
+            "n_a",
+            "n_b",
+            F.round(
+                dot("ca", "cb")
+                / F.nullif(F.sqrt(dot("ca", "ca")) * F.sqrt(dot("cb", "cb")), F.lit(0.0)),
+                6,
+            ).alias("centroid_cosine"),
+        )
+        .orderBy("label_a", "label_b")
+    )
+
+
+def mmr_diversify(
+    candidates: DataFrame,
+    *,
+    lam: float = 0.7,
+    k: int = 5,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998):
+    greedily pick k results per query maximizing lam * cos(q, d) -
+    (1 - lam) * max over already-selected s of cos(d, s) -- relevance
+    traded against redundancy, THE standard diversifier between a
+    retriever and an LLM context window. ``candidates`` carries
+    (query_id, neighbor_id, cosine, v, nrm) -- the shortlist WITH its
+    raw vectors (cosine = relevance to the query).
+
+    Deterministic: ties break by neighbor_id ascending at every greedy
+    step. The k rounds are bounded data-flow iterations (one
+    candidate-vs-selected join + one argmax window per round) over the
+    |queries| x |shortlist| relation -- shortlist-sized work, never
+    corpus-sized; the corpus only ever contributed the shortlist."""
+    sel = None  # (query_id, neighbor_id, mmr_rank, mmr_score)
+    remaining = candidates.localCheckpoint(eager=False)
+    dot = F.expr(
+        "aggregate(zip_with(v, sv, (p, q) -> p * q), 0D, (acc, z) -> acc + z)"
+    )
+    for step in range(1, k + 1):
+        if step == 1:
+            scored = remaining.withColumn("mmr", F.col("cosine") * lam)
+        else:
+            svec = sel.select("query_id", F.col("neighbor_id").alias("s_id")).join(
+                candidates.select(
+                    "query_id",
+                    F.col("neighbor_id").alias("s_id"),
+                    F.col("v").alias("sv"),
+                    F.col("nrm").alias("snrm"),
+                ),
+                ["query_id", "s_id"],
+            )
+            pen = (
+                remaining.join(svec, "query_id")
+                .withColumn("sim", F.round(dot / (F.col("nrm") * F.col("snrm")), 6))
+                .groupBy("query_id", "neighbor_id")
+                .agg(F.max("sim").alias("max_sim"))
+            )
+            scored = remaining.join(pen, ["query_id", "neighbor_id"]).withColumn(
+                "mmr", F.col("cosine") * lam - (1 - lam) * F.col("max_sim")
+            )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("mmr").desc(), F.col("neighbor_id")
+        )
+        pick = (
+            scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.lit(step).alias("mmr_rank"),
+                F.round("mmr", 6).alias("mmr_score"),
+            )
+            .localCheckpoint()
+        )
+        sel = pick if sel is None else sel.unionByName(pick).localCheckpoint()
+        remaining = remaining.join(
+            pick.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"], "left_anti"
+        ).localCheckpoint()
+    return sel
+
+
+@register("knn_mmr_diversified", tags=("similarity", "northstar"))  # rows-only: k greedy rounds
+def knn_mmr_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified top-5 per query (lambda = 0.7) over the exact
+    cosine top-20 shortlist: relevance-ranked retrieval re-ordered so
+    each added result is novel against what is already picked -- the
+    retrieval-diversity operator between knn_cosine_topk (pure
+    relevance) and a RAG context assembly. Rows-only by declared
+    contract (k greedy argmax rounds are iterative); semantics pinned in
+    tests/test_round15_ops.py: constructed vectors where pure top-k
+    returns two near-duplicates but MMR must skip the duplicate for the
+    diverse third vector, rank-1 always equals the cosine argmax, picks
+    are distinct, and the fixture run is deterministic across
+    executions.
+
+    Scale: shortlist-sized dataflow per round (|queries| x 20 rows, the
+    selected set joins by key); the corpus contributes only through the
+    shortlist generator, which is the ANN index path at production
+    scale."""
+    k_short = 20
+    vec = _vectors(spark, sf_dir).localCheckpoint(eager=False)
+    other = vec.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("bv"),
+        F.col("nrm").alias("bnrm"),
+    )
+    dot = F.expr("aggregate(zip_with(v, bv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+    scored = (
+        vec.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), "v", "nrm")
+        .join(F.broadcast(other), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", F.round(dot / (F.col("nrm") * F.col("bnrm")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    cands = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k_short)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cosine",
+            F.col("bv").alias("v"),
+            F.col("bnrm").alias("nrm"),
+        )
+    )
+    return mmr_diversify(
+        cands.select("query_id", "neighbor_id", "cosine", "v", "nrm")
+    ).orderBy("query_id", "mmr_rank")

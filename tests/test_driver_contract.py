@@ -94,6 +94,14 @@ _R10_CHECK_WINDOW = [
     "stream_interval_join_semi",
     "stream_interval_join_anti",
     "stream_ewma_anomaly",
+    "dedup_exact_substring_runs",
+    "docs_dedup_survivor_quality_shift",
+    "sample_dataset_card",
+    "knn_mmr_diversified",
+    "embedding_label_centroid_similarity",
+    "search_prf_expansion",
+    "search_snippet_best_window",
+    "events_pareto_front_users",
     # re-attestation: green keys whose impl files changed this round
     "knn_hubness_profile",
     "graph_kcore",

@@ -90,3 +90,70 @@ def test_betweenness_fixture_invariants(spark, sf_dir):
     rows = registry.get("graph_betweenness_brandes").fn(spark, sf_dir).collect()
     assert rows, "empty betweenness on fixture graph"
     assert all(r["betweenness"] >= 0 for r in rows)
+
+
+def test_mmr_skips_near_duplicate_for_diversity(spark):
+    """Constructed 2-D vectors: candidates b1 and b2 are near-identical
+    and both highly relevant; c is orthogonal to the query (relevance 0)
+    and nearly orthogonal to them. Pure ranking returns (b2, b1, c); MMR
+    at lambda=0.4 must pick the argmax b2 first, then SKIP b1 (penalized
+    by its ~1.0 similarity to b2: 0.4*0.98 - 0.6*1.0 < 0 - 0.6*0.18) in
+    favor of c at rank 2 -- the redundancy-skip MMR exists for."""
+    import math
+
+    from change_data_capture_service_spark.operators.similarity import mmr_diversify
+
+    def unit(x, y):
+        n = math.sqrt(x * x + y * y)
+        return [x / n, y / n]
+
+    q = [1.0, 0.0]
+    cands = [
+        ("b1", unit(0.98, 0.20)),
+        ("b2", unit(0.99, 0.18)),  # near-duplicate of b1
+        ("c", unit(0.0, 1.0)),     # orthogonal: diverse, zero relevance
+    ]
+
+    def cos(a, b):
+        return sum(p * r for p, r in zip(a, b))
+
+    rows = [
+        (1, name, round(cos(q, v), 6), v, 1.0)
+        for name, v in cands
+    ]
+    df = spark.createDataFrame(
+        rows, "query_id int, neighbor_id string, cosine double, v array<double>, nrm double"
+    )
+    got = {
+        r["mmr_rank"]: r["neighbor_id"]
+        for r in mmr_diversify(df, lam=0.4, k=3).collect()
+    }
+    assert got[1] == "b2" or got[1] == "b1"  # cosine argmax (b2 slightly higher)
+    # the near-duplicate of rank-1 must NOT be rank 2
+    assert {got[1], got[2]} != {"b1", "b2"}, got
+    assert got[2] == "c", got
+
+
+def test_mmr_fixture_contract(spark, sf_dir):
+    """Fixture run: 5 distinct picks per query, contiguous ranks,
+    deterministic across runs, rank-1 = the exact cosine argmax."""
+    df = registry.get("knn_mmr_diversified").fn(spark, sf_dir)
+    rows = df.collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r["query_id"], []).append((r["mmr_rank"], r["neighbor_id"]))
+    for q, picks in per.items():
+        ranks = sorted(p[0] for p in picks)
+        assert ranks == list(range(1, len(picks) + 1)), q
+        assert len({p[1] for p in picks}) == len(picks), q
+    again = sorted(map(str, registry.get("knn_mmr_diversified").fn(spark, sf_dir).collect()))
+    assert sorted(map(str, rows)) == again
+    # rank 1 equals pure relevance argmax
+    exact = registry.get("knn_cosine_topk").fn(spark, sf_dir).collect()
+    best = {}
+    for r in exact:
+        if r["rnk"] == 1:
+            best[r["query_id"]] = r["neighbor_id"]
+    for q, picks in per.items():
+        r1 = dict((rk, nid) for rk, nid in picks)[1]
+        assert r1 == best[q], (q, r1, best[q])
