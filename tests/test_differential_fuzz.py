@@ -1,0 +1,171 @@
+"""Property-based differential fuzzing of the relational core: a bounded
+seeded random query generator over the fixture schemas, executed on BOTH
+engines (Spark SQL and DuckDB) and compared by the driver's
+order-insensitive row hash. Extends correctness beyond the 426 fixed
+oracles into the COMPOSITION space -- filters x aggregates x joins x
+grouping x having x limit, drawn from a dialect-neutral ANSI subset both
+engines parse identically (round-9 verdict item 7).
+
+Dialect-neutral grammar rules (each keeps the comparison bit-stable):
+- integer aggregates wrap in CAST(... AS BIGINT) (DuckDB sum(int) is
+  HUGEINT, Spark is LONG);
+- money flows through exact integer cents (decimal cast * 100), never
+  raw float sums;
+- avg/division never appears -- only exact-integer outputs;
+- ORDER BY + LIMIT only over a deterministic total order (every output
+  column listed, unique grouping);
+- date predicates compare against TIMESTAMP literals (both engines);
+- no dayofweek (Sunday=1 in Spark, 0 in DuckDB) -- year/month only.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import random
+
+import duckdb
+import pytest
+
+SEEDS = list(range(40))
+
+# (table, categorical cols, numeric-cents expr, date col, int col)
+TABLES = {
+    "lineitem": {
+        "cats": ["l_returnflag", "l_linestatus"],
+        "cents": "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)",
+        "date": "l_shipdate",
+        "ints": ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"],
+    },
+    "orders": {
+        "cats": ["o_orderstatus", "o_orderpriority"],
+        "cents": "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)",
+        "date": "o_orderdate",
+        "ints": ["o_orderkey", "o_custkey"],
+    },
+    "events": {
+        "cats": ["event_type"],
+        "cents": "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)",
+        "date": "ts",
+        "ints": ["event_id", "user_id"],
+    },
+}
+
+CAT_VALUES = {
+    "l_returnflag": ["R", "A", "N"],
+    "l_linestatus": ["O", "F"],
+    "o_orderstatus": ["O", "F", "P"],
+    "o_orderpriority": ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
+    "event_type": ["click", "view", "purchase", "signup", "error"],
+}
+
+
+def _gen_query(rng: random.Random) -> str:
+    table = rng.choice(list(TABLES))
+    meta = TABLES[table]
+    joined = False
+    if table == "lineitem" and rng.random() < 0.4:
+        joined = True
+        frm = "lineitem JOIN orders ON l_orderkey = o_orderkey"
+        cats = meta["cats"] + TABLES["orders"]["cats"]
+    else:
+        frm = table
+        cats = meta["cats"]
+
+    preds = []
+    n_preds = rng.randint(0, 2)
+    for _ in range(n_preds):
+        kind = rng.choice(["cat", "int", "date"])
+        if kind == "cat":
+            c = rng.choice(cats)
+            if rng.random() < 0.5:
+                preds.append(f"{c} = '{rng.choice(CAT_VALUES[c])}'")
+            else:
+                vals = ", ".join(f"'{v}'" for v in rng.sample(CAT_VALUES[c], 2))
+                preds.append(f"{c} IN ({vals})")
+        elif kind == "int":
+            c = rng.choice(meta["ints"])
+            op = rng.choice(["<", ">", "<=", ">=", "%"])
+            if op == "%":
+                preds.append(f"{c} % {rng.randint(2, 7)} = {rng.randint(0, 1)}")
+            else:
+                preds.append(f"{c} {op} {rng.randint(1, 5000)}")
+        else:
+            yr = rng.randint(2023, 2026) if table == "events" else rng.randint(1992, 1998)
+            preds.append(
+                f"{meta['date']} {rng.choice(['<', '>='])} "
+                f"TIMESTAMP '{yr}-0{rng.randint(1, 9)}-15 00:00:00'"
+            )
+    where = (" WHERE " + f" {rng.choice(['AND', 'OR'])} ".join(preds)) if preds else ""
+
+    n_group = rng.randint(0, min(2, len(cats)))
+    gcols = rng.sample(cats, n_group)
+    aggs = ["CAST(count(*) AS BIGINT) AS n"]
+    if rng.random() < 0.8:
+        aggs.append(f"CAST(sum({meta['cents']}) AS BIGINT) AS s_cents")
+    if rng.random() < 0.5:
+        aggs.append(f"CAST(min({meta['cents']}) AS BIGINT) AS min_cents")
+        aggs.append(f"CAST(max({meta['cents']}) AS BIGINT) AS max_cents")
+    if rng.random() < 0.4:
+        c = rng.choice(meta["ints"])
+        aggs.append(f"CAST(count(DISTINCT {c}) AS BIGINT) AS nd")
+    if rng.random() < 0.3 and not joined:
+        # conditional aggregation: CASE inside SUM, identical semantics
+        c = rng.choice(cats)
+        v = rng.choice(CAT_VALUES[c])
+        aggs.append(
+            f"CAST(sum(CASE WHEN {c} = '{v}' THEN 1 ELSE 0 END) AS BIGINT) AS n_case"
+        )
+
+    sel = (", ".join(gcols + aggs)) if gcols else ", ".join(aggs)
+    q = f"SELECT {sel} FROM {frm}{where}"
+    if gcols:
+        q += " GROUP BY " + ", ".join(gcols)
+        if rng.random() < 0.4:
+            q += f" HAVING count(*) > {rng.randint(0, 3)}"
+        if rng.random() < 0.4:
+            # deterministic total order: grouping cols are unique per row
+            q += " ORDER BY " + ", ".join(gcols) + f" LIMIT {rng.randint(1, 5)}"
+    return q
+
+
+def _norm(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, float) and v == int(v):
+        return str(int(v))
+    return str(v)
+
+
+def _hash(rows, cols) -> str:
+    lines = sorted(
+        "|".join(_norm(r[c]) for c in sorted(cols)) for r in rows
+    )
+    return hashlib.md5("\n".join(lines).encode()).hexdigest()
+
+
+@pytest.fixture(scope="module")
+def engines(spark, sf_dir):
+    from change_data_capture_service_spark.catalog import load_table
+
+    con = duckdb.connect()
+    for t in TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return spark, con
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_differential_fuzz(engines, seed):
+    spark, con = engines
+    q = _gen_query(random.Random(seed))
+    sdf = spark.sql(q)
+    srows = [r.asDict() for r in sdf.collect()]
+    cur = con.execute(q)
+    ocols_raw = [d[0] for d in cur.description]
+    orows = [dict(zip(ocols_raw, t)) for t in cur.fetchall()]
+    scols, ocols = sorted(sdf.columns), sorted(ocols_raw)
+    assert scols == ocols, (q, scols, ocols)
+    assert len(srows) == len(orows), (q, len(srows), len(orows))
+    assert _hash(srows, scols) == _hash(orows, ocols), q
