@@ -116,6 +116,27 @@ _CHECK_ORDER = [
     # -- re-attestation: green keys whose impl files changed this round --
     "knn_hubness_profile",
     "graph_kcore",
+    "knn_cosine_topk",
+    "embedding_isotropy",
+    "knn_graph_reciprocity",
+    "graph_degree_assortativity",
+    "graph_local_clustering",
+    "graph_triangle_count",
+    "events_welch_ttest_weekend",
+    "events_chi_square_type_dow",
+    "lineitem_brown_forsythe_returnflag",
+    "part_revenue_gini_lorenz",
+    "part_price_index_paasche_fisher",
+    "cdc_daily_compaction_profile",
+    "cdc_out_of_order_arrivals",
+    "sample_importance_reweight",
+    "docs_source_ngram_overlap",
+    "dedup_minhash_tuned",
+    "search_bm25",
+    "search_ndcg_eval",
+    "events_value_psi_weekly",
+    "attribution_last_touch",
+    "stream_interval_join",
 ]
 # Provenance: the round-9 window, fully attested by CORRECTNESS_r09
 # (47 hash-green + 3 rows-only-clean: knn_recall_vs_nprobe_curve,
