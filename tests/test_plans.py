@@ -548,3 +548,49 @@ def test_adamic_adar_paths_ride_the_thinned_adjacency(spark, sf_dir):
     from change_data_capture_service_spark.operators.graph import AA_HUB_CAP
 
     assert str(AA_HUB_CAP) in plan, "degree-cap predicate missing from the plan"
+
+
+def test_round10_scans_prune_and_dims_broadcast(spark, sf_dir):
+    """Round-10 plan gates: (a) the substring-run and snippet scans read
+    only the columns they use (doc_id, text) -- a corpus scan that drags
+    lang/source along is wrong at 100 TB; (b) the colocation panel
+    broadcasts every dim (customer/supplier/nation/region) so lineitem
+    shuffles at most on the orderkey join; (c) the skyline's dominance
+    anti-join is a broadcast nested loop over the |users| metric
+    relation, never a sort-merge of a theta condition."""
+    for key in ("dedup_exact_substring_runs", "search_snippet_best_window"):
+        cols = set(P.scan_read_schema(registry.get(key).fn(spark, sf_dir)))
+        assert cols <= {"doc_id", "text"}, (key, cols)
+
+    df = registry.get("customer_supplier_colocation_share").fn(spark, sf_dir)
+    plan = P.formatted_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 4, "colocation dims lost broadcast"
+
+    df = registry.get("events_pareto_front_users").fn(spark, sf_dir)
+    plan = P.formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "LeftAnti" in plan
+
+
+def test_round10_contingency_ops_partial_aggregate(spark, sf_dir):
+    """The tau-b / residual-cell family must partial-aggregate: executed
+    shuffle records stay near the cell-grid size regardless of fact rows
+    (the sf1 rehearsal measured 65 records at BOTH sf0.1 and sf1)."""
+    df = registry.get("lineitem_kendall_tau_qty_price").fn(spark, sf_dir)
+    df.collect()
+    m = P.executed_metrics(df, ("shuffleRecordsWritten",))
+    assert 0 < m["shuffleRecordsWritten"] < 5_000, m
+
+    df = registry.get("supplier_revenue_hhi_by_nation").fn(spark, sf_dir)
+    df.collect()
+    m = P.executed_metrics(df, ("shuffleRecordsWritten",))
+    assert 0 < m["shuffleRecordsWritten"] < 5_000, m
+
+
+def test_prf_keeps_the_postings_shape(spark, sf_dir):
+    """Both PRF passes must keep search_bm25's postings-probe shape: the
+    final ranking is TakeOrderedAndProject and no corpus-sized relation
+    reaches a shuffle (records bounded by matching postings)."""
+    df = registry.get("search_prf_expansion").fn(spark, sf_dir)
+    plan = P.formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
