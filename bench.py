@@ -53,6 +53,8 @@ EXTENDED = [
     "dedup_lsh_tuning_curve",        # round-7c: S-curve config table over the blocked pair space
     "dedup_minhash_tuned",           # round-8: curve-chosen banding, 4-row planner collect + detection
     "part_link_prediction_adamic_adar",  # round-8: hub-capped wedge join (priciest new probe)
+    "dedup_exact_substring_runs",    # round-10: positioned-digest runs (priciest new probe)
+    "search_prf_expansion",          # round-10: two-pass PRF (2x the postings-probe shape)
 ]
 
 

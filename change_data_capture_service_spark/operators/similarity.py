@@ -2060,8 +2060,11 @@ def embedding_label_centroid_similarity(spark: SparkSession, sf_dir: str) -> Dat
         "label",
         F.posexplode(F.col("embedding").cast("array<double>")).alias("dim0", "x"),
     )
+    # try_cast: a hostile component (1e154, Inf, NaN) NULLs out of the
+    # centroid sum instead of throwing the ANSI decimal-overflow -- the
+    # totality sweep's contract; clean fixtures are unaffected
     cs = d.groupBy("label", (F.col("dim0") + 1).alias("dim")).agg(
-        (F.sum(F.round(F.col("x"), 9).cast("decimal(18,9)")).cast("double") / F.count("*")).alias("c"),
+        (F.sum(F.round(F.col("x"), 9).try_cast("decimal(18,9)")).cast("double") / F.count("*")).alias("c"),
         F.count("*").cast("bigint").alias("n"),
     )
     cen = cs.groupBy("label").agg(
