@@ -64,6 +64,9 @@ def test_rows_only_set_is_exactly_the_documented_one():
         "knn_recall_eval",
         "dedup_minhash_estimate_quality",
         "graph_kcore",  # iterative peeling; exact core numbers pinned in test_round14_ops
+        "graph_label_propagation",  # iterative LPA; constructed-graph gates in test_round15_ops
+        "graph_betweenness_brandes",  # iterative Brandes; closed-form gates in test_round15_ops
+        "knn_mmr_diversified",  # greedy rounds; redundancy-skip gate in test_round15_ops
     }, rows_only
 
 
