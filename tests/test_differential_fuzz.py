@@ -169,3 +169,54 @@ def test_differential_fuzz(engines, seed):
     assert scols == ocols, (q, scols, ocols)
     assert len(srows) == len(orows), (q, len(srows), len(orows))
     assert _hash(srows, scols) == _hash(orows, ocols), q
+
+
+def _gen_window_query(rng: random.Random) -> str:
+    """Window-function template: deterministic analytic queries (every
+    window has a unique-key tiebreak; every aggregate is exact-integer)
+    over a pre-filtered slice so outputs stay small."""
+    table = rng.choice(list(TABLES))
+    meta = TABLES[table]
+    cat = rng.choice(meta["cats"])
+    uniq = {"lineitem": "l_orderkey * 8 + l_linenumber",
+            "orders": "o_orderkey",
+            "events": "event_id"}[table]
+    cents = meta["cents"]
+    part = f"PARTITION BY {cat} " if rng.random() < 0.8 else ""
+    order = f"ORDER BY {cents} {rng.choice(['ASC', 'DESC'])}, {uniq}"
+    w = f"{part}{order}"
+    exprs = [f"CAST({uniq} AS BIGINT) AS uk", cat, f"{cents} AS cents"]
+    picks = rng.sample(
+        [
+            f"CAST(row_number() OVER ({w}) AS BIGINT) AS rn",
+            f"CAST(rank() OVER ({w}) AS BIGINT) AS rnk",
+            f"CAST(dense_rank() OVER ({w}) AS BIGINT) AS drnk",
+            f"CAST(sum({cents}) OVER ({w} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum",
+            f"CAST(lag({cents}, 1) OVER ({w}) AS BIGINT) AS prev_c",
+            f"CAST(lead({cents}, 1) OVER ({w}) AS BIGINT) AS next_c",
+            f"CAST(count(*) OVER ({part}{order} ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS w3",
+            f"CAST(min({cents}) OVER ({w} ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS BIGINT) AS wmin",
+        ],
+        rng.randint(2, 4),
+    )
+    mod = rng.randint(13, 41)
+    q = (
+        f"SELECT {', '.join(exprs + picks)} FROM "
+        f"(SELECT * FROM {table} WHERE {uniq} % {mod} = 0 AND {cents} IS NOT NULL) t"
+    )
+    return q
+
+
+@pytest.mark.parametrize("seed", SEEDS[:20])
+def test_differential_fuzz_windows(engines, seed):
+    spark, con = engines
+    q = _gen_window_query(random.Random(1000 + seed))
+    sdf = spark.sql(q)
+    srows = [r.asDict() for r in sdf.collect()]
+    cur = con.execute(q)
+    ocols_raw = [d[0] for d in cur.description]
+    orows = [dict(zip(ocols_raw, t)) for t in cur.fetchall()]
+    scols, ocols = sorted(sdf.columns), sorted(ocols_raw)
+    assert scols == ocols, (q, scols, ocols)
+    assert len(srows) == len(orows), (q, len(srows), len(orows))
+    assert _hash(srows, scols) == _hash(orows, ocols), q
