@@ -288,3 +288,74 @@ def ewma_anomaly_stream(events_stream: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+class _EwmaProcessor(StatefulProcessor):
+    """StatefulProcessor twin of _ewma_fn: one (ewma, open-day, cents,
+    n_days) value state per user, day rollovers emit final rows. Same
+    emitted rows as the GroupState form by construction (the fold body is
+    shared semantics; tests pin the applyInPandasWithState path, and this
+    class is the typed-state-handle port for the transformWithState
+    runtime -- execution needs the protobuf state-server runtime, absent
+    in the build sandbox, so only plan construction is testable here,
+    exactly like _LastTouchProcessor)."""
+
+    def init(self, handle) -> None:
+        self._state = handle.getValueState("ewma", EWMA_STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+        import math
+
+        held = self._state.get() if self._state.exists() else None
+        ewma, day_epoch, sum_cents, n_days = held if held is not None else (0.0, -1, 0, 0)
+        frames = [p for p in rows if not p.empty]
+        if not frames:
+            return
+        pdf = pd.concat(frames, ignore_index=True).sort_values("ts")
+        out = []
+        for r in pdf.itertuples(index=False):
+            ep = int(pd.Timestamp(r.ts).normalize().value // 86_400_000_000_000)
+            if day_epoch == -1:
+                day_epoch = ep
+            elif ep > day_epoch:
+                v = sum_cents / 100.0
+                prev = ewma if n_days > 0 else None
+                e = v if n_days == 0 else 0.5 * v + 0.5 * ewma
+                resid = None if prev is None else v - prev
+                out.append(
+                    (
+                        key[0],
+                        pd.Timestamp(day_epoch, unit="D"),
+                        v,
+                        math.floor(e * 1e6) / 1e6,
+                        None if resid is None else math.floor(resid * 1e6) / 1e6,
+                        False if prev is None else abs(resid) > 0.5 * abs(prev),
+                    )
+                )
+                ewma, n_days = e, n_days + 1
+                day_epoch, sum_cents = ep, 0
+            sum_cents += int(r.cents)
+        self._state.update((ewma, day_epoch, sum_cents, n_days))
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "user_id", "day", "value_dollars", "ewma_dollars",
+                    "residual_dollars", "is_anomaly",
+                ],
+            )
+
+    def close(self) -> None:
+        pass
+
+
+def ewma_anomaly_stream_tws(events_stream: DataFrame) -> DataFrame:
+    """``ewma_anomaly_stream`` on ``transformWithStateInPandas`` -- the
+    typed-state-handle API Spark is moving stateful streaming toward.
+    Same (user_id, ts, cents) input and emitted-row contract."""
+    return events_stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_EwmaProcessor(),
+        outputStructType=EWMA_OUTPUT_SCHEMA,
+        outputMode="append",
+        timeMode="none",
+    )

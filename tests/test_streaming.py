@@ -751,3 +751,23 @@ def test_ewma_anomaly_stream_equals_batch(spark, sf_dir, tmp_path):
     }
     assert len(got) > 0
     assert got == want
+
+
+def test_ewma_tws_plan_builds(spark):
+    """The transformWithState EWMA twin must BUILD its unbounded plan in
+    every environment: output schema identical to the GroupState
+    baseline's, streaming bit set. (Execution needs protobuf, same gate
+    as the last-touch twin.)"""
+    from change_data_capture_service_spark.streaming.stateful import (
+        ewma_anomaly_stream_tws,
+    )
+
+    stream = spark.readStream.format("rate").load().selectExpr(
+        "value as user_id", "timestamp as ts", "value as cents"
+    )
+    df = ewma_anomaly_stream_tws(stream)
+    assert df.columns == [
+        "user_id", "day", "value_dollars", "ewma_dollars",
+        "residual_dollars", "is_anomaly",
+    ]
+    assert df.isStreaming
