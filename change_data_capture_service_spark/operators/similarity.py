@@ -2117,7 +2117,11 @@ def mmr_diversify(
     |queries| x |shortlist| relation -- shortlist-sized work, never
     corpus-sized; the corpus only ever contributed the shortlist."""
     sel = None  # (query_id, neighbor_id, mmr_rank, mmr_score)
-    remaining = candidates.localCheckpoint(eager=False)
+    # checkpoint ONCE: every greedy round joins back to the candidate
+    # vectors, and an un-cut lineage would recompute the shortlist
+    # generator k times
+    candidates = candidates.localCheckpoint(eager=False)
+    remaining = candidates
     dot = F.expr(
         "aggregate(zip_with(v, sv, (p, q) -> p * q), 0D, (acc, z) -> acc + z)"
     )
