@@ -157,3 +157,172 @@ def test_mmr_fixture_contract(spark, sf_dir):
     for q, picks in per.items():
         r1 = dict((rk, nid) for rk, nid in picks)[1]
         assert r1 == best[q], (q, r1, best[q])
+
+
+def _lineitem_pdf(prices, flags):
+    import pandas as pd
+
+    n = len(prices)
+    return pd.DataFrame(
+        {
+            "l_orderkey": range(n),
+            "l_partkey": range(n),
+            "l_suppkey": [1] * n,
+            "l_linenumber": [1] * n,
+            "l_quantity": [float((i % 5) + 1) for i in range(n)],
+            "l_extendedprice": prices,
+            "l_discount": [0.0] * n,
+            "l_tax": [0.0] * n,
+            "l_returnflag": flags,
+            "l_linestatus": ["O"] * n,
+        }
+    ).assign(l_shipdate=__import__("pandas").to_datetime(["2024-01-01"] * n))
+
+
+def test_ansari_bradley_against_reference_implementation(spark, tmp_path):
+    """The operator's (score-of-midrank, finite-population z) contract
+    recomputed by a pure-Python reference on a constructed two-group
+    sample with deliberate ties -- independent arithmetic, same
+    definition."""
+    import math
+
+    from change_data_capture_service_spark.operators.stats import (
+        lineitem_ansari_bradley_returnflag,
+    )
+
+    # group R: tight around 10; group A: spread wide; one cross-group tie at 10.00
+    r_prices = [9.99, 10.00, 10.01, 10.00, 9.98]
+    a_prices = [1.00, 10.00, 19.00, 2.50, 17.75]
+    prices = r_prices + a_prices
+    flags = ["R"] * 5 + ["A"] * 5
+    _lineitem_pdf(prices, flags).to_parquet(str(tmp_path / "lineitem.parquet"))
+
+    # pure-python reference
+    cents = [round(p * 100) for p in prices]
+    pooled = sorted(cents)
+    n = len(pooled)
+    # doubled midrank + doubled score per distinct value
+    from collections import Counter
+
+    cnt = Counter(pooled)
+    before = 0
+    a2 = {}
+    for v in sorted(cnt):
+        m = cnt[v]
+        dm = 2 * before + m + 1
+        a2[v] = min(dm, 2 * (n + 1) - dm)
+        before += m
+    ab2 = sum(a2[c] for c, f in zip(cents, flags) if f == "R")
+    s1 = sum(a2[v] * m for v, m in cnt.items())
+    s2 = sum(a2[v] * a2[v] * m for v, m in cnt.items())
+    n1 = n2 = 5
+    mu = s1 / n
+    var_a = s2 / n - mu * mu
+    z_ref = (ab2 - n1 * mu) / math.sqrt(n1 * n2 / (n - 1) * var_a)
+
+    got = lineitem_ansari_bradley_returnflag(spark, str(tmp_path)).collect()[0]
+    assert got["n_returned"] == 5 and got["n_accepted"] == 5
+    assert abs(got["ab_stat"] - ab2 / 2) < 1e-9
+    assert abs(got["z"] - round(z_ref, 6)) < 1e-9
+    # the tight group concentrates mid scores: AB stat above its mean
+    assert got["z"] > 0
+
+
+def test_kendall_tau_against_reference_pair_count(spark, tmp_path):
+    """tau-b from the contingency identity vs a brute-force O(n^2) pair
+    count over the raw rows -- the definition itself, independently."""
+    import itertools
+    import math
+
+    from change_data_capture_service_spark.operators.stats import (
+        lineitem_kendall_tau_qty_price,
+    )
+
+    qty = [1, 1, 2, 3, 3, 3, 4, 5, 2, 1]
+    # price picked so y-bucket ($10k) varies: mix below/above 10k/20k
+    price = [5000.0, 15000.0, 5000.0, 25000.0, 15000.0, 25000.0,
+             35000.0, 35000.0, 15000.0, 5000.0]
+    import pandas as pd
+
+    n = len(qty)
+    pd.DataFrame(
+        {
+            "l_orderkey": range(n),
+            "l_partkey": range(n),
+            "l_suppkey": [1] * n,
+            "l_linenumber": [1] * n,
+            "l_quantity": [float(q) for q in qty],
+            "l_extendedprice": price,
+            "l_discount": [0.0] * n,
+            "l_tax": [0.0] * n,
+            "l_returnflag": ["N"] * n,
+            "l_linestatus": ["O"] * n,
+            "l_shipdate": pd.to_datetime(["2024-01-01"] * n),
+        }
+    ).to_parquet(str(tmp_path / "lineitem.parquet"))
+
+    x = qty
+    y = [int(p * 100) // 1000000 for p in price]
+    conc = disc = tx = ty = 0
+    for (xa, ya), (xb, yb) in itertools.combinations(zip(x, y), 2):
+        if xa == xb and ya == yb:
+            tx += 1
+            ty += 1
+        elif xa == xb:
+            tx += 1
+        elif ya == yb:
+            ty += 1
+        elif (xa < xb) == (ya < yb):
+            conc += 1
+        else:
+            disc += 1
+    n0 = n * (n - 1) / 2
+    tau_ref = (conc - disc) / math.sqrt((n0 - (tx)) * (n0 - (ty)))
+
+    got = lineitem_kendall_tau_qty_price(spark, str(tmp_path)).collect()[0]
+    assert got["n"] == n
+    assert got["concordant"] == conc and got["discordant"] == disc
+    assert abs(got["tau_b"] - round(tau_ref, 6)) < 1e-9
+
+
+def test_friedman_hand_ranked_blocks(spark, tmp_path):
+    """Friedman Q on constructed orders where per-(year, priority) means
+    force known within-year ranks; the reference recomputes Q from those
+    ranks in pure python."""
+    import pandas as pd
+
+    from change_data_capture_service_spark.operators.relational import (  # noqa: F401
+        tpch_q5_local_supplier,  # ensures module import side effects
+    )
+    from change_data_capture_service_spark.operators.stats import (
+        orders_friedman_priority_by_year,
+    )
+
+    # 3 priorities x 4 year-blocks, one order per cell, price = rank driver
+    pris = ["1-URGENT", "2-HIGH", "3-MEDIUM"]
+    # within-year rank orders (by ascending price): chosen non-uniform
+    prices = {
+        1995: {"1-URGENT": 10.0, "2-HIGH": 20.0, "3-MEDIUM": 30.0},  # ranks 1,2,3
+        1996: {"1-URGENT": 10.0, "2-HIGH": 20.0, "3-MEDIUM": 30.0},  # ranks 1,2,3
+        1997: {"1-URGENT": 30.0, "2-HIGH": 10.0, "3-MEDIUM": 20.0},  # ranks 3,1,2
+        1998: {"1-URGENT": 20.0, "2-HIGH": 30.0, "3-MEDIUM": 10.0},  # ranks 2,3,1
+    }
+    rows = []
+    i = 0
+    for yr, d in prices.items():
+        for p, v in d.items():
+            rows.append((i, i, "O", v, f"{yr}-06-01", p))
+            i += 1
+    pd.DataFrame(
+        rows,
+        columns=["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+                 "o_orderdate", "o_orderpriority"],
+    ).assign(
+        o_orderdate=pd.to_datetime([r[4] for r in rows]).astype("datetime64[us]")
+    ).to_parquet(str(tmp_path / "orders.parquet"))
+    # rank sums: URGENT 1+1+3+2=7, HIGH 2+2+1+3=8, MEDIUM 3+3+2+1=9
+    n_blocks, k = 4, 3
+    q_ref = 12 / (n_blocks * k * (k + 1)) * (7**2 + 8**2 + 9**2) - 3 * n_blocks * (k + 1)
+    got = orders_friedman_priority_by_year(spark, str(tmp_path)).collect()[0]
+    assert got["n_blocks"] == 4 and got["k_treatments"] == 3 and got["dof"] == 2
+    assert abs(got["q_stat"] - round(q_ref, 6)) < 1e-9
