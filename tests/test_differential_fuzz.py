@@ -220,3 +220,42 @@ def test_differential_fuzz_windows(engines, seed):
     assert scols == ocols, (q, scols, ocols)
     assert len(srows) == len(orows), (q, len(srows), len(orows))
     assert _hash(srows, scols) == _hash(orows, ocols), q
+
+
+def _gen_setop_query(rng: random.Random) -> str:
+    """Set-operation template: two filtered projections of the same table
+    combined with UNION / UNION ALL / INTERSECT / EXCEPT -- identical
+    semantics in both dialects; outputs are exact categorical/bucketed
+    pairs so the hash comparison is bit-stable."""
+    table = rng.choice(list(TABLES))
+    meta = TABLES[table]
+    cat = rng.choice(meta["cats"])
+    intc = rng.choice(meta["ints"])
+    bucket = f"CAST({intc} % {rng.randint(3, 9)} AS BIGINT)"
+
+    def side():
+        c = rng.choice(CAT_VALUES[cat])
+        op = rng.choice(["=", "<>"])
+        extra = ""
+        if rng.random() < 0.5:
+            extra = f" AND {intc} {rng.choice(['<', '>='])} {rng.randint(100, 3000)}"
+        return (
+            f"SELECT {cat} AS c, {bucket} AS b FROM {table} "
+            f"WHERE {cat} {op} '{c}'{extra}"
+        )
+
+    setop = rng.choice(["UNION", "UNION ALL", "INTERSECT", "EXCEPT"])
+    return f"{side()} {setop} {side()}"
+
+
+@pytest.mark.parametrize("seed", SEEDS[:15])
+def test_differential_fuzz_setops(engines, seed):
+    spark, con = engines
+    q = _gen_setop_query(random.Random(2000 + seed))
+    sdf = spark.sql(q)
+    srows = [r.asDict() for r in sdf.collect()]
+    cur = con.execute(q)
+    ocols_raw = [d[0] for d in cur.description]
+    orows = [dict(zip(ocols_raw, t)) for t in cur.fetchall()]
+    assert len(srows) == len(orows), (q, len(srows), len(orows))
+    assert _hash(srows, sorted(sdf.columns)) == _hash(orows, sorted(ocols_raw)), q
