@@ -449,6 +449,10 @@ def main() -> int:
         app_name="cdc-engine-bench",
         master=f"local[{cpus}]",
         shuffle_partitions=int(cpus),
+        # the cpu field deltas AppStatusStore stage totals; the default
+        # 1000-stage retention would evict early stages mid-run and make
+        # a later snapshot read LOWER than an earlier one
+        extra_conf={"spark.ui.retainedStages": "100000"},
     )
     registry.load_all()
 
@@ -514,7 +518,7 @@ def main() -> int:
                 trials.append(time.perf_counter() - t0)
                 c1 = executor_time_totals(spark)
                 cpu_trials.append(
-                    {k: c1[k] - c0[k] for k in ("run_s", "cpu_s")}
+                    {k: max(c1[k] - c0[k], 0.0) for k in ("run_s", "cpu_s")}
                 )
             timings[label] = round(min(trials), 3)
             spreads[label] = spread(trials)
@@ -555,7 +559,7 @@ def main() -> int:
         c0 = executor_time_totals(spark)
         ingest_trials.append(_bench_pipeline_ingest(spark, sf_dir))
         c1 = executor_time_totals(spark)
-        q11_cpu_trials.append({k: c1[k] - c0[k] for k in ("run_s", "cpu_s")})
+        q11_cpu_trials.append({k: max(c1[k] - c0[k], 0.0) for k in ("run_s", "cpu_s")})
     q11 = min(ingest_trials, key=lambda p: p["total"])
     timings["q11_cdc_ingest"] = q11.pop("total")
     # per-phase [min, med, max] over ALL trials (r9 recorded only the min

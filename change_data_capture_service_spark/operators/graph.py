@@ -1014,12 +1014,16 @@ def _betweenness(both_dirs: DataFrame, max_depth: int = 32) -> DataFrame:
             .agg(F.sum("sigma").cast("bigint").alias("sigma"))
             .withColumnRenamed("nnode", "node")
         )
-        new = cand.join(paths.select("src", "node"), ["src", "node"], "left_anti")
+        # checkpoint ONCE before the emptiness probe: isEmpty, the paths
+        # union, and the next frontier all consume this relation, and an
+        # un-cut 'new' would re-run the level's join+anti-join three times
+        new = cand.join(
+            paths.select("src", "node"), ["src", "node"], "left_anti"
+        ).select("src", "node", F.lit(level).alias("dist"), "sigma").localCheckpoint()
         if new.isEmpty():
             break
-        new = new.select("src", "node", F.lit(level).alias("dist"), "sigma")
         paths = paths.unionByName(new).localCheckpoint()
-        frontier = new.localCheckpoint()
+        frontier = new
         depth = level
     # backward sweep: deltas finalize level by level, deepest first
     delta = paths.filter(F.col("dist") == depth).withColumn(

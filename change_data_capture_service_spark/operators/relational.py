@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..registry import register
 from .ranks import exact_global_row_number, exact_ntile
+from .stats import _TOTAL_C  # one source of truth for o_totalprice cents
 
 _REV = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
 
@@ -3708,8 +3709,7 @@ def supplier_revenue_hhi_by_nation(spark: SparkSession, sf_dir: str) -> DataFram
     WITH anchor AS (SELECT max(o_orderdate) AS today FROM orders),
     open_o AS (
       SELECT datediff('day', o_orderdate, today) AS age_days,
-             CAST(try_cast(try_cast(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
-               AS DECIMAL(38,0)) AS cents
+             CAST({_TOTAL_C} AS DECIMAL(38,0)) AS cents
       FROM orders, anchor
       WHERE o_orderstatus = 'O'
     )
@@ -3743,9 +3743,7 @@ def orders_backlog_aging_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     the broadcast."""
     o = load_table(spark, sf_dir, "orders")
     anchor = o.agg(F.max("o_orderdate").alias("today"))
-    cents = F.expr(
-        "try_cast(try_cast(o_totalprice AS decimal(18,2)) * 100 AS bigint)"
-    ).cast("decimal(38,0)")
+    cents = F.expr(_TOTAL_C).cast("decimal(38,0)")
     open_o = (
         o.filter(F.col("o_orderstatus") == "O")
         .crossJoin(F.broadcast(anchor))
@@ -3775,7 +3773,7 @@ def orders_backlog_aging_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "orders_priority_mix_shift",
     tags=("relational", "agg", "analytics"),
-    oracle="""
+    oracle=f"""
     WITH yr AS (
       SELECT CAST(min(year(o_orderdate)) AS INT) AS y0,
              CAST(max(year(o_orderdate)) AS INT) AS y1
@@ -3786,8 +3784,7 @@ def orders_backlog_aging_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(sum(CASE WHEN year(o_orderdate) = y0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
              CAST(sum(CASE WHEN year(o_orderdate) = y1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
              CAST(sum(CASE WHEN year(o_orderdate) = y1
-                           THEN CAST(try_cast(try_cast(o_totalprice AS DECIMAL(18,2)) * 100
-                                     AS BIGINT) AS DECIMAL(38,0)) ELSE 0 END)
+                           THEN CAST({_TOTAL_C} AS DECIMAL(38,0)) ELSE 0 END)
                AS DECIMAL(38,0)) AS r1
       FROM orders, yr
       GROUP BY 1
@@ -3831,9 +3828,7 @@ def orders_priority_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.year("o_orderdate")).cast("int").alias("y0"),
         F.max(F.year("o_orderdate")).cast("int").alias("y1"),
     )
-    cents = F.expr(
-        "try_cast(try_cast(o_totalprice AS decimal(18,2)) * 100 AS bigint)"
-    ).cast("decimal(38,0)")
+    cents = F.expr(_TOTAL_C).cast("decimal(38,0)")
     y = F.year("o_orderdate")
     m = (
         o.crossJoin(F.broadcast(yr))

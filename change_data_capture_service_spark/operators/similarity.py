@@ -84,7 +84,16 @@ def knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitions -- the pre-window row count is independent of corpus size,
     which is what makes the exact baseline survive a 100x corpus. Local and
     global stages use the identical total order (cosine desc, neighbor_id
-    asc), so the union of local top-ks provably contains the global top-k."""
+    asc), so the union of local top-ks provably contains the global top-k.
+    The body lives in ``_exact_cosine_topk`` (parameterized k) so shortlist
+    consumers (knn_mmr_diversified) reuse the SAME scalable generator
+    instead of re-deriving a scorer."""
+    return _exact_cosine_topk(spark, sf_dir, TOP_K)
+
+
+def _exact_cosine_topk(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
+    """See knn_cosine_topk -- the parameterized two-stage exact scorer.
+    Returns (query_id, neighbor_id, cosine, rnk <= k)."""
     vec = _vectors(spark, sf_dir)
     queries = vec.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qnrm")
@@ -95,6 +104,15 @@ def knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cosine", F.round(dot / (F.col("qnrm") * F.col("nrm")), 6))
         .select("query_id", F.col("vec_id").alias("neighbor_id"), "cosine")
     )
+
+    def _head_k(pdf: pd.DataFrame) -> pd.DataFrame:
+        return (
+            pdf.sort_values(
+                ["query_id", "cosine", "neighbor_id"], ascending=[True, False, True]
+            )
+            .groupby("query_id", sort=False)
+            .head(k)
+        )
 
     def _local_topk(batches):
         frames: list[pd.DataFrame] = []
@@ -108,20 +126,11 @@ def knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         if frames:
             yield _head_k(pd.concat(frames, ignore_index=True))
 
-    def _head_k(pdf: pd.DataFrame) -> pd.DataFrame:
-        return (
-            pdf.sort_values(
-                ["query_id", "cosine", "neighbor_id"], ascending=[True, False, True]
-            )
-            .groupby("query_id", sort=False)
-            .head(TOP_K)
-        )
-
     local = scored.mapInPandas(_local_topk, schema=scored.schema)
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
         local.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= TOP_K)
+        .filter(F.col("rnk") <= k)
     )
 
 
@@ -2187,30 +2196,19 @@ def knn_mmr_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
     shortlist generator, which is the ANN index path at production
     scale."""
     k_short = 20
+    # the shortlist comes from the SAME scalable two-stage generator as
+    # knn_cosine_topk (queries broadcast, corpus never shuffles, local
+    # top-k before the rank window) -- not a re-derived scorer; only the
+    # 20-row-per-query shortlist joins back for its raw vectors
     vec = _vectors(spark, sf_dir).localCheckpoint(eager=False)
-    other = vec.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("v").alias("bv"),
-        F.col("nrm").alias("bnrm"),
-    )
-    dot = F.expr("aggregate(zip_with(v, bv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
-    scored = (
-        vec.filter(F.col("vec_id") < N_QUERIES)
-        .select(F.col("vec_id").alias("query_id"), "v", "nrm")
-        .join(F.broadcast(other), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", F.round(dot / (F.col("nrm") * F.col("bnrm")), 6))
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
-    cands = (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k_short)
-        .select(
-            "query_id",
-            "neighbor_id",
-            "cosine",
-            F.col("bv").alias("v"),
-            F.col("bnrm").alias("nrm"),
-        )
+    short = _exact_cosine_topk(spark, sf_dir, k_short)
+    cands = short.join(
+        vec.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("v"),
+            F.col("nrm"),
+        ),
+        "neighbor_id",
     )
     return mmr_diversify(
         cands.select("query_id", "neighbor_id", "cosine", "v", "nrm")

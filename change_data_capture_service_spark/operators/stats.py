@@ -2189,7 +2189,7 @@ def events_cohens_d_weekend(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("stats", "analytics"),
     oracle=f"""
     WITH s AS (
-      SELECT CAST({_QTY_C} / 100 AS BIGINT) AS x,
+      SELECT CAST({_QTY_C} // 100 AS BIGINT) AS x,
              CAST({_PRICE_C} // 1000000 AS BIGINT) AS y
       FROM lineitem
       WHERE {_QTY_C} IS NOT NULL AND {_PRICE_C} IS NOT NULL
@@ -2244,10 +2244,15 @@ def lineitem_kendall_tau_qty_price(spark: SparkSession, sf_dir: str) -> DataFram
     contingency (~50 x ~12 cells) in ONE map-side-combinable agg; the
     pair join is cells^2 -- dim-bounded, independent of row count."""
     li = load_table(spark, sf_dir, "lineitem")
-    qc, pc = F.expr(_QTY_C), F.expr(_PRICE_C)
+    # exact FLOOR division on both sides: DuckDB's // floors while Spark's
+    # DIV truncates toward zero, so negative hostile cents would land in
+    # different buckets -- the (c - pmod(c, W)) DIV W idiom from
+    # _domain_prefix is floor-exact for any sign
+    qx = f"({_QTY_C} - pmod({_QTY_C}, 100)) DIV 100"
+    py = f"({_PRICE_C} - pmod({_PRICE_C}, 1000000)) DIV 1000000"
     s = li.select(
-        (qc / 100).cast("bigint").alias("x"),
-        F.expr(f"CAST({_PRICE_C} DIV 1000000 AS BIGINT)").alias("y"),
+        F.expr(f"CAST({qx} AS BIGINT)").alias("x"),
+        F.expr(f"CAST({py} AS BIGINT)").alias("y"),
     ).filter(F.col("x").isNotNull() & F.col("y").isNotNull())
     cell = s.groupBy("x", "y").agg(
         F.count("*").cast("decimal(38,0)").alias("n")
@@ -2607,7 +2612,7 @@ def events_type_dow_stdres_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH d AS (
       SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
              CAST(count(*) AS BIGINT) AS y
-      FROM events GROUP BY 1
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
     ),
     p AS (
       SELECT day, y,
@@ -2659,9 +2664,9 @@ def events_changepoint_binary_seg(spark: SparkSession, sf_dir: str) -> DataFrame
     series is ~87k rows -- still one broadcastable relation; the fact
     table is never windowed)."""
     e = load_table(spark, sf_dir, "events")
-    d = e.groupBy(F.date_trunc("day", "ts").cast("date").alias("day")).agg(
-        F.count("*").cast("bigint").alias("y")
-    )
+    d = e.filter(F.col("ts").isNotNull()).groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count("*").cast("bigint").alias("y"))
     w = Window.orderBy("day")
     wall = Window.partitionBy().rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
@@ -2703,7 +2708,7 @@ def events_changepoint_binary_seg(spark: SparkSession, sf_dir: str) -> DataFrame
     WITH d AS (
       SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
              CAST(sum(CAST({_VALUE_C} AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS v
-      FROM events WHERE {_VALUE_C} IS NOT NULL
+      FROM events WHERE ts IS NOT NULL AND {_VALUE_C} IS NOT NULL
       GROUP BY 1
     ),
     r AS (
@@ -2751,7 +2756,7 @@ def events_daily_bollinger_breaches(spark: SparkSession, sf_dir: str) -> DataFra
     dim-bounded daily series, never the fact table."""
     e = load_table(spark, sf_dir, "events")
     c = F.expr(_VALUE_C)
-    d = e.filter(c.isNotNull()).groupBy(
+    d = e.filter(F.col("ts").isNotNull() & c.isNotNull()).groupBy(
         F.date_trunc("day", "ts").cast("date").alias("day")
     ).agg(F.sum(c.cast("decimal(38,0)")).cast("decimal(38,0)").alias("v"))
     w = Window.orderBy("day").rowsBetween(-6, 0)

@@ -102,12 +102,21 @@ def executor_time_totals(spark) -> dict[str, float]:
       cross-round cpu_s drift is a real code regression while a wall-only
       drift is contention.
 
-    Local mode keeps every stage of the app in the store (default
-    ``spark.ui.retainedStages`` 1000 >> any bench run), so deltas are
-    exact.
+    Two failure modes are guarded at the CALLER (bench.py): the store
+    retains only ``spark.ui.retainedStages`` stages (default 1000), so a
+    long app EVICTS old stages and a later snapshot can read LOWER than
+    an earlier one -- bench raises the retention and clamps deltas at 0;
+    and stage metrics post through the async listener bus, so this
+    function drains the bus (best-effort) before reading to keep a
+    query's tail tasks out of the NEXT trial's delta.
     """
     sc = spark.sparkContext
     gw = sc._gateway
+    try:
+        # drain pending listener events so completed tasks are in the store
+        sc._jsc.sc().listenerBus().waitUntilEmpty(2000)
+    except Exception:  # noqa: BLE001 - private API; totals stay best-effort
+        pass
     store = sc._jsc.sc().statusStore()
     empty = gw.jvm.java.util.ArrayList()
     quantiles = gw.new_array(gw.jvm.double, 0)

@@ -211,48 +211,55 @@ EWMA_OUTPUT_SCHEMA = (
 EWMA_STATE_SCHEMA = "ewma double, day_epoch long, sum_cents long, n_days long"
 
 
-def _ewma_fn(
-    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
+def _ewma_fold(
+    user, state: tuple, pdf: "pd.DataFrame"
+) -> tuple[list[tuple], tuple]:
+    """The per-user daily-EWMA fold shared by BOTH stateful APIs
+    (_ewma_fn on GroupState and _EwmaProcessor on transformWithState):
+    given the carried (ewma, open-day-epoch, open-day-cents, n_days)
+    tuple and a ts-sorted batch of (ts, cents) rows, emit one final row
+    per day ROLLOVER and return the updated state. One implementation so
+    a threshold or snapping tweak can never diverge the two entry points
+    (only the GroupState path is execution-testable in this sandbox)."""
     import math
 
-    ewma, day_epoch, sum_cents, n_days = (
-        state.get if state.exists else (0.0, -1, 0, 0)
-    )
-    frames = [p for p in pdfs if not p.empty]
-    if not frames:
-        return
-    pdf = pd.concat(frames, ignore_index=True).sort_values("ts")
-    out = []
-
-    def close_day(next_epoch):
-        """Emit the finished open day and fold it into the EWMA."""
-        nonlocal ewma, day_epoch, sum_cents, n_days
-        v = sum_cents / 100.0
-        prev = ewma if n_days > 0 else None
-        e = v if n_days == 0 else 0.5 * v + 0.5 * ewma
-        resid = None if prev is None else v - prev
-        out.append(
-            (
-                key[0],
-                pd.Timestamp(day_epoch, unit="D"),
-                v,
-                math.floor(e * 1e6) / 1e6,
-                None if resid is None else math.floor(resid * 1e6) / 1e6,
-                False if prev is None else abs(resid) > 0.5 * abs(prev),
-            )
-        )
-        ewma, n_days = e, n_days + 1
-        day_epoch, sum_cents = next_epoch, 0
-
+    ewma, day_epoch, sum_cents, n_days = state
+    out: list[tuple] = []
     for r in pdf.itertuples(index=False):
         ep = int(pd.Timestamp(r.ts).normalize().value // 86_400_000_000_000)
         if day_epoch == -1:
             day_epoch = ep
         elif ep > day_epoch:
-            close_day(ep)
+            v = sum_cents / 100.0
+            prev = ewma if n_days > 0 else None
+            e = v if n_days == 0 else 0.5 * v + 0.5 * ewma
+            resid = None if prev is None else v - prev
+            out.append(
+                (
+                    user,
+                    pd.Timestamp(day_epoch, unit="D"),
+                    v,
+                    math.floor(e * 1e6) / 1e6,
+                    None if resid is None else math.floor(resid * 1e6) / 1e6,
+                    False if prev is None else abs(resid) > 0.5 * abs(prev),
+                )
+            )
+            ewma, n_days = e, n_days + 1
+            day_epoch, sum_cents = ep, 0
         sum_cents += int(r.cents)
-    state.update((ewma, day_epoch, sum_cents, n_days))
+    return out, (ewma, day_epoch, sum_cents, n_days)
+
+
+def _ewma_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    held = state.get if state.exists else (0.0, -1, 0, 0)
+    frames = [p for p in pdfs if not p.empty]
+    if not frames:
+        return
+    pdf = pd.concat(frames, ignore_index=True).sort_values("ts")
+    out, new_state = _ewma_fold(key[0], held, pdf)
+    state.update(new_state)
     if out:
         yield pd.DataFrame(
             out,
@@ -304,38 +311,13 @@ class _EwmaProcessor(StatefulProcessor):
         self._state = handle.getValueState("ewma", EWMA_STATE_SCHEMA)
 
     def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
-        import math
-
-        held = self._state.get() if self._state.exists() else None
-        ewma, day_epoch, sum_cents, n_days = held if held is not None else (0.0, -1, 0, 0)
+        held = self._state.get() if self._state.exists() else (0.0, -1, 0, 0)
         frames = [p for p in rows if not p.empty]
         if not frames:
             return
         pdf = pd.concat(frames, ignore_index=True).sort_values("ts")
-        out = []
-        for r in pdf.itertuples(index=False):
-            ep = int(pd.Timestamp(r.ts).normalize().value // 86_400_000_000_000)
-            if day_epoch == -1:
-                day_epoch = ep
-            elif ep > day_epoch:
-                v = sum_cents / 100.0
-                prev = ewma if n_days > 0 else None
-                e = v if n_days == 0 else 0.5 * v + 0.5 * ewma
-                resid = None if prev is None else v - prev
-                out.append(
-                    (
-                        key[0],
-                        pd.Timestamp(day_epoch, unit="D"),
-                        v,
-                        math.floor(e * 1e6) / 1e6,
-                        None if resid is None else math.floor(resid * 1e6) / 1e6,
-                        False if prev is None else abs(resid) > 0.5 * abs(prev),
-                    )
-                )
-                ewma, n_days = e, n_days + 1
-                day_epoch, sum_cents = ep, 0
-            sum_cents += int(r.cents)
-        self._state.update((ewma, day_epoch, sum_cents, n_days))
+        out, new_state = _ewma_fold(key[0], tuple(held), pdf)
+        self._state.update(new_state)
         if out:
             yield pd.DataFrame(
                 out,
