@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..registry import register
 from .ranks import exact_global_row_number, exact_ntile
-from .stats import _TOTAL_C  # one source of truth for o_totalprice cents
+from .stats import TOTAL_CENTS as _TOTAL_C  # one source of truth for o_totalprice cents
 
 _REV = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
 

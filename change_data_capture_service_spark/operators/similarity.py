@@ -2198,18 +2198,16 @@ def knn_mmr_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
     k_short = 20
     # the shortlist comes from the SAME scalable two-stage generator as
     # knn_cosine_topk (queries broadcast, corpus never shuffles, local
-    # top-k before the rank window) -- not a re-derived scorer; only the
-    # 20-row-per-query shortlist joins back for its raw vectors
-    vec = _vectors(spark, sf_dir).localCheckpoint(eager=False)
+    # top-k before the rank window) -- not a re-derived scorer; the
+    # |queries| x 20 shortlist BROADCASTS into the vector join-back, so
+    # the corpus is scanned map-side, never shuffled, for the raw vectors
+    vec = _vectors(spark, sf_dir)
     short = _exact_cosine_topk(spark, sf_dir, k_short)
-    cands = short.join(
-        vec.select(
-            F.col("vec_id").alias("neighbor_id"),
-            F.col("v"),
-            F.col("nrm"),
-        ),
-        "neighbor_id",
-    )
+    cands = vec.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v"),
+        F.col("nrm"),
+    ).join(F.broadcast(short), "neighbor_id")
     return mmr_diversify(
         cands.select("query_id", "neighbor_id", "cosine", "v", "nrm")
     ).orderBy("query_id", "mmr_rank")

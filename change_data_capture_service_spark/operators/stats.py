@@ -35,7 +35,10 @@ from ..registry import register
 _PRICE_C = "try_cast(try_cast(l_extendedprice AS decimal(18,2)) * 100 AS bigint)"
 _QTY_C = "try_cast(try_cast(l_quantity AS decimal(18,2)) * 100 AS bigint)"
 _VALUE_C = "try_cast(try_cast(value AS decimal(18,2)) * 100 AS bigint)"
-_TOTAL_C = "try_cast(try_cast(o_totalprice AS decimal(18,2)) * 100 AS bigint)"
+# public: the one source of truth for o_totalprice cents (relational.py
+# imports it for the orders panels)
+TOTAL_CENTS = "try_cast(try_cast(o_totalprice AS decimal(18,2)) * 100 AS bigint)"
+_TOTAL_C = TOTAL_CENTS
 
 # Range width (distinct integer values per bucket) for the two-level
 # prefix sums below. 2^16 cents = one $655 bucket: a 10^9-distinct-value
@@ -2244,15 +2247,13 @@ def lineitem_kendall_tau_qty_price(spark: SparkSession, sf_dir: str) -> DataFram
     contingency (~50 x ~12 cells) in ONE map-side-combinable agg; the
     pair join is cells^2 -- dim-bounded, independent of row count."""
     li = load_table(spark, sf_dir, "lineitem")
-    # exact FLOOR division on both sides: DuckDB's // floors while Spark's
-    # DIV truncates toward zero, so negative hostile cents would land in
-    # different buckets -- the (c - pmod(c, W)) DIV W idiom from
-    # _domain_prefix is floor-exact for any sign
-    qx = f"({_QTY_C} - pmod({_QTY_C}, 100)) DIV 100"
-    py = f"({_PRICE_C} - pmod({_PRICE_C}, 1000000)) DIV 1000000"
+    # integer division on BOTH sides: DuckDB's BIGINT // and Spark's DIV
+    # both truncate toward zero (verified empirically: -150 op 100 = -1 in
+    # each), so buckets agree for any sign; a float '/' + CAST would NOT
+    # (DuckDB rounds the double, Spark truncates it)
     s = li.select(
-        F.expr(f"CAST({qx} AS BIGINT)").alias("x"),
-        F.expr(f"CAST({py} AS BIGINT)").alias("y"),
+        F.expr(f"CAST({_QTY_C} DIV 100 AS BIGINT)").alias("x"),
+        F.expr(f"CAST({_PRICE_C} DIV 1000000 AS BIGINT)").alias("y"),
     ).filter(F.col("x").isNotNull() & F.col("y").isNotNull())
     cell = s.groupBy("x", "y").agg(
         F.count("*").cast("decimal(38,0)").alias("n")
