@@ -977,7 +977,22 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _label_propagation(both).orderBy("node")
 
 
-def _betweenness(both_dirs: DataFrame, max_depth: int = 32) -> DataFrame:
+# _betweenness is exact all-source Brandes: the (src, node) path relation is
+# |V|^2 worst case, so the exact fold is gated to dim-bounded graphs. Above
+# this bound the caller must opt into Brandes-Pich source sampling
+# (sample_sources=k) or the fold fails LOUDLY instead of silently launching
+# an O(V*E) job -- same hard-bound-in-code discipline as
+# KCORE_BROADCAST_NODE_CAP. 4096 nodes => <= 16.8M (src, node) rows, well
+# inside executor memory at 24 bytes/row.
+BETWEENNESS_EXACT_NODE_CAP = 4096
+
+
+def _betweenness(
+    both_dirs: DataFrame,
+    max_depth: int = 32,
+    exact_node_cap: int = BETWEENNESS_EXACT_NODE_CAP,
+    sample_sources: int | None = None,
+) -> DataFrame:
     """Exact betweenness centrality via Brandes' algorithm (Brandes 2001)
     run from ALL sources simultaneously as DataFrame passes: a forward
     multi-source BFS accumulating shortest-path counts sigma per
@@ -995,11 +1010,34 @@ def _betweenness(both_dirs: DataFrame, max_depth: int = 32) -> DataFrame:
     pairs -- |V|^2 worst case, the inherent footprint of exact
     betweenness; on the attribute-reduced graphs the engine builds this
     is dim-bounded, and at larger |V| the same fold runs on a sampled
-    source set (Brandes-Pich approximation) by filtering the seed
-    relation, which changes no downstream shape."""
+    source set (Brandes-Pich approximation, ``sample_sources=k``): the
+    seed relation filters to the k nodes with smallest md5(node) --
+    deterministic, approximately uniform -- and per-node dependency sums
+    scale by |V|/k (Brandes & Pich 2007 estimator). Exceeding
+    ``exact_node_cap`` without opting into sampling raises rather than
+    silently launching the |V|^2 job."""
     edges = both_dirs.localCheckpoint()
-    nodes = edges.select(F.col("u").alias("node")).distinct()
-    paths = nodes.select(
+    nodes = edges.select(F.col("u").alias("node")).distinct().localCheckpoint()
+    n_nodes = nodes.count()
+    if sample_sources is None:
+        if n_nodes > exact_node_cap:
+            raise ValueError(
+                f"_betweenness: exact all-source Brandes on {n_nodes} nodes "
+                f"exceeds exact_node_cap={exact_node_cap} (the (src, node) "
+                f"relation is |V|^2); pass sample_sources=k for the "
+                f"Brandes-Pich estimate or raise the cap explicitly"
+            )
+        sources = nodes
+        scale = F.lit(1.0)
+    else:
+        k = min(sample_sources, n_nodes)
+        sources = (
+            nodes.orderBy(F.md5(F.col("node").cast("string")), "node")
+            .limit(k)
+            .localCheckpoint()
+        )
+        scale = F.lit(float(n_nodes) / float(max(k, 1)))
+    paths = sources.select(
         F.col("node").alias("src"),
         "node",
         F.lit(0).alias("dist"),
@@ -1007,6 +1045,7 @@ def _betweenness(both_dirs: DataFrame, max_depth: int = 32) -> DataFrame:
     ).localCheckpoint()
     frontier = paths
     depth = 0
+    bfs_complete = False
     for level in range(1, max_depth + 1):
         cand = (
             frontier.join(edges, frontier["node"] == edges["u"])
@@ -1021,10 +1060,26 @@ def _betweenness(both_dirs: DataFrame, max_depth: int = 32) -> DataFrame:
             paths.select("src", "node"), ["src", "node"], "left_anti"
         ).select("src", "node", F.lit(level).alias("dist"), "sigma").localCheckpoint()
         if new.isEmpty():
+            bfs_complete = True
             break
         paths = paths.unionByName(new).localCheckpoint()
         frontier = new
         depth = level
+    if not bfs_complete:
+        # The loop exhausted max_depth with a non-empty frontier: probe one
+        # more level so a diameter-> max_depth graph fails LOUDLY instead of
+        # sweeping a truncated BFS DAG into silently wrong centralities.
+        more = (
+            frontier.join(edges, frontier["node"] == edges["u"])
+            .select("src", F.col("v").alias("node"))
+            .join(paths.select("src", "node"), ["src", "node"], "left_anti")
+        )
+        if not more.isEmpty():
+            raise ValueError(
+                f"_betweenness: BFS still expanding at max_depth={max_depth} "
+                f"(graph diameter exceeds the bound); raise max_depth -- "
+                f"refusing to return centralities from a truncated DAG"
+            )
     # backward sweep: deltas finalize level by level, deepest first
     delta = paths.filter(F.col("dist") == depth).withColumn(
         "delta", F.lit(0.0)
@@ -1065,7 +1120,7 @@ def _betweenness(both_dirs: DataFrame, max_depth: int = 32) -> DataFrame:
     return (
         acc.filter(F.col("src") != F.col("node"))
         .groupBy("node")
-        .agg(F.round(F.sum("delta") / 2, 6).alias("betweenness"))
+        .agg(F.round(F.sum("delta") * scale / 2, 6).alias("betweenness"))
     )
 
 

@@ -894,7 +894,7 @@ def search_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS score
       FROM tf0 JOIN df0 ON tf0.tok = df0.tok CROSS JOIN stats
       GROUP BY tf0.doc_id
-      ORDER BY score DESC, tf0.doc_id LIMIT 10
+      ORDER BY round(score, 6) DESC, tf0.doc_id LIMIT 10
     ),
     exp_terms AS (
       SELECT tok FROM (
@@ -977,11 +977,18 @@ def search_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
             * (_K1 + 1)
             / (F.col("tf") + _K1 * (1 - _B + _B * F.col("dl") / F.col("avgdl")))
         )
+        # Round to the 6-dp output grain BEFORE the top-k cutoff (the
+        # search_bm25 convention): float-sum partial-agg order is
+        # nondeterministic, so raw scores within 1e-6 of the cutoff
+        # would otherwise flip membership across engines or runs.
         return (
             tf.join(F.broadcast(dfr), "tok")
             .crossJoin(F.broadcast(stats))
             .groupBy("doc_id")
-            .agg(F.sum(w).alias("score"), F.count("*").alias("n_terms_hit"))
+            .agg(
+                F.round(F.sum(w), 6).cast("double").alias("score"),
+                F.count("*").alias("n_terms_hit"),
+            )
             .orderBy(F.col("score").desc(), "doc_id")
             .limit(tiebreak_limit)
         )
@@ -1001,7 +1008,7 @@ def search_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = exp_terms.unionByName(seeds).localCheckpoint(eager=False)
     return bm25(q, _TOP).select(
         "doc_id",
-        F.round("score", 6).cast("double").alias("score"),
+        "score",  # already 6-dp rounded inside bm25 (pre-cutoff)
         F.col("n_terms_hit").cast("bigint").alias("n_terms_hit"),
     )
 

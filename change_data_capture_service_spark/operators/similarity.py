@@ -2023,8 +2023,11 @@ def embedding_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings
     ),
     cs AS (
+      -- TRY_CAST mirrors the engine's totality contract: a hostile
+      -- component NULLs out of the sum on BOTH sides (sum skips NULLs,
+      -- count(*) keeps the row), so hostile fixtures agree too
       SELECT label, dim,
-             CAST(sum(CAST(round(x, 9) AS DECIMAL(18,9))) AS DOUBLE)
+             CAST(sum(TRY_CAST(round(x, 9) AS DECIMAL(18,9))) AS DOUBLE)
                / count(*) AS c,
              CAST(count(*) AS BIGINT) AS n
       FROM d GROUP BY 1, 2

@@ -74,68 +74,49 @@ _QUERY_MODULES = [
 
 # ORDER MATTERS: the grading driver verifies keys in entries() iteration order
 # under a bounded budget (50/round). Keys named here come first, in this exact
-# order; everything else follows in registration order. CORRECTNESS_r09 landed
-# 47 hash-green + 3 rows-only-clean, closing attestation debt at ZERO: all 421
-# pre-round-10 keys carry a clean driver row (rotation audit via
-# scripts/rotate_check_window.py, 2026-08-15). Round-10 front = new round-10
-# operators appended as they land (hard cap 50), then -- per the round-9
-# verdict -- spare slots filled with RE-ATTESTATION keys: previously-green
-# keys whose implementation files were diff-touched this round, in touched
-# order, so the driver record tracks drift, not just first landing. Proven
-# back-of-queue keys keep independent verification via
-# tests/test_oracle_parity.py (mandatory in CI).
+# order; everything else follows in registration order. CORRECTNESS_r10 landed
+# 46 hash-green + 4 rows-only-clean, holding attestation debt at ZERO for a
+# third consecutive round: all 448 pre-round-11 keys carry a clean driver row
+# (rotation audit via scripts/rotate_check_window.py, 2026-08-15). Round-11
+# front = new round-11 operators appended as they land (hard cap 50), then --
+# standing discipline since the round-9 verdict -- spare slots filled with
+# RE-ATTESTATION keys: previously-green keys whose implementation files were
+# diff-touched this round, in touched order, so the driver record tracks
+# drift, not just first landing. Proven back-of-queue keys keep independent
+# verification via tests/test_oracle_parity.py (mandatory in CI).
 _CHECK_ORDER = [
-    # -- new in round 10 (appended as they land; HARD CAP 50 incl. re-attest) --
-    "events_cohens_d_weekend",
-    "lineitem_kendall_tau_qty_price",
-    "orders_friedman_priority_by_year",
-    "lineitem_ansari_bradley_returnflag",
-    "events_type_dow_stdres_cells",
-    "events_changepoint_binary_seg",
-    "events_daily_bollinger_breaches",
-    "supplier_revenue_hhi_by_nation",
-    "orders_backlog_aging_buckets",
-    "orders_priority_mix_shift",
-    "customer_supplier_colocation_share",
-    "cdc_dml_mix_drift",
-    "cdc_burst_detection",
-    "graph_edge_jaccard_similarity",
-    "graph_label_propagation",
-    "graph_betweenness_brandes",
-    "stream_interval_join_semi",
-    "stream_interval_join_anti",
-    "stream_ewma_anomaly",
-    "dedup_exact_substring_runs",
-    "docs_dedup_survivor_quality_shift",
-    "sample_dataset_card",
-    "knn_mmr_diversified",
-    "embedding_label_centroid_similarity",
-    "search_prf_expansion",
-    "search_snippet_best_window",
+    # -- new in round 11 (appended as they land; HARD CAP 50 incl. re-attest) --
+]
+# Provenance: the round-10 window, fully attested by CORRECTNESS_r10
+# (46 hash-green + 4 rows-only-clean: graph_label_propagation,
+# graph_betweenness_brandes, graph_kcore, knn_mmr_diversified). Kept for
+# the rotation audit trail; not consulted by entries().
+_ROUND10_WINDOW_ATTESTED = [
+    "events_cohens_d_weekend", "lineitem_kendall_tau_qty_price",
+    "orders_friedman_priority_by_year", "lineitem_ansari_bradley_returnflag",
+    "events_type_dow_stdres_cells", "events_changepoint_binary_seg",
+    "events_daily_bollinger_breaches", "supplier_revenue_hhi_by_nation",
+    "orders_backlog_aging_buckets", "orders_priority_mix_shift",
+    "customer_supplier_colocation_share", "cdc_dml_mix_drift",
+    "cdc_burst_detection", "graph_edge_jaccard_similarity",
+    "graph_label_propagation", "graph_betweenness_brandes",
+    "stream_interval_join_semi", "stream_interval_join_anti",
+    "stream_ewma_anomaly", "dedup_exact_substring_runs",
+    "docs_dedup_survivor_quality_shift", "sample_dataset_card",
+    "knn_mmr_diversified", "embedding_label_centroid_similarity",
+    "search_prf_expansion", "search_snippet_best_window",
     "events_pareto_front_users",
-    # -- re-attestation: green keys whose impl files changed this round --
-    "knn_hubness_profile",
-    "graph_kcore",
-    "knn_cosine_topk",
-    "embedding_isotropy",
-    "knn_graph_reciprocity",
-    "graph_degree_assortativity",
-    "graph_local_clustering",
-    "graph_triangle_count",
-    "events_welch_ttest_weekend",
-    "events_chi_square_type_dow",
-    "lineitem_brown_forsythe_returnflag",
-    "part_revenue_gini_lorenz",
-    "part_price_index_paasche_fisher",
-    "cdc_daily_compaction_profile",
-    "cdc_out_of_order_arrivals",
-    "sample_importance_reweight",
-    "docs_source_ngram_overlap",
-    "dedup_minhash_tuned",
-    "search_bm25",
-    "search_ndcg_eval",
-    "events_value_psi_weekly",
-    "attribution_last_touch",
+    # re-attestation slots (diff-touched green keys), all re-attested clean:
+    "knn_hubness_profile", "graph_kcore", "knn_cosine_topk",
+    "embedding_isotropy", "knn_graph_reciprocity",
+    "graph_degree_assortativity", "graph_local_clustering",
+    "graph_triangle_count", "events_welch_ttest_weekend",
+    "events_chi_square_type_dow", "lineitem_brown_forsythe_returnflag",
+    "part_revenue_gini_lorenz", "part_price_index_paasche_fisher",
+    "cdc_daily_compaction_profile", "cdc_out_of_order_arrivals",
+    "sample_importance_reweight", "docs_source_ngram_overlap",
+    "dedup_minhash_tuned", "search_bm25", "search_ndcg_eval",
+    "events_value_psi_weekly", "attribution_last_touch",
     "stream_interval_join",
 ]
 # Provenance: the round-9 window, fully attested by CORRECTNESS_r09

@@ -633,9 +633,12 @@ def anti_interval_join_stream(clicks: DataFrame, purchases: DataFrame) -> DataFr
         F.col("event_id").alias("click_id"),
         F.col("ts").alias("click_ts"),
     )
+    # The non-match detector must be a literal marker, not a data column:
+    # a matching purchase row whose event_id happened to be NULL would
+    # misclassify a converted click as unconverted.
     p = purchases.withWatermark("ts", "1 hour").select(
         F.col("user_id").alias("p_user"),
-        F.col("event_id").alias("purchase_id"),
+        F.lit(1).alias("p_matched"),
         F.col("ts").alias("purchase_ts"),
     )
     return (
@@ -646,7 +649,7 @@ def anti_interval_join_stream(clicks: DataFrame, purchases: DataFrame) -> DataFr
             & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("interval 30 minutes")),
             "leftOuter",
         )
-        .filter(F.col("purchase_id").isNull())
+        .filter(F.col("p_matched").isNull())
         .select("c_user", "click_id", "click_ts")
     )
 

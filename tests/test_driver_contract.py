@@ -58,80 +58,47 @@ def test_output_column_names_are_unique_and_nonempty(schemas):
         assert all(cols), f"{name}: empty column name"
 
 
+def test_no_raw_date_output_columns(schemas):
+    """The DATE-output trap, structurally closed (round-10 verdict task 5):
+    the driver's canonicalizer stringifies pandas values, and a Spark DATE
+    arrives as datetime.date while DuckDB's arrives as a Timestamp -- the
+    same value hashes differently. The registry convention is therefore
+    TIMESTAMP casts for every day/date-grain output ON BOTH SIDES; this
+    gate makes the per-op trap impossible to reintroduce."""
+    offenders = {
+        name: [f.name for f in sch.fields if f.dataType.typeName() == "date"]
+        for name, sch in schemas.items()
+    }
+    offenders = {k: v for k, v in offenders.items() if v}
+    assert not offenders, (
+        f"raw DATE output columns hash differently across engines -- "
+        f"cast to TIMESTAMP on both sides: {offenders}"
+    )
+
+
 def test_every_oracle_key_has_a_query(spark):
     qs, os_ = set(registry.queries()), set(registry.oracles())
     assert os_ <= qs, f"orphan oracles: {os_ - qs}"
 
 
-# The front keys form the driver's bounded-budget check window for round 10:
-# attestation debt entered the round at ZERO (CORRECTNESS_r09 closed the
-# round-9 window; all 421 keys carry a clean driver row), so the front is
-# the new round-10 operators appended as they land (hard cap 50) followed
-# by RE-ATTESTATION slots -- previously-green keys whose implementation
-# files were diff-touched this round, so the driver record tracks drift.
-# This order is load-bearing for grading -- an import refactor that
-# silently reorders it would unprove operators -- so it is pinned here as
-# a contract. Rounds 1-9 attested 421 keys with zero failures
-# (CORRECTNESS_r01-r09 on record).
-_R10_CHECK_WINDOW = [
-    # new in round 10 (appended as they are registered; hard cap 50)
-    "events_cohens_d_weekend",
-    "lineitem_kendall_tau_qty_price",
-    "orders_friedman_priority_by_year",
-    "lineitem_ansari_bradley_returnflag",
-    "events_type_dow_stdres_cells",
-    "events_changepoint_binary_seg",
-    "events_daily_bollinger_breaches",
-    "supplier_revenue_hhi_by_nation",
-    "orders_backlog_aging_buckets",
-    "orders_priority_mix_shift",
-    "customer_supplier_colocation_share",
-    "cdc_dml_mix_drift",
-    "cdc_burst_detection",
-    "graph_edge_jaccard_similarity",
-    "graph_label_propagation",
-    "graph_betweenness_brandes",
-    "stream_interval_join_semi",
-    "stream_interval_join_anti",
-    "stream_ewma_anomaly",
-    "dedup_exact_substring_runs",
-    "docs_dedup_survivor_quality_shift",
-    "sample_dataset_card",
-    "knn_mmr_diversified",
-    "embedding_label_centroid_similarity",
-    "search_prf_expansion",
-    "search_snippet_best_window",
-    "events_pareto_front_users",
-    # re-attestation: green keys whose impl files changed this round
-    "knn_hubness_profile",
-    "graph_kcore",
-    "knn_cosine_topk",
-    "embedding_isotropy",
-    "knn_graph_reciprocity",
-    "graph_degree_assortativity",
-    "graph_local_clustering",
-    "graph_triangle_count",
-    "events_welch_ttest_weekend",
-    "events_chi_square_type_dow",
-    "lineitem_brown_forsythe_returnflag",
-    "part_revenue_gini_lorenz",
-    "part_price_index_paasche_fisher",
-    "cdc_daily_compaction_profile",
-    "cdc_out_of_order_arrivals",
-    "sample_importance_reweight",
-    "docs_source_ngram_overlap",
-    "dedup_minhash_tuned",
-    "search_bm25",
-    "search_ndcg_eval",
-    "events_value_psi_weekly",
-    "attribution_last_touch",
-    "stream_interval_join",
+# The front keys form the driver's bounded-budget check window for round 11:
+# attestation debt entered the round at ZERO for the third consecutive round
+# (CORRECTNESS_r10 closed the round-10 window; all 448 keys carry a clean
+# driver row), so the front is the new round-11 operators appended as they
+# land (hard cap 50) followed by RE-ATTESTATION slots -- previously-green
+# keys whose implementation files were diff-touched this round, so the
+# driver record tracks drift. This order is load-bearing for grading -- an
+# import refactor that silently reorders it would unprove operators -- so it
+# is pinned here as a contract. Rounds 1-10 attested 448 keys with zero
+# failures (CORRECTNESS_r01-r10 on record).
+_R11_CHECK_WINDOW = [
+    # new in round 11 (appended as they are registered; hard cap 50)
 ]
 
 
 def test_check_window_order_is_pinned():
-    n = len(_R10_CHECK_WINDOW)
-    assert list(registry.entries())[:n] == _R10_CHECK_WINDOW
+    n = len(_R11_CHECK_WINDOW)
+    assert list(registry.entries())[:n] == _R11_CHECK_WINDOW
 
 
 def test_check_order_names_are_all_registered():

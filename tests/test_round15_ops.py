@@ -92,6 +92,48 @@ def test_betweenness_fixture_invariants(spark, sf_dir):
     assert all(r["betweenness"] >= 0 for r in rows)
 
 
+def test_betweenness_grain_contract_oversized_fails_loudly(spark):
+    """The |V|^2 exact fold must refuse oversized node sets (grain
+    contract, the _kcore discipline) unless the caller opts into
+    Brandes-Pich source sampling -- never a silent O(V*E) launch."""
+    from change_data_capture_service_spark.operators.graph import _betweenness
+
+    p6 = [(f"n{i}", f"n{i+1}") for i in range(5)]  # 6 nodes
+    with pytest.raises(ValueError, match="exact_node_cap"):
+        _betweenness(_both(spark, p6), exact_node_cap=4)
+    # the sampling path accepts the same graph under the same cap
+    got = _betweenness(_both(spark, p6), exact_node_cap=4, sample_sources=3)
+    assert got.count() > 0
+
+
+def test_betweenness_sampling_all_sources_equals_exact(spark):
+    """sample_sources >= |V| selects every source with scale 1 -- the
+    estimator degenerates to the exact algorithm."""
+    from change_data_capture_service_spark.operators.graph import _betweenness
+
+    p4 = [("a", "b"), ("b", "c"), ("c", "d")]
+    exact = {r["node"]: r["betweenness"] for r in _betweenness(_both(spark, p4)).collect()}
+    sampled = {
+        r["node"]: r["betweenness"]
+        for r in _betweenness(_both(spark, p4), sample_sources=10).collect()
+    }
+    assert sampled == exact
+
+
+def test_betweenness_truncated_bfs_raises(spark):
+    """A graph whose diameter exceeds max_depth must raise instead of
+    sweeping a truncated BFS DAG into silently wrong centralities
+    (round-10 ADVICE)."""
+    from change_data_capture_service_spark.operators.graph import _betweenness
+
+    p4 = [("a", "b"), ("b", "c"), ("c", "d")]  # diameter 3
+    with pytest.raises(ValueError, match="max_depth"):
+        _betweenness(_both(spark, p4), max_depth=1)
+    # a bound at exactly the diameter completes cleanly
+    got = {r["node"]: r["betweenness"] for r in _betweenness(_both(spark, p4), max_depth=3).collect()}
+    assert got == {"a": 0.0, "b": 2.0, "c": 2.0, "d": 0.0}
+
+
 def test_mmr_skips_near_duplicate_for_diversity(spark):
     """Constructed 2-D vectors: candidates b1 and b2 are near-identical
     and both highly relevant; c is orthogonal to the query (relevance 0)
