@@ -1658,3 +1658,85 @@ def cdc_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour")
     )
+
+
+# Ingestion SLA threshold: a source whose consecutive arrivals sit more
+# than this many seconds apart has visibly stalled (matches the 5-minute
+# freshness budget most replication dashboards page on).
+SLA_GAP_SECONDS = 300
+
+
+@register(
+    "cdc_ingestion_sla_by_source",
+    tags=("cdc", "monitor"),
+    oracle=f"""
+    WITH g AS (
+      SELECT event_type,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id) AS gap_us
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(gap_us) AS BIGINT) AS n_gaps,
+           round(CAST(sum(CASE WHEN gap_us <= {SLA_GAP_SECONDS} * 1000000
+                          THEN 1 ELSE 0 END) AS DOUBLE) / count(gap_us), 6)
+             AS pct_within_sla,
+           round(quantile_cont(CAST(gap_us AS DOUBLE), 0.95) / 1000000.0, 6)
+             AS p95_gap_s,
+           round(CAST(max(gap_us) AS DOUBLE) / 1000000.0, 6) AS max_gap_s,
+           CAST(sum(CASE WHEN gap_us > {SLA_GAP_SECONDS} * 1000000
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_breaches,
+           round(CAST(sum(CASE WHEN gap_us > {SLA_GAP_SECONDS} * 1000000
+                          THEN gap_us - {SLA_GAP_SECONDS} * 1000000
+                          ELSE 0 END) AS DOUBLE) / 1000000.0, 6)
+             AS breach_seconds
+    FROM g WHERE gap_us IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def cdc_ingestion_sla_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source ingestion SLA panel over replication cadence: for each
+    routed stream, the share of consecutive-arrival gaps inside the
+    {SLA_GAP_SECONDS}s freshness budget, the p95 and max gap, and the
+    accumulated breach time (sum of gap excess beyond the budget) --
+    the round-10 verdict's queue item, and the page-worthy form of
+    cdc_replication_lag's point-in-time number: lag says "how stale is
+    the newest row NOW"; this says "how often and how badly did this
+    source stall over the window", which is what an SLA review needs.
+
+    Exactness: gaps are exact integer epoch-microsecond differences on a
+    (ts, event_id)-tiebroken lag; SLA shares, breach counts, and breach
+    sums are integer arithmetic over those gaps; p95 interpolates the
+    identical integer list on both engines (the events_interarrival_stats
+    precedent); each output divides/rounds once.
+
+    Scale: one keyed shuffle for the lag window (partition = event_type),
+    stats agg reuses that partitioning; |types| result rows."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    thr_us = SLA_GAP_SECONDS * 1_000_000
+    g = e.select(
+        "event_type", (us - F.lag(us).over(w)).alias("gap_us")
+    ).filter(F.col("gap_us").isNotNull())
+    return g.groupBy("event_type").agg(
+        F.count("gap_us").cast("bigint").alias("n_gaps"),
+        F.round(
+            F.sum(F.when(F.col("gap_us") <= thr_us, 1).otherwise(0)).cast("double")
+            / F.count("gap_us"),
+            6,
+        ).alias("pct_within_sla"),
+        F.round(
+            F.percentile(F.col("gap_us").cast("double"), F.lit(0.95)) / 1000000.0, 6
+        ).alias("p95_gap_s"),
+        F.round(F.max("gap_us").cast("double") / 1000000.0, 6).alias("max_gap_s"),
+        F.sum(F.when(F.col("gap_us") > thr_us, 1).otherwise(0))
+        .cast("bigint").alias("n_breaches"),
+        F.round(
+            F.sum(
+                F.when(F.col("gap_us") > thr_us, F.col("gap_us") - thr_us).otherwise(0)
+            ).cast("double")
+            / 1000000.0,
+            6,
+        ).alias("breach_seconds"),
+    )

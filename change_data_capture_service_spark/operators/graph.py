@@ -1146,3 +1146,106 @@ def graph_betweenness_brandes(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _brand_cooccurrence_edges(spark, sf_dir)
     both = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     return _betweenness(both).orderBy("node")
+
+
+@register(
+    "graph_rich_club_coefficient",
+    tags=("graph", "analytics"),
+    oracle="""
+    WITH ob AS (
+      SELECT DISTINCT l_orderkey, p_brand
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+    ),
+    thr AS (
+      SELECT CAST(ceil(0.024 * count(*)) AS BIGINT) AS t FROM orders
+    ),
+    e AS (
+      SELECT a.p_brand AS u, b.p_brand AS v
+      FROM ob a JOIN ob b
+        ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+      GROUP BY a.p_brand, b.p_brand
+      HAVING count(*) >= (SELECT t FROM thr)
+    ),
+    bd AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+    deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS d FROM bd GROUP BY 1),
+    ks AS (
+      SELECT CAST(unnest(range(1, (SELECT CAST(max(d) AS INT) FROM deg)))
+             AS BIGINT) AS k
+    ),
+    nk AS (
+      SELECT ks.k, CAST(count(*) AS BIGINT) AS n_nodes
+      FROM ks JOIN deg ON deg.d > ks.k GROUP BY 1
+    ),
+    ek AS (
+      SELECT ks.k, CAST(count(*) AS BIGINT) AS n_edges
+      FROM ks
+      JOIN e ON TRUE
+      JOIN deg du ON du.node = e.u
+      JOIN deg dv ON dv.node = e.v
+      WHERE du.d > ks.k AND dv.d > ks.k
+      GROUP BY 1
+    )
+    SELECT nk.k AS k, nk.n_nodes,
+           CAST(coalesce(ek.n_edges, 0) AS BIGINT) AS n_edges,
+           round(CAST(2 * coalesce(ek.n_edges, 0) AS DOUBLE)
+                 / (nk.n_nodes * (nk.n_nodes - 1)), 6) AS phi
+    FROM nk LEFT JOIN ek ON nk.k = ek.k
+    WHERE nk.n_nodes > 1
+    ORDER BY k
+    """,
+)
+def graph_rich_club_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient phi(k) of the brand co-occurrence graph
+    (Zhou & Mondragon 2004): for each degree threshold k, the density of
+    the subgraph induced by nodes with degree > k -- phi(k) = 2 E_k /
+    (N_k (N_k - 1)). A rising phi(k) says the hubs form a club (they
+    interconnect far more than chance); flat-or-falling says hub
+    traffic routes through the periphery. The global-structure
+    companion to graph_degree_assortativity (one correlation) -- this
+    is the full curve that number summarizes.
+
+    Exactness: degrees, N_k, and E_k are exact integer counts over the
+    thresholded subgraphs; phi is one rounded division. k grid =
+    1 .. max_degree - 1, rows emitted only where N_k > 1 (phi defined).
+
+    Scale: everything runs on the attribute-reduced edge relation; the
+    k-grid expansion is |edges| x max_degree pairs at worst -- degree-
+    bounded, never fact-sized; deg broadcasts into both passes."""
+    e = _brand_cooccurrence_edges(spark, sf_dir).localCheckpoint(eager=False)
+    bd = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = bd.groupBy(F.col("u").alias("node")).agg(
+        F.count("*").cast("bigint").alias("d")
+    ).localCheckpoint(eager=False)
+    ks = (
+        deg.agg(F.max("d").cast("int").alias("md"))
+        .select(F.explode(F.sequence(F.lit(1), F.col("md") - 1)).alias("k"))
+        .select(F.col("k").cast("bigint").alias("k"))
+    ).localCheckpoint(eager=False)
+    nk = (
+        ks.join(deg, F.col("d") > F.col("k"))
+        .groupBy("k")
+        .agg(F.count("*").cast("bigint").alias("n_nodes"))
+    )
+    ek = (
+        e.join(F.broadcast(deg.select(F.col("node").alias("u"), F.col("d").alias("du"))), "u")
+        .join(F.broadcast(deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))), "v")
+        .crossJoin(ks)
+        .filter((F.col("du") > F.col("k")) & (F.col("dv") > F.col("k")))
+        .groupBy("k")
+        .agg(F.count("*").cast("bigint").alias("n_edges"))
+    )
+    return (
+        nk.join(ek, "k", "left")
+        .filter(F.col("n_nodes") > 1)
+        .select(
+            "k",
+            "n_nodes",
+            F.coalesce("n_edges", F.lit(0)).cast("bigint").alias("n_edges"),
+            F.round(
+                (2 * F.coalesce("n_edges", F.lit(0))).cast("double")
+                / (F.col("n_nodes") * (F.col("n_nodes") - 1)),
+                6,
+            ).alias("phi"),
+        )
+        .orderBy("k")
+    )

@@ -2786,3 +2786,327 @@ def events_daily_bollinger_breaches(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("day")
     )
+
+
+@register(
+    "customer_revenue_theil_decomposition",
+    tags=("stats", "agg"),
+    oracle="""
+    WITH x AS (
+      SELECT c.c_custkey, n.n_name,
+             CAST(sum(CAST(try_cast(try_cast(o_totalprice AS DECIMAL(18,2)) * 100
+                  AS BIGINT) AS DECIMAL(38,0))) AS BIGINT) AS xc
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      WHERE try_cast(try_cast(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+            IS NOT NULL
+      GROUP BY 1, 2
+      HAVING sum(CAST(try_cast(try_cast(o_totalprice AS DECIMAL(18,2)) * 100
+                 AS BIGINT) AS DECIMAL(38,0))) > 0
+    ),
+    g AS (
+      SELECT n_name, CAST(count(*) AS BIGINT) AS ng,
+             CAST(sum(CAST(xc AS DECIMAL(38,0))) AS BIGINT) AS sg
+      FROM x GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(sum(ng) AS BIGINT) AS n, CAST(sum(sg) AS BIGINT) AS s FROM g
+    ),
+    tg AS (
+      SELECT x.n_name,
+             sum(CAST((CAST(x.xc AS DOUBLE) / g.sg)
+                 * (ln(CAST(x.xc AS DOUBLE)) - ln(CAST(g.sg AS DOUBLE))
+                    + ln(CAST(g.ng AS DOUBLE)))
+                 AS DECIMAL(20,15))) AS t_within_g
+      FROM x JOIN g ON x.n_name = g.n_name
+      GROUP BY 1
+    ),
+    tpop AS (
+      SELECT sum(CAST((CAST(x.xc AS DOUBLE) / tot.s)
+                 * (ln(CAST(x.xc AS DOUBLE)) - ln(CAST(tot.s AS DOUBLE))
+                    + ln(CAST(tot.n AS DOUBLE)))
+                 AS DECIMAL(20,15))) AS t_total
+      FROM x CROSS JOIN tot
+    ),
+    parts AS (
+      SELECT sum(CAST((CAST(g.sg AS DOUBLE) / tot.s) * CAST(tg.t_within_g AS DOUBLE)
+                 AS DECIMAL(20,15))) AS t_within,
+             sum(CAST((CAST(g.sg AS DOUBLE) / tot.s)
+                 * (ln(CAST(g.sg AS DOUBLE)) - ln(CAST(tot.s AS DOUBLE))
+                    - ln(CAST(g.ng AS DOUBLE)) + ln(CAST(tot.n AS DOUBLE)))
+                 AS DECIMAL(20,15))) AS t_between
+      FROM g JOIN tg ON g.n_name = tg.n_name CROSS JOIN tot
+    )
+    SELECT tot.n AS n_customers,
+           CAST(round(CAST(tpop.t_total AS DOUBLE), 6) AS DOUBLE) AS theil_total,
+           CAST(round(CAST(parts.t_within AS DOUBLE), 6) AS DOUBLE) AS theil_within,
+           CAST(round(CAST(parts.t_between AS DOUBLE), 6) AS DOUBLE) AS theil_between
+    FROM tot CROSS JOIN tpop CROSS JOIN parts
+    """,
+)
+def customer_revenue_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality index of customer order revenue, decomposed
+    into WITHIN-nation and BETWEEN-nation components (Theil 1967):
+    T = sum_i (x_i/S) ln(x_i/mu); T = sum_g s_g T_g + sum_g s_g
+    ln(mu_g/mu) with s_g the group's revenue share. The additive
+    decomposition is what Gini (part_revenue_gini_lorenz) cannot give:
+    it answers "is revenue inequality a cross-market story or an
+    in-market story?" -- the panel behind geo pricing and market-entry
+    reviews. Population = customers with positive order revenue.
+
+    Exactness: revenues are exact BIGINT cents (the TOTAL_CENTS total
+    cast); every ln term is a closed form over integer aggregates
+    written as ln(x) - ln(S) + ln(n) (overflow-free; both engines build
+    identical doubles) and snaps to DECIMAL(20,15) before its sum --
+    order-free accumulation, the entropy-op recipe. Share weights keep
+    terms <= ln(n), inside the DECIMAL(20,15) integer headroom.
+
+    Scale: one custkey-grain partial agg over orders (co-partitioned
+    with the customer join), then nation-grain (25-row) relations
+    broadcast back for the per-customer term pass -- two fact-scans
+    worth of work, no global sort, no driver collect."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    cents = F.expr(TOTAL_CENTS)
+    x = (
+        o.filter(cents.isNotNull())
+        .groupBy("o_custkey")
+        .agg(F.sum(cents.cast("decimal(38,0)")).cast("bigint").alias("xc"))
+        .filter(F.col("xc") > 0)
+        .join(F.broadcast(c.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(n.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("n_name", "xc")
+        .localCheckpoint(eager=False)  # g, tg, tpop all consume it
+    )
+    g = x.groupBy("n_name").agg(
+        F.count("*").cast("bigint").alias("ng"),
+        F.sum(F.col("xc").cast("decimal(38,0)")).cast("bigint").alias("sg"),
+    ).localCheckpoint(eager=False)
+    tot = g.agg(
+        F.sum("ng").cast("bigint").alias("n"), F.sum("sg").cast("bigint").alias("s")
+    )
+    xd = F.col("xc").cast("double")
+    tg = (
+        x.join(F.broadcast(g), "n_name")
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                (
+                    (xd / F.col("sg"))
+                    * (F.log(xd) - F.log(F.col("sg").cast("double"))
+                       + F.log(F.col("ng").cast("double")))
+                ).cast("decimal(20,15)")
+            ).alias("t_within_g")
+        )
+    )
+    tpop = (
+        x.crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                (
+                    (xd / F.col("s"))
+                    * (F.log(xd) - F.log(F.col("s").cast("double"))
+                       + F.log(F.col("n").cast("double")))
+                ).cast("decimal(20,15)")
+            ).alias("t_total")
+        )
+    )
+    sgd = F.col("sg").cast("double")
+    parts = (
+        g.join(tg, "n_name")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                ((sgd / F.col("s")) * F.col("t_within_g").cast("double"))
+                .cast("decimal(20,15)")
+            ).alias("t_within"),
+            F.sum(
+                (
+                    (sgd / F.col("s"))
+                    * (F.log(sgd) - F.log(F.col("s").cast("double"))
+                       - F.log(F.col("ng").cast("double"))
+                       + F.log(F.col("n").cast("double")))
+                ).cast("decimal(20,15)")
+            ).alias("t_between"),
+        )
+    )
+    return (
+        tot.crossJoin(F.broadcast(tpop))
+        .crossJoin(F.broadcast(parts))
+        .select(
+            F.col("n").alias("n_customers"),
+            F.round(F.col("t_total").cast("double"), 6).alias("theil_total"),
+            F.round(F.col("t_within").cast("double"), 6).alias("theil_within"),
+            F.round(F.col("t_between").cast("double"), 6).alias("theil_between"),
+        )
+    )
+
+
+@register(
+    "events_quantile_regression_pinball",
+    tags=("stats", "timeseries"),
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t,
+             y
+      FROM (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               CAST(count(*) AS BIGINT) AS y
+        FROM events WHERE ts IS NOT NULL GROUP BY 1
+      )
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS s
+      FROM daily
+    ),
+    grid AS (SELECT CAST(unnest(range(-20, 21)) AS BIGINT) AS k),
+    taus AS (SELECT CAST(unnest([25, 50, 75, 90]) AS BIGINT) AS tau100),
+    r AS (
+      SELECT g.k, d.t,
+             d.y * 1000 * tot.n - g.k * tot.s * d.t AS res
+      FROM daily d CROSS JOIN grid g CROSS JOIN tot
+    ),
+    rk AS (
+      SELECT k, t, res,
+             CAST(row_number() OVER (PARTITION BY k ORDER BY res, t)
+               AS BIGINT) AS rn
+      FROM r
+    ),
+    a AS (
+      SELECT rk.k, taus.tau100, rk.res AS icept
+      FROM rk CROSS JOIN tot CROSS JOIN taus
+      WHERE rk.rn = CAST(ceil(taus.tau100 * tot.n / 100.0) AS BIGINT)
+    ),
+    loss AS (
+      SELECT a.k, a.tau100,
+             sum(CAST(CASE WHEN rk.res > a.icept
+                      THEN a.tau100 * (rk.res - a.icept)
+                      ELSE (100 - a.tau100) * (a.icept - rk.res) END
+                 AS DECIMAL(38,0))) AS pl,
+             any_value(a.icept) AS icept
+      FROM a JOIN rk ON rk.k = a.k
+      GROUP BY 1, 2
+    ),
+    best AS (
+      SELECT tau100, k, icept, pl,
+             row_number() OVER (PARTITION BY tau100 ORDER BY pl, k) AS brk
+      FROM loss
+    )
+    SELECT CAST(tau100 AS DOUBLE) / 100 AS tau,
+           CAST(k AS BIGINT) AS grid_k,
+           round(CAST(k AS DOUBLE) * tot.s / (1000 * tot.n), 6) AS slope_per_day,
+           round(CAST(icept AS DOUBLE) / (1000 * tot.n), 6) AS intercept,
+           round(CAST(pl AS DOUBLE) / (100.0 * 1000 * tot.n * tot.n), 6)
+             AS avg_pinball
+    FROM best CROSS JOIN tot
+    WHERE brk = 1
+    ORDER BY tau
+    """,
+)
+def events_quantile_regression_pinball(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile regression of the daily event count on time by
+    pinball-loss grid search (Koenker & Bassett 1978 check loss): for
+    each tau in {{.25, .5, .75, .9}} and each slope candidate on a
+    41-point grid (+-2% of the mean level per day, in 0.1% steps), the
+    pinball-optimal intercept is the tau-quantile ORDER STATISTIC of the
+    detrended residuals; the reported line is the (slope, intercept)
+    minimizing total pinball loss. Four growth lines instead of OLS's
+    one mean line: the p90 slope vs p50 slope gap says whether PEAK days
+    are growing faster than typical days -- the capacity-planning read
+    (lineitem_theilsen_price_trend is the robust-median cousin; this
+    generalizes to any quantile).
+
+    Exactness: residuals are scaled integers (y*1000n - k*S*t -- exact
+    BIGINT, overflow-audited to 1e17 at 10-year/1e9-events-per-day
+    grain), the intercept is an exact order statistic (rank =
+    ceil(tau*n), (res, t) tie-broken), losses accumulate integer
+    check-weights through DECIMAL(38,0), and the only doubles are the
+    final unit-conversion divisions, rounded once. Argmin tie-breaks
+    (loss, k) ascending.
+
+    Scale: the day grain is calendar-bounded, so the 41-slope x n-day
+    relation stays tiny forever; the rank window partitions by slope.
+    The fact table contributes ONE day-grain partial agg."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.filter(F.col("ts").isNotNull())
+        .groupBy(F.date_trunc("day", "ts").cast("timestamp").alias("day"))
+        .agg(F.count("*").cast("bigint").alias("y"))
+        .select(
+            F.row_number().over(Window.orderBy("day")).cast("bigint").alias("t"),
+            "y",
+        )
+    )
+    tot = daily.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("s"),
+    )
+    grid = spark.range(-20, 21).select(F.col("id").cast("bigint").alias("k"))
+    taus = spark.createDataFrame([(25,), (50,), (75,), (90,)], "tau100 bigint")
+    r = (
+        daily.crossJoin(F.broadcast(grid))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "k",
+            "t",
+            (F.col("y") * 1000 * F.col("n") - F.col("k") * F.col("s") * F.col("t"))
+            .alias("res"),
+        )
+    )
+    rk = r.select(
+        "k", "t", "res",
+        F.row_number().over(Window.partitionBy("k").orderBy("res", "t"))
+        .cast("bigint").alias("rn"),
+    ).localCheckpoint(eager=False)  # the intercept pick and the loss join both consume it
+    a = (
+        rk.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(taus))
+        .filter(
+            F.col("rn")
+            == F.ceil(F.col("tau100") * F.col("n") / 100.0).cast("bigint")
+        )
+        .select("k", "tau100", F.col("res").alias("icept"))
+    )
+    loss = (
+        a.join(rk.select("k", "res"), "k")
+        .groupBy("k", "tau100")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("res") > F.col("icept"),
+                    F.col("tau100") * (F.col("res") - F.col("icept")),
+                )
+                .otherwise((100 - F.col("tau100")) * (F.col("icept") - F.col("res")))
+                .cast("decimal(38,0)")
+            ).alias("pl"),
+            F.first("icept").alias("icept"),
+        )
+    )
+    best = loss.select(
+        "tau100", "k", "icept", "pl",
+        F.row_number().over(Window.partitionBy("tau100").orderBy("pl", "k")).alias("brk"),
+    ).filter(F.col("brk") == 1)
+    return (
+        best.crossJoin(F.broadcast(tot))
+        .select(
+            (F.col("tau100").cast("double") / 100).alias("tau"),
+            F.col("k").cast("bigint").alias("grid_k"),
+            F.round(
+                F.col("k").cast("double") * F.col("s") / (1000 * F.col("n")), 6
+            ).alias("slope_per_day"),
+            F.round(F.col("icept").cast("double") / (1000 * F.col("n")), 6)
+            .alias("intercept"),
+            F.round(
+                F.col("pl").cast("double")
+                / (100.0 * 1000 * F.col("n") * F.col("n")),
+                6,
+            ).alias("avg_pinball"),
+        )
+        .orderBy("tau")
+    )

@@ -1178,3 +1178,87 @@ def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("chars").cast("double") / F.nullif(F.sum("toks"), F.lit(0)), 6
         ).alias("chars_per_token"),
     )
+
+
+@register(
+    "text_term_burstiness",
+    tags=("text", "northstar"),
+    oracle=f"""
+    WITH tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest({TOKENS}) AS term FROM documents)
+      GROUP BY 1, 2
+    ),
+    nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+    agg AS (
+      SELECT term,
+             CAST(sum(tf) AS BIGINT) AS cf,
+             CAST(count(*) AS BIGINT) AS df,
+             CAST(sum(CAST(tf AS DECIMAL(38,0)) * tf) AS BIGINT) AS cf2
+      FROM tf GROUP BY 1 HAVING count(*) >= 5
+    )
+    SELECT term, cf, df,
+           round(CAST(cf AS DOUBLE) / df, 6) AS burstiness,
+           round((CAST(cf2 AS DOUBLE) / nd.n_docs
+                  - (CAST(cf AS DOUBLE) / nd.n_docs)
+                    * (CAST(cf AS DOUBLE) / nd.n_docs))
+                 / (CAST(cf AS DOUBLE) / nd.n_docs), 6) AS vmr
+    FROM agg CROSS JOIN nd
+    ORDER BY burstiness DESC, term
+    LIMIT 30
+    """,
+)
+def text_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-term burstiness: mean within-document frequency E[tf | tf > 0]
+    = cf/df (Church & Gale 1995 -- content words repeat within the
+    documents that use them; function words spread evenly) plus the
+    variance-to-mean ratio of tf over ALL documents (zeros included;
+    VMR = 1 is Poisson, >> 1 is bursty). Top 30 bursty terms at df >= 5.
+    The term-level lens the doc-level events_burstiness (Fano factor
+    over time) and text_zipf_fit (rank law) don't give: it separates
+    topical vocabulary from glue vocabulary, the feature behind
+    stopword induction and keyword extraction.
+
+    Exactness: cf, df, sum(tf^2) are exact integers (tf^2 accumulates
+    through DECIMAL(38,0)); burstiness and VMR are closed forms over
+    those integers -- identical doubles both engines, rounded 6dp;
+    deterministic (burstiness desc, term) cutoff.
+
+    Scale: one (doc, term)-grain partial agg over the exploded corpus
+    (map-side combine eats the token stream), one term-grain agg, a
+    1-row n_docs broadcast, TakeOrderedAndProject for the top-30."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(_tokens()).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    nd = d.agg(F.count("*").cast("bigint").alias("n_docs"))
+    agg = (
+        tf.groupBy("term")
+        .agg(
+            F.sum("tf").cast("bigint").alias("cf"),
+            F.count("*").cast("bigint").alias("df"),
+            F.sum(F.col("tf").cast("decimal(38,0)") * F.col("tf"))
+            .cast("bigint").alias("cf2"),
+        )
+        .filter(F.col("df") >= 5)
+    )
+    cfd = F.col("cf").cast("double")
+    mean = cfd / F.col("n_docs")
+    return (
+        agg.crossJoin(F.broadcast(nd))
+        .select(
+            "term",
+            "cf",
+            "df",
+            F.round(cfd / F.col("df"), 6).alias("burstiness"),
+            F.round(
+                (F.col("cf2").cast("double") / F.col("n_docs") - mean * mean)
+                / mean,
+                6,
+            ).alias("vmr"),
+        )
+        .orderBy(F.col("burstiness").desc(), "term")
+        .limit(30)
+    )

@@ -1020,3 +1020,195 @@ def events_value_pacf3(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(phi22, 6).alias("pacf2"),
         F.round(pacf3, 6).alias("pacf3"),
     )
+
+
+# Holt fold, shared by the linear and seasonal keys. alpha = beta = 0.5
+# keeps every smoothing weight a power of two: the fold is EXACT binary
+# arithmetic over its inputs, and both engines run the identical left
+# fold over the identically-ordered series, so doubles agree bit-for-bit
+# (the stream_ewma_anomaly precedent, extended to two-component state).
+_HOLT_SPARK_FOLD = (
+    "aggregate(slice(vs, 2, size(vs) - 1), "
+    "named_struct('l', element_at(vs, 1), 'b', 0D, 'sae', 0D), "
+    "(acc, x) -> named_struct("
+    "'l', 0.5D * x + 0.5D * (acc.l + acc.b), "
+    "'b', 0.5D * ((0.5D * x + 0.5D * (acc.l + acc.b)) - acc.l) + 0.5D * acc.b, "
+    "'sae', acc.sae + abs(x - (acc.l + acc.b))))"
+)
+# The DuckDB side runs the SAME fold as a recursive CTE over the
+# row_number-indexed series ``ser(i, v)``. NOT list_reduce: DuckDB 1.0
+# evaluates a struct accumulator's fields SEQUENTIALLY inside struct_pack
+# (later fields see already-updated earlier fields -- verified against a
+# hand trace), which silently corrupts any multi-component recurrence.
+# The recursive CTE has standard all-columns-from-the-prior-row semantics.
+_HOLT_DUCK_REC = """
+    rec AS (
+      SELECT i, v AS l, CAST(0 AS DOUBLE) AS b, CAST(0 AS DOUBLE) AS sae
+      FROM ser WHERE i = 1
+      UNION ALL
+      SELECT s.i,
+             0.5 * s.v + 0.5 * (r.l + r.b),
+             0.5 * ((0.5 * s.v + 0.5 * (r.l + r.b)) - r.l) + 0.5 * r.b,
+             r.sae + abs(s.v - (r.l + r.b))
+      FROM rec r JOIN ser s ON s.i = r.i + 1
+    ),
+    fin AS (
+      SELECT r.i AS n, r.l, r.b, r.sae
+      FROM rec r WHERE r.i = (SELECT max(i) FROM ser) AND r.i >= 2
+    )
+"""
+
+
+@register(
+    "events_holt_linear_mae",
+    tags=("timeseries", "forecast"),
+    oracle=f"""
+    WITH RECURSIVE daily AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
+    ),
+    ser AS (
+      SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i,
+             CAST(y AS DOUBLE) AS v
+      FROM daily
+    ),
+    {_HOLT_DUCK_REC}
+    SELECT n AS n_days,
+           floor(sae / (n - 1) * 1e6) / 1e6 AS mae,
+           floor(l * 1e6) / 1e6 AS final_level,
+           floor(b * 1e6) / 1e6 AS final_trend,
+           floor((l + b) * 1e6) / 1e6 AS forecast_next
+    FROM fin
+    """,
+)
+def events_holt_linear_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend exponential smoothing (Holt 1957) over the daily
+    event count with a one-step-ahead MAE backtest: l_1 = y_1, b_1 = 0;
+    f_d = l_(d-1) + b_(d-1); l_d = 0.5 y_d + 0.5 f_d; b_d =
+    0.5 (l_d - l_(d-1)) + 0.5 b_(d-1); MAE = mean |y_d - f_d| over
+    d >= 2. The trend-aware upgrade of events_forecast_baseline_mae's
+    seasonal-naive baseline: the MAE pair tells you whether level+trend
+    structure explains the series before reaching for heavier models,
+    and forecast_next is tomorrow's capacity number.
+
+    Exactness: daily counts are exact integers; alpha = beta = 0.5 makes
+    the fold exact dyadic arithmetic executed in the same order by both
+    engines (see _HOLT_SPARK_FOLD); outputs snap by floor(x * 1e6)/1e6
+    (halves at the 7th digit round differently across engines --
+    truncation is tie-free on identical doubles).
+
+    Scale: ONE day-grain partial agg over the fact scan; the fold runs
+    on a single array bounded by the calendar (365 rows/year), the
+    standard shape for global-series fitting -- per-key variants
+    parallelize the same fold across keys (stream_ewma_anomaly)."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.filter(F.col("ts").isNotNull())
+        .groupBy(F.date_trunc("day", "ts").cast("timestamp").alias("day"))
+        .agg(F.count("*").cast("bigint").alias("y"))
+    )
+    ser = daily.agg(
+        F.expr("array_sort(collect_list(struct(day, CAST(y AS DOUBLE) AS v)))").alias("arr"),
+        F.count("*").cast("bigint").alias("n"),
+    ).filter(F.col("n") >= 2).select(
+        F.expr("transform(arr, x -> x.v)").alias("vs"), "n"
+    )
+    fin = ser.select("n", F.expr(_HOLT_SPARK_FOLD).alias("st"))
+    snap = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
+    return fin.select(
+        F.col("n").alias("n_days"),
+        snap(F.col("st.sae") / (F.col("n") - 1)).alias("mae"),
+        snap(F.col("st.l")).alias("final_level"),
+        snap(F.col("st.b")).alias("final_trend"),
+        snap(F.col("st.l") + F.col("st.b")).alias("forecast_next"),
+    )
+
+
+@register(
+    "events_holt_winters_dow_mae",
+    tags=("timeseries", "forecast"),
+    oracle=f"""
+    WITH RECURSIVE daily AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             dayofweek(CAST(date_trunc('day', ts) AS TIMESTAMP)) AS dw,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+    ),
+    mu AS (
+      SELECT CAST(sum(y) AS DOUBLE) / count(*) AS m FROM daily
+    ),
+    sidx AS (
+      SELECT dw, CAST(sum(y) AS DOUBLE) / count(*) - mu.m AS s
+      FROM daily CROSS JOIN mu GROUP BY dw, mu.m
+    ),
+    ser AS (
+      SELECT CAST(row_number() OVER (ORDER BY daily.day) AS BIGINT) AS i,
+             CAST(daily.y AS DOUBLE) - sidx.s AS v
+      FROM daily JOIN sidx ON daily.dw = sidx.dw
+    ),
+    {_HOLT_DUCK_REC},
+    amp AS (SELECT max(s) - min(s) AS a FROM sidx)
+    SELECT n AS n_days,
+           floor(sae / (n - 1) * 1e6) / 1e6 AS mae,
+           floor(l * 1e6) / 1e6 AS final_level,
+           floor(b * 1e6) / 1e6 AS final_trend,
+           floor(amp.a * 1e6) / 1e6 AS seasonal_amplitude
+    FROM fin CROSS JOIN amp
+    """,
+)
+def events_holt_winters_dow_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters additive weekly baseline (fixed-index variant) with a
+    one-step-ahead MAE backtest: day-of-week seasonal indices s_w =
+    mean(y | dow) - mean(y) computed classically over the window, the
+    series deseasonalized (z_d = y_d - s_dow(d)), then the SAME Holt
+    fold as events_holt_linear_mae runs on z -- the one-step forecast
+    f_d = l + b + s_dow(d) makes the backtest error |y_d - f_d| =
+    |z_d - (l + b)|, i.e. exactly the fold's SAE on z. Fixed seasonal
+    indices (not recursively smoothed) are the documented simplification:
+    they keep the state dyadic-exact and are the standard
+    classical-decomposition initialization of full Holt-Winters. Compare
+    mae here against events_holt_linear_mae: the gap is the revenue of
+    modeling the week.
+
+    Exactness: seasonal indices are single divisions of exact integer
+    sums (identical doubles); the deseasonalized fold is the dyadic Holt
+    fold over identically-ordered identical doubles; floor-snap outputs.
+
+    Scale: day-grain partial agg + a 7-row broadcast index join; the
+    fold array is calendar-bounded."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.filter(F.col("ts").isNotNull())
+        .groupBy(F.date_trunc("day", "ts").cast("timestamp").alias("day"))
+        .agg(F.count("*").cast("bigint").alias("y"))
+        .withColumn("dw", F.dayofweek("day") - 1)  # 0=Sun, DuckDB dayofweek parity
+        .localCheckpoint(eager=False)  # mu, sidx, ser all consume it
+    )
+    mu = daily.agg((F.sum("y").cast("double") / F.count("*")).alias("m"))
+    sidx = (
+        daily.crossJoin(F.broadcast(mu))
+        .groupBy("dw")
+        .agg((F.sum("y").cast("double") / F.count("*") - F.first("m")).alias("s"))
+        .localCheckpoint(eager=False)  # ser + amp consume it
+    )
+    ser = (
+        daily.join(F.broadcast(sidx), "dw")
+        .select("day", (F.col("y").cast("double") - F.col("s")).alias("z"))
+        .agg(
+            F.expr("array_sort(collect_list(struct(day, z)))").alias("arr"),
+            F.count("*").cast("bigint").alias("n"),
+        )
+        .filter(F.col("n") >= 2)
+        .select(F.expr("transform(arr, x -> x.z)").alias("vs"), "n")
+    )
+    amp = sidx.agg((F.max("s") - F.min("s")).alias("a"))
+    fin = ser.select("n", F.expr(_HOLT_SPARK_FOLD).alias("st"))
+    snap = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
+    return fin.crossJoin(F.broadcast(amp)).select(
+        F.col("n").alias("n_days"),
+        snap(F.col("st.sae") / (F.col("n") - 1)).alias("mae"),
+        snap(F.col("st.l")).alias("final_level"),
+        snap(F.col("st.b")).alias("final_trend"),
+        snap(F.col("a")).alias("seasonal_amplitude"),
+    )

@@ -86,6 +86,13 @@ _QUERY_MODULES = [
 # verification via tests/test_oracle_parity.py (mandatory in CI).
 _CHECK_ORDER = [
     # -- new in round 11 (appended as they land; HARD CAP 50 incl. re-attest) --
+    "customer_revenue_theil_decomposition",
+    "text_term_burstiness",
+    "graph_rich_club_coefficient",
+    "cdc_ingestion_sla_by_source",
+    "events_holt_linear_mae",
+    "events_holt_winters_dow_mae",
+    "events_quantile_regression_pinball",
 ]
 # Provenance: the round-10 window, fully attested by CORRECTNESS_r10
 # (46 hash-green + 4 rows-only-clean: graph_label_propagation,

@@ -93,6 +93,13 @@ def test_every_oracle_key_has_a_query(spark):
 # failures (CORRECTNESS_r01-r10 on record).
 _R11_CHECK_WINDOW = [
     # new in round 11 (appended as they are registered; hard cap 50)
+    "customer_revenue_theil_decomposition",
+    "text_term_burstiness",
+    "graph_rich_club_coefficient",
+    "cdc_ingestion_sla_by_source",
+    "events_holt_linear_mae",
+    "events_holt_winters_dow_mae",
+    "events_quantile_regression_pinball",
 ]
 
 

@@ -1,0 +1,89 @@
+"""Round-11 operator gates: closed-form checks for the Holt fold pair,
+the Theil decomposition identity, quantile-regression pinball geometry,
+and the rich-club curve's structural invariants.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from change_data_capture_service_spark import registry
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _load():
+    registry.load_all()
+
+
+def test_holt_fold_hand_trace(spark):
+    """y = [10, 12, 15], alpha = beta = 0.5: l2 = 11, b2 = 0.5, sae2 = 2;
+    l3 = 13.25, b3 = 1.375, sae3 = 5.5 -- the dyadic-exact hand trace the
+    oracle's recursive CTE must also reproduce (it does; the DuckDB
+    list_reduce struct-accumulator form was REJECTED because struct_pack
+    mutates accumulator fields sequentially)."""
+    from change_data_capture_service_spark.operators.timeseries import _HOLT_SPARK_FOLD
+
+    df = spark.createDataFrame([([10.0, 12.0, 15.0],)], "vs array<double>")
+    st = df.select(F.expr(_HOLT_SPARK_FOLD).alias("st")).collect()[0]["st"]
+    assert st["l"] == 13.25
+    assert st["b"] == 1.375
+    assert st["sae"] == 5.5
+
+
+def test_holt_single_day_series_emits_nothing(spark, tmp_path):
+    """A 1-day corpus has no one-step-ahead backtest: both Holt keys must
+    return zero rows, not a divide-by-zero row."""
+    import shutil
+
+    src = "/root/testdata/sf0.001"
+    d = tmp_path / "sf"
+    d.mkdir()
+    for t in ["events"]:
+        spark.read.parquet(f"{src}/{t}.parquet").withColumn(
+            "ts", F.lit("2024-01-01 00:00:00").cast("timestamp")
+        ).write.mode("overwrite").parquet(str(d / f"{t}.parquet"))
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "documents", "embeddings"]:
+        shutil.copy(f"{src}/{t}.parquet", str(d / f"{t}.parquet"))
+    for key in ["events_holt_linear_mae", "events_holt_winters_dow_mae"]:
+        assert registry.get(key).fn(spark, str(d)).count() == 0, key
+
+
+def test_theil_decomposition_identity(spark, sf_dir):
+    """within + between must reconstruct the independently-computed total
+    (additive decomposition, up to the 6dp output grain)."""
+    row = registry.get("customer_revenue_theil_decomposition").fn(spark, sf_dir).collect()[0]
+    assert row["theil_total"] >= 0
+    assert row["theil_within"] >= 0 and row["theil_between"] >= 0
+    assert abs(row["theil_total"] - (row["theil_within"] + row["theil_between"])) < 2e-6
+
+
+def test_quantile_regression_monotone_intercepts(spark, sf_dir):
+    """Higher tau lines sit higher: at the best slope per tau, the
+    intercept (tau-quantile of residuals) must be nondecreasing in tau
+    when slopes agree, and avg_pinball is nonnegative always."""
+    rows = registry.get("events_quantile_regression_pinball").fn(spark, sf_dir).collect()
+    assert len(rows) == 4
+    assert all(r["avg_pinball"] >= 0 for r in rows)
+    by_tau = {r["tau"]: r for r in rows}
+    assert set(by_tau) == {0.25, 0.5, 0.75, 0.9}
+    # p90 line forecast at the series midpoint must be >= p25 line's
+    # (quantile lines cannot cross at the pinball optimum's anchor point)
+    n_mid = 0.5  # normalized midpoint; slopes are per-day so compare at t=0 anchor + mid
+    lo, hi = by_tau[0.25], by_tau[0.9]
+    assert hi["intercept"] + hi["slope_per_day"] * n_mid >= lo["intercept"] + lo["slope_per_day"] * n_mid - 1e-6
+
+
+def test_rich_club_curve_invariants(spark, sf_dir):
+    """phi in [0, 1]; N_k strictly decreases as k rises (deg > k nests);
+    every k has n_nodes > 1 by construction."""
+    rows = registry.get("graph_rich_club_coefficient").fn(spark, sf_dir).collect()
+    assert rows
+    prev_n = None
+    for r in sorted(rows, key=lambda r: r["k"]):
+        assert 0.0 <= r["phi"] <= 1.0
+        assert r["n_nodes"] > 1
+        if prev_n is not None:
+            assert r["n_nodes"] <= prev_n
+        prev_n = r["n_nodes"]
