@@ -521,3 +521,101 @@ def knn_recall_vs_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.orderBy("n_probe").localCheckpoint()  # before scratch rm
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+def cell_balance_profile(spark: SparkSession, *, index_dir) -> DataFrame:
+    """Cell-size balance profile of a persisted IVF index: the skew
+    numbers that predict query tail latency (a probe into the biggest
+    cell costs max_cell/p50_cell times the median probe; at 10^9 vectors
+    an unbalanced coarse quantizer IS the p99). One row:
+    n_cells_nonempty, n_vectors, min/p50/max cell size, the coefficient
+    of variation, the largest-cell share, and the Gini of cell sizes.
+
+    Reads ONLY the codes partition footprint (cell column + count --
+    parquet column pruning keeps the scan to partition keys), so the
+    profile is cheap enough to run after every extend_ann_index delta.
+    The serving-config companion to knn_recall_vs_nprobe_curve: that
+    curve picks n_probe, this one tells you whether cell sizes make the
+    probe cost uniform."""
+    path = _check_index_dir(index_dir)
+    sizes = (
+        spark.read.parquet(f"{path}/codes")
+        .groupBy("cell")
+        .agg(F.count("*").cast("bigint").alias("sz"))
+        .localCheckpoint(eager=False)  # the profile aggregates it twice
+    )
+    w = Window.orderBy("sz", "cell")  # n_cells rows: bounded by the quantizer
+    ranked = sizes.select(
+        "sz", F.row_number().over(w).cast("bigint").alias("i")
+    )
+    return (
+        ranked.agg(
+            F.count("*").cast("bigint").alias("n_cells_nonempty"),
+            F.sum("sz").cast("bigint").alias("n_vectors"),
+            F.min("sz").cast("bigint").alias("min_cell"),
+            F.percentile(F.col("sz").cast("double"), F.lit(0.5)).alias("p50"),
+            F.max("sz").cast("bigint").alias("max_cell"),
+            F.sum(F.col("sz").cast("decimal(38,0)") * F.col("sz"))
+            .cast("double").alias("s2"),
+            F.sum((2 * F.col("i") - 1) * F.col("sz"))
+            .cast("double").alias("gnum"),
+        )
+        .select(
+            "n_cells_nonempty",
+            "n_vectors",
+            "min_cell",
+            F.round("p50", 6).alias("p50_cell"),
+            "max_cell",
+            F.round(
+                F.sqrt(
+                    F.greatest(
+                        F.col("s2") / F.col("n_cells_nonempty")
+                        - (F.col("n_vectors").cast("double") / F.col("n_cells_nonempty"))
+                        * (F.col("n_vectors").cast("double") / F.col("n_cells_nonempty")),
+                        F.lit(0.0),
+                    )
+                )
+                / (F.col("n_vectors").cast("double") / F.col("n_cells_nonempty")),
+                6,
+            ).alias("cv"),
+            F.round(
+                F.col("max_cell").cast("double") / F.col("n_vectors"), 6
+            ).alias("max_share"),
+            F.round(
+                F.col("gnum") / (F.col("n_cells_nonempty") * F.col("n_vectors"))
+                - (F.col("n_cells_nonempty") + 1).cast("double")
+                / F.col("n_cells_nonempty"),
+                6,
+            ).alias("gini"),
+        )
+    )
+
+
+@register("ann_index_cell_balance_profile", tags=("similarity", "monitor"))
+# rows-only by design: the profile reads an engine-built index artifact
+# (no reference-free SQL twin); balanced-vs-skewed geometry is pinned in
+# tests/test_ann_index.py.
+def ann_index_cell_balance_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered form of ``cell_balance_profile``: build the persisted
+    index into scratch (the knn_cosine_ivf_pq_prebuilt discipline), then
+    profile its cell-size histogram -- the serving-config panel's missing
+    skew axis (round-10 verdict task: recall-vs-nprobe existed, the
+    tail-latency predictor did not)."""
+    import shutil
+    import tempfile
+
+    vec = _vectors(spark, sf_dir)
+    if len(vec.take(2)) < 2:
+        return spark.createDataFrame(
+            [],
+            "n_cells_nonempty bigint, n_vectors bigint, min_cell bigint, "
+            "p50_cell double, max_cell bigint, cv double, max_share double, "
+            "gini double",
+        )
+    scratch = tempfile.mkdtemp(prefix="ann_balance_")
+    try:
+        vec = vec.localCheckpoint()
+        build_ann_index(spark, vec, index_dir=scratch)
+        return cell_balance_profile(spark, index_dir=scratch).localCheckpoint()
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)

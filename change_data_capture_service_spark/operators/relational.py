@@ -3936,3 +3936,148 @@ def customer_supplier_colocation_share(spark: SparkSession, sf_dir: str) -> Data
         )
         .orderBy("customer_region")
     )
+
+
+@register(
+    "customer_acquisition_propensity",
+    tags=("warehouse", "analytics"),
+    oracle="""
+    WITH bal AS (
+      SELECT c_custkey,
+             try_cast(try_cast(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS bal_c
+      FROM customer
+    ),
+    avgpos AS (
+      SELECT CAST(sum(CASE WHEN bal_c > 0 THEN CAST(bal_c AS DECIMAL(38,0))
+                      ELSE 0 END) AS DOUBLE)
+             / nullif(sum(CASE WHEN bal_c > 0 THEN 1 ELSE 0 END), 0) AS ab
+      FROM bal
+    ),
+    anchor AS (
+      SELECT CAST(date_trunc('day', max(o_orderdate)) AS TIMESTAMP) AS now_d
+      FROM orders
+    ),
+    last_ord AS (
+      SELECT o_custkey,
+             CAST(date_trunc('day', max(o_orderdate)) AS TIMESTAMP) AS last_d,
+             CAST(sum(CAST(try_cast(try_cast(o_totalprice AS DECIMAL(18,2)) * 100
+                  AS BIGINT) AS DECIMAL(38,0))) AS BIGINT) AS rev_c
+      FROM orders
+      WHERE try_cast(try_cast(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+            IS NOT NULL
+      GROUP BY 1
+    ),
+    seg AS (
+      SELECT CASE WHEN bal.bal_c IS NULL THEN 'unknown'
+                  WHEN CAST(bal.bal_c AS DOUBLE) > avgpos.ab THEN 'high_balance'
+                  ELSE 'low_balance' END AS balance_tier,
+             CASE WHEN last_ord.o_custkey IS NULL THEN 'never_ordered'
+                  WHEN date_diff('day', last_ord.last_d, anchor.now_d) <= 90
+                    THEN 'active_90d'
+                  WHEN date_diff('day', last_ord.last_d, anchor.now_d) <= 365
+                    THEN 'lapsing_1y'
+                  ELSE 'dormant' END AS recency_bucket,
+             bal.bal_c, last_ord.rev_c
+      FROM bal
+      LEFT JOIN last_ord ON bal.c_custkey = last_ord.o_custkey
+      CROSS JOIN avgpos CROSS JOIN anchor
+    )
+    SELECT balance_tier, recency_bucket,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(CAST(sum(CAST(coalesce(bal_c, 0) AS DECIMAL(38,0))) AS DOUBLE)
+                 / count(*) / 100, 6) AS avg_balance,
+           round(CAST(sum(CAST(coalesce(rev_c, 0) AS DECIMAL(38,0))) AS DOUBLE)
+                 / 100, 6) AS total_past_revenue
+    FROM seg
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def customer_acquisition_propensity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acquisition/reactivation propensity grid -- the TPC-H Q22 idea
+    (positive-balance customers with no recent orders are the
+    acquisition pool, ``tpch_q22_idle_customers``) generalized to the
+    full (balance tier) x (recency bucket) matrix: high-balance
+    never-ordered = acquisition targets; high-balance dormant =
+    reactivation targets; low-balance active = the churn-risk floor.
+    Cells carry count, mean balance, and accumulated past revenue --
+    the sizing numbers a campaign brief needs.
+
+    Exactness: balances and revenues are exact BIGINT cents; the
+    positive-balance mean is one division (the Q22 threshold form);
+    recency is exact day arithmetic against the corpus max order date
+    (deterministic anchor, the cdc_replication_lag convention);
+    try_cast totality on both money columns.
+
+    Scale: one custkey-grain partial agg over orders, one broadcast
+    1-row anchor + 1-row threshold, a customer-side left join
+    co-partitioned on custkey; output is a <= 12-cell grid."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    bal_c = F.expr(
+        "try_cast(try_cast(c_acctbal AS decimal(18,2)) * 100 AS bigint)"
+    )
+    bal = c.select("c_custkey", bal_c.alias("bal_c"))
+    avgpos = bal.agg(
+        (
+            F.sum(
+                F.when(F.col("bal_c") > 0, F.col("bal_c").cast("decimal(38,0)"))
+                .otherwise(F.lit(0).cast("decimal(38,0)"))
+            ).cast("double")
+            / F.nullif(
+                F.sum(F.when(F.col("bal_c") > 0, 1).otherwise(0)), F.lit(0)
+            )
+        ).alias("ab")
+    )
+    anchor = o.agg(
+        F.date_trunc("day", F.max("o_orderdate")).cast("timestamp").alias("now_d")
+    )
+    rev_c = F.expr(_TOTAL_C)
+    last_ord = (
+        o.filter(rev_c.isNotNull())
+        .groupBy("o_custkey")
+        .agg(
+            F.date_trunc("day", F.max("o_orderdate")).cast("timestamp").alias("last_d"),
+            F.sum(rev_c.cast("decimal(38,0)")).cast("bigint").alias("rev_c"),
+        )
+    )
+    days = F.datediff(F.col("now_d"), F.col("last_d"))
+    seg = (
+        bal.join(last_ord, bal["c_custkey"] == last_ord["o_custkey"], "left")
+        .crossJoin(F.broadcast(avgpos))
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            F.when(F.col("bal_c").isNull(), "unknown")
+            .when(F.col("bal_c").cast("double") > F.col("ab"), "high_balance")
+            .otherwise("low_balance")
+            .alias("balance_tier"),
+            F.when(F.col("o_custkey").isNull(), "never_ordered")
+            .when(days <= 90, "active_90d")
+            .when(days <= 365, "lapsing_1y")
+            .otherwise("dormant")
+            .alias("recency_bucket"),
+            "bal_c",
+            "rev_c",
+        )
+    )
+    return (
+        seg.groupBy("balance_tier", "recency_bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            F.round(
+                F.sum(F.coalesce(F.col("bal_c"), F.lit(0)).cast("decimal(38,0)"))
+                .cast("double")
+                / F.count("*")
+                / 100,
+                6,
+            ).alias("avg_balance"),
+            F.round(
+                F.sum(F.coalesce(F.col("rev_c"), F.lit(0)).cast("decimal(38,0)"))
+                .cast("double")
+                / 100,
+                6,
+            ).alias("total_past_revenue"),
+        )
+        .orderBy("balance_tier", "recency_bucket")
+    )

@@ -93,6 +93,10 @@ _CHECK_ORDER = [
     "events_holt_linear_mae",
     "events_holt_winters_dow_mae",
     "events_quantile_regression_pinball",
+    "ann_index_cell_balance_profile",
+    "multimodal_metadata_panel",
+    "multimodal_stratified_frame_budget",
+    "customer_acquisition_propensity",
 ]
 # Provenance: the round-10 window, fully attested by CORRECTNESS_r10
 # (46 hash-green + 4 rows-only-clean: graph_label_propagation,

@@ -288,3 +288,51 @@ def test_hubness_fold_consumes_ann_index_edges(spark, sf_dir, tmp_path):
         map(str, registry.get("knn_hubness_profile").fn(spark, sf_dir).collect())
     )
     assert got == want
+
+
+def test_cell_balance_profile_balanced_vs_skewed(spark, tmp_path):
+    """Cell-size skew geometry: 16 equal-size well-separated clusters must
+    profile near-uniform (max_share ~ 1/16, gini ~ 0); the same corpus
+    with 85% of mass in ONE tight cluster must report the concentration
+    (max_share >= 0.5, gini far from 0). The numbers a serving-config
+    review reads before trusting p50 probe cost as the p99."""
+    import random
+
+    from change_data_capture_service_spark.operators.ann_index import (
+        build_ann_index,
+        cell_balance_profile,
+    )
+
+    rng = random.Random(7)
+    dim = 8
+
+    def corpus(sizes):
+        rows, vid = [], 0
+        for c, n in enumerate(sizes):
+            center = [0.0] * dim
+            center[c % dim] = 10.0 * (1 + c // dim)  # well-separated axes
+            for _ in range(n):
+                v = [center[j] + rng.uniform(-0.05, 0.05) for j in range(dim)]
+                nrm = sum(x * x for x in v) ** 0.5
+                rows.append((vid, v, nrm))
+                vid += 1
+        return spark.createDataFrame(
+            rows, "vec_id long, v array<double>, nrm double"
+        )
+
+    balanced = corpus([40] * 16)
+    d1 = str(tmp_path / "bal")
+    build_ann_index(spark, balanced, index_dir=d1, n_cells=16)
+    b = cell_balance_profile(spark, index_dir=d1).collect()[0]
+    assert b["n_vectors"] == 640
+    assert b["max_share"] <= 0.15, b
+    assert b["gini"] <= 0.25, b
+
+    skewed = corpus([544] + [6] * 16)  # 85% of 640 in cluster 0
+    d2 = str(tmp_path / "skew")
+    build_ann_index(spark, skewed, index_dir=d2, n_cells=16)
+    s = cell_balance_profile(spark, index_dir=d2).collect()[0]
+    assert s["n_vectors"] == 640
+    assert s["max_share"] >= 0.5, s
+    assert s["gini"] > b["gini"], (s, b)
+    assert s["cv"] > b["cv"], (s, b)

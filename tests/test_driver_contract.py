@@ -100,6 +100,10 @@ _R11_CHECK_WINDOW = [
     "events_holt_linear_mae",
     "events_holt_winters_dow_mae",
     "events_quantile_regression_pinball",
+    "ann_index_cell_balance_profile",
+    "multimodal_metadata_panel",
+    "multimodal_stratified_frame_budget",
+    "customer_acquisition_propensity",
 ]
 
 

@@ -87,3 +87,33 @@ def test_rich_club_curve_invariants(spark, sf_dir):
         if prev_n is not None:
             assert r["n_nodes"] <= prev_n
         prev_n = r["n_nodes"]
+
+
+def test_frame_budget_sums_exactly(spark, sf_dir):
+    """Largest-remainder apportionment: allocations must sum EXACTLY to
+    FRAME_BUDGET and never exceed a stratum's supply-proportional share
+    by more than 1 frame."""
+    from change_data_capture_service_spark.operators.multimodal import FRAME_BUDGET
+
+    rows = registry.get("multimodal_stratified_frame_budget").fn(spark, sf_dir).collect()
+    assert rows
+    assert sum(r["alloc_frames"] for r in rows) == FRAME_BUDGET
+    total_frames = sum(r["n_frames"] for r in rows)
+    for r in rows:
+        ideal = FRAME_BUDGET * r["n_frames"] / total_frames
+        assert abs(r["alloc_frames"] - ideal) < 1.0 + 1e-9, (r, ideal)
+
+
+def test_propensity_grid_partitions_customers(spark, sf_dir):
+    """Every customer lands in exactly one (tier, recency) cell: cell
+    counts must sum to the customer table row count."""
+    from change_data_capture_service_spark.catalog import load_table
+
+    rows = registry.get("customer_acquisition_propensity").fn(spark, sf_dir).collect()
+    n_cust = load_table(spark, sf_dir, "customer").count()
+    assert sum(r["n_customers"] for r in rows) == n_cust
+    assert all(
+        r["balance_tier"] in {"high_balance", "low_balance", "unknown"}
+        and r["recency_bucket"] in {"active_90d", "lapsing_1y", "dormant", "never_ordered"}
+        for r in rows
+    )

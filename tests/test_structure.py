@@ -67,6 +67,7 @@ def test_rows_only_set_is_exactly_the_documented_one():
         "graph_label_propagation",  # iterative LPA; constructed-graph gates in test_round15_ops
         "graph_betweenness_brandes",  # iterative Brandes; closed-form gates in test_round15_ops
         "knn_mmr_diversified",  # greedy rounds; redundancy-skip gate in test_round15_ops
+        "ann_index_cell_balance_profile",  # reads an engine-built index artifact; balanced-vs-skewed gate in test_ann_index
     }, rows_only
 
 
