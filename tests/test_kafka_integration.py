@@ -50,6 +50,7 @@ def _broker_reachable(brokers: str) -> bool:
 # xfail(run=False), not skip: the suite reports ONE expected failure with
 # the full justification instead of two silent perpetual skips. See the
 # module docstring for why the jar cannot be vendored in this sandbox.
+# Deploy incantation: RUNBOOK.md §1 (Kafka).
 needs_broker = pytest.mark.xfail(
     condition=not _broker_reachable(BROKERS),
     reason=(

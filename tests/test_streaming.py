@@ -450,7 +450,7 @@ needs_protobuf = pytest.mark.xfail(
         "transformWithStateInPandas execution needs the google.protobuf "
         "runtime for its state-server protocol; not installable in-sandbox "
         "(no network, no wheel cache). Plan construction is still covered "
-        "by test_last_touch_tws_plan_builds."
+        "by test_last_touch_tws_plan_builds. Deploy: RUNBOOK.md s4."
     ),
     run=False,
 )

@@ -114,7 +114,7 @@ def test_live_frames_decode_identically_to_fixtures(spark):
 
 @pytest.mark.skipif(
     not os.environ.get("SPARK_GRAFT_PG_DSN"),
-    reason="no live Postgres in this sandbox (set SPARK_GRAFT_PG_DSN=host:port:db:user:pass)",
+    reason="no live Postgres in this sandbox (set SPARK_GRAFT_PG_DSN=host:port:db:user:pass; RUNBOOK.md s3)",
 )
 def test_against_live_postgres():
     host, port, db, user, pw = os.environ["SPARK_GRAFT_PG_DSN"].split(":")
