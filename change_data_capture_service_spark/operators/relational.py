@@ -4081,3 +4081,95 @@ def customer_acquisition_propensity(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("balance_tier", "recency_bucket")
     )
+
+
+@register(
+    "supplier_ship_latency_profile",
+    tags=("warehouse", "analytics"),
+    oracle="""
+    WITH lat AS (
+      SELECT s.s_nationkey,
+             date_diff('day',
+                       CAST(date_trunc('day', o.o_orderdate) AS TIMESTAMP),
+                       CAST(date_trunc('day', l.l_shipdate) AS TIMESTAMP))
+               AS delay_d
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE o.o_orderdate IS NOT NULL AND l.l_shipdate IS NOT NULL
+    )
+    SELECT n.n_name AS supplier_nation,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           round(CAST(sum(delay_d) AS DOUBLE) / count(*), 6) AS avg_delay_days,
+           round(quantile_cont(CAST(delay_d AS DOUBLE), 0.9), 6) AS p90_delay_days,
+           CAST(max(delay_d) AS BIGINT) AS max_delay_days,
+           round(CAST(sum(CASE WHEN delay_d > 90 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS pct_over_90d
+    FROM lat JOIN nation n ON lat.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    ORDER BY supplier_nation
+    """,
+)
+def supplier_ship_latency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency per supplier nation: mean, p90, and max
+    days from order date to line ship date plus the share of lines over
+    a 90-day fulfillment budget -- the supplier-performance panel behind
+    tpch_q21_waiting_suppliers (that one names late suppliers; this
+    quantifies HOW late each market runs, which is what vendor reviews
+    and lead-time buffers are set from).
+
+    Exactness: delays are exact integer day differences on day-truncated
+    timestamps; shares and means are single divisions of integer
+    aggregates; p90 interpolates the identical integer list both sides
+    (the events_interarrival_stats precedent).
+
+    Scale: the lineitem-orders join co-partitions on orderkey; supplier
+    and nation broadcast; per-nation partial agg -- 25 output rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    lat = (
+        li.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .filter(F.col("l_shipdate").isNotNull())
+        .join(
+            o.select("o_orderkey", "o_orderdate").filter(
+                F.col("o_orderdate").isNotNull()
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(s.select("s_suppkey", "s_nationkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select(
+            "s_nationkey",
+            F.datediff(
+                F.date_trunc("day", "l_shipdate").cast("timestamp"),
+                F.date_trunc("day", "o_orderdate").cast("timestamp"),
+            ).alias("delay_d"),
+        )
+    )
+    return (
+        lat.join(
+            F.broadcast(n.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(F.col("n_name").alias("supplier_nation"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            F.round(F.sum("delay_d").cast("double") / F.count("*"), 6).alias(
+                "avg_delay_days"
+            ),
+            F.round(
+                F.percentile(F.col("delay_d").cast("double"), F.lit(0.9)), 6
+            ).alias("p90_delay_days"),
+            F.max("delay_d").cast("bigint").alias("max_delay_days"),
+            F.round(
+                F.sum(F.when(F.col("delay_d") > 90, 1).otherwise(0)).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("pct_over_90d"),
+        )
+        .orderBy("supplier_nation")
+    )

@@ -2214,3 +2214,149 @@ def knn_mmr_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mmr_diversify(
         cands.select("query_id", "neighbor_id", "cosine", "v", "nrm")
     ).orderBy("query_id", "mmr_rank")
+
+
+# TwoNN runs on a deterministic id-ordered sample: the estimator is
+# sample-based by design (Facco et al. 2017 report stability from a few
+# hundred points), and the bound prices the quadratic pair space
+# permanently -- 512 points = 131k ordered pairs at ANY corpus scale.
+TWONN_SAMPLE = 512
+
+
+@register(
+    "embedding_intrinsic_dim_twonn",
+    tags=("similarity", "northstar"),
+    oracle=f"""
+    WITH vm AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(floor(x * 1e6) AS BIGINT)) AS m
+      FROM embeddings
+      WHERE vec_id < {TWONN_SAMPLE}
+        AND NOT list_has_any(list_transform(CAST(embedding AS DOUBLE[]),
+                             x -> isnan(x) OR NOT isfinite(x)), [TRUE])
+    ),
+    pairs AS (
+      SELECT a.vec_id AS ai, b.vec_id AS bi,
+             list_sum(list_transform(
+               list_zip(a.m, b.m),
+               p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dsq
+      FROM vm a JOIN vm b ON a.vec_id <> b.vec_id
+    ),
+    rk AS (
+      SELECT ai, dsq,
+             row_number() OVER (PARTITION BY ai ORDER BY dsq, bi) AS rn
+      FROM pairs
+    ),
+    two AS (
+      SELECT d1.ai,
+             d1.dsq AS d1sq,
+             d2.dsq AS d2sq
+      FROM (SELECT ai, dsq FROM rk WHERE rn = 1) d1
+      JOIN (SELECT ai, dsq FROM rk WHERE rn = 2) d2 ON d1.ai = d2.ai
+    ),
+    est AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_all,
+             CAST(sum(CASE WHEN d1sq > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_used,
+             sum(CAST(CASE WHEN d1sq > 0
+                 THEN 0.5 * (ln(CAST(d2sq AS DOUBLE)) - ln(CAST(d1sq AS DOUBLE)))
+                 ELSE 0 END AS DECIMAL(20,15))) AS lsum
+      FROM two
+    )
+    SELECT n_used AS n_vectors,
+           CAST(n_all - n_used AS BIGINT) AS n_degenerate,
+           round(CAST(lsum AS DOUBLE) / nullif(n_used, 0), 6) AS mean_ln_mu,
+           round(n_used / nullif(CAST(lsum AS DOUBLE), 0), 6) AS intrinsic_dim
+    FROM est
+    """,
+)
+def embedding_intrinsic_dim_twonn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intrinsic dimension of the embedding cloud by the TwoNN estimator
+    (Facco et al. 2017): for each sample point, mu = d2/d1 (its two
+    nearest-neighbor distances); under a locally-uniform density, mu is
+    Pareto(ID) and the MLE is ID = n / sum ln(mu). The number that says
+    how much of the AMBIENT dimension the data actually uses: an ID of
+    ~10 in a 64-dim space means IVF/PQ have room to compress; ID near
+    the ambient dim predicts ANN recall pain. Complements
+    embedding_dim_profile (per-axis variance -- linear structure) and
+    embedding_isotropy (global angle spread) with the NONLINEAR
+    manifold's dimension.
+
+    Exactness: components quantize to a 1e-6 floor grid (integer BIGINT
+    coordinates -- the embedding_isotropy discipline), so squared
+    distances are exact integers with order-free sums; neighbor ranks
+    tie-break by id; each ln-ratio snaps to DECIMAL(20,15) before the
+    order-free sum; duplicate points (d1 = 0) are excluded from the MLE
+    and REPORTED as n_degenerate instead of poisoning the log.
+
+    Scale: the {TWONN_SAMPLE}-point id-ordered sample bounds the pair
+    space forever; at 10^9 vectors the same estimator runs on the same
+    sample (the published estimator IS sample-based), with the 2-NN
+    search optionally served by the persisted ANN index instead of the
+    exact pair join."""
+    e = load_table(spark, sf_dir, "embeddings")
+    vm = (
+        e.filter(F.col("vec_id") < TWONN_SAMPLE)
+        .select(
+            "vec_id",
+            F.expr(
+                "transform(CAST(embedding AS array<double>),"
+                " x -> CAST(floor(x * 1e6) AS BIGINT))"
+            ).alias("m"),
+            F.expr(
+                "exists(CAST(embedding AS array<double>),"
+                " x -> isnan(x) OR x = double('inf') OR x = double('-inf'))"
+            ).alias("bad"),
+        )
+        .filter(~F.col("bad"))
+        .drop("bad")
+        .localCheckpoint(eager=False)  # both sides of the pair join
+    )
+    a = vm.select(F.col("vec_id").alias("ai"), F.col("m").alias("ma"))
+    b = vm.select(F.col("vec_id").alias("bi"), F.col("m").alias("mb"))
+    pairs = a.join(b, F.col("ai") != F.col("bi")).select(
+        "ai",
+        "bi",
+        F.expr(
+            "aggregate(zip_with(ma, mb, (x, y) -> (x - y) * (x - y)),"
+            " 0L, (acc, z) -> acc + z)"
+        ).alias("dsq"),
+    )
+    w = Window.partitionBy("ai").orderBy("dsq", "bi")
+    rk = pairs.select("ai", "dsq", F.row_number().over(w).alias("rn")).filter(
+        F.col("rn") <= 2
+    )
+    two = (
+        rk.filter(F.col("rn") == 1)
+        .select("ai", F.col("dsq").alias("d1sq"))
+        .join(
+            rk.filter(F.col("rn") == 2).select("ai", F.col("dsq").alias("d2sq")),
+            "ai",
+        )
+    )
+    est = two.agg(
+        F.count("*").cast("bigint").alias("n_all"),
+        F.sum(F.when(F.col("d1sq") > 0, 1).otherwise(0)).cast("bigint").alias("n_used"),
+        F.sum(
+            F.when(
+                F.col("d1sq") > 0,
+                0.5
+                * (
+                    F.log(F.col("d2sq").cast("double"))
+                    - F.log(F.col("d1sq").cast("double"))
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .cast("decimal(20,15)")
+        ).alias("lsum"),
+    )
+    return est.select(
+        F.col("n_used").alias("n_vectors"),
+        (F.col("n_all") - F.col("n_used")).cast("bigint").alias("n_degenerate"),
+        F.round(
+            F.col("lsum").cast("double") / F.nullif(F.col("n_used"), F.lit(0)), 6
+        ).alias("mean_ln_mu"),
+        F.round(
+            F.col("n_used") / F.nullif(F.col("lsum").cast("double"), F.lit(0.0)), 6
+        ).alias("intrinsic_dim"),
+    )

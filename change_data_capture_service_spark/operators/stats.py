@@ -3110,3 +3110,106 @@ def events_quantile_regression_pinball(spark: SparkSession, sf_dir: str) -> Data
         )
         .orderBy("tau")
     )
+
+
+@register(
+    "orders_pareto_tail_index",
+    tags=("stats", "agg"),
+    oracle=f"""
+    WITH c AS (
+      SELECT {TOTAL_CENTS} AS cents, o_orderkey FROM orders
+      WHERE {TOTAL_CENTS} IS NOT NULL AND {TOTAL_CENTS} > 0
+    ),
+    top AS (
+      SELECT cents,
+             CAST(row_number() OVER (ORDER BY cents DESC, o_orderkey)
+               AS BIGINT) AS rk
+      FROM c QUALIFY rk <= 100
+    ),
+    xk AS (SELECT cents AS xk_c FROM top WHERE rk = (SELECT max(rk) FROM top)),
+    h AS (
+      SELECT CAST(max(top.rk) AS BIGINT) AS k,
+             sum(CAST(CASE WHEN top.rk < (SELECT max(rk) FROM top)
+                 THEN ln(CAST(top.cents AS DOUBLE)) - ln(CAST(xk.xk_c AS DOUBLE))
+                 ELSE 0 END AS DECIMAL(20,15))) AS lsum
+      FROM top CROSS JOIN xk
+    )
+    SELECT h.k,
+           round(CAST(xk.xk_c AS DOUBLE) / 100, 6) AS threshold_dollars,
+           round(CAST(h.lsum AS DOUBLE) / (h.k - 1), 6) AS hill_h,
+           round((h.k - 1) / nullif(CAST(h.lsum AS DOUBLE), 0), 6) AS tail_alpha
+    FROM h CROSS JOIN xk
+    WHERE h.k >= 2
+    """,
+)
+def orders_pareto_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto tail index of order values by the Hill estimator (Hill
+    1975) over the top-100 order totals: H = mean of ln(x_i / x_(k)) for
+    the k-1 largest observations above the k-th, alpha = 1/H. alpha ~ 1
+    is a catastrophically heavy tail (whale orders dominate revenue);
+    alpha > 3 is effectively light. The parametric companion to
+    orders_abc_pareto (that reads concentration off the empirical curve;
+    this fits the tail law that EXTRAPOLATES beyond observed maxima --
+    the number revenue-at-risk and stress scenarios are built on).
+
+    Exactness: the top-k cut is deterministic ((cents desc, orderkey)
+    rank); each ln term is a difference of lns of exact integer cents,
+    snapped to DECIMAL(20,15) before the order-free sum; alpha is one
+    guarded division (nullif for the all-equal tail, where H = 0 and the
+    index is undefined).
+
+    Scale: TakeOrdered top-100 (no global sort), then 100-row
+    arithmetic."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.expr(TOTAL_CENTS)
+    c = o.select(cents.alias("cents"), "o_orderkey").filter(
+        cents.isNotNull() & (cents > 0)
+    )
+    top = (
+        c.orderBy(F.col("cents").desc(), "o_orderkey")
+        .limit(100)
+        .select(
+            "cents",
+            F.row_number()
+            .over(Window.orderBy(F.col("cents").desc(), "o_orderkey"))
+            .cast("bigint")
+            .alias("rk"),
+        )
+        .localCheckpoint(eager=False)  # xk and the fold both consume it
+    )
+    kmax = top.agg(F.max("rk").alias("kk"))
+    xk = (
+        top.crossJoin(F.broadcast(kmax))
+        .filter(F.col("rk") == F.col("kk"))
+        .select(F.col("cents").alias("xk_c"))
+    )
+    h = (
+        top.crossJoin(F.broadcast(kmax))
+        .crossJoin(F.broadcast(xk))
+        .agg(
+            F.max("rk").cast("bigint").alias("k"),
+            F.sum(
+                F.when(
+                    F.col("rk") < F.col("kk"),
+                    F.log(F.col("cents").cast("double"))
+                    - F.log(F.col("xk_c").cast("double")),
+                )
+                .otherwise(F.lit(0.0))
+                .cast("decimal(20,15)")
+            ).alias("lsum"),
+        )
+    )
+    return (
+        h.crossJoin(F.broadcast(xk))
+        .filter(F.col("k") >= 2)
+        .select(
+            "k",
+            F.round(F.col("xk_c").cast("double") / 100, 6).alias("threshold_dollars"),
+            F.round(F.col("lsum").cast("double") / (F.col("k") - 1), 6).alias("hill_h"),
+            F.round(
+                (F.col("k") - 1)
+                / F.nullif(F.col("lsum").cast("double"), F.lit(0.0)),
+                6,
+            ).alias("tail_alpha"),
+        )
+    )

@@ -1262,3 +1262,96 @@ def text_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("burstiness").desc(), "term")
         .limit(30)
     )
+
+
+@register(
+    "docs_distinctive_terms_by_source",
+    tags=("text", "northstar"),
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, unnest({TOKENS}) AS term FROM documents
+    ),
+    tf AS (
+      SELECT source, term, CAST(count(*) AS BIGINT) AS tf
+      FROM tok GROUP BY 1, 2
+    ),
+    st AS (SELECT source, CAST(sum(tf) AS BIGINT) AS ts FROM tf GROUP BY 1),
+    ct AS (SELECT term, CAST(sum(tf) AS BIGINT) AS ct FROM tf GROUP BY 1),
+    tot AS (SELECT CAST(sum(tf) AS BIGINT) AS tt FROM tf),
+    scored AS (
+      SELECT tf.source, tf.term, tf.tf,
+             round(ln((CAST(tf.tf AS DOUBLE) + 1) / (st.ts + 1))
+                   - ln((CAST(ct.ct - tf.tf AS DOUBLE) + 1)
+                        / (tot.tt - st.ts + 1)), 6) AS score
+      FROM tf
+      JOIN st ON tf.source = st.source
+      JOIN ct ON tf.term = ct.term
+      CROSS JOIN tot
+      WHERE tf.tf >= 5
+    )
+    SELECT source, term, tf, score
+    FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY source ORDER BY score DESC, term) AS rk
+      FROM scored
+    ) WHERE rk <= 5
+    ORDER BY source, score DESC, term
+    """,
+)
+def docs_distinctive_terms_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinctive vocabulary per source: the 5 terms whose add-one-
+    smoothed log-odds ratio between in-source share and rest-of-corpus
+    share is highest (tf >= 5) -- the "significant terms" panel behind
+    every corpus-drilldown UI (Elasticsearch significant_terms
+    aggregations solve exactly this contrast; the smoothed log-ratio is
+    its JLH/mutual-information cousin). Where text_term_burstiness
+    separates topical from glue vocabulary globally, this names WHICH
+    source each topic belongs to -- the first read when a new crawl
+    source lands in the mix.
+
+    Exactness: all shares are ratios of exact integer token counts with
+    +1 smoothing; the score is one shared two-ln closed form rounded to
+    6dp BEFORE the per-source top-5 cutoff (the search_prf_expansion
+    lesson: round-then-rank, never rank raw floats), tie-broken by term.
+
+    Scale: one (source, term)-grain partial agg over the exploded
+    corpus; source totals and the term-total relation join back at
+    vocabulary grain (term totals are a broadcast-sized relation only
+    when vocab is small -- at 100 TB this join shuffles on term, the
+    same key the tf agg just used, so it reuses the partitioning)."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("source", F.explode(_tokens()).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+        .localCheckpoint(eager=False)  # st, ct, tot, scored all consume it
+    )
+    st = tf.groupBy("source").agg(F.sum("tf").cast("bigint").alias("ts"))
+    ct = tf.groupBy("term").agg(F.sum("tf").cast("bigint").alias("ct"))
+    tot = tf.agg(F.sum("tf").cast("bigint").alias("tt"))
+    scored = (
+        tf.filter(F.col("tf") >= 5)
+        .join(F.broadcast(st), "source")
+        .join(ct, "term")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "term",
+            "tf",
+            F.round(
+                F.log((F.col("tf").cast("double") + 1) / (F.col("ts") + 1))
+                - F.log(
+                    ((F.col("ct") - F.col("tf")).cast("double") + 1)
+                    / (F.col("tt") - F.col("ts") + 1)
+                ),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.col("score").desc(), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("source", "term", "tf", "score")
+        .orderBy("source", F.col("score").desc(), "term")
+    )

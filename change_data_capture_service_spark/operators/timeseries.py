@@ -1212,3 +1212,113 @@ def events_holt_winters_dow_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
         snap(F.col("st.b")).alias("final_trend"),
         snap(F.col("a")).alias("seasonal_amplitude"),
     )
+
+
+@register(
+    "events_seasonal_strength",
+    tags=("timeseries", "stats"),
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             dayofweek(CAST(date_trunc('day', ts) AS TIMESTAMP)) AS dw,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT dw, CAST(count(*) AS BIGINT) AS nd, CAST(sum(y) AS BIGINT) AS sd
+      FROM daily GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS s,
+             CAST(sum(CAST(y AS DECIMAL(38,0)) * y) AS BIGINT) AS q
+      FROM daily
+    ),
+    wg AS (
+      SELECT CAST(sum(CAST(sd AS DOUBLE) * sd / nd) AS DOUBLE) AS wsum FROM g
+    ),
+    pk AS (
+      SELECT dw, CAST(sd AS DOUBLE) / nd AS m,
+             row_number() OVER (ORDER BY CAST(sd AS DOUBLE) / nd DESC, dw) AS rk_hi,
+             row_number() OVER (ORDER BY CAST(sd AS DOUBLE) / nd ASC, dw) AS rk_lo
+      FROM g
+    )
+    SELECT tot.n AS n_days,
+           round(CASE WHEN CAST(tot.q AS DOUBLE)
+                           - CAST(tot.s AS DOUBLE) * tot.s / tot.n = 0
+                 THEN 0
+                 ELSE 1 - (CAST(tot.q AS DOUBLE) - wg.wsum)
+                        / (CAST(tot.q AS DOUBLE)
+                           - CAST(tot.s AS DOUBLE) * tot.s / tot.n) END, 6)
+             AS seasonal_strength,
+           CAST((SELECT dw FROM pk WHERE rk_hi = 1) AS BIGINT) AS peak_dw,
+           CAST((SELECT dw FROM pk WHERE rk_lo = 1) AS BIGINT) AS trough_dw
+    FROM tot CROSS JOIN wg
+    """,
+)
+def events_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal strength of the daily event count: the share
+    of daily variance EXPLAINED by the weekly cycle, 1 - SSW/SST with
+    SSW the within-dow and SST the total sum of squares (a one-way
+    eta-squared on dow groups -- Hyndman's seasonal-strength measure on
+    the classical-decomposition view). The go/no-go number in front of
+    events_holt_winters_dow_mae: strength near 0 says the dow indices
+    cannot pay for themselves; near 1 says the week IS the series.
+    peak_dw/trough_dw name the cycle's extremes (0 = Sunday, the DuckDB
+    dayofweek convention shared by both sides).
+
+    Exactness: SST and SSW reduce to integer aggregates (sum y, sum y^2
+    through DECIMAL(38,0), per-dow sums/counts); the only doubles are
+    the shared closed form and the 7-row mean ranking, identically
+    computed on both engines; zero-variance corpus pins strength to 0.
+
+    Scale: one day-grain partial agg, then 7-row arithmetic."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.filter(F.col("ts").isNotNull())
+        .groupBy(F.date_trunc("day", "ts").cast("timestamp").alias("day"))
+        .agg(F.count("*").cast("bigint").alias("y"))
+        .withColumn("dw", F.dayofweek("day") - 1)
+        .localCheckpoint(eager=False)  # g and tot both consume it
+    )
+    g = daily.groupBy("dw").agg(
+        F.count("*").cast("bigint").alias("nd"),
+        F.sum("y").cast("bigint").alias("sd"),
+    ).localCheckpoint(eager=False)  # wg and pk both consume it
+    tot = daily.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("s"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).cast("bigint").alias("q"),
+    )
+    wg = g.agg(
+        F.sum(F.col("sd").cast("double") * F.col("sd") / F.col("nd")).alias("wsum")
+    )
+    m = F.col("sd").cast("double") / F.col("nd")
+    pk = g.select(
+        "dw",
+        F.row_number().over(Window.orderBy(m.desc(), "dw")).alias("rk_hi"),
+        F.row_number().over(Window.orderBy(m.asc(), "dw")).alias("rk_lo"),
+    )
+    peak = pk.filter(F.col("rk_hi") == 1).select(
+        F.col("dw").cast("bigint").alias("peak_dw")
+    )
+    trough = pk.filter(F.col("rk_lo") == 1).select(
+        F.col("dw").cast("bigint").alias("trough_dw")
+    )
+    sst = F.col("q").cast("double") - F.col("s").cast("double") * F.col("s") / F.col("n")
+    return (
+        tot.crossJoin(F.broadcast(wg))
+        .crossJoin(F.broadcast(peak))
+        .crossJoin(F.broadcast(trough))
+        .select(
+            F.col("n").alias("n_days"),
+            F.round(
+                F.when(sst == 0, F.lit(0.0)).otherwise(
+                    1 - (F.col("q").cast("double") - F.col("wsum")) / sst
+                ),
+                6,
+            ).alias("seasonal_strength"),
+            "peak_dw",
+            "trough_dw",
+        )
+    )

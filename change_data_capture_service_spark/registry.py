@@ -97,6 +97,11 @@ _CHECK_ORDER = [
     "multimodal_metadata_panel",
     "multimodal_stratified_frame_budget",
     "customer_acquisition_propensity",
+    "events_seasonal_strength",
+    "supplier_ship_latency_profile",
+    "orders_pareto_tail_index",
+    "docs_distinctive_terms_by_source",
+    "embedding_intrinsic_dim_twonn",
 ]
 # Provenance: the round-10 window, fully attested by CORRECTNESS_r10
 # (46 hash-green + 4 rows-only-clean: graph_label_propagation,

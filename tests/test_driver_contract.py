@@ -104,6 +104,11 @@ _R11_CHECK_WINDOW = [
     "multimodal_metadata_panel",
     "multimodal_stratified_frame_budget",
     "customer_acquisition_propensity",
+    "events_seasonal_strength",
+    "supplier_ship_latency_profile",
+    "orders_pareto_tail_index",
+    "docs_distinctive_terms_by_source",
+    "embedding_intrinsic_dim_twonn",
 ]
 
 

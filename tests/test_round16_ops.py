@@ -117,3 +117,70 @@ def test_propensity_grid_partitions_customers(spark, sf_dir):
         and r["recency_bucket"] in {"active_90d", "lapsing_1y", "dormant", "never_ordered"}
         for r in rows
     )
+
+
+def test_twonn_recovers_planted_manifold_dimension(spark):
+    """TwoNN on a 2-D grid isometrically embedded in 8-D must estimate
+    ID near 2; a 1-D line must estimate near 1 -- the estimator's
+    defining property (Facco et al. 2017), checked end-to-end through
+    the quantized-integer distance path."""
+    import random
+
+    from change_data_capture_service_spark.operators.similarity import (
+        embedding_intrinsic_dim_twonn,
+    )
+
+    rng = random.Random(3)
+
+    def run(points):
+        import tempfile
+
+        rows = [(i, [float(x) for x in p], 0) for i, p in enumerate(points)]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        )
+        d = tempfile.mkdtemp(prefix="twonn_")
+        df.write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+        return embedding_intrinsic_dim_twonn(spark, d).collect()[0]
+
+    # 2-D: uniform random points in the first two of 8 dims (TwoNN's
+    # model is a Poisson process -- a LATTICE breaks it: equidistant
+    # grid neighbors force mu ~ 1 and inflate the estimate)
+    plane = [
+        [rng.uniform(0, 20), rng.uniform(0, 20), 0, 0, 0, 0, 0, 0]
+        for _ in range(400)
+    ]
+    r2 = run(plane)
+    assert 1.4 <= r2["intrinsic_dim"] <= 2.8, r2
+
+    # 1-D: uniform random points along dim 0
+    line = [
+        [rng.uniform(0, 200), 0, 0, 0, 0, 0, 0, 0] for _ in range(400)
+    ]
+    r1 = run(line)
+    assert 0.6 <= r1["intrinsic_dim"] <= 1.6, r1
+
+
+def test_hill_tail_index_invariants(spark, sf_dir):
+    row = registry.get("orders_pareto_tail_index").fn(spark, sf_dir).collect()[0]
+    assert row["k"] == 100
+    assert row["hill_h"] > 0
+    assert row["tail_alpha"] > 0
+    assert abs(row["tail_alpha"] * row["hill_h"] - 1) < 1e-4  # alpha = 1/H
+
+
+def test_seasonal_strength_bounds(spark, sf_dir):
+    row = registry.get("events_seasonal_strength").fn(spark, sf_dir).collect()[0]
+    assert 0.0 <= row["seasonal_strength"] <= 1.0 + 1e-9
+    assert 0 <= row["peak_dw"] <= 6 and 0 <= row["trough_dw"] <= 6
+    assert row["peak_dw"] != row["trough_dw"]
+
+
+def test_distinctive_terms_shape(spark, sf_dir):
+    rows = registry.get("docs_distinctive_terms_by_source").fn(spark, sf_dir).collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r["source"], []).append(r["score"])
+    for src, scores in per.items():
+        assert len(scores) <= 5, src
+        assert scores == sorted(scores, reverse=True), src
