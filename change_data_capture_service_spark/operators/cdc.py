@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..registry import register
+from .stats import exact_interp_pct
 
 
 @register(
@@ -1675,23 +1676,49 @@ SLA_GAP_SECONDS = 300
              epoch_us(ts) - lag(epoch_us(ts)) OVER (
                PARTITION BY event_type ORDER BY ts, event_id) AS gap_us
       FROM events
+    ),
+    gg AS (SELECT event_type, gap_us FROM g WHERE gap_us IS NOT NULL),
+    agg AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_gaps,
+             round(CAST(sum(CASE WHEN gap_us <= {SLA_GAP_SECONDS} * 1000000
+                            THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+               AS pct_within_sla,
+             round(CAST(max(gap_us) AS DOUBLE) / 1000000.0, 6) AS max_gap_s,
+             CAST(sum(CASE WHEN gap_us > {SLA_GAP_SECONDS} * 1000000
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_breaches,
+             round(CAST(sum(CASE WHEN gap_us > {SLA_GAP_SECONDS} * 1000000
+                            THEN gap_us - {SLA_GAP_SECONDS} * 1000000
+                            ELSE 0 END) AS DOUBLE) / 1000000.0, 6)
+               AS breach_seconds
+      FROM gg GROUP BY event_type
+    ),
+    rk AS (
+      SELECT event_type, gap_us,
+             CAST(row_number() OVER (PARTITION BY event_type ORDER BY gap_us)
+               AS BIGINT) AS rn,
+             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      FROM gg
+    ),
+    q AS (
+      -- exact interpolation from integer order stats, truncated to
+      -- integer microseconds (the cdc_gap_heatmap_hour_dow rule: the
+      -- engines' built-in quantiles are ulp-different, and rem = 50
+      -- interpolations land on decimal halves)
+      SELECT lo.event_type,
+             (100 * lo.gap_us
+              + ((95 * (lo.n - 1)) % 100) * (hi.gap_us - lo.gap_us)) // 100
+               AS p95_us
+      FROM rk lo JOIN rk hi
+        ON lo.event_type = hi.event_type
+       AND lo.rn = (95 * (lo.n - 1)) // 100 + 1
+       AND hi.rn = CASE WHEN (95 * (lo.n - 1)) % 100 = 0
+                        THEN lo.rn ELSE lo.rn + 1 END
     )
-    SELECT event_type,
-           CAST(count(gap_us) AS BIGINT) AS n_gaps,
-           round(CAST(sum(CASE WHEN gap_us <= {SLA_GAP_SECONDS} * 1000000
-                          THEN 1 ELSE 0 END) AS DOUBLE) / count(gap_us), 6)
-             AS pct_within_sla,
-           round(quantile_cont(CAST(gap_us AS DOUBLE), 0.95) / 1000000.0, 6)
-             AS p95_gap_s,
-           round(CAST(max(gap_us) AS DOUBLE) / 1000000.0, 6) AS max_gap_s,
-           CAST(sum(CASE WHEN gap_us > {SLA_GAP_SECONDS} * 1000000
-                    THEN 1 ELSE 0 END) AS BIGINT) AS n_breaches,
-           round(CAST(sum(CASE WHEN gap_us > {SLA_GAP_SECONDS} * 1000000
-                          THEN gap_us - {SLA_GAP_SECONDS} * 1000000
-                          ELSE 0 END) AS DOUBLE) / 1000000.0, 6)
-             AS breach_seconds
-    FROM g WHERE gap_us IS NOT NULL
-    GROUP BY event_type
+    SELECT agg.event_type, agg.n_gaps, agg.pct_within_sla,
+           round(CAST(q.p95_us AS DOUBLE) / 1000000.0, 6) AS p95_gap_s,
+           agg.max_gap_s, agg.n_breaches, agg.breach_seconds
+    FROM agg JOIN q ON agg.event_type = q.event_type
     """,
 )
 def cdc_ingestion_sla_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1718,17 +1745,14 @@ def cdc_ingestion_sla_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     thr_us = SLA_GAP_SECONDS * 1_000_000
     g = e.select(
         "event_type", (us - F.lag(us).over(w)).alias("gap_us")
-    ).filter(F.col("gap_us").isNotNull())
-    return g.groupBy("event_type").agg(
+    ).filter(F.col("gap_us").isNotNull()).localCheckpoint(eager=False)
+    agg = g.groupBy("event_type").agg(
         F.count("gap_us").cast("bigint").alias("n_gaps"),
         F.round(
             F.sum(F.when(F.col("gap_us") <= thr_us, 1).otherwise(0)).cast("double")
             / F.count("gap_us"),
             6,
         ).alias("pct_within_sla"),
-        F.round(
-            F.percentile(F.col("gap_us").cast("double"), F.lit(0.95)) / 1000000.0, 6
-        ).alias("p95_gap_s"),
         F.round(F.max("gap_us").cast("double") / 1000000.0, 6).alias("max_gap_s"),
         F.sum(F.when(F.col("gap_us") > thr_us, 1).otherwise(0))
         .cast("bigint").alias("n_breaches"),
@@ -1740,3 +1764,123 @@ def cdc_ingestion_sla_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("breach_seconds"),
     )
+    q = exact_interp_pct(g, ["event_type"], "gap_us", 95).select(
+        F.col("event_type").alias("qet"),
+        F.round(F.col("q_val").cast("double") / 1000000.0, 6).alias("p95_gap_s"),
+    )
+    return agg.join(q, agg["event_type"] == q["qet"]).select(
+        "event_type", "n_gaps", "pct_within_sla", "p95_gap_s",
+        "max_gap_s", "n_breaches", "breach_seconds",
+    )
+
+
+@register(
+    "cdc_gap_heatmap_hour_dow",
+    tags=("cdc", "monitor"),
+    oracle="""
+    WITH g AS (
+      SELECT dayofweek(ts) AS dw, CAST(extract(hour FROM ts) AS INT) AS hr,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id) AS gap_us
+      FROM events
+    ),
+    gg AS (SELECT dw, hr, gap_us FROM g WHERE gap_us IS NOT NULL),
+    rk AS (
+      SELECT dw, hr, gap_us,
+             CAST(row_number() OVER (PARTITION BY dw, hr ORDER BY gap_us)
+               AS BIGINT) AS rn,
+             CAST(count(*) OVER (PARTITION BY dw, hr) AS BIGINT) AS n,
+             CAST(sum(gap_us) OVER (PARTITION BY dw, hr) AS BIGINT) AS s
+      FROM gg
+    ),
+    q AS (
+      -- exact linear interpolation from integer order statistics:
+      -- pos = 95*(n-1)/100; value = x_lo + rem*(x_hi - x_lo)/100 with
+      -- rem = (95*(n-1)) % 100 -- ONE shared rational closed form (the
+      -- engines' built-in quantile_cont/percentile use ulp-DIFFERENT
+      -- but equal formulas, caught flapping at the 6dp round)
+      SELECT lo.dw, lo.hr, lo.n, lo.s,
+             (100 * lo.gap_us
+              + ((95 * (lo.n - 1)) % 100) * (hi.gap_us - lo.gap_us)) // 100
+               AS p95_us
+      FROM rk lo JOIN rk hi
+        ON lo.dw = hi.dw AND lo.hr = hi.hr
+       AND lo.rn = (95 * (lo.n - 1)) // 100 + 1
+       AND hi.rn = CASE WHEN (95 * (lo.n - 1)) % 100 = 0
+                        THEN lo.rn ELSE lo.rn + 1 END
+    )
+    SELECT CAST(dw AS BIGINT) AS dw, CAST(hr AS BIGINT) AS hr,
+           n AS n_gaps,
+           round(CAST(s AS DOUBLE) / n / 1000000.0, 6) AS avg_gap_s,
+           round(CAST(p95_us AS DOUBLE) / 1000000.0, 6) AS p95_gap_s
+    FROM q ORDER BY 1, 2
+    """,
+)
+def cdc_gap_heatmap_hour_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replication-cadence heatmap: mean and p95 inter-arrival gap per
+    (day-of-week, hour) cell, pooled across streams -- the capacity
+    view that turns cdc_ingestion_sla_by_source's per-stream totals
+    into a WHEN picture (weekend batch windows, nightly quiet hours,
+    the Monday 9am burst). The gap lands in the cell of its LATER
+    event's timestamp: a stall is charged to the hour that felt it.
+
+    Exactness: exact integer microsecond gaps on the (ts, event_id)
+    tiebroken lag; cell means are single divisions. The p95 is
+    interpolated EXPLICITLY from integer order statistics with one
+    shared rational closed form -- the engines' built-in
+    quantile_cont/percentile evaluate mathematically-equal but
+    ulp-DIFFERENT expressions (x_lo*(1-f)+x_hi*f vs x_lo+f*(x_hi-x_lo)),
+    observed flapping at the 6dp round on this very key; the
+    interpolated value then TRUNCATES to integer microseconds before
+    the display division (interpolation at rem = 50 lands on exact
+    decimal halves where Spark HALF_UP and DuckDB HALF_EVEN diverge --
+    the stream_ewma_anomaly snap rule). dw is
+    0 = Sunday (the shared DuckDB dayofweek convention).
+
+    Scale: one keyed lag window (partition = event_type), then cell-
+    grain rank windows over <= 168 cells."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    g = e.select(
+        (F.dayofweek("ts") - 1).cast("bigint").alias("dw"),
+        F.hour("ts").cast("bigint").alias("hr"),
+        (us - F.lag(us).over(w)).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    cw = Window.partitionBy("dw", "hr")
+    rk = g.select(
+        "dw", "hr", "gap_us",
+        F.row_number().over(cw.orderBy("gap_us")).cast("bigint").alias("rn"),
+        F.count("*").over(cw).cast("bigint").alias("n"),
+        F.sum("gap_us").over(cw).cast("bigint").alias("s"),
+    ).localCheckpoint(eager=False)  # both sides of the lo/hi self-join
+    lo_rn = F.expr("(95 * (n - 1)) DIV 100") + 1
+    rem = F.expr("(95 * (n - 1)) % 100")
+    lo = rk.filter(F.col("rn") == lo_rn).select(
+        "dw", "hr", "n", "s", F.col("gap_us").alias("x_lo"),
+        rem.alias("rem"),
+    )
+    hi = rk.select(
+        F.col("dw").alias("dw2"), F.col("hr").alias("hr2"),
+        F.col("rn").alias("rn2"), F.col("gap_us").alias("x_hi"),
+    )
+    q = lo.join(
+        hi,
+        (F.col("dw") == F.col("dw2"))
+        & (F.col("hr") == F.col("hr2"))
+        & (
+            F.col("rn2")
+            == F.when(F.col("rem") == 0, lo_rn).otherwise(lo_rn + 1)
+        ),
+    ).select(
+        "dw", "hr", "n", "s",
+        F.expr("(100 * x_lo + rem * (x_hi - x_lo)) DIV 100").alias("p95_us"),
+    )
+    return q.select(
+        "dw", "hr",
+        F.col("n").alias("n_gaps"),
+        F.round(F.col("s").cast("double") / F.col("n") / 1000000.0, 6).alias(
+            "avg_gap_s"
+        ),
+        F.round(F.col("p95_us").cast("double") / 1000000.0, 6).alias("p95_gap_s"),
+    ).orderBy("dw", "hr")

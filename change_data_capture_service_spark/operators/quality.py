@@ -1432,3 +1432,79 @@ def chunk_boundary_overlap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("expansion_ratio"),
     )
+
+
+@register(
+    "quality_language_purity",
+    tags=("quality", "text"),
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
+      FROM documents
+    ),
+    flags AS (
+      SELECT doc_id, source,
+             CASE WHEN list_has_any(tk, ['the', 'a', 'of', 'and'])
+                  THEN 1 ELSE 0 END
+             + CASE WHEN list_has_any(tk, ['der', 'die', 'und', 'ein'])
+                    THEN 1 ELSE 0 END
+             + CASE WHEN list_has_any(tk, ['le', 'la', 'et', 'un'])
+                    THEN 1 ELSE 0 END AS n_langs
+      FROM toks
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN n_langs >= 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_marked,
+           CAST(sum(CASE WHEN n_langs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_mixed,
+           round(CAST(sum(CASE WHEN n_langs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / nullif(sum(CASE WHEN n_langs >= 1 THEN 1 ELSE 0 END), 0), 6)
+             AS mixed_share
+    FROM flags GROUP BY source ORDER BY source
+    """,
+)
+def quality_language_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language purity per source: the share of marker-bearing documents
+    that carry stopword markers from TWO OR MORE languages -- the
+    code-switching / boilerplate-contamination signal (CCNet and Gopher
+    both gate on language purity before perplexity filtering; a source
+    with high mixed_share needs segment-level, not document-level,
+    language ID). Uses the same deliberately-literal marker lists as
+    text_langid (LANG_MARKERS), shared verbatim by the oracle.
+
+    Exactness: presence flags are exact set-intersection tests on the
+    shared token arrays; shares are integer ratios with a nullif guard.
+
+    Scale: map-side flag computation inside the scan (no explode -- the
+    arrays test against 4-word constant lists), one per-source partial
+    agg."""
+    from .text import LANG_MARKERS, _tokens as _text_tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    tk = d.select("doc_id", "source", _text_tokens().alias("tk"))
+    n_langs = sum(
+        F.when(
+            F.arrays_overlap(
+                F.col("tk"), F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])
+            ),
+            1,
+        ).otherwise(0)
+        for lang in ["en", "de", "fr"]
+    )
+    flags = tk.select("source", n_langs.alias("n_langs"))
+    marked = F.sum(F.when(F.col("n_langs") >= 1, 1).otherwise(0))
+    mixed = F.sum(F.when(F.col("n_langs") >= 2, 1).otherwise(0))
+    return (
+        flags.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            marked.cast("bigint").alias("n_marked"),
+            mixed.cast("bigint").alias("n_mixed"),
+            F.round(
+                mixed.cast("double") / F.nullif(marked, F.lit(0)), 6
+            ).alias("mixed_share"),
+        )
+        .orderBy("source")
+    )

@@ -4097,17 +4097,46 @@ def customer_acquisition_propensity(spark: SparkSession, sf_dir: str) -> DataFra
       JOIN orders o ON l.l_orderkey = o.o_orderkey
       JOIN supplier s ON l.l_suppkey = s.s_suppkey
       WHERE o.o_orderdate IS NOT NULL AND l.l_shipdate IS NOT NULL
+    ),
+    named AS (
+      SELECT n.n_name AS supplier_nation, lat.delay_d
+      FROM lat JOIN nation n ON lat.s_nationkey = n.n_nationkey
+    ),
+    agg AS (
+      SELECT supplier_nation,
+             CAST(count(*) AS BIGINT) AS n_lines,
+             round(CAST(sum(delay_d) AS DOUBLE) / count(*), 6) AS avg_delay_days,
+             CAST(max(delay_d) AS BIGINT) AS max_delay_days,
+             round(CAST(sum(CASE WHEN delay_d > 90 THEN 1 ELSE 0 END) AS DOUBLE)
+                   / count(*), 6) AS pct_over_90d
+      FROM named GROUP BY 1
+    ),
+    rk AS (
+      SELECT supplier_nation, delay_d,
+             CAST(row_number() OVER (PARTITION BY supplier_nation
+                                     ORDER BY delay_d) AS BIGINT) AS rn,
+             CAST(count(*) OVER (PARTITION BY supplier_nation) AS BIGINT) AS n
+      FROM named
+    ),
+    q AS (
+      -- exact_interp_pct's shared rational closed form (see stats.py):
+      -- built-in quantile_cont/percentile are ulp-different across
+      -- engines and rem = 50 lands on decimal halves
+      SELECT lo.supplier_nation,
+             (100 * lo.delay_d
+              + ((90 * (lo.n - 1)) % 100) * (hi.delay_d - lo.delay_d)) // 100
+               AS p90_d
+      FROM rk lo JOIN rk hi
+        ON lo.supplier_nation = hi.supplier_nation
+       AND lo.rn = (90 * (lo.n - 1)) // 100 + 1
+       AND hi.rn = CASE WHEN (90 * (lo.n - 1)) % 100 = 0
+                        THEN lo.rn ELSE lo.rn + 1 END
     )
-    SELECT n.n_name AS supplier_nation,
-           CAST(count(*) AS BIGINT) AS n_lines,
-           round(CAST(sum(delay_d) AS DOUBLE) / count(*), 6) AS avg_delay_days,
-           round(quantile_cont(CAST(delay_d AS DOUBLE), 0.9), 6) AS p90_delay_days,
-           CAST(max(delay_d) AS BIGINT) AS max_delay_days,
-           round(CAST(sum(CASE WHEN delay_d > 90 THEN 1 ELSE 0 END) AS DOUBLE)
-                 / count(*), 6) AS pct_over_90d
-    FROM lat JOIN nation n ON lat.s_nationkey = n.n_nationkey
-    GROUP BY n.n_name
-    ORDER BY supplier_nation
+    SELECT agg.supplier_nation, agg.n_lines, agg.avg_delay_days,
+           CAST(q.p90_d AS DOUBLE) AS p90_delay_days,
+           agg.max_delay_days, agg.pct_over_90d
+    FROM agg JOIN q ON agg.supplier_nation = q.supplier_nation
+    ORDER BY agg.supplier_nation
     """,
 )
 def supplier_ship_latency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4150,26 +4179,35 @@ def supplier_ship_latency_profile(spark: SparkSession, sf_dir: str) -> DataFrame
             ).alias("delay_d"),
         )
     )
+    from .stats import exact_interp_pct
+
+    named = lat.join(
+        F.broadcast(n.select("n_nationkey", "n_name")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select(F.col("n_name").alias("supplier_nation"), "delay_d").localCheckpoint(
+        eager=False
+    )  # agg + the percentile rank pass both consume it
+    agg = named.groupBy("supplier_nation").agg(
+        F.count("*").cast("bigint").alias("n_lines"),
+        F.round(F.sum("delay_d").cast("double") / F.count("*"), 6).alias(
+            "avg_delay_days"
+        ),
+        F.max("delay_d").cast("bigint").alias("max_delay_days"),
+        F.round(
+            F.sum(F.when(F.col("delay_d") > 90, 1).otherwise(0)).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("pct_over_90d"),
+    )
+    q = exact_interp_pct(named, ["supplier_nation"], "delay_d", 90).select(
+        F.col("supplier_nation").alias("qsn"),
+        F.col("q_val").cast("double").alias("p90_delay_days"),
+    )
     return (
-        lat.join(
-            F.broadcast(n.select("n_nationkey", "n_name")),
-            F.col("s_nationkey") == F.col("n_nationkey"),
-        )
-        .groupBy(F.col("n_name").alias("supplier_nation"))
-        .agg(
-            F.count("*").cast("bigint").alias("n_lines"),
-            F.round(F.sum("delay_d").cast("double") / F.count("*"), 6).alias(
-                "avg_delay_days"
-            ),
-            F.round(
-                F.percentile(F.col("delay_d").cast("double"), F.lit(0.9)), 6
-            ).alias("p90_delay_days"),
-            F.max("delay_d").cast("bigint").alias("max_delay_days"),
-            F.round(
-                F.sum(F.when(F.col("delay_d") > 90, 1).otherwise(0)).cast("double")
-                / F.count("*"),
-                6,
-            ).alias("pct_over_90d"),
+        agg.join(q, agg["supplier_nation"] == q["qsn"])
+        .select(
+            "supplier_nation", "n_lines", "avg_delay_days",
+            "p90_delay_days", "max_delay_days", "pct_over_90d",
         )
         .orderBy("supplier_nation")
     )

@@ -3213,3 +3213,54 @@ def orders_pareto_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tail_alpha"),
         )
     )
+
+
+def exact_interp_pct(df: DataFrame, keys: list, col: str, pct: int) -> DataFrame:
+    """Exact linear-interpolation percentile of an INTEGER column per key
+    group, truncated back to the integer domain: returns keys + ``q_val``
+    (BIGINT) = (100*x_lo + rem*(x_hi - x_lo)) DIV 100 at rank position
+    pct*(n-1)/100.
+
+    Exists because the engines' built-in continuous quantiles
+    (Spark ``percentile``, DuckDB ``quantile_cont``) evaluate
+    mathematically-equal but ulp-DIFFERENT interpolation formulas
+    (x_lo*(1-f)+x_hi*f vs x_lo+f*(x_hi-x_lo)) -- observed flapping at
+    the 6dp output round -- and because rem = 50 interpolations land on
+    exact decimal halves where Spark HALF_UP and DuckDB HALF_EVEN
+    disagree. One shared rational closed form over order statistics,
+    truncated tie-free, sidesteps both. Mirror the same CTE shape in the
+    oracle (see cdc_gap_heatmap_hour_dow).
+
+    Scale: the rank window partitions by the keys; use only on
+    key-bounded or domain-bounded relations (the _domain_prefix route
+    covers unbounded value domains)."""
+    cw = Window.partitionBy(*keys)
+    rk = df.select(
+        *keys,
+        F.col(col).alias("__x"),
+        F.row_number().over(cw.orderBy(col)).cast("bigint").alias("__rn"),
+        F.count("*").over(cw).cast("bigint").alias("__n"),
+    ).localCheckpoint(eager=False)  # both sides of the lo/hi self-join
+    lo_rn = F.expr(f"({pct} * (__n - 1)) DIV 100") + 1
+    rem = F.expr(f"({pct} * (__n - 1)) % 100")
+    lo = rk.filter(F.col("__rn") == lo_rn).select(
+        *keys, F.col("__x").alias("__x_lo"), F.col("__n").alias("__n"),
+        rem.alias("__rem"),
+    )
+    hi = rk.select(
+        *[F.col(k).alias(f"__h_{k}") for k in keys],
+        F.col("__rn").alias("__rn2"),
+        F.col("__x").alias("__x_hi"),
+    )
+    lo_rn_again = F.expr(f"({pct} * (__n - 1)) DIV 100") + 1
+    cond = F.lit(True)
+    for k in keys:
+        cond = cond & (F.col(k) == F.col(f"__h_{k}"))
+    cond = cond & (
+        F.col("__rn2")
+        == F.when(F.col("__rem") == 0, lo_rn_again).otherwise(lo_rn_again + 1)
+    )
+    return lo.join(hi, cond).select(
+        *keys,
+        F.expr("(100 * __x_lo + __rem * (__x_hi - __x_lo)) DIV 100").alias("q_val"),
+    )

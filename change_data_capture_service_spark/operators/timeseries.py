@@ -466,16 +466,41 @@ def rollup_time_grains(spark: SparkSession, sf_dir: str) -> DataFrame:
              epoch_us(ts) - lag(epoch_us(ts)) OVER (
                PARTITION BY event_type ORDER BY ts, event_id) AS gap_us
       FROM events
+    ),
+    gg AS (SELECT event_type, gap_us FROM g WHERE gap_us IS NOT NULL),
+    agg AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_gaps,
+             round(CAST(sum(gap_us) AS DOUBLE) / count(*) / 1000000.0, 6)
+               AS avg_gap_s,
+             round(CAST(max(gap_us) AS DOUBLE) / 1000000.0, 6) AS max_gap_s
+      FROM gg GROUP BY event_type
+    ),
+    rk AS (
+      SELECT event_type, gap_us,
+             CAST(row_number() OVER (PARTITION BY event_type ORDER BY gap_us)
+               AS BIGINT) AS rn,
+             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      FROM gg
+    ),
+    q AS (
+      -- exact_interp_pct closed form (stats.py): built-in quantiles are
+      -- ulp-different across engines, and even-n medians land on exact
+      -- half-microsecond boundaries AT the 6dp round grain
+      SELECT lo.event_type,
+             (100 * lo.gap_us
+              + ((50 * (lo.n - 1)) % 100) * (hi.gap_us - lo.gap_us)) // 100
+               AS p50_us
+      FROM rk lo JOIN rk hi
+        ON lo.event_type = hi.event_type
+       AND lo.rn = (50 * (lo.n - 1)) // 100 + 1
+       AND hi.rn = CASE WHEN (50 * (lo.n - 1)) % 100 = 0
+                        THEN lo.rn ELSE lo.rn + 1 END
     )
-    SELECT event_type,
-           CAST(count(gap_us) AS BIGINT) AS n_gaps,
-           round(CAST(sum(gap_us) AS DOUBLE) / count(gap_us) / 1000000.0, 6)
-             AS avg_gap_s,
-           round(quantile_cont(CAST(gap_us AS DOUBLE), 0.5) / 1000000.0, 6)
-             AS p50_gap_s,
-           round(CAST(max(gap_us) AS DOUBLE) / 1000000.0, 6) AS max_gap_s
-    FROM g WHERE gap_us IS NOT NULL
-    GROUP BY event_type
+    SELECT agg.event_type, agg.n_gaps, agg.avg_gap_s,
+           round(CAST(q.p50_us AS DOUBLE) / 1000000.0, 6) AS p50_gap_s,
+           agg.max_gap_s
+    FROM agg JOIN q ON agg.event_type = q.event_type
     """,
 )
 def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -495,18 +520,24 @@ def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("event_type").orderBy("ts", "event_id")
     us = F.unix_micros(F.col("ts"))
+    from .stats import exact_interp_pct
+
     g = e.select(
         "event_type", (us - F.lag(us).over(w)).alias("gap_us")
-    ).filter(F.col("gap_us").isNotNull())
-    return g.groupBy("event_type").agg(
+    ).filter(F.col("gap_us").isNotNull()).localCheckpoint(eager=False)
+    agg = g.groupBy("event_type").agg(
         F.count("gap_us").cast("bigint").alias("n_gaps"),
         F.round(
             F.sum("gap_us").cast("double") / F.count("gap_us") / 1000000.0, 6
         ).alias("avg_gap_s"),
-        F.round(
-            F.percentile(F.col("gap_us").cast("double"), F.lit(0.5)) / 1000000.0, 6
-        ).alias("p50_gap_s"),
         F.round(F.max("gap_us").cast("double") / 1000000.0, 6).alias("max_gap_s"),
+    )
+    q = exact_interp_pct(g, ["event_type"], "gap_us", 50).select(
+        F.col("event_type").alias("qet"),
+        F.round(F.col("q_val").cast("double") / 1000000.0, 6).alias("p50_gap_s"),
+    )
+    return agg.join(q, agg["event_type"] == q["qet"]).select(
+        "event_type", "n_gaps", "avg_gap_s", "p50_gap_s", "max_gap_s"
     )
 
 
@@ -1321,4 +1352,227 @@ def events_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
             "peak_dw",
             "trough_dw",
         )
+    )
+
+
+@register(
+    "events_holt_per_key_trend_topk",
+    tags=("timeseries", "forecast"),
+    oracle=f"""
+    WITH RECURSIVE daily AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+    ),
+    ser AS (
+      SELECT user_id,
+             CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
+               AS BIGINT) AS i,
+             CAST(y AS DOUBLE) AS v
+      FROM daily
+    ),
+    nn AS (
+      SELECT user_id, CAST(max(i) AS BIGINT) AS n FROM ser GROUP BY 1
+    ),
+    rec AS (
+      SELECT user_id, i, v AS l, CAST(0 AS DOUBLE) AS b
+      FROM ser WHERE i = 1
+      UNION ALL
+      SELECT s.user_id, s.i,
+             0.5 * s.v + 0.5 * (r.l + r.b),
+             0.5 * ((0.5 * s.v + 0.5 * (r.l + r.b)) - r.l) + 0.5 * r.b
+      FROM rec r JOIN ser s ON s.user_id = r.user_id AND s.i = r.i + 1
+    ),
+    fin AS (
+      SELECT rec.user_id, nn.n,
+             floor(rec.l * 1e6) / 1e6 AS final_level,
+             floor(rec.b * 1e6) / 1e6 AS final_trend
+      FROM rec JOIN nn ON rec.user_id = nn.user_id AND rec.i = nn.n
+      WHERE nn.n >= 3
+    )
+    SELECT user_id, n AS n_days, final_level, final_trend
+    FROM fin
+    ORDER BY final_trend DESC, user_id
+    LIMIT 10
+    """,
+)
+def events_holt_per_key_trend_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-KEY Holt trend, top-10 rising users: the parallel form of
+    events_holt_linear_mae's global fold -- every user's daily-count
+    series folds independently (alpha = beta = 0.5, same dyadic-exact
+    recurrence), and the ranking surfaces whose activity is accelerating
+    (>= 3 active days to rank). THE growth-accounts panel, and the
+    production shape of the Holt family: the fold is a per-key
+    ``aggregate`` over a calendar-bounded array, so 10^8 keys fold in
+    one shuffle-free pass each (stream_ewma_anomaly's two-tier contract,
+    applied to level+trend state).
+
+    Exactness: the per-key fold is the shared _HOLT_SPARK_FOLD
+    recurrence; DuckDB runs the identical recursion keyed by
+    (user_id, i); outputs floor-snap at 1e6; the cutoff orders by the
+    SNAPPED trend with user_id tiebreak (round-then-rank).
+
+    Scale: one (user, day)-grain partial agg, one user-grain
+    collect_list (calendar-bounded arrays), TakeOrderedAndProject for
+    the top-10 -- no global sort, no driver loop."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.filter(F.col("ts").isNotNull())
+        .groupBy(
+            "user_id", F.date_trunc("day", "ts").cast("timestamp").alias("day")
+        )
+        .agg(F.count("*").cast("bigint").alias("y"))
+    )
+    per = (
+        daily.groupBy("user_id")
+        .agg(
+            F.expr(
+                "array_sort(collect_list(struct(day, CAST(y AS DOUBLE) AS v)))"
+            ).alias("arr"),
+            F.count("*").cast("bigint").alias("n"),
+        )
+        .filter(F.col("n") >= 3)
+        .select("user_id", "n", F.expr("transform(arr, x -> x.v)").alias("vs"))
+    )
+    # the shared fold minus the sae term (no backtest here): reuse the
+    # full fold and project l/b
+    fin = per.select(
+        "user_id",
+        F.col("n").alias("n_days"),
+        F.expr(_HOLT_SPARK_FOLD).alias("st"),
+    ).select(
+        "user_id",
+        "n_days",
+        (F.floor(F.col("st.l") * 1e6) / 1e6).alias("final_level"),
+        (F.floor(F.col("st.b") * 1e6) / 1e6).alias("final_trend"),
+    )
+    return fin.orderBy(F.col("final_trend").desc(), "user_id").limit(10)
+
+
+@register(
+    "events_stl_residual_outliers",
+    tags=("timeseries", "stats"),
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             dayofweek(CAST(date_trunc('day', ts) AS TIMESTAMP)) AS dw,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+    ),
+    tr AS (
+      SELECT day, dw, y,
+             CAST(sum(y) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND
+                               3 FOLLOWING) AS BIGINT) AS s7,
+             CAST(count(*) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND
+                                 3 FOLLOWING) AS BIGINT) AS c7
+      FROM daily
+    ),
+    det AS (
+      SELECT day, dw, y, CAST(s7 AS DOUBLE) / 7 AS trend,
+             CAST(floor((y - CAST(s7 AS DOUBLE) / 7) * 1e6) AS BIGINT) AS r1
+      FROM tr WHERE c7 = 7
+    ),
+    sea AS (
+      SELECT dw, CAST(sum(r1) AS BIGINT) AS sr, CAST(count(*) AS BIGINT) AS cr
+      FROM det GROUP BY 1
+    ),
+    res AS (
+      SELECT det.day, det.y, det.trend,
+             CAST(sea.sr AS DOUBLE) / sea.cr / 1e6 AS seasonal,
+             (det.r1 - CAST(sea.sr AS DOUBLE) / sea.cr) / 1e6 AS resid
+      FROM det JOIN sea ON det.dw = sea.dw
+    ),
+    sig AS (
+      SELECT sqrt(CAST(sum(CAST(floor(resid * 1e6 * resid * 1e6) AS DECIMAL(38,0)))
+                  AS DOUBLE) / count(*)) / 1e6 AS sigma
+      FROM res
+    )
+    SELECT res.day, res.y,
+           round(res.trend, 6) AS trend,
+           round(res.seasonal, 6) AS seasonal,
+           round(res.resid, 6) AS residual,
+           round(res.resid / nullif(sig.sigma, 0), 6) AS z,
+           abs(res.resid) > 2 * sig.sigma AS is_outlier
+    FROM res CROSS JOIN sig
+    ORDER BY res.day
+    """,
+)
+def events_stl_residual_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-lite anomaly detection on the daily event count: classical
+    decomposition (Cleveland's STL, fixed-window variant) -- trend = a
+    centered 7-day moving average (full windows only), seasonal = the
+    per-dow mean of the detrended series, residual = y - trend -
+    seasonal; the full decomposition panel is emitted with days
+    flagged where |residual| > 2 sigma(residual). The decomposition companion to
+    events_seasonal_residual_anomaly and the Bollinger key: this one
+    removes BOTH trend and weekly cycle before thresholding, so a
+    growth ramp doesn't mask (or fake) an incident.
+
+    Exactness: the trend is an integer-sum/7 division; detrended values
+    snap to a 1e-6 floor grid (BIGINT micro-units) so the per-dow
+    seasonal means are exact-integer sums with one division; residual
+    variance accumulates floor-snapped micro-unit squares through
+    DECIMAL(38,0) -- every sum order-free, every double a shared closed
+    form of integers.
+
+    Scale: day-grain relation throughout (calendar-bounded); one
+    7-row-window pass, one 7-group agg, one variance agg."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.filter(F.col("ts").isNotNull())
+        .groupBy(F.date_trunc("day", "ts").cast("timestamp").alias("day"))
+        .agg(F.count("*").cast("bigint").alias("y"))
+        .withColumn("dw", F.dayofweek("day") - 1)
+    )
+    w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    tr = daily.select(
+        "day", "dw", "y",
+        F.sum("y").over(w7).cast("bigint").alias("s7"),
+        F.count("*").over(w7).cast("bigint").alias("c7"),
+    )
+    det = (
+        tr.filter(F.col("c7") == 7)
+        .select(
+            "day", "dw", "y",
+            (F.col("s7").cast("double") / 7).alias("trend"),
+            F.floor(
+                (F.col("y") - F.col("s7").cast("double") / 7) * 1e6
+            ).cast("bigint").alias("r1"),
+        )
+        .localCheckpoint(eager=False)  # sea + res both consume it
+    )
+    sea = det.groupBy("dw").agg(
+        F.sum("r1").cast("bigint").alias("sr"),
+        F.count("*").cast("bigint").alias("cr"),
+    )
+    res = det.join(F.broadcast(sea), "dw").select(
+        "day", "y", "trend",
+        (F.col("sr").cast("double") / F.col("cr") / 1e6).alias("seasonal"),
+        ((F.col("r1") - F.col("sr").cast("double") / F.col("cr")) / 1e6).alias("resid"),
+    ).localCheckpoint(eager=False)  # sig + the flag filter both consume it
+    sig = res.agg(
+        (
+            F.sqrt(
+                F.sum(
+                    F.floor(F.col("resid") * 1e6 * F.col("resid") * 1e6)
+                    .cast("decimal(38,0)")
+                ).cast("double")
+                / F.count("*")
+            )
+            / 1e6
+        ).alias("sigma")
+    )
+    return (
+        res.crossJoin(F.broadcast(sig))
+        .select(
+            "day", "y",
+            F.round("trend", 6).alias("trend"),
+            F.round("seasonal", 6).alias("seasonal"),
+            F.round("resid", 6).alias("residual"),
+            F.round(
+                F.col("resid") / F.nullif(F.col("sigma"), F.lit(0.0)), 6
+            ).alias("z"),
+            (F.abs(F.col("resid")) > 2 * F.col("sigma")).alias("is_outlier"),
+        )
+        .orderBy("day")
     )

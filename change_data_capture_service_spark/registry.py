@@ -102,6 +102,10 @@ _CHECK_ORDER = [
     "orders_pareto_tail_index",
     "docs_distinctive_terms_by_source",
     "embedding_intrinsic_dim_twonn",
+    "events_holt_per_key_trend_topk",
+    "events_stl_residual_outliers",
+    "quality_language_purity",
+    "cdc_gap_heatmap_hour_dow",
 ]
 # Provenance: the round-10 window, fully attested by CORRECTNESS_r10
 # (46 hash-green + 4 rows-only-clean: graph_label_propagation,

@@ -341,3 +341,87 @@ def ewma_anomaly_stream_tws(events_stream: DataFrame) -> DataFrame:
         outputMode="append",
         timeMode="none",
     )
+
+
+GAP_SLA_OUTPUT_SCHEMA = (
+    "event_type string, n_gaps long, pct_within_sla double, "
+    "max_gap_s double, n_breaches long, breach_seconds double"
+)
+GAP_SLA_STATE_SCHEMA = (
+    "last_us long, n_gaps long, n_within long, n_breach long, "
+    "breach_us long, max_gap_us long"
+)
+
+
+def _gap_sla_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-stream SLA gap monitor fold: carried state is the last-seen
+    timestamp plus five exact-integer counters; every arrival closes one
+    gap against the carried timestamp, so the panel is maintained in
+    O(1) state and O(rows) work per stream -- the production form of the
+    batch ``cdc_ingestion_sla_by_source`` (which re-derives all gaps
+    from the full corpus). p95 is deliberately ABSENT here: an exact
+    percentile is not O(1)-state maintainable; the batch panel (or a
+    sketch) owns that column."""
+    import math
+
+    from ..operators.cdc import SLA_GAP_SECONDS
+
+    thr_us = SLA_GAP_SECONDS * 1_000_000
+    held = state.get if state.exists else (-1, 0, 0, 0, 0, 0)
+    last_us, n_gaps, n_within, n_breach, breach_us, max_gap_us = held
+    frames = [p for p in pdfs if not p.empty]
+    if not frames:
+        return
+    pdf = pd.concat(frames, ignore_index=True).sort_values(["ts", "event_id"])
+    for r in pdf.itertuples(index=False):
+        us = int(pd.Timestamp(r.ts).value // 1_000)
+        if last_us >= 0:
+            gap = us - last_us
+            n_gaps += 1
+            if gap <= thr_us:
+                n_within += 1
+            else:
+                n_breach += 1
+                breach_us += gap - thr_us
+            if gap > max_gap_us:
+                max_gap_us = gap
+        last_us = us
+    state.update((last_us, n_gaps, n_within, n_breach, breach_us, max_gap_us))
+    if n_gaps:
+        # HALF_UP snap, not Python round() (HALF_EVEN): the batch twin
+        # rounds with Spark's HALF_UP, and the share CAN tie at 6dp
+        half_up = lambda x: math.floor(x * 1e6 + 0.5) / 1e6  # noqa: E731
+        yield pd.DataFrame(
+            [(
+                key[0],
+                n_gaps,
+                half_up(n_within / n_gaps),
+                half_up(max_gap_us / 1e6),
+                n_breach,
+                half_up(breach_us / 1e6),
+            )],
+            columns=[
+                "event_type", "n_gaps", "pct_within_sla",
+                "max_gap_s", "n_breaches", "breach_seconds",
+            ],
+        )
+
+
+def gap_sla_stream(events_stream: DataFrame) -> DataFrame:
+    """Continuous per-stream ingestion-SLA panel (applyInPandasWithState,
+    update mode): each micro-batch re-emits every touched stream's
+    running (n_gaps, pct_within_sla, max_gap, breach count/seconds) row.
+    Once the feed drains, the latest row per stream equals the batch
+    ``cdc_ingestion_sla_by_source`` on every shared column
+    (tests/test_streaming.py pins it): both sides count the SAME exact
+    integer-microsecond gaps, so the agreement is exact, not
+    approximate. Input needs (event_type, event_id, ts)."""
+    return events_stream.groupBy("event_type").applyInPandasWithState(
+        _gap_sla_fn,
+        outputStructType=GAP_SLA_OUTPUT_SCHEMA,
+        stateStructType=GAP_SLA_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -109,6 +109,10 @@ _R11_CHECK_WINDOW = [
     "orders_pareto_tail_index",
     "docs_distinctive_terms_by_source",
     "embedding_intrinsic_dim_twonn",
+    "events_holt_per_key_trend_topk",
+    "events_stl_residual_outliers",
+    "quality_language_purity",
+    "cdc_gap_heatmap_hour_dow",
 ]
 
 

@@ -771,3 +771,67 @@ def test_ewma_tws_plan_builds(spark):
         "residual_dollars", "is_anomaly",
     ]
     assert df.isStreaming
+
+
+def test_gap_sla_stream_equals_batch(spark, sf_dir, tmp_path):
+    """The O(1)-state streaming SLA monitor must equal the registered
+    batch panel on every shared column once the feed drains (p95 is
+    batch-only by declared contract). Two time-split files force state
+    to persist across micro-batches; within-batch order is shuffled to
+    prove the (ts, event_id) sort inside the fold."""
+    import os
+    import shutil
+
+    from change_data_capture_service_spark import registry
+    from change_data_capture_service_spark.catalog import load_table
+    from change_data_capture_service_spark.streaming.stateful import gap_sla_stream
+
+    registry.load_all()
+    src = str(tmp_path / "gap_events")
+    os.makedirs(src)
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.filter(F.col("ts").isNotNull()).select("event_type", "event_id", "ts")
+    mid = base.agg(
+        F.date_trunc("day", F.min("ts")) + F.expr("INTERVAL 9 DAY")
+    ).collect()[0][0]
+    for name, part in (
+        ("a_first.parquet", base.filter(F.col("ts") < F.lit(mid))),
+        ("z_second.parquet", base.filter(F.col("ts") >= F.lit(mid))),
+    ):
+        tmp = f"{src}/_tmp"
+        part.orderBy(F.col("event_id") % 7).coalesce(1).write.parquet(tmp)
+        for f in os.listdir(tmp):
+            if f.endswith(".parquet"):
+                shutil.move(f"{tmp}/{f}", f"{src}/{name}")
+        shutil.rmtree(tmp)
+
+    stream = spark.readStream.schema(
+        "event_type string, event_id long, ts timestamp"
+    ).option("maxFilesPerTrigger", "1").parquet(src)
+    q = (
+        gap_sla_stream(stream)
+        .writeStream.format("memory")
+        .queryName("gap_sla_out")
+        .outputMode("update")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    # update mode: the LAST emitted row per stream is the final panel
+    rows = spark.sql("SELECT * FROM gap_sla_out").collect()
+    got = {}
+    for r in rows:  # memory sink appends updates in batch order
+        got[r["event_type"]] = (
+            r["n_gaps"], r["pct_within_sla"], r["max_gap_s"],
+            r["n_breaches"], r["breach_seconds"],
+        )
+    batch = registry.get("cdc_ingestion_sla_by_source").fn(spark, sf_dir)
+    want = {
+        r["event_type"]: (
+            r["n_gaps"], r["pct_within_sla"], r["max_gap_s"],
+            r["n_breaches"], r["breach_seconds"],
+        )
+        for r in batch.collect()
+    }
+    assert len(got) > 0
+    assert got == want
