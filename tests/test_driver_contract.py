@@ -113,6 +113,37 @@ _R11_CHECK_WINDOW = [
     "events_stl_residual_outliers",
     "quality_language_purity",
     "cdc_gap_heatmap_hour_dow",
+    # re-attestation: changed-behavior keys first, then diff-touched files
+    "search_prf_expansion",
+    "stream_interval_join_anti",
+    "graph_betweenness_brandes",
+    "embedding_label_centroid_similarity",
+    "events_interarrival_stats",
+    "search_bm25",
+    "search_snippet_best_window",
+    "stream_interval_join_semi",
+    "stream_ewma_anomaly",
+    "stream_interval_join",
+    "graph_label_propagation",
+    "graph_edge_jaccard_similarity",
+    "graph_pagerank",
+    "graph_triangle_count",
+    "graph_kcore",
+    "recursive_reachability",
+    "knn_cosine_topk",
+    "embedding_isotropy",
+    "knn_mmr_diversified",
+    "embedding_dim_profile",
+    "events_cohens_d_weekend",
+    "lineitem_kendall_tau_qty_price",
+    "part_revenue_gini_lorenz",
+    "text_tokenize_tf",
+    "docs_readability",
+    "cdc_replication_lag",
+    "cdc_dml_mix_drift",
+    "ewma_hourly",
+    "multimodal_extract",
+    "knn_cosine_ivf_pq_prebuilt",
 ]
 
 
