@@ -4179,7 +4179,7 @@ def supplier_ship_latency_profile(spark: SparkSession, sf_dir: str) -> DataFrame
             ).alias("delay_d"),
         )
     )
-    from .stats import exact_interp_pct
+    from .stats import exact_interp_pct_weighted
 
     named = lat.join(
         F.broadcast(n.select("n_nationkey", "n_name")),
@@ -4199,7 +4199,9 @@ def supplier_ship_latency_profile(spark: SparkSession, sf_dir: str) -> DataFrame
             6,
         ).alias("pct_over_90d"),
     )
-    q = exact_interp_pct(named, ["supplier_nation"], "delay_d", 90).select(
+    # delay days are a bounded integer domain: interpolate at domain
+    # grain (25 nations x ~200 values), never a fact-grain rank window
+    q = exact_interp_pct_weighted(named, ["supplier_nation"], "delay_d", 90).select(
         F.col("supplier_nation").alias("qsn"),
         F.col("q_val").cast("double").alias("p90_delay_days"),
     )

@@ -2234,7 +2234,8 @@ TWONN_SAMPLE = 512
       FROM embeddings
       WHERE vec_id < {TWONN_SAMPLE}
         AND NOT list_has_any(list_transform(CAST(embedding AS DOUBLE[]),
-                             x -> isnan(x) OR NOT isfinite(x)), [TRUE])
+                             x -> isnan(x) OR NOT isfinite(x)
+                                  OR abs(x) > 100), [TRUE])
     ),
     pairs AS (
       SELECT a.vec_id AS ai, b.vec_id AS bi,
@@ -2303,9 +2304,14 @@ def embedding_intrinsic_dim_twonn(spark: SparkSession, sf_dir: str) -> DataFrame
                 "transform(CAST(embedding AS array<double>),"
                 " x -> CAST(floor(x * 1e6) AS BIGINT))"
             ).alias("m"),
+            # totality: NaN/Inf AND huge-magnitude components are excluded
+            # BEFORE quantization -- |x| <= 100 bounds every diff at 2e8
+            # micro-units, so the 64-term squared sum stays under 2^63
+            # (hostile-embeddings sweep contract)
             F.expr(
                 "exists(CAST(embedding AS array<double>),"
-                " x -> isnan(x) OR x = double('inf') OR x = double('-inf'))"
+                " x -> isnan(x) OR x = double('inf') OR x = double('-inf')"
+                " OR abs(x) > 100D)"
             ).alias("bad"),
         )
         .filter(~F.col("bad"))

@@ -3264,3 +3264,42 @@ def exact_interp_pct(df: DataFrame, keys: list, col: str, pct: int) -> DataFrame
         *keys,
         F.expr("(100 * __x_lo + __rem * (__x_hi - __x_lo)) DIV 100").alias("q_val"),
     )
+
+
+def exact_interp_pct_weighted(
+    df: DataFrame, keys: list, col: str, pct: int
+) -> DataFrame:
+    """``exact_interp_pct`` for BOUNDED-DOMAIN integer columns: reduces to
+    the (keys, value, count) domain grain first, so the rank pass runs
+    over |domain| rows per key instead of fact-grain rows (a day-delay
+    domain is ~10^2 values; the fact relation is 10^9 -- this is the
+    _domain_prefix discipline applied to percentile interpolation).
+    Same output contract: keys + ``q_val`` BIGINT, identical truncated
+    rational closed form."""
+    dom = df.groupBy(*keys, col).agg(F.count("*").cast("bigint").alias("__w"))
+    cw = Window.partitionBy(*keys)
+    cum = dom.select(
+        *keys,
+        F.col(col).alias("__x"),
+        F.col("__w"),
+        F.sum("__w").over(cw.orderBy(col)).cast("bigint").alias("__c_end"),
+        F.sum("__w").over(cw).cast("bigint").alias("__n"),
+    ).localCheckpoint(eager=False)  # lo and hi picks both consume it
+    lo_pos = F.expr(f"({pct} * (__n - 1)) DIV 100") + 1
+    rem = F.expr(f"({pct} * (__n - 1)) % 100")
+    hi_pos = F.when(rem == 0, lo_pos).otherwise(lo_pos + 1)
+    lo = (
+        cum.filter((F.col("__c_end") >= lo_pos) & (F.col("__c_end") - F.col("__w") < lo_pos))
+        .select(*keys, F.col("__x").alias("__x_lo"), F.col("__n"), rem.alias("__rem"))
+    )
+    hi = (
+        cum.filter((F.col("__c_end") >= hi_pos) & (F.col("__c_end") - F.col("__w") < hi_pos))
+        .select(*[F.col(k).alias(f"__h_{k}") for k in keys], F.col("__x").alias("__x_hi"))
+    )
+    cond = F.lit(True)
+    for k in keys:
+        cond = cond & (F.col(k) == F.col(f"__h_{k}"))
+    return lo.join(hi, cond).select(
+        *keys,
+        F.expr("(100 * __x_lo + __rem * (__x_hi - __x_lo)) DIV 100").alias("q_val"),
+    )

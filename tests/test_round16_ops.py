@@ -184,3 +184,23 @@ def test_distinctive_terms_shape(spark, sf_dir):
     for src, scores in per.items():
         assert len(scores) <= 5, src
         assert scores == sorted(scores, reverse=True), src
+
+
+def test_interp_pct_weighted_equals_rowgrain(spark):
+    """The domain-grain weighted interpolation must equal the row-grain
+    form on random integer data at several percentiles (same truncated
+    rational closed form, different plan shape)."""
+    import random
+
+    from change_data_capture_service_spark.operators.stats import (
+        exact_interp_pct,
+        exact_interp_pct_weighted,
+    )
+
+    rng = random.Random(11)
+    rows = [(f"g{i % 3}", rng.randint(0, 40)) for i in range(500)]
+    df = spark.createDataFrame(rows, "k string, v long")
+    for pct in (50, 90, 95, 99):
+        a = {r["k"]: r["q_val"] for r in exact_interp_pct(df, ["k"], "v", pct).collect()}
+        b = {r["k"]: r["q_val"] for r in exact_interp_pct_weighted(df, ["k"], "v", pct).collect()}
+        assert a == b, (pct, a, b)
