@@ -633,7 +633,10 @@ def multimodal_metadata_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle recomputes the header fields from the source text (ascii
     corpus: byte == ascii(char)), proving the binary round-trip and the
     mapInPandas batch plumbing lossless -- the multimodal_extract
-    contract. All aggregates are integer ratios, pixel products through
+    contract, including its documented ASCII scope (the ENGINE side
+    parses payload bytes, the real contract; on multi-byte corpora the
+    text-derived oracle diverges by construction, so the unicode parity
+    sweep excludes this key like its siblings). All aggregates are integer ratios, pixel products through
     DECIMAL(38,0).
 
     Scale: the parse reads 6 bytes/row inside one Arrow pass (no shuffle

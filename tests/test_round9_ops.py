@@ -198,8 +198,11 @@ def test_documents_oracles_agree_on_a_unicode_corpus(spark, tmp_path):
     the divergence class ASCII fixtures can never catch. (First run found
     a Catalyst subexpression-elimination ANSI crash in the shingle
     builder and a quantile-interpolation ulp flap in the CCNet tertiles;
-    both fixed.) multimodal_extract/resize are excluded: their oracles
-    are documented byte==ascii(char) ASCII-scope approximations."""
+    both fixed.) multimodal_extract/resize/metadata_panel are excluded:
+    their oracles are documented byte==ascii(char) ASCII-scope
+    approximations (the engine side parses PAYLOAD BYTES, which is the
+    real contract; the oracle re-derives them from text and only agrees
+    on single-byte corpora)."""
     import duckdb
 
     from tests.conftest import assert_query_matches_oracle
@@ -244,7 +247,9 @@ def test_documents_oracles_agree_on_a_unicode_corpus(spark, tmp_path):
         n
         for n, e in registry.entries().items()
         if e.oracle and "documents" in e.oracle
-        and n not in ("multimodal_extract", "multimodal_resize")
+        and n not in (
+            "multimodal_extract", "multimodal_resize", "multimodal_metadata_panel"
+        )
     ]
     assert len(targets) > 50
     failures = []
@@ -312,7 +317,9 @@ def test_documents_oracles_agree_on_a_null_laden_corpus(spark, tmp_path):
         n
         for n, e in registry.entries().items()
         if e.oracle and "documents" in e.oracle
-        and n not in ("multimodal_extract", "multimodal_resize")
+        and n not in (
+            "multimodal_extract", "multimodal_resize", "multimodal_metadata_panel"
+        )
     ]
     failures = []
     for name in sorted(targets):
