@@ -4213,3 +4213,105 @@ def supplier_ship_latency_profile(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("supplier_nation")
     )
+
+
+@register(
+    "part_dead_stock_panel",
+    tags=("warehouse", "analytics"),
+    oracle="""
+    WITH anchor AS (
+      SELECT CAST(date_trunc('day', max(l_shipdate)) AS TIMESTAMP) AS now_d
+      FROM lineitem
+    ),
+    last_sale AS (
+      SELECT l_partkey,
+             CAST(date_trunc('day', max(l_shipdate)) AS TIMESTAMP) AS last_d,
+             CAST(sum(CAST(try_cast(try_cast(l_extendedprice AS DECIMAL(18,2))
+                  * 100 AS BIGINT) AS DECIMAL(38,0))) AS BIGINT) AS rev_c
+      FROM lineitem
+      WHERE try_cast(try_cast(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+            IS NOT NULL
+      GROUP BY 1
+    )
+    SELECT p.p_brand,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(CASE WHEN ls.l_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_never_sold,
+           CAST(sum(CASE WHEN ls.l_partkey IS NOT NULL
+                    AND date_diff('day', ls.last_d, a.now_d) > 180
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_dead_180d,
+           round(CAST(sum(CASE WHEN ls.l_partkey IS NULL
+                          OR date_diff('day', ls.last_d, a.now_d) > 180
+                          THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+             AS dead_share,
+           round(CAST(sum(CASE WHEN ls.l_partkey IS NOT NULL
+                          AND date_diff('day', ls.last_d, a.now_d) > 180
+                          THEN CAST(ls.rev_c AS DECIMAL(38,0)) ELSE 0 END)
+                 AS DOUBLE) / 100, 6) AS stranded_lifetime_revenue
+    FROM part p
+    LEFT JOIN last_sale ls ON p.p_partkey = ls.l_partkey
+    CROSS JOIN anchor a
+    GROUP BY p.p_brand
+    ORDER BY p.p_brand
+    """,
+)
+def part_dead_stock_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-stock / slow-mover panel per brand: parts never sold, parts
+    whose LAST ship date is more than 180 days before the corpus
+    anchor, the combined dead share, and the lifetime revenue now
+    stranded in dead SKUs -- the assortment-pruning view
+    (part_abc_xyz_matrix classifies the living; this counts the dead,
+    which is what clearance and delisting reviews start from).
+
+    Exactness: recency is exact day arithmetic against the corpus max
+    ship date (deterministic anchor); revenues are BIGINT cents through
+    DECIMAL(38,0); the never-sold split keys on the join-miss marker,
+    not a data column.
+
+    Scale: one partkey-grain partial agg over lineitem co-partitioned
+    with the part join; the anchor is a broadcast 1-row aggregate;
+    |brands| output rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    cents = F.expr(
+        "try_cast(try_cast(l_extendedprice AS decimal(18,2)) * 100 AS bigint)"
+    )
+    anchor = li.agg(
+        F.date_trunc("day", F.max("l_shipdate")).cast("timestamp").alias("now_d")
+    )
+    last_sale = (
+        li.filter(cents.isNotNull())
+        .groupBy("l_partkey")
+        .agg(
+            F.date_trunc("day", F.max("l_shipdate")).cast("timestamp").alias("last_d"),
+            F.sum(cents.cast("decimal(38,0)")).cast("bigint").alias("rev_c"),
+        )
+    )
+    days = F.datediff(F.col("now_d"), F.col("last_d"))
+    dead = F.col("l_partkey").isNotNull() & (days > 180)
+    never = F.col("l_partkey").isNull()
+    return (
+        p.select("p_partkey", "p_brand")
+        .join(last_sale, F.col("p_partkey") == F.col("l_partkey"), "left")
+        .crossJoin(F.broadcast(anchor))
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").cast("bigint").alias("n_parts"),
+            F.sum(F.when(never, 1).otherwise(0)).cast("bigint").alias("n_never_sold"),
+            F.sum(F.when(dead, 1).otherwise(0)).cast("bigint").alias("n_dead_180d"),
+            F.round(
+                F.sum(F.when(never | dead, 1).otherwise(0)).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("dead_share"),
+            F.round(
+                F.sum(
+                    F.when(dead, F.col("rev_c").cast("decimal(38,0)"))
+                    .otherwise(F.lit(0).cast("decimal(38,0)"))
+                ).cast("double")
+                / 100,
+                6,
+            ).alias("stranded_lifetime_revenue"),
+        )
+        .orderBy("p_brand")
+    )

@@ -106,6 +106,8 @@ _CHECK_ORDER = [
     "events_stl_residual_outliers",
     "quality_language_purity",
     "cdc_gap_heatmap_hour_dow",
+    "pivot_unpivot_roundtrip",
+    "part_dead_stock_panel",
     # -- re-attestation: green keys whose impl files changed this round,
     # CHANGED-BEHAVIOR keys first (advice fixes + percentile retrofits),
     # then other keys from diff-touched files in touched order --
@@ -137,8 +139,6 @@ _CHECK_ORDER = [
     "cdc_replication_lag",
     "cdc_dml_mix_drift",
     "ewma_hourly",
-    "multimodal_extract",
-    "knn_cosine_ivf_pq_prebuilt",
 ]
 # Provenance: the round-10 window, fully attested by CORRECTNESS_r10
 # (46 hash-green + 4 rows-only-clean: graph_label_propagation,

@@ -113,6 +113,8 @@ _R11_CHECK_WINDOW = [
     "events_stl_residual_outliers",
     "quality_language_purity",
     "cdc_gap_heatmap_hour_dow",
+    "pivot_unpivot_roundtrip",
+    "part_dead_stock_panel",
     # re-attestation: changed-behavior keys first, then diff-touched files
     "search_prf_expansion",
     "stream_interval_join_anti",
@@ -142,8 +144,6 @@ _R11_CHECK_WINDOW = [
     "cdc_replication_lag",
     "cdc_dml_mix_drift",
     "ewma_hourly",
-    "multimodal_extract",
-    "knn_cosine_ivf_pq_prebuilt",
 ]
 
 

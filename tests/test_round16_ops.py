@@ -204,3 +204,34 @@ def test_interp_pct_weighted_equals_rowgrain(spark):
         a = {r["k"]: r["q_val"] for r in exact_interp_pct(df, ["k"], "v", pct).collect()}
         b = {r["k"]: r["q_val"] for r in exact_interp_pct_weighted(df, ["k"], "v", pct).collect()}
         assert a == b, (pct, a, b)
+
+
+def test_pivot_unpivot_roundtrip_equals_direct_groupby(spark, sf_dir):
+    """The PIVOT -> UNPIVOT round trip must reconstruct the direct
+    (day, type) grouped relation exactly -- losslessness of the widen/melt
+    pair on observed cells."""
+    from change_data_capture_service_spark.catalog import load_table
+
+    got = {
+        (str(r["day"]), r["event_type"]): r["n"]
+        for r in registry.get("pivot_unpivot_roundtrip").fn(spark, sf_dir).collect()
+    }
+    e = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    direct = {
+        (str(r["day"]), r["event_type"]): r["n"]
+        for r in e.groupBy(
+            F.date_trunc("day", "ts").cast("timestamp").alias("day"), "event_type"
+        ).agg(F.count("*").cast("bigint").alias("n")).collect()
+    }
+    assert got == direct
+
+
+def test_dead_stock_panel_partitions_parts(spark, sf_dir):
+    from change_data_capture_service_spark.catalog import load_table
+
+    rows = registry.get("part_dead_stock_panel").fn(spark, sf_dir).collect()
+    n_parts = load_table(spark, sf_dir, "part").count()
+    assert sum(r["n_parts"] for r in rows) == n_parts
+    for r in rows:
+        assert 0 <= r["dead_share"] <= 1
+        assert r["n_never_sold"] + r["n_dead_180d"] <= r["n_parts"]
