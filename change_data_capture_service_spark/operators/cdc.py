@@ -1884,3 +1884,65 @@ def cdc_gap_heatmap_hour_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.col("p95_us").cast("double") / 1000000.0, 6).alias("p95_gap_s"),
     ).orderBy("dw", "hr")
+
+
+@register(
+    "cdc_revisit_halflife_by_type",
+    tags=("cdc", "monitor"),
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY event_type, user_id ORDER BY ts, event_id)
+               AS gap_us
+      FROM events
+    ),
+    agg AS (
+      SELECT event_type,
+             CAST(count(gap_us) AS BIGINT) AS n_gaps,
+             CAST(sum(gap_us) AS BIGINT) AS sum_us
+      FROM g WHERE gap_us IS NOT NULL AND gap_us > 0
+      GROUP BY event_type
+    )
+    SELECT event_type, n_gaps,
+           round(CAST(n_gaps AS DOUBLE) / (CAST(sum_us AS DOUBLE) / 1000000.0),
+                 6) AS lambda_per_s,
+           round(ln(2) * (CAST(sum_us AS DOUBLE) / 1000000.0) / n_gaps / 3600,
+                 6) AS halflife_hours
+    FROM agg ORDER BY event_type
+    """,
+)
+def cdc_revisit_halflife_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parametric revisit-freshness fit per stream: the exponential-MLE
+    rate of same-user revisit gaps (lambda = n / sum(gaps) -- THE
+    closed-form MLE) and its half-life ln(2)/lambda in hours. The
+    parametric companion to cdc_revisit_time_histogram: the histogram
+    shows the spectrum, this one number feeds crawl/poll schedulers
+    (revisit a source at ~its half-life and you catch half the updates
+    at minimal cost -- the freshness-decay scheduling rule).
+
+    Exactness: gaps are exact integer microseconds ((ts, event_id)
+    tiebroken, zero-gaps excluded -- an exponential has no mass at 0);
+    the MLE is one shared closed form over (n, sum), rounded 6dp.
+
+    Scale: one (type, user)-keyed lag window, then a per-type partial
+    agg -- |types| rows out."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type", "user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    g = e.select(
+        "event_type", (us - F.lag(us).over(w)).alias("gap_us")
+    ).filter(F.col("gap_us").isNotNull() & (F.col("gap_us") > 0))
+    agg = g.groupBy("event_type").agg(
+        F.count("gap_us").cast("bigint").alias("n_gaps"),
+        F.sum("gap_us").cast("bigint").alias("sum_us"),
+    )
+    secs = F.col("sum_us").cast("double") / 1000000.0
+    return agg.select(
+        "event_type",
+        "n_gaps",
+        F.round(F.col("n_gaps").cast("double") / secs, 6).alias("lambda_per_s"),
+        F.round(
+            F.log(F.lit(2.0)) * secs / F.col("n_gaps") / 3600, 6
+        ).alias("halflife_hours"),
+    ).orderBy("event_type")

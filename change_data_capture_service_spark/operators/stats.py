@@ -3303,3 +3303,121 @@ def exact_interp_pct_weighted(
         *keys,
         F.expr("(100 * __x_lo + __rem * (__x_hi - __x_lo)) DIV 100").alias("q_val"),
     )
+
+
+@register(
+    "events_two_way_eta_squared",
+    tags=("stats", "agg"),
+    oracle=f"""
+    WITH x AS (
+      SELECT event_type AS a, dayofweek(ts) AS b,
+             {_VALUE_C} AS c
+      FROM events
+      WHERE ts IS NOT NULL AND {_VALUE_C} IS NOT NULL
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(c AS DECIMAL(38,0))) AS BIGINT) AS s,
+             CAST(sum(CAST(c AS DECIMAL(38,0)) * c) AS BIGINT) AS q
+      FROM x
+    ),
+    ga AS (
+      SELECT a, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(c AS DECIMAL(38,0))) AS BIGINT) AS s
+      FROM x GROUP BY 1
+    ),
+    gb AS (
+      SELECT b, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(c AS DECIMAL(38,0))) AS BIGINT) AS s
+      FROM x GROUP BY 1
+    ),
+    gc AS (
+      SELECT a, b, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(c AS DECIMAL(38,0))) AS BIGINT) AS s
+      FROM x GROUP BY 1, 2
+    ),
+    ss AS (
+      SELECT tot.n,
+             CAST(tot.q AS DOUBLE)
+               - CAST(tot.s AS DOUBLE) * tot.s / tot.n AS sst,
+             (SELECT sum(CAST(s AS DOUBLE) * s / n) FROM ga)
+               - CAST(tot.s AS DOUBLE) * tot.s / tot.n AS ssa,
+             (SELECT sum(CAST(s AS DOUBLE) * s / n) FROM gb)
+               - CAST(tot.s AS DOUBLE) * tot.s / tot.n AS ssb,
+             (SELECT sum(CAST(s AS DOUBLE) * s / n) FROM gc)
+               - CAST(tot.s AS DOUBLE) * tot.s / tot.n AS ssc
+      FROM tot
+    )
+    SELECT n AS n_rows,
+           round(ssa / nullif(sst, 0), 6) AS eta2_type,
+           round(ssb / nullif(sst, 0), 6) AS eta2_dow,
+           round(ssc / nullif(sst, 0), 6) AS eta2_cells,
+           round((ssc - ssa - ssb) / nullif(sst, 0), 6) AS eta2_residual_interaction
+    FROM ss
+    """,
+)
+def events_two_way_eta_squared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-factor variance-explained panel on event value: eta-squared
+    for event_type, for day-of-week, for the full (type x dow) cell
+    structure, and the cells-minus-mains remainder -- the DESCRIPTIVE
+    two-way decomposition (on unbalanced data the remainder is not a
+    clean interaction SS, which is why this panel reports
+    variance-explained fractions rather than F-tests; the balanced-design
+    reading and the Type-I/II/III caveat are documented here
+    deliberately). The screening view before committing to a model:
+    eta2_cells near eta2_type says dow adds nothing; a large remainder
+    says type and dow interact (e.g. purchases spike on weekends
+    specifically).
+
+    Exactness: every SS reduces to integer-cents group sums
+    (DECIMAL(38,0) accumulation; sums of squares exact BIGINT); the
+    eta ratios are shared closed forms, 6dp, nullif-guarded for a
+    zero-variance corpus.
+
+    Scale: three partial aggs over one fact scan (type: ~5 groups,
+    dow: 7, cells: ~35) -- all dim-bounded."""
+    e = load_table(spark, sf_dir, "events")
+    c = F.expr(_VALUE_C)
+    x = (
+        e.filter(F.col("ts").isNotNull() & c.isNotNull())
+        .select(
+            F.col("event_type").alias("a"),
+            (F.dayofweek("ts") - 1).alias("b"),
+            c.alias("c"),
+        )
+        .localCheckpoint(eager=False)  # tot + three group passes consume it
+    )
+    tot = x.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("c").cast("decimal(38,0)")).cast("bigint").alias("s"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c")).cast("bigint").alias("q"),
+    )
+
+    def ssq(keys):
+        g = x.groupBy(*keys).agg(
+            F.count("*").cast("bigint").alias("gn"),
+            F.sum(F.col("c").cast("decimal(38,0)")).cast("bigint").alias("gs"),
+        )
+        return g.agg(
+            F.sum(F.col("gs").cast("double") * F.col("gs") / F.col("gn")).alias("w")
+        )
+
+    sa, sb, sc_ = ssq(["a"]), ssq(["b"]), ssq(["a", "b"])
+    grand = F.col("s").cast("double") * F.col("s") / F.col("n")
+    sst = F.col("q").cast("double") - grand
+    return (
+        tot.crossJoin(F.broadcast(sa.select(F.col("w").alias("wa"))))
+        .crossJoin(F.broadcast(sb.select(F.col("w").alias("wb"))))
+        .crossJoin(F.broadcast(sc_.select(F.col("w").alias("wc"))))
+        .select(
+            F.col("n").alias("n_rows"),
+            F.round((F.col("wa") - grand) / F.nullif(sst, F.lit(0.0)), 6).alias("eta2_type"),
+            F.round((F.col("wb") - grand) / F.nullif(sst, F.lit(0.0)), 6).alias("eta2_dow"),
+            F.round((F.col("wc") - grand) / F.nullif(sst, F.lit(0.0)), 6).alias("eta2_cells"),
+            F.round(
+                ((F.col("wc") - grand) - (F.col("wa") - grand) - (F.col("wb") - grand))
+                / F.nullif(sst, F.lit(0.0)),
+                6,
+            ).alias("eta2_residual_interaction"),
+        )
+    )
