@@ -4315,3 +4315,111 @@ def part_dead_stock_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+@register(
+    "part_price_ladder_by_nation",
+    tags=("warehouse", "stats"),
+    oracle="""
+    WITH px AS (
+      SELECT n.n_name AS supplier_nation,
+             try_cast(try_cast(l_extendedprice AS DECIMAL(18,2)) * 100
+               AS BIGINT) AS cents
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      WHERE try_cast(try_cast(l_extendedprice AS DECIMAL(18,2)) * 100
+            AS BIGINT) IS NOT NULL
+    ),
+    rk AS (
+      SELECT supplier_nation, cents,
+             CAST(row_number() OVER (PARTITION BY supplier_nation
+                                     ORDER BY cents) AS BIGINT) AS rn,
+             CAST(count(*) OVER (PARTITION BY supplier_nation) AS BIGINT) AS n
+      FROM px
+    ),
+    q AS (
+      -- exact_interp_pct closed form at three rungs (see stats.py)
+      SELECT lo.supplier_nation, p.pct,
+             (100 * lo.cents
+              + ((p.pct * (lo.n - 1)) % 100) * (hi.cents - lo.cents)) // 100
+               AS q_c
+      FROM (SELECT CAST(unnest([25, 50, 75]) AS BIGINT) AS pct) p
+      JOIN rk lo ON lo.rn = (p.pct * (lo.n - 1)) // 100 + 1
+      JOIN rk hi ON hi.supplier_nation = lo.supplier_nation
+       AND hi.rn = CASE WHEN (p.pct * (lo.n - 1)) % 100 = 0
+                        THEN lo.rn ELSE lo.rn + 1 END
+    )
+    SELECT supplier_nation,
+           round(CAST(max(CASE WHEN pct = 25 THEN q_c END) AS DOUBLE) / 100, 6)
+             AS p25_price,
+           round(CAST(max(CASE WHEN pct = 50 THEN q_c END) AS DOUBLE) / 100, 6)
+             AS p50_price,
+           round(CAST(max(CASE WHEN pct = 75 THEN q_c END) AS DOUBLE) / 100, 6)
+             AS p75_price,
+           round(CAST(max(CASE WHEN pct = 75 THEN q_c END) AS DOUBLE)
+                 / nullif(CAST(max(CASE WHEN pct = 25 THEN q_c END)
+                          AS DOUBLE), 0), 6) AS ladder_ratio
+    FROM q GROUP BY supplier_nation
+    ORDER BY supplier_nation
+    """,
+)
+def part_price_ladder_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price ladder per supplier nation: the p25/p50/p75 rungs of line
+    extended price plus the p75/p25 ladder ratio -- the market-tiering
+    view regional_price_dispersion's CV can't give (two markets with
+    equal CV can have very different ladder SHAPES, and the ratio is
+    what price-positioning reviews quote). Three exact-interpolation
+    quantiles from one rank pass.
+
+    Exactness: cents are exact BIGINT; each rung uses the shared
+    exact_interp_pct rational closed form (ulp-safe, tie-free); the
+    ladder ratio is one guarded division of interpolated integer cents.
+
+    Scale: the Spark side interpolates at the (nation, cents) DOMAIN
+    grain (exact_interp_pct_weighted -- cents domains are price-range
+    bounded), so no fact-grain rank window exists in the plan; the
+    oracle's row-grain rank CTE is the value-equal reference form."""
+    from .stats import exact_interp_pct_weighted
+
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    cents = F.expr(
+        "try_cast(try_cast(l_extendedprice AS decimal(18,2)) * 100 AS bigint)"
+    )
+    px = (
+        li.select("l_suppkey", cents.alias("cents"))
+        .filter(F.col("cents").isNotNull())
+        .join(
+            F.broadcast(s.select("s_suppkey", "s_nationkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(n.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select(F.col("n_name").alias("supplier_nation"), "cents")
+        .localCheckpoint(eager=False)  # three percentile passes consume it
+    )
+    def rung(pct, alias):
+        return exact_interp_pct_weighted(
+            px, ["supplier_nation"], "cents", pct
+        ).withColumnRenamed("q_val", alias)
+
+    rungs = (
+        rung(25, "p25_c")
+        .join(rung(50, "p50_c"), "supplier_nation")
+        .join(rung(75, "p75_c"), "supplier_nation")
+    )
+    return rungs.select(
+        "supplier_nation",
+        F.round(F.col("p25_c").cast("double") / 100, 6).alias("p25_price"),
+        F.round(F.col("p50_c").cast("double") / 100, 6).alias("p50_price"),
+        F.round(F.col("p75_c").cast("double") / 100, 6).alias("p75_price"),
+        F.round(
+            F.col("p75_c").cast("double")
+            / F.nullif(F.col("p25_c").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("ladder_ratio"),
+    ).orderBy("supplier_nation")

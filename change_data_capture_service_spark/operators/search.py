@@ -1087,3 +1087,167 @@ def search_snippet_best_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "search_alpha_dcg_diversity",
+    tags=("search", "agg"),
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {TOKENS} AS toks FROM documents
+    ),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(len(toks)) AS avgdl
+      FROM toks
+    ),
+    tf AS (
+      SELECT doc_id, dl, tok, CAST(count(*) AS BIGINT) AS tf
+      FROM (
+        SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, unnest(toks) AS tok
+        FROM toks
+      )
+      WHERE tok IN ('stream', 'merge', 'window')
+      GROUP BY doc_id, dl, tok
+    ),
+    df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+    scored AS (
+      SELECT tf.doc_id,
+             round(sum(
+               ln((n_docs - df + 0.5) / (df + 0.5) + 1)
+               * tf * ({_K1} + 1)
+               / (tf + {_K1} * (1 - {_B} + {_B} * dl / avgdl))), 6) AS score
+      FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN stats
+      GROUP BY tf.doc_id
+    ),
+    rel AS (
+      SELECT doc_id, CAST(count(DISTINCT tok) AS BIGINT) AS rel
+      FROM tf GROUP BY doc_id
+    ),
+    ranked AS (
+      SELECT s.doc_id, r.rel, d.lang,
+             CAST(row_number() OVER (ORDER BY s.score DESC, s.doc_id)
+               AS BIGINT) AS rn
+      FROM scored s
+      JOIN rel r ON s.doc_id = r.doc_id
+      JOIN documents d ON s.doc_id = d.doc_id
+      ORDER BY s.score DESC, s.doc_id LIMIT {_TOP}
+    ),
+    gains AS (
+      SELECT rn,
+             (pow(2, rel) - 1) / ln(rn + 1) AS g_plain,
+             (pow(2, rel) - 1)
+               * pow(0.5, CAST(row_number() OVER (
+                   PARTITION BY lang ORDER BY rn) AS BIGINT) - 1)
+               / ln(rn + 1) AS g_alpha
+      FROM ranked
+    ),
+    ks AS (SELECT unnest([5, 10, 20]) AS k)
+    SELECT CAST(k AS INT) AS k,
+           round((SELECT sum(CAST(g_plain AS DECIMAL(20,15)))
+                  FROM gains WHERE rn <= k), 6) AS dcg_plain,
+           round((SELECT sum(CAST(g_alpha AS DECIMAL(20,15)))
+                  FROM gains WHERE rn <= k), 6) AS dcg_alpha,
+           round((SELECT sum(CAST(g_alpha AS DECIMAL(20,15)))
+                  FROM gains WHERE rn <= k)
+                 / nullif((SELECT sum(CAST(g_plain AS DECIMAL(20,15)))
+                           FROM gains WHERE rn <= k), 0), 6)
+             AS diversity_ratio
+    FROM ks
+    """,
+)
+def search_alpha_dcg_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-discounted DCG panel (the alpha-DCG gain model of
+    Clarke et al. 2008 at alpha = 0.5, aspects = document language):
+    each result's graded gain is discounted by 0.5^(number of
+    same-aspect documents ranked above it), so a lang-redundant top-k
+    scores below a lang-diverse one at equal relevance. Reported at
+    k in {{5, 10, 20}} next to the plain DCG and their ratio -- the
+    redundancy penalty in one number. NOT normalized alpha-nDCG: the
+    diversity-ideal ranking is NP-hard and the standard greedy ideal is
+    estimator-specific, so this panel reports the well-defined
+    numerator pair instead (the knn_mmr_diversified evaluation
+    counterpart -- MMR is the fixer, this is the meter).
+
+    Exactness: relevance grades and ranks are exact integers; alpha =
+    0.5 keeps every discount a power of two; each gain term snaps to
+    DECIMAL(20,15) before its order-free sum; the BM25 ranking reuses
+    the established 6dp round-then-rank cutoff.
+
+    Scale: postings-probe BM25 (only query-term postings shuffle), a
+    {_TOP}-row ranked list, and <= 60 output-side arithmetic rows."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "lang", _tokens().alias("toks")).localCheckpoint(
+        eager=False
+    )
+    stats = toks.agg(
+        F.count("*").alias("n_docs"), F.avg(F.size("toks")).alias("avgdl")
+    )
+    seeds = spark.createDataFrame([(t,) for t in _QUERY_TERMS], "tok string")
+    tf = (
+        toks.select(
+            "doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("tok")
+        )
+        .join(F.broadcast(seeds), "tok")
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
+        .localCheckpoint(eager=False)  # df, scored, rel all consume it
+    )
+    dfr = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+    w = (
+        idf * F.col("tf") * (_K1 + 1)
+        / (F.col("tf") + _K1 * (1 - _B + _B * F.col("dl") / F.col("avgdl")))
+    )
+    scored = (
+        tf.join(F.broadcast(dfr), "tok")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(w), 6).alias("score"))
+    )
+    rel = tf.groupBy("doc_id").agg(F.count_distinct("tok").cast("bigint").alias("rel"))
+    ranked = (
+        scored.join(rel, "doc_id")
+        .join(toks.select("doc_id", "lang"), "doc_id")
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(_TOP)
+        .select(
+            "doc_id", "rel", "lang",
+            F.row_number()
+            .over(Window.orderBy(F.col("score").desc(), "doc_id"))
+            .cast("bigint")
+            .alias("rn"),
+        )
+        .localCheckpoint(eager=False)  # three k cuts consume it
+    )
+    seen = (
+        F.row_number().over(Window.partitionBy("lang").orderBy("rn")).cast("bigint") - 1
+    )
+    gains = ranked.select(
+        "rn",
+        ((F.pow(F.lit(2.0), F.col("rel")) - 1) / F.log(F.col("rn") + 1)).alias("g_plain"),
+        (
+            (F.pow(F.lit(2.0), F.col("rel")) - 1)
+            * F.pow(F.lit(0.5), seen)
+            / F.log(F.col("rn") + 1)
+        ).alias("g_alpha"),
+    ).localCheckpoint(eager=False)
+    ks = spark.createDataFrame([(5,), (10,), (20,)], "k int")
+    cut = gains.crossJoin(F.broadcast(ks)).filter(F.col("rn") <= F.col("k"))
+    return (
+        cut.groupBy("k")
+        .agg(
+            F.round(F.sum(F.col("g_plain").cast("decimal(20,15)")), 6)
+            .cast("double").alias("dcg_plain"),
+            F.round(F.sum(F.col("g_alpha").cast("decimal(20,15)")), 6)
+            .cast("double").alias("dcg_alpha"),
+            F.round(
+                F.sum(F.col("g_alpha").cast("decimal(20,15)")).cast("double")
+                / F.nullif(
+                    F.sum(F.col("g_plain").cast("decimal(20,15)")).cast("double"),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("diversity_ratio"),
+        )
+        .orderBy("k")
+    )
