@@ -1946,3 +1946,65 @@ def cdc_revisit_halflife_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.log(F.lit(2.0)) * secs / F.col("n_gaps") / 3600, 6
         ).alias("halflife_hours"),
     ).orderBy("event_type")
+
+
+@register(
+    "cdc_watermark_skew_by_table",
+    tags=("cdc", "monitor"),
+    oracle=f"""
+    WITH m AS (
+      SELECT event_type,
+             max(epoch_us(ts)) AS mx,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY event_type
+    ),
+    g AS (SELECT max(mx) AS gmx FROM m)
+    SELECT m.event_type,
+           make_timestamp(m.mx) AS stream_max_ts,
+           round(CAST(g.gmx - m.mx AS DOUBLE) / 1000000.0, 6) AS skew_s,
+           m.n_events,
+           CAST(CASE WHEN g.gmx - m.mx > {SLA_GAP_SECONDS} * 1000000
+                THEN 1 ELSE 0 END AS BIGINT) AS is_laggard
+    FROM m, g ORDER BY m.event_type
+    """,
+)
+def cdc_watermark_skew_by_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-skew panel across routed streams: each stream's
+    high-water event time, its lag behind the freshest stream, and a
+    laggard flag at the {SLA_GAP_SECONDS}s budget. In a multi-table CDC
+    union (the reference routes every table into one Kafka topic,
+    ``internal/kafka/producer.go:17-47``) the EFFECTIVE watermark of any
+    stream-stream join or windowed agg is min-over-streams of per-stream
+    max event time -- one stalled table holds state for ALL of them.
+    This is the panel that names the stream doing the holding, where
+    cdc_ingestion_sla_by_source prices how often each stream stalls.
+
+    Exactness: per-stream maxima are exact integer epoch-microseconds;
+    skew is an integer difference divided/rounded once; the flag is
+    integer CASE arithmetic; the timestamp output round-trips micros
+    exactly (timestamp_micros vs make_timestamp).
+
+    Scale: ONE map-side-combinable groupBy(event_type) partial agg over
+    the log; the global max folds the |types|-row result and broadcasts
+    back -- no second fact scan, no window over raw rows."""
+    e = load_table(spark, sf_dir, "events")
+    m = e.groupBy("event_type").agg(
+        F.max(F.unix_micros(F.col("ts"))).alias("mx"),
+        F.count("*").cast("bigint").alias("n_events"),
+    ).localCheckpoint(eager=False)  # consumed by the global fold AND the panel
+    g = m.agg(F.max("mx").alias("gmx"))
+    thr_us = SLA_GAP_SECONDS * 1_000_000
+    return (
+        m.join(F.broadcast(g))
+        .select(
+            "event_type",
+            F.timestamp_micros(F.col("mx")).alias("stream_max_ts"),
+            F.round(
+                (F.col("gmx") - F.col("mx")).cast("double") / 1000000.0, 6
+            ).alias("skew_s"),
+            "n_events",
+            F.when(F.col("gmx") - F.col("mx") > thr_us, F.lit(1))
+            .otherwise(F.lit(0)).cast("bigint").alias("is_laggard"),
+        )
+        .orderBy("event_type")
+    )

@@ -4423,3 +4423,164 @@ def part_price_ladder_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ladder_ratio"),
     ).orderBy("supplier_nation")
+
+
+@register(
+    "supplier_workload_balance_monthly",
+    tags=("warehouse", "monitor"),
+    oracle="""
+    WITH loads AS (
+      SELECT date_trunc('month', l_shipdate) AS month_start, l_suppkey,
+             CAST(count(*) AS BIGINT) AS n_lines
+      FROM lineitem GROUP BY 1, 2
+    )
+    SELECT month_start,
+           CAST(count(*) AS BIGINT) AS n_suppliers,
+           CAST(sum(n_lines) AS BIGINT) AS total_lines,
+           round(CAST(max(n_lines) AS DOUBLE)
+                 / CAST(sum(n_lines) AS DOUBLE), 6) AS max_share,
+           round(sqrt(greatest((CAST(CAST(sum(n_lines * n_lines)
+                                     AS DECIMAL(38,0)) AS DOUBLE)
+                   - CAST(CAST(sum(n_lines) AS DECIMAL(38,0)) AS DOUBLE)
+                     * CAST(CAST(sum(n_lines) AS DECIMAL(38,0)) AS DOUBLE)
+                     / count(*))
+                 / nullif(count(*) - 1.0, 0.0), 0.0))
+                 / nullif(CAST(CAST(sum(n_lines) AS DECIMAL(38,0)) AS DOUBLE)
+                          / count(*), 0.0), 6) AS cv_load
+    FROM loads GROUP BY month_start ORDER BY month_start
+    """,
+)
+def supplier_workload_balance_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly workload-balance panel across suppliers: how evenly the
+    month's shipment lines spread over the supplier base (count of active
+    suppliers, the largest single-supplier share, and the coefficient of
+    variation of per-supplier line counts). Concentration ops price
+    REVENUE risk (supplier_concentration_hhi); this prices OPERATIONAL
+    risk -- a month where one supplier carries 40% of lines is a
+    fulfilment bottleneck even at healthy revenue HHI, and the CV trend
+    is the load-balancer's drift alarm.
+
+    Exactness: per-supplier loads are exact integer counts; the moment
+    sums route through DECIMAL(38,0) (accumulation-order-independent);
+    max_share and CV are each one double expression over those integers
+    (variance clamped at 0, NULL-safe for single-supplier months),
+    rounded once at 6dp.
+
+    Scale: ONE map-side-combinable (month, supplier) partial agg reduces
+    the fact table to dim-scale; the balance panel is a second agg over
+    that |months|x|suppliers|-bounded relation. No windows, no joins."""
+    li = load_table(spark, sf_dir, "lineitem")
+    loads = li.groupBy(
+        F.date_trunc("month", "l_shipdate").alias("month_start"),
+        "l_suppkey",
+    ).agg(F.count("*").cast("bigint").alias("n_lines"))
+    n = F.count("*").cast("double")
+    s1 = F.sum(F.col("n_lines").cast("decimal(38,0)")).cast("double")
+    s2 = F.sum(
+        (F.col("n_lines") * F.col("n_lines")).cast("decimal(38,0)")
+    ).cast("double")
+    return (
+        loads.groupBy("month_start")
+        .agg(
+            F.count("*").cast("bigint").alias("n_suppliers"),
+            F.sum("n_lines").cast("bigint").alias("total_lines"),
+            F.round(
+                F.max("n_lines").cast("double") / F.sum("n_lines").cast("double"), 6
+            ).alias("max_share"),
+            F.round(
+                F.sqrt(F.greatest((s2 - s1 * s1 / n) / F.nullif(n - 1, F.lit(0.0)), F.lit(0.0)))
+                / F.nullif(s1 / n, F.lit(0.0)),
+                6,
+            ).alias("cv_load"),
+        )
+        .orderBy("month_start")
+    )
+
+
+@register(
+    "customer_cohort_quality_decay",
+    tags=("warehouse", "analytics"),
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey,
+             CAST(extract(year FROM o_orderdate) AS BIGINT) AS oy,
+             try_cast(try_cast(o_totalprice AS DECIMAL(18,2)) * 100
+               AS BIGINT) AS cents
+      FROM orders
+    ),
+    first_year AS (
+      SELECT o_custkey, min(oy) AS cohort_year FROM o GROUP BY o_custkey
+    ),
+    aged AS (
+      SELECT f.cohort_year, o.oy - f.cohort_year AS age, o.o_custkey, o.cents
+      FROM o JOIN first_year f USING (o_custkey)
+    ),
+    panel AS (
+      SELECT cohort_year, age,
+             CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_active,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(cents) AS DECIMAL(38,0)) AS rev
+      FROM aged GROUP BY 1, 2
+    )
+    SELECT cohort_year, age, n_active,
+           round(CAST(n_orders AS DOUBLE) / n_active, 6) AS orders_per_customer,
+           round(CAST(rev AS DOUBLE) / n_orders / 100, 6) AS avg_order_value,
+           round(CAST(rev AS DOUBLE)
+                 / nullif(CAST(max(CASE WHEN age = 0 THEN rev END)
+                     OVER (PARTITION BY cohort_year) AS DOUBLE), 0.0), 6)
+             AS revenue_retention
+    FROM panel ORDER BY cohort_year, age
+    """,
+)
+def customer_cohort_quality_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort-quality decay: customers grouped by first-order year, then
+    per (cohort, age-in-years) the active-customer count, orders per
+    active customer, average order value, and revenue retention vs the
+    cohort's acquisition year. orders_cohort_repeat_rate answers "did
+    they come back"; this answers "how much are they still WORTH" --
+    the decay curve a growth review reads cohort quality from, and the
+    batch shape of the LTV models events_cohort_ltv_curve fits on the
+    event stream.
+
+    Exactness: cohort years and ages are exact integers; revenue sums
+    are exact DECIMAL(38,0) cents (NULL-cents rows drop out of sums on
+    both engines identically); each ratio divides exact integers once
+    and rounds at 6dp; retention's denominator is NULL-guarded (a cohort
+    whose acquisition-year revenue is all-NULL yields NULL on both
+    sides).
+
+    Scale: the first-order pass and the join back are both keyed by
+    o_custkey -- one hash partitioning serves min-agg, join, and the
+    (cohort, age) re-agg's map side; the retention window runs over the
+    |years|^2/2-row panel, never fact rows."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.year("o_orderdate").cast("bigint").alias("oy"),
+        F.expr(
+            "try_cast(try_cast(o_totalprice AS decimal(18,2)) * 100 AS bigint)"
+        ).alias("cents"),
+    )
+    first_year = o.groupBy("o_custkey").agg(F.min("oy").alias("cohort_year"))
+    aged = o.join(first_year, "o_custkey").select(
+        "cohort_year", (F.col("oy") - F.col("cohort_year")).alias("age"),
+        "o_custkey", "cents",
+    )
+    panel = aged.groupBy("cohort_year", "age").agg(
+        F.countDistinct("o_custkey").cast("bigint").alias("n_active"),
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("rev"),
+    )
+    w = Window.partitionBy("cohort_year")
+    rev0 = F.max(F.when(F.col("age") == 0, F.col("rev"))).over(w)
+    return panel.select(
+        "cohort_year", "age", "n_active",
+        F.round(F.col("n_orders").cast("double") / F.col("n_active"), 6).alias(
+            "orders_per_customer"
+        ),
+        F.round(F.col("rev").cast("double") / F.col("n_orders") / 100, 6).alias(
+            "avg_order_value"
+        ),
+        F.round(
+            F.col("rev").cast("double") / F.nullif(rev0.cast("double"), F.lit(0.0)), 6
+        ).alias("revenue_retention"),
+    ).orderBy("cohort_year", "age")
