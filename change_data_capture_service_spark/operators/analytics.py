@@ -3523,3 +3523,125 @@ def events_pareto_front_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return m.join(F.broadcast(v), dom, "left_anti").orderBy("user_id")
+
+
+@register(
+    "events_topk_drift_weekly",
+    tags=("analytics", "monitor"),
+    oracle="""
+    WITH wk AS (
+      SELECT date_trunc('week', ts) AS week_start, user_id,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    rk AS (
+      SELECT week_start, user_id,
+             row_number() OVER (PARTITION BY week_start
+                                ORDER BY n DESC, user_id) AS rnk
+      FROM wk
+    ),
+    top AS (SELECT week_start, user_id FROM rk WHERE rnk <= 10),
+    per_week AS (
+      SELECT week_start, CAST(count(*) AS BIGINT) AS n_topk FROM top GROUP BY 1
+    ),
+    seq AS (
+      SELECT week_start, n_topk,
+             lag(week_start) OVER (ORDER BY week_start) AS prev_week,
+             lag(n_topk) OVER (ORDER BY week_start) AS n_prev
+      FROM per_week
+    ),
+    inter AS (
+      SELECT s.week_start, CAST(count(p.user_id) AS BIGINT) AS n_common
+      FROM seq s
+      JOIN top c ON c.week_start = s.week_start
+      LEFT JOIN top p ON p.week_start = s.prev_week
+                     AND p.user_id = c.user_id
+      GROUP BY s.week_start
+    )
+    SELECT CAST(s.week_start AS TIMESTAMP) AS week_start, s.n_topk,
+           CASE WHEN s.prev_week IS NULL THEN NULL
+                ELSE round(CAST(i.n_common AS DOUBLE)
+                           / (s.n_topk + s.n_prev - i.n_common), 6)
+           END AS topk_jaccard_vs_prev,
+           CASE WHEN s.prev_week IS NULL THEN NULL
+                ELSE CAST(s.n_topk - i.n_common AS BIGINT)
+           END AS n_new_entrants
+    FROM seq s JOIN inter i ON s.week_start = i.week_start
+    ORDER BY s.week_start
+    """,
+)
+def events_topk_drift_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k drift monitor at week grain: the Jaccard overlap between each
+    week's top-10 most-active users and the previous week's, plus the
+    count of new entrants -- the batch twin of a streaming leaderboard
+    drift alarm (a heavy-hitter set that churns 80% week-over-week means
+    the workload's hot keys -- and any cache/partition strategy keyed on
+    them -- went stale). approx_topk gives the set; this tracks its
+    STABILITY over time.
+
+    Exactness: per-week ranks tie-break on user_id so the top-10 set is
+    unique on both engines; overlaps and entrant counts are exact
+    integers; Jaccard divides integers once at 6dp. The first week emits
+    NULL drift columns (no reference set), keeping the panel total
+    without a weak 0-row shape.
+
+    Scale: one (week, user) map-side partial agg, one rank window
+    partitioned BY WEEK over that reduced relation, then all drift logic
+    runs on the |weeks| x 10 top relation -- self-join included."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    wk = e.groupBy(
+        F.date_trunc("week", "ts").alias("week_start"), "user_id"
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    rw = Window.partitionBy("week_start").orderBy(F.col("n").desc(), "user_id")
+    top = (
+        wk.withColumn("rnk", F.row_number().over(rw))
+        .filter(F.col("rnk") <= 10)
+        .select("week_start", "user_id")
+        .localCheckpoint(eager=False)  # consumed 3x (per-week, cur, prev)
+    )
+    per_week = top.groupBy("week_start").agg(
+        F.count("*").cast("bigint").alias("n_topk")
+    )
+    sw = Window.orderBy("week_start")
+    seq = per_week.select(
+        "week_start", "n_topk",
+        F.lag("week_start").over(sw).alias("prev_week"),
+        F.lag("n_topk").over(sw).alias("n_prev"),
+    )
+    cur = top.select(F.col("week_start").alias("cw"), F.col("user_id").alias("cu"))
+    prv = top.select(F.col("week_start").alias("pw"), F.col("user_id").alias("pu"))
+    inter = (
+        seq.join(cur, F.col("cw") == F.col("week_start"))
+        .join(
+            prv,
+            (F.col("pw") == F.col("prev_week")) & (F.col("pu") == F.col("cu")),
+            "left",
+        )
+        .groupBy("week_start")
+        .agg(F.count("pu").cast("bigint").alias("n_common"))
+    )
+    return (
+        seq.join(inter, "week_start")
+        .select(
+            F.col("week_start").cast("timestamp").alias("week_start"),
+            "n_topk",
+            F.when(
+                F.col("prev_week").isNull(), F.lit(None).cast("double")
+            ).otherwise(
+                F.round(
+                    F.col("n_common").cast("double")
+                    / (F.col("n_topk") + F.col("n_prev") - F.col("n_common")),
+                    6,
+                )
+            ).alias("topk_jaccard_vs_prev"),
+            F.when(
+                F.col("prev_week").isNull(), F.lit(None).cast("bigint")
+            ).otherwise(
+                (F.col("n_topk") - F.col("n_common")).cast("bigint")
+            ).alias("n_new_entrants"),
+        )
+        .orderBy("week_start")
+    )

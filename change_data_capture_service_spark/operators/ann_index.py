@@ -619,3 +619,89 @@ def ann_index_cell_balance_profile(spark: SparkSession, sf_dir: str) -> DataFram
         return cell_balance_profile(spark, index_dir=scratch).localCheckpoint()
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+def residual_energy_profile(
+    spark: SparkSession, corpus: DataFrame, *, index_dir
+) -> DataFrame:
+    """Residual-energy profile of a persisted IVF index against a corpus:
+    per coarse cell, how much vector energy the coarse quantizer does NOT
+    capture (mean ||x - c||^2 over mean ||x||^2). This is the number that
+    predicts PQ quantization error -- IVFADC encodes the RESIDUAL
+    (Jegou, Douze & Schmid 2011, sec. III), so a cell whose residual
+    energy ratio is high will quantize badly at a fixed code budget no
+    matter how balanced its SIZE is. cell_balance_profile prices probe
+    COST skew; this prices probe QUALITY skew.
+
+    Columns: cell, n_vectors, mean_sq_norm, mean_sq_residual,
+    residual_energy_ratio (sum||r||^2 / sum||x||^2, NULL-guarded).
+
+    Scale: centroids broadcast; assignment + both energy sums are one
+    JVM-side map over the corpus followed by a |cells|-grain agg -- no
+    UDF, no corpus shuffle beyond the agg's partial-combine exchange."""
+    path = _check_index_dir(index_dir)
+    cent_rows = (
+        spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
+    )
+    centroids = [list(map(float, r["centroid"])) for r in cent_rows]
+    assigned = _assign_cells(spark, corpus, centroids)
+    cent_df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)], "cell int, centroid array<double>"
+    )
+    sq = F.expr("aggregate(v, 0D, (acc, x) -> acc + x * x)")
+    rsq = F.expr(
+        "aggregate(zip_with(v, centroid, (x, y) -> x - y), 0D,"
+        " (acc, x) -> acc + x * x)"
+    )
+    return (
+        assigned.join(F.broadcast(cent_df), "cell")
+        .select("cell", sq.alias("sq"), rsq.alias("rsq"))
+        .groupBy("cell")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vectors"),
+            F.sum("sq").alias("ssq"),
+            F.sum("rsq").alias("srsq"),
+        )
+        .select(
+            "cell",
+            "n_vectors",
+            F.round(F.col("ssq") / F.col("n_vectors"), 6).alias("mean_sq_norm"),
+            F.round(F.col("srsq") / F.col("n_vectors"), 6).alias("mean_sq_residual"),
+            F.round(
+                F.col("srsq") / F.nullif(F.col("ssq"), F.lit(0.0)), 6
+            ).alias("residual_energy_ratio"),
+        )
+        .orderBy("cell")
+    )
+
+
+@register("ann_index_residual_energy_profile", tags=("similarity", "monitor"))
+# rows-only by design: the profile reads an engine-built index artifact
+# (no reference-free SQL twin); tight-vs-diffuse cluster geometry is
+# pinned in tests/test_round17_ops.py.
+def ann_index_residual_energy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered form of ``residual_energy_profile``: build the persisted
+    index into scratch (the knn_cosine_ivf_pq_prebuilt discipline), then
+    profile per-cell residual energy against the same corpus -- the
+    serving-config panel's quality-skew axis, completing the trio
+    recall-vs-nprobe (accuracy), cell-balance (cost), residual-energy
+    (quantization quality)."""
+    import shutil
+    import tempfile
+
+    vec = _vectors(spark, sf_dir)
+    if len(vec.take(2)) < 2:
+        return spark.createDataFrame(
+            [],
+            "cell int, n_vectors bigint, mean_sq_norm double, "
+            "mean_sq_residual double, residual_energy_ratio double",
+        )
+    scratch = tempfile.mkdtemp(prefix="ann_resenergy_")
+    try:
+        vec = vec.localCheckpoint()
+        build_ann_index(spark, vec, index_dir=scratch)
+        return residual_energy_profile(
+            spark, vec, index_dir=scratch
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)

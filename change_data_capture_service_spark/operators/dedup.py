@@ -2076,3 +2076,81 @@ def dedup_exact_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "dedup_cluster_profile",
+    tags=("dedup", "northstar"),
+    oracle=_ORACLE_EXACT_JACCARD.replace("WITH toks", "WITH RECURSIVE toks", 1)
+    + """
+    , near AS (
+      SELECT doc_id_a, doc_id_b FROM pairs
+      WHERE CAST(c AS DOUBLE) / (na + nb - c) >= 0.8
+    ),
+    edges AS (
+      SELECT doc_id_a AS s, doc_id_b AS d FROM near
+      UNION
+      SELECT doc_id_b, doc_id_a FROM near
+    ),
+    reach(s, d) AS (
+      SELECT s, d FROM edges
+      UNION
+      SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+    ),
+    comp AS (
+      SELECT s AS doc_id, least(s, min(d)) AS cluster_id
+      FROM reach GROUP BY s
+    )
+    SELECT c.cluster_id,
+           CAST(count(*) AS BIGINT) AS cluster_size,
+           CAST(min(d.doc_id) AS BIGINT) AS canonical_doc,
+           CAST(count(DISTINCT d.source) AS BIGINT) AS n_sources,
+           CAST(count(DISTINCT d.lang) AS BIGINT) AS n_langs,
+           CAST(min(coalesce(d.n_chars, 0)) AS BIGINT) AS min_chars,
+           CAST(max(coalesce(d.n_chars, 0)) AS BIGINT) AS max_chars,
+           CAST(sum(coalesce(d.n_chars, 0))
+                - arg_min(coalesce(d.n_chars, 0), d.doc_id) AS BIGINT)
+             AS chars_removable
+    FROM comp c JOIN documents d ON c.doc_id = d.doc_id
+    GROUP BY c.cluster_id
+    ORDER BY cluster_size DESC, cluster_id
+    """,
+)
+def dedup_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster near-dup summarization panel -- the drill-down behind
+    ``dedup_cluster_stats``' one-row headline: for every near-dup family,
+    its size, the keep-one canonical (min doc_id, the ``dedup_canonical``
+    policy), how many sources and languages the family spans (cross-source
+    families are syndication/boilerplate; single-source families are
+    re-crawls), the char-length span inside the family, and the bytes a
+    keep-canonical deletion recovers. This is the review table a dedup
+    run's owner reads before approving the deletion list.
+
+    Exactness: every column is integer arithmetic over exact counts and
+    char totals (NULL char counts coalesce to 0 on both sides);
+    keep-cost uses arg_min/min_by on the unique doc_id, so no ties.
+
+    Scale: composes the iterative min-label components (bounded rounds,
+    one (vertex, label) shuffle each) with ONE doc_id-keyed join against
+    the documents relation and a |clusters|-grain agg; the recursive-CTE
+    transitive closure lives only in the oracle."""
+    comp = dedup_cluster(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", F.coalesce("n_chars", F.lit(0)).alias("nc")
+    )
+    return (
+        comp.join(d, "doc_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.count("*").cast("bigint").alias("cluster_size"),
+            F.min("doc_id").cast("bigint").alias("canonical_doc"),
+            F.countDistinct("source").cast("bigint").alias("n_sources"),
+            F.countDistinct("lang").cast("bigint").alias("n_langs"),
+            F.min("nc").cast("bigint").alias("min_chars"),
+            F.max("nc").cast("bigint").alias("max_chars"),
+            (F.sum("nc") - F.min_by("nc", "doc_id")).cast("bigint").alias(
+                "chars_removable"
+            ),
+        )
+        .orderBy(F.col("cluster_size").desc(), "cluster_id")
+    )

@@ -3421,3 +3421,133 @@ def events_two_way_eta_squared(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("eta2_residual_interaction"),
         )
     )
+
+
+# Defensive grain cap for the single-group PELT fold: the day-grain series
+# a PELT run segments is calendar-bounded (a decade of hours is ~87k
+# points); a series past this cap means the caller aggregated at the
+# wrong grain, and the fold raises loudly instead of silently grinding.
+PELT_MAX_POINTS = 500_000
+
+
+def pelt_segment_series(
+    series: DataFrame, ts_col: str, y_col: str, penalty: float | None = None
+) -> DataFrame:
+    """Exact PELT segmentation (Killick, Fearnhead & Eckley 2012) of a
+    time-ordered numeric series under the L2 (mean-shift) cost, returning
+    the input rows annotated with segment ids, segment means, and
+    changepoint flags. The pruned DP is optimal (same argmin as the
+    O(n^2) full scan) while averaging O(n) candidates kept.
+
+    Penalty: caller-supplied, else 2 * sigma_hat^2 * ln(n) with
+    sigma_hat from the MAD of first differences (the standard robust
+    noise estimate; a floor keeps constant series at one segment).
+
+    Scale contract: the DP is inherently sequential, so it runs on ONE
+    executor over the ALREADY-AGGREGATED series (day/hour grain --
+    calendar-bounded, capped at PELT_MAX_POINTS with a loud raise); the
+    fact table reduces map-side before anything reaches the fold. This
+    is the declared-grain pattern of graph_betweenness_brandes."""
+    import pandas as pd  # noqa: F401  (applyInPandas contract)
+
+    out_schema = (
+        f"{ts_col} timestamp, {y_col} bigint, segment_id bigint, "
+        "seg_mean double, is_changepoint bigint"
+    )
+
+    def fold(pdf):
+        import numpy as np
+        import pandas as pd
+
+        if len(pdf) == 0:
+            return pd.DataFrame(
+                columns=[ts_col, y_col, "segment_id", "seg_mean", "is_changepoint"]
+            )
+        if len(pdf) > PELT_MAX_POINTS:
+            raise ValueError(
+                f"pelt_segment_series: {len(pdf)} points exceeds "
+                f"PELT_MAX_POINTS={PELT_MAX_POINTS}; aggregate to a coarser "
+                "grain before segmenting"
+            )
+        pdf = pdf.sort_values(ts_col).reset_index(drop=True)
+        y = pdf[y_col].to_numpy(dtype=np.float64)
+        n = len(y)
+        if penalty is None:
+            d = np.diff(y)
+            mad = np.median(np.abs(d - np.median(d))) if len(d) else 0.0
+            sigma2 = (mad / 0.6745 / np.sqrt(2.0)) ** 2
+            beta = max(2.0 * sigma2 * np.log(max(n, 2)), 1e-9)
+        else:
+            beta = float(penalty)
+        # prefix sums for O(1) segment cost: C(a..b) = S2 - S1^2/len
+        c1 = np.concatenate([[0.0], np.cumsum(y)])
+        c2 = np.concatenate([[0.0], np.cumsum(y * y)])
+
+        def cost(a, b):  # cost of y[a:b], 0-based half-open
+            s1 = c1[b] - c1[a]
+            s2 = c2[b] - c2[a]
+            return s2 - s1 * s1 / (b - a)
+
+        f = np.full(n + 1, np.inf)
+        f[0] = -beta
+        prev = np.zeros(n + 1, dtype=np.int64)
+        cand = [0]
+        for t in range(1, n + 1):
+            vals = [f[s] + cost(s, t) + beta for s in cand]
+            k = int(np.argmin(vals))  # first index on ties: fewest segments
+            f[t] = vals[k]
+            prev[t] = cand[k]
+            # PELT prune: drop s that can never win again
+            cand = [s for s, v in zip(cand, vals) if v - beta <= f[t]]
+            cand.append(t)
+        # reconstruct boundaries
+        bounds = []
+        t = n
+        while t > 0:
+            s = prev[t]
+            bounds.append((s, t))
+            t = s
+        bounds.reverse()
+        seg_id = np.zeros(n, dtype=np.int64)
+        seg_mean = np.zeros(n, dtype=np.float64)
+        is_cp = np.zeros(n, dtype=np.int64)
+        for i, (a, b) in enumerate(bounds):
+            seg_id[a:b] = i
+            seg_mean[a:b] = round((c1[b] - c1[a]) / (b - a), 6)
+            if i > 0:
+                is_cp[a] = 1
+        pdf = pdf[[ts_col, y_col]].copy()
+        pdf["segment_id"] = seg_id
+        pdf["seg_mean"] = seg_mean
+        pdf["is_changepoint"] = is_cp
+        return pdf
+
+    return (
+        series.withColumn("_g", F.lit(1))
+        .groupBy("_g")
+        .applyInPandas(lambda pdf: fold(pdf), out_schema)
+    )
+
+
+@register("events_changepoint_pelt", tags=("stats", "timeseries"))
+# rows-only by design: PELT's pruned dynamic program has no ANSI-SQL
+# twin (the recursion prunes on the evolving optimum); planted-break
+# recovery, the constant-series identity, and partition invariants are
+# pinned in tests/test_round17_ops.py.
+def events_changepoint_pelt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-changepoint segmentation of the daily event-count series via
+    exact PELT under the L2 mean-shift cost -- the MULTI-break upgrade of
+    events_changepoint_binary_seg (whose AMOC form returns only the
+    single best split): every day labeled with its regime's id and mean
+    plus a changepoint flag, the panel a capacity-planning or backfill
+    review reads regime boundaries from. Penalty auto-tunes to
+    2*sigma^2*ln(n) with sigma from the MAD of day-over-day differences.
+
+    Scale: events reduce to |days| in ONE map-side partial agg; the
+    sequential DP runs on that calendar-bounded series only (grain
+    contract enforced at PELT_MAX_POINTS)."""
+    e = load_table(spark, sf_dir, "events")
+    d = e.filter(F.col("ts").isNotNull()).groupBy(
+        F.date_trunc("day", "ts").cast("timestamp").alias("day")
+    ).agg(F.count("*").cast("bigint").alias("n_events"))
+    return pelt_segment_series(d, "day", "n_events").orderBy("day")

@@ -79,3 +79,147 @@ def test_cohort_quality_decay_identities(spark, sf_dir):
     o = load_table(spark, sf_dir, "orders")
     n_custs = o.select("o_custkey").distinct().count()
     assert sum(by_cohort_age0.values()) == n_custs
+
+
+def test_topk_drift_first_week_null_and_bounds(spark, sf_dir):
+    rows = (
+        registry.get("events_topk_drift_weekly").fn(spark, sf_dir)
+        .orderBy("week_start").collect()
+    )
+    assert rows
+    first, rest = rows[0], rows[1:]
+    assert first["topk_jaccard_vs_prev"] is None
+    assert first["n_new_entrants"] is None
+    for r in rows:
+        assert 1 <= r["n_topk"] <= 10
+    for r in rest:
+        assert 0.0 <= r["topk_jaccard_vs_prev"] <= 1.0
+        assert 0 <= r["n_new_entrants"] <= r["n_topk"]
+
+
+def test_cluster_profile_reconciles_with_cluster_stats(spark, sf_dir):
+    """The per-cluster panel must re-aggregate to the one-row headline."""
+    prof = registry.get("dedup_cluster_profile").fn(spark, sf_dir).collect()
+    stats = registry.get("dedup_cluster_stats").fn(spark, sf_dir).collect()[0]
+    assert len(prof) == stats["n_clusters"]
+    assert sum(r["cluster_size"] for r in prof) == stats["docs_in_clusters"]
+    assert max(r["cluster_size"] for r in prof) == stats["max_cluster_size"]
+    for r in prof:
+        assert r["cluster_size"] >= 2  # components come from pairs
+        assert r["canonical_doc"] == r["cluster_id"]  # min-label == min doc
+        assert r["min_chars"] <= r["max_chars"]
+        assert 0 <= r["chars_removable"]
+
+
+def test_pelt_recovers_planted_breaks(spark):
+    import datetime
+
+    from change_data_capture_service_spark.operators.stats import (
+        pelt_segment_series,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    levels = [10, 50, 25]
+    rows = [
+        (base + datetime.timedelta(days=i), levels[i // 20])
+        for i in range(60)
+    ]
+    s = spark.createDataFrame(rows, "day timestamp, n_events long")
+    out = pelt_segment_series(s, "day", "n_events").orderBy("day").collect()
+    cps = [r["day"] for r in out if r["is_changepoint"] == 1]
+    assert cps == [base + datetime.timedelta(days=20), base + datetime.timedelta(days=40)]
+    assert max(r["segment_id"] for r in out) == 2
+    assert sorted({r["seg_mean"] for r in out}) == [10.0, 25.0, 50.0]
+
+
+def test_pelt_constant_series_one_segment(spark):
+    import datetime
+
+    from change_data_capture_service_spark.operators.stats import (
+        pelt_segment_series,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [(base + datetime.timedelta(days=i), 7) for i in range(30)]
+    s = spark.createDataFrame(rows, "day timestamp, n_events long")
+    out = pelt_segment_series(s, "day", "n_events").collect()
+    assert {r["segment_id"] for r in out} == {0}
+    assert all(r["is_changepoint"] == 0 for r in out)
+    assert all(r["seg_mean"] == 7.0 for r in out)
+
+
+def test_pelt_registered_key_partitions_days(spark, sf_dir):
+    from change_data_capture_service_spark.catalog import load_table
+
+    rows = registry.get("events_changepoint_pelt").fn(spark, sf_dir).collect()
+    n_days = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select(F.date_trunc("day", "ts")).distinct().count()
+    )
+    assert len(rows) == n_days
+    seg_ids = sorted({r["segment_id"] for r in rows})
+    assert seg_ids == list(range(len(seg_ids)))  # contiguous regimes
+    assert sum(r["is_changepoint"] for r in rows) == len(seg_ids) - 1
+
+
+def test_residual_energy_tight_vs_diffuse(spark, tmp_path):
+    """A corpus of tight planted clusters must show near-zero residual
+    energy; a diffuse random corpus must show high residual energy --
+    the quality-skew signal the profile exists to surface."""
+    import math
+    import random
+
+    from change_data_capture_service_spark.operators.ann_index import (
+        build_ann_index,
+        residual_energy_profile,
+    )
+
+    def corpus_df(vectors):
+        rows = [
+            (i, v, math.sqrt(sum(x * x for x in v)))
+            for i, v in enumerate(vectors)
+        ]
+        return spark.createDataFrame(rows, "vec_id long, v array<double>, nrm double")
+
+    rng = random.Random(7)
+    # tight: 4 well-separated 64-dim centers, +/-0.01 jitter
+    centers = []
+    for c in range(4):
+        vec = [0.0] * 64
+        for j in range(16):
+            vec[c * 16 + j] = 10.0
+        centers.append(vec)
+    tight = [
+        [x + rng.uniform(-0.01, 0.01) for x in centers[i % 4]] for i in range(256)
+    ]
+    diffuse = [[rng.uniform(-1, 1) for _ in range(64)] for _ in range(256)]
+
+    t_dir, d_dir = str(tmp_path / "tight"), str(tmp_path / "diffuse")
+    tdf, ddf = corpus_df(tight).localCheckpoint(), corpus_df(diffuse).localCheckpoint()
+    build_ann_index(spark, tdf, index_dir=t_dir, n_cells=4)
+    build_ann_index(spark, ddf, index_dir=d_dir, n_cells=4)
+
+    def overall(df):
+        rows = df.collect()
+        num = sum(r["mean_sq_residual"] * r["n_vectors"] for r in rows)
+        den = sum(r["mean_sq_norm"] * r["n_vectors"] for r in rows)
+        assert all(r["residual_energy_ratio"] >= 0 for r in rows)
+        return num / den
+
+    r_tight = overall(residual_energy_profile(spark, tdf, index_dir=t_dir))
+    r_diffuse = overall(residual_energy_profile(spark, ddf, index_dir=d_dir))
+    assert r_tight < 0.01, r_tight
+    assert r_diffuse > 0.3, r_diffuse
+    assert r_tight < r_diffuse
+
+
+def test_residual_energy_registered_key_covers_corpus(spark, sf_dir):
+    from change_data_capture_service_spark.operators.similarity import _vectors
+
+    rows = registry.get("ann_index_residual_energy_profile").fn(spark, sf_dir).collect()
+    assert rows
+    assert sum(r["n_vectors"] for r in rows) == _vectors(spark, sf_dir).count()
+    for r in rows:
+        assert r["mean_sq_residual"] >= 0
+        assert r["residual_energy_ratio"] >= 0

@@ -68,6 +68,8 @@ def test_rows_only_set_is_exactly_the_documented_one():
         "graph_betweenness_brandes",  # iterative Brandes; closed-form gates in test_round15_ops
         "knn_mmr_diversified",  # greedy rounds; redundancy-skip gate in test_round15_ops
         "ann_index_cell_balance_profile",  # reads an engine-built index artifact; balanced-vs-skewed gate in test_ann_index
+        "ann_index_residual_energy_profile",  # reads an engine-built index artifact; tight-vs-diffuse gate in test_round17_ops
+        "events_changepoint_pelt",  # pruned DP has no SQL twin; planted-break gates in test_round17_ops
     }, rows_only
 
 
