@@ -3551,3 +3551,88 @@ def events_changepoint_pelt(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("day", "ts").cast("timestamp").alias("day")
     ).agg(F.count("*").cast("bigint").alias("n_events"))
     return pelt_segment_series(d, "day", "n_events").orderBy("day")
+
+
+@register(
+    "events_page_hinkley_panel",
+    tags=("stats", "timeseries", "monitor"),
+    oracle="""
+    WITH d AS (
+      SELECT date_trunc('day', ts) AS day, CAST(count(*) AS BIGINT) AS n_events
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
+    ),
+    p AS (
+      SELECT day, n_events,
+             CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i,
+             CAST(sum(n_events) OVER (ORDER BY day
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c1
+      FROM d
+    ),
+    u AS (
+      SELECT day, n_events,
+             n_events * 1000000 - (c1 * 1000000) // i AS term_u
+      FROM p
+    ),
+    m AS (
+      SELECT day, n_events,
+             CAST(sum(term_u) OVER (ORDER BY day
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS mt
+      FROM u
+    )
+    SELECT CAST(day AS TIMESTAMP) AS day, n_events,
+           round(CAST(mt - min(mt) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                 AS DOUBLE) / 1000000, 6) AS ph_pos,
+           round(CAST(max(mt) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) - mt
+                 AS DOUBLE) / 1000000, 6) AS ph_neg
+    FROM m ORDER BY day
+    """,
+)
+def events_page_hinkley_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley sequential drift statistics on the daily event-count
+    series (Page 1954; Hinkley 1971; the standard online concept-drift
+    detector in the stream-mining literature): m_t accumulates each
+    day's deviation from the RUNNING mean, PH+ = m_t - min m (alarms on
+    upward shifts), PH- = max m - m_t (downward). delta = 0, so the
+    panel reports the raw statistics and the consumer applies its own
+    lambda. Completes the change-detection trio: CUSUM monitors against
+    a FIXED baseline, PELT segments retrospectively, Page-Hinkley
+    tracks online against the evolving mean.
+
+    Exactness: daily counts and their prefix sums are exact integers;
+    each deviation term floor-scales to integer micro-units
+    ((c1 * 1e6) div i -- positive operands, Spark div == DuckDB //),
+    so m_t and its running extrema are EXACT integers on both engines;
+    one display division/round per column. Bound: |sum(n_events)| *
+    1e6 must fit BIGINT (~9.2e12 cumulative events -- decades at
+    billion-event days; beyond that, lower the scale factor).
+
+    Scale: events reduce to |days| in one map-side partial agg; all
+    four windows run over that calendar-bounded series."""
+    e = load_table(spark, sf_dir, "events")
+    d = e.filter(F.col("ts").isNotNull()).groupBy(
+        F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count("*").cast("bigint").alias("n_events"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    p = d.select(
+        "day", "n_events",
+        F.row_number().over(Window.orderBy("day")).cast("bigint").alias("i"),
+        F.sum("n_events").over(w).cast("bigint").alias("c1"),
+    )
+    u = p.select(
+        "day", "n_events",
+        F.expr("n_events * 1000000L - (c1 * 1000000L) div i").alias("term_u"),
+    )
+    m = u.select(
+        "day", "n_events",
+        F.sum("term_u").over(w).cast("bigint").alias("mt"),
+    )
+    return m.select(
+        F.col("day").cast("timestamp").alias("day"),
+        "n_events",
+        F.round(
+            (F.col("mt") - F.min("mt").over(w)).cast("double") / 1000000, 6
+        ).alias("ph_pos"),
+        F.round(
+            (F.max("mt").over(w) - F.col("mt")).cast("double") / 1000000, 6
+        ).alias("ph_neg"),
+    ).orderBy("day")

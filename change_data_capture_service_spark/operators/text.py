@@ -1355,3 +1355,152 @@ def docs_distinctive_terms_by_source(spark: SparkSession, sf_dir: str) -> DataFr
         .select("source", "term", "tf", "score")
         .orderBy("source", F.col("score").desc(), "term")
     )
+
+
+# RAKE stopword delimiters: the same deliberately-literal English marker
+# set the lang-ID heuristic uses (shared verbatim by the SQL oracle).
+_RAKE_STOPS = ("the", "a", "of", "and")
+
+
+@register(
+    "text_rake_keywords",
+    tags=("text", "northstar"),
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {TOKENS} AS toks FROM documents),
+    pos AS (
+      SELECT doc_id, toks, CAST(unnest(range(1, len(toks) + 1)) AS BIGINT) AS p
+      FROM toks
+    ),
+    t AS (
+      SELECT doc_id, p, toks[p] AS term,
+             CASE WHEN toks[p] IN ('the', 'a', 'of', 'and') THEN 1 ELSE 0 END
+               AS is_stop
+      FROM pos
+    ),
+    r AS (
+      SELECT doc_id, p, term, is_stop,
+             sum(is_stop) OVER (PARTITION BY doc_id ORDER BY p
+                                ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM t
+    ),
+    member AS (SELECT doc_id, run_id, p, term FROM r WHERE is_stop = 0),
+    phrase AS (
+      SELECT doc_id, run_id,
+             array_to_string(list(term ORDER BY p), ' ') AS phrase,
+             CAST(count(*) AS BIGINT) AS n_words
+      FROM member GROUP BY 1, 2
+    ),
+    wstat AS (
+      SELECT m.term, CAST(count(*) AS BIGINT) AS freq,
+             CAST(sum(ph.n_words) AS BIGINT) AS deg
+      FROM member m JOIN phrase ph USING (doc_id, run_id)
+      GROUP BY m.term
+    ),
+    wscore AS (
+      SELECT term, CAST((deg * 1000000) // freq AS BIGINT) AS s_u FROM wstat
+    ),
+    inst AS (
+      SELECT m.doc_id, m.run_id, CAST(sum(w.s_u) AS BIGINT) AS score_u
+      FROM member m JOIN wscore w USING (term) GROUP BY 1, 2
+    ),
+    fullp AS (
+      SELECT ph.phrase, ph.n_words, i.score_u
+      FROM phrase ph JOIN inst i USING (doc_id, run_id)
+    ),
+    grouped AS (
+      SELECT phrase, CAST(max(n_words) AS BIGINT) AS n_words,
+             CAST(count(*) AS BIGINT) AS n_occurrences,
+             CAST(min(score_u) AS BIGINT) AS score_u
+      FROM fullp GROUP BY phrase
+    )
+    SELECT phrase, n_words, n_occurrences,
+           round(CAST(score_u AS DOUBLE) / 1000000, 6) AS rake_score
+    FROM grouped
+    WHERE n_words BETWEEN 1 AND 4 AND n_occurrences >= 2
+    ORDER BY score_u DESC, phrase
+    LIMIT 20
+    """,
+)
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose, Engel, Cramer & Cowley 2010):
+    candidate phrases are maximal stopword-delimited token runs; each
+    word scores deg(w)/freq(w) (degree = summed length of the phrases
+    its occurrences sit in -- co-occurrence favors words that travel in
+    long collocations); a phrase scores the sum of its member-word
+    scores. Top-20 phrases of 1-4 words seen at least twice -- the
+    unsupervised keyword surface on top of text_term_burstiness's
+    word-level lens and text_bigram_pmi_topk's fixed-width collocations.
+
+    Exactness: word scores are floor-scaled integer micro-units
+    ((deg * 1e6) div freq -- positive operands, so Spark div == DuckDB
+    //), phrase scores are exact integer sums of those units, and the
+    top-20 cutoff orders by the INTEGER score with a phrase tiebreak;
+    the single display division/round happens after the cutoff.
+
+    Scale: the only fact-grain window is the per-document run-id prefix
+    sum (partitioned by doc_id -- each doc's token stream is sequential
+    by construction); phrases, word stats, and instance scores are all
+    (doc, run)- or term-grain partial aggs; the phrase dictionary join
+    is vocabulary-bounded."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.posexplode(_tokens()).alias("p", "term"))
+    is_stop = F.when(F.col("term").isin(*_RAKE_STOPS), 1).otherwise(0)
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    r = toks.select(
+        "doc_id", "p", "term", is_stop.alias("is_stop"),
+        F.sum(is_stop).over(w).alias("run_id"),
+    )
+    member = (
+        r.filter(F.col("is_stop") == 0)
+        .select("doc_id", "run_id", "p", "term")
+        .localCheckpoint(eager=False)  # consumed by phrase, wstat, inst
+    )
+    phrase = (
+        member.groupBy("doc_id", "run_id")
+        .agg(
+            F.expr(
+                "array_join(transform(array_sort(collect_list(struct(p, term))),"
+                " x -> x.term), ' ')"
+            ).alias("phrase"),
+            F.count("*").cast("bigint").alias("n_words"),
+        )
+        .localCheckpoint(eager=False)  # consumed by wstat and the final join
+    )
+    wstat = (
+        member.join(phrase, ["doc_id", "run_id"])
+        .groupBy("term")
+        .agg(
+            F.count("*").cast("bigint").alias("freq"),
+            F.sum("n_words").cast("bigint").alias("deg"),
+        )
+    )
+    wscore = wstat.select(
+        "term", F.expr("(deg * 1000000L) div freq").cast("bigint").alias("s_u")
+    )
+    inst = (
+        member.join(wscore, "term")
+        .groupBy("doc_id", "run_id")
+        .agg(F.sum("s_u").cast("bigint").alias("score_u"))
+    )
+    grouped = (
+        phrase.join(inst, ["doc_id", "run_id"])
+        .groupBy("phrase")
+        .agg(
+            F.max("n_words").cast("bigint").alias("n_words"),
+            F.count("*").cast("bigint").alias("n_occurrences"),
+            F.min("score_u").cast("bigint").alias("score_u"),
+        )
+        .filter(F.col("n_words").between(1, 4) & (F.col("n_occurrences") >= 2))
+    )
+    return (
+        grouped.orderBy(F.col("score_u").desc(), "phrase")
+        .limit(20)
+        .select(
+            "phrase", "n_words", "n_occurrences",
+            F.round(F.col("score_u").cast("double") / 1000000, 6).alias("rake_score"),
+        )
+    )

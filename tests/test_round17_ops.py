@@ -223,3 +223,66 @@ def test_residual_energy_registered_key_covers_corpus(spark, sf_dir):
     for r in rows:
         assert r["mean_sq_residual"] >= 0
         assert r["residual_energy_ratio"] >= 0
+
+
+def test_rake_hand_trace(spark, tmp_path):
+    """Two copies of 'x y of x y of z': phrase 'x y' scores s(x)+s(y) =
+    2+2 = 4 (deg 8 / freq 4 each), phrase 'z' scores 1 -- the RAKE
+    deg/freq arithmetic on a closed-form corpus."""
+    sf = str(tmp_path / "sf")
+    docs = spark.createDataFrame(
+        [(i, "x y of x y of z", "en", "s", 15) for i in range(2)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.parquet(f"{sf}/documents.parquet")
+    rows = registry.get("text_rake_keywords").fn(spark, sf).collect()
+    got = {r["phrase"]: (r["n_words"], r["n_occurrences"], r["rake_score"]) for r in rows}
+    assert got == {"x y": (2, 4, 4.0), "z": (1, 2, 1.0)}
+    assert [r["phrase"] for r in rows] == ["x y", "z"]  # score-desc order
+
+
+def test_rake_fixture_invariants(spark, sf_dir):
+    rows = registry.get("text_rake_keywords").fn(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 20
+    scores = [r["rake_score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    for r in rows:
+        assert 1 <= r["n_words"] <= 4
+        assert r["n_occurrences"] >= 2
+        for stop in ("the", "a", "of", "and"):
+            assert stop not in r["phrase"].split()
+
+
+def test_page_hinkley_step_series(spark, tmp_path):
+    """Constant-then-step daily series: the statistic is exactly 0 while
+    the series is constant (running mean == value), PH+ rises after the
+    upward break, PH- stays 0 (m_t is nondecreasing for an upward
+    shift)."""
+    import datetime
+
+    sf = str(tmp_path / "sf")
+    base = datetime.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    for day in range(20):
+        for k in range(1 if day < 10 else 5):
+            rows.append(
+                (eid, base + datetime.timedelta(days=day, seconds=k), 1, "t", 1.0, "{}")
+            )
+            eid += 1
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).write.parquet(f"{sf}/events.parquet")
+    out = registry.get("events_page_hinkley_panel").fn(spark, sf).orderBy("day").collect()
+    assert len(out) == 20
+    for r in out[:10]:
+        assert r["ph_pos"] == 0.0 and r["ph_neg"] == 0.0
+    assert out[-1]["ph_pos"] > 0
+    assert all(r["ph_neg"] == 0.0 for r in out)
+
+
+def test_page_hinkley_fixture_invariants(spark, sf_dir):
+    out = registry.get("events_page_hinkley_panel").fn(spark, sf_dir).orderBy("day").collect()
+    assert out
+    assert out[0]["ph_pos"] == 0.0 and out[0]["ph_neg"] == 0.0
+    for r in out:
+        assert r["ph_pos"] >= 0 and r["ph_neg"] >= 0
