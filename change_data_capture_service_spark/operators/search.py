@@ -1251,3 +1251,100 @@ def search_alpha_dcg_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+_MU = 2000  # Dirichlet smoothing pseudo-count (Zhai & Lafferty's default range)
+
+
+@register(
+    "search_query_likelihood_dirichlet",
+    tags=("text", "search"),
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {TOKENS} AS toks FROM documents
+    ),
+    stats AS (
+      SELECT CAST(sum(len(toks)) AS BIGINT) AS c_len FROM toks
+    ),
+    tf AS (
+      SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf,
+             CAST(any_value(dl) AS BIGINT) AS dl
+      FROM (SELECT doc_id, unnest(toks) AS tok, len(toks) AS dl FROM toks)
+      WHERE tok IN ('stream', 'merge', 'window')
+      GROUP BY doc_id, tok
+    ),
+    cf AS (
+      SELECT tok, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY tok
+    ),
+    scored AS (
+      SELECT tf.doc_id,
+             sum(
+               ln(1 + CAST(tf.tf AS DOUBLE) * stats.c_len
+                      / ({_MU}.0 * cf.cf))
+               + ln({_MU}.0 / (tf.dl + {_MU}.0))
+             ) AS score,
+             count(*) AS n_terms_hit
+      FROM tf JOIN cf ON tf.tok = cf.tok CROSS JOIN stats
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, CAST(round(score, 6) AS DOUBLE) AS score,
+           CAST(n_terms_hit AS BIGINT) AS n_terms_hit
+    FROM scored
+    ORDER BY score DESC, doc_id
+    LIMIT {_TOP}
+    """,
+)
+def search_query_likelihood_dirichlet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirichlet-smoothed query-likelihood ranking (Zhai & Lafferty 2001;
+    the LMDirichletSimilarity Lucene ships next to BM25): per matched
+    term, log(1 + tf * |C| / (mu * cf)) + log(mu / (dl + mu)) with
+    mu = {_MU}, summed per document -- the language-model ranking family
+    member alongside search_bm25 (probabilistic IR) and
+    knn_cosine_hybrid (RRF fusion), sharing the same query terms so the
+    three rankers are directly comparable on one corpus.
+
+    Exactness: tf, cf, dl, |C| are exact integers; each term score is
+    one shared closed double form (round-then-order at 6dp with doc_id
+    tiebreak, the search-family convention).
+
+    Scale: identical postings shape to search_bm25 -- the IN-filter
+    lands on the exploded stream map-side so only query-term postings
+    survive; cf is |terms| rows and the collection length one row, both
+    broadcast; TakeOrderedAndProject for the top-{_TOP}."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", _tokens().alias("toks"))
+    stats = toks.agg(F.sum(F.size("toks")).cast("bigint").alias("c_len"))
+    tf = (
+        toks.select(
+            "doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("tok")
+        )
+        .filter(F.col("tok").isin(_QUERY_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").cast("bigint").alias("tf"), F.first("dl").cast("bigint").alias("dl"))
+        .localCheckpoint(eager=False)  # consumed by cf + scoring
+    )
+    cf = tf.groupBy("tok").agg(F.sum("tf").cast("bigint").alias("cf"))
+    per_term = (
+        tf.join(F.broadcast(cf), "tok")
+        .join(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (
+                F.log(
+                    1
+                    + F.col("tf").cast("double") * F.col("c_len")
+                    / (F.lit(float(_MU)) * F.col("cf"))
+                )
+                + F.log(F.lit(float(_MU)) / (F.col("dl") + F.lit(float(_MU))))
+            ).alias("s"),
+        )
+    )
+    return (
+        per_term.groupBy("doc_id")
+        .agg(
+            F.round(F.sum("s"), 6).cast("double").alias("score"),
+            F.count("*").cast("bigint").alias("n_terms_hit"),
+        )
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(_TOP)
+    )

@@ -3636,3 +3636,125 @@ def events_page_hinkley_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.max("mt").over(w) - F.col("mt")).cast("double") / 1000000, 6
         ).alias("ph_neg"),
     ).orderBy("day")
+
+
+@register(
+    "events_ljung_box_daily",
+    tags=("stats", "timeseries"),
+    oracle="""
+    WITH d AS (
+      SELECT date_trunc('day', ts) AS day, CAST(count(*) AS BIGINT) AS x
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
+    ),
+    g AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s
+      FROM d
+    ),
+    y AS (
+      SELECT day, CAST(n * x - s AS DECIMAL(38,0)) AS y FROM d CROSS JOIN g
+    ),
+    den AS (SELECT CAST(sum(y * y) AS DECIMAL(38,0)) AS ssq FROM y),
+    sp AS (
+      SELECT CAST(k.lag AS INT) AS lag,
+             CAST(sum(a.y * b.y) AS DECIMAL(38,0)) AS sp
+      FROM y a
+      JOIN (VALUES (1),(2),(3),(4),(5),(6),(7)) AS k(lag) ON TRUE
+      JOIN y b ON b.day = a.day - to_days(CAST(k.lag AS INT))
+      GROUP BY 1
+    ),
+    rho AS (
+      SELECT lag,
+             CAST(sp AS DOUBLE) / nullif(CAST(ssq AS DOUBLE), 0) AS rho
+      FROM sp CROSS JOIN den
+    ),
+    q AS (
+      SELECT lag, rho,
+             sum(rho * rho / (n - lag)) OVER (ORDER BY lag
+               ROWS UNBOUNDED PRECEDING) AS qsum,
+             n
+      FROM rho CROSS JOIN g
+    )
+    SELECT lag, round(rho, 6) AS rho,
+           round(CAST(n AS DOUBLE) * (n + 2) * qsum, 6) AS q_stat
+    FROM q ORDER BY lag
+    """,
+)
+def events_ljung_box_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau panel on the daily event-count series (Ljung
+    & Box 1978): per lag k = 1..7 the global-mean autocorrelation rho_k
+    and the cumulative Q(k) = n(n+2) * sum_{j<=k} rho_j^2/(n-j) -- the
+    joint whiteness test read against chi-square(k). events_value_acf
+    gives the per-lag correlogram of the VALUE series; this gives the
+    COUNT series plus the single accumulating statistic a residual
+    diagnostic actually thresholds.
+
+    Exactness: deviations multiply through by n (y = n*x - S, exact
+    integers), so rho_k is ONE double division of exact DECIMAL(38,0)
+    sums; Q accumulates over the 7 lag rows in lag ORDER on both engines
+    (ordered prefix window -- identical accumulation order, identical
+    doubles), rounded once at 6dp. Calendar-lag join: gap days drop the
+    affected pairs on both sides identically.
+
+    Scale: one fact-table partial agg to |days|; the lag join and both
+    windows run on calendar-bounded relations (|days| x 7 pairs, 7-row
+    prefix sum)."""
+    e = load_table(spark, sf_dir, "events")
+    d = e.filter(F.col("ts").isNotNull()).groupBy(
+        F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count("*").cast("bigint").alias("x"))
+    g = d.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+    )
+    y = (
+        d.crossJoin(F.broadcast(g))
+        .select(
+            "day",
+            (F.col("n") * F.col("x") - F.col("s")).cast("decimal(38,0)").alias("y"),
+        )
+        .localCheckpoint(eager=False)  # feeds den + both sides of the lag join
+    )
+    den = y.agg(F.sum(F.col("y") * F.col("y")).cast("decimal(38,0)").alias("ssq"))
+    lags = spark.range(1, 8).select(F.col("id").cast("int").alias("lag"))
+    a = y.select(F.col("day").alias("day_a"), F.col("y").alias("ya"))
+    b = y.select(F.col("day").alias("day_b"), F.col("y").alias("yb"))
+    sp = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            b,
+            F.col("day_b")
+            == F.col("day_a") - F.expr("make_interval(0, 0, 0, lag, 0, 0, 0)"),
+        )
+        .groupBy("lag")
+        .agg(F.sum(F.col("ya") * F.col("yb")).cast("decimal(38,0)").alias("sp"))
+    )
+    rho = (
+        sp.crossJoin(F.broadcast(den))
+        .select(
+            "lag",
+            (
+                F.col("sp").cast("double")
+                / F.nullif(F.col("ssq").cast("double"), F.lit(0.0))
+            ).alias("rho"),
+        )
+    )
+    w = Window.orderBy("lag").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        rho.crossJoin(F.broadcast(g))
+        .select(
+            "lag",
+            "rho",
+            F.sum(
+                F.col("rho") * F.col("rho") / (F.col("n") - F.col("lag"))
+            ).over(w).alias("qsum"),
+            "n",
+        )
+        .select(
+            "lag",
+            F.round("rho", 6).alias("rho"),
+            F.round(
+                F.col("n").cast("double") * (F.col("n") + 2) * F.col("qsum"), 6
+            ).alias("q_stat"),
+        )
+        .orderBy("lag")
+    )

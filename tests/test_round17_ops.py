@@ -286,3 +286,67 @@ def test_page_hinkley_fixture_invariants(spark, sf_dir):
     assert out[0]["ph_pos"] == 0.0 and out[0]["ph_neg"] == 0.0
     for r in out:
         assert r["ph_pos"] >= 0 and r["ph_neg"] >= 0
+
+
+def test_dirichlet_ql_hand_trace(spark, tmp_path):
+    """Two-doc corpus: per-term score ln(1 + tf*|C|/(mu*cf)) +
+    ln(mu/(dl+mu)) with mu=2000 -- checked against the closed form."""
+    import math
+
+    sf = str(tmp_path / "sf")
+    docs = spark.createDataFrame(
+        [(1, "stream stream x", "en", "s", 15), (2, "stream x y z", "en", "s", 12)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.parquet(f"{sf}/documents.parquet")
+    rows = registry.get("search_query_likelihood_dirichlet").fn(spark, sf).collect()
+    assert [r["doc_id"] for r in rows] == [1, 2]
+    c_len, cf, mu = 7, 3, 2000.0
+    s1 = math.log(1 + 2 * c_len / (mu * cf)) + math.log(mu / (3 + mu))
+    s2 = math.log(1 + 1 * c_len / (mu * cf)) + math.log(mu / (4 + mu))
+    assert rows[0]["score"] == pytest.approx(round(s1, 6), abs=1e-6)
+    assert rows[1]["score"] == pytest.approx(round(s2, 6), abs=1e-6)
+    assert rows[0]["n_terms_hit"] == 1 and rows[1]["n_terms_hit"] == 1
+
+
+def test_dirichlet_ql_fixture_invariants(spark, sf_dir):
+    rows = registry.get("search_query_likelihood_dirichlet").fn(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 20
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    for r in rows:
+        assert 1 <= r["n_terms_hit"] <= 3
+
+
+def test_ljung_box_weekly_cycle(spark, tmp_path):
+    """A hard 7-day cycle must put the lag-7 autocorrelation far above
+    lag 1, and Q must accumulate monotonically."""
+    import datetime
+
+    sf = str(tmp_path / "sf")
+    base = datetime.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    for day in range(56):
+        for k in range(10 if day % 7 == 0 else 1):
+            rows.append(
+                (eid, base + datetime.timedelta(days=day, seconds=k), 1, "t", 1.0, "{}")
+            )
+            eid += 1
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).write.parquet(f"{sf}/events.parquet")
+    out = {r["lag"]: r for r in registry.get("events_ljung_box_daily").fn(spark, sf).collect()}
+    assert set(out) == set(range(1, 8))
+    assert out[7]["rho"] > 0.8
+    assert out[7]["rho"] > out[1]["rho"]
+    qs = [out[k]["q_stat"] for k in range(1, 8)]
+    assert qs == sorted(qs)  # Q accumulates
+
+
+def test_ljung_box_fixture_invariants(spark, sf_dir):
+    out = registry.get("events_ljung_box_daily").fn(spark, sf_dir).orderBy("lag").collect()
+    assert len(out) == 7
+    for r in out:
+        assert -1.000001 <= r["rho"] <= 1.000001
+    qs = [r["q_stat"] for r in out]
+    assert all(b >= a for a, b in zip(qs, qs[1:]))
