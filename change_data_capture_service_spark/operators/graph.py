@@ -1249,3 +1249,114 @@ def graph_rich_club_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+def edge_support(edges: DataFrame) -> DataFrame:
+    """Triangle support per canonical (u < v) edge within the given edge
+    set: the number of common neighbours of u and v. One symmetric
+    adjacency self-join keyed on the shared third vertex, then a
+    membership semi-check against the canonical edge list -- the same
+    wedge-then-close shape as graph_triangle_count, kept at the reduced
+    graph's grain."""
+    sym = edges.select("u", "v").union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    uw = sym.select(F.col("u").alias("eu"), F.col("v").alias("w"))
+    vw = sym.select(F.col("u").alias("ev"), F.col("v").alias("w2"))
+    wedges = (
+        edges.join(uw, F.col("u") == F.col("eu"))
+        .join(vw, (F.col("v") == F.col("ev")) & (F.col("w") == F.col("w2")))
+        .select("u", "v")
+    )
+    return (
+        edges.join(
+            wedges.groupBy("u", "v").agg(F.count("*").cast("bigint").alias("support")),
+            ["u", "v"],
+            "left",
+        )
+        .select("u", "v", F.coalesce("support", F.lit(0)).alias("support"))
+    )
+
+
+def ktruss_panel(edges: DataFrame, max_k: int = 16) -> list:
+    """Truss decomposition by iterative support peeling (Cohen 2008,
+    'Trusses: cohesive subgraphs for social network analysis'): the
+    k-truss is the maximal subgraph where every edge closes >= k-2
+    triangles WITHIN the subgraph. For k = 3, 4, ... peel edges whose
+    support drops below k-2 until fixpoint, recording (k, n_edges,
+    n_nodes) per surviving truss; stops when the truss empties or max_k
+    guards a runaway. Returns a list of row tuples (driver-side: the
+    panel is <= max_k rows by construction).
+
+    Scale + a measured trap: each peeling round is the wedge self-join
+    over the CURRENT edge relation -- the reduced, attribute-bounded
+    graph (brand pairs here), never fact rows. Lineage AND PLAN STATS
+    are truncated per round by a scratch-parquet roundtrip, NOT
+    localCheckpoint: a checkpoint carries its origin sizeInBytes
+    estimate forward, and a MULTIPLICATIVE self-join loop compounds
+    those BigInt estimates geometrically until the planner itself OOMs
+    computing stats (observed here at ~15 rounds; kcore's semi-join
+    peel only ADDS estimates, which is why it can checkpoint). The
+    per-round persist is also what a user-grain run wants anyway: real
+    file-size stats make the planner's broadcast decisions correct as
+    the edge set shrinks."""
+    import shutil
+    import tempfile
+
+    spark = edges.sparkSession
+    scratch = tempfile.mkdtemp(prefix="ktruss_")
+    try:
+        rows = []
+        rnd = 0
+
+        def persist(df):
+            nonlocal rnd
+            rnd += 1
+            p = f"{scratch}/r{rnd}"
+            df.write.parquet(p)
+            out = spark.read.parquet(p)
+            return out, out.count()
+
+        cur, n_cur = persist(edges)
+        for k in range(3, max_k + 1):
+            while n_cur > 0:
+                nxt, n_next = persist(
+                    edge_support(cur)
+                    .filter(F.col("support") >= k - 2)
+                    .select("u", "v")
+                )
+                stable = n_next == n_cur
+                cur, n_cur = nxt, n_next
+                if stable or n_cur == 0:
+                    break
+            if n_cur == 0:
+                break
+            n_nodes = (
+                cur.select(F.col("u").alias("n"))
+                .union(cur.select(F.col("v").alias("n")))
+                .distinct()
+                .count()
+            )
+            rows.append((k, n_cur, n_nodes))
+        return rows
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+@register("graph_ktruss", tags=("graph", "analytics"))
+# rows-only: iterative truss peeling has no SQL twin (same contract as
+# graph_kcore); clique/bowtie closed-form gates in tests/test_round17_ops.py.
+def graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-truss decomposition panel of the brand co-occurrence graph: for
+    each k >= 3, the size of the maximal subgraph where every edge sits
+    in at least k-2 triangles -- the triangle-reinforced cohesion ladder
+    between graph_triangle_count (raw closure) and graph_kcore (degree
+    cohesion): a k-core can be held together by one hub, a k-truss
+    cannot, which is why truss membership is the standard community-core
+    filter on co-purchase graphs."""
+    edges = _brand_cooccurrence_edges(spark, sf_dir)
+    rows = ktruss_panel(edges)
+    schema = "k bigint, n_edges bigint, n_nodes bigint"
+    if not rows:
+        return spark.createDataFrame([], schema)
+    return spark.createDataFrame(rows, schema).orderBy("k")

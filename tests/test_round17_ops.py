@@ -350,3 +350,44 @@ def test_ljung_box_fixture_invariants(spark, sf_dir):
         assert -1.000001 <= r["rho"] <= 1.000001
     qs = [r["q_stat"] for r in out]
     assert all(b >= a for a, b in zip(qs, qs[1:]))
+
+
+def test_ktruss_clique_and_tail(spark):
+    """Closed forms: a 5-clique is a 5-truss (all 10 edges survive k=5,
+    nothing survives k=6); a triangle with a pendant tail edge keeps the
+    triangle at k=3 and sheds the tail."""
+    import itertools
+
+    from change_data_capture_service_spark.operators.graph import ktruss_panel
+
+    clique = spark.createDataFrame(
+        [(f"n{a}", f"n{b}") for a, b in itertools.combinations(range(5), 2)],
+        "u string, v string",
+    )
+    assert ktruss_panel(clique) == [(3, 10, 5), (4, 10, 5), (5, 10, 5)]
+
+    tri_tail = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("c", "d")], "u string, v string"
+    )
+    assert ktruss_panel(tri_tail) == [(3, 3, 3)]
+
+
+def test_ktruss_bowtie(spark):
+    """Two triangles sharing one vertex: every edge closes exactly one
+    triangle, so the whole bowtie is a 3-truss and nothing is a 4-truss."""
+    from change_data_capture_service_spark.operators.graph import ktruss_panel
+
+    bowtie = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("c", "d"), ("c", "e"), ("d", "e")],
+        "u string, v string",
+    )
+    assert ktruss_panel(bowtie) == [(3, 6, 5)]
+
+
+def test_ktruss_registered_key_monotone(spark, sf_dir):
+    rows = registry.get("graph_ktruss").fn(spark, sf_dir).orderBy("k").collect()
+    assert rows
+    assert [r["k"] for r in rows] == list(range(3, 3 + len(rows)))
+    for a, b in zip(rows, rows[1:]):
+        assert b["n_edges"] <= a["n_edges"]  # trusses are nested
+        assert b["n_nodes"] <= a["n_nodes"]
