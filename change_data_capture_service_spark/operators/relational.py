@@ -4584,3 +4584,115 @@ def customer_cohort_quality_decay(spark: SparkSession, sf_dir: str) -> DataFrame
             F.col("rev").cast("double") / F.nullif(rev0.cast("double"), F.lit(0.0)), 6
         ).alias("revenue_retention"),
     ).orderBy("cohort_year", "age")
+
+
+@register(
+    "customer_rfm_migration_matrix",
+    tags=("relational", "analytics"),
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey,
+             CAST(extract(year FROM o_orderdate) AS BIGINT) AS oy,
+             try_cast(try_cast(o_totalprice AS DECIMAL(18,2)) * 100
+               AS BIGINT) AS cents
+      FROM orders
+      WHERE try_cast(try_cast(o_totalprice AS DECIMAL(18,2)) * 100
+            AS BIGINT) IS NOT NULL
+    ),
+    split AS (SELECT max(oy) AS maxy FROM o),
+    a AS (
+      SELECT o_custkey, CAST(sum(cents) AS DECIMAL(38,0)) AS m
+      FROM o CROSS JOIN split WHERE oy < maxy GROUP BY 1
+    ),
+    b AS (
+      SELECT o_custkey, CAST(sum(cents) AS DECIMAL(38,0)) AS m
+      FROM o CROSS JOIN split WHERE oy = maxy GROUP BY 1
+    ),
+    qa AS (
+      SELECT o_custkey, m,
+             CAST(ntile(4) OVER (ORDER BY m DESC, o_custkey) AS INT) AS q
+      FROM a
+    ),
+    qb AS (
+      SELECT o_custkey, m,
+             CAST(ntile(4) OVER (ORDER BY m DESC, o_custkey) AS INT) AS q
+      FROM b
+    ),
+    joined AS (
+      SELECT coalesce(qa.o_custkey, qb.o_custkey) AS ck,
+             coalesce(qa.q, 0) AS q_from,
+             coalesce(qb.q, 0) AS q_to,
+             CAST(coalesce(qb.m, 0) - coalesce(qa.m, 0) AS DECIMAL(38,0))
+               AS delta
+      FROM qa FULL OUTER JOIN qb ON qa.o_custkey = qb.o_custkey
+    )
+    SELECT q_from, q_to,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(CAST(sum(delta) AS DOUBLE) / count(*) / 100, 6)
+             AS avg_delta_dollars
+    FROM joined GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def customer_rfm_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monetary-quartile migration matrix: customers quartiled by exact
+    spend in the history BEFORE the latest order year (q_from) and again
+    WITHIN it (q_to, quartile 0 = absent), with cohort sizes and average
+    spend change per cell -- the segment-transition view CRM reviews
+    read on top of customer_rfm_segments' static cut (a static Q1 tells
+    you who is valuable; the matrix tells you who is RISING, LAPSING,
+    or NEW, which is where retention budgets actually go).
+
+    Exactness: spend is exact DECIMAL(38,0) cents per period; quartile
+    edges are ntile(4) ordered (spend DESC, custkey) -- the
+    customer_rfm_segments tiebreak convention, deterministic on both
+    engines; deltas sum exactly before ONE division/round per cell.
+
+    Scale: both period aggregates hash-partition by custkey (one fact
+    pass each side of the split filter); the quartile cuts run via
+    ranks.exact_ntile (range-partitioned, never a single-reducer
+    window); the matrix is a 25-cell agg over the dim-grain join."""
+    from .ranks import exact_ntile
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.year("o_orderdate").cast("bigint").alias("oy"),
+        F.expr(
+            "try_cast(try_cast(o_totalprice AS decimal(18,2)) * 100 AS bigint)"
+        ).alias("cents"),
+    ).filter(F.col("cents").isNotNull()).localCheckpoint(eager=False)
+    split = o.agg(F.max("oy").alias("maxy"))
+    ob = o.join(F.broadcast(split))
+    a = (
+        ob.filter(F.col("oy") < F.col("maxy"))
+        .groupBy("o_custkey")
+        .agg(F.sum(F.col("cents").cast("decimal(38,0)")).alias("m"))
+    )
+    b = (
+        ob.filter(F.col("oy") == F.col("maxy"))
+        .groupBy("o_custkey")
+        .agg(F.sum(F.col("cents").cast("decimal(38,0)")).alias("m"))
+    )
+    qa = exact_ntile(a, 4, [F.col("m").desc(), F.col("o_custkey")], "q").select(
+        F.col("o_custkey").alias("ck_a"), F.col("m").alias("m_a"), F.col("q").alias("qf")
+    )
+    qb = exact_ntile(b, 4, [F.col("m").desc(), F.col("o_custkey")], "q").select(
+        F.col("o_custkey").alias("ck_b"), F.col("m").alias("m_b"), F.col("q").alias("qt")
+    )
+    joined = qa.join(qb, F.col("ck_a") == F.col("ck_b"), "full_outer").select(
+        F.coalesce("qf", F.lit(0)).cast("int").alias("q_from"),
+        F.coalesce("qt", F.lit(0)).cast("int").alias("q_to"),
+        (
+            F.coalesce(F.col("m_b"), F.lit(0).cast("decimal(38,0)"))
+            - F.coalesce(F.col("m_a"), F.lit(0).cast("decimal(38,0)"))
+        ).cast("decimal(38,0)").alias("delta"),
+    )
+    return (
+        joined.groupBy("q_from", "q_to")
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            F.round(
+                F.sum("delta").cast("double") / F.count("*") / 100, 6
+            ).alias("avg_delta_dollars"),
+        )
+        .orderBy("q_from", "q_to")
+    )

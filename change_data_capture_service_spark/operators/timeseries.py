@@ -1576,3 +1576,133 @@ def events_stl_residual_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# Theta-method fold (shared shape with _HOLT_SPARK_FOLD): state carries
+# (i, sy, sjy, l, saeu, nerr); every field is computed from the PRIOR
+# state (Spark's aggregate lambda reads an immutable acc; the DuckDB twin
+# is a recursive CTE for the same reason _HOLT_DUCK_REC is). The drift at
+# step i uses the CLOSED-FORM rank sums sj = i(i+1)/2, sj2 =
+# i(i+1)(2i+1)/6 so the one-step forecast l + slope/2 is prefix-only (no
+# look-ahead in the backtest).
+_THETA_SLOPE = (
+    "((acc.i * acc.sjy - (acc.i * (acc.i + 1D) / 2D) * acc.sy) "
+    "/ (acc.i * (acc.i * (acc.i + 1D) * (2D * acc.i + 1D) / 6D) "
+    "- (acc.i * (acc.i + 1D) / 2D) * (acc.i * (acc.i + 1D) / 2D)))"
+)
+_THETA_SPARK_FOLD = (
+    "aggregate(slice(vs, 2, size(vs) - 1), "
+    "named_struct('i', 1D, 'sy', element_at(vs, 1), 'sjy', element_at(vs, 1), "
+    "'l', element_at(vs, 1), 'saeu', 0D, 'nerr', 0D), "
+    "(acc, x) -> named_struct("
+    "'i', acc.i + 1D, "
+    "'sy', acc.sy + x, "
+    "'sjy', acc.sjy + (acc.i + 1D) * x, "
+    "'l', 0.5D * x + 0.5D * acc.l, "
+    f"'saeu', acc.saeu + IF(acc.i >= 2D, floor(abs(x - (acc.l + {_THETA_SLOPE} / 2D)) * 1e6), 0D), "
+    "'nerr', acc.nerr + IF(acc.i >= 2D, 1D, 0D)))"
+)
+_THETA_DUCK_SLOPE = (
+    "((r.i * r.sjy - (r.i * (r.i + 1) / 2) * r.sy) "
+    "/ (r.i * (r.i * (r.i + 1) * (2 * r.i + 1) / 6) "
+    "- (r.i * (r.i + 1) / 2) * (r.i * (r.i + 1) / 2)))"
+)
+_THETA_DUCK_REC = f"""
+    rec AS (
+      SELECT CAST(1 AS DOUBLE) AS i, v AS sy, v AS sjy, v AS l,
+             CAST(0 AS DOUBLE) AS saeu, CAST(0 AS DOUBLE) AS nerr
+      FROM ser WHERE si = 1
+      UNION ALL
+      SELECT r.i + 1,
+             r.sy + s.v,
+             r.sjy + (r.i + 1) * s.v,
+             0.5 * s.v + 0.5 * r.l,
+             r.saeu + CASE WHEN r.i >= 2
+               THEN floor(abs(s.v - (r.l + {_THETA_DUCK_SLOPE} / 2)) * 1e6)
+               ELSE 0 END,
+             r.nerr + CASE WHEN r.i >= 2 THEN 1 ELSE 0 END
+      FROM rec r JOIN ser s ON s.si = CAST(r.i AS BIGINT) + 1
+    ),
+    fin AS (
+      SELECT r.i AS n, r.sy, r.sjy, r.l, r.saeu, r.nerr
+      FROM rec r
+      WHERE CAST(r.i AS BIGINT) = (SELECT max(si) FROM ser) AND r.i >= 3
+    )
+"""
+
+
+@register(
+    "events_theta_method_mae",
+    tags=("timeseries", "forecast"),
+    oracle=f"""
+    WITH RECURSIVE daily AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
+    ),
+    ser AS (
+      SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS si,
+             CAST(y AS DOUBLE) AS v
+      FROM daily
+    ),
+    {_THETA_DUCK_REC}
+    SELECT CAST(n AS BIGINT) AS n_days,
+           floor(saeu / nerr) / 1e6 AS mae,
+           floor((l + ((n * sjy - (n * (n + 1) / 2) * sy)
+                       / (n * (n * (n + 1) * (2 * n + 1) / 6)
+                          - (n * (n + 1) / 2) * (n * (n + 1) / 2))) / 2)
+                 * 1e6) / 1e6 AS forecast_next
+    FROM fin
+    """,
+)
+def events_theta_method_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-method forecast backtest on the daily event count
+    (Assimakopoulos & Nikolopoulos 2000; Hyndman & Billah 2003 prove the
+    classic theta(0,2) forecast equals SES plus HALF the linear-trend
+    drift): f_d = l_(d-1) + slope_(d-1)/2 where l is the alpha = 0.5 SES
+    level and slope is the OLS trend of the PREFIX seen so far (no
+    look-ahead), with the one-step MAE over d >= 3 and tomorrow's
+    forecast. The M3-competition-winning middle ground between
+    events_forecast_baseline_mae (no trend) and events_holt_linear_mae
+    (full trend): theta damps the drift by half, which is exactly what
+    makes it hard to beat on noisy operational series.
+
+    Exactness: the fold is the Holt discipline extended -- alpha = 0.5
+    dyadic SES, integer-valued prefix sums (sy, sjy) and closed-form
+    rank sums inside one shared per-step expression executed in the
+    same order by both engines (Spark aggregate fold vs DuckDB
+    recursive CTE -- list_reduce is still banned per the round-11 trap);
+    each step's absolute error floors to integer micro-units before
+    accumulating, so the MAE sum is order-free; outputs snap by
+    floor(x * 1e6)/1e6.
+
+    Scale: ONE day-grain partial agg over the fact scan; the fold runs
+    on a single calendar-bounded array (the events_holt_linear_mae
+    shape)."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.filter(F.col("ts").isNotNull())
+        .groupBy(F.date_trunc("day", "ts").cast("timestamp").alias("day"))
+        .agg(F.count("*").cast("bigint").alias("y"))
+    )
+    ser = daily.agg(
+        F.expr("array_sort(collect_list(struct(day, CAST(y AS DOUBLE) AS v)))").alias("arr"),
+        F.count("*").cast("bigint").alias("n"),
+    ).filter(F.col("n") >= 3).select(
+        F.expr("transform(arr, x -> x.v)").alias("vs"), "n"
+    )
+    fin = ser.select("n", F.expr(_THETA_SPARK_FOLD).alias("st"))
+    snap = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
+    nd = F.col("n").cast("double")
+    slope_n = (
+        (nd * F.col("st.sjy") - (nd * (nd + 1) / 2) * F.col("st.sy"))
+        / (
+            nd * (nd * (nd + 1) * (2 * nd + 1) / 6)
+            - (nd * (nd + 1) / 2) * (nd * (nd + 1) / 2)
+        )
+    )
+    return fin.select(
+        F.col("n").alias("n_days"),
+        (F.floor(F.col("st.saeu") / F.col("st.nerr")) / 1e6).alias("mae"),
+        snap(F.col("st.l") + slope_n / 2).alias("forecast_next"),
+    )

@@ -391,3 +391,56 @@ def test_ktruss_registered_key_monotone(spark, sf_dir):
     for a, b in zip(rows, rows[1:]):
         assert b["n_edges"] <= a["n_edges"]  # trusses are nested
         assert b["n_nodes"] <= a["n_nodes"]
+
+
+def test_theta_hand_trace(spark, tmp_path):
+    """y = [10, 12, 15]: prefix OLS slope of [10,12] is 2, SES level 11,
+    so f_3 = 11 + 1 = 12 and MAE = 3; final level 13, full-series slope
+    2.5, forecast_next = 13 + 1.25 = 14.25."""
+    import datetime
+
+    sf = str(tmp_path / "sf")
+    base = datetime.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    for day, n in enumerate((10, 12, 15)):
+        for k in range(n):
+            rows.append(
+                (eid, base + datetime.timedelta(days=day, seconds=k), 1, "t", 1.0, "{}")
+            )
+            eid += 1
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).write.parquet(f"{sf}/events.parquet")
+    out = registry.get("events_theta_method_mae").fn(spark, sf).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_days"] == 3
+    assert r["mae"] == 3.0
+    assert r["forecast_next"] == 14.25
+
+
+def test_theta_fixture_single_row(spark, sf_dir):
+    out = registry.get("events_theta_method_mae").fn(spark, sf_dir).collect()
+    assert len(out) == 1
+    assert out[0]["mae"] >= 0
+
+
+def test_rfm_migration_invariants(spark, sf_dir):
+    from change_data_capture_service_spark.catalog import load_table
+
+    rows = registry.get("customer_rfm_migration_matrix").fn(spark, sf_dir).collect()
+    assert rows
+    from_tot, to_tot = {}, {}
+    for r in rows:
+        assert 0 <= r["q_from"] <= 4 and 0 <= r["q_to"] <= 4
+        assert not (r["q_from"] == 0 and r["q_to"] == 0)
+        from_tot[r["q_from"]] = from_tot.get(r["q_from"], 0) + r["n_customers"]
+        to_tot[r["q_to"]] = to_tot.get(r["q_to"], 0) + r["n_customers"]
+    # ntile balance: period quartiles (1..4) differ by at most 1
+    for tot in (from_tot, to_tot):
+        sizes = [tot[k] for k in (1, 2, 3, 4) if k in tot]
+        assert sizes and max(sizes) - min(sizes) <= 1
+    n_custs = (
+        load_table(spark, sf_dir, "orders").select("o_custkey").distinct().count()
+    )
+    assert sum(r["n_customers"] for r in rows) == n_custs
