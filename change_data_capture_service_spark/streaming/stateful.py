@@ -425,3 +425,78 @@ def gap_sla_stream(events_stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+WATERMARK_SKEW_OUTPUT_SCHEMA = "event_type string, max_us long, n_events long"
+WATERMARK_SKEW_STATE_SCHEMA = "max_us long, n_events long"
+
+
+def _watermark_skew_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-stream high-water fold: carried state is (max event-time in
+    exact integer microseconds, row count) -- O(1) per stream. The SKEW
+    column is deliberately absent from the emitted row: skew is defined
+    against the max ACROSS streams, which no per-key state can see; the
+    finishing select (``watermark_skew_finish``) computes it over the
+    |streams|-row panel, exactly as the batch twin folds its global
+    max over the per-stream aggregate."""
+    max_us, n_events = state.get if state.exists else (-1, 0)
+    for pdf in pdfs:
+        if pdf.empty:
+            continue
+        us = pdf["ts"].astype("int64") // 1_000
+        m = int(us.max())
+        if m > max_us:
+            max_us = m
+        n_events += len(pdf)
+    if max_us >= 0:
+        state.update((max_us, n_events))
+        yield pd.DataFrame(
+            [(key[0], max_us, n_events)],
+            columns=["event_type", "max_us", "n_events"],
+        )
+
+
+def watermark_skew_stream(events_stream: DataFrame) -> DataFrame:
+    """Continuous per-stream watermark tracker (applyInPandasWithState,
+    update mode): each micro-batch re-emits every touched stream's
+    high-water event time and row count. Once the feed drains,
+    ``watermark_skew_finish`` over the latest row per stream equals the
+    batch ``cdc_watermark_skew_by_table`` exactly
+    (tests/test_streaming.py pins it). Input needs (event_type, ts)."""
+    return events_stream.groupBy("event_type").applyInPandasWithState(
+        _watermark_skew_fn,
+        outputStructType=WATERMARK_SKEW_OUTPUT_SCHEMA,
+        stateStructType=WATERMARK_SKEW_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def watermark_skew_finish(panel: DataFrame) -> DataFrame:
+    """Finishing select for ``watermark_skew_stream``'s drained panel
+    (one row per stream: event_type, max_us, n_events): fold the global
+    max over the |streams|-row relation and emit the batch twin's exact
+    columns (stream_max_ts, skew_s, is_laggard at the shared
+    SLA_GAP_SECONDS budget)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.cdc import SLA_GAP_SECONDS
+
+    g = panel.agg(F.max("max_us").alias("gmx"))
+    thr_us = SLA_GAP_SECONDS * 1_000_000
+    return (
+        panel.join(F.broadcast(g))
+        .select(
+            "event_type",
+            F.timestamp_micros(F.col("max_us")).alias("stream_max_ts"),
+            F.round(
+                (F.col("gmx") - F.col("max_us")).cast("double") / 1000000.0, 6
+            ).alias("skew_s"),
+            "n_events",
+            F.when(F.col("gmx") - F.col("max_us") > thr_us, F.lit(1))
+            .otherwise(F.lit(0)).cast("bigint").alias("is_laggard"),
+        )
+        .orderBy("event_type")
+    )

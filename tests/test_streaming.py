@@ -835,3 +835,68 @@ def test_gap_sla_stream_equals_batch(spark, sf_dir, tmp_path):
     }
     assert len(got) > 0
     assert got == want
+
+
+def test_watermark_skew_stream_equals_batch(spark, sf_dir, tmp_path):
+    """The O(1)-state streaming watermark tracker + finishing select must
+    equal the registered batch panel exactly once the feed drains. Two
+    time-split files force high-water state to persist across
+    micro-batches."""
+    import os
+    import shutil
+
+    from change_data_capture_service_spark import registry
+    from change_data_capture_service_spark.catalog import load_table
+    from change_data_capture_service_spark.streaming.stateful import (
+        watermark_skew_finish,
+        watermark_skew_stream,
+    )
+
+    registry.load_all()
+    src = str(tmp_path / "wm_events")
+    os.makedirs(src)
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.filter(F.col("ts").isNotNull()).select("event_type", "ts")
+    mid = base.agg(
+        F.date_trunc("day", F.min("ts")) + F.expr("INTERVAL 9 DAY")
+    ).collect()[0][0]
+    for name, part in (
+        ("a_first.parquet", base.filter(F.col("ts") < F.lit(mid))),
+        ("z_second.parquet", base.filter(F.col("ts") >= F.lit(mid))),
+    ):
+        tmp = f"{src}/_tmp"
+        part.coalesce(1).write.parquet(tmp)
+        for f in os.listdir(tmp):
+            if f.endswith(".parquet"):
+                shutil.move(f"{tmp}/{f}", f"{src}/{name}")
+        shutil.rmtree(tmp)
+
+    stream = spark.readStream.schema("event_type string, ts timestamp").option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    q = (
+        watermark_skew_stream(stream)
+        .writeStream.format("memory")
+        .queryName("wm_skew_out")
+        .outputMode("update")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    latest = {}
+    for r in spark.sql("SELECT * FROM wm_skew_out").collect():
+        latest[r["event_type"]] = (r["max_us"], r["n_events"])  # batch order: last wins
+    panel = spark.createDataFrame(
+        [(k, v[0], v[1]) for k, v in latest.items()],
+        "event_type string, max_us long, n_events long",
+    )
+    got = {
+        r["event_type"]: (r["stream_max_ts"], r["skew_s"], r["n_events"], r["is_laggard"])
+        for r in watermark_skew_finish(panel).collect()
+    }
+    want = {
+        r["event_type"]: (r["stream_max_ts"], r["skew_s"], r["n_events"], r["is_laggard"])
+        for r in registry.get("cdc_watermark_skew_by_table").fn(spark, sf_dir).collect()
+    }
+    assert len(got) > 0
+    assert got == want
