@@ -3645,3 +3645,158 @@ def events_topk_drift_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("week_start")
     )
+
+
+@register(
+    "events_type_profile_js_distance",
+    tags=("analytics", "stats", "monitor"),
+    oracle="""
+    WITH c AS (
+      SELECT event_type, dayofweek(ts) AS dw,
+             CAST(extract(hour FROM ts) AS INT) AS hr,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY 1, 2, 3
+    ),
+    tot AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS t FROM c GROUP BY 1),
+    p AS (SELECT c.event_type, dw, hr, n, t FROM c JOIN tot USING (event_type)),
+    both_cells AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(floor((CAST(a.n AS DOUBLE) / a.t)
+                   * ln(2 * (CAST(a.n AS DOUBLE) / a.t)
+                        / (CAST(a.n AS DOUBLE) / a.t + CAST(b.n AS DOUBLE) / b.t))
+                   * 1e9) AS BIGINT)
+             + CAST(floor((CAST(b.n AS DOUBLE) / b.t)
+                   * ln(2 * (CAST(b.n AS DOUBLE) / b.t)
+                        / (CAST(a.n AS DOUBLE) / a.t + CAST(b.n AS DOUBLE) / b.t))
+                   * 1e9) AS BIGINT) AS u
+      FROM p a JOIN p b
+        ON a.dw = b.dw AND a.hr = b.hr AND a.event_type < b.event_type
+    ),
+    only_a AS (
+      SELECT a.event_type AS type_a, tb.event_type AS type_b,
+             CAST(floor((CAST(a.n AS DOUBLE) / a.t) * ln(2) * 1e9) AS BIGINT) AS u
+      FROM p a JOIN tot tb ON a.event_type < tb.event_type
+      WHERE NOT EXISTS (
+        SELECT 1 FROM c b
+        WHERE b.event_type = tb.event_type AND b.dw = a.dw AND b.hr = a.hr
+      )
+    ),
+    only_b AS (
+      SELECT ta.event_type AS type_a, b.event_type AS type_b,
+             CAST(floor((CAST(b.n AS DOUBLE) / b.t) * ln(2) * 1e9) AS BIGINT) AS u
+      FROM p b JOIN tot ta ON ta.event_type < b.event_type
+      WHERE NOT EXISTS (
+        SELECT 1 FROM c a
+        WHERE a.event_type = ta.event_type AND a.dw = b.dw AND a.hr = b.hr
+      )
+    ),
+    terms AS (
+      SELECT type_a, type_b, u FROM both_cells
+      UNION ALL SELECT type_a, type_b, u FROM only_a
+      UNION ALL SELECT type_a, type_b, u FROM only_b
+    )
+    SELECT type_a, type_b,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           round(CAST(sum(u) AS DOUBLE) / 2 / 1e9, 6) AS js_divergence
+    FROM terms GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def events_type_profile_js_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between event types' (weekday,
+    hour) activity profiles (Lin 1991): JS(P||Q) = (KL(P||M) +
+    KL(Q||M))/2 with M the midpoint -- symmetric, bounded by ln 2, and
+    defined even where supports differ, which is why it is the standard
+    distance between usage fingerprints. A pair of streams whose JS
+    jumps week-over-week routes differently (caching, partitioning,
+    alerting) than streams that co-move; the single-stream dow/hour
+    panels (events_hourly_heatmap, cdc_gap_heatmap_hour_dow) can't see
+    the PAIRWISE structure.
+
+    Exactness: cell probabilities are ratios of exact integers; each
+    cell's JS contribution is one shared double closed form floored to
+    integer nano-units BEFORE summation (the engines sum in different
+    orders -- integer terms make the sum order-free); disjoint-support
+    cells contribute the exact p*ln2 limit; one division/round at the
+    end.
+
+    Scale: one (type, dow, hour) partial agg bounds everything at
+    |types| x 168 cells; the pair join, anti joins, and the final agg
+    run on that attribute-bounded relation."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
+    c = e.groupBy(
+        "event_type",
+        F.dayofweek("ts").alias("dw"),
+        F.hour("ts").cast("int").alias("hr"),
+    ).agg(F.count("*").cast("bigint").alias("n")).localCheckpoint(eager=False)
+    tot = c.groupBy("event_type").agg(F.sum("n").cast("bigint").alias("t"))
+    p = c.join(tot, "event_type").localCheckpoint(eager=False)
+    pa = p.select(
+        F.col("event_type").alias("type_a"), "dw", "hr",
+        F.col("n").alias("na"), F.col("t").alias("ta"),
+    )
+    pb = p.select(
+        F.col("event_type").alias("type_b"),
+        F.col("dw").alias("dwb"), F.col("hr").alias("hrb"),
+        F.col("n").alias("nb"), F.col("t").alias("tb"),
+    )
+    pr_a = F.col("na").cast("double") / F.col("ta")
+    pr_b = F.col("nb").cast("double") / F.col("tb")
+    both = pa.join(
+        pb,
+        (F.col("dw") == F.col("dwb"))
+        & (F.col("hr") == F.col("hrb"))
+        & (F.col("type_a") < F.col("type_b")),
+    ).select(
+        "type_a", "type_b",
+        (
+            F.floor(pr_a * F.log(2 * pr_a / (pr_a + pr_b)) * 1e9).cast("bigint")
+            + F.floor(pr_b * F.log(2 * pr_b / (pr_a + pr_b)) * 1e9).cast("bigint")
+        ).alias("u"),
+    )
+    types = tot.select(F.col("event_type"), "t")
+    only_a = (
+        pa.join(
+            types.select(F.col("event_type").alias("type_b")),
+            F.col("type_a") < F.col("type_b"),
+        )
+        .join(
+            pb.select("type_b", "dwb", "hrb").withColumnRenamed("type_b", "tb2"),
+            (F.col("tb2") == F.col("type_b"))
+            & (F.col("dwb") == F.col("dw"))
+            & (F.col("hrb") == F.col("hr")),
+            "left_anti",
+        )
+        .select(
+            "type_a", "type_b",
+            F.floor(pr_a * F.log(F.lit(2.0)) * 1e9).cast("bigint").alias("u"),
+        )
+    )
+    only_b = (
+        pb.join(
+            types.select(F.col("event_type").alias("type_a")),
+            F.col("type_a") < F.col("type_b"),
+        )
+        .join(
+            pa.select("type_a", "dw", "hr").withColumnRenamed("type_a", "ta2"),
+            (F.col("ta2") == F.col("type_a"))
+            & (F.col("dw") == F.col("dwb"))
+            & (F.col("hr") == F.col("hrb")),
+            "left_anti",
+        )
+        .select(
+            "type_a", "type_b",
+            F.floor(pr_b * F.log(F.lit(2.0)) * 1e9).cast("bigint").alias("u"),
+        )
+    )
+    terms = both.unionByName(only_a).unionByName(only_b)
+    return (
+        terms.groupBy("type_a", "type_b")
+        .agg(
+            F.count("*").cast("bigint").alias("n_cells"),
+            F.round(F.sum("u").cast("double") / 2 / 1e9, 6).alias("js_divergence"),
+        )
+        .orderBy("type_a", "type_b")
+    )

@@ -4696,3 +4696,79 @@ def customer_rfm_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("q_from", "q_to")
     )
+
+
+@register(
+    "orders_interorder_hazard_curve",
+    tags=("relational", "analytics", "stats"),
+    oracle="""
+    WITH g AS (
+      SELECT o_custkey,
+             CAST(date_diff('day',
+               lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate, o_orderkey),
+               o_orderdate) AS BIGINT) AS gap_days
+      FROM orders
+    ),
+    w AS (
+      SELECT CAST(least(gap_days // 7, 52) AS BIGINT) AS gap_weeks
+      FROM g WHERE gap_days IS NOT NULL
+    ),
+    d AS (
+      SELECT gap_weeks, CAST(count(*) AS BIGINT) AS n_events
+      FROM w GROUP BY 1
+    ),
+    r AS (
+      SELECT gap_weeks, n_events,
+             CAST(sum(n_events) OVER (ORDER BY gap_weeks DESC
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_at_risk
+      FROM d
+    )
+    SELECT gap_weeks, n_events, n_at_risk,
+           round(CAST(n_events AS DOUBLE) / n_at_risk, 6) AS hazard
+    FROM r ORDER BY gap_weeks
+    """,
+)
+def orders_interorder_hazard_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete-time hazard curve of re-ordering: for each week-since-
+    last-order bin (capped at 52), h(k) = (gaps that ended in week k) /
+    (gaps that lasted at least week k) -- the life-table hazard
+    estimator (Kaplan-Meier's discrete sibling) over inter-order gaps.
+    customer_survival_km gives S(t) for churn; the hazard is its
+    actionable derivative: the week where h(k) collapses is when a
+    win-back campaign should fire, which neither the survival curve nor
+    customer_order_gaps' moments read off directly.
+
+    Exactness: gaps are exact integer day differences on a
+    (date, orderkey)-tiebroken lag; week bins are integer floor
+    division; the at-risk sets come from ONE descending prefix sum over
+    the 53-row bin domain; each hazard divides exact integers once.
+
+    Scale: the lag window partitions by customer (fact-grain but
+    key-parallel); everything after is a |bins|-grain panel."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    g = o.select(
+        F.datediff("o_orderdate", F.lag("o_orderdate").over(w)).cast("bigint").alias(
+            "gap_days"
+        )
+    ).filter(F.col("gap_days").isNotNull())
+    d = g.select(
+        F.least(F.expr("gap_days div 7"), F.lit(52)).cast("bigint").alias("gap_weeks")
+    ).groupBy("gap_weeks").agg(F.count("*").cast("bigint").alias("n_events"))
+    wr = Window.orderBy(F.col("gap_weeks").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        d.select(
+            "gap_weeks", "n_events",
+            F.sum("n_events").over(wr).cast("bigint").alias("n_at_risk"),
+        )
+        .select(
+            "gap_weeks", "n_events", "n_at_risk",
+            F.round(
+                F.col("n_events").cast("double") / F.col("n_at_risk"), 6
+            ).alias("hazard"),
+        )
+        .orderBy("gap_weeks")
+    )

@@ -444,3 +444,81 @@ def test_rfm_migration_invariants(spark, sf_dir):
         load_table(spark, sf_dir, "orders").select("o_custkey").distinct().count()
     )
     assert sum(r["n_customers"] for r in rows) == n_custs
+
+
+def test_js_distance_identical_and_disjoint(spark, tmp_path):
+    """Two streams with identical (dow, hour) profiles have JS = 0; two
+    with disjoint supports hit the ln 2 ceiling exactly."""
+    import datetime
+
+    sf = str(tmp_path / "sf")
+    base = datetime.datetime(2024, 1, 1)  # a Monday
+    rows, eid = [], 0
+    # 'a' and 'b': identical profiles (same cells, same proportions);
+    # 'c': disjoint (different hour entirely)
+    for day in range(7):
+        for _ in range(3):
+            for t, hour in (("a", 9), ("b", 9), ("c", 21)):
+                rows.append(
+                    (eid, base + datetime.timedelta(days=day, hours=hour, seconds=eid % 50),
+                     1, t, 1.0, "{}")
+                )
+                eid += 1
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).write.parquet(f"{sf}/events.parquet")
+    got = {
+        (r["type_a"], r["type_b"]): r["js_divergence"]
+        for r in registry.get("events_type_profile_js_distance").fn(spark, sf).collect()
+    }
+    assert got[("a", "b")] == 0.0
+    assert got[("a", "c")] == pytest.approx(0.693147, abs=2e-6)
+    assert got[("b", "c")] == pytest.approx(0.693147, abs=2e-6)
+
+
+def test_js_distance_fixture_bounds(spark, sf_dir):
+    rows = registry.get("events_type_profile_js_distance").fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["type_a"] < r["type_b"]
+        assert -1e-9 <= r["js_divergence"] <= 0.693148
+
+
+def test_hazard_curve_identities(spark, sf_dir):
+    from change_data_capture_service_spark.catalog import load_table
+
+    rows = registry.get("orders_interorder_hazard_curve").fn(spark, sf_dir).orderBy("gap_weeks").collect()
+    assert rows
+    assert rows[-1]["hazard"] == 1.0  # largest observed bin exhausts its risk set
+    at_risk = [r["n_at_risk"] for r in rows]
+    assert at_risk == sorted(at_risk, reverse=True)
+    for r in rows:
+        assert 0 < r["hazard"] <= 1.0
+        assert r["n_events"] <= r["n_at_risk"]
+    o = load_table(spark, sf_dir, "orders")
+    n_orders = o.count()
+    n_cust = o.select("o_custkey").distinct().count()
+    assert sum(r["n_events"] for r in rows) == n_orders - n_cust
+
+
+def test_hazard_curve_planted_single_bin(spark, tmp_path):
+    import datetime
+
+    sf = str(tmp_path / "sf")
+    rows = []
+    for cust in range(5):
+        for i in range(4):  # 3 gaps of exactly 14 days per customer
+            rows.append(
+                (cust * 10 + i, cust,
+                 "O", 100.0, datetime.datetime(2024, 1, 1) + datetime.timedelta(days=14 * i),
+                 "1-URGENT")
+            )
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.parquet(f"{sf}/orders.parquet")
+    out = registry.get("orders_interorder_hazard_curve").fn(spark, sf).collect()
+    assert len(out) == 1
+    assert out[0]["gap_weeks"] == 2
+    assert out[0]["n_events"] == 15 and out[0]["n_at_risk"] == 15
+    assert out[0]["hazard"] == 1.0
