@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..registry import register
-from .stats import exact_interp_pct
+from .stats import exact_interp_pct, exact_interp_pct_weighted
 
 
 @register(
@@ -2007,4 +2007,74 @@ def cdc_watermark_skew_by_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit(0)).cast("bigint").alias("is_laggard"),
         )
         .orderBy("event_type")
+    )
+
+
+@register(
+    "cdc_throughput_percentiles_minute",
+    tags=("cdc", "monitor"),
+    oracle="""
+    WITH mb AS (
+      SELECT date_trunc('minute', ts) AS m, CAST(count(*) AS BIGINT) AS n
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
+    ),
+    rk AS (
+      SELECT n, CAST(row_number() OVER (ORDER BY n) AS BIGINT) AS rn,
+             CAST(count(*) OVER () AS BIGINT) AS cnt
+      FROM mb
+    ),
+    q AS (
+      SELECT p.pct,
+             (100 * lo.n + ((p.pct * (lo.cnt - 1)) % 100) * (hi.n - lo.n))
+               // 100 AS q_v
+      FROM (SELECT CAST(unnest([50, 95, 99]) AS BIGINT) AS pct) p
+      JOIN rk lo ON lo.rn = (p.pct * (lo.cnt - 1)) // 100 + 1
+      JOIN rk hi ON hi.rn = CASE WHEN (p.pct * (lo.cnt - 1)) % 100 = 0
+                                 THEN lo.rn ELSE lo.rn + 1 END
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM mb) AS n_minutes,
+           CAST(max(CASE WHEN pct = 50 THEN q_v END) AS BIGINT) AS p50_epm,
+           CAST(max(CASE WHEN pct = 95 THEN q_v END) AS BIGINT) AS p95_epm,
+           CAST(max(CASE WHEN pct = 99 THEN q_v END) AS BIGINT) AS p99_epm,
+           (SELECT CAST(max(n) AS BIGINT) FROM mb) AS max_epm
+    FROM q
+    """,
+)
+def cdc_throughput_percentiles_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replication throughput envelope at minute grain: p50/p95/p99 and
+    max events-per-OBSERVED-minute (idle minutes carry no row and are
+    deliberately excluded -- this sizes the consumer for minutes that
+    actually carry traffic). cdc_ingestion_sla_by_source prices GAPS
+    (too slow); this prices BURST capacity (too fast): the p99 epm is
+    the number the sink's bulk batch size and the broker partition
+    count are provisioned against, and p99/p50 is the burstiness the
+    events_burstiness Fano factor summarizes at day grain.
+
+    Exactness: minute counts are exact integers; each percentile is the
+    shared exact_interp_pct rational closed form (truncated integer
+    interpolation) over the bounded count DOMAIN -- no built-in
+    quantiles (ulp-divergent cross-engine).
+
+    Scale: one (minute) partial agg over the log; the weighted
+    percentile pass runs on the DISTINCT epm-value domain (bounded by
+    the count range, not by minutes); one row out."""
+    e = load_table(spark, sf_dir, "events")
+    mb = e.filter(F.col("ts").isNotNull()).groupBy(
+        F.date_trunc("minute", "ts").alias("m")
+    ).agg(F.count("*").cast("bigint").alias("n")).localCheckpoint(
+        eager=False
+    )  # three percentile passes + the count/max agg consume it
+    mbg = mb.withColumn("g", F.lit(1))
+    qs = None
+    for pct, alias in ((50, "p50_epm"), (95, "p95_epm"), (99, "p99_epm")):
+        q = exact_interp_pct_weighted(mbg, ["g"], "n", pct).select(
+            F.col("q_val").cast("bigint").alias(alias)
+        )
+        qs = q if qs is None else qs.crossJoin(q)
+    stats = mb.agg(
+        F.count("*").cast("bigint").alias("n_minutes"),
+        F.max("n").cast("bigint").alias("max_epm"),
+    )
+    return stats.crossJoin(qs).select(
+        "n_minutes", "p50_epm", "p95_epm", "p99_epm", "max_epm"
     )

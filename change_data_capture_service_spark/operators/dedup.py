@@ -2154,3 +2154,121 @@ def dedup_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("cluster_size").desc(), "cluster_id")
     )
+
+
+def _shingle_sql(k: int) -> str:
+    """DuckDB k-gram shingle CTE body for shingle size ``k`` (1-based
+    inclusive list slicing, the _ORACLE_EXACT_JACCARD convention)."""
+    return (
+        f"SELECT doc_id, list_distinct(list_transform("
+        f"range(1, len(toks) - {k} + 2), "
+        f"i -> array_to_string(toks[i:i+{k - 1}], ' '))) AS shingles "
+        f"FROM toks WHERE len(toks) >= {k}"
+    )
+
+
+@register(
+    "dedup_shingle_selectivity_curve",
+    tags=("dedup", "northstar", "monitor"),
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {TOKENS} AS toks FROM documents
+    ),
+    {", ".join(
+        f'''sh{k} AS ({_shingle_sql(k)}),
+    ex{k} AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh{k}),
+    dfr{k} AS (SELECT shingle, CAST(count(*) AS BIGINT) AS df
+               FROM ex{k} GROUP BY 1),
+    m{k} AS (
+      SELECT CAST({k} AS BIGINT) AS shingle_k,
+             CAST(count(*) AS BIGINT) AS n_distinct_shingles,
+             CAST(sum(df) AS BIGINT) AS n_doc_shingle_pairs,
+             CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_shared_shingles,
+             round(CAST(sum(df) AS DOUBLE) / nullif(count(*), 0), 6)
+               AS avg_docs_per_shingle
+      FROM dfr{k}
+    ),
+    sd{k} AS (
+      SELECT CAST(count(DISTINCT e.doc_id) AS BIGINT) AS n_docs_sharing
+      FROM ex{k} e JOIN dfr{k} d ON e.shingle = d.shingle AND d.df >= 2
+    ),
+    tt{k} AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM sh{k})'''
+        for k in (3, 5, 8)
+    )}
+    SELECT * FROM (
+      {" UNION ALL ".join(
+        f'''SELECT m{k}.shingle_k, m{k}.n_distinct_shingles,
+               m{k}.n_doc_shingle_pairs, m{k}.n_shared_shingles,
+               m{k}.avg_docs_per_shingle,
+               round(CAST(sd{k}.n_docs_sharing AS DOUBLE)
+                     / nullif(tt{k}.n_docs, 0), 6) AS share_docs_sharing
+        FROM m{k}, sd{k}, tt{k}'''
+        for k in (3, 5, 8)
+      )}
+    ) ORDER BY shingle_k
+    """,
+)
+def dedup_shingle_selectivity_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-size selectivity curve at k = 3, 5, 8 word-grams: distinct
+    shingles, (doc, shingle) postings, shingles shared by >= 2 docs, the
+    mean docs-per-shingle collision rate, and the share of shingled docs
+    touching any shared shingle. This is the knob the near-dup family's
+    FIRST parameter rides on: small k over-collides (false candidate
+    pairs explode -- the pair space is sum over shingles of df^2), large
+    k under-recalls (one edit breaks every overlapping shingle);
+    dedup_lsh_tuning_curve picks (bands, rows) AFTER this picks k.
+
+    Exactness: every column is an exact integer count over per-doc
+    DISTINCT shingle sets (identical construction both engines); the
+    two ratios divide exact integers once at 6dp, NULL-guarded on empty
+    corpora.
+
+    Scale: per k, one (doc, shingle)-grain partial agg and one
+    shingle-grain agg -- identical shape to the production MinHash path
+    (documents never pair with each other here; df-grain stats are what
+    PREDICT the pair blowup before any join runs)."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    toks = d.select("doc_id", _tokens().alias("toks")).localCheckpoint(
+        eager=False
+    )  # three shingle passes consume it
+    panels = []
+    for k in (3, 5, 8):
+        sh = toks.filter(F.size("toks") >= k).select(
+            "doc_id", _shingles(F.col("toks"), k).alias("shingles")
+        ).localCheckpoint(eager=False)  # ex + doc totals
+        ex = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+        ex = ex.localCheckpoint(eager=False)  # df agg + shared-doc semi join
+        dfr = ex.groupBy("shingle").agg(
+            F.count("*").cast("bigint").alias("df")
+        ).localCheckpoint(eager=False)  # metrics + shared filter
+        m = dfr.agg(
+            F.lit(k).cast("bigint").alias("shingle_k"),
+            F.count("*").cast("bigint").alias("n_distinct_shingles"),
+            F.sum("df").cast("bigint").alias("n_doc_shingle_pairs"),
+            F.sum(F.when(F.col("df") >= 2, 1).otherwise(0))
+            .cast("bigint").alias("n_shared_shingles"),
+            F.round(
+                F.sum("df").cast("double") / F.nullif(F.count("*"), F.lit(0)), 6
+            ).alias("avg_docs_per_shingle"),
+        )
+        sd = (
+            ex.join(dfr.filter(F.col("df") >= 2).select("shingle"), "shingle", "left_semi")
+            .agg(F.countDistinct("doc_id").cast("bigint").alias("n_docs_sharing"))
+        )
+        tt = sh.agg(F.count("*").cast("bigint").alias("n_docs"))
+        panels.append(
+            m.crossJoin(sd).crossJoin(tt).select(
+                "shingle_k", "n_distinct_shingles", "n_doc_shingle_pairs",
+                "n_shared_shingles", "avg_docs_per_shingle",
+                F.round(
+                    F.col("n_docs_sharing").cast("double")
+                    / F.nullif(F.col("n_docs"), F.lit(0)),
+                    6,
+                ).alias("share_docs_sharing"),
+            )
+        )
+    out = panels[0]
+    for p in panels[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("shingle_k")

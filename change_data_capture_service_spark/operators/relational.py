@@ -4772,3 +4772,82 @@ def orders_interorder_hazard_curve(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("gap_weeks")
     )
+
+
+@register(
+    "part_brand_share_yearly",
+    tags=("relational", "analytics"),
+    oracle="""
+    WITH base AS (
+      SELECT CAST(extract(year FROM l_shipdate) AS BIGINT) AS yr, p_brand,
+             try_cast(try_cast(l_extendedprice AS DECIMAL(18,2)) * 100
+               AS BIGINT) AS cents
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE try_cast(try_cast(l_extendedprice AS DECIMAL(18,2)) * 100
+            AS BIGINT) IS NOT NULL
+    ),
+    by_cell AS (
+      SELECT yr, p_brand, CAST(sum(cents) AS DECIMAL(38,0)) AS rev
+      FROM base GROUP BY 1, 2
+    ),
+    shares AS (
+      SELECT yr, p_brand,
+             round(CAST(rev AS DOUBLE)
+                   / CAST(sum(rev) OVER (PARTITION BY yr) AS DOUBLE), 6)
+               AS revenue_share
+      FROM by_cell
+    )
+    SELECT yr, p_brand, revenue_share,
+           round(revenue_share - lag(revenue_share) OVER (
+             PARTITION BY p_brand ORDER BY yr), 6) AS share_change
+    FROM shares ORDER BY yr, p_brand
+    """,
+)
+def part_brand_share_yearly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand revenue-share trend: each brand's share of the year's line
+    revenue plus its year-over-year share change -- the assortment MIX
+    view that absolute-revenue trends hide (a brand can grow revenue
+    while losing share in a faster-growing market; merchandising reads
+    the share delta, not the dollar delta). Complements
+    part_price_index_* (price movement) and orders_price_volume_mix
+    (price/volume split) with the mix axis.
+
+    Exactness: per-cell revenue is exact DECIMAL(38,0) cents; the share
+    divides the cell by its year total once at 6dp; the YoY delta
+    subtracts two already-rounded shares (identical doubles both
+    engines) and rounds once more; first observed year per brand emits
+    NULL.
+
+    Scale: one fact pass with the part dim broadcast; the share window
+    and YoY lag run over the |years| x |brands| panel only."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    base = (
+        li.join(F.broadcast(p.select("p_partkey", "p_brand")),
+                li["l_partkey"] == p["p_partkey"])
+        .select(
+            F.year("l_shipdate").cast("bigint").alias("yr"),
+            "p_brand",
+            F.expr(
+                "try_cast(try_cast(l_extendedprice AS decimal(18,2)) * 100 AS bigint)"
+            ).alias("cents"),
+        )
+        .filter(F.col("cents").isNotNull())
+    )
+    by_cell = base.groupBy("yr", "p_brand").agg(
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("rev")
+    )
+    wy = Window.partitionBy("yr")
+    shares = by_cell.select(
+        "yr", "p_brand",
+        F.round(
+            F.col("rev").cast("double") / F.sum("rev").over(wy).cast("double"), 6
+        ).alias("revenue_share"),
+    )
+    wb = Window.partitionBy("p_brand").orderBy("yr")
+    return shares.select(
+        "yr", "p_brand", "revenue_share",
+        F.round(
+            F.col("revenue_share") - F.lag("revenue_share").over(wb), 6
+        ).alias("share_change"),
+    ).orderBy("yr", "p_brand")

@@ -522,3 +522,71 @@ def test_hazard_curve_planted_single_bin(spark, tmp_path):
     assert out[0]["gap_weeks"] == 2
     assert out[0]["n_events"] == 15 and out[0]["n_at_risk"] == 15
     assert out[0]["hazard"] == 1.0
+
+
+def test_shingle_curve_monotone_in_k(spark, sf_dir):
+    """Longer shingles are more selective: docs-per-shingle collision
+    rate and the shared-doc share must be non-increasing in k."""
+    rows = {
+        r["shingle_k"]: r
+        for r in registry.get("dedup_shingle_selectivity_curve").fn(spark, sf_dir).collect()
+    }
+    assert set(rows) == {3, 5, 8}
+    for k in (3, 5, 8):
+        r = rows[k]
+        assert r["n_shared_shingles"] <= r["n_distinct_shingles"]
+        assert r["n_doc_shingle_pairs"] >= r["n_distinct_shingles"]
+        assert r["avg_docs_per_shingle"] >= 1.0
+        assert 0.0 <= r["share_docs_sharing"] <= 1.0
+    assert rows[3]["avg_docs_per_shingle"] >= rows[5]["avg_docs_per_shingle"]
+    assert rows[5]["avg_docs_per_shingle"] >= rows[8]["avg_docs_per_shingle"]
+    assert rows[3]["share_docs_sharing"] >= rows[8]["share_docs_sharing"]
+
+
+def test_throughput_percentiles_planted(spark, tmp_path):
+    """10 observed minutes with counts 1..10: truncated-interpolation
+    p50 = 5, p95 = p99 = 9, max = 10."""
+    import datetime
+
+    sf = str(tmp_path / "sf")
+    base = datetime.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    for minute in range(10):
+        for k in range(minute + 1):
+            rows.append(
+                (eid, base + datetime.timedelta(minutes=minute, seconds=k % 60),
+                 1, "t", 1.0, "{}")
+            )
+            eid += 1
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).write.parquet(f"{sf}/events.parquet")
+    out = registry.get("cdc_throughput_percentiles_minute").fn(spark, sf).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n_minutes"], r["p50_epm"], r["p95_epm"], r["p99_epm"], r["max_epm"]) == (
+        10, 5, 9, 9, 10,
+    )
+
+
+def test_throughput_percentiles_ordered(spark, sf_dir):
+    r = registry.get("cdc_throughput_percentiles_minute").fn(spark, sf_dir).collect()[0]
+    assert r["p50_epm"] <= r["p95_epm"] <= r["p99_epm"] <= r["max_epm"]
+    assert r["n_minutes"] > 0
+
+
+def test_brand_share_sums_to_one_per_year(spark, sf_dir):
+    rows = registry.get("part_brand_share_yearly").fn(spark, sf_dir).collect()
+    assert rows
+    by_year, first_year = {}, {}
+    for r in rows:
+        by_year.setdefault(r["yr"], 0.0)
+        by_year[r["yr"]] += r["revenue_share"]
+        first_year.setdefault(r["p_brand"], r["yr"])
+    for yr, s in by_year.items():
+        assert s == pytest.approx(1.0, abs=1e-4), yr
+    for r in rows:
+        if r["yr"] == first_year[r["p_brand"]]:
+            assert r["share_change"] is None
+        else:
+            assert r["share_change"] is not None
