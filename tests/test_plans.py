@@ -4,6 +4,8 @@ even while staying numerically correct."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from change_data_capture_service_spark import registry
 from change_data_capture_service_spark.plans import inspect as P
 
@@ -594,3 +596,63 @@ def test_prf_keeps_the_postings_shape(spark, sf_dir):
     df = registry.get("search_prf_expansion").fn(spark, sf_dir)
     plan = P.formatted_plan(df)
     assert "TakeOrderedAndProject" in plan
+
+
+def test_round12_stock_plan_shapes(spark, sf_dir):
+    """Plan gates for the round-12 queue stock's heavier members:
+
+    - query-likelihood keeps search_bm25's postings shape (term IN-filter
+      before aggregation, TakeOrderedAndProject cutoff, broadcast stats);
+    - RAKE's only fact-grain window partitions by doc_id (the per-doc
+      run-id prefix sum) -- no global single-partition window anywhere;
+    - the watermark-skew panel broadcasts its 1-row global fold back
+      instead of re-scanning events;
+    - brand share runs its share window on the (year, brand) panel with
+      the part dim broadcast into the fact join."""
+    ql = registry.get("search_query_likelihood_dirichlet").fn(spark, sf_dir)
+    plan = P.formatted_plan(ql)
+    assert "TakeOrderedAndProject" in plan
+    assert P.uses_broadcast_join(ql)
+
+    rake = registry.get("text_rake_keywords").fn(spark, sf_dir)
+    plan = P.formatted_plan(rake)
+    assert "TakeOrderedAndProject" in plan
+    # every Window in the plan must be partitioned (no empty PARTITION BY)
+    for line in plan.splitlines():
+        if "Window" in line and "partition" in line.lower():
+            assert "doc_id" in line or "run_id" in line, line
+
+    wm = registry.get("cdc_watermark_skew_by_table").fn(spark, sf_dir)
+    assert P.uses_broadcast_join(wm)
+
+    bs = registry.get("part_brand_share_yearly").fn(spark, sf_dir)
+    assert P.uses_broadcast_join(bs)
+
+
+def test_round12_stock_shuffle_budgets(spark, sf_dir):
+    """Executed-metrics gates: the flat-grain monitors must shuffle
+    domain-bounded record counts regardless of event volume."""
+    from change_data_capture_service_spark.catalog import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    n_types = e.select("event_type").distinct().count()
+    n_tasks = e.rdd.getNumPartitions()
+
+    wm = registry.get("cdc_watermark_skew_by_table").fn(spark, sf_dir)
+    wm.collect()
+    m = P.executed_metrics(wm, ("shuffleRecordsWritten",))
+    assert m["shuffleRecordsWritten"] <= (n_tasks + 1) * n_types, (
+        f"watermark skew shuffled {m['shuffleRecordsWritten']} records for "
+        f"{n_types} streams -- partial aggregation lost"
+    )
+
+    ph = registry.get("events_page_hinkley_panel").fn(spark, sf_dir)
+    ph.collect()
+    n_days = e.filter(F.col("ts").isNotNull()).select(
+        F.date_trunc("day", "ts")
+    ).distinct().count()
+    m2 = P.executed_metrics(ph, ("shuffleRecordsWritten",))
+    assert m2["shuffleRecordsWritten"] <= (n_tasks + 2) * n_days, (
+        f"page-hinkley shuffled {m2['shuffleRecordsWritten']} records for "
+        f"{n_days} days"
+    )
