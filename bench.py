@@ -55,6 +55,9 @@ EXTENDED = [
     "part_link_prediction_adamic_adar",  # round-8: hub-capped wedge join (priciest new probe)
     "dedup_exact_substring_runs",    # round-10: positioned-digest runs (priciest new probe)
     "search_prf_expansion",          # round-10: two-pass PRF (2x the postings-probe shape)
+    "text_rake_keywords",            # round-11c: per-doc run windows + vocab-grain joins
+    "dedup_cluster_profile",         # round-11c: iterative components + doc-keyed profile join
+    "events_topk_drift_weekly",      # round-11c: week-grain rank windows + top-set self-join
 ]
 
 
