@@ -2366,3 +2366,61 @@ def embedding_intrinsic_dim_twonn(spark: SparkSession, sf_dir: str) -> DataFrame
             F.col("n_used") / F.nullif(F.col("lsum").cast("double"), F.lit(0.0)), 6
         ).alias("intrinsic_dim"),
     )
+
+
+@register("sample_kcenter_coreset", tags=("similarity", "curation", "northstar"))
+# rows-only: greedy farthest-point traversal is iterative (each center
+# depends on the argmax under all prior centers) with no SQL twin;
+# planted-cluster and radius-monotonicity gates in tests/test_round17_ops.py.
+def sample_kcenter_coreset(spark: SparkSession, sf_dir: str, k: int = 16) -> DataFrame:
+    """Greedy k-center coreset over the embedding corpus (Gonzalez 1985
+    farthest-point traversal, the 2-approximation to the k-center
+    objective): seed at the min vec_id, then repeatedly add the point
+    farthest from the chosen set, emitting each center with its
+    selection distance -- the COVERAGE RADIUS curve. This is the
+    diversity-first sampling primitive of LLM data curation (coreset
+    selection picks a maximally-spread subset where temperature /
+    importance sampling pick by weight), and the radius curve is the
+    'how many exemplars until the corpus is covered' read.
+
+    Determinism: seed and every argmax tie break on vec_id; distances
+    are squared-L2 of the same doubles on every engine pass.
+
+    Scale: the candidate relation keeps ONE running column (squared
+    distance to the nearest chosen center), updated per round by a
+    broadcast 1-row join + least() -- additive plan growth (safe to
+    localCheckpoint, unlike multiplicative loops; see ktruss), k rounds
+    of one job each; the chosen set lives on the driver (k rows)."""
+    vec = _vectors(spark, sf_dir).select("vec_id", "v").localCheckpoint(eager=False)
+    first = vec.orderBy("vec_id").limit(1).collect()
+    if not first:
+        return spark.createDataFrame(
+            [], "center_rank bigint, vec_id bigint, coverage_radius double"
+        )
+    centers = [(1, int(first[0]["vec_id"]), None)]
+    d2 = F.expr(
+        "aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)), 0D, (a, x) -> a + x)"
+    )
+    cand = vec.join(
+        F.broadcast(spark.createDataFrame([(first[0]["v"],)], "c array<double>"))
+    ).select("vec_id", "v", d2.alias("mind2")).localCheckpoint()
+    for rank in range(2, k + 1):
+        far = cand.orderBy(F.col("mind2").desc(), "vec_id").limit(1).collect()
+        if not far or far[0]["mind2"] <= 0:
+            break  # corpus exhausted (fewer distinct points than k)
+        centers.append((rank, int(far[0]["vec_id"]), float(far[0]["mind2"]) ** 0.5))
+        cand = (
+            cand.join(
+                F.broadcast(
+                    spark.createDataFrame([(far[0]["v"],)], "c array<double>")
+                )
+            )
+            .select(
+                "vec_id", "v", F.least(F.col("mind2"), d2).alias("mind2")
+            )
+            .localCheckpoint()
+        )
+    return spark.createDataFrame(
+        [(r, vid, round(rad, 6) if rad is not None else None) for r, vid, rad in centers],
+        "center_rank bigint, vec_id bigint, coverage_radius double",
+    ).orderBy("center_rank")

@@ -590,3 +590,46 @@ def test_brand_share_sums_to_one_per_year(spark, sf_dir):
             assert r["share_change"] is None
         else:
             assert r["share_change"] is not None
+
+
+def test_kcenter_planted_clusters(spark, tmp_path, monkeypatch):
+    """Four tight well-separated clusters: the first four centers must
+    land in four DIFFERENT clusters (farthest-point property), and the
+    coverage radius must be non-increasing."""
+    from change_data_capture_service_spark.operators import similarity as S
+
+    rows = []
+    vid = 0
+    for c in range(4):
+        base = [0.0] * 8
+        base[c * 2] = 100.0
+        for j in range(10):
+            v = list(base)
+            v[c * 2 + 1] = j * 0.01  # tiny within-cluster spread
+            rows.append((vid, v))
+            vid += 1
+    corpus = spark.createDataFrame(rows, "vec_id long, v array<double>")
+
+    def fake_vectors(spark_, sf_dir_):
+        return corpus.select(
+            "vec_id", "v", F.sqrt(
+                F.expr("aggregate(v, 0D, (a, x) -> a + x * x)")
+            ).alias("nrm"),
+        )
+
+    monkeypatch.setattr(S, "_vectors", fake_vectors)
+    out = S.sample_kcenter_coreset(spark, "unused", k=6).collect()
+    cluster_of = {r["vec_id"]: r["vec_id"] // 10 for r in out}
+    first4 = [cluster_of[r["vec_id"]] for r in out[:4]]
+    assert sorted(first4) == [0, 1, 2, 3]
+    radii = [r["coverage_radius"] for r in out if r["coverage_radius"] is not None]
+    assert radii == sorted(radii, reverse=True)
+
+
+def test_kcenter_fixture_shape(spark, sf_dir):
+    rows = registry.get("sample_kcenter_coreset").fn(spark, sf_dir).collect()
+    assert 1 <= len(rows) <= 16
+    assert rows[0]["center_rank"] == 1 and rows[0]["coverage_radius"] is None
+    assert len({r["vec_id"] for r in rows}) == len(rows)  # centers distinct
+    radii = [r["coverage_radius"] for r in rows[1:]]
+    assert radii == sorted(radii, reverse=True)

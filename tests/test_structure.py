@@ -71,6 +71,7 @@ def test_rows_only_set_is_exactly_the_documented_one():
         "ann_index_residual_energy_profile",  # reads an engine-built index artifact; tight-vs-diffuse gate in test_round17_ops
         "events_changepoint_pelt",  # pruned DP has no SQL twin; planted-break gates in test_round17_ops
         "graph_ktruss",  # iterative truss peeling (kcore contract); clique/bowtie gates in test_round17_ops
+        "sample_kcenter_coreset",  # greedy farthest-point traversal; planted-cluster gates in test_round17_ops
     }, rows_only
 
 
