@@ -2078,3 +2078,85 @@ def cdc_throughput_percentiles_minute(spark: SparkSession, sf_dir: str) -> DataF
     return stats.crossJoin(qs).select(
         "n_minutes", "p50_epm", "p95_epm", "p99_epm", "max_epm"
     )
+
+
+@register(
+    "cdc_replay_window_cost",
+    tags=("cdc", "monitor"),
+    oracle="""
+    WITH m AS (
+      SELECT event_type, max(epoch_us(ts)) AS mx,
+             CAST(count(*) AS BIGINT) AS n_total
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
+    )
+    SELECT e.event_type,
+           m.n_total,
+           CAST(sum(CASE WHEN epoch_us(e.ts) > m.mx - 60000000
+                    THEN 1 ELSE 0 END) AS BIGINT) AS replay_1m,
+           CAST(sum(CASE WHEN epoch_us(e.ts) > m.mx - 300000000
+                    THEN 1 ELSE 0 END) AS BIGINT) AS replay_5m,
+           CAST(sum(CASE WHEN epoch_us(e.ts) > m.mx - 900000000
+                    THEN 1 ELSE 0 END) AS BIGINT) AS replay_15m,
+           CAST(sum(CASE WHEN epoch_us(e.ts) > m.mx - 3600000000
+                    THEN 1 ELSE 0 END) AS BIGINT) AS replay_60m,
+           round(CAST(sum(CASE WHEN epoch_us(e.ts) > m.mx - 3600000000
+                          THEN 1 ELSE 0 END) AS DOUBLE) / m.n_total, 6)
+             AS share_60m
+    FROM events e JOIN m ON e.event_type = m.event_type
+    WHERE e.ts IS NOT NULL
+    GROUP BY e.event_type, m.n_total
+    ORDER BY e.event_type
+    """,
+)
+def cdc_replay_window_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint-loss replay cost per stream: if the consumer restarts
+    with its offset rolled back 1/5/15/60 minutes behind each stream's
+    OWN high-water mark, how many events replay (and the 60-minute
+    share of the stream). This prices the checkpointing interval the
+    reference leaves implicit in its standby-status loop
+    (``replicator.go:186-242`` confirms offsets but never sizes the
+    at-least-once replay a crash costs): replay_60m x the sink's
+    rows/s (BENCH es_sink) is the recovery-time estimate, and a stream
+    whose replay share is high is bursty-at-the-tail -- exactly the
+    streams cdc_throughput_percentiles_minute flags.
+
+    Exactness: all windows compare exact integer epoch-microseconds
+    against the per-stream max; counts are integers; one share division
+    at 6dp.
+
+    Scale: one partial agg for the per-stream high-water (|types| rows,
+    broadcast back), one conditional-agg pass for all four windows --
+    two fact scans total, no fact-grain window or shuffle beyond the
+    keyed partial aggs."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    m = e.groupBy("event_type").agg(
+        F.max(F.unix_micros("ts")).alias("mx"),
+        F.count("*").cast("bigint").alias("n_total"),
+    )
+    us = F.unix_micros(F.col("ts"))
+    def replay(minutes, alias):
+        return F.sum(
+            F.when(us > F.col("mx") - minutes * 60_000_000, 1).otherwise(0)
+        ).cast("bigint").alias(alias)
+    return (
+        e.join(F.broadcast(m), "event_type")
+        .groupBy("event_type", "n_total")
+        .agg(
+            replay(1, "replay_1m"),
+            replay(5, "replay_5m"),
+            replay(15, "replay_15m"),
+            replay(60, "replay_60m"),
+            F.round(
+                F.sum(
+                    F.when(us > F.col("mx") - 3_600_000_000, 1).otherwise(0)
+                ).cast("double")
+                / F.col("n_total"),
+                6,
+            ).alias("share_60m"),
+        )
+        .select(
+            "event_type", "n_total", "replay_1m", "replay_5m",
+            "replay_15m", "replay_60m", "share_60m",
+        )
+        .orderBy("event_type")
+    )

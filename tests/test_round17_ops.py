@@ -633,3 +633,12 @@ def test_kcenter_fixture_shape(spark, sf_dir):
     assert len({r["vec_id"] for r in rows}) == len(rows)  # centers distinct
     radii = [r["coverage_radius"] for r in rows[1:]]
     assert radii == sorted(radii, reverse=True)
+
+
+def test_replay_cost_monotone_windows(spark, sf_dir):
+    rows = registry.get("cdc_replay_window_cost").fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["replay_1m"] <= r["replay_5m"] <= r["replay_15m"] <= r["replay_60m"]
+        assert r["replay_60m"] <= r["n_total"]
+        assert 0 < r["share_60m"] <= 1.0
