@@ -1309,10 +1309,16 @@ def ktruss_panel(edges: DataFrame, max_k: int = 16) -> list:
         rows = []
         rnd = 0
 
-        def persist(df):
+        def persist(df, hint_rows=None):
             nonlocal rnd
             rnd += 1
             p = f"{scratch}/r{rnd}"
+            if hint_rows is not None:
+                # size the write to the (shrinking) edge set: 32 near-empty
+                # files per round is pure task overhead on a reduced graph,
+                # while a user-grain edge set still fans out at ~100k
+                # rows/partition
+                df = df.coalesce(max(1, min(32, hint_rows // 100_000 + 1)))
             df.write.parquet(p)
             out = spark.read.parquet(p)
             return out, out.count()
@@ -1323,7 +1329,8 @@ def ktruss_panel(edges: DataFrame, max_k: int = 16) -> list:
                 nxt, n_next = persist(
                     edge_support(cur)
                     .filter(F.col("support") >= k - 2)
-                    .select("u", "v")
+                    .select("u", "v"),
+                    hint_rows=n_cur,
                 )
                 stable = n_next == n_cur
                 cur, n_cur = nxt, n_next
