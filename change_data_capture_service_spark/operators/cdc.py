@@ -2160,3 +2160,104 @@ def cdc_replay_window_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "cdc_reorder_buffer_depth",
+    tags=("cdc", "monitor"),
+    oracle="""
+    WITH r AS (
+      SELECT event_type,
+             CAST(row_number() OVER (PARTITION BY event_type
+                    ORDER BY event_id) AS BIGINT) AS arrival_rank,
+             CAST(row_number() OVER (PARTITION BY event_type
+                    ORDER BY ts, event_id) AS BIGINT) AS ts_rank
+      FROM events WHERE ts IS NOT NULL
+    ),
+    d AS (
+      SELECT event_type,
+             greatest(arrival_rank - ts_rank, 0) AS disp
+      FROM r
+    ),
+    agg AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(max(disp) AS BIGINT) AS max_depth,
+             round(CAST(sum(CASE WHEN disp = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+                   / count(*), 6) AS pct_in_order
+      FROM d GROUP BY 1
+    ),
+    rk AS (
+      SELECT event_type, disp,
+             CAST(row_number() OVER (PARTITION BY event_type ORDER BY disp)
+               AS BIGINT) AS rn,
+             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      FROM d
+    ),
+    q AS (
+      SELECT lo.event_type,
+             (100 * lo.disp
+              + ((95 * (lo.n - 1)) % 100) * (hi.disp - lo.disp)) // 100
+               AS p95_depth
+      FROM rk lo JOIN rk hi
+        ON lo.event_type = hi.event_type
+       AND lo.rn = (95 * (lo.n - 1)) // 100 + 1
+       AND hi.rn = CASE WHEN (95 * (lo.n - 1)) % 100 = 0
+                        THEN lo.rn ELSE lo.rn + 1 END
+    )
+    SELECT agg.event_type, agg.n_events, agg.pct_in_order,
+           CAST(q.p95_depth AS BIGINT) AS p95_depth, agg.max_depth
+    FROM agg JOIN q ON agg.event_type = q.event_type
+    ORDER BY agg.event_type
+    """,
+)
+def cdc_reorder_buffer_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reorder-buffer sizing per stream: each event's positive
+    displacement between ARRIVAL order (event_id, the LSN ordinal) and
+    EVENT-TIME order (ts), with the per-stream p95 and max. An event
+    arriving k positions later than its timestamp rank forces a
+    consumer that must emit in event-time order to hold k slots -- so
+    max_depth IS the minimum reorder-buffer size for lossless in-order
+    emission, and p95_depth the size at a 5% late-drop budget (what a
+    watermark delay of that many events buys).
+    cdc_out_of_order_arrivals reports HOW OFTEN order breaks; this
+    prices WHAT IT COSTS to fix.
+
+    Exactness: both ranks tiebreak on event_id, so displacements are
+    exact integers; percentile uses the shared truncated rational
+    interpolation; pct_in_order is the NOT-LATE share (early
+    arrivals clamp to zero displacement), dividing exact integers
+    once.
+
+    Scale: two rank windows partitioned BY STREAM (key-parallel,
+    fact-grain -- the events_interarrival_stats class), then all stats
+    reduce at the displacement DOMAIN grain."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    wa = Window.partitionBy("event_type").orderBy("event_id")
+    wt = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    d = e.select(
+        "event_type",
+        F.greatest(
+            F.row_number().over(wa).cast("bigint")
+            - F.row_number().over(wt).cast("bigint"),
+            F.lit(0).cast("bigint"),
+        ).alias("disp"),
+    ).localCheckpoint(eager=False)  # stats agg + percentile pass
+    agg = d.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.max("disp").cast("bigint").alias("max_depth"),
+        F.round(
+            F.sum(F.when(F.col("disp") == 0, 1).otherwise(0)).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("pct_in_order"),
+    )
+    q = exact_interp_pct_weighted(d, ["event_type"], "disp", 95).select(
+        F.col("event_type").alias("qet"),
+        F.col("q_val").cast("bigint").alias("p95_depth"),
+    )
+    return (
+        agg.join(q, agg["event_type"] == q["qet"])
+        .select("event_type", "n_events", "pct_in_order", "p95_depth", "max_depth")
+        .orderBy("event_type")
+    )

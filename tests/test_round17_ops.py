@@ -642,3 +642,37 @@ def test_replay_cost_monotone_windows(spark, sf_dir):
         assert 1 <= r["replay_1m"] <= r["replay_5m"] <= r["replay_15m"] <= r["replay_60m"]
         assert r["replay_60m"] <= r["n_total"]
         assert 0 < r["share_60m"] <= 1.0
+
+
+def test_reorder_buffer_planted_displacement(spark, tmp_path):
+    """Arrival order (by event_id) carries ts sequence [2,3,4,1]: the
+    late element displaces by 3, so the minimum in-order buffer is 3;
+    pct_in_order counts NOT-LATE arrivals (early arrivals clamp to 0
+    displacement): 3 of 4 here."""
+    import datetime
+
+    sf = str(tmp_path / "sf")
+    base = datetime.datetime(2024, 1, 1)
+    ts_seq = [2, 3, 4, 1]
+    rows = [
+        (i + 1, base + datetime.timedelta(seconds=ts_seq[i]), 1, "t", 1.0, "{}")
+        for i in range(4)
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).write.parquet(f"{sf}/events.parquet")
+    out = registry.get("cdc_reorder_buffer_depth").fn(spark, sf).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["max_depth"] == 3
+    assert r["n_events"] == 4
+    assert r["pct_in_order"] == 0.75  # only the ts=1 element arrived late
+
+
+def test_reorder_buffer_fixture_invariants(spark, sf_dir):
+    rows = registry.get("cdc_reorder_buffer_depth").fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["p95_depth"] <= r["max_depth"]
+        assert 0 <= r["pct_in_order"] <= 1
+        assert r["max_depth"] < r["n_events"]
