@@ -1233,24 +1233,26 @@ def search_alpha_dcg_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=False)
     ks = spark.createDataFrame([(5,), (10,), (20,)], "k int")
     cut = gains.crossJoin(F.broadcast(ks)).filter(F.col("rn") <= F.col("k"))
-    return (
-        cut.groupBy("k")
-        .agg(
-            F.round(F.sum(F.col("g_plain").cast("decimal(20,15)")), 6)
-            .cast("double").alias("dcg_plain"),
-            F.round(F.sum(F.col("g_alpha").cast("decimal(20,15)")), 6)
-            .cast("double").alias("dcg_alpha"),
-            F.round(
-                F.sum(F.col("g_alpha").cast("decimal(20,15)")).cast("double")
-                / F.nullif(
-                    F.sum(F.col("g_plain").cast("decimal(20,15)")).cast("double"),
-                    F.lit(0.0),
-                ),
-                6,
-            ).alias("diversity_ratio"),
-        )
-        .orderBy("k")
+    per_k = cut.groupBy("k").agg(
+        F.round(F.sum(F.col("g_plain").cast("decimal(20,15)")), 6)
+        .cast("double").alias("dcg_plain"),
+        F.round(F.sum(F.col("g_alpha").cast("decimal(20,15)")), 6)
+        .cast("double").alias("dcg_alpha"),
+        F.round(
+            F.sum(F.col("g_alpha").cast("decimal(20,15)")).cast("double")
+            / F.nullif(
+                F.sum(F.col("g_plain").cast("decimal(20,15)")).cast("double"),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("diversity_ratio"),
     )
+    # LEFT join onto the constant k panel: a corpus with ZERO query-term
+    # matches must emit the oracle's three NULL rows, not vanish (the
+    # ks CTE always produces its rows -- hostile-corpus sweep catch)
+    return ks.join(per_k, "k", "left").select(
+        "k", "dcg_plain", "dcg_alpha", "diversity_ratio"
+    ).orderBy("k")
 
 
 _MU = 2000  # Dirichlet smoothing pseudo-count (Zhai & Lafferty's default range)
