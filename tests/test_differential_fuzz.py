@@ -381,3 +381,54 @@ def test_differential_fuzz_setops_over_joins(engines, seed):
     orows = [dict(zip(ocols_raw, t)) for t in cur.fetchall()]
     assert len(srows) == len(orows), (q, len(srows), len(orows))
     assert _hash(srows, sorted(sdf.columns)) == _hash(orows, sorted(ocols_raw)), q
+
+
+def _gen_window_over_join_query(rng: random.Random) -> str:
+    """Windows OVER join results: analytic functions partitioned by a
+    dimension column of a fact-dim join -- the class where a planner
+    that reorders the join around the window (or loses the join
+    multiplicity before partitioning) diverges. Same determinism rules:
+    unique-key tiebreaks, exact-integer outputs, pre-filtered slices."""
+    flag = rng.choice(CAT_VALUES["l_returnflag"])
+    mod = rng.randint(17, 53)
+    cents = "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    uniq = "l_orderkey * 8 + l_linenumber"
+    part = rng.choice(["o_orderstatus", "o_orderpriority", "l_returnflag"])
+    order = f"ORDER BY cents {rng.choice(['ASC', 'DESC'])}, uk"
+    w = f"PARTITION BY {part} {order}"
+    picks = rng.sample(
+        [
+            f"CAST(row_number() OVER ({w}) AS BIGINT) AS rn",
+            f"CAST(rank() OVER ({w}) AS BIGINT) AS rnk",
+            f"CAST(sum(cents) OVER ({w} ROWS BETWEEN UNBOUNDED PRECEDING"
+            f" AND CURRENT ROW) AS BIGINT) AS cum",
+            f"CAST(lag(cents, 1) OVER ({w}) AS BIGINT) AS prev_c",
+            f"CAST(count(*) OVER ({w} ROWS BETWEEN 1 PRECEDING AND"
+            f" 1 FOLLOWING) AS BIGINT) AS w3",
+            f"CAST(ntile(4) OVER ({w}) AS BIGINT) AS q4",
+        ],
+        rng.randint(2, 3),
+    )
+    base = (
+        f"SELECT o_orderstatus, o_orderpriority, l_returnflag, "
+        f"{cents} AS cents, CAST({uniq} AS BIGINT) AS uk "
+        f"FROM orders JOIN lineitem ON o_orderkey = l_orderkey "
+        f"WHERE ({uniq}) % {mod} = 0 AND l_returnflag = '{flag}' "
+        f"AND {cents} IS NOT NULL"
+    )
+    return f"SELECT uk, {part}, cents, {', '.join(picks)} FROM ({base}) j"
+
+
+@pytest.mark.parametrize("seed", SEEDS[:25])
+def test_differential_fuzz_windows_over_joins(engines, seed):
+    spark, con = engines
+    q = _gen_window_over_join_query(random.Random(5000 + seed))
+    sdf = spark.sql(q)
+    srows = [r.asDict() for r in sdf.collect()]
+    cur = con.execute(q)
+    ocols_raw = [d[0] for d in cur.description]
+    orows = [dict(zip(ocols_raw, t)) for t in cur.fetchall()]
+    scols, ocols = sorted(sdf.columns), sorted(ocols_raw)
+    assert scols == ocols, (q, scols, ocols)
+    assert len(srows) == len(orows), (q, len(srows), len(orows))
+    assert _hash(srows, scols) == _hash(orows, ocols), q
