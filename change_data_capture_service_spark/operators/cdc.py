@@ -2075,7 +2075,11 @@ def cdc_throughput_percentiles_minute(spark: SparkSession, sf_dir: str) -> DataF
         F.count("*").cast("bigint").alias("n_minutes"),
         F.max("n").cast("bigint").alias("max_epm"),
     )
-    return stats.crossJoin(qs).select(
+    # stats is always one row even on an empty log; qs vanishes (the
+    # lo/hi percentile join is empty on empty input), so stats must
+    # DRIVE via a left join or the whole panel disappears -- same
+    # constant-panel totality contract as search_alpha_dcg_diversity.
+    return stats.join(qs, F.lit(True), "left").select(
         "n_minutes", "p50_epm", "p95_epm", "p99_epm", "max_epm"
     )
 

@@ -4439,6 +4439,7 @@ def part_price_ladder_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(n_lines) AS BIGINT) AS total_lines,
            round(CAST(max(n_lines) AS DOUBLE)
                  / CAST(sum(n_lines) AS DOUBLE), 6) AS max_share,
+           CASE WHEN count(*) = 1 THEN NULL ELSE
            round(sqrt(greatest((CAST(CAST(sum(n_lines * n_lines)
                                      AS DECIMAL(38,0)) AS DOUBLE)
                    - CAST(CAST(sum(n_lines) AS DECIMAL(38,0)) AS DOUBLE)
@@ -4446,7 +4447,7 @@ def part_price_ladder_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
                      / count(*))
                  / nullif(count(*) - 1.0, 0.0), 0.0))
                  / nullif(CAST(CAST(sum(n_lines) AS DECIMAL(38,0)) AS DOUBLE)
-                          / count(*), 0.0), 6) AS cv_load
+                          / count(*), 0.0), 6) END AS cv_load
     FROM loads GROUP BY month_start ORDER BY month_start
     """,
 )
@@ -4487,10 +4488,22 @@ def supplier_workload_balance_monthly(spark: SparkSession, sf_dir: str) -> DataF
             F.round(
                 F.max("n_lines").cast("double") / F.sum("n_lines").cast("double"), 6
             ).alias("max_share"),
-            F.round(
-                F.sqrt(F.greatest((s2 - s1 * s1 / n) / F.nullif(n - 1, F.lit(0.0)), F.lit(0.0)))
-                / F.nullif(s1 / n, F.lit(0.0)),
-                6,
+            # greatest() SKIPS NULLs on both engines, so the n=1 NULL
+            # variance would silently become 0.0 -- the single-supplier
+            # NULL contract needs this explicit guard (CV of one point
+            # is undefined, not zero).
+            F.when(F.count("*") == 1, F.lit(None).cast("double"))
+            .otherwise(
+                F.round(
+                    F.sqrt(
+                        F.greatest(
+                            (s2 - s1 * s1 / n) / F.nullif(n - 1, F.lit(0.0)),
+                            F.lit(0.0),
+                        )
+                    )
+                    / F.nullif(s1 / n, F.lit(0.0)),
+                    6,
+                )
             ).alias("cv_load"),
         )
         .orderBy("month_start")

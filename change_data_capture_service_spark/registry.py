@@ -74,71 +74,79 @@ _QUERY_MODULES = [
 
 # ORDER MATTERS: the grading driver verifies keys in entries() iteration order
 # under a bounded budget (50/round). Keys named here come first, in this exact
-# order; everything else follows in registration order. CORRECTNESS_r10 landed
-# 46 hash-green + 4 rows-only-clean, holding attestation debt at ZERO for a
-# third consecutive round: all 448 pre-round-11 keys carry a clean driver row
-# (rotation audit via scripts/rotate_check_window.py, 2026-08-15). Round-11
-# front = new round-11 operators appended as they land (hard cap 50), then --
+# order; everything else follows in registration order. CORRECTNESS_r11 landed
+# 45 hash-green + 5 rows-only-clean, holding attestation debt at ZERO for a
+# fourth consecutive round: all 470 previously-windowed keys carry a clean
+# driver row (rotation audit via scripts/rotate_check_window.py, 2026-08-16).
+# Round-12 front = the 26 pre-built queue-stock keys registered behind the
+# round-11 window (each judge-sim HASH-OK at sf0.001+sf0.01 before rotation),
+# then new round-12 operators appended as they land (hard cap 50), then --
 # standing discipline since the round-9 verdict -- spare slots filled with
 # RE-ATTESTATION keys: previously-green keys whose implementation files were
 # diff-touched this round, in touched order, so the driver record tracks
 # drift, not just first landing. Proven back-of-queue keys keep independent
 # verification via tests/test_oracle_parity.py (mandatory in CI).
 _CHECK_ORDER = [
-    # -- new in round 11 (appended as they land; HARD CAP 50 incl. re-attest) --
-    "customer_revenue_theil_decomposition",
-    "text_term_burstiness",
-    "graph_rich_club_coefficient",
-    "cdc_ingestion_sla_by_source",
-    "events_holt_linear_mae",
-    "events_holt_winters_dow_mae",
-    "events_quantile_regression_pinball",
-    "ann_index_cell_balance_profile",
-    "multimodal_metadata_panel",
-    "multimodal_stratified_frame_budget",
-    "customer_acquisition_propensity",
-    "events_seasonal_strength",
-    "supplier_ship_latency_profile",
-    "orders_pareto_tail_index",
-    "docs_distinctive_terms_by_source",
-    "embedding_intrinsic_dim_twonn",
-    "events_holt_per_key_trend_topk",
-    "events_stl_residual_outliers",
-    "quality_language_purity",
-    "cdc_gap_heatmap_hour_dow",
-    "pivot_unpivot_roundtrip",
-    "part_dead_stock_panel",
-    # -- re-attestation: green keys whose impl files changed this round,
-    # CHANGED-BEHAVIOR keys first (advice fixes + percentile retrofits),
-    # then other keys from diff-touched files in touched order --
-    "search_prf_expansion",
-    "stream_interval_join_anti",
-    "graph_betweenness_brandes",
-    "embedding_label_centroid_similarity",
-    "events_interarrival_stats",
-    "search_bm25",
-    "search_snippet_best_window",
-    "stream_interval_join_semi",
-    "stream_ewma_anomaly",
-    "stream_interval_join",
-    "graph_label_propagation",
-    "graph_edge_jaccard_similarity",
-    "graph_pagerank",
-    "graph_triangle_count",
-    "graph_kcore",
-    "recursive_reachability",
-    "knn_cosine_topk",
-    "embedding_isotropy",
-    "knn_mmr_diversified",
-    "embedding_dim_profile",
-    "events_cohens_d_weekend",
-    "lineitem_kendall_tau_qty_price",
-    "part_revenue_gini_lorenz",
-    "text_tokenize_tf",
-    "docs_readability",
-    "cdc_replication_lag",
-    "cdc_dml_mix_drift",
-    "ewma_hourly",
+    # -- round-11 queue stock, never driver-attested (rotated to front) --
+    "dedup_cluster_profile",
+    "dedup_shingle_selectivity_curve",
+    "sample_kcenter_coreset",
+    "ann_index_residual_energy_profile",
+    "text_rake_keywords",
+    "events_theta_method_mae",
+    "events_topk_drift_weekly",
+    "events_type_profile_js_distance",
+    "events_two_way_eta_squared",
+    "events_changepoint_pelt",
+    "events_page_hinkley_panel",
+    "events_ljung_box_daily",
+    "cdc_revisit_halflife_by_type",
+    "cdc_watermark_skew_by_table",
+    "cdc_throughput_percentiles_minute",
+    "cdc_replay_window_cost",
+    "cdc_reorder_buffer_depth",
+    "graph_ktruss",
+    "search_alpha_dcg_diversity",
+    "search_query_likelihood_dirichlet",
+    "part_price_ladder_by_nation",
+    "supplier_workload_balance_monthly",
+    "customer_cohort_quality_decay",
+    "customer_rfm_migration_matrix",
+    "orders_interorder_hazard_curve",
+    "part_brand_share_yearly",
+    # -- new in round 12 (appended as they land; HARD CAP 50 incl. re-attest) --
+]
+# Provenance: the round-11 window, fully attested by CORRECTNESS_r11
+# (45 hash-green + 5 rows-only-clean: ann_index_cell_balance_profile,
+# graph_betweenness_brandes, graph_label_propagation, graph_kcore,
+# knn_mmr_diversified). Kept for the rotation audit trail; not consulted
+# by entries().
+_ROUND11_WINDOW_ATTESTED = [
+    "customer_revenue_theil_decomposition", "text_term_burstiness",
+    "graph_rich_club_coefficient", "cdc_ingestion_sla_by_source",
+    "events_holt_linear_mae", "events_holt_winters_dow_mae",
+    "events_quantile_regression_pinball", "ann_index_cell_balance_profile",
+    "multimodal_metadata_panel", "multimodal_stratified_frame_budget",
+    "customer_acquisition_propensity", "events_seasonal_strength",
+    "supplier_ship_latency_profile", "orders_pareto_tail_index",
+    "docs_distinctive_terms_by_source", "embedding_intrinsic_dim_twonn",
+    "events_holt_per_key_trend_topk", "events_stl_residual_outliers",
+    "quality_language_purity", "cdc_gap_heatmap_hour_dow",
+    "pivot_unpivot_roundtrip", "part_dead_stock_panel",
+    "search_prf_expansion", "stream_interval_join_anti",
+    "graph_betweenness_brandes", "embedding_label_centroid_similarity",
+    "events_interarrival_stats", "search_bm25",
+    "search_snippet_best_window", "stream_interval_join_semi",
+    "stream_ewma_anomaly", "stream_interval_join",
+    "graph_label_propagation", "graph_edge_jaccard_similarity",
+    "graph_pagerank", "graph_triangle_count",
+    "graph_kcore", "recursive_reachability",
+    "knn_cosine_topk", "embedding_isotropy",
+    "knn_mmr_diversified", "embedding_dim_profile",
+    "events_cohens_d_weekend", "lineitem_kendall_tau_qty_price",
+    "part_revenue_gini_lorenz", "text_tokenize_tf",
+    "docs_readability", "cdc_replication_lag",
+    "cdc_dml_mix_drift", "ewma_hourly",
 ]
 # Provenance: the round-10 window, fully attested by CORRECTNESS_r10
 # (46 hash-green + 4 rows-only-clean: graph_label_propagation,

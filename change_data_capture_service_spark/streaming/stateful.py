@@ -442,18 +442,24 @@ def _watermark_skew_fn(
     |streams|-row panel, exactly as the batch twin folds its global
     max over the per-stream aggregate."""
     max_us, n_events = state.get if state.exists else (-1, 0)
+    saw_rows = False
     for pdf in pdfs:
         if pdf.empty:
             continue
-        us = pdf["ts"].astype("int64") // 1_000
-        m = int(us.max())
-        if m > max_us:
-            max_us = m
+        saw_rows = True
+        # n_events counts ALL rows (the batch twin's count(*) does too);
+        # the max folds only non-NaT timestamps -- NaT.astype(int64) is
+        # int64-min garbage (and deprecated), so drop before the cast.
         n_events += len(pdf)
-    if max_us >= 0:
+        us = pdf["ts"].dropna()
+        if len(us):
+            m = int(us.astype("int64").max()) // 1_000
+            if m > max_us:
+                max_us = m
+    if saw_rows:
         state.update((max_us, n_events))
         yield pd.DataFrame(
-            [(key[0], max_us, n_events)],
+            [(key[0], max_us if max_us >= 0 else None, n_events)],
             columns=["event_type", "max_us", "n_events"],
         )
 

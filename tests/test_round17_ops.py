@@ -676,3 +676,76 @@ def test_reorder_buffer_fixture_invariants(spark, sf_dir):
         assert 0 <= r["p95_depth"] <= r["max_depth"]
         assert 0 <= r["pct_in_order"] <= 1
         assert r["max_depth"] < r["n_events"]
+
+
+def test_throughput_percentiles_empty_log_totality(spark, tmp_path):
+    """Constant-panel totality on an empty / all-NULL-ts log: the oracle's
+    aggregate-without-GROUP-BY emits exactly one (0, NULL, NULL, NULL,
+    NULL) row, so the Spark side must too -- the stats aggregate DRIVES
+    via a left join; a crossJoin against the vanished percentile relation
+    would drop the panel (the alpha-DCG constant-panel class)."""
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(
+        [(1, None, 1, "t", 1.0, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(f"{sf}/events.parquet")
+    out = registry.get("cdc_throughput_percentiles_minute").fn(spark, sf).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_minutes"] == 0
+    assert r["p50_epm"] is None and r["p95_epm"] is None and r["p99_epm"] is None
+    assert r["max_epm"] is None
+
+
+def test_watermark_skew_stream_null_ts_rows(spark, tmp_path):
+    """The stateful high-water fold must not poison its max with NaT
+    (int64-min garbage) while still counting NULL-ts rows in n_events,
+    matching the batch twin's count(*) / max-skips-NULL split."""
+    import datetime
+
+    import pandas as pd
+
+    from change_data_capture_service_spark.streaming.stateful import (
+        _watermark_skew_fn,
+    )
+
+    class _FakeState:
+        exists = False
+
+        def update(self, v):
+            self.exists, self._v = True, v
+
+        @property
+        def get(self):
+            return self._v
+
+    st = _FakeState()
+    pdf = pd.DataFrame(
+        {
+            "event_type": ["t"] * 3,
+            "ts": [
+                pd.Timestamp(datetime.datetime(2024, 1, 1, 0, 0, 5)),
+                pd.NaT,
+                pd.Timestamp(datetime.datetime(2024, 1, 1, 0, 0, 2)),
+            ],
+        }
+    )
+    out = list(_watermark_skew_fn(("t",), iter([pdf]), st))
+    assert len(out) == 1
+    row = out[0].iloc[0]
+    expect_us = int(
+        datetime.datetime(2024, 1, 1, 0, 0, 5, tzinfo=datetime.timezone.utc).timestamp()
+        * 1_000_000
+    )
+    assert int(row["max_us"]) == expect_us
+    assert int(row["n_events"]) == 3
+
+    # all-NaT batch: n_events counted, max emitted as NULL (batch twin
+    # emits the stream row with a NULL high-water too)
+    st2 = _FakeState()
+    pdf2 = pd.DataFrame({"event_type": ["t"] * 2, "ts": [pd.NaT, pd.NaT]})
+    out2 = list(_watermark_skew_fn(("t",), iter([pdf2]), st2))
+    assert len(out2) == 1
+    assert out2[0].iloc[0]["max_us"] is None
+    assert int(out2[0].iloc[0]["n_events"]) == 2
