@@ -291,11 +291,13 @@ def test_hubness_fold_consumes_ann_index_edges(spark, sf_dir, tmp_path):
 
 
 def test_cell_balance_profile_balanced_vs_skewed(spark, tmp_path):
-    """Cell-size skew geometry: 16 equal-size well-separated clusters must
-    profile near-uniform (max_share ~ 1/16, gini ~ 0); the same corpus
-    with 85% of mass in ONE tight cluster must report the concentration
-    (max_share >= 0.5, gini far from 0). The numbers a serving-config
-    review reads before trusting p50 probe cost as the p99."""
+    """Closed-form gate for the rows-only ann_index_cell_balance_profile
+    key. Cell-size skew geometry: 16 equal-size well-separated clusters
+    must profile near-uniform (max_share ~ 1/16, gini ~ 0); the same
+    corpus with 85% of mass in ONE tight cluster must report the
+    concentration (max_share >= 0.5, gini far from 0). The numbers a
+    serving-config review reads before trusting p50 probe cost as the
+    p99."""
     import random
 
     from change_data_capture_service_spark.operators.ann_index import (
