@@ -592,7 +592,13 @@ def main() -> int:
         "unit": "sec",
         "sf": sf,
         "notes": (
-            "round-3 fixtures ship ONE parquet row group per table"
+            "RE-BASELINE (round 12): the sandbox VM rebooted between the"
+            " r11-close quiet run and the r11 driver run, shifting cpu_s"
+            " +45-80% uniformly on unchanged code (SCALE.md round-11);"
+            " BENCH_r01-r11 numbers are PRE-REBOOT and incomparable with"
+            " this and later rounds -- anchor cross-round deltas on the"
+            " round-12 quiet-host run committed in BENCH_FULL.json."
+            " round-3 fixtures ship ONE parquet row group per table"
             " (every raw scan capped at 1 task); queries therefore"
             " run on a staged engine-managed layout (load_s, TPC-H"
             " clause-5 style load/query split) to stay comparable"
