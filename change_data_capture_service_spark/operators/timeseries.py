@@ -1053,6 +1053,38 @@ def events_value_pacf3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Grain contract for the single-array sequential folds (Holt, Holt-Winters,
+# theta): the global daily fold runs on ONE calendar-bounded collect_list
+# array, which is fine forever at day grain (500k points = 1,370 years) but
+# would silently build a multi-GB single row if someone retargets the fold
+# at second grain or a per-event series. Same value and discipline as
+# stats.PELT_MAX_POINTS (test_structure pins the equality): past the cap the
+# query RAISES with a rescoping instruction instead of degrading. The check
+# rides the same projection as the fold, so it is a loud contract, not a
+# memory guard -- the array is built before the raise fires, exactly like
+# the PELT pdf-length check.
+SERIES_FOLD_MAX_POINTS = 500_000
+
+
+def _fold_capped_n(n, what: str):
+    """Wrap a fold's point-count column so n > SERIES_FOLD_MAX_POINTS
+    raises loudly (names the operator and the rescoping fix)."""
+    return F.when(
+        n > SERIES_FOLD_MAX_POINTS,
+        F.raise_error(
+            F.concat(
+                F.lit(f"{what}: series has "),
+                n.cast("string"),
+                F.lit(
+                    f" points, over SERIES_FOLD_MAX_POINTS="
+                    f"{SERIES_FOLD_MAX_POINTS}; aggregate to a coarser time"
+                    " grain (or partition the series by key) first"
+                ),
+            )
+        ),
+    ).otherwise(n)
+
+
 # Holt fold, shared by the linear and seasonal keys. alpha = beta = 0.5
 # keeps every smoothing weight a power of two: the fold is EXACT binary
 # arithmetic over its inputs, and both engines run the identical left
@@ -1148,7 +1180,7 @@ def events_holt_linear_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
     fin = ser.select("n", F.expr(_HOLT_SPARK_FOLD).alias("st"))
     snap = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
     return fin.select(
-        F.col("n").alias("n_days"),
+        _fold_capped_n(F.col("n"), "events_holt_linear_mae").alias("n_days"),
         snap(F.col("st.sae") / (F.col("n") - 1)).alias("mae"),
         snap(F.col("st.l")).alias("final_level"),
         snap(F.col("st.b")).alias("final_trend"),
@@ -1237,7 +1269,7 @@ def events_holt_winters_dow_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
     fin = ser.select("n", F.expr(_HOLT_SPARK_FOLD).alias("st"))
     snap = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
     return fin.crossJoin(F.broadcast(amp)).select(
-        F.col("n").alias("n_days"),
+        _fold_capped_n(F.col("n"), "events_holt_winters_dow_mae").alias("n_days"),
         snap(F.col("st.sae") / (F.col("n") - 1)).alias("mae"),
         snap(F.col("st.l")).alias("final_level"),
         snap(F.col("st.b")).alias("final_trend"),
@@ -1438,7 +1470,7 @@ def events_holt_per_key_trend_topk(spark: SparkSession, sf_dir: str) -> DataFram
     # full fold and project l/b
     fin = per.select(
         "user_id",
-        F.col("n").alias("n_days"),
+        _fold_capped_n(F.col("n"), "events_holt_per_key_trend_topk").alias("n_days"),
         F.expr(_HOLT_SPARK_FOLD).alias("st"),
     ).select(
         "user_id",
@@ -1702,7 +1734,7 @@ def events_theta_method_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return fin.select(
-        F.col("n").alias("n_days"),
+        _fold_capped_n(F.col("n"), "events_theta_method_mae").alias("n_days"),
         (F.floor(F.col("st.saeu") / F.col("st.nerr")) / 1e6).alias("mae"),
         snap(F.col("st.l") + slope_n / 2).alias("forecast_next"),
     )

@@ -749,3 +749,42 @@ def test_watermark_skew_stream_null_ts_rows(spark, tmp_path):
     assert len(out2) == 1
     assert out2[0].iloc[0]["max_us"] is None
     assert int(out2[0].iloc[0]["n_events"]) == 2
+
+
+def test_series_fold_grain_contract_boundary(spark, tmp_path, monkeypatch):
+    """The single-array fold cap must be loud at the boundary: n == cap
+    runs clean, n == cap + 1 raises naming SERIES_FOLD_MAX_POINTS (the
+    PELT discipline extended to the Holt/theta folds)."""
+    import datetime
+
+    from change_data_capture_service_spark.operators import timeseries
+
+    sf = str(tmp_path / "sf")
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, base + datetime.timedelta(days=i), 1, "t", 1.0, "{}")
+        for i in range(6)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(f"{sf}/events.parquet")
+
+    monkeypatch.setattr(timeseries, "SERIES_FOLD_MAX_POINTS", 6)
+    out = registry.get("events_holt_linear_mae").fn(spark, sf).collect()
+    assert out[0]["n_days"] == 6  # n == cap: clean
+
+    monkeypatch.setattr(timeseries, "SERIES_FOLD_MAX_POINTS", 5)
+    with pytest.raises(Exception, match="SERIES_FOLD_MAX_POINTS"):
+        registry.get("events_holt_linear_mae").fn(spark, sf).collect()
+    with pytest.raises(Exception, match="SERIES_FOLD_MAX_POINTS"):
+        registry.get("events_theta_method_mae").fn(spark, sf).collect()
+
+
+def test_series_fold_cap_equals_pelt_cap():
+    """One grain-contract constant across the sequential-fold family:
+    the Holt/theta cap and PELT_MAX_POINTS must not drift apart."""
+    from change_data_capture_service_spark.operators import stats, timeseries
+
+    assert timeseries.SERIES_FOLD_MAX_POINTS == stats.PELT_MAX_POINTS
