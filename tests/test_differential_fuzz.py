@@ -432,3 +432,143 @@ def test_differential_fuzz_windows_over_joins(engines, seed):
     assert scols == ocols, (q, scols, ocols)
     assert len(srows) == len(orows), (q, len(srows), len(orows))
     assert _hash(srows, scols) == _hash(orows, ocols), q
+
+
+def _gen_agg_filter_query(rng: random.Random) -> str:
+    """Aggregate-FILTER template (round-12): `agg(...) FILTER (WHERE p)`
+    is the last aggregate-syntax class the fuzzer had not covered --
+    both dialects support it, but the empty-filter-set semantics (sum ->
+    NULL, count -> 0) and FILTER-vs-CASE equivalence are exactly where a
+    translation layer would slip. Determinism rules unchanged:
+    exact-integer outputs, unique grouping, no division."""
+    table = rng.choice(list(TABLES))
+    meta = TABLES[table]
+    cat = rng.choice(meta["cats"])
+    cents = meta["cents"]
+    ic = rng.choice(meta["ints"])
+
+    def pred() -> str:
+        kind = rng.choice(["cat", "int", "empty"])
+        if kind == "cat":
+            c = rng.choice(meta["cats"])
+            return f"{c} = '{rng.choice(CAT_VALUES[c])}'"
+        if kind == "int":
+            return f"{ic} % {rng.randint(2, 9)} = {rng.randint(0, 1)}"
+        # deliberately unsatisfiable: pins the empty-set semantics
+        return f"{ic} < 0"
+
+    aggs = [
+        "CAST(count(*) AS BIGINT) AS n",
+        f"CAST(count(*) FILTER (WHERE {pred()}) AS BIGINT) AS nf",
+        f"CAST(sum({cents}) FILTER (WHERE {pred()}) AS BIGINT) AS sf",
+    ]
+    if rng.random() < 0.5:
+        aggs.append(
+            f"CAST(min({cents}) FILTER (WHERE {pred()}) AS BIGINT) AS mf"
+        )
+    if rng.random() < 0.4:
+        aggs.append(
+            f"CAST(count(DISTINCT {ic}) FILTER (WHERE {pred()}) AS BIGINT) AS ndf"
+        )
+    grouped = rng.random() < 0.7
+    sel = ", ".join(([cat] if grouped else []) + aggs)
+    q = f"SELECT {sel} FROM {table}"
+    if grouped:
+        q += f" GROUP BY {cat}"
+    return q
+
+
+@pytest.mark.parametrize("seed", SEEDS[:15])
+def test_differential_fuzz_agg_filter(engines, seed):
+    spark, con = engines
+    q = _gen_agg_filter_query(random.Random(6000 + seed))
+    sdf = spark.sql(q)
+    srows = [r.asDict() for r in sdf.collect()]
+    cur = con.execute(q)
+    ocols_raw = [d[0] for d in cur.description]
+    orows = [dict(zip(ocols_raw, t)) for t in cur.fetchall()]
+    scols, ocols = sorted(sdf.columns), sorted(ocols_raw)
+    assert scols == ocols, (q, scols, ocols)
+    assert len(srows) == len(orows), (q, len(srows), len(orows))
+    assert _hash(srows, scols) == _hash(orows, ocols), q
+
+
+def _gen_ignore_nulls_window_query(rng: random.Random) -> tuple[str, str]:
+    """IGNORE-NULLS + explicit-null-ordering template (round-12): the two
+    remaining dialect-divergence classes. A synthetic nullable value
+    column (uniq % k -> NULL) feeds lag/lead/first_value/last_value with
+    null skipping over deterministic frames, and the window ORDER BY may
+    sort by the NULLABLE column with an EXPLICIT NULLS FIRST/LAST (the
+    engines' DEFAULTS differ -- DuckDB defaults NULLS LAST ascending,
+    Spark NULLS FIRST -- so only explicit ordering is comparable; the
+    uniq tiebreak keeps the total order deterministic either way).
+
+    Returns (spark_sql, duck_sql): the ONLY textual difference is the
+    IGNORE NULLS placement, which is itself a dialect split -- Spark
+    parses `lag(x, 1) IGNORE NULLS OVER (...)` (SQL:2011 trailing form)
+    while DuckDB 1.0 parses `lag(x, 1 IGNORE NULLS) OVER (...)`
+    (in-argument form) and rejects the trailing one. Both texts come
+    from the same random draws, so the semantics comparison is exact."""
+    table = rng.choice(list(TABLES))
+    meta = TABLES[table]
+    cat = rng.choice(meta["cats"])
+    cents = meta["cents"]
+    uniq = {"lineitem": "l_orderkey * 8 + l_linenumber",
+            "orders": "o_orderkey",
+            "events": "event_id"}[table]
+    mod = rng.randint(13, 41)
+    nullk = rng.randint(2, 4)
+    base = (
+        f"SELECT {cat} AS cat, CAST({uniq} AS BIGINT) AS uk,"
+        f" {cents} AS cents,"
+        f" CASE WHEN ({uniq}) % {nullk} = 0 THEN NULL ELSE {cents} END AS nval"
+        f" FROM {table} WHERE ({uniq}) % {mod} = 0 AND {cents} IS NOT NULL"
+    )
+    if rng.random() < 0.5:
+        order = f"ORDER BY cents {rng.choice(['ASC', 'DESC'])}, uk"
+    else:
+        order = (
+            f"ORDER BY nval {rng.choice(['ASC', 'DESC'])} "
+            f"NULLS {rng.choice(['FIRST', 'LAST'])}, uk"
+        )
+    part = "PARTITION BY cat " if rng.random() < 0.7 else ""
+    w = f"{part}{order}"
+    run = "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+    # (fn_call_args, frame, alias): rendered per dialect below
+    candidates = [
+        ("lag(nval, 1", f"{w}", "lag_in"),
+        ("lead(nval, 1", f"{w}", "lead_in"),
+        ("first_value(nval", f"{w} {run}", "fv_in"),
+        ("last_value(nval", f"{w} {run}", "lv_in"),
+    ]
+    picks = rng.sample(candidates, rng.randint(2, 3))
+    plain = f"CAST(row_number() OVER ({w}) AS BIGINT) AS rn"
+    spark_picks, duck_picks = [plain], [plain]
+    for call, frame, alias in picks:
+        spark_picks.append(
+            f"CAST({call}) IGNORE NULLS OVER ({frame}) AS BIGINT) AS {alias}"
+        )
+        duck_picks.append(
+            f"CAST({call} IGNORE NULLS) OVER ({frame}) AS BIGINT) AS {alias}"
+        )
+    head = f"SELECT uk, cat, nval, "
+    tail = f" FROM ({base}) t"
+    return (
+        head + ", ".join(spark_picks) + tail,
+        head + ", ".join(duck_picks) + tail,
+    )
+
+
+@pytest.mark.parametrize("seed", SEEDS[:15])
+def test_differential_fuzz_ignore_nulls_windows(engines, seed):
+    spark, con = engines
+    q_spark, q_duck = _gen_ignore_nulls_window_query(random.Random(7000 + seed))
+    sdf = spark.sql(q_spark)
+    srows = [r.asDict() for r in sdf.collect()]
+    cur = con.execute(q_duck)
+    ocols_raw = [d[0] for d in cur.description]
+    orows = [dict(zip(ocols_raw, t)) for t in cur.fetchall()]
+    scols, ocols = sorted(sdf.columns), sorted(ocols_raw)
+    assert scols == ocols, (q_spark, scols, ocols)
+    assert len(srows) == len(orows), (q_spark, len(srows), len(orows))
+    assert _hash(srows, scols) == _hash(orows, ocols), (q_spark, q_duck)
