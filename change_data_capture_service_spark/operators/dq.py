@@ -537,3 +537,93 @@ def lineitem_quantity_heaping_audit(spark: SparkSession, sf_dir: str) -> DataFra
         F.round(F.col("at10") / nr / 0.1, 6).alias("heaping_index10"),
         F.round(F.col("at5") / nr / 0.2, 6).alias("heaping_index5"),
     )
+
+
+@register(
+    "dq_functional_dependency_audit",
+    tags=("dq", "audit"),
+    oracle="""
+    WITH cands AS (
+      SELECT 'documents.source->lang' AS fd, source AS x,
+             CAST(count(DISTINCT lang) AS BIGINT) AS ndy
+      FROM documents GROUP BY source
+      UNION ALL
+      SELECT 'part.type->brand', p_type,
+             CAST(count(DISTINCT p_brand) AS BIGINT)
+      FROM part GROUP BY p_type
+      UNION ALL
+      SELECT 'orders.custkey->priority', CAST(o_custkey AS VARCHAR),
+             CAST(count(DISTINCT o_orderpriority) AS BIGINT)
+      FROM orders GROUP BY o_custkey
+      UNION ALL
+      SELECT 'lineitem.orderkey->suppkey', CAST(l_orderkey AS VARCHAR),
+             CAST(count(DISTINCT l_suppkey) AS BIGINT)
+      FROM lineitem GROUP BY l_orderkey
+      UNION ALL
+      SELECT 'customer.nation->segment', CAST(c_nationkey AS VARCHAR),
+             CAST(count(DISTINCT c_mktsegment) AS BIGINT)
+      FROM customer GROUP BY c_nationkey
+    )
+    SELECT fd,
+           CAST(count(*) AS BIGINT) AS n_lhs_groups,
+           CAST(sum(CASE WHEN ndy > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violating,
+           round(CAST(sum(CASE WHEN ndy > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS violation_share,
+           CAST(max(ndy) AS BIGINT) AS max_rhs_distinct,
+           CAST(CASE WHEN max(ndy) = 1 THEN 1 ELSE 0 END AS BIGINT)
+             AS holds
+    FROM cands GROUP BY fd ORDER BY fd
+    """,
+)
+def dq_functional_dependency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit (the per-candidate core of FD-discovery
+    profilers a la Papenbrock et al. 2015, scoped to a configured
+    candidate list): for each X -> Y candidate, how many LHS groups exist,
+    how many carry >1 distinct RHS value (violations), and whether the
+    dependency HOLDS exactly. The audit every schema-inference and
+    denormalization decision should read first: a "key" column whose FD
+    is violated 0.1% of the time is a silent fan-out bug in every join
+    that assumes it.
+
+    Exactness: all counts are exact integers from count(DISTINCT) per
+    group; one share division rounded at 6dp.
+
+    Scale: each candidate is ONE map-side-combinable (X, distinct-Y)
+    aggregate over its table -- the per-candidate cost is a groupBy on
+    the LHS key, and candidates run as a union of independent partial
+    aggs (no cross-table join, no window). The LHS-grain relations are
+    key-bounded; only the 5-row verdict panel leaves the executors."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    d = load_table(spark, sf_dir, "documents")
+    p = load_table(spark, sf_dir, "part")
+    c = load_table(spark, sf_dir, "customer")
+
+    def cand(df, name, x, y):
+        return df.groupBy(F.col(x).cast("string").alias("x")).agg(
+            F.countDistinct(y).cast("bigint").alias("ndy")
+        ).select(F.lit(name).alias("fd"), "x", "ndy")
+
+    cands = (
+        cand(d, "documents.source->lang", "source", "lang")
+        .unionAll(cand(p, "part.type->brand", "p_type", "p_brand"))
+        .unionAll(cand(o, "orders.custkey->priority", "o_custkey", "o_orderpriority"))
+        .unionAll(cand(li, "lineitem.orderkey->suppkey", "l_orderkey", "l_suppkey"))
+        .unionAll(cand(c, "customer.nation->segment", "c_nationkey", "c_mktsegment"))
+    )
+    viol = F.sum(F.when(F.col("ndy") > 1, 1).otherwise(0)).cast("bigint")
+    return (
+        cands.groupBy("fd")
+        .agg(
+            F.count("*").cast("bigint").alias("n_lhs_groups"),
+            viol.alias("n_violating"),
+            F.round(
+                viol.cast("double") / F.count("*").cast("double"), 6
+            ).alias("violation_share"),
+            F.max("ndy").cast("bigint").alias("max_rhs_distinct"),
+            F.when(F.max("ndy") == 1, F.lit(1)).otherwise(F.lit(0))
+            .cast("bigint").alias("holds"),
+        )
+        .orderBy("fd")
+    )

@@ -4864,3 +4864,506 @@ def part_brand_share_yearly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("revenue_share") - F.lag("revenue_share").over(wb), 6
         ).alias("share_change"),
     ).orderBy("yr", "p_brand")
+
+
+@register(
+    "nation_revenue_shift_share",
+    tags=("warehouse", "analytics"),
+    oracle=f"""
+    WITH rev AS (
+      SELECT n.n_name AS nation, c.c_mktsegment AS seg,
+             CAST(extract(year FROM o.o_orderdate) AS BIGINT) AS yr,
+             CAST(sum(CAST({_TOTAL_C} AS DECIMAL(38,0))) AS BIGINT) AS cents
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2, 3
+    ),
+    yrs AS (SELECT max(yr) AS y2, max(yr) - 1 AS y1 FROM rev),
+    p AS (
+      SELECT nation, seg,
+             CAST(sum(CASE WHEN yr = yrs.y1 THEN cents ELSE 0 END) AS BIGINT)
+               AS r1,
+             CAST(sum(CASE WHEN yr = yrs.y2 THEN cents ELSE 0 END) AS BIGINT)
+               AS r2
+      FROM rev CROSS JOIN yrs
+      WHERE yr IN (yrs.y1, yrs.y2) GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT CAST(sum(r1) AS BIGINT) AS t1, CAST(sum(r2) AS BIGINT) AS t2
+      FROM p
+    ),
+    segt AS (
+      SELECT seg, CAST(sum(r1) AS BIGINT) AS s1,
+             CAST(sum(r2) AS BIGINT) AS s2
+      FROM p GROUP BY seg
+    ),
+    terms AS (
+      SELECT p.nation, p.r1, p.r2,
+             CAST(floor(1000.0 * p.r1 * (CAST(tot.t2 AS DOUBLE) / tot.t1 - 1))
+                  AS BIGINT) AS nat_u,
+             CAST(floor(1000.0 * p.r1
+                  * (CAST(segt.s2 AS DOUBLE) / nullif(segt.s1, 0)
+                     - CAST(tot.t2 AS DOUBLE) / tot.t1)) AS BIGINT) AS mix_u
+      FROM p JOIN segt ON p.seg = segt.seg CROSS JOIN tot
+      WHERE segt.s1 > 0
+    )
+    SELECT nation,
+           CAST(sum(r1) AS BIGINT) AS r1_cents,
+           CAST(sum(r2) AS BIGINT) AS r2_cents,
+           CAST(sum(r2) - sum(r1) AS BIGINT) AS delta_cents,
+           round(CAST(sum(nat_u) AS DOUBLE) / 1000, 3) AS national_effect,
+           round(CAST(sum(mix_u) AS DOUBLE) / 1000, 3) AS mix_effect,
+           round((1000 * (sum(r2) - sum(r1)) - sum(nat_u) - sum(mix_u))
+                 / 1000.0, 3) AS competitive_effect
+    FROM terms GROUP BY nation ORDER BY nation
+    """,
+)
+def nation_revenue_shift_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shift-share decomposition (classic regional-economics identity,
+    Dunn 1960) of each nation's year-over-year revenue change for the
+    last two order years: actual delta = NATIONAL effect (what growing
+    with the grand total would give) + segment-MIX effect (the nation's
+    segment portfolio growing at segment rates) + COMPETITIVE residual
+    (out/under-performing its own mix). The panel that separates "our
+    market grew" from "we won share" -- per nation, with the identity
+    delta = national + mix + competitive holding EXACTLY by
+    construction.
+
+    Exactness: period revenues are exact integer cents; the national
+    and mix terms floor to integer MILLI-CENTS per (nation, segment)
+    cell before summing (order-free integer addition -- the theta-fold
+    micro-unit discipline), and the competitive term is the integer
+    residual, so the identity is exact in the snapped space; one /1000
+    presentation division at 3dp. Segments with zero base-year revenue
+    contribute through the residual (their growth rate is undefined) --
+    documented, matching the oracle's s1 > 0 guard.
+
+    Scale: ONE fact pass to the (nation, segment, year) grain (dims
+    broadcast); everything after runs on the |nations| x |segments|
+    panel with broadcast totals. No windows, no fact re-scan."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    rev = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.col("c_mktsegment").alias("seg"),
+            F.year("o_orderdate").cast("bigint").alias("yr"),
+        )
+        .agg(
+            F.sum(F.expr(_TOTAL_C).cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("cents")
+        )
+        .localCheckpoint(eager=False)  # year fold + period pivot consume it
+    )
+    yrs = rev.agg(F.max("yr").alias("y2"), (F.max("yr") - 1).alias("y1"))
+    p = (
+        rev.crossJoin(F.broadcast(yrs))
+        .filter((F.col("yr") == F.col("y1")) | (F.col("yr") == F.col("y2")))
+        .groupBy("nation", "seg")
+        .agg(
+            F.sum(F.when(F.col("yr") == F.col("y1"), F.col("cents")).otherwise(0))
+            .cast("bigint")
+            .alias("r1"),
+            F.sum(F.when(F.col("yr") == F.col("y2"), F.col("cents")).otherwise(0))
+            .cast("bigint")
+            .alias("r2"),
+        )
+        .localCheckpoint(eager=False)  # totals, segment totals, terms consume it
+    )
+    tot = p.agg(
+        F.sum("r1").cast("bigint").alias("t1"), F.sum("r2").cast("bigint").alias("t2")
+    )
+    segt = p.groupBy("seg").agg(
+        F.sum("r1").cast("bigint").alias("s1"), F.sum("r2").cast("bigint").alias("s2")
+    )
+    g = F.col("t2").cast("double") / F.col("t1") - 1
+    gs = F.col("s2").cast("double") / F.nullif(F.col("s1"), F.lit(0)) - F.col(
+        "t2"
+    ).cast("double") / F.col("t1")
+    terms = (
+        p.join(F.broadcast(segt), "seg")
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("s1") > 0)
+        .select(
+            "nation",
+            "r1",
+            "r2",
+            F.floor(1000.0 * F.col("r1") * g).cast("bigint").alias("nat_u"),
+            F.floor(1000.0 * F.col("r1") * gs).cast("bigint").alias("mix_u"),
+        )
+    )
+    return (
+        terms.groupBy("nation")
+        .agg(
+            F.sum("r1").cast("bigint").alias("r1_cents"),
+            F.sum("r2").cast("bigint").alias("r2_cents"),
+            (F.sum("r2") - F.sum("r1")).cast("bigint").alias("delta_cents"),
+            F.round(F.sum("nat_u").cast("double") / 1000, 3).alias("national_effect"),
+            F.round(F.sum("mix_u").cast("double") / 1000, 3).alias("mix_effect"),
+            F.round(
+                (
+                    1000 * (F.sum("r2") - F.sum("r1"))
+                    - F.sum("nat_u")
+                    - F.sum("mix_u")
+                ).cast("double")
+                / 1000.0,
+                3,
+            ).alias("competitive_effect"),
+        )
+        .orderBy("nation")
+    )
+
+
+@register(
+    "part_substitute_pairs",
+    tags=("warehouse", "similarity"),
+    oracle="""
+    WITH px AS (
+      SELECT p_partkey, p_brand, p_type, p_size,
+             try_cast(try_cast(p_retailprice AS DECIMAL(18,2)) * 100
+                      AS BIGINT) AS cents
+      FROM part
+      WHERE try_cast(p_retailprice AS DECIMAL(18,2)) IS NOT NULL
+    )
+    SELECT a.p_type AS part_type,
+           a.p_partkey AS a_key, b.p_partkey AS b_key,
+           a.p_brand AS a_brand, b.p_brand AS b_brand,
+           CAST(a.p_size AS BIGINT) AS a_size,
+           CAST(b.p_size AS BIGINT) AS b_size,
+           CAST(abs(a.cents - b.cents) AS BIGINT) AS gap_cents
+    FROM px a JOIN px b
+      ON a.p_type = b.p_type
+     AND a.p_partkey < b.p_partkey
+     AND a.p_brand <> b.p_brand
+     AND abs(a.p_size - b.p_size) <= 1
+     AND 100 * abs(a.cents - b.cents) <= 5 * least(a.cents, b.cents)
+    ORDER BY gap_cents, a_key, b_key
+    LIMIT 50
+    """,
+)
+def part_substitute_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substitution-candidate discovery over the part dimension: pairs of
+    DIFFERENT-brand parts of the same type, within one size step and 5%
+    of the cheaper price -- the assortment-rationalization shortlist
+    (which SKUs compete head-to-head) and the blocking-key pattern of
+    entity-resolution fuzzy joins (block on type, band on size, fence on
+    price). Top-50 closest-priced pairs, fully tie-broken.
+
+    Exactness: prices compare as exact integer cents with an
+    integer-only 5% fence (100*gap <= 5*min -- no float division); the
+    ordering (gap, a_key, b_key) is total.
+
+    Scale: a DIM-table self-join blocked on the type equi-key -- the
+    pair space is sum over types of |group|^2, never |parts|^2; at a
+    1000x part dimension, prefix the block key with the size band
+    ((p_type, p_size DIV 2) joined on band +-1) to halve the group
+    fan-out. The top-50 is a TakeOrderedAndProject -- nothing beyond
+    pairs surviving all four fences ever sorts globally."""
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_retailprice").cast("decimal(18,2)").isNotNull()
+    ).select(
+        "p_partkey", "p_brand", "p_type", "p_size",
+        F.expr(
+            "try_cast(try_cast(p_retailprice AS decimal(18,2)) * 100 AS bigint)"
+        ).alias("cents"),
+    ).localCheckpoint(eager=False)  # both sides of the self-join
+    a = p.select(*[F.col(c).alias(f"a_{c}") for c in p.columns])
+    b = p.select(*[F.col(c).alias(f"b_{c}") for c in p.columns])
+    pairs = a.join(
+        b,
+        (F.col("a_p_type") == F.col("b_p_type"))
+        & (F.col("a_p_partkey") < F.col("b_p_partkey"))
+        & (F.col("a_p_brand") != F.col("b_p_brand"))
+        & (F.abs(F.col("a_p_size") - F.col("b_p_size")) <= 1)
+        & (
+            100 * F.abs(F.col("a_cents") - F.col("b_cents"))
+            <= 5 * F.least("a_cents", "b_cents")
+        ),
+    ).select(
+        F.col("a_p_type").alias("part_type"),
+        F.col("a_p_partkey").alias("a_key"),
+        F.col("b_p_partkey").alias("b_key"),
+        F.col("a_p_brand").alias("a_brand"),
+        F.col("b_p_brand").alias("b_brand"),
+        F.col("a_p_size").cast("bigint").alias("a_size"),
+        F.col("b_p_size").cast("bigint").alias("b_size"),
+        F.abs(F.col("a_cents") - F.col("b_cents")).cast("bigint").alias("gap_cents"),
+    )
+    return pairs.orderBy("gap_cents", "a_key", "b_key").limit(50)
+
+
+@register(
+    "orders_fulfillment_sla_weekly",
+    tags=("warehouse", "monitor"),
+    oracle="""
+    WITH x AS (
+      SELECT CAST(date_trunc('week', o.o_orderdate) AS TIMESTAMP) AS week_start,
+             date_diff('day', o.o_orderdate, l.l_shipdate) AS delay_d
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderdate IS NOT NULL AND l.l_shipdate IS NOT NULL
+    )
+    SELECT week_start,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           round(CAST(sum(CASE WHEN delay_d <= 30 THEN 1 ELSE 0 END)
+                 AS DOUBLE) / count(*), 6) AS pct_30d,
+           round(CAST(sum(CASE WHEN delay_d <= 60 THEN 1 ELSE 0 END)
+                 AS DOUBLE) / count(*), 6) AS pct_60d,
+           round(CAST(sum(CASE WHEN delay_d <= 90 THEN 1 ELSE 0 END)
+                 AS DOUBLE) / count(*), 6) AS pct_90d,
+           round(CAST(sum(CAST(delay_d AS DECIMAL(38,0))) AS DOUBLE)
+                 / count(*), 6) AS avg_delay_d
+    FROM x GROUP BY week_start ORDER BY week_start
+    """,
+)
+def orders_fulfillment_sla_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly fulfilment-SLA panel: for lines ordered each ISO week, the
+    share shipped within 30/60/90 days and the mean order-to-ship delay.
+    The demand-side twin of supplier_ship_latency_profile (which slices
+    the same delay by SUPPLIER): a falling pct_30d with flat supplier
+    profiles means the mix shifted toward slow suppliers, not that any
+    supplier degraded. Both engines truncate weeks to Monday, so the
+    grain is dialect-stable; week starts emit as TIMESTAMP (the raw-DATE
+    hash trap).
+
+    Exactness: delays are integer calendar days on midnight-aligned
+    timestamps (identical boundary semantics both engines); shares and
+    the DECIMAL-accumulated mean are single divisions rounded at 6dp.
+
+    Scale: one fact-fact equi-join on the order key (co-partitioned
+    shuffle, no window), then a map-side-combinable week rollup --
+    conditional sums, no percentile state."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    x = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .filter(F.col("o_orderdate").isNotNull() & F.col("l_shipdate").isNotNull())
+        .select(
+            F.date_trunc("week", "o_orderdate").cast("timestamp").alias("week_start"),
+            F.datediff("l_shipdate", "o_orderdate").cast("bigint").alias("delay_d"),
+        )
+    )
+    nd = F.count("*").cast("double")
+    return (
+        x.groupBy("week_start")
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            F.round(
+                F.sum(F.when(F.col("delay_d") <= 30, 1).otherwise(0)) / nd, 6
+            ).alias("pct_30d"),
+            F.round(
+                F.sum(F.when(F.col("delay_d") <= 60, 1).otherwise(0)) / nd, 6
+            ).alias("pct_60d"),
+            F.round(
+                F.sum(F.when(F.col("delay_d") <= 90, 1).otherwise(0)) / nd, 6
+            ).alias("pct_90d"),
+            F.round(
+                F.sum(F.col("delay_d").cast("decimal(38,0)")).cast("double") / nd, 6
+            ).alias("avg_delay_d"),
+        )
+        .orderBy("week_start")
+    )
+
+
+@register(
+    "supplier_latency_trend_by_nation",
+    tags=("warehouse", "stats"),
+    oracle="""
+    WITH x AS (
+      SELECT n.n_name AS supplier_nation,
+             CAST(extract(year FROM o.o_orderdate) * 12
+                  + extract(month FROM o.o_orderdate) AS BIGINT) AS mi,
+             CAST(date_diff('day', o.o_orderdate, l.l_shipdate) AS BIGINT)
+               AS delay_d
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      WHERE o.o_orderdate IS NOT NULL AND l.l_shipdate IS NOT NULL
+    ),
+    m AS (
+      SELECT supplier_nation,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(mi AS DECIMAL(38,0))) AS BIGINT) AS sx,
+             CAST(sum(CAST(delay_d AS DECIMAL(38,0))) AS BIGINT) AS sy,
+             CAST(sum(CAST(mi AS DECIMAL(38,0)) * delay_d) AS BIGINT) AS sxy,
+             CAST(sum(CAST(mi AS DECIMAL(38,0)) * mi) AS BIGINT) AS sxx
+      FROM x GROUP BY supplier_nation
+    )
+    SELECT supplier_nation, n AS n_lines,
+           round(CAST(sy AS DOUBLE) / n, 6) AS mean_delay_d,
+           round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / nullif(CAST(n AS DOUBLE) * sxx
+                          - CAST(sx AS DOUBLE) * sx, 0), 6)
+             AS slope_d_per_month
+    FROM m WHERE n >= 2 ORDER BY supplier_nation
+    """,
+)
+def supplier_latency_trend_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is fulfilment latency drifting, and whose suppliers are drifting?
+    Per supplier nation: the OLS slope of order-to-ship delay against
+    the calendar month index (days of added delay per month) plus the
+    mean delay. supplier_ship_latency_profile is the LEVEL snapshot;
+    this is its first derivative -- the lead-time drift a capacity
+    planner extrapolates, computed over every line (not monthly means,
+    so heavy months weigh proportionally).
+
+    Exactness: month index and day delay are exact integers; all five
+    OLS moments accumulate in DECIMAL(38,0) (order-free); the slope and
+    mean are single closed-form divisions rounded at 6dp.
+
+    Scale: one fact-fact join on the order key plus two broadcast dim
+    hops, folded map-side to |nations| moment rows -- the regression
+    never materializes points, windows, or sorts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    x = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .filter(F.col("o_orderdate").isNotNull() & F.col("l_shipdate").isNotNull())
+        .select(
+            F.col("n_name").alias("supplier_nation"),
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+            .cast("bigint")
+            .alias("mi"),
+            F.datediff("l_shipdate", "o_orderdate").cast("bigint").alias("delay_d"),
+        )
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    m = x.groupBy("supplier_nation").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(dec("mi")).cast("bigint").alias("sx"),
+        F.sum(dec("delay_d")).cast("bigint").alias("sy"),
+        F.sum(dec("mi") * F.col("delay_d")).cast("bigint").alias("sxy"),
+        F.sum(dec("mi") * F.col("mi")).cast("bigint").alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    return m.filter(F.col("n") >= 2).select(
+        "supplier_nation",
+        F.col("n").alias("n_lines"),
+        F.round(F.col("sy").cast("double") / nd, 6).alias("mean_delay_d"),
+        F.round(
+            (nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy"))
+            / F.nullif(
+                nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("slope_d_per_month"),
+    ).orderBy("supplier_nation")
+
+
+@register(
+    "customer_purchase_regularity_by_segment",
+    tags=("warehouse", "analytics"),
+    oracle="""
+    WITH g AS (
+      SELECT o_custkey,
+             date_diff('day',
+                       lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                              ORDER BY o_orderdate, o_orderkey),
+                       o_orderdate) AS gap_d
+      FROM orders WHERE o_orderdate IS NOT NULL
+    ),
+    pc AS (
+      SELECT o_custkey,
+             CAST(count(*) AS BIGINT) AS ng,
+             CAST(sum(CAST(gap_d AS DECIMAL(38,0))) AS BIGINT) AS s,
+             CAST(sum(CAST(gap_d AS DECIMAL(38,0)) * gap_d) AS BIGINT) AS q
+      FROM g WHERE gap_d IS NOT NULL GROUP BY o_custkey HAVING count(*) >= 2
+    ),
+    cv AS (
+      SELECT o_custkey,
+             CAST(floor(1e6 * sqrt(greatest((q - CAST(s AS DOUBLE) * s / ng)
+                                            / (ng - 1), 0.0))
+                        * ng / nullif(CAST(s AS DOUBLE), 0)) AS BIGINT) AS cv_u
+      FROM pc WHERE s > 0
+    )
+    SELECT c.c_mktsegment AS segment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(CAST(sum(cv.cv_u) AS DOUBLE) / count(*) / 1e6, 6) AS avg_cv,
+           round(CAST(sum(CASE WHEN cv.cv_u < 500000 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) AS share_regular
+    FROM cv JOIN customer c ON cv.o_custkey = c.c_custkey
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def customer_purchase_regularity_by_segment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Purchase-rhythm regularity by market segment: per repeat customer
+    (>= 3 orders) the coefficient of variation of inter-order gaps --
+    CV < 0.5 is a metronome buyer (subscription-like, forecastable),
+    CV >> 1 is bursty -- rolled up to segment grain as the average CV
+    and the regular-buyer share. The rhythm complement to
+    customer_repeat_interval_by_segment (which prices the LEVEL of the
+    gap, not its variability); in RFM terms this is the missing
+    'regularity' axis the R/F pair can't see.
+
+    Exactness: gaps are integer days; per-customer moments accumulate in
+    DECIMAL(38,0); each customer's CV floors to integer MICRO-UNITS
+    before the segment sum (order-free integer addition -- the
+    micro-unit snap discipline), then two presentation divisions at 6dp.
+    Zero-mean-gap customers (all same-day orders) are excluded by the
+    s > 0 guard on both engines.
+
+    Scale: ONE keyed window over the customer-partitioned order stream
+    (the natural co-partitioning), a map-side-combinable per-customer
+    moment agg, a broadcast dim join, and a |segments|-row panel."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    g = o.filter(F.col("o_orderdate").isNotNull()).select(
+        "o_custkey",
+        F.datediff("o_orderdate", F.lag("o_orderdate").over(w))
+        .cast("bigint")
+        .alias("gap_d"),
+    )
+    dec = lambda col: F.col(col).cast("decimal(38,0)")  # noqa: E731
+    pc = (
+        g.filter(F.col("gap_d").isNotNull())
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").cast("bigint").alias("ng"),
+            F.sum(dec("gap_d")).cast("bigint").alias("s"),
+            F.sum(dec("gap_d") * F.col("gap_d")).cast("bigint").alias("q"),
+        )
+        .filter(F.col("ng") >= 2)
+    )
+    ngd = F.col("ng").cast("double")
+    cv_u = F.floor(
+        1e6
+        * F.sqrt(
+            F.greatest(
+                (F.col("q") - F.col("s").cast("double") * F.col("s") / ngd)
+                / (ngd - 1),
+                F.lit(0.0),
+            )
+        )
+        * ngd
+        / F.nullif(F.col("s").cast("double"), F.lit(0.0))
+    ).cast("bigint")
+    cv = pc.filter(F.col("s") > 0).select("o_custkey", cv_u.alias("cv_u"))
+    return (
+        cv.join(F.broadcast(c), cv.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            F.round(F.sum("cv_u").cast("double") / F.count("*") / 1e6, 6).alias(
+                "avg_cv"
+            ),
+            F.round(
+                F.sum(F.when(F.col("cv_u") < 500000, 1).otherwise(0)).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("share_regular"),
+        )
+        .orderBy("segment")
+    )

@@ -174,3 +174,38 @@ def sqlapi_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"cutoff": "1997-01-01 00:00:00", "floor": 1000.0},
     )
+
+
+# Aggregate FILTER clause (SQL:2003): identical text on both engines.
+# count FILTER over an empty set is 0, sum FILTER over an empty set is
+# NULL -- the two empty-set semantics the CASE-WHEN rewrite gets subtly
+# wrong when a translator maps FILTER to sum(CASE ... ELSE 0) (a 0, not
+# the standard's NULL). The differential fuzzer covers the composition
+# space of this clause; this key is its pinned, driver-attested exemplar.
+_AGG_FILTER_SQL = """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_final,
+       CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+            FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS final_cents,
+       CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+            FILTER (WHERE o_orderstatus = 'X') AS BIGINT) AS absent_cents,
+       CAST(count(DISTINCT o_custkey) FILTER (WHERE o_orderstatus = 'O')
+            AS BIGINT) AS open_customers
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register("sqlapi_agg_filter", tags=("sqlapi",), oracle=_AGG_FILTER_SQL)
+def sqlapi_agg_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate FILTER (WHERE ...) clause parity (SQL:2003 T612), one
+    text on both engines: per-priority order counts/revenue split by
+    status inside the aggregate, including a deliberately-unsatisfiable
+    filter (status 'X' never occurs) pinning the empty-set semantics --
+    count -> 0, sum -> NULL. Catalyst plans FILTER aggregates as
+    conditional partial aggs (map-side combinable, one scan), identical
+    to the CASE form but with the standard's NULL contract."""
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(_AGG_FILTER_SQL)

@@ -3758,3 +3758,497 @@ def events_ljung_box_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lag")
     )
+
+
+@register(
+    "events_turning_points_test",
+    tags=("stats", "timeseries"),
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day, CAST(count(*) AS BIGINT) AS cnt
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
+    ),
+    d AS (
+      SELECT day, cnt,
+             cnt - lag(cnt) OVER (ORDER BY day) AS d1,
+             lead(cnt) OVER (ORDER BY day) - cnt AS d2
+      FROM daily
+    ),
+    t AS (
+      SELECT CAST(sum(CASE WHEN d1 * d2 < 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_turning,
+             CAST(count(*) AS BIGINT) AS n_days
+      FROM d
+    )
+    SELECT n_days, n_turning,
+           round(2.0 * (n_days - 2) / 3.0, 6) AS expected,
+           round((n_turning - 2.0 * (n_days - 2) / 3.0)
+                 / nullif(sqrt((16.0 * n_days - 29.0) / 90.0), 0), 6) AS z
+    FROM t WHERE n_days >= 3
+    """,
+)
+def events_turning_points_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turning-points randomness test (Kendall's classic nonparametric
+    check) on the daily event-count series: count interior days that are
+    strict local extrema (the day-over-day differences flip sign), then
+    z-score against the iid expectation E = 2(n-2)/3, Var = (16n-29)/90.
+    Too FEW turning points = trend/momentum; too MANY = alternating
+    over-dispersion. The sign-pattern companion to events_runs_test_daily
+    (which tests level crossings, not extrema); plateau days (a zero
+    difference) are not turning points by the strict-inequality
+    construction -- documented, and tie-free on count data in practice.
+
+    Exactness: differences and the extremum predicate are exact integer
+    arithmetic; n_turning and n_days are integers; two closed-form
+    doubles rounded once at 6dp.
+
+    Scale: one map-side-combinable day rollup from the fact scan, then
+    lag/lead windows over the calendar-bounded day relation and a single
+    global fold -- nothing beyond |days| rows after the first agg."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.filter(F.col("ts").isNotNull())
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    w = Window.orderBy("day")
+    d = daily.select(
+        "cnt",
+        (F.col("cnt") - F.lag("cnt").over(w)).alias("d1"),
+        (F.lead("cnt").over(w) - F.col("cnt")).alias("d2"),
+    )
+    t = d.agg(
+        F.sum(F.when(F.col("d1") * F.col("d2") < 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_turning"),
+        F.count("*").cast("bigint").alias("n_days"),
+    ).filter(F.col("n_days") >= 3)
+    n = F.col("n_days").cast("double")
+    exp = 2.0 * (n - 2) / 3.0
+    return t.select(
+        "n_days",
+        "n_turning",
+        F.round(exp, 6).alias("expected"),
+        F.round(
+            (F.col("n_turning") - exp)
+            / F.nullif(F.sqrt((16.0 * n - 29.0) / 90.0), F.lit(0.0)),
+            6,
+        ).alias("z"),
+    )
+
+
+@register(
+    "events_grubbs_outlier_daily",
+    tags=("stats", "timeseries"),
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(cnt AS DECIMAL(38,0))) AS BIGINT) AS s,
+             CAST(sum(CAST(cnt AS DECIMAL(38,0)) * cnt) AS BIGINT) AS q
+      FROM daily
+    ),
+    dev AS (
+      SELECT d.day, d.cnt, abs(m.n * d.cnt - m.s) AS adev, m.n, m.s, m.q
+      FROM daily d CROSS JOIN m
+    ),
+    mx AS (SELECT max(adev) AS mx FROM dev)
+    SELECT n AS n_days,
+           round(CAST(s AS DOUBLE) / n, 6) AS mean_cnt,
+           round(sqrt((q - CAST(s AS DOUBLE) * s / n) / (n - 1)), 6) AS sd_cnt,
+           round((CAST(mx AS DOUBLE) / n)
+                 / nullif(sqrt((q - CAST(s AS DOUBLE) * s / n) / (n - 1)), 0),
+                 6) AS g_stat,
+           min(day) AS outlier_day,
+           CAST(min(cnt) AS BIGINT) AS outlier_cnt
+    FROM dev CROSS JOIN mx
+    WHERE adev = mx AND n >= 3
+    GROUP BY n, s, q, mx
+    """,
+)
+def events_grubbs_outlier_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grubbs extreme-studentized-deviate statistic (Grubbs 1950) on the
+    daily event count: G = max|y - mean| / sd, plus the argmax day and
+    its count -- the single-most-anomalous day with its evidence, where
+    events_daily_bollinger_breaches flags ALL band crossings. G compares
+    against the t-based critical value at the reader's alpha; emitting
+    the statistic (not a fixed verdict) keeps the panel
+    significance-level-free.
+
+    Exactness: the deviation ranking uses |n*y - s| (exact integers --
+    no float compare decides the argmax); ties on the max deviation
+    resolve to the earliest day via min(day), with min(cnt) consistent
+    because equal |n*y - s| at fixed (n, s) admits at most two cnt
+    values and the GROUP BY collapses deterministically; mean/sd/G are
+    DECIMAL-moment closed forms rounded at 6dp.
+
+    Scale: one day rollup; moments fold map-side; the argmax pass is a
+    broadcast-join filter over the calendar-bounded day relation."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.filter(F.col("ts").isNotNull())
+        .groupBy(F.date_trunc("day", "ts").cast("timestamp").alias("day"))
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .localCheckpoint(eager=False)  # moments + argmax both consume it
+    )
+    m = daily.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("cnt").cast("decimal(38,0)")).cast("bigint").alias("s"),
+        F.sum((F.col("cnt").cast("decimal(38,0)") * F.col("cnt")))
+        .cast("bigint")
+        .alias("q"),
+    )
+    dev = daily.crossJoin(F.broadcast(m)).select(
+        "day", "cnt", "n", "s", "q",
+        F.abs(F.col("n") * F.col("cnt") - F.col("s")).alias("adev"),
+    )
+    mx = dev.agg(F.max("adev").alias("mx"))
+    nd = F.col("n").cast("double")
+    sd = F.sqrt((F.col("q") - F.col("s").cast("double") * F.col("s") / nd) / (nd - 1))
+    return (
+        dev.crossJoin(F.broadcast(mx))
+        .filter((F.col("adev") == F.col("mx")) & (F.col("n") >= 3))
+        .groupBy("n", "s", "q", "mx")
+        .agg(F.min("day").alias("outlier_day"), F.min("cnt").cast("bigint").alias("outlier_cnt"))
+        .select(
+            F.col("n").alias("n_days"),
+            F.round(F.col("s").cast("double") / nd, 6).alias("mean_cnt"),
+            F.round(sd, 6).alias("sd_cnt"),
+            F.round(
+                (F.col("mx").cast("double") / nd) / F.nullif(sd, F.lit(0.0)), 6
+            ).alias("g_stat"),
+            "outlier_day",
+            "outlier_cnt",
+        )
+    )
+
+
+@register(
+    "events_kpss_level_stat",
+    tags=("stats", "timeseries"),
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day, CAST(count(*) AS BIGINT) AS cnt
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(cnt AS DECIMAL(38,0))) AS BIGINT) AS s
+      FROM daily
+    ),
+    e AS (
+      SELECT day, m.n, m.n * cnt - m.s AS es
+      FROM daily CROSS JOIN m
+    ),
+    p AS (
+      SELECT n, es,
+             CAST(sum(es) OVER (ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS ps
+      FROM e
+    ),
+    agg AS (
+      SELECT n,
+             sum(CAST(ps AS DECIMAL(38,0)) * ps) AS ssp,
+             sum(CAST(es AS DECIMAL(38,0)) * es) AS sse
+      FROM p GROUP BY n
+    )
+    SELECT n AS n_days,
+           round(CAST(ssp AS DOUBLE) / (CAST(n AS DOUBLE)
+                 * nullif(CAST(sse AS DOUBLE), 0)), 6) AS kpss_eta,
+           CAST(CASE WHEN CAST(ssp AS DOUBLE) / (CAST(n AS DOUBLE)
+                 * nullif(CAST(sse AS DOUBLE), 0)) < 0.463
+                THEN 1 ELSE 0 END AS BIGINT) AS level_stationary_5pct
+    FROM agg WHERE n >= 2
+    """,
+)
+def events_kpss_level_stat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KPSS level-stationarity statistic (Kwiatkowski-Phillips-Schmidt-
+    Shin 1992, short-run-variance variant, bandwidth l=0) on the daily
+    event count: eta = sum_t S_t^2 / (n^2 * sigma^2) where S_t are
+    partial sums of demeaned counts and sigma^2 the plain residual
+    variance. The null is STATIONARITY (the mirror of unit-root tests):
+    eta above the 5% critical value 0.463 says the level wanders --
+    read it next to events_runs_test_daily (sign clumping) and
+    events_kpss-complement trend diagnostics before trusting any
+    fixed-level alerting threshold on this stream. The l=0 bandwidth is
+    the documented simplification: no HAC long-run correction, so eta
+    overstates under strong short-run autocorrelation (which
+    events_value_acf measures separately).
+
+    Exactness: demeaned residuals are scaled to EXACT integers
+    (e'_t = n*y_t - s); partial sums stay integer; both squared sums
+    accumulate in DECIMAL(38,0) (order-free); the algebra
+    eta = sum(S'^2) / (n * sum(e'^2)) -- the n-scalings cancel to one
+    division -- is evaluated once and rounded at 6dp.
+
+    Scale: one day rollup; one prefix-sum window over the
+    calendar-bounded day relation; one fold. Nothing fact-grain after
+    the first agg."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.filter(F.col("ts").isNotNull())
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .localCheckpoint(eager=False)  # moments + residual pass consume it
+    )
+    m = daily.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("cnt").cast("decimal(38,0)")).cast("bigint").alias("s"),
+    )
+    ew = daily.crossJoin(F.broadcast(m)).select(
+        "day", "n", (F.col("n") * F.col("cnt") - F.col("s")).alias("es")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    p = ew.select("n", "es", F.sum("es").over(w).cast("bigint").alias("ps"))
+    agg = p.groupBy("n").agg(
+        F.sum(F.col("ps").cast("decimal(38,0)") * F.col("ps")).alias("ssp"),
+        F.sum(F.col("es").cast("decimal(38,0)") * F.col("es")).alias("sse"),
+    )
+    eta = F.col("ssp").cast("double") / (
+        F.col("n").cast("double") * F.nullif(F.col("sse").cast("double"), F.lit(0.0))
+    )
+    return agg.filter(F.col("n") >= 2).select(
+        F.col("n").alias("n_days"),
+        F.round(eta, 6).alias("kpss_eta"),
+        F.when(eta < 0.463, F.lit(1)).otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("level_stationary_5pct"),
+    )
+
+
+@register(
+    "events_variance_time_ratio",
+    tags=("stats", "timeseries"),
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day, CAST(count(*) AS BIGINT) AS cnt
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
+    ),
+    idx AS (
+      SELECT cnt,
+             (CAST(row_number() OVER (ORDER BY day) AS BIGINT) - 1) // 7
+               AS blk
+      FROM daily
+    ),
+    wk AS (
+      SELECT blk, CAST(sum(cnt) AS BIGINT) AS wsum,
+             CAST(count(*) AS BIGINT) AS m
+      FROM idx GROUP BY blk HAVING count(*) = 7
+    ),
+    vd AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(cnt AS DECIMAL(38,0))) AS BIGINT) AS s,
+             CAST(sum(CAST(cnt AS DECIMAL(38,0)) * cnt) AS BIGINT) AS q
+      FROM idx
+    ),
+    vw AS (
+      SELECT CAST(count(*) AS BIGINT) AS nw,
+             CAST(sum(CAST(wsum AS DECIMAL(38,0))) AS BIGINT) AS sw,
+             CAST(sum(CAST(wsum AS DECIMAL(38,0)) * wsum) AS BIGINT) AS qw
+      FROM wk
+    )
+    SELECT vd.n AS n_days, vw.nw AS n_weeks,
+           round((vd.q - CAST(vd.s AS DOUBLE) * vd.s / vd.n)
+                 / (vd.n - 1), 6) AS var_daily,
+           round((vw.qw - CAST(vw.sw AS DOUBLE) * vw.sw / vw.nw)
+                 / nullif(vw.nw - 1, 0), 6) AS var_weekly,
+           round(((vw.qw - CAST(vw.sw AS DOUBLE) * vw.sw / vw.nw)
+                  / nullif(vw.nw - 1, 0))
+                 / nullif(7.0 * ((vd.q - CAST(vd.s AS DOUBLE) * vd.s / vd.n)
+                          / (vd.n - 1)), 0), 6) AS vr7
+    FROM vd CROSS JOIN vw
+    WHERE vd.n >= 2 AND vw.nw >= 2
+    """,
+)
+def events_variance_time_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance-time ratio at the weekly scale: VR(7) = Var(non-overlapping
+    7-day block sums) / (7 * Var(daily counts)). For an iid daily series
+    VR = 1; VR > 1 means positively autocorrelated days (bursts persist
+    across the week -- variances aggregate super-linearly, the
+    self-similarity signal of the variance-time curve), VR < 1 means
+    day-to-day mean reversion. The cross-SCALE companion to
+    events_burstiness (Fano at one grain) and events_value_acf (lag
+    correlation): one number that says whether weekly capacity can be
+    provisioned as 7x daily. Non-overlapping blocks (not Lo-MacKinlay
+    overlapping) is the documented variant; trailing partial weeks are
+    dropped by the HAVING m = 7 completeness gate.
+
+    Exactness: block assignment is integer row-number arithmetic over
+    the day order; both variances are DECIMAL(38,0)-moment closed forms;
+    outputs round once at 6dp.
+
+    Scale: one day rollup; the block agg and both moment folds are
+    calendar-bounded. The row_number window rides |days| rows."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.filter(F.col("ts").isNotNull())
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    w = Window.orderBy("day")
+    idx = daily.select(
+        "cnt",
+        ((F.row_number().over(w).cast("bigint") - 1) / F.lit(7))
+        .cast("bigint")
+        .alias("blk"),
+    ).localCheckpoint(eager=False)  # daily moments + block agg consume it
+    wk = (
+        idx.groupBy("blk")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("wsum"),
+            F.count("*").cast("bigint").alias("m"),
+        )
+        .filter(F.col("m") == 7)
+    )
+    vd = idx.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("cnt").cast("decimal(38,0)")).cast("bigint").alias("s"),
+        F.sum(F.col("cnt").cast("decimal(38,0)") * F.col("cnt"))
+        .cast("bigint")
+        .alias("q"),
+    )
+    vw = wk.agg(
+        F.count("*").cast("bigint").alias("nw"),
+        F.sum(F.col("wsum").cast("decimal(38,0)")).cast("bigint").alias("sw"),
+        F.sum(F.col("wsum").cast("decimal(38,0)") * F.col("wsum"))
+        .cast("bigint")
+        .alias("qw"),
+    )
+    var_d = (F.col("q") - F.col("s").cast("double") * F.col("s") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    var_w = (
+        F.col("qw") - F.col("sw").cast("double") * F.col("sw") / F.col("nw")
+    ) / F.nullif((F.col("nw") - 1).cast("double"), F.lit(0.0))
+    return (
+        vd.crossJoin(vw)
+        .filter((F.col("n") >= 2) & (F.col("nw") >= 2))
+        .select(
+            F.col("n").alias("n_days"),
+            F.col("nw").alias("n_weeks"),
+            F.round(var_d, 6).alias("var_daily"),
+            F.round(var_w, 6).alias("var_weekly"),
+            F.round(var_w / F.nullif(7.0 * var_d, F.lit(0.0)), 6).alias("vr7"),
+        )
+    )
+
+
+@register(
+    "events_median_test_weekend",
+    tags=("stats", "analytics"),
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day,
+             CAST(dayofweek(date_trunc('day', ts)) IN (0, 6) AS BOOLEAN)
+               AS wkd,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+    ),
+    med AS (
+      SELECT min(CASE WHEN cm >= (n + 1) // 2 THEN cnt END)
+             + min(CASE WHEN cm >= (n + 2) // 2 THEN cnt END) AS med2
+      FROM (
+        SELECT cnt,
+               CAST(count(*) OVER (ORDER BY cnt, day) AS BIGINT) AS cm,
+               CAST(count(*) OVER () AS BIGINT) AS n
+        FROM daily
+      )
+    ),
+    cells AS (
+      SELECT
+        CAST(sum(CASE WHEN wkd AND 2 * cnt > med2 THEN 1 ELSE 0 END)
+             AS BIGINT) AS a,
+        CAST(sum(CASE WHEN wkd AND 2 * cnt < med2 THEN 1 ELSE 0 END)
+             AS BIGINT) AS b,
+        CAST(sum(CASE WHEN NOT wkd AND 2 * cnt > med2 THEN 1 ELSE 0 END)
+             AS BIGINT) AS c,
+        CAST(sum(CASE WHEN NOT wkd AND 2 * cnt < med2 THEN 1 ELSE 0 END)
+             AS BIGINT) AS d
+      FROM daily CROSS JOIN med
+    )
+    SELECT a AS we_above, b AS we_below, c AS wd_above, d AS wd_below,
+           round(CAST(a + b + c + d AS DOUBLE)
+                 * (CAST(a AS DOUBLE) * d - CAST(b AS DOUBLE) * c)
+                 * (CAST(a AS DOUBLE) * d - CAST(b AS DOUBLE) * c)
+                 / nullif(CAST(a + b AS DOUBLE) * (c + d) * (a + c) * (b + d),
+                          0), 6) AS chi2
+    FROM cells
+    WHERE a + b > 0 AND c + d > 0
+    """,
+)
+def events_median_test_weekend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's median test for weekend-vs-weekday daily activity: classify
+    each day against the grand median of daily counts (exact doubled
+    order statistic; equal-to-median days are excluded per the classic
+    construction) and chi-square the 2x2 above/below x weekend/weekday
+    contingency. The rank-free robust counterpart to
+    events_welch_ttest_weekend: medians ignore the burst tails that
+    inflate a t-test's variance, so disagreement between the two panels
+    is itself the heavy-tail signal. The day grain (not event grain)
+    makes this a test of LEVEL difference, the operational question
+    behind weekend capacity planning.
+
+    Exactness: the grand median is the lo+hi doubled order statistic on
+    cumulative day counts (exact integers, no interpolation -- the
+    events_runs_test_daily idiom); cells are integer conditional sums;
+    one Pearson chi-square closed form rounded at 6dp.
+
+    Scale: one (day, weekend-flag) rollup from the fact scan; the median
+    rank window and the contingency fold ride the calendar-bounded day
+    relation."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.filter(F.col("ts").isNotNull())
+        .groupBy(
+            F.date_trunc("day", "ts").alias("day"),
+            F.dayofweek(F.date_trunc("day", "ts")).isin(1, 7).alias("wkd"),
+        )
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .localCheckpoint(eager=False)  # median rank pass + cells consume it
+    )
+    cw = Window.orderBy("cnt", "day")
+    rk = daily.select(
+        "cnt",
+        F.count("*").over(cw).cast("bigint").alias("cm"),
+        F.count("*").over(Window.partitionBy()).cast("bigint").alias("n"),
+    )
+    med = rk.agg(
+        (
+            F.min(F.when(F.col("cm") >= F.expr("(n + 1) DIV 2"), F.col("cnt")))
+            + F.min(F.when(F.col("cm") >= F.expr("(n + 2) DIV 2"), F.col("cnt")))
+        ).alias("med2")
+    )
+    cells = daily.crossJoin(F.broadcast(med)).agg(
+        F.sum(F.when(F.col("wkd") & (2 * F.col("cnt") > F.col("med2")), 1).otherwise(0))
+        .cast("bigint").alias("a"),
+        F.sum(F.when(F.col("wkd") & (2 * F.col("cnt") < F.col("med2")), 1).otherwise(0))
+        .cast("bigint").alias("b"),
+        F.sum(F.when(~F.col("wkd") & (2 * F.col("cnt") > F.col("med2")), 1).otherwise(0))
+        .cast("bigint").alias("c"),
+        F.sum(F.when(~F.col("wkd") & (2 * F.col("cnt") < F.col("med2")), 1).otherwise(0))
+        .cast("bigint").alias("d"),
+    )
+    ad_bc = F.col("a").cast("double") * F.col("d") - F.col("b").cast("double") * F.col("c")
+    return cells.filter((F.col("a") + F.col("b") > 0) & (F.col("c") + F.col("d") > 0)).select(
+        F.col("a").alias("we_above"),
+        F.col("b").alias("we_below"),
+        F.col("c").alias("wd_above"),
+        F.col("d").alias("wd_below"),
+        F.round(
+            (F.col("a") + F.col("b") + F.col("c") + F.col("d")).cast("double")
+            * ad_bc * ad_bc
+            / F.nullif(
+                (F.col("a") + F.col("b")).cast("double")
+                * (F.col("c") + F.col("d"))
+                * (F.col("a") + F.col("c"))
+                * (F.col("b") + F.col("d")),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("chi2"),
+    )

@@ -327,3 +327,61 @@ def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     w = Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
     return c.select("c_custkey", "c_acctbal", F.ntile(4).over(w).alias("quartile"))
+
+
+@register(
+    "win_ignore_nulls",
+    tags=("window",),
+    oracle="""
+    WITH x AS (
+      SELECT event_id, user_id,
+             CASE WHEN event_id % 3 = 0 THEN NULL
+                  ELSE CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+             END AS nval
+      FROM events WHERE event_id % 7 = 0
+    )
+    SELECT event_id, user_id, nval,
+           CAST(last_value(nval IGNORE NULLS)
+                OVER (PARTITION BY user_id ORDER BY event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS locf_cents,
+           CAST(first_value(nval IGNORE NULLS)
+                OVER (PARTITION BY user_id ORDER BY event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS first_cents
+    FROM x
+    """,
+)
+def win_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IGNORE NULLS window semantics as a driver-attested batch key:
+    last-observation-carried-forward and first-seen value per user over a
+    sparsified (every-3rd-NULL) cents column -- the null-skipping frame
+    evaluation the locf_fill operator uses at spine grain, pinned here at
+    raw event grain. The DataFrame API expresses it as
+    ``F.last(col, ignorenulls=True)`` / ``F.first(..., True)``, which
+    sidesteps the SQL-text dialect split the differential fuzzer
+    documents (Spark parses the trailing SQL:2011 ``IGNORE NULLS``,
+    DuckDB 1.0 only the in-argument form). One keyed window, running
+    frame -- no second scan, map-side NULL synthesis."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    x = e.filter(F.col("event_id") % 7 == 0).select(
+        "event_id",
+        "user_id",
+        F.when(F.col("event_id") % 3 == 0, F.lit(None))
+        .otherwise(
+            (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+        )
+        .alias("nval"),
+    )
+    return x.select(
+        "event_id",
+        "user_id",
+        "nval",
+        F.last("nval", ignorenulls=True).over(w).alias("locf_cents"),
+        F.first("nval", ignorenulls=True).over(w).alias("first_cents"),
+    )

@@ -115,6 +115,19 @@ _CHECK_ORDER = [
     "orders_interorder_hazard_curve",
     "part_brand_share_yearly",
     # -- new in round 12 (appended as they land; HARD CAP 50 incl. re-attest) --
+    "sqlapi_agg_filter",
+    "win_ignore_nulls",
+    "dq_functional_dependency_audit",
+    "events_turning_points_test",
+    "events_grubbs_outlier_daily",
+    "events_kpss_level_stat",
+    "events_variance_time_ratio",
+    "events_median_test_weekend",
+    "nation_revenue_shift_share",
+    "part_substitute_pairs",
+    "orders_fulfillment_sla_weekly",
+    "supplier_latency_trend_by_nation",
+    "customer_purchase_regularity_by_segment",
 ]
 # Provenance: the round-11 window, fully attested by CORRECTNESS_r11
 # (45 hash-green + 5 rows-only-clean: ann_index_cell_balance_profile,

@@ -121,6 +121,19 @@ _R12_CHECK_WINDOW = [
     "orders_interorder_hazard_curve",
     "part_brand_share_yearly",
     # new in round 12 (appended as they are registered; hard cap 50)
+    "sqlapi_agg_filter",
+    "win_ignore_nulls",
+    "dq_functional_dependency_audit",
+    "events_turning_points_test",
+    "events_grubbs_outlier_daily",
+    "events_kpss_level_stat",
+    "events_variance_time_ratio",
+    "events_median_test_weekend",
+    "nation_revenue_shift_share",
+    "part_substitute_pairs",
+    "orders_fulfillment_sla_weekly",
+    "supplier_latency_trend_by_nation",
+    "customer_purchase_regularity_by_segment",
 ]
 
 
