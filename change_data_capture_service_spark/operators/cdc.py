@@ -2265,3 +2265,192 @@ def cdc_reorder_buffer_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "n_events", "pct_in_order", "p95_depth", "max_depth")
         .orderBy("event_type")
     )
+
+
+@register(
+    "cdc_hot_key_skew_daily",
+    tags=("cdc", "monitor"),
+    oracle="""
+    WITH kc AS (
+      SELECT date_trunc('day', ts) AS day, user_id,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    rk AS (
+      SELECT day, cnt,
+             row_number() OVER (PARTITION BY day
+                                ORDER BY cnt DESC, user_id) AS rn
+      FROM kc
+    ),
+    top10 AS (
+      SELECT day, CAST(sum(cnt) AS BIGINT) AS t10
+      FROM rk WHERE rn <= 10 GROUP BY day
+    ),
+    d AS (
+      SELECT day,
+             CAST(sum(cnt) AS BIGINT) AS n_updates,
+             CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(max(cnt) AS BIGINT) AS top1,
+             CAST(sum(CAST(cnt AS DECIMAL(38,0)) * cnt) AS BIGINT) AS sq
+      FROM kc GROUP BY day
+    )
+    SELECT CAST(d.day AS TIMESTAMP) AS day, d.n_updates, d.n_keys,
+           round(CAST(d.top1 AS DOUBLE) / d.n_updates, 6) AS top1_share,
+           round(CAST(t.t10 AS DOUBLE) / d.n_updates, 6) AS top10_share,
+           round(CAST(d.sq AS DOUBLE)
+                 / (CAST(d.n_updates AS DOUBLE) * d.n_updates), 6) AS hhi
+    FROM d JOIN top10 t ON d.day = t.day
+    ORDER BY day
+    """,
+)
+def cdc_hot_key_skew_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key skew monitor at day grain: how concentrated the day's
+    change traffic is on its hottest keys (top-1/top-10 share and the
+    key-level HHI). THE panel behind every skew mitigation this engine
+    documents -- a day whose top1_share spikes is the day the keyed
+    upsert sink's partition for that key becomes the straggler, and the
+    number that says whether join_skew_salted-style salting or AQE skew
+    handling is worth enabling on the change stream. The reference
+    routes all tables through one keyed topic (``producer.go:17-47``),
+    so per-key concentration IS its partition skew.
+
+    Exactness: per-(day, key) counts are exact integers; top-10 comes
+    from a fully tie-broken rank (cnt desc, user_id); HHI's sum of
+    squares accumulates in DECIMAL(38,0); three share divisions at 6dp.
+
+    Scale: ONE map-side-combinable (day, key) partial agg over the log;
+    the rank window rides that reduced relation partitioned BY DAY with
+    WindowGroupLimit pushing the top-10 truncation map-side, so no day's
+    key list ever sorts fully; HHI and totals fold in the same pass
+    shape. Day partitioning bounds each window partition by the day's
+    distinct keys."""
+    e = load_table(spark, sf_dir, "events")
+    kc = (
+        e.filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .groupBy(F.date_trunc("day", "ts").alias("day"), "user_id")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .localCheckpoint(eager=False)  # rank pass + moment pass consume it
+    )
+    w = Window.partitionBy("day").orderBy(F.col("cnt").desc(), "user_id")
+    top10 = (
+        kc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .groupBy("day")
+        .agg(F.sum("cnt").cast("bigint").alias("t10"))
+    )
+    d = kc.groupBy("day").agg(
+        F.sum("cnt").cast("bigint").alias("n_updates"),
+        F.count("*").cast("bigint").alias("n_keys"),
+        F.max("cnt").cast("bigint").alias("top1"),
+        F.sum(F.col("cnt").cast("decimal(38,0)") * F.col("cnt"))
+        .cast("bigint")
+        .alias("sq"),
+    )
+    nu = F.col("n_updates").cast("double")
+    return (
+        d.join(top10, "day")
+        .select(
+            F.col("day").cast("timestamp").alias("day"),
+            "n_updates",
+            "n_keys",
+            F.round(F.col("top1").cast("double") / nu, 6).alias("top1_share"),
+            F.round(F.col("t10").cast("double") / nu, 6).alias("top10_share"),
+            F.round(F.col("sq").cast("double") / (nu * nu), 6).alias("hhi"),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "cdc_payload_size_profile",
+    tags=("cdc", "monitor"),
+    oracle="""
+    WITH s AS (
+      SELECT event_type, CAST(length(props) AS BIGINT) AS sz
+      FROM events WHERE props IS NOT NULL
+    ),
+    dom AS (
+      SELECT event_type, sz, CAST(count(*) AS BIGINT) AS w
+      FROM s GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT event_type, sz, w,
+             CAST(sum(w) OVER (PARTITION BY event_type ORDER BY sz)
+                  AS BIGINT) AS c_end,
+             CAST(sum(w) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      FROM dom
+    ),
+    q AS (
+      SELECT p.pct, c.event_type,
+             (100 * lo.sz + ((p.pct * (lo.n - 1)) % 100) * (hi.sz - lo.sz))
+               // 100 AS qv
+      FROM (SELECT CAST(unnest([50, 95, 99]) AS BIGINT) AS pct) p
+      CROSS JOIN (SELECT DISTINCT event_type FROM cum) c
+      JOIN cum lo ON lo.event_type = c.event_type
+        AND lo.c_end >= (p.pct * (lo.n - 1)) // 100 + 1
+        AND lo.c_end - lo.w < (p.pct * (lo.n - 1)) // 100 + 1
+      JOIN cum hi ON hi.event_type = c.event_type
+        AND hi.c_end >= CASE WHEN (p.pct * (lo.n - 1)) % 100 = 0
+                             THEN (p.pct * (lo.n - 1)) // 100 + 1
+                             ELSE (p.pct * (lo.n - 1)) // 100 + 2 END
+        AND hi.c_end - hi.w < CASE WHEN (p.pct * (lo.n - 1)) % 100 = 0
+                                   THEN (p.pct * (lo.n - 1)) // 100 + 1
+                                   ELSE (p.pct * (lo.n - 1)) // 100 + 2 END
+    ),
+    t AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(CAST(sz AS DECIMAL(38,0))) AS BIGINT) AS total_chars,
+             CAST(max(sz) AS BIGINT) AS max_chars
+      FROM s GROUP BY 1
+    )
+    SELECT t.event_type, t.n_events, t.total_chars, t.max_chars,
+           CAST(max(CASE WHEN q.pct = 50 THEN q.qv END) AS BIGINT) AS p50_chars,
+           CAST(max(CASE WHEN q.pct = 95 THEN q.qv END) AS BIGINT) AS p95_chars,
+           CAST(max(CASE WHEN q.pct = 99 THEN q.qv END) AS BIGINT) AS p99_chars
+    FROM t JOIN q ON t.event_type = q.event_type
+    GROUP BY t.event_type, t.n_events, t.total_chars, t.max_chars
+    ORDER BY t.event_type
+    """,
+)
+def cdc_payload_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stream payload-size envelope: p50/p95/p99/max payload length
+    and total volume per event type -- the numbers that size the Kafka
+    ``max.message.bytes``, the ES ``_bulk`` chunk budget (the sink caps
+    actions per request; BYTES per request is this panel times that
+    cap), and the dead-letter threshold for oversized envelopes. Length
+    is in characters, identical on both engines for the fixtures' ASCII
+    JSON payloads (documented; a byte-exact variant would swap in
+    octet semantics on both sides).
+
+    Exactness: lengths are exact integers; percentiles are the shared
+    exact-interpolation rational closed form evaluated on the bounded
+    (type, length) DOMAIN; totals accumulate in DECIMAL(38,0).
+
+    Scale: one map-side-combinable (type, length) domain reduction over
+    the log (payloads never shuffle -- only their lengths); the
+    percentile pass and panel fold ride the |types| x |lengths| domain
+    relation."""
+    e = load_table(spark, sf_dir, "events")
+    s = e.filter(F.col("props").isNotNull()).select(
+        "event_type", F.length("props").cast("bigint").alias("sz")
+    ).localCheckpoint(eager=False)  # percentile + totals passes consume it
+    qs = None
+    for pct, alias in ((50, "p50_chars"), (95, "p95_chars"), (99, "p99_chars")):
+        q = exact_interp_pct_weighted(s, ["event_type"], "sz", pct).select(
+            "event_type", F.col("q_val").cast("bigint").alias(alias)
+        )
+        qs = q if qs is None else qs.join(q, "event_type")
+    t = s.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum(F.col("sz").cast("decimal(38,0)")).cast("bigint").alias("total_chars"),
+        F.max("sz").cast("bigint").alias("max_chars"),
+    )
+    return (
+        t.join(qs, "event_type")
+        .select(
+            "event_type", "n_events", "total_chars", "max_chars",
+            "p50_chars", "p95_chars", "p99_chars",
+        )
+        .orderBy("event_type")
+    )

@@ -1426,3 +1426,80 @@ def sample_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "docs_length_gini_by_source",
+    tags=("curation", "quality"),
+    oracle="""
+    WITH x AS (
+      SELECT source, doc_id, CAST(n_chars AS BIGINT) AS len
+      FROM documents WHERE n_chars IS NOT NULL
+    ),
+    rk AS (
+      SELECT source, len,
+             CAST(row_number() OVER (PARTITION BY source
+                                     ORDER BY len, doc_id) AS BIGINT) AS i
+      FROM x
+    ),
+    g AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CAST(len AS DECIMAL(38,0))) AS BIGINT) AS s,
+             CAST(sum(CAST(i AS DECIMAL(38,0)) * len) AS BIGINT) AS si
+      FROM rk GROUP BY source
+    )
+    SELECT source, n_docs,
+           round(CAST(s AS DOUBLE) / n_docs, 6) AS mean_chars,
+           round((2.0 * si) / (CAST(n_docs AS DOUBLE) * s)
+                 - (n_docs + 1.0) / n_docs, 6) AS length_gini
+    FROM g WHERE n_docs >= 2 AND s > 0
+    ORDER BY source
+    """,
+)
+def docs_length_gini_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-source document-length inequality (Gini over n_chars): a
+    natural crawl slice has substantial length dispersion (Gini ~0.4-0.6
+    under the usual log-normal-ish length law); a source whose length
+    Gini COLLAPSES toward 0 is emitting near-identical-length documents
+    -- the template-farm / pagination-artifact signature that
+    docs_template_lines then confirms at line grain, caught here from
+    metadata alone before any text is read. The within-source
+    counterpart of part_revenue_gini_lorenz's revenue concentration.
+
+    Exactness: the Gini uses the exact rank formula
+    G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n with a fully tie-broken rank
+    (len, doc_id) identical on both engines; rank-weighted sums
+    accumulate in DECIMAL(38,0); one closed form rounded at 6dp.
+
+    Scale: column-pruned metadata scan (text never reads); the rank
+    window partitions BY SOURCE -- per-partition row counts are
+    source-bounded, and the formula needs no global sort. Sources with
+    one doc or zero total length are excluded on both engines."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars").isNotNull())
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    rk = d.select(
+        "source",
+        F.col("n_chars").cast("bigint").alias("len"),
+        F.row_number().over(w).cast("bigint").alias("i"),
+    )
+    g = rk.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.col("len").cast("decimal(38,0)")).cast("bigint").alias("s"),
+        F.sum(F.col("i").cast("decimal(38,0)") * F.col("len"))
+        .cast("bigint")
+        .alias("si"),
+    )
+    n = F.col("n_docs").cast("double")
+    return (
+        g.filter((F.col("n_docs") >= 2) & (F.col("s") > 0))
+        .select(
+            "source",
+            "n_docs",
+            F.round(F.col("s").cast("double") / n, 6).alias("mean_chars"),
+            F.round(
+                (2.0 * F.col("si")) / (n * F.col("s")) - (n + 1.0) / n, 6
+            ).alias("length_gini"),
+        )
+        .orderBy("source")
+    )

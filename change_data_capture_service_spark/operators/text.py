@@ -1504,3 +1504,219 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("score_u").cast("double") / 1000000, 6).alias("rake_score"),
         )
     )
+
+
+@register(
+    "text_hapax_legomena_share",
+    tags=("text", "northstar"),
+    oracle="""
+    WITH tok AS (
+      SELECT source, unnest(list_filter(string_split(lower(text), ' '),
+                                        x -> x <> '')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT source, term, CAST(count(*) AS BIGINT) AS cf
+      FROM tok GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(sum(cf) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS vocab_size,
+           CAST(sum(CASE WHEN cf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           round(CAST(sum(CASE WHEN cf = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS hapax_vocab_share,
+           round(CAST(sum(CASE WHEN cf = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / sum(cf), 6) AS hapax_token_share
+    FROM tf GROUP BY source ORDER BY source
+    """,
+)
+def text_hapax_legomena_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hapax-legomena profile per source: vocabulary size, once-occurring
+    terms, and their share of vocabulary and of tokens. Under Zipf ~half
+    a healthy natural-language vocabulary is hapax (Baayen's LNRE
+    regime); a source whose hapax share COLLAPSES is template/boilerplate
+    text (the dedup families will find it), and one whose hapax share
+    approaches 1 is serial-number/OCR noise (text_garbage_token_panel's
+    target) -- the two tails a corpus-health review reads first, next to
+    text_zipf_fit's slope at the head.
+
+    Exactness: the shared whitespace-lowercase tokenizer on both
+    engines; counts are exact integers; two share divisions at 6dp.
+
+    Scale: one explode + map-side-combinable (source, term) count --
+    the text_tokenize_tf shuffle shape; the panel folds the term
+    relation per source. No windows, no doc-grain joins."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("source", F.explode(_tokens()).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count("*").cast("bigint").alias("cf"))
+    )
+    hap = F.sum(F.when(F.col("cf") == 1, 1).otherwise(0)).cast("bigint")
+    return (
+        tf.groupBy("source")
+        .agg(
+            F.sum("cf").cast("bigint").alias("n_tokens"),
+            F.count("*").cast("bigint").alias("vocab_size"),
+            hap.alias("n_hapax"),
+            F.round(hap.cast("double") / F.count("*"), 6).alias("hapax_vocab_share"),
+            F.round(hap.cast("double") / F.sum("cf"), 6).alias("hapax_token_share"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "text_garbage_token_panel",
+    tags=("text", "quality"),
+    oracle="""
+    WITH m AS (
+      SELECT source,
+             length(text) AS len,
+             length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS n_sym,
+             length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_dig,
+             length(regexp_replace(text, '[^A-Z]', '', 'g')) AS n_upp
+      FROM documents WHERE length(text) > 0
+    ),
+    per AS (
+      SELECT source,
+             CAST(floor(1e6 * CAST(n_sym AS DOUBLE) / len) AS BIGINT) AS sym_u,
+             CAST(floor(1e6 * CAST(n_dig AS DOUBLE) / len) AS BIGINT) AS dig_u,
+             CAST(floor(1e6 * CAST(n_upp AS DOUBLE) / len) AS BIGINT) AS upp_u
+      FROM m
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(CAST(sum(sym_u) AS DOUBLE) / count(*) / 1e6, 6)
+             AS avg_symbol_share,
+           round(CAST(sum(dig_u) AS DOUBLE) / count(*) / 1e6, 6)
+             AS avg_digit_share,
+           round(CAST(sum(upp_u) AS DOUBLE) / count(*) / 1e6, 6)
+             AS avg_upper_share,
+           CAST(sum(CASE WHEN sym_u > 100000 OR dig_u > 300000
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+           round(CAST(sum(CASE WHEN sym_u > 100000 OR dig_u > 300000
+                         THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+             AS flagged_share
+    FROM per GROUP BY source ORDER BY source
+    """,
+)
+def text_garbage_token_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Garbage-text detector panel (the OCR-noise / markup-residue
+    heuristics of pre-training cleaning pipelines, C4/CCNet family):
+    per-document symbol, digit, and uppercase character shares, rolled
+    to source grain with a flag rate at the classic fences (>10%
+    symbols or >30% digits). Complements quality_gopher_rules (word
+    structure) and quality_ccnet_buckets (LM perplexity): character-class
+    composition catches base64 blobs, hex dumps, and table debris that
+    both of those pass.
+
+    Exactness: char-class counts via identical regex character classes
+    on both engines (ASCII classes -- locale-free); per-doc shares floor
+    to integer MICRO-UNITS before the source sum (order-free), the
+    micro-unit snap discipline; flags compare in integer space.
+
+    Scale: pure per-row column arithmetic (no explode -- counts come
+    from regexp_replace length deltas), one map-side-combinable source
+    rollup. Docs never shuffle; only their per-class counts do."""
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    ln = F.length("text")
+    cls = lambda pat: F.length(F.regexp_replace("text", pat, ""))  # noqa: E731
+    per = d.select(
+        "source",
+        F.floor(1e6 * cls("[A-Za-z0-9 ]").cast("double") / ln).cast("bigint").alias("sym_u"),
+        F.floor(1e6 * cls("[^0-9]").cast("double") / ln).cast("bigint").alias("dig_u"),
+        F.floor(1e6 * cls("[^A-Z]").cast("double") / ln).cast("bigint").alias("upp_u"),
+    )
+    flag = F.sum(
+        F.when((F.col("sym_u") > 100000) | (F.col("dig_u") > 300000), 1).otherwise(0)
+    ).cast("bigint")
+    return (
+        per.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.round(F.sum("sym_u").cast("double") / F.count("*") / 1e6, 6).alias(
+                "avg_symbol_share"
+            ),
+            F.round(F.sum("dig_u").cast("double") / F.count("*") / 1e6, 6).alias(
+                "avg_digit_share"
+            ),
+            F.round(F.sum("upp_u").cast("double") / F.count("*") / 1e6, 6).alias(
+                "avg_upper_share"
+            ),
+            flag.alias("n_flagged"),
+            F.round(flag.cast("double") / F.count("*"), 6).alias("flagged_share"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "docs_lang_confusion_matrix",
+    tags=("text", "quality"),
+    oracle=f"""
+    WITH pred AS (
+      SELECT lang AS declared,
+             CASE
+               WHEN {_oracle_hits('en')} >= {_oracle_hits('de')}
+                AND {_oracle_hits('en')} >= {_oracle_hits('fr')} THEN 'en'
+               WHEN {_oracle_hits('de')} >= {_oracle_hits('fr')} THEN 'de'
+               ELSE 'fr'
+             END AS detected
+      FROM documents
+    ),
+    tot AS (
+      SELECT declared, CAST(count(*) AS BIGINT) AS n_declared
+      FROM pred GROUP BY 1
+    )
+    SELECT p.declared, p.detected,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(CAST(count(*) AS DOUBLE) / t.n_declared, 6) AS row_share
+    FROM pred p JOIN tot t ON p.declared = t.declared
+    GROUP BY p.declared, p.detected, t.n_declared
+    ORDER BY p.declared, p.detected
+    """,
+)
+def docs_lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared-vs-detected language confusion matrix: the text_lang_id
+    marker heuristic re-run corpus-wide and cross-tabulated against the
+    metadata ``lang`` column, with per-declared-language row shares. The
+    LABEL-QUALITY audit of the curation pipeline: a 'de' row mostly
+    detected as 'en' means either mislabeled ingestion (fix the source)
+    or an under-trained detector (fix the markers) -- and languages the
+    detector cannot emit (zh/es here) show exactly which rows fall
+    through to the argmax default, the honest picture of a 3-class
+    detector on a 5-language corpus. quality_language_purity audits
+    marker MIXTURE per doc; this audits the LABELS.
+
+    Exactness: the detector is the same deterministic
+    set-intersection/argmax both engines run in text_lang_id; counts
+    integer; one row-share division at 6dp.
+
+    Scale: per-doc marker intersection is a map-side array op (no
+    explode); the matrix is a map-side-combinable (declared, detected)
+    agg with a broadcast row-total join -- at most |langs|^2 rows
+    leave the executors."""
+    d = load_table(spark, sf_dir, "documents")
+    en, de, fr = (_marker_hits(lang) for lang in ("en", "de", "fr"))
+    detected = (
+        F.when((en >= de) & (en >= fr), "en").when(de >= fr, "de").otherwise("fr")
+    )
+    pred = d.select(F.col("lang").alias("declared"), detected.alias("detected"))
+    tot = pred.groupBy("declared").agg(
+        F.count("*").cast("bigint").alias("n_declared")
+    )
+    return (
+        pred.groupBy("declared", "detected")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+        .join(F.broadcast(tot), "declared")
+        .select(
+            "declared",
+            "detected",
+            "n_docs",
+            F.round(F.col("n_docs").cast("double") / F.col("n_declared"), 6).alias(
+                "row_share"
+            ),
+        )
+        .orderBy("declared", "detected")
+    )

@@ -128,6 +128,12 @@ _CHECK_ORDER = [
     "orders_fulfillment_sla_weekly",
     "supplier_latency_trend_by_nation",
     "customer_purchase_regularity_by_segment",
+    "cdc_hot_key_skew_daily",
+    "cdc_payload_size_profile",
+    "text_hapax_legomena_share",
+    "text_garbage_token_panel",
+    "docs_lang_confusion_matrix",
+    "docs_length_gini_by_source",
 ]
 # Provenance: the round-11 window, fully attested by CORRECTNESS_r11
 # (45 hash-green + 5 rows-only-clean: ann_index_cell_balance_profile,

@@ -134,6 +134,12 @@ _R12_CHECK_WINDOW = [
     "orders_fulfillment_sla_weekly",
     "supplier_latency_trend_by_nation",
     "customer_purchase_regularity_by_segment",
+    "cdc_hot_key_skew_daily",
+    "cdc_payload_size_profile",
+    "text_hapax_legomena_share",
+    "text_garbage_token_panel",
+    "docs_lang_confusion_matrix",
+    "docs_length_gini_by_source",
 ]
 
 
