@@ -1367,3 +1367,119 @@ def graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not rows:
         return spark.createDataFrame([], schema)
     return spark.createDataFrame(rows, schema).orderBy("k")
+
+
+@register(
+    "graph_degree_tail_alpha",
+    tags=("graph", "stats"),
+    oracle="""
+    WITH deg AS (
+      SELECT l_suppkey, CAST(count(DISTINCT l_partkey) AS BIGINT) AS d
+      FROM lineitem GROUP BY l_suppkey
+    ),
+    top AS (
+      SELECT d,
+             CAST(row_number() OVER (ORDER BY d DESC, l_suppkey) AS BIGINT)
+               AS rk
+      FROM deg QUALIFY rk <= 100
+    ),
+    xk AS (SELECT d AS xk_d FROM top WHERE rk = (SELECT max(rk) FROM top)),
+    h AS (
+      SELECT CAST(max(top.rk) AS BIGINT) AS k,
+             sum(CAST(CASE WHEN top.rk < (SELECT max(rk) FROM top)
+                 THEN ln(CAST(top.d AS DOUBLE)) - ln(CAST(xk.xk_d AS DOUBLE))
+                 ELSE 0 END AS DECIMAL(20,15))) AS lsum
+      FROM top CROSS JOIN xk
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+             CAST(sum(d) AS BIGINT) AS n_stubs,
+             CAST(max(d) AS BIGINT) AS max_degree
+      FROM deg
+    )
+    SELECT s.n_nodes, s.n_stubs, s.max_degree, h.k,
+           CAST(xk.xk_d AS BIGINT) AS threshold_degree,
+           round(CAST(h.lsum AS DOUBLE) / (h.k - 1), 6) AS hill_h,
+           round((h.k - 1) / nullif(CAST(h.lsum AS DOUBLE), 0), 6)
+             AS tail_alpha
+    FROM s CROSS JOIN h CROSS JOIN xk
+    WHERE h.k >= 2
+    """,
+)
+def graph_degree_tail_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-distribution tail index of the supplier-part bipartite
+    graph (supplier degree = distinct parts supplied), by the Hill
+    estimator over the top-100 degrees -- the scale-free-ness check of
+    the graph-analytics suite. alpha near 2 is the Barabasi-Albert
+    heavy-tail regime where HUB SUPPLIERS dominate: any per-supplier
+    shuffle key (and the wedge counting inside triangle/truss passes)
+    inherits that skew, so this one number says whether the
+    cdc_hot_key_skew_daily-style mitigations apply to the GRAPH
+    operators too. Complements graph_rich_club_coefficient (which asks
+    how hubs interconnect; this asks how heavy the hub law is) and
+    orders_pareto_tail_index (same estimator, revenue domain).
+
+    Exactness: degrees are exact integer distinct counts; the top-k cut
+    is fully tie-broken (degree desc, suppkey); each ln term snaps to
+    DECIMAL(20,15) before the order-free sum (the Hill discipline from
+    orders_pareto_tail_index); one guarded division.
+
+    Scale: one (supplier, part) distinct agg over the fact table (the
+    same reduction the single-source-risk panel rides), TakeOrdered
+    top-100, then 100-row arithmetic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    deg = li.groupBy("l_suppkey").agg(
+        F.countDistinct("l_partkey").cast("bigint").alias("d")
+    ).localCheckpoint(eager=False)  # stats fold + top-k consume it
+    top = (
+        deg.orderBy(F.col("d").desc(), "l_suppkey")
+        .limit(100)
+        .select(
+            "d",
+            F.row_number()
+            .over(Window.orderBy(F.col("d").desc(), "l_suppkey"))
+            .cast("bigint")
+            .alias("rk"),
+        )
+        .localCheckpoint(eager=False)  # xk + fold consume it
+    )
+    kmax = top.agg(F.max("rk").alias("km"))
+    xk = top.crossJoin(F.broadcast(kmax)).filter(F.col("rk") == F.col("km")).select(
+        F.col("d").alias("xk_d")
+    )
+    h = (
+        top.crossJoin(F.broadcast(kmax))
+        .crossJoin(F.broadcast(xk))
+        .agg(
+            F.max("rk").cast("bigint").alias("k"),
+            F.sum(
+                F.when(
+                    F.col("rk") < F.col("km"),
+                    (F.log(F.col("d").cast("double")) - F.log(F.col("xk_d").cast("double")))
+                    .cast("decimal(20,15)"),
+                ).otherwise(F.lit(0).cast("decimal(20,15)"))
+            ).alias("lsum"),
+        )
+    )
+    s = deg.agg(
+        F.count("*").cast("bigint").alias("n_nodes"),
+        F.sum("d").cast("bigint").alias("n_stubs"),
+        F.max("d").cast("bigint").alias("max_degree"),
+    )
+    return (
+        s.crossJoin(F.broadcast(h))
+        .crossJoin(F.broadcast(xk))
+        .filter(F.col("k") >= 2)
+        .select(
+            "n_nodes",
+            "n_stubs",
+            "max_degree",
+            "k",
+            F.col("xk_d").cast("bigint").alias("threshold_degree"),
+            F.round(F.col("lsum").cast("double") / (F.col("k") - 1), 6).alias("hill_h"),
+            F.round(
+                (F.col("k") - 1) / F.nullif(F.col("lsum").cast("double"), F.lit(0.0)),
+                6,
+            ).alias("tail_alpha"),
+        )
+    )

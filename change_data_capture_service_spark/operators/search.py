@@ -1350,3 +1350,109 @@ def search_query_likelihood_dirichlet(spark: SparkSession, sf_dir: str) -> DataF
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(_TOP)
     )
+
+
+# The agreement panel below REUSES the two rankers' registered oracle
+# texts verbatim (single source of truth: a tuning change to either
+# ranker cannot desynchronize this panel's oracle).
+from ..registry import _REGISTRY as _REG  # noqa: E402
+
+_BM25_ORACLE = _REG["search_bm25"].oracle
+_QL_ORACLE = _REG["search_query_likelihood_dirichlet"].oracle
+
+
+@register(
+    "search_bm25_vs_ql_overlap",
+    tags=("text", "search"),
+    oracle=f"""
+    WITH bm AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+               AS rn
+      FROM ({_BM25_ORACLE}) b
+    ),
+    qlr AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+               AS rn
+      FROM ({_QL_ORACLE}) q
+    ),
+    j AS (
+      SELECT bm.doc_id, bm.rn AS rn_bm, qlr.rn AS rn_ql
+      FROM bm JOIN qlr ON bm.doc_id = qlr.doc_id
+    ),
+    u AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_union
+      FROM (SELECT doc_id FROM bm UNION SELECT doc_id FROM qlr)
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_common,
+           round(CAST(count(*) AS DOUBLE) / u.n_union, 6) AS jaccard,
+           CAST(coalesce(sum(abs(j.rn_bm - j.rn_ql)), 0) AS BIGINT)
+             AS footrule_common,
+           CAST(coalesce(max(CASE WHEN j.rn_bm = 1 AND j.rn_ql = 1
+                             THEN 1 ELSE 0 END), 0) AS BIGINT) AS top1_same
+    FROM u LEFT JOIN j ON TRUE
+    GROUP BY u.n_union
+    """,
+)
+def search_bm25_vs_ql_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranker-agreement panel between the two lexical rankers this engine
+    ships (Lucene-parity BM25 and Dirichlet query likelihood) on their
+    shared query: top-{_TOP} overlap count, Jaccard of the two lists,
+    Spearman's footrule distance on the common documents, and whether
+    they crown the same #1. The eval every ranking migration reads
+    before swapping similarities in the search sink: high Jaccard +
+    small footrule means the swap is cosmetic; a top1 flip on a large
+    overlap means the head is contested exactly where users look. Both
+    rankings re-derive from the rankers' OWN registered definitions
+    (shared SQL text), so this panel can never drift from them.
+
+    Exactness: both input rankings are already deterministic
+    (round-then-order at 6dp, doc_id tiebreak); ranks, the footrule sum,
+    and the overlap are exact integers; one Jaccard division at 6dp.
+    The constant-relation LEFT JOIN keeps the panel total (one row even
+    on a zero-overlap corpus -- the alpha-DCG totality contract).
+
+    Scale: two postings-bounded ranking plans (each documented at its
+    own key) producing {_TOP}-row lists; everything here joins and folds
+    {_TOP}-row relations."""
+    bm = search_bm25(spark, sf_dir).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("score").desc(), "doc_id"))
+        .cast("bigint")
+        .alias("rn_bm"),
+    )
+    ql = search_query_likelihood_dirichlet(spark, sf_dir).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("score").desc(), "doc_id"))
+        .cast("bigint")
+        .alias("rn_ql"),
+    )
+    j = bm.join(ql, "doc_id").localCheckpoint(eager=False)
+    u = bm.select("doc_id").union(ql.select("doc_id")).distinct().agg(
+        F.count("*").cast("bigint").alias("n_union")
+    )
+    agg = j.agg(
+        F.count("*").cast("bigint").alias("n_common"),
+        F.coalesce(F.sum(F.abs(F.col("rn_bm") - F.col("rn_ql"))), F.lit(0))
+        .cast("bigint")
+        .alias("footrule_common"),
+        F.coalesce(
+            F.max(
+                F.when((F.col("rn_bm") == 1) & (F.col("rn_ql") == 1), 1).otherwise(0)
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("top1_same"),
+    )
+    return u.join(agg, F.lit(True), "left").select(
+        "n_common",
+        F.round(F.col("n_common").cast("double") / F.col("n_union"), 6).alias(
+            "jaccard"
+        ),
+        "footrule_common",
+        "top1_same",
+    )

@@ -2424,3 +2424,135 @@ def sample_kcenter_coreset(spark: SparkSession, sf_dir: str, k: int = 16) -> Dat
         [(r, vid, round(rad, 6) if rad is not None else None) for r, vid, rad in centers],
         "center_rank bigint, vec_id bigint, coverage_radius double",
     ).orderBy("center_rank")
+
+
+@register(
+    "knn_lowe_ratio_profile",
+    tags=("similarity", "northstar"),
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cosine
+      FROM v q JOIN v c ON q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+    ),
+    rk AS (
+      SELECT query_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rnk
+      FROM scored
+    )
+    SELECT query_id,
+           CAST(max(CASE WHEN rnk = 1 THEN neighbor_id END) AS BIGINT)
+             AS nn1_id,
+           max(CASE WHEN rnk = 1 THEN cosine END) AS nn1_cosine,
+           max(CASE WHEN rnk = 2 THEN cosine END) AS nn2_cosine,
+           round((1.0 - max(CASE WHEN rnk = 1 THEN cosine END))
+                 / nullif(1.0 - max(CASE WHEN rnk = 2 THEN cosine END), 0), 6)
+             AS lowe_ratio,
+           CAST(CASE WHEN (1.0 - max(CASE WHEN rnk = 1 THEN cosine END))
+                      / nullif(1.0 - max(CASE WHEN rnk = 2 THEN cosine END), 0)
+                      < 0.8 THEN 1 ELSE 0 END AS BIGINT) AS is_distinctive
+    FROM rk WHERE rnk <= 2
+    GROUP BY query_id ORDER BY query_id
+    """,
+)
+def knn_lowe_ratio_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lowe's ratio test over the exact top-2 neighbors (Lowe 2004,
+    the SIFT matching criterion generalized to cosine distance):
+    d1/d2 where d = 1 - cosine. A ratio well under the classic 0.8
+    fence means the best match is DISTINCTIVE (no runner-up ambiguity
+    -- trust it); a ratio near 1 means the query sits in a dense,
+    ambiguous neighborhood where top-1 retrieval is a coin flip --
+    exactly the queries knn_hubness_profile's hub analysis explains
+    corpus-wide, diagnosed here per query. Runs on the same exact
+    scorer rails as knn_cosine_topk.
+
+    Exactness: cosines are round(.,6)-snapped before ranking (the
+    similarity-family convention), so the ratio is a deterministic
+    arithmetic of already-stable values; the zero-distance runner-up
+    guards through nullif on both engines.
+
+    Scale: the two-stage exact scorer (broadcast queries, corpus never
+    shuffles, partition-local top-k) at k = 2 -- pre-window row count
+    is partitions x queries x 2, corpus-size-independent."""
+    top2 = _exact_cosine_topk(spark, sf_dir, 2)
+    d1 = 1.0 - F.max(F.when(F.col("rnk") == 1, F.col("cosine")))
+    d2 = 1.0 - F.max(F.when(F.col("rnk") == 2, F.col("cosine")))
+    ratio = d1 / F.nullif(d2, F.lit(0.0))
+    return (
+        top2.groupBy("query_id")
+        .agg(
+            F.max(F.when(F.col("rnk") == 1, F.col("neighbor_id")))
+            .cast("bigint")
+            .alias("nn1_id"),
+            F.max(F.when(F.col("rnk") == 1, F.col("cosine"))).alias("nn1_cosine"),
+            F.max(F.when(F.col("rnk") == 2, F.col("cosine"))).alias("nn2_cosine"),
+            F.round(ratio, 6).alias("lowe_ratio"),
+            F.when(ratio < 0.8, F.lit(1)).otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("is_distinctive"),
+        )
+        .orderBy("query_id")
+    )
+
+
+@register(
+    "embedding_exact_duplicate_audit",
+    tags=("similarity", "dq"),
+    oracle="""
+    WITH g AS (
+      SELECT embedding, CAST(count(*) AS BIGINT) AS sz
+      FROM embeddings GROUP BY embedding
+    )
+    SELECT CAST(sum(sz) AS BIGINT) AS n_vectors,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           CAST(sum(CASE WHEN sz > 1 THEN sz ELSE 0 END) AS BIGINT)
+             AS n_in_dup_groups,
+           CAST(sum(CASE WHEN sz > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_groups,
+           CAST(max(sz) AS BIGINT) AS max_group_size,
+           round(CAST(sum(CASE WHEN sz > 1 THEN sz - 1 ELSE 0 END) AS DOUBLE)
+                 / sum(sz), 6) AS removable_share
+    FROM g
+    """,
+)
+def embedding_exact_duplicate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise-exact duplicate-vector audit: group the corpus by the
+    embedding value itself and profile the collision spectrum. Exact
+    duplicates are the degenerate failure every ANN review should rule
+    out FIRST -- they are what a re-encoded shard, a default/zero-init
+    bug, or a double-ingest produces, they silently distort centroid
+    fits (ann_index build) and recall math, and no near-dup machinery
+    (dedup_embedding_cosine) is needed to find them. removable_share is
+    the storage/compute that pure exact dedup would reclaim.
+
+    Exactness: grouping is by bit-identical float arrays (both engines
+    read the same parquet floats; no arithmetic touches the values),
+    counts are integers, one share division at 6dp.
+
+    Scale: ONE hash aggregate keyed by the vector bytes (the only time
+    vectors themselves shuffle -- at dim 64 the key is 256 bytes,
+    comparable to a long text key; for kilodim vectors, pre-hash to
+    sha2(vector) and group by the digest, same plan shape as
+    multimodal_exact_byte_dedup). The verdict panel is one row."""
+    e = load_table(spark, sf_dir, "embeddings")
+    g = e.groupBy("embedding").agg(F.count("*").cast("bigint").alias("sz"))
+    dup_sz = F.sum(F.when(F.col("sz") > 1, F.col("sz")).otherwise(0)).cast("bigint")
+    return g.agg(
+        F.sum("sz").cast("bigint").alias("n_vectors"),
+        F.count("*").cast("bigint").alias("n_distinct"),
+        dup_sz.alias("n_in_dup_groups"),
+        F.sum(F.when(F.col("sz") > 1, 1).otherwise(0)).cast("bigint").alias("n_dup_groups"),
+        F.max("sz").cast("bigint").alias("max_group_size"),
+        F.round(
+            F.sum(F.when(F.col("sz") > 1, F.col("sz") - 1).otherwise(0)).cast("double")
+            / F.sum("sz"),
+            6,
+        ).alias("removable_share"),
+    )

@@ -134,6 +134,13 @@ _CHECK_ORDER = [
     "text_garbage_token_panel",
     "docs_lang_confusion_matrix",
     "docs_length_gini_by_source",
+    "search_bm25_vs_ql_overlap",
+    "knn_lowe_ratio_profile",
+    "embedding_exact_duplicate_audit",
+    "graph_degree_tail_alpha",
+    # -- re-attestation: green keys whose impl files changed this round
+    # (the Holt/theta grain contract touched the fold family) --
+    "events_holt_linear_mae",
 ]
 # Provenance: the round-11 window, fully attested by CORRECTNESS_r11
 # (45 hash-green + 5 rows-only-clean: ann_index_cell_balance_profile,

@@ -140,6 +140,12 @@ _R12_CHECK_WINDOW = [
     "text_garbage_token_panel",
     "docs_lang_confusion_matrix",
     "docs_length_gini_by_source",
+    "search_bm25_vs_ql_overlap",
+    "knn_lowe_ratio_profile",
+    "embedding_exact_duplicate_audit",
+    "graph_degree_tail_alpha",
+    # re-attestation: diff-touched fold family (grain contract)
+    "events_holt_linear_mae",
 ]
 
 
