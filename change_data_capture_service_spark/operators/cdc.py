@@ -2061,7 +2061,16 @@ def cdc_throughput_percentiles_minute(spark: SparkSession, sf_dir: str) -> DataF
     e = load_table(spark, sf_dir, "events")
     mb = e.filter(F.col("ts").isNotNull()).groupBy(
         F.date_trunc("minute", "ts").alias("m")
-    ).agg(F.count("*").cast("bigint").alias("n")).localCheckpoint(
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    return throughput_panel_from_minutes(mb)
+
+
+def throughput_panel_from_minutes(mb: DataFrame) -> DataFrame:
+    """The percentile/max panel fold over a (m, n) minute-count relation
+    -- shared by the batch key above and by the streaming twin's finish
+    step (``streaming.stateful.throughput_finish``), so the drained
+    stream and the batch query are the SAME arithmetic by construction."""
+    mb = mb.localCheckpoint(
         eager=False
     )  # three percentile passes + the count/max agg consume it
     mbg = mb.withColumn("g", F.lit(1))

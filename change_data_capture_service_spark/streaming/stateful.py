@@ -506,3 +506,54 @@ def watermark_skew_finish(panel: DataFrame) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+MINUTE_COUNT_OUTPUT_SCHEMA = "m timestamp, n long"
+MINUTE_COUNT_STATE_SCHEMA = "n long"
+
+
+def _minute_count_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-minute running count: state is ONE long per touched minute.
+    The stream twin of the batch minute rollup feeding
+    ``cdc_throughput_percentiles_minute`` -- each micro-batch re-emits
+    every touched minute's latest count (update mode), so the drained
+    latest-row-per-minute panel IS the batch (m, n) relation."""
+    n = state.get[0] if state.exists else 0
+    for pdf in pdfs:
+        n += len(pdf)
+    state.update((n,))
+    yield pd.DataFrame([(key[0], n)], columns=["m", "n"])
+
+
+def minute_count_stream(events_stream: DataFrame) -> DataFrame:
+    """Continuous per-minute event-count tracker (applyInPandasWithState,
+    update mode), keyed by the minute bucket: O(1) state per TOUCHED
+    minute, the natural event-time key (late rows fold into their own
+    minute's state, not a wrong one). Once the feed drains,
+    ``throughput_finish`` over the latest row per minute equals the
+    batch ``cdc_throughput_percentiles_minute`` exactly
+    (tests/test_streaming.py pins it). Input needs (ts) non-null."""
+    from pyspark.sql import functions as F
+
+    return (
+        events_stream.withColumn("m", F.date_trunc("minute", "ts"))
+        .groupBy("m")
+        .applyInPandasWithState(
+            _minute_count_fn,
+            outputStructType=MINUTE_COUNT_OUTPUT_SCHEMA,
+            stateStructType=MINUTE_COUNT_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def throughput_finish(panel: DataFrame) -> DataFrame:
+    """Finishing fold for ``minute_count_stream``'s drained (m, n) panel:
+    delegates to the SAME ``throughput_panel_from_minutes`` the batch key
+    runs, so stream-drained and batch panels are one arithmetic."""
+    from ..operators.cdc import throughput_panel_from_minutes
+
+    return throughput_panel_from_minutes(panel)

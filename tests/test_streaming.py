@@ -900,3 +900,65 @@ def test_watermark_skew_stream_equals_batch(spark, sf_dir, tmp_path):
     }
     assert len(got) > 0
     assert got == want
+
+
+def test_throughput_stream_equals_batch(spark, sf_dir, tmp_path):
+    """The per-minute-keyed streaming count + the shared finishing fold
+    must equal the registered batch burst panel exactly once the feed
+    drains. Two time-split files force minute states to accumulate
+    across micro-batches."""
+    import os
+    import shutil
+
+    from change_data_capture_service_spark import registry
+    from change_data_capture_service_spark.catalog import load_table
+    from change_data_capture_service_spark.streaming.stateful import (
+        minute_count_stream,
+        throughput_finish,
+    )
+
+    registry.load_all()
+    src = str(tmp_path / "tp_events")
+    os.makedirs(src)
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.filter(F.col("ts").isNotNull()).select("ts")
+    mid = base.agg(
+        F.date_trunc("day", F.min("ts")) + F.expr("INTERVAL 9 DAY")
+    ).collect()[0][0]
+    for name, part in (
+        ("a_first.parquet", base.filter(F.col("ts") < F.lit(mid))),
+        ("z_second.parquet", base.filter(F.col("ts") >= F.lit(mid))),
+    ):
+        tmp = f"{src}/_tmp"
+        part.coalesce(1).write.parquet(tmp)
+        for f in os.listdir(tmp):
+            if f.endswith(".parquet"):
+                shutil.move(f"{tmp}/{f}", f"{src}/{name}")
+        shutil.rmtree(tmp)
+
+    stream = spark.readStream.schema("ts timestamp").option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    q = (
+        minute_count_stream(stream)
+        .writeStream.format("memory")
+        .queryName("tp_out")
+        .outputMode("update")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    latest = {}
+    for r in spark.sql("SELECT * FROM tp_out").collect():
+        latest[r["m"]] = r["n"]  # last update per minute wins
+    panel = spark.createDataFrame(
+        [(k, v) for k, v in latest.items()], "m timestamp, n long"
+    )
+    got = throughput_finish(panel).collect()[0].asDict()
+    want = (
+        registry.get("cdc_throughput_percentiles_minute")
+        .fn(spark, sf_dir)
+        .collect()[0]
+        .asDict()
+    )
+    assert got == want
