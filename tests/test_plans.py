@@ -656,3 +656,80 @@ def test_round12_stock_shuffle_budgets(spark, sf_dir):
         f"page-hinkley shuffled {m2['shuffleRecordsWritten']} records for "
         f"{n_days} days"
     )
+
+
+def test_round12_batch_plan_shapes(spark, sf_dir):
+    """Plan gates for the round-12 batch's heavier members:
+
+    - substitute pairs: the self-join CUT must be the type equi-key
+      (a SortMergeJoin/BroadcastHashJoin with join keys, never a
+      cartesian BNLJ over the part dimension) and the top-50 a
+      TakeOrderedAndProject;
+    - hot-key skew: the day-partitioned rank pass keeps WindowGroupLimit
+      (map-side top-10 truncation);
+    - shift-share: dims broadcast into the single fact pass;
+    - latency trend: dims broadcast; no window anywhere (pure moment
+      fold);
+    - ranker overlap: both input rankings keep TakeOrderedAndProject."""
+    sp = registry.get("part_substitute_pairs").fn(spark, sf_dir)
+    plan = P.formatted_plan(sp)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+    hk = registry.get("cdc_hot_key_skew_daily").fn(spark, sf_dir)
+    assert "WindowGroupLimit" in P.formatted_plan(hk)
+
+    ss = registry.get("nation_revenue_shift_share").fn(spark, sf_dir)
+    assert P.uses_broadcast_join(ss)
+
+    lt = registry.get("supplier_latency_trend_by_nation").fn(spark, sf_dir)
+    pl = P.formatted_plan(lt)
+    assert P.uses_broadcast_join(lt)
+    assert "Window" not in pl
+
+    ov = registry.get("search_bm25_vs_ql_overlap").fn(spark, sf_dir)
+    assert P.formatted_plan(ov).count("TakeOrderedAndProject") >= 2
+
+    # graph_degree_tail_alpha's top-100 TakeOrdered sits BEHIND its
+    # localCheckpoint (the final plan shows the materialized RDD scan),
+    # so gate the un-checkpointed generator shape instead: the same
+    # orderBy+limit over the degree relation must plan as TakeOrdered.
+    from change_data_capture_service_spark.catalog import load_table
+
+    deg = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(F.countDistinct("l_partkey").cast("bigint").alias("d"))
+        .orderBy(F.col("d").desc(), "l_suppkey")
+        .limit(100)
+    )
+    assert "TakeOrderedAndProject" in P.formatted_plan(deg)
+
+
+def test_round12_batch_shuffle_budgets(spark, sf_dir):
+    """Executed-metrics gates for the day/dim-grain round-12 panels:
+    shuffle records stay domain-bounded regardless of event volume."""
+    from change_data_capture_service_spark.catalog import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    n_tasks = e.rdd.getNumPartitions()
+    n_days = (
+        e.filter(F.col("ts").isNotNull())
+        .select(F.date_trunc("day", "ts"))
+        .distinct()
+        .count()
+    )
+
+    for key, bound in (
+        ("events_kpss_level_stat", (n_tasks + 3) * n_days),
+        ("events_turning_points_test", (n_tasks + 3) * n_days),
+        ("events_variance_time_ratio", (n_tasks + 4) * n_days),
+        ("events_median_test_weekend", (n_tasks + 4) * n_days),
+    ):
+        df = registry.get(key).fn(spark, sf_dir)
+        df.collect()
+        m = P.executed_metrics(df, ("shuffleRecordsWritten",))
+        assert m["shuffleRecordsWritten"] <= bound, (
+            f"{key} shuffled {m['shuffleRecordsWritten']} records for"
+            f" {n_days} days -- day-grain reduction lost"
+        )
