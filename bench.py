@@ -58,6 +58,9 @@ EXTENDED = [
     "text_rake_keywords",            # round-11c: per-doc run windows + vocab-grain joins
     "dedup_cluster_profile",         # round-11c: iterative components + doc-keyed profile join
     "events_topk_drift_weekly",      # round-11c: week-grain rank windows + top-set self-join
+    "cdc_hot_key_skew_daily",        # round-12: (day,key) reduce + WindowGroupLimit top-10
+    "part_substitute_pairs",         # round-12: type-blocked fuzzy self-join + TakeOrdered
+    "search_bm25_vs_ql_overlap",     # round-12: two postings-probe rankings + 20-row panel
 ]
 
 

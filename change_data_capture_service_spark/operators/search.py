@@ -1385,8 +1385,9 @@ _QL_ORACLE = _REG["search_query_likelihood_dirichlet"].oracle
       SELECT CAST(count(*) AS BIGINT) AS n_union
       FROM (SELECT doc_id FROM bm UNION SELECT doc_id FROM qlr)
     )
-    SELECT CAST(count(*) AS BIGINT) AS n_common,
-           round(CAST(count(*) AS DOUBLE) / u.n_union, 6) AS jaccard,
+    SELECT CAST(count(j.doc_id) AS BIGINT) AS n_common,
+           round(CAST(count(j.doc_id) AS DOUBLE) / nullif(u.n_union, 0), 6)
+             AS jaccard,
            CAST(coalesce(sum(abs(j.rn_bm - j.rn_ql)), 0) AS BIGINT)
              AS footrule_common,
            CAST(coalesce(max(CASE WHEN j.rn_bm = 1 AND j.rn_ql = 1
@@ -1450,9 +1451,10 @@ def search_bm25_vs_ql_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return u.join(agg, F.lit(True), "left").select(
         "n_common",
-        F.round(F.col("n_common").cast("double") / F.col("n_union"), 6).alias(
-            "jaccard"
-        ),
+        F.round(
+            F.col("n_common").cast("double") / F.nullif(F.col("n_union"), F.lit(0)),
+            6,
+        ).alias("jaccard"),
         "footrule_common",
         "top1_same",
     )
