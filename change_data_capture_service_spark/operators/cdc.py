@@ -2463,3 +2463,89 @@ def cdc_payload_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "cdc_state_size_projection",
+    tags=("cdc", "monitor"),
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type, ts,
+             CAST(length(props) AS BIGINT) AS sz
+      FROM events
+    ),
+    panels AS (
+      SELECT 'latest_state (per key)' AS operator,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_state_rows,
+             CAST(count(DISTINCT user_id)
+                  * (16 + CAST(max(sz) AS BIGINT)) AS BIGINT)
+               AS bytes_upper
+      FROM e
+      UNION ALL
+      SELECT 'gap_sla / watermark (per stream)',
+             CAST(count(DISTINCT event_type) AS BIGINT),
+             CAST(count(DISTINCT event_type) * 48 AS BIGINT)
+      FROM e
+      UNION ALL
+      SELECT 'minute_count (per touched minute)',
+             CAST(count(DISTINCT date_trunc('minute', ts)) AS BIGINT),
+             CAST(count(DISTINCT date_trunc('minute', ts)) * 16 AS BIGINT)
+      FROM e WHERE ts IS NOT NULL
+      UNION ALL
+      SELECT 'ewma_anomaly (per user-day open)',
+             CAST(count(DISTINCT user_id) AS BIGINT),
+             CAST(count(DISTINCT user_id) * 40 AS BIGINT)
+      FROM e
+    )
+    SELECT operator, n_state_rows, bytes_upper
+    FROM panels ORDER BY operator
+    """,
+)
+def cdc_state_size_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful-operator memory projection: for each streaming operator
+    family this engine ships (latest-state upsert, per-stream SLA /
+    watermark trackers, per-minute throughput counts, per-user EWMA),
+    the state-row count its key grain implies on THIS corpus and an
+    upper-bound byte estimate from the declared state schema (fixed
+    fields + the max payload for the value-carrying state). The
+    capacity-planning panel behind every applyInPandasWithState
+    operator's "O(keys) across the cluster" claim -- run it on a
+    sample before sizing executor memory, exactly as the reference
+    would size its ES upsert map. Byte constants are the documented
+    state-schema widths (8B longs + string payloads), an UPPER bound,
+    not a JVM-object measurement.
+
+    Exactness: distinct counts are exact; byte arithmetic is integer.
+
+    Scale: one pass over the log computing four distinct-aggregates
+    (each map-side partial); the panel is 4 rows."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", F.length("props").cast("bigint").alias("sz")
+    ).localCheckpoint(eager=False)  # four panel branches consume it
+    lat = e.agg(
+        F.countDistinct("user_id").alias("nk"), F.max("sz").alias("mx")
+    ).select(
+        F.lit("latest_state (per key)").alias("operator"),
+        F.col("nk").cast("bigint").alias("n_state_rows"),
+        (F.col("nk") * (16 + F.col("mx"))).cast("bigint").alias("bytes_upper"),
+    )
+    stream = e.agg(F.countDistinct("event_type").alias("nt")).select(
+        F.lit("gap_sla / watermark (per stream)").alias("operator"),
+        F.col("nt").cast("bigint").alias("n_state_rows"),
+        (F.col("nt") * 48).cast("bigint").alias("bytes_upper"),
+    )
+    minute = (
+        e.filter(F.col("ts").isNotNull())
+        .agg(F.countDistinct(F.date_trunc("minute", "ts")).alias("nm"))
+        .select(
+            F.lit("minute_count (per touched minute)").alias("operator"),
+            F.col("nm").cast("bigint").alias("n_state_rows"),
+            (F.col("nm") * 16).cast("bigint").alias("bytes_upper"),
+        )
+    )
+    ewma = e.agg(F.countDistinct("user_id").alias("nu")).select(
+        F.lit("ewma_anomaly (per user-day open)").alias("operator"),
+        F.col("nu").cast("bigint").alias("n_state_rows"),
+        (F.col("nu") * 40).cast("bigint").alias("bytes_upper"),
+    )
+    return lat.unionAll(stream).unionAll(minute).unionAll(ewma).orderBy("operator")

@@ -5367,3 +5367,331 @@ def customer_purchase_regularity_by_segment(
         )
         .orderBy("segment")
     )
+
+
+@register(
+    "orders_completion_curve_weekly",
+    tags=("warehouse", "analytics"),
+    oracle="""
+    WITH per_order AS (
+      SELECT o.o_orderkey,
+             CAST(ceil(CAST(date_diff('day', o.o_orderdate,
+                                      max(l.l_shipdate)) AS DOUBLE) / 7)
+                  AS BIGINT) AS weeks_to_complete
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderdate IS NOT NULL AND l.l_shipdate IS NOT NULL
+      GROUP BY o.o_orderkey, o.o_orderdate
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM per_order),
+    wk AS (SELECT CAST(unnest(range(1, 13)) AS BIGINT) AS w)
+    SELECT wk.w AS week,
+           CAST(sum(CASE WHEN p.weeks_to_complete <= wk.w THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_complete,
+           round(CAST(sum(CASE WHEN p.weeks_to_complete <= wk.w
+                          THEN 1 ELSE 0 END) AS DOUBLE) / tot.n, 6)
+             AS complete_share
+    FROM wk CROSS JOIN per_order p CROSS JOIN tot
+    GROUP BY wk.w, tot.n ORDER BY wk.w
+    """,
+)
+def orders_completion_curve_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-completion burn-down curve: the share of orders FULLY
+    shipped (their last line's shipdate) within w weeks of order
+    placement, for w = 1..12. orders_fulfillment_sla_weekly prices
+    line-level SLAs per calendar week; this is the order-level
+    completion CDF the promise-date policy is set from ("95% of orders
+    complete within N weeks" is read directly off this curve), and the
+    order-grain twin of the life-table view in
+    orders_interorder_hazard_curve.
+
+    Exactness: weeks-to-complete is integer ceil arithmetic on calendar
+    days; the curve is conditional integer counting against a constant
+    12-row week spine (always 12 rows out -- a flag-panel form, never
+    filtered to empty); one share division at 6dp.
+
+    Scale: ONE orderkey-co-partitioned fact-fact agg to order grain
+    (max shipdate per order), then a broadcast 12-row spine against the
+    order-grain relation folded map-side. The curve never sorts."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    per_order = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .filter(F.col("o_orderdate").isNotNull() & F.col("l_shipdate").isNotNull())
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("last_ship"))
+        .select(
+            F.ceil(
+                F.datediff("last_ship", "o_orderdate").cast("double") / 7
+            ).cast("bigint").alias("weeks_to_complete")
+        )
+    )
+    tot = per_order.agg(F.count("*").cast("bigint").alias("n"))
+    wk = spark.range(1, 13).select(F.col("id").cast("bigint").alias("week"))
+    return (
+        F.broadcast(wk)
+        .crossJoin(per_order)
+        .crossJoin(F.broadcast(tot))
+        .groupBy("week", "n")
+        .agg(
+            F.sum(F.when(F.col("weeks_to_complete") <= F.col("week"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_complete")
+        )
+        .select(
+            "week",
+            "n_complete",
+            F.round(F.col("n_complete").cast("double") / F.col("n"), 6).alias(
+                "complete_share"
+            ),
+        )
+        .orderBy("week")
+    )
+
+
+@register(
+    "part_sourcing_redundancy_panel",
+    tags=("warehouse", "monitor"),
+    oracle="""
+    WITH sp AS (
+      SELECT l_partkey, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS ns
+      FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_parts FROM sp),
+    tiers AS (
+      SELECT * FROM (VALUES ('single', 1, 1), ('dual', 2, 2),
+                            ('3-4', 3, 4), ('5+', 5, 9223372036854775807))
+        t(sourcing_tier, lo, hi)
+    ),
+    cnt AS (
+      SELECT t.sourcing_tier, t.lo,
+             CAST(count(sp.l_partkey) AS BIGINT) AS n_parts
+      FROM tiers t LEFT JOIN sp ON sp.ns BETWEEN t.lo AND t.hi
+      GROUP BY t.sourcing_tier, t.lo
+    )
+    SELECT c.sourcing_tier, c.n_parts,
+           round(CAST(c.n_parts AS DOUBLE) / tot.n_parts, 6) AS part_share
+    FROM cnt c CROSS JOIN tot
+    ORDER BY c.lo
+    """,
+)
+def part_sourcing_redundancy_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sourcing-redundancy tiers over the traded part base: how many
+    parts are single-/dual-/multi-sourced (distinct shipping suppliers
+    observed per part). The portfolio-level rollup of
+    part_single_source_risk (which lists the exposed SKUs; this sizes
+    the EXPOSURE CLASSES -- the number a resilience program tracks
+    quarter over quarter), and the supply-side mirror of
+    graph_degree_tail_alpha's supplier-degree law. The four tiers are a
+    CONSTANT spine (left-joined, zero-filled), so the panel always
+    emits 4 rows -- an empty tier is the healthy reading ("no
+    single-sourced parts"), not a vanished row (the flag-panel
+    discipline).
+
+    Exactness: distinct-supplier counts are exact; tier membership is
+    an integer BETWEEN; one share division at 6dp.
+
+    Scale: ONE (part, supplier) distinct reduction over the fact table,
+    then a broadcast 4-row spine join against the |parts|-grain
+    relation; 4 rows out."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sp = li.groupBy("l_partkey").agg(
+        F.countDistinct("l_suppkey").cast("bigint").alias("ns")
+    )
+    tot = sp.agg(F.count("*").cast("bigint").alias("n_parts_total"))
+    tiers = spark.createDataFrame(
+        [("single", 1, 1), ("dual", 2, 2), ("3-4", 3, 4),
+         ("5+", 5, 2**63 - 1)],
+        "sourcing_tier string, lo long, hi long",
+    )
+    cnt = (
+        F.broadcast(tiers)
+        .join(sp, (F.col("ns") >= F.col("lo")) & (F.col("ns") <= F.col("hi")), "left")
+        .groupBy("sourcing_tier", "lo")
+        .agg(F.count("l_partkey").cast("bigint").alias("n_parts"))
+    )
+    return (
+        cnt.crossJoin(F.broadcast(tot))
+        .select(
+            "sourcing_tier",
+            "n_parts",
+            F.round(
+                F.col("n_parts").cast("double") / F.col("n_parts_total"), 6
+            ).alias("part_share"),
+            F.col("lo"),
+        )
+        .orderBy("lo")
+        .drop("lo")
+    )
+
+
+@register(
+    "orders_priority_queueing_delay",
+    tags=("warehouse", "monitor"),
+    oracle="""
+    WITH x AS (
+      SELECT o.o_orderpriority AS priority,
+             CAST(date_diff('day', o.o_orderdate, l.l_shipdate) AS BIGINT)
+               AS delay_d
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderdate IS NOT NULL AND l.l_shipdate IS NOT NULL
+    ),
+    dom AS (
+      SELECT priority, delay_d, CAST(count(*) AS BIGINT) AS w
+      FROM x GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT priority, delay_d, w,
+             CAST(sum(w) OVER (PARTITION BY priority ORDER BY delay_d)
+                  AS BIGINT) AS c_end,
+             CAST(sum(w) OVER (PARTITION BY priority) AS BIGINT) AS n
+      FROM dom
+    ),
+    q AS (
+      SELECT p.pct, c.priority,
+             (100 * lo.delay_d + ((p.pct * (lo.n - 1)) % 100)
+              * (hi.delay_d - lo.delay_d)) // 100 AS qv
+      FROM (SELECT CAST(unnest([50, 90, 99]) AS BIGINT) AS pct) p
+      CROSS JOIN (SELECT DISTINCT priority FROM cum) c
+      JOIN cum lo ON lo.priority = c.priority
+        AND lo.c_end >= (p.pct * (lo.n - 1)) // 100 + 1
+        AND lo.c_end - lo.w < (p.pct * (lo.n - 1)) // 100 + 1
+      JOIN cum hi ON hi.priority = c.priority
+        AND hi.c_end >= CASE WHEN (p.pct * (lo.n - 1)) % 100 = 0
+                             THEN (p.pct * (lo.n - 1)) // 100 + 1
+                             ELSE (p.pct * (lo.n - 1)) // 100 + 2 END
+        AND hi.c_end - hi.w < CASE WHEN (p.pct * (lo.n - 1)) % 100 = 0
+                                   THEN (p.pct * (lo.n - 1)) // 100 + 1
+                                   ELSE (p.pct * (lo.n - 1)) // 100 + 2 END
+    ),
+    t AS (
+      SELECT priority, CAST(count(*) AS BIGINT) AS n_lines,
+             round(CAST(sum(CAST(delay_d AS DECIMAL(38,0))) AS DOUBLE)
+                   / count(*), 6) AS mean_delay_d
+      FROM x GROUP BY 1
+    )
+    SELECT t.priority, t.n_lines, t.mean_delay_d,
+           CAST(max(CASE WHEN q.pct = 50 THEN q.qv END) AS BIGINT) AS p50_d,
+           CAST(max(CASE WHEN q.pct = 90 THEN q.qv END) AS BIGINT) AS p90_d,
+           CAST(max(CASE WHEN q.pct = 99 THEN q.qv END) AS BIGINT) AS p99_d
+    FROM t JOIN q ON t.priority = q.priority
+    GROUP BY t.priority, t.n_lines, t.mean_delay_d
+    ORDER BY t.priority
+    """,
+)
+def orders_priority_queueing_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does priority BUY latency? Per order priority: line-level
+    order-to-ship delay mean and exact p50/p90/p99. If 1-URGENT's p99
+    matches 5-LOW's, the priority field is decorative and
+    orders_priority_sla_breach's alerting thresholds are mis-calibrated
+    -- this is the queueing-discipline audit behind that breach
+    monitor, on the shared exact-interpolation percentile rails
+    (domain-grain: delays are small integers, so the rank pass runs on
+    the (priority, delay) DOMAIN, not on lines).
+
+    Exactness: integer day delays; exact_interp_pct_weighted closed
+    form; DECIMAL-accumulated mean; one 6dp round each.
+
+    Scale: one orderkey-co-partitioned join, one map-side-combinable
+    (priority, delay) domain reduction; percentile windows ride the
+    |priorities| x |delay domain| relation."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    x = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .filter(F.col("o_orderdate").isNotNull() & F.col("l_shipdate").isNotNull())
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            F.datediff("l_shipdate", "o_orderdate").cast("bigint").alias("delay_d"),
+        )
+        .localCheckpoint(eager=False)  # percentile passes + totals consume it
+    )
+    from .stats import exact_interp_pct_weighted
+
+    qs = None
+    for pct, alias in ((50, "p50_d"), (90, "p90_d"), (99, "p99_d")):
+        q = exact_interp_pct_weighted(x, ["priority"], "delay_d", pct).select(
+            "priority", F.col("q_val").cast("bigint").alias(alias)
+        )
+        qs = q if qs is None else qs.join(q, "priority")
+    t = x.groupBy("priority").agg(
+        F.count("*").cast("bigint").alias("n_lines"),
+        F.round(
+            F.sum(F.col("delay_d").cast("decimal(38,0)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("mean_delay_d"),
+    )
+    return (
+        t.join(qs, "priority")
+        .select("priority", "n_lines", "mean_delay_d", "p50_d", "p90_d", "p99_d")
+        .orderBy("priority")
+    )
+
+
+@register(
+    "lineitem_return_rate_by_brand_year",
+    tags=("warehouse", "dq"),
+    oracle="""
+    WITH x AS (
+      SELECT p.p_brand AS brand,
+             CAST(extract(year FROM l.l_shipdate) AS BIGINT) AS ship_year,
+             CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS ret,
+             try_cast(try_cast(l.l_extendedprice AS DECIMAL(18,2)) * 100
+                      AS BIGINT) AS cents
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE l.l_shipdate IS NOT NULL
+    )
+    SELECT brand, ship_year,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(ret) AS BIGINT) AS n_returned,
+           round(CAST(sum(ret) AS DOUBLE) / count(*), 6) AS return_rate,
+           CAST(sum(CASE WHEN ret = 1 THEN CAST(cents AS DECIMAL(38,0))
+                    ELSE 0 END) AS BIGINT) AS returned_cents
+    FROM x GROUP BY brand, ship_year ORDER BY brand, ship_year
+    """,
+)
+def lineitem_return_rate_by_brand_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Return-rate quality panel at (brand, ship-year) grain: line count,
+    returned count/share, and returned revenue. The product-quality
+    trend the assortment review reads next to part_dead_stock_panel
+    (dead stock = demand failure; returns = QUALITY failure): a brand
+    whose return rate climbs across years is a supplier-quality
+    regression that tpch_q10's customer-level churn view cannot
+    attribute. Flag-panel form: every (brand, year) cell with traffic
+    emits, zero-return cells included.
+
+    Exactness: the return flag is integer CASE; revenue accumulates in
+    DECIMAL(38,0) cents; one share division at 6dp.
+
+    Scale: one fact pass with the part dim broadcast; map-side
+    combinable (brand, year) conditional sums -- no windows, no
+    percentile state."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    x = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(F.col("l_shipdate").isNotNull())
+        .select(
+            F.col("p_brand").alias("brand"),
+            F.year("l_shipdate").cast("bigint").alias("ship_year"),
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("ret"),
+            F.expr(
+                "try_cast(try_cast(l_extendedprice AS decimal(18,2)) * 100 AS bigint)"
+            ).alias("cents"),
+        )
+    )
+    return (
+        x.groupBy("brand", "ship_year")
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            F.sum("ret").cast("bigint").alias("n_returned"),
+            F.round(F.sum("ret").cast("double") / F.count("*"), 6).alias(
+                "return_rate"
+            ),
+            F.sum(
+                F.when(F.col("ret") == 1, F.col("cents").cast("decimal(38,0)"))
+                .otherwise(F.lit(0).cast("decimal(38,0)"))
+            ).cast("bigint").alias("returned_cents"),
+        )
+        .orderBy("brand", "ship_year")
+    )

@@ -1720,3 +1720,173 @@ def docs_lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("declared", "detected")
     )
+
+
+TEXTRANK_ITERS = 10
+TEXTRANK_DAMPING = 0.85
+TEXTRANK_MIN_DF = 3
+TEXTRANK_TOP = 20
+
+
+@register("text_textrank_keywords", tags=("text", "graph", "northstar"))
+def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank over
+    the word co-occurrence graph -- nodes are content terms (>= 4 chars,
+    document frequency >= {TEXTRANK_MIN_DF}), undirected edges connect
+    ADJACENT content terms with co-occurrence-count weights normalized
+    per node, {TEXTRANK_ITERS} damped ({TEXTRANK_DAMPING}) synchronous
+    power-iteration rounds, top-{TEXTRANK_TOP} terms out. The
+    graph-centrality upgrade of text_rake_keywords (degree-flavored) and
+    text_tfidf (frequency-flavored): TextRank promotes terms that
+    co-occur with OTHER well-connected terms, the property neither
+    frequency family sees.
+
+    Rows-only by declared contract: the iterative fixed point has no
+    bit-stable SQL twin at engine scale (the graph_pagerank precedent);
+    closed-form gates in tests/test_round19_ops.py pin a planted-hub
+    corpus (the hub term must rank first) and rank-mass sanity.
+
+    Scale: the token stream reduces to a (src, dst) count-weighted edge
+    relation bounded by |vocab|^2 locality (adjacent pairs only, df-cap
+    pruning the tail); each round is one join + map-side-combinable agg
+    on the edge relation, checkpointed every 3 rounds (the
+    graph_pagerank loop contract). TakeOrderedAndProject emits the
+    top-{TEXTRANK_TOP}."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.posexplode(_tokens()).alias("pos", "term")).filter(
+        F.length("term") >= 4
+    )
+    df_ok = (
+        toks.groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= TEXTRANK_MIN_DF)
+        .select("term")
+    )
+    t = toks.join(F.broadcast(df_ok), "term").select("doc_id", "pos", "term")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    adj = (
+        t.select("doc_id", "term", F.lag("term").over(w).alias("prev"))
+        .filter(F.col("prev").isNotNull() & (F.col("prev") != F.col("term")))
+        .select(F.col("prev").alias("a"), F.col("term").alias("b"))
+    )
+    und = adj.select("a", "b").unionAll(adj.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    counts = und.groupBy(F.col("a").alias("src"), F.col("b").alias("dst")).agg(
+        F.count("*").cast("double").alias("c")
+    )
+    edges = counts.withColumn(
+        "p", F.col("c") / F.sum("c").over(Window.partitionBy("src"))
+    ).select("src", "dst", "p").localCheckpoint()
+    nodes = edges.select(F.col("src").alias("term")).distinct()
+    n = nodes.count()  # |content vocab| -- bounded by the df cap
+    if n == 0:
+        return spark.createDataFrame([], "term string, textrank double")
+    ranks = nodes.select("term", F.lit(1.0 / n).alias("rank")).localCheckpoint()
+    for i in range(TEXTRANK_ITERS):
+        contrib = (
+            edges.join(ranks, edges["src"] == ranks["term"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") * F.col("p")).alias("mass"))
+        )
+        ranks = contrib.select(
+            F.col("dst").alias("term"),
+            (
+                F.lit((1 - TEXTRANK_DAMPING) / n)
+                + TEXTRANK_DAMPING * F.col("mass")
+            ).alias("rank"),
+        )
+        if i % 3 == 2:
+            ranks = ranks.localCheckpoint()
+    return (
+        ranks.select("term", F.round("rank", 6).alias("textrank"))
+        .orderBy(F.col("textrank").desc(), "term")
+        .limit(TEXTRANK_TOP)
+    )
+
+
+@register(
+    "docs_vocab_growth_heaps",
+    tags=("text", "stats"),
+    oracle="""
+    WITH tok AS (
+      SELECT source, unnest(list_filter(string_split(lower(text), ' '),
+                                        x -> x <> '')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(count(DISTINCT term) AS BIGINT) AS vocab
+      FROM tok GROUP BY source
+    ),
+    pts AS (
+      SELECT CAST(CAST(ln(CAST(n_tokens AS DOUBLE)) AS DECIMAL(20,15))
+                  AS DOUBLE) AS x,
+             CAST(CAST(ln(CAST(vocab AS DOUBLE)) AS DECIMAL(20,15))
+                  AS DOUBLE) AS y
+      FROM tf WHERE n_tokens > 0 AND vocab > 0
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(x AS DECIMAL(25,15))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(y AS DECIMAL(25,15))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(x * y AS DECIMAL(25,15))) AS DOUBLE) AS sxy,
+             CAST(sum(CAST(x * x AS DECIMAL(25,15))) AS DOUBLE) AS sxx
+      FROM pts
+    )
+    SELECT n AS n_sources,
+           round((n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0), 6)
+             AS heaps_beta,
+           round(exp((sy - (n * sxy - sx * sy)
+                      / nullif(n * sxx - sx * sx, 0) * sx) / n), 6)
+             AS heaps_k
+    FROM m WHERE n >= 2
+    """,
+)
+def docs_vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit of vocabulary growth (Heaps 1978): regress
+    ln(vocab) on ln(tokens) across per-source corpus slices -- V = K n^b
+    with the classic b in [0.4, 0.6] for natural language. The
+    vocabulary-GROWTH companion to text_zipf_fit (the two laws are dual
+    under the LNRE regime text_hapax_legomena_share profiles): a corpus
+    whose beta collapses is saturating (template/duplicated text adds
+    tokens but no vocabulary), one whose beta nears 1 is unbounded-
+    vocabulary noise (serial numbers, hashes).
+
+    Exactness: token/vocab counts are exact integers via the shared
+    tokenizer; each ln and each OLS product snaps to DECIMAL before the
+    order-free sums (the Hill-estimator discipline); slope and the
+    back-transformed K are closed forms rounded at 6dp.
+
+    Scale: one explode + (source, term) reduction (the tokenize_tf
+    shuffle shape) folded to |sources| points; the regression is
+    |sources|-row arithmetic."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("source", F.explode(_tokens()).alias("term"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.countDistinct("term").cast("bigint").alias("vocab"),
+        )
+    )
+    pts = tf.filter((F.col("n_tokens") > 0) & (F.col("vocab") > 0)).select(
+        F.log(F.col("n_tokens").cast("double")).cast("decimal(20,15)")
+        .cast("double").alias("x"),
+        F.log(F.col("vocab").cast("double")).cast("decimal(20,15)")
+        .cast("double").alias("y"),
+    )
+    m = pts.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("x").cast("decimal(25,15)")).cast("double").alias("sx"),
+        F.sum(F.col("y").cast("decimal(25,15)")).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(25,15)")).cast("double").alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(25,15)")).cast("double").alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    slope = (nd * F.col("sxy") - F.col("sx") * F.col("sy")) / F.nullif(
+        nd * F.col("sxx") - F.col("sx") * F.col("sx"), F.lit(0.0)
+    )
+    return m.filter(F.col("n") >= 2).select(
+        F.col("n").alias("n_sources"),
+        F.round(slope, 6).alias("heaps_beta"),
+        F.round(F.exp((F.col("sy") - slope * F.col("sx")) / nd), 6).alias("heaps_k"),
+    )

@@ -1738,3 +1738,121 @@ def events_theta_method_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(F.col("st.saeu") / F.col("st.nerr")) / 1e6).alias("mae"),
         snap(F.col("st.l") + slope_n / 2).alias("forecast_next"),
     )
+
+
+@register(
+    "events_conformal_naive_backtest",
+    tags=("timeseries", "forecast"),
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day, CAST(count(*) AS BIGINT) AS y
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
+    ),
+    f AS (
+      SELECT day, y,
+             lag(y, 7) OVER (ORDER BY day) AS f,
+             CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i,
+             CAST(count(*) OVER () AS BIGINT) AS n
+      FROM daily
+    ),
+    r AS (
+      SELECT i, n, abs(y - f) AS ae,
+             CAST(floor(n * 0.8) AS BIGINT) AS n_cal
+      FROM f WHERE f IS NOT NULL
+    ),
+    cal AS (
+      SELECT ae, CAST(row_number() OVER (ORDER BY ae, i) AS BIGINT) AS rk,
+             CAST(count(*) OVER () AS BIGINT) AS m
+      FROM r WHERE i <= n_cal
+    ),
+    q AS (
+      SELECT min(ae) AS qhat
+      FROM cal
+      WHERE rk >= CAST(ceil(0.9 * (m + 1)) AS BIGINT)
+    ),
+    test AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_test,
+             CAST(sum(CASE WHEN ae <= q.qhat THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_covered
+      FROM r CROSS JOIN q WHERE i > n_cal
+    )
+    SELECT (SELECT CAST(max(n_cal) AS BIGINT) FROM r) AS n_calibration,
+           test.n_test,
+           (SELECT CAST(qhat AS BIGINT) FROM q) AS q_hat_abs_err,
+           round(CAST(test.n_covered AS DOUBLE) / nullif(test.n_test, 0), 6)
+             AS coverage_90
+    FROM test
+    """,
+)
+def events_conformal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction-interval backtest (Vovk's conformal
+    framework in the split form popularized by Lei et al. 2018) on the
+    daily event count with the seasonal-naive (lag-7) point forecast:
+    calibrate the 90% nonconformity quantile q_hat = the
+    ceil(0.9*(m+1))-th smallest absolute error on the first 80% of
+    days, then measure empirical coverage of y in f +- q_hat on the
+    held-out final 20%. Conformal's guarantee (coverage >= 90% under
+    exchangeability) makes this THE honesty check for every forecast
+    key in the family: events_forecast_baseline_mae prices the point
+    error, this prices the INTERVAL the capacity planner actually uses
+    -- and a coverage collapse on the tail split is drift evidence
+    (exchangeability broke), read next to events_page_hinkley_panel.
+
+    Exactness: daily counts and lag-7 errors are exact integers; the
+    calibration quantile is the finite-sample ceil((m+1)*0.9) ORDER
+    STATISTIC (integer rank, no interpolation -- the conformal paper's
+    own construction); coverage is one integer-share division at 6dp.
+
+    Scale: one day rollup; the lag/rank windows ride the
+    calendar-bounded day relation (the events_runs_test_daily shape)."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.filter(F.col("ts").isNotNull())
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count("*").cast("bigint").alias("y"))
+    )
+    w = Window.orderBy("day")
+    f = daily.select(
+        "y",
+        F.lag("y", 7).over(w).alias("f"),
+        F.row_number().over(w).cast("bigint").alias("i"),
+        F.count("*").over(Window.partitionBy()).cast("bigint").alias("n"),
+    )
+    r = f.filter(F.col("f").isNotNull()).select(
+        "i",
+        F.abs(F.col("y") - F.col("f")).alias("ae"),
+        F.floor(F.col("n") * 0.8).cast("bigint").alias("n_cal"),
+    ).localCheckpoint(eager=False)  # calibration + test split consume it
+    cal = r.filter(F.col("i") <= F.col("n_cal")).select(
+        "ae",
+        F.row_number().over(Window.orderBy("ae", "i")).cast("bigint").alias("rk"),
+        F.count("*").over(Window.partitionBy()).cast("bigint").alias("m"),
+    )
+    q = cal.filter(
+        F.col("rk") >= F.ceil(0.9 * (F.col("m") + 1)).cast("bigint")
+    ).agg(F.min("ae").alias("qhat"))
+    ncal = r.agg(F.max("n_cal").cast("bigint").alias("n_calibration"))
+    test = (
+        r.filter(F.col("i") > F.col("n_cal"))
+        .crossJoin(F.broadcast(q))
+        .agg(
+            F.count("*").cast("bigint").alias("n_test"),
+            F.sum(F.when(F.col("ae") <= F.col("qhat"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_covered"),
+        )
+    )
+    return (
+        ncal.crossJoin(test)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "n_calibration",
+            "n_test",
+            F.col("qhat").cast("bigint").alias("q_hat_abs_err"),
+            F.round(
+                F.col("n_covered").cast("double")
+                / F.nullif(F.col("n_test").cast("double"), F.lit(0.0)),
+                6,
+            ).alias("coverage_90"),
+        )
+    )

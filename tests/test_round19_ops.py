@@ -1,0 +1,123 @@
+"""Round-13 queue-stock operator gates (registered behind the round-12
+check window): conformal coverage semantics, completion-curve
+monotonicity, sourcing-tier spine totality, state projection
+reconciliation, queueing-delay ordering, TextRank planted-hub recovery,
+return-rate reconciliation, and Heaps-fit behavior.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from change_data_capture_service_spark import registry
+from change_data_capture_service_spark.catalog import load_table
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _load():
+    registry.load_all()
+
+
+def _rows(spark, sf_dir, key):
+    return registry.get(key).fn(spark, sf_dir).collect()
+
+
+def test_conformal_split_and_coverage_bounds(spark, sf_dir):
+    r = _rows(spark, sf_dir, "events_conformal_naive_backtest")[0]
+    assert r["n_calibration"] >= r["n_test"] >= 1
+    assert 0 <= r["coverage_90"] <= 1
+    assert r["q_hat_abs_err"] >= 0
+    # exchangeable daily counts: coverage should sit near (not far below)
+    # the nominal level; a collapse means the split harness is broken
+    assert r["coverage_90"] >= 0.5
+
+
+def test_completion_curve_monotone_and_total(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "orders_completion_curve_weekly")
+    assert [r["week"] for r in rows] == list(range(1, 13))
+    shares = [r["complete_share"] for r in rows]
+    assert all(a <= b + 1e-9 for a, b in zip(shares, shares[1:]))
+    assert all(0 <= s <= 1 for s in shares)
+
+
+def test_sourcing_tiers_partition_parts(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "part_sourcing_redundancy_panel")
+    assert {r["sourcing_tier"] for r in rows} == {"single", "dual", "3-4", "5+"}
+    total_share = sum(r["part_share"] for r in rows)
+    assert abs(total_share - 1.0) < 1e-4
+    n_parts = load_table(spark, sf_dir, "lineitem").select("l_partkey").distinct().count()
+    assert sum(r["n_parts"] for r in rows) == n_parts
+
+
+def test_state_projection_reconciles_with_corpus(spark, sf_dir):
+    rows = {r["operator"]: r for r in _rows(spark, sf_dir, "cdc_state_size_projection")}
+    e = load_table(spark, sf_dir, "events")
+    n_users = e.select("user_id").distinct().count()
+    n_types = e.select("event_type").distinct().count()
+    assert rows["latest_state (per key)"]["n_state_rows"] == n_users
+    assert rows["gap_sla / watermark (per stream)"]["n_state_rows"] == n_types
+    for r in rows.values():
+        assert r["bytes_upper"] >= r["n_state_rows"] * 8
+
+
+def test_priority_delay_percentile_ordering(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "orders_priority_queueing_delay")
+    assert len(rows) == 5
+    for r in rows:
+        assert r["p50_d"] <= r["p90_d"] <= r["p99_d"]
+        assert r["mean_delay_d"] >= 0
+
+
+def test_textrank_planted_hub_ranks_first(spark, tmp_path):
+    """A term adjacent to MANY distinct well-connected terms must out-rank
+    peripheral terms: docs of the form 'hubterm satX hubterm satY ...'
+    make hubterm the planted centrality winner."""
+    sf = str(tmp_path / "sf")
+    sats = [f"satellite{i:02d}" for i in range(12)]
+    docs = []
+    for i in range(6):
+        body = " ".join(
+            f"hubterm {sats[(2 * i + j) % 12]}" for j in range(6)
+        )
+        docs.append((i, body, "en", f"s{i % 2}", len(body)))
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{sf}/documents.parquet")
+    rows = registry.get("text_textrank_keywords").fn(spark, sf).collect()
+    assert rows, "graph must be non-empty"
+    assert rows[0]["term"] == "hubterm"
+    # rank mass sanity: every rank positive, hub strictly above the median
+    ranks = [r["textrank"] for r in rows]
+    assert all(x > 0 for x in ranks)
+    assert ranks[0] > sorted(ranks)[len(ranks) // 2]
+
+
+def test_textrank_fixture_shape(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "text_textrank_keywords")
+    assert 0 < len(rows) <= 20
+    assert all(len(r["term"]) >= 4 for r in rows)
+    ranks = [r["textrank"] for r in rows]
+    assert ranks == sorted(ranks, reverse=True)
+
+
+def test_return_rate_reconciles(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "lineitem_return_rate_by_brand_year")
+    li = load_table(spark, sf_dir, "lineitem")
+    want_lines = li.filter(F.col("l_shipdate").isNotNull()).count()
+    want_returned = li.filter(
+        F.col("l_shipdate").isNotNull() & (F.col("l_returnflag") == "R")
+    ).count()
+    assert sum(r["n_lines"] for r in rows) == want_lines
+    assert sum(r["n_returned"] for r in rows) == want_returned
+    for r in rows:
+        assert 0 <= r["return_rate"] <= 1
+        if r["n_returned"] == 0:
+            assert r["returned_cents"] == 0
+
+
+def test_heaps_fit_is_sublinear_on_natural_corpus(spark, sf_dir):
+    r = _rows(spark, sf_dir, "docs_vocab_growth_heaps")[0]
+    assert r["n_sources"] >= 2
+    assert 0 < r["heaps_beta"] < 1.2  # sub-linear growth (noise caps above 1)
+    assert r["heaps_k"] > 0

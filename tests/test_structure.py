@@ -72,6 +72,7 @@ def test_rows_only_set_is_exactly_the_documented_one():
         "events_changepoint_pelt",  # pruned DP has no SQL twin; planted-break gates in test_round17_ops
         "graph_ktruss",  # iterative truss peeling (kcore contract); clique/bowtie gates in test_round17_ops
         "sample_kcenter_coreset",  # greedy farthest-point traversal; planted-cluster gates in test_round17_ops
+        "text_textrank_keywords",  # iterative fixed point (pagerank contract); planted-hub gates in test_round19_ops
     }, rows_only
 
 
