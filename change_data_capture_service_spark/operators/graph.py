@@ -1483,3 +1483,123 @@ def graph_degree_tail_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tail_alpha"),
         )
     )
+
+
+@register("graph_mst_backbone", tags=("graph", "analytics"))
+def graph_mst_backbone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum-spanning-tree backbone of the brand co-purchase graph by
+    distributed Boruvka (Boruvka 1926; the provably parallel MST
+    algorithm -- each round every component selects its best incident
+    edge, components merge, so rounds are O(log V)): the |brands|-1-edge
+    skeleton that keeps every brand connected through its STRONGEST
+    co-purchase affinities -- the market-structure backbone chart, and
+    the planning graph category-adjacency decisions read (the MST of a
+    similarity graph is the classic backbone extraction of Mantegna
+    1999's asset-tree construction).
+
+    Rows-only by declared contract: Boruvka's fixed point has no SQL
+    twin; closed-form gates in tests/test_round19_ops.py pin a planted
+    weighted graph (known MST edge set + total weight), the tree
+    invariants |E| = |V| - #components and acyclicity-by-construction,
+    and determinism (ties break on the full (w, u, v) lexicographic
+    key).
+
+    Scale: rides the ATTRIBUTE-BOUNDED co-occurrence edge relation (the
+    graph family contract -- facts collapse to (order, brand) before
+    any pair forms). Each Boruvka round is one component-label join +
+    one min_by partial agg per component + a component merge via the
+    shared _cc_contract (itself O(log) contraction rounds on the
+    selected forest, which has <= |components| edges); the loop
+    checkpoints per round so lineage stays O(1). At 10^9-node graphs
+    the same loop holds: every step is a keyed agg or equi-join on the
+    (shrinking) edge/label relations."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    a = ob.select(F.col("l_orderkey").alias("ok_a"), F.col("p_brand").alias("u"))
+    b = ob.select(F.col("l_orderkey").alias("ok_b"), F.col("p_brand").alias("v"))
+    edges = (
+        a.join(b, (F.col("ok_a") == F.col("ok_b")) & (F.col("u") < F.col("v")))
+        .groupBy("u", "v")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .localCheckpoint()
+    )
+    return mst_backbone(edges)
+
+
+def mst_backbone(edges: DataFrame) -> DataFrame:
+    """Distributed Boruvka over canonical (u < v, n) weighted edges --
+    MAXIMUM spanning forest on affinity n (equivalently the minimum
+    spanning forest on w = -n), deterministic via the full
+    (-n, u, v) lexicographic selection key. Returns (u, v, n) MST edges.
+    See graph_mst_backbone for the contract."""
+    spark = edges.sparkSession
+    if edges.isEmpty():
+        return spark.createDataFrame([], "u string, v string, n bigint")
+    comp = (
+        edges.select(F.col("u").alias("node"))
+        .union(edges.select("v"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint()
+    )
+    mst = spark.createDataFrame([], "u string, v string, n bigint")
+    for _ in range(32):  # O(log |V|) rounds; 32 covers 2^32 nodes
+        lab = edges.join(
+            comp.select(F.col("node").alias("u"), F.col("component").alias("cu")), "u"
+        ).join(
+            comp.select(F.col("node").alias("v"), F.col("component").alias("cv")), "v"
+        ).filter(F.col("cu") != F.col("cv"))
+        if lab.isEmpty():
+            break
+        # each component's best incident edge under the TOTAL order
+        # (n desc, u asc, v asc) -- both endpoints' components agree on
+        # ties, so the selected forest is cycle-free
+        selw = (
+            lab.select(F.col("cu").alias("c"), "u", "v", "n")
+            .union(lab.select(F.col("cv").alias("c"), "u", "v", "n"))
+            .withColumn(
+                "rk",
+                F.row_number().over(
+                    Window.partitionBy("c").orderBy(
+                        F.col("n").desc(), F.col("u"), F.col("v")
+                    )
+                ),
+            )
+            .filter(F.col("rk") == 1)
+            .select("u", "v", "n")
+            .distinct()
+            .localCheckpoint()
+        )
+        mst = mst.union(selw).distinct().localCheckpoint()
+        # merge components across the selected forest (tiny: <= |components|
+        # edges), via the shared contraction CC
+        forest = selw.join(
+            comp.select(F.col("node").alias("u"), F.col("component").alias("cu")), "u"
+        ).join(
+            comp.select(F.col("node").alias("v"), F.col("component").alias("cv")), "v"
+        ).select(F.col("cu").alias("src"), F.col("cv").alias("dst"))
+        sym = forest.union(
+            forest.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct()
+        merged = _cc_contract(sym)  # (node=old component, component=new)
+        comp = (
+            comp.join(
+                merged.select(
+                    F.col("node").alias("component"),
+                    F.col("component").alias("new_c"),
+                ),
+                "component",
+                "left",
+            )
+            .select(
+                "node",
+                F.coalesce(F.col("new_c"), F.col("component")).alias("component"),
+            )
+            .localCheckpoint()
+        )
+    return mst.orderBy(F.col("n").desc(), "u", "v")

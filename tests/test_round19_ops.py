@@ -121,3 +121,55 @@ def test_heaps_fit_is_sublinear_on_natural_corpus(spark, sf_dir):
     assert r["n_sources"] >= 2
     assert 0 < r["heaps_beta"] < 1.2  # sub-linear growth (noise caps above 1)
     assert r["heaps_k"] > 0
+
+
+def test_mst_backbone_planted_graph(spark):
+    """Known weighted graph: the maximum spanning tree must be exactly
+    {(a,b,10), (b,c,8), (c,d,5)} -- the two weak edges (a,c,1), (b,d,2)
+    are excluded. Determinism: two runs agree."""
+    from change_data_capture_service_spark.operators.graph import mst_backbone
+
+    edges = spark.createDataFrame(
+        [("a", "b", 10), ("b", "c", 8), ("a", "c", 1), ("c", "d", 5), ("b", "d", 2)],
+        "u string, v string, n bigint",
+    )
+    got = {(r["u"], r["v"], r["n"]) for r in mst_backbone(edges).collect()}
+    assert got == {("a", "b", 10), ("b", "c", 8), ("c", "d", 5)}
+    got2 = {(r["u"], r["v"], r["n"]) for r in mst_backbone(edges).collect()}
+    assert got2 == got
+
+
+def test_mst_backbone_forest_on_disconnected_graph(spark):
+    """Two components: the result is a spanning FOREST -- |E| = |V| - C,
+    one best edge per 2-node component."""
+    from change_data_capture_service_spark.operators.graph import mst_backbone
+
+    edges = spark.createDataFrame(
+        [("a", "b", 3), ("c", "d", 7), ("c", "e", 9)],
+        "u string, v string, n bigint",
+    )
+    got = {(r["u"], r["v"], r["n"]) for r in mst_backbone(edges).collect()}
+    assert got == {("a", "b", 3), ("c", "d", 7), ("c", "e", 9)}  # all tree edges
+
+
+def test_mst_backbone_fixture_tree_invariants(spark, sf_dir):
+    """On the fixture brand graph: acyclic (union-find check) and
+    |E| = |V| - #components over the nodes the MST touches plus
+    isolated co-purchase nodes."""
+    rows = registry.get("graph_mst_backbone").fn(spark, sf_dir).collect()
+    assert rows
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in rows:
+        ru, rv = find(r["u"]), find(r["v"])
+        assert ru != rv, f"cycle at {r}"  # MST never closes a cycle
+        parent[ru] = rv
+    nodes = {r["u"] for r in rows} | {r["v"] for r in rows}
+    comps = len({find(x) for x in nodes})
+    assert len(rows) == len(nodes) - comps

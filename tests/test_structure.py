@@ -73,6 +73,7 @@ def test_rows_only_set_is_exactly_the_documented_one():
         "graph_ktruss",  # iterative truss peeling (kcore contract); clique/bowtie gates in test_round17_ops
         "sample_kcenter_coreset",  # greedy farthest-point traversal; planted-cluster gates in test_round17_ops
         "text_textrank_keywords",  # iterative fixed point (pagerank contract); planted-hub gates in test_round19_ops
+        "graph_mst_backbone",  # Boruvka fixed point; planted-MST + forest gates in test_round19_ops
     }, rows_only
 
 
