@@ -2549,3 +2549,58 @@ def cdc_state_size_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("nu") * 40).cast("bigint").alias("bytes_upper"),
     )
     return lat.unionAll(stream).unionAll(minute).unionAll(ewma).orderBy("operator")
+
+
+@register(
+    "cdc_duplicate_delivery_audit",
+    tags=("cdc", "dq"),
+    oracle="""
+    WITH g AS (
+      SELECT user_id, event_type, ts, CAST(count(*) AS BIGINT) AS n
+      FROM events WHERE ts IS NOT NULL
+      GROUP BY user_id, event_type, ts
+    )
+    SELECT event_type,
+           CAST(sum(n) AS BIGINT) AS n_deliveries,
+           CAST(count(*) AS BIGINT) AS n_distinct_events,
+           CAST(sum(n - 1) AS BIGINT) AS n_redundant,
+           round(CAST(sum(n - 1) AS DOUBLE) / sum(n), 6) AS dup_rate,
+           CAST(max(n) AS BIGINT) AS max_copies
+    FROM g GROUP BY event_type ORDER BY event_type
+    """,
+)
+def cdc_duplicate_delivery_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-least-once duplicate-delivery audit per stream: events whose
+    (user, type, event-time) identity appears more than once are replay
+    artifacts -- exactly what a consumer restart with a rolled-back
+    offset produces (cdc_replay_window_cost PRICES that replay; this
+    MEASURES how much of it reached the sink), and the measurement
+    behind the keyed-upsert sink's idempotency claim: dup_rate is the
+    write amplification idempotent upserts absorb and an append-only
+    sink would double-count.
+
+    Exactness: identity-grain counts are exact integers; one rate
+    division at 6dp.
+
+    Scale: ONE map-side-combinable identity-grain reduction over the
+    log (the natural dedup key already co-partitions replays), then a
+    |types|-row panel. No windows, no joins."""
+    e = load_table(spark, sf_dir, "events")
+    g = (
+        e.filter(F.col("ts").isNotNull())
+        .groupBy("user_id", "event_type", "ts")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    return (
+        g.groupBy("event_type")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_deliveries"),
+            F.count("*").cast("bigint").alias("n_distinct_events"),
+            F.sum(F.col("n") - 1).cast("bigint").alias("n_redundant"),
+            F.round(
+                F.sum(F.col("n") - 1).cast("double") / F.sum("n"), 6
+            ).alias("dup_rate"),
+            F.max("n").cast("bigint").alias("max_copies"),
+        )
+        .orderBy("event_type")
+    )

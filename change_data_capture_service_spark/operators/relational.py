@@ -5695,3 +5695,133 @@ def lineitem_return_rate_by_brand_year(spark: SparkSession, sf_dir: str) -> Data
         )
         .orderBy("brand", "ship_year")
     )
+
+
+@register(
+    "customer_retention_clv_projection",
+    tags=("warehouse", "analytics"),
+    oracle=f"""
+    WITH o AS (
+      SELECT o_custkey,
+             CAST(extract(year FROM o_orderdate) AS BIGINT) AS yr,
+             CAST({_TOTAL_C} AS BIGINT) AS cents
+      FROM orders WHERE o_orderdate IS NOT NULL
+    ),
+    yrs AS (SELECT max(yr) AS y2 FROM o),
+    seg AS (
+      SELECT c.c_mktsegment AS segment, o.o_custkey, o.yr,
+             CAST(sum(CAST(o.cents AS DECIMAL(38,0))) AS BIGINT) AS cents
+      FROM o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2, 3
+    ),
+    ret AS (
+      SELECT p.segment,
+             CAST(count(*) AS BIGINT) AS n_prev,
+             CAST(sum(CASE WHEN q.o_custkey IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_retained
+      FROM (SELECT segment, o_custkey FROM seg CROSS JOIN yrs
+            WHERE yr = y2 - 1) p
+      LEFT JOIN (SELECT segment, o_custkey FROM seg CROSS JOIN yrs
+                 WHERE yr = y2) q
+        ON p.segment = q.segment AND p.o_custkey = q.o_custkey
+      GROUP BY p.segment
+    ),
+    val AS (
+      SELECT segment,
+             CAST(count(*) AS BIGINT) AS n_active,
+             CAST(sum(CAST(cents AS DECIMAL(38,0))) AS BIGINT) AS cents
+      FROM seg CROSS JOIN yrs WHERE yr = y2 GROUP BY segment
+    )
+    SELECT v.segment, v.n_active, r.n_prev, r.n_retained,
+           round(CAST(r.n_retained AS DOUBLE) / nullif(r.n_prev, 0), 6)
+             AS retention,
+           round(CAST(v.cents AS DOUBLE) / v.n_active / 100, 6)
+             AS avg_annual_value,
+           round(CAST(v.cents AS DOUBLE) / v.n_active / 100
+                 * (1
+                    + round(CAST(r.n_retained AS DOUBLE)
+                            / nullif(r.n_prev, 0), 6)
+                    + round(CAST(r.n_retained AS DOUBLE)
+                            / nullif(r.n_prev, 0), 6)
+                      * round(CAST(r.n_retained AS DOUBLE)
+                              / nullif(r.n_prev, 0), 6)),
+                 6) AS clv_3yr_projection
+    FROM val v JOIN ret r ON v.segment = r.segment
+    ORDER BY v.segment
+    """,
+)
+def customer_retention_clv_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention-discounted customer-value projection per segment (the
+    geometric-retention CLV identity CLV = v * sum r^t, the closed form
+    behind the classic Gupta-Lehmann approximation, truncated at a
+    3-year horizon): measure year-over-year retention r between the
+    last two order years, the latest year's average annual value v, and
+    project v * (1 + r + r^2). customer_cohort_quality_decay measures
+    the realized decay surface; this compresses it into the ONE
+    budgeting number per segment, with its two inputs exposed so the
+    projection is auditable.
+
+    Exactness: per-(segment, customer, year) revenue accumulates in
+    DECIMAL cents; retention and v are single divisions; the projection
+    uses the 6dp-ROUNDED retention on both engines (round-then-compose,
+    the search-family discipline -- the composition of already-snapped
+    values is deterministic).
+
+    Scale: one fact pass to (segment, customer, year) grain (dim
+    broadcast), a year-pair semi-join at customer grain, and a
+    |segments|-row panel."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    seg = (
+        o.filter(F.col("o_orderdate").isNotNull())
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_custkey").alias("custkey"),
+            F.year("o_orderdate").cast("bigint").alias("yr"),
+        )
+        .agg(
+            F.sum(F.expr(_TOTAL_C).cast("decimal(38,0)")).cast("bigint").alias("cents")
+        )
+        .localCheckpoint(eager=False)  # year fold + both period cuts consume it
+    )
+    y2 = seg.agg(F.max("yr").alias("y2"))
+    prev = seg.crossJoin(F.broadcast(y2)).filter(F.col("yr") == F.col("y2") - 1)
+    curr = seg.crossJoin(F.broadcast(y2)).filter(F.col("yr") == F.col("y2"))
+    # LEFT join + conditional count (not a semi-join + count): a segment
+    # whose retention is ZERO must still emit its n_prev row -- the
+    # semi-join form would drop it and the panel would silently lose the
+    # worst-performing segment (the constant-panel totality class).
+    ret = (
+        prev.join(
+            curr.select("segment", "custkey").withColumn("hit", F.lit(1)),
+            ["segment", "custkey"],
+            "left",
+        )
+        .groupBy("segment")
+        .agg(
+            F.count("*").cast("bigint").alias("n_prev"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("bigint").alias("n_retained"),
+        )
+    )
+    val = curr.groupBy("segment").agg(
+        F.count("*").cast("bigint").alias("n_active"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).cast("bigint").alias("cents"),
+    )
+    r6 = F.round(
+        F.col("n_retained").cast("double") / F.nullif(F.col("n_prev"), F.lit(0)), 6
+    )
+    v = F.col("cents").cast("double") / F.col("n_active") / 100
+    return (
+        val.join(ret, "segment")
+        .select(
+            "segment",
+            "n_active",
+            "n_prev",
+            "n_retained",
+            r6.alias("retention"),
+            F.round(v, 6).alias("avg_annual_value"),
+            F.round(v * (1 + r6 + r6 * r6), 6).alias("clv_3yr_projection"),
+        )
+        .orderBy("segment")
+    )

@@ -209,3 +209,48 @@ def sqlapi_agg_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the CASE form but with the standard's NULL contract."""
     register_views(spark, sf_dir, ["orders"])
     return spark.sql(_AGG_FILTER_SQL)
+
+
+# QUALIFY dialect pair: DuckDB ships the Snowflake-style QUALIFY clause;
+# Spark 4 does not parse it. The two texts below are the SAME logical
+# plan -- Catalyst plans the subquery form as Window + Filter, exactly
+# what QUALIFY desugars to -- making this key the documented migration
+# recipe for QUALIFY-using warehouse SQL landing on this engine.
+_QUALIFY_SPARK_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, rnk
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         CAST(row_number() OVER (PARTITION BY o_custkey
+                                 ORDER BY o_totalprice DESC, o_orderkey)
+              AS BIGINT) AS rnk
+  FROM orders
+) t
+WHERE rnk <= 2
+ORDER BY o_custkey, rnk, o_orderkey
+"""
+
+_QUALIFY_DUCK_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice,
+       CAST(row_number() OVER (PARTITION BY o_custkey
+                               ORDER BY o_totalprice DESC, o_orderkey)
+            AS BIGINT) AS rnk
+FROM orders
+QUALIFY rnk <= 2
+ORDER BY o_custkey, rnk, o_orderkey
+"""
+
+
+@register("sqlapi_qualify_dialect", tags=("sqlapi",), oracle=_QUALIFY_DUCK_SQL)
+def sqlapi_qualify_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 orders per customer, QUALIFY-dialect parity: the oracle runs
+    DuckDB's QUALIFY clause, the engine runs the ranked-subquery form
+    Spark parses -- identical semantics (QUALIFY is sugar for exactly
+    this subquery), pinned by the driver's value hash. Catalyst pushes
+    the rnk <= 2 filter into WindowGroupLimit, so the migration costs
+    nothing at plan level either (the top-k-per-group plan gate family
+    covers the shape).
+
+    Fully tie-broken (price desc, orderkey) rank; BIGINT cast on both
+    sides."""
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(_QUALIFY_SPARK_SQL)

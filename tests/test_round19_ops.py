@@ -173,3 +173,42 @@ def test_mst_backbone_fixture_tree_invariants(spark, sf_dir):
     nodes = {r["u"] for r in rows} | {r["v"] for r in rows}
     comps = len({find(x) for x in nodes})
     assert len(rows) == len(nodes) - comps
+
+
+def test_duplicate_delivery_planted_replay(spark, tmp_path):
+    """A log with one event delivered 3x and another 1x must report
+    exactly 2 redundant deliveries and max_copies = 3."""
+    import datetime
+
+    sf = str(tmp_path / "sf")
+    t0 = datetime.datetime(2024, 1, 1, 10, 0)
+    rows = [(1, t0, 7, "click", 1.0, "{}")] * 3 + [(2, t0, 8, "click", 1.0, "{}")]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(f"{sf}/events.parquet")
+    r = registry.get("cdc_duplicate_delivery_audit").fn(spark, sf).collect()[0]
+    assert r["n_deliveries"] == 4 and r["n_distinct_events"] == 2
+    assert r["n_redundant"] == 2 and r["max_copies"] == 3
+    assert abs(r["dup_rate"] - 0.5) < 1e-9
+
+
+def test_clv_projection_composes_from_inputs(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "customer_retention_clv_projection")
+    assert rows
+    for r in rows:
+        assert 0 <= r["retention"] <= 1
+        assert r["n_retained"] <= r["n_prev"]
+        want = r["avg_annual_value"] * (1 + r["retention"] + r["retention"] ** 2)
+        assert abs(r["clv_3yr_projection"] - want) < 1e-2
+        assert r["clv_3yr_projection"] >= r["avg_annual_value"] - 1e-9
+
+
+def test_qualify_dialect_top2_per_customer(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "sqlapi_qualify_dialect")
+    per = {}
+    for r in rows:
+        per.setdefault(r["o_custkey"], []).append(r["rnk"])
+    for cust, rks in per.items():
+        assert sorted(rks) in ([1], [1, 2]), cust
