@@ -21,6 +21,7 @@ def test_examples_importable():
         "curation_pipeline",
         "replica_operations",
         "warehouse_analytics",
+        "reliability_audit_pipeline",
     ):
         path = os.path.join(_ROOT, "examples", f"{name}.py")
         spec = importlib.util.spec_from_file_location(f"examples_{name}", path)
