@@ -2556,3 +2556,105 @@ def embedding_exact_duplicate_audit(spark: SparkSession, sf_dir: str) -> DataFra
             6,
         ).alias("removable_share"),
     )
+
+
+@register(
+    "embedding_split_centroid_drift",
+    tags=("similarity", "dq"),
+    oracle="""
+    WITH comp AS (
+      SELECT label, vec_id % 2 AS half, t.i AS idx,
+             CAST(CAST(embedding[t.i] AS DOUBLE) AS DECIMAL(28,10)) AS val
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+    ),
+    cen AS (
+      SELECT label, half, idx,
+             CAST(sum(val) AS DOUBLE) / count(*) AS c,
+             CAST(count(*) AS BIGINT) AS n
+      FROM comp GROUP BY label, half, idx
+    ),
+    pair AS (
+      SELECT a.label, a.idx, a.c AS ca, b.c AS cb, a.n AS n_a, b.n AS n_b
+      FROM cen a JOIN cen b
+        ON a.label = b.label AND a.idx = b.idx
+       AND a.half = 0 AND b.half = 1
+    ),
+    fold AS (
+      SELECT label, any_value(n_a) AS n_a, any_value(n_b) AS n_b,
+             CAST(sum(CAST(ca * cb AS DECIMAL(28,14))) AS DOUBLE) AS dot,
+             CAST(sum(CAST(ca * ca AS DECIMAL(28,14))) AS DOUBLE) AS na2,
+             CAST(sum(CAST(cb * cb AS DECIMAL(28,14))) AS DOUBLE) AS nb2
+      FROM pair GROUP BY label
+    )
+    SELECT label, n_a AS n_half0, n_b AS n_half1,
+           round(dot / nullif(sqrt(na2) * sqrt(nb2), 0), 6)
+             AS centroid_cosine,
+           CAST(CASE WHEN dot / nullif(sqrt(na2) * sqrt(nb2), 0) < 0.98
+                THEN 1 ELSE 0 END AS BIGINT) AS drift_flag
+    FROM fold ORDER BY label
+    """,
+)
+def embedding_split_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-half centroid stability per label: partition each label's
+    vectors into two deterministic halves (vec_id parity -- a proxy for
+    train/serve or old/new ingestion batches), compute both half
+    centroids EXACTLY, and report their cosine. A healthy, well-sampled
+    label has split-half centroid cosine ~1 (sampling noise only); a
+    label whose halves disagree (< 0.98 flag) is multi-modal,
+    mislabeled, or drifting -- the cheapest embedding-drift alarm that
+    needs no second corpus, and the per-label refinement of
+    embedding_label_centroid_similarity's between-label matrix.
+
+    Exactness: components snap to DECIMAL(28,10) BEFORE the per-dim sums
+    (order-free accumulation; the cast of identical doubles is
+    identical on both engines), centroids are single divisions, and the
+    64 per-dimension cosine terms snap to DECIMAL(28,14) before their
+    order-free fold (the Hill/ln-term discipline); one 6dp round.
+
+    Scale: ONE posexplode pass to (label, half, dim) grain --
+    |labels| x 2 x dim cells regardless of corpus size, map-side
+    combinable; the cosine fold is |labels| x dim arithmetic. Vectors
+    never join pairwise."""
+    e = load_table(spark, sf_dir, "embeddings")
+    comp = e.select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode("embedding").alias("idx0", "v"),
+    ).select(
+        "label",
+        "half",
+        (F.col("idx0") + 1).alias("idx"),
+        F.col("v").cast("double").cast("decimal(28,10)").alias("val"),
+    )
+    cen = comp.groupBy("label", "half", "idx").agg(
+        (F.sum("val").cast("double") / F.count("*")).alias("c"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    a = cen.filter(F.col("half") == 0).select(
+        "label", "idx", F.col("c").alias("ca"), F.col("n").alias("n_a")
+    )
+    b = cen.filter(F.col("half") == 1).select(
+        "label", "idx", F.col("c").alias("cb"), F.col("n").alias("n_b")
+    )
+    pair = a.join(b, ["label", "idx"])
+    fold = pair.groupBy("label").agg(
+        F.first("n_a").alias("n_half0"),
+        F.first("n_b").alias("n_half1"),
+        F.sum((F.col("ca") * F.col("cb")).cast("decimal(28,14)"))
+        .cast("double")
+        .alias("dot"),
+        F.sum((F.col("ca") * F.col("ca")).cast("decimal(28,14)"))
+        .cast("double")
+        .alias("na2"),
+        F.sum((F.col("cb") * F.col("cb")).cast("decimal(28,14)"))
+        .cast("double")
+        .alias("nb2"),
+    )
+    cos = F.col("dot") / F.nullif(F.sqrt(F.col("na2")) * F.sqrt(F.col("nb2")), F.lit(0.0))
+    return fold.select(
+        "label",
+        "n_half0",
+        "n_half1",
+        F.round(cos, 6).alias("centroid_cosine"),
+        F.when(cos < 0.98, F.lit(1)).otherwise(F.lit(0)).cast("bigint").alias("drift_flag"),
+    ).orderBy("label")

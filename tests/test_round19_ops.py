@@ -212,3 +212,27 @@ def test_qualify_dialect_top2_per_customer(spark, sf_dir):
         per.setdefault(r["o_custkey"], []).append(r["rnk"])
     for cust, rks in per.items():
         assert sorted(rks) in ([1], [1, 2]), cust
+
+
+def test_split_centroid_drift_semantics(spark, sf_dir, tmp_path):
+    rows = _rows(spark, sf_dir, "embedding_split_centroid_drift")
+    assert rows
+    for r in rows:
+        assert -1 - 1e-9 <= r["centroid_cosine"] <= 1 + 1e-9
+        assert r["drift_flag"] == (1 if r["centroid_cosine"] < 0.98 else 0)
+    # planted drift: one label whose even/odd halves point in opposite
+    # directions must flag; one stable label must not
+    sf = str(tmp_path / "sf")
+    stable = [(i, [1.0, 0.0, 0.0, 0.0], 0) for i in range(10)]
+    drift = [
+        (100 + i, ([0.0, 1.0, 0.0, 0.0] if i % 2 == 0 else [0.0, -1.0, 0.0, 0.0]), 1)
+        for i in range(10)
+    ]
+    spark.createDataFrame(
+        stable + drift, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{sf}/embeddings.parquet")
+    got = {
+        r["label"]: r for r in registry.get("embedding_split_centroid_drift").fn(spark, sf).collect()
+    }
+    assert got[0]["drift_flag"] == 0 and abs(got[0]["centroid_cosine"] - 1.0) < 1e-6
+    assert got[1]["drift_flag"] == 1 and got[1]["centroid_cosine"] < 0
