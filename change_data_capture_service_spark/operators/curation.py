@@ -1503,3 +1503,75 @@ def docs_length_gini_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+PACK_BIN_CAPACITY = 2048
+
+
+@register("pack_context_bins_ffd", tags=("curation", "northstar"))
+def pack_context_bins_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window bin packing by First-Fit-Decreasing, parallel per
+    source: pack each source's documents (whitespace token counts,
+    oversized docs truncated to capacity -- they fill a bin alone) into
+    {PACK_BIN_CAPACITY}-token training bins, reporting bins used, the
+    ceil(total/capacity) lower bound, and the fill rate. FFD carries the
+    classic 11/9 OPT + 6/9 guarantee (Dosa 2007's tight bound for
+    Johnson's algorithm), so n_bins/lower_bound is an auditable
+    packing-quality number -- pack_token_budget fills ONE budget
+    sequentially; this packs the whole corpus into fixed windows, the
+    shape sequence-packing trainers actually consume.
+
+    Rows-only by declared contract: FFD is order-sequential within a
+    group (no SQL twin); gates in tests/test_round19_ops.py pin
+    capacity-respect, the FFD bound against the lower bound, and a
+    planted exact-fit corpus packing to its optimum.
+
+    Scale: packing parallelizes BY SOURCE via applyInPandas (each group
+    sorts its own doc-size list in one Arrow batch -- groups are
+    source-bounded; a 100 TB corpus packs per shard/source exactly like
+    this, since bins never span sources in curriculum-cohesive
+    packing). Only (source, n_tokens) rows move -- text never
+    shuffles."""
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        F.least(
+            F.size(_tokens()), F.lit(PACK_BIN_CAPACITY)
+        ).cast("long").alias("n_tokens"),
+    )
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        src = pdf["source"].iloc[0]
+        sizes = sorted((int(x) for x in pdf["n_tokens"] if x > 0), reverse=True)
+        bins: list[int] = []
+        for s in sizes:
+            for i, used in enumerate(bins):
+                if used + s <= PACK_BIN_CAPACITY:
+                    bins[i] = used + s
+                    break
+            else:
+                bins.append(s)
+        total = sum(sizes)
+        lower = -(-total // PACK_BIN_CAPACITY) if total else 0
+        fill = (
+            round(total / (len(bins) * PACK_BIN_CAPACITY), 6) if bins else None
+        )
+        return pd.DataFrame(
+            [(src, len(sizes), total, len(bins), lower, fill)],
+            columns=[
+                "source", "n_docs", "total_tokens", "n_bins",
+                "lower_bound", "fill_rate",
+            ],
+        )
+
+    return (
+        toks.groupBy("source")
+        .applyInPandas(
+            _pack,
+            "source string, n_docs long, total_tokens long, n_bins long,"
+            " lower_bound long, fill_rate double",
+        )
+        .orderBy("source")
+    )

@@ -236,3 +236,34 @@ def test_split_centroid_drift_semantics(spark, sf_dir, tmp_path):
     }
     assert got[0]["drift_flag"] == 0 and abs(got[0]["centroid_cosine"] - 1.0) < 1e-6
     assert got[1]["drift_flag"] == 1 and got[1]["centroid_cosine"] < 0
+
+
+def test_ffd_packing_quality_and_planted_optimum(spark, sf_dir, tmp_path):
+    """Capacity respected via fill_rate <= 1; FFD bound n_bins <=
+    (11*LB + 6) / 9; a planted exact-fit corpus (pairs summing to the
+    capacity) must pack to its optimum."""
+    from change_data_capture_service_spark.operators.curation import (
+        PACK_BIN_CAPACITY,
+    )
+
+    rows = _rows(spark, sf_dir, "pack_context_bins_ffd")
+    assert rows
+    for r in rows:
+        assert r["n_bins"] >= r["lower_bound"]
+        assert 9 * r["n_bins"] <= 11 * r["lower_bound"] + 6
+        if r["fill_rate"] is not None:
+            assert 0 < r["fill_rate"] <= 1
+
+    # planted: 4 docs of 1500 + 4 docs of 548 tokens -> four 2048 bins
+    sf = str(tmp_path / "sf")
+    docs = []
+    for i in range(4):
+        docs.append((i, " ".join(["a"] * 1500), "en", "s", 0))
+        docs.append((10 + i, " ".join(["b"] * 548), "en", "s", 0))
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{sf}/documents.parquet")
+    r = registry.get("pack_context_bins_ffd").fn(spark, sf).collect()[0]
+    assert r["total_tokens"] == 4 * PACK_BIN_CAPACITY
+    assert r["n_bins"] == 4 and r["lower_bound"] == 4
+    assert r["fill_rate"] == 1.0

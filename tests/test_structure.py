@@ -75,6 +75,7 @@ def test_rows_only_set_is_exactly_the_documented_one():
         "sample_kcenter_coreset",  # greedy farthest-point traversal; planted-cluster gates in test_round17_ops
         "text_textrank_keywords",  # iterative fixed point (pagerank contract); planted-hub gates in test_round19_ops
         "graph_mst_backbone",  # Boruvka fixed point; planted-MST + forest gates in test_round19_ops
+        "pack_context_bins_ffd",  # order-sequential FFD per group; packing-quality gates in test_round19_ops
     }, rows_only
 
 
