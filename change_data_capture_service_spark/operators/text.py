@@ -1833,7 +1833,7 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM pts
     )
     SELECT n AS n_sources,
-           round((n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0), 6)
+           round((n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0), 6) + 0.0
              AS heaps_beta,
            round(exp((sy - (n * sxy - sx * sy)
                       / nullif(n * sxx - sx * sx, 0) * sx) / n), 6)
@@ -1887,6 +1887,9 @@ def docs_vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return m.filter(F.col("n") >= 2).select(
         F.col("n").alias("n_sources"),
-        F.round(slope, 6).alias("heaps_beta"),
+        # + 0.0 normalizes IEEE signed zero: a degenerate corpus can put
+        # the rounded slope at -0.0 on one engine and 0.0 on the other
+        # (hash-different strings for the same number)
+        (F.round(slope, 6) + F.lit(0.0)).alias("heaps_beta"),
         F.round(F.exp((F.col("sy") - slope * F.col("sx")) / nd), 6).alias("heaps_k"),
     )
