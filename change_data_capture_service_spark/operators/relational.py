@@ -5064,14 +5064,20 @@ def part_substitute_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ((p_type, p_size DIV 2) joined on band +-1) to halve the group
     fan-out. The top-50 is a TakeOrderedAndProject -- nothing beyond
     pairs surviving all four fences ever sorts globally."""
-    p = load_table(spark, sf_dir, "part").filter(
+    from ..catalog import spread
+
+    # the part fixture ships one row group -> one partition; spread the
+    # PROBE side so the blocked pair space fans across cores (the build
+    # side broadcasts regardless). At warehouse scale the dim arrives in
+    # many splits and this is a no-op (the spread() contract).
+    p = spread(load_table(spark, sf_dir, "part").filter(
         F.col("p_retailprice").cast("decimal(18,2)").isNotNull()
     ).select(
         "p_partkey", "p_brand", "p_type", "p_size",
         F.expr(
             "try_cast(try_cast(p_retailprice AS decimal(18,2)) * 100 AS bigint)"
         ).alias("cents"),
-    ).localCheckpoint(eager=False)  # both sides of the self-join
+    )).localCheckpoint(eager=False)  # both sides of the self-join
     a = p.select(*[F.col(c).alias(f"a_{c}") for c in p.columns])
     b = p.select(*[F.col(c).alias(f"b_{c}") for c in p.columns])
     pairs = a.join(
