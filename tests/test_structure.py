@@ -42,8 +42,9 @@ def test_every_operator_documents_itself():
 
 
 def test_rows_only_set_is_exactly_the_documented_one():
-    """COVERAGE.md promises 18 rows-only keys; a new oracle-less key must
-    be a deliberate decision, not a forgotten oracle."""
+    """The rows-only set is a closed, documented list (each entry names
+    its closed-form gate); a new oracle-less key must be a deliberate
+    decision recorded here, not a forgotten oracle."""
     rows_only = {name for name, e in registry.entries().items() if e.oracle is None}
     assert rows_only == {
         "knn_recall_vs_nprobe_curve",  # ANN recall is probabilistic; monotonicity gate in test_ann_index
