@@ -5831,3 +5831,184 @@ def customer_retention_clv_projection(spark: SparkSession, sf_dir: str) -> DataF
         )
         .orderBy("segment")
     )
+
+
+@register(
+    "orders_value_at_risk_shortfall",
+    tags=("warehouse", "stats"),
+    oracle=f"""
+    WITH c AS (
+      SELECT {_TOTAL_C} AS cents FROM orders
+      WHERE {_TOTAL_C} IS NOT NULL
+    ),
+    dom AS (
+      SELECT cents, CAST(count(*) AS BIGINT) AS w FROM c GROUP BY cents
+    ),
+    cum AS (
+      SELECT cents, w,
+             CAST(sum(w) OVER (ORDER BY cents) AS BIGINT) AS c_end,
+             CAST(sum(w) OVER () AS BIGINT) AS n
+      FROM dom
+    ),
+    q AS (
+      SELECT (100 * lo.cents + ((95 * (lo.n - 1)) % 100)
+              * (hi.cents - lo.cents)) // 100 AS q95
+      FROM cum lo JOIN cum hi
+        ON lo.c_end >= (95 * (lo.n - 1)) // 100 + 1
+       AND lo.c_end - lo.w < (95 * (lo.n - 1)) // 100 + 1
+       AND hi.c_end >= CASE WHEN (95 * (lo.n - 1)) % 100 = 0
+                            THEN (95 * (lo.n - 1)) // 100 + 1
+                            ELSE (95 * (lo.n - 1)) // 100 + 2 END
+       AND hi.c_end - hi.w < CASE WHEN (95 * (lo.n - 1)) % 100 = 0
+                                  THEN (95 * (lo.n - 1)) // 100 + 1
+                                  ELSE (95 * (lo.n - 1)) // 100 + 2 END
+    ),
+    t AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_tail,
+             CAST(sum(CAST(c.cents AS DECIMAL(38,0))) AS BIGINT) AS s_tail
+      FROM c CROSS JOIN q WHERE c.cents >= q.q95
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_orders,
+           round(CAST(q.q95 AS DOUBLE) / 100, 6) AS var_95,
+           t.n_tail,
+           round(CAST(t.s_tail AS DOUBLE) / nullif(t.n_tail, 0) / 100, 6)
+             AS expected_shortfall_95
+    FROM q CROSS JOIN t
+    """,
+)
+def orders_value_at_risk_shortfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-tail VaR / expected shortfall of order values (the
+    Artzner-coherent ES at the 95% cut, applied to EXPOSURE: how big do
+    the biggest orders run, and what is the MEAN order size once you
+    are in that tail). VaR answers "the 95th-percentile order"; ES is
+    the number fulfilment reserves against, because tail means -- not
+    tail thresholds -- are what a heavy tail breaks
+    (orders_pareto_tail_index fits the LAW; this prices the tail the
+    law generates, with both numbers on the same exact-cents rails).
+
+    Exactness: the 95% cut is the shared exact-interpolation closed
+    form on the bounded cents DOMAIN; the tail mean is a
+    DECIMAL(38,0)-accumulated integer sum over the >= threshold slice
+    (ties at the threshold are included on both engines); two /100
+    presentation divisions at 6dp.
+
+    Scale: one cents-domain reduction, the domain-grain rank pass, and
+    one broadcast-threshold conditional agg over the fact scan -- no
+    global sort, no window over raw orders."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.expr(_TOTAL_C)
+    c = o.select(cents.alias("cents")).filter(F.col("cents").isNotNull()).localCheckpoint(
+        eager=False
+    )  # percentile pass + tail agg consume it
+    from .stats import exact_interp_pct_weighted
+
+    cg = c.withColumn("g", F.lit(1))
+    q = exact_interp_pct_weighted(cg, ["g"], "cents", 95).select(
+        F.col("q_val").alias("q95")
+    )
+    t = c.crossJoin(F.broadcast(q)).filter(F.col("cents") >= F.col("q95")).agg(
+        F.count("*").cast("bigint").alias("n_tail"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).cast("bigint").alias("s_tail"),
+    )
+    n = c.agg(F.count("*").cast("bigint").alias("n_orders"))
+    return (
+        n.crossJoin(q)
+        .crossJoin(t)
+        .select(
+            "n_orders",
+            F.round(F.col("q95").cast("double") / 100, 6).alias("var_95"),
+            "n_tail",
+            F.round(
+                F.col("s_tail").cast("double")
+                / F.nullif(F.col("n_tail").cast("double"), F.lit(0.0))
+                / 100,
+                6,
+            ).alias("expected_shortfall_95"),
+        )
+    )
+
+
+@register(
+    "orders_revenue_drawdown_profile",
+    tags=("warehouse", "timeseries"),
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+             CAST(sum(CAST({_TOTAL_C} AS DECIMAL(38,0))) AS BIGINT) AS cents
+      FROM orders WHERE o_orderdate IS NOT NULL AND {_TOTAL_C} IS NOT NULL
+      GROUP BY 1
+    ),
+    dd AS (
+      SELECT day, cents,
+             CAST(max(cents) OVER (ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS peak,
+             CAST(max(cents) OVER (ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  - cents AS BIGINT) AS draw
+      FROM daily
+    ),
+    und AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_days,
+             CAST(max(draw) AS BIGINT) AS max_dd,
+             CAST(max(peak) AS BIGINT) AS peak_cents,
+             CAST(sum(CASE WHEN draw > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_underwater
+      FROM dd
+    )
+    SELECT n_days, n_underwater,
+           round(CAST(peak_cents AS DOUBLE) / 100, 6) AS peak_daily_revenue,
+           round(CAST(max_dd AS DOUBLE) / 100, 6) AS max_drawdown,
+           round(CAST(max_dd AS DOUBLE) / nullif(peak_cents, 0), 6)
+             AS max_drawdown_share,
+           round(CAST(n_underwater AS DOUBLE) / n_days, 6) AS underwater_share
+    FROM und
+    """,
+)
+def orders_revenue_drawdown_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-revenue drawdown profile (the max-drawdown staple applied to
+    the revenue run-rate): running peak of daily revenue, the deepest
+    peak-to-day drop (absolute and as a share of the peak), and the
+    share of days spent below a prior peak. The demand-side health
+    number trend monitoring reads next to orders_monthly_momentum: a
+    growing business has small drawdowns and low underwater share; a
+    deep max drawdown dates the demand shock
+    events_changepoint_binary_seg then localizes.
+
+    Exactness: daily revenue is exact DECIMAL-accumulated cents; the
+    running peak and drawdowns are integer window arithmetic over the
+    calendar-bounded day series; three presentation divisions at 6dp.
+
+    Scale: one day-grain partial agg over the fact scan; the running-max
+    window and the fold ride |days| rows."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.expr(_TOTAL_C)
+    daily = (
+        o.filter(F.col("o_orderdate").isNotNull() & cents.isNotNull())
+        .groupBy(F.date_trunc("day", "o_orderdate").cast("timestamp").alias("day"))
+        .agg(F.sum(cents.cast("decimal(38,0)")).cast("bigint").alias("cents"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dd = daily.select(
+        "cents",
+        F.max("cents").over(w).cast("bigint").alias("peak"),
+        (F.max("cents").over(w) - F.col("cents")).cast("bigint").alias("draw"),
+    )
+    und = dd.agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.max("draw").cast("bigint").alias("max_dd"),
+        F.max("peak").cast("bigint").alias("peak_cents"),
+        F.sum(F.when(F.col("draw") > 0, 1).otherwise(0)).cast("bigint").alias("n_underwater"),
+    )
+    return und.select(
+        "n_days",
+        "n_underwater",
+        F.round(F.col("peak_cents").cast("double") / 100, 6).alias("peak_daily_revenue"),
+        F.round(F.col("max_dd").cast("double") / 100, 6).alias("max_drawdown"),
+        F.round(
+            F.col("max_dd").cast("double") / F.nullif(F.col("peak_cents"), F.lit(0)), 6
+        ).alias("max_drawdown_share"),
+        F.round(F.col("n_underwater").cast("double") / F.col("n_days"), 6).alias(
+            "underwater_share"
+        ),
+    )

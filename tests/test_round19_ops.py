@@ -267,3 +267,19 @@ def test_ffd_packing_quality_and_planted_optimum(spark, sf_dir, tmp_path):
     assert r["total_tokens"] == 4 * PACK_BIN_CAPACITY
     assert r["n_bins"] == 4 and r["lower_bound"] == 4
     assert r["fill_rate"] == 1.0
+
+
+def test_var_shortfall_dominance(spark, sf_dir):
+    """ES >= VaR by construction (tail mean of values >= the cut); the
+    tail size is ~5% of orders."""
+    r = _rows(spark, sf_dir, "orders_value_at_risk_shortfall")[0]
+    assert r["expected_shortfall_95"] >= r["var_95"]
+    assert 0 < r["n_tail"] <= max(1, int(0.06 * r["n_orders"]) + 2)
+
+
+def test_drawdown_profile_bounds(spark, sf_dir):
+    r = _rows(spark, sf_dir, "orders_revenue_drawdown_profile")[0]
+    assert 0 <= r["max_drawdown_share"] <= 1
+    assert 0 <= r["underwater_share"] <= 1
+    assert r["max_drawdown"] <= r["peak_daily_revenue"]
+    assert r["n_underwater"] <= r["n_days"]
