@@ -6012,3 +6012,87 @@ def orders_revenue_drawdown_profile(spark: SparkSession, sf_dir: str) -> DataFra
             "underwater_share"
         ),
     )
+
+
+@register(
+    "supplier_hhi_trend_yearly",
+    tags=("warehouse", "monitor"),
+    oracle="""
+    WITH r AS (
+      SELECT CAST(extract(year FROM l_shipdate) AS BIGINT) AS yr,
+             l_suppkey,
+             CAST(sum(CAST(try_cast(try_cast(l_extendedprice
+                  AS DECIMAL(18,2)) * 100 AS BIGINT) AS DECIMAL(38,0)))
+                  AS BIGINT) AS cents
+      FROM lineitem WHERE l_shipdate IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    h AS (
+      SELECT yr,
+             CAST(count(*) AS BIGINT) AS n_suppliers,
+             CAST(sum(cents) AS BIGINT) AS total_cents,
+             CAST(sum(CAST(cents AS DECIMAL(38,0)) * cents) AS DECIMAL(38,0))
+               AS sq
+      FROM r GROUP BY yr
+    )
+    SELECT yr AS ship_year, n_suppliers,
+           round(CAST(sq AS DOUBLE)
+                 / (CAST(total_cents AS DOUBLE) * total_cents), 6) AS hhi,
+           round(CAST(sq AS DOUBLE)
+                 / (CAST(total_cents AS DOUBLE) * total_cents)
+                 - lag(CAST(sq AS DOUBLE)
+                       / (CAST(total_cents AS DOUBLE) * total_cents))
+                   OVER (ORDER BY yr), 6) AS hhi_delta
+    FROM h ORDER BY yr
+    """,
+)
+def supplier_hhi_trend_yearly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-concentration trend: revenue HHI across the supplier base
+    per ship year, with the year-over-year delta.
+    supplier_revenue_hhi_by_nation is the geographic SNAPSHOT; this is
+    the TREND the resilience program actually tracks -- a rising HHI
+    says the supply base is consolidating (fewer suppliers carrying
+    more revenue), the slow-motion version of the risk
+    part_sourcing_redundancy_panel tiers at part grain.
+
+    Exactness: per-(year, supplier) revenue accumulates in DECIMAL
+    cents; the HHI's sum of squares accumulates in DECIMAL(38,0)
+    (cents^2 exceeds BIGINT at warehouse scale); the share-of-squares
+    closed form and its lag delta round once at 6dp -- the delta is a
+    difference of identically-computed doubles, deterministic on both
+    engines.
+
+    Scale: one (year, supplier) partial agg over the fact scan, then a
+    |years|-row panel with a calendar-bounded lag window."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.expr(
+        "try_cast(try_cast(l_extendedprice AS decimal(18,2)) * 100 AS bigint)"
+    )
+    r = (
+        li.filter(F.col("l_shipdate").isNotNull())
+        .groupBy(
+            F.year("l_shipdate").cast("bigint").alias("yr"),
+            "l_suppkey",
+        )
+        .agg(F.sum(cents.cast("decimal(38,0)")).cast("bigint").alias("cents"))
+    )
+    h = r.groupBy("yr").agg(
+        F.count("*").cast("bigint").alias("n_suppliers"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+        F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cents")).alias("sq"),
+    )
+    hhi = F.col("sq").cast("double") / (
+        F.col("total_cents").cast("double") * F.col("total_cents")
+    )
+    w = Window.orderBy("ship_year")
+    return (
+        h.select(
+            F.col("yr").alias("ship_year"),
+            "n_suppliers",
+            F.round(hhi, 6).alias("hhi"),
+            hhi.alias("_h"),
+        )
+        .withColumn("hhi_delta", F.round(F.col("_h") - F.lag("_h").over(w), 6))
+        .drop("_h")
+        .orderBy("ship_year")
+    )

@@ -283,3 +283,16 @@ def test_drawdown_profile_bounds(spark, sf_dir):
     assert 0 <= r["underwater_share"] <= 1
     assert r["max_drawdown"] <= r["peak_daily_revenue"]
     assert r["n_underwater"] <= r["n_days"]
+
+
+def test_hhi_trend_bounds_and_delta_identity(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "supplier_hhi_trend_yearly")
+    assert len(rows) >= 2
+    prev = None
+    for r in rows:
+        assert 1.0 / r["n_suppliers"] - 1e-6 <= r["hhi"] <= 1.0 + 1e-9
+        if prev is None:
+            assert r["hhi_delta"] is None
+        else:
+            assert abs(r["hhi_delta"] - (r["hhi"] - prev)) < 2e-6
+        prev = r["hhi"]
