@@ -6096,3 +6096,70 @@ def supplier_hhi_trend_yearly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("_h")
         .orderBy("ship_year")
     )
+
+
+@register(
+    "orders_arpu_monthly",
+    tags=("warehouse", "analytics"),
+    oracle=f"""
+    WITH m AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)
+               AS month_start,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+             CAST(sum(CAST({_TOTAL_C} AS DECIMAL(38,0))) AS BIGINT) AS cents
+      FROM orders WHERE o_orderdate IS NOT NULL AND {_TOTAL_C} IS NOT NULL
+      GROUP BY 1
+    )
+    SELECT month_start, n_orders, n_customers,
+           round(CAST(cents AS DOUBLE) / 100, 6) AS revenue,
+           round(CAST(cents AS DOUBLE) / n_customers / 100, 6) AS arpu,
+           round(CAST(cents AS DOUBLE) / n_orders / 100, 6) AS aov,
+           round(CAST(n_orders AS DOUBLE) / n_customers, 6)
+             AS orders_per_customer
+    FROM m ORDER BY month_start
+    """,
+)
+def orders_arpu_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue-efficiency scorecard: ARPU (revenue per active
+    customer), AOV (average order value), and orders-per-customer --
+    the three-way decomposition revenue = customers x orders/customer x
+    AOV that says WHICH lever moved when orders_yearly_growth moves.
+    The dashboard staple every monetization review opens with, at the
+    month grain the cohort panels (customer_cohort_quality_decay)
+    refine.
+
+    Exactness: revenue accumulates in DECIMAL cents; active customers
+    are exact distincts; four single divisions rounded at 6dp.
+
+    Scale: ONE month-grain agg over the fact scan (the distinct
+    customer count partial-aggregates per month); |months| rows out,
+    no joins, no windows."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.expr(_TOTAL_C)
+    m = (
+        o.filter(F.col("o_orderdate").isNotNull() & cents.isNotNull())
+        .groupBy(
+            F.date_trunc("month", "o_orderdate").cast("timestamp").alias("month_start")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.countDistinct("o_custkey").cast("bigint").alias("n_customers"),
+            F.sum(cents.cast("decimal(38,0)")).cast("bigint").alias("cents"),
+        )
+    )
+    return m.select(
+        "month_start",
+        "n_orders",
+        "n_customers",
+        F.round(F.col("cents").cast("double") / 100, 6).alias("revenue"),
+        F.round(F.col("cents").cast("double") / F.col("n_customers") / 100, 6).alias(
+            "arpu"
+        ),
+        F.round(F.col("cents").cast("double") / F.col("n_orders") / 100, 6).alias(
+            "aov"
+        ),
+        F.round(
+            F.col("n_orders").cast("double") / F.col("n_customers"), 6
+        ).alias("orders_per_customer"),
+    ).orderBy("month_start")

@@ -296,3 +296,14 @@ def test_hhi_trend_bounds_and_delta_identity(spark, sf_dir):
         else:
             assert abs(r["hhi_delta"] - (r["hhi"] - prev)) < 2e-6
         prev = r["hhi"]
+
+
+def test_arpu_decomposition_identity(spark, sf_dir):
+    """revenue = customers x orders_per_customer x AOV (to rounding)."""
+    rows = _rows(spark, sf_dir, "orders_arpu_monthly")
+    assert rows
+    for r in rows:
+        lhs = r["revenue"]
+        rhs = r["n_customers"] * r["orders_per_customer"] * r["aov"]
+        assert abs(lhs - rhs) / max(lhs, 1) < 1e-4
+        assert r["arpu"] >= r["aov"] - 1e-9  # >= because orders/cust >= 1
