@@ -87,60 +87,28 @@ _QUERY_MODULES = [
 # drift, not just first landing. Proven back-of-queue keys keep independent
 # verification via tests/test_oracle_parity.py (mandatory in CI).
 _CHECK_ORDER = [
-    # -- round-11 queue stock, never driver-attested (rotated to front) --
-    "dedup_cluster_profile",
-    "dedup_shingle_selectivity_curve",
-    "sample_kcenter_coreset",
-    "ann_index_residual_energy_profile",
-    "text_rake_keywords",
-    "events_theta_method_mae",
-    "events_topk_drift_weekly",
-    "events_type_profile_js_distance",
-    "events_two_way_eta_squared",
-    "events_changepoint_pelt",
-    "events_page_hinkley_panel",
-    "events_ljung_box_daily",
-    "cdc_revisit_halflife_by_type",
-    "cdc_watermark_skew_by_table",
-    "cdc_throughput_percentiles_minute",
-    "cdc_replay_window_cost",
-    "cdc_reorder_buffer_depth",
-    "graph_ktruss",
-    "search_alpha_dcg_diversity",
-    "search_query_likelihood_dirichlet",
-    "part_price_ladder_by_nation",
-    "supplier_workload_balance_monthly",
-    "customer_cohort_quality_decay",
-    "customer_rfm_migration_matrix",
-    "orders_interorder_hazard_curve",
-    "part_brand_share_yearly",
-    # -- new in round 12 (appended as they land; HARD CAP 50 incl. re-attest) --
-    "sqlapi_agg_filter",
-    "win_ignore_nulls",
-    "dq_functional_dependency_audit",
-    "events_turning_points_test",
-    "events_grubbs_outlier_daily",
-    "events_kpss_level_stat",
-    "events_variance_time_ratio",
-    "events_median_test_weekend",
-    "nation_revenue_shift_share",
-    "part_substitute_pairs",
-    "orders_fulfillment_sla_weekly",
-    "supplier_latency_trend_by_nation",
-    "customer_purchase_regularity_by_segment",
-    "cdc_hot_key_skew_daily",
-    "cdc_payload_size_profile",
-    "text_hapax_legomena_share",
-    "text_garbage_token_panel",
-    "docs_lang_confusion_matrix",
-    "docs_length_gini_by_source",
-    "search_bm25_vs_ql_overlap",
-    "knn_lowe_ratio_profile",
-    "embedding_exact_duplicate_audit",
-    "graph_degree_tail_alpha",
-    # -- re-attestation: green keys whose impl files changed this round
-    # (the Holt/theta grain contract touched the fold family) --
-    "events_holt_linear_mae",
+    # -- round-12 queue stock (X88), never driver-attested (rotated to
+    # front per scripts/rotate_check_window.py, 2026-08-16; each judge-sim
+    # HASH-OK / rows-only-clean at sf0.001+sf0.01 per VERDICT.md r12) --
+    "embedding_split_centroid_drift",
+    "text_textrank_keywords",
+    "docs_vocab_growth_heaps",
+    "events_conformal_naive_backtest",
+    "pack_context_bins_ffd",
+    "sqlapi_qualify_dialect",
+    "cdc_state_size_projection",
+    "cdc_duplicate_delivery_audit",
+    "graph_mst_backbone",
+    "orders_completion_curve_weekly",
+    "part_sourcing_redundancy_panel",
+    "orders_priority_queueing_delay",
+    "lineitem_return_rate_by_brand_year",
+    "customer_retention_clv_projection",
+    "orders_value_at_risk_shortfall",
+    "orders_revenue_drawdown_profile",
+    "supplier_hhi_trend_yearly",
+    "orders_arpu_monthly",
+    # -- new in round 13 (appended as they land; HARD CAP 50 incl. re-attest) --
 ]
 # Provenance: the round-11 window, fully attested by CORRECTNESS_r11
 # (45 hash-green + 5 rows-only-clean: ann_index_cell_balance_profile,

@@ -81,77 +81,44 @@ def test_every_oracle_key_has_a_query(spark):
     assert os_ <= qs, f"orphan oracles: {os_ - qs}"
 
 
-# The front keys form the driver's bounded-budget check window for round 12:
-# attestation debt entered the round at ZERO for the fourth consecutive round
-# (CORRECTNESS_r11 closed the round-11 window; all 470 previously-windowed
-# keys carry a clean driver row), so the front is the 26 round-11 queue-stock
-# keys (registered behind the r11 window, judge-sim HASH-OK pre-rotation),
-# then new round-12 operators appended as they land (hard cap 50) followed by
-# RE-ATTESTATION slots -- previously-green keys whose implementation files
-# were diff-touched this round, so the driver record tracks drift. This order
-# is load-bearing for grading -- an import refactor that silently reorders it
-# would unprove operators -- so it is pinned here as a contract. Rounds 1-11
-# attested 470 keys with zero failures (CORRECTNESS_r01-r11 on record).
-_R12_CHECK_WINDOW = [
-    # round-11 queue stock, never driver-attested (rotated to front)
-    "dedup_cluster_profile",
-    "dedup_shingle_selectivity_curve",
-    "sample_kcenter_coreset",
-    "ann_index_residual_energy_profile",
-    "text_rake_keywords",
-    "events_theta_method_mae",
-    "events_topk_drift_weekly",
-    "events_type_profile_js_distance",
-    "events_two_way_eta_squared",
-    "events_changepoint_pelt",
-    "events_page_hinkley_panel",
-    "events_ljung_box_daily",
-    "cdc_revisit_halflife_by_type",
-    "cdc_watermark_skew_by_table",
-    "cdc_throughput_percentiles_minute",
-    "cdc_replay_window_cost",
-    "cdc_reorder_buffer_depth",
-    "graph_ktruss",
-    "search_alpha_dcg_diversity",
-    "search_query_likelihood_dirichlet",
-    "part_price_ladder_by_nation",
-    "supplier_workload_balance_monthly",
-    "customer_cohort_quality_decay",
-    "customer_rfm_migration_matrix",
-    "orders_interorder_hazard_curve",
-    "part_brand_share_yearly",
-    # new in round 12 (appended as they are registered; hard cap 50)
-    "sqlapi_agg_filter",
-    "win_ignore_nulls",
-    "dq_functional_dependency_audit",
-    "events_turning_points_test",
-    "events_grubbs_outlier_daily",
-    "events_kpss_level_stat",
-    "events_variance_time_ratio",
-    "events_median_test_weekend",
-    "nation_revenue_shift_share",
-    "part_substitute_pairs",
-    "orders_fulfillment_sla_weekly",
-    "supplier_latency_trend_by_nation",
-    "customer_purchase_regularity_by_segment",
-    "cdc_hot_key_skew_daily",
-    "cdc_payload_size_profile",
-    "text_hapax_legomena_share",
-    "text_garbage_token_panel",
-    "docs_lang_confusion_matrix",
-    "docs_length_gini_by_source",
-    "search_bm25_vs_ql_overlap",
-    "knn_lowe_ratio_profile",
-    "embedding_exact_duplicate_audit",
-    "graph_degree_tail_alpha",
-    # re-attestation: diff-touched fold family (grain contract)
-    "events_holt_linear_mae",
+# The front keys form the driver's bounded-budget check window for round 13:
+# CORRECTNESS_r12 closed the round-12 window (50 keys, 0 failures), leaving
+# exactly the 18 X88 queue-stock keys (registered behind the r12 window,
+# judge-sim verified clean pre-rotation per VERDICT.md r12) never
+# driver-attested; they rotate to the front, then new round-13 operators
+# append as they land (hard cap 50) followed by RE-ATTESTATION slots --
+# previously-green keys whose implementation files were diff-touched this
+# round, so the driver record tracks drift. This order is load-bearing for
+# grading -- an import refactor that silently reorders it would unprove
+# operators -- so it is pinned here as a contract. Rounds 1-12 attested 519
+# keys with zero failures (CORRECTNESS_r01-r12 on record).
+_R13_CHECK_WINDOW = [
+    # round-12 queue stock (X88), never driver-attested (rotated to front)
+    "embedding_split_centroid_drift",
+    "text_textrank_keywords",
+    "docs_vocab_growth_heaps",
+    "events_conformal_naive_backtest",
+    "pack_context_bins_ffd",
+    "sqlapi_qualify_dialect",
+    "cdc_state_size_projection",
+    "cdc_duplicate_delivery_audit",
+    "graph_mst_backbone",
+    "orders_completion_curve_weekly",
+    "part_sourcing_redundancy_panel",
+    "orders_priority_queueing_delay",
+    "lineitem_return_rate_by_brand_year",
+    "customer_retention_clv_projection",
+    "orders_value_at_risk_shortfall",
+    "orders_revenue_drawdown_profile",
+    "supplier_hhi_trend_yearly",
+    "orders_arpu_monthly",
+    # new in round 13 (appended as they are registered; hard cap 50)
 ]
 
 
 def test_check_window_order_is_pinned():
-    n = len(_R12_CHECK_WINDOW)
-    assert list(registry.entries())[:n] == _R12_CHECK_WINDOW
+    n = len(_R13_CHECK_WINDOW)
+    assert list(registry.entries())[:n] == _R13_CHECK_WINDOW
 
 
 def test_check_order_names_are_all_registered():

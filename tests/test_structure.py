@@ -101,6 +101,34 @@ def test_catalog_md_is_in_sync_with_registry():
     )
 
 
+def test_readme_counts_match_registry():
+    """README.md's prose operator counts track the live registry (the
+    round-12 VERDICT nit: the three-way registry<->COVERAGE<->SURVEY gate
+    didn't cover README, so its count went stale by one batch). The README
+    sentence is pinned to the exact phrases below; a new key batch must
+    re-sync the prose or this fails."""
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "README.md")) as f:
+        text = f.read()
+    total = len(registry.entries())
+    oracle = sum(1 for e in registry.entries().values() if e.oracle is not None)
+    m = re.search(r"exposes (\d+) operators from SURVEY\.md", text)
+    assert m and int(m.group(1)) == total, (
+        f"README operator count {m and m.group(1)} != registry {total}"
+    )
+    m = re.search(r"\((\d+)\s*\noracle-checked; the remaining (\d+)", text) or re.search(
+        r"\((\d+) oracle-checked; the remaining (\d+)", text
+    )
+    assert m, "README oracle-count sentence not found"
+    assert int(m.group(1)) == oracle, f"README oracle count {m.group(1)} != {oracle}"
+    assert int(m.group(2)) == total - oracle, (
+        f"README rows-only count {m.group(2)} != {total - oracle}"
+    )
+
+
 def test_docstring_constants_match_code():
     """Docstring drift guard (the round-8 ADVICE class): numeric claims
     that restate tuning constants must equal the code. Covers the ANN
