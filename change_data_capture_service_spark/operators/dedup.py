@@ -475,47 +475,113 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_simhash", tags=("dedup", "northstar"))  # rows-only: simhash bits are engine-specific
+# SimHash geometry, shared by the Spark plan and the generated DuckDB twin.
+# 60 bits (15 hex chars of md5 -- the widest hex slice whose unsigned value
+# still fits SIGNED BIGINT on both engines), 4 bands x 15 bits, verify at
+# Hamming <= 6. Both engines hash the UTF-8 bytes of each token with md5,
+# so the per-token bit patterns are identical by construction.
+SIMHASH_BITS = 60
+SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS
+SIMHASH_HAMMING_MAX = 6
+
+_SIMHASH_DUCK_VOTES = ", ".join(
+    f"sum(CASE WHEN ((h >> {b}) & 1) = 1 THEN 1 ELSE -1 END) AS v{b}"
+    for b in range(SIMHASH_BITS)
+)
+_SIMHASH_DUCK_SIG = " + ".join(
+    f"(CASE WHEN v{b} > 0 THEN (CAST(1 AS BIGINT) << {b}) ELSE CAST(0 AS BIGINT) END)"
+    for b in range(SIMHASH_BITS)
+)
+_SIMHASH_DUCK_SQL = f"""
+    WITH tok AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(t.tok), 1, 15))::BIGINT AS h
+      FROM documents,
+           unnest(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+             AS t(tok)
+    ),
+    votes AS (
+      SELECT doc_id, {_SIMHASH_DUCK_VOTES}
+      FROM tok GROUP BY doc_id
+    ),
+    sig AS (
+      SELECT doc_id, CAST({_SIMHASH_DUCK_SIG} AS BIGINT) AS sig FROM votes
+    ),
+    bands AS (
+      SELECT s.doc_id, s.sig, g.band_id,
+             (s.sig >> ({SIMHASH_BAND_BITS} * g.band_id))
+               & {(1 << SIMHASH_BAND_BITS) - 1} AS band_val
+      FROM sig s
+      CROSS JOIN (SELECT CAST(unnest(range({SIMHASH_BANDS})) AS BIGINT)
+                    AS band_id) g
+    )
+    SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+           CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+    FROM bands a
+    JOIN bands b ON a.band_id = b.band_id AND a.band_val = b.band_val
+                AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sig, b.sig)) <= {SIMHASH_HAMMING_MAX}
+"""
+
+
+@register("dedup_simhash", tags=("dedup", "northstar"), oracle=_SIMHASH_DUCK_SQL)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup candidates: 64-bit signature per doc (majority vote
-    of token-hash bits, numpy-vectorized Pandas UDF), then 4x16-bit band
-    blocking + Hamming-distance<=6 verification via bit_count(xor).
+    """SimHash near-dup candidates: 60-bit signature per doc (per-bit
+    majority vote over md5 token hashes -- all JVM builtins, no Python),
+    then 4x15-bit band blocking + Hamming<=6 verification via
+    bit_count(xor). Round-13 conversion of the former rows-only key: the
+    blake2b Pandas UDF became a conv(substr(md5(token),1,15),16,10)
+    signature both engines compute identically, so the driver now
+    hash-checks the pairs against the generated DuckDB twin above.
 
-    Output: candidate pairs with their Hamming distance. Rows-only check
-    (no cross-engine hash oracle); pytest covers the semantics on
-    constructed near-identical docs."""
-    import numpy as np
-
-    @F.pandas_udf(T.LongType())
-    def simhash64(texts: pd.Series) -> pd.Series:
-        out = np.empty(len(texts), dtype=np.int64)
-        for i, t in enumerate(texts):
-            toks = [w for w in (t or "").lower().split(" ") if w]
-            if not toks:
-                out[i] = 0
-                continue
-            # per-token 64-bit hashes; stable across runs (no PYTHONHASHSEED)
-            hs = np.array(
-                [int.from_bytes(__import__("hashlib").blake2b(w.encode(), digest_size=8).digest(), "big") for w in toks],
-                dtype=np.uint64,
-            )
-            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int32)
-            votes = bits.sum(axis=0) * 2 - len(toks)  # +1 / -1 majority
-            sig = np.uint64(0)
-            for bit in np.nonzero(votes > 0)[0]:
-                sig |= np.uint64(1) << np.uint64(bit)
-            out[i] = np.int64(sig)
-        return pd.Series(out)
-
+    The 60 vote sums are 60 parallel agg expressions in ONE groupBy (no
+    bit explode): the token relation folds map-side to |docs| x 60
+    narrow ints, so the only wide thing that ever shuffles is the doc
+    signature, never text. Banding note: 4 bands of 15 bits is a
+    CANDIDATE generator (a pair at Hamming 6 can in principle spread its
+    errors across all 4 bands); both engines apply the identical
+    banding, so parity is exact over the candidate set by construction.
+    Docs with zero tokens drop out at the explode (no direction => no
+    signature), mirroring similarity._vectors' zero-vector rule."""
     d = spread(load_table(spark, sf_dir, "documents"))
-    sigs = d.select("doc_id", simhash64("text").alias("sig"))
-
-    # 4 bands x 16 bits: docs within hamming<=6 share >=1 exact band whp
+    tok = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
+        ).alias("tok"),
+    ).select(
+        "doc_id",
+        F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("bigint").alias("h"),
+    )
+    votes = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftrightunsigned("h", b).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(SIMHASH_BITS)
+        ]
+    )
+    sig_expr = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN (CAST(1 AS BIGINT) << {b}) ELSE CAST(0 AS BIGINT) END)"
+        for b in range(SIMHASH_BITS)
+    )
+    sigs = votes.select("doc_id", F.expr(sig_expr).cast("bigint").alias("sig"))
+    mask = (1 << SIMHASH_BAND_BITS) - 1
     bands = sigs.select(
         "doc_id",
         "sig",
         F.posexplode(
-            F.array(*[F.shiftrightunsigned("sig", 16 * b).bitwiseAND(F.lit(0xFFFF)) for b in range(4)])
+            F.array(
+                *[
+                    F.shiftrightunsigned("sig", SIMHASH_BAND_BITS * b)
+                    .bitwiseAND(F.lit(mask))
+                    .cast("bigint")
+                    for b in range(SIMHASH_BANDS)
+                ]
+            )
         ).alias("band_id", "band_val"),
     )
     a, b = bands.alias("a"), bands.alias("b")
@@ -530,10 +596,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_id_a"),
             F.col("b.doc_id").alias("doc_id_b"),
-            hamming.alias("hamming"),
+            hamming.cast("bigint").alias("hamming"),
         )
+        .filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
         .dropDuplicates(["doc_id_a", "doc_id_b"])
-        .filter(F.col("hamming") <= 6)
     )
 
 

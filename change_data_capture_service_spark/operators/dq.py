@@ -627,3 +627,90 @@ def dq_functional_dependency_audit(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("fd")
     )
+
+
+@register(
+    "orders_calendar_completeness_audit",
+    tags=("dq", "monitor"),
+    oracle="""
+    WITH b AS (
+      SELECT CAST(min(date_trunc('day', o_orderdate)) AS TIMESTAMP) AS lo,
+             CAST(max(date_trunc('day', o_orderdate)) AS TIMESTAMP) AS hi
+      FROM orders WHERE o_orderdate IS NOT NULL
+    ),
+    spine AS (
+      SELECT CAST(unnest(generate_series(b.lo, b.hi, INTERVAL 1 DAY))
+               AS TIMESTAMP) AS day
+      FROM b
+    ),
+    obs AS (
+      SELECT DISTINCT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day
+      FROM orders WHERE o_orderdate IS NOT NULL
+    )
+    SELECT CAST(dayofweek(spine.day) AS BIGINT) AS dw,
+           CAST(count(*) AS BIGINT) AS expected_days,
+           CAST(sum(CASE WHEN obs.day IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS observed_days,
+           CAST(sum(CASE WHEN obs.day IS NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS missing_days,
+           round(CAST(sum(CASE WHEN obs.day IS NOT NULL THEN 1 ELSE 0 END)
+                 AS DOUBLE) / count(*), 6) AS coverage
+    FROM spine LEFT JOIN obs ON obs.day = spine.day
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def orders_calendar_completeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-calendar completeness: a full day spine from the first to
+    the last order date, per day-of-week -- expected vs observed active
+    days, missing-day counts, and coverage share. The ingestion-hole
+    detector at BUSINESS grain: cdc_lsn_gap_detection audits WAL
+    continuity; this audits whether whole business days are absent from
+    the replicated warehouse (a silent partition loss shows up here as
+    a dow-skewed coverage drop before any revenue panel moves).
+
+    Exactness: the spine is exact calendar arithmetic (both engines'
+    day sequences are inclusive on both ends); counts are integers;
+    one coverage division at 6dp. dw uses the shared 0=Sunday DuckDB
+    convention.
+
+    Scale: the spine derives from a 1-row min/max fence and is
+    calendar-bounded (|days| rows); observed days is a day-grain
+    distinct over the fact scan; the join and agg ride |days| rows."""
+    o = load_table(spark, sf_dir, "orders")
+    b = o.filter(F.col("o_orderdate").isNotNull()).agg(
+        F.date_trunc("day", F.min("o_orderdate")).cast("timestamp").alias("lo"),
+        F.date_trunc("day", F.max("o_orderdate")).cast("timestamp").alias("hi"),
+    )
+    spine = b.select(
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 DAY"))
+        ).alias("day")
+    )
+    obs = (
+        o.filter(F.col("o_orderdate").isNotNull())
+        .select(
+            F.date_trunc("day", "o_orderdate").cast("timestamp").alias("obs_day")
+        )
+        .distinct()
+    )
+    return (
+        spine.join(obs, F.col("obs_day") == F.col("day"), "left")
+        .groupBy((F.dayofweek("day") - 1).cast("bigint").alias("dw"))
+        .agg(
+            F.count("*").cast("bigint").alias("expected_days"),
+            F.sum(F.when(F.col("obs_day").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("observed_days"),
+            F.sum(F.when(F.col("obs_day").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("missing_days"),
+            F.round(
+                F.sum(F.when(F.col("obs_day").isNotNull(), 1).otherwise(0)).cast(
+                    "double"
+                )
+                / F.count("*"),
+                6,
+            ).alias("coverage"),
+        )
+        .orderBy("dw")
+    )

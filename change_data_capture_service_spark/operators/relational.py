@@ -5417,7 +5417,10 @@ def orders_completion_curve_weekly(spark: SparkSession, sf_dir: str) -> DataFram
 
     Scale: ONE orderkey-co-partitioned fact-fact agg to order grain
     (max shipdate per order), then a broadcast 12-row spine against the
-    order-grain relation folded map-side. The curve never sorts."""
+    order-grain relation folded map-side. The curve never sorts. Grain
+    contract: the only domain-bounded relation here is the week spine,
+    which is a LITERAL `spark.range(1, 13)` -- no fixture change can
+    widen it; the final 12-row orderBy is the entire sorted set."""
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     per_order = (
@@ -5980,7 +5983,13 @@ def orders_revenue_drawdown_profile(spark: SparkSession, sf_dir: str) -> DataFra
     calendar-bounded day series; three presentation divisions at 6dp.
 
     Scale: one day-grain partial agg over the fact scan; the running-max
-    window and the fold ride |days| rows."""
+    window and the fold ride |days| rows. The unpartitioned running-peak
+    window is the documented domain-bounded contract (a day spine is
+    calendar-bounded); the SERIES_FOLD_MAX_POINTS guard on n_days below
+    raises loudly if a fixture change ever turns the windowed relation
+    fact-grain instead of silently single-partitioning it."""
+    from .timeseries import _fold_capped_n
+
     o = load_table(spark, sf_dir, "orders")
     cents = F.expr(_TOTAL_C)
     daily = (
@@ -6001,7 +6010,9 @@ def orders_revenue_drawdown_profile(spark: SparkSession, sf_dir: str) -> DataFra
         F.sum(F.when(F.col("draw") > 0, 1).otherwise(0)).cast("bigint").alias("n_underwater"),
     )
     return und.select(
-        "n_days",
+        _fold_capped_n(F.col("n_days"), "orders_revenue_drawdown_profile")
+        .cast("bigint")
+        .alias("n_days"),
         "n_underwater",
         F.round(F.col("peak_cents").cast("double") / 100, 6).alias("peak_daily_revenue"),
         F.round(F.col("max_dd").cast("double") / 100, 6).alias("max_drawdown"),
@@ -6163,3 +6174,422 @@ def orders_arpu_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_orders").cast("double") / F.col("n_customers"), 6
         ).alias("orders_per_customer"),
     ).orderBy("month_start")
+
+
+@register(
+    "customer_nrr_monthly",
+    tags=("warehouse", "analytics"),
+    oracle=f"""
+    WITH cm AS (
+      SELECT o_custkey,
+             CAST(extract(year FROM o_orderdate) AS BIGINT) * 12
+               + CAST(extract(month FROM o_orderdate) AS BIGINT) - 1 AS idx,
+             CAST(sum(CAST({_TOTAL_C} AS DECIMAL(38,0))) AS BIGINT) AS cents
+      FROM orders
+      WHERE o_orderdate IS NOT NULL AND {_TOTAL_C} IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    br AS (
+      SELECT coalesce(c.idx, p.idx + 1) AS idx,
+             CAST(sum(CASE WHEN p.o_custkey IS NOT NULL
+                            AND c.o_custkey IS NOT NULL
+                      THEN c.cents ELSE 0 END) AS BIGINT) AS retained_cents,
+             CAST(sum(CASE WHEN p.o_custkey IS NULL
+                      THEN c.cents ELSE 0 END) AS BIGINT) AS new_cents,
+             CAST(sum(CASE WHEN c.o_custkey IS NULL
+                      THEN p.cents ELSE 0 END) AS BIGINT) AS churned_cents,
+             CAST(sum(CASE WHEN p.o_custkey IS NOT NULL
+                            AND c.o_custkey IS NOT NULL
+                            AND c.cents > p.cents
+                      THEN c.cents - p.cents ELSE 0 END) AS BIGINT)
+               AS expansion_cents,
+             CAST(sum(CASE WHEN p.o_custkey IS NOT NULL
+                            AND c.o_custkey IS NOT NULL
+                            AND p.cents > c.cents
+                      THEN p.cents - c.cents ELSE 0 END) AS BIGINT)
+               AS contraction_cents,
+             CAST(sum(CASE WHEN p.o_custkey IS NOT NULL
+                            AND c.o_custkey IS NOT NULL
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+             CAST(sum(CASE WHEN p.o_custkey IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_new,
+             CAST(sum(CASE WHEN c.o_custkey IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_churned
+      FROM cm p FULL OUTER JOIN cm c
+        ON p.o_custkey = c.o_custkey AND p.idx + 1 = c.idx
+      GROUP BY 1
+    ),
+    mt AS (SELECT idx, CAST(sum(cents) AS BIGINT) AS total_cents
+           FROM cm GROUP BY idx)
+    SELECT make_timestamp((br.idx // 12), (br.idx % 12) + 1, 1, 0, 0, 0)
+             AS month_start,
+           br.n_retained, br.n_new, br.n_churned,
+           round(CAST(mt.total_cents AS DOUBLE) / 100, 6) AS prev_revenue,
+           round(CAST(br.retained_cents AS DOUBLE) / 100, 6)
+             AS retained_revenue,
+           round(CAST(br.new_cents AS DOUBLE) / 100, 6) AS new_revenue,
+           round(CAST(br.churned_cents AS DOUBLE) / 100, 6)
+             AS churned_revenue,
+           round(CAST(br.expansion_cents AS DOUBLE) / 100, 6)
+             AS expansion_revenue,
+           round(CAST(br.contraction_cents AS DOUBLE) / 100, 6)
+             AS contraction_revenue,
+           round(CAST(br.retained_cents AS DOUBLE) / mt.total_cents, 6)
+             AS nrr
+    FROM br JOIN mt ON mt.idx = br.idx - 1
+    ORDER BY month_start
+    """,
+)
+def customer_nrr_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly net-revenue-retention bridge: for each month with a prior
+    month, last month's revenue decomposed into retained / churned, this
+    month's into retained / new, and the retained slice further into
+    expansion vs contraction per customer -- NRR = retained revenue this
+    month from last month's customers / last month's total. The
+    subscription-economics staple orders_arpu_monthly's levers feed
+    into: ARPU says revenue-per-customer moved, NRR says whether the
+    SAME customers grew or you papered over churn with acquisition.
+    Count-based cohort retention (retention_cohorts,
+    events_retention_matrix) tracks heads; this tracks dollars.
+
+    Exactness: per-(customer, month) revenue accumulates in DECIMAL
+    cents; the bridge cells are conditional integer sums over the
+    consecutive-month FULL OUTER self-join; the month key is pure
+    integer arithmetic (year*12 + month - 1, rebuilt with
+    make_timestamp) so no engine date-addition semantics are involved;
+    the identity retained = prev_total - churned + expansion -
+    contraction holds EXACTLY in cents (pytest-pinned). One division
+    per presented column.
+
+    Scale: the self-join is custkey-co-partitioned (one shuffle of the
+    (customer, month) rollup, which is already a huge reduction of the
+    fact table); month totals reuse the same rollup; |months| rows
+    out."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.expr(_TOTAL_C)
+    idx = (
+        F.year("o_orderdate").cast("bigint") * 12
+        + F.month("o_orderdate").cast("bigint")
+        - 1
+    )
+    cm = (
+        o.filter(F.col("o_orderdate").isNotNull() & cents.isNotNull())
+        .groupBy(F.col("o_custkey"), idx.alias("idx"))
+        .agg(F.sum(cents.cast("decimal(38,0)")).cast("bigint").alias("cents"))
+        .localCheckpoint(eager=False)  # three consumers: p, c, month totals
+    )
+    p = cm.select(
+        F.col("o_custkey").alias("p_cust"),
+        F.col("idx").alias("p_idx"),
+        F.col("cents").alias("p_cents"),
+    )
+    c = cm.select(
+        F.col("o_custkey").alias("c_cust"),
+        F.col("idx").alias("c_idx"),
+        F.col("cents").alias("c_cents"),
+    )
+    both = F.col("p_cust").isNotNull() & F.col("c_cust").isNotNull()
+    br = (
+        p.join(
+            c,
+            (F.col("p_cust") == F.col("c_cust"))
+            & (F.col("p_idx") + 1 == F.col("c_idx")),
+            "full_outer",
+        )
+        .groupBy(
+            F.coalesce(F.col("c_idx"), F.col("p_idx") + 1).alias("idx")
+        )
+        .agg(
+            F.sum(F.when(both, F.col("c_cents")).otherwise(0))
+            .cast("bigint")
+            .alias("retained_cents"),
+            F.sum(F.when(F.col("p_cust").isNull(), F.col("c_cents")).otherwise(0))
+            .cast("bigint")
+            .alias("new_cents"),
+            F.sum(F.when(F.col("c_cust").isNull(), F.col("p_cents")).otherwise(0))
+            .cast("bigint")
+            .alias("churned_cents"),
+            F.sum(
+                F.when(
+                    both & (F.col("c_cents") > F.col("p_cents")),
+                    F.col("c_cents") - F.col("p_cents"),
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("expansion_cents"),
+            F.sum(
+                F.when(
+                    both & (F.col("p_cents") > F.col("c_cents")),
+                    F.col("p_cents") - F.col("c_cents"),
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("contraction_cents"),
+            F.sum(F.when(both, 1).otherwise(0)).cast("bigint").alias("n_retained"),
+            F.sum(F.when(F.col("p_cust").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_new"),
+            F.sum(F.when(F.col("c_cust").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_churned"),
+        )
+    )
+    mt = cm.groupBy("idx").agg(
+        F.sum("cents").cast("bigint").alias("total_cents")
+    ).select(F.col("idx").alias("mt_idx"), "total_cents")
+    return (
+        br.join(mt, F.col("mt_idx") == F.col("idx") - 1)
+        .select(
+            F.expr(
+                "make_timestamp(CAST(idx DIV 12 AS INT),"
+                " CAST(idx % 12 + 1 AS INT), 1, 0, 0, 0)"
+            ).alias("month_start"),
+            "n_retained",
+            "n_new",
+            "n_churned",
+            F.round(F.col("total_cents").cast("double") / 100, 6).alias(
+                "prev_revenue"
+            ),
+            F.round(F.col("retained_cents").cast("double") / 100, 6).alias(
+                "retained_revenue"
+            ),
+            F.round(F.col("new_cents").cast("double") / 100, 6).alias("new_revenue"),
+            F.round(F.col("churned_cents").cast("double") / 100, 6).alias(
+                "churned_revenue"
+            ),
+            F.round(F.col("expansion_cents").cast("double") / 100, 6).alias(
+                "expansion_revenue"
+            ),
+            F.round(F.col("contraction_cents").cast("double") / 100, 6).alias(
+                "contraction_revenue"
+            ),
+            F.round(
+                F.col("retained_cents").cast("double") / F.col("total_cents"), 6
+            ).alias("nrr"),
+        )
+        .orderBy("month_start")
+    )
+
+
+
+
+# Wilson z for 95% two-sided lower bounds; z^2 written as the exact
+# decimal both engines parse identically (3.8416 = 1.96^2). The ship SLA
+# that defines "on time" below: a line is on time when it ships within
+# 30 days of its order's placement.
+_WILSON_Z = "1.96"
+_WILSON_Z2 = "3.8416"
+ONTIME_SHIP_DAYS = 30
+# One shared expression TEXT for the Wilson lower bound, evaluated over
+# exact-integer (n_ontime, n_lines): both engines execute the identical
+# IEEE double expression tree, so the raw doubles agree bit-for-bit and
+# the 6dp round is tie-free in practice (sqrt outputs never land on
+# exact decimal halves).
+_WILSON_LB = (
+    f"((CAST(n_ontime AS DOUBLE) / n_lines) + {_WILSON_Z2} / (2 * n_lines)"
+    f" - {_WILSON_Z} * sqrt(((CAST(n_ontime AS DOUBLE) / n_lines)"
+    f" * (1 - (CAST(n_ontime AS DOUBLE) / n_lines)) + {_WILSON_Z2}"
+    f" / (4.0 * n_lines * n_lines)))"
+    f" / sqrt(CAST(n_lines AS DOUBLE)))"
+    f" / (1 + {_WILSON_Z2} / n_lines)"
+)
+
+
+@register(
+    "supplier_ontime_wilson_ranking",
+    tags=("warehouse", "monitor"),
+    oracle=f"""
+    WITH s AS (
+      SELECT l.l_suppkey,
+             CAST(count(*) AS BIGINT) AS n_lines,
+             CAST(sum(CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate)
+                                <= {ONTIME_SHIP_DAYS}
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_ontime
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE l.l_shipdate IS NOT NULL AND o.o_orderdate IS NOT NULL
+      GROUP BY l.l_suppkey
+    ),
+    w AS (
+      SELECT l_suppkey, n_lines, n_ontime,
+             round(CAST(n_ontime AS DOUBLE) / n_lines, 6) AS ontime_rate,
+             round({_WILSON_LB}, 6) AS wilson_lb
+      FROM s WHERE n_lines >= 20
+    )
+    SELECT sup.s_suppkey, sup.s_name, w.n_lines, w.n_ontime,
+           w.ontime_rate, w.wilson_lb
+    FROM w JOIN supplier sup ON sup.s_suppkey = w.l_suppkey
+    ORDER BY w.wilson_lb DESC, sup.s_suppkey LIMIT 25
+    """,
+)
+def supplier_ontime_wilson_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier on-time-shipment league table ranked by the Wilson-score
+    LOWER BOUND of the on-time rate (shipped within the 30-day
+    ONTIME_SHIP_DAYS SLA of order placement), not the raw rate: a supplier with 19/20 on
+    time must NOT outrank one with 940/1000 -- the small-sample
+    correction every ranking-by-proportion needs (the "how not to sort
+    by average rating" staple). Minimum 20 lines to enter; top 25 by
+    lower bound. supplier_ship_latency_profile shows each supplier's
+    latency DISTRIBUTION; this turns one SLA cut of it into a
+    statistically honest ranking.
+
+    Exactness: (on-time, total) counts are exact integers off calendar-
+    day arithmetic; the Wilson bound evaluates ONE shared double
+    expression text on both engines (identical IEEE tree => identical
+    doubles), rounded once at 6dp and ordered by the ROUNDED value with
+    a suppkey tiebreak so the top-25 cut is engine-stable.
+
+    Scale: one orderkey-co-partitioned fact-fact join (lineitem x
+    orders, both orderkey-keyed), suppkey-grain partial agg, a broadcast
+    dim join for the name, TakeOrderedAndProject(25) -- no global
+    sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    sup = load_table(spark, sf_dir, "supplier")
+    s = (
+        li.join(o, o["o_orderkey"] == li["l_orderkey"])
+        .filter(F.col("l_shipdate").isNotNull() & F.col("o_orderdate").isNotNull())
+        .groupBy("l_suppkey")
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            F.sum(
+                F.when(
+                    F.datediff("l_shipdate", "o_orderdate") <= ONTIME_SHIP_DAYS, 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_ontime"),
+        )
+        .filter(F.col("n_lines") >= 20)
+    )
+    w = s.select(
+        "l_suppkey",
+        "n_lines",
+        "n_ontime",
+        F.round(F.col("n_ontime").cast("double") / F.col("n_lines"), 6).alias(
+            "ontime_rate"
+        ),
+        F.round(F.expr(_WILSON_LB), 6).alias("wilson_lb"),
+    )
+    return (
+        w.join(F.broadcast(sup), sup["s_suppkey"] == w["l_suppkey"])
+        .select("s_suppkey", "s_name", "n_lines", "n_ontime", "ontime_rate", "wilson_lb")
+        .orderBy(F.col("wilson_lb").desc(), "s_suppkey")
+        .limit(25)
+    )
+
+
+@register(
+    "orders_shipment_split_profile",
+    tags=("warehouse", "monitor"),
+    oracle="""
+    WITH per_order AS (
+      SELECT o.o_orderkey,
+             CAST(date_trunc('month', o.o_orderdate) AS TIMESTAMP)
+               AS month_start,
+             CAST(date_diff('day', min(l.l_shipdate), max(l.l_shipdate))
+               AS BIGINT) AS span_days,
+             CAST(count(*) AS BIGINT) AS n_lines
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderdate IS NOT NULL AND l.l_shipdate IS NOT NULL
+      GROUP BY o.o_orderkey, date_trunc('month', o.o_orderdate)
+    ),
+    agg AS (
+      SELECT month_start,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             round(CAST(sum(CASE WHEN span_days = 0 THEN 1 ELSE 0 END)
+                   AS DOUBLE) / count(*), 6) AS single_window_share,
+             round(CAST(sum(span_days) AS DOUBLE) / count(*), 6)
+               AS mean_span_days,
+             CAST(max(span_days) AS BIGINT) AS max_span_days
+      FROM per_order GROUP BY month_start
+    ),
+    rk AS (
+      SELECT month_start, span_days,
+             CAST(row_number() OVER (PARTITION BY month_start
+                  ORDER BY span_days) AS BIGINT) AS rn,
+             CAST(count(*) OVER (PARTITION BY month_start) AS BIGINT) AS n
+      FROM per_order
+    ),
+    q90 AS (
+      SELECT lo.month_start,
+             (100 * lo.span_days
+              + ((90 * (lo.n - 1)) % 100) * (hi.span_days - lo.span_days))
+               // 100 AS p90
+      FROM rk lo JOIN rk hi
+        ON lo.month_start = hi.month_start
+       AND lo.rn = (90 * (lo.n - 1)) // 100 + 1
+       AND hi.rn = CASE WHEN (90 * (lo.n - 1)) % 100 = 0
+                        THEN lo.rn ELSE lo.rn + 1 END
+    )
+    SELECT agg.month_start, agg.n_orders, agg.single_window_share,
+           agg.mean_span_days, CAST(q90.p90 AS BIGINT) AS p90_span_days,
+           agg.max_span_days
+    FROM agg JOIN q90 ON q90.month_start = agg.month_start
+    ORDER BY agg.month_start
+    """,
+)
+def orders_shipment_split_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipment-consolidation panel: per order, the SPAN in days between
+    its first and last line shipment (0 = the whole order left in one
+    window), rolled up per order month -- single-window share, mean and
+    exact-interpolated p90 span, worst span. The split-shipment cost
+    monitor: orders_completion_curve_weekly times order COMPLETION
+    against placement; this measures how FRAGMENTED the fulfillment was
+    once it started, which is what consolidation programs (fewer boxes
+    per order) move.
+
+    Exactness: span is integer calendar days off an exact min/max per
+    order; shares and means are integer sums with one division at 6dp;
+    p90 uses the shared exact_interp_pct rational closed form (the
+    cdc_gap_heatmap rule).
+
+    Scale: ONE orderkey-co-partitioned fact-fact join reduced to order
+    grain, then a month-grain partial agg; the rank window partitions by
+    month (calendar-bounded); |months| rows out."""
+    from .stats import exact_interp_pct
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    per_order = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .filter(F.col("o_orderdate").isNotNull() & F.col("l_shipdate").isNotNull())
+        .groupBy(
+            "o_orderkey",
+            F.date_trunc("month", "o_orderdate").cast("timestamp").alias(
+                "month_start"
+            ),
+        )
+        .agg(
+            F.datediff(F.max("l_shipdate"), F.min("l_shipdate"))
+            .cast("bigint")
+            .alias("span_days")
+        )
+        .localCheckpoint(eager=False)  # agg + percentile consumers
+    )
+    agg = per_order.groupBy("month_start").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.round(
+            F.sum(F.when(F.col("span_days") == 0, 1).otherwise(0)).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("single_window_share"),
+        F.round(F.sum("span_days").cast("double") / F.count("*"), 6).alias(
+            "mean_span_days"
+        ),
+        F.max("span_days").cast("bigint").alias("max_span_days"),
+    )
+    q90 = exact_interp_pct(per_order, ["month_start"], "span_days", 90).select(
+        F.col("month_start").alias("m90"), F.col("q_val").alias("p90_span_days")
+    )
+    return (
+        agg.join(q90, F.col("m90") == F.col("month_start"))
+        .select(
+            "month_start",
+            "n_orders",
+            "single_window_share",
+            "mean_span_days",
+            F.col("p90_span_days").cast("bigint"),
+            "max_span_days",
+        )
+        .orderBy("month_start")
+    )

@@ -1856,3 +1856,133 @@ def events_conformal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFra
             ).alias("coverage_90"),
         )
     )
+
+
+@register(
+    "events_forecast_combination_mae",
+    tags=("timeseries", "forecast"),
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
+    ),
+    f AS (
+      SELECT day, CAST(y AS DOUBLE) AS y,
+             CAST(lag(y, 1) OVER w AS DOUBLE) AS f_naive,
+             CAST(lag(y, 7) OVER w AS DOUBLE) AS f_snaive,
+             CAST(sum(y) OVER (ORDER BY day
+                  ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS DOUBLE) / 7
+               AS f_ma7,
+             CAST(row_number() OVER w AS BIGINT) AS rn
+      FROM daily WINDOW w AS (ORDER BY day)
+    ),
+    e AS (
+      SELECT CAST(round(abs(y - f_naive), 6) AS DECIMAL(18,6)) AS e_naive,
+             CAST(round(abs(y - f_snaive), 6) AS DECIMAL(18,6)) AS e_snaive,
+             CAST(round(abs(y - f_ma7), 6) AS DECIMAL(18,6)) AS e_ma7,
+             CAST(round(abs(y - (f_naive + f_snaive + f_ma7) / 3), 6)
+               AS DECIMAL(18,6)) AS e_combo
+      FROM f WHERE rn >= 8
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_test_days,
+             sum(e_naive) AS s_naive, sum(e_snaive) AS s_snaive,
+             sum(e_ma7) AS s_ma7, sum(e_combo) AS s_combo
+      FROM e
+    )
+    SELECT n_test_days,
+           round(CAST(s_naive AS DOUBLE) / n_test_days, 6) AS mae_naive,
+           round(CAST(s_snaive AS DOUBLE) / n_test_days, 6) AS mae_snaive7,
+           round(CAST(s_ma7 AS DOUBLE) / n_test_days, 6) AS mae_ma7,
+           round(CAST(s_combo AS DOUBLE) / n_test_days, 6) AS mae_combo,
+           CASE WHEN s_combo <= s_naive AND s_combo <= s_snaive
+                 AND s_combo <= s_ma7 THEN 'combo'
+                WHEN s_naive <= s_snaive AND s_naive <= s_ma7 THEN 'naive'
+                WHEN s_snaive <= s_ma7 THEN 'snaive7'
+                ELSE 'ma7' END AS best_model
+    FROM s WHERE n_test_days >= 1
+    """,
+)
+def events_forecast_combination_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-combination backtest (Bates & Granger 1969): one-step
+    MAE of three lag-expressible baselines over the daily event count --
+    naive (yesterday), seasonal-naive (same day last week), 7-day moving
+    average -- and their equal-weight combination, scored on every day
+    with a full 7-day history. The combination-puzzle staple: the
+    unweighted average of weak forecasters is typically at least as good
+    as the best single one, and this panel says whether that holds on
+    YOUR stream before anyone reaches for the heavier Holt/theta keys
+    (events_holt_linear_mae, events_theta_method_mae).
+
+    Exactness: daily counts are exact integers; forecasts are lag/window
+    reads of those integers with one division each (identical IEEE
+    expressions both engines); per-day absolute errors snap to 6dp
+    DECIMAL before summing, so the MAE sums are order-free and the
+    best-model argmin compares EXACT decimals (engine-stable ties by
+    fixed precedence combo > naive > snaive7 > ma7).
+
+    Scale: ONE day-grain partial agg over the fact scan; the lag windows
+    ride the calendar-bounded |days| relation (the documented
+    domain-bounded window contract, guarded by SERIES_FOLD_MAX_POINTS
+    via the n_test_days projection)."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.filter(F.col("ts").isNotNull())
+        .groupBy(F.date_trunc("day", "ts").cast("timestamp").alias("day"))
+        .agg(F.count("*").cast("bigint").alias("y"))
+    )
+    w = Window.orderBy("day")
+    ma_w = Window.orderBy("day").rowsBetween(-7, -1)
+    f = daily.select(
+        F.col("y").cast("double").alias("y"),
+        F.lag("y", 1).over(w).cast("double").alias("f_naive"),
+        F.lag("y", 7).over(w).cast("double").alias("f_snaive"),
+        (F.sum("y").over(ma_w).cast("double") / 7).alias("f_ma7"),
+        F.row_number().over(w).cast("bigint").alias("rn"),
+    ).filter(F.col("rn") >= 8)
+    dec6 = lambda c: F.round(c, 6).cast("decimal(18,6)")  # noqa: E731
+    errs = f.select(
+        dec6(F.abs(F.col("y") - F.col("f_naive"))).alias("e_naive"),
+        dec6(F.abs(F.col("y") - F.col("f_snaive"))).alias("e_snaive"),
+        dec6(F.abs(F.col("y") - F.col("f_ma7"))).alias("e_ma7"),
+        dec6(
+            F.abs(
+                F.col("y")
+                - (F.col("f_naive") + F.col("f_snaive") + F.col("f_ma7")) / 3
+            )
+        ).alias("e_combo"),
+    )
+    s = errs.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("e_naive").alias("s_naive"),
+        F.sum("e_snaive").alias("s_snaive"),
+        F.sum("e_ma7").alias("s_ma7"),
+        F.sum("e_combo").alias("s_combo"),
+    ).filter(F.col("n") >= 1)
+    mae = lambda c: F.round(F.col(c).cast("double") / F.col("n"), 6)  # noqa: E731
+    return s.select(
+        _fold_capped_n(F.col("n"), "events_forecast_combination_mae")
+        .cast("bigint")
+        .alias("n_test_days"),
+        mae("s_naive").alias("mae_naive"),
+        mae("s_snaive").alias("mae_snaive7"),
+        mae("s_ma7").alias("mae_ma7"),
+        mae("s_combo").alias("mae_combo"),
+        F.when(
+            (F.col("s_combo") <= F.col("s_naive"))
+            & (F.col("s_combo") <= F.col("s_snaive"))
+            & (F.col("s_combo") <= F.col("s_ma7")),
+            F.lit("combo"),
+        )
+        .when(
+            (F.col("s_naive") <= F.col("s_snaive"))
+            & (F.col("s_naive") <= F.col("s_ma7")),
+            F.lit("naive"),
+        )
+        .when(F.col("s_snaive") <= F.col("s_ma7"), F.lit("snaive7"))
+        .otherwise(F.lit("ma7"))
+        .alias("best_model"),
+    )

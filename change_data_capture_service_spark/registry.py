@@ -109,6 +109,14 @@ _CHECK_ORDER = [
     "supplier_hhi_trend_yearly",
     "orders_arpu_monthly",
     # -- new in round 13 (appended as they land; HARD CAP 50 incl. re-attest) --
+    # changed behavior: rows-only -> oracle conversion (md5 60-bit simhash)
+    "dedup_simhash",
+    # round-13 wave 1: retention economics + fulfillment honesty + DQ
+    "customer_nrr_monthly",
+    "supplier_ontime_wilson_ranking",
+    "orders_shipment_split_profile",
+    "orders_calendar_completeness_audit",
+    "events_forecast_combination_mae",
 ]
 # Provenance: the round-11 window, fully attested by CORRECTNESS_r11
 # (45 hash-green + 5 rows-only-clean: ann_index_cell_balance_profile,

@@ -113,6 +113,14 @@ _R13_CHECK_WINDOW = [
     "supplier_hhi_trend_yearly",
     "orders_arpu_monthly",
     # new in round 13 (appended as they are registered; hard cap 50)
+    # changed behavior: rows-only -> oracle conversion (md5 60-bit simhash)
+    "dedup_simhash",
+    # round-13 wave 1: retention economics + fulfillment honesty + DQ
+    "customer_nrr_monthly",
+    "supplier_ontime_wilson_ranking",
+    "orders_shipment_split_profile",
+    "orders_calendar_completeness_audit",
+    "events_forecast_combination_mae",
 ]
 
 

@@ -285,6 +285,20 @@ def test_drawdown_profile_bounds(spark, sf_dir):
     assert r["n_underwater"] <= r["n_days"]
 
 
+def test_drawdown_grain_contract_raises_past_cap(spark, sf_dir, monkeypatch):
+    """The round-12 verdict asked for the domain-bounded-window contract
+    to be LOUD: with SERIES_FOLD_MAX_POINTS monkeypatched below the
+    fixture's day count, orders_revenue_drawdown_profile must raise
+    naming the cap instead of silently single-partitioning a fact-grain
+    window; untouched, the same call runs clean (covered by
+    test_drawdown_profile_bounds)."""
+    from change_data_capture_service_spark.operators import timeseries
+
+    monkeypatch.setattr(timeseries, "SERIES_FOLD_MAX_POINTS", 5)
+    with pytest.raises(Exception, match="SERIES_FOLD_MAX_POINTS"):
+        _rows(spark, sf_dir, "orders_revenue_drawdown_profile")
+
+
 def test_hhi_trend_bounds_and_delta_identity(spark, sf_dir):
     rows = _rows(spark, sf_dir, "supplier_hhi_trend_yearly")
     assert len(rows) >= 2

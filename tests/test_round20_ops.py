@@ -1,0 +1,112 @@
+"""Round-13 wave-1 operator gates (registered inside the round-13 check
+window): NRR bridge identity, Wilson-ranking dominance, shipment-span
+bounds, calendar-spine reconciliation, and forecast-combination argmin
+consistency.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from change_data_capture_service_spark import registry
+from change_data_capture_service_spark.catalog import load_table
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _load():
+    registry.load_all()
+
+
+def _rows(spark, sf_dir, key):
+    return registry.get(key).fn(spark, sf_dir).collect()
+
+
+def test_nrr_bridge_identity_and_bounds(spark, sf_dir):
+    """The bridge identity holds EXACTLY in cents, so the presented
+    revenue columns reconcile to < 3e-6 (three 2dp-rounded divisions):
+    retained = prev_total - churned + expansion - contraction."""
+    rows = _rows(spark, sf_dir, "customer_nrr_monthly")
+    assert len(rows) >= 2
+    for r in rows:
+        lhs = r["retained_revenue"]
+        rhs = (
+            r["prev_revenue"]
+            - r["churned_revenue"]
+            + r["expansion_revenue"]
+            - r["contraction_revenue"]
+        )
+        assert abs(lhs - rhs) < 3e-6, (r["month_start"], lhs, rhs)
+        assert r["nrr"] >= 0
+        assert r["retained_revenue"] <= r["prev_revenue"] + r["expansion_revenue"]
+        assert r["n_retained"] >= 0 and r["n_new"] >= 0 and r["n_churned"] >= 0
+
+
+def test_wilson_ranking_dominance_and_order(spark, sf_dir):
+    """The Wilson lower bound is strictly below the raw rate for finite
+    n (that's the whole point), rows arrive ranked by it, and the
+    minimum-sample gate held."""
+    rows = _rows(spark, sf_dir, "supplier_ontime_wilson_ranking")
+    assert 1 <= len(rows) <= 25
+    prev = None
+    for r in rows:
+        assert r["n_lines"] >= 20
+        assert 0 <= r["wilson_lb"] < r["ontime_rate"] <= 1
+        if prev is not None:
+            assert r["wilson_lb"] <= prev + 1e-9
+        prev = r["wilson_lb"]
+
+
+def test_wilson_small_sample_underdog(spark):
+    """19/20 must NOT outrank 940/1000: the Wilson bound of the small
+    perfect-looking sample sits below the big slightly-worse one."""
+    import math
+
+    def wilson(ontime, n, z=1.96):
+        p = ontime / n
+        z2 = z * z
+        return (p + z2 / (2 * n) - z * math.sqrt((p * (1 - p) + z2 / (4 * n * n))) / math.sqrt(n)) / (1 + z2 / n)
+
+    assert wilson(19, 20) < wilson(940, 1000)
+
+
+def test_shipment_split_bounds(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "orders_shipment_split_profile")
+    assert len(rows) >= 2
+    for r in rows:
+        assert 0 <= r["single_window_share"] <= 1
+        assert 0 <= r["mean_span_days"] <= r["max_span_days"] + 1e-9
+        assert 0 <= r["p90_span_days"] <= r["max_span_days"]
+
+
+def test_calendar_completeness_reconciles_to_spine(spark, sf_dir):
+    """expected = observed + missing per dow, and the dow expected
+    counts sum to the full inclusive day span."""
+    rows = _rows(spark, sf_dir, "orders_calendar_completeness_audit")
+    assert len(rows) == 7
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate").isNotNull())
+    b = o.agg(
+        F.datediff(
+            F.date_trunc("day", F.max("o_orderdate")),
+            F.date_trunc("day", F.min("o_orderdate")),
+        ).alias("span")
+    ).collect()[0]
+    assert sum(r["expected_days"] for r in rows) == b["span"] + 1
+    for r in rows:
+        assert r["expected_days"] == r["observed_days"] + r["missing_days"]
+        assert 0 <= r["coverage"] <= 1
+
+
+def test_forecast_combination_argmin_consistency(spark, sf_dir):
+    r = _rows(spark, sf_dir, "events_forecast_combination_mae")[0]
+    maes = {
+        "naive": r["mae_naive"],
+        "snaive7": r["mae_snaive7"],
+        "ma7": r["mae_ma7"],
+        "combo": r["mae_combo"],
+    }
+    assert all(v >= 0 for v in maes.values())
+    assert r["best_model"] in maes
+    # the named best model's MAE is the minimum (to rounding grain)
+    assert maes[r["best_model"]] <= min(maes.values()) + 2e-6
+    assert r["n_test_days"] >= 1

@@ -52,8 +52,13 @@ def test_rows_only_set_is_exactly_the_documented_one():
         "multimodal_phash_dedup",  # perceptual hash; planted-pair gate in test_northstar
         "quality_compression_ratio",  # zlib byte output is library-versioned; signal gate in test_quality
         "agg_approx_count_distinct",
+        # agg_approx_percentile: deliberately NOT converted (round-13
+        # decision): Spark's GK summary is value-exact when accuracy >=
+        # group rows (verified vs DuckDB quantile_disc at sf0.01), but
+        # raising accuracy that far makes sketch memory ~exact-buffer
+        # scale, betraying the key's constant-memory contract -- the
+        # sketch IS the operator. Bounded-error gate in test_behavioral.
         "agg_approx_percentile",
-        "dedup_simhash",
         "knn_cosine_ivf",
         "knn_cosine_lsh",
         "knn_cosine_pq",
