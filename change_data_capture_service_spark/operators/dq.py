@@ -673,25 +673,27 @@ def orders_calendar_completeness_audit(spark: SparkSession, sf_dir: str) -> Data
     one coverage division at 6dp. dw uses the shared 0=Sunday DuckDB
     convention.
 
-    Scale: the spine derives from a 1-row min/max fence and is
-    calendar-bounded (|days| rows); observed days is a day-grain
-    distinct over the fact scan; the join and agg ride |days| rows."""
+    Scale: ONE pass over the fact scan reduces to the day-grain distinct
+    (lazily checkpointed); the 1-row min/max fence, the calendar-bounded
+    spine (|days| rows), and the coverage join all ride that |days|
+    relation -- orders is never scanned twice."""
     o = load_table(spark, sf_dir, "orders")
-    b = o.filter(F.col("o_orderdate").isNotNull()).agg(
-        F.date_trunc("day", F.min("o_orderdate")).cast("timestamp").alias("lo"),
-        F.date_trunc("day", F.max("o_orderdate")).cast("timestamp").alias("hi"),
-    )
-    spine = b.select(
-        F.explode(
-            F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 DAY"))
-        ).alias("day")
-    )
     obs = (
         o.filter(F.col("o_orderdate").isNotNull())
         .select(
             F.date_trunc("day", "o_orderdate").cast("timestamp").alias("obs_day")
         )
         .distinct()
+        .localCheckpoint(eager=False)  # fence + coverage-join consumers
+    )
+    b = obs.agg(
+        F.min("obs_day").alias("lo"),
+        F.max("obs_day").alias("hi"),
+    )
+    spine = b.select(
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 DAY"))
+        ).alias("day")
     )
     return (
         spine.join(obs, F.col("obs_day") == F.col("day"), "left")

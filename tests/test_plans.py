@@ -733,3 +733,66 @@ def test_round12_batch_shuffle_budgets(spark, sf_dir):
             f"{key} shuffled {m['shuffleRecordsWritten']} records for"
             f" {n_days} days -- day-grain reduction lost"
         )
+
+
+def test_round13_wave1_plan_shapes(spark, sf_dir):
+    """Plan gates for the round-13 wave-1 keys:
+
+    - wilson ranking: the supplier dim BROADCASTS and the top-25 is a
+      TakeOrderedAndProject (never a global sort);
+    - simhash: no Python eval anywhere (the round-13 conversion removed
+      the pandas UDF) and the band self-join is an equi hash/merge join,
+      never a cartesian product;
+    - nrr: the (customer, month) rollup is computed ONCE (a single
+      parquet scan feeds prev/cur/month-total consumers through the
+      lazy checkpoint);
+    - calendar audit: exactly one parquet scan family over orders (the
+      min/max fence and observed-day distinct reuse it)."""
+    w = registry.get("supplier_ontime_wilson_ranking").fn(spark, sf_dir)
+    pl = P.formatted_plan(w)
+    assert P.uses_broadcast_join(w)
+    assert "TakeOrderedAndProject" in pl
+
+    sh = registry.get("dedup_simhash").fn(spark, sf_dir)
+    pls = P.formatted_plan(sh)
+    assert "ArrowEvalPython" not in pls and "BatchEvalPython" not in pls
+    assert "CartesianProduct" not in pls and "BroadcastNestedLoopJoin" not in pls
+
+    nrr = registry.get("customer_nrr_monthly").fn(spark, sf_dir)
+    # the rollup sits behind a lazy localCheckpoint, so the final plan
+    # scans the materialized RDD, not three copies of the parquet file
+    assert P.formatted_plan(nrr).count("Scan parquet") <= 1
+
+    # the day-grain distinct sits behind a lazy localCheckpoint, so the
+    # final plan rides the materialized |days| relation: zero parquet
+    # re-scans (orders is read exactly once, inside the checkpoint)
+    cal = registry.get("orders_calendar_completeness_audit").fn(spark, sf_dir)
+    assert P.formatted_plan(cal).count("Scan parquet") == 0
+
+
+def test_round13_wave1_shuffle_budgets(spark, sf_dir):
+    """Executed-metrics gates: the forecast-combination fold stays
+    day-grain and the wilson partials stay supplier-grain no matter the
+    fact volume."""
+    from change_data_capture_service_spark.catalog import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    n_tasks = e.rdd.getNumPartitions()
+    n_days = (
+        e.filter(F.col("ts").isNotNull())
+        .select(F.date_trunc("day", "ts"))
+        .distinct()
+        .count()
+    )
+    df = registry.get("events_forecast_combination_mae").fn(spark, sf_dir)
+    df.collect()
+    m = P.executed_metrics(df, ("shuffleRecordsWritten",))
+    assert m["shuffleRecordsWritten"] <= (n_tasks + 3) * n_days
+
+    li = load_table(spark, sf_dir, "lineitem")
+    n_sup = li.select("l_suppkey").distinct().count()
+    lt = li.rdd.getNumPartitions()
+    w = registry.get("supplier_ontime_wilson_ranking").fn(spark, sf_dir)
+    w.collect()
+    mw = P.executed_metrics(w, ("shuffleRecordsWritten",))
+    assert mw["shuffleRecordsWritten"] <= (lt + 4) * n_sup + 100
