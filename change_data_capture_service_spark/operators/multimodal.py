@@ -766,3 +766,62 @@ def multimodal_stratified_frame_budget(spark: SparkSession, sf_dir: str) -> Data
         )
         .orderBy("origin")
     )
+
+
+# The capability matrix the deploy runbook reads: media kind x codec
+# library x what the engine uses it for. Mixed by construction: stdlib
+# and baked-in rows (wave, numpy) are ALWAYS available, so the pytest
+# gate has unconditional truths to pin alongside the env-dependent ones.
+CODEC_PROBE_MATRIX = (
+    ("image", "PIL", "decode + resize (multimodal_extract/resize real path)"),
+    ("image", "cv2", "alternate decode"),
+    ("audio", "soundfile", "pcm decode"),
+    ("audio", "wave", "wav header parse (stdlib)"),
+    ("video", "av", "demux + frame sample"),
+    ("video", "cv2", "frame sample"),
+    ("tensor", "numpy", "array kernels (Arrow batch floor)"),
+)
+
+
+@register("multimodal_codec_probe_matrix", tags=("multimodal", "monitor"))
+# rows-only: the availability column is an EXECUTOR-environment fact with
+# no SQL twin; shape/stdlib/consistency gates in tests/test_round20_ops.py.
+def multimodal_codec_probe_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Executor-side codec capability matrix: for every (media kind,
+    codec library) the multimodal operators can use, whether the library
+    imports in the EXECUTOR Python runtime (probed inside a mapInPandas
+    batch, NOT on the driver -- cluster deployments routinely have
+    different driver and executor environments) and which processing
+    path the engine will therefore take ('real' decode vs the
+    deterministic fake). The one-query answer to "will
+    multimodal_extract decode for real on THIS cluster", and the live
+    twin of RUNBOOK.md's deploy checklist.
+
+    Scale: the probe relation is the constant |matrix| rows (7); one
+    Arrow batch per partition, no data movement. sf_dir is accepted for
+    driver-contract uniformity and deliberately unused."""
+    seed = spark.createDataFrame(
+        list(CODEC_PROBE_MATRIX), "media_kind string, codec_lib string, purpose string"
+    ).coalesce(1)
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import importlib.util
+
+        for pdf in batches:
+            avail = [
+                1 if importlib.util.find_spec(lib) is not None else 0
+                for lib in pdf["codec_lib"]
+            ]
+            pdf = pdf.assign(
+                available=pd.Series(avail, index=pdf.index, dtype="int64"),
+                active_path=pd.Series(
+                    ["real" if a else "fake" for a in avail], index=pdf.index
+                ),
+            )
+            yield pdf
+
+    return seed.mapInPandas(
+        probe,
+        "media_kind string, codec_lib string, purpose string,"
+        " available bigint, active_path string",
+    ).orderBy("media_kind", "codec_lib")

@@ -2658,3 +2658,456 @@ def embedding_split_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFram
         F.round(cos, 6).alias("centroid_cosine"),
         F.when(cos < 0.98, F.lit(1)).otherwise(F.lit(0)).cast("bigint").alias("drift_flag"),
     ).orderBy("label")
+
+
+@register(
+    "embedding_int8_recall_eval",
+    tags=("similarity", "northstar"),
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings
+      WHERE sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                  CAST(embedding AS DOUBLE[]))) > 0
+        AND isfinite(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                           CAST(embedding AS DOUBLE[]))))
+    ),
+    q8 AS (
+      SELECT vec_id, v, nrm,
+             list_transform(
+               v, x -> CASE WHEN x >= 0
+                 THEN floor(x * 127 / list_aggregate(list_transform(v, y -> abs(y)), 'max') + 0.5)
+                 ELSE -floor(-x * 127 / list_aggregate(list_transform(v, y -> abs(y)), 'max') + 0.5)
+               END) AS qv
+      FROM v
+    ),
+    qn AS (
+      SELECT vec_id, v, nrm, qv, sqrt(list_dot_product(qv, qv)) AS qnrm
+      FROM q8
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cos_f,
+             round(list_dot_product(q.qv, c.qv)
+                   / nullif(q.qnrm * c.qnrm, 0), 6) AS cos_q
+      FROM qn q JOIN qn c
+        ON q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+    ),
+    base AS (
+      SELECT query_id, neighbor_id, cos_f, cos_q FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY cos_f DESC, neighbor_id) AS rnk FROM scored
+      ) t WHERE rnk <= {TOP_K}
+    ),
+    test AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY cos_q DESC, neighbor_id) AS rnk FROM scored
+      ) t WHERE rnk <= {TOP_K}
+    ),
+    bn AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_base
+           FROM base GROUP BY 1),
+    hits AS (
+      SELECT t.query_id, CAST(count(b.neighbor_id) AS BIGINT) AS hit
+      FROM test t LEFT JOIN base b
+        ON t.query_id = b.query_id AND t.neighbor_id = b.neighbor_id
+      GROUP BY 1
+    ),
+    rec AS (
+      SELECT h.query_id, round(CAST(h.hit AS DOUBLE) / bn.n_base, 6) AS r
+      FROM hits h JOIN bn ON bn.query_id = h.query_id
+    ),
+    dist AS (
+      SELECT CAST(round(abs(cos_f - cos_q), 6) AS DECIMAL(18,6)) AS e
+      FROM base
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM rec) AS n_queries,
+           (SELECT round(CAST(avg(CAST(r AS DECIMAL(18,6))) AS DOUBLE), 6)
+              FROM rec) AS avg_recall,
+           (SELECT round(min(r), 6) FROM rec) AS min_recall,
+           (SELECT round(CAST(avg(e) AS DOUBLE), 6) FROM dist)
+             AS avg_abs_cos_err
+    """,
+)
+def embedding_int8_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-quantization recall eval: per-vector symmetric scalar
+    quantization (scale = 127/max|x_i|, half-away-from-zero via the
+    shared floor(x+0.5) form), then recall@{TOP_K} of the quantized
+    cosine top-k against the full-precision top-k, plus the mean
+    absolute cosine distortion over the baseline pairs. THE go/no-go
+    measurement before switching a vector store to int8 (the standard
+    4x memory lever: scale cancels inside the cosine, so scoring the
+    INTEGER vectors directly is exactly the dequantized cosine).
+    Completes the degradation-eval family: embedding_truncation_recall
+    grades fewer DIMENSIONS, this grades fewer BITS, knn_recall_eval
+    grades the ANN ALGORITHM.
+
+    Exactness: quantized components are exact small integers computed by
+    the identical floor expression on both engines; integer dot products
+    (<= 127^2 x dims) are exact in doubles; both cosines snap to 6dp
+    with neighbor_id tiebreaks so every top-k set is engine-identical;
+    per-pair distortions snap to 6dp DECIMAL before the order-free avg.
+
+    Scale: the corpus never shuffles for scoring (queries broadcast;
+    quantization is map-side array work). The ranking window carries
+    Q x N rows at fixture scale for oracle twinability; at 100 TB run it
+    on the hash-sampled eval query slice (the published recall-eval
+    protocol) or swap in the local-top-k reducer from knn_cosine_topk
+    verbatim."""
+    vec = _vectors(spark, sf_dir)
+    m = "aggregate(v, 0D, (acc, x) -> greatest(acc, abs(x)))"
+    qn = vec.select(
+        "vec_id",
+        "v",
+        "nrm",
+        F.expr(
+            f"transform(v, x -> CASE WHEN x >= 0"
+            f" THEN floor(x * 127D / {m} + 0.5D)"
+            f" ELSE -floor(-x * 127D / {m} + 0.5D) END)"
+        ).alias("qv"),
+    ).withColumn("qnrm", F.expr("sqrt(aggregate(qv, 0D, (acc, x) -> acc + x * x))"))
+    q = qn.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("q_v"),
+        F.col("nrm").alias("q_nrm"),
+        F.col("qv").alias("q_qv"),
+        F.col("qnrm").alias("q_qnrm"),
+    )
+    dot_f = F.expr(
+        "aggregate(zip_with(q_v, v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+    )
+    dot_q = F.expr(
+        "aggregate(zip_with(q_qv, qv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+    )
+    scored = (
+        qn.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(dot_f / (F.col("q_nrm") * F.col("nrm")), 6).alias("cos_f"),
+            F.round(
+                dot_q / F.nullif(F.col("q_qnrm") * F.col("qnrm"), F.lit(0.0)), 6
+            ).alias("cos_q"),
+        )
+        .localCheckpoint(eager=False)  # base + test ranking consumers
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("cos_f").desc(), F.col("neighbor_id")
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("cos_q").desc(), F.col("neighbor_id")
+    )
+    base = (
+        scored.withColumn("rnk", F.row_number().over(wf))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id", "cos_f", "cos_q")
+    )
+    test = (
+        scored.withColumn("rnk", F.row_number().over(wq))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+    bn = base.groupBy("query_id").agg(F.count("*").cast("bigint").alias("n_base"))
+    hits = (
+        test.alias("t")
+        .join(
+            base.alias("b"),
+            (F.col("t.query_id") == F.col("b.query_id"))
+            & (F.col("t.neighbor_id") == F.col("b.neighbor_id")),
+            "left",
+        )
+        .groupBy(F.col("t.query_id").alias("query_id"))
+        .agg(F.count(F.col("b.neighbor_id")).cast("bigint").alias("hit"))
+    )
+    rec = hits.join(F.broadcast(bn), "query_id").select(
+        F.round(F.col("hit").cast("double") / F.col("n_base"), 6).alias("r")
+    )
+    ra = rec.agg(
+        F.count("*").cast("bigint").alias("n_queries"),
+        F.round(F.avg(F.col("r").cast("decimal(18,6)")).cast("double"), 6).alias(
+            "avg_recall"
+        ),
+        F.round(F.min("r"), 6).alias("min_recall"),
+    )
+    da = base.agg(
+        F.round(
+            F.avg(
+                F.round(F.abs(F.col("cos_f") - F.col("cos_q")), 6).cast(
+                    "decimal(18,6)"
+                )
+            ).cast("double"),
+            6,
+        ).alias("avg_abs_cos_err")
+    )
+    return ra.crossJoin(F.broadcast(da))
+
+
+PAM_SAMPLE_CAP = 4096  # the documented driver-fit sample bound (kmeans rule)
+
+
+@register("cluster_kmedoids_pam", tags=("similarity", "curation", "northstar"))
+# rows-only: PAM BUILD + best-improvement swap is iterative (each medoid
+# depends on all prior choices) with no SQL twin; planted-cluster,
+# objective-monotonicity, and conservation gates in tests/test_round20_ops.py.
+def cluster_kmedoids_pam(spark: SparkSession, sf_dir: str, k: int = 8) -> DataFrame:
+    """k-medoids via PAM (Kaufman & Rousseeuw 1987): greedy BUILD picks
+    k medoids minimizing total Euclidean deviation, then ONE
+    best-improvement SWAP pass corrects BUILD's greed; every cluster
+    center is a REAL corpus vector (the property k-means lacks, and why
+    medoids are the exemplar-picking primitive of curation: each
+    cluster's medoid IS a representative document you can read).
+    Output: one row per medoid with its full-corpus cluster size, total
+    deviation, deviation share, and whether the swap pass installed it.
+
+    Fit runs on the bounded PAM_SAMPLE_CAP-row vec_id-ordered sample
+    (the documented driver-fit rule shared with the IVF k-means); the
+    ASSIGNMENT is fully distributed -- k medoid vectors broadcast, each
+    corpus vector scores k distances map-side (k x N rows fold through
+    one partial agg; the corpus never shuffles wide). Per-row distances
+    snap to 6dp DECIMAL before summing so the deviation totals are
+    accumulation-order-free.
+
+    Determinism: the sample is vec_id-ordered; every numpy argmin tie
+    breaks on position (= vec_id order); swap applies only on a strict
+    objective improvement."""
+    import numpy as np
+
+    vec = _vectors(spark, sf_dir).select("vec_id", "v").localCheckpoint(eager=False)
+    samp = vec.orderBy("vec_id").limit(PAM_SAMPLE_CAP).toPandas()
+    n = len(samp)
+    empty_schema = (
+        "medoid_rank bigint, vec_id bigint, cluster_size bigint,"
+        " total_deviation double, deviation_share double, swapped bigint"
+    )
+    if n == 0:
+        return spark.createDataFrame([], empty_schema)
+    k = min(k, n)
+    X = np.asarray(samp["v"].tolist(), dtype=np.float64)
+    ids = samp["vec_id"].to_numpy()
+    # pairwise Euclidean distances (<= 4096^2 doubles by the sample cap)
+    sq = (X * X).sum(axis=1)
+    D = np.sqrt(np.maximum(sq[:, None] + sq[None, :] - 2.0 * (X @ X.T), 0.0))
+    medoids: list[int] = []
+    nearest = np.full(n, np.inf)
+    for _ in range(k):
+        # BUILD: argmin of the objective after adding each candidate
+        cand_cost = np.minimum(nearest[:, None], D).sum(axis=0)
+        cand_cost[medoids] = np.inf
+        m = int(cand_cost.argmin())  # first minimum = lowest vec_id position
+        medoids.append(m)
+        nearest = np.minimum(nearest, D[:, m])
+    swapped_at = -1
+    med = np.array(medoids)
+    dm = D[:, med]                       # n x k
+    order = dm.argsort(axis=1)
+    d1 = dm[np.arange(n), order[:, 0]]
+    d2 = dm[np.arange(n), order[:, 1]] if k > 1 else d1
+    who = order[:, 0]
+    base_obj = d1.sum()
+    best = (0.0, -1, -1)
+    for mi in range(k):
+        # objective with medoid mi removed, per point
+        base = np.where(who == mi, d2, d1)
+        # try every non-medoid replacement h at once
+        cost_h = np.minimum(base[:, None], D).sum(axis=0)
+        cost_h[med] = np.inf
+        h = int(cost_h.argmin())
+        delta = cost_h[h] - base_obj
+        if delta < best[0] - 1e-12:
+            best = (float(delta), mi, h)
+    if best[1] >= 0:
+        med[best[1]] = best[2]
+        swapped_at = best[1]
+    medoid_rows = [
+        (r + 1, int(ids[m]), X[m].tolist(), 1 if r == swapped_at else 0)
+        for r, m in enumerate(med)
+    ]
+    mdf = spark.createDataFrame(
+        medoid_rows, "medoid_rank bigint, m_vec_id bigint, mv array<double>, swapped bigint"
+    )
+    dist = F.expr(
+        "sqrt(aggregate(zip_with(v, mv, (x, y) -> (x - y) * (x - y)),"
+        " 0D, (a, x) -> a + x))"
+    )
+    assigned = (
+        vec.join(F.broadcast(mdf))
+        .select(
+            "vec_id",
+            F.struct(dist.alias("d"), "medoid_rank", "m_vec_id", "swapped").alias("s"),
+        )
+        .groupBy("vec_id")
+        .agg(F.min("s").alias("s"))  # struct order: distance, then rank
+        .select(
+            F.col("s.medoid_rank").alias("medoid_rank"),
+            F.col("s.m_vec_id").alias("m_vec_id"),
+            F.col("s.swapped").alias("swapped"),
+            F.round(F.col("s.d"), 6).cast("decimal(18,6)").alias("d6"),
+        )
+    )
+    tot = assigned.agg(F.sum("d6").alias("grand")).select(
+        F.col("grand").cast("double").alias("grand")
+    )
+    per = assigned.groupBy("medoid_rank").agg(
+        F.count("*").cast("bigint").alias("cluster_size"),
+        F.sum("d6").cast("double").alias("total_deviation"),
+    )
+    # totality: a medoid that is an exact duplicate of a lower-ranked one
+    # attracts zero points (ties break to the lower rank) -- keep its row
+    # with a zero-filled panel instead of dropping it
+    return (
+        mdf.join(per, "medoid_rank", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "medoid_rank",
+            F.col("m_vec_id").alias("vec_id"),
+            F.coalesce(F.col("cluster_size"), F.lit(0)).cast("bigint").alias(
+                "cluster_size"
+            ),
+            F.round(F.coalesce(F.col("total_deviation"), F.lit(0.0)), 6).alias(
+                "total_deviation"
+            ),
+            F.round(
+                F.coalesce(F.col("total_deviation"), F.lit(0.0))
+                / F.nullif(F.col("grand"), F.lit(0.0)),
+                6,
+            ).alias("deviation_share"),
+            "swapped",
+        )
+        .orderBy("medoid_rank")
+    )
+
+
+BIRCH_LEAF_CAP = 64  # leaf-layer width bound; overflow triggers the BIRCH rebuild
+
+
+@register("cluster_birch_cf_profile", tags=("similarity", "curation", "northstar"))
+# rows-only: BIRCH leaf insertion is order-sequential (each point's leaf
+# depends on every prior merge/rebuild) with no SQL twin; planted-cluster,
+# conservation, and additivity gates in tests/test_round20_ops.py.
+def cluster_birch_cf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BIRCH CF-leaf profile (Zhang et al. 1996): build the leaf layer
+    of a CF tree -- merge each point into the nearest leaf when it fits
+    inside the radius threshold, open a new leaf otherwise, DOUBLE the
+    threshold and rebuild when the leaf count overflows BIRCH_LEAF_CAP
+    (the original rebuild rule) -- then profile every leaf over the FULL
+    corpus. The streaming-clustering counterpart of cluster_kmedoids_pam
+    (PAM picks exemplars; BIRCH summarizes density in one pass), and the
+    pre-clustering Zhang designed it for: the |leaves|-row CF panel is
+    what a downstream global clusterer consumes instead of N points.
+
+    The key Spark fit: a clustering feature (N, LS, SS) is ADDITIVE, so
+    while the leaf layer fits on the driver (built over the bounded
+    PAM_SAMPLE_CAP vec_id-ordered sample -- the documented driver-fit
+    rule), the per-leaf statistics are EXACT distributed partial aggs
+    over the whole corpus: each vector scores |leaves| broadcast
+    centroids map-side, folds to its nearest leaf, and only scalar
+    (count, snapped-distance-sum) partials shuffle.
+
+    Determinism: vec_id-ordered insertion, nearest-leaf ties break on
+    leaf id, threshold doubling is exact binary; per-row squared
+    distances snap to 6dp DECIMAL before the order-free sums."""
+    import numpy as np
+
+    vec = _vectors(spark, sf_dir).select("vec_id", "v").localCheckpoint(eager=False)
+    samp = vec.orderBy("vec_id").limit(PAM_SAMPLE_CAP).toPandas()
+    n = len(samp)
+    empty_schema = (
+        "leaf_id bigint, n_points bigint, share double, radius double,"
+        " centroid_l2 double, threshold double"
+    )
+    if n == 0:
+        return spark.createDataFrame([], empty_schema)
+    X = np.asarray(samp["v"].tolist(), dtype=np.float64)
+    centroid = X.mean(axis=0)
+    # data-driven deterministic seed threshold: a quarter of the RMS
+    # spread around the sample centroid (exact numpy over the ordered
+    # sample); doubles exactly on each rebuild
+    t = float(np.sqrt(((X - centroid) ** 2).sum(axis=1).mean())) / 4.0
+    if t <= 0:
+        t = 1.0
+
+    def build(threshold: float):
+        leaves: list[list] = []  # [N, LS, SS]
+        for x in X:
+            best, bd = -1, None
+            for i, (ln, ls, _) in enumerate(leaves):
+                c = ls / ln
+                d = float(np.sqrt(((x - c) ** 2).sum()))
+                if d <= threshold and (bd is None or d < bd - 1e-15):
+                    best, bd = i, d
+            if best >= 0:
+                leaves[best][0] += 1
+                leaves[best][1] = leaves[best][1] + x
+                leaves[best][2] += float((x * x).sum())
+            else:
+                leaves.append([1, x.copy(), float((x * x).sum())])
+                if len(leaves) > BIRCH_LEAF_CAP:
+                    return None
+        return leaves
+
+    while True:
+        leaves = build(t)
+        if leaves is not None:
+            break
+        t *= 1.25  # 5/4 is exact binary; finer than Zhang's doubling so
+        # distance-concentrated (high-dim) corpora don't collapse to one leaf
+    rows = [
+        (i + 1, (ls / ln).tolist(), float(np.sqrt((ls / ln) @ (ls / ln))))
+        for i, (ln, ls, _) in enumerate(leaves)
+    ]
+    ldf = spark.createDataFrame(
+        rows, "leaf_id bigint, c array<double>, centroid_l2 double"
+    )
+    d2 = F.expr(
+        "aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)), 0D, (a, x) -> a + x)"
+    )
+    assigned = (
+        vec.join(F.broadcast(ldf))
+        .select(
+            "vec_id",
+            F.struct(d2.alias("d2"), "leaf_id", "centroid_l2").alias("s"),
+        )
+        .groupBy("vec_id")
+        .agg(F.min("s").alias("s"))
+        .select(
+            F.col("s.leaf_id").alias("leaf_id"),
+            F.col("s.centroid_l2").alias("centroid_l2"),
+            F.round(F.col("s.d2"), 6).cast("decimal(18,6)").alias("d2s"),
+        )
+    )
+    tot = assigned.agg(F.count("*").cast("bigint").alias("n_total"))
+    return (
+        ldf.select("leaf_id")
+        .join(
+            assigned.groupBy("leaf_id", "centroid_l2").agg(
+                F.count("*").cast("bigint").alias("n_points"),
+                F.sum("d2s").cast("double").alias("ssd"),
+            ),
+            "leaf_id",
+            "left",
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "leaf_id",
+            F.coalesce(F.col("n_points"), F.lit(0)).cast("bigint").alias("n_points"),
+            F.round(
+                F.coalesce(F.col("n_points"), F.lit(0)).cast("double")
+                / F.col("n_total"),
+                6,
+            ).alias("share"),
+            F.round(
+                F.sqrt(
+                    F.coalesce(F.col("ssd"), F.lit(0.0))
+                    / F.nullif(F.coalesce(F.col("n_points"), F.lit(0)), F.lit(0))
+                ),
+                6,
+            ).alias("radius"),
+            F.round(F.coalesce(F.col("centroid_l2"), F.lit(0.0)), 6).alias(
+                "centroid_l2"
+            ),
+            F.round(F.lit(t), 6).alias("threshold"),
+        )
+        .orderBy("leaf_id")
+    )

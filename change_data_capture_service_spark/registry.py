@@ -117,6 +117,11 @@ _CHECK_ORDER = [
     "orders_shipment_split_profile",
     "orders_calendar_completeness_audit",
     "events_forecast_combination_mae",
+    # round-13 wave 2: quantization eval + clustering/codec headroom
+    "embedding_int8_recall_eval",
+    "cluster_kmedoids_pam",
+    "cluster_birch_cf_profile",
+    "multimodal_codec_probe_matrix",
 ]
 # Provenance: the round-11 window, fully attested by CORRECTNESS_r11
 # (45 hash-green + 5 rows-only-clean: ann_index_cell_balance_profile,

@@ -121,6 +121,11 @@ _R13_CHECK_WINDOW = [
     "orders_shipment_split_profile",
     "orders_calendar_completeness_audit",
     "events_forecast_combination_mae",
+    # round-13 wave 2: quantization eval + clustering/codec headroom
+    "embedding_int8_recall_eval",
+    "cluster_kmedoids_pam",
+    "cluster_birch_cf_profile",
+    "multimodal_codec_probe_matrix",
 ]
 
 

@@ -110,3 +110,91 @@ def test_forecast_combination_argmin_consistency(spark, sf_dir):
     # the named best model's MAE is the minimum (to rounding grain)
     assert maes[r["best_model"]] <= min(maes.values()) + 2e-6
     assert r["n_test_days"] >= 1
+
+
+def test_int8_recall_bounds_and_distortion(spark, sf_dir):
+    r = _rows(spark, sf_dir, "embedding_int8_recall_eval")[0]
+    assert r["n_queries"] >= 1
+    assert 0 <= r["min_recall"] <= r["avg_recall"] <= 1
+    # int8 symmetric quantization of 64-d vectors distorts cosines by
+    # well under 0.05 and keeps most of the exact top-10
+    assert r["avg_recall"] >= 0.5
+    assert 0 <= r["avg_abs_cos_err"] < 0.05
+
+
+def _write_planted_embeddings(spark, tmp_path, centers, per=25, noise=0.01):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = []
+    vid = 0
+    for li, c in enumerate(centers):
+        for _ in range(per):
+            v = (np.asarray(c) + rng.normal(0, noise, len(c))).astype("float32")
+            rows.append((vid, v.tolist(), li))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = str(tmp_path / "planted_sf")
+    df.write.parquet(f"{out}/embeddings.parquet")
+    return out
+
+
+def test_kmedoids_planted_clusters(spark, tmp_path):
+    """Four well-separated planted clusters, k=4: one medoid lands in
+    each, sizes conserve the corpus, deviation shares sum to 1."""
+    centers = [[0.0] * 8, [10.0] + [0.0] * 7, [0.0, 10.0] + [0.0] * 6,
+               [0.0, 0.0, 10.0] + [0.0] * 5]
+    out = _write_planted_embeddings(spark, tmp_path, centers)
+    rows = registry.get("cluster_kmedoids_pam").fn(spark, out, k=4)
+    rows = rows.collect()
+    assert len(rows) == 4
+    assert sum(r["cluster_size"] for r in rows) == 100
+    sizes = sorted(r["cluster_size"] for r in rows)
+    assert sizes == [25, 25, 25, 25]  # one medoid per planted cluster
+    assert abs(sum(r["deviation_share"] for r in rows) - 1.0) < 1e-4
+    assert sum(r["swapped"] for r in rows) <= 1
+
+
+def test_birch_planted_clusters_and_conservation(spark, tmp_path):
+    centers = [[0.0] * 8, [10.0] + [0.0] * 7]
+    out = _write_planted_embeddings(spark, tmp_path, centers, per=30)
+    rows = registry.get("cluster_birch_cf_profile").fn(spark, out).collect()
+    assert len(rows) >= 2
+    assert sum(r["n_points"] for r in rows) == 60
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-4
+    # the two planted blobs must not share a leaf: the top-2 leaves
+    # carry all points and tight radii far under the blob separation
+    top = sorted(rows, key=lambda r: -r["n_points"])[:2]
+    assert sum(r["n_points"] for r in top) == 60
+    for r in top:
+        assert r["radius"] < 1.0
+    assert all(r["threshold"] == rows[0]["threshold"] for r in rows)
+
+
+def test_birch_full_corpus_conservation(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "cluster_birch_cf_profile")
+    from change_data_capture_service_spark.operators.similarity import _vectors
+
+    n = _vectors(spark, sf_dir).count()
+    assert sum(r["n_points"] for r in rows) == n
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-3
+
+
+def test_codec_probe_matrix_shape_and_stdlib_truths(spark, sf_dir):
+    from change_data_capture_service_spark.operators.multimodal import (
+        CODEC_PROBE_MATRIX,
+        REAL_DECODERS_AVAILABLE,
+    )
+
+    rows = _rows(spark, sf_dir, "multimodal_codec_probe_matrix")
+    assert len(rows) == len(CODEC_PROBE_MATRIX)
+    by_lib = {r["codec_lib"]: r for r in rows}
+    # stdlib + baked-in deps are available in ANY python runtime
+    assert by_lib["wave"]["available"] == 1
+    assert by_lib["numpy"]["available"] == 1
+    assert by_lib["numpy"]["active_path"] == "real"
+    # executor-side PIL probe agrees with the module's import probe
+    # (driver == executor runtime in local mode)
+    assert bool(by_lib["PIL"]["available"]) == REAL_DECODERS_AVAILABLE
+    for r in rows:
+        assert r["active_path"] == ("real" if r["available"] else "fake")

@@ -82,6 +82,9 @@ def test_rows_only_set_is_exactly_the_documented_one():
         "text_textrank_keywords",  # iterative fixed point (pagerank contract); planted-hub gates in test_round19_ops
         "graph_mst_backbone",  # Boruvka fixed point; planted-MST + forest gates in test_round19_ops
         "pack_context_bins_ffd",  # order-sequential FFD per group; packing-quality gates in test_round19_ops
+        "cluster_kmedoids_pam",  # iterative BUILD+swap; planted-cluster gates in test_round20_ops
+        "cluster_birch_cf_profile",  # order-sequential CF insertion; planted + conservation gates in test_round20_ops
+        "multimodal_codec_probe_matrix",  # executor-env fact; stdlib-truth gates in test_round20_ops
     }, rows_only
 
 
