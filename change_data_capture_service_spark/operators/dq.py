@@ -716,3 +716,179 @@ def orders_calendar_completeness_audit(spark: SparkSession, sf_dir: str) -> Data
         )
         .orderBy("dw")
     )
+
+
+@register(
+    "dq_status_consistency_audit",
+    tags=("dq", "cdc"),
+    oracle="""
+    WITH per_order AS (
+      SELECT o.o_orderkey, o.o_orderstatus,
+             CAST(count(l.l_orderkey) AS BIGINT) AS n_lines,
+             CAST(sum(CASE WHEN l.l_linestatus = 'F' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_f,
+             CAST(sum(CASE WHEN l.l_linestatus = 'O' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_o
+      FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey, o.o_orderstatus
+    ),
+    graded AS (
+      SELECT o_orderstatus, n_lines,
+             CASE WHEN n_lines = 0 THEN NULL
+                  WHEN n_o = 0 THEN 'F'
+                  WHEN n_f = 0 THEN 'O'
+                  ELSE 'P' END AS expected_status
+      FROM per_order
+    )
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CASE WHEN n_lines > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_with_lines,
+           CAST(sum(CASE WHEN expected_status = o_orderstatus
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_consistent,
+           CAST(sum(CASE WHEN expected_status IS NOT NULL
+                          AND expected_status <> o_orderstatus
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+           round(CAST(sum(CASE WHEN expected_status IS NOT NULL
+                                AND expected_status <> o_orderstatus
+                          THEN 1 ELSE 0 END) AS DOUBLE)
+                 / nullif(sum(CASE WHEN n_lines > 0 THEN 1 ELSE 0 END), 0), 6)
+             AS violation_share
+    FROM graded GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def dq_status_consistency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table status-semantics audit: the order status is a DERIVED
+    fact (TPC-H semantics: 'F' = every line fulfilled, 'O' = every line
+    open, 'P' = mixed), so a replicated warehouse can CHECK it against
+    the line statuses instead of trusting it. Per status: order counts,
+    how many orders' line mix agrees with the header, and the violation
+    share -- the header/detail divergence a partial replication or an
+    out-of-order apply produces (dq_orders_lineitem_reconciliation
+    checks the MONEY adds up; this checks the STATE MACHINE agrees).
+    Lineless orders are counted but excluded from the violation
+    denominator (no lines = no derivable status).
+
+    Exactness: pure integer counting over one orderkey-co-partitioned
+    LEFT join; a single share division at 6dp with a nullif guard.
+
+    Scale: ONE fact-fact join (both orderkey-keyed), order-grain
+    reduction, |statuses| rows out."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    per_order = (
+        o.join(li, li["l_orderkey"] == o["o_orderkey"], "left")
+        .groupBy("o_orderkey", "o_orderstatus")
+        .agg(
+            F.count("l_orderkey").cast("bigint").alias("n_lines"),
+            F.sum(F.when(F.col("l_linestatus") == "F", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_f"),
+            F.sum(F.when(F.col("l_linestatus") == "O", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_o"),
+        )
+    )
+    expected = (
+        F.when(F.col("n_lines") == 0, F.lit(None).cast("string"))
+        .when(F.col("n_o") == 0, F.lit("F"))
+        .when(F.col("n_f") == 0, F.lit("O"))
+        .otherwise(F.lit("P"))
+    )
+    graded = per_order.select("o_orderstatus", "n_lines", expected.alias("exp"))
+    viol = F.sum(
+        F.when(F.col("exp").isNotNull() & (F.col("exp") != F.col("o_orderstatus")), 1)
+        .otherwise(0)
+    )
+    with_lines = F.sum(F.when(F.col("n_lines") > 0, 1).otherwise(0))
+    return (
+        graded.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            with_lines.cast("bigint").alias("n_with_lines"),
+            F.sum(F.when(F.col("exp") == F.col("o_orderstatus"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_consistent"),
+            viol.cast("bigint").alias("n_violations"),
+            F.round(
+                viol.cast("double") / F.nullif(with_lines, F.lit(0)), 6
+            ).alias("violation_share"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "lineitem_linenumber_density_audit",
+    tags=("dq",),
+    oracle="""
+    WITH per_order AS (
+      SELECT l_orderkey,
+             CAST(count(*) AS BIGINT) AS n_lines,
+             CAST(min(l_linenumber) AS BIGINT) AS min_ln,
+             CAST(max(l_linenumber) AS BIGINT) AS max_ln,
+             CAST(count(DISTINCT l_linenumber) AS BIGINT) AS n_distinct
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CASE WHEN min_ln = 1 AND max_ln = n_lines
+                          AND n_distinct = n_lines THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_dense,
+           CAST(sum(CASE WHEN n_distinct < n_lines THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_duplicated,
+           CAST(sum(CASE WHEN n_distinct = n_lines
+                          AND (min_ln > 1 OR max_ln > n_lines)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_gapped,
+           round(CAST(sum(CASE WHEN min_ln = 1 AND max_ln = n_lines
+                                AND n_distinct = n_lines THEN 1 ELSE 0 END)
+                 AS DOUBLE) / count(*), 6) AS dense_share,
+           CAST(max(max_ln) AS BIGINT) AS max_linenumber
+    FROM per_order
+    """,
+)
+def lineitem_linenumber_density_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-density audit on the line numbers: within each order,
+    l_linenumber should be exactly 1..n (dense, no duplicates, no
+    gaps). Duplicates are the at-least-once replay fingerprint at DETAIL
+    grain (the lineitem twin of cdc_duplicate_delivery_audit's event
+    identity check); gaps are lost-update evidence -- a line was
+    delivered, then vanished. One panel row: dense/duplicated/gapped
+    order counts and the dense share.
+
+    Exactness: pure integer min/max/distinct counting per order; one
+    share division at 6dp.
+
+    Scale: one orderkey-grain partial agg over the fact scan (the
+    distinct folds inside the same exchange), then a 1-row fold."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count("*").cast("bigint").alias("n_lines"),
+        F.min("l_linenumber").cast("bigint").alias("min_ln"),
+        F.max("l_linenumber").cast("bigint").alias("max_ln"),
+        F.countDistinct("l_linenumber").cast("bigint").alias("n_distinct"),
+    )
+    dense = (
+        (F.col("min_ln") == 1)
+        & (F.col("max_ln") == F.col("n_lines"))
+        & (F.col("n_distinct") == F.col("n_lines"))
+    )
+    return per_order.agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum(F.when(dense, 1).otherwise(0)).cast("bigint").alias("n_dense"),
+        F.sum(F.when(F.col("n_distinct") < F.col("n_lines"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_duplicated"),
+        F.sum(
+            F.when(
+                (F.col("n_distinct") == F.col("n_lines"))
+                & ((F.col("min_ln") > 1) | (F.col("max_ln") > F.col("n_lines"))),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_gapped"),
+        F.round(
+            F.sum(F.when(dense, 1).otherwise(0)).cast("double") / F.count("*"), 6
+        ).alias("dense_share"),
+        F.max("max_ln").cast("bigint").alias("max_linenumber"),
+    )

@@ -6593,3 +6593,164 @@ def orders_shipment_split_profile(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("month_start")
     )
+
+
+@register(
+    "part_type_facet_decomposition",
+    tags=("warehouse",),
+    oracle="""
+    WITH f AS (
+      SELECT CAST(g.pos AS BIGINT) AS facet_pos,
+             split_part(p_type, ' ', CAST(g.pos AS INT)) AS facet_value,
+             p_retailprice
+      FROM part
+      CROSS JOIN (SELECT CAST(unnest(range(1, 4)) AS BIGINT) AS pos) g
+      WHERE p_type IS NOT NULL
+    ),
+    tot AS (
+      SELECT facet_pos, CAST(count(*) AS BIGINT) AS n_total
+      FROM f GROUP BY facet_pos
+    )
+    SELECT f.facet_pos, f.facet_value,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           round(CAST(count(*) AS DOUBLE) / tot.n_total, 6) AS facet_share,
+           round(CAST(sum(CAST(try_cast(try_cast(f.p_retailprice
+                 AS DECIMAL(18,2)) * 100 AS BIGINT) AS DECIMAL(38,0)))
+                 AS DOUBLE) / count(*) / 100, 6) AS avg_retail_price
+    FROM f JOIN tot ON tot.facet_pos = f.facet_pos
+    GROUP BY f.facet_pos, f.facet_value, tot.n_total
+    ORDER BY f.facet_pos, f.facet_value
+    """,
+)
+def part_type_facet_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite-attribute facet decomposition: p_type is a 3-token
+    composite ('STANDARD ANODIZED BRASS' = grade / finish / material);
+    this splits it into its positional facets and profiles each value --
+    part counts, within-facet share, exact-cents average retail price.
+    The dimensional-modeling staple for composite codes (the attribute
+    should have been 3 columns; this query makes it 3 columns), and the
+    catalog view part_type_brand_diversity's entropy numbers summarize.
+
+    Exactness: split_part is the identical tokenizer on both engines;
+    counts are integers; prices accumulate in DECIMAL cents with one
+    division at 6dp.
+
+    Scale: a x3 positional explode of the part DIM (never the fact
+    table), one facet-grain partial agg; the per-facet totals ride the
+    same reduced relation via a broadcast join."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type").isNotNull())
+    f = p.select(
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("facet_pos"),
+        "p_type",
+        "p_retailprice",
+    ).select(
+        F.col("facet_pos").cast("bigint").alias("facet_pos"),
+        F.expr("split_part(p_type, ' ', CAST(facet_pos AS INT))").alias(
+            "facet_value"
+        ),
+        F.expr(
+            "try_cast(try_cast(p_retailprice AS decimal(18,2)) * 100 AS bigint)"
+        ).alias("cents"),
+    )
+    agg = f.groupBy("facet_pos", "facet_value").agg(
+        F.count("*").cast("bigint").alias("n_parts"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("cents_sum"),
+    )
+    tot = agg.groupBy(F.col("facet_pos").alias("t_pos")).agg(
+        F.sum("n_parts").cast("bigint").alias("n_total")
+    )
+    return (
+        agg.join(F.broadcast(tot), F.col("t_pos") == F.col("facet_pos"))
+        .select(
+            "facet_pos",
+            "facet_value",
+            "n_parts",
+            F.round(F.col("n_parts").cast("double") / F.col("n_total"), 6).alias(
+                "facet_share"
+            ),
+            F.round(
+                F.col("cents_sum").cast("double") / F.col("n_parts") / 100, 6
+            ).alias("avg_retail_price"),
+        )
+        .orderBy("facet_pos", "facet_value")
+    )
+
+
+@register(
+    "orders_revenue_calendar_heatmap",
+    tags=("warehouse", "analytics"),
+    oracle=f"""
+    WITH cell AS (
+      SELECT CAST(extract(month FROM o_orderdate) AS BIGINT) AS month,
+             CAST(dayofweek(o_orderdate) AS BIGINT) AS dw,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(CAST({_TOTAL_C} AS DECIMAL(38,0))) AS BIGINT) AS cents
+      FROM orders WHERE o_orderdate IS NOT NULL AND {_TOTAL_C} IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT CAST(sum(n_orders) AS BIGINT) AS tn,
+             CAST(sum(cents) AS BIGINT) AS tc
+      FROM cell
+    )
+    SELECT cell.month, cell.dw, cell.n_orders,
+           round(CAST(cell.cents AS DOUBLE) / 100, 6) AS revenue,
+           round(CAST(cell.cents AS DOUBLE) / tot.tc, 6) AS revenue_share,
+           round((CAST(cell.cents AS DOUBLE) / cell.n_orders)
+                 / (CAST(tot.tc AS DOUBLE) / tot.tn), 6) AS aov_index
+    FROM cell CROSS JOIN tot
+    ORDER BY cell.month, cell.dw
+    """,
+)
+def orders_revenue_calendar_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue calendar heatmap: the (month-of-year x day-of-week) grid
+    of order counts, revenue, revenue share, and the AOV INDEX -- each
+    cell's average order value relative to the global AOV. The
+    seasonality read merchandising actually uses (do weekend December
+    orders run bigger or just more numerous?); events_hourly_heatmap
+    grids traffic volume, this grids money and basket size.
+    orders_seasonal_index is the month-only marginal.
+
+    Exactness: cents accumulate in DECIMAL; the AOV index is a ratio of
+    identically-computed doubles, rounded once at 6dp. dw uses the
+    shared 0=Sunday DuckDB convention.
+
+    Scale: ONE (month, dw)-grain partial agg over the fact scan (84
+    cells max); totals ride the reduced grid via a broadcast 1-row
+    cross join."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.expr(_TOTAL_C)
+    cell = (
+        o.filter(F.col("o_orderdate").isNotNull() & cents.isNotNull())
+        .groupBy(
+            F.month("o_orderdate").cast("bigint").alias("month"),
+            (F.dayofweek("o_orderdate") - 1).cast("bigint").alias("dw"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(cents.cast("decimal(38,0)")).cast("bigint").alias("cents"),
+        )
+        .localCheckpoint(eager=False)  # grid + totals consumers
+    )
+    tot = cell.agg(
+        F.sum("n_orders").cast("bigint").alias("tn"),
+        F.sum("cents").cast("bigint").alias("tc"),
+    )
+    return (
+        cell.crossJoin(F.broadcast(tot))
+        .select(
+            "month",
+            "dw",
+            "n_orders",
+            F.round(F.col("cents").cast("double") / 100, 6).alias("revenue"),
+            F.round(F.col("cents").cast("double") / F.col("tc"), 6).alias(
+                "revenue_share"
+            ),
+            F.round(
+                (F.col("cents").cast("double") / F.col("n_orders"))
+                / (F.col("tc").cast("double") / F.col("tn")),
+                6,
+            ).alias("aov_index"),
+        )
+        .orderBy("month", "dw")
+    )

@@ -1893,3 +1893,93 @@ def docs_vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(slope, 6) + F.lit(0.0)).alias("heaps_beta"),
         F.round(F.exp((F.col("sy") - slope * F.col("sx")) / nd), 6).alias("heaps_k"),
     )
+
+
+@register(
+    "docs_source_vocab_jaccard",
+    tags=("text", "northstar"),
+    oracle=f"""
+    WITH st AS (
+      SELECT DISTINCT source, t.term
+      FROM documents, unnest({TOKENS}) AS t(term)
+      WHERE source IS NOT NULL
+    ),
+    sz AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_terms
+      FROM st GROUP BY source
+    ),
+    inter AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(count(*) AS BIGINT) AS n_common
+      FROM st a JOIN st b ON a.term = b.term AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT i.source_a, i.source_b, sa.n_terms AS n_terms_a,
+           sb.n_terms AS n_terms_b, i.n_common,
+           round(CAST(i.n_common AS DOUBLE)
+                 / (sa.n_terms + sb.n_terms - i.n_common), 6) AS jaccard
+    FROM inter i
+    JOIN sz sa ON sa.source = i.source_a
+    JOIN sz sb ON sb.source = i.source_b
+    ORDER BY i.source_a, i.source_b
+    """,
+)
+def docs_source_vocab_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-vocabulary overlap: the Jaccard similarity of the
+    distinct-term sets of every source pair (intersection counted once
+    on the term-grain join; union by inclusion-exclusion, never
+    materialized). The corpus-mixing planning view:
+    docs_distinctive_terms_by_source says what makes each source
+    DIFFERENT, this one number per pair says how REDUNDANT two sources
+    are before you pay to ingest both -- high vocabulary Jaccard is the
+    cheap screen that precedes document-level dedup across sources.
+
+    Exactness: pure integer set counting; one division at 6dp.
+
+    Scale: the (source, term) distinct is one partial agg over the token
+    explode; the pair intersection is a TERM-co-partitioned self-join of
+    that reduced relation (vocabulary-bounded, never document-bounded);
+    |sources|^2 rows out."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("source").isNotNull())
+    st = (
+        d.select(
+            "source",
+            F.explode(
+                F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
+            ).alias("term"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # sizes + self-join consumers
+    )
+    sz = st.groupBy("source").agg(F.count("*").cast("bigint").alias("n_terms"))
+    a, b = st.alias("a"), st.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(F.count("*").cast("bigint").alias("n_common"))
+    )
+    sa = sz.select(F.col("source").alias("sa"), F.col("n_terms").alias("n_terms_a"))
+    sb = sz.select(F.col("source").alias("sb"), F.col("n_terms").alias("n_terms_b"))
+    return (
+        inter.join(F.broadcast(sa), F.col("sa") == F.col("source_a"))
+        .join(F.broadcast(sb), F.col("sb") == F.col("source_b"))
+        .select(
+            "source_a",
+            "source_b",
+            "n_terms_a",
+            "n_terms_b",
+            "n_common",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("n_terms_a") + F.col("n_terms_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )

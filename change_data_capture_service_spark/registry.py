@@ -122,6 +122,12 @@ _CHECK_ORDER = [
     "cluster_kmedoids_pam",
     "cluster_birch_cf_profile",
     "multimodal_codec_probe_matrix",
+    # round-13 wave 3: derived-state DQ + composition panels
+    "dq_status_consistency_audit",
+    "lineitem_linenumber_density_audit",
+    "part_type_facet_decomposition",
+    "docs_source_vocab_jaccard",
+    "orders_revenue_calendar_heatmap",
 ]
 # Provenance: the round-11 window, fully attested by CORRECTNESS_r11
 # (45 hash-green + 5 rows-only-clean: ann_index_cell_balance_profile,

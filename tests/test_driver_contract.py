@@ -126,6 +126,12 @@ _R13_CHECK_WINDOW = [
     "cluster_kmedoids_pam",
     "cluster_birch_cf_profile",
     "multimodal_codec_probe_matrix",
+    # round-13 wave 3: derived-state DQ + composition panels
+    "dq_status_consistency_audit",
+    "lineitem_linenumber_density_audit",
+    "part_type_facet_decomposition",
+    "docs_source_vocab_jaccard",
+    "orders_revenue_calendar_heatmap",
 ]
 
 

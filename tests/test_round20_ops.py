@@ -198,3 +198,99 @@ def test_codec_probe_matrix_shape_and_stdlib_truths(spark, sf_dir):
     assert bool(by_lib["PIL"]["available"]) == REAL_DECODERS_AVAILABLE
     for r in rows:
         assert r["active_path"] == ("real" if r["available"] else "fake")
+
+
+def test_status_consistency_partition_identity(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "dq_status_consistency_audit")
+    assert {r["o_orderstatus"] for r in rows} == {"F", "O", "P"}
+    for r in rows:
+        assert r["n_with_lines"] <= r["n_orders"]
+        assert r["n_consistent"] + r["n_violations"] == r["n_with_lines"]
+        assert 0 <= r["violation_share"] <= 1
+
+
+def test_status_consistency_planted_semantics(spark, tmp_path):
+    """An 'F' order with an open line is a violation; an 'F' order with
+    all-'F' lines is consistent; a lineless order counts but never
+    violates."""
+    out = str(tmp_path / "sf")
+    spark.createDataFrame(
+        [(1, 1, "F", 10.0, "1995-01-01", "1-URGENT"),
+         (2, 1, "F", 10.0, "1995-01-01", "1-URGENT"),
+         (3, 1, "O", 10.0, "1995-01-01", "1-URGENT")],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).selectExpr("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+                 "CAST(o_orderdate AS TIMESTAMP) AS o_orderdate",
+                 "o_orderpriority").write.parquet(f"{out}/orders.parquet")
+    li = [(1, 1, "F"), (1, 2, "F"), (2, 1, "O")]
+    spark.createDataFrame(
+        [(ok, ln, 1, 1, 1.0, 10.0, 0.0, 0.0, "N", ls, "1995-01-02")
+         for ok, ln, ls in li],
+        "l_orderkey long, l_linenumber int, l_partkey long, l_suppkey long,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string, l_shipdate string",
+    ).selectExpr("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+                 "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+                 "l_returnflag", "l_linestatus",
+                 "CAST(l_shipdate AS TIMESTAMP) AS l_shipdate"
+                 ).write.parquet(f"{out}/lineitem.parquet")
+    rows = {r["o_orderstatus"]: r for r in
+            registry.get("dq_status_consistency_audit").fn(spark, out).collect()}
+    assert rows["F"]["n_consistent"] == 1 and rows["F"]["n_violations"] == 1
+    assert rows["O"]["n_orders"] == 1 and rows["O"]["n_with_lines"] == 0
+    assert rows["O"]["n_violations"] == 0
+
+
+def test_linenumber_density_partition_and_planted(spark, sf_dir, tmp_path):
+    r = _rows(spark, sf_dir, "lineitem_linenumber_density_audit")[0]
+    assert r["n_dense"] + r["n_duplicated"] + r["n_gapped"] == r["n_orders"]
+    assert 0 <= r["dense_share"] <= 1
+    # planted: order 1 dense (1,2), order 2 duplicated (1,1), order 3 gapped (2,3)
+    out = str(tmp_path / "sf")
+    rows = [(1, 1), (1, 2), (2, 1), (2, 1), (3, 2), (3, 3)]
+    spark.createDataFrame(
+        [(ok, ln, 1, 1, 1.0, 10.0, 0.0, 0.0, "N", "F", "1995-01-02") for ok, ln in rows],
+        "l_orderkey long, l_linenumber int, l_partkey long, l_suppkey long,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string, l_shipdate string",
+    ).write.parquet(f"{out}/lineitem.parquet")
+    p = registry.get("lineitem_linenumber_density_audit").fn(spark, out).collect()[0]
+    assert (p["n_orders"], p["n_dense"], p["n_duplicated"], p["n_gapped"]) == (3, 1, 1, 1)
+
+
+def test_facet_decomposition_shares(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "part_type_facet_decomposition")
+    from collections import defaultdict
+
+    by_pos = defaultdict(list)
+    for r in rows:
+        by_pos[r["facet_pos"]].append(r)
+    assert set(by_pos) == {1, 2, 3}
+    totals = {p: sum(r["n_parts"] for r in rs) for p, rs in by_pos.items()}
+    assert len(set(totals.values())) == 1  # every facet covers every part
+    for p, rs in by_pos.items():
+        assert abs(sum(r["facet_share"] for r in rs) - 1.0) < 1e-4
+
+
+def test_vocab_jaccard_bounds_and_pair_count(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "docs_source_vocab_jaccard")
+    sources = {r["source_a"] for r in rows} | {r["source_b"] for r in rows}
+    n = len(sources)
+    assert len(rows) == n * (n - 1) // 2
+    for r in rows:
+        assert 0 <= r["jaccard"] <= 1
+        assert r["n_common"] <= min(r["n_terms_a"], r["n_terms_b"])
+        assert r["source_a"] < r["source_b"]
+
+
+def test_calendar_heatmap_shares_and_index(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "orders_revenue_calendar_heatmap")
+    assert len(rows) <= 84
+    assert abs(sum(r["revenue_share"] for r in rows) - 1.0) < 1e-4
+    # order-weighted mean of the AOV index is 1 by construction
+    tot_orders = sum(r["n_orders"] for r in rows)
+    wmean = sum(r["aov_index"] * r["n_orders"] for r in rows) / tot_orders
+    assert abs(wmean - 1.0) < 1e-2
+    for r in rows:
+        assert 1 <= r["month"] <= 12 and 0 <= r["dw"] <= 6
