@@ -2338,3 +2338,133 @@ def dedup_shingle_selectivity_curve(spark: SparkSession, sf_dir: str) -> DataFra
     for p in panels[1:]:
         out = out.unionByName(p)
     return out.orderBy("shingle_k")
+
+
+@register(
+    "dedup_cross_source_matrix",
+    tags=("dedup", "northstar"),
+    oracle="""
+    WITH d AS (
+      SELECT sha256(text) AS dig, source
+      FROM documents WHERE text IS NOT NULL AND source IS NOT NULL
+    ),
+    fam AS (
+      SELECT dig, source, CAST(count(*) AS BIGINT) AS cnt
+      FROM d GROUP BY 1, 2
+    ),
+    big AS (
+      SELECT dig FROM fam GROUP BY dig HAVING sum(cnt) > 1
+    ),
+    f2 AS (SELECT fam.dig, fam.source, fam.cnt FROM fam JOIN big USING (dig)),
+    srcs AS (SELECT DISTINCT source FROM d),
+    spine AS (
+      SELECT a.source AS source_a, b.source AS source_b
+      FROM srcs a JOIN srcs b ON a.source <= b.source
+    ),
+    cross_cnt AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(count(*) AS BIGINT) AS n_families,
+             CAST(sum(a.cnt * b.cnt) AS BIGINT) AS n_doc_pairs
+      FROM f2 a JOIN f2 b ON a.dig = b.dig AND a.source < b.source
+      GROUP BY 1, 2
+    ),
+    diag_cnt AS (
+      SELECT source AS source_a, source AS source_b,
+             CAST(sum(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_families,
+             CAST(sum(cnt * (cnt - 1) / 2) AS BIGINT) AS n_doc_pairs
+      FROM f2 GROUP BY source
+    ),
+    cnts AS (SELECT * FROM cross_cnt UNION ALL SELECT * FROM diag_cnt)
+    SELECT spine.source_a, spine.source_b,
+           CAST(coalesce(cnts.n_families, 0) AS BIGINT) AS n_families,
+           CAST(coalesce(cnts.n_doc_pairs, 0) AS BIGINT) AS n_doc_pairs
+    FROM spine LEFT JOIN cnts
+      ON cnts.source_a = spine.source_a AND cnts.source_b = spine.source_b
+    ORDER BY spine.source_a, spine.source_b
+    """,
+)
+def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source exact-duplication matrix: for every source pair, how
+    many sha256 content families span both (and how many duplicate doc
+    PAIRS that implies -- cnt_a x cnt_b across sources, C(cnt, 2)
+    within); diagonal rows are within-source duplication. The
+    document-level companion to docs_source_vocab_jaccard's
+    vocabulary screen: vocabulary overlap says two sources SPEAK alike,
+    this says they literally SHIP the same bytes -- the matrix dedup
+    planning reads to decide which source to make canonical
+    (dataset_split_leakage is the same digest-family evidence cut by
+    train/eval split instead of source pair).
+
+    Exactness: pure integer family/pair counting at digest grain.
+
+    Scale: digests, never text, shuffle (the dedup_exact rule); the
+    family relation reduces to (digest, source, count) before the
+    digest-co-partitioned self-join; |sources|^2 rows out."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & F.col("source").isNotNull()
+    )
+    fam = (
+        d.select(F.sha2("text", 256).alias("dig"), "source")
+        .groupBy("dig", "source")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    tot = fam.groupBy("dig").agg(F.sum("cnt").alias("fam_n"))
+    f2 = (
+        fam.join(tot.filter(F.col("fam_n") > 1).select("dig"), "dig")
+        .localCheckpoint(eager=False)  # cross + diagonal consumers
+    )
+    a, b = f2.alias("a"), f2.alias("b")
+    cross = (
+        a.join(
+            b,
+            (F.col("a.dig") == F.col("b.dig"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_families"),
+            F.sum(F.col("a.cnt") * F.col("b.cnt")).cast("bigint").alias("n_doc_pairs"),
+        )
+    )
+    diag = (
+        f2.groupBy(F.col("source").alias("source_a"))
+        .agg(
+            F.sum(F.when(F.col("cnt") >= 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_families"),
+            F.sum(F.col("cnt") * (F.col("cnt") - 1) / 2)
+            .cast("bigint")
+            .alias("n_doc_pairs"),
+        )
+        .select(
+            "source_a",
+            F.col("source_a").alias("source_b"),
+            "n_families",
+            "n_doc_pairs",
+        )
+    )
+    cnts = cross.unionByName(diag)
+    # constant-panel totality (the alpha-DCG lesson): a corpus with NO
+    # exact duplicates must still emit the full zero-filled grid, so
+    # LEFT-join the counts onto the source-pair spine
+    srcs = d.select("source").distinct()
+    sa = srcs.select(F.col("source").alias("source_a"))
+    sb = srcs.select(F.col("source").alias("source_b"))
+    spine = sa.join(F.broadcast(sb), F.col("source_a") <= F.col("source_b"))
+    return (
+        spine.join(cnts, ["source_a", "source_b"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            F.coalesce(F.col("n_families"), F.lit(0)).cast("bigint").alias(
+                "n_families"
+            ),
+            F.coalesce(F.col("n_doc_pairs"), F.lit(0)).cast("bigint").alias(
+                "n_doc_pairs"
+            ),
+        )
+        .orderBy("source_a", "source_b")
+    )

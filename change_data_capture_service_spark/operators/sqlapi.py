@@ -254,3 +254,49 @@ def sqlapi_qualify_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
     sides."""
     register_views(spark, sf_dir, ["orders"])
     return spark.sql(_QUALIFY_SPARK_SQL)
+
+
+# --- DISTINCT ON dialect parity (round 13) -----------------------------
+# DuckDB (and Postgres) support `SELECT DISTINCT ON (keys) ... ORDER BY
+# keys, tiebreak` -- keep the first row per key group under the ORDER BY.
+# Spark has no DISTINCT ON; the standard migration is the ranked
+# subquery (or groupBy + max_by when only one column is carried). The
+# two texts below are the same logical plan; this key is the documented
+# migration recipe for DISTINCT ON-using SQL landing on this engine.
+_DISTINCT_ON_SPARK_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, o_orderdate
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice, o_orderdate,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders
+) t
+WHERE rn = 1
+ORDER BY o_custkey
+"""
+
+_DISTINCT_ON_DUCK_SQL = """
+SELECT DISTINCT ON (o_custkey)
+       o_custkey, o_orderkey, o_totalprice, o_orderdate
+FROM orders
+ORDER BY o_custkey, o_orderdate, o_orderkey
+"""
+
+
+@register("sqlapi_distinct_on_dialect", tags=("sqlapi",), oracle=_DISTINCT_ON_DUCK_SQL)
+def sqlapi_distinct_on_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each customer's FIRST order (earliest date, orderkey tiebreak),
+    DISTINCT ON-dialect parity: the oracle runs DuckDB's
+    Postgres-style DISTINCT ON, the engine runs the ranked-subquery
+    form Spark parses -- identical semantics (DISTINCT ON is sugar for
+    row_number() = 1 under the same ORDER BY), pinned by the driver's
+    value hash. Catalyst plans the rn = 1 filter as WindowGroupLimit
+    (map-side top-1 truncation), so the migration is also free at plan
+    level. The companion recipe to sqlapi_qualify_dialect: QUALIFY
+    covers arbitrary ranked filters, DISTINCT ON covers the
+    latest/earliest-row-per-key idiom CDC latest-state queries live on.
+
+    Fully tie-broken (date, orderkey); all carried columns are raw table
+    columns so both engines hash identical values."""
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(_DISTINCT_ON_SPARK_SQL)

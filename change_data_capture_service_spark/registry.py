@@ -128,6 +128,9 @@ _CHECK_ORDER = [
     "part_type_facet_decomposition",
     "docs_source_vocab_jaccard",
     "orders_revenue_calendar_heatmap",
+    # round-13 wave 4: DISTINCT ON migration recipe + cross-source dups
+    "sqlapi_distinct_on_dialect",
+    "dedup_cross_source_matrix",
 ]
 # Provenance: the round-11 window, fully attested by CORRECTNESS_r11
 # (45 hash-green + 5 rows-only-clean: ann_index_cell_balance_profile,

@@ -132,6 +132,9 @@ _R13_CHECK_WINDOW = [
     "part_type_facet_decomposition",
     "docs_source_vocab_jaccard",
     "orders_revenue_calendar_heatmap",
+    # round-13 wave 4: DISTINCT ON migration recipe + cross-source dups
+    "sqlapi_distinct_on_dialect",
+    "dedup_cross_source_matrix",
 ]
 
 

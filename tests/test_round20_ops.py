@@ -294,3 +294,33 @@ def test_calendar_heatmap_shares_and_index(spark, sf_dir):
     assert abs(wmean - 1.0) < 1e-2
     for r in rows:
         assert 1 <= r["month"] <= 12 and 0 <= r["dw"] <= 6
+
+
+def test_distinct_on_dialect_first_order_per_customer(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "sqlapi_distinct_on_dialect")
+    assert len({r["o_custkey"] for r in rows}) == len(rows)  # one row per cust
+    o = load_table(spark, sf_dir, "orders")
+    n_cust = o.select("o_custkey").distinct().count()
+    assert len(rows) == n_cust
+
+
+def test_cross_source_matrix_planted_and_total(spark, sf_dir, tmp_path):
+    # the fixture corpus has NO exact duplicates: every grid cell is 0,
+    # but the zero-filled spine still covers all pairs + diagonals
+    rows = _rows(spark, sf_dir, "dedup_cross_source_matrix")
+    srcs = {r["source_a"] for r in rows} | {r["source_b"] for r in rows}
+    n = len(srcs)
+    assert len(rows) == n * (n + 1) // 2
+    assert all(r["n_families"] == 0 and r["n_doc_pairs"] == 0 for r in rows)
+    # planted: doc text X appears twice in src a and once in src b
+    out = str(tmp_path / "sf")
+    docs = [(1, "dup text", "en", "a", 8), (2, "dup text", "en", "a", 8),
+            (3, "dup text", "en", "b", 8), (4, "unique", "en", "b", 6)]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{out}/documents.parquet")
+    got = {(r["source_a"], r["source_b"]): r for r in
+           registry.get("dedup_cross_source_matrix").fn(spark, out).collect()}
+    assert got[("a", "a")]["n_families"] == 1 and got[("a", "a")]["n_doc_pairs"] == 1
+    assert got[("a", "b")]["n_families"] == 1 and got[("a", "b")]["n_doc_pairs"] == 2
+    assert got[("b", "b")]["n_families"] == 0
