@@ -61,6 +61,10 @@ EXTENDED = [
     "cdc_hot_key_skew_daily",        # round-12: (day,key) reduce + WindowGroupLimit top-10
     "part_substitute_pairs",         # round-12: type-blocked fuzzy self-join + TakeOrdered
     "search_bm25_vs_ql_overlap",     # round-12: two postings-probe rankings + 20-row panel
+    "dedup_simhash",                 # round-13: 60-agg vote fold + banded pair join (UDF-free)
+    "customer_nrr_monthly",          # round-13: consecutive-month FULL OUTER rollup self-join
+    "docs_source_vocab_jaccard",     # round-13: term-co-partitioned vocab intersection
+    "embedding_int8_recall_eval",    # round-13: dual-precision scoring + two rank passes
 ]
 
 
