@@ -131,6 +131,25 @@ _CHECK_ORDER = [
     # round-13 wave 4: DISTINCT ON migration recipe + cross-source dups
     "sqlapi_distinct_on_dialect",
     "dedup_cross_source_matrix",
+    # -- re-attestation: previously-green keys whose implementation files
+    # were diff-touched this round, in touched order (relational, dq,
+    # timeseries, similarity, multimodal, dedup, text), filling the
+    # window to the 50 cap --
+    "tpch_q5_local_supplier",
+    "orders_fulfillment_sla_weekly",
+    "nation_revenue_shift_share",
+    "dq_constraint_checks",
+    "lineitem_price_consistency",
+    "lineitem_benford_first_digit",
+    "events_holt_linear_mae",
+    "events_forecast_baseline_mae",
+    "time_weighted_avg",
+    "knn_cosine_topk",
+    "embedding_truncation_recall",
+    "multimodal_extract",
+    "dedup_minhash_near",
+    "dedup_exact",
+    "text_tokenize_tf",
 ]
 # Provenance: the round-11 window, fully attested by CORRECTNESS_r11
 # (45 hash-green + 5 rows-only-clean: ann_index_cell_balance_profile,

@@ -135,6 +135,22 @@ _R13_CHECK_WINDOW = [
     # round-13 wave 4: DISTINCT ON migration recipe + cross-source dups
     "sqlapi_distinct_on_dialect",
     "dedup_cross_source_matrix",
+    # re-attestation: diff-touched files, touched order (window cap 50)
+    "tpch_q5_local_supplier",
+    "orders_fulfillment_sla_weekly",
+    "nation_revenue_shift_share",
+    "dq_constraint_checks",
+    "lineitem_price_consistency",
+    "lineitem_benford_first_digit",
+    "events_holt_linear_mae",
+    "events_forecast_baseline_mae",
+    "time_weighted_avg",
+    "knn_cosine_topk",
+    "embedding_truncation_recall",
+    "multimodal_extract",
+    "dedup_minhash_near",
+    "dedup_exact",
+    "text_tokenize_tf",
 ]
 
 
