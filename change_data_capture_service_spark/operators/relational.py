@@ -6754,3 +6754,256 @@ def orders_revenue_calendar_heatmap(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("month", "dw")
     )
+
+
+@register(
+    "orders_little_law_check",
+    tags=("warehouse", "monitor", "timeseries"),
+    oracle="""
+    WITH spans AS (
+      SELECT o.o_orderkey,
+             CAST(date_trunc('day', o.o_orderdate) AS TIMESTAMP) AS a,
+             greatest(CAST(date_trunc('day', o.o_orderdate) AS TIMESTAMP),
+                      CAST(date_trunc('day', max(l.l_shipdate)) AS TIMESTAMP))
+               AS c
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderdate IS NOT NULL AND l.l_shipdate IS NOT NULL
+      GROUP BY o.o_orderkey, o.o_orderdate
+    ),
+    arr AS (
+      SELECT CAST(date_trunc('month', a) AS TIMESTAMP) AS month_start,
+             CAST(count(*) AS BIGINT) AS n_arrivals,
+             CAST(sum(date_diff('day', a, c)) AS BIGINT) AS cycle_days_sum
+      FROM spans GROUP BY 1
+    ),
+    deltas AS (
+      SELECT a AS day, 1 AS d FROM spans
+      UNION ALL SELECT c, -1 FROM spans
+    ),
+    daily AS (SELECT day, CAST(sum(d) AS BIGINT) AS d FROM deltas GROUP BY day),
+    b AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
+    spine AS (
+      SELECT CAST(unnest(generate_series(b.lo, b.hi, INTERVAL 1 DAY))
+               AS TIMESTAMP) AS day FROM b
+    ),
+    run AS (
+      SELECT spine.day,
+             CAST(sum(coalesce(daily.d, 0)) OVER (ORDER BY spine.day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS backlog
+      FROM spine LEFT JOIN daily ON daily.day = spine.day
+    ),
+    lmon AS (
+      SELECT CAST(date_trunc('month', day) AS TIMESTAMP) AS month_start,
+             CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(backlog) AS BIGINT) AS backlog_sum
+      FROM run GROUP BY 1
+    )
+    SELECT arr.month_start, arr.n_arrivals, lmon.n_days,
+           round(CAST(arr.n_arrivals AS DOUBLE) / lmon.n_days, 6)
+             AS lambda_per_day,
+           round(CAST(arr.cycle_days_sum AS DOUBLE) / arr.n_arrivals, 6)
+             AS mean_cycle_days,
+           round(CAST(lmon.backlog_sum AS DOUBLE) / lmon.n_days, 6)
+             AS avg_backlog,
+           round((CAST(lmon.backlog_sum AS DOUBLE) / lmon.n_days)
+                 / nullif((CAST(arr.n_arrivals AS DOUBLE) / lmon.n_days)
+                          * (CAST(arr.cycle_days_sum AS DOUBLE)
+                             / arr.n_arrivals), 0), 6) AS littles_ratio
+    FROM arr JOIN lmon ON lmon.month_start = arr.month_start
+    ORDER BY arr.month_start
+    """,
+)
+def orders_little_law_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Little's law consistency panel (L = lambda W) per arrival month:
+    average open backlog (L, from the dense-day sweep-line), arrival
+    rate per day (lambda), mean order cycle time in days (W), and the
+    ratio L / (lambda W). In steady state the ratio is 1 by THEOREM
+    (Little 1961, distribution-free); sustained drift from 1 means the
+    system is filling or draining -- the one-number flow-health check
+    that ties orders_open_backlog_daily (L's curve),
+    orders_completion_curve_weekly (W's distribution), and the arrival
+    panels together. Edge months are partial by construction; the ratio
+    is a diagnostic, not an invariant, there.
+
+    Exactness: the sweep-line backlog is integer (+1 at arrival day, -1
+    at close day, prefix sum over the dense calendar spine -- zero-fill
+    via LEFT join so empty days carry the running value); cycle sums
+    are integer calendar days; each presented column divides once at
+    6dp, and the ratio divides identically-computed doubles.
+
+    Scale: one orderkey-co-partitioned fact-fact reduction to order
+    grain; deltas partial-agg to |days| rows before the single
+    calendar-bounded prefix-sum window; |months| rows out."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    spans = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("o_orderdate").isNotNull() & F.col("l_shipdate").isNotNull())
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("last_ship"))
+        .select(
+            F.date_trunc("day", "o_orderdate").cast("timestamp").alias("a"),
+            F.greatest(
+                F.date_trunc("day", "o_orderdate").cast("timestamp"),
+                F.date_trunc("day", "last_ship").cast("timestamp"),
+            ).alias("c"),
+        )
+        .localCheckpoint(eager=False)  # arrival stats + two delta consumers
+    )
+    arr = spans.groupBy(
+        F.date_trunc("month", "a").cast("timestamp").alias("month_start")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_arrivals"),
+        F.sum(F.datediff("c", "a")).cast("bigint").alias("cycle_days_sum"),
+    )
+    deltas = spans.select(F.col("a").alias("day"), F.lit(1).alias("d")).unionAll(
+        spans.select(F.col("c").alias("day"), F.lit(-1).alias("d"))
+    )
+    daily = (
+        deltas.groupBy("day")
+        .agg(F.sum("d").cast("bigint").alias("d"))
+        .localCheckpoint(eager=False)  # bounds fence + spine join
+    )
+    b = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    spine = b.select(
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 DAY"))
+        ).alias("sday")
+    )
+    w = Window.orderBy("sday").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    run = (
+        spine.join(daily, F.col("day") == F.col("sday"), "left")
+        .select("sday", F.coalesce(F.col("d"), F.lit(0)).alias("d"))
+        .select("sday", F.sum("d").over(w).cast("bigint").alias("backlog"))
+    )
+    lmon = run.groupBy(
+        F.date_trunc("month", "sday").cast("timestamp").alias("l_month")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.sum("backlog").cast("bigint").alias("backlog_sum"),
+    )
+    lam = F.col("n_arrivals").cast("double") / F.col("n_days")
+    wbar = F.col("cycle_days_sum").cast("double") / F.col("n_arrivals")
+    lbar = F.col("backlog_sum").cast("double") / F.col("n_days")
+    return (
+        arr.join(lmon, F.col("l_month") == F.col("month_start"))
+        .select(
+            "month_start",
+            "n_arrivals",
+            "n_days",
+            F.round(lam, 6).alias("lambda_per_day"),
+            F.round(wbar, 6).alias("mean_cycle_days"),
+            F.round(lbar, 6).alias("avg_backlog"),
+            F.round(lbar / F.nullif(lam * wbar, F.lit(0.0)), 6).alias(
+                "littles_ratio"
+            ),
+        )
+        .orderBy("month_start")
+    )
+
+
+# Constant cost assumptions for the EOQ panel, documented in the
+# docstring: ordering cost per purchase order, and annual holding cost
+# as a fraction of unit price.
+EOQ_ORDER_COST = 100.0
+EOQ_HOLDING_RATE = 0.2
+
+
+@register(
+    "lineitem_eoq_panel",
+    tags=("warehouse",),
+    oracle=f"""
+    WITH yr AS (
+      SELECT CAST(count(DISTINCT extract(year FROM l_shipdate)) AS BIGINT)
+               AS n_years
+      FROM lineitem WHERE l_shipdate IS NOT NULL
+    ),
+    d AS (
+      SELECT p.p_brand,
+             CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_qty,
+             CAST(sum(CAST(try_cast(try_cast(l.l_extendedprice
+                  AS DECIMAL(18,2)) * 100 AS BIGINT) AS DECIMAL(38,0)))
+               AS BIGINT) AS cents,
+             CAST(count(*) AS BIGINT) AS n_lines
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE l.l_shipdate IS NOT NULL AND l.l_quantity > 0
+      GROUP BY p.p_brand
+    )
+    SELECT d.p_brand, d.n_lines,
+           round(d.total_qty / yr.n_years, 6) AS annual_demand,
+           round((CAST(d.cents AS DOUBLE) / 100) / d.total_qty, 6)
+             AS avg_unit_price,
+           round(sqrt(2 * (d.total_qty / yr.n_years) * {EOQ_ORDER_COST}
+                      / ({EOQ_HOLDING_RATE}
+                         * ((CAST(d.cents AS DOUBLE) / 100) / d.total_qty))),
+                 6) AS eoq_units,
+           round((d.total_qty / yr.n_years)
+                 / sqrt(2 * (d.total_qty / yr.n_years) * {EOQ_ORDER_COST}
+                        / ({EOQ_HOLDING_RATE}
+                           * ((CAST(d.cents AS DOUBLE) / 100)
+                              / d.total_qty))), 6) AS orders_per_year
+    FROM d CROSS JOIN yr
+    ORDER BY d.p_brand
+    """,
+)
+def lineitem_eoq_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Economic-order-quantity panel per brand (Harris 1913, the
+    inventory-theory staple): EOQ = sqrt(2 D S / H) with annual demand D
+    from observed shipments, ordering cost S = 100 (EOQ_ORDER_COST) and
+    holding cost H = 20% of the observed average unit price per year
+    (EOQ_HOLDING_RATE) -- the assumptions are constants ON PURPOSE (the
+    panel's value is the RELATIVE ordering cadence across brands, and
+    deployments override the two constants). Completes the inventory
+    family: part_abc_xyz_matrix segments by value/variability, the
+    dead-stock panel flags what not to reorder, this says HOW MUCH to
+    reorder per cycle.
+
+    Exactness: demand accumulates in DECIMAL quantities, revenue in
+    DECIMAL cents; the EOQ evaluates one shared IEEE expression text on
+    identical inputs, rounded once at 6dp.
+
+    Scale: one brand-grain partial agg over the fact scan with a
+    broadcast part join; the year count is a 1-row fence; |brands| rows
+    out."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").isNotNull() & (F.col("l_quantity") > 0)
+    )
+    p = load_table(spark, sf_dir, "part")
+    yr = li.agg(
+        F.countDistinct(F.year("l_shipdate")).cast("bigint").alias("n_years")
+    )
+    d = (
+        li.join(F.broadcast(p), p["p_partkey"] == li["l_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_qty"),
+            F.sum(
+                F.expr(
+                    "try_cast(try_cast(l_extendedprice AS decimal(18,2))"
+                    " * 100 AS bigint)"
+                ).cast("decimal(38,0)")
+            )
+            .cast("bigint")
+            .alias("cents"),
+            F.count("*").cast("bigint").alias("n_lines"),
+        )
+    )
+    dem = F.col("total_qty") / F.col("n_years")
+    price = (F.col("cents").cast("double") / 100) / F.col("total_qty")
+    eoq = F.sqrt(2 * dem * EOQ_ORDER_COST / (EOQ_HOLDING_RATE * price))
+    return (
+        d.crossJoin(F.broadcast(yr))
+        .select(
+            "p_brand",
+            "n_lines",
+            F.round(dem, 6).alias("annual_demand"),
+            F.round(price, 6).alias("avg_unit_price"),
+            F.round(eoq, 6).alias("eoq_units"),
+            F.round(dem / eoq, 6).alias("orders_per_year"),
+        )
+        .orderBy("p_brand")
+    )

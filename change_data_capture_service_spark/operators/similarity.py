@@ -2847,42 +2847,18 @@ def embedding_int8_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 PAM_SAMPLE_CAP = 4096  # the documented driver-fit sample bound (kmeans rule)
 
 
-@register("cluster_kmedoids_pam", tags=("similarity", "curation", "northstar"))
-# rows-only: PAM BUILD + best-improvement swap is iterative (each medoid
-# depends on all prior choices) with no SQL twin; planted-cluster,
-# objective-monotonicity, and conservation gates in tests/test_round20_ops.py.
-def cluster_kmedoids_pam(spark: SparkSession, sf_dir: str, k: int = 8) -> DataFrame:
-    """k-medoids via PAM (Kaufman & Rousseeuw 1987): greedy BUILD picks
-    k medoids minimizing total Euclidean deviation, then ONE
-    best-improvement SWAP pass corrects BUILD's greed; every cluster
-    center is a REAL corpus vector (the property k-means lacks, and why
-    medoids are the exemplar-picking primitive of curation: each
-    cluster's medoid IS a representative document you can read).
-    Output: one row per medoid with its full-corpus cluster size, total
-    deviation, deviation share, and whether the swap pass installed it.
-
-    Fit runs on the bounded PAM_SAMPLE_CAP-row vec_id-ordered sample
-    (the documented driver-fit rule shared with the IVF k-means); the
-    ASSIGNMENT is fully distributed -- k medoid vectors broadcast, each
-    corpus vector scores k distances map-side (k x N rows fold through
-    one partial agg; the corpus never shuffles wide). Per-row distances
-    snap to 6dp DECIMAL before summing so the deviation totals are
-    accumulation-order-free.
-
-    Determinism: the sample is vec_id-ordered; every numpy argmin tie
-    breaks on position (= vec_id order); swap applies only on a strict
-    objective improvement."""
+def _pam_fit(vec, k: int) -> list:
+    """Driver-side PAM fit over the bounded vec_id-ordered sample:
+    greedy BUILD then ONE best-improvement swap. Returns
+    [(medoid_rank, vec_id, vector, swapped_flag)] -- shared by the
+    k-medoids panel and the purity/NMI eval so both grade the SAME
+    fit. Deterministic: ordered sample, position-tiebroken argmins."""
     import numpy as np
 
-    vec = _vectors(spark, sf_dir).select("vec_id", "v").localCheckpoint(eager=False)
     samp = vec.orderBy("vec_id").limit(PAM_SAMPLE_CAP).toPandas()
     n = len(samp)
-    empty_schema = (
-        "medoid_rank bigint, vec_id bigint, cluster_size bigint,"
-        " total_deviation double, deviation_share double, swapped bigint"
-    )
     if n == 0:
-        return spark.createDataFrame([], empty_schema)
+        return []
     k = min(k, n)
     X = np.asarray(samp["v"].tolist(), dtype=np.float64)
     ids = samp["vec_id"].to_numpy()
@@ -2920,10 +2896,46 @@ def cluster_kmedoids_pam(spark: SparkSession, sf_dir: str, k: int = 8) -> DataFr
     if best[1] >= 0:
         med[best[1]] = best[2]
         swapped_at = best[1]
-    medoid_rows = [
+    return [
         (r + 1, int(ids[m]), X[m].tolist(), 1 if r == swapped_at else 0)
         for r, m in enumerate(med)
     ]
+
+
+
+@register("cluster_kmedoids_pam", tags=("similarity", "curation", "northstar"))
+# rows-only: PAM BUILD + best-improvement swap is iterative (each medoid
+# depends on all prior choices) with no SQL twin; planted-cluster,
+# objective-monotonicity, and conservation gates in tests/test_round20_ops.py.
+def cluster_kmedoids_pam(spark: SparkSession, sf_dir: str, k: int = 8) -> DataFrame:
+    """k-medoids via PAM (Kaufman & Rousseeuw 1987): greedy BUILD picks
+    k medoids minimizing total Euclidean deviation, then ONE
+    best-improvement SWAP pass corrects BUILD's greed; every cluster
+    center is a REAL corpus vector (the property k-means lacks, and why
+    medoids are the exemplar-picking primitive of curation: each
+    cluster's medoid IS a representative document you can read).
+    Output: one row per medoid with its full-corpus cluster size, total
+    deviation, deviation share, and whether the swap pass installed it.
+
+    Fit runs on the bounded PAM_SAMPLE_CAP-row vec_id-ordered sample
+    (the documented driver-fit rule shared with the IVF k-means); the
+    ASSIGNMENT is fully distributed -- k medoid vectors broadcast, each
+    corpus vector scores k distances map-side (k x N rows fold through
+    one partial agg; the corpus never shuffles wide). Per-row distances
+    snap to 6dp DECIMAL before summing so the deviation totals are
+    accumulation-order-free.
+
+    Determinism: the sample is vec_id-ordered; every numpy argmin tie
+    breaks on position (= vec_id order); swap applies only on a strict
+    objective improvement."""
+    vec = _vectors(spark, sf_dir).select("vec_id", "v").localCheckpoint(eager=False)
+    medoid_rows = _pam_fit(vec, k)
+    empty_schema = (
+        "medoid_rank bigint, vec_id bigint, cluster_size bigint,"
+        " total_deviation double, deviation_share double, swapped bigint"
+    )
+    if not medoid_rows:
+        return spark.createDataFrame([], empty_schema)
     mdf = spark.createDataFrame(
         medoid_rows, "medoid_rank bigint, m_vec_id bigint, mv array<double>, swapped bigint"
     )
@@ -3110,4 +3122,85 @@ def cluster_birch_cf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.lit(t), 6).alias("threshold"),
         )
         .orderBy("leaf_id")
+    )
+
+
+@register("cluster_purity_nmi_eval", tags=("similarity", "curation", "northstar"))
+# rows-only: grades the PAM fit, which is itself iterative with no SQL
+# twin; perfect/degenerate-clustering gates in tests/test_round21_ops.py.
+def cluster_purity_nmi_eval(spark: SparkSession, sf_dir: str, k: int = 8) -> DataFrame:
+    """External clustering evaluation: purity and normalized mutual
+    information of the PAM k-medoids assignment against the corpus's
+    ground-truth labels. THE go/no-go read on whether unsupervised
+    structure recovers the known taxonomy -- purity is the intuitive
+    majority-vote score (but inflates with k), NMI corrects for that
+    with the information-theoretic normalization I(C;L)/sqrt(H(C)H(L))
+    (Manning et al., IR book ch. 16). Grades the SAME fit
+    cluster_kmedoids_pam reports (shared _pam_fit), so the two panels
+    read together.
+
+    Exactness: the contingency table is exact integer counts from one
+    distributed agg; entropies/MI are deterministic double arithmetic
+    over that |k x labels| table, folded on the driver in sorted order.
+
+    Scale: k medoid vectors broadcast; each corpus vector scores k
+    distances map-side and folds to (cluster, label) -- the shuffle is
+    the contingency table, never vectors."""
+    import math
+
+    vec = _vectors(spark, sf_dir).select("vec_id", "v", "label").localCheckpoint(
+        eager=False
+    )
+    medoid_rows = _pam_fit(vec.select("vec_id", "v"), k)
+    if not medoid_rows:
+        return spark.createDataFrame(
+            [], "k bigint, n_points bigint, n_labels bigint, purity double, nmi double"
+        )
+    mdf = spark.createDataFrame(
+        medoid_rows,
+        "medoid_rank bigint, m_vec_id bigint, mv array<double>, swapped bigint",
+    ).select("medoid_rank", "mv")
+    dist = F.expr(
+        "sqrt(aggregate(zip_with(v, mv, (x, y) -> (x - y) * (x - y)),"
+        " 0D, (a, x) -> a + x))"
+    )
+    cont = (
+        vec.join(F.broadcast(mdf))
+        .select(
+            "vec_id",
+            "label",
+            F.struct(dist.alias("d"), "medoid_rank").alias("s"),
+        )
+        .groupBy("vec_id", "label")
+        .agg(F.min("s").alias("s"))
+        .select(F.col("s.medoid_rank").alias("cluster"), "label")
+        .groupBy("cluster", "label")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy("cluster", "label")
+        .collect()  # |k x labels| contingency rows -- audit-sized
+    )
+    n_total = sum(r["n"] for r in cont)
+    by_c: dict = {}
+    by_l: dict = {}
+    for r in cont:
+        by_c[r["cluster"]] = by_c.get(r["cluster"], 0) + r["n"]
+        by_l[r["label"]] = by_l.get(r["label"], 0) + r["n"]
+    purity = sum(
+        max(r["n"] for r in cont if r["cluster"] == c) for c in by_c
+    ) / n_total
+    h_c = -sum(v / n_total * math.log(v / n_total) for v in by_c.values())
+    h_l = -sum(v / n_total * math.log(v / n_total) for v in by_l.values())
+    mi = sum(
+        r["n"]
+        / n_total
+        * math.log(
+            (r["n"] / n_total) / ((by_c[r["cluster"]] / n_total) * (by_l[r["label"]] / n_total))
+        )
+        for r in cont
+        if r["n"] > 0
+    )
+    nmi = mi / math.sqrt(h_c * h_l) if h_c > 0 and h_l > 0 else 0.0
+    return spark.createDataFrame(
+        [(len(by_c), n_total, len(by_l), round(purity, 6), round(nmi, 6))],
+        "k bigint, n_points bigint, n_labels bigint, purity double, nmi double",
     )

@@ -1983,3 +1983,90 @@ def docs_source_vocab_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+MTLD_TTR_THRESHOLD = 0.72  # McCarthy & Jarvis (2010) factor boundary
+MTLD_MIN_TOKENS = 10       # below this, MTLD is noise; doc drops from the mean
+
+
+@register("text_mtld_lexical_diversity", tags=("text", "quality", "northstar"))
+# rows-only: MTLD's factor count is an order-sequential traversal of each
+# token stream (no SQL twin); repetitive-vs-diverse and length-robustness
+# gates in tests/test_round21_ops.py.
+def text_mtld_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MTLD lexical diversity per source (McCarthy & Jarvis 2010): walk
+    each document's token stream, count a 'factor' every time the
+    running type-token ratio sinks below 0.72, add the fractional
+    remainder, MTLD = tokens/factors, averaged over the forward and
+    backward passes. THE length-robust diversity measure: raw TTR
+    (docs_ttr_by_source family) mechanically decays with document
+    length, so corpus slices of different lengths can't be compared on
+    it -- MTLD's factor normalization removes exactly that bias, which
+    is why data-quality pipelines quote it next to the Gopher gates.
+    Documents under MTLD_MIN_TOKENS tokens drop from the mean (the
+    measure is noise there); a document whose TTR never sinks (all
+    tokens distinct) takes MTLD = token count, the standard convention.
+
+    Determinism: the per-doc walk is pure integer/set arithmetic in
+    token order; per-doc values snap to 6dp before the order-free
+    DECIMAL mean.
+
+    Scale: one Arrow-batched mapInPandas pass over (source, text) --
+    each doc walks once per direction, nothing shuffles but the
+    (source, mtld) pairs folding into |sources| partials."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & F.col("source").isNotNull()
+    )
+
+    def walk(toks) -> float:
+        factors = 0.0
+        types: set = set()
+        count = 0
+        ttr = 1.0
+        for t in toks:
+            count += 1
+            types.add(t)
+            ttr = len(types) / count
+            if ttr < MTLD_TTR_THRESHOLD:
+                factors += 1.0
+                types.clear()
+                count = 0
+                ttr = 1.0
+        if count > 0 and ttr < 1.0:
+            factors += (1.0 - ttr) / (1.0 - MTLD_TTR_THRESHOLD)
+        return factors
+
+    def mtld_batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for src, text in zip(pdf["source"], pdf["text"]):
+                toks = [w for w in (text or "").lower().split(" ") if w]
+                n = len(toks)
+                if n < MTLD_MIN_TOKENS:
+                    continue
+                vals = []
+                for seq in (toks, toks[::-1]):
+                    f = walk(seq)
+                    vals.append(n / f if f > 0 else float(n))
+                out.append((src, round((vals[0] + vals[1]) / 2, 6),
+                            round(len(set(toks)) / n, 6)))
+            yield pd.DataFrame(out, columns=["source", "mtld", "ttr"])
+
+    per_doc = d.select("source", "text").mapInPandas(
+        mtld_batches, "source string, mtld double, ttr double"
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.round(
+                F.avg(F.col("mtld").cast("decimal(18,6)")).cast("double"), 6
+            ).alias("mean_mtld"),
+            F.round(
+                F.avg(F.col("ttr").cast("decimal(18,6)")).cast("double"), 6
+            ).alias("mean_ttr"),
+        )
+        .orderBy("source")
+    )

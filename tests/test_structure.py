@@ -85,6 +85,8 @@ def test_rows_only_set_is_exactly_the_documented_one():
         "cluster_kmedoids_pam",  # iterative BUILD+swap; planted-cluster gates in test_round20_ops
         "cluster_birch_cf_profile",  # order-sequential CF insertion; planted + conservation gates in test_round20_ops
         "multimodal_codec_probe_matrix",  # executor-env fact; stdlib-truth gates in test_round20_ops
+        "cluster_purity_nmi_eval",  # grades the iterative PAM fit; taxonomy gates in test_round21_ops
+        "text_mtld_lexical_diversity",  # order-sequential factor walk; robustness gates in test_round21_ops
     }, rows_only
 
 
