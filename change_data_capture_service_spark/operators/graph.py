@@ -1603,3 +1603,78 @@ def mst_backbone(edges: DataFrame) -> DataFrame:
             .localCheckpoint()
         )
     return mst.orderBy(F.col("n").desc(), "u", "v")
+
+
+@register("graph_modularity_eval", tags=("graph", "analytics"))
+# rows-only: grades the label-propagation fit, which is itself iterative
+# with no SQL twin; two-clique / single-clique gates in test_round21_ops.
+def graph_modularity_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the label-propagation partition: Q =
+    sum_c [ m_c/m - (d_c / 2m)^2 ] over communities c (within-community
+    edge share minus the degree-preserving random expectation). The
+    quality number that says whether graph_label_propagation's cheap
+    communities are REAL structure (Q well above 0) or noise (Q near 0)
+    -- the graph twin of cluster_purity_nmi_eval, grading the SAME LPA
+    fit on the brand co-occurrence graph. One row per community plus
+    its contribution; read the Q total off the sum (pytest pins the
+    clique cases: one clique -> Q = 0, two disjoint cliques -> Q = 1/2).
+
+    Exactness: m, m_c, d_c are exact integer edge/degree sums from one
+    keyed agg over the (node -> community) join; each contribution does
+    two divisions of identical doubles at 6dp.
+
+    Scale: the LPA fit is the documented per-round keyed shuffle; the
+    eval adds one community-keyed partial agg of the attribute-reduced
+    edge relation -- |communities| rows out."""
+    e = _brand_cooccurrence_edges(spark, sf_dir).localCheckpoint(eager=False)
+    both = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    labels = _label_propagation(both).select(
+        "node", F.col("community").alias("comm")
+    ).localCheckpoint(eager=False)
+    m = e.count()  # undirected edge count (1-row fence, audit-sized)
+    if m == 0:
+        return spark.createDataFrame(
+            [],
+            "community bigint, n_nodes bigint, within_edges bigint,"
+            " degree_sum bigint, q_contribution double",
+        )
+    lu = labels.select(F.col("node").alias("u"), F.col("comm").alias("cu"))
+    lv = labels.select(F.col("node").alias("v"), F.col("comm").alias("cv"))
+    tagged = e.join(F.broadcast(lu), "u").join(F.broadcast(lv), "v")
+    within = (
+        tagged.filter(F.col("cu") == F.col("cv"))
+        .groupBy(F.col("cu").alias("community"))
+        .agg(F.count("*").cast("bigint").alias("within_edges"))
+    )
+    deg = (
+        both.join(F.broadcast(lu), "u")
+        .groupBy(F.col("cu").alias("community"))
+        .agg(F.count("*").cast("bigint").alias("degree_sum"))
+    )
+    nn = labels.groupBy(F.col("comm").alias("community")).agg(
+        F.count("*").cast("bigint").alias("n_nodes")
+    )
+    return (
+        nn.join(deg, "community", "left")
+        .join(within, "community", "left")
+        .select(
+            "community",
+            "n_nodes",
+            F.coalesce(F.col("within_edges"), F.lit(0)).cast("bigint").alias(
+                "within_edges"
+            ),
+            F.coalesce(F.col("degree_sum"), F.lit(0)).cast("bigint").alias(
+                "degree_sum"
+            ),
+            F.round(
+                F.coalesce(F.col("within_edges"), F.lit(0)).cast("double") / m
+                - (
+                    F.coalesce(F.col("degree_sum"), F.lit(0)).cast("double")
+                    / (2.0 * m)
+                )
+                ** 2,
+                6,
+            ).alias("q_contribution"),
+        )
+        .orderBy("community")
+    )

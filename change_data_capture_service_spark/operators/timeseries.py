@@ -1986,3 +1986,68 @@ def events_forecast_combination_mae(spark: SparkSession, sf_dir: str) -> DataFra
         .otherwise(F.lit("ma7"))
         .alias("best_model"),
     )
+
+
+@register("events_spectral_top_periods", tags=("timeseries", "forecast"))
+# rows-only: the DFT's trig kernels are libm-versioned (cos/sin ulps
+# differ across engines), so no SQL twin; planted-sinusoid and dow-cycle
+# gates in tests/test_round21_ops.py.
+def events_spectral_top_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Periodogram period DISCOVERY over the daily event count: the
+    top-3 spectral peaks (period in days, cycles/day, share of non-DC
+    power). events_seasonal_strength and the Holt-Winters fold TEST a
+    known weekly cycle; this one finds the cycle lengths worth testing
+    -- the standard first look at an unfamiliar stream (Welch-style
+    full-length periodogram on the mean-centered series).
+
+    Determinism: the day series is exact integer counts, collected in
+    day order under the SERIES_FOLD_MAX_POINTS grain contract (the Holt
+    fold rule); numpy's rfft on the driver is deterministic for a fixed
+    series; peak ties break toward the longer period via frequency
+    order.
+
+    Scale: ONE day-grain partial agg over the fact scan; the fold is a
+    calendar-bounded driver array, identical in class to the Holt/theta
+    folds."""
+    import numpy as np
+
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.filter(F.col("ts").isNotNull())
+        .groupBy(F.date_trunc("day", "ts").cast("timestamp").alias("day"))
+        .agg(F.count("*").cast("bigint").alias("y"))
+    )
+    ser = daily.agg(
+        F.expr("array_sort(collect_list(struct(day, CAST(y AS DOUBLE) AS v)))").alias(
+            "arr"
+        ),
+        F.count("*").cast("bigint").alias("n"),
+    ).select(
+        F.expr("transform(arr, x -> x.v)").alias("vs"),
+        _fold_capped_n(F.col("n"), "events_spectral_top_periods").alias("n"),
+    ).collect()
+    schema = (
+        "peak_rank bigint, period_days double, cycles_per_day double,"
+        " power_share double"
+    )
+    if not ser or ser[0]["n"] < 8:
+        return spark.createDataFrame([], schema)
+    y = np.asarray(ser[0]["vs"], dtype=np.float64)
+    n = len(y)
+    spec = np.abs(np.fft.rfft(y - y.mean())) ** 2
+    freqs = np.fft.rfftfreq(n, d=1.0)
+    spec, freqs = spec[1:], freqs[1:]  # drop DC
+    total = spec.sum()
+    if total <= 0:
+        return spark.createDataFrame([], schema)
+    idx = sorted(range(len(spec)), key=lambda i: (-spec[i], freqs[i]))[:3]
+    rows = [
+        (
+            r + 1,
+            round(float(1.0 / freqs[i]), 6),
+            round(float(freqs[i]), 6),
+            round(float(spec[i] / total), 6),
+        )
+        for r, i in enumerate(idx)
+    ]
+    return spark.createDataFrame(rows, schema)

@@ -135,3 +135,78 @@ def test_mtld_diverse_beats_repetitive_and_length_robust(spark, tmp_path):
     short, long_ = got["cyc_short"], got["cyc_long"]
     assert short["mean_ttr"] > long_["mean_ttr"] * 2  # TTR decays with length
     assert abs(short["mean_mtld"] - long_["mean_mtld"]) < 0.35 * short["mean_mtld"]
+
+
+def test_modularity_clique_cases(spark, tmp_path, monkeypatch):
+    """Two disjoint K4 cliques -> LPA finds them, Q = 1/2 exactly; the
+    whole graph as one community (single clique) -> Q = 0."""
+    from change_data_capture_service_spark.operators import graph as G
+
+    def two_cliques(spark_, sf_dir_):
+        edges = []
+        for base in (0, 100):
+            mem = [base + i for i in range(4)]
+            edges += [(a, b) for i, a in enumerate(mem) for b in mem[i + 1:]]
+        return spark.createDataFrame(edges, "u long, v long")
+
+    monkeypatch.setattr(G, "_brand_cooccurrence_edges", two_cliques)
+    rows = registry.get("graph_modularity_eval").fn(spark, "unused").collect()
+    assert len(rows) == 2
+    q = sum(r["q_contribution"] for r in rows)
+    assert abs(q - 0.5) < 1e-6
+    for r in rows:
+        assert r["n_nodes"] == 4 and r["within_edges"] == 6
+
+    def one_clique(spark_, sf_dir_):
+        mem = list(range(5))
+        return spark.createDataFrame(
+            [(a, b) for i, a in enumerate(mem) for b in mem[i + 1:]], "u long, v long"
+        )
+
+    monkeypatch.setattr(G, "_brand_cooccurrence_edges", one_clique)
+    rows = registry.get("graph_modularity_eval").fn(spark, "unused").collect()
+    assert len(rows) == 1
+    assert abs(rows[0]["q_contribution"]) < 1e-6
+
+
+def test_modularity_fixture_panel(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "graph_modularity_eval")
+    q = sum(r["q_contribution"] for r in rows)
+    assert -0.5 <= q <= 1.0  # Newman bounds
+    assert all(r["within_edges"] * 2 <= r["degree_sum"] + 2 * r["within_edges"]
+               for r in rows)
+
+
+def test_spectral_recovers_planted_weekly_cycle(spark, tmp_path):
+    """A pure 7-day sinusoid over 84 days must put the top peak at
+    period 7 with dominant power share."""
+    import datetime as dt
+    import math
+
+    base = dt.datetime(1995, 1, 1)
+    rows = []
+    eid = 0
+    for d in range(84):
+        n = 50 + int(30 * math.sin(2 * math.pi * d / 7))
+        for _ in range(n):
+            rows.append((eid, base + dt.timedelta(days=d, hours=1), 1, "x", 1.0, "{}"))
+            eid += 1
+    out = str(tmp_path / "sf")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(f"{out}/events.parquet")
+    top = registry.get("events_spectral_top_periods").fn(spark, out).collect()
+    assert top[0]["peak_rank"] == 1
+    assert abs(top[0]["period_days"] - 7.0) < 0.25
+    assert top[0]["power_share"] > 0.8
+
+
+def test_spectral_fixture_shape(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "events_spectral_top_periods")
+    assert len(rows) == 3
+    shares = [r["power_share"] for r in rows]
+    assert shares == sorted(shares, reverse=True)
+    assert sum(shares) <= 1.0 + 1e-9
+    assert all(r["period_days"] >= 2.0 for r in rows)  # Nyquist

@@ -87,6 +87,8 @@ def test_rows_only_set_is_exactly_the_documented_one():
         "multimodal_codec_probe_matrix",  # executor-env fact; stdlib-truth gates in test_round20_ops
         "cluster_purity_nmi_eval",  # grades the iterative PAM fit; taxonomy gates in test_round21_ops
         "text_mtld_lexical_diversity",  # order-sequential factor walk; robustness gates in test_round21_ops
+        "graph_modularity_eval",  # grades the iterative LPA fit; clique gates in test_round21_ops
+        "events_spectral_top_periods",  # libm trig kernels differ per engine; planted-cycle gates in test_round21_ops
     }, rows_only
 
 
