@@ -572,3 +572,53 @@ def test_differential_fuzz_ignore_nulls_windows(engines, seed):
     assert scols == ocols, (q_spark, scols, ocols)
     assert len(srows) == len(orows), (q_spark, len(srows), len(orows))
     assert _hash(srows, scols) == _hash(orows, ocols), (q_spark, q_duck)
+
+
+def _gen_distinct_on_query(rng: random.Random) -> tuple[str, str]:
+    """DISTINCT ON dialect template (round-13, the
+    sqlapi_distinct_on_dialect recipe fuzzed): keep the first row per
+    key group under a random ORDER BY. DuckDB runs Postgres-style
+    `SELECT DISTINCT ON (key) ... ORDER BY key, sort, uk`; Spark runs
+    the ranked-subquery desugaring `row_number() = 1` under the SAME
+    window order. The uk tiebreak makes the kept row unique, so both
+    texts select the identical row set from the same random draws."""
+    table = rng.choice(list(TABLES))
+    meta = TABLES[table]
+    cat = rng.choice(meta["cats"])
+    cents = meta["cents"]
+    uniq = {"lineitem": "l_orderkey * 8 + l_linenumber",
+            "orders": "o_orderkey",
+            "events": "event_id"}[table]
+    mod = rng.randint(7, 37)
+    direction = rng.choice(["ASC", "DESC"])
+    base = (
+        f"SELECT {cat} AS cat, CAST({uniq} AS BIGINT) AS uk, {cents} AS cents"
+        f" FROM {table} WHERE ({uniq}) % {mod} = 0 AND {cents} IS NOT NULL"
+    )
+    spark_sql = (
+        f"SELECT cat, uk, cents FROM ("
+        f"SELECT cat, uk, cents,"
+        f" row_number() OVER (PARTITION BY cat"
+        f" ORDER BY cents {direction}, uk) AS rn"
+        f" FROM ({base}) t) r WHERE rn = 1"
+    )
+    duck_sql = (
+        f"SELECT DISTINCT ON (cat) cat, uk, cents FROM ({base}) t"
+        f" ORDER BY cat, cents {direction}, uk"
+    )
+    return spark_sql, duck_sql
+
+
+@pytest.mark.parametrize("seed", SEEDS[:15])
+def test_differential_fuzz_distinct_on(engines, seed):
+    spark, con = engines
+    q_spark, q_duck = _gen_distinct_on_query(random.Random(9000 + seed))
+    sdf = spark.sql(q_spark)
+    srows = [r.asDict() for r in sdf.collect()]
+    cur = con.execute(q_duck)
+    ocols_raw = [d[0] for d in cur.description]
+    orows = [dict(zip(ocols_raw, t)) for t in cur.fetchall()]
+    scols, ocols = sorted(sdf.columns), sorted(ocols_raw)
+    assert scols == ocols, (q_spark, scols, ocols)
+    assert len(srows) == len(orows), (q_spark, len(srows), len(orows))
+    assert _hash(srows, scols) == _hash(orows, ocols), q_spark
