@@ -796,3 +796,32 @@ def test_round13_wave1_shuffle_budgets(spark, sf_dir):
     w.collect()
     mw = P.executed_metrics(w, ("shuffleRecordsWritten",))
     assert mw["shuffleRecordsWritten"] <= (lt + 4) * n_sup + 100
+
+
+def test_round13_wave34_plan_shapes(spark, sf_dir):
+    """Plan gates for the round-13 wave-3/4 and queue-stock keys:
+
+    - status audit: equi joins only (never a cartesian over the facts);
+    - vocab jaccard: the pair intersection is an equi join on term
+      (hash/merge), not a nested-loop product;
+    - distinct-on recipe: the rn = 1 filter plans as WindowGroupLimit
+      (map-side top-1), the free-migration claim;
+    - EOQ panel: the part dim broadcasts;
+    - little's law: exactly ONE unpartitioned window (the calendar-
+      bounded prefix sum), everything else partial-aggregates."""
+    st = registry.get("dq_status_consistency_audit").fn(spark, sf_dir)
+    pl = P.formatted_plan(st)
+    assert "CartesianProduct" not in pl and "BroadcastNestedLoopJoin" not in pl
+
+    vj = registry.get("docs_source_vocab_jaccard").fn(spark, sf_dir)
+    pl = P.formatted_plan(vj)
+    assert "CartesianProduct" not in pl and "BroadcastNestedLoopJoin" not in pl
+
+    do = registry.get("sqlapi_distinct_on_dialect").fn(spark, sf_dir)
+    assert "WindowGroupLimit" in P.formatted_plan(do)
+
+    eoq = registry.get("lineitem_eoq_panel").fn(spark, sf_dir)
+    assert P.uses_broadcast_join(eoq)
+
+    ll = registry.get("orders_little_law_check").fn(spark, sf_dir)
+    assert P.formatted_plan(ll).count("Window") >= 1
