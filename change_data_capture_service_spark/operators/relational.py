@@ -7007,3 +7007,336 @@ def lineitem_eoq_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+@register(
+    "part_demand_intermittency_profile",
+    tags=("warehouse", "monitor"),
+    oracle="""
+    WITH cal AS (
+      SELECT CAST(count(DISTINCT date_trunc('month', l_shipdate)) AS BIGINT)
+               AS months_total
+      FROM lineitem WHERE l_shipdate IS NOT NULL
+    ),
+    pm AS (
+      SELECT l_partkey,
+             CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS m,
+             CAST(sum(CAST(try_cast(try_cast(l_quantity AS DECIMAL(18,2))
+                  * 100 AS BIGINT) AS DECIMAL(38,0))) AS BIGINT) AS q
+      FROM lineitem WHERE l_shipdate IS NOT NULL
+      GROUP BY 1, 2 HAVING sum(l_quantity) > 0
+    ),
+    st AS (
+      SELECT l_partkey,
+             CAST(count(*) AS BIGINT) AS n_demand,
+             CAST(sum(CAST(q AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s1,
+             CAST(sum(CAST(q AS DECIMAL(38,0)) * q) AS DECIMAL(38,0)) AS s2
+      FROM pm GROUP BY 1 HAVING count(*) >= 2
+    ),
+    cls AS (
+      SELECT st.l_partkey,
+             CAST(cal.months_total AS DOUBLE) / st.n_demand AS adi,
+             CAST(round((CAST(st.n_demand AS DOUBLE) * st.s2 - st.s1 * st.s1)
+                  / (CAST(st.s1 AS DOUBLE) * st.s1), 6) AS DECIMAL(18,6))
+               AS cv2,
+             -- EXACT integer quadrant cuts: 100*T >= 132*n  <=>  ADI >= 1.32
+             -- and 100*(n*s2 - s1^2) >= 49*s1^2  <=>  CV^2 >= 0.49
+             CASE WHEN 100 * cal.months_total >= 132 * st.n_demand THEN 1
+                  ELSE 0 END AS hi_adi,
+             CASE WHEN 100 * (st.n_demand * st.s2 - st.s1 * st.s1)
+                       >= 49 * (st.s1 * st.s1) THEN 1 ELSE 0 END AS hi_cv
+      FROM st CROSS JOIN cal
+    ),
+    quad AS (
+      SELECT CASE WHEN hi_adi = 0 AND hi_cv = 0 THEN 'smooth'
+                  WHEN hi_adi = 1 AND hi_cv = 0 THEN 'intermittent'
+                  WHEN hi_adi = 0 AND hi_cv = 1 THEN 'erratic'
+                  ELSE 'lumpy' END AS quadrant,
+             adi, cv2
+      FROM cls
+    ),
+    spine AS (
+      SELECT * FROM (VALUES ('smooth'), ('intermittent'),
+                            ('erratic'), ('lumpy')) s(quadrant)
+    ),
+    agg AS (
+      SELECT quadrant, CAST(count(*) AS BIGINT) AS n_parts,
+             round(CAST(avg(CAST(round(adi, 6) AS DECIMAL(18,6)))
+                   AS DOUBLE), 6) AS mean_adi,
+             round(CAST(avg(cv2) AS DOUBLE), 6) AS mean_cv2
+      FROM quad GROUP BY quadrant
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM quad)
+    SELECT spine.quadrant,
+           CAST(coalesce(agg.n_parts, 0) AS BIGINT) AS n_parts,
+           round(CAST(coalesce(agg.n_parts, 0) AS DOUBLE) / tot.n, 6)
+             AS part_share,
+           agg.mean_adi, agg.mean_cv2
+    FROM spine LEFT JOIN agg ON agg.quadrant = spine.quadrant
+    CROSS JOIN tot
+    ORDER BY spine.quadrant
+    """,
+)
+def part_demand_intermittency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Syntetos-Boylan demand-classification census (Syntetos, Boylan &
+    Croston 2005): every part with >= 2 demand months lands in one of
+    the four forecastability quadrants -- smooth / intermittent (sparse
+    arrivals) / erratic (wild sizes) / lumpy (both) -- by the canonical
+    ADI = 1.32 and CV^2 = 0.49 cuts. The demand-planning triage that
+    says WHICH forecaster each part deserves (smooth -> the Holt/theta
+    family; intermittent/lumpy -> Croston-class methods) and the
+    demand-side companion to lineitem_eoq_panel's order sizing and
+    part_abc_xyz_matrix's value segmentation.
+
+    Exactness: the quadrant cuts are EXACT integer comparisons -- ADI >=
+    1.32 as 100*months_total >= 132*n_demand, CV^2 >= 0.49 cross-
+    multiplied as 100*(n*s2 - s1^2) >= 49*s1^2 over DECIMAL(38,0)
+    centi-quantity sums -- so no part can flip quadrants on an engine's
+    ulp; the presented mean ADI/CV^2 snap to 6dp before order-free
+    means; the 4-row spine zero-fills empty quadrants.
+
+    Scale: one (part, month)-grain partial agg over the fact scan, one
+    part-grain moment reduction, a 1-row calendar fence, 4 rows out."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate").isNotNull())
+    cal = li.agg(
+        F.countDistinct(F.date_trunc("month", "l_shipdate"))
+        .cast("bigint")
+        .alias("months_total")
+    )
+    pm = (
+        li.groupBy(
+            "l_partkey",
+            F.date_trunc("month", "l_shipdate").cast("timestamp").alias("m"),
+        )
+        .agg(
+            F.sum(
+                F.expr(
+                    "try_cast(try_cast(l_quantity AS decimal(18,2)) * 100 AS bigint)"
+                ).cast("decimal(38,0)")
+            )
+            .cast("bigint")
+            .alias("q"),
+            F.sum("l_quantity").alias("raw_q"),
+        )
+        .filter(F.col("raw_q") > 0)
+    )
+    st = (
+        pm.groupBy("l_partkey")
+        .agg(
+            F.count("*").cast("bigint").alias("n_demand"),
+            F.sum(F.col("q").cast("decimal(38,0)")).alias("s1"),
+            F.sum(F.col("q").cast("decimal(38,0)") * F.col("q")).alias("s2"),
+        )
+        .filter(F.col("n_demand") >= 2)
+    )
+    cls = st.crossJoin(F.broadcast(cal)).select(
+        (F.col("months_total").cast("double") / F.col("n_demand")).alias("adi"),
+        F.round(
+            (F.col("n_demand").cast("double") * F.col("s2").cast("double")
+             - F.col("s1").cast("double") * F.col("s1").cast("double"))
+            / (F.col("s1").cast("double") * F.col("s1").cast("double")),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("cv2"),
+        F.when(100 * F.col("months_total") >= 132 * F.col("n_demand"), 1)
+        .otherwise(0)
+        .alias("hi_adi"),
+        F.when(
+            100
+            * (
+                F.col("n_demand") * F.col("s2")
+                - F.col("s1") * F.col("s1")
+            )
+            >= 49 * (F.col("s1") * F.col("s1")),
+            1,
+        )
+        .otherwise(0)
+        .alias("hi_cv"),
+    )
+    quad = cls.select(
+        F.when((F.col("hi_adi") == 0) & (F.col("hi_cv") == 0), F.lit("smooth"))
+        .when((F.col("hi_adi") == 1) & (F.col("hi_cv") == 0), F.lit("intermittent"))
+        .when((F.col("hi_adi") == 0) & (F.col("hi_cv") == 1), F.lit("erratic"))
+        .otherwise(F.lit("lumpy"))
+        .alias("quadrant"),
+        "adi",
+        "cv2",
+    ).localCheckpoint(eager=False)  # census + total consumers
+    agg = quad.groupBy("quadrant").agg(
+        F.count("*").cast("bigint").alias("n_parts"),
+        F.round(
+            F.avg(F.round(F.col("adi"), 6).cast("decimal(18,6)")).cast("double"), 6
+        ).alias("mean_adi"),
+        F.round(F.avg("cv2").cast("double"), 6).alias("mean_cv2"),
+    )
+    tot = quad.agg(F.count("*").cast("bigint").alias("n"))
+    spine = spark.createDataFrame(
+        [("smooth",), ("intermittent",), ("erratic",), ("lumpy",)],
+        "quadrant string",
+    )
+    return (
+        spine.join(F.broadcast(agg), "quadrant", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "quadrant",
+            F.coalesce(F.col("n_parts"), F.lit(0)).cast("bigint").alias("n_parts"),
+            F.round(
+                F.coalesce(F.col("n_parts"), F.lit(0)).cast("double") / F.col("n"), 6
+            ).alias("part_share"),
+            "mean_adi",
+            "mean_cv2",
+        )
+        .orderBy("quadrant")
+    )
+
+
+@register(
+    "customer_growth_accounting_monthly",
+    tags=("warehouse", "analytics"),
+    oracle="""
+    WITH cm AS (
+      SELECT DISTINCT o_custkey,
+             CAST(extract(year FROM o_orderdate) AS BIGINT) * 12
+               + CAST(extract(month FROM o_orderdate) AS BIGINT) - 1 AS idx
+      FROM orders WHERE o_orderdate IS NOT NULL
+    ),
+    fm AS (
+      SELECT o_custkey, CAST(min(idx) AS BIGINT) AS first_idx
+      FROM cm GROUP BY 1
+    ),
+    tagged AS (
+      SELECT c.idx, c.o_custkey,
+             CASE WHEN c.idx = f.first_idx THEN 'new'
+                  WHEN p.o_custkey IS NOT NULL THEN 'retained'
+                  ELSE 'reactivated' END AS state
+      FROM cm c
+      JOIN fm f ON f.o_custkey = c.o_custkey
+      LEFT JOIN cm p ON p.o_custkey = c.o_custkey AND p.idx = c.idx - 1
+    ),
+    churn AS (
+      SELECT p.idx + 1 AS idx, CAST(count(*) AS BIGINT) AS n_churned
+      FROM cm p LEFT JOIN cm c
+        ON c.o_custkey = p.o_custkey AND c.idx = p.idx + 1
+      WHERE c.o_custkey IS NULL
+      GROUP BY 1
+    ),
+    act AS (
+      SELECT idx,
+             CAST(count(*) AS BIGINT) AS n_active,
+             CAST(sum(CASE WHEN state = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_new,
+             CAST(sum(CASE WHEN state = 'retained' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_retained,
+             CAST(sum(CASE WHEN state = 'reactivated' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_reactivated
+      FROM tagged GROUP BY idx
+    )
+    SELECT make_timestamp((act.idx // 12), (act.idx % 12) + 1, 1, 0, 0, 0)
+             AS month_start,
+           act.n_active, act.n_new, act.n_retained, act.n_reactivated,
+           CAST(coalesce(churn.n_churned, 0) AS BIGINT) AS n_churned,
+           round(CAST(act.n_retained AS DOUBLE)
+                 / nullif(lag(act.n_active) OVER (ORDER BY act.idx), 0), 6)
+             AS retention_rate
+    FROM act LEFT JOIN churn ON churn.idx = act.idx
+    ORDER BY month_start
+    """,
+)
+def customer_growth_accounting_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly customer growth accounting (the Social Capital framework):
+    every month's active customers decomposed into new (first month
+    ever) / retained (active last month) / reactivated (active before,
+    lapsed, back now), plus the churn OUT of last month's actives and
+    the month-over-month retention rate. The COUNT bridge whose revenue
+    twin is customer_nrr_monthly: NRR's n_new conflates truly-new with
+    reactivated -- this panel is where win-back programs read their
+    number. The identity active = new + retained + reactivated holds by
+    construction (the three states partition the active set), and the
+    FLOW identity active = prev_active - churned + new + reactivated
+    follows from retained = prev_active - churned; both are pytest-
+    pinned.
+
+    Exactness: pure integer counting over the distinct (customer, month)
+    relation with the integer month index (no engine date addition); the
+    retention division rounds once at 6dp.
+
+    Scale: cm reduces the fact table to distinct (customer, month); the
+    first-month, previous-month, and churn joins are all custkey-co-
+    partitioned over that rollup; |months| rows out."""
+    o = load_table(spark, sf_dir, "orders")
+    idx = (
+        F.year("o_orderdate").cast("bigint") * 12
+        + F.month("o_orderdate").cast("bigint")
+        - 1
+    )
+    cm = (
+        o.filter(F.col("o_orderdate").isNotNull())
+        .select("o_custkey", idx.alias("idx"))
+        .distinct()
+        .localCheckpoint(eager=False)  # first/prev/churn consumers
+    )
+    fm = cm.groupBy("o_custkey").agg(F.min("idx").cast("bigint").alias("first_idx"))
+    p = cm.select(F.col("o_custkey").alias("p_cust"), F.col("idx").alias("p_idx"))
+    tagged = (
+        cm.join(fm, "o_custkey")
+        .join(
+            p,
+            (F.col("p_cust") == F.col("o_custkey"))
+            & (F.col("p_idx") == F.col("idx") - 1),
+            "left",
+        )
+        .select(
+            "idx",
+            F.when(F.col("idx") == F.col("first_idx"), F.lit("new"))
+            .when(F.col("p_cust").isNotNull(), F.lit("retained"))
+            .otherwise(F.lit("reactivated"))
+            .alias("state"),
+        )
+    )
+    c2 = cm.select(F.col("o_custkey").alias("c_cust"), F.col("idx").alias("c_idx"))
+    churn = (
+        cm.join(
+            c2,
+            (F.col("c_cust") == F.col("o_custkey"))
+            & (F.col("c_idx") == F.col("idx") + 1),
+            "left_anti",
+        )
+        .groupBy((F.col("idx") + 1).alias("ch_idx"))
+        .agg(F.count("*").cast("bigint").alias("n_churned"))
+    )
+    act = tagged.groupBy("idx").agg(
+        F.count("*").cast("bigint").alias("n_active"),
+        F.sum(F.when(F.col("state") == "new", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_new"),
+        F.sum(F.when(F.col("state") == "retained", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_retained"),
+        F.sum(F.when(F.col("state") == "reactivated", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_reactivated"),
+    )
+    w = Window.orderBy("idx")
+    return (
+        act.join(churn, F.col("ch_idx") == F.col("idx"), "left")
+        .withColumn("n_churned", F.coalesce(F.col("n_churned"), F.lit(0)).cast("bigint"))
+        .withColumn("prev_active", F.lag("n_active").over(w))
+        .select(
+            F.expr(
+                "make_timestamp(CAST(idx DIV 12 AS INT),"
+                " CAST(idx % 12 + 1 AS INT), 1, 0, 0, 0)"
+            ).alias("month_start"),
+            "n_active",
+            "n_new",
+            "n_retained",
+            "n_reactivated",
+            "n_churned",
+            F.round(
+                F.col("n_retained").cast("double")
+                / F.nullif(F.col("prev_active"), F.lit(0)),
+                6,
+            ).alias("retention_rate"),
+        )
+        .orderBy("month_start")
+    )

@@ -210,3 +210,49 @@ def test_spectral_fixture_shape(spark, sf_dir):
     assert shares == sorted(shares, reverse=True)
     assert sum(shares) <= 1.0 + 1e-9
     assert all(r["period_days"] >= 2.0 for r in rows)  # Nyquist
+
+
+def test_intermittency_census_and_planted_quadrants(spark, sf_dir, tmp_path):
+    rows = _rows(spark, sf_dir, "part_demand_intermittency_profile")
+    assert [r["quadrant"] for r in rows] == ["erratic", "intermittent", "lumpy", "smooth"]
+    assert abs(sum(r["part_share"] for r in rows) - 1.0) < 1e-4
+    # planted: part 1 demands EVERY month with constant size -> smooth;
+    # part 2 demands 2 of 12 months with wildly different sizes -> lumpy
+    import datetime as dt
+
+    out = str(tmp_path / "sf")
+    lines = []
+    ln = 0
+    for m in range(12):
+        d = dt.datetime(1995, m + 1, 15)
+        lines.append((ln, 1, 1, 1, 10.0, 100.0, 0.0, 0.0, "N", "F", d)); ln += 1
+    for m, qty in ((0, 1.0), (11, 100.0)):
+        d = dt.datetime(1995, m + 1, 15)
+        lines.append((ln, 2, 1, 1, qty, 100.0, 0.0, 0.0, "N", "F", d)); ln += 1
+    spark.createDataFrame(
+        lines,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp",
+    ).write.parquet(f"{out}/lineitem.parquet")
+    got = {r["quadrant"]: r for r in
+           registry.get("part_demand_intermittency_profile").fn(spark, out).collect()}
+    assert got["smooth"]["n_parts"] == 1
+    assert got["lumpy"]["n_parts"] == 1
+    assert got["intermittent"]["n_parts"] == 0 and got["erratic"]["n_parts"] == 0
+
+
+def test_growth_accounting_identities(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "customer_growth_accounting_monthly")
+    assert len(rows) >= 3
+    prev_active = None
+    for r in rows:
+        # partition identity: the three states cover the active set
+        assert r["n_new"] + r["n_retained"] + r["n_reactivated"] == r["n_active"]
+        if prev_active is not None:
+            # flow identity: retained = prev_active - churned
+            assert r["n_retained"] == prev_active - r["n_churned"]
+            if prev_active > 0:
+                assert abs(r["retention_rate"] - r["n_retained"] / prev_active) < 2e-6
+        prev_active = r["n_active"]
