@@ -557,3 +557,115 @@ def throughput_finish(panel: DataFrame) -> DataFrame:
     from ..operators.cdc import throughput_panel_from_minutes
 
     return throughput_panel_from_minutes(panel)
+
+
+GROWTH_ACCT_OUTPUT_SCHEMA = "o_custkey long, idx long, state string"
+GROWTH_ACCT_STATE_SCHEMA = "first_idx long, prev_idx long"
+
+
+def _growth_acct_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-customer lifecycle classifier: carried state is
+    (first active month index, last classified month index) -- O(1) per
+    customer. Each newly observed active month emits exactly one
+    (customer, idx, state) row: 'new' on the first month ever,
+    'retained' when the previous month was active, 'reactivated' after
+    a lapse. Months at or before prev_idx are replay-safe no-ops, so an
+    at-least-once source cannot double-classify."""
+    first_idx, prev_idx = state.get if state.exists else (-1, -1)
+    months: set = set()
+    for pdf in pdfs:
+        if pdf.empty:
+            continue
+        months.update(int(m) for m in pdf["idx"].dropna())
+    out = []
+    for m in sorted(months):
+        if m <= prev_idx:
+            continue
+        if first_idx < 0:
+            st = "new"
+            first_idx = m
+        elif prev_idx == m - 1:
+            st = "retained"
+        else:
+            st = "reactivated"
+        out.append((key[0], m, st))
+        prev_idx = m
+    state.update((first_idx, prev_idx))
+    if out:
+        yield pd.DataFrame(out, columns=["o_custkey", "idx", "state"])
+
+
+def growth_accounting_stream(orders_stream: DataFrame) -> DataFrame:
+    """Continuous customer growth accounting (applyInPandasWithState,
+    update mode): classifies every customer-month as new / retained /
+    reactivated as it arrives, against O(1) per-customer state. Once the
+    feed drains (time-ordered arrival, the gap_sla_stream contract),
+    ``growth_accounting_finish`` over the emitted classification rows
+    equals the batch ``customer_growth_accounting_monthly`` on every
+    column (tests/test_streaming.py pins it): both sides classify the
+    SAME integer month indices, so the agreement is exact. Input needs
+    (o_custkey, o_orderdate)."""
+    from pyspark.sql import functions as F
+
+    idx = (
+        F.year("o_orderdate").cast("bigint") * 12
+        + F.month("o_orderdate").cast("bigint")
+        - 1
+    )
+    keyed = orders_stream.filter(F.col("o_orderdate").isNotNull()).select(
+        "o_custkey", idx.alias("idx")
+    )
+    return keyed.groupBy("o_custkey").applyInPandasWithState(
+        _growth_acct_fn,
+        outputStructType=GROWTH_ACCT_OUTPUT_SCHEMA,
+        stateStructType=GROWTH_ACCT_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def growth_accounting_finish(panel: DataFrame) -> DataFrame:
+    """Fold the drained per-customer classification rows into the
+    monthly census: counts per state, churn = prev_active - retained
+    (the flow identity), retention rate -- column-for-column the batch
+    ``customer_growth_accounting_monthly`` shape."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    act = panel.groupBy("idx").agg(
+        F.count("*").cast("bigint").alias("n_active"),
+        F.sum(F.when(F.col("state") == "new", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_new"),
+        F.sum(F.when(F.col("state") == "retained", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_retained"),
+        F.sum(F.when(F.col("state") == "reactivated", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_reactivated"),
+    )
+    w = Window.orderBy("idx")
+    return (
+        act.withColumn("prev_active", F.lag("n_active").over(w))
+        .select(
+            F.expr(
+                "make_timestamp(CAST(idx DIV 12 AS INT),"
+                " CAST(idx % 12 + 1 AS INT), 1, 0, 0, 0)"
+            ).alias("month_start"),
+            "n_active",
+            "n_new",
+            "n_retained",
+            "n_reactivated",
+            F.coalesce(F.col("prev_active") - F.col("n_retained"), F.lit(0))
+            .cast("bigint")
+            .alias("n_churned"),
+            F.round(
+                F.col("n_retained").cast("double")
+                / F.nullif(F.col("prev_active"), F.lit(0)),
+                6,
+            ).alias("retention_rate"),
+        )
+        .orderBy("month_start")
+    )

@@ -962,3 +962,73 @@ def test_throughput_stream_equals_batch(spark, sf_dir, tmp_path):
         .asDict()
     )
     assert got == want
+
+
+def test_growth_accounting_stream_equals_batch(spark, sf_dir, tmp_path):
+    """The O(1)-per-customer streaming lifecycle classifier must equal
+    the registered batch growth-accounting census column-for-column
+    once the feed drains. Two time-split files force first/prev state
+    to persist across micro-batches; within-batch order is shuffled to
+    prove the in-fold month sort."""
+    import os
+    import shutil
+
+    from change_data_capture_service_spark import registry
+    from change_data_capture_service_spark.catalog import load_table
+    from change_data_capture_service_spark.streaming.stateful import (
+        growth_accounting_finish,
+        growth_accounting_stream,
+    )
+
+    registry.load_all()
+    src = str(tmp_path / "ga_orders")
+    os.makedirs(src)
+    o = load_table(spark, sf_dir, "orders")
+    base = o.filter(F.col("o_orderdate").isNotNull()).select(
+        "o_custkey", "o_orderdate", "o_orderkey"
+    )
+    mid = base.agg(
+        F.date_trunc("day", F.min("o_orderdate")) + F.expr("INTERVAL 400 DAY")
+    ).collect()[0][0]
+    for name, part in (
+        ("a_first.parquet", base.filter(F.col("o_orderdate") < F.lit(mid))),
+        ("z_second.parquet", base.filter(F.col("o_orderdate") >= F.lit(mid))),
+    ):
+        tmp = f"{src}/_tmp"
+        part.orderBy(F.col("o_orderkey") % 7).coalesce(1).write.parquet(tmp)
+        for f in os.listdir(tmp):
+            if f.endswith(".parquet"):
+                shutil.move(f"{tmp}/{f}", f"{src}/{name}")
+        shutil.rmtree(tmp)
+
+    stream = spark.readStream.schema(
+        "o_custkey long, o_orderdate timestamp, o_orderkey long"
+    ).option("maxFilesPerTrigger", "1").parquet(src)
+    q = (
+        growth_accounting_stream(stream)
+        .writeStream.format("memory")
+        .queryName("ga_out")
+        .outputMode("update")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    panel = spark.sql("SELECT * FROM ga_out")
+    got = {
+        r["month_start"]: (
+            r["n_active"], r["n_new"], r["n_retained"],
+            r["n_reactivated"], r["n_churned"], r["retention_rate"],
+        )
+        for r in growth_accounting_finish(panel).collect()
+    }
+    want = {
+        r["month_start"]: (
+            r["n_active"], r["n_new"], r["n_retained"],
+            r["n_reactivated"], r["n_churned"], r["retention_rate"],
+        )
+        for r in registry.get("customer_growth_accounting_monthly")
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert len(got) > 2
+    assert got == want
