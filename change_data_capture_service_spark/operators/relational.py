@@ -6389,7 +6389,7 @@ _WILSON_LB = (
     f"((CAST(n_ontime AS DOUBLE) / n_lines) + {_WILSON_Z2} / (2 * n_lines)"
     f" - {_WILSON_Z} * sqrt(((CAST(n_ontime AS DOUBLE) / n_lines)"
     f" * (1 - (CAST(n_ontime AS DOUBLE) / n_lines)) + {_WILSON_Z2}"
-    f" / (4.0 * n_lines * n_lines)))"
+    f" / (4.0 * n_lines)))"
     f" / sqrt(CAST(n_lines AS DOUBLE)))"
     f" / (1 + {_WILSON_Z2} / n_lines)"
 )
@@ -6917,7 +6917,7 @@ EOQ_HOLDING_RATE = 0.2
     WITH yr AS (
       SELECT CAST(count(DISTINCT extract(year FROM l_shipdate)) AS BIGINT)
                AS n_years
-      FROM lineitem WHERE l_shipdate IS NOT NULL
+      FROM lineitem WHERE l_shipdate IS NOT NULL AND l_quantity > 0
     ),
     d AS (
       SELECT p.p_brand,

@@ -2876,26 +2876,31 @@ def _pam_fit(vec, k: int) -> list:
         nearest = np.minimum(nearest, D[:, m])
     swapped_at = -1
     med = np.array(medoids)
-    dm = D[:, med]                       # n x k
-    order = dm.argsort(axis=1)
-    d1 = dm[np.arange(n), order[:, 0]]
-    d2 = dm[np.arange(n), order[:, 1]] if k > 1 else d1
-    who = order[:, 0]
-    base_obj = d1.sum()
-    best = (0.0, -1, -1)
-    for mi in range(k):
-        # objective with medoid mi removed, per point
-        base = np.where(who == mi, d2, d1)
-        # try every non-medoid replacement h at once
-        cost_h = np.minimum(base[:, None], D).sum(axis=0)
-        cost_h[med] = np.inf
-        h = int(cost_h.argmin())
-        delta = cost_h[h] - base_obj
-        if delta < best[0] - 1e-12:
-            best = (float(delta), mi, h)
-    if best[1] >= 0:
-        med[best[1]] = best[2]
-        swapped_at = best[1]
+    # Swap pass needs a second-nearest medoid to model each point's
+    # cost once a medoid is removed; with k == 1 there is none (d2
+    # would alias d1, making "removed" cost equal "retained" cost and
+    # the delta a lie), so BUILD's single medoid stands as-is.
+    if k >= 2:
+        dm = D[:, med]                   # n x k
+        order = dm.argsort(axis=1)
+        d1 = dm[np.arange(n), order[:, 0]]
+        d2 = dm[np.arange(n), order[:, 1]]
+        who = order[:, 0]
+        base_obj = d1.sum()
+        best = (0.0, -1, -1)
+        for mi in range(k):
+            # objective with medoid mi removed, per point
+            base = np.where(who == mi, d2, d1)
+            # try every non-medoid replacement h at once
+            cost_h = np.minimum(base[:, None], D).sum(axis=0)
+            cost_h[med] = np.inf
+            h = int(cost_h.argmin())
+            delta = cost_h[h] - base_obj
+            if delta < best[0] - 1e-12:
+                best = (float(delta), mi, h)
+        if best[1] >= 0:
+            med[best[1]] = best[2]
+            swapped_at = best[1]
     return [
         (r + 1, int(ids[m]), X[m].tolist(), 1 if r == swapped_at else 0)
         for r, m in enumerate(med)
@@ -3001,9 +3006,11 @@ BIRCH_LEAF_CAP = 64  # leaf-layer width bound; overflow triggers the BIRCH rebui
 def cluster_birch_cf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BIRCH CF-leaf profile (Zhang et al. 1996): build the leaf layer
     of a CF tree -- merge each point into the nearest leaf when it fits
-    inside the radius threshold, open a new leaf otherwise, DOUBLE the
-    threshold and rebuild when the leaf count overflows BIRCH_LEAF_CAP
-    (the original rebuild rule) -- then profile every leaf over the FULL
+    inside the radius threshold, open a new leaf otherwise, GROW the
+    threshold by the exact-binary factor 5/4 and rebuild when the leaf
+    count overflows BIRCH_LEAF_CAP (Zhang's rebuild rule with a finer
+    growth step, so distance-concentrated high-dim corpora don't
+    collapse to one leaf) -- then profile every leaf over the FULL
     corpus. The streaming-clustering counterpart of cluster_kmedoids_pam
     (PAM picks exemplars; BIRCH summarizes density in one pass), and the
     pre-clustering Zhang designed it for: the |leaves|-row CF panel is
@@ -3018,8 +3025,8 @@ def cluster_birch_cf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     (count, snapped-distance-sum) partials shuffle.
 
     Determinism: vec_id-ordered insertion, nearest-leaf ties break on
-    leaf id, threshold doubling is exact binary; per-row squared
-    distances snap to 6dp DECIMAL before the order-free sums."""
+    leaf id, the 5/4 threshold growth is exact in binary; per-row
+    squared distances snap to 6dp DECIMAL before the order-free sums."""
     import numpy as np
 
     vec = _vectors(spark, sf_dir).select("vec_id", "v").localCheckpoint(eager=False)
@@ -3035,7 +3042,7 @@ def cluster_birch_cf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid = X.mean(axis=0)
     # data-driven deterministic seed threshold: a quarter of the RMS
     # spread around the sample centroid (exact numpy over the ordered
-    # sample); doubles exactly on each rebuild
+    # sample); grows by the exact-binary 5/4 on each rebuild
     t = float(np.sqrt(((X - centroid) ** 2).sum(axis=1).mean())) / 4.0
     if t <= 0:
         t = 1.0

@@ -74,82 +74,71 @@ _QUERY_MODULES = [
 
 # ORDER MATTERS: the grading driver verifies keys in entries() iteration order
 # under a bounded budget (50/round). Keys named here come first, in this exact
-# order; everything else follows in registration order. CORRECTNESS_r11 landed
-# 45 hash-green + 5 rows-only-clean, holding attestation debt at ZERO for a
-# fourth consecutive round: all 470 previously-windowed keys carry a clean
-# driver row (rotation audit via scripts/rotate_check_window.py, 2026-08-16).
-# Round-12 front = the 26 pre-built queue-stock keys registered behind the
-# round-11 window (each judge-sim HASH-OK at sf0.001+sf0.01 before rotation),
-# then new round-12 operators appended as they land (hard cap 50), then --
+# order; everything else follows in registration order. CORRECTNESS_r13 landed
+# 44 hash-green + 6 rows-only-clean (0 failures), closing the round-13 window;
+# attestation debt entered round 14 at exactly the 8 X90 queue-stock keys
+# (registered behind the r13 window; judge-sim verified clean at both SFs per
+# VERDICT.md r13). Rotation audit via scripts/rotate_check_window.py,
+# 2026-08-16. Round-14 front = those 8 keys, then CHANGED-BEHAVIOR
+# re-attestations (the round-13 ADVICE fixes altered outputs/edge semantics),
+# then new round-14 operators appended as they land (hard cap 50), then --
 # standing discipline since the round-9 verdict -- spare slots filled with
 # RE-ATTESTATION keys: previously-green keys whose implementation files were
 # diff-touched this round, in touched order, so the driver record tracks
 # drift, not just first landing. Proven back-of-queue keys keep independent
 # verification via tests/test_oracle_parity.py (mandatory in CI).
 _CHECK_ORDER = [
-    # -- round-12 queue stock (X88), never driver-attested (rotated to
+    # -- round-13 queue stock (X90), never driver-attested (rotated to
     # front per scripts/rotate_check_window.py, 2026-08-16; each judge-sim
-    # HASH-OK / rows-only-clean at sf0.001+sf0.01 per VERDICT.md r12) --
-    "embedding_split_centroid_drift",
-    "text_textrank_keywords",
-    "docs_vocab_growth_heaps",
-    "events_conformal_naive_backtest",
-    "pack_context_bins_ffd",
-    "sqlapi_qualify_dialect",
-    "cdc_state_size_projection",
-    "cdc_duplicate_delivery_audit",
-    "graph_mst_backbone",
-    "orders_completion_curve_weekly",
-    "part_sourcing_redundancy_panel",
-    "orders_priority_queueing_delay",
-    "lineitem_return_rate_by_brand_year",
-    "customer_retention_clv_projection",
-    "orders_value_at_risk_shortfall",
-    "orders_revenue_drawdown_profile",
-    "supplier_hhi_trend_yearly",
-    "orders_arpu_monthly",
-    # -- new in round 13 (appended as they land; HARD CAP 50 incl. re-attest) --
-    # changed behavior: rows-only -> oracle conversion (md5 60-bit simhash)
-    "dedup_simhash",
-    # round-13 wave 1: retention economics + fulfillment honesty + DQ
-    "customer_nrr_monthly",
+    # HASH-OK / rows-only-clean at sf0.001+sf0.01 per VERDICT.md r13) --
+    "cluster_purity_nmi_eval",
+    "text_mtld_lexical_diversity",
+    "events_spectral_top_periods",
+    "graph_modularity_eval",
+    "orders_little_law_check",
+    "lineitem_eoq_panel",
+    "part_demand_intermittency_profile",
+    "customer_growth_accounting_monthly",
+    # -- changed behavior this round (round-13 ADVICE fixes), re-attest:
+    # Wilson sqrt term corrected to z^2/(4n); PAM swap pass gated to k>=2;
+    # BIRCH docstring/constant sync (behavior unchanged, doc contract was) --
     "supplier_ontime_wilson_ranking",
-    "orders_shipment_split_profile",
-    "orders_calendar_completeness_audit",
-    "events_forecast_combination_mae",
-    # round-13 wave 2: quantization eval + clustering/codec headroom
-    "embedding_int8_recall_eval",
     "cluster_kmedoids_pam",
     "cluster_birch_cf_profile",
-    "multimodal_codec_probe_matrix",
-    # round-13 wave 3: derived-state DQ + composition panels
-    "dq_status_consistency_audit",
-    "lineitem_linenumber_density_audit",
-    "part_type_facet_decomposition",
-    "docs_source_vocab_jaccard",
-    "orders_revenue_calendar_heatmap",
-    # round-13 wave 4: DISTINCT ON migration recipe + cross-source dups
-    "sqlapi_distinct_on_dialect",
+    # -- new in round 14 (appended as they land; HARD CAP 50 incl. re-attest) --
+]
+# Provenance: the round-13 window, fully attested by CORRECTNESS_r13
+# (44 hash-green + 6 rows-only-clean: text_textrank_keywords,
+# pack_context_bins_ffd, graph_mst_backbone, cluster_kmedoids_pam,
+# cluster_birch_cf_profile, multimodal_codec_probe_matrix). Kept for the
+# rotation audit trail; not consulted by entries().
+_ROUND13_WINDOW_ATTESTED = [
+    "embedding_split_centroid_drift", "text_textrank_keywords",
+    "docs_vocab_growth_heaps", "events_conformal_naive_backtest",
+    "pack_context_bins_ffd", "sqlapi_qualify_dialect",
+    "cdc_state_size_projection", "cdc_duplicate_delivery_audit",
+    "graph_mst_backbone", "orders_completion_curve_weekly",
+    "part_sourcing_redundancy_panel", "orders_priority_queueing_delay",
+    "lineitem_return_rate_by_brand_year", "customer_retention_clv_projection",
+    "orders_value_at_risk_shortfall", "orders_revenue_drawdown_profile",
+    "supplier_hhi_trend_yearly", "orders_arpu_monthly",
+    "dedup_simhash", "customer_nrr_monthly",
+    "supplier_ontime_wilson_ranking", "orders_shipment_split_profile",
+    "orders_calendar_completeness_audit", "events_forecast_combination_mae",
+    "embedding_int8_recall_eval", "cluster_kmedoids_pam",
+    "cluster_birch_cf_profile", "multimodal_codec_probe_matrix",
+    "dq_status_consistency_audit", "lineitem_linenumber_density_audit",
+    "part_type_facet_decomposition", "docs_source_vocab_jaccard",
+    "orders_revenue_calendar_heatmap", "sqlapi_distinct_on_dialect",
     "dedup_cross_source_matrix",
-    # -- re-attestation: previously-green keys whose implementation files
-    # were diff-touched this round, in touched order (relational, dq,
-    # timeseries, similarity, multimodal, dedup, text), filling the
-    # window to the 50 cap --
-    "tpch_q5_local_supplier",
-    "orders_fulfillment_sla_weekly",
-    "nation_revenue_shift_share",
-    "dq_constraint_checks",
-    "lineitem_price_consistency",
-    "lineitem_benford_first_digit",
-    "events_holt_linear_mae",
-    "events_forecast_baseline_mae",
-    "time_weighted_avg",
-    "knn_cosine_topk",
-    "embedding_truncation_recall",
-    "multimodal_extract",
-    "dedup_minhash_near",
-    "dedup_exact",
-    "text_tokenize_tf",
+    # re-attestation slots (diff-touched green keys), all re-attested clean:
+    "tpch_q5_local_supplier", "orders_fulfillment_sla_weekly",
+    "nation_revenue_shift_share", "dq_constraint_checks",
+    "lineitem_price_consistency", "lineitem_benford_first_digit",
+    "events_holt_linear_mae", "events_forecast_baseline_mae",
+    "time_weighted_avg", "knn_cosine_topk",
+    "embedding_truncation_recall", "multimodal_extract",
+    "dedup_minhash_near", "dedup_exact", "text_tokenize_tf",
 ]
 # Provenance: the round-11 window, fully attested by CORRECTNESS_r11
 # (45 hash-green + 5 rows-only-clean: ann_index_cell_balance_profile,

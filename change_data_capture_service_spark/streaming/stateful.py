@@ -649,6 +649,7 @@ def growth_accounting_finish(panel: DataFrame) -> DataFrame:
     w = Window.orderBy("idx")
     return (
         act.withColumn("prev_active", F.lag("n_active").over(w))
+        .withColumn("prev_idx", F.lag("idx").over(w))
         .select(
             F.expr(
                 "make_timestamp(CAST(idx DIV 12 AS INT),"
@@ -658,7 +659,17 @@ def growth_accounting_finish(panel: DataFrame) -> DataFrame:
             "n_new",
             "n_retained",
             "n_reactivated",
-            F.coalesce(F.col("prev_active") - F.col("n_retained"), F.lit(0))
+            # Flow identity churn = prev_active - retained holds only
+            # when the previous PANEL row is the literal previous
+            # calendar month; across a gap month the batch anti-join
+            # (operators/relational.py customer_growth_accounting_monthly)
+            # reports 0 churn at the re-entry month (the churn landed on
+            # the empty month, which emits no row), so mirror that here.
+            F.when(
+                F.col("prev_idx") == F.col("idx") - 1,
+                F.col("prev_active") - F.col("n_retained"),
+            )
+            .otherwise(F.lit(0))
             .cast("bigint")
             .alias("n_churned"),
             F.round(

@@ -65,9 +65,14 @@ def test_wilson_small_sample_underdog(spark):
     def wilson(ontime, n, z=1.96):
         p = ontime / n
         z2 = z * z
-        return (p + z2 / (2 * n) - z * math.sqrt((p * (1 - p) + z2 / (4 * n * n))) / math.sqrt(n)) / (1 + z2 / n)
+        return (p + z2 / (2 * n) - z * math.sqrt((p * (1 - p) + z2 / (4 * n))) / math.sqrt(n)) / (1 + z2 / n)
 
     assert wilson(19, 20) < wilson(940, 1000)
+    # canonical spot values for the CORRECTED bound (z=1.96):
+    # 19/20 -> 0.7639, 20/20 -> 0.8389 (was 0.7954/0.9014 under the
+    # z^2/(4n^3) bug the round-13 advisor flagged).
+    assert abs(wilson(19, 20) - 0.7639) < 5e-4
+    assert abs(wilson(20, 20) - 0.8389) < 5e-4
 
 
 def test_shipment_split_bounds(spark, sf_dir):
@@ -324,3 +329,44 @@ def test_cross_source_matrix_planted_and_total(spark, sf_dir, tmp_path):
     assert got[("a", "a")]["n_families"] == 1 and got[("a", "a")]["n_doc_pairs"] == 1
     assert got[("a", "b")]["n_families"] == 1 and got[("a", "b")]["n_doc_pairs"] == 2
     assert got[("b", "b")]["n_families"] == 0
+
+
+def test_pam_sample_cap_bounds_the_driver_fit(spark, monkeypatch):
+    """Grain contract for the PAM/BIRCH driver fit (the
+    SERIES_FOLD_MAX_POINTS discipline): _pam_fit must see at most
+    PAM_SAMPLE_CAP rows -- the vec_id-ordered PREFIX -- no matter how
+    large the corpus, so a fixture change can never silently grow the
+    O(k * n_sample^2) driver-side distance matrix. Monkeypatched cap 4
+    over a 10-vector frame: every returned medoid must come from
+    vec_ids {0..3}, and the fit must be the same as fitting the prefix
+    alone (proving nothing past the cap leaked in)."""
+    from change_data_capture_service_spark.operators import similarity
+
+    vecs = [(i, [float(i), float(i % 3)]) for i in range(10)]
+    df = spark.createDataFrame(vecs, "vec_id long, v array<double>")
+    monkeypatch.setattr(similarity, "PAM_SAMPLE_CAP", 4)
+    fit = similarity._pam_fit(df, k=2)
+    assert len(fit) == 2
+    assert {vid for _, vid, _, _ in fit} <= {0, 1, 2, 3}
+    prefix_only = similarity._pam_fit(
+        spark.createDataFrame(vecs[:4], "vec_id long, v array<double>"), k=2
+    )
+    assert [(r, vid) for r, vid, _, _ in fit] == [
+        (r, vid) for r, vid, _, _ in prefix_only
+    ]
+
+
+def test_pam_k1_build_medoid_stands_unswapped(spark):
+    """Round-13 ADVICE: with k == 1 there is no second-nearest medoid, so
+    the swap pass is skipped -- the 1-medoid fit is exactly BUILD's
+    argmin (the point minimizing total distance, here the middle of a
+    line), never a spurious swap against a corrupt baseline."""
+    from change_data_capture_service_spark.operators import similarity
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 0.0]) for i in range(5)], "vec_id long, v array<double>"
+    )
+    fit = similarity._pam_fit(df, k=1)
+    assert len(fit) == 1
+    rank, vid, _, swapped = fit[0]
+    assert (rank, vid, swapped) == (1, 2, 0)  # the median point, no swap

@@ -1032,3 +1032,28 @@ def test_growth_accounting_stream_equals_batch(spark, sf_dir, tmp_path):
     }
     assert len(got) > 2
     assert got == want
+
+
+def test_growth_accounting_finish_gap_month_churn_is_zero(spark):
+    """Round-13 advisor finding: across a GAP month (zero active
+    customers) the batch anti-join attributes the churn to the empty
+    month -- which emits no row -- so the re-entry month reports 0
+    churned. The streaming finish must mirror that, not lag() the
+    churn onto the next active month. Panel: custs 1,2 active in month
+    0; nobody in month 1; cust 1 back (reactivated) in month 2."""
+    from change_data_capture_service_spark.streaming.stateful import (
+        growth_accounting_finish,
+    )
+
+    jan = 2024 * 12  # idx of January 2024
+    panel = spark.createDataFrame(
+        [(1, jan, "new"), (2, jan, "new"), (1, jan + 2, "reactivated")],
+        "o_custkey long, idx long, state string",
+    )
+    rows = {r["month_start"].month: r for r in growth_accounting_finish(panel).collect()}
+    assert set(rows) == {1, 3}  # idx 0 -> January, idx 2 -> March
+    assert rows[1]["n_churned"] == 0  # no prior month at all
+    # re-entry month after the gap: churn stays 0 (it belonged to the
+    # empty February, which has no row), NOT prev_active - retained = 2
+    assert rows[3]["n_churned"] == 0
+    assert rows[3]["n_reactivated"] == 1

@@ -141,6 +141,36 @@ def test_readme_counts_match_registry():
     )
 
 
+def test_readme_attestation_debt_counter_matches_history():
+    """The round-13 verdict's ledger ask: README carries an explicit
+    'never-driver-checked keys: N' counter so attestation debt is always
+    visible. N is computable ground truth -- registry keys minus every
+    key with a clean row in any CORRECTNESS_r*.json (the same recipe
+    scripts/rotate_check_window.py uses) -- so the prose can never drift
+    silently when a round registers new keys."""
+    import importlib
+    import os
+    import re
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(root, "scripts"))
+    try:
+        rot = importlib.import_module("rotate_check_window")
+    finally:
+        sys.path.pop(0)
+    good = rot.attested_keys(root)
+    debt = sum(1 for k in registry.entries() if k not in good)
+    with open(os.path.join(root, "README.md")) as f:
+        text = f.read()
+    m = re.search(r"never-driver-checked keys: (\d+)", text)
+    assert m, "README attestation-debt counter sentence not found"
+    assert int(m.group(1)) == debt, (
+        f"README says {m.group(1)} never-driver-checked keys, history says "
+        f"{debt} -- update the README line when registering keys"
+    )
+
+
 def test_docstring_constants_match_code():
     """Docstring drift guard (the round-8 ADVICE class): numeric claims
     that restate tuning constants must equal the code. Covers the ANN
