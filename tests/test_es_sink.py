@@ -381,3 +381,64 @@ def test_duplicate_lsn_tiebreak_upsert_outranks_delete(spark, es):
     state = es.snapshot()
     sink(batch, epoch_id=0)  # replay stays byte-stable
     assert es.snapshot() == state
+
+
+def test_streaming_restart_replays_failed_epoch(spark, es, tmp_path):
+    """The crash-recovery contract the wire e2e (scripts/es_wire_e2e.py)
+    exercises, pinned in CI: an induced HTTP 500 kills the streaming
+    query MID-EPOCH (the checkpoint never commits it); a restart from the
+    same checkpoint replays that epoch over the wire -- deterministic doc
+    IDs make the rewrite idempotent -- and the final endpoint state equals
+    the max-LSN latest state per key as if no crash had happened."""
+    import time
+
+    src = str(tmp_path / "env_src")
+    ckpt = str(tmp_path / "ckpt")
+    sink = EsBulkSink(es.url, mode="state")
+
+    def start():
+        return (
+            spark.readStream.schema(ENVELOPE_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    _env(
+        spark, [("insert", "users", 1, "public.users:1", None, {"id": "1", "v": "a"})]
+    ).coalesce(1).write.mode("append").parquet(src)
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    reqs_before = es.bulk_requests
+
+    # second epoch arrives; the next _bulk answers 500 -> batch fails ->
+    # query dies with the epoch uncommitted
+    _env(
+        spark,
+        [
+            ("update", "users", 2, "public.users:1", None, {"id": "1", "v": "a2"}),
+            ("insert", "users", 3, "public.users:2", None, {"id": "2", "v": "b"}),
+        ],
+    ).coalesce(1).write.mode("append").parquet(src)
+    es.fail_next = True
+    q = start()
+    deadline = time.time() + 60
+    while q.exception() is None and time.time() < deadline:
+        time.sleep(0.2)
+    assert q.exception() is not None, "500 reply must kill the query"
+    # the failed epoch must not have applied: key 2 is absent, key 1 stale
+    users_mid = es.snapshot()["cdc_public_users"]
+    assert sorted(users_mid) == ["public.users:1"]
+    assert users_mid["public.users:1"]["data"]["v"] == "a"
+
+    # restart from the same checkpoint: the epoch replays and applies
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    users = es.snapshot()["cdc_public_users"]
+    assert sorted(users) == ["public.users:1", "public.users:2"]
+    assert users["public.users:1"]["data"]["v"] == "a2"
+    assert es.bulk_requests > reqs_before + 1  # the retry went over the wire
