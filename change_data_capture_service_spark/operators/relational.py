@@ -7340,3 +7340,577 @@ def customer_growth_accounting_monthly(spark: SparkSession, sf_dir: str) -> Data
         )
         .orderBy("month_start")
     )
+
+
+@register(
+    "orders_cohort_revenue_runoff",
+    tags=("warehouse", "analytics"),
+    oracle="""
+    WITH cm AS (
+      SELECT o_custkey,
+             CAST(extract(year FROM o_orderdate) AS BIGINT) * 12
+               + CAST(extract(month FROM o_orderdate) AS BIGINT) - 1 AS idx,
+             CAST(sum(try_cast(try_cast(o_totalprice AS DECIMAL(18,2)) * 100
+                      AS BIGINT)) AS DECIMAL(38,0)) AS cents
+      FROM orders WHERE o_orderdate IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    coh AS (
+      SELECT o_custkey, CAST(min(idx) AS BIGINT) AS cohort_idx
+      FROM cm GROUP BY 1
+    ),
+    mx AS (SELECT CAST(max(idx) AS BIGINT) AS max_idx FROM cm),
+    incr AS (
+      SELECT c.cohort_idx, cm.idx - c.cohort_idx AS age,
+             CAST(sum(cm.cents) AS DECIMAL(38,0)) AS inc_cents
+      FROM cm JOIN coh c ON c.o_custkey = cm.o_custkey
+      GROUP BY 1, 2
+    ),
+    spine AS (
+      SELECT DISTINCT c.cohort_idx, g.a AS age
+      FROM (SELECT DISTINCT cohort_idx FROM coh) c
+      CROSS JOIN mx
+      CROSS JOIN LATERAL (
+        SELECT unnest(range(0, CAST(mx.max_idx - c.cohort_idx + 1 AS BIGINT)))
+          AS a
+      ) g
+    ),
+    cum AS (
+      SELECT s.cohort_idx, s.age,
+             CAST(sum(coalesce(i.inc_cents, 0)) OVER (
+               PARTITION BY s.cohort_idx ORDER BY s.age
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS DECIMAL(38,0)) AS cum_cents
+      FROM spine s LEFT JOIN incr i
+        ON i.cohort_idx = s.cohort_idx AND i.age = s.age
+    ),
+    fac AS (
+      SELECT a.age,
+             CAST(count(*) AS BIGINT) AS n_cohorts,
+             CAST(sum(a.cum_cents) AS DECIMAL(38,0)) AS cum_a,
+             CAST(sum(b.cum_cents) AS DECIMAL(38,0)) AS cum_next
+      FROM cum a JOIN cum b
+        ON b.cohort_idx = a.cohort_idx AND b.age = a.age + 1
+      GROUP BY 1
+    )
+    SELECT age, n_cohorts,
+           round(CAST(cum_a AS DOUBLE) / 100, 6) AS cum_revenue,
+           round(CAST(cum_next AS DOUBLE) / 100, 6) AS cum_revenue_next,
+           round(CAST(cum_next AS DOUBLE) / nullif(CAST(cum_a AS DOUBLE), 0), 6)
+             AS dev_factor
+    FROM fac ORDER BY age
+    """,
+)
+def orders_cohort_revenue_runoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort-revenue runoff triangle with volume-weighted chain-ladder
+    development factors (Mack 1993, the actuarial reserving staple,
+    applied to the customer-cohort triangle every subscription business
+    runs): cohorts = first-order month, ages = months since cohort,
+    cumulative revenue per (cohort, age) on a DENSE age spine (ages with
+    no orders still carry the running cumulative forward), and per age a
+    the chain-ladder factor f_a = sum_c cum(c, a+1) / sum_c cum(c, a)
+    over exactly the cohorts old enough to observe age a+1 (the triangle
+    boundary). f_a is how much known-cohort revenue still grows between
+    ages -- multiplying the factors out projects any cohort's ultimate
+    revenue, the actuarial twin of customer_retention_clv_projection's
+    geometric model (this one is nonparametric: the data IS the curve).
+
+    Exactness: revenue accumulates in DECIMAL(38,0) cents through the
+    dense-spine running sum; the factor is one double division rounded
+    at 6dp; triangle-boundary membership is exact integer index
+    arithmetic.
+
+    Scale: the fact table reduces to the distinct (customer, month)
+    cents rollup; the cohort join is custkey-co-partitioned on that
+    rollup; the dense spine is calendar-bounded (sum of cohort spans,
+    ~|months|^2/2 rows at any SF -- independent of fact rows); the
+    factor join is age-contiguous on the spine. |ages|-1 rows out."""
+    o = load_table(spark, sf_dir, "orders")
+    idx = (
+        F.year("o_orderdate").cast("bigint") * 12
+        + F.month("o_orderdate").cast("bigint")
+        - 1
+    )
+    cm = (
+        o.filter(F.col("o_orderdate").isNotNull())
+        .select(
+            "o_custkey",
+            idx.alias("idx"),
+            F.expr(_TOTAL_C).alias("cents"),
+        )
+        .groupBy("o_custkey", "idx")
+        .agg(F.sum(F.col("cents").cast("decimal(38,0)")).alias("cents"))
+        .localCheckpoint(eager=False)  # cohort min + increments + max fence
+    )
+    coh = cm.groupBy("o_custkey").agg(
+        F.min("idx").cast("bigint").alias("cohort_idx")
+    )
+    mx = cm.agg(F.max("idx").cast("bigint").alias("max_idx"))
+    incr = (
+        cm.join(coh, "o_custkey")
+        .groupBy("cohort_idx", (F.col("idx") - F.col("cohort_idx")).alias("age"))
+        .agg(F.sum("cents").cast("decimal(38,0)").alias("inc_cents"))
+    )
+    spine = (
+        coh.select("cohort_idx")
+        .distinct()
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "cohort_idx",
+            F.explode(
+                F.sequence(F.lit(0).cast("bigint"), F.col("max_idx") - F.col("cohort_idx"))
+            ).alias("age"),
+        )
+    )
+    w = Window.partitionBy("cohort_idx").orderBy("age").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = (
+        spine.join(incr, ["cohort_idx", "age"], "left")
+        .select(
+            "cohort_idx",
+            "age",
+            F.sum(F.coalesce(F.col("inc_cents"), F.lit(0)).cast("decimal(38,0)"))
+            .over(w)
+            .cast("decimal(38,0)")
+            .alias("cum_cents"),
+        )
+        .localCheckpoint(eager=False)  # both sides of the age-contiguous join
+    )
+    nxt = cum.select(
+        F.col("cohort_idx").alias("b_coh"),
+        F.col("age").alias("b_age"),
+        F.col("cum_cents").alias("cum_next"),
+    )
+    fac = (
+        cum.join(
+            nxt,
+            (F.col("b_coh") == F.col("cohort_idx"))
+            & (F.col("b_age") == F.col("age") + 1),
+        )
+        .groupBy("age")
+        .agg(
+            F.count("*").cast("bigint").alias("n_cohorts"),
+            F.sum("cum_cents").cast("decimal(38,0)").alias("cum_a"),
+            F.sum("cum_next").cast("decimal(38,0)").alias("cum_next"),
+        )
+    )
+    return fac.select(
+        "age",
+        "n_cohorts",
+        F.round(F.col("cum_a").cast("double") / 100, 6).alias("cum_revenue"),
+        F.round(F.col("cum_next").cast("double") / 100, 6).alias("cum_revenue_next"),
+        F.round(
+            F.col("cum_next").cast("double")
+            / F.nullif(F.col("cum_a").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("dev_factor"),
+    ).orderBy("age")
+
+
+# Newsvendor cost assumptions, documented in the docstring: underage
+# (lost margin) 4 per unit, overage (holding/salvage loss) 1 per unit
+# -> critical ratio 4/(4+1) = 0.8, i.e. the 80th percentile of daily
+# demand is the optimal stocking quantity.
+NEWSVENDOR_CU = 4
+NEWSVENDOR_CO = 1
+_NEWSVENDOR_PCT = 100 * NEWSVENDOR_CU // (NEWSVENDOR_CU + NEWSVENDOR_CO)
+
+
+@register(
+    "lineitem_newsvendor_service_panel",
+    tags=("warehouse",),
+    oracle=f"""
+    WITH d AS (
+      SELECT p.p_brand, CAST(date_trunc('day', l.l_shipdate) AS DATE) AS dy,
+             CAST(sum(try_cast(try_cast(l.l_quantity AS DECIMAL(18,2)) * 100
+                      AS BIGINT)) AS BIGINT) AS dem_c
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE l.l_shipdate IS NOT NULL AND l.l_quantity > 0
+      GROUP BY 1, 2
+    ),
+    rk AS (
+      SELECT p_brand, dem_c,
+             CAST(row_number() OVER (PARTITION BY p_brand ORDER BY dem_c)
+               AS BIGINT) AS rn,
+             CAST(count(*) OVER (PARTITION BY p_brand) AS BIGINT) AS n,
+             CAST(sum(dem_c) OVER (PARTITION BY p_brand) AS BIGINT) AS s
+      FROM d
+    ),
+    q AS (
+      SELECT lo.p_brand, lo.n, lo.s,
+             (100 * lo.dem_c
+              + (({_NEWSVENDOR_PCT} * (lo.n - 1)) % 100)
+                * (hi.dem_c - lo.dem_c)) // 100 AS q_c
+      FROM rk lo JOIN rk hi
+        ON lo.p_brand = hi.p_brand
+       AND lo.rn = ({_NEWSVENDOR_PCT} * (lo.n - 1)) // 100 + 1
+       AND hi.rn = CASE WHEN ({_NEWSVENDOR_PCT} * (lo.n - 1)) % 100 = 0
+                        THEN lo.rn ELSE lo.rn + 1 END
+    ),
+    sv AS (
+      SELECT d.p_brand,
+             CAST(sum(CASE WHEN d.dem_c <= q.q_c THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_met,
+             CAST(sum(CASE WHEN d.dem_c > q.q_c THEN d.dem_c - q.q_c
+                           ELSE 0 END) AS BIGINT) AS lost_c
+      FROM d JOIN q ON q.p_brand = d.p_brand
+      GROUP BY 1
+    )
+    SELECT q.p_brand, q.n AS n_days,
+           round(CAST(q.s AS DOUBLE) / q.n / 100, 6) AS mean_daily_demand,
+           round(CAST(q.q_c AS DOUBLE) / 100, 6) AS q_star,
+           round(CAST(sv.n_met AS DOUBLE) / q.n, 6) AS service_level,
+           round(CAST(sv.lost_c AS DOUBLE) / q.n / 100, 6)
+             AS mean_lost_sales
+    FROM q JOIN sv ON sv.p_brand = q.p_brand
+    ORDER BY q.p_brand
+    """,
+)
+def lineitem_newsvendor_service_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newsvendor stocking panel per brand (Arrow-Harris-Marschak 1951 /
+    the classic critical-fractile model): with underage cost
+    NEWSVENDOR_CU = 4 and overage cost NEWSVENDOR_CO = 1 per unit, the
+    optimal single-period stock q* is the CR = cu/(cu+co) = 0.8 quantile
+    of daily demand -- evaluated here as the exact-interpolation 80th
+    percentile of each brand's observed daily shipment quantities, with
+    the achieved cycle service level (share of days fully served by q*)
+    and the mean unmet demand per day (the empirical E[(D - q*)+] lost-
+    sales integral). The demand-uncertainty companion to
+    lineitem_eoq_panel: EOQ sizes the replenishment CYCLE, the
+    newsvendor fractile sizes the per-cycle BUFFER; both panels are
+    relative cross-brand reads with documented cost constants.
+
+    Exactness: daily demand accumulates in integer centi-units; q* uses
+    the shared exact-interp rational closed form over integer order
+    statistics (the engines' built-in quantiles interpolate with
+    ulp-different formulas); service level and lost sales are exact
+    integer comparisons/differences against q*, divided once at 6dp.
+
+    Scale: one brand-day partial agg over the fact scan with a broadcast
+    part join; the rank window partitions by brand over the |brands| x
+    |days| rollup (calendar-bounded, never fact-grain); |brands| rows
+    out."""
+    from .stats import exact_interp_pct
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").isNotNull() & (F.col("l_quantity") > 0)
+    )
+    p = load_table(spark, sf_dir, "part")
+    d = (
+        li.join(F.broadcast(p), p["p_partkey"] == li["l_partkey"])
+        .groupBy(
+            "p_brand",
+            F.date_trunc("day", "l_shipdate").cast("date").alias("dy"),
+        )
+        .agg(
+            F.sum(
+                F.expr(
+                    "try_cast(try_cast(l_quantity AS decimal(18,2)) * 100"
+                    " AS bigint)"
+                )
+            )
+            .cast("bigint")
+            .alias("dem_c")
+        )
+        .localCheckpoint(eager=False)  # percentile + totals + service join
+    )
+    q = exact_interp_pct(d, ["p_brand"], "dem_c", _NEWSVENDOR_PCT).select(
+        "p_brand", F.col("q_val").alias("q_c")
+    )
+    tot = d.groupBy("p_brand").agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.sum("dem_c").cast("bigint").alias("s"),
+    )
+    sv = (
+        d.join(q, "p_brand")
+        .groupBy("p_brand")
+        .agg(
+            F.sum(F.when(F.col("dem_c") <= F.col("q_c"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_met"),
+            F.sum(
+                F.when(
+                    F.col("dem_c") > F.col("q_c"), F.col("dem_c") - F.col("q_c")
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("lost_c"),
+        )
+    )
+    return (
+        tot.join(q, "p_brand")
+        .join(sv, "p_brand")
+        .select(
+            "p_brand",
+            "n_days",
+            F.round(F.col("s").cast("double") / F.col("n_days") / 100, 6).alias(
+                "mean_daily_demand"
+            ),
+            F.round(F.col("q_c").cast("double") / 100, 6).alias("q_star"),
+            F.round(F.col("n_met").cast("double") / F.col("n_days"), 6).alias(
+                "service_level"
+            ),
+            F.round(
+                F.col("lost_c").cast("double") / F.col("n_days") / 100, 6
+            ).alias("mean_lost_sales"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@register(
+    "nation_part_rca_matrix",
+    tags=("warehouse", "analytics"),
+    oracle="""
+    WITH flow AS (
+      SELECT n.n_name AS nation, split_part(p.p_type, ' ', 1) AS facet,
+             CAST(sum(try_cast(try_cast(l.l_extendedprice AS DECIMAL(18,2))
+                      * 100 AS BIGINT)) AS DECIMAL(38,0)) AS cents
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY 1, 2
+    ),
+    nt AS (SELECT nation, CAST(sum(cents) AS DECIMAL(38,0)) AS x_n
+           FROM flow GROUP BY 1),
+    ft AS (SELECT facet, CAST(sum(cents) AS DECIMAL(38,0)) AS x_t
+           FROM flow GROUP BY 1),
+    tot AS (SELECT CAST(sum(cents) AS DECIMAL(38,0)) AS x FROM flow),
+    spine AS (SELECT nt.nation, ft.facet FROM nt CROSS JOIN ft)
+    SELECT s.nation, s.facet,
+           round(CAST(coalesce(f.cents, 0) AS DOUBLE) / 100, 6) AS revenue,
+           round((CAST(coalesce(f.cents, 0) AS DOUBLE) / CAST(nt.x_n AS DOUBLE))
+                 / (CAST(ft.x_t AS DOUBLE) / CAST(tot.x AS DOUBLE)), 6)
+             AS rca,
+           CAST(CASE WHEN coalesce(f.cents, 0) * tot.x > nt.x_n * ft.x_t
+                     THEN 1 ELSE 0 END AS BIGINT) AS specialized
+    FROM spine s
+    JOIN nt ON nt.nation = s.nation
+    JOIN ft ON ft.facet = s.facet
+    CROSS JOIN tot
+    LEFT JOIN flow f ON f.nation = s.nation AND f.facet = s.facet
+    ORDER BY s.nation, s.facet
+    """,
+)
+def nation_part_rca_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revealed comparative advantage matrix (Balassa 1965, the trade-
+    economics staple): per (customer nation, part-type facet) the RCA
+    index (x_nt / X_n) / (X_t / X) -- the nation's revenue share in the
+    facet relative to the facet's global share. RCA > 1 marks the
+    facet the nation over-consumes relative to the world mix (flagged
+    by EXACT integer cross-multiplication, so no ulp can flip a cell).
+    The matrix companion to nation_revenue_shift_share: shift-share
+    decomposes GROWTH, RCA reads the LEVEL specialization pattern; the
+    facet axis is part_type_facet_decomposition's leading facet.
+
+    Exactness: all four aggregates accumulate in DECIMAL(38,0) cents;
+    the index is one double expression rounded at 6dp; the
+    specialization flag compares x_nt * X with X_n * X_t in exact
+    DECIMAL arithmetic. The (nation x facet) spine zero-fills empty
+    cells (the constant-spine totality rule), so RCA 0 cells are
+    present rows, not missing ones.
+
+    Scale: one orderkey-co-partitioned fact-fact join with broadcast
+    customer/nation/part dims, reduced to the |nations| x |facets|
+    grain before the marginals (window-free: the three marginals are
+    tiny dim-grain aggs joined back broadcast); 150 rows out at any
+    SF."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    p = load_table(spark, sf_dir, "part")
+    flow = (
+        li.join(o, o["o_orderkey"] == li["l_orderkey"])
+        .join(F.broadcast(c), c["c_custkey"] == o["o_custkey"])
+        .join(F.broadcast(n), n["n_nationkey"] == c["c_nationkey"])
+        .join(F.broadcast(p), p["p_partkey"] == li["l_partkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.split(F.col("p_type"), " ").getItem(0).alias("facet"),
+        )
+        .agg(
+            F.sum(
+                F.expr(
+                    "try_cast(try_cast(l_extendedprice AS decimal(18,2))"
+                    " * 100 AS bigint)"
+                ).cast("decimal(38,0)")
+            ).alias("cents")
+        )
+        .localCheckpoint(eager=False)  # marginals + spine + cell join
+    )
+    nt = flow.groupBy("nation").agg(
+        F.sum("cents").cast("decimal(38,0)").alias("x_n")
+    )
+    ft = flow.groupBy("facet").agg(
+        F.sum("cents").cast("decimal(38,0)").alias("x_t")
+    )
+    tot = flow.agg(F.sum("cents").cast("decimal(38,0)").alias("x"))
+    cell = F.coalesce(F.col("cents"), F.lit(0)).cast("decimal(38,0)")
+    return (
+        nt.crossJoin(F.broadcast(ft))
+        .crossJoin(F.broadcast(tot))
+        .join(flow, ["nation", "facet"], "left")
+        .select(
+            "nation",
+            "facet",
+            F.round(cell.cast("double") / 100, 6).alias("revenue"),
+            F.round(
+                (cell.cast("double") / F.col("x_n").cast("double"))
+                / (F.col("x_t").cast("double") / F.col("x").cast("double")),
+                6,
+            ).alias("rca"),
+            F.when(cell * F.col("x") > F.col("x_n") * F.col("x_t"), 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("specialized"),
+        )
+        .orderBy("nation", "facet")
+    )
+
+
+@register(
+    "customer_clumpiness_panel",
+    tags=("warehouse", "analytics"),
+    oracle="""
+    WITH cd AS (
+      SELECT DISTINCT o_custkey,
+             CAST(date_trunc('day', o_orderdate) AS DATE) AS dy
+      FROM orders WHERE o_orderdate IS NOT NULL
+    ),
+    win AS (
+      SELECT CAST(date_diff('day', min(dy), max(dy)) AS BIGINT) + 2 AS nw
+      FROM cd
+    ),
+    pos AS (
+      SELECT c.o_custkey,
+             CAST(date_diff('day', (SELECT min(dy) FROM cd), c.dy) AS BIGINT)
+               + 1 AS t
+      FROM cd c
+    ),
+    gaps AS (
+      SELECT o_custkey,
+             t - coalesce(lag(t) OVER (PARTITION BY o_custkey ORDER BY t), 0)
+               AS gap
+      FROM pos
+      UNION ALL
+      SELECT p.o_custkey, w.nw - max(p.t) AS gap
+      FROM pos p CROSS JOIN win w
+      GROUP BY p.o_custkey, w.nw
+    ),
+    hc AS (
+      SELECT g.o_custkey,
+             CAST(count(*) AS BIGINT) - 1 AS n_days,
+             CAST(sum(CAST((CAST(g.gap AS DOUBLE) / w.nw)
+                           * ln(CAST(g.gap AS DOUBLE) / w.nw)
+                           AS DECIMAL(20,15))) AS DOUBLE) AS sxlx
+      FROM gaps g CROSS JOIN win w
+      GROUP BY 1
+    ),
+    h AS (
+      SELECT o_custkey, n_days,
+             round(1 + sxlx / ln(CAST(n_days AS DOUBLE) + 1), 6) AS hp
+      FROM hc WHERE n_days >= 2
+    )
+    SELECT c.c_mktsegment AS segment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(CAST(sum(CAST(h.hp AS DECIMAL(20,6))) AS DOUBLE)
+                 / count(*), 6) AS avg_clumpiness,
+           round(CAST(sum(h.n_days) AS DOUBLE) / count(*), 6)
+             AS avg_active_days
+    FROM h JOIN customer c ON c.c_custkey = h.o_custkey
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def customer_clumpiness_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchase clumpiness per market segment (Zhang, Bradlow & Small
+    2015's entropy measure Hp -- the C in their 'RFMC' extension):
+    for each customer, the n+1 inter-event intervals of their distinct
+    order days inside the panel's global day window (boundary intervals
+    included, so a burst at either edge still reads clumpy) are
+    normalized to sum to 1, and Hp = 1 + sum(x ln x) / ln(n+1) in
+    [0, 1] -- 0 for metronome-regular buying, 1 as all orders collapse
+    into one burst. Clumpy customers (binge buyers) are the segment
+    whose future value RFM systematically misreads, which is why C
+    joined RFM; this panel reads the segment-level mix alongside
+    customer_purchase_regularity_by_segment's CV-based view (CV reads
+    DISPERSION of gap lengths, Hp reads their TEMPORAL CONCENTRATION
+    -- a strict alternation of short/long gaps has high CV but low
+    clumpiness).
+
+    Exactness: day positions and gaps are exact integer day arithmetic
+    on the shared calendar window; each x ln x term snaps to
+    DECIMAL(20,15) before the order-free per-customer sum; per-customer
+    Hp rounds once at 6dp and the segment mean sums those ROUNDED
+    values in DECIMAL(20,6) (the round-then-compose rule).
+
+    Scale: the fact table reduces to distinct (customer, day); the gap
+    window partitions per customer over that rollup; the window fence
+    is a broadcast 1-row aggregate; |segments| rows out."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    cd = (
+        o.filter(F.col("o_orderdate").isNotNull())
+        .select(
+            "o_custkey",
+            F.date_trunc("day", "o_orderdate").cast("date").alias("dy"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # window fence + positions
+    )
+    fence = cd.agg(
+        F.min("dy").alias("d0"),
+        (F.datediff(F.max("dy"), F.min("dy")) + 2).cast("bigint").alias("nw"),
+    )
+    pos = cd.crossJoin(F.broadcast(fence)).select(
+        "o_custkey",
+        (F.datediff(F.col("dy"), F.col("d0")) + 1).cast("bigint").alias("t"),
+        "nw",
+    ).localCheckpoint(eager=False)  # interior gaps + the boundary row
+    w = Window.partitionBy("o_custkey").orderBy("t")
+    interior = pos.select(
+        "o_custkey",
+        (F.col("t") - F.coalesce(F.lag("t").over(w), F.lit(0))).alias("gap"),
+        "nw",
+    )
+    boundary = pos.groupBy("o_custkey", "nw").agg(
+        (F.col("nw") - F.max("t")).alias("gap")
+    ).select("o_custkey", "gap", "nw")
+    x = F.col("gap").cast("double") / F.col("nw")
+    hc = (
+        interior.unionByName(boundary)
+        .groupBy("o_custkey")
+        .agg(
+            (F.count("*") - 1).cast("bigint").alias("n_days"),
+            F.sum((x * F.log(x)).cast("decimal(20,15)"))
+            .cast("double")
+            .alias("sxlx"),
+        )
+        .filter(F.col("n_days") >= 2)
+    )
+    h = hc.select(
+        "o_custkey",
+        "n_days",
+        F.round(
+            1 + F.col("sxlx") / F.log(F.col("n_days").cast("double") + 1), 6
+        ).alias("hp"),
+    )
+    return (
+        h.join(F.broadcast(c), c["c_custkey"] == h["o_custkey"])
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            F.round(
+                F.sum(F.col("hp").cast("decimal(20,6)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("avg_clumpiness"),
+            F.round(F.sum("n_days").cast("double") / F.count("*"), 6).alias(
+                "avg_active_days"
+            ),
+        )
+        .orderBy("segment")
+    )

@@ -106,6 +106,11 @@ _CHECK_ORDER = [
     "cluster_kmedoids_pam",
     "cluster_birch_cf_profile",
     # -- new in round 14 (appended as they land; HARD CAP 50 incl. re-attest) --
+    # round-14 wave 1: cohort runoff + inventory buffer + trade + clumpiness
+    "orders_cohort_revenue_runoff",
+    "lineitem_newsvendor_service_panel",
+    "nation_part_rca_matrix",
+    "customer_clumpiness_panel",
 ]
 # Provenance: the round-13 window, fully attested by CORRECTNESS_r13
 # (44 hash-green + 6 rows-only-clean: text_textrank_keywords,

@@ -109,6 +109,11 @@ _R14_CHECK_WINDOW = [
     "cluster_kmedoids_pam",
     "cluster_birch_cf_profile",
     # new in round 14 (appended as they are registered; hard cap 50)
+    # wave 1: cohort runoff + inventory buffer + trade + clumpiness
+    "orders_cohort_revenue_runoff",
+    "lineitem_newsvendor_service_panel",
+    "nation_part_rca_matrix",
+    "customer_clumpiness_panel",
 ]
 
 

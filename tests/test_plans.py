@@ -825,3 +825,68 @@ def test_round13_wave34_plan_shapes(spark, sf_dir):
 
     ll = registry.get("orders_little_law_check").fn(spark, sf_dir)
     assert P.formatted_plan(ll).count("Window") >= 1
+
+
+def test_round14_wave1_plan_shapes(spark, sf_dir):
+    """Plan gates for the round-14 wave-1 keys:
+
+    - RCA matrix: all four dims broadcast (customer/nation/part and the
+      two marginal relations ride broadcast joins), never a cartesian
+      over the fact table;
+    - newsvendor: the part dim broadcasts and the percentile window
+      partitions by brand (no global unpartitioned sort of the rollup);
+    - cohort runoff: the (customer, month) cents rollup materializes
+      ONCE behind the lazy checkpoint -- the final plan reads zero
+      parquet (spine, cohort join, and factor join all ride it);
+    - clumpiness: same single-materialization contract for the distinct
+      (customer, day) relation."""
+    rca = registry.get("nation_part_rca_matrix").fn(spark, sf_dir)
+    assert P.uses_broadcast_join(rca)
+    assert "CartesianProduct" not in P.formatted_plan(rca)
+
+    # (the broadcast part join sits INSIDE the checkpointed rollup for
+    # the newsvendor panel, so the final plan's contract is zero parquet
+    # re-scans -- everything rides the materialized (brand, day) relation)
+    nv = registry.get("lineitem_newsvendor_service_panel").fn(spark, sf_dir)
+    assert P.formatted_plan(nv).count("Scan parquet") == 0
+
+    run = registry.get("orders_cohort_revenue_runoff").fn(spark, sf_dir)
+    assert P.formatted_plan(run).count("Scan parquet") == 0
+
+    cl = registry.get("customer_clumpiness_panel").fn(spark, sf_dir)
+    # customer dim is the only parquet read left in the final plan (a
+    # scan prints twice in formatted output: tree + details section)
+    assert P.formatted_plan(cl).count("Scan parquet") <= 2
+
+
+def test_round14_wave1_shuffle_budgets(spark, sf_dir):
+    """Executed-metrics gates: the newsvendor rollup stays (brand, day)
+    grain and the RCA flow stays (nation, facet) grain regardless of
+    fact volume."""
+    from change_data_capture_service_spark.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    lt = li.rdd.getNumPartitions()
+    n_bd = (
+        li.filter(F.col("l_shipdate").isNotNull() & (F.col("l_quantity") > 0))
+        .join(
+            load_table(spark, sf_dir, "part"),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .select("p_brand", F.date_trunc("day", "l_shipdate"))
+        .distinct()
+        .count()
+    )
+    nv = registry.get("lineitem_newsvendor_service_panel").fn(spark, sf_dir)
+    nv.collect()
+    m = P.executed_metrics(nv, ("shuffleRecordsWritten",))
+    # brand-day partials per task + the percentile/service re-shuffles of
+    # the |brand x day| rollup (a small constant number of passes)
+    assert m["shuffleRecordsWritten"] <= (lt + 6) * n_bd + 1000
+
+    rca = registry.get("nation_part_rca_matrix").fn(spark, sf_dir)
+    rca.collect()
+    mr = P.executed_metrics(rca, ("shuffleRecordsWritten",))
+    # flow cells + marginals only -- never fact rows (150 cells, 25+6
+    # marginals, x partial-agg tasks)
+    assert mr["shuffleRecordsWritten"] <= (lt + 6) * 200 + 1000
