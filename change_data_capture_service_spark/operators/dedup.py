@@ -2468,3 +2468,199 @@ def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+# b-bit minhash eval: P md5-derived permutations (engine-portable, unlike
+# the xxhash64 signatures the estimate-quality key is rows-only for),
+# b = 1 retained bit per perm.
+BBIT_PERMS = 16
+
+_BBIT_DUCK_MINS = ", ".join(
+    f"min(('0x' || substr(md5('{p}:' || tok), 1, 15))::BIGINT) AS m{p}"
+    for p in range(BBIT_PERMS)
+)
+_BBIT_DUCK_FULL = " + ".join(
+    f"CASE WHEN a.m{p} = b.m{p} THEN 1 ELSE 0 END" for p in range(BBIT_PERMS)
+)
+_BBIT_DUCK_BIT = " + ".join(
+    f"CASE WHEN a.m{p} % 2 = b.m{p} % 2 THEN 1 ELSE 0 END"
+    for p in range(BBIT_PERMS)
+)
+
+
+@register(
+    "dedup_bbit_minhash_eval",
+    tags=("dedup", "monitor"),
+    oracle=f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, t.tok
+      FROM documents,
+           unnest(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+             AS t(tok)
+    ),
+    sig AS (
+      SELECT doc_id, {_BBIT_DUCK_MINS}
+      FROM tok GROUP BY doc_id
+    ),
+    sz AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok FROM tok GROUP BY 1
+    ),
+    pair AS (
+      SELECT a.doc_id AS da, b.doc_id AS db,
+             CAST(count(*) AS BIGINT) AS n_int
+      FROM tok a JOIN tok b ON b.doc_id = a.doc_id + 1 AND b.tok = a.tok
+      GROUP BY 1, 2
+    ),
+    pj AS (
+      SELECT sa.doc_id AS da, sb.doc_id AS db,
+             coalesce(p.n_int, 0) AS n_int,
+             za.n_tok + zb.n_tok - coalesce(p.n_int, 0) AS n_uni
+      FROM sz za JOIN sz zb ON zb.doc_id = za.doc_id + 1
+      JOIN sig sa ON sa.doc_id = za.doc_id
+      JOIN sig sb ON sb.doc_id = zb.doc_id
+      LEFT JOIN pair p ON p.da = za.doc_id AND p.db = zb.doc_id
+    ),
+    est AS (
+      SELECT pj.da, pj.n_int, pj.n_uni,
+             CAST(({_BBIT_DUCK_FULL}) AS BIGINT) AS k_full,
+             CAST(({_BBIT_DUCK_BIT}) AS BIGINT) AS k_bit
+      FROM pj JOIN sig a ON a.doc_id = pj.da JOIN sig b ON b.doc_id = pj.db
+    ),
+    per AS (
+      SELECT least((10 * n_int) // n_uni, 9) AS band,
+             CAST(n_int AS DOUBLE) / n_uni AS exact_j,
+             CAST(k_full AS DOUBLE) / {BBIT_PERMS} AS est_full,
+             greatest(2.0 * k_bit / {BBIT_PERMS} - 1, 0.0) AS est_1bit
+      FROM est
+    )
+    SELECT band, CAST(count(*) AS BIGINT) AS n_pairs,
+           round(CAST(sum(CAST(exact_j AS DECIMAL(20,15))) AS DOUBLE)
+                 / count(*), 6) AS avg_exact,
+           round(CAST(sum(CAST(est_full AS DECIMAL(20,15))) AS DOUBLE)
+                 / count(*), 6) AS avg_est_full,
+           round(CAST(sum(CAST(est_1bit AS DECIMAL(20,15))) AS DOUBLE)
+                 / count(*), 6) AS avg_est_1bit,
+           round(CAST(sum(CAST(abs(est_full - exact_j) AS DECIMAL(20,15)))
+                      AS DOUBLE) / count(*), 6) AS mae_full,
+           round(CAST(sum(CAST(abs(est_1bit - exact_j) AS DECIMAL(20,15)))
+                      AS DOUBLE) / count(*), 6) AS mae_1bit
+    FROM per GROUP BY band ORDER BY band
+    """,
+)
+def dedup_bbit_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """b-bit minhash accuracy panel (Li & Koenig 2010): keep only the
+    LOWEST bit of each of BBIT_PERMS=16 minhash permutations and
+    estimate Jaccard via the unbiased 1-bit estimator J = 2 * match - 1
+    (at b=1 an unrelated pair still matches half its bits by chance --
+    the estimator debiases that), side by side with the full-width
+    estimator (match share of full min values) and the EXACT token-set
+    Jaccard, banded by exact similarity decile over the deterministic
+    adjacent-doc-id pair sample. The storage story is the point: 1-bit
+    signatures are 64x smaller than 64-bit minhashes, and Li-Koenig
+    showed the variance only grows ~2x for the high-similarity pairs
+    dedup actually hunts -- this panel shows that tradeoff ON THE
+    CORPUS, per band. Unlike dedup_minhash_estimate_quality (rows-only:
+    engine-specific xxhash64 signatures), the permutations here are the
+    md5-prefix construction both engines compute bit-identically, so
+    the whole panel is oracle-checked.
+
+    Exactness: min-hashes are exact integers off the shared 60-bit md5
+    prefix; match counts are exact integers over 16 parallel agg
+    expressions; exact Jaccard is n_int / n_union off integer set
+    sizes; the decile band uses integer cross-multiplication
+    ((10 * n_int) DIV n_union), so no pair can change band on a ulp;
+    every per-pair double snaps to DECIMAL(20,15) before the band
+    means.
+
+    Scale: the token relation folds map-side to |docs| x 16 mins in ONE
+    groupBy (the simhash vote shape -- no per-perm explode); the
+    adjacent-id pair frame is |docs| rows of narrow signatures; the
+    exact-Jaccard join is token-co-partitioned on the distinct token
+    relation. 10 rows out."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    tok = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
+            ).alias("tok"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # signatures + sizes + pair join
+    )
+    mins = tok.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.conv(
+                    F.substring(F.md5(F.concat(F.lit(f"{p}:"), F.col("tok"))), 1, 15),
+                    16,
+                    10,
+                ).cast("bigint")
+            ).alias(f"m{p}")
+            for p in range(BBIT_PERMS)
+        ]
+    ).localCheckpoint(eager=False)  # both sides of the adjacent-pair join
+    sz = tok.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("n_tok"))
+    b_tok = tok.select(F.col("doc_id").alias("b_doc"), F.col("tok").alias("b_tok"))
+    pair = (
+        tok.join(
+            b_tok,
+            (F.col("b_doc") == F.col("doc_id") + 1)
+            & (F.col("b_tok") == F.col("tok")),
+        )
+        .groupBy(F.col("doc_id").alias("da"), F.col("b_doc").alias("db"))
+        .agg(F.count("*").cast("bigint").alias("n_int"))
+    )
+    za = sz.select(F.col("doc_id").alias("da"), F.col("n_tok").alias("na"))
+    zb = sz.select(F.col("doc_id").alias("db"), F.col("n_tok").alias("nb"))
+    sa = mins.select(
+        F.col("doc_id").alias("da"), *[F.col(f"m{p}").alias(f"a{p}") for p in range(BBIT_PERMS)]
+    )
+    sb = mins.select(
+        F.col("doc_id").alias("db"), *[F.col(f"m{p}").alias(f"b{p}") for p in range(BBIT_PERMS)]
+    )
+    pj = (
+        za.join(zb, F.col("db") == F.col("da") + 1)
+        .join(sa, "da")
+        .join(sb, "db")
+        .join(pair, ["da", "db"], "left")
+        .withColumn("n_int", F.coalesce(F.col("n_int"), F.lit(0)))
+        .withColumn("n_uni", F.col("na") + F.col("nb") - F.col("n_int"))
+    )
+    k_full = sum(
+        F.when(F.col(f"a{p}") == F.col(f"b{p}"), 1).otherwise(0)
+        for p in range(BBIT_PERMS)
+    ).cast("bigint")
+    k_bit = sum(
+        F.when(F.col(f"a{p}") % 2 == F.col(f"b{p}") % 2, 1).otherwise(0)
+        for p in range(BBIT_PERMS)
+    ).cast("bigint")
+    per = pj.select(
+        F.least(F.expr("(10 * n_int) DIV n_uni"), F.lit(9)).alias("band"),
+        (F.col("n_int").cast("double") / F.col("n_uni")).alias("exact_j"),
+        (k_full.cast("double") / BBIT_PERMS).alias("est_full"),
+        F.greatest(
+            2.0 * k_bit.cast("double") / BBIT_PERMS - 1, F.lit(0.0)
+        ).alias("est_1bit"),
+    )
+    dec = lambda c: c.cast("decimal(20,15)")  # noqa: E731
+    return (
+        per.groupBy("band")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.round(F.sum(dec(F.col("exact_j"))).cast("double") / F.count("*"), 6).alias("avg_exact"),
+            F.round(F.sum(dec(F.col("est_full"))).cast("double") / F.count("*"), 6).alias("avg_est_full"),
+            F.round(F.sum(dec(F.col("est_1bit"))).cast("double") / F.count("*"), 6).alias("avg_est_1bit"),
+            F.round(
+                F.sum(dec(F.abs(F.col("est_full") - F.col("exact_j")))).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("mae_full"),
+            F.round(
+                F.sum(dec(F.abs(F.col("est_1bit") - F.col("exact_j")))).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("mae_1bit"),
+        )
+        .orderBy("band")
+    )

@@ -3211,3 +3211,140 @@ def cluster_purity_nmi_eval(spark: SparkSession, sf_dir: str, k: int = 8) -> Dat
         [(len(by_c), n_total, len(by_l), round(purity, 6), round(nmi, 6))],
         "k bigint, n_points bigint, n_labels bigint, purity double, nmi double",
     )
+
+
+# Johnson-Lindenstrauss probe: k = 16 projected dims, +/-1 signs derived
+# from md5(j:i) first hex digit (engine-portable constant matrix), and
+# the distortion tolerance band the share column reads against.
+JL_DIMS = 16
+JL_EPS = 0.4
+
+
+@register(
+    "embedding_jl_projection_distortion",
+    tags=("similarity", "monitor"),
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE len(embedding) > 0
+    ),
+    proj AS (
+      SELECT vec_id, v,
+             list_transform(range(0, {JL_DIMS}), j ->
+               list_reduce(
+                 list_transform(range(0, len(v)), i ->
+                   CASE WHEN substr(md5(CAST(j AS VARCHAR) || ':'
+                                    || CAST(i AS VARCHAR)), 1, 1) < '8'
+                        THEN v[i+1] ELSE -v[i+1] END),
+                 (acc, x) -> acc + x) / sqrt(CAST({JL_DIMS} AS DOUBLE))
+             ) AS y
+      FROM v
+    ),
+    pair AS (
+      SELECT a.vec_id AS va,
+             list_reduce(list_transform(range(0, len(a.v)),
+               i -> (a.v[i+1] - b.v[i+1]) * (a.v[i+1] - b.v[i+1])),
+               (acc, x) -> acc + x) AS do2,
+             list_reduce(list_transform(range(0, {JL_DIMS}),
+               j -> (a.y[j+1] - b.y[j+1]) * (a.y[j+1] - b.y[j+1])),
+               (acc, x) -> acc + x) AS dp2
+      FROM proj a JOIN proj b ON b.vec_id = a.vec_id + 1
+    ),
+    r AS (
+      SELECT sqrt(dp2) / sqrt(do2) AS ratio FROM pair WHERE do2 > 0
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           round(CAST(sum(CAST(ratio AS DECIMAL(20,15))) AS DOUBLE)
+                 / count(*), 6) AS avg_ratio,
+           round(min(ratio), 6) AS min_ratio,
+           round(max(ratio), 6) AS max_ratio,
+           round(CAST(sum(CASE WHEN ratio >= 1 - {JL_EPS}
+                               AND ratio <= 1 + {JL_EPS}
+                          THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+             AS share_within_eps
+    FROM r
+    """,
+)
+def embedding_jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss distortion probe: project every embedding
+    to JL_DIMS = 16 dims with a DETERMINISTIC +/-1 sign matrix
+    (Achlioptas 2003's database-friendly construction; signs derived
+    from md5(j:i) so both engines build the identical matrix with no
+    RNG) scaled by 1/sqrt(k), and measure the pairwise-distance ratio
+    ||Pa - Pb|| / ||a - b|| over the adjacent-vec_id pair sample. The
+    JL lemma says random +/-1 projections preserve distances within
+    (1 +/- eps) w.h.p. at k ~ ln(n)/eps^2; this panel reports the
+    observed ratio spread and the share inside the eps = 0.4 band --
+    the go/no-go check before serving ANN on 4x-cheaper projected
+    vectors, and the random-projection companion to
+    embedding_truncation_recall (truncation keeps PREFIX dims; JL mixes
+    ALL dims, which is why it works when energy is spread).
+
+    Exactness: the sign matrix is a pure function of (j, i); per-vector
+    projections and squared distances fold arrays SEQUENTIALLY on both
+    engines (identical IEEE accumulation order -- the established
+    list-fold parity rule), so ratios agree bit-for-bit; per-pair
+    ratios snap to DECIMAL(20,15) before the order-free mean; the
+    eps-band compare runs on those shared doubles.
+
+    Scale: the projection is per-row array arithmetic inside codegen
+    (no shuffle); the pair frame joins on vec_id+1 -- |vectors| narrow
+    rows; 1 row out."""
+    e = load_table(spark, sf_dir, "embeddings").filter(F.size("embedding") > 0)
+    v = e.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    proj = v.select(
+        "vec_id",
+        "v",
+        F.expr(
+            f"""transform(sequence(0, {JL_DIMS - 1}), j ->
+              aggregate(
+                transform(sequence(0, size(v) - 1), i ->
+                  CASE WHEN substring(md5(concat(cast(j AS string), ':',
+                                     cast(i AS string))), 1, 1) < '8'
+                       THEN v[i] ELSE -v[i] END),
+                cast(0.0 AS double), (acc, x) -> acc + x)
+              / sqrt(cast({JL_DIMS} AS double)))"""
+        ).alias("y"),
+    ).localCheckpoint(eager=False)  # both sides of the adjacent-pair join
+    b = proj.select(
+        (F.col("vec_id") - 1).alias("join_id"),
+        F.col("v").alias("bv"),
+        F.col("y").alias("by"),
+    )
+    pair = proj.join(b, F.col("join_id") == F.col("vec_id")).select(
+        F.expr(
+            "aggregate(transform(sequence(0, size(v) - 1),"
+            " i -> (v[i] - bv[i]) * (v[i] - bv[i])),"
+            " cast(0.0 AS double), (acc, x) -> acc + x)"
+        ).alias("do2"),
+        F.expr(
+            f"aggregate(transform(sequence(0, {JL_DIMS - 1}),"
+            " j -> (y[j] - by[j]) * (y[j] - by[j])),"
+            " cast(0.0 AS double), (acc, x) -> acc + x)"
+        ).alias("dp2"),
+    )
+    r = pair.filter(F.col("do2") > 0).select(
+        (F.sqrt("dp2") / F.sqrt("do2")).alias("ratio")
+    )
+    return r.agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.round(
+            F.sum(F.col("ratio").cast("decimal(20,15)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("avg_ratio"),
+        F.round(F.min("ratio"), 6).alias("min_ratio"),
+        F.round(F.max("ratio"), 6).alias("max_ratio"),
+        F.round(
+            F.sum(
+                F.when(
+                    (F.col("ratio") >= 1 - JL_EPS) & (F.col("ratio") <= 1 + JL_EPS),
+                    1,
+                ).otherwise(0)
+            ).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("share_within_eps"),
+    )

@@ -4252,3 +4252,250 @@ def events_median_test_weekend(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("chi2"),
     )
+
+
+@register(
+    "events_permutation_entropy_daily",
+    tags=("stats", "timeseries"),
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day, CAST(count(*) AS BIGINT) AS cnt
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
+    ),
+    tri AS (
+      SELECT lag(cnt, 2) OVER (ORDER BY day) AS x0,
+             lag(cnt, 1) OVER (ORDER BY day) AS x1,
+             cnt AS x2
+      FROM daily
+    ),
+    pat AS (
+      SELECT CAST(4 * CASE WHEN x0 <= x1 THEN 1 ELSE 0 END
+                  + 2 * CASE WHEN x0 <= x2 THEN 1 ELSE 0 END
+                  + CASE WHEN x1 <= x2 THEN 1 ELSE 0 END AS BIGINT) AS code
+      FROM tri WHERE x0 IS NOT NULL
+    ),
+    pc AS (
+      SELECT code, CAST(count(*) AS BIGINT) AS c FROM pat GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM pc),
+    ent AS (
+      SELECT CAST(sum(CAST((CAST(c AS DOUBLE) / t.n)
+                           * ln(CAST(c AS DOUBLE) / t.n)
+                           AS DECIMAL(20,15))) AS DOUBLE) AS sxlx,
+             CAST(count(*) AS BIGINT) AS n_patterns
+      FROM pc CROSS JOIN tot t
+    ),
+    modal AS (
+      SELECT code AS modal_code, c AS modal_c FROM pc
+      ORDER BY c DESC, code LIMIT 1
+    )
+    SELECT t.n AS n_windows, e.n_patterns,
+           round(-e.sxlx, 6) + 0.0 AS h_perm,
+           round(-e.sxlx / ln(6.0), 6) + 0.0 AS h_norm,
+           m.modal_code,
+           round(CAST(m.modal_c AS DOUBLE) / t.n, 6) AS modal_share
+    FROM tot t CROSS JOIN ent e CROSS JOIN modal m
+    """,
+)
+def events_permutation_entropy_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permutation entropy of the daily event-count series (Bandt &
+    Pompe 2002, embedding dimension 3): each consecutive day triple maps
+    to its ordinal pattern -- WHICH of the 6 orderings the three counts
+    form, ties broken by position (the standard stable convention) --
+    and H = -sum p ln p over the pattern distribution, normalized by
+    ln 6. A white-noise series scores ~1, a monotone or strictly
+    periodic one collapses toward 0; unlike the spectral/ACF family the
+    measure is rank-based (outlier-immune) and needs no detrending --
+    the complexity triage that says whether the forecast-baseline family
+    has structure to work with at all. The pattern CODE is the 3-bit
+    comparison vector (x0<=x1, x0<=x2, x1<=x2): 6 of the 8 codes are
+    realizable orderings, the impossible two (101, 010) are cyclic
+    contradictions.
+
+    Exactness: patterns come from exact integer comparisons of exact
+    counts; each p ln p term snaps to DECIMAL(20,15) before the
+    order-free sum; the modal pattern ties break on the code. round()
+    preserves IEEE signed zero, so both 6dp outputs normalize -0.0 with
+    the + 0.0 rule.
+
+    Scale: the fact table folds to |days| counts; the three lag windows
+    ride the calendar-bounded day series (the documented unpartitioned-
+    window family); 6-row pattern census, 1 row out."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.filter(F.col("ts").isNotNull())
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    w = Window.orderBy("day")
+    tri = daily.select(
+        F.lag("cnt", 2).over(w).alias("x0"),
+        F.lag("cnt", 1).over(w).alias("x1"),
+        F.col("cnt").alias("x2"),
+    ).filter(F.col("x0").isNotNull())
+    code = (
+        4 * F.when(F.col("x0") <= F.col("x1"), 1).otherwise(0)
+        + 2 * F.when(F.col("x0") <= F.col("x2"), 1).otherwise(0)
+        + F.when(F.col("x1") <= F.col("x2"), 1).otherwise(0)
+    ).cast("bigint")
+    pc = (
+        tri.select(code.alias("code"))
+        .groupBy("code")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .localCheckpoint(eager=False)  # entropy + modal + total consumers
+    )
+    tot = pc.agg(F.sum("c").cast("bigint").alias("n"))
+    p = F.col("c").cast("double") / F.col("n")
+    ent = pc.crossJoin(F.broadcast(tot)).agg(
+        F.sum((p * F.log(p)).cast("decimal(20,15)")).cast("double").alias("sxlx"),
+        F.count("*").cast("bigint").alias("n_patterns"),
+    )
+    modal = (
+        pc.orderBy(F.col("c").desc(), "code")
+        .limit(1)
+        .select(F.col("code").alias("modal_code"), F.col("c").alias("modal_c"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(ent))
+        .crossJoin(F.broadcast(modal))
+        .select(
+            F.col("n").alias("n_windows"),
+            "n_patterns",
+            (F.round(-F.col("sxlx"), 6) + 0.0).alias("h_perm"),
+            (F.round(-F.col("sxlx") / F.log(F.lit(6.0)), 6) + 0.0).alias("h_norm"),
+            "modal_code",
+            F.round(F.col("modal_c").cast("double") / F.col("n"), 6).alias(
+                "modal_share"
+            ),
+        )
+    )
+
+
+@register(
+    "events_seasonal_mann_kendall",
+    tags=("stats", "timeseries"),
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day,
+             CAST(dayofweek(date_trunc('day', ts)) AS BIGINT) AS dw,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+    ),
+    sp AS (
+      SELECT a.dw, CAST(sum(sign(b.cnt - a.cnt)) AS BIGINT) AS s_d
+      FROM daily a JOIN daily b ON b.dw = a.dw AND a.day < b.day
+      GROUP BY 1
+    ),
+    nn AS (
+      SELECT dw, CAST(count(*) AS BIGINT) AS n_d FROM daily GROUP BY 1
+    ),
+    ties AS (
+      SELECT dw, CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie3
+      FROM (SELECT dw, CAST(count(*) AS BIGINT) AS t
+            FROM daily GROUP BY dw, cnt)
+      GROUP BY 1
+    ),
+    agg AS (
+      SELECT CAST(sum(sp.s_d) AS BIGINT) AS s,
+             CAST(sum(nn.n_d) AS BIGINT) AS n_days,
+             CAST(sum(nn.n_d * (nn.n_d - 1) * (2 * nn.n_d + 5)
+                      - coalesce(t.tie3, 0)) AS BIGINT) AS var18
+      FROM nn JOIN sp ON sp.dw = nn.dw
+      LEFT JOIN ties t ON t.dw = nn.dw
+    )
+    SELECT n_days, s,
+           round(CAST(var18 AS DOUBLE) / 18, 6) AS var_s,
+           round(CASE WHEN s > 0 THEN (s - 1) / sqrt(CAST(var18 AS DOUBLE) / 18)
+                      WHEN s < 0 THEN (s + 1) / sqrt(CAST(var18 AS DOUBLE) / 18)
+                      ELSE 0.0 END, 6) + 0.0 AS z,
+           CASE WHEN s > 0 THEN 'increasing'
+                WHEN s < 0 THEN 'decreasing' ELSE 'none' END AS trend
+    FROM agg
+    """,
+)
+def events_seasonal_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal Mann-Kendall trend test on daily event counts (Hirsch &
+    Slack 1984, the hydrology standard for series with a weekly cycle):
+    the MK statistic is computed WITHIN each day-of-week season --
+    Mondays compare only against Mondays -- and the seven S_d and their
+    variances sum, so the weekly seasonality that would drown the plain
+    MK test (every Sunday < every Monday reads as 7 alternating
+    'trends') cancels instead. Includes the exact tie correction
+    sum t(t-1)(2t+5) per season (daily counts DO tie, unlike the
+    monthly-mean sibling lineitem_price_mann_kendall), and the standard
+    +/-1 continuity-corrected z.
+
+    Exactness: S accumulates exact integer signs of exact count
+    differences; the variance is an exact integer divided once by 18;
+    z is one shared closed form rounded at 6dp with the signed-zero
+    normalization.
+
+    Scale: the fact table folds to |days| counts; the pair join is
+    dow-co-partitioned over the calendar-bounded day series (~(n/7)^2
+    pairs per season on ~n=2,500 days -- bounded at any SF); 1 row
+    out."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.filter(F.col("ts").isNotNull())
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .select(
+            "day",
+            (F.dayofweek(F.col("day")) - 1).cast("bigint").alias("dw"),
+            "cnt",
+        )
+        .localCheckpoint(eager=False)  # pairs + counts + ties consumers
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    sp = (
+        a.join(b, (F.col("b.dw") == F.col("a.dw")) & (F.col("a.day") < F.col("b.day")))
+        .groupBy(F.col("a.dw").alias("dw"))
+        .agg(
+            F.sum(F.signum((F.col("b.cnt") - F.col("a.cnt")).cast("double")))
+            .cast("bigint")
+            .alias("s_d")
+        )
+    )
+    nn = daily.groupBy("dw").agg(F.count("*").cast("bigint").alias("n_d"))
+    ties = (
+        daily.groupBy("dw", "cnt")
+        .agg(F.count("*").cast("bigint").alias("t"))
+        .groupBy("dw")
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            )
+            .cast("bigint")
+            .alias("tie3")
+        )
+    )
+    agg = (
+        nn.join(sp, "dw")
+        .join(ties, "dw", "left")
+        .agg(
+            F.sum("s_d").cast("bigint").alias("s"),
+            F.sum("n_d").cast("bigint").alias("n_days"),
+            F.sum(
+                F.col("n_d") * (F.col("n_d") - 1) * (2 * F.col("n_d") + 5)
+                - F.coalesce(F.col("tie3"), F.lit(0))
+            )
+            .cast("bigint")
+            .alias("var18"),
+        )
+    )
+    var = F.col("var18").cast("double") / 18
+    zed = (
+        F.when(F.col("s") > 0, (F.col("s") - 1) / F.sqrt(var))
+        .when(F.col("s") < 0, (F.col("s") + 1) / F.sqrt(var))
+        .otherwise(F.lit(0.0))
+    )
+    return agg.select(
+        "n_days",
+        "s",
+        F.round(var, 6).alias("var_s"),
+        (F.round(zed, 6) + 0.0).alias("z"),
+        F.when(F.col("s") > 0, F.lit("increasing"))
+        .when(F.col("s") < 0, F.lit("decreasing"))
+        .otherwise(F.lit("none"))
+        .alias("trend"),
+    )

@@ -2070,3 +2070,224 @@ def text_mtld_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "text_yule_k_by_source",
+    tags=("text", "stats"),
+    oracle="""
+    WITH tok AS (
+      SELECT source, unnest(list_filter(string_split(lower(text), ' '),
+                                        x -> x <> '')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT source, term, CAST(count(*) AS BIGINT) AS f
+      FROM tok GROUP BY 1, 2
+    ),
+    spec AS (
+      SELECT source,
+             CAST(sum(f) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS vocab,
+             CAST(sum(CAST(f AS DECIMAL(38,0)) * f) AS DECIMAL(38,0)) AS m2,
+             CAST(sum(CAST(f AS DECIMAL(38,0)) * (f - 1)) AS DECIMAL(38,0))
+               AS coll
+      FROM tf GROUP BY 1
+    )
+    SELECT source, n_tokens, vocab,
+           round(10000.0 * (CAST(m2 AS DOUBLE) - n_tokens)
+                 / (CAST(n_tokens AS DOUBLE) * n_tokens), 6) AS yule_k,
+           round(CAST(coll AS DOUBLE)
+                 / nullif(CAST(n_tokens AS DOUBLE) * (n_tokens - 1), 0), 6)
+             AS simpson_d
+    FROM spec WHERE n_tokens >= 2
+    ORDER BY source
+    """,
+)
+def text_yule_k_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yule's characteristic K and Simpson's repeat-rate D per source
+    (Yule 1944; Simpson 1949): K = 10^4 (sum_m m^2 V(m) - N) / N^2 over
+    the frequency spectrum and D = sum f(f-1) / (N(N-1)) -- the
+    probability two tokens drawn without replacement are the SAME type.
+    Both are LENGTH-INVARIANT repeat-rate measures (unlike raw TTR,
+    which collapses as N grows), which is why stylometry ranks authors
+    by K; K ~ 10^4 * D for large N, and template/boilerplate-heavy
+    sources stand out with HIGH K (more repetition) while serial-number
+    noise drives K toward 0. The closed-form exact member of the
+    lexical-diversity family: MTLD (rows-only, order-sequential) reads
+    drift along the document, K reads the corpus-level spectrum with a
+    full DuckDB oracle.
+
+    Exactness: the frequency spectrum is exact integers off the shared
+    whitespace tokenizer; sum m^2 V(m) == sum_term f^2 accumulates in
+    DECIMAL(38,0); K and D are one double division each, rounded at
+    6dp.
+
+    Scale: one explode + (source, term) reduction (the tokenize_tf
+    shuffle shape) folded source-grain; |sources| rows out."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("source", F.explode(_tokens()).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count("*").cast("bigint").alias("f"))
+    )
+    spec = tf.groupBy("source").agg(
+        F.sum("f").cast("bigint").alias("n_tokens"),
+        F.count("*").cast("bigint").alias("vocab"),
+        F.sum(F.col("f").cast("decimal(38,0)") * F.col("f"))
+        .cast("decimal(38,0)")
+        .alias("m2"),
+        F.sum(F.col("f").cast("decimal(38,0)") * (F.col("f") - 1))
+        .cast("decimal(38,0)")
+        .alias("coll"),
+    )
+    n = F.col("n_tokens").cast("double")
+    return (
+        spec.filter(F.col("n_tokens") >= 2)
+        .select(
+            "source",
+            "n_tokens",
+            "vocab",
+            F.round(
+                10000.0 * (F.col("m2").cast("double") - F.col("n_tokens")) / (n * n),
+                6,
+            ).alias("yule_k"),
+            F.round(
+                F.col("coll").cast("double")
+                / F.nullif(n * (n - 1), F.lit(0.0)),
+                6,
+            ).alias("simpson_d"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "docs_bigram_entropy_rate_by_source",
+    tags=("text", "stats"),
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, {TOKENS} AS toks FROM documents
+    ),
+    uni AS (
+      SELECT source, u.term, CAST(count(*) AS BIGINT) AS f
+      FROM (SELECT source, unnest(toks) AS term FROM toks) u
+      GROUP BY 1, 2
+    ),
+    unt AS (
+      SELECT source, CAST(sum(f) AS BIGINT) AS n FROM uni GROUP BY 1
+    ),
+    un AS (
+      SELECT u.source, t.n,
+             CAST(sum(CAST((CAST(u.f AS DOUBLE) / t.n)
+                           * ln(CAST(u.f AS DOUBLE) / t.n)
+                           AS DECIMAL(20,15))) AS DOUBLE) AS sxlx
+      FROM uni u JOIN unt t ON t.source = u.source
+      GROUP BY u.source, t.n
+    ),
+    big AS (
+      SELECT source, b.bigram, CAST(count(*) AS BIGINT) AS f
+      FROM (
+        SELECT source,
+               unnest(list_transform(range(1, len(toks)),
+                 i -> toks[i] || ' ' || toks[i+1])) AS bigram
+        FROM toks WHERE len(toks) >= 2
+      ) b
+      GROUP BY 1, 2
+    ),
+    bnt AS (
+      SELECT source, CAST(sum(f) AS BIGINT) AS n FROM big GROUP BY 1
+    ),
+    bn AS (
+      SELECT b.source, t.n,
+             CAST(sum(CAST((CAST(b.f AS DOUBLE) / t.n)
+                           * ln(CAST(b.f AS DOUBLE) / t.n)
+                           AS DECIMAL(20,15))) AS DOUBLE) AS sxlx
+      FROM big b JOIN bnt t ON t.source = b.source
+      GROUP BY b.source, t.n
+    )
+    SELECT un.source, un.n AS n_tokens, bn.n AS n_bigrams,
+           round(-un.sxlx, 6) + 0.0 AS h_unigram,
+           round(-bn.sxlx, 6) + 0.0 AS h_bigram,
+           round(-bn.sxlx - (-un.sxlx), 6) + 0.0 AS entropy_rate
+    FROM un JOIN bn ON bn.source = un.source
+    ORDER BY un.source
+    """,
+)
+def docs_bigram_entropy_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram entropy rate per source (Shannon 1951's n-gram ladder,
+    rung 2): H(W2 | W1) = H(bigram) - H(unigram) -- the average
+    next-token uncertainty given one token of context, in nats. The
+    corpus-level information census next to the per-document scoring
+    family (quality_perplexity_bigram grades DOCUMENTS under a corpus
+    model; this grades the SOURCE's own distribution): low entropy rate
+    flags template/boilerplate-dominated sources where context nearly
+    determines the next token (cheap tokens for an LM to fit), high
+    rate marks genuinely diverse text worth its ingestion budget.
+
+    Exactness: unigram and bigram counts are exact integers (bigrams
+    are built INSIDE each document's token array by a JVM-side
+    transform over adjacent positions -- never a token-grain join,
+    never across documents); each p ln p term snaps to DECIMAL(20,15)
+    before the order-free sums; the three outputs round once at 6dp
+    with signed-zero normalization.
+
+    Scale: two explode + (source, gram) reductions (the tokenize_tf
+    shuffle shape); the per-document bigram construction is array
+    arithmetic inside whole-stage codegen; |sources| rows out."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("source", _tokens().alias("t")).localCheckpoint(
+        eager=False
+    )  # unigram + bigram explodes
+    uni = (
+        toks.select("source", F.explode("t").alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count("*").cast("bigint").alias("f"))
+    )
+    ws = Window.partitionBy("source")
+
+    def _ent(df):
+        p = F.col("f").cast("double") / F.sum("f").over(ws)
+        return df.select(
+            "source",
+            F.col("f"),
+            (p * F.log(p)).cast("decimal(20,15)").alias("xlx"),
+        ).groupBy("source").agg(
+            F.sum("f").cast("bigint").alias("n"),
+            F.sum("xlx").cast("double").alias("sxlx"),
+        )
+
+    un = _ent(uni)
+    big = (
+        toks.filter(F.size("t") >= 2)
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1),"
+                    " i -> concat(t[i-1], ' ', t[i]))"
+                )
+            ).alias("bigram"),
+        )
+        .groupBy("source", "bigram")
+        .agg(F.count("*").cast("bigint").alias("f"))
+    )
+    bn = _ent(big).select(
+        F.col("source").alias("bn_source"),
+        F.col("n").alias("n_bigrams"),
+        F.col("sxlx").alias("b_sxlx"),
+    )
+    return (
+        un.join(bn, F.col("bn_source") == F.col("source"))
+        .select(
+            "source",
+            F.col("n").alias("n_tokens"),
+            "n_bigrams",
+            (F.round(-F.col("sxlx"), 6) + 0.0).alias("h_unigram"),
+            (F.round(-F.col("b_sxlx"), 6) + 0.0).alias("h_bigram"),
+            (F.round(-F.col("b_sxlx") + F.col("sxlx"), 6) + 0.0).alias(
+                "entropy_rate"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -111,6 +111,15 @@ _CHECK_ORDER = [
     "lineitem_newsvendor_service_panel",
     "nation_part_rca_matrix",
     "customer_clumpiness_panel",
+    # round-14 wave 2: rank-based complexity + seasonal trend testing
+    "events_permutation_entropy_daily",
+    "events_seasonal_mann_kendall",
+    # round-14 wave 3: lexical repeat-rate + information census
+    "text_yule_k_by_source",
+    "docs_bigram_entropy_rate_by_source",
+    # round-14 wave 4: compressed-representation evals (oracle-checked)
+    "dedup_bbit_minhash_eval",
+    "embedding_jl_projection_distortion",
 ]
 # Provenance: the round-13 window, fully attested by CORRECTNESS_r13
 # (44 hash-green + 6 rows-only-clean: text_textrank_keywords,

@@ -114,6 +114,15 @@ _R14_CHECK_WINDOW = [
     "lineitem_newsvendor_service_panel",
     "nation_part_rca_matrix",
     "customer_clumpiness_panel",
+    # wave 2: rank-based complexity + seasonal trend testing
+    "events_permutation_entropy_daily",
+    "events_seasonal_mann_kendall",
+    # wave 3: lexical repeat-rate + information census
+    "text_yule_k_by_source",
+    "docs_bigram_entropy_rate_by_source",
+    # wave 4: compressed-representation evals
+    "dedup_bbit_minhash_eval",
+    "embedding_jl_projection_distortion",
 ]
 
 

@@ -890,3 +890,20 @@ def test_round14_wave1_shuffle_budgets(spark, sf_dir):
     # flow cells + marginals only -- never fact rows (150 cells, 25+6
     # marginals, x partial-agg tasks)
     assert mr["shuffleRecordsWritten"] <= (lt + 6) * 200 + 1000
+
+
+def test_round14_wave234_plan_shapes(spark, sf_dir):
+    """Waves 2-4 plan gates: everything stays JVM-side (no Python eval
+    anywhere -- the md5/array-fold constructions are codegen
+    expressions) and no pair frame degrades to a cartesian product."""
+    for key in (
+        "events_permutation_entropy_daily",
+        "events_seasonal_mann_kendall",
+        "text_yule_k_by_source",
+        "docs_bigram_entropy_rate_by_source",
+        "dedup_bbit_minhash_eval",
+        "embedding_jl_projection_distortion",
+    ):
+        pl = P.formatted_plan(registry.get(key).fn(spark, sf_dir))
+        assert "ArrowEvalPython" not in pl and "BatchEvalPython" not in pl, key
+        assert "CartesianProduct" not in pl, key

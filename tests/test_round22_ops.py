@@ -137,3 +137,177 @@ def test_clumpiness_bounds_and_planted_discrimination(spark, sf_dir, tmp_path):
     assert planted["BURSTY"] > planted["REGULAR"]
     assert planted["BURSTY"] > 0.5
     assert planted["REGULAR"] < 0.35
+
+
+def test_permutation_entropy_bounds_and_planted_series(spark, sf_dir, tmp_path):
+    """Panel bounds hold; a strictly increasing planted series collapses
+    to one pattern (entropy 0), an alternating one to two patterns."""
+    r = _rows(spark, sf_dir, "events_permutation_entropy_daily")[0]
+    assert r["n_windows"] >= 10
+    assert 1 <= r["n_patterns"] <= 6
+    assert 0 <= r["h_norm"] <= 1 + 1e-9
+    assert abs(r["h_perm"] - r["h_norm"] * __import__("math").log(6)) < 1e-4
+    assert 0 < r["modal_share"] <= 1
+
+    def planted(vals):
+        rows = [
+            {
+                "event_id": i,
+                "ts": datetime(2024, 1 + i // 27, 1 + i % 27, 0, 0),
+                "user_id": 1,
+                "event_type": "view",
+                "value": None,
+                "props": None,
+            }
+            for i, v in enumerate(vals)
+            for _ in range(v)
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        )
+        out = str(tmp_path / f"pe_{len(vals)}_{vals[0]}_{vals[-1]}")
+        df.write.parquet(f"{out}/events.parquet")
+        return registry.get("events_permutation_entropy_daily").fn(spark, out).collect()[0]
+
+    mono = planted(list(range(1, 28)))  # strictly increasing counts
+    assert mono["n_patterns"] == 1 and mono["h_perm"] == 0.0
+    alt = planted([1 + (i % 2) * 5 for i in range(27)])  # up-down-up-down
+    assert alt["n_patterns"] == 2
+
+
+def test_seasonal_mk_on_fixture_and_planted_trend(spark, sf_dir, tmp_path):
+    """Fixture panel is self-consistent (trend names the sign of S,
+    variance positive); a planted within-dow increasing series yields
+    the maximal S and an 'increasing' call."""
+    r = _rows(spark, sf_dir, "events_seasonal_mann_kendall")[0]
+    assert r["n_days"] >= 14
+    assert r["var_s"] > 0
+    expected = "increasing" if r["s"] > 0 else ("decreasing" if r["s"] < 0 else "none")
+    assert r["trend"] == expected
+
+    # 6 weeks, count = week index + 1 replicated per day: within every
+    # dow season all C(6,2)=15 pairs increase -> S = 7 * 15 = 105
+    rows = []
+    eid = 0
+    for w in range(6):
+        for d in range(7):
+            for _ in range(w + 1):
+                eid += 1
+                rows.append(
+                    {
+                        "event_id": eid,
+                        "ts": datetime(2024, 1 + (w * 7 + d) // 28, 1 + (w * 7 + d) % 28, 12, 0),
+                        "user_id": 1,
+                        "event_type": "view",
+                        "value": None,
+                        "props": None,
+                    }
+                )
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = str(tmp_path / "smk")
+    df.write.parquet(f"{out}/events.parquet")
+    p = registry.get("events_seasonal_mann_kendall").fn(spark, out).collect()[0]
+    assert p["s"] == 7 * 15
+    assert p["trend"] == "increasing"
+    assert p["z"] > 0
+
+
+def test_yule_k_simpson_closed_form(spark, sf_dir, tmp_path):
+    """Fixture bounds + a hand-computable planted corpus: 'a a a b'
+    has N=4, f(a)=3, f(b)=1 -> sum f^2 = 10, K = 10^4 * (10-4)/16 =
+    3750; D = (3*2 + 0) / (4*3) = 0.5."""
+    rows = _rows(spark, sf_dir, "text_yule_k_by_source")
+    assert len(rows) >= 2
+    for r in rows:
+        assert r["vocab"] <= r["n_tokens"]
+        assert r["yule_k"] >= 0 and 0 <= r["simpson_d"] <= 1
+        # K ~ 1e4 * D for large N (identity up to the -N term)
+        if r["n_tokens"] > 1000:
+            assert abs(r["yule_k"] / 10000 - r["simpson_d"]) < 0.01
+
+    df = spark.createDataFrame(
+        [{"doc_id": 1, "text": "a a a b", "lang": "en", "source": "s",
+          "n_chars": 7}]
+    )
+    out = str(tmp_path / "yule")
+    df.write.parquet(f"{out}/documents.parquet")
+    r = registry.get("text_yule_k_by_source").fn(spark, out).collect()[0]
+    assert r["n_tokens"] == 4 and r["vocab"] == 2
+    assert abs(r["yule_k"] - 3750.0) < 1e-6
+    assert abs(r["simpson_d"] - 0.5) < 1e-6
+
+
+def test_bigram_entropy_rate_conditioning_bound(spark, sf_dir, tmp_path):
+    """Conditioning never increases entropy: 0 <= H(W2|W1) <= H(W1)
+    approximately (the bigram H also bounds below by the unigram H).
+    Planted: a fully deterministic chain 'a b a b ...' has entropy
+    rate ~0; a two-branch chain has rate ~ln 2."""
+    import math
+
+    rows = _rows(spark, sf_dir, "docs_bigram_entropy_rate_by_source")
+    assert len(rows) >= 2
+    for r in rows:
+        assert r["h_bigram"] >= r["h_unigram"] - 1e-6
+        assert r["entropy_rate"] >= -1e-6
+        assert r["n_bigrams"] <= r["n_tokens"]
+
+    def planted(text, name):
+        df = spark.createDataFrame(
+            [{"doc_id": 1, "text": text, "lang": "en", "source": "s",
+              "n_chars": len(text)}]
+        )
+        out = str(tmp_path / name)
+        df.write.parquet(f"{out}/documents.parquet")
+        return registry.get("docs_bigram_entropy_rate_by_source").fn(spark, out).collect()[0]
+
+    det = planted("a b " * 50, "det")  # next token fully determined
+    assert det["entropy_rate"] < 0.05
+    branch = planted("a b a c " * 50, "branch")  # after 'a': b or c 50/50
+    assert abs(branch["entropy_rate"] - math.log(2) / 2) < 0.1
+
+
+def test_bbit_minhash_estimator_sanity(spark, sf_dir):
+    """Full-width minhash beats (or ties) 1-bit on identical pairs at
+    high similarity per Li-Koenig; both estimators and exact stay in
+    [0, 1]; bands are consistent with their exact means."""
+    rows = _rows(spark, sf_dir, "dedup_bbit_minhash_eval")
+    assert len(rows) >= 1
+    for r in rows:
+        assert 0 <= r["avg_exact"] <= 1
+        assert 0 <= r["avg_est_full"] <= 1
+        assert 0 <= r["avg_est_1bit"] <= 1
+        assert r["mae_full"] >= 0 and r["mae_1bit"] >= 0
+        lo, hi = r["band"] / 10, (r["band"] + 1) / 10
+        assert lo - 1e-9 <= r["avg_exact"] <= (hi if r["band"] < 9 else 1.0) + 1e-9
+
+
+def test_jl_distortion_band_and_identical_vectors(spark, sf_dir, tmp_path):
+    """Fixture ratios bracket 1 with most pairs inside the eps band (the
+    JL lemma at k=16, eps=0.4 over 64-dim inputs); identical planted
+    vectors are excluded (zero original distance), and a planted
+    orthonormal pair's ratio is finite and positive."""
+    r = _rows(spark, sf_dir, "embedding_jl_projection_distortion")[0]
+    assert r["n_pairs"] >= 10
+    assert r["min_ratio"] <= r["avg_ratio"] <= r["max_ratio"]
+    assert r["share_within_eps"] >= 0.5
+    assert r["min_ratio"] > 0
+
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    vecs = [(i, rng.normal(0, 1, 64).astype("float32").tolist(), 0) for i in range(3)]
+    vecs.append((3, vecs[2][1], 0))  # identical to vec 2 -> pair excluded
+    df = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>, label int"
+    )
+    out = str(tmp_path / "jl")
+    df.write.parquet(f"{out}/embeddings.parquet")
+    p = registry.get("embedding_jl_projection_distortion").fn(spark, out).collect()[0]
+    assert p["n_pairs"] == 2  # (0,1), (1,2); (2,3) drops as zero-distance
+    assert p["min_ratio"] > 0
