@@ -2604,3 +2604,113 @@ def cdc_duplicate_delivery_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "cdc_schema_drift_audit",
+    tags=("cdc", "monitor", "dq"),
+    oracle="""
+    WITH ks AS (
+      SELECT event_type,
+             CAST(date_trunc('day', ts) AS TIMESTAMP) AS dy,
+             CASE WHEN props IS NULL OR NOT json_valid(props)
+                  THEN '<invalid>'
+                  ELSE array_to_string(list_sort(json_keys(props)), ',')
+             END AS keyset,
+             CASE WHEN props IS NULL OR NOT json_valid(props)
+                  THEN CAST(0 AS BIGINT)
+                  ELSE CAST(len(json_keys(props)) AS BIGINT) END AS n_keys
+      FROM events WHERE ts IS NOT NULL
+    ),
+    var AS (
+      SELECT event_type, keyset, any_value(n_keys) AS n_keys,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(count(DISTINCT dy) AS BIGINT) AS n_days,
+             min(dy) AS first_seen, max(dy) AS last_seen
+      FROM ks GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT event_type, CAST(sum(n_events) AS BIGINT) AS type_total,
+             CAST(max(n_events) AS BIGINT) AS max_n
+      FROM var GROUP BY 1
+    )
+    SELECT v.event_type, v.keyset, v.n_keys, v.n_events, v.n_days,
+           v.first_seen, v.last_seen,
+           round(CAST(v.n_events AS DOUBLE) / t.type_total, 6) AS share,
+           CAST(CASE WHEN v.n_events = t.max_n THEN 1 ELSE 0 END AS BIGINT)
+             AS is_dominant
+    FROM var v JOIN tot t ON t.event_type = v.event_type
+    ORDER BY v.event_type, v.n_events DESC, v.keyset
+    """,
+)
+def cdc_schema_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payload-schema drift census per stream (the schema-evolution
+    monitor every CDC deployment needs; the reference would silently
+    index whatever shape arrives -- ``es_consumer/main.go:66-71`` drops
+    only unmarshal failures): each event's JSON payload reduces to its
+    SORTED KEY SET, and the audit reports every (event_type, key-set)
+    variant with its event/day counts, first/last sighting, share of
+    the stream, and a dominant-variant flag -- a new variant appearing
+    with a recent first_seen IS the schema change, and a '<invalid>'
+    row surfaces undecodable payloads instead of dropping them (the
+    dead-letter accounting rule). Complements
+    dq_functional_dependency_audit (value-level drift) at the
+    STRUCTURAL level.
+
+    Exactness: key sets are engine-sorted string lists joined with ','
+    (exact string equality); counts are exact integers; the dominance
+    flag compares exact counts (ties all flag, deterministically);
+    share divides once at 6dp. Day timestamps, never raw DATE.
+
+    Scale: one scan folds to (type, keyset, day) partials, then
+    (type, keyset) grain; the totals join is |types|-grain broadcast;
+    |variants| rows out (== |types| on a healthy stream)."""
+    e = load_table(spark, sf_dir, "events")
+    valid = F.col("props").isNotNull() & (
+        F.expr("json_object_keys(props)").isNotNull()
+    )
+    ks = e.filter(F.col("ts").isNotNull()).select(
+        "event_type",
+        F.date_trunc("day", "ts").alias("dy"),
+        F.when(
+            valid,
+            F.array_join(F.array_sort(F.expr("json_object_keys(props)")), ","),
+        )
+        .otherwise(F.lit("<invalid>"))
+        .alias("keyset"),
+        F.when(valid, F.size(F.expr("json_object_keys(props)")))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("n_keys"),
+    )
+    var = ks.groupBy("event_type", "keyset").agg(
+        F.any_value("n_keys").alias("n_keys"),
+        F.count("*").cast("bigint").alias("n_events"),
+        F.countDistinct("dy").cast("bigint").alias("n_days"),
+        F.min("dy").alias("first_seen"),
+        F.max("dy").alias("last_seen"),
+    )
+    tot = var.groupBy(F.col("event_type").alias("t_type")).agg(
+        F.sum("n_events").cast("bigint").alias("type_total"),
+        F.max("n_events").cast("bigint").alias("max_n"),
+    )
+    return (
+        var.join(F.broadcast(tot), F.col("t_type") == F.col("event_type"))
+        .select(
+            "event_type",
+            "keyset",
+            "n_keys",
+            "n_events",
+            "n_days",
+            "first_seen",
+            "last_seen",
+            F.round(
+                F.col("n_events").cast("double") / F.col("type_total"), 6
+            ).alias("share"),
+            F.when(F.col("n_events") == F.col("max_n"), 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("is_dominant"),
+        )
+        .orderBy("event_type", F.col("n_events").desc(), "keyset")
+    )

@@ -1575,3 +1575,118 @@ def pack_context_bins_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# Systematic sampling interval and the documented mid-interval offset:
+# every k-th id starting at k DIV 2 -- the survey-sampling rule that
+# spreads selections evenly through the frame.
+SYSTEMATIC_K = 10
+SYSTEMATIC_OFFSET = SYSTEMATIC_K // 2
+
+
+@register(
+    "sample_systematic_interval",
+    tags=("curation", "sampling"),
+    oracle=f"""
+    WITH frame AS (
+      SELECT source, doc_id,
+             CAST(CASE WHEN doc_id % {SYSTEMATIC_K} = {SYSTEMATIC_OFFSET}
+                       THEN 1 ELSE 0 END AS BIGINT) AS picked,
+             CAST(length(text) AS BIGINT) AS n_chars
+      FROM documents
+    ),
+    per AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_frame,
+             CAST(sum(picked) AS BIGINT) AS n_sample,
+             CAST(sum(CAST(n_chars AS DECIMAL(38,0))) AS BIGINT) AS chars_frame,
+             CAST(sum(CAST(picked * n_chars AS DECIMAL(38,0))) AS BIGINT)
+               AS chars_sample
+      FROM frame GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(sum(n_frame) AS BIGINT) AS tf,
+             CAST(sum(n_sample) AS BIGINT) AS ts
+      FROM per
+    )
+    SELECT p.source, p.n_frame, p.n_sample,
+           round(CAST(p.n_frame AS DOUBLE) / t.tf, 6) AS frame_share,
+           round(CAST(p.n_sample AS DOUBLE) / nullif(t.ts, 0), 6)
+             AS sample_share,
+           round(CAST(p.chars_sample AS DOUBLE)
+                 / nullif(p.chars_frame, 0)
+                 * (CAST(p.n_frame AS DOUBLE) / nullif(p.n_sample, 0)), 6)
+             AS mean_chars_ratio
+    FROM per p CROSS JOIN tot t
+    ORDER BY p.source
+    """,
+)
+def sample_systematic_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic (interval) sampling audit: pick every SYSTEMATIC_K-th
+    document by id with the mid-interval offset (the survey-sampling
+    classic -- Madow 1949 -- that spreads selections evenly through the
+    frame instead of clustering like Bernoulli draws can), and report
+    per source how faithfully the 1/k sample reproduces the frame:
+    composition shares side by side, and the sampled-vs-frame mean
+    document length ratio (~1 when the id ordering is uncorrelated with
+    length; a drifting ratio means ids encode ingest order and the
+    interval aliases a periodicity -- the one failure mode systematic
+    sampling has). Completes the sampling family: hash (Bernoulli),
+    stratified, reservoir, Neyman, temperature -- this is the
+    zero-shuffle evenly-spaced member.
+
+    Exactness: membership is exact integer modular arithmetic (no RNG,
+    no hash); counts and char totals are exact integers through
+    DECIMAL; the three ratios divide once at 6dp with nullif guards
+    for empty samples.
+
+    Scale: pure scan + map-side fold to |sources| partials -- the
+    selection predicate is modular arithmetic on the id column, so at
+    100 TB the sample can even PUSH DOWN to row-group pruning on an
+    id-sorted layout; |sources| rows out."""
+    d = load_table(spark, sf_dir, "documents")
+    frame = d.select(
+        "source",
+        F.when(F.col("doc_id") % SYSTEMATIC_K == SYSTEMATIC_OFFSET, 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("picked"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
+    per = frame.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_frame"),
+        F.sum("picked").cast("bigint").alias("n_sample"),
+        F.sum(F.col("n_chars").cast("decimal(38,0)")).cast("bigint").alias("chars_frame"),
+        F.sum((F.col("picked") * F.col("n_chars")).cast("decimal(38,0)"))
+        .cast("bigint")
+        .alias("chars_sample"),
+    )
+    tot = per.agg(
+        F.sum("n_frame").cast("bigint").alias("tf"),
+        F.sum("n_sample").cast("bigint").alias("ts"),
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_frame",
+            "n_sample",
+            F.round(F.col("n_frame").cast("double") / F.col("tf"), 6).alias(
+                "frame_share"
+            ),
+            F.round(
+                F.col("n_sample").cast("double") / F.nullif(F.col("ts"), F.lit(0)),
+                6,
+            ).alias("sample_share"),
+            F.round(
+                F.col("chars_sample").cast("double")
+                / F.nullif(F.col("chars_frame"), F.lit(0)).cast("double")
+                * (
+                    F.col("n_frame").cast("double")
+                    / F.nullif(F.col("n_sample"), F.lit(0)).cast("double")
+                ),
+                6,
+            ).alias("mean_chars_ratio"),
+        )
+        .orderBy("source")
+    )

@@ -3348,3 +3348,101 @@ def embedding_jl_projection_distortion(spark: SparkSession, sf_dir: str) -> Data
             6,
         ).alias("share_within_eps"),
     )
+
+
+@register("cluster_davies_bouldin_eval", tags=("similarity", "curation"))
+# rows-only: grades the iterative PAM fit (no SQL twin); perfect-separation
+# and merged-cluster gates in tests/test_round22_ops.py.
+def cluster_davies_bouldin_eval(spark: SparkSession, sf_dir: str, k: int = 8) -> DataFrame:
+    """Internal clustering evaluation: the Davies-Bouldin index (Davies
+    & Bouldin 1979) of the PAM k-medoids fit -- for each cluster the
+    worst-case similarity ratio R_i = max_{j != i} (S_i + S_j) / M_ij
+    (within-cluster scatter over between-medoid separation), DB = mean
+    R_i; LOWER is better, and unlike purity/NMI it needs NO ground
+    truth, so it is the metric that picks k when labels don't exist.
+    Completes the clustering-eval family: purity/NMI grade against
+    labels (external), modularity grades the graph fit, DB grades
+    geometry (internal) -- all over the SAME shared _pam_fit, so the
+    panels read together.
+
+    Output: one row per cluster with its size, scatter S_i, nearest
+    medoid separation, worst ratio R_i, and the panel-level DB index
+    repeated (single-schema rule).
+
+    Scale: k medoid vectors broadcast; every corpus vector scores k
+    distances map-side and folds to per-cluster (count, distance-sum)
+    partials -- the shuffle is k rows; the k x k medoid separation
+    matrix and the DB fold are driver arithmetic on k rows.
+    Determinism: per-row distances snap to 6dp DECIMAL before the
+    order-free scatter sums; ties in the max ratio break on cluster
+    rank via sorted iteration."""
+    import math
+
+    vec = _vectors(spark, sf_dir).select("vec_id", "v").localCheckpoint(eager=False)
+    medoid_rows = _pam_fit(vec, k)
+    empty = (
+        "cluster bigint, n_points bigint, scatter double,"
+        " nearest_sep double, worst_ratio double, db_index double"
+    )
+    if len(medoid_rows) < 2:
+        return spark.createDataFrame([], empty)
+    mdf = spark.createDataFrame(
+        medoid_rows,
+        "medoid_rank bigint, m_vec_id bigint, mv array<double>, swapped bigint",
+    ).select("medoid_rank", "mv")
+    dist = F.expr(
+        "sqrt(aggregate(zip_with(v, mv, (x, y) -> (x - y) * (x - y)),"
+        " 0D, (a, x) -> a + x))"
+    )
+    per = (
+        vec.join(F.broadcast(mdf))
+        .select(
+            "vec_id",
+            F.struct(dist.alias("d"), "medoid_rank").alias("s"),
+        )
+        .groupBy("vec_id")
+        .agg(F.min("s").alias("s"))
+        .select(
+            F.col("s.medoid_rank").alias("cluster"),
+            F.col("s.d").cast("decimal(18,6)").alias("d"),
+        )
+        .groupBy("cluster")
+        .agg(
+            F.count("*").cast("bigint").alias("n_points"),
+            F.sum("d").cast("double").alias("dsum"),
+        )
+        .orderBy("cluster")
+        .collect()  # k rows -- audit-sized
+    )
+    scatter = {r["cluster"]: r["dsum"] / r["n_points"] for r in per}
+    sizes = {r["cluster"]: r["n_points"] for r in per}
+    med = {rank: vecv for rank, _vid, vecv, _sw in medoid_rows}
+    ranks = sorted(scatter)
+    sep = {
+        (i, j): math.sqrt(sum((a - b) ** 2 for a, b in zip(med[i], med[j])))
+        for i in ranks
+        for j in ranks
+        if i != j
+    }
+    out = []
+    ratios = {}
+    for i in ranks:
+        worst = max(
+            (scatter[i] + scatter[j]) / sep[(i, j)]
+            for j in ranks
+            if j != i and sep[(i, j)] > 0
+        )
+        ratios[i] = worst
+    db = sum(ratios.values()) / len(ranks)
+    for i in ranks:
+        out.append(
+            (
+                i,
+                sizes[i],
+                round(scatter[i], 6),
+                round(min(sep[(i, j)] for j in ranks if j != i), 6),
+                round(ratios[i], 6),
+                round(db, 6),
+            )
+        )
+    return spark.createDataFrame(out, empty)

@@ -4499,3 +4499,197 @@ def events_seasonal_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("none"))
         .alias("trend"),
     )
+
+
+# R/S analysis block sizes (dyadic ladder); a scale contributes only the
+# complete blocks the series covers.
+HURST_SCALES = (8, 16, 32, 64)
+
+
+@register(
+    "events_hurst_rs_estimate",
+    tags=("stats", "timeseries"),
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(count(*) AS BIGINT) AS x,
+             CAST(row_number() OVER (ORDER BY date_trunc('day', ts)) AS BIGINT)
+               AS rn
+      FROM events WHERE ts IS NOT NULL GROUP BY date_trunc('day', ts)
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM daily),
+    blocks AS (
+      SELECT w.w, (d.rn - 1) // w.w AS blk,
+             d.rn - ((d.rn - 1) // w.w) * w.w AS k, d.x
+      FROM daily d
+      CROSS JOIN (SELECT CAST(unnest([{", ".join(str(w) for w in HURST_SCALES)}])
+                    AS BIGINT) AS w) w
+      CROSS JOIN n
+      WHERE (d.rn - 1) // w.w < n.n_days // w.w
+    ),
+    bs AS (
+      SELECT w, blk, CAST(sum(x) AS BIGINT) AS s,
+             CAST(sum(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS sxx
+      FROM blocks GROUP BY 1, 2
+    ),
+    z AS (
+      SELECT b.w, b.blk,
+             CAST(b.w * sum(b.x) OVER (PARTITION BY b.w, b.blk ORDER BY b.k)
+                  - b.k * s.s AS BIGINT) AS zw
+      FROM blocks b JOIN bs s ON s.w = b.w AND s.blk = b.blk
+    ),
+    rs AS (
+      SELECT z.w, z.blk,
+             greatest(max(z.zw), 0) - least(min(z.zw), 0) AS rw
+      FROM z GROUP BY 1, 2
+    ),
+    per_block AS (
+      SELECT r.w,
+             CAST(r.rw AS DOUBLE)
+               / sqrt(CAST(b.w * b.sxx - CAST(b.s AS DECIMAL(38,0)) * b.s
+                           AS DOUBLE)) AS rs_ratio
+      FROM rs r JOIN bs b ON b.w = r.w AND b.blk = r.blk
+      WHERE b.w * b.sxx > CAST(b.s AS DECIMAL(38,0)) * b.s
+    ),
+    per_w AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS n_blocks,
+             CAST(sum(CAST(rs_ratio AS DECIMAL(20,15))) AS DOUBLE)
+               / count(*) AS mean_rs
+      FROM per_block GROUP BY 1
+    ),
+    pts AS (
+      SELECT CAST(CAST(ln(CAST(w AS DOUBLE)) AS DECIMAL(20,15)) AS DOUBLE)
+               AS lx,
+             CAST(CAST(ln(mean_rs) AS DECIMAL(20,15)) AS DOUBLE) AS ly
+      FROM per_w WHERE mean_rs > 0
+    ),
+    fit AS (
+      SELECT CAST(count(*) AS BIGINT) AS np,
+             CAST(sum(CAST(lx AS DECIMAL(25,15))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(ly AS DECIMAL(25,15))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(lx * ly AS DECIMAL(25,15))) AS DOUBLE) AS sxy,
+             CAST(sum(CAST(lx * lx AS DECIMAL(25,15))) AS DOUBLE) AS sxx
+      FROM pts
+    )
+    SELECT n.n_days,
+           {", ".join(f"round((SELECT mean_rs FROM per_w WHERE w = {w}), 6) AS rs_{w}" for w in HURST_SCALES)},
+           round((fit.np * fit.sxy - fit.sx * fit.sy)
+                 / nullif(fit.np * fit.sxx - fit.sx * fit.sx, 0), 6) AS hurst
+    FROM n CROSS JOIN fit
+    """,
+)
+def events_hurst_rs_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent of the daily event-count series by rescaled-range
+    analysis (Hurst 1951 / Mandelbrot-Wallis 1969): chop the day series
+    into complete blocks at the dyadic scales HURST_SCALES, compute each
+    block's rescaled range R/S (range of the cumulative mean-deviation
+    profile over the population std), average per scale, and read H as
+    the log-log OLS slope of mean R/S against block size. H ~ 0.5 is
+    memoryless, H > 0.5 long-range persistent (bursts beget bursts --
+    the traffic-self-similarity result that reshaped capacity
+    planning), H < 0.5 anti-persistent. The long-memory companion to
+    the short-lag ACF/PACF family and events_gap_memory_coefficient.
+
+    Exactness: the engines never compare ulp-fragile intermediates --
+    the deviation profile is kept in EXACT integers by
+    cross-multiplication (Z_k * w = w * cumsum_k - k * block_sum), so
+    R * w is an exact integer and R/S = (R * w) / sqrt(w * sum_x2 -
+    s^2) evaluates ONE shared double expression per block (the
+    variance term is an exact DECIMAL(38,0)); per-block ratios and the
+    two ln folds snap to DECIMAL before order-free sums; H is the
+    closed-form OLS slope rounded once. Zero-variance blocks are
+    excluded exactly (integer compare), and the k = 0 anchor Z_0 = 0
+    is included via the greatest/least-with-0 range.
+
+    Scale: the fact table folds to |days| counts; block assignment is
+    integer arithmetic on the day rank; the per-(scale, block) windows
+    ride the calendar-bounded day series x 4 scales; 1 row out."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.filter(F.col("ts").isNotNull())
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count("*").cast("bigint").alias("x"))
+        .select(
+            "x",
+            F.row_number().over(Window.orderBy("day")).cast("bigint").alias("rn"),
+        )
+        .localCheckpoint(eager=False)  # n fence + 4-scale explode
+    )
+    n = daily.agg(F.count("*").cast("bigint").alias("n_days"))
+    scales = F.explode(
+        F.array(*[F.lit(w).cast("bigint") for w in HURST_SCALES])
+    ).alias("w")
+    blocks = (
+        daily.crossJoin(F.broadcast(n))
+        .select("x", "rn", "n_days", scales)
+        .withColumn("blk", F.expr("(rn - 1) DIV w"))
+        .withColumn("k", F.col("rn") - F.col("blk") * F.col("w"))
+        .filter(F.col("blk") < F.expr("n_days DIV w"))
+        .drop("n_days")
+        .localCheckpoint(eager=False)  # block sums + profile windows
+    )
+    bs = blocks.groupBy("w", "blk").agg(
+        F.sum("x").cast("bigint").alias("s"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x"))
+        .cast("decimal(38,0)")
+        .alias("sxx"),
+    )
+    wb = Window.partitionBy("w", "blk").orderBy("k")
+    z = (
+        blocks.join(bs, ["w", "blk"])
+        .select(
+            "w",
+            "blk",
+            "s",
+            "sxx",
+            (
+                F.col("w") * F.sum("x").over(wb) - F.col("k") * F.col("s")
+            ).cast("bigint").alias("zw"),
+        )
+    )
+    rs = z.groupBy("w", "blk", "s", "sxx").agg(
+        (
+            F.greatest(F.max("zw"), F.lit(0)) - F.least(F.min("zw"), F.lit(0))
+        ).alias("rw")
+    )
+    ss = F.col("w") * F.col("sxx") - F.col("s").cast("decimal(38,0)") * F.col("s")
+    per_block = rs.filter(ss > 0).select(
+        "w",
+        (F.col("rw").cast("double") / F.sqrt(ss.cast("double"))).alias("rs_ratio"),
+    )
+    per_w = per_block.groupBy("w").agg(
+        F.count("*").cast("bigint").alias("n_blocks"),
+        (
+            F.sum(F.col("rs_ratio").cast("decimal(20,15)")).cast("double")
+            / F.count("*")
+        ).alias("mean_rs"),
+    ).localCheckpoint(eager=False)  # pivot columns + the ln fit
+    pts = per_w.filter(F.col("mean_rs") > 0).select(
+        F.log(F.col("w").cast("double")).cast("decimal(20,15)").cast("double").alias("lx"),
+        F.log("mean_rs").cast("decimal(20,15)").cast("double").alias("ly"),
+    )
+    fit = pts.agg(
+        F.count("*").cast("bigint").alias("np"),
+        F.sum(F.col("lx").cast("decimal(25,15)")).cast("double").alias("sx"),
+        F.sum(F.col("ly").cast("decimal(25,15)")).cast("double").alias("sy"),
+        F.sum((F.col("lx") * F.col("ly")).cast("decimal(25,15)")).cast("double").alias("sxy"),
+        F.sum((F.col("lx") * F.col("lx")).cast("decimal(25,15)")).cast("double").alias("sxx"),
+    )
+    npd = F.col("np").cast("double")
+    wide = per_w.groupBy().pivot("w", [str(w) for w in HURST_SCALES]).agg(
+        F.first("mean_rs")
+    )
+    for w in HURST_SCALES:
+        wide = wide.withColumnRenamed(str(w), f"_rs_{w}")
+    return (
+        n.crossJoin(F.broadcast(fit))
+        .crossJoin(F.broadcast(wide))
+        .select(
+            "n_days",
+            *[F.round(F.col(f"_rs_{w}"), 6).alias(f"rs_{w}") for w in HURST_SCALES],
+            F.round(
+                (npd * F.col("sxy") - F.col("sx") * F.col("sy"))
+                / F.nullif(npd * F.col("sxx") - F.col("sx") * F.col("sx"), F.lit(0.0)),
+                6,
+            ).alias("hurst"),
+        )
+    )

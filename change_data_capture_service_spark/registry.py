@@ -120,6 +120,11 @@ _CHECK_ORDER = [
     # round-14 wave 4: compressed-representation evals (oracle-checked)
     "dedup_bbit_minhash_eval",
     "embedding_jl_projection_distortion",
+    # wave 5: structural drift + survey sampling; wave 6: long memory + internal cluster eval
+    "cdc_schema_drift_audit",
+    "sample_systematic_interval",
+    "events_hurst_rs_estimate",
+    "cluster_davies_bouldin_eval",
 ]
 # Provenance: the round-13 window, fully attested by CORRECTNESS_r13
 # (44 hash-green + 6 rows-only-clean: text_textrank_keywords,

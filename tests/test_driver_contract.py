@@ -123,6 +123,11 @@ _R14_CHECK_WINDOW = [
     # wave 4: compressed-representation evals
     "dedup_bbit_minhash_eval",
     "embedding_jl_projection_distortion",
+    # wave 5: structural drift + survey sampling; wave 6: long memory + internal cluster eval
+    "cdc_schema_drift_audit",
+    "sample_systematic_interval",
+    "events_hurst_rs_estimate",
+    "cluster_davies_bouldin_eval",
 ]
 
 

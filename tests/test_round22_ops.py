@@ -311,3 +311,131 @@ def test_jl_distortion_band_and_identical_vectors(spark, sf_dir, tmp_path):
     p = registry.get("embedding_jl_projection_distortion").fn(spark, out).collect()[0]
     assert p["n_pairs"] == 2  # (0,1), (1,2); (2,3) drops as zero-distance
     assert p["min_ratio"] > 0
+
+
+def test_schema_drift_census_and_planted_variant(spark, sf_dir, tmp_path):
+    """Healthy fixture: one dominant variant per type with share 1; a
+    planted second key-set shows up as its own row with the right
+    first_seen, and invalid JSON lands in '<invalid>' instead of
+    dropping."""
+    rows = _rows(spark, sf_dir, "cdc_schema_drift_audit")
+    assert len(rows) >= 1
+    for r in rows:
+        assert 0 < r["share"] <= 1
+        assert r["first_seen"] <= r["last_seen"]
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for t, rs in by_type.items():
+        assert abs(sum(r["share"] for r in rs) - 1.0) < 1e-4
+        assert sum(r["is_dominant"] for r in rs) >= 1
+
+    ev = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1), 1, "view", None, '{"k": 1}'),
+            (2, datetime(2024, 1, 2), 1, "view", None, '{"k": 2}'),
+            (3, datetime(2024, 2, 1), 1, "view", None, '{"k": 3, "v2": "x"}'),
+            (4, datetime(2024, 2, 2), 1, "view", None, "not json"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = str(tmp_path / "drift")
+    ev.write.parquet(f"{out}/events.parquet")
+    got = {r["keyset"]: r for r in _rows(spark, out, "cdc_schema_drift_audit")}
+    assert set(got) == {"k", "k,v2", "<invalid>"}
+    assert got["k"]["is_dominant"] == 1 and got["k"]["n_events"] == 2
+    assert got["k,v2"]["first_seen"] == datetime(2024, 2, 1)
+    assert got["<invalid>"]["n_keys"] == 0
+
+
+def test_systematic_sampling_rate_and_composition(spark, sf_dir):
+    """The sample rate is ~1/k per source (exact on id-dense frames up
+    to boundary grain) and shares reconcile."""
+    rows = _rows(spark, sf_dir, "sample_systematic_interval")
+    assert len(rows) >= 2
+    tot_f = sum(r["n_frame"] for r in rows)
+    tot_s = sum(r["n_sample"] for r in rows)
+    assert abs(tot_s / tot_f - 0.1) < 0.02  # 1/k overall on the dense id frame
+    for r in rows:
+        assert 0 <= r["n_sample"] <= r["n_frame"]
+        if r["n_sample"] >= 5:
+            assert 0.5 < r["mean_chars_ratio"] < 2.0
+    assert abs(sum(r["frame_share"] for r in rows) - 1.0) < 1e-3
+    assert abs(sum(r["sample_share"] for r in rows) - 1.0) < 1e-3
+
+
+def test_hurst_bounds_and_planted_extremes(spark, sf_dir, tmp_path):
+    """Fixture H lands in (0, 1); planted: an i.i.d.-ish alternating
+    series reads anti-persistent (H well below 0.5), a strong linear
+    trend reads persistent (H near 1)."""
+    r = _rows(spark, sf_dir, "events_hurst_rs_estimate")[0]
+    assert r["n_days"] >= 16  # the CI fixture is sf0.001 (~30 days)
+    for w in (8, 16, 32, 64):
+        assert r[f"rs_{w}"] is None or r[f"rs_{w}"] > 0
+    assert r["rs_8"] is not None and r["rs_16"] is not None
+    assert r["hurst"] is not None and -0.5 < r["hurst"] < 1.5
+
+    def planted(vals, name):
+        rows = [
+            {
+                "event_id": i * 1000 + j,
+                "ts": datetime(2024, 1 + i // 28, 1 + i % 28, 12, 0),
+                "user_id": 1,
+                "event_type": "view",
+                "value": None,
+                "props": None,
+            }
+            for i, v in enumerate(vals)
+            for j in range(v)
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        )
+        out = str(tmp_path / name)
+        df.write.parquet(f"{out}/events.parquet")
+        return registry.get("events_hurst_rs_estimate").fn(spark, out).collect()[0]
+
+    anti = planted([5 + (i % 2) * 10 for i in range(112)], "anti")
+    trend = planted([1 + i for i in range(112)], "trend")
+    assert anti["hurst"] < 0.35
+    assert trend["hurst"] > 0.8
+    assert trend["hurst"] > anti["hurst"]
+
+
+def test_davies_bouldin_separation_orders_fits(spark, tmp_path):
+    """Well-separated planted clusters score a LOWER DB index than the
+    same data fit with overlapping centers; per-row invariants hold."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+
+    def corpus(sep, name):
+        rows = []
+        vid = 0
+        for c in range(4):
+            center = np.zeros(8)
+            center[c] = sep
+            for _ in range(25):
+                rows.append(
+                    (vid, (center + rng.normal(0, 0.05, 8)).astype("float32").tolist(), c)
+                )
+                vid += 1
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        )
+        out = str(tmp_path / name)
+        df.write.parquet(f"{out}/embeddings.parquet")
+        return registry.get("cluster_davies_bouldin_eval").fn(spark, out, k=4).collect()
+
+    tight = corpus(10.0, "tight")
+    loose = corpus(0.5, "loose")
+    assert len(tight) == 4
+    for r in tight:
+        assert r["scatter"] >= 0 and r["nearest_sep"] > 0
+        assert r["worst_ratio"] > 0
+        assert r["db_index"] == tight[0]["db_index"]  # panel constant
+    assert tight[0]["db_index"] < loose[0]["db_index"]
+    assert tight[0]["db_index"] < 0.2  # separation 10 vs noise 0.05

@@ -89,6 +89,7 @@ def test_rows_only_set_is_exactly_the_documented_one():
         "text_mtld_lexical_diversity",  # order-sequential factor walk; robustness gates in test_round21_ops
         "graph_modularity_eval",  # grades the iterative LPA fit; clique gates in test_round21_ops
         "events_spectral_top_periods",  # libm trig kernels differ per engine; planted-cycle gates in test_round21_ops
+        "cluster_davies_bouldin_eval",  # grades the iterative PAM fit; separation gates in test_round22_ops
     }, rows_only
 
 
