@@ -7914,3 +7914,182 @@ def customer_clumpiness_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+# Shared expression TEXTS for the Bass OLS (both engines evaluate the
+# identical IEEE tree over exact-integer sums, so the doubles agree
+# bit-for-bit). Column names: nn sx sx2 sx3 sx4 sy sxy sx2y.
+_BASS_DET = (
+    "(nn * (sx2 * sx4 - sx3 * sx3) - sx * (sx * sx4 - sx3 * sx2)"
+    " + sx2 * (sx * sx3 - sx2 * sx2))"
+)
+_BASS_A = (
+    "((sy * (sx2 * sx4 - sx3 * sx3) - sx * (sxy * sx4 - sx3 * sx2y)"
+    f" + sx2 * (sxy * sx3 - sx2 * sx2y)) / {_BASS_DET})"
+)
+_BASS_B = (
+    "((nn * (sxy * sx4 - sx2y * sx3) - sy * (sx * sx4 - sx3 * sx2)"
+    f" + sx2 * (sx * sx2y - sx2 * sxy)) / {_BASS_DET})"
+)
+_BASS_C = (
+    "((nn * (sx2 * sx2y - sx3 * sxy) - sx * (sx * sx2y - sx2 * sxy)"
+    f" + sy * (sx * sx3 - sx2 * sx2)) / {_BASS_DET})"
+)
+# implied Bass parameters: m from the positive root of c m^2 + b m + a,
+# p = a / m, q = -c * m; all guarded on c < 0 and a positive discriminant.
+_BASS_GUARD = f"({_BASS_C} < 0 AND {_BASS_B} * {_BASS_B} - 4 * {_BASS_A} * {_BASS_C} > 0)"
+_BASS_M = (
+    f"((-{_BASS_B} - sqrt({_BASS_B} * {_BASS_B} - 4 * {_BASS_A} * {_BASS_C}))"
+    f" / (2 * {_BASS_C}))"
+)
+
+
+@register(
+    "customer_bass_diffusion_fit",
+    tags=("warehouse", "analytics"),
+    oracle=f"""
+    WITH fm AS (
+      SELECT o_custkey,
+             CAST(min(CAST(extract(year FROM o_orderdate) AS BIGINT) * 12
+                      + CAST(extract(month FROM o_orderdate) AS BIGINT) - 1)
+               AS BIGINT) AS idx
+      FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
+    ),
+    mo AS (
+      SELECT idx, CAST(count(*) AS BIGINT) AS y FROM fm GROUP BY 1
+    ),
+    cum AS (
+      SELECT idx, y,
+             CAST(coalesce(sum(y) OVER (ORDER BY idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS x
+      FROM mo
+    ),
+    s AS (
+      SELECT CAST(count(*) AS DOUBLE) AS nn,
+             CAST(CAST(sum(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0))
+               AS DOUBLE) AS sx,
+             CAST(CAST(sum(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0))
+               AS DOUBLE) AS sx2,
+             CAST(CAST(sum(CAST(x AS DECIMAL(38,0)) * x * x) AS DECIMAL(38,0))
+               AS DOUBLE) AS sx3,
+             CAST(CAST(sum(CAST(x AS DECIMAL(38,0)) * x * x * x)
+               AS DECIMAL(38,0)) AS DOUBLE) AS sx4,
+             CAST(CAST(sum(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0))
+               AS DOUBLE) AS sy,
+             CAST(CAST(sum(CAST(x AS DECIMAL(38,0)) * y) AS DECIMAL(38,0))
+               AS DOUBLE) AS sxy,
+             CAST(CAST(sum(CAST(x AS DECIMAL(38,0)) * x * y) AS DECIMAL(38,0))
+               AS DOUBLE) AS sx2y,
+             CAST(sum(y) AS BIGINT) AS total_adopters
+      FROM cum
+    )
+    SELECT CAST(nn AS BIGINT) AS n_months, total_adopters,
+           round({_BASS_A}, 6) AS coef_a,
+           round({_BASS_B}, 6) AS coef_b,
+           round({_BASS_C}, 6) + 0.0 AS coef_c,
+           round(CASE WHEN {_BASS_GUARD} THEN {_BASS_M} END, 6) AS market_m,
+           round(CASE WHEN {_BASS_GUARD} THEN {_BASS_A} / {_BASS_M} END, 6)
+             AS p_innovation,
+           round(CASE WHEN {_BASS_GUARD} THEN -{_BASS_C} * {_BASS_M} END, 6)
+             AS q_imitation,
+           round(CASE WHEN {_BASS_GUARD}
+                      AND {_BASS_A} / {_BASS_M} > 0
+                      AND -{_BASS_C} * {_BASS_M} > 0
+                 THEN ln((-{_BASS_C} * {_BASS_M}) / ({_BASS_A} / {_BASS_M}))
+                      / ({_BASS_A} / {_BASS_M} + -{_BASS_C} * {_BASS_M}) END,
+                 6) AS peak_month
+    FROM s
+    """,
+)
+def customer_bass_diffusion_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bass diffusion fit of customer acquisition (Bass 1969, via the
+    discrete OLS estimation the original paper used): monthly NEW
+    customers n_t regress on cumulative adopters N_(t-1) and its square
+    -- n_t = a + b N + c N^2 -- and the coefficient roots recover the
+    market size m (positive root of c m^2 + b m + a), innovation rate
+    p = a/m (adoption from outside influence), imitation rate q = -c m
+    (adoption driven by existing adopters), and the implied peak-
+    adoption month ln(q/p)/(p+q) relative to launch (negative = the
+    peak was at launch, an innovation-dominated rollout). The
+    forecasting complement to customer_growth_accounting_monthly: the
+    bridge COUNTS transitions, Bass fits WHERE the ceiling is -- m vs
+    customers-to-date is the remaining-headroom read.
+
+    Exactness: adopter counts and all eight OLS moments are exact
+    integers accumulated in DECIMAL(38,0) (X^4 terms stay under 38
+    digits through ~10^8 cumulative adopters; beyond that, center X
+    first); the Cramer's-rule solve and the root/parameter algebra
+    evaluate ONE shared IEEE expression text on both engines; non-Bass
+    shapes (c >= 0 or negative discriminant) yield NULL parameters by
+    exact guard instead of complex roots.
+
+    Scale: the fact table reduces to first-order months (custkey
+    partial agg), then |months| rows; the prefix window and the OLS
+    fold are calendar-bounded; 1 row out."""
+    o = load_table(spark, sf_dir, "orders")
+    idx = (
+        F.year("o_orderdate").cast("bigint") * 12
+        + F.month("o_orderdate").cast("bigint")
+        - 1
+    )
+    fm = (
+        o.filter(F.col("o_orderdate").isNotNull())
+        .select("o_custkey", idx.alias("idx"))
+        .groupBy("o_custkey")
+        .agg(F.min("idx").cast("bigint").alias("idx"))
+    )
+    mo = fm.groupBy("idx").agg(F.count("*").cast("bigint").alias("y"))
+    w = Window.orderBy("idx").rowsBetween(Window.unboundedPreceding, -1)
+    cum = mo.select(
+        "idx",
+        "y",
+        F.coalesce(F.sum("y").over(w), F.lit(0)).cast("bigint").alias("x"),
+    )
+    xd = F.col("x").cast("decimal(38,0)")
+    s = cum.agg(
+        F.count("*").cast("double").alias("nn"),
+        F.sum(xd).cast("decimal(38,0)").cast("double").alias("sx"),
+        F.sum(xd * F.col("x")).cast("decimal(38,0)").cast("double").alias("sx2"),
+        F.sum(xd * F.col("x") * F.col("x")).cast("decimal(38,0)").cast("double").alias("sx3"),
+        F.sum(xd * F.col("x") * F.col("x") * F.col("x"))
+        .cast("decimal(38,0)")
+        .cast("double")
+        .alias("sx4"),
+        F.sum(F.col("y").cast("decimal(38,0)")).cast("decimal(38,0)").cast("double").alias("sy"),
+        F.sum(xd * F.col("y")).cast("decimal(38,0)").cast("double").alias("sxy"),
+        F.sum(xd * F.col("x") * F.col("y"))
+        .cast("decimal(38,0)")
+        .cast("double")
+        .alias("sx2y"),
+        F.sum("y").cast("bigint").alias("total_adopters"),
+    )
+    return s.select(
+        F.col("nn").cast("bigint").alias("n_months"),
+        "total_adopters",
+        F.round(F.expr(_BASS_A), 6).alias("coef_a"),
+        F.round(F.expr(_BASS_B), 6).alias("coef_b"),
+        (F.round(F.expr(_BASS_C), 6) + 0.0).alias("coef_c"),
+        F.round(
+            F.when(F.expr(_BASS_GUARD), F.expr(_BASS_M)), 6
+        ).alias("market_m"),
+        F.round(
+            F.when(F.expr(_BASS_GUARD), F.expr(f"{_BASS_A} / {_BASS_M}")), 6
+        ).alias("p_innovation"),
+        F.round(
+            F.when(F.expr(_BASS_GUARD), F.expr(f"-{_BASS_C} * {_BASS_M}")), 6
+        ).alias("q_imitation"),
+        F.round(
+            F.when(
+                F.expr(
+                    f"{_BASS_GUARD} AND {_BASS_A} / {_BASS_M} > 0"
+                    f" AND -{_BASS_C} * {_BASS_M} > 0"
+                ),
+                F.expr(
+                    f"ln((-{_BASS_C} * {_BASS_M}) / ({_BASS_A} / {_BASS_M}))"
+                    f" / ({_BASS_A} / {_BASS_M} + -{_BASS_C} * {_BASS_M})"
+                ),
+            ),
+            6,
+        ).alias("peak_month"),
+    )

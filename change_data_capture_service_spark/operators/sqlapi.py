@@ -300,3 +300,60 @@ def sqlapi_distinct_on_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
     columns so both engines hash identical values."""
     register_views(spark, sf_dir, ["orders"])
     return spark.sql(_DISTINCT_ON_SPARK_SQL)
+
+
+_ASOF_DUCK_SQL = """
+WITH clicks AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'click' AND ts IS NOT NULL
+),
+purch AS (
+  SELECT event_id, user_id, ts FROM events
+  WHERE event_type = 'purchase' AND ts IS NOT NULL
+)
+SELECT p.event_id, p.user_id, p.ts, c.ts AS last_click_ts
+FROM purch p ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND c.ts <= p.ts
+ORDER BY p.event_id
+"""
+
+_ASOF_SPARK_SQL = """
+SELECT event_id, user_id, ts, last_click_ts
+FROM (
+  SELECT event_id, user_id, ts, event_type,
+         max(CASE WHEN event_type = 'click' THEN ts END)
+           OVER (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS last_click_ts
+  FROM events WHERE ts IS NOT NULL
+) t
+WHERE event_type = 'purchase'
+ORDER BY event_id
+"""
+
+
+@register("sqlapi_asof_dialect", tags=("sqlapi",), oracle=_ASOF_DUCK_SQL)
+def sqlapi_asof_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join, ASOF-dialect parity: the oracle runs
+    DuckDB's native ``ASOF LEFT JOIN`` (the kdb+-lineage syntax
+    Postgres lacks and DuckDB added), the engine runs the running-max
+    RANGE-window form Spark parses -- for each purchase, the latest
+    click at-or-before it from the same user, NULL when none exists
+    (the LEFT semantics). The migration recipe both directions: teams
+    leaving a native-ASOF engine get the window rewrite, teams arriving
+    get the native form; the driver's value hash pins that the two
+    texts are the same query. Completes the dialect-recipe catalog:
+    QUALIFY (ranked filters), DISTINCT ON (first-row-per-key), ASOF
+    (temporal alignment).
+
+    Tie semantics, made identical on purpose: ASOF's c.ts <= p.ts is
+    INCLUSIVE, so the Spark window uses a RANGE frame ordered by ts
+    alone (a ROWS frame with an id tiebreak would exclude a same-
+    timestamp click sorted after the purchase -- the dialect split this
+    key exists to document). The aligned value is the click's ts
+    itself, so equal-ts click multiplicity cannot introduce
+    nondeterminism.
+
+    Scale: one keyed window shuffle (the join_asof composition rule);
+    no range explosion, no per-group pandas."""
+    register_views(spark, sf_dir, ["events"])
+    return spark.sql(_ASOF_SPARK_SQL)

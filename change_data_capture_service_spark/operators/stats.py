@@ -4693,3 +4693,149 @@ def events_hurst_rs_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("hurst"),
         )
     )
+
+
+@register(
+    "events_allan_variance",
+    tags=("stats", "timeseries"),
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(count(*) AS BIGINT) AS x,
+             CAST(row_number() OVER (ORDER BY date_trunc('day', ts)) AS BIGINT)
+               AS rn
+      FROM events WHERE ts IS NOT NULL GROUP BY date_trunc('day', ts)
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM daily),
+    bs AS (
+      SELECT w.w, (d.rn - 1) // w.w AS blk, CAST(sum(d.x) AS BIGINT) AS s
+      FROM daily d
+      CROSS JOIN (SELECT CAST(unnest([{", ".join(str(w) for w in HURST_SCALES)}])
+                    AS BIGINT) AS w) w
+      CROSS JOIN n
+      WHERE (d.rn - 1) // w.w < n.n_days // w.w
+      GROUP BY 1, 2
+    ),
+    diffs AS (
+      SELECT a.w, CAST((b.s - a.s) * (b.s - a.s) AS DECIMAL(38,0)) AS d2
+      FROM bs a JOIN bs b ON b.w = a.w AND b.blk = a.blk + 1
+    ),
+    av AS (
+      SELECT w, CAST(count(*) AS BIGINT) + 1 AS n_blocks,
+             CAST(sum(d2) AS DOUBLE)
+               / (2.0 * count(*) * w * w) AS avar
+      FROM diffs GROUP BY 1
+    ),
+    pts AS (
+      SELECT CAST(CAST(ln(CAST(w AS DOUBLE)) AS DECIMAL(20,15)) AS DOUBLE)
+               AS lx,
+             CAST(CAST(ln(avar) AS DECIMAL(20,15)) AS DOUBLE) AS ly
+      FROM av WHERE avar > 0
+    ),
+    fit AS (
+      SELECT CAST(count(*) AS BIGINT) AS np,
+             CAST(sum(CAST(lx AS DECIMAL(25,15))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(ly AS DECIMAL(25,15))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(lx * ly AS DECIMAL(25,15))) AS DOUBLE) AS sxy,
+             CAST(sum(CAST(lx * lx AS DECIMAL(25,15))) AS DOUBLE) AS sxx
+      FROM pts
+    )
+    SELECT av.w, av.n_blocks,
+           round(av.avar, 6) AS avar,
+           round(sqrt(av.avar), 6) AS adev,
+           round((fit.np * fit.sxy - fit.sx * fit.sy)
+                 / nullif(fit.np * fit.sxx - fit.sx * fit.sx, 0), 6)
+             AS loglog_slope
+    FROM av CROSS JOIN fit
+    ORDER BY av.w
+    """,
+)
+def events_allan_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Allan variance of the daily event-count series at the dyadic
+    block scales (Allan 1966, the frequency-stability standard): AVAR(w)
+    = mean of squared consecutive block-mean differences / 2. The
+    log-log slope across scales IDENTIFIES the noise type the way no
+    single-variance read can -- slope -1 is white (uncorrelated) noise
+    averaging down as expected, slope 0 is flicker noise (a floor
+    that more averaging cannot beat -- the signature of slow drift),
+    positive slopes are random-walk drift. The drift-triage companion
+    to events_hurst_rs_estimate (H reads long-memory of the SAME
+    series; Allan reads WHERE averaging stops helping) and the
+    multi-scale upgrade of events_variance_time_ratio.
+
+    Exactness: block sums are exact integers; squared differences
+    accumulate in DECIMAL(38,0) ((s_{{i+1}} - s_i)^2 = (w m_{{i+1}} - w
+    m_i)^2 keeps the mean difference cross-multiplied exact); AVAR
+    divides once by 2(M-1)w^2; the slope snaps each ln to DECIMAL
+    before the closed-form OLS.
+
+    Scale: the fact table folds to |days| counts; block sums are a
+    calendar-bounded agg per scale; 4 rows out."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.filter(F.col("ts").isNotNull())
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count("*").cast("bigint").alias("x"))
+        .select(
+            "x",
+            F.row_number().over(Window.orderBy("day")).cast("bigint").alias("rn"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    n = daily.agg(F.count("*").cast("bigint").alias("n_days"))
+    scales = F.explode(
+        F.array(*[F.lit(w).cast("bigint") for w in HURST_SCALES])
+    ).alias("w")
+    bs = (
+        daily.crossJoin(F.broadcast(n))
+        .select("x", "rn", "n_days", scales)
+        .withColumn("blk", F.expr("(rn - 1) DIV w"))
+        .filter(F.col("blk") < F.expr("n_days DIV w"))
+        .groupBy("w", "blk")
+        .agg(F.sum("x").cast("bigint").alias("s"))
+        .localCheckpoint(eager=False)  # both sides of the consecutive join
+    )
+    b = bs.select(
+        F.col("w").alias("b_w"), F.col("blk").alias("b_blk"), F.col("s").alias("b_s")
+    )
+    diffs = bs.join(
+        b, (F.col("b_w") == F.col("w")) & (F.col("b_blk") == F.col("blk") + 1)
+    ).select(
+        "w",
+        ((F.col("b_s") - F.col("s")) * (F.col("b_s") - F.col("s")))
+        .cast("decimal(38,0)")
+        .alias("d2"),
+    )
+    av = diffs.groupBy("w").agg(
+        (F.count("*") + 1).cast("bigint").alias("n_blocks"),
+        (
+            F.sum("d2").cast("double")
+            / (2.0 * F.count("*") * F.col("w") * F.col("w"))
+        ).alias("avar"),
+    ).localCheckpoint(eager=False)  # rows + the ln fit
+    pts = av.filter(F.col("avar") > 0).select(
+        F.log(F.col("w").cast("double")).cast("decimal(20,15)").cast("double").alias("lx"),
+        F.log("avar").cast("decimal(20,15)").cast("double").alias("ly"),
+    )
+    fit = pts.agg(
+        F.count("*").cast("bigint").alias("np"),
+        F.sum(F.col("lx").cast("decimal(25,15)")).cast("double").alias("sx"),
+        F.sum(F.col("ly").cast("decimal(25,15)")).cast("double").alias("sy"),
+        F.sum((F.col("lx") * F.col("ly")).cast("decimal(25,15)")).cast("double").alias("sxy"),
+        F.sum((F.col("lx") * F.col("lx")).cast("decimal(25,15)")).cast("double").alias("sxx"),
+    )
+    npd = F.col("np").cast("double")
+    return (
+        av.crossJoin(F.broadcast(fit))
+        .select(
+            "w",
+            "n_blocks",
+            F.round("avar", 6).alias("avar"),
+            F.round(F.sqrt("avar"), 6).alias("adev"),
+            F.round(
+                (npd * F.col("sxy") - F.col("sx") * F.col("sy"))
+                / F.nullif(npd * F.col("sxx") - F.col("sx") * F.col("sx"), F.lit(0.0)),
+                6,
+            ).alias("loglog_slope"),
+        )
+        .orderBy("w")
+    )

@@ -125,6 +125,10 @@ _CHECK_ORDER = [
     "sample_systematic_interval",
     "events_hurst_rs_estimate",
     "cluster_davies_bouldin_eval",
+    # wave 7: temporal alignment dialect, drift triage, diffusion forecasting
+    "sqlapi_asof_dialect",
+    "events_allan_variance",
+    "customer_bass_diffusion_fit",
 ]
 # Provenance: the round-13 window, fully attested by CORRECTNESS_r13
 # (44 hash-green + 6 rows-only-clean: text_textrank_keywords,

@@ -128,6 +128,10 @@ _R14_CHECK_WINDOW = [
     "sample_systematic_interval",
     "events_hurst_rs_estimate",
     "cluster_davies_bouldin_eval",
+    # wave 7: temporal alignment dialect, drift triage, diffusion forecasting
+    "sqlapi_asof_dialect",
+    "events_allan_variance",
+    "customer_bass_diffusion_fit",
 ]
 
 

@@ -439,3 +439,114 @@ def test_davies_bouldin_separation_orders_fits(spark, tmp_path):
         assert r["db_index"] == tight[0]["db_index"]  # panel constant
     assert tight[0]["db_index"] < loose[0]["db_index"]
     assert tight[0]["db_index"] < 0.2  # separation 10 vs noise 0.05
+
+
+def test_asof_dialect_matches_manual_asof(spark, sf_dir):
+    """The window-form ASOF equals a hand-computed per-row backward
+    lookup on a sample, and every non-null alignment is <= its purchase
+    ts (the inclusive contract)."""
+    rows = _rows(spark, sf_dir, "sqlapi_asof_dialect")
+    assert len(rows) >= 10
+    n_null = 0
+    for r in rows:
+        if r["last_click_ts"] is None:
+            n_null += 1
+        else:
+            assert r["last_click_ts"] <= r["ts"]
+    from change_data_capture_service_spark.catalog import load_table
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    clicks = {}
+    for c in e.filter(F.col("event_type") == "click").select("user_id", "ts").collect():
+        clicks.setdefault(c["user_id"], []).append(c["ts"])
+    for u in clicks:
+        clicks[u].sort()
+    import bisect
+
+    for r in rows[:50]:
+        ts_list = clicks.get(r["user_id"], [])
+        i = bisect.bisect_right(ts_list, r["ts"])
+        want = ts_list[i - 1] if i else None
+        assert r["last_click_ts"] == want, (r, want)
+
+
+def test_allan_variance_white_noise_slope(spark, sf_dir, tmp_path):
+    """Fixture rows are positive with a shared slope column; a planted
+    alternating (white-ish) series averages down with slope near -1,
+    and a planted linear drift has a POSITIVE slope (random-walk-like
+    dominance at long tau)."""
+    rows = _rows(spark, sf_dir, "events_allan_variance")
+    assert len(rows) >= 1
+    for r in rows:
+        assert r["avar"] >= 0 and abs(r["adev"] - r["avar"] ** 0.5) < 1e-4
+        assert r["loglog_slope"] == rows[0]["loglog_slope"]
+
+    def planted(vals, name):
+        recs = [
+            {
+                "event_id": i * 1000 + j,
+                "ts": datetime(2024, 1 + i // 28, 1 + i % 28, 12, 0),
+                "user_id": 1,
+                "event_type": "view",
+                "value": None,
+                "props": None,
+            }
+            for i, v in enumerate(vals)
+            for j in range(v)
+        ]
+        df = spark.createDataFrame(
+            recs,
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        )
+        out = str(tmp_path / name)
+        df.write.parquet(f"{out}/events.parquet")
+        return registry.get("events_allan_variance").fn(spark, out).collect()
+
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    white = planted([int(v) for v in rng.integers(1, 40, 128)], "white")
+    drift = planted([1 + i for i in range(128)], "drift")
+    assert white[0]["loglog_slope"] < -0.5  # i.i.d.: avar ~ 1/tau
+    assert drift[0]["loglog_slope"] > 0.5  # drift: avar grows with tau
+
+
+def test_bass_fit_recovers_planted_diffusion(spark, sf_dir, tmp_path):
+    """Fixture: coefficients exist and m >= adopters-to-date when the
+    guard passes. Planted: a synthetic Bass adoption path (p=.03, q=.4,
+    m=1000) fit back within loose tolerance -- the discrete OLS is the
+    textbook estimator, biased small-sample but directionally exact."""
+    r = _rows(spark, sf_dir, "customer_bass_diffusion_fit")[0]
+    assert r["n_months"] >= 12
+    if r["market_m"] is not None:
+        assert r["market_m"] >= r["total_adopters"] * 0.5
+
+    p_true, q_true, m_true = 0.03, 0.4, 1000.0
+    N = 0.0
+    rows_in = []
+    ck = 0
+    for t in range(30):
+        n_t = max(0, round((p_true + q_true * N / m_true) * (m_true - N)))
+        N += n_t
+        for _ in range(int(n_t)):
+            ck += 1
+            rows_in.append(
+                {
+                    "o_orderkey": ck,
+                    "o_custkey": ck,
+                    "o_orderdate": datetime(2020 + t // 12, 1 + t % 12, 15),
+                    "o_totalprice": 10.0,
+                    "o_orderpriority": "1-URGENT",
+                    "o_orderstatus": "O",
+                }
+            )
+    df = spark.createDataFrame(rows_in)
+    out = str(tmp_path / "bass")
+    df.write.parquet(f"{out}/orders.parquet")
+    g = registry.get("customer_bass_diffusion_fit").fn(spark, out).collect()[0]
+    assert g["market_m"] is not None
+    assert abs(g["market_m"] - m_true) / m_true < 0.15
+    assert abs(g["q_imitation"] - q_true) < 0.15
+    assert 0 < g["p_innovation"] < 0.1
+    assert g["peak_month"] > 0  # imitation-dominated: peak after launch
