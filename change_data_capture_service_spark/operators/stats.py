@@ -4839,3 +4839,158 @@ def events_allan_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("w")
     )
+
+
+@register(
+    "events_extremal_index_runs",
+    tags=("stats", "timeseries"),
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(count(*) AS BIGINT) AS x,
+             CAST(row_number() OVER (ORDER BY date_trunc('day', ts)) AS BIGINT)
+               AS rn
+      FROM events WHERE ts IS NOT NULL GROUP BY date_trunc('day', ts)
+    ),
+    rk AS (
+      SELECT x, rn,
+             CAST(row_number() OVER (ORDER BY x) AS BIGINT) AS xr,
+             CAST(count(*) OVER () AS BIGINT) AS n
+      FROM daily
+    ),
+    thr AS (
+      SELECT (100 * lo.x + ((90 * (lo.n - 1)) % 100) * (hi.x - lo.x)) // 100
+               AS u
+      FROM rk lo JOIN rk hi
+        ON lo.xr = (90 * (lo.n - 1)) // 100 + 1
+       AND hi.xr = CASE WHEN (90 * (lo.n - 1)) % 100 = 0
+                        THEN lo.xr ELSE lo.xr + 1 END
+    ),
+    exc AS (
+      SELECT d.rn,
+             CASE WHEN d.x > t.u THEN 1 ELSE 0 END AS e
+      FROM daily d CROSS JOIN thr t
+    ),
+    marks AS (
+      SELECT rn, e,
+             CASE WHEN e = 1 AND coalesce(lag(e) OVER (ORDER BY rn), 0) = 0
+                  THEN 1 ELSE 0 END AS new_cluster
+      FROM exc
+    ),
+    runs AS (
+      SELECT rn, e,
+             CAST(sum(new_cluster) OVER (ORDER BY rn) AS BIGINT) AS cid
+      FROM marks
+    ),
+    cl AS (
+      SELECT cid, CAST(count(*) AS BIGINT) AS len
+      FROM runs WHERE e = 1 GROUP BY 1
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_clusters,
+             CAST(sum(len) AS BIGINT) AS n_exceed,
+             CAST(max(len) AS BIGINT) AS max_len
+      FROM cl
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM daily) AS n_days,
+           CAST(t.u AS BIGINT) AS threshold,
+           a.n_exceed, a.n_clusters,
+           round(CAST(a.n_clusters AS DOUBLE) / nullif(a.n_exceed, 0), 6)
+             AS theta,
+           round(CAST(a.n_exceed AS DOUBLE) / nullif(a.n_clusters, 0), 6)
+             AS mean_cluster_len,
+           a.max_len AS max_cluster_len
+    FROM agg a CROSS JOIN thr t
+    """,
+)
+def events_extremal_index_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extremal index of the daily event-count series by the runs
+    estimator (Leadbetter 1983; the EVT quantity that says whether
+    extremes arrive ALONE or in CLUSTERS): exceedances over the exact-
+    interp 90th-percentile threshold group into maximal consecutive-day
+    runs, and theta = clusters / exceedances in (0, 1] -- theta = 1
+    means independent extremes (each overload day is its own incident),
+    theta -> 0 means extremes clump (one trigger, multi-day pile-up),
+    and 1/theta is the mean incident duration capacity planning should
+    budget for. Completes the tail family: Hill/Pareto fit the tail's
+    SIZE, VaR/ES price it, Grubbs flags points -- this measures the
+    tail's temporal DEPENDENCE, which none of them see.
+
+    Exactness: the threshold is the shared exact-interp rational over
+    integer order statistics; exceedance flags, run segmentation (the
+    lag + prefix-sum cluster-id recipe), and all counts are exact
+    integers; theta divides once at 6dp.
+
+    Scale: the fact table folds to |days| counts; the rank and run
+    windows ride the calendar-bounded day series; 1 row out."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.filter(F.col("ts").isNotNull())
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count("*").cast("bigint").alias("x"))
+        .select(
+            "x",
+            F.row_number().over(Window.orderBy("day")).cast("bigint").alias("rn"),
+        )
+        .localCheckpoint(eager=False)  # threshold rank + exceedance scan
+    )
+    rk = daily.select(
+        "x",
+        "rn",
+        F.row_number().over(Window.orderBy("x", "rn")).cast("bigint").alias("xr"),
+        F.count("*").over(Window.partitionBy()).cast("bigint").alias("n"),
+    ).localCheckpoint(eager=False)
+    lo = rk.filter(F.col("xr") == F.expr("(90 * (n - 1)) DIV 100 + 1")).select(
+        F.col("x").alias("x_lo"), F.expr("(90 * (n - 1)) % 100").alias("rem"), "n"
+    )
+    hi = rk.select(F.col("xr").alias("xr2"), F.col("x").alias("x_hi"))
+    thr = lo.join(
+        hi,
+        F.col("xr2")
+        == F.when(
+            F.col("rem") == 0, F.expr("(90 * (n - 1)) DIV 100 + 1")
+        ).otherwise(F.expr("(90 * (n - 1)) DIV 100 + 2")),
+    ).select(
+        F.expr("(100 * x_lo + rem * (x_hi - x_lo)) DIV 100").alias("u")
+    )
+    exc = daily.crossJoin(F.broadcast(thr)).select(
+        "rn", F.when(F.col("x") > F.col("u"), 1).otherwise(0).alias("e"), "u"
+    )
+    wo = Window.orderBy("rn")
+    marks = exc.select(
+        "rn",
+        "e",
+        "u",
+        F.when(
+            (F.col("e") == 1) & (F.coalesce(F.lag("e").over(wo), F.lit(0)) == 0),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_cluster"),
+    )
+    runs = marks.select(
+        "rn", "e", "u", F.sum("new_cluster").over(wo).cast("bigint").alias("cid")
+    )
+    cl = runs.filter(F.col("e") == 1).groupBy("cid", "u").agg(
+        F.count("*").cast("bigint").alias("len")
+    )
+    agg = cl.groupBy("u").agg(
+        F.count("*").cast("bigint").alias("n_clusters"),
+        F.sum("len").cast("bigint").alias("n_exceed"),
+        F.max("len").cast("bigint").alias("max_len"),
+    )
+    nd = daily.agg(F.count("*").cast("bigint").alias("n_days"))
+    return nd.crossJoin(F.broadcast(agg)).select(
+        "n_days",
+        F.col("u").cast("bigint").alias("threshold"),
+        "n_exceed",
+        "n_clusters",
+        F.round(
+            F.col("n_clusters").cast("double") / F.nullif(F.col("n_exceed"), F.lit(0)),
+            6,
+        ).alias("theta"),
+        F.round(
+            F.col("n_exceed").cast("double") / F.nullif(F.col("n_clusters"), F.lit(0)),
+            6,
+        ).alias("mean_cluster_len"),
+        F.col("max_len").alias("max_cluster_len"),
+    )

@@ -129,6 +129,8 @@ _CHECK_ORDER = [
     "sqlapi_asof_dialect",
     "events_allan_variance",
     "customer_bass_diffusion_fit",
+    # wave 8: extreme-value temporal dependence
+    "events_extremal_index_runs",
 ]
 # Provenance: the round-13 window, fully attested by CORRECTNESS_r13
 # (44 hash-green + 6 rows-only-clean: text_textrank_keywords,

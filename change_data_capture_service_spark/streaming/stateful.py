@@ -680,3 +680,148 @@ def growth_accounting_finish(panel: DataFrame) -> DataFrame:
         )
         .orderBy("month_start")
     )
+
+
+SCHEMA_DRIFT_OUTPUT_SCHEMA = (
+    "event_type string, keyset string, n_keys long, n_events long,"
+    " n_days long, first_seen timestamp, last_seen timestamp"
+)
+SCHEMA_DRIFT_STATE_SCHEMA = (
+    "n_events long, n_days long, first_us long, last_us long, last_day_us long"
+)
+
+_US = 1_000_000
+
+
+def _schema_drift_fn(key, pdfs, state):
+    """Per-(event_type, keyset) variant tracker: O(1) state =
+    (event count, distinct-day count, first/last sighting, last day
+    seen). Day counting rides the time-ordered-arrival contract
+    (gap_sla_stream discipline): a new distinct day can only arrive
+    AFTER the last one, so one carried day timestamp suffices -- no
+    unbounded day set. Emits the updated census row each batch the
+    variant appears in (update mode); the LAST emission per variant is
+    the drained truth."""
+    import pandas as pd
+
+    n_events, n_days, first_us, last_us, last_day_us = (
+        state.get if state.exists else (0, 0, None, None, None)
+    )
+    n_keys = None
+    for pdf in pdfs:
+        if pdf.empty:
+            continue
+        n_keys = int(pdf["n_keys"].iloc[0])
+        for ts in pdf["ts"]:
+            us = int(ts.value // 1000)  # pandas ns -> us
+            day_us = us - us % (86_400 * _US)
+            n_events += 1
+            if first_us is None or us < first_us:
+                first_us = us
+            if last_us is None or us > last_us:
+                last_us = us
+            if last_day_us is None or day_us > last_day_us:
+                n_days += 1
+                last_day_us = day_us
+    state.update((n_events, n_days, first_us, last_us, last_day_us))
+    if n_keys is None:
+        return
+    day_first = first_us - first_us % (86_400 * _US)
+    day_last = last_us - last_us % (86_400 * _US)
+    yield pd.DataFrame(
+        [
+            (
+                key[0],
+                key[1],
+                n_keys,
+                n_events,
+                n_days,
+                pd.Timestamp(day_first, unit="us"),
+                pd.Timestamp(day_last, unit="us"),
+            )
+        ],
+        columns=[
+            "event_type", "keyset", "n_keys", "n_events", "n_days",
+            "first_seen", "last_seen",
+        ],
+    )
+
+
+def schema_drift_stream(events_stream: DataFrame) -> DataFrame:
+    """Continuous payload-schema drift census (applyInPandasWithState,
+    update mode): the streaming twin of the batch
+    ``cdc_schema_drift_audit`` -- every (event_type, sorted-JSON-key-set)
+    variant is tracked against O(1) state as events arrive. Once the
+    time-ordered feed drains, ``schema_drift_finish`` over the emitted
+    rows equals the batch audit column-for-column
+    (tests/test_streaming.py pins it). This is the census you want LIVE:
+    a schema change announces itself as a new variant row in the batch
+    it first arrives, not at the next nightly audit."""
+    from pyspark.sql import functions as F
+
+    valid = F.col("props").isNotNull() & (
+        F.expr("json_object_keys(props)").isNotNull()
+    )
+    keyed = events_stream.filter(F.col("ts").isNotNull()).select(
+        "event_type",
+        "ts",
+        F.when(
+            valid,
+            F.array_join(F.array_sort(F.expr("json_object_keys(props)")), ","),
+        )
+        .otherwise(F.lit("<invalid>"))
+        .alias("keyset"),
+        F.when(valid, F.size(F.expr("json_object_keys(props)")))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("n_keys"),
+    )
+    return keyed.groupBy("event_type", "keyset").applyInPandasWithState(
+        _schema_drift_fn,
+        outputStructType=SCHEMA_DRIFT_OUTPUT_SCHEMA,
+        stateStructType=SCHEMA_DRIFT_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def schema_drift_finish(panel: DataFrame) -> DataFrame:
+    """Fold the drained per-variant emissions into the batch audit
+    shape: keep each variant's LAST (max n_events) emission, then the
+    same share/dominance arithmetic as ``cdc_schema_drift_audit``."""
+    from pyspark.sql import functions as F
+
+    last = (
+        panel.groupBy("event_type", "keyset")
+        .agg(
+            F.max_by(
+                F.struct("n_keys", "n_events", "n_days", "first_seen", "last_seen"),
+                F.col("n_events"),
+            ).alias("r")
+        )
+        .select("event_type", "keyset", "r.*")
+    )
+    tot = last.groupBy(F.col("event_type").alias("t_type")).agg(
+        F.sum("n_events").cast("bigint").alias("type_total"),
+        F.max("n_events").cast("bigint").alias("max_n"),
+    )
+    return (
+        last.join(F.broadcast(tot), F.col("t_type") == F.col("event_type"))
+        .select(
+            "event_type",
+            "keyset",
+            "n_keys",
+            "n_events",
+            "n_days",
+            "first_seen",
+            "last_seen",
+            F.round(
+                F.col("n_events").cast("double") / F.col("type_total"), 6
+            ).alias("share"),
+            F.when(F.col("n_events") == F.col("max_n"), 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("is_dominant"),
+        )
+        .orderBy("event_type", F.col("n_events").desc(), "keyset")
+    )

@@ -132,6 +132,8 @@ _R14_CHECK_WINDOW = [
     "sqlapi_asof_dialect",
     "events_allan_variance",
     "customer_bass_diffusion_fit",
+    # wave 8: extreme-value temporal dependence
+    "events_extremal_index_runs",
 ]
 
 

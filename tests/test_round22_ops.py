@@ -550,3 +550,52 @@ def test_bass_fit_recovers_planted_diffusion(spark, sf_dir, tmp_path):
     assert abs(g["q_imitation"] - q_true) < 0.15
     assert 0 < g["p_innovation"] < 0.1
     assert g["peak_month"] > 0  # imitation-dominated: peak after launch
+
+
+def test_extremal_index_bounds_and_planted_clustering(spark, sf_dir, tmp_path):
+    """theta in (0, 1]; identity n_exceed = theta-denominator holds; a
+    planted series whose exceedances come in 4-day blocks reads theta
+    ~ 1/4, and an isolated-spike series reads theta = 1."""
+    r = _rows(spark, sf_dir, "events_extremal_index_runs")[0]
+    assert r["n_exceed"] >= 1 and r["n_clusters"] >= 1
+    assert 0 < r["theta"] <= 1
+    assert abs(r["mean_cluster_len"] * r["theta"] - 1) < 1e-6
+    assert r["max_cluster_len"] >= r["mean_cluster_len"] - 1e-9
+
+    def planted(vals, name):
+        recs = [
+            {
+                "event_id": i * 1000 + j,
+                "ts": datetime(2024, 1 + i // 28, 1 + i % 28, 12, 0),
+                "user_id": 1,
+                "event_type": "view",
+                "value": None,
+                "props": None,
+            }
+            for i, v in enumerate(vals)
+            for j in range(v)
+        ]
+        df = spark.createDataFrame(
+            recs,
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        )
+        out = str(tmp_path / name)
+        df.write.parquet(f"{out}/events.parquet")
+        return registry.get("events_extremal_index_runs").fn(spark, out).collect()[0]
+
+    # 100 days: baseline 1, two isolated 4-day bursts of 50 -> 8
+    # exceedances in 2 clusters -> theta 0.25
+    burst = [1] * 100
+    for s in (10, 60):
+        for d in range(4):
+            burst[s + d] = 50
+    b = planted(burst, "burst")
+    assert b["n_clusters"] == 2 and b["n_exceed"] == 8
+    assert abs(b["theta"] - 0.25) < 1e-6
+    # isolated spikes: every exceedance its own cluster -> theta 1
+    iso = [1] * 100
+    for s in (10, 30, 50, 70, 90):
+        iso[s] = 50
+    i = planted(iso, "iso")
+    assert i["theta"] == 1.0

@@ -1057,3 +1057,69 @@ def test_growth_accounting_finish_gap_month_churn_is_zero(spark):
     # empty February, which has no row), NOT prev_active - retained = 2
     assert rows[3]["n_churned"] == 0
     assert rows[3]["n_reactivated"] == 1
+
+
+def test_schema_drift_stream_equals_batch(spark, sf_dir, tmp_path):
+    """The O(1)-per-variant streaming schema census must equal the
+    batch cdc_schema_drift_audit column-for-column once the
+    time-ordered feed drains; two time-split files force variant state
+    to persist across micro-batches."""
+    import os
+    import shutil
+
+    from change_data_capture_service_spark import registry
+    from change_data_capture_service_spark.catalog import load_table
+    from change_data_capture_service_spark.streaming.stateful import (
+        schema_drift_finish,
+        schema_drift_stream,
+    )
+
+    registry.load_all()
+    src = str(tmp_path / "sd_events")
+    os.makedirs(src)
+    e = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    mid = e.agg(
+        F.date_trunc("day", F.min("ts")) + F.expr("INTERVAL 15 DAY")
+    ).collect()[0][0]
+    for name, part in (
+        ("a_first.parquet", e.filter(F.col("ts") < F.lit(mid))),
+        ("z_second.parquet", e.filter(F.col("ts") >= F.lit(mid))),
+    ):
+        tmp = f"{src}/_tmp"
+        part.orderBy("ts").coalesce(1).write.parquet(tmp)
+        for f in os.listdir(tmp):
+            if f.endswith(".parquet"):
+                shutil.move(f"{tmp}/{f}", f"{src}/{name}")
+        shutil.rmtree(tmp)
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        schema_drift_stream(stream)
+        .writeStream.format("memory")
+        .queryName("sd_out")
+        .outputMode("update")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    panel = spark.sql("SELECT * FROM sd_out")
+    cols = (
+        "event_type", "keyset", "n_keys", "n_events", "n_days",
+        "first_seen", "last_seen", "share", "is_dominant",
+    )
+    got = sorted(
+        tuple(r[c] for c in cols) for r in schema_drift_finish(panel).collect()
+    )
+    want = sorted(
+        tuple(r[c] for c in cols)
+        for r in registry.get("cdc_schema_drift_audit").fn(spark, sf_dir).collect()
+    )
+    assert len(got) >= 1
+    assert got == want
