@@ -131,6 +131,31 @@ _CHECK_ORDER = [
     "customer_bass_diffusion_fit",
     # wave 8: extreme-value temporal dependence
     "events_extremal_index_runs",
+    # -- re-attestation: previously-green keys whose implementation files
+    # were diff-touched this round, in touched order (relational,
+    # similarity, stats, text, dedup, cdc, curation, sqlapi), filling
+    # the window to the 50 cap --
+    "customer_nrr_monthly",
+    "orders_shipment_split_profile",
+    "customer_retention_clv_projection",
+    "orders_value_at_risk_shortfall",
+    "supplier_hhi_trend_yearly",
+    "knn_cosine_topk",
+    "embedding_int8_recall_eval",
+    "embedding_split_centroid_drift",
+    "embedding_isotropy",
+    "lineitem_price_mann_kendall",
+    "events_runs_test_daily",
+    "events_variance_time_ratio",
+    "docs_vocab_growth_heaps",
+    "text_hapax_legomena_share",
+    "dedup_simhash",
+    "dedup_cross_source_matrix",
+    "cdc_payload_size_profile",
+    "cdc_gap_heatmap_hour_dow",
+    "sample_quality_weighted_tokens",
+    "sqlapi_qualify_dialect",
+    "sqlapi_distinct_on_dialect",
 ]
 # Provenance: the round-13 window, fully attested by CORRECTNESS_r13
 # (44 hash-green + 6 rows-only-clean: text_textrank_keywords,
