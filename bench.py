@@ -65,6 +65,10 @@ EXTENDED = [
     "customer_nrr_monthly",          # round-13: consecutive-month FULL OUTER rollup self-join
     "docs_source_vocab_jaccard",     # round-13: term-co-partitioned vocab intersection
     "embedding_int8_recall_eval",    # round-13: dual-precision scoring + two rank passes
+    "dedup_bbit_minhash_eval",       # round-14: 16-min signature fold + token-co-partitioned exact join
+    "events_hurst_rs_estimate",      # round-14: 4-scale block windows over the day series
+    "orders_cohort_revenue_runoff",  # round-14: dense-spine running sums + age-contiguous join
+    "sqlapi_asof_dialect",           # round-14: event-grain RANGE as-of window
 ]
 
 

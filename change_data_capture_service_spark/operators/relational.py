@@ -8093,3 +8093,442 @@ def customer_bass_diffusion_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("peak_month"),
     )
+
+
+@register(
+    "orders_cohort_ultimate_projection",
+    tags=("warehouse", "analytics"),
+    oracle="""
+    WITH cm AS (
+      SELECT o_custkey,
+             CAST(extract(year FROM o_orderdate) AS BIGINT) * 12
+               + CAST(extract(month FROM o_orderdate) AS BIGINT) - 1 AS idx,
+             CAST(sum(try_cast(try_cast(o_totalprice AS DECIMAL(18,2)) * 100
+                      AS BIGINT)) AS DECIMAL(38,0)) AS cents
+      FROM orders WHERE o_orderdate IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    coh AS (
+      SELECT o_custkey, CAST(min(idx) AS BIGINT) AS cohort_idx
+      FROM cm GROUP BY 1
+    ),
+    mx AS (SELECT CAST(max(idx) AS BIGINT) AS max_idx FROM cm),
+    incr AS (
+      SELECT c.cohort_idx, cm.idx - c.cohort_idx AS age,
+             CAST(sum(cm.cents) AS DECIMAL(38,0)) AS inc_cents
+      FROM cm JOIN coh c ON c.o_custkey = cm.o_custkey
+      GROUP BY 1, 2
+    ),
+    spine AS (
+      SELECT DISTINCT c.cohort_idx, g.a AS age
+      FROM (SELECT DISTINCT cohort_idx FROM coh) c
+      CROSS JOIN mx
+      CROSS JOIN LATERAL (
+        SELECT unnest(range(0, CAST(mx.max_idx - c.cohort_idx + 1 AS BIGINT)))
+          AS a
+      ) g
+    ),
+    cum AS (
+      SELECT s.cohort_idx, s.age,
+             CAST(sum(coalesce(i.inc_cents, 0)) OVER (
+               PARTITION BY s.cohort_idx ORDER BY s.age
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS DECIMAL(38,0)) AS cum_cents
+      FROM spine s LEFT JOIN incr i
+        ON i.cohort_idx = s.cohort_idx AND i.age = s.age
+    ),
+    fac AS (
+      SELECT a.age,
+             CAST(ln(CAST(sum(b.cum_cents) AS DOUBLE)
+                     / CAST(sum(a.cum_cents) AS DOUBLE))
+               AS DECIMAL(20,15)) AS lf
+      FROM cum a JOIN cum b
+        ON b.cohort_idx = a.cohort_idx AND b.age = a.age + 1
+      GROUP BY a.age
+      HAVING sum(a.cum_cents) > 0
+    ),
+    tail AS (
+      -- remaining development from age a to ultimate: exp of the sum of
+      -- the snapped log-factors at ages >= a (DECIMAL-snapped ln terms
+      -- make the order-free SUM the exact product both engines agree on)
+      SELECT c.cohort_idx, mx.max_idx - c.cohort_idx AS cur_age,
+             exp(coalesce((SELECT CAST(sum(f.lf) AS DOUBLE) FROM fac f
+                           WHERE f.age >= mx.max_idx - c.cohort_idx), 0))
+               AS cdf
+      FROM (SELECT DISTINCT cohort_idx FROM coh) c CROSS JOIN mx
+    )
+    SELECT make_timestamp((t.cohort_idx // 12), (t.cohort_idx % 12) + 1,
+                          1, 0, 0, 0) AS cohort_month,
+           t.cur_age,
+           round(CAST(c.cum_cents AS DOUBLE) / 100, 6) AS revenue_to_date,
+           round(t.cdf, 6) AS remaining_cdf,
+           round(CAST(c.cum_cents AS DOUBLE) / 100 * t.cdf, 6)
+             AS ultimate_revenue,
+           round(CAST(c.cum_cents AS DOUBLE) / 100 * (t.cdf - 1), 6)
+             AS unearned_revenue
+    FROM tail t
+    JOIN cum c ON c.cohort_idx = t.cohort_idx AND c.age = t.cur_age
+    ORDER BY cohort_month
+    """,
+)
+def orders_cohort_ultimate_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chain-ladder ULTIMATE projection per cohort (the second half of
+    Mack 1993 that orders_cohort_revenue_runoff sets up): each cohort's
+    revenue-to-date multiplied by its cumulative development factor --
+    the product of the volume-weighted age factors it has not yet lived
+    through -- gives ultimate revenue and the implied still-to-come
+    ('unearned') remainder. The actuarial reserve triangle applied to
+    customer economics: young cohorts carry large remaining CDFs, dead
+    ones ~1. Factor products are computed as exp(sum of DECIMAL-snapped
+    log factors) so both engines multiply in the same order-free
+    algebra.
+
+    Exactness: cents through the dense-spine DECIMAL cumulative (shared
+    with the runoff key); each ln(factor) snaps to DECIMAL(20,15); the
+    per-cohort remaining product is exp of an order-free sum; outputs
+    round once at 6dp. The projection column is a MODEL (volume-
+    weighted chain ladder), exactly reproducible, not a promise.
+
+    Scale: identical posture to the runoff key (custkey-co-partitioned
+    rollup, calendar-bounded spine); the tail sum is |ages| x |cohorts|
+    on the factor relation; |cohorts| rows out."""
+    o = load_table(spark, sf_dir, "orders")
+    idx = (
+        F.year("o_orderdate").cast("bigint") * 12
+        + F.month("o_orderdate").cast("bigint")
+        - 1
+    )
+    cm = (
+        o.filter(F.col("o_orderdate").isNotNull())
+        .select("o_custkey", idx.alias("idx"), F.expr(_TOTAL_C).alias("cents"))
+        .groupBy("o_custkey", "idx")
+        .agg(F.sum(F.col("cents").cast("decimal(38,0)")).alias("cents"))
+        .localCheckpoint(eager=False)
+    )
+    coh = cm.groupBy("o_custkey").agg(F.min("idx").cast("bigint").alias("cohort_idx"))
+    mx = cm.agg(F.max("idx").cast("bigint").alias("max_idx"))
+    incr = (
+        cm.join(coh, "o_custkey")
+        .groupBy("cohort_idx", (F.col("idx") - F.col("cohort_idx")).alias("age"))
+        .agg(F.sum("cents").cast("decimal(38,0)").alias("inc_cents"))
+    )
+    spine = (
+        coh.select("cohort_idx")
+        .distinct()
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "cohort_idx",
+            "max_idx",
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("bigint"), F.col("max_idx") - F.col("cohort_idx")
+                )
+            ).alias("age"),
+        )
+    )
+    w = Window.partitionBy("cohort_idx").orderBy("age").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = (
+        spine.join(incr, ["cohort_idx", "age"], "left")
+        .select(
+            "cohort_idx",
+            "max_idx",
+            "age",
+            F.sum(F.coalesce(F.col("inc_cents"), F.lit(0)).cast("decimal(38,0)"))
+            .over(w)
+            .cast("decimal(38,0)")
+            .alias("cum_cents"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    nxt = cum.select(
+        F.col("cohort_idx").alias("b_coh"),
+        F.col("age").alias("b_age"),
+        F.col("cum_cents").alias("cum_next"),
+    )
+    fac = (
+        cum.join(
+            nxt,
+            (F.col("b_coh") == F.col("cohort_idx"))
+            & (F.col("b_age") == F.col("age") + 1),
+        )
+        .groupBy("age")
+        .agg(
+            F.sum("cum_cents").cast("decimal(38,0)").alias("cum_a"),
+            F.sum("cum_next").cast("decimal(38,0)").alias("cum_next"),
+        )
+        .filter(F.col("cum_a") > 0)
+        .select(
+            "age",
+            F.log(F.col("cum_next").cast("double") / F.col("cum_a").cast("double"))
+            .cast("decimal(20,15)")
+            .alias("lf"),
+        )
+    )
+    cur = cum.filter(F.col("age") == F.col("max_idx") - F.col("cohort_idx")).select(
+        "cohort_idx", F.col("age").alias("cur_age"), "cum_cents"
+    )
+    tail = (
+        cur.join(fac, F.col("age") >= F.col("cur_age"), "left")
+        .groupBy("cohort_idx", "cur_age", "cum_cents")
+        .agg(F.exp(F.coalesce(F.sum("lf"), F.lit(0)).cast("double")).alias("cdf"))
+    )
+    rev = F.col("cum_cents").cast("double") / 100
+    return tail.select(
+        F.expr(
+            "make_timestamp(CAST(cohort_idx DIV 12 AS INT),"
+            " CAST(cohort_idx % 12 + 1 AS INT), 1, 0, 0, 0)"
+        ).alias("cohort_month"),
+        "cur_age",
+        F.round(rev, 6).alias("revenue_to_date"),
+        F.round("cdf", 6).alias("remaining_cdf"),
+        F.round(rev * F.col("cdf"), 6).alias("ultimate_revenue"),
+        F.round(rev * (F.col("cdf") - 1), 6).alias("unearned_revenue"),
+    ).orderBy("cohort_month")
+
+
+@register(
+    "supplier_volume_fano_panel",
+    tags=("warehouse", "monitor"),
+    oracle="""
+    WITH mo AS (
+      SELECT l_suppkey,
+             CAST(extract(year FROM l_shipdate) AS BIGINT) * 12
+               + CAST(extract(month FROM l_shipdate) AS BIGINT) - 1 AS idx,
+             CAST(count(*) AS BIGINT) AS x
+      FROM lineitem WHERE l_shipdate IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    cal AS (
+      SELECT CAST(max(idx) - min(idx) + 1 AS BIGINT) AS n_m FROM mo
+    ),
+    per AS (
+      SELECT l_suppkey,
+             CAST(count(*) AS BIGINT) AS active_months,
+             CAST(sum(x) AS BIGINT) AS s,
+             CAST(sum(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS sxx
+      FROM mo GROUP BY 1
+    )
+    SELECT p.l_suppkey AS suppkey, c.n_m AS n_months, p.active_months,
+           p.s AS total_lines,
+           round(CAST(p.s AS DOUBLE) / c.n_m, 6) AS mean_monthly,
+           round((c.n_m * CAST(p.sxx AS DOUBLE) - CAST(p.s AS DOUBLE) * p.s)
+                 / (CAST(c.n_m AS DOUBLE) * c.n_m)
+                 / nullif(CAST(p.s AS DOUBLE) / c.n_m, 0), 6) AS fano,
+           CAST(CASE WHEN c.n_m * p.sxx - CAST(p.s AS DECIMAL(38,0)) * p.s
+                          > CAST(c.n_m AS DECIMAL(38,0)) * p.s
+                     THEN 1 ELSE 0 END AS BIGINT) AS overdispersed
+    FROM per p CROSS JOIN cal c
+    ORDER BY p.l_suppkey
+    """,
+)
+def supplier_volume_fano_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano factor (index of dispersion, Fano 1947) of each supplier's
+    monthly line volume over the DENSE calendar (zero months count --
+    excluding them is the classic bias): variance / mean of monthly
+    counts, where a Poisson-random workload sits at 1, clumped batching
+    reads > 1 (overdispersed -- the supplier gets slammed in bursts),
+    and quota-smoothed flow reads < 1. The per-supplier dispersion
+    triage next to supplier_workload_balance_monthly's cross-supplier
+    balance: balance says WHO is loaded, Fano says HOW LUMPY each one's
+    load arrives, which is what staffing actually prices. The
+    overdispersion flag is decided by exact integer cross-multiplication
+    (n_m * sum_x2 - s^2 > n_m * s), so no supplier flips on a ulp.
+
+    Exactness: monthly counts are exact integers; the dense-calendar
+    moments need no spine join (zero months add zero to both s and
+    sum_x2 -- only the DIVISOR needs the true month count, a 1-row
+    fence); mean and Fano divide once at 6dp.
+
+    Scale: one (supplier, month) partial agg over the fact scan, folded
+    supplier-grain; the calendar fence broadcasts; |suppliers| rows
+    out."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").isNotNull()
+    )
+    idx = (
+        F.year("l_shipdate").cast("bigint") * 12
+        + F.month("l_shipdate").cast("bigint")
+        - 1
+    )
+    mo = li.groupBy("l_suppkey", idx.alias("idx")).agg(
+        F.count("*").cast("bigint").alias("x")
+    ).localCheckpoint(eager=False)  # calendar fence + per-supplier moments
+    cal = mo.agg(
+        (F.max("idx") - F.min("idx") + 1).cast("bigint").alias("n_m")
+    )
+    per = mo.groupBy("l_suppkey").agg(
+        F.count("*").cast("bigint").alias("active_months"),
+        F.sum("x").cast("bigint").alias("s"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x"))
+        .cast("decimal(38,0)")
+        .alias("sxx"),
+    )
+    nm = F.col("n_m").cast("double")
+    sd = F.col("s").cast("double")
+    mean = sd / nm
+    var = (nm * F.col("sxx").cast("double") - sd * F.col("s")) / (nm * nm)
+    return (
+        per.crossJoin(F.broadcast(cal))
+        .select(
+            F.col("l_suppkey").alias("suppkey"),
+            F.col("n_m").alias("n_months"),
+            "active_months",
+            F.col("s").alias("total_lines"),
+            F.round(mean, 6).alias("mean_monthly"),
+            F.round(var / F.nullif(mean, F.lit(0.0)), 6).alias("fano"),
+            F.when(
+                F.col("n_m") * F.col("sxx")
+                - F.col("s").cast("decimal(38,0)") * F.col("s")
+                > F.col("n_m").cast("decimal(38,0)") * F.col("s"),
+                1,
+            )
+            .otherwise(0)
+            .cast("bigint")
+            .alias("overdispersed"),
+        )
+        .orderBy("suppkey")
+    )
+
+
+@register(
+    "lineitem_price_stickiness_panel",
+    tags=("warehouse", "analytics"),
+    oracle="""
+    WITH mo AS (
+      SELECT p.p_brand,
+             CAST(extract(year FROM l.l_shipdate) AS BIGINT) * 12
+               + CAST(extract(month FROM l.l_shipdate) AS BIGINT) - 1 AS idx,
+             CAST(sum(try_cast(try_cast(l.l_extendedprice AS DECIMAL(18,2))
+                      * 100 AS BIGINT) // try_cast(l.l_quantity AS BIGINT))
+               AS DECIMAL(38,0)) AS s,
+             CAST(count(*) AS BIGINT) AS n
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE l.l_shipdate IS NOT NULL AND l.l_quantity > 0
+        AND try_cast(l.l_quantity AS BIGINT) > 0
+      GROUP BY 1, 2
+    ),
+    ch AS (
+      SELECT p_brand, idx, s, n,
+             lag(s) OVER (PARTITION BY p_brand ORDER BY idx) AS ps,
+             lag(n) OVER (PARTITION BY p_brand ORDER BY idx) AS pn,
+             lag(idx) OVER (PARTITION BY p_brand ORDER BY idx) AS pidx
+      FROM mo
+    ),
+    fl AS (
+      SELECT p_brand,
+             CASE WHEN pidx = idx - 1 THEN 1 ELSE 0 END AS adjacent,
+             CASE WHEN pidx = idx - 1 AND s * pn <> ps * n THEN 1 ELSE 0 END
+               AS changed,
+             CASE WHEN pidx = idx - 1 AND s * pn <> ps * n
+                  THEN CAST(abs(ln((CAST(s AS DOUBLE) / n)
+                                   / (CAST(ps AS DOUBLE) / pn)))
+                    AS DECIMAL(20,15)) END AS alc
+      FROM ch WHERE ps IS NOT NULL
+    )
+    SELECT p_brand,
+           CAST(sum(adjacent) AS BIGINT) AS n_transitions,
+           CAST(sum(changed) AS BIGINT) AS n_changes,
+           round(CAST(sum(changed) AS DOUBLE) / nullif(sum(adjacent), 0), 6)
+             AS change_freq,
+           round(CAST(sum(alc) AS DOUBLE) / nullif(sum(changed), 0), 6)
+             AS mean_abs_log_change,
+           round(nullif(CAST(sum(adjacent) AS DOUBLE), 0)
+                 / nullif(sum(changed), 0), 6) AS implied_duration_months
+    FROM fl GROUP BY 1 ORDER BY 1
+    """,
+)
+def lineitem_price_stickiness_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-stickiness panel per brand (Bils & Klenow 2004's
+    measurement applied to realized unit prices): month-over-month,
+    does the brand's mean unit price CHANGE, how OFTEN (change
+    frequency over adjacent-month transitions), by how MUCH (mean
+    absolute log change over changing months), and the implied price-
+    spell duration 1/frequency -- the macro-pricing read that says
+    which brands reprice continuously vs hold list prices. Change
+    detection compares the exact RATIONAL monthly means by integer
+    cross-multiplication (s_t * n_{t-1} vs s_{t-1} * n_t), so equal
+    means can never read as a change on a ulp; only ADJACENT calendar
+    months count as transitions (a gap is absence, not stickiness).
+
+    Exactness: unit prices floor to integer cents per line before the
+    monthly DECIMAL sums (the order-free rule); each |delta log| snaps
+    to DECIMAL(20,15); the three ratios divide once at 6dp.
+
+    Scale: one brand-month partial agg with a broadcast part join; the
+    lag window rides the |brands| x |months| rollup; |brands| rows
+    out."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").isNotNull()
+        & (F.col("l_quantity") > 0)
+        & (F.expr("try_cast(l_quantity AS bigint)") > 0)
+    )
+    p = load_table(spark, sf_dir, "part")
+    idx = (
+        F.year("l_shipdate").cast("bigint") * 12
+        + F.month("l_shipdate").cast("bigint")
+        - 1
+    )
+    unit_c = F.expr(
+        "try_cast(try_cast(l_extendedprice AS decimal(18,2)) * 100 AS bigint)"
+        " DIV try_cast(l_quantity AS bigint)"
+    )
+    mo = (
+        li.join(F.broadcast(p), p["p_partkey"] == li["l_partkey"])
+        .groupBy("p_brand", idx.alias("idx"))
+        .agg(
+            F.sum(unit_c.cast("decimal(38,0)")).cast("decimal(38,0)").alias("s"),
+            F.count("*").cast("bigint").alias("n"),
+        )
+    )
+    w = Window.partitionBy("p_brand").orderBy("idx")
+    ch = mo.select(
+        "p_brand",
+        "idx",
+        "s",
+        "n",
+        F.lag("s").over(w).alias("ps"),
+        F.lag("n").over(w).alias("pn"),
+        F.lag("idx").over(w).alias("pidx"),
+    ).filter(F.col("ps").isNotNull())
+    adjacent = F.when(F.col("pidx") == F.col("idx") - 1, 1).otherwise(0)
+    moved = (F.col("s") * F.col("pn")) != (F.col("ps") * F.col("n"))
+    changed = F.when((F.col("pidx") == F.col("idx") - 1) & moved, 1).otherwise(0)
+    alc = F.when(
+        (F.col("pidx") == F.col("idx") - 1) & moved,
+        F.abs(
+            F.log(
+                (F.col("s").cast("double") / F.col("n"))
+                / (F.col("ps").cast("double") / F.col("pn"))
+            )
+        ).cast("decimal(20,15)"),
+    )
+    fl = ch.select(
+        "p_brand",
+        adjacent.alias("adjacent"),
+        changed.alias("changed"),
+        alc.alias("alc"),
+    )
+    return (
+        fl.groupBy("p_brand")
+        .agg(
+            F.sum("adjacent").cast("bigint").alias("n_transitions"),
+            F.sum("changed").cast("bigint").alias("n_changes"),
+            F.round(
+                F.sum("changed").cast("double")
+                / F.nullif(F.sum("adjacent"), F.lit(0)),
+                6,
+            ).alias("change_freq"),
+            F.round(
+                F.sum("alc").cast("double") / F.nullif(F.sum("changed"), F.lit(0)),
+                6,
+            ).alias("mean_abs_log_change"),
+            F.round(
+                F.nullif(F.sum("adjacent").cast("double"), F.lit(0.0))
+                / F.nullif(F.sum("changed"), F.lit(0)),
+                6,
+            ).alias("implied_duration_months"),
+        )
+        .orderBy("p_brand")
+    )

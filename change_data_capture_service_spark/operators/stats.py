@@ -4994,3 +4994,357 @@ def events_extremal_index_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mean_cluster_len"),
         F.col("max_len").alias("max_cluster_len"),
     )
+
+
+@register(
+    "events_dfa_alpha",
+    tags=("stats", "timeseries"),
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(count(*) AS BIGINT) AS x,
+             CAST(row_number() OVER (ORDER BY date_trunc('day', ts)) AS BIGINT)
+               AS rn
+      FROM events WHERE ts IS NOT NULL GROUP BY date_trunc('day', ts)
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_days,
+                 CAST(sum(x) AS BIGINT) AS total FROM daily),
+    prof AS (
+      -- integer profile in n-scaled units: Yn_k = n * cumsum_k - k * total
+      SELECT d.rn,
+             CAST(nn.n_days * sum(d.x) OVER (ORDER BY d.rn)
+                  - d.rn * nn.total AS BIGINT) AS yn
+      FROM daily d CROSS JOIN n nn
+    ),
+    blocks AS (
+      SELECT w.w, (p.rn - 1) // w.w AS blk,
+             p.rn - ((p.rn - 1) // w.w) * w.w AS t, p.yn
+      FROM prof p
+      CROSS JOIN (SELECT CAST(unnest([{", ".join(str(w) for w in HURST_SCALES)}])
+                    AS BIGINT) AS w) w
+      CROSS JOIN n
+      WHERE (p.rn - 1) // w.w < n.n_days // w.w
+    ),
+    bs AS (
+      SELECT w, blk,
+             CAST(sum(CAST(yn AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(yn AS DECIMAL(38,0)) * yn) AS DOUBLE) AS syy,
+             CAST(sum(CAST(t AS DECIMAL(38,0)) * yn) AS DOUBLE) AS sty
+      FROM blocks GROUP BY 1, 2
+    ),
+    ss AS (
+      SELECT w,
+             CAST(greatest(syy - sy * sy / w
+                   - (sty - (w * (w + 1) / 2.0) * sy / w)
+                     * (sty - (w * (w + 1) / 2.0) * sy / w)
+                     / (w * (w + 1) * (2 * w + 1) / 6.0
+                        - (w * (w + 1) / 2.0) * (w * (w + 1) / 2.0) / w),
+                   0.0) AS DECIMAL(25,6)) AS ssr
+      FROM bs
+    ),
+    fw AS (
+      SELECT s.w, CAST(count(*) AS BIGINT) AS n_blocks,
+             sqrt(CAST(sum(s.ssr) AS DOUBLE) / count(*) / s.w)
+               / any_value(nn.n_days) AS f
+      FROM ss s CROSS JOIN n nn GROUP BY s.w
+    ),
+    pts AS (
+      SELECT CAST(CAST(ln(CAST(w AS DOUBLE)) AS DECIMAL(20,15)) AS DOUBLE)
+               AS lx,
+             CAST(CAST(ln(f) AS DECIMAL(20,15)) AS DOUBLE) AS ly
+      FROM fw WHERE f > 0
+    ),
+    fit AS (
+      SELECT CAST(count(*) AS BIGINT) AS np,
+             CAST(sum(CAST(lx AS DECIMAL(25,15))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(ly AS DECIMAL(25,15))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(lx * ly AS DECIMAL(25,15))) AS DOUBLE) AS sxy,
+             CAST(sum(CAST(lx * lx AS DECIMAL(25,15))) AS DOUBLE) AS sxx
+      FROM pts
+    )
+    SELECT nn.n_days,
+           {", ".join(f"round((SELECT f FROM fw WHERE w = {w}), 6) AS f_{w}" for w in HURST_SCALES)},
+           round((fit.np * fit.sxy - fit.sx * fit.sy)
+                 / nullif(fit.np * fit.sxx - fit.sx * fit.sx, 0), 6)
+             AS dfa_alpha
+    FROM n nn CROSS JOIN fit
+    """,
+)
+def events_dfa_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detrended fluctuation analysis of the daily event-count series
+    (Peng et al. 1994): integrate the mean-centered series into a
+    profile, least-squares-detrend it INSIDE each block at the dyadic
+    scales, and read alpha as the log-log slope of the residual
+    fluctuation F(w) -- alpha ~ 0.5 is uncorrelated, 0.5-1 long-range
+    persistent, ~1.5 random-walk-like. The trend-robust sibling of
+    events_hurst_rs_estimate: R/S is fooled by deterministic drift
+    (it reads trend as memory), DFA subtracts the per-block linear
+    trend first, so reading BOTH (and the Allan slope) separates true
+    long memory from mere drift -- the three-way triage a capacity
+    model needs before it extrapolates.
+
+    Exactness: the profile is kept integer by n-scaling (Yn_k = n *
+    cumsum - k * total); per-block OLS moments accumulate in
+    DECIMAL(38,0) (St/Stt are the closed-form integer-triangle
+    constants); the residual SS evaluates ONE shared IEEE expression,
+    floors at 0 against cancellation, and snaps to DECIMAL(25,6)
+    before the order-free block mean; ln terms snap before the slope.
+    The n-scaling divides back out in F and cancels entirely in alpha.
+
+    Scale: the fact table folds to |days| counts; profile + block
+    windows ride the calendar-bounded day series; 1 row out."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.filter(F.col("ts").isNotNull())
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count("*").cast("bigint").alias("x"))
+        .select(
+            "x",
+            F.row_number().over(Window.orderBy("day")).cast("bigint").alias("rn"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    n = daily.agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.sum("x").cast("bigint").alias("total"),
+    )
+    prof = daily.crossJoin(F.broadcast(n)).select(
+        "rn",
+        "n_days",
+        (
+            F.col("n_days") * F.sum("x").over(Window.orderBy("rn"))
+            - F.col("rn") * F.col("total")
+        )
+        .cast("bigint")
+        .alias("yn"),
+    )
+    scales = F.explode(
+        F.array(*[F.lit(w).cast("bigint") for w in HURST_SCALES])
+    ).alias("w")
+    blocks = (
+        prof.select("rn", "yn", "n_days", scales)
+        .withColumn("blk", F.expr("(rn - 1) DIV w"))
+        .withColumn("t", F.col("rn") - F.col("blk") * F.col("w"))
+        .filter(F.col("blk") < F.expr("n_days DIV w"))
+    )
+    ynd = F.col("yn").cast("decimal(38,0)")
+    bs = blocks.groupBy("w", "blk").agg(
+        F.sum(ynd).cast("double").alias("sy"),
+        F.sum(ynd * F.col("yn")).cast("double").alias("syy"),
+        F.sum(F.col("t").cast("decimal(38,0)") * F.col("yn"))
+        .cast("double")
+        .alias("sty"),
+    )
+    wd = F.col("w").cast("double")
+    st = wd * (wd + 1) / 2.0
+    stt = wd * (wd + 1) * (2 * wd + 1) / 6.0
+    num = F.col("sty") - st * F.col("sy") / wd
+    ssr = F.greatest(
+        F.col("syy")
+        - F.col("sy") * F.col("sy") / wd
+        - num * num / (stt - st * st / wd),
+        F.lit(0.0),
+    ).cast("decimal(25,6)")
+    fw = (
+        bs.select("w", ssr.alias("ssr"))
+        .groupBy("w")
+        .agg(
+            F.count("*").cast("bigint").alias("n_blocks"),
+            F.sum("ssr").cast("double").alias("sssr"),
+        )
+        .crossJoin(F.broadcast(n.select("n_days")))
+        .select(
+            "w",
+            "n_blocks",
+            (
+                F.sqrt(F.col("sssr") / F.col("n_blocks") / F.col("w"))
+                / F.col("n_days")
+            ).alias("f"),
+        )
+        .localCheckpoint(eager=False)  # pivot + fit
+    )
+    pts = fw.filter(F.col("f") > 0).select(
+        F.log(F.col("w").cast("double")).cast("decimal(20,15)").cast("double").alias("lx"),
+        F.log("f").cast("decimal(20,15)").cast("double").alias("ly"),
+    )
+    fit = pts.agg(
+        F.count("*").cast("bigint").alias("np"),
+        F.sum(F.col("lx").cast("decimal(25,15)")).cast("double").alias("sx"),
+        F.sum(F.col("ly").cast("decimal(25,15)")).cast("double").alias("sy"),
+        F.sum((F.col("lx") * F.col("ly")).cast("decimal(25,15)")).cast("double").alias("sxy"),
+        F.sum((F.col("lx") * F.col("lx")).cast("decimal(25,15)")).cast("double").alias("sxx"),
+    )
+    wide = fw.groupBy().pivot("w", [str(w) for w in HURST_SCALES]).agg(F.first("f"))
+    for w in HURST_SCALES:
+        wide = wide.withColumnRenamed(str(w), f"_f_{w}")
+    npd = F.col("np").cast("double")
+    return (
+        n.select("n_days")
+        .crossJoin(F.broadcast(fit))
+        .crossJoin(F.broadcast(wide))
+        .select(
+            "n_days",
+            *[F.round(F.col(f"_f_{w}"), 6).alias(f"f_{w}") for w in HURST_SCALES],
+            F.round(
+                (npd * F.col("sxy") - F.col("sx") * F.col("sy"))
+                / F.nullif(npd * F.col("sxx") - F.col("sx") * F.col("sx"), F.lit(0.0)),
+                6,
+            ).alias("dfa_alpha"),
+        )
+    )
+
+
+@register(
+    "events_recurrence_quantification",
+    tags=("stats", "timeseries"),
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(count(*) AS BIGINT) AS x,
+             CAST(row_number() OVER (ORDER BY date_trunc('day', ts)) AS BIGINT)
+               AS rn
+      FROM events WHERE ts IS NOT NULL GROUP BY date_trunc('day', ts)
+    ),
+    eps AS (
+      SELECT (max(x) - min(x)) // 10 AS e,
+             CAST(count(*) AS BIGINT) AS n
+      FROM daily
+    ),
+    pr AS (
+      SELECT b.rn - a.rn AS diag, a.rn AS i,
+             CASE WHEN abs(a.x - b.x) <= e.e THEN 1 ELSE 0 END AS rec
+      FROM daily a JOIN daily b ON a.rn < b.rn CROSS JOIN eps e
+    ),
+    marks AS (
+      SELECT diag, i, rec,
+             CASE WHEN rec = 1
+                  AND coalesce(lag(rec) OVER (PARTITION BY diag ORDER BY i), 0)
+                      = 0
+                  THEN 1 ELSE 0 END AS new_run
+      FROM pr
+    ),
+    runs AS (
+      SELECT diag, i, rec,
+             CAST(sum(new_run) OVER (PARTITION BY diag ORDER BY i) AS BIGINT)
+               AS rid
+      FROM marks
+    ),
+    lines AS (
+      SELECT diag, rid, CAST(count(*) AS BIGINT) AS len
+      FROM runs WHERE rec = 1 GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT CAST(sum(len) AS BIGINT) AS n_rec,
+             CAST(sum(CASE WHEN len >= 2 THEN len ELSE 0 END) AS BIGINT)
+               AS n_det,
+             CAST(sum(CASE WHEN len >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_lines,
+             CAST(max(len) AS BIGINT) AS l_max
+      FROM lines
+    )
+    SELECT e.n AS n_days, CAST(e.e AS BIGINT) AS epsilon,
+           CAST(e.n * (e.n - 1) / 2 AS BIGINT) AS n_pairs,
+           a.n_rec,
+           round(CAST(a.n_rec AS DOUBLE) / (e.n * (e.n - 1) / 2), 6)
+             AS recurrence_rate,
+           round(CAST(a.n_det AS DOUBLE) / nullif(a.n_rec, 0), 6)
+             AS determinism,
+           round(CAST(a.n_det AS DOUBLE) / nullif(a.n_lines, 0), 6)
+             AS mean_line_len,
+           a.l_max AS max_line_len
+    FROM agg a CROSS JOIN eps e
+    """,
+)
+def events_recurrence_quantification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recurrence quantification of the daily event-count series
+    (Eckmann-Kamphorst-Ruelle 1987 recurrence plots; Zbilut-Webber RQA):
+    day pairs recur when their counts sit within epsilon = range/10 of
+    each other, and the panel reports the recurrence rate RR plus
+    DETERMINISM -- the share of recurrent pairs lying on diagonal line
+    segments of length >= 2, i.e. stretches where the series REPLAYS a
+    past trajectory shifted by a fixed lag. High DET with modest RR is
+    the deterministic-dynamics signature (strict weekly rhythms light
+    up lag-7 diagonals); DET near RR means recurrences are isolated
+    coincidences. The nonlinear-dynamics complement to the
+    ACF/spectral family: correlation measures LINEAR co-movement, DET
+    counts literal trajectory repeats at any amplitude.
+
+    Exactness: epsilon is exact integer arithmetic on exact counts;
+    recurrence flags, the lag + prefix-sum run segmentation per
+    diagonal, and all line-length counts are exact integers; the three
+    ratios divide once at 6dp.
+
+    Scale: the fact table folds to |days| counts; the pair frame is
+    C(|days|, 2) on the CALENDAR domain (~3M narrow rows at 2,500 days
+    -- bounded at any SF); the run windows partition per diagonal;
+    1 row out."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.filter(F.col("ts").isNotNull())
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count("*").cast("bigint").alias("x"))
+        .select(
+            "x",
+            F.row_number().over(Window.orderBy("day")).cast("bigint").alias("rn"),
+        )
+        .localCheckpoint(eager=False)  # eps fence + both pair sides
+    )
+    eps = daily.agg(
+        F.expr("(max(x) - min(x)) DIV 10").alias("e"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    b = daily.select(F.col("rn").alias("j"), F.col("x").alias("xj"))
+    pr = (
+        daily.crossJoin(F.broadcast(eps))
+        .join(b, F.col("rn") < F.col("j"))
+        .select(
+            (F.col("j") - F.col("rn")).alias("diag"),
+            F.col("rn").alias("i"),
+            F.when(F.abs(F.col("x") - F.col("xj")) <= F.col("e"), 1)
+            .otherwise(0)
+            .alias("rec"),
+        )
+    )
+    wd = Window.partitionBy("diag").orderBy("i")
+    marks = pr.select(
+        "diag",
+        "i",
+        "rec",
+        F.when(
+            (F.col("rec") == 1)
+            & (F.coalesce(F.lag("rec").over(wd), F.lit(0)) == 0),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_run"),
+    )
+    runs = marks.select(
+        "diag", "i", "rec", F.sum("new_run").over(wd).cast("bigint").alias("rid")
+    )
+    lines = runs.filter(F.col("rec") == 1).groupBy("diag", "rid").agg(
+        F.count("*").cast("bigint").alias("len")
+    )
+    agg = lines.agg(
+        F.sum("len").cast("bigint").alias("n_rec"),
+        F.sum(F.when(F.col("len") >= 2, F.col("len")).otherwise(0))
+        .cast("bigint")
+        .alias("n_det"),
+        F.sum(F.when(F.col("len") >= 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_lines"),
+        F.max("len").cast("bigint").alias("l_max"),
+    )
+    return agg.crossJoin(F.broadcast(eps)).select(
+        F.col("n").alias("n_days"),
+        F.col("e").cast("bigint").alias("epsilon"),
+        (F.col("n") * (F.col("n") - 1) / 2).cast("bigint").alias("n_pairs"),
+        "n_rec",
+        F.round(
+            F.col("n_rec").cast("double") / (F.col("n") * (F.col("n") - 1) / 2), 6
+        ).alias("recurrence_rate"),
+        F.round(
+            F.col("n_det").cast("double") / F.nullif(F.col("n_rec"), F.lit(0)), 6
+        ).alias("determinism"),
+        F.round(
+            F.col("n_det").cast("double") / F.nullif(F.col("n_lines"), F.lit(0)), 6
+        ).alias("mean_line_len"),
+        F.col("l_max").alias("max_line_len"),
+    )
