@@ -8532,3 +8532,170 @@ def lineitem_price_stickiness_panel(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("p_brand")
     )
+
+
+@register(
+    "lineitem_bullwhip_ratio_panel",
+    tags=("warehouse", "analytics"),
+    oracle="""
+    WITH li AS (
+      SELECT p.p_brand, l.l_orderkey,
+             try_cast(try_cast(l.l_quantity AS DECIMAL(18,2)) * 100
+                      AS BIGINT) AS qc,
+             CAST(extract(year FROM l.l_shipdate) AS BIGINT) * 12
+               + CAST(extract(month FROM l.l_shipdate) AS BIGINT) - 1
+               AS ship_idx
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE l.l_shipdate IS NOT NULL AND l.l_quantity > 0
+    ),
+    ord AS (
+      SELECT li.p_brand,
+             CAST(extract(year FROM o.o_orderdate) AS BIGINT) * 12
+               + CAST(extract(month FROM o.o_orderdate) AS BIGINT) - 1
+               AS idx,
+             CAST(sum(CAST(li.qc AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS x
+      FROM li JOIN orders o ON o.o_orderkey = li.l_orderkey
+      WHERE o.o_orderdate IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    shp AS (
+      SELECT p_brand, ship_idx AS idx,
+             CAST(sum(CAST(qc AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS x
+      FROM li GROUP BY 1, 2
+    ),
+    cal AS (
+      SELECT CAST(max(idx) - min(idx) + 1 AS BIGINT) AS n_m
+      FROM (SELECT idx FROM ord UNION ALL SELECT idx FROM shp)
+    ),
+    mo AS (
+      SELECT p_brand,
+             CAST(sum(x) AS DECIMAL(38,0)) AS so,
+             CAST(sum(x * x) AS DECIMAL(38,0)) AS soo
+      FROM ord GROUP BY 1
+    ),
+    ms AS (
+      SELECT p_brand,
+             CAST(sum(x) AS DECIMAL(38,0)) AS ss,
+             CAST(sum(x * x) AS DECIMAL(38,0)) AS sss
+      FROM shp GROUP BY 1
+    )
+    SELECT o.p_brand, c.n_m AS n_months,
+           round((c.n_m * CAST(o.soo AS DOUBLE) - CAST(o.so AS DOUBLE) * o.so)
+                 / (CAST(o.so AS DOUBLE) * o.so), 6) AS cv2_orders,
+           round((c.n_m * CAST(s.sss AS DOUBLE) - CAST(s.ss AS DOUBLE) * s.ss)
+                 / (CAST(s.ss AS DOUBLE) * s.ss), 6) AS cv2_shipments,
+           round(((c.n_m * CAST(o.soo AS DOUBLE) - CAST(o.so AS DOUBLE) * o.so)
+                  / (CAST(o.so AS DOUBLE) * o.so))
+                 / nullif((c.n_m * CAST(s.sss AS DOUBLE)
+                           - CAST(s.ss AS DOUBLE) * s.ss)
+                          / (CAST(s.ss AS DOUBLE) * s.ss), 0), 6)
+             AS bullwhip_ratio,
+           CAST(CASE WHEN (c.n_m * o.soo - o.so * o.so) * (s.ss * s.ss)
+                          > (c.n_m * s.sss - s.ss * s.ss) * (o.so * o.so)
+                     THEN 1 ELSE 0 END AS BIGINT) AS amplifying
+    FROM mo o JOIN ms s ON s.p_brand = o.p_brand CROSS JOIN cal c
+    ORDER BY o.p_brand
+    """,
+)
+def lineitem_bullwhip_ratio_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bullwhip-effect panel per brand (Lee, Padmanabhan & Whang 1997):
+    the ratio of demand-signal variability placed UPSTREAM (monthly
+    quantities by ORDER date -- when the demand hit the book) to the
+    variability of the fulfilled FLOW (the same quantities by SHIP date),
+    each as the squared coefficient of variation over the shared dense
+    calendar. Ratio > 1 (the 'amplifying' flag, decided by exact DECIMAL
+    cross-multiplication) is the bullwhip signature: order batching and
+    shipment scheduling AMPLIFY variability as the signal moves up the
+    chain -- the phenomenon safety-stock models must size against,
+    and the cross-stage companion to supplier_volume_fano_panel's
+    single-stage dispersion read.
+
+    Exactness: quantities accumulate as integer centi-units in
+    DECIMAL(38,0); CV^2 = (n * sum_x2 - s^2) / s^2 is scale-free and
+    evaluates one shared IEEE expression from exact moments (dense
+    calendar: zero months add zero to every sum, only the shared month
+    fence divides); the flag cross-multiplies exactly (the product
+    (n sum_x2 - s^2) * s'^2 stays under DECIMAL(38,0) through ~100x the
+    sf1 volumes; beyond that, rescale qc to whole units first).
+
+    Scale: two (brand, month) partial aggs off one fact scan (the
+    order-date leg joins orders orderkey-co-partitioned); |brands| rows
+    out."""
+    p = load_table(spark, sf_dir, "part")
+    o = load_table(spark, sf_dir, "orders")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate").isNotNull() & (F.col("l_quantity") > 0))
+        .join(F.broadcast(p), p["p_partkey"] == F.col("l_partkey"))
+        .select(
+            "p_brand",
+            "l_orderkey",
+            F.expr(
+                "try_cast(try_cast(l_quantity AS decimal(18,2)) * 100 AS bigint)"
+            ).alias("qc"),
+            (
+                F.year("l_shipdate").cast("bigint") * 12
+                + F.month("l_shipdate").cast("bigint")
+                - 1
+            ).alias("ship_idx"),
+        )
+        .localCheckpoint(eager=False)  # both monthly legs
+    )
+    ordm = (
+        li.join(o, o["o_orderkey"] == li["l_orderkey"])
+        .filter(F.col("o_orderdate").isNotNull())
+        .groupBy(
+            "p_brand",
+            (
+                F.year("o_orderdate").cast("bigint") * 12
+                + F.month("o_orderdate").cast("bigint")
+                - 1
+            ).alias("idx"),
+        )
+        .agg(F.sum(F.col("qc").cast("decimal(38,0)")).cast("decimal(38,0)").alias("x"))
+    )
+    shpm = li.groupBy("p_brand", F.col("ship_idx").alias("idx")).agg(
+        F.sum(F.col("qc").cast("decimal(38,0)")).cast("decimal(38,0)").alias("x")
+    )
+    cal = (
+        ordm.select("idx")
+        .unionAll(shpm.select("idx"))
+        .agg((F.max("idx") - F.min("idx") + 1).cast("bigint").alias("n_m"))
+    )
+    mo = ordm.groupBy("p_brand").agg(
+        F.sum("x").cast("decimal(38,0)").alias("so"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("soo"),
+    )
+    ms = shpm.groupBy(F.col("p_brand").alias("s_brand")).agg(
+        F.sum("x").cast("decimal(38,0)").alias("ss"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("sss"),
+    )
+    nm = F.col("n_m").cast("double")
+    cv2o = (nm * F.col("soo").cast("double") - F.col("so").cast("double") * F.col("so")) / (
+        F.col("so").cast("double") * F.col("so")
+    )
+    cv2s = (nm * F.col("sss").cast("double") - F.col("ss").cast("double") * F.col("ss")) / (
+        F.col("ss").cast("double") * F.col("ss")
+    )
+    return (
+        mo.join(ms, F.col("s_brand") == F.col("p_brand"))
+        .crossJoin(F.broadcast(cal))
+        .select(
+            "p_brand",
+            F.col("n_m").alias("n_months"),
+            F.round(cv2o, 6).alias("cv2_orders"),
+            F.round(cv2s, 6).alias("cv2_shipments"),
+            F.round(cv2o / F.nullif(cv2s, F.lit(0.0)), 6).alias("bullwhip_ratio"),
+            F.when(
+                (F.col("n_m") * F.col("soo") - F.col("so") * F.col("so"))
+                * (F.col("ss") * F.col("ss"))
+                > (F.col("n_m") * F.col("sss") - F.col("ss") * F.col("ss"))
+                * (F.col("so") * F.col("so")),
+                1,
+            )
+            .otherwise(0)
+            .cast("bigint")
+            .alias("amplifying"),
+        )
+        .orderBy("p_brand")
+    )

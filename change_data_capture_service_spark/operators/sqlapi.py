@@ -357,3 +357,74 @@ def sqlapi_asof_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
     no range explosion, no per-group pandas."""
     register_views(spark, sf_dir, ["events"])
     return spark.sql(_ASOF_SPARK_SQL)
+
+
+_PIVOT_DUCK_SQL = """
+WITH src AS (
+  SELECT 'p' || split_part(o_orderpriority, '-', 1) AS pri,
+         CAST(extract(year FROM o_orderdate) AS BIGINT) AS yr,
+         try_cast(try_cast(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+  FROM orders WHERE o_orderdate IS NOT NULL
+),
+pv AS (
+  PIVOT src ON pri USING sum(c) GROUP BY yr
+)
+SELECT yr,
+       round(CAST(coalesce(p1, 0) AS DOUBLE) / 100, 6) AS urgent_revenue,
+       round(CAST(coalesce(p2, 0) AS DOUBLE) / 100, 6) AS high_revenue,
+       round(CAST(coalesce(p3, 0) AS DOUBLE) / 100, 6) AS medium_revenue,
+       round(CAST(coalesce(p4, 0) AS DOUBLE) / 100, 6) AS notspec_revenue,
+       round(CAST(coalesce(p5, 0) AS DOUBLE) / 100, 6) AS low_revenue
+FROM pv ORDER BY yr
+"""
+
+_PIVOT_SPARK_SQL = """
+WITH src AS (
+  SELECT concat('p', split_part(o_orderpriority, '-', 1)) AS pri,
+         CAST(year(o_orderdate) AS BIGINT) AS yr,
+         try_cast(try_cast(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+  FROM orders WHERE o_orderdate IS NOT NULL
+)
+SELECT yr,
+       round(CAST(coalesce(p1, 0) AS DOUBLE) / 100, 6) AS urgent_revenue,
+       round(CAST(coalesce(p2, 0) AS DOUBLE) / 100, 6) AS high_revenue,
+       round(CAST(coalesce(p3, 0) AS DOUBLE) / 100, 6) AS medium_revenue,
+       round(CAST(coalesce(p4, 0) AS DOUBLE) / 100, 6) AS notspec_revenue,
+       round(CAST(coalesce(p5, 0) AS DOUBLE) / 100, 6) AS low_revenue
+FROM src
+PIVOT (CAST(sum(c) AS BIGINT) FOR pri IN ('p1' AS p1, 'p2' AS p2,
+                                          'p3' AS p3, 'p4' AS p4,
+                                          'p5' AS p5))
+ORDER BY yr
+"""
+
+
+@register("sqlapi_pivot_dialect", tags=("sqlapi",), oracle=_PIVOT_DUCK_SQL)
+def sqlapi_pivot_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yearly revenue by order priority, PIVOT-dialect parity: both
+    engines have a NATIVE pivot clause with incompatible syntax --
+    DuckDB's statement-level ``PIVOT src ON col USING agg GROUP BY``
+    (dynamic columns from data) vs Spark's table-suffix
+    ``FROM src PIVOT (agg FOR col IN (...))`` (columns must be
+    enumerated, but aliasable inline). The driver's value hash pins
+    that the two texts are the same query, which is the migration
+    recipe in BOTH directions -- and the recipe documents the two real
+    traps: (a) Spark's IN-list is MANDATORY and silently drops
+    unlisted categories, so derive a CLOSED key first (here
+    'p' || priority digit); (b) both engines emit NULL for empty
+    cells, so coalesce before presenting. Completes the dialect
+    catalog: QUALIFY, DISTINCT ON, ASOF, PIVOT. The reshape twin
+    `pivot_unpivot_roundtrip` proves semantics via the DataFrame API;
+    this key proves the SQL-text surface.
+
+    Exactness: cents accumulate exactly inside the pivot aggregate
+    (BIGINT on Spark; DuckDB's USING must be a BARE aggregate -- trap
+    (c) -- so its sum lands as HUGEINT and casts in the outer select);
+    one division + round at 6dp per cell; the year spine is whatever
+    years the data has (both engines derive it from the same rows).
+
+    Scale: a pivot is a partial-aggregating groupBy with |categories|
+    conditional sums -- one shuffle of (year, 5 cells); |years| rows
+    out."""
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(_PIVOT_SPARK_SQL)

@@ -193,3 +193,58 @@ def test_rqa_planted_weekly_period(spark, sf_dir, tmp_path):
     )
     gi = registry.get("events_recurrence_quantification").fn(spark, iid).collect()[0]
     assert gi["determinism"] is None or gi["determinism"] < g["determinism"]
+
+
+def test_bullwhip_panel_consistency(spark, sf_dir):
+    """CV^2 legs nonnegative; ratio = cv2_orders / cv2_shipments to
+    rounding grain; the amplification flag agrees with ratio > 1
+    wherever rounding leaves room."""
+    rows = _rows(spark, sf_dir, "lineitem_bullwhip_ratio_panel")
+    assert len(rows) >= 2
+    for r in rows:
+        assert r["cv2_orders"] >= 0 and r["cv2_shipments"] >= 0
+        if r["bullwhip_ratio"] is not None and r["cv2_shipments"] > 1e-6:
+            assert r["bullwhip_ratio"] == pytest.approx(
+                r["cv2_orders"] / r["cv2_shipments"], rel=1e-3
+            )
+            if abs(r["bullwhip_ratio"] - 1.0) > 1e-4:
+                assert r["amplifying"] == (1 if r["bullwhip_ratio"] > 1 else 0)
+
+
+def test_pivot_dialect_reconciles_to_groupby(spark, sf_dir):
+    """The pivoted cells re-aggregate to the plain GROUP BY totals --
+    the pivot moved data, never changed it."""
+    from change_data_capture_service_spark.catalog import load_table
+
+    rows = _rows(spark, sf_dir, "sqlapi_pivot_dialect")
+    assert len(rows) >= 2
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate").isNotNull())
+    want = {
+        (r["yr"], r["pri"]): r["rev"]
+        for r in o.groupBy(
+            F.year("o_orderdate").cast("bigint").alias("yr"),
+            F.concat(
+                F.lit("p"), F.split(F.col("o_orderpriority"), "-").getItem(0)
+            ).alias("pri"),
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    F.expr(
+                        "try_cast(try_cast(o_totalprice AS decimal(18,2))"
+                        " * 100 AS bigint)"
+                    )
+                ).cast("double")
+                / 100,
+                6,
+            ).alias("rev")
+        )
+        .collect()
+    }
+    cols = {
+        "p1": "urgent_revenue", "p2": "high_revenue", "p3": "medium_revenue",
+        "p4": "notspec_revenue", "p5": "low_revenue",
+    }
+    for r in rows:
+        for pri, col in cols.items():
+            assert r[col] == pytest.approx(want.get((r["yr"], pri), 0.0), abs=0.02)
