@@ -570,6 +570,13 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sigs = votes.select("doc_id", F.expr(sig_expr).cast("bigint").alias("sig"))
     mask = (1 << SIMHASH_BAND_BITS) - 1
+    # materialize-once: the band relation feeds BOTH sides of the
+    # candidate self-join; without the lazy checkpoint each side re-plans
+    # the full tokenize -> md5 -> 60-agg signature pipeline (r14 stage
+    # profile: two ~8-10 executor-second stages for one corpus -- the
+    # before-plan shows two Scan parquet + duplicated HashAggregate
+    # chains). The checkpointed relation is |docs| x SIMHASH_BANDS narrow
+    # rows -- the same multi-consumer rule _shingled_docs already follows.
     bands = sigs.select(
         "doc_id",
         "sig",
@@ -583,7 +590,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("band_id", "band_val"),
-    )
+    ).localCheckpoint(eager=False)
     a, b = bands.alias("a"), bands.alias("b")
     hamming = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
     return (

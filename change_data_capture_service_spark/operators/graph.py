@@ -489,18 +489,26 @@ def part_link_prediction_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFr
     deg = edges.groupBy(F.col("u").alias("z")).agg(
         F.count("*").cast("bigint").alias("d")
     ).localCheckpoint(eager=False)
+    # thin keeps d: the common-neighbor weight 1/ln(deg(z)) is a function
+    # of z alone, and za == zb == z inside every path row, so carrying d
+    # through the thinned adjacency lets the wedge rows arrive at the
+    # aggregation already weighted -- the r13 shape re-joined `paths`
+    # (the LARGEST relation, bounded |V| x CAP^2) against deg to fetch d
+    # back, one whole extra sort-merge join + exchange of the wedge set
+    # (r14 stage profile: a 26.9 MB shuffle-read stage, ~4 executor-s,
+    # removed by this change; guide §2.4 "remove shuffles outright").
     thin = (
         edges.join(deg, edges["v"] == deg["z"])
         .filter((F.col("d") <= AA_HUB_CAP) & (F.col("d") >= 2))
-        .select("u", "v")
+        .select("u", "v", "d")
     )
-    pa = thin.select(F.col("u").alias("pa"), F.col("v").alias("za"))
+    pa = thin.select(F.col("u").alias("pa"), F.col("v").alias("za"), "d")
     pb = thin.select(F.col("u").alias("pb"), F.col("v").alias("zb"))
     paths = pa.join(
         pb, (F.col("za") == F.col("zb")) & (F.col("pa") < F.col("pb"))
-    ).select("pa", "pb", F.col("za").alias("z"))
+    ).select("pa", "pb", "d")
     scored = (
-        paths.join(deg, "z")
+        paths
         .groupBy("pa", "pb")
         .agg(
             F.count("*").cast("bigint").alias("n_common"),

@@ -698,6 +698,19 @@ def tpch_q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _order_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deduped (order, brand) relation basket_brand_pairs self-joins:
+    lineitem x broadcast(part) -> distinct. Exposed un-checkpointed so the
+    broadcast plan gate can see inside what the operator materializes."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+
+
 @register(
     "basket_brand_pairs",
     tags=("join", "agg", "relational", "northstar"),
@@ -725,14 +738,20 @@ def basket_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     C(|brands in order|, 2) <= C(25,2) = 300 pairs per order regardless
     of how many line items the order has. The self-join co-locates on
     l_orderkey (one shuffle each side, same key), and `<` halves the pair
-    space; the final top-20 is TakeOrderedAndProject."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    ob = (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .select("l_orderkey", "p_brand")
-        .distinct()
-    )
+    space; the final top-20 is TakeOrderedAndProject.
+
+    r14: the (order, brand) relation is a lazy localCheckpoint -- it
+    feeds BOTH self-join sides, and without the barrier the whole
+    lineitem-join-part-distinct subtree was planned (and executed) TWICE
+    (the r13 before-plan shows 4 parquet scans; guide §2.4 / the repo's
+    multi-consumer-relation rule). An in-row collect_set pair-expansion
+    variant was measured and REJECTED: 5.4 executor-CPU-s vs 1.5 for
+    this shape at sf0.1 (ObjectHashAggregate set-merge + nested
+    transforms cost more than the co-partitioned join they replace)."""
+    # consumed by BOTH self-join sides (the plan gate tests the
+    # un-checkpointed generator _order_brands, per the repo's
+    # checkpoint-hides-operators trap note)
+    ob = _order_brands(spark, sf_dir).localCheckpoint(eager=False)
     a = ob.select(F.col("l_orderkey").alias("ok_a"), F.col("p_brand").alias("brand_a"))
     b = ob.select(F.col("l_orderkey").alias("ok_b"), F.col("p_brand").alias("brand_b"))
     return (

@@ -74,17 +74,21 @@ def knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     1. score map-side (broadcast queries; the corpus never shuffles; JVM
        ``zip_with``/``aggregate`` dot products);
-    2. LOCAL top-k per (query, input partition) via an Arrow-batched
-       ``mapInPandas`` reducer -- bounded memory, nothing leaves the
-       partition but ``queries x k`` narrow rows;
+    2. LOCAL top-k per (query, input partition) via WindowGroupLimit
+       (Partial) -- the rank-limit filter plans a map-side JVM pruner
+       BELOW the window's exchange, so nothing leaves a partition but
+       ``queries x k`` narrow rows;
     3. global ``row_number`` window over at most ``partitions x queries x k``
        rows.
 
     The window therefore never funnels the N x Q scored rows into Q reducer
     partitions -- the pre-window row count is independent of corpus size,
-    which is what makes the exact baseline survive a 100x corpus. Local and
-    global stages use the identical total order (cosine desc, neighbor_id
-    asc), so the union of local top-ks provably contains the global top-k.
+    which is what makes the exact baseline survive a 100x corpus. Partial
+    and Final stages use the identical total order (cosine desc,
+    neighbor_id asc), so the union of local top-ks provably contains the
+    global top-k. Until round 14 the local pruner was a hand-rolled Arrow
+    ``mapInPandas`` reducer; the WindowGroupLimit form keeps the identical
+    row bound with zero Python boundary (guide §4.1: prefer built-ins).
     The body lives in ``_exact_cosine_topk`` (parameterized k) so shortlist
     consumers (knn_mmr_diversified) reuse the SAME scalable generator
     instead of re-deriving a scorer."""
@@ -93,7 +97,16 @@ def knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _exact_cosine_topk(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
     """See knn_cosine_topk -- the parameterized two-stage exact scorer.
-    Returns (query_id, neighbor_id, cosine, rnk <= k)."""
+    Returns (query_id, neighbor_id, cosine, rnk <= k).
+
+    The rank-limit filter plans as WindowGroupLimit(Partial) BELOW the
+    window's exchange (SPARK-37099): each map task keeps only its own
+    top-k per query in the JVM, so the shuffle carries at most
+    partitions x queries x k narrow rows -- the same bound the former
+    Arrow ``mapInPandas`` reducer enforced by hand, minus the
+    JVM->Python->JVM round trip (r14 stage profile: 8.8 executor-run
+    seconds of which only 0.47 was CPU -- pure Python-worker overhead,
+    removed by this rewrite)."""
     vec = _vectors(spark, sf_dir)
     queries = vec.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qnrm")
@@ -104,32 +117,9 @@ def _exact_cosine_topk(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
         .withColumn("cosine", F.round(dot / (F.col("qnrm") * F.col("nrm")), 6))
         .select("query_id", F.col("vec_id").alias("neighbor_id"), "cosine")
     )
-
-    def _head_k(pdf: pd.DataFrame) -> pd.DataFrame:
-        return (
-            pdf.sort_values(
-                ["query_id", "cosine", "neighbor_id"], ascending=[True, False, True]
-            )
-            .groupby("query_id", sort=False)
-            .head(k)
-        )
-
-    def _local_topk(batches):
-        frames: list[pd.DataFrame] = []
-        pending = 0
-        for pdf in batches:
-            frames.append(pdf)
-            pending += len(pdf)
-            if pending > 64_000:  # compact: keep the running set bounded
-                frames = [_head_k(pd.concat(frames, ignore_index=True))]
-                pending = len(frames[0])
-        if frames:
-            yield _head_k(pd.concat(frames, ignore_index=True))
-
-    local = scored.mapInPandas(_local_topk, schema=scored.schema)
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
-        local.withColumn("rnk", F.row_number().over(w))
+        scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
     )
 
@@ -605,9 +595,9 @@ def knn_l2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same scale architecture: broadcast queries, map-side JVM squared-diff
     fold over ``zip_with`` (float->double promotion is exact, and the
     sequential in-array fold is the same IEEE op order both engines run),
-    per-partition local top-k via Arrow ``mapInPandas`` (ascending), then
-    a global window over partitions x queries x k rows -- pre-window row
-    count independent of corpus size.
+    per-partition local top-k via WindowGroupLimit(Partial) in the JVM
+    (ascending), then a global window over partitions x queries x k rows
+    -- pre-window row count independent of corpus size.
 
     DuckDB oracle computes the identical fold via list_zip/list_transform
     rather than ``list_distance`` so the accumulation order is pinned to
@@ -626,29 +616,9 @@ def knn_l2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", F.col("vec_id").alias("neighbor_id"), "l2_dist")
     )
 
-    def _head_k(pdf: pd.DataFrame) -> pd.DataFrame:
-        return (
-            pdf.sort_values(["query_id", "l2_dist", "neighbor_id"])
-            .groupby("query_id", sort=False)
-            .head(TOP_K)
-        )
-
-    def _local_topk(batches):
-        frames: list[pd.DataFrame] = []
-        pending = 0
-        for pdf in batches:
-            frames.append(pdf)
-            pending += len(pdf)
-            if pending > 64_000:
-                frames = [_head_k(pd.concat(frames, ignore_index=True))]
-                pending = len(frames[0])
-        if frames:
-            yield _head_k(pd.concat(frames, ignore_index=True))
-
-    local = scored.mapInPandas(_local_topk, schema=scored.schema)
     w = Window.partitionBy("query_id").orderBy("l2_dist", "neighbor_id")
     return (
-        local.withColumn("rnk", F.row_number().over(w).cast("int"))
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
         .filter(F.col("rnk") <= TOP_K)
     )
 
@@ -1382,9 +1352,10 @@ def knn_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: 50 broadcast queries x corpus scored map-side (JVM array
     folds), then the knn_cosine_topk two-stage reduction -- a LOCAL
-    top-k per (query, partition) via mapInPandas BEFORE the global rank
-    window, so the shuffle carries partitions x queries x k narrow rows
-    regardless of corpus size; the purity agg is |queries| rows."""
+    top-k per (query, partition) via WindowGroupLimit(Partial) BEFORE
+    the global rank window, so the shuffle carries partitions x queries
+    x k narrow rows regardless of corpus size; the purity agg is
+    |queries| rows."""
     vec = _vectors(spark, sf_dir).localCheckpoint(eager=False)
     q = vec.filter(F.col("vec_id") < 50).select(
         F.col("vec_id").alias("query_id"),
@@ -1399,31 +1370,9 @@ def knn_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "query_label", F.col("label").alias("n_label"), "cosine", "vec_id")
     )
 
-    def _head_k(pdf: pd.DataFrame) -> pd.DataFrame:
-        return (
-            pdf.sort_values(
-                ["query_id", "cosine", "vec_id"], ascending=[True, False, True]
-            )
-            .groupby("query_id", sort=False)
-            .head(TOP_K)
-        )
-
-    def _local_topk(batches):
-        frames: list[pd.DataFrame] = []
-        pending = 0
-        for pdf in batches:
-            frames.append(pdf)
-            pending += len(pdf)
-            if pending > 64_000:
-                frames = [_head_k(pd.concat(frames, ignore_index=True))]
-                pending = len(frames[0])
-        if frames:
-            yield _head_k(pd.concat(frames, ignore_index=True))
-
-    local = scored.mapInPandas(_local_topk, schema=scored.schema)
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return (
-        local.withColumn("rnk", F.row_number().over(w))
+        scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= TOP_K)
         .groupBy("query_id")
         .agg(

@@ -11,11 +11,13 @@ EMPTY documents. This module is the engine's wire-real analogue:
 - ``EsBulkSink`` is a ``foreachBatch`` callable that POSTs the batch to an
   ES-compatible ``/_bulk`` endpoint as NDJSON. The request bodies are
   assembled JVM-side (``to_json`` over the envelope struct -- no Python
-  per-row serialization) and shipped by ``foreachPartition``: EVERY
-  EXECUTOR POSTS ITS OWN PARTITIONS in parallel, chunked at
-  ``max_actions`` actions per request. Nothing is collected to the
-  driver; at 1000 executors the sink is 1000 concurrent bulk writers,
-  which is exactly how the ES ecosystem's own Spark connector behaves.
+  per-row serialization) and cross to the posting Python workers as
+  Arrow batches (``mapInArrow``; the pre-r14 ``foreachPartition`` form
+  paid the pickled-Row path per action line): EVERY EXECUTOR POSTS ITS
+  OWN PARTITIONS in parallel, chunked at ``max_actions`` actions per
+  request. Nothing is collected to the driver; at 1000 executors the
+  sink is 1000 concurrent bulk writers, which is exactly how the ES
+  ecosystem's own Spark connector behaves.
 - Idempotence (the reference got this right): deterministic doc IDs.
   ``mode="event"`` keeps doc-per-event with ``_id = lsn`` -- an
   at-least-once replay overwrites the same documents. ``mode="state"``
@@ -268,16 +270,34 @@ class EsBulkSink:
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
         url, max_actions, timeout = self.bulk_url, self.max_actions, self.timeout
 
-        def send_partition(rows):
+        # the NDJSON lines cross to the posting Python workers as ARROW
+        # BATCHES (mapInArrow), not pickled Rows -- the former
+        # foreachPartition shape deserialized every action line
+        # one-Row-at-a-time through the pickle path (guide §4: control how
+        # efficiently columns cross the boundary; r14 bench: 100k-action
+        # epoch 2.52s -> this form is the same requests, same per-partition
+        # chunking, minus the per-row overhead). One tiny ack batch per
+        # partition keeps the job an action without a driver collect.
+        def send_batches(batches):
+            import pyarrow as pa
+
             buf: list[str] = []
             n = 0
-            for r in rows:
-                buf.append(r["lines"])
-                n += 1
-                if n >= max_actions:
-                    _post_bulk(url, buf, timeout)
-                    buf, n = [], 0
+            for b in batches:
+                for line in b.column(0).to_pylist():
+                    buf.append(line)
+                    n += 1
+                    if n >= max_actions:
+                        _post_bulk(url, buf, timeout)
+                        buf, n = [], 0
             if buf:
                 _post_bulk(url, buf, timeout)
+            yield pa.RecordBatch.from_pydict({"sent": pa.array([n], pa.int64())})
 
-        self._bulk_lines(batch_df).foreachPartition(send_partition)
+        (
+            self._bulk_lines(batch_df)
+            .mapInArrow(send_batches, "sent long")
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )

@@ -74,18 +74,26 @@ def test_pack_token_budget_is_one_shuffle(spark, sf_dir):
 
 def test_knn_topk_reduces_before_window(spark, sf_dir):
     """The exact-kNN window must rank the LOCAL top-k survivors (bounded:
-    partitions x queries x k rows), never the full N x Q scored set -- the
-    local reducer (MapInPandas) has to sit below the window's exchange."""
+    partitions x queries x k rows), never the full N x Q scored set. The
+    r14 form plans this as WindowGroupLimit: a Partial pruner BELOW the
+    window's exchange keeps each map task's top-k per query in the JVM
+    (SPARK-37099) -- the same row bound the former Arrow mapInPandas
+    reducer enforced by hand, with zero Python boundary."""
     df = registry.get("knn_cosine_topk").fn(spark, sf_dir)
     plan = P.formatted_plan(df)
-    assert "MapInPandas" in plan, "local top-k reducer disappeared"
-    assert "Window" in plan
-    # the local reducer must be upstream of the window's shuffle: after the
-    # (single) Exchange only the bounded survivor set flows
-    window_pos = plan.index("Window")
-    assert "MapInPandas" in plan[window_pos:] or plan.index("MapInPandas") > window_pos, (
-        "MapInPandas must feed the Window (tree prints leaves below operators)"
+    assert plan.count(") WindowGroupLimit") >= 2, (
+        "rank-limit pushdown lost: need Partial (below exchange) + Final"
     )
+    assert "MapInPandas" not in plan, "Python reducer crept back into kNN"
+    # tree order check (root-first rendering): Window -> Final
+    # WindowGroupLimit -> Exchange -> Partial WindowGroupLimit, i.e. a
+    # map-side pruner sits BELOW the window's shuffle
+    import re
+
+    tree = plan[: plan.index("(1) ")]
+    assert re.search(
+        r"Window .*?WindowGroupLimit .*?Exchange .*?WindowGroupLimit", tree, re.S
+    ), "no map-side WindowGroupLimit below the window exchange"
 
 
 def test_gapfill_spine_join_broadcasts(spark, sf_dir):

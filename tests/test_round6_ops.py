@@ -231,12 +231,25 @@ def test_order_priority_counts_only_late_orders(spark, sf_dir):
         "tpch_q14_promo_revenue",
         "tpch_q18_large_orders",
         "tpch_q19_disjunctive_filter",
-        "basket_brand_pairs",
         "supplier_concentration_hhi",
     ],
 )
 def test_batch2_dims_broadcast(spark, sf_dir, name):
     assert P.uses_broadcast_join(_df(spark, sf_dir, name)), f"{name} lost its broadcast"
+
+
+def test_basket_pairs_generator_broadcasts_and_materializes_once(spark, sf_dir):
+    """basket_brand_pairs' (order, brand) relation sits behind a lazy
+    localCheckpoint since r14 (it feeds BOTH self-join sides; without the
+    barrier the join-distinct subtree executed twice). The checkpoint
+    hides the broadcast from the final plan, so the gate tests the
+    un-checkpointed generator for the part broadcast, and the operator
+    plan for single materialization (zero parquet scans)."""
+    from change_data_capture_service_spark.operators.relational import _order_brands
+
+    assert P.uses_broadcast_join(_order_brands(spark, sf_dir)), "part dim lost its broadcast"
+    plan = P.formatted_plan(_df(spark, sf_dir, "basket_brand_pairs"))
+    assert plan.count("Scan parquet") == 0, "a self-join side re-scans the fact table"
 
 
 def test_q18_top20_is_take_ordered(spark, sf_dir):
