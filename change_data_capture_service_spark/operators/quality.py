@@ -970,7 +970,14 @@ def quality_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("c"))
         .localCheckpoint(eager=False)  # feeds the model and the scoring join
     )
-    cbg = dbg.groupBy("bg").agg(F.sum("c").cast("bigint").alias("cbb"))
+    # cbg feeds the head-word rollup AND the scoring join: without the
+    # barrier the (doc,bigram) -> bigram aggregation executes twice (r14
+    # stage profile: the 32 MB dbg checkpoint was re-read three times)
+    cbg = (
+        dbg.groupBy("bg")
+        .agg(F.sum("c").cast("bigint").alias("cbb"))
+        .localCheckpoint(eager=False)
+    )
     cw1 = (
         cbg.groupBy(F.substring_index("bg", " ", 1).alias("w1"))
         .agg(F.sum("cbb").cast("bigint").alias("cu"))

@@ -37,6 +37,13 @@ class MockEs:
                     self.send_error(404)
                     return
                 body = self.rfile.read(int(self.headers["Content-Length"]))
+                # parse OUTSIDE the lock: only the failure switch, the
+                # counters, and the store merge need mutual exclusion. The
+                # pre-r14 shape parsed the whole NDJSON body under the lock,
+                # which serialized concurrent executors on the mock and made
+                # the es_sink bench measure the mock's convoy instead of the
+                # sink (r14 note in OPTIMIZATION_r14.md).
+                ops = mock._parse(body.decode("utf-8"))
                 with mock._lock:
                     mock.bulk_requests += 1
                     mock.bulk_bytes += len(body)
@@ -48,7 +55,7 @@ class MockEs:
                         mock.fail_after = None
                         self.send_error(500, "mock failure")
                         return
-                    items, errors = mock._apply(body.decode("utf-8"))
+                    items, errors = mock._merge(ops)
                 reply = json.dumps({"errors": errors, "items": items}).encode()
                 self.send_response(200)
                 self.send_header("Content-Type", "application/json")
@@ -60,36 +67,58 @@ class MockEs:
         self.url = f"http://127.0.0.1:{self._server.server_port}"
         self._thread = threading.Thread(target=self._server.serve_forever, daemon=True)
 
-    def _apply(self, ndjson: str):
-        """Apply one bulk body; returns (items, errors). Caller holds lock."""
+    @staticmethod
+    def _parse(ndjson: str) -> list[tuple[str, str, str, str | None]]:
+        """Decode one bulk body into (action, index, id, raw_doc) tuples.
+        Lock-free and doc-line-parse-free: only the ~50-byte action lines
+        are json.loads'd; document bodies stay raw strings (parsed lazily
+        by ``snapshot``), so the request path does O(actions) small parses
+        instead of O(bytes) full-document parses."""
         lines = [ln for ln in ndjson.split("\n") if ln.strip()]
-        items, errors, i = [], False, 0
+        ops, i = [], 0
         while i < len(lines):
             action_obj = json.loads(lines[i])
             (action, meta), = action_obj.items()
-            idx, doc_id = meta["_index"], meta["_id"]
+            if action == "delete":
+                ops.append((action, meta["_index"], meta["_id"], None))
+                i += 1
+            else:
+                ops.append((action, meta["_index"], meta["_id"], lines[i + 1]))
+                i += 2
+        return ops
+
+    def _merge(self, ops) -> tuple[list[dict], bool]:
+        """Apply parsed ops to the store; returns (items, errors). Caller
+        holds the lock -- this is the only part that touches shared state."""
+        items, errors = [], False
+        for action, idx, doc_id, raw in ops:
             store = self.indices.setdefault(idx, {})
             if action == "index":
-                store[doc_id] = json.loads(lines[i + 1])
+                store[doc_id] = raw
                 items.append({"index": {"_index": idx, "_id": doc_id, "status": 200}})
-                i += 2
             elif action == "delete":
                 found = store.pop(doc_id, None) is not None
                 items.append(
                     {"delete": {"_index": idx, "_id": doc_id, "status": 200 if found else 404}}
                 )
                 # ES does not mark delete-of-missing as an error
-                i += 1
             else:
                 items.append({action: {"_index": idx, "_id": doc_id, "status": 400}})
                 errors = True
-                i += 2
         return items, errors
 
     def snapshot(self) -> dict[str, dict[str, dict]]:
-        """Deep-ish copy of the index state for before/after comparisons."""
+        """Deep-ish copy of the index state for before/after comparisons.
+        Documents are stored as raw NDJSON strings (see ``_parse``);
+        snapshot parses them here so callers keep seeing dicts."""
         with self._lock:
-            return {idx: dict(docs) for idx, docs in self.indices.items()}
+            return {
+                idx: {
+                    doc_id: json.loads(raw) if isinstance(raw, str) else raw
+                    for doc_id, raw in docs.items()
+                }
+                for idx, docs in self.indices.items()
+            }
 
     def __enter__(self):
         self._thread.start()
