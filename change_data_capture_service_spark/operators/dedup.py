@@ -77,7 +77,7 @@ def _shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 JACCARD_DF_CAP = 64
 
 
-def _capped_exact_pairs(sh: DataFrame) -> DataFrame:
+def _capped_exact_pairs(sh: DataFrame, cap: int | None = None) -> DataFrame:
     """Exact-jaccard pair statistics (doc_id_a, doc_id_b, c, na, nb) over
     the DF-capped candidate space, in the ONE-groupBy shape of the
     original uncapped join (the first capped form routed candidates
@@ -96,18 +96,29 @@ def _capped_exact_pairs(sh: DataFrame) -> DataFrame:
        join onto the surviving pairs and c = c_capped +
        |hotset_a INTERSECT hotset_b|. Surfaced c/na/nb are therefore
        EXACT (hot shingles included) while candidate formation stays
-       bounded at |shingles| x CAP^2."""
+       bounded at |shingles| x CAP^2.
+
+    ``cap`` defaults to the module's JACCARD_DF_CAP, resolved at CALL
+    time (not def time) so tests that monkeypatch the constant keep
+    working; containment passes its own CONTAINMENT_DF_CAP."""
+    if cap is None:
+        cap = JACCARD_DF_CAP
     ex = sh.select(
         "doc_id", F.size("shingles").alias("n"), F.explode("shingles").alias("shingle")
     )
     hot = (
         ex.groupBy("shingle")
         .agg(F.count("*").alias("df"))
-        .filter(F.col("df") > JACCARD_DF_CAP)
+        .filter(F.col("df") > cap)
         .select("shingle")
         .localCheckpoint(eager=False)  # consumed by the anti- AND semi-join
     )
-    exc = ex.join(F.broadcast(hot), "shingle", "left_anti")
+    # materialize-once (r14): exc feeds BOTH self-join sides -- without the
+    # barrier the explode + anti-join subtree is planned twice and the
+    # planner broadcast one full copy of the exploded stream (the r14
+    # before-plan shows the exc subtree at nodes (1)-(10) AND (11)-(20)
+    # with node (21) a BroadcastExchange of the whole stream)
+    exc = ex.join(F.broadcast(hot), "shingle", "left_anti").localCheckpoint(eager=False)
     a, b = exc.alias("a"), exc.alias("b")
     pairs0 = (
         a.join(
@@ -122,10 +133,14 @@ def _capped_exact_pairs(sh: DataFrame) -> DataFrame:
             F.first("b.n").alias("nb"),
         )
     )
+    # materialize-once (r14): hotdoc feeds the ha AND hb join-backs; the
+    # un-checkpointed form ran the explode + semi-join + collect_set pass
+    # twice (empty or not -- the scans still happen)
     hotdoc = (
         ex.join(F.broadcast(hot), "shingle", "left_semi")
         .groupBy("doc_id")
         .agg(F.collect_set("shingle").alias("hotset"))
+        .localCheckpoint(eager=False)
     )
     ha = hotdoc.select(F.col("doc_id").alias("doc_id_a"), F.col("hotset").alias("hs_a"))
     hb = hotdoc.select(F.col("doc_id").alias("doc_id_b"), F.col("hotset").alias("hs_b"))
@@ -349,10 +364,15 @@ def _banded_near_pairs(
     exact regardless of config and banding affects recall only.
 
     `sh` should already be materialize-once (localCheckpoint) -- it feeds
-    candidate generation AND both exact-verify joins."""
+    candidate generation AND both exact-verify joins. The band relation is
+    ALSO materialize-once (r14): the candidate self-join plans as a
+    broadcast hash join locally, and broadcast vs streamed sides never
+    share an exchange, so without the barrier the n_perm-hash signature
+    fold (the expensive part) executed once PER SIDE -- the same defect
+    class the r14 dedup_simhash fix closed."""
     band_entries = _band_entries(
         _minhash_sig(sh, n_perm=bands * rows_per_band), bands, rows_per_band
-    )
+    ).localCheckpoint(eager=False)
     a = band_entries.alias("a")
     b = band_entries.alias("b")
     pair_ids = (
@@ -918,7 +938,11 @@ def dedup_minhash_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("shingles"),  # _minhash_sig folds over the 'shingles' column
     ).localCheckpoint(eager=False)
     sig = _minhash_sig(lines)
-    bands = _band_entries(sig, LINE_BANDS, LINE_ROWS_PER_BAND)
+    # r14: bands feed both self-join sides; barrier so the signature fold
+    # runs once, not once per side (same class as the _banded_near_pairs fix)
+    bands = _band_entries(sig, LINE_BANDS, LINE_ROWS_PER_BAND).localCheckpoint(
+        eager=False
+    )
     a = bands.alias("a")
     b = bands.alias("b")
     pair_ids = (
@@ -1017,45 +1041,26 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the same key the pair join shuffles on), so the worst case is
     sum over surviving shingles of df² <= |shingles| x CAP². Containment
     ratios for surfaced pairs are computed EXACTLY on the full shingle
-    sets (array_intersect over candidates only), so the cap affects
-    recall -- a pair sharing only boilerplate shingles never surfaces --
-    never the reported values. Only (doc_id, shingle-hash) rows shuffle
-    in candidate generation; full shingle arrays ship only for the
-    candidate pairs in the verify join."""
+    sets, so the cap affects recall -- a pair sharing only boilerplate
+    shingles never surfaces -- never the reported values. Only (doc_id,
+    shingle-hash) rows shuffle in candidate generation.
+
+    r14: rides ``_capped_exact_pairs`` -- |A∩B| comes from the candidate
+    join's own per-pair count (+ the hot-shingle set correction), exactly
+    like the jaccard family, instead of the former dropDuplicates + two
+    full-shingle-array join-backs + array_intersect per candidate pair
+    (the O(|A|+|B|) per-pair set intersection was THE dedup-family
+    hotspot: 4.8 s wall / 40 executor-CPU-s at sf0.1, vs 1.5 s / 13 for
+    the identical pair space computed by join counts; same exact values
+    by the helper's c = c_capped + |hot_a ∩ hot_b| identity)."""
     # materialize-once: the shingle relation feeds candidate generation
-    # AND the exact-verify joins; without the persist each consumer
-    # re-tokenizes the corpus (measured 4-6 planned document scans).
+    # AND the hot-set correction joins inside the helper.
     sh = _shingled_docs(spark, sf_dir).localCheckpoint(eager=False)
-    ex = sh.select("doc_id", F.explode("shingles").alias("shingle"))
-    ok = (
-        ex.groupBy("shingle")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df") <= CONTAINMENT_DF_CAP)
-        .select("shingle")
-    )
-    exc = ex.join(ok, "shingle", "left_semi")
-    a, b = exc.alias("a"), exc.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b"))
-        .dropDuplicates(["doc_id_a", "doc_id_b"])
-    )
-    verified = cand.join(
-        sh.select(F.col("doc_id").alias("doc_id_a"), F.col("shingles").alias("sh_a")),
-        "doc_id_a",
-    ).join(
-        sh.select(F.col("doc_id").alias("doc_id_b"), F.col("shingles").alias("sh_b")),
-        "doc_id_b",
-    )
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    ca = inter.cast("double") / F.size("sh_a")
-    cb = inter.cast("double") / F.size("sh_b")
+    pairs = _capped_exact_pairs(sh, cap=CONTAINMENT_DF_CAP)
+    ca = F.col("c").cast("double") / F.col("na")
+    cb = F.col("c").cast("double") / F.col("nb")
     return (
-        verified.filter((ca >= 0.8) | (cb >= 0.8))
+        pairs.filter((ca >= 0.8) | (cb >= 0.8))
         .select(
             "doc_id_a",
             "doc_id_b",
@@ -1120,7 +1125,8 @@ def dedup_minhash_estimate_quality(spark: SparkSession, sf_dir: str) -> DataFram
     # re-tokenizes the corpus (measured 4-6 planned document scans).
     sh = _shingled_docs(spark, sf_dir).localCheckpoint(eager=False)
     sig = _minhash_sig(sh)
-    bands = _band_entries(sig)
+    # r14: barrier so the 32-perm fold runs once, not once per join side
+    bands = _band_entries(sig).localCheckpoint(eager=False)
     cand = (
         bands.alias("a")
         .join(
@@ -1757,9 +1763,11 @@ def dedup_exact_vs_near_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     sh = _shingled_docs(spark, sf_dir).localCheckpoint(eager=False)  # both join sides
+    # r14: barrier the exploded stream too -- the self-join otherwise
+    # re-explodes once per side (and can broadcast one full copy)
     exd = sh.select(
         "doc_id", F.size("shingles").alias("n"), F.explode("shingles").alias("shingle")
-    )
+    ).localCheckpoint(eager=False)
     a, b = exd.alias("a"), exd.alias("b")
     pairs = (
         a.join(

@@ -373,6 +373,10 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b"),
     ).select("doc_id", "phash", "b.band_id", "b.band_value")
+    # r14: barrier so the Python dHash pass (mapInPandas over payloads)
+    # runs once, not once per self-join side (broadcast and streamed join
+    # sides never share an exchange)
+    bands = bands.localCheckpoint(eager=False)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
