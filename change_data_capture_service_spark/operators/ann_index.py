@@ -50,10 +50,57 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
-from .similarity import N_QUERIES, TOP_K, _vectors
+from .similarity import N_QUERIES, TOP_K, _vectors, _vectors_probe
 
 _M, _KSUB, _DSUB = 8, 16, 8  # 8 subspaces x 16 centroids over 64 dims
 _META = "_ANN_META.json"
+
+
+def _fit_cells_driver(vec: DataFrame, n_cells: int, n_sample: int = 4096) -> list:
+    """Seeded k-means++ + 15 vectorized Lloyd iterations on a bounded,
+    hash-ordered driver sample -- the coarse-quantizer fit
+    ``build_ann_index`` has used since its in-cluster-KMeans replacement
+    (quantizer quality needs thousands of rows, not the corpus, and a
+    driver fit costs ZERO Spark jobs where ``pyspark.ml`` KMeans runs ~10
+    sequential treeAggregate jobs of pure launch latency). r14: extracted
+    so the INLINE ANN tiers (knn_cosine_ivf / knn_cosine_ivf_pq) share the
+    exact same fit instead of each paying the ml.KMeans job ladder.
+
+    Deterministic: hash-ordered sample (id-ordered prefixes are biased
+    when insertion order correlates with content), fixed seeds, position
+    tie-breaks. Returns plain ``list[list[float]]`` centroids."""
+    import numpy as np
+
+    from pyspark.sql import functions as F  # noqa: F811 - local for clarity
+
+    fit = np.asarray(
+        vec.orderBy(F.md5(F.col("vec_id").cast("string")))
+        .limit(n_sample)
+        .select("v")
+        .toPandas()["v"]
+        .tolist(),
+        dtype=np.float64,
+    )
+    n_cells = max(2, min(n_cells, len(fit)))  # tiny corpus: 2 <= k <= points
+    # seeded k-means++ init (Arthur & Vassilvitskii 2007, public): random
+    # init loses ~0.2 recall@10 vs a spread seeding on clustered data
+    rng0 = np.random.default_rng(7)
+    first = int(rng0.integers(len(fit)))
+    cents0 = fit[first][None, :]
+    d2min = ((fit - cents0[0]) ** 2).sum(axis=1)
+    while len(cents0) < n_cells:
+        probs = d2min / d2min.sum() if d2min.sum() > 0 else None
+        nxt = int(rng0.choice(len(fit), p=probs))
+        cents0 = np.vstack([cents0, fit[nxt]])
+        d2min = np.minimum(d2min, ((fit - fit[nxt]) ** 2).sum(axis=1))
+    for _ in range(15):
+        d2 = ((fit[:, None, :] - cents0[None, :, :]) ** 2).sum(axis=2)
+        assign0 = d2.argmin(axis=1)
+        for c in range(n_cells):
+            pts = fit[assign0 == c]
+            if len(pts):
+                cents0[c] = pts.mean(axis=0)
+    return [list(map(float, c)) for c in cents0]
 
 
 def _assign_cells(spark: SparkSession, vec: DataFrame, centroids: list) -> DataFrame:
@@ -139,39 +186,12 @@ def build_ann_index(
     index_dir = _check_index_dir(index_dir)
     vec = corpus.localCheckpoint()  # assign + sample + encode reuse it
 
-    # deterministic UNBIASED sample: order by a hash of the id, not the id
-    # itself -- an id-ordered prefix is biased whenever insertion order
-    # correlates with content (labels clustering in id ranges would starve
-    # whole clusters of centroids); hashing keeps determinism without the
-    # correlation
-    fit = np.asarray(
-        vec.orderBy(F.md5(F.col("vec_id").cast("string")))
-        .limit(n_sample)
-        .select("v")
-        .toPandas()["v"]
-        .tolist(),
-        dtype=np.float64,
-    )
-    n_cells = max(2, min(n_cells, len(fit)))  # tiny corpus: 2 <= k <= points
-    # seeded k-means++ init (Arthur & Vassilvitskii 2007, public): random
-    # init loses ~0.2 recall@10 vs a spread seeding on clustered data
-    rng0 = np.random.default_rng(7)
-    first = int(rng0.integers(len(fit)))
-    cents0 = fit[first][None, :]
-    d2min = ((fit - cents0[0]) ** 2).sum(axis=1)
-    while len(cents0) < n_cells:
-        probs = d2min / d2min.sum() if d2min.sum() > 0 else None
-        nxt = int(rng0.choice(len(fit), p=probs))
-        cents0 = np.vstack([cents0, fit[nxt]])
-        d2min = np.minimum(d2min, ((fit - fit[nxt]) ** 2).sum(axis=1))
-    for _ in range(15):
-        d2 = ((fit[:, None, :] - cents0[None, :, :]) ** 2).sum(axis=2)
-        assign0 = d2.argmin(axis=1)
-        for c in range(n_cells):
-            pts = fit[assign0 == c]
-            if len(pts):
-                cents0[c] = pts.mean(axis=0)
-    centroids = [list(map(float, c)) for c in cents0]
+    # deterministic UNBIASED driver-side fit (hash-ordered bounded sample,
+    # seeded k-means++ + Lloyd) -- see _fit_cells_driver; shared verbatim
+    # with the inline ANN tiers since r14, so inline and persisted
+    # quantizers are the SAME artifact for the same corpus
+    centroids = _fit_cells_driver(vec, n_cells, n_sample)
+    n_cells = len(centroids)
     cent_df = spark.createDataFrame(
         [(i, c) for i, c in enumerate(centroids)], "cell int, centroid array<double>"
     )
@@ -416,14 +436,13 @@ def knn_cosine_ivf_pq_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    vec = _vectors(spark, sf_dir)
-    if len(vec.take(2)) < 2:  # no quantizer, no neighbors
+    if _vectors_probe(spark, sf_dir, 2) < 2:  # un-spread guard (r14): no quantizer, no neighbors
         return spark.createDataFrame(
             [], "query_id long, neighbor_id long, cosine double, rnk int"
         )
     scratch = tempfile.mkdtemp(prefix="ann_index_")
     try:
-        vec = vec.localCheckpoint()
+        vec = _vectors(spark, sf_dir).localCheckpoint()
         build_ann_index(spark, vec, index_dir=scratch)
         queries = vec.filter(F.col("vec_id") < N_QUERIES).select(
             F.col("vec_id").alias("query_id"),
@@ -464,14 +483,13 @@ def knn_recall_vs_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .similarity import knn_cosine_topk
 
-    vec = _vectors(spark, sf_dir)
-    if len(vec.take(2)) < 2:
+    if _vectors_probe(spark, sf_dir, 2) < 2:  # un-spread guard (r14)
         return spark.createDataFrame(
             [], "n_probe int, n_queries bigint, avg_recall_at_k double"
         )
     scratch = tempfile.mkdtemp(prefix="ann_curve_")
     try:
-        vec = vec.localCheckpoint()
+        vec = _vectors(spark, sf_dir).localCheckpoint()
         build_ann_index(spark, vec, index_dir=scratch)
         queries = vec.filter(F.col("vec_id") < N_QUERIES).select(
             F.col("vec_id").alias("query_id"),
@@ -604,8 +622,7 @@ def ann_index_cell_balance_profile(spark: SparkSession, sf_dir: str) -> DataFram
     import shutil
     import tempfile
 
-    vec = _vectors(spark, sf_dir)
-    if len(vec.take(2)) < 2:
+    if _vectors_probe(spark, sf_dir, 2) < 2:  # un-spread guard (r14)
         return spark.createDataFrame(
             [],
             "n_cells_nonempty bigint, n_vectors bigint, min_cell bigint, "
@@ -614,7 +631,7 @@ def ann_index_cell_balance_profile(spark: SparkSession, sf_dir: str) -> DataFram
         )
     scratch = tempfile.mkdtemp(prefix="ann_balance_")
     try:
-        vec = vec.localCheckpoint()
+        vec = _vectors(spark, sf_dir).localCheckpoint()
         build_ann_index(spark, vec, index_dir=scratch)
         return cell_balance_profile(spark, index_dir=scratch).localCheckpoint()
     finally:
@@ -689,8 +706,7 @@ def ann_index_residual_energy_profile(spark: SparkSession, sf_dir: str) -> DataF
     import shutil
     import tempfile
 
-    vec = _vectors(spark, sf_dir)
-    if len(vec.take(2)) < 2:
+    if _vectors_probe(spark, sf_dir, 2) < 2:  # un-spread guard (r14)
         return spark.createDataFrame(
             [],
             "cell int, n_vectors bigint, mean_sq_norm double, "
@@ -698,7 +714,7 @@ def ann_index_residual_energy_profile(spark: SparkSession, sf_dir: str) -> DataF
         )
     scratch = tempfile.mkdtemp(prefix="ann_resenergy_")
     try:
-        vec = vec.localCheckpoint()
+        vec = _vectors(spark, sf_dir).localCheckpoint()
         build_ann_index(spark, vec, index_dir=scratch)
         return residual_energy_profile(
             spark, vec, index_dir=scratch

@@ -26,6 +26,20 @@ _VEC_D = "transform(embedding, x -> cast(x AS double))"
 _NORM = f"sqrt(aggregate({_VEC_D}, 0D, (acc, x) -> acc + x * x))"
 
 
+def _vectors_probe(spark: SparkSession, sf_dir: str, n: int) -> int:
+    """How many admissible vectors exist, capped at ``n`` -- the guard the
+    ANN tiers run before fitting a quantizer. Probes the UN-spread scan:
+    ``take(n)`` on the spread (repartitioned) relation executes the full
+    shuffle MAP side first -- the whole corpus at 100 TB -- where the
+    un-spread form short-circuits at the first row groups (r14 finding:
+    three ~6.6 s zero-CPU probe stages per inline-ANN call at sf0.1)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    out = e.select(F.expr(_NORM).alias("nrm")).filter(
+        (F.col("nrm") > 0) & (F.col("nrm") < float("inf"))
+    )
+    return len(out.take(n))
+
+
 def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dot products are CPU-bound; the fixture is one file -> spread first
     e = spread(load_table(spark, sf_dir, "embeddings"))
@@ -130,31 +144,34 @@ def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-cell inverted lists -> probe the query's nearest cells -> exact
     rerank within probed cells.
 
-    The corpus-scale shape: the quantizer is fit once on a sample (here the
-    whole fixture; at 100 TB a 1% sample), every vector is assigned to one
-    cell (a narrow shuffle key), and each query touches only
-    ``n_probe/n_cells`` of the corpus. Compare ``knn_cosine_lsh`` (random
-    projections, no training) -- IVF adapts cells to the data distribution.
-    Deterministic via fixed seed."""
-    _vec_probe = _vectors(spark, sf_dir)
-    _n_avail = len(_vec_probe.take(16))  # bounded probe: 0..16 rows
-    if _n_avail < 2:  # 0 or 1 vectors: no quantizer (KMeans needs k >= 2)
+    The corpus-scale shape: the quantizer is fit once on a bounded
+    hash-ordered sample (quantizer quality needs thousands of rows, not
+    the corpus), every vector is assigned to one cell (a narrow shuffle
+    key), and each query touches only ``n_probe/n_cells`` of the corpus.
+    Compare ``knn_cosine_lsh`` (random projections, no training) -- IVF
+    adapts cells to the data distribution. Deterministic via fixed seeds.
+
+    r14: the coarse fit is the driver-side seeded Lloyd's shared with
+    ``build_ann_index`` (``ann_index._fit_cells_driver``) -- the former
+    ``pyspark.ml`` KMeans fit ran ~10 sequential treeAggregate jobs of
+    pure launch latency per call; the driver fit costs zero Spark jobs
+    and makes the inline and persisted quantizers the same artifact."""
+    _n_avail = _vectors_probe(spark, sf_dir, 16)  # bounded, un-spread probe
+    if _n_avail < 2:  # 0 or 1 vectors: no quantizer (k-means needs k >= 2)
         # and no neighbors either (queries exclude self)
         return spark.createDataFrame(
             [], "query_id long, neighbor_id long, cosine double, rnk int"
         )
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from .ann_index import _assign_cells, _fit_cells_driver
 
     n_cells = max(2, min(16, _n_avail))  # tiny corpus: k <= points, k >= 2
     n_probe = min(4, n_cells)
-    vec = _vectors(spark, sf_dir).withColumn("fv", array_to_vector(F.col("v")))
-    km = KMeans(k=n_cells, seed=42, featuresCol="fv", predictionCol="cell", maxIter=10)
-    model = km.fit(vec.select("fv"))
-    assigned = model.transform(vec).select("vec_id", "v", "nrm", "cell")
+    vec = _vectors(spark, sf_dir).localCheckpoint()  # fit sample + assign reuse
+    centroids = _fit_cells_driver(vec, n_cells)
+    n_cells = len(centroids)
+    assigned = _assign_cells(spark, vec, centroids)
 
     # driver-side: n_cells centroid vectors (tiny, a model artifact)
-    centroids = [list(map(float, c)) for c in model.clusterCenters()]
     cent_df = spark.createDataFrame(
         [(i, c) for i, c in enumerate(centroids)], "cell int, centroid array<double>"
     )
@@ -443,8 +460,7 @@ def knn_cosine_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     WindowGroupLimit; only the 3k-row shortlist rejoins raw vectors for
     the exact rerank. Corpus bytes touched per query: |corpus| codes +
     3k vectors, vs |corpus| vectors for brute force."""
-    _vec_probe = _vectors(spark, sf_dir)
-    _n_avail = len(_vec_probe.take(16))  # bounded probe: 0..16 rows
+    _n_avail = _vectors_probe(spark, sf_dir, 16)  # bounded, un-spread probe
     if _n_avail < 2:  # 0 or 1 vectors: no quantizer (KMeans needs k >= 2)
         # and no neighbors either (queries exclude self)
         return spark.createDataFrame(
@@ -843,7 +859,7 @@ def knn_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     base -- ~12 plan references that would each re-run the brute-force
     pipeline (measured 28 planned embeddings scans without the persist).
     """
-    if len(_vectors(spark, sf_dir).take(2)) < 2:
+    if _vectors_probe(spark, sf_dir, 2) < 2:
         return spark.createDataFrame(
             [], "method string, query_id long, recall_at_k double"
         )
@@ -913,28 +929,26 @@ def knn_cosine_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     bytes brute-force. Deterministic: fixed seeds, argmin tiebreak by
     position, rerank identical to the exact operator. Recall-gated in
     tests/test_northstar.py next to its IVF and PQ parents."""
-    _vec_probe = _vectors(spark, sf_dir)
-    _n_avail = len(_vec_probe.take(16))  # bounded probe: 0..16 rows
+    _n_avail = _vectors_probe(spark, sf_dir, 16)  # bounded, un-spread probe
     if _n_avail < 2:  # 0 or 1 vectors: no quantizer (KMeans needs k >= 2)
         # and no neighbors either (queries exclude self)
         return spark.createDataFrame(
             [], "query_id long, neighbor_id long, cosine double, rnk int"
         )
     import numpy as np
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+
+    from .ann_index import _assign_cells, _fit_cells_driver
 
     n_cells = max(2, min(16, _n_avail))  # tiny corpus: k <= points, k >= 2
     n_probe = min(6, n_cells)
     m, ksub, d_sub, shortlist = 8, 16, 8, 30 * TOP_K  # rerank recall lever; see ann_index.py
     vec = _vectors(spark, sf_dir).localCheckpoint()  # reused by fit/encode/rerank
 
-    km = KMeans(k=n_cells, seed=42, featuresCol="fv", predictionCol="cell", maxIter=10)
-    model = km.fit(vec.withColumn("fv", array_to_vector(F.col("v"))).select("fv"))
-    assigned = model.transform(
-        vec.withColumn("fv", array_to_vector(F.col("v")))
-    ).select("vec_id", "v", "nrm", "cell")
-    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    # r14: driver-side seeded Lloyd's fit shared with build_ann_index --
+    # the former ml.KMeans fit ran ~10 sequential jobs per call
+    centroids = _fit_cells_driver(vec, n_cells)
+    n_cells = len(centroids)
+    assigned = _assign_cells(spark, vec, centroids)
     cent_df = spark.createDataFrame(
         [(i, c) for i, c in enumerate(centroids)], "cell int, centroid array<double>"
     )
@@ -1165,8 +1179,7 @@ def embedding_pca_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
       ``zip_with``/``aggregate`` fold against broadcast literal arrays --
       no Python in the per-row path.
     """
-    _probe = _vectors(spark, sf_dir)
-    if len(_probe.take(2)) < 2:  # < 2 vectors: zero covariance, no eigenproblem
+    if _vectors_probe(spark, sf_dir, 2) < 2:  # < 2 vectors: zero covariance, no eigenproblem
         return spark.createDataFrame(
             [],
             "label int, n long, mean_pc1 double, min_pc1 double, max_pc1 double, pc1_var_share double",
