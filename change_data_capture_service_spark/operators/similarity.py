@@ -22,8 +22,93 @@ from ..registry import register
 N_QUERIES = 5  # query set: vec_id < 5
 TOP_K = 10
 
+# knn_graph_reciprocity's exact all-pairs eval broadcasts the corpus to
+# every scoring task (the same relation its former broadcast hash join
+# shipped); past this many vectors the op refuses loudly and the caller
+# must build the kNN graph from the persisted ANN index instead. 262144
+# x 64 doubles = ~134 MB broadcast -- the comfortable ceiling for a
+# diagnostic, far past any eval subset (the KCORE_BROADCAST_NODE_CAP
+# loud-guard precedent).
+RECIPROCITY_BROADCAST_CAP = 262_144
+
 _VEC_D = "transform(embedding, x -> cast(x AS double))"
 _NORM = f"sqrt(aggregate({_VEC_D}, 0D, (acc, x) -> acc + x * x))"
+
+
+def _exact_knn_edges(spark: SparkSession, vec: DataFrame, k: int) -> DataFrame:
+    """Exact all-pairs kNN edges via Arrow-batched BLAS (guide §4.2):
+    each scoring task computes its batch's cosines against the broadcast
+    corpus with ONE matmul instead of N x N interpreted
+    ``zip_with``/``aggregate`` folds. Shared by the all-pairs diagnostics
+    (reciprocity / k-dist / hubness), whose JVM-HOF forms the r14 sweep
+    measured at 224 / 1145 / 605 executor-CPU-s at sf0.1 (N=2000) --
+    ~90% interpreted 64-dim folds plus an N² pre-window row stream.
+
+    Semantics are the family convention exactly: cosine rounded to 6dp
+    BEFORE the rank, neighbor-id tiebreak, self excluded; each src's
+    top-k is complete inside its batch because every batch sees the
+    whole corpus, so no window pass is needed at all. Determinism: d=64
+    fits inside one GEMM K-block, so each output element's 64-term
+    accumulation order is fixed by the kernel regardless of batch shape
+    or thread split (blocking/threading partition M and N, never a
+    64-long K) -- the rounded cosine is stable across partitionings,
+    verified HASH-OK against the sequential-fold DuckDB oracles at both
+    correctness SFs.
+
+    The corpus collect is bounded by the same eval-subset contract as
+    the BroadcastExchange it replaces (a broadcast hash join collects
+    the identical relation driver-side first); the cap makes the bound
+    loud -- past it, generate edges from the persisted ANN index
+    (``ann_index.query_ann_index``) and feed the same downstream folds.
+
+    Returns (src, src_label, dst, cosine, rnk) with rnk in 1..k."""
+    import numpy as np
+
+    rows = vec.select("vec_id", "label", "v", "nrm").collect()
+    if len(rows) > RECIPROCITY_BROADCAST_CAP:
+        raise ValueError(
+            f"exact all-pairs kNN eval is capped at "
+            f"{RECIPROCITY_BROADCAST_CAP} vectors (got {len(rows)}); at this "
+            "scale build the kNN graph from the persisted ANN index "
+            "(ann_index.query_ann_index) and feed the downstream fold."
+        )
+    c_ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    c_mat = np.array([r["v"] for r in rows], dtype=np.float64)
+    c_mat /= np.array([r["nrm"] for r in rows], dtype=np.float64)[:, None]
+    bc = spark.sparkContext.broadcast((c_ids, c_mat))
+
+    def _knn_batches(batches):
+        ids, unit = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            x /= pdf["nrm"].to_numpy(dtype=np.float64)[:, None]
+            cos = np.round(x @ unit.T, 6)
+            src_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            # rank: cosine desc, dst asc; self excluded. lexsort is stable
+            # and sorts by the LAST key first, so (ids asc) then (-cos).
+            order = np.lexsort((np.broadcast_to(ids, cos.shape), -cos), axis=1)
+            out = {"src": [], "src_label": [], "dst": [], "cosine": [], "rnk": []}
+            lbls = pdf["label"].to_numpy()
+            for i in range(len(pdf)):
+                picked = 0
+                for j in order[i]:
+                    if ids[j] == src_ids[i]:
+                        continue  # self
+                    picked += 1
+                    out["src"].append(src_ids[i])
+                    out["src_label"].append(lbls[i])
+                    out["dst"].append(ids[j])
+                    out["cosine"].append(cos[i, j])
+                    out["rnk"].append(picked)
+                    if picked == k:
+                        break
+            yield pd.DataFrame(out)
+
+    return vec.select("vec_id", "label", "v", "nrm").mapInPandas(
+        _knn_batches, "src long, src_label int, dst long, cosine double, rnk int"
+    )
 
 
 def _vectors_probe(spark: SparkSession, sf_dir: str, n: int) -> int:
@@ -1465,27 +1550,9 @@ def knn_graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines rank identically; everything after is exact integers."""
     k = 10
     vec = _vectors(spark, sf_dir).localCheckpoint(eager=False)
-    other = vec.select(
-        F.col("vec_id").alias("dst"),
-        F.col("v").alias("bv"),
-        F.col("nrm").alias("bnrm"),
-    )
-    dot = F.expr("aggregate(zip_with(v, bv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
-    scored = (
-        vec.select(
-            F.col("vec_id").alias("src"), F.col("label").alias("src_label"), "v", "nrm"
-        )
-        .join(F.broadcast(other), F.col("src") != F.col("dst"))
-        .withColumn("cosine", F.round(dot / (F.col("nrm") * F.col("bnrm")), 6))
-        .select("src", "src_label", "dst", "cosine")
-    )
-    w = Window.partitionBy("src").orderBy(F.col("cosine").desc(), F.col("dst"))
-    knn = (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .select("src", "src_label", "dst")
-        .localCheckpoint(eager=False)  # the graph: reused by both join sides
-    )
+    knn = _exact_knn_edges(spark, vec, k).select(
+        "src", "src_label", "dst"
+    ).localCheckpoint(eager=False)  # the graph: reused by both join sides
     # mutuality via the CANONICAL-PAIR rollup instead of a knn-vs-knn
     # self-join (whose shared lineage makes Spark resolve both sides of
     # the reversed-edge condition to the same attributes): each directed
@@ -1574,25 +1641,15 @@ def embedding_kdist_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup."""
     k = 10
     vec = _vectors(spark, sf_dir).localCheckpoint(eager=False)
-    other = vec.select(
-        F.col("vec_id").alias("dst"),
-        F.col("v").alias("bv"),
-        F.col("nrm").alias("bnrm"),
-    )
-    dot = F.expr("aggregate(zip_with(v, bv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
-    scored = (
-        vec.select(F.col("vec_id").alias("src"), "label", "v", "nrm")
-        .join(F.broadcast(other), F.col("src") != F.col("dst"))
-        .withColumn("cosine", F.round(dot / (F.col("nrm") * F.col("bnrm")), 6))
-        .select("src", "label", "dst", "cosine")
-    )
-    w = Window.partitionBy("src").orderBy(F.col("cosine").desc(), F.col("dst"))
+    # r14: the all-pairs scoring + rank rides the shared Arrow/BLAS kNN
+    # generator (see _exact_knn_edges) -- identical 6dp-rounded ranking,
+    # measured 1145 -> ~8 executor-CPU-s at sf0.1
     kd = (
-        scored.withColumn("rnk", F.row_number().over(w))
+        _exact_knn_edges(spark, vec, k)
         .filter(F.col("rnk") == k)
         .select(
             "src",
-            "label",
+            F.col("src_label").alias("label"),
             F.round(1 - F.col("cosine"), 6).cast("decimal(18,6)").alias("kdist"),
         )
     )
@@ -1818,24 +1875,10 @@ def knn_hubness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     asserts agreement with the all-pairs profile."""
     k = 10
     vec = _vectors(spark, sf_dir).localCheckpoint(eager=False)
-    other = vec.select(
-        F.col("vec_id").alias("dst"),
-        F.col("v").alias("bv"),
-        F.col("nrm").alias("bnrm"),
-    )
-    dot = F.expr("aggregate(zip_with(v, bv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
-    scored = (
-        vec.select(F.col("vec_id").alias("src"), "v", "nrm")
-        .join(F.broadcast(other), F.col("src") != F.col("dst"))
-        .withColumn("cosine", F.round(dot / (F.col("nrm") * F.col("bnrm")), 6))
-        .select("src", "dst", "cosine")
-    )
-    w = Window.partitionBy("src").orderBy(F.col("cosine").desc(), F.col("dst"))
-    knn = (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .select("src", "dst")
-    )
+    # r14: the all-pairs scoring + rank rides the shared Arrow/BLAS kNN
+    # generator (see _exact_knn_edges) -- identical 6dp-rounded ranking,
+    # measured 605 -> ~8 executor-CPU-s at sf0.1
+    knn = _exact_knn_edges(spark, vec, k).select("src", "dst")
     return hubness_from_edges(vec.select("vec_id", "label"), knn, k=k)
 
 

@@ -249,9 +249,15 @@ def text_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy string matching: near-identical part names within the same
     brand (edit distance <= 6). The brand equi-key is the blocking
     structure -- Levenshtein is O(len²) per pair, so at scale the join key
-    must bound the candidate set before the distance ever runs."""
+    must bound the candidate set before the distance ever runs.
+
+    r14: the probe side is spread() first -- the part table is one file
+    split, so the broadcast join's streamed side (where every within-
+    brand pair's Levenshtein runs) executed on ONE task: 16 s wall at
+    15.5 executor-CPU-s, i.e. serial. One cheap repartition of the
+    20k-row dim buys all cores for the O(pairs x len²) distance work."""
     p = load_table(spark, sf_dir, "part")
-    a, b = p.alias("a"), p.alias("b")
+    a, b = spread(p).alias("a"), p.alias("b")
     dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
     return (
         a.join(b, (F.col("a.p_brand") == F.col("b.p_brand")) & (F.col("a.p_partkey") < F.col("b.p_partkey")))
