@@ -74,87 +74,119 @@ _QUERY_MODULES = [
 
 # ORDER MATTERS: the grading driver verifies keys in entries() iteration order
 # under a bounded budget (50/round). Keys named here come first, in this exact
-# order; everything else follows in registration order. CORRECTNESS_r13 landed
-# 44 hash-green + 6 rows-only-clean (0 failures), closing the round-13 window;
-# attestation debt entered round 14 at exactly the 8 X90 queue-stock keys
-# (registered behind the r13 window; judge-sim verified clean at both SFs per
-# VERDICT.md r13). Rotation audit via scripts/rotate_check_window.py,
-# 2026-08-16. Round-14 front = those 8 keys, then CHANGED-BEHAVIOR
-# re-attestations (the round-13 ADVICE fixes altered outputs/edge semantics),
-# then new round-14 operators appended as they land (hard cap 50), then --
-# standing discipline since the round-9 verdict -- spare slots filled with
-# RE-ATTESTATION keys: previously-green keys whose implementation files were
-# diff-touched this round, in touched order, so the driver record tracks
-# drift, not just first landing. Proven back-of-queue keys keep independent
-# verification via tests/test_oracle_parity.py (mandatory in CI).
+# order; everything else follows in registration order. CORRECTNESS_r14 landed
+# 43 hash-green + 7 rows-only-clean (0 failures), closing the round-14 window;
+# attestation debt entered round 15 at exactly the 8 X92 queue-stock keys
+# (registered behind the r14 window; judge-sim verified clean at both SFs per
+# the round-14 session log). Rotation audit via scripts/rotate_check_window.py,
+# 2026-08-18. Round 15 is an OPTIMIZATION round (no new operators): front =
+# those 8 keys, then the 13 round-14-REWRITTEN oracle keys the r14 verdict
+# ordered driver-attested post-rewrite (VERDICT.md r14 "What's wrong" #2 --
+# builder-sim HASH-OK at both SFs is on record, the official CORRECTNESS
+# trail was not), then -- standing discipline since the round-9 verdict --
+# RE-ATTESTATION keys: previously-green keys whose implementation files are
+# diff-touched by this round's optimizations, in touched order, so the
+# driver record tracks drift, not just first landing. Proven back-of-queue
+# keys keep independent verification via tests/test_oracle_parity.py
+# (mandatory in CI).
 _CHECK_ORDER = [
-    # -- round-13 queue stock (X90), never driver-attested (rotated to
-    # front per scripts/rotate_check_window.py, 2026-08-16; each judge-sim
-    # HASH-OK / rows-only-clean at sf0.001+sf0.01 per VERDICT.md r13) --
-    "cluster_purity_nmi_eval",
-    "text_mtld_lexical_diversity",
-    "events_spectral_top_periods",
-    "graph_modularity_eval",
-    "orders_little_law_check",
-    "lineitem_eoq_panel",
-    "part_demand_intermittency_profile",
-    "customer_growth_accounting_monthly",
-    # -- changed behavior this round (round-13 ADVICE fixes), re-attest:
-    # Wilson sqrt term corrected to z^2/(4n); PAM swap pass gated to k>=2;
-    # BIRCH docstring/constant sync (behavior unchanged, doc contract was) --
-    "supplier_ontime_wilson_ranking",
-    "cluster_kmedoids_pam",
-    "cluster_birch_cf_profile",
-    # -- new in round 14 (appended as they land; HARD CAP 50 incl. re-attest) --
-    # round-14 wave 1: cohort runoff + inventory buffer + trade + clumpiness
-    "orders_cohort_revenue_runoff",
-    "lineitem_newsvendor_service_panel",
-    "nation_part_rca_matrix",
-    "customer_clumpiness_panel",
-    # round-14 wave 2: rank-based complexity + seasonal trend testing
-    "events_permutation_entropy_daily",
-    "events_seasonal_mann_kendall",
-    # round-14 wave 3: lexical repeat-rate + information census
-    "text_yule_k_by_source",
-    "docs_bigram_entropy_rate_by_source",
-    # round-14 wave 4: compressed-representation evals (oracle-checked)
-    "dedup_bbit_minhash_eval",
-    "embedding_jl_projection_distortion",
-    # wave 5: structural drift + survey sampling; wave 6: long memory + internal cluster eval
-    "cdc_schema_drift_audit",
-    "sample_systematic_interval",
-    "events_hurst_rs_estimate",
-    "cluster_davies_bouldin_eval",
-    # wave 7: temporal alignment dialect, drift triage, diffusion forecasting
-    "sqlapi_asof_dialect",
-    "events_allan_variance",
-    "customer_bass_diffusion_fit",
-    # wave 8: extreme-value temporal dependence
-    "events_extremal_index_runs",
+    # -- round-14 queue stock (X92), never driver-attested (rotated to
+    # front per scripts/rotate_check_window.py, 2026-08-18; each judge-sim
+    # HASH-OK at sf0.001+sf0.01 per the round-14 session log) --
+    "text_burrows_delta_matrix",
+    "sqlapi_pivot_dialect",
+    "events_dfa_alpha",
+    "events_recurrence_quantification",
+    "orders_cohort_ultimate_projection",
+    "supplier_volume_fano_panel",
+    "lineitem_price_stickiness_panel",
+    "lineitem_bullwhip_ratio_panel",
+    # -- round-14 optimization rewrites, driver attestation ordered by
+    # VERDICT.md r14 (rewritten shapes builder-sim HASH-OK both SFs;
+    # CORRECTNESS record must say so) --
+    "dedup_containment_pairs",
+    "knn_graph_reciprocity",
+    "embedding_kdist_profile",
+    "knn_hubness_profile",
+    "text_fuzzy_levenshtein",
+    "dedup_minhash_near",
+    "dedup_minhash_tuned",
+    "dedup_minhash_lines",
+    "dedup_minhash_estimate_quality",
+    "dedup_lsh_tuning_curve",
+    "dedup_semantic_minhash_union",
+    "basket_brand_pairs",
+    "part_link_prediction_adamic_adar",
+    # -- round-15 optimization targets (diff-touched this round; ordered
+    # ahead of the passive re-attestation fill so every key whose physical
+    # plan changes this round lands in the official record) --
+    "part_price_ladder_by_nation",
+    "lineitem_spearman_qty_price",
+    "lineitem_ansari_bradley_returnflag",
+    "graph_label_propagation",
+    "dedup_exact_substring_runs",
     # -- re-attestation: previously-green keys whose implementation files
-    # were diff-touched this round, in touched order (relational,
-    # similarity, stats, text, dedup, cdc, curation, sqlapi), filling
-    # the window to the 50 cap --
-    "customer_nrr_monthly",
-    "orders_shipment_split_profile",
-    "customer_retention_clv_projection",
-    "orders_value_at_risk_shortfall",
-    "supplier_hhi_trend_yearly",
+    # are diff-touched by this round's optimizations, in touched order
+    # (similarity, stats, graph, dedup, relational, text), filling the
+    # window to the 50 cap --
     "knn_cosine_topk",
+    "knn_l2_topk",
+    "knn_label_purity",
+    "knn_mmr_diversified",
+    "knn_lowe_ratio_profile",
+    "knn_cosine_ivf",
+    "knn_cosine_ivf_pq",
+    "knn_recall_eval",
     "embedding_int8_recall_eval",
-    "embedding_split_centroid_drift",
-    "embedding_isotropy",
     "lineitem_price_mann_kendall",
-    "events_runs_test_daily",
-    "events_variance_time_ratio",
-    "docs_vocab_growth_heaps",
-    "text_hapax_legomena_share",
+    "events_mannwhitney_purchase_ab",
+    "lineitem_theilsen_price_trend",
+    "graph_triangle_count",
+    "graph_kcore",
+    "graph_edge_jaccard_similarity",
+    "dedup_exact",
     "dedup_simhash",
-    "dedup_cross_source_matrix",
-    "cdc_payload_size_profile",
-    "cdc_gap_heatmap_hour_dow",
-    "sample_quality_weighted_tokens",
-    "sqlapi_qualify_dialect",
+    "dedup_cluster_profile",
+    "dedup_exact_vs_near_overlap",
+    "multimodal_phash_dedup",
+    "basket_brand_lift",
+    "tpch_q5_local_supplier",
+    "text_tokenize_tf",
+    "docs_source_vocab_jaccard",
+]
+# Provenance: the round-14 window, fully attested by CORRECTNESS_r14
+# (43 hash-green + 7 rows-only-clean, 0 failures: cluster_purity_nmi_eval,
+# text_mtld_lexical_diversity, events_spectral_top_periods,
+# graph_modularity_eval, cluster_kmedoids_pam, cluster_birch_cf_profile,
+# cluster_davies_bouldin_eval executed clean rows-only). Kept for the
+# rotation audit trail; not consulted by entries().
+_ROUND14_WINDOW_ATTESTED = [
+    "cluster_purity_nmi_eval", "text_mtld_lexical_diversity",
+    "events_spectral_top_periods", "graph_modularity_eval",
+    "orders_little_law_check", "lineitem_eoq_panel",
+    "part_demand_intermittency_profile", "customer_growth_accounting_monthly",
+    "supplier_ontime_wilson_ranking", "cluster_kmedoids_pam",
+    "cluster_birch_cf_profile",
+    "orders_cohort_revenue_runoff", "lineitem_newsvendor_service_panel",
+    "nation_part_rca_matrix", "customer_clumpiness_panel",
+    "events_permutation_entropy_daily", "events_seasonal_mann_kendall",
+    "text_yule_k_by_source", "docs_bigram_entropy_rate_by_source",
+    "dedup_bbit_minhash_eval", "embedding_jl_projection_distortion",
+    "cdc_schema_drift_audit", "sample_systematic_interval",
+    "events_hurst_rs_estimate", "cluster_davies_bouldin_eval",
+    "sqlapi_asof_dialect", "events_allan_variance",
+    "customer_bass_diffusion_fit", "events_extremal_index_runs",
+    # re-attestation slots (diff-touched green keys), all re-attested clean:
+    "customer_nrr_monthly", "orders_shipment_split_profile",
+    "customer_retention_clv_projection", "orders_value_at_risk_shortfall",
+    "supplier_hhi_trend_yearly", "knn_cosine_topk",
+    "embedding_int8_recall_eval", "embedding_split_centroid_drift",
+    "embedding_isotropy", "lineitem_price_mann_kendall",
+    "events_runs_test_daily", "events_variance_time_ratio",
+    "docs_vocab_growth_heaps", "text_hapax_legomena_share",
+    "dedup_simhash", "dedup_cross_source_matrix",
+    "cdc_payload_size_profile", "cdc_gap_heatmap_hour_dow",
+    "sample_quality_weighted_tokens", "sqlapi_qualify_dialect",
     "sqlapi_distinct_on_dialect",
 ]
 # Provenance: the round-13 window, fully attested by CORRECTNESS_r13

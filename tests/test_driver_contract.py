@@ -81,90 +81,76 @@ def test_every_oracle_key_has_a_query(spark):
     assert os_ <= qs, f"orphan oracles: {os_ - qs}"
 
 
-# The front keys form the driver's bounded-budget check window for round 14:
-# CORRECTNESS_r13 closed the round-13 window (50 keys, 0 failures), leaving
-# exactly the 8 X90 queue-stock keys (registered behind the r13 window,
-# judge-sim verified clean at both SFs per VERDICT.md r13) never
-# driver-attested; they rotate to the front, then CHANGED-BEHAVIOR
-# re-attestations (the round-13 ADVICE fixes), then new round-14 operators
-# append as they land (hard cap 50) followed by RE-ATTESTATION slots --
-# previously-green keys whose implementation files were diff-touched this
-# round, so the driver record tracks drift. This order is load-bearing for
-# grading -- an import refactor that silently reorders it would unprove
-# operators -- so it is pinned here as a contract. Rounds 1-13 attested 553
-# keys with zero failures (CORRECTNESS_r01-r13 on record).
-_R14_CHECK_WINDOW = [
-    # round-13 queue stock (X90), never driver-attested (rotated to front)
-    "cluster_purity_nmi_eval",
-    "text_mtld_lexical_diversity",
-    "events_spectral_top_periods",
-    "graph_modularity_eval",
-    "orders_little_law_check",
-    "lineitem_eoq_panel",
-    "part_demand_intermittency_profile",
-    "customer_growth_accounting_monthly",
-    # changed behavior (round-13 ADVICE fixes): Wilson sqrt term corrected,
-    # PAM swap pass gated to k>=2, BIRCH doc-contract sync
-    "supplier_ontime_wilson_ranking",
-    "cluster_kmedoids_pam",
-    "cluster_birch_cf_profile",
-    # new in round 14 (appended as they are registered; hard cap 50)
-    # wave 1: cohort runoff + inventory buffer + trade + clumpiness
-    "orders_cohort_revenue_runoff",
-    "lineitem_newsvendor_service_panel",
-    "nation_part_rca_matrix",
-    "customer_clumpiness_panel",
-    # wave 2: rank-based complexity + seasonal trend testing
-    "events_permutation_entropy_daily",
-    "events_seasonal_mann_kendall",
-    # wave 3: lexical repeat-rate + information census
-    "text_yule_k_by_source",
-    "docs_bigram_entropy_rate_by_source",
-    # wave 4: compressed-representation evals
-    "dedup_bbit_minhash_eval",
-    "embedding_jl_projection_distortion",
-    # wave 5: structural drift + survey sampling; wave 6: long memory + internal cluster eval
-    "cdc_schema_drift_audit",
-    "sample_systematic_interval",
-    "events_hurst_rs_estimate",
-    "cluster_davies_bouldin_eval",
-    # wave 7: temporal alignment dialect, drift triage, diffusion forecasting
-    "sqlapi_asof_dialect",
-    "events_allan_variance",
-    "customer_bass_diffusion_fit",
-    # wave 8: extreme-value temporal dependence
-    "events_extremal_index_runs",
-    # -- re-attestation: previously-green keys whose implementation files
-    # were diff-touched this round, in touched order (relational,
-    # similarity, stats, text, dedup, cdc, curation, sqlapi), filling
-    # the window to the 50 cap --
-    "customer_nrr_monthly",
-    "orders_shipment_split_profile",
-    "customer_retention_clv_projection",
-    "orders_value_at_risk_shortfall",
-    "supplier_hhi_trend_yearly",
-    "knn_cosine_topk",
-    "embedding_int8_recall_eval",
-    "embedding_split_centroid_drift",
-    "embedding_isotropy",
-    "lineitem_price_mann_kendall",
-    "events_runs_test_daily",
-    "events_variance_time_ratio",
-    "docs_vocab_growth_heaps",
-    "text_hapax_legomena_share",
-    "dedup_simhash",
-    "dedup_cross_source_matrix",
-    "cdc_payload_size_profile",
-    "cdc_gap_heatmap_hour_dow",
-    "sample_quality_weighted_tokens",
-    "sqlapi_qualify_dialect",
-    "sqlapi_distinct_on_dialect",
+# The front keys form the driver's bounded-budget check window for round 15
+# (an OPTIMIZATION round -- no new operators): CORRECTNESS_r14 closed the
+# round-14 window (50 keys, 0 failures), leaving exactly the 8 X92
+# queue-stock keys (registered behind the r14 window, judge-sim verified
+# clean at both SFs per the round-14 session log) never driver-attested;
+# they rotate to the front, then the 13 round-14-rewritten oracle keys the
+# r14 verdict ordered driver-attested post-rewrite, then this round's
+# optimization targets and RE-ATTESTATION slots -- previously-green keys
+# whose implementation files are diff-touched by this round's
+# optimizations, so the driver record tracks drift. This order is
+# load-bearing for grading -- an import refactor that silently reorders it
+# would unprove operators -- so it is pinned here as a contract. Rounds
+# 1-14 attested 579 keys with zero failures (CORRECTNESS_r01-r14 on record).
+_R15_CHECK_WINDOW = [
+    'text_burrows_delta_matrix',
+    'sqlapi_pivot_dialect',
+    'events_dfa_alpha',
+    'events_recurrence_quantification',
+    'orders_cohort_ultimate_projection',
+    'supplier_volume_fano_panel',
+    'lineitem_price_stickiness_panel',
+    'lineitem_bullwhip_ratio_panel',
+    'dedup_containment_pairs',
+    'knn_graph_reciprocity',
+    'embedding_kdist_profile',
+    'knn_hubness_profile',
+    'text_fuzzy_levenshtein',
+    'dedup_minhash_near',
+    'dedup_minhash_tuned',
+    'dedup_minhash_lines',
+    'dedup_minhash_estimate_quality',
+    'dedup_lsh_tuning_curve',
+    'dedup_semantic_minhash_union',
+    'basket_brand_pairs',
+    'part_link_prediction_adamic_adar',
+    'part_price_ladder_by_nation',
+    'lineitem_spearman_qty_price',
+    'lineitem_ansari_bradley_returnflag',
+    'graph_label_propagation',
+    'dedup_exact_substring_runs',
+    'knn_cosine_topk',
+    'knn_l2_topk',
+    'knn_label_purity',
+    'knn_mmr_diversified',
+    'knn_lowe_ratio_profile',
+    'knn_cosine_ivf',
+    'knn_cosine_ivf_pq',
+    'knn_recall_eval',
+    'embedding_int8_recall_eval',
+    'lineitem_price_mann_kendall',
+    'events_mannwhitney_purchase_ab',
+    'lineitem_theilsen_price_trend',
+    'graph_triangle_count',
+    'graph_kcore',
+    'graph_edge_jaccard_similarity',
+    'dedup_exact',
+    'dedup_simhash',
+    'dedup_cluster_profile',
+    'dedup_exact_vs_near_overlap',
+    'multimodal_phash_dedup',
+    'basket_brand_lift',
+    'tpch_q5_local_supplier',
+    'text_tokenize_tf',
+    'docs_source_vocab_jaccard',
 ]
 
 
 def test_check_window_order_is_pinned():
-    n = len(_R14_CHECK_WINDOW)
-    assert list(registry.entries())[:n] == _R14_CHECK_WINDOW
+    n = len(_R15_CHECK_WINDOW)
+    assert list(registry.entries())[:n] == _R15_CHECK_WINDOW
 
 
 def test_check_order_names_are_all_registered():
