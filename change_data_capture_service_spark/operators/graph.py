@@ -938,7 +938,12 @@ def _label_propagation(both_dirs: DataFrame, rounds: int = 4) -> DataFrame:
     Scale: each round is one edge-sized join + a (node, label) partial
     agg + a per-node arg-max window on the neighbour-label grain --
     the pagerank shuffle shape; labels re-checkpoint every round so
-    lineage stays O(1). Isolated nodes keep their own label."""
+    lineage stays O(1). The edge relation itself is barriered up front:
+    the node seed plus EVERY round's neighbour join consume it, and an
+    un-cut caller pipeline (e.g. the brand co-occurrence self-join)
+    would re-execute once per round. Isolated nodes keep their own
+    label."""
+    both_dirs = both_dirs.localCheckpoint(eager=False)
     nodes = both_dirs.select(F.col("u").alias("node")).distinct().localCheckpoint()
     labels = nodes.withColumn("lbl", F.col("node"))
     for _ in range(rounds):

@@ -4396,10 +4396,12 @@ def part_price_ladder_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ladder ratio is one guarded division of interpolated integer cents.
 
     Scale: the Spark side interpolates at the (nation, cents) DOMAIN
-    grain (exact_interp_pct_weighted -- cents domains are price-range
-    bounded), so no fact-grain rank window exists in the plan; the
-    oracle's row-grain rank CTE is the value-equal reference form."""
-    from .stats import exact_interp_pct_weighted
+    grain (exact_interp_pcts_weighted -- cents domains are price-range
+    bounded), so no fact-grain rank window exists in the plan; all three
+    rungs share ONE fact-grain domain reduction and ONE cumulative pass
+    (three single-rung calls would re-scan the fact relation per rung);
+    the oracle's row-grain rank CTE is the value-equal reference form."""
+    from .stats import exact_interp_pcts_weighted
 
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
@@ -4419,26 +4421,19 @@ def part_price_ladder_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s_nationkey") == F.col("n_nationkey"),
         )
         .select(F.col("n_name").alias("supplier_nation"), "cents")
-        .localCheckpoint(eager=False)  # three percentile passes consume it
+        # single consumer now (the shared domain reduction): no barrier
     )
-    def rung(pct, alias):
-        return exact_interp_pct_weighted(
-            px, ["supplier_nation"], "cents", pct
-        ).withColumnRenamed("q_val", alias)
-
-    rungs = (
-        rung(25, "p25_c")
-        .join(rung(50, "p50_c"), "supplier_nation")
-        .join(rung(75, "p75_c"), "supplier_nation")
+    rungs = exact_interp_pcts_weighted(
+        px, ["supplier_nation"], "cents", [25, 50, 75]
     )
     return rungs.select(
         "supplier_nation",
-        F.round(F.col("p25_c").cast("double") / 100, 6).alias("p25_price"),
-        F.round(F.col("p50_c").cast("double") / 100, 6).alias("p50_price"),
-        F.round(F.col("p75_c").cast("double") / 100, 6).alias("p75_price"),
+        F.round(F.col("q_25").cast("double") / 100, 6).alias("p25_price"),
+        F.round(F.col("q_50").cast("double") / 100, 6).alias("p50_price"),
+        F.round(F.col("q_75").cast("double") / 100, 6).alias("p75_price"),
         F.round(
-            F.col("p75_c").cast("double")
-            / F.nullif(F.col("p25_c").cast("double"), F.lit(0.0)),
+            F.col("q_75").cast("double")
+            / F.nullif(F.col("q_25").cast("double"), F.lit(0.0)),
             6,
         ).alias("ladder_ratio"),
     ).orderBy("supplier_nation")

@@ -44,47 +44,59 @@ def _exact_knn_edges(spark: SparkSession, vec: DataFrame, k: int) -> DataFrame:
     measured at 224 / 1145 / 605 executor-CPU-s at sf0.1 (N=2000) --
     ~90% interpreted 64-dim folds plus an N² pre-window row stream.
 
-    Semantics are the family convention exactly: cosine rounded to 6dp
+    Semantics are the family convention exactly: cosine computed as the
+    ORACLE expression -- round(dot(x, y) / (nrm_x * nrm_y), 6), raw dots
+    first, ONE division by the norm product after -- rounded to 6dp
     BEFORE the rank, neighbor-id tiebreak, self excluded; each src's
     top-k is complete inside its batch because every batch sees the
-    whole corpus, so no window pass is needed at all. Determinism: d=64
-    fits inside one GEMM K-block, so each output element's 64-term
-    accumulation order is fixed by the kernel regardless of batch shape
-    or thread split (blocking/threading partition M and N, never a
-    64-long K) -- the rounded cosine is stable across partitionings,
-    verified HASH-OK against the sequential-fold DuckDB oracles at both
-    correctness SFs.
+    whole corpus, so no window pass is needed at all. (The first cut
+    pre-normalized both sides before the GEMM; that is a mathematically
+    equal but ulp-DIFFERENT expression from the oracle's, so agreement
+    was empirical -- r14 ADVICE. The raw-dot form matches the oracle
+    term-for-term; a near-tie fixture pins the 6dp agreement in
+    tests/test_round24_ops.py so a BLAS/backend change fails loudly.)
+    Determinism: d=64 fits inside one GEMM K-block, so each output
+    element's 64-term accumulation order is fixed by the kernel
+    regardless of batch shape or thread split (blocking/threading
+    partition M and N, never a 64-long K) -- the rounded cosine is
+    stable across partitionings, verified HASH-OK against the
+    sequential-fold DuckDB oracles at both correctness SFs.
 
-    The corpus collect is bounded by the same eval-subset contract as
-    the BroadcastExchange it replaces (a broadcast hash join collects
-    the identical relation driver-side first); the cap makes the bound
-    loud -- past it, generate edges from the persisted ANN index
-    (``ann_index.query_ann_index``) and feed the same downstream folds.
+    The corpus collect is Arrow-batched (``toPandas`` -- packed numeric
+    buffers, not driver Row objects; the Row form costs several x the
+    ndarray budget the cap documents) and bounded by the same
+    eval-subset contract as the BroadcastExchange it replaces (a
+    broadcast hash join collects the identical relation driver-side
+    first); the cap makes the bound loud -- past it, generate edges
+    from the persisted ANN index (``ann_index.query_ann_index``) and
+    feed the same downstream folds.
 
     Returns (src, src_label, dst, cosine, rnk) with rnk in 1..k."""
     import numpy as np
 
-    rows = vec.select("vec_id", "label", "v", "nrm").collect()
-    if len(rows) > RECIPROCITY_BROADCAST_CAP:
+    corpus = vec.select("vec_id", "v", "nrm").toPandas()
+    if len(corpus) > RECIPROCITY_BROADCAST_CAP:
         raise ValueError(
             f"exact all-pairs kNN eval is capped at "
-            f"{RECIPROCITY_BROADCAST_CAP} vectors (got {len(rows)}); at this "
+            f"{RECIPROCITY_BROADCAST_CAP} vectors (got {len(corpus)}); at this "
             "scale build the kNN graph from the persisted ANN index "
             "(ann_index.query_ann_index) and feed the downstream fold."
         )
-    c_ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    c_mat = np.array([r["v"] for r in rows], dtype=np.float64)
-    c_mat /= np.array([r["nrm"] for r in rows], dtype=np.float64)[:, None]
-    bc = spark.sparkContext.broadcast((c_ids, c_mat))
+    c_ids = corpus["vec_id"].to_numpy(dtype=np.int64)
+    c_mat = np.stack(corpus["v"].to_numpy()).astype(np.float64)
+    c_nrm = corpus["nrm"].to_numpy(dtype=np.float64)
+    bc = spark.sparkContext.broadcast((c_ids, c_mat, c_nrm))
 
     def _knn_batches(batches):
-        ids, unit = bc.value
+        ids, cm, cn = bc.value
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             x = np.stack(pdf["v"].to_numpy()).astype(np.float64)
-            x /= pdf["nrm"].to_numpy(dtype=np.float64)[:, None]
-            cos = np.round(x @ unit.T, 6)
+            x_nrm = pdf["nrm"].to_numpy(dtype=np.float64)
+            # oracle expression shape: raw dot, then one division by the
+            # norm product, then the 6dp round
+            cos = np.round((x @ cm.T) / np.outer(x_nrm, cn), 6)
             src_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
             # rank: cosine desc, dst asc; self excluded. lexsort is stable
             # and sorts by the LAST key first, so (ids asc) then (-cos).

@@ -78,7 +78,13 @@ def _domain_prefix(
     floating-point sum.
     """
     bkt = F.expr(f"({key} - pmod({key}, {_RANGE_W})) DIV {_RANGE_W}").cast("bigint")
-    b = v.withColumn("_bkt", bkt)
+    # Barrier the domain relation: it feeds BOTH the broadcast bucket-totals
+    # side and the probe side of the join below, and broadcast + streamed
+    # sides never share an exchange (ReuseExchange only pairs shuffle
+    # twins), so an un-cut `v` -- typically a fact-grain groupBy -- would
+    # execute twice per call. `v` is one row per distinct key by contract
+    # (domain-bounded), so the checkpoint is small.
+    b = v.withColumn("_bkt", bkt).localCheckpoint(eager=False)
     aggs = [F.sum(c).cast("bigint").alias(f"_t_{c}") for c in cols]
     if with_next_key:
         aggs.append(F.min(key).alias("_bmin"))
@@ -467,22 +473,32 @@ def lineitem_spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pearson moments accumulate in DECIMAL(38,0); rho is one shared double
     closed form over them, NULL when either variable is constant.
 
-    Scale: two per-distinct-value rank maps (bounded by the quantity and
-    price domains), each prefix-summed over its own domain in the
-    two-level range-partitioned form (_domain_prefix -- one task per
-    2^16-cent range, never a single-task domain scan), then joined back
-    to the fact rows by value -- an equi-join on a bounded-domain key
-    (broadcastable when the domain is small, hash otherwise). The fact
-    table is never globally sorted; a naive rank() window over rows
-    would single-partition 10^11 rows and is exactly what this shape
-    avoids."""
+    Scale: ONE fact pass reduces to the (quantity, price) JOINT domain
+    (bounded by |qty domain| x |price domain| -- both price-range
+    bounded); the marginal rank maps, their two-level range-partitioned
+    prefixes (_domain_prefix) and the five Pearson moments are all
+    computed at the domain grain with the cell count as an integer
+    weight. Summing w-weighted integer products over the joint domain
+    IS the per-fact-row sum (integer/DECIMAL accumulation is order-free
+    and the regrouping is exact), so no result bit can change. The fact
+    table is never globally sorted NOR re-scanned per marginal; a naive
+    rank() window over rows would single-partition 10^11 rows and is
+    exactly what this shape avoids."""
     li = load_table(spark, sf_dir, "lineitem")
     s = li.select(
         F.expr(_QTY_C).alias("x"), F.expr(_PRICE_C).alias("y")
     ).filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+    xy = (
+        s.groupBy("x", "y")
+        .agg(F.count("*").cast("bigint").alias("w"))
+        # barrier: both marginal rank maps and the moment agg consume the
+        # joint-domain reduction -- un-cut, the fact-grain groupBy would
+        # run once per consumer
+        .localCheckpoint(eager=False)
+    )
 
     def rank_map(col: str) -> DataFrame:
-        cnt = s.groupBy(col).agg(F.count("*").cast("bigint").alias("cnt"))
+        cnt = xy.groupBy(col).agg(F.sum("w").cast("bigint").alias("cnt"))
         return _domain_prefix(cnt, col, ["cnt"]).select(
             col,
             (2 * F.col("pre_cnt") + F.col("cnt") + 1)
@@ -491,21 +507,23 @@ def lineitem_spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     # the rank maps are |distinct values| rows (domain-bounded): broadcast
-    # them so the fact rows never shuffle -- the moment agg stays map-side
-    joined = s.join(F.broadcast(rank_map("x")), "x").join(
+    # them so the joint-domain cells never shuffle -- the moment agg stays
+    # map-side
+    joined = xy.join(F.broadcast(rank_map("x")), "x").join(
         F.broadcast(rank_map("y")), "y"
     )
+    wd = F.col("w").cast("decimal(38,0)")
     m = joined.agg(
-        F.count("*").cast("bigint").alias("n"),
-        F.sum("r2_x").cast("decimal(38,0)").alias("sx"),
-        F.sum("r2_y").cast("decimal(38,0)").alias("sy"),
-        F.sum(F.col("r2_x").cast("decimal(38,0)") * F.col("r2_x"))
+        F.sum("w").cast("bigint").alias("n"),
+        F.sum(wd * F.col("r2_x")).cast("decimal(38,0)").alias("sx"),
+        F.sum(wd * F.col("r2_y")).cast("decimal(38,0)").alias("sy"),
+        F.sum(wd * F.col("r2_x") * F.col("r2_x"))
         .cast("decimal(38,0)")
         .alias("sxx"),
-        F.sum(F.col("r2_y").cast("decimal(38,0)") * F.col("r2_y"))
+        F.sum(wd * F.col("r2_y") * F.col("r2_y"))
         .cast("decimal(38,0)")
         .alias("syy"),
-        F.sum(F.col("r2_x").cast("decimal(38,0)") * F.col("r2_y"))
+        F.sum(wd * F.col("r2_x") * F.col("r2_y"))
         .cast("decimal(38,0)")
         .alias("sxy"),
     )
@@ -2495,9 +2513,12 @@ def lineitem_ansari_bradley_returnflag(spark: SparkSession, sf_dir: str) -> Data
         F.sum(F.when(F.col("g1"), 1).otherwise(0)).cast("bigint").alias("c1"),
         F.sum(F.when(F.col("g1"), 0).otherwise(1)).cast("bigint").alias("c2"),
     ).withColumn("m", (F.col("c1") + F.col("c2")).cast("bigint"))
+    # barrier: the scored relation feeds both the broadcast total (nn)
+    # and the final reduce -- an un-cut `r` would re-run the whole
+    # domain-prefix pipeline (and its fact-grain groupBy) once per side
     r = _domain_prefix(v, "c", ["m"]).select(
         "c1", "c2", "m", F.col("pre_m").alias("before")
-    )
+    ).localCheckpoint(eager=False)
     tot = r.agg(F.sum("m").cast("bigint").alias("nn"))
     sc = r.crossJoin(F.broadcast(tot)).withColumn(
         "a2",
@@ -3276,6 +3297,22 @@ def exact_interp_pct_weighted(
     _domain_prefix discipline applied to percentile interpolation).
     Same output contract: keys + ``q_val`` BIGINT, identical truncated
     rational closed form."""
+    return exact_interp_pcts_weighted(df, keys, col, [pct]).withColumnRenamed(
+        f"q_{pct}", "q_val"
+    )
+
+
+def exact_interp_pcts_weighted(
+    df: DataFrame, keys: list, col: str, pcts: list[int]
+) -> DataFrame:
+    """Multi-rung ``exact_interp_pct_weighted``: N percentiles of the SAME
+    relation share ONE (keys, value, count) domain reduction and ONE
+    cumulative-weight pass -- N single-pct calls would re-scan the fact
+    relation and re-run the cumulative window N times for rungs that
+    differ only in the rank position they pick. Returns keys + ``q_<pct>``
+    (BIGINT) per requested pct; each rung evaluates the identical
+    truncated rational closed form over the identical cumulative
+    relation, so every column is value-equal to its single-pct call."""
     dom = df.groupBy(*keys, col).agg(F.count("*").cast("bigint").alias("__w"))
     cw = Window.partitionBy(*keys)
     cum = dom.select(
@@ -3284,25 +3321,32 @@ def exact_interp_pct_weighted(
         F.col("__w"),
         F.sum("__w").over(cw.orderBy(col)).cast("bigint").alias("__c_end"),
         F.sum("__w").over(cw).cast("bigint").alias("__n"),
-    ).localCheckpoint(eager=False)  # lo and hi picks both consume it
-    lo_pos = F.expr(f"({pct} * (__n - 1)) DIV 100") + 1
-    rem = F.expr(f"({pct} * (__n - 1)) % 100")
-    hi_pos = F.when(rem == 0, lo_pos).otherwise(lo_pos + 1)
-    lo = (
-        cum.filter((F.col("__c_end") >= lo_pos) & (F.col("__c_end") - F.col("__w") < lo_pos))
-        .select(*keys, F.col("__x").alias("__x_lo"), F.col("__n"), rem.alias("__rem"))
-    )
-    hi = (
-        cum.filter((F.col("__c_end") >= hi_pos) & (F.col("__c_end") - F.col("__w") < hi_pos))
-        .select(*[F.col(k).alias(f"__h_{k}") for k in keys], F.col("__x").alias("__x_hi"))
-    )
-    cond = F.lit(True)
-    for k in keys:
-        cond = cond & (F.col(k) == F.col(f"__h_{k}"))
-    return lo.join(hi, cond).select(
-        *keys,
-        F.expr("(100 * __x_lo + __rem * (__x_hi - __x_lo)) DIV 100").alias("q_val"),
-    )
+    ).localCheckpoint(eager=False)  # every rung's lo and hi picks consume it
+    out: DataFrame | None = None
+    for pct in pcts:
+        lo_pos = F.expr(f"({pct} * (__n - 1)) DIV 100") + 1
+        rem = F.expr(f"({pct} * (__n - 1)) % 100")
+        hi_pos = F.when(rem == 0, lo_pos).otherwise(lo_pos + 1)
+        lo = (
+            cum.filter((F.col("__c_end") >= lo_pos) & (F.col("__c_end") - F.col("__w") < lo_pos))
+            .select(*keys, F.col("__x").alias("__x_lo"), F.col("__n"), rem.alias("__rem"))
+        )
+        hi = (
+            cum.filter((F.col("__c_end") >= hi_pos) & (F.col("__c_end") - F.col("__w") < hi_pos))
+            .select(*[F.col(k).alias(f"__h_{k}") for k in keys], F.col("__x").alias("__x_hi"))
+        )
+        cond = F.lit(True)
+        for k in keys:
+            cond = cond & (F.col(k) == F.col(f"__h_{k}"))
+        pick = lo.join(hi, cond).select(
+            *keys,
+            F.expr("(100 * __x_lo + __rem * (__x_hi - __x_lo)) DIV 100").alias(
+                f"q_{pct}"
+            ),
+        )
+        out = pick if out is None else out.join(pick, list(keys))
+    assert out is not None, "pcts must be non-empty"
+    return out
 
 
 @register(

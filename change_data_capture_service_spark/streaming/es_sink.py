@@ -282,17 +282,19 @@ class EsBulkSink:
             import pyarrow as pa
 
             buf: list[str] = []
-            n = 0
+            n = 0  # actions in the CURRENT chunk (reset per flush)
+            total = 0  # actions posted by this partition (the ack value)
             for b in batches:
                 for line in b.column(0).to_pylist():
                     buf.append(line)
                     n += 1
+                    total += 1
                     if n >= max_actions:
                         _post_bulk(url, buf, timeout)
                         buf, n = [], 0
             if buf:
                 _post_bulk(url, buf, timeout)
-            yield pa.RecordBatch.from_pydict({"sent": pa.array([n], pa.int64())})
+            yield pa.RecordBatch.from_pydict({"sent": pa.array([total], pa.int64())})
 
         (
             self._bulk_lines(batch_df)

@@ -4,6 +4,7 @@ even while staying numerically correct."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from change_data_capture_service_spark import registry
@@ -72,14 +73,22 @@ def test_pack_token_budget_is_one_shuffle(spark, sf_dir):
     assert P.count_shuffles(df) == 1
 
 
-def test_knn_topk_reduces_before_window(spark, sf_dir):
+@pytest.mark.parametrize(
+    "key", ["knn_cosine_topk", "knn_l2_topk", "knn_label_purity"]
+)
+def test_knn_topk_reduces_before_window(spark, sf_dir, key):
     """The exact-kNN window must rank the LOCAL top-k survivors (bounded:
     partitions x queries x k rows), never the full N x Q scored set. The
     r14 form plans this as WindowGroupLimit: a Partial pruner BELOW the
     window's exchange keeps each map task's top-k per query in the JVM
     (SPARK-37099) -- the same row bound the former Arrow mapInPandas
-    reducer enforced by hand, with zero Python boundary."""
-    df = registry.get("knn_cosine_topk").fn(spark, sf_dir)
+    reducer enforced by hand, with zero Python boundary. All three
+    row_number()<=k consumers are gated (r14 ADVICE: only the cosine
+    member was, so a config change -- e.g.
+    spark.sql.window.group.limit.threshold=-1 -- or a pattern regression
+    would silently funnel the full scored set through the window
+    exchange in the ungated ops)."""
+    df = registry.get(key).fn(spark, sf_dir)
     plan = P.formatted_plan(df)
     assert plan.count(") WindowGroupLimit") >= 2, (
         "rank-limit pushdown lost: need Partial (below exchange) + Final"
